@@ -1,0 +1,207 @@
+"""Shared statistical kernels (SURVEY.md §2.1 A1–A6).
+
+These are the *semantic* operators of the reference family
+(moving-average / EWMA / generalized-ESD anomaly statistics, per
+BASELINE.json:6), expressed once over NumPy arrays.  BOTH the single-process
+oracle (``anomalydetection_ray.oracle``) and the Ray Data batch kernels
+(``anomalydetection_ray.stages``) call these functions, so the engine's
+bit-for-bit gate against the oracle is achievable by construction: identical
+code on identical data.
+
+Literature pins:
+- A1 moving mean/std: textbook sliding window, ``min_periods = w`` edges.
+- A2 EWMA: Roberts 1959, s_0 = x_0, s_i = a*x_i + (1-a)*s_{i-1}.
+- A3 generalized ESD: Rosner 1983; robust (S-H-ESD) variant replaces
+  mean/std with median / 1.4826*MAD (Hochenbaum et al. 2017,
+  arXiv:1704.07706 §3; no STL step — integer positions have no season).
+- A4 anomaly_score: the first-iteration S-H-ESD test statistic
+  max|x - median| / (1.4826 * MAD), 0.0 when MAD == 0.
+- A5 gap-fill: locf (default) / linear / drop over null positions.
+- A6 threshold detector: |x_i - m_i| > c * s_i on A1's moving stats.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from anomalydetection_ray.constants import MAD_SCALE
+from anomalydetection_ray.functions.tppf import esd_lambda
+
+__all__ = [
+    "robust_score",
+    "gap_fill",
+    "moving_mean_std",
+    "ewma",
+    "esd",
+    "threshold_flags",
+    "kahan_step",
+    "kahan_weighted_mean",
+]
+
+GAP_POLICIES = ("locf", "linear", "drop")
+
+
+def robust_score(x: np.ndarray) -> float:
+    """A4: max robust z-score of a bucket.  ``x`` must be float64."""
+    if x.size == 0:
+        return 0.0
+    med = np.median(x)
+    dev = np.abs(x - med)
+    mad = np.median(dev)
+    if mad == 0.0:
+        return 0.0
+    return float(dev.max() / (MAD_SCALE * mad))
+
+
+def gap_fill(
+    values: np.ndarray, valid: np.ndarray | None, policy: str = "locf"
+) -> tuple[np.ndarray, np.ndarray | None]:
+    """A5(a): resolve null positions inside one series.
+
+    ``values`` int32, ``valid`` boolean mask (None means all-valid).
+    Returns ``(filled_values, valid_out)`` where ``valid_out`` is None for
+    locf/linear (every position defined afterwards) and the original mask for
+    ``drop`` (stats must then skip invalid positions; bucket counts reflect
+    only valid points and all-null buckets roll up as ``filled`` — A5(b)).
+    """
+    if policy not in GAP_POLICIES:
+        raise ValueError(f"unknown gap policy {policy!r}")
+    if valid is None or bool(valid.all()):
+        return values, None
+    if policy == "drop":
+        return values, valid
+    n = values.shape[0]
+    idx = np.arange(n, dtype=np.int64)
+    vidx = np.flatnonzero(valid)
+    if vidx.size == 0:
+        return np.zeros(n, dtype=np.int32), None
+    if policy == "locf":
+        # last-observation-carried-forward; leading nulls -> 0
+        fill_from = np.maximum.accumulate(np.where(valid, idx, -1))
+        out = np.where(fill_from >= 0, values[np.maximum(fill_from, 0)], 0)
+        return out.astype(np.int32, copy=False), None
+    # linear: interpolate between neighbours, round-half-even, cast to int32;
+    # leading/trailing nulls clamp to nearest valid (np.interp semantics).
+    interp = np.interp(idx.astype(np.float64), vidx.astype(np.float64),
+                       values[vidx].astype(np.float64))
+    out = np.rint(interp)
+    np.clip(out, -(2**31), 2**31 - 1, out=out)
+    return out.astype(np.int32), None
+
+
+def moving_mean_std(x: np.ndarray, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """A1: sliding mean and population std (ddof=0), window ``w``,
+    ``min_periods = w`` (positions < w-1 are NaN).  ``x`` float64."""
+    n = x.shape[0]
+    mean = np.full(n, np.nan)
+    std = np.full(n, np.nan)
+    if n < w or w <= 0:
+        return mean, std
+    c1 = np.cumsum(x)
+    c2 = np.cumsum(x * x)
+    s1 = c1[w - 1:].copy()
+    s1[1:] -= c1[:-w]
+    s2 = c2[w - 1:].copy()
+    s2[1:] -= c2[:-w]
+    m = s1 / w
+    v = s2 / w - m * m
+    np.maximum(v, 0.0, out=v)  # guard tiny negative from cancellation
+    mean[w - 1:] = m
+    std[w - 1:] = np.sqrt(v)
+    return mean, std
+
+
+def ewma(x: np.ndarray, alpha: float) -> np.ndarray:
+    """A2: Roberts-1959 exponentially weighted moving average (float64)."""
+    out = np.empty(x.shape[0], dtype=np.float64)
+    if x.shape[0] == 0:
+        return out
+    s = float(x[0])
+    out[0] = s
+    one_m = 1.0 - alpha
+    for i in range(1, x.shape[0]):
+        s = alpha * float(x[i]) + one_m * s
+        out[i] = s
+    return out
+
+
+def esd(
+    x: np.ndarray,
+    alpha: float = 0.05,
+    k_max: int | None = None,
+    robust: bool = True,
+) -> tuple[int, np.ndarray]:
+    """A3: generalized ESD test (Rosner 1983) / S-H-ESD robust variant.
+
+    Returns ``(num_anomalies, indices)`` where ``indices`` are the positions
+    of the detected outliers in removal order.  ``k_max`` defaults to
+    ``ceil(0.02 * n)`` (the repo family's max_anoms default).  Ties on the
+    max deviation break to the lowest index (np.argmax).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[0]
+    if k_max is None:
+        k_max = int(np.ceil(0.02 * n))
+    k_max = min(k_max, max(0, n - 2))
+    if n < 3 or k_max < 1:
+        return 0, np.empty(0, dtype=np.int64)
+
+    remaining = np.ones(n, dtype=bool)
+    removed = np.empty(k_max, dtype=np.int64)
+    r_stats = np.empty(k_max, dtype=np.float64)
+    k_done = 0
+    for k in range(1, k_max + 1):
+        xs = x[remaining]
+        if robust:
+            center = np.median(xs)
+            scale = MAD_SCALE * np.median(np.abs(xs - center))
+        else:
+            center = xs.mean()
+            scale = xs.std()  # ddof=0
+        if scale == 0.0:
+            break
+        dev = np.abs(x - center)
+        dev[~remaining] = -np.inf
+        i_max = int(np.argmax(dev))
+        r_stats[k - 1] = dev[i_max] / scale
+        removed[k - 1] = i_max
+        remaining[i_max] = False
+        k_done = k
+
+    n_anom = 0
+    for k in range(1, k_done + 1):
+        if r_stats[k - 1] > esd_lambda(n, k, alpha):
+            n_anom = k
+    return n_anom, removed[:n_anom].copy()
+
+
+def threshold_flags(x: np.ndarray, w: int, c: float = 3.0) -> np.ndarray:
+    """A6: control-chart detector — True where |x_i - m_i| > c * s_i
+    (moving stats from A1; first w-1 positions are never flagged)."""
+    mean, std = moving_mean_std(np.asarray(x, dtype=np.float64), w)
+    with np.errstate(invalid="ignore"):
+        return np.abs(x - mean) > c * std
+
+
+def kahan_step(s: float, comp: float, x: float) -> tuple[float, float]:
+    """One Kahan compensated-summation step (fixed order => bit-stable)."""
+    y = x - comp
+    t = s + y
+    comp = (t - s) - y
+    return t, comp
+
+
+def kahan_weighted_mean(means: np.ndarray, counts: np.ndarray) -> float:
+    """G1 merge: count-weighted mean with Kahan accumulation in the given
+    (child-bucket) order.  Entries with count == 0 are skipped.  Caller
+    guarantees sum(counts) > 0."""
+    s = 0.0
+    comp = 0.0
+    total = 0
+    for i in range(means.shape[0]):
+        cnt = int(counts[i])
+        if cnt == 0:
+            continue
+        s, comp = kahan_step(s, comp, float(means[i]) * float(cnt))
+        total += cnt
+    return s / float(total)
