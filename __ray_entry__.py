@@ -3,14 +3,25 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Per the contract, nothing here (or in the library) calls ray.init() /
+ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
+Ray session.
+
+Operator coverage map (SURVEY.md §2.2 -> query name):
+  S1/S3+M1(A1/A4/A5)+G1 -> entry, rollup_tier1_docs, rollup_tier2_docs,
+                           rollup_events_tier1 (SQL-checked bucket math)
+  S3                    -> s3_token_counts (SQL)
+  M2                    -> m2_filter_lineitem (SQL)
+  G2                    -> g2_source_stats, pricing_summary (SQL)
+  G3                    -> g3_quantiles_nchars (SQL)
+  Q1                    -> q1_sort_lineitem (SQL)
+  Q2                    -> q2_topk_events (SQL), topk_anomalies_docs
+  D1                    -> d1_dedup_events (SQL)
+  J1                    -> j1_broadcast_join (SQL)
+Non-SQL-expressible ops (anomaly_score over token series, codecs,
+resume) get rows-only checks — documented per entry.
 """
 
 from __future__ import annotations
@@ -19,26 +30,128 @@ from collections.abc import Callable
 from typing import Any
 
 
+def _docs_sequences(sf_dir: str):
+    import ray.data
+
+    from anomalydetection_ray.sources.tokenize import tokenize_batch
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+    return docs.map_batches(tokenize_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship P1 rollup on /root/testdata/sf0.001: documents -> tokenize ->
+    validate/split -> tier1+tier2 rollup.  Returns the tiers Dataset."""
+    from anomalydetection_ray.pipelines.rollup import rollup_pipeline
+
+    return rollup_pipeline(_docs_sequences("/root/testdata/sf0.001"))
+
+
+def _rollup_tier(sf_dir: str, tier: int):
+    from anomalydetection_ray.pipelines.rollup import rollup_pipeline
+
+    return rollup_pipeline(_docs_sequences(sf_dir)).filter(expr=f"tier == {tier}")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from anomalydetection_ray.pipelines import queries as q
+    from anomalydetection_ray.pipelines.rollup import rollup_pipeline, topk_anomalies
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # flagship rollup over tokenized documents (anomaly_score/median not
+        # SQL-expressible over the derived token table -> rows-only)
+        "rollup_tier1_docs": lambda sf: _rollup_tier(sf, 1),
+        "rollup_tier2_docs": lambda sf: _rollup_tier(sf, 2),
+        "topk_anomalies_docs": lambda sf: topk_anomalies(
+            rollup_pipeline(_docs_sequences(sf)), k=20
+        ),
+        # SQL-checked operators on driver tables
+        "rollup_events_tier1": q.rollup_events_tier1,
+        "s3_token_counts": q.s3_token_counts,
+        "g2_source_stats": q.g2_source_stats,
+        "pricing_summary": q.pricing_summary,
+        "q2_topk_events": q.q2_topk_events,
+        "q1_sort_lineitem": q.q1_sort_lineitem,
+        "m2_filter_lineitem": q.m2_filter_lineitem,
+        "d1_dedup_events": q.d1_dedup_events,
+        "j1_broadcast_join": q.j1_broadcast_join,
+        "g3_quantiles_nchars": q.g3_quantiles_nchars,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB equivalents (views pre-registered by the driver).  Keys absent
+    here (rollup_*_docs, topk_anomalies_docs) are non-SQL-expressible —
+    robust median/MAD anomaly scores over a derived token table — and get
+    the driver's rows-only check; their semantics are instead covered by
+    (a) the bit-for-bit oracle gate in tests/ and (b) rollup_events_tier1,
+    which expresses the identical bucket math in SQL over events."""
+    return {
+        "rollup_events_tier1": f"""
+            WITH s AS (
+                SELECT user_id,
+                       CAST(FLOOR(value) AS INTEGER) AS v,
+                       (ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) - 1) // 100 AS bucket
+                FROM events
+            )
+            SELECT user_id, bucket,
+                   min(v) AS "min", max(v) AS "max",
+                   CAST(sum(CAST(v AS BIGINT)) AS DOUBLE) / count(*) AS "mean",
+                   count(*) AS "count",
+                   CASE WHEN mad(v) = 0 THEN 0.0
+                        ELSE greatest(CAST(max(v) AS DOUBLE) - median(v),
+                                      median(v) - CAST(min(v) AS DOUBLE))
+                             / (1.4826 * mad(v)) END AS anomaly_score
+            FROM s GROUP BY user_id, bucket
+        """,
+        "s3_token_counts": """
+            SELECT source, count(*) AS parts,
+                   CAST(sum(greatest(octet_length(encode(text)) - 3, 0)) AS BIGINT) AS sum_tok
+            FROM documents GROUP BY source
+        """,
+        "g2_source_stats": """
+            SELECT source, count(*) AS docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   min(n_chars) AS min_chars, max(n_chars) AS max_chars
+            FROM documents GROUP BY source
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   count(*) AS count_order,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "q2_topk_events": """
+            SELECT event_id, user_id, event_type, value
+            FROM events ORDER BY value DESC, event_id LIMIT 50
+        """,
+        "q1_sort_lineitem": """
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1000
+        """,
+        "m2_filter_lineitem": """
+            SELECT l_orderkey, l_partkey, l_quantity
+            FROM lineitem WHERE l_quantity > 30 AND l_discount < 0.05
+        """,
+        "d1_dedup_events": """
+            SELECT event_id, user_id, event_type, value FROM (
+                SELECT event_id, user_id, event_type, value,
+                       row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+                FROM events
+            ) t WHERE rn = 1
+        """,
+        "j1_broadcast_join": """
+            SELECT c_custkey, c_name, n_name, r_name
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+        """,
+        "g3_quantiles_nchars": """
+            SELECT source,
+                   quantile_cont(n_chars, 0.5) AS p50,
+                   quantile_cont(n_chars, 0.9) AS p90,
+                   quantile_cont(n_chars, 0.99) AS p99
+            FROM documents GROUP BY source
+        """,
+    }

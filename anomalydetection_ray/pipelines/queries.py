@@ -1,0 +1,255 @@
+"""Driver-table query library (SURVEY.md §2.2 M2/G2/G3/Q1/Q2/D1/J1 + the
+events-as-series rollup parity check).
+
+Each function takes ``sf_dir`` and returns a Dataset / Arrow table.  These
+exist for two reasons: (1) they are real engine operators (filters,
+grouped aggregates, top-k, dedup, broadcast join, sort, quantiles)
+exercised on driver-owned data so the driver's DuckDB oracle can check
+them value-for-value; (2) ``rollup_events_tier1`` re-expresses the M1
+bucket math (min/max/mean/count + robust anomaly score) over the
+``events`` table, where the whole computation IS SQL-expressible — the
+strongest external check the rollup semantics get.
+
+Float-parity discipline: SQL-checked aggregates avoid distributed float
+summation (addition-order-dependent); sums are over exact integers, means
+are a single IEEE division of exact integers, medians/MAD match DuckDB's
+interpolation semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from anomalydetection_ray.constants import MAD_SCALE
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------- G2 ----
+def g2_source_stats(sf_dir: str):
+    """Grouped corpus stats over documents: per source, doc count and exact
+    char-sum, plus min/max n_chars.  (G2 — SURVEY.md §2.2)"""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+    out = ds.groupby("source").aggregate(
+        Count(alias_name="docs"),
+        Sum("n_chars", alias_name="sum_chars"),
+        Min("n_chars", alias_name="min_chars"),
+        Max("n_chars", alias_name="max_chars"),
+    )
+    return out
+
+
+def pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate on lineitem (quantity is integral
+    in TPC-H, so the sum is exact; avg = one division of exact ints)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        qty = pc.cast(batch.column("l_quantity"), pa.int64())
+        t = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty": qty,
+            }
+        )
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("qty", "count")]
+        )
+
+    # map-side partial aggregation, then a tiny distributed final groupby
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty_sum", alias_name="sum_qty"),
+        Sum("qty_count", alias_name="count_order"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        avg = pc.divide(
+            pc.cast(batch.column("sum_qty"), pa.float64()),
+            pc.cast(batch.column("count_order"), pa.float64()),
+        )
+        return batch.append_column("avg_qty", avg)
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- Q2 ----
+def q2_topk_events(sf_dir: str, k: int = 50):
+    """Top-k events by value (deterministic tiebreak on event_id)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+    return ds.sort(["value", "event_id"], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------- Q1 ----
+def q1_sort_lineitem(sf_dir: str, k: int = 1000):
+    """Global sort (range-partition shuffle) with a deterministic full key."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    return ds.sort(["l_orderkey", "l_linenumber"]).limit(k)
+
+
+# ---------------------------------------------------------------- M2 ----
+def m2_filter_lineitem(sf_dir: str):
+    """Predicate + projection pushdown."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity", "l_discount"])
+    return ds.filter(expr="l_quantity > 30 and l_discount < 0.05").select_columns(
+        ["l_orderkey", "l_partkey", "l_quantity"]
+    )
+
+
+# ---------------------------------------------------------------- D1 ----
+def d1_dedup_events(sf_dir: str):
+    """Exact dedup: one row per user_id, deterministic tiebreak = min
+    event_id (hash-partition groupby + per-group first; D1)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+
+    def first_row(group: pa.Table) -> pa.Table:
+        idx = pa.compute.sort_indices(group.column("event_id"))
+        return group.take(idx[:1])
+
+    return ds.groupby("user_id").map_groups(first_row, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- J1 ----
+def j1_broadcast_join(sf_dir: str):
+    """customer -> nation -> region via broadcast-hash lookup: the small
+    sides are plain dicts captured in the map_batches closure (shipped once
+    per task via the object store), never a shuffle join (J1)."""
+    import pyarrow.compute as pc
+
+    nation = _read(sf_dir, "nation").take_all()
+    region = _read(sf_dir, "region").take_all()
+    n_name = {r["n_nationkey"]: r["n_name"] for r in nation}
+    n_region = {r["n_nationkey"]: r["n_regionkey"] for r in nation}
+    r_name = {r["r_regionkey"]: r["r_name"] for r in region}
+
+    nk = sorted(n_name)
+    nk_arr = np.array(nk, dtype=np.int64)
+    nname_arr = np.array([n_name[k] for k in nk], dtype=object)
+    rname_arr = np.array([r_name[n_region[k]] for k in nk], dtype=object)
+
+    def join(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch.column("c_nationkey"), dtype=np.int64)
+        pos = np.searchsorted(nk_arr, keys)
+        return pa.table(
+            {
+                "c_custkey": batch.column("c_custkey"),
+                "c_name": batch.column("c_name"),
+                "n_name": pa.array(nname_arr[pos], type=pa.string()),
+                "r_name": pa.array(rname_arr[pos], type=pa.string()),
+            }
+        )
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    return ds.map_batches(join, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------- G3 ----
+def g3_quantiles_nchars(sf_dir: str):
+    """Per-source n_chars quantiles (linear interpolation == DuckDB
+    quantile_cont)."""
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def _qcont(x: np.ndarray, p: float) -> float:
+        # DuckDB quantile_cont interpolation: (1-t)*lo + t*hi (NOT numpy's
+        # monotonic lerp, which switches formula at t=0.5 -> last-bit diffs)
+        idx = p * (x.shape[0] - 1)
+        lo = int(np.floor(idx))
+        t = idx - lo
+        if lo + 1 >= x.shape[0]:
+            return float(x[-1])
+        return float((1 - t) * x[lo] + t * x[lo + 1])
+
+    def qtiles(group: pa.Table) -> pa.Table:
+        x = np.sort(np.asarray(group.column("n_chars"), dtype=np.float64))
+        qs = [_qcont(x, p) for p in (0.5, 0.9, 0.99)]
+        return pa.table(
+            {
+                "source": [group.column("source")[0].as_py()],
+                "p50": pa.array([qs[0]], type=pa.float64()),
+                "p90": pa.array([qs[1]], type=pa.float64()),
+                "p99": pa.array([qs[2]], type=pa.float64()),
+            }
+        )
+
+    return ds.groupby("source").map_groups(qtiles, batch_format="pyarrow")
+
+
+# ------------------------------------------------- events-as-series ----
+EVENTS_BUCKET = 100
+
+
+def rollup_events_tier1(sf_dir: str):
+    """M1 bucket math over the events table: each user_id is a series
+    (position = event rank by event_id, value = floor(value) as int32),
+    tumbling buckets of EVENTS_BUCKET positions, per bucket min / max /
+    exact mean / count / robust anomaly score.  Fully SQL-expressible ->
+    the strongest external oracle of the rollup semantics."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        order = pa.compute.sort_indices(group.column("event_id"))
+        g = group.take(order)
+        v = np.floor(np.asarray(g.column("value"), dtype=np.float64)).astype(np.int32)
+        uid = g.column("user_id")[0].as_py()
+        w = EVENTS_BUCKET
+        nb = -(-len(v) // w)
+        rows = {k: [] for k in ("user_id", "bucket", "min", "max", "mean", "count", "anomaly_score")}
+        for b in range(nb):
+            sl = v[b * w : (b + 1) * w].astype(np.int64)
+            cnt = sl.size
+            med = np.median(sl.astype(np.float64))
+            dev = np.abs(sl.astype(np.float64) - med)
+            mad = np.median(dev)
+            score = 0.0 if mad == 0.0 else float(dev.max() / (MAD_SCALE * mad))
+            rows["user_id"].append(uid)
+            rows["bucket"].append(b)
+            rows["min"].append(int(sl.min()))
+            rows["max"].append(int(sl.max()))
+            rows["mean"].append(int(sl.sum()) / cnt)
+            rows["count"].append(cnt)
+            rows["anomaly_score"].append(score)
+        return pa.table(
+            {
+                "user_id": pa.array(rows["user_id"], type=pa.int64()),
+                "bucket": pa.array(rows["bucket"], type=pa.int64()),
+                "min": pa.array(rows["min"], type=pa.int32()),
+                "max": pa.array(rows["max"], type=pa.int32()),
+                "mean": pa.array(rows["mean"], type=pa.float64()),
+                "count": pa.array(rows["count"], type=pa.int64()),
+                "anomaly_score": pa.array(rows["anomaly_score"], type=pa.float64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- S3 ----
+def s3_token_counts(sf_dir: str):
+    """Tokenizer + validator plumbing check: per source, part-row count and
+    exact total token count after tokenize->validate."""
+    from ray.data.aggregate import Count, Sum
+
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.sources.tokenize import tokenize_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    seqs = docs.map_batches(tokenize_batch, batch_format="pyarrow", zero_copy_batch=True)
+    v = validated(seqs)
+    return v.groupby("source").aggregate(
+        Count(alias_name="parts"),
+        Sum("n_tok", alias_name="sum_tok"),
+    )

@@ -1,0 +1,239 @@
+"""M1 — the vectorized bucket-rollup kernel (SURVEY.md §2.2 M1, §2.1 A1/A4/A5).
+
+One stateless ``map_batches(rollup_batch, batch_format="pyarrow",
+zero_copy_batch=True)`` stage turns validated ``sequences`` parts into
+tier1 + tier2 rollup rows.  It is the flagship hot path: everything is
+NumPy-vectorized over the batch's flat token buffer —
+
+- bucket boundaries via repeat/arange index algebra, min/max/sum via
+  ``np.{minimum,maximum,add}.reduceat`` (the bucket starts tile the flat
+  buffer exactly, so one reduceat covers every bucket of every row);
+- per-bucket median/MAD/max-deviation for the anomaly score via a chunked
+  (bounded-memory) 2-D gather over the full buckets + a short loop over the
+  at-most-one partial tail bucket per row;
+- tier2 as the G1 merge of tier1 computed with reduceat over the tier1
+  arrays plus a 10-step masked Kahan accumulation (same arithmetic order as
+  the oracle's scalar loop -> bit-identical means).
+
+Bit-for-bit parity with ``anomalydetection_ray.oracle`` is a test gate
+(tests/test_rollup_engine.py): every float here is produced by the same
+IEEE operations in the same order as the oracle's per-bucket loops.
+
+The only non-vector path is the ``drop`` gap policy on batches that
+actually contain null positions — those rows fall back to the oracle loop
+(rare by construction; locf/linear fill densely and stay vectorized).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from anomalydetection_ray import oracle
+from anomalydetection_ray.constants import (
+    MAD_SCALE,
+    MAX_TOKENS_PER_PART,
+    TIER1_BUCKET,
+    TIER2_BUCKET,
+)
+from anomalydetection_ray.functions.stats import gap_fill, robust_score
+
+# buckets per median-gather chunk: 8192 buckets x 1000 positions x 8 B ~ 64 MiB
+MEDIAN_CHUNK = 8192
+
+_R = TIER2_BUCKET // TIER1_BUCKET
+_PARTS1 = MAX_TOKENS_PER_PART // TIER1_BUCKET
+_PARTS2 = MAX_TOKENS_PER_PART // TIER2_BUCKET
+
+
+def _flat_tokens(batch: pa.Table) -> tuple[np.ndarray, np.ndarray | None, np.ndarray]:
+    """(flat int32 values, validity or None, rebased int64 offsets) — the
+    child buffer is zero-copy when null-free."""
+    tokens = batch.column("tokens")
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    offsets = np.asarray(tokens.offsets, dtype=np.int64)
+    base = offsets[0]
+    child = tokens.values.slice(base, offsets[-1] - base)
+    offsets = offsets - base
+    if child.null_count:
+        valid = np.asarray(child.is_valid())
+        vals = np.asarray(child.fill_null(0), dtype=np.int32)
+    else:
+        valid = None
+        vals = child.to_numpy(zero_copy_only=True)
+    return vals, valid, offsets
+
+
+def _locf_flat(vals: np.ndarray, valid: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Vectorized per-row LOCF over the whole flat buffer: identical result
+    to ``stats.gap_fill(..., "locf")`` applied row by row."""
+    n = vals.shape[0]
+    idx = np.arange(n, dtype=np.int64)
+    last_valid = np.maximum.accumulate(np.where(valid, idx, -1))
+    lens = np.diff(offsets)
+    row_start = np.repeat(offsets[:-1], lens)
+    out = np.where(last_valid >= row_start, vals[np.maximum(last_valid, 0)], 0)
+    return out.astype(np.int32, copy=False)
+
+
+def _scores_dense(
+    vals: np.ndarray, starts: np.ndarray, ends: np.ndarray, counts: np.ndarray
+) -> np.ndarray:
+    total = starts.shape[0]
+    scores = np.empty(total, dtype=np.float64)
+    full = counts == TIER1_BUCKET
+    fidx = np.flatnonzero(full)
+    col = np.arange(TIER1_BUCKET, dtype=np.int64)
+    for lo in range(0, fidx.shape[0], MEDIAN_CHUNK):
+        ch = fidx[lo : lo + MEDIAN_CHUNK]
+        g = vals[starts[ch][:, None] + col].astype(np.float64)
+        med = np.median(g, axis=1)
+        dev = np.abs(g - med[:, None])
+        mad = np.median(dev, axis=1)
+        mx = dev.max(axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            scores[ch] = np.where(mad == 0.0, 0.0, mx / (MAD_SCALE * mad))
+    for j in np.flatnonzero(~full):
+        scores[j] = robust_score(vals[starts[j] : ends[j]].astype(np.float64))
+    return scores
+
+
+def _empty_tiers() -> pa.Table:
+    return oracle.TIER_SCHEMA.empty_table()
+
+
+def rollup_batch(batch: pa.Table, policy: str = "locf") -> pa.Table:
+    """Validated parts -> tier1 + tier2 rollup rows (one Arrow table, both
+    tiers distinguished by the ``tier`` column)."""
+    if batch.num_rows == 0:
+        return _empty_tiers()
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None and policy == "drop":
+        return _rollup_fallback(batch, policy)
+    if valid is not None:
+        if policy == "locf":
+            vals = _locf_flat(vals, valid, offsets)
+        else:  # linear: per-affected-row fill (rare), then dense path
+            vals = vals.copy()
+            lens = np.diff(offsets)
+            bad_per_row = np.add.reduceat(~valid, offsets[:-1][lens > 0])
+            rows_nonempty = np.flatnonzero(lens > 0)
+            for r, nbad in zip(rows_nonempty, bad_per_row):
+                if nbad:
+                    s, e = offsets[r], offsets[r + 1]
+                    vals[s:e], _ = gap_fill(vals[s:e], valid[s:e], policy)
+        valid = None
+
+    lens = np.diff(offsets)
+    nrows = lens.shape[0]
+    part_ids = np.asarray(batch.column("part_id"), dtype=np.int64)
+
+    # ---- tier1 ----
+    nb1 = -(-lens // TIER1_BUCKET)
+    total1 = int(nb1.sum())
+    if total1 == 0:
+        return _empty_tiers()
+    rows1 = np.repeat(np.arange(nrows, dtype=np.int64), nb1)
+    first1 = np.cumsum(nb1) - nb1
+    local1 = np.arange(total1, dtype=np.int64) - first1[rows1]
+    starts = offsets[rows1] + local1 * TIER1_BUCKET
+    ends = np.minimum(starts + TIER1_BUCKET, offsets[rows1] + lens[rows1])
+    counts = ends - starts
+    bucket1 = part_ids[rows1] * _PARTS1 + local1
+
+    mins = np.minimum.reduceat(vals, starts)
+    maxs = np.maximum.reduceat(vals, starts)
+    sums = np.add.reduceat(vals.astype(np.int64), starts)
+    means = sums / counts
+    scores = _scores_dense(vals, starts, ends, counts)
+
+    # ---- tier2 = G1 merge of tier1 (bit-stable Kahan, child order) ----
+    nb2 = -(-lens // TIER2_BUCKET)
+    total2 = int(nb2.sum())
+    rows2 = np.repeat(np.arange(nrows, dtype=np.int64), nb2)
+    first2 = np.cumsum(nb2) - nb2
+    local2 = np.arange(total2, dtype=np.int64) - first2[rows2]
+    cstart = first1[rows2] + local2 * _R
+    cend = first1[rows2] + np.minimum((local2 + 1) * _R, nb1[rows2])
+    bucket2 = part_ids[rows2] * _PARTS2 + local2
+
+    min2 = np.minimum.reduceat(mins, cstart)
+    max2 = np.maximum.reduceat(maxs, cstart)
+    count2 = np.add.reduceat(counts, cstart)
+    score2 = np.maximum.reduceat(scores, cstart)
+
+    x_all = means * counts  # exact: counts <= 1000 exactly representable
+    s_acc = np.zeros(total2)
+    c_acc = np.zeros(total2)
+    last = x_all.shape[0] - 1
+    for k in range(_R):
+        idx = cstart + k
+        m = idx <= (cend - 1)
+        xi = np.where(m, x_all[np.minimum(idx, last)], 0.0)
+        y = xi - c_acc
+        t = s_acc + y
+        c_new = (t - s_acc) - y
+        s_acc = np.where(m, t, s_acc)
+        c_acc = np.where(m, c_new, c_acc)
+    mean2 = s_acc / count2
+
+    doc_col = batch.column("doc_id")
+    src_col = batch.column("source")
+    if isinstance(doc_col, pa.ChunkedArray):
+        doc_col = doc_col.combine_chunks()
+    if isinstance(src_col, pa.ChunkedArray):
+        src_col = src_col.combine_chunks()
+
+    def tier_table(rows, tier, bucket, mn, mx, mean, cnt, score):
+        nb = bucket.shape[0]
+        take = pa.array(rows, type=pa.int64())
+        return pa.table(
+            {
+                "doc_id": doc_col.take(take),
+                "source": src_col.take(take),
+                "tier": pa.array(np.full(nb, tier, dtype=np.int8)),
+                "bucket": pa.array(bucket, type=pa.int64()),
+                "min": pa.array(mn.astype(np.int32), type=pa.int32()),
+                "max": pa.array(mx.astype(np.int32), type=pa.int32()),
+                "mean": pa.array(mean, type=pa.float64()),
+                "count": pa.array(cnt.astype(np.int64), type=pa.int64()),
+                "anomaly_score": pa.array(score, type=pa.float64()),
+                "filled": pa.array(np.zeros(nb, dtype=bool)),
+            }
+        )
+
+    t1 = tier_table(rows1, 1, bucket1, mins, maxs, means, counts, scores)
+    t2 = tier_table(rows2, 2, bucket2, min2, max2, mean2, count2, score2)
+    return pa.concat_tables([t1, t2])
+
+
+def _rollup_fallback(batch: pa.Table, policy: str) -> pa.Table:
+    """Oracle-loop path for drop-policy batches containing nulls."""
+    cols: dict[str, list] = {n: [] for n in oracle.TIER_SCHEMA.names}
+    doc_ids = batch.column("doc_id").to_pylist()
+    sources = batch.column("source").to_pylist()
+    part_ids = batch.column("part_id").to_pylist()
+    toks = batch.column("tokens")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    for i in range(batch.num_rows):
+        arr = toks[i].values
+        if arr.null_count:
+            valid = np.asarray(arr.is_valid())
+            vals = np.asarray(arr.fill_null(0), dtype=np.int32)
+        else:
+            valid = None
+            vals = np.asarray(arr, dtype=np.int32)
+        t1 = oracle.rollup_part(vals, valid, policy, part_ids[i])
+        t2 = oracle.tier2_from_tier1(t1)
+        for t, tier in ((t1, 1), (t2, 2)):
+            nb = len(t["bucket"])
+            cols["doc_id"].extend([doc_ids[i]] * nb)
+            cols["source"].extend([sources[i]] * nb)
+            cols["tier"].extend([tier] * nb)
+            for k in ("bucket", "min", "max", "mean", "count", "anomaly_score", "filled"):
+                cols[k].extend(t[k])
+    return pa.table(
+        {n: pa.array(cols[n], type=oracle.TIER_SCHEMA.field(n).type) for n in oracle.TIER_SCHEMA.names}
+    )

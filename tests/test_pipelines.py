@@ -1,0 +1,77 @@
+"""End-to-end P1 through Ray Data (read_parquet -> validate -> rollup) vs
+the oracle, plus the driver entry() smoke and source determinism."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from anomalydetection_ray.oracle import TIER_SCHEMA, rollup_table
+from anomalydetection_ray.sources.fixtures import fixture_table
+from tests.test_rollup_engine import assert_tiers_bitequal
+
+
+@pytest.fixture(scope="module")
+def fixture_parquet(tmp_path_factory):
+    # small giant rows (150k > a shrunken part would be nice, but MAX is a
+    # constant — use 1.5M to exercise splitting while keeping IO modest)
+    tbl = fixture_table(include_giant=True, giant_len=1_500_000)
+    d = tmp_path_factory.mktemp("seqs")
+    # several files so ray reads multiple fragments
+    n = tbl.num_rows
+    for i, lo in enumerate(range(0, n, 32)):
+        pq.write_table(tbl.slice(lo, 32), d / f"part-{i:03d}.parquet")
+    return str(d), tbl
+
+
+def test_p1_ray_matches_oracle(ray_session, fixture_parquet):
+    path, tbl = fixture_parquet
+    from anomalydetection_ray.pipelines.rollup import read_sequences, rollup_pipeline
+
+    tiers = rollup_pipeline(read_sequences(path))
+    engine = pa.concat_tables(_collect(tiers))
+    t1, t2 = rollup_table(tbl)
+    assert_tiers_bitequal(engine, pa.concat_tables([t1, t2]))
+
+
+def _collect(ds):
+    import ray
+
+    return [ray.get(ref) for ref in ds.to_arrow_refs()]
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    ds = e.entry()
+    rows = ds.take_all()
+    assert len(rows) > 0
+    assert set(rows[0].keys()) == set(TIER_SCHEMA.names)
+
+
+def test_write_tiers_partitioned(ray_session, fixture_parquet, tmp_path):
+    path, _ = fixture_parquet
+    from anomalydetection_ray.pipelines.rollup import read_sequences, rollup_pipeline, write_tiers
+
+    write_tiers(rollup_pipeline(read_sequences(path)), str(tmp_path / "tiers"))
+    import os
+
+    subdirs = sorted(os.listdir(tmp_path / "tiers"))
+    assert subdirs == ["tier=1", "tier=2"]
+    back = pq.read_table(str(tmp_path / "tiers"))
+    assert back.num_rows > 0
+
+
+def test_tokenizer_known_values(ray_session):
+    from anomalydetection_ray.sources.tokenize import tokenize_batch
+
+    batch = pa.table({"doc_id": ["a", "b", "c"], "text": ["hello world", "abc", ""],
+                      "source": ["s", "s", "s"]})
+    out = tokenize_batch(batch)
+    lens = [len(t) for t in out.column("tokens").to_pylist()]
+    assert lens == [8, 0, 0]  # 11-3, <4 bytes -> 0
+    # deterministic
+    out2 = tokenize_batch(batch)
+    assert out.equals(out2)
+    toks = np.array(out.column("tokens")[0].values)
+    assert (toks >= 0).all() and (toks < 50257).all()
