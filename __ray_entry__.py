@@ -65,6 +65,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_anomalies_docs": lambda sf: topk_anomalies(
             rollup_pipeline(_docs_sequences(sf)), k=20
         ),
+        # tier0 retention codecs (rows-only: not SQL-expressible)
+        "tier0_encode": q.tier0_encode_summary,
+        "roundtrip_verify": q.roundtrip_verify,
         # SQL-checked operators on driver tables
         "rollup_events_tier1": q.rollup_events_tier1,
         "s3_token_counts": q.s3_token_counts,

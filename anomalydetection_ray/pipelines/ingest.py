@@ -1,0 +1,87 @@
+"""P2 — ingest/encode to the tier0 retention tier, resumable (SURVEY.md §3).
+
+read -> S3 validate/split -> assign hash partition (crc32(doc_id) %
+num_parts — the ONE partitioning key, reused by dedup and rollup-merge) ->
+J2 resume filter (drop rows of already-committed partitions BEFORE the
+shuffle) -> explicit groupby("pid") shuffle -> EncodePartition actor pool
+(partition-local Gorilla/DoD state) -> atomic per-partition tier0 parquet
++ manifest commit.
+
+Kill/resume contract: a partition either has its manifest row (data file
+complete — manifest is written after the atomic data rename) or it is
+fully absent; re-running with the same input + num_parts recomputes only
+absent partitions and the final output is byte-identical to a single
+uninterrupted run (property-tested in tests/test_ingest_resume.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import pyarrow as pa
+
+from anomalydetection_ray.pipelines.rollup import validated
+from anomalydetection_ray.stages.encode import EncodePartition, assign_partition, decode_batch
+from anomalydetection_ray.state.manifest import finished_part_ids, manifest_table
+
+
+def ingest_pipeline(
+    ds,
+    out_dir: str,
+    num_parts: int = 64,
+    resume: bool = True,
+    encoder_concurrency: int | tuple[int, int] | None = None,
+):
+    """Returns the per-partition summary Dataset (consume it to execute).
+
+    ``num_parts`` is the partitioning contract — a resumed run MUST reuse
+    the value (it is implicitly recorded by the manifest file names)."""
+    v = validated(ds)
+    part = v.map_batches(
+        functools.partial(assign_partition, num_parts=num_parts),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    if resume:
+        done = finished_part_ids(out_dir)
+        if done:
+            done_list = sorted(done)
+            part = part.filter(expr=f"pid not in {done_list}")
+    import ray.data
+
+    if encoder_concurrency is None:
+        encoder_concurrency = (1, 8)
+    if isinstance(encoder_concurrency, int):
+        compute = ray.data.ActorPoolStrategy(size=encoder_concurrency)
+    else:
+        compute = ray.data.ActorPoolStrategy(
+            min_size=encoder_concurrency[0], max_size=encoder_concurrency[1]
+        )
+    grouped = part.groupby("pid")
+    return grouped.map_groups(
+        EncodePartition,
+        fn_constructor_kwargs={"out_dir": out_dir},
+        compute=compute,
+        batch_format="pyarrow",
+    )
+
+
+def read_tier0(out_dir: str):
+    """Read the committed tier0 partitions back as a Dataset."""
+    import ray.data
+
+    return ray.data.read_parquet(f"{out_dir}/tier0")
+
+
+def verify_tier0(out_dir: str):
+    """P3 scale-path verification: decode every committed part and check
+    its checksum (stateless E3 stage).  Returns Dataset of per-row
+    verdicts; aggregate checksum_ok for the gate."""
+    return read_tier0(out_dir).map_batches(
+        decode_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def ingest_manifest(out_dir: str) -> pa.Table:
+    """The lineage/checkpoint table (one row per committed partition)."""
+    return manifest_table(out_dir)

@@ -237,6 +237,41 @@ def rollup_events_tier1(sf_dir: str):
     return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
 
 
+# ------------------------------------------------------------- tier0 ----
+def tier0_encode_summary(sf_dir: str):
+    """P2 encode of the tokenized documents corpus into a fresh tier0 dir
+    (rows-only check: codecs are not SQL-expressible).  Deterministic
+    output: per-partition row/token/byte counts + encoder state hash."""
+    import tempfile
+
+    from anomalydetection_ray.pipelines.ingest import ingest_pipeline
+    from anomalydetection_ray.pipelines.rollup import validated as _validated
+    from anomalydetection_ray.sources.tokenize import tokenize_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    seqs = docs.map_batches(tokenize_batch, batch_format="pyarrow", zero_copy_batch=True)
+    out = tempfile.mkdtemp(prefix="tier0_q_")
+    summary = ingest_pipeline(seqs, out, num_parts=16, resume=False)
+    return summary.select_columns(
+        ["part_id", "rows_emitted", "tokens_processed", "encoded_bytes", "encoder_state_hash"]
+    )
+
+
+def roundtrip_verify(sf_dir: str):
+    """P3: encode then decode the corpus; per part-row checksum verdict
+    (rows-only; the bit-level gate lives in pytest vs the oracle)."""
+    import tempfile
+
+    from anomalydetection_ray.pipelines.ingest import ingest_pipeline, verify_tier0
+    from anomalydetection_ray.sources.tokenize import tokenize_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    seqs = docs.map_batches(tokenize_batch, batch_format="pyarrow", zero_copy_batch=True)
+    out = tempfile.mkdtemp(prefix="tier0_rt_")
+    ingest_pipeline(seqs, out, num_parts=16, resume=False).materialize()
+    return verify_tier0(out).select_columns(["doc_id", "part_id", "n_tok", "checksum_ok"])
+
+
 # ---------------------------------------------------------------- S3 ----
 def s3_token_counts(sf_dir: str):
     """Tokenizer + validator plumbing check: per source, part-row count and

@@ -24,14 +24,90 @@ from anomalydetection_ray.stages.rollup import rollup_batch
 
 SEQUENCE_COLUMNS = ["doc_id", "tokens", "n_tok", "source"]
 
+# target bytes of compressed row groups per read task (block ~2-4x this
+# in memory; sized so batch x concurrency fits worker heaps)
+_READ_TARGET_BYTES = 32 * 1024 * 1024
 
-def read_sequences(path: str, override_num_blocks: int | None = None):
-    """S1: parquet source with explicit column pruning (SURVEY.md §2.2 S1)."""
+
+def read_sequences(path: str, override_num_blocks: int | None = None,
+                   columns: list[str] | None = None, fast: bool = True):
+    """S1: parquet source with explicit column pruning (SURVEY.md §2.2 S1).
+
+    ``fast=True`` uses a row-group-granular direct reader: the driver scans
+    only footers (metadata), packs row-group ranges into ~32 MB read units,
+    and each task decodes its ranges with pyarrow C++ (`pq.read_table`).
+    Measured on this box, Ray 2.49's generic `read_parquet` scan burned
+    ~20x the CPU of a direct footer-planned read on list<int32> payloads;
+    at 100 TB the same plan (central metadata scan -> distributed range
+    reads) is how the read should be laid out anyway.  ``fast=False``
+    falls back to `ray.data.read_parquet`.
+    """
+    import glob as _glob
+    import os
+
     import ray.data
 
-    return ray.data.read_parquet(
-        path, columns=SEQUENCE_COLUMNS, override_num_blocks=override_num_blocks
-    )
+    cols = columns or SEQUENCE_COLUMNS
+    if not fast:
+        return ray.data.read_parquet(path, columns=cols,
+                                     override_num_blocks=override_num_blocks)
+
+    if os.path.isdir(path):
+        files = sorted(
+            f for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+    else:
+        files = [path]
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+
+    import pyarrow.parquet as pq
+
+    units: list[dict] = []  # {path, rg_start, rg_end}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        nrg = md.num_row_groups
+        cur_start, cur_bytes = 0, 0
+        for rg in range(nrg):
+            cur_bytes += md.row_group(rg).total_byte_size
+            if cur_bytes >= _READ_TARGET_BYTES:
+                units.append({"path": f, "rg_start": cur_start, "rg_end": rg + 1})
+                cur_start, cur_bytes = rg + 1, 0
+        if cur_start < nrg:
+            units.append({"path": f, "rg_start": cur_start, "rg_end": nrg})
+
+    if override_num_blocks is not None and override_num_blocks < len(units):
+        # pack several row-group units into each read task
+        per = -(-len(units) // override_num_blocks)
+        units = [
+            {
+                "path": [u["path"] for u in units[i : i + per]],
+                "rg_start": [u["rg_start"] for u in units[i : i + per]],
+                "rg_end": [u["rg_end"] for u in units[i : i + per]],
+            }
+            for i in range(0, len(units), per)
+        ]
+    else:
+        units = [
+            {"path": [u["path"]], "rg_start": [u["rg_start"]], "rg_end": [u["rg_end"]]}
+            for u in units
+        ]
+
+    def read_unit_rows(batch) -> "pa.Table":
+        import pyarrow as pa
+
+        tbls = []
+        for paths, rga, rgb in zip(batch["path"], batch["rg_start"], batch["rg_end"]):
+            for p, a, b in zip(paths, rga, rgb):
+                pf = pq.ParquetFile(p)
+                tbls.append(pf.read_row_groups(list(range(a, b)), columns=cols))
+        return pa.concat_tables(tbls)
+
+    # one block per read unit and batch_size=None everywhere downstream, so
+    # the streaming executor fuses read -> validate -> rollup into a single
+    # task: token blocks never round-trip through the object store.
+    ds = ray.data.from_items(units, override_num_blocks=len(units))
+    return ds.map_batches(read_unit_rows, batch_size=None, batch_format="pandas")
 
 
 def validated(ds):

@@ -85,13 +85,21 @@ def _scores_dense(
     full = counts == TIER1_BUCKET
     fidx = np.flatnonzero(full)
     col = np.arange(TIER1_BUCKET, dtype=np.int64)
+    h = TIER1_BUCKET // 2
     for lo in range(0, fidx.shape[0], MEDIAN_CHUNK):
         ch = fidx[lo : lo + MEDIAN_CHUNK]
-        g = vals[starts[ch][:, None] + col].astype(np.float64)
-        med = np.median(g, axis=1)
-        dev = np.abs(g - med[:, None])
-        mad = np.median(dev, axis=1)
-        mx = dev.max(axis=1)
+        g = vals[starts[ch][:, None] + col]  # int32, half the float64 traffic
+        # Integer-domain robust score, bit-identical to the oracle's float64
+        # path: every intermediate is an integer or integer/2, exact in f64.
+        #   med = (a+b)/2 with a,b the two middle order statistics
+        #   dev_i = |x_i - med|        =>  2*dev_i = |2*x_i - (a+b)|  (int64)
+        #   mad   = median(dev)        =>  2*mad   = median(2*dev)
+        #   score = max(dev)/(1.4826*mad)  computed from the halved values.
+        p = np.partition(g, (h - 1, h), axis=1)
+        med2 = p[:, h - 1].astype(np.int64) + p[:, h]  # = 2*median, exact
+        d2 = np.abs(2 * g.astype(np.int64) - med2[:, None])
+        mad = np.median(d2, axis=1) * 0.5  # exact: /2 is a power of two
+        mx = d2.max(axis=1) * 0.5
         with np.errstate(divide="ignore", invalid="ignore"):
             scores[ch] = np.where(mad == 0.0, 0.0, mx / (MAD_SCALE * mad))
     for j in np.flatnonzero(~full):

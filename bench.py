@@ -1,0 +1,258 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + BASELINE.md protocol).
+
+Runs the headline pipelines and prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, ...extras}
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32).
+
+--scaling: runs the headline rollup twice in FRESH processes
+(num_cpus=8 then 32) on the same cached input and reports both
+throughputs + scaling efficiency (the sandbox stand-in for the north
+rule's N vs 4N node criterion — no real cluster here), then records the
+table in BENCH/BASELINE.md.
+
+`ray job submit`-compatible: plain script, owns its Ray session, no
+interactive state.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SYNTH_SEED = 42
+SYNTH_MEAN_LEN = 3000  # recipe knob; empirical mean ~5.6k (Zipf tail)
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def synth_path(target_tokens: int) -> str:
+    return f"/tmp/anomray_synth_s{SYNTH_SEED}_t{target_tokens}"
+
+
+def ensure_synth(target_tokens: int) -> tuple[str, int, int]:
+    """Deterministically generate (once, cached) ~target_tokens of synthetic
+    sequences parquet.  Returns (path, n_docs, n_tokens)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from anomalydetection_ray.sources.synth import synth_batch
+
+    path = synth_path(target_tokens)
+    meta = os.path.join(path, "_META.json")
+    if os.path.exists(meta):
+        with open(meta) as f:
+            m = json.load(f)
+        return path, m["n_docs"], m["n_tokens"]
+    tmp = path + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    total = 0
+    i = 0
+    k = 0
+    # ~800 docs x ~5.6k tokens ~ 18 MB per file -> enough read fragments for
+    # 32-way parallelism even at small sf
+    chunk = 800
+    while total < target_tokens:
+        tbl = synth_batch(np.arange(i, i + chunk), seed=SYNTH_SEED, mean_len=SYNTH_MEAN_LEN)
+        pq.write_table(tbl, os.path.join(tmp, f"part-{k:05d}.parquet"), row_group_size=200)
+        total += int(tbl.column("n_tok").to_pandas().sum())
+        i += chunk
+        k += 1
+    with open(os.path.join(tmp, "_META.json"), "w") as f:
+        json.dump({"n_docs": i, "n_tokens": total}, f)
+    os.replace(tmp, path)
+    return path, i, total
+
+
+def run_bench(sf_dir: str, num_cpus: int, phases: list[str]) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="error")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from anomalydetection_ray.pipelines.ingest import ingest_pipeline
+    from anomalydetection_ray.pipelines.rollup import (
+        read_sequences,
+        rollup_pipeline,
+        topk_anomalies,
+    )
+    from anomalydetection_ray.sources.tokenize import tokenize_batch
+
+    sf = sf_of(sf_dir)
+    target_tokens = int(os.environ.get("GRAFT_BENCH_TOKENS", int(2e9 * sf)))
+    res: dict = {"queries": {}, "sf": sf, "num_cpus": num_cpus}
+    extras: dict = {}
+
+    spath, n_docs, n_tokens = ensure_synth(target_tokens)
+
+    # spin up the worker pool + imports before timing (standard practice;
+    # we are measuring pipeline throughput, not process cold-start)
+    wpath, _, _ = ensure_synth(2_000_000)
+    rollup_pipeline(read_sequences(wpath)).count()
+    import glob as _glob
+
+    n_files = max(1, len(_glob.glob(os.path.join(spath, "part-*.parquet"))))
+    onb = max(n_files, num_cpus * 2)
+
+    if "rollup_synth" in phases:
+        t0 = time.monotonic()
+        tiers = rollup_pipeline(read_sequences(spath, override_num_blocks=onb))
+        n_points = tiers.count()
+        dt = time.monotonic() - t0
+        res["queries"]["rollup_synth"] = dt
+        extras["rollup_synth_tokens"] = n_tokens
+        extras["rollup_synth_points"] = n_points
+        extras["rollup_tokens_per_s"] = n_tokens / dt
+        extras["rollup_points_per_s"] = n_points / dt
+
+    if "rollup_docs" in phases:
+        t0 = time.monotonic()
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text", "source"])
+        seqs = docs.map_batches(tokenize_batch, batch_format="pyarrow", zero_copy_batch=True)
+        n = rollup_pipeline(seqs).count()
+        res["queries"]["rollup_docs"] = time.monotonic() - t0
+        extras["rollup_docs_points"] = n
+
+    if "topk" in phases:
+        t0 = time.monotonic()
+        tiers = rollup_pipeline(read_sequences(spath, override_num_blocks=onb))
+        top = topk_anomalies(tiers, k=100).take_all()
+        res["queries"]["topk"] = time.monotonic() - t0
+        extras["topk_rows"] = len(top)
+
+    if "ingest_encode" in phases:
+        # encode a capped slice (codec is the slow path; report honestly)
+        enc_tokens = min(n_tokens, int(4e7))
+        epath, _, etok = ensure_synth(enc_tokens)
+        out = f"/tmp/anomray_bench_tier0_{num_cpus}_{int(time.time()*1000)}"
+        e_onb = max(1, len(_glob.glob(os.path.join(epath, "part-*.parquet"))))
+        t0 = time.monotonic()
+        summary = ingest_pipeline(read_sequences(epath, override_num_blocks=max(e_onb, num_cpus * 2)), out, num_parts=max(32, num_cpus * 4),
+                                  resume=False, encoder_concurrency=(1, num_cpus))
+        rows = summary.take_all()
+        dt = time.monotonic() - t0
+        res["queries"]["ingest_encode"] = dt
+        enc_bytes = sum(r["encoded_bytes"] for r in rows)
+        tok = sum(r["tokens_processed"] for r in rows)
+        extras["encode_tokens_per_s"] = tok / dt
+        extras["encode_bytes_per_token"] = enc_bytes / max(tok, 1)
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+
+    res["value"] = res["queries"].get("rollup_synth", sum(res["queries"].values()))
+    res["metric"] = "rollup throughput (tokens/sec) + rolled-up points/sec"
+    res["unit"] = "sec"
+    res.update(extras)
+    ray.shutdown()
+    return res
+
+
+ALL_PHASES = ["rollup_synth", "rollup_docs", "topk", "ingest_encode"]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--phases", default=None, help="comma-separated subset")
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    phases = args.phases.split(",") if args.phases else ALL_PHASES
+
+    if args.scaling:
+        # a scaling measurement needs enough work that the 32-cpu run is not
+        # overhead-bound: fix the input size (>= the sf target, >= 6e8 tok)
+        scaling_tokens = int(os.environ.get("GRAFT_BENCH_TOKENS",
+                                            max(int(2e9 * sf_of(sf_dir)), int(6e8))))
+        ensure_synth(scaling_tokens)
+        ensure_synth(2_000_000)
+        results = {}
+        for cpus in (8, 32):
+            env = dict(os.environ)
+            env["RAY_GRAFT_CPUS"] = str(cpus)
+            env["GRAFT_BENCH_TOKENS"] = str(scaling_tokens)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--phases", "rollup_synth,ingest_encode"],
+                env=env, capture_output=True, text=True, check=True,
+            )
+            results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        tp8 = results[8]["rollup_tokens_per_s"]
+        tp32 = results[32]["rollup_tokens_per_s"]
+        eff = (tp32 / tp8) / 4.0
+        e8 = results[8]["encode_tokens_per_s"]
+        e32 = results[32]["encode_tokens_per_s"]
+        eff_enc = (e32 / e8) / 4.0
+        out = {
+            "metric": "scaling efficiency (8 -> 32 cpus, fresh processes, same input)",
+            "value": eff,
+            "unit": "ratio",
+            "sf": sf_of(sf_dir),
+            "num_cpus": [8, 32],
+            "queries": {
+                "rollup_synth_8": results[8]["queries"]["rollup_synth"],
+                "rollup_synth_32": results[32]["queries"]["rollup_synth"],
+                "ingest_encode_8": results[8]["queries"]["ingest_encode"],
+                "ingest_encode_32": results[32]["queries"]["ingest_encode"],
+            },
+            "rollup_tokens_per_s": {"8": tp8, "32": tp32},
+            "encode_tokens_per_s": {"8": e8, "32": e32},
+            "rollup_scaling_efficiency": eff,
+            "encode_scaling_efficiency": eff_enc,
+        }
+        _record_baseline(out, results)
+        print(json.dumps(out))
+        return
+
+    print(json.dumps(run_bench(sf_dir, num_cpus, phases)))
+
+
+def _record_baseline(out: dict, results: dict) -> None:
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    p = os.path.join(REPO, "BENCH", "BASELINE.md")
+    tp = out["rollup_tokens_per_s"]
+    ep = out["encode_tokens_per_s"]
+    with open(p, "w") as f:
+        f.write(
+            "# BENCH/BASELINE.md — measured baseline (BASELINE.md protocol)\n\n"
+            "Two fresh processes, identical cached synthetic input (seed=42),\n"
+            "`ray.init(address='local', num_cpus=N)`; the sandbox stand-in for the\n"
+            "north rule's N vs 4N node criterion (no real cluster available).\n\n"
+            "| metric | 8 cpus | 32 cpus | scaling efficiency (target >= 0.8) |\n"
+            "|---|---|---|---|\n"
+            f"| rollup tokens/s | {tp['8']:.3e} | {tp['32']:.3e} | {out['rollup_scaling_efficiency']:.3f} |\n"
+            f"| rollup points/s | {results[8]['rollup_points_per_s']:.3e} | {results[32]['rollup_points_per_s']:.3e} | — |\n"
+            f"| encode tokens/s | {ep['8']:.3e} | {ep['32']:.3e} | {out['encode_scaling_efficiency']:.3f} |\n"
+            f"| codec bytes/token | {results[8]['encode_bytes_per_token']:.3f} | {results[32]['encode_bytes_per_token']:.3f} | — |\n\n"
+            f"Input: {results[32].get('rollup_synth_tokens', 0):,} tokens; "
+            f"points: {results[32].get('rollup_synth_points', 0):,}.\n\n"
+            "Caveat: this box's CPUs are shared/contended — single runs can vary; "
+            "treat deltas < ~15% as noise.\n"
+        )
+
+
+if __name__ == "__main__":
+    main()
