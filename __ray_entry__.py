@@ -53,11 +53,54 @@ def _rollup_tier(sf_dir: str, tier: int):
     return rollup_pipeline(_docs_sequences(sf_dir)).filter(expr=f"tier == {tier}")
 
 
+def _detect(sf_dir: str, detector: str, **params):
+    import functools
+
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import detect_batch
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        functools.partial(detect_batch, detector=detector, **params),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
+    from anomalydetection_ray.pipelines import dedup as dd
+    from anomalydetection_ray.pipelines import multimodal as mm
     from anomalydetection_ray.pipelines import queries as q
+    from anomalydetection_ray.pipelines import similarity as sim
+    from anomalydetection_ray.pipelines import text as tx
     from anomalydetection_ray.pipelines.rollup import rollup_pipeline, topk_anomalies
 
     return {
+        # training-data ops: dedup family (D-extras)
+        "dedup_exact_docs": dd.exact_dedup,
+        "dedup_minhash_pairs": dd.minhash_lsh_pairs,
+        "dedup_simhash_pairs": dd.simhash_pairs,
+        "dedup_ngram_jaccard": dd.ngram_jaccard_pairs,
+        # threshold 0.3: the driver embeddings are near-orthogonal random
+        # vectors (max off-diagonal cosine ~0.37), so 0.95 returns nothing
+        "dedup_embedding_pairs": lambda sf: dd.embedding_dup_pairs(sf, min_cosine=0.3),
+        # similarity search
+        "ann_topk": lambda sf: sim.ann_topk_bruteforce(sf).select_columns(["vec_id", "label"]),
+        "ann_lsh_topk": lambda sf: sim.ann_topk_lsh(sf).select_columns(["vec_id", "label"]),
+        # text analysis
+        "lang_id": tx.lang_id,
+        "quality_stats": lambda sf: tx.quality(sf).select_columns(
+            ["doc_id", "n_bytes", "alpha_chars", "alpha_ratio", "ws_tokens"]
+        ),
+        "quality_scores_full": tx.quality,
+        "token_counts": tx.token_counts,
+        "doc_fingerprints": tx.fingerprints,
+        # multimodal plumbing (deterministic fake decoder; real decode is a
+        # clearly-marked NotImplementedError stub — no media libs here)
+        "media_features": mm.media_features,
+        # per-series detectors (X1 registry; A2/A3/A6)
+        "detect_esd": lambda sf: _detect(sf, "esd"),
+        "detect_threshold": lambda sf: _detect(sf, "threshold"),
+        "detect_ewma": lambda sf: _detect(sf, "ewma"),
         # flagship rollup over tokenized documents (anomaly_score/median not
         # SQL-expressible over the derived token table -> rows-only)
         "rollup_tier1_docs": lambda sf: _rollup_tier(sf, 1),
@@ -156,5 +199,33 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(n_chars, 0.9) AS p90,
                    quantile_cont(n_chars, 0.99) AS p99
             FROM documents GROUP BY source
+        """,
+        "dedup_exact_docs": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS doc_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "ann_topk": """
+            SELECT vec_id, label FROM (
+                SELECT vec_id, label,
+                       list_cosine_similarity(embedding,
+                           (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS sim
+                FROM embeddings WHERE vec_id <> 0
+            ) t ORDER BY sim DESC, vec_id LIMIT 10
+        """,
+        "quality_stats": r"""
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+                   CASE WHEN octet_length(encode(text)) = 0 THEN 0.0
+                        ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                             / octet_length(encode(text)) END AS alpha_ratio,
+                   array_length(string_split_regex(text, '\s+')) AS ws_tokens
+            FROM documents
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   length(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS word_count,
+                   length(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_count
+            FROM documents
         """,
     }

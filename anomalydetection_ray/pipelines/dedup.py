@@ -1,0 +1,295 @@
+"""Deduplication operators (driver round-1 extras; D1 family).
+
+- exact_dedup:        content-hash partition + per-group min(doc_id)
+- minhash_lsh_pairs:  char-shingle MinHash signatures -> banded LSH
+                      buckets (groupby) -> candidate pairs + estimated
+                      Jaccard from full-signature agreement
+- simhash_pairs:      64-bit SimHash over word features, pigeonhole
+                      banding (4 x 16 bits) -> candidates -> exact
+                      Hamming distance filter
+- ngram_jaccard_pairs: exact word-3-gram Jaccard verification of the
+                      MinHash candidates (broadcast small doc-set at test
+                      scale; the 100 TB path co-partitions texts by doc_id
+                      and joins candidates to shards — documented)
+- embedding_dup_pairs: cosine near-duplicate pairs over the embeddings
+                      table via a broadcast normalized matrix
+
+Everything is seeded/deterministic (seed constants below, no wall-clock,
+no python hash()).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+_SHINGLE_K = 5  # char shingles
+_NUM_PERM = 64
+_BANDS = 8
+_ROWS_PER_BAND = _NUM_PERM // _BANDS
+_SEED = 42
+
+_WORD_RE = re.compile(r"\w+")
+
+# deterministic 64 x (a, b) hash parameters on a Mersenne prime field
+_MERSENNE = (1 << 61) - 1
+_rng = np.random.default_rng(_SEED)
+_PERM_A = _rng.integers(1, _MERSENNE, _NUM_PERM, dtype=np.int64).astype(np.uint64)
+_PERM_B = _rng.integers(0, _MERSENNE, _NUM_PERM, dtype=np.int64).astype(np.uint64)
+
+
+def _shingle_hashes(text: str) -> np.ndarray:
+    """crc32 of each k-char shingle (deduped), uint64."""
+    b = text.encode("utf-8")
+    if len(b) < _SHINGLE_K:
+        return np.array([zlib.crc32(b)], dtype=np.uint64)
+    hs = {zlib.crc32(b[i : i + _SHINGLE_K]) for i in range(len(b) - _SHINGLE_K + 1)}
+    return np.fromiter(hs, dtype=np.uint64, count=len(hs))
+
+
+def minhash_signature(text: str) -> np.ndarray:
+    """_NUM_PERM x uint64 MinHash signature over char shingles."""
+    sh = _shingle_hashes(text)
+    # (a * x + b) mod p, min over shingles, vectorized (64, n) -> (64,)
+    x = sh[None, :]
+    vals = (_PERM_A[:, None] * x + _PERM_B[:, None]) % np.uint64(_MERSENNE)
+    return vals.min(axis=1)
+
+
+def signatures_batch(batch: pa.Table) -> pa.Table:
+    sigs = [minhash_signature(t) for t in batch.column("text").to_pylist()]
+    arr = np.stack(sigs) if sigs else np.empty((0, _NUM_PERM), dtype=np.uint64)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "signature": pa.array(list(arr), type=pa.list_(pa.uint64(), _NUM_PERM)),
+        }
+    )
+
+
+def band_rows_batch(batch: pa.Table) -> pa.Table:
+    """signature rows -> one row per (doc, band): the LSH bucket key is a
+    crc32 of the band slice."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    sigs = batch.column("signature").to_pylist()
+    out_doc, out_band, out_bucket, out_sig = [], [], [], []
+    for d, s in zip(doc_ids, sigs):
+        sa = np.asarray(s, dtype=np.uint64)
+        for b in range(_BANDS):
+            sl = sa[b * _ROWS_PER_BAND : (b + 1) * _ROWS_PER_BAND]
+            out_doc.append(d)
+            out_band.append(b)
+            out_bucket.append(zlib.crc32(sl.tobytes()))
+            out_sig.append(sa)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_doc),
+            "band": pa.array(out_band, type=pa.int32()),
+            "bucket": pa.array(out_bucket, type=pa.int64()),
+            "signature": pa.array(list(out_sig), type=pa.list_(pa.uint64(), _NUM_PERM)),
+        }
+    )
+
+
+def bucket_pairs(group: pa.Table) -> pa.Table:
+    """One LSH bucket -> candidate pairs with signature-estimated Jaccard."""
+    n = group.num_rows
+    if n < 2:
+        return pa.table({"doc_a": pa.array([], type=group.column("doc_id").type),
+                         "doc_b": pa.array([], type=group.column("doc_id").type),
+                         "est_jaccard": pa.array([], type=pa.float64())})
+    docs = group.column("doc_id").to_pylist()
+    sigs = np.stack([np.asarray(s, dtype=np.uint64) for s in group.column("signature").to_pylist()])
+    order = np.argsort(np.array(docs, dtype=object))
+    a_out, b_out, j_out = [], [], []
+    for ii in range(n):
+        for jj in range(ii + 1, n):
+            i, j = int(order[ii]), int(order[jj])
+            if docs[i] == docs[j]:
+                continue
+            est = float((sigs[i] == sigs[j]).mean())
+            a_out.append(docs[i])
+            b_out.append(docs[j])
+            j_out.append(est)
+    return pa.table({"doc_a": pa.array(a_out), "doc_b": pa.array(b_out),
+                     "est_jaccard": pa.array(j_out, type=pa.float64())})
+
+
+def _docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def exact_dedup(sf_dir: str):
+    """Exact content dedup: md5(text) groups, keep min(doc_id)."""
+    import hashlib
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch.column("text").to_pylist()]
+        return pa.table({"text_hash": pa.array(hs, type=pa.string()),
+                         "doc_id": batch.column("doc_id")})
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        idx = pa.compute.sort_indices(group.column("doc_id"))
+        return group.take(idx[:1])
+
+    return (
+        _docs(sf_dir)
+        .map_batches(hash_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("text_hash")
+        .map_groups(keep_first, batch_format="pyarrow")
+    )
+
+
+def minhash_lsh_pairs(sf_dir: str, min_est: float = 0.5):
+    """Candidate near-duplicate pairs via MinHash + banded LSH."""
+    sigs = _docs(sf_dir).map_batches(signatures_batch, batch_format="pyarrow", zero_copy_batch=True)
+    bands = sigs.map_batches(band_rows_batch, batch_format="pyarrow")
+    pairs = bands.groupby(["band", "bucket"]).map_groups(bucket_pairs, batch_format="pyarrow")
+
+    def dedup_pairs(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    uniq = pairs.groupby(["doc_a", "doc_b"]).map_groups(dedup_pairs, batch_format="pyarrow")
+    return uniq.filter(expr=f"est_jaccard >= {min_est}")
+
+
+# ------------------------------------------------------------ simhash ----
+def simhash64(text: str) -> int:
+    feats = _WORD_RE.findall(text.lower())
+    if not feats:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for f in feats:
+        h = zlib.crc32(f.encode()) | (zlib.crc32((f + "#").encode()) << 32)
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = 0
+    for k in range(64):
+        if acc[k] > 0:
+            out |= 1 << k
+    return out
+
+
+def simhash_pairs(sf_dir: str, max_hamming: int = 3):
+    """Near-dup pairs by SimHash: pigeonhole banding (4 x 16 bits) ->
+    exact Hamming verify (<= max_hamming with 4 bands guarantees recall
+    for distance <= 3)."""
+
+    def sh_batch(batch: pa.Table) -> pa.Table:
+        hs = [simhash64(t) for t in batch.column("text").to_pylist()]
+        rows_doc, rows_band, rows_key, rows_h = [], [], [], []
+        for d, h in zip(batch.column("doc_id").to_pylist(), hs):
+            for b in range(4):
+                rows_doc.append(d)
+                rows_band.append(b)
+                rows_key.append((h >> (16 * b)) & 0xFFFF)
+                rows_h.append(h)
+        return pa.table({"doc_id": pa.array(rows_doc), "band": pa.array(rows_band, type=pa.int32()),
+                         "key": pa.array(rows_key, type=pa.int64()),
+                         "simhash": pa.array(rows_h, type=pa.uint64())})
+
+    def pairs(group: pa.Table) -> pa.Table:
+        docs = group.column("doc_id").to_pylist()
+        hs = group.column("simhash").to_pylist()
+        order = sorted(range(len(docs)), key=lambda i: docs[i])
+        a_o, b_o, d_o = [], [], []
+        for x in range(len(order)):
+            for y in range(x + 1, len(order)):
+                i, j = order[x], order[y]
+                if docs[i] == docs[j]:
+                    continue
+                ham = bin(hs[i] ^ hs[j]).count("1")
+                if ham <= max_hamming:
+                    a_o.append(docs[i])
+                    b_o.append(docs[j])
+                    d_o.append(ham)
+        return pa.table({"doc_a": pa.array(a_o), "doc_b": pa.array(b_o),
+                         "hamming": pa.array(d_o, type=pa.int32())})
+
+    bands = _docs(sf_dir).map_batches(sh_batch, batch_format="pyarrow", zero_copy_batch=True)
+    cand = bands.groupby(["band", "key"]).map_groups(pairs, batch_format="pyarrow")
+
+    def dedup_pairs(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    return cand.groupby(["doc_a", "doc_b"]).map_groups(dedup_pairs, batch_format="pyarrow")
+
+
+def ngram_jaccard_pairs(sf_dir: str, n: int = 3, min_jaccard: float = 0.3):
+    """Exact word-n-gram Jaccard over the MinHash candidate pairs.
+
+    Test-scale implementation broadcasts {doc_id -> ngram set} via the
+    object store (ray.put once, read per task); the 100 TB path replaces
+    the broadcast with a co-partitioned join of candidates to text shards
+    (same groupby machinery as the LSH stage)."""
+    import ray
+
+    texts = _docs(sf_dir).take_all()
+
+    def grams(t: str) -> frozenset:
+        ws = _WORD_RE.findall(t.lower())
+        return frozenset(tuple(ws[i : i + n]) for i in range(max(0, len(ws) - n + 1)))
+
+    gram_map = {r["doc_id"]: grams(r["text"]) for r in texts}
+    ref = ray.put(gram_map)
+
+    cands = minhash_lsh_pairs(sf_dir, min_est=0.2)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        gm = ray.get(ref)
+        a_o, b_o, j_o = [], [], []
+        for a, b in zip(batch.column("doc_a").to_pylist(), batch.column("doc_b").to_pylist()):
+            sa, sb = gm.get(a, frozenset()), gm.get(b, frozenset())
+            union = len(sa | sb)
+            j = (len(sa & sb) / union) if union else 0.0
+            if j >= min_jaccard:
+                a_o.append(a)
+                b_o.append(b)
+                j_o.append(j)
+        id_type = batch.column("doc_a").type
+        return pa.table({"doc_a": pa.array(a_o, type=id_type),
+                         "doc_b": pa.array(b_o, type=id_type),
+                         "jaccard": pa.array(j_o, type=pa.float64())})
+
+    return cands.map_batches(verify, batch_format="pyarrow")
+
+
+def embedding_dup_pairs(sf_dir: str, min_cosine: float = 0.95):
+    """Embedding-cosine near-dup pairs: broadcast the L2-normalized matrix
+    once (ray.put), each batch multiplies against it (numpy matmul)."""
+    import ray
+    import ray.data
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    all_rows = emb.take_all()
+    ids = np.array([r["vec_id"] for r in all_rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in all_rows])
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    ref = ray.put((ids, mat))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        g_ids, g_mat = ray.get(ref)
+        q_ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        q = np.stack([np.asarray(e, dtype=np.float64) for e in batch.column("embedding").to_pylist()])
+        q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+        sims = q @ g_mat.T
+        a_o, b_o, s_o = [], [], []
+        for r in range(sims.shape[0]):
+            hit = np.flatnonzero(sims[r] >= min_cosine)
+            for c in hit:
+                if q_ids[r] < g_ids[c]:  # dedup + drop self
+                    a_o.append(int(q_ids[r]))
+                    b_o.append(int(g_ids[c]))
+                    s_o.append(float(sims[r, c]))
+        return pa.table({"vec_a": pa.array(a_o, type=pa.int64()),
+                         "vec_b": pa.array(b_o, type=pa.int64()),
+                         "cosine": pa.array(s_o, type=pa.float64())})
+
+    return emb.map_batches(pairs, batch_format="pyarrow")

