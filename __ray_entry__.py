@@ -122,6 +122,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d1_dedup_events": q.d1_dedup_events,
         "j1_broadcast_join": q.j1_broadcast_join,
         "g3_quantiles_nchars": q.g3_quantiles_nchars,
+        "m3_token_fns": q.m3_token_fns,
+        "q3_sample_lineitem": q.q3_sample_lineitem,
+        "d2_union_tiers": q.d2_union_tiers,
+        "g2_salted_source_stats": q.g2_salted_source_stats,
     }
 
 
@@ -203,6 +207,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": """
             SELECT md5(text) AS text_hash, min(doc_id) AS doc_id
             FROM documents GROUP BY md5(text)
+        """,
+        "g2_salted_source_stats": """
+            SELECT source, CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+                   count(*) AS count
+            FROM documents GROUP BY source
         """,
         "ann_topk": """
             SELECT vec_id, label FROM (

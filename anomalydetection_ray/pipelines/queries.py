@@ -188,6 +188,110 @@ def g3_quantiles_nchars(sf_dir: str):
     return ds.groupby("source").map_groups(qtiles, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------- M3 ----
+def m3_token_fns(sf_dir: str):
+    """Token scalar/array fns (M3): vocab remap (modulo fold to 1024),
+    clamp to [0, 500), head-slice(8) — applied to the tokenized documents
+    corpus; returns per-doc checksums of each derived array so the result
+    is compact and deterministic."""
+    import zlib
+
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.sources.tokenize import tokenize_batch
+
+    def fns(batch: pa.Table) -> pa.Table:
+        toks = batch.column("tokens")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        remap_ck, clamp_ck, head = [], [], []
+        for i in range(batch.num_rows):
+            v = np.asarray(toks[i].values, dtype=np.int32) if len(toks[i].values) else np.empty(0, np.int32)
+            remap_ck.append(zlib.crc32((v % 1024).astype(np.int32).tobytes()))
+            clamp_ck.append(zlib.crc32(np.clip(v, 0, 499).astype(np.int32).tobytes()))
+            head.append(v[:8].tolist())
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "part_id": batch.column("part_id"),
+                "remap_crc": pa.array(remap_ck, type=pa.int64()),
+                "clamp_crc": pa.array(clamp_ck, type=pa.int64()),
+                "head8": pa.array(head, type=pa.list_(pa.int32())),
+            }
+        )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    from anomalydetection_ray.sources.tokenize import tokenize_batch as tb
+
+    seqs = docs.map_batches(tb, batch_format="pyarrow", zero_copy_batch=True)
+    return validated(seqs).map_batches(fns, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------- Q3 ----
+def q3_sample_lineitem(sf_dir: str, frac: float = 0.01):
+    """Seeded random sample (Q3) — deterministic row membership via a
+    content hash (not ds.random_sample, whose membership depends on block
+    layout): keep rows where crc32(l_orderkey, l_linenumber) % 10000 <
+    frac*10000.  SQL-expressible via the same hash? crc32 is not in
+    DuckDB -> rows-only, but membership is stable for the driver re-run."""
+    import zlib
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def samp(batch: pa.Table) -> pa.Table:
+        ok = np.asarray(batch.column("l_orderkey"), dtype=np.int64)
+        ln = np.asarray(batch.column("l_linenumber"), dtype=np.int64)
+        keep = np.fromiter(
+            (zlib.crc32(f"{a}:{b}".encode()) % 10000 < frac * 10000 for a, b in zip(ok, ln)),
+            dtype=bool,
+            count=len(ok),
+        )
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(samp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------- D2 ----
+def d2_union_tiers(sf_dir: str):
+    """D2 union: rollup tiers of two disjoint corpus halves unioned ==
+    rollup of the whole corpus (returns the unioned tier row counts per
+    tier, exercising ds.union)."""
+    import ray.data
+
+    from anomalydetection_ray.pipelines.rollup import rollup_pipeline
+    from anomalydetection_ray.sources.tokenize import tokenize_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def half(which: int):
+        def pick(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+            return batch.filter(pa.array(ids % 2 == which))
+
+        filt = (
+            docs.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(tokenize_batch, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        return rollup_pipeline(filt)
+
+    u = half(0).union(half(1))
+    from ray.data.aggregate import Count, Sum
+
+    return u.groupby("tier").aggregate(
+        Count(alias_name="rows"), Sum("count", alias_name="points")
+    )
+
+
+# ------------------------------------------------- skew / salted G2 ----
+def g2_salted_source_stats(sf_dir: str):
+    """G2 with the explicit skew defense: salted two-stage groupby over the
+    hot-keyed source column (north rule: 'salted groupby-aggregate
+    shuffles')."""
+    from anomalydetection_ray.stages.merge import salted_groupby_sum
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+    return salted_groupby_sum(ds, "source", ["n_chars"], num_salts=8)
+
+
 # ------------------------------------------------- events-as-series ----
 EVENTS_BUCKET = 100
 

@@ -1,0 +1,62 @@
+"""G1 distributed path: tier2 recomputed from tier1 re-read from parquet
+must be bit-identical to the in-kernel tier2 (SURVEY.md §2.2 G1)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from anomalydetection_ray.oracle import TIER_SCHEMA
+from anomalydetection_ray.sources.fixtures import fixture_table
+from anomalydetection_ray.sources.validate import validate_batch
+from anomalydetection_ray.stages.rollup import rollup_batch
+from tests.test_rollup_engine import _sorted_np
+
+
+def test_distributed_tier2_matches_kernel(ray_session, tmp_path):
+    import ray.data
+
+    tbl = fixture_table(include_giant=False)
+    tiers = rollup_batch(validate_batch(tbl))
+    t1 = tiers.filter(pa.compute.equal(tiers.column("tier"), 1))
+    t2_kernel = tiers.filter(pa.compute.equal(tiers.column("tier"), 2))
+
+    # write tier1 out in shuffled small files to force an arbitrary layout
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(t1.num_rows)
+    t1_shuf = t1.take(pa.array(perm))
+    d = tmp_path / "tier1"
+    d.mkdir()
+    for i, lo in enumerate(range(0, t1_shuf.num_rows, 700)):
+        pq.write_table(t1_shuf.slice(lo, 700), d / f"f{i:03d}.parquet")
+
+    from anomalydetection_ray.stages.merge import tier2_from_tier1_ds
+
+    t1_ds = ray.data.read_parquet(str(d))
+    t2_dist = pa.concat_tables(
+        [ray.get(r) for r in tier2_from_tier1_ds(t1_ds).to_arrow_refs()]
+    ).select(TIER_SCHEMA.names).cast(TIER_SCHEMA)
+
+    assert t2_dist.num_rows == t2_kernel.num_rows
+    e, o = _sorted_np(t2_dist), _sorted_np(t2_kernel)
+    for name in TIER_SCHEMA.names:
+        if e[name].dtype == np.float64:
+            assert np.array_equal(e[name].view(np.uint64), o[name].view(np.uint64)), name
+        else:
+            assert np.array_equal(e[name], o[name]), name
+
+
+def test_salted_groupby_sum(ray_session):
+    import ray.data
+
+    from anomalydetection_ray.stages.merge import salted_groupby_sum
+
+    n = 5000
+    rng = np.random.default_rng(1)
+    keys = np.where(rng.random(n) < 0.9, "hot", "cold")  # 90% skew
+    vals = rng.integers(0, 100, n)
+    ds = ray.data.from_arrow(pa.table({"k": keys.tolist(), "v": vals.tolist()}))
+    out = {r["k"]: r for r in salted_groupby_sum(ds, "k", ["v"], num_salts=8).take_all()}
+    for k in ("hot", "cold"):
+        mask = keys == k
+        assert out[k]["sum_v"] == int(vals[mask].sum())
+        assert out[k]["count"] == int(mask.sum())
