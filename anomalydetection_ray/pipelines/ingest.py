@@ -36,11 +36,16 @@ def ingest_pipeline(
 
     ``num_parts`` is the partitioning contract — a resumed run MUST reuse
     the value (it is implicitly recorded by the manifest file names)."""
-    v = validated(ds)
+    # num_cpus=1 throughout P2: the encode loop is CPU-bound (not
+    # memory-bandwidth-bound like the rollup kernel), and >1-cpu tasks can
+    # starve the encoder actor pool outright on tiny clusters (a 2-cpu
+    # session with a 2-cpu read task + a reserved actor CPU deadlocks).
+    v = validated(ds, num_cpus=1)
     part = v.map_batches(
         functools.partial(assign_partition, num_parts=num_parts),
         batch_format="pyarrow",
         zero_copy_batch=True,
+        num_cpus=1,
     )
     if resume:
         done = finished_part_ids(out_dir)

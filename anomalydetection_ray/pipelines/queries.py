@@ -292,6 +292,37 @@ def g2_salted_source_stats(sf_dir: str):
     return salted_groupby_sum(ds, "source", ["n_chars"], num_salts=8)
 
 
+def g3_approx_quantiles(sf_dir: str):
+    """G3 approximate sketch path: Ray Data's built-in distributed Quantile
+    aggregate over lineitem quantity (rows-only: approx by construction;
+    the exact path is g3_quantiles_nchars)."""
+    from ray.data.aggregate import Max, Mean, Min, Quantile
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return ds.groupby("l_returnflag").aggregate(
+        Quantile("l_quantity", q=0.5, alias_name="p50"),
+        Min("l_quantity", alias_name="min_qty"),
+        Max("l_quantity", alias_name="max_qty"),
+        Mean("l_quantity", alias_name="mean_qty"),
+    )
+
+
+def p1_persist_summary(sf_dir: str):
+    """Resumable P1 (rollup_persist) over the tokenized corpus into a fresh
+    dir: per-unit summary (rows-only; bit-level gate in pytest)."""
+    import tempfile
+
+    from anomalydetection_ray.pipelines.rollup import rollup_persist
+    from anomalydetection_ray.sources.tokenize import tokenize_batch
+
+    # materialize a small sequences parquet first (persist plans from files)
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    seq_dir = tempfile.mkdtemp(prefix="p1seq_")
+    docs.map_batches(tokenize_batch, batch_format="pyarrow", zero_copy_batch=True).write_parquet(seq_dir)
+    out = tempfile.mkdtemp(prefix="p1out_")
+    return rollup_persist(seq_dir, out, resume=False, override_num_blocks=8)
+
+
 # ------------------------------------------------- events-as-series ----
 EVENTS_BUCKET = 100
 

@@ -53,6 +53,29 @@ def read_sequences(path: str, override_num_blocks: int | None = None,
         return ray.data.read_parquet(path, columns=cols,
                                      override_num_blocks=override_num_blocks)
 
+    units = plan_read_units(path)
+    packed = pack_read_units(units, override_num_blocks)
+
+    def read_unit_rows(batch) -> "pa.Table":
+        return read_packed_units(batch, cols)
+
+    # one block per read unit and batch_size=None everywhere downstream, so
+    # the streaming executor fuses read -> validate -> rollup into a single
+    # task: token blocks never round-trip through the object store.
+    ds = ray.data.from_items(packed, override_num_blocks=len(packed))
+    return ds.map_batches(read_unit_rows, batch_size=None, batch_format="pandas",
+                          num_cpus=num_cpus)
+
+
+def plan_read_units(path: str, target_bytes: int = _READ_TARGET_BYTES) -> list[dict]:
+    """Central (driver-side) read plan: scan parquet footers only, emit
+    ~target_bytes row-group ranges.  Deterministic for a given input dir —
+    the unit index doubles as the resume partition id of rollup_persist."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as pq
+
     if os.path.isdir(path):
         files = sorted(
             f for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
@@ -61,55 +84,49 @@ def read_sequences(path: str, override_num_blocks: int | None = None,
         files = [path]
     if not files:
         raise FileNotFoundError(f"no parquet files under {path}")
-
-    import pyarrow.parquet as pq
-
-    units: list[dict] = []  # {path, rg_start, rg_end}
+    units: list[dict] = []
     for f in files:
         md = pq.ParquetFile(f).metadata
         nrg = md.num_row_groups
         cur_start, cur_bytes = 0, 0
         for rg in range(nrg):
             cur_bytes += md.row_group(rg).total_byte_size
-            if cur_bytes >= _READ_TARGET_BYTES:
+            if cur_bytes >= target_bytes:
                 units.append({"path": f, "rg_start": cur_start, "rg_end": rg + 1})
                 cur_start, cur_bytes = rg + 1, 0
         if cur_start < nrg:
             units.append({"path": f, "rg_start": cur_start, "rg_end": nrg})
+    return units
 
+
+def pack_read_units(units: list[dict], override_num_blocks: int | None) -> list[dict]:
+    """Pack row-group units into task-sized items, each tagged with a
+    deterministic unit_id (the resume key)."""
     if override_num_blocks is not None and override_num_blocks < len(units):
-        # pack several row-group units into each read task
         per = -(-len(units) // override_num_blocks)
-        units = [
-            {
-                "path": [u["path"] for u in units[i : i + per]],
-                "rg_start": [u["rg_start"] for u in units[i : i + per]],
-                "rg_end": [u["rg_end"] for u in units[i : i + per]],
-            }
-            for i in range(0, len(units), per)
-        ]
+        groups = [units[i : i + per] for i in range(0, len(units), per)]
     else:
-        units = [
-            {"path": [u["path"]], "rg_start": [u["rg_start"]], "rg_end": [u["rg_end"]]}
-            for u in units
-        ]
+        groups = [[u] for u in units]
+    return [
+        {
+            "unit_id": k,
+            "path": [u["path"] for u in g],
+            "rg_start": [u["rg_start"] for u in g],
+            "rg_end": [u["rg_end"] for u in g],
+        }
+        for k, g in enumerate(groups)
+    ]
 
-    def read_unit_rows(batch) -> "pa.Table":
-        import pyarrow as pa
 
-        tbls = []
-        for paths, rga, rgb in zip(batch["path"], batch["rg_start"], batch["rg_end"]):
-            for p, a, b in zip(paths, rga, rgb):
-                pf = pq.ParquetFile(p)
-                tbls.append(pf.read_row_groups(list(range(a, b)), columns=cols))
-        return pa.concat_tables(tbls)
+def read_packed_units(batch, cols: list[str]) -> pa.Table:
+    import pyarrow.parquet as pq
 
-    # one block per read unit and batch_size=None everywhere downstream, so
-    # the streaming executor fuses read -> validate -> rollup into a single
-    # task: token blocks never round-trip through the object store.
-    ds = ray.data.from_items(units, override_num_blocks=len(units))
-    return ds.map_batches(read_unit_rows, batch_size=None, batch_format="pandas",
-                          num_cpus=num_cpus)
+    tbls = []
+    for paths, rga, rgb in zip(batch["path"], batch["rg_start"], batch["rg_end"]):
+        for p, a, b in zip(paths, rga, rgb):
+            pf = pq.ParquetFile(p)
+            tbls.append(pf.read_row_groups(list(range(a, b)), columns=cols))
+    return pa.concat_tables(tbls)
 
 
 def validated(ds, num_cpus: float = 2):
@@ -151,3 +168,95 @@ def topk_anomalies(tiers_ds, k: int = 100, tier: int = 1):
         .sort("anomaly_score", descending=True)
         .limit(k)
     )
+
+
+def rollup_persist(
+    path: str,
+    out_dir: str,
+    policy: str = "locf",
+    resume: bool = True,
+    override_num_blocks: int | None = None,
+    num_cpus: float = 2,
+):
+    """Resumable P1: per-read-unit tier output + atomic manifest, NO shuffle.
+
+    Each fused task reads its row-group ranges, validates, rolls up, writes
+    ``out_dir/tiers/unit=<k>/data.parquet`` atomically and commits a
+    manifest row (unit_id as the partition key; lineage = the input
+    row-group ranges).  ``resume=True`` skips committed units before any
+    read happens — the deterministic footer plan makes unit ids stable.
+    Returns the per-unit summary Dataset (consume to execute)."""
+    import os as _os
+    import time as _time
+
+    import ray.data
+
+    from anomalydetection_ray.constants import ENGINE_VERSION
+    from anomalydetection_ray.state.manifest import finished_part_ids, write_manifest_row
+
+    units = plan_read_units(path)
+    packed = pack_read_units(units, override_num_blocks)
+    if resume:
+        done = finished_part_ids(out_dir)
+        packed = [u for u in packed if u["unit_id"] not in done]
+    if not packed:
+        import pyarrow as _pa
+
+        return ray.data.from_arrow(
+            _pa.table({"unit_id": _pa.array([], type=_pa.int32()),
+                       "rows_emitted": _pa.array([], type=_pa.int64()),
+                       "tokens_processed": _pa.array([], type=_pa.int64())})
+        )
+
+    def process(batch) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        out_rows = {"unit_id": [], "rows_emitted": [], "tokens_processed": []}
+        for uid, paths, rga, rgb in zip(batch["unit_id"], batch["path"],
+                                        batch["rg_start"], batch["rg_end"]):
+            t0 = _time.monotonic()
+            one = {"path": paths, "rg_start": rga, "rg_end": rgb}
+            raw = read_packed_units({k: [v] for k, v in one.items()}, SEQUENCE_COLUMNS)
+            v = validate_batch(raw)
+            tiers = rollup_batch(v, policy=policy)
+            udir = _os.path.join(out_dir, "tiers", f"unit={uid:06d}")
+            _os.makedirs(udir, exist_ok=True)
+            tmp = _os.path.join(udir, ".tmp-data.parquet")
+            pq.write_table(tiers, tmp)
+            _os.replace(tmp, _os.path.join(udir, "data.parquet"))
+            tokens = int(sum(int(x) for x in v.column("n_tok").to_pylist()))
+            write_manifest_row(
+                out_dir,
+                {
+                    "part_id": int(uid),
+                    "input_fragments": [f"{p}:{a}-{b}" for p, a, b in zip(paths, rga, rgb)],
+                    "encoder_state_hash": "",
+                    "rows_emitted": tiers.num_rows,
+                    "tokens_processed": tokens,
+                    "wall_s": _time.monotonic() - t0,
+                    "engine_version": ENGINE_VERSION,
+                },
+            )
+            out_rows["unit_id"].append(int(uid))
+            out_rows["rows_emitted"].append(tiers.num_rows)
+            out_rows["tokens_processed"].append(tokens)
+        return pa.table(
+            {
+                "unit_id": pa.array(out_rows["unit_id"], type=pa.int32()),
+                "rows_emitted": pa.array(out_rows["rows_emitted"], type=pa.int64()),
+                "tokens_processed": pa.array(out_rows["tokens_processed"], type=pa.int64()),
+            }
+        )
+
+    ds = ray.data.from_items(packed, override_num_blocks=len(packed))
+    return ds.map_batches(process, batch_size=None, batch_format="pandas", num_cpus=num_cpus)
+
+
+def read_tiers(out_dir: str, tier: int | None = None):
+    """Read committed rollup tiers back as a Dataset."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{out_dir}/tiers")
+    if tier is not None:
+        ds = ds.filter(expr=f"tier == {tier}")
+    return ds
