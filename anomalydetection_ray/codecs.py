@@ -13,6 +13,23 @@ Series Database", VLDB 2015:
   The first value of a block is NOT in the stream (stored in the
   ``first_val`` column of tier0).
 
+  **Control policy (codec v2, same grammar):** Gorilla's greedy
+  keep-window-while-it-fits policy forces a per-element sequential
+  decision (a Python loop — measured 0.17 M tok/s/core).  Any policy
+  choice yields a decodable stream, so v2 uses a *uniform chunked
+  window*: the stream is cut into chunks of ``GORILLA_CHUNK`` XOR
+  elements; each chunk's first element always emits a '11' header whose
+  window is (min leading zeros, min trailing zeros) over the chunk's
+  nonzero XORs (an all-zero chunk uses lz=31/len=1), and every other
+  element of the chunk emits '10' + the fixed ``wlen`` meaningful bits
+  (zero XOR -> zero mantissa).  This removes the per-element data
+  dependence: encode is pure NumPy, and decode can compute every field
+  offset per chunk and gather mantissas vectorized
+  (``np.bitwise_xor.accumulate`` rebuilds the values).  The generic
+  bit-follower decoder (``gorilla_decode_ref``) still reads v2 streams
+  unchanged; v1 greedy streams remain readable via the same function
+  (``codec_version`` column records which policy wrote a block).
+
 - **E2 timestamp codec** (§4.1.1): delta-of-delta with bit classes
   '0' (D == 0), '10' + 7 bits (D in [-63, 64]), '110' + 9 bits
   ([-255, 256]), '1110' + 12 bits ([-2047, 2048]), '1111' + 32 bits.
@@ -37,14 +54,19 @@ import numpy as np
 __all__ = [
     "pack_bits",
     "BitReader",
+    "GORILLA_CHUNK",
     "gorilla_encode",
     "gorilla_decode",
+    "gorilla_decode_ref",
     "dod_encode_chunk",
+    "dod_encode_values",
     "dod_decode_stream",
     "DodState",
     "checksum64",
     "state_hash",
 ]
+
+GORILLA_CHUNK = 32  # XOR elements per window recalibration (codec v2)
 
 _MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -71,9 +93,21 @@ def pack_bits(vals: np.ndarray, nbits: np.ndarray) -> bytes:
     hi = np.where(pos, (v << sh_pos) & _MASK64, v >> sh_neg)
     lo = np.where(pos, np.uint64(0), (v << ((np.uint64(64) - sh_neg) & np.uint64(63))) & _MASK64)
     # when sh_neg == 0 the expression above would be v<<64; pos covers that case
-    np.bitwise_or.at(words, word_idx, hi)
-    np.bitwise_or.at(words, word_idx + 1, lo)
+    # Scatter-OR without ufunc.at (which is orders of magnitude slower than a
+    # C-level pass): word_idx is non-decreasing, so OR-combine each run with
+    # reduceat, then assign the per-word results collision-free.
+    _or_into(words, word_idx, hi)
+    _or_into(words, word_idx + 1, lo)
     return words.byteswap().tobytes()[: (total + 7) // 8]
+
+
+def _or_into(words: np.ndarray, idx: np.ndarray, val: np.ndarray) -> None:
+    """words[idx] |= val for non-decreasing idx, vectorized."""
+    if idx.shape[0] == 0:
+        return
+    starts = np.flatnonzero(idx[1:] != idx[:-1]) + 1
+    starts = np.concatenate((np.zeros(1, dtype=np.int64), starts))
+    words[idx[starts]] |= np.bitwise_or.reduceat(val, starts)
 
 
 class BitReader:
@@ -100,60 +134,115 @@ class BitReader:
 
 def _clz_tz(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized count-leading/trailing-zeros for nonzero uint32 arrays.
-    float64 log2 is exact for 32-bit magnitudes (52-bit mantissa)."""
-    xf = x.astype(np.float64)
-    bl = np.floor(np.log2(xf)).astype(np.int64) + 1
+    float64 conversion is exact for 32-bit magnitudes (52-bit mantissa), so
+    the IEEE-754 biased exponent field IS floor(log2(x)) + 1023 — no
+    transcendental call needed."""
+    bl = ((x.astype(np.float64).view(np.uint64) >> np.uint64(52)) - np.uint64(1022)).astype(np.int64)
     lz = 32 - bl
-    low = (x & (~x + np.uint32(1))).astype(np.float64)  # x & -x
-    tz = np.log2(low).astype(np.int64)
+    low = x & (~x + np.uint32(1))  # x & -x: lowest set bit
+    tz = ((low.astype(np.float64).view(np.uint64) >> np.uint64(52)) - np.uint64(1023)).astype(np.int64)
     return lz, tz
 
 
 def gorilla_encode(values: np.ndarray) -> bytes:
-    """E1: encode ``values[1:]`` (int32) against their predecessors.
-    ``values[0]`` is carried out-of-band (tier0 ``first_val``)."""
+    """E1: encode ``values[1:]`` (int32) against their predecessors using the
+    uniform chunked-window policy (codec v2 — module docstring).
+    ``values[0]`` is carried out-of-band (tier0 ``first_val``).  Pure NumPy:
+    no per-element Python loop."""
     v = np.ascontiguousarray(values, dtype=np.int32).view(np.uint32)
     n = v.shape[0]
     if n <= 1:
         return b""
-    xor = v[1:] ^ v[:-1]
+    m = n - 1
+    xor = (v[1:] ^ v[:-1]).astype(np.uint64)
     nz = xor != 0
-    lz_a = np.zeros(n - 1, dtype=np.int64)
-    tz_a = np.zeros(n - 1, dtype=np.int64)
+    # sentinel 63 keeps zero elements out of the per-chunk window mins
+    lz = np.full(m, 63, dtype=np.int64)
+    tz = np.full(m, 63, dtype=np.int64)
     if nz.any():
-        lz_a[nz], tz_a[nz] = _clz_tz(xor[nz])
-    # The control decision carries sequential window state -> Python loop,
-    # but over plain ints (numpy scalar ops are ~10x slower in a tight loop).
-    xor_l = xor.tolist()
-    lz_l = lz_a.tolist()
-    tz_l = tz_a.tolist()
-    out_v = [0] * (n - 1)
-    out_b = [0] * (n - 1)
-    prev_lz = -1  # invalid window
-    prev_tz = -1
-    prev_len = 0
-    for i in range(n - 1):
-        x = xor_l[i]
-        if x == 0:
-            out_b[i] = 1  # control '0', value 0
-            continue
-        lz = lz_l[i]
-        tz = tz_l[i]
-        if lz >= prev_lz >= 0 and tz >= prev_tz:
-            # control '10' + meaningful bits inside the previous window
-            out_v[i] = (0b10 << prev_len) | (x >> prev_tz)
-            out_b[i] = 2 + prev_len
-        else:
-            length = 32 - lz - tz
-            hdr = (0b11 << 11) | (lz << 6) | length
-            out_v[i] = (hdr << length) | (x >> tz)
-            out_b[i] = 13 + length
-            prev_lz, prev_tz, prev_len = lz, tz, length
-    return pack_bits(np.array(out_v, dtype=np.uint64), np.array(out_b, dtype=np.uint8))
+        lz[nz], tz[nz] = _clz_tz(xor[nz].astype(np.uint32))
+    starts = np.arange(0, m, GORILLA_CHUNK, dtype=np.int64)
+    wlz = np.minimum.reduceat(lz, starts)
+    wtz = np.minimum.reduceat(tz, starts)
+    allz = wlz == 63  # all-zero chunk: 1-bit mantissas of 0
+    wlz[allz] = 31
+    wtz[allz] = 0
+    wlen = 32 - wlz - wtz  # in [1..32]; fits the 6-bit header field
+    cid = np.repeat(np.arange(starts.size, dtype=np.int64), GORILLA_CHUNK)[:m]
+    elen = wlen[cid].astype(np.uint64)
+    mant = xor >> wtz[cid].astype(np.uint64)
+    out_v = (np.uint64(0b10) << elen) | mant
+    out_b = (2 + wlen[cid]).astype(np.uint8)
+    # chunk-first elements carry the '11' header instead of the '10' control
+    hdr = ((np.uint64(0b11) << np.uint64(11)) | (wlz.astype(np.uint64) << np.uint64(6)) | wlen.astype(np.uint64))
+    out_v[starts] = (hdr << wlen.astype(np.uint64)) | mant[starts]
+    out_b[starts] = (13 + wlen).astype(np.uint8)
+    return pack_bits(out_v, out_b)
 
 
 def gorilla_decode(first_val: int, data: bytes, n: int) -> np.ndarray:
-    """E3: inverse of ``gorilla_encode``; returns int32[n]."""
+    """E3 fast path: vectorized inverse of the v2 chunked-window layout.
+    Sequential work is one small Python iteration **per chunk** (header
+    parse); all mantissa extraction and the XOR prefix scan are NumPy.
+    Only valid for streams written by this module's ``gorilla_encode``
+    (codec_version >= 2); use ``gorilla_decode_ref`` for arbitrary
+    conformant streams (e.g. v1 greedy blocks)."""
+    if n <= 1:
+        out = np.empty(n, dtype=np.uint32)
+        if n == 1:
+            out[0] = np.uint32(first_val & 0xFFFFFFFF)
+        return out.view(np.int32)
+    m = n - 1
+    buf = np.frombuffer(data, dtype=np.uint8)
+    pad = np.zeros(buf.shape[0] + 8, dtype=np.uint8)
+    pad[: buf.shape[0]] = buf
+    raw = pad.tobytes()
+    nchunks = (m + GORILLA_CHUNK - 1) // GORILLA_CHUNK
+    cs = np.empty(nchunks, dtype=np.int64)  # chunk start bit
+    wlen = np.empty(nchunks, dtype=np.int64)
+    wtz = np.empty(nchunks, dtype=np.int64)
+    bitpos = 0
+    rem = m
+    for c in range(nchunks):
+        cs[c] = bitpos
+        byte0 = bitpos >> 3
+        word = int.from_bytes(raw[byte0 : byte0 + 3], "big")
+        hdr = (word >> (24 - (bitpos & 7) - 13)) & 0x7FF  # 11 bits after '11'
+        ln = hdr & 63
+        wlen[c] = ln
+        wtz[c] = 32 - (hdr >> 6) - ln
+        elems = rem if rem < GORILLA_CHUNK else GORILLA_CHUNK
+        bitpos += 13 + ln + (elems - 1) * (2 + ln)
+        rem -= elems
+    cid = np.repeat(np.arange(nchunks, dtype=np.int64), GORILLA_CHUNK)[:m]
+    j = np.arange(m, dtype=np.int64) - cid * GORILLA_CHUNK
+    ln_e = wlen[cid]
+    # mantissa bit offsets: chunk-first after the 13-bit header, the rest
+    # after their 2-bit '10' control
+    mstart = np.where(
+        j == 0,
+        cs[cid] + 13,
+        cs[cid] + 13 + ln_e + (j - 1) * (2 + ln_e) + 2,
+    )
+    byte_idx = mstart >> 3
+    word = np.zeros(m, dtype=np.uint64)
+    for k in range(8):
+        word = (word << np.uint64(8)) | pad[byte_idx + k].astype(np.uint64)
+    shift = (64 - (mstart & 7) - ln_e).astype(np.uint64)
+    mask = np.where(ln_e >= 64, _MASK64, (np.uint64(1) << ln_e.astype(np.uint64)) - np.uint64(1))
+    mant = (word >> shift) & mask
+    xor = (mant << wtz[cid].astype(np.uint64)).astype(np.uint32)
+    out = np.empty(n, dtype=np.uint32)
+    out[0] = np.uint32(first_val & 0xFFFFFFFF)
+    out[1:] = xor
+    return np.bitwise_xor.accumulate(out).view(np.int32)
+
+
+def gorilla_decode_ref(first_val: int, data: bytes, n: int) -> np.ndarray:
+    """E3 reference path: generic control-bit follower.  Reads any stream in
+    the Gorilla grammar regardless of encode policy (v1 greedy or v2
+    chunked); the oracle and the property tests cross-check ``gorilla_decode``
+    against this."""
     out = np.empty(n, dtype=np.uint32)
     if n == 0:
         return out.view(np.int32)
@@ -225,6 +314,57 @@ def dod_encode_chunk(state: DodState, value: int) -> bytes:
     state.prev_delta = delta
     state.count += 1
     return pack_bits(np.array([v], dtype=np.uint64), np.array([nb], dtype=np.uint8))
+
+
+def dod_encode_values(state: DodState, values: np.ndarray | list[int]) -> list[bytes]:
+    """E2 batched: append ``values`` to the stream in order, returning one
+    byte-aligned chunk per value (same output as repeated
+    ``dod_encode_chunk``; the class decision and bit assembly are
+    vectorized, only the final per-chunk byte slicing is a list step)."""
+    vals = np.asarray(values, dtype=np.int64)
+    nv = vals.shape[0]
+    if nv == 0:
+        return []
+    out: list[bytes] = []
+    start = 0
+    if state.count == 0:
+        out.append(pack_bits(np.array([vals[0] & 0xFFFFFFFF], dtype=np.uint64), np.array([32], dtype=np.uint8)))
+        state.prev = int(vals[0])
+        state.prev_delta = 0
+        state.count = 1
+        start = 1
+        if nv == 1:
+            return out
+    v = vals[start:]
+    prevs = np.concatenate(([state.prev], v[:-1]))
+    delta = ((v - prevs + 0x80000000) & 0xFFFFFFFF) - 0x80000000
+    prev_d = np.concatenate(([state.prev_delta], delta[:-1]))
+    d = ((delta - prev_d + 0x80000000) & 0xFFFFFFFF) - 0x80000000
+    enc_v = np.select(
+        [d == 0, (d >= -63) & (d <= 64), (d >= -255) & (d <= 256), (d >= -2047) & (d <= 2048)],
+        [
+            np.int64(0),
+            (0b10 << 7) | (d + 63),
+            (0b110 << 9) | (d + 255),
+            (0b1110 << 12) | (d + 2047),
+        ],
+        default=(0b1111 << 32) | (d & 0xFFFFFFFF),
+    ).astype(np.uint64)
+    nb = np.select(
+        [d == 0, (d >= -63) & (d <= 64), (d >= -255) & (d <= 256), (d >= -2047) & (d <= 2048)],
+        [1, 9, 12, 16],
+        default=36,
+    ).astype(np.int64)
+    # byte-align each chunk: left-pad value into its own ceil(nb/8) bytes
+    nbytes = (nb + 7) >> 3
+    shifted = enc_v << ((nbytes * 8 - nb).astype(np.uint64))
+    be = shifted.astype(">u8").view(np.uint8).reshape(-1, 8)
+    state.prev = int(v[-1])
+    state.prev_delta = int(delta[-1])
+    state.count += int(v.shape[0])
+    nbytes_l = nbytes.tolist()
+    out.extend(be[i, 8 - nbytes_l[i] :].tobytes() for i in range(v.shape[0]))
+    return out
 
 
 def dod_decode_stream(chunks: list[bytes]) -> np.ndarray:

@@ -22,7 +22,10 @@ assert MAX_TOKENS_PER_PART % TIER2_BUCKET == 0
 # MAD comparable to a standard deviation (S-H-ESD, arXiv:1704.07706 §3).
 MAD_SCALE = 1.4826
 
-CODEC_VERSION = 1
+# v1 = greedy Gorilla control policy (Python-loop encoder); v2 = uniform
+# chunked-window policy (vectorized encode + decode; same bit grammar —
+# codecs.py module docstring).  gorilla_decode_ref reads both.
+CODEC_VERSION = 2
 
 # Default vocab used by synthetic/tokenized sources (GPT-2-sized, public).
 DEFAULT_VOCAB = 50_257

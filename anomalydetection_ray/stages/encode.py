@@ -92,9 +92,9 @@ def encode_rows(batch: pa.Table) -> pa.Table:
         cols["codec_version"].append(CODEC_VERSION)
         cols["value_checksum"].append(checksum64(dense.astype(np.int32).tobytes()))
         cols["null_bitmap"].append(bitmap)
-    from anomalydetection_ray.codecs import dod_encode_chunk
+    from anomalydetection_ray.codecs import dod_encode_values
 
-    cols["dod_ntok"] = [dod_encode_chunk(dod, n) for n in cols["n_tok"]]
+    cols["dod_ntok"] = dod_encode_values(dod, cols["n_tok"])
     tbl = pa.table({n: pa.array(cols[n], type=TIER0_SCHEMA.field(n).type) for n in TIER0_SCHEMA.names})
     return tbl, dod
 

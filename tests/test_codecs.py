@@ -10,7 +10,9 @@ from anomalydetection_ray.codecs import (
     checksum64,
     dod_decode_stream,
     dod_encode_chunk,
+    dod_encode_values,
     gorilla_decode,
+    gorilla_decode_ref,
     gorilla_encode,
     pack_bits,
     state_hash,
@@ -57,8 +59,39 @@ def test_gorilla_roundtrip_random():
         if n:
             dec = gorilla_decode(int(v[0]), enc, n)
             assert np.array_equal(dec, v), f"trial {trial}"
+            # the generic control-bit follower must agree with the fast
+            # vectorized decoder on every stream (same grammar)
+            ref = gorilla_decode_ref(int(v[0]), enc, n)
+            assert np.array_equal(ref, v), f"trial {trial} (ref)"
         else:
             assert enc == b""
+
+
+def test_gorilla_chunk_boundaries():
+    # n-1 exactly at / around multiples of GORILLA_CHUNK, incl. n=2
+    rng = np.random.default_rng(11)
+    for m in [1, 2, 31, 32, 33, 63, 64, 65, 1023, 1024, 1025]:
+        v = rng.integers(-(2**31), 2**31 - 1, m + 1).astype(np.int32)
+        enc = gorilla_encode(v)
+        assert np.array_equal(gorilla_decode(int(v[0]), enc, m + 1), v), m
+        assert np.array_equal(gorilla_decode_ref(int(v[0]), enc, m + 1), v), m
+
+
+def test_dod_encode_values_matches_scalar():
+    rng = np.random.default_rng(44)
+    for _ in range(10):
+        n = int(rng.integers(1, 300))
+        vals = rng.integers(-(2**31), 2**31 - 1, n).tolist()
+        s1, s2 = DodState(), DodState()
+        scalar = [dod_encode_chunk(s1, v) for v in vals]
+        batched = dod_encode_values(s2, vals)
+        assert scalar == batched
+        assert s1.as_tuple() == s2.as_tuple()
+        # split the batch arbitrarily: state must carry across calls
+        s3 = DodState()
+        k = n // 2
+        split = dod_encode_values(s3, vals[:k]) + dod_encode_values(s3, vals[k:])
+        assert split == scalar and s3.as_tuple() == s1.as_tuple()
 
 
 def test_dod_roundtrip():
