@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m3_token_fns": q.m3_token_fns,
         "g3_approx_quantiles": q.g3_approx_quantiles,
         "p1_persist_summary": q.p1_persist_summary,
+        "p2_persist_summary": q.p2_persist_summary,
         "q3_sample_lineitem": q.q3_sample_lineitem,
         "d2_union_tiers": q.d2_union_tiers,
         "g2_salted_source_stats": q.g2_salted_source_stats,

@@ -71,6 +71,103 @@ def ingest_pipeline(
     )
 
 
+def ingest_persist(
+    path: str,
+    out_dir: str,
+    resume: bool = True,
+    override_num_blocks: int | None = None,
+    num_cpus: float = 1,
+    target_unit_bytes: int | None = None,
+):
+    """Resumable P2 without a shuffle (the 100-TB path): the encoder
+    partition = a deterministic footer-planned read unit, so no byte of
+    token data ever crosses the wire — each fused task reads its
+    row-group ranges, validates/splits, encodes (Gorilla + a
+    partition-local DoD n_tok stream), writes
+    ``out_dir/tier0/unit=<k>/data.parquet`` atomically and commits a
+    manifest row.  Use ``ingest_pipeline`` instead when rows must be
+    co-located by doc_id hash (its groupby shuffle moves all data and is
+    ~10x more expensive; SURVEY.md §4 skew notes apply there)."""
+    import os as _os
+    import time as _time
+
+    import ray.data
+
+    from anomalydetection_ray.codecs import state_hash
+    from anomalydetection_ray.constants import ENGINE_VERSION
+    from anomalydetection_ray.pipelines.rollup import (
+        SEQUENCE_COLUMNS,
+        pack_read_units,
+        plan_read_units,
+        read_packed_units,
+    )
+    from anomalydetection_ray.sources.validate import validate_batch
+    from anomalydetection_ray.stages.encode import SUMMARY_SCHEMA, encode_rows
+    from anomalydetection_ray.state.manifest import finished_part_ids, write_manifest_row
+
+    units = plan_read_units(path) if target_unit_bytes is None else plan_read_units(
+        path, target_bytes=target_unit_bytes
+    )
+    packed = pack_read_units(units, override_num_blocks)
+    if resume:
+        done = finished_part_ids(out_dir)
+        packed = [u for u in packed if u["unit_id"] not in done]
+    if not packed:
+        return ray.data.from_arrow(SUMMARY_SCHEMA.empty_table())
+
+    def process(batch) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        out = {n: [] for n in SUMMARY_SCHEMA.names}
+        for uid, paths, rga, rgb in zip(
+            batch["unit_id"], batch["path"], batch["rg_start"], batch["rg_end"]
+        ):
+            t0 = _time.monotonic()
+            raw = read_packed_units(
+                {"path": [paths], "rg_start": [rga], "rg_end": [rgb]}, SEQUENCE_COLUMNS
+            )
+            v = validate_batch(raw)
+            tier0, dod = encode_rows(v)
+            udir = _os.path.join(out_dir, "tier0", f"unit={uid:06d}")
+            _os.makedirs(udir, exist_ok=True)
+            tmp = _os.path.join(udir, ".tmp-data.parquet")
+            pq.write_table(tier0, tmp)
+            _os.replace(tmp, _os.path.join(udir, "data.parquet"))
+            import numpy as _np
+
+            tokens = int(_np.asarray(tier0.column("n_tok"), dtype=_np.int64).sum())
+            enc_bytes = sum(len(b) for b in tier0.column("gorilla_xor").to_pylist())
+            sh = state_hash(dod)
+            wall = _time.monotonic() - t0
+            write_manifest_row(
+                out_dir,
+                {
+                    "part_id": int(uid),
+                    "input_fragments": [f"{p}:{a}-{b}" for p, a, b in zip(paths, rga, rgb)],
+                    "encoder_state_hash": sh,
+                    "rows_emitted": tier0.num_rows,
+                    "tokens_processed": tokens,
+                    "wall_s": wall,
+                    "engine_version": ENGINE_VERSION,
+                },
+            )
+            for k, val in (
+                ("part_id", int(uid)),
+                ("rows_emitted", tier0.num_rows),
+                ("tokens_processed", tokens),
+                ("encoded_bytes", enc_bytes),
+                ("encoder_state_hash", sh),
+                ("wall_s", wall),
+            ):
+                out[k].append(val)
+        return pa.table(
+            {n: pa.array(out[n], type=SUMMARY_SCHEMA.field(n).type) for n in SUMMARY_SCHEMA.names}
+        )
+
+    ds = ray.data.from_items(packed, override_num_blocks=len(packed))
+    return ds.map_batches(process, batch_size=None, batch_format="pandas", num_cpus=num_cpus)
+
+
 def read_tier0(out_dir: str):
     """Read the committed tier0 partitions back as a Dataset."""
     import ray.data

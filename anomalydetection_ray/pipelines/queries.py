@@ -323,6 +323,23 @@ def p1_persist_summary(sf_dir: str):
     return rollup_persist(seq_dir, out, resume=False, override_num_blocks=8)
 
 
+def p2_persist_summary(sf_dir: str):
+    """Resumable shuffle-free P2 (ingest_persist) over the tokenized corpus:
+    per-unit summary (rows-only; round-trip + resume gates in pytest)."""
+    import tempfile
+
+    from anomalydetection_ray.pipelines.ingest import ingest_persist
+    from anomalydetection_ray.sources.tokenize import tokenize_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    seq_dir = tempfile.mkdtemp(prefix="p2seq_")
+    docs.map_batches(tokenize_batch, batch_format="pyarrow", zero_copy_batch=True).write_parquet(seq_dir)
+    out = tempfile.mkdtemp(prefix="p2out_")
+    return ingest_persist(seq_dir, out, resume=False, override_num_blocks=8).select_columns(
+        ["part_id", "rows_emitted", "tokens_processed"]
+    )
+
+
 # ------------------------------------------------- events-as-series ----
 EVENTS_BUCKET = 100
 

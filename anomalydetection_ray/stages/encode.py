@@ -61,15 +61,21 @@ def assign_partition(batch: pa.Table, num_parts: int) -> pa.Table:
 def encode_rows(batch: pa.Table) -> pa.Table:
     """Encode validated part rows -> tier0 rows (order = input order; the
     DoD n_tok stream runs across the batch in that order)."""
+    from anomalydetection_ray.codecs import dod_encode_values
+
     tokens = batch.column("tokens")
     if isinstance(tokens, pa.ChunkedArray):
         tokens = tokens.combine_chunks()
-    doc_ids = batch.column("doc_id")
-    sources = batch.column("source")
-    part_ids = batch.column("part_id")
+    n_rows = batch.num_rows
     dod = DodState()
-    cols: dict[str, list] = {n: [] for n in TIER0_SCHEMA.names}
-    for i in range(batch.num_rows):
+    # per-row variable-size outputs stay Python lists; everything scalar is
+    # a NumPy array (the hot per-token work is all inside gorilla_encode)
+    n_toks = np.empty(n_rows, dtype=np.int32)
+    first_vals = np.zeros(n_rows, dtype=np.int32)
+    checksums = np.empty(n_rows, dtype=np.uint64)
+    enc_list: list[bytes] = []
+    bitmaps: list[bytes | None] = []
+    for i in range(n_rows):
         arr = tokens[i].values
         if arr.null_count:
             valid = np.asarray(arr.is_valid())
@@ -79,23 +85,30 @@ def encode_rows(batch: pa.Table) -> pa.Table:
             vals = np.asarray(arr, dtype=np.int32) if len(arr) else np.empty(0, dtype=np.int32)
         n = vals.shape[0]
         dense, _ = gap_fill(vals, valid, "locf")
-        bitmap = None
-        if valid is not None and not bool(valid.all()):
-            bitmap = np.packbits(valid).tobytes()
-        cols["doc_id"].append(doc_ids[i].as_py())
-        cols["source"].append(sources[i].as_py())
-        cols["part_id"].append(part_ids[i].as_py())
-        cols["n_tok"].append(n)
-        cols["first_val"].append(int(dense[0]) if n else 0)
-        cols["gorilla_xor"].append(gorilla_encode(dense))
-        cols["dod_ntok"].append(None)  # filled below (stream needs order)
-        cols["codec_version"].append(CODEC_VERSION)
-        cols["value_checksum"].append(checksum64(dense.astype(np.int32).tobytes()))
-        cols["null_bitmap"].append(bitmap)
-    from anomalydetection_ray.codecs import dod_encode_values
-
-    cols["dod_ntok"] = dod_encode_values(dod, cols["n_tok"])
-    tbl = pa.table({n: pa.array(cols[n], type=TIER0_SCHEMA.field(n).type) for n in TIER0_SCHEMA.names})
+        bitmaps.append(
+            np.packbits(valid).tobytes() if valid is not None and not bool(valid.all()) else None
+        )
+        n_toks[i] = n
+        if n:
+            first_vals[i] = dense[0]
+        enc_list.append(gorilla_encode(dense))
+        checksums[i] = checksum64(np.ascontiguousarray(dense, dtype=np.int32).tobytes())
+    dod_chunks = dod_encode_values(dod, n_toks)
+    tbl = pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "source": batch.column("source"),
+            "part_id": batch.column("part_id"),
+            "n_tok": pa.array(n_toks, type=pa.int32()),
+            "first_val": pa.array(first_vals, type=pa.int32()),
+            "gorilla_xor": pa.array(enc_list, type=pa.binary()),
+            "dod_ntok": pa.array(dod_chunks, type=pa.binary()),
+            "codec_version": pa.array(np.full(n_rows, CODEC_VERSION, dtype=np.int32)),
+            "value_checksum": pa.array(checksums, type=pa.uint64()),
+            "null_bitmap": pa.array(bitmaps, type=pa.binary()),
+        },
+        schema=TIER0_SCHEMA,
+    )
     return tbl, dod
 
 
@@ -147,31 +160,40 @@ class EncodePartition:
 
 def decode_batch(batch: pa.Table) -> pa.Table:
     """E3 as a stateless stage: tier0 rows -> decoded token parts + a
-    checksum verdict (scale-path verification; SURVEY.md §3 P3)."""
+    checksum verdict (scale-path verification; SURVEY.md §3 P3).  The
+    decoded values are assembled into one flat int32 buffer + offsets
+    (zero-copy ListArray) instead of per-row Python lists."""
     n_rows = batch.num_rows
-    toks_out: list = []
-    ok: list = []
+    n_tok = np.asarray(batch.column("n_tok"), dtype=np.int64)
+    first_vals = np.asarray(batch.column("first_val"), dtype=np.int64)
+    checksums = np.asarray(batch.column("value_checksum"), dtype=np.uint64)
+    enc_col = batch.column("gorilla_xor").to_pylist()
+    bm_col = batch.column("null_bitmap").to_pylist()
+    offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(n_tok, out=offsets[1:])
+    flat = np.empty(int(offsets[-1]), dtype=np.int32)
+    valid = np.ones(int(offsets[-1]), dtype=bool)
+    ok = np.empty(n_rows, dtype=bool)
     for i in range(n_rows):
-        n = batch.column("n_tok")[i].as_py()
-        dec = gorilla_decode(
-            batch.column("first_val")[i].as_py(),
-            batch.column("gorilla_xor")[i].as_py(),
-            n,
-        )
-        ok.append(checksum64(dec.astype(np.int32).tobytes()) == batch.column("value_checksum")[i].as_py())
-        bm = batch.column("null_bitmap")[i].as_py()
-        if bm is not None:
-            validb = np.unpackbits(np.frombuffer(bm, dtype=np.uint8), count=n).astype(bool)
-            toks_out.append([int(v) if m else None for v, m in zip(dec.tolist(), validb.tolist())])
-        else:
-            toks_out.append(dec.tolist())
+        n = int(n_tok[i])
+        dec = gorilla_decode(int(first_vals[i]), enc_col[i], n)
+        ok[i] = checksum64(np.ascontiguousarray(dec, dtype=np.int32).tobytes()) == int(checksums[i])
+        flat[offsets[i] : offsets[i + 1]] = dec
+        if bm_col[i] is not None:
+            valid[offsets[i] : offsets[i + 1]] = np.unpackbits(
+                np.frombuffer(bm_col[i], dtype=np.uint8), count=n
+            ).astype(bool)
+    values = pa.array(flat, type=pa.int32(), mask=~valid)
+    toks = pa.LargeListArray.from_arrays(pa.array(offsets, type=pa.int64()), values).cast(
+        pa.list_(pa.int32())
+    )
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
             "source": batch.column("source"),
             "part_id": batch.column("part_id"),
             "n_tok": batch.column("n_tok"),
-            "tokens": pa.array(toks_out, type=pa.list_(pa.int32())),
+            "tokens": toks,
             "checksum_ok": pa.array(ok, type=pa.bool_()),
         }
     )

@@ -152,28 +152,45 @@ def run_bench(sf_dir: str, num_cpus: int, phases: list[str]) -> dict:
         extras["topk_rows"] = len(top)
 
     if "ingest_encode" in phases:
-        # encode a capped slice (codec is the slow path; report honestly)
-        enc_tokens = min(n_tokens, int(4e7))
+        # scale path: fragment-aligned partitions, fused read->validate->
+        # encode->write, no shuffle (ingest_persist)
+        from anomalydetection_ray.pipelines.ingest import ingest_persist
+
+        enc_tokens = min(n_tokens, int(2e8))
         epath, _, etok = ensure_synth(enc_tokens)
         out = f"/tmp/anomray_bench_tier0_{num_cpus}_{int(time.time()*1000)}"
-        e_onb = max(1, len(_glob.glob(os.path.join(epath, "part-*.parquet"))))
         dt, rows = None, []
+        import shutil as _sh
+
         for r_i in range(reps):
             out_r = f"{out}_{r_i}"
             t0 = time.monotonic()
-            summary = ingest_pipeline(read_sequences(epath, override_num_blocks=max(e_onb, num_cpus * 2), num_cpus=1), out_r, num_parts=max(32, num_cpus * 4),
-                                      resume=False, encoder_concurrency=(1, num_cpus))
-            rows = summary.take_all()
+            rows = ingest_persist(epath, out_r, resume=False, num_cpus=task_cpus).take_all()
             d = time.monotonic() - t0
             dt = d if dt is None else min(dt, d)
-            import shutil as _sh
-
             _sh.rmtree(out_r, ignore_errors=True)
         res["queries"]["ingest_encode"] = dt
         enc_bytes = sum(r["encoded_bytes"] for r in rows)
         tok = sum(r["tokens_processed"] for r in rows)
         extras["encode_tokens_per_s"] = tok / dt
         extras["encode_bytes_per_token"] = enc_bytes / max(tok, 1)
+
+    if "ingest_shuffle" in phases:
+        # explicit hash-partition shuffle path (doc co-location contract):
+        # all token bytes cross the exchange — reported separately so the
+        # shuffle cost stays visible (capped slice)
+        enc_tokens = min(n_tokens, int(4e7))
+        epath, _, etok = ensure_synth(enc_tokens)
+        out = f"/tmp/anomray_bench_t0s_{num_cpus}_{int(time.time()*1000)}"
+        e_onb = max(1, len(_glob.glob(os.path.join(epath, "part-*.parquet"))))
+        t0 = time.monotonic()
+        summary = ingest_pipeline(read_sequences(epath, override_num_blocks=max(e_onb, num_cpus * 2), num_cpus=1), out, num_parts=max(32, num_cpus * 4),
+                                  resume=False, encoder_concurrency=(1, num_cpus))
+        rows = summary.take_all()
+        dt = time.monotonic() - t0
+        res["queries"]["ingest_shuffle"] = dt
+        tok = sum(r["tokens_processed"] for r in rows)
+        extras["encode_shuffle_tokens_per_s"] = tok / dt
         import shutil
 
         shutil.rmtree(out, ignore_errors=True)

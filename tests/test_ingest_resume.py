@@ -18,7 +18,8 @@ from anomalydetection_ray.sources.fixtures import fixture_table
 def seq_parquet(tmp_path_factory):
     tbl = fixture_table(include_giant=True, giant_len=1_200_000)
     d = tmp_path_factory.mktemp("seqs_ingest")
-    pq.write_table(tbl, d / "seqs.parquet")
+    # small row groups so plan_read_units can form multiple resume units
+    pq.write_table(tbl, d / "seqs.parquet", row_group_size=30)
     return str(d / "seqs.parquet"), tbl
 
 
@@ -105,3 +106,53 @@ def test_resume_noop_when_complete(ray_session, seq_parquet, tmp_path):
     _run_ingest(path, out)
     summary2 = _run_ingest(path, out, resume=True)
     assert summary2 == []  # nothing recomputed
+
+
+def test_ingest_persist_roundtrip_and_resume(ray_session, seq_parquet, tmp_path):
+    """Shuffle-free P2 (fragment-aligned partitions): round-trip token
+    equality + kill/resume == single run, same contracts as the hash path."""
+    from anomalydetection_ray.pipelines.ingest import ingest_persist, verify_tier0
+    from anomalydetection_ray.state.manifest import finished_part_ids, manifest_dir
+
+    path, tbl = seq_parquet
+    full, partial = str(tmp_path / "pfull"), str(tmp_path / "ppartial")
+    rows = ingest_persist(path, full, resume=False, target_unit_bytes=400_000).take_all()
+    assert sum(r["rows_emitted"] for r in rows) > 0
+    verdicts = verify_tier0(full).take_all()
+    assert all(r["checksum_ok"] for r in verdicts)
+
+    # per-row token equality vs source (nulls included)
+    from anomalydetection_ray.sources.validate import validate_batch
+
+    original = validate_batch(tbl)
+    orig = {
+        (
+            original.column("doc_id")[i].as_py(),
+            original.column("part_id")[i].as_py(),
+            original.column("source")[i].as_py(),
+        ): original.column("tokens")[i].as_py()
+        for i in range(original.num_rows)
+    }
+    assert len(verdicts) == original.num_rows
+    for r in verdicts:
+        assert list(r["tokens"]) == orig[(r["doc_id"], r["part_id"], r["source"])]
+
+    # kill/resume: delete some committed units, resume recomputes exactly those
+    ingest_persist(path, partial, resume=False, target_unit_bytes=400_000).take_all()
+    pids = sorted(finished_part_ids(partial))
+    assert len(pids) >= 2
+    killed = pids[::2]
+    for pid in killed:
+        shutil.rmtree(os.path.join(partial, "tier0", f"unit={pid:06d}"))
+        os.remove(os.path.join(manifest_dir(partial), f"part={pid:06d}.json"))
+    summary2 = ingest_persist(path, partial, resume=True, target_unit_bytes=400_000).take_all()
+    assert {r["part_id"] for r in summary2} == set(killed)
+    a = pq.read_table(os.path.join(full, "tier0")).select(TIER0_SCHEMA.names).sort_by(
+        [("doc_id", "ascending"), ("part_id", "ascending")]
+    )
+    b = pq.read_table(os.path.join(partial, "tier0")).select(TIER0_SCHEMA.names).sort_by(
+        [("doc_id", "ascending"), ("part_id", "ascending")]
+    )
+    assert a.equals(b)
+    # complete run resumes to a no-op
+    assert ingest_persist(path, partial, resume=True, target_unit_bytes=400_000).take_all() == []
