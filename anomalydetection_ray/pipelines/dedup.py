@@ -133,16 +133,12 @@ def exact_dedup(sf_dir: str):
         return pa.table({"text_hash": pa.array(hs, type=pa.string()),
                          "doc_id": batch.column("doc_id")})
 
-    def keep_first(group: pa.Table) -> pa.Table:
-        idx = pa.compute.sort_indices(group.column("doc_id"))
-        return group.take(idx[:1])
+    from anomalydetection_ray.stages.runs import keep_first_by
 
-    return (
-        _docs(sf_dir)
-        .map_batches(hash_batch, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("text_hash")
-        .map_groups(keep_first, batch_format="pyarrow")
-    )
+    hashed = _docs(sf_dir).map_batches(hash_batch, batch_format="pyarrow", zero_copy_batch=True)
+    # vectorized grouped-first: hash exchange + per-block run select (no
+    # per-group Python; stages/runs.py)
+    return keep_first_by(hashed, keys=["text_hash"], order_by=["doc_id"])
 
 
 def minhash_lsh_pairs(sf_dir: str, min_est: float = 0.5):
@@ -151,10 +147,9 @@ def minhash_lsh_pairs(sf_dir: str, min_est: float = 0.5):
     bands = sigs.map_batches(band_rows_batch, batch_format="pyarrow")
     pairs = bands.groupby(["band", "bucket"]).map_groups(bucket_pairs, batch_format="pyarrow")
 
-    def dedup_pairs(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
+    from anomalydetection_ray.stages.runs import keep_first_by
 
-    uniq = pairs.groupby(["doc_a", "doc_b"]).map_groups(dedup_pairs, batch_format="pyarrow")
+    uniq = keep_first_by(pairs, keys=["doc_a", "doc_b"])
     return uniq.filter(expr=f"est_jaccard >= {min_est}")
 
 
@@ -214,10 +209,9 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
     bands = _docs(sf_dir).map_batches(sh_batch, batch_format="pyarrow", zero_copy_batch=True)
     cand = bands.groupby(["band", "key"]).map_groups(pairs, batch_format="pyarrow")
 
-    def dedup_pairs(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
+    from anomalydetection_ray.stages.runs import keep_first_by
 
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(dedup_pairs, batch_format="pyarrow")
+    return keep_first_by(cand, keys=["doc_a", "doc_b"])
 
 
 def ngram_jaccard_pairs(sf_dir: str, n: int = 3, min_jaccard: float = 0.3):

@@ -89,9 +89,12 @@ def pricing_summary(sf_dir: str):
 
 # ---------------------------------------------------------------- Q2 ----
 def q2_topk_events(sf_dir: str, k: int = 50):
-    """Top-k events by value (deterministic tiebreak on event_id)."""
+    """Top-k events by value (deterministic tiebreak on event_id) — block
+    prune + tiny final sort, no global sort shuffle (stages/topk.py)."""
+    from anomalydetection_ray.stages.topk import topk
+
     ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
-    return ds.sort(["value", "event_id"], descending=[True, False]).limit(k)
+    return topk(ds, k, [("value", "descending"), ("event_id", "ascending")])
 
 
 # ---------------------------------------------------------------- Q1 ----
@@ -114,13 +117,10 @@ def m2_filter_lineitem(sf_dir: str):
 def d1_dedup_events(sf_dir: str):
     """Exact dedup: one row per user_id, deterministic tiebreak = min
     event_id (hash-partition groupby + per-group first; D1)."""
+    from anomalydetection_ray.stages.runs import keep_first_by
+
     ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
-
-    def first_row(group: pa.Table) -> pa.Table:
-        idx = pa.compute.sort_indices(group.column("event_id"))
-        return group.take(idx[:1])
-
-    return ds.groupby("user_id").map_groups(first_row, batch_format="pyarrow")
+    return keep_first_by(ds, keys=["user_id"], order_by=["event_id"], num_partitions=16)
 
 
 # ---------------------------------------------------------------- J1 ----

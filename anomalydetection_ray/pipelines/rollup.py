@@ -162,11 +162,15 @@ def write_tiers(tiers_ds, out_dir: str):
 
 
 def topk_anomalies(tiers_ds, k: int = 100, tier: int = 1):
-    """Q2: the reference family's 'report anomalies' surface."""
-    return (
-        tiers_ds.filter(expr=f"tier == {tier}")
-        .sort("anomaly_score", descending=True)
-        .limit(k)
+    """Q2: the reference family's 'report anomalies' surface.  Map-side
+    block prune + tiny final sort (stages/topk.py) instead of a global
+    sort shuffle; deterministic tiebreak on (doc_id, bucket)."""
+    from anomalydetection_ray.stages.topk import topk
+
+    return topk(
+        tiers_ds.filter(expr=f"tier == {tier}"),
+        k,
+        [("anomaly_score", "descending"), ("doc_id", "ascending"), ("bucket", "ascending")],
     )
 
 

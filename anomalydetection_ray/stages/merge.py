@@ -3,9 +3,11 @@
 The in-kernel tier2 merge (stages/rollup.py) covers the common case where a
 part's tier1 rows are emitted together.  This module is the general path
 the spec also requires: tier1 re-read from disk (arbitrary block layout)
--> groupby (doc_id, source, part-aligned tier2 bucket) -> per-group G1
-merge with the same fixed-order Kahan arithmetic -> tier2 rows that are
-bit-identical to the in-kernel ones (tested).
+-> hash-repartition by (doc_id, source, part-aligned tier2 bucket) ->
+per-block vectorized run merge with the same fixed-order Kahan arithmetic
+-> tier2 rows that are bit-identical to the in-kernel ones (tested).
+``tier2_group_merge`` is kept as the one-group-at-a-time reference the
+vectorized path is cross-checked against.
 
 ``salted_groupby_sum`` is the skew defense for hot keys (north rule:
 "salted groupby-aggregate shuffles"): stage 1 groups on (key, salt) where
@@ -63,16 +65,119 @@ def tier2_group_merge(group: pa.Table) -> pa.Table:
     )
 
 
-def tier2_from_tier1_ds(tier1_ds):
-    """Distributed G1: tier1 Dataset (any layout) -> tier2 Dataset."""
+_I32_MAX = np.int32(np.iinfo(np.int32).max)
+_I32_MIN = np.int32(np.iinfo(np.int32).min)
+
+
+def _group_starts(batch: pa.Table) -> np.ndarray:
+    """Start indices of (doc_id, source, bucket2) runs in a sorted batch."""
+    n = batch.num_rows
+    b2 = np.asarray(batch.column("bucket2"), dtype=np.int64)
+    neq = b2[1:] != b2[:-1]
+    for col in ("doc_id", "source"):
+        c = batch.column(col)
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        neq |= np.asarray(pa.compute.not_equal(c.slice(1), c.slice(0, n - 1)))
+    return np.concatenate((np.zeros(1, dtype=np.int64), np.flatnonzero(neq) + 1))
+
+
+def _merge_sorted_runs(batch: pa.Table) -> pa.Table:
+    """Vectorized G1 over a batch sorted by (doc_id, source, bucket2,
+    bucket): one output row per run, same arithmetic order as the oracle
+    (children ascend by bucket -> identical masked Kahan to the kernel)."""
+    n = batch.num_rows
+    if n == 0:
+        return TIER_SCHEMA.empty_table()
+    starts = _group_starts(batch)
+    ends = np.concatenate((starts[1:], np.array([n], dtype=np.int64)))
+    counts = np.asarray(batch.column("count"), dtype=np.int64)
+    means = np.asarray(batch.column("mean"), dtype=np.float64)
+    scores = np.asarray(batch.column("anomaly_score"), dtype=np.float64)
+    live = counts > 0
+    mins = np.where(live, np.asarray(batch.column("min"), dtype=np.int64), _I32_MAX)
+    maxs = np.where(live, np.asarray(batch.column("max"), dtype=np.int64), _I32_MIN)
+    cnt2 = np.add.reduceat(counts, starts)
+    min2 = np.minimum.reduceat(mins, starts)
+    max2 = np.maximum.reduceat(maxs, starts)
+    score2 = np.maximum.reduceat(scores, starts)
+    ng = starts.shape[0]
+    x_all = means * counts
+    s_acc = np.zeros(ng)
+    c_acc = np.zeros(ng)
+    last = n - 1
+    k = 0
+    while True:
+        idx = starts + k
+        m = idx <= (ends - 1)
+        if not m.any():
+            break
+        xi = np.where(m, x_all[np.minimum(idx, last)], 0.0)
+        y = xi - c_acc
+        t = s_acc + y
+        c_new = (t - s_acc) - y
+        s_acc = np.where(m, t, s_acc)
+        c_acc = np.where(m, c_new, c_acc)
+        k += 1
+    empty = cnt2 == 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean2 = np.where(empty, 0.0, s_acc / np.maximum(cnt2, 1))
+    take = pa.array(starts, type=pa.int64())
+    doc = batch.column("doc_id")
+    src = batch.column("source")
+    if isinstance(doc, pa.ChunkedArray):
+        doc = doc.combine_chunks()
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    return pa.table(
+        {
+            "doc_id": doc.take(take),
+            "source": src.take(take),
+            "tier": pa.array(np.full(ng, 2, dtype=np.int8)),
+            "bucket": pa.array(
+                np.asarray(batch.column("bucket2"), dtype=np.int64)[starts], type=pa.int64()
+            ),
+            "min": pa.array(min2.astype(np.int32), type=pa.int32(), mask=empty),
+            "max": pa.array(max2.astype(np.int32), type=pa.int32(), mask=empty),
+            "mean": pa.array(mean2, type=pa.float64()),
+            "count": pa.array(cnt2, type=pa.int64()),
+            "anomaly_score": pa.array(score2, type=pa.float64()),
+            "filled": pa.array(empty),
+        }
+    )
+
+
+def tier2_from_tier1_ds(tier1_ds, num_partitions: int = 64):
+    """Distributed G1: tier1 Dataset (any layout) -> tier2 Dataset.
+
+    Scale path: one exchange at PARTITION granularity — every row gets
+    ``_pkey = hash(doc_id, source, bucket2) % num_partitions`` so a group
+    lands wholly in one partition, the groupby exchanges on that single
+    int column, and each of the ``num_partitions`` calls sorts its whole
+    partition by (key, bucket) and merges all its runs fully vectorized
+    (`_merge_sorted_runs`: reduceat + the kernel's masked-Kahan loop,
+    bit-identical to the per-group reference ``tier2_group_merge``).
+    Per-group Python work is gone: ``num_partitions`` UDF calls total,
+    regardless of group count."""
+    import functools
+
+    from anomalydetection_ray.stages.runs import PKEY, add_partition_key
 
     def add_bucket2(batch: pa.Table) -> pa.Table:
         b2 = np.asarray(batch.column("bucket"), dtype=np.int64) // _R
-        return batch.append_column("bucket2", pa.array(b2, type=pa.int64()))
+        batch = batch.append_column("bucket2", pa.array(b2, type=pa.int64()))
+        return add_partition_key(batch, ["doc_id", "source", "bucket2"], num_partitions)
+
+    def merge_partition(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_columns([PKEY]).sort_by(
+            [("doc_id", "ascending"), ("source", "ascending"),
+             ("bucket2", "ascending"), ("bucket", "ascending")]
+        )
+        return _merge_sorted_runs(batch)
 
     withb2 = tier1_ds.map_batches(add_bucket2, batch_format="pyarrow", zero_copy_batch=True)
-    out = withb2.groupby(["doc_id", "source", "bucket2"]).map_groups(
-        tier2_group_merge, batch_format="pyarrow"
+    out = withb2.groupby(PKEY).map_groups(
+        functools.partial(merge_partition), batch_format="pyarrow"
     )
     return out.select_columns(TIER_SCHEMA.names)
 

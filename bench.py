@@ -230,18 +230,33 @@ def main() -> None:
         # that can honestly evidence the north rule's N->4N criterion;
         # (8,32) is reported too, with the hardware caveat.
         cpu_levels = [int(c) for c in os.environ.get("GRAFT_SCALING_CPUS", "2,8,32").split(",")]
-        results = {}
-        for cpus in cpu_levels:
-            env = dict(os.environ)
-            env["RAY_GRAFT_CPUS"] = str(cpus)
-            env["GRAFT_BENCH_TOKENS"] = str(scaling_tokens)
-            env["GRAFT_TASK_CPUS"] = "1"
-            env["GRAFT_BENCH_REPS"] = os.environ.get("GRAFT_BENCH_REPS", "3")
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--phases", "rollup_synth,ingest_encode"],
-                env=env, capture_output=True, text=True, check=True,
-            )
-            results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        # host co-tenancy throttling drifts over minutes; running all reps
+        # of one CPU level back-to-back lets one level eat a bad window and
+        # produce physically impossible ratios.  Interleave single-rep runs
+        # across levels and merge best-per-level instead.
+        scaling_reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
+        results: dict = {}
+        for _rep in range(scaling_reps):
+            for cpus in cpu_levels:
+                env = dict(os.environ)
+                env["RAY_GRAFT_CPUS"] = str(cpus)
+                env["GRAFT_BENCH_TOKENS"] = str(scaling_tokens)
+                env["GRAFT_TASK_CPUS"] = "1"
+                env["GRAFT_BENCH_REPS"] = "1"
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--phases", "rollup_synth,ingest_encode"],
+                    env=env, capture_output=True, text=True, check=True,
+                )
+                j = json.loads(out.stdout.strip().splitlines()[-1])
+                prev = results.get(cpus)
+                if prev is None:
+                    results[cpus] = j
+                else:  # field-wise best: min times, max throughputs
+                    for k, v in j["queries"].items():
+                        prev["queries"][k] = min(prev["queries"][k], v)
+                    for k in list(j.keys()):
+                        if k.endswith("_per_s"):
+                            prev[k] = max(prev[k], j[k])
 
         def eff(lo, hi, key):
             return (results[hi][key] / results[lo][key]) / (hi / lo)

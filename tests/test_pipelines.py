@@ -75,3 +75,27 @@ def test_tokenizer_known_values(ray_session):
     assert out.equals(out2)
     toks = np.array(out.column("tokens")[0].values)
     assert (toks >= 0).all() and (toks < 50257).all()
+
+
+def test_topk_equals_sort_limit(ray_session):
+    """stages/topk.py must agree with a full sort+limit, ties included."""
+    import ray.data
+
+    from anomalydetection_ray.stages.topk import topk
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    tbl = pa.table(
+        {
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            # few distinct values -> many cross-block ties at the cutoff
+            "score": pa.array(rng.integers(0, 40, n).astype(np.float64)),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(16)
+    keys = [("score", "descending"), ("id", "ascending")]
+    got = topk(ds, 100, keys).to_pandas()
+    want = (
+        ds.sort(["score", "id"], descending=[True, False]).limit(100).to_pandas()
+    )
+    assert got[["score", "id"]].values.tolist() == want[["score", "id"]].values.tolist()
