@@ -36,7 +36,7 @@ from anomalydetection_ray.constants import (
     TIER1_BUCKET,
     TIER2_BUCKET,
 )
-from anomalydetection_ray.functions.stats import gap_fill, robust_score
+from anomalydetection_ray.functions.stats import gap_fill
 
 # buckets per median-gather chunk: 8192 buckets x 1000 positions x 8 B ~ 64 MiB
 MEDIAN_CHUNK = 8192
@@ -102,9 +102,57 @@ def _scores_dense(
         mx = d2.max(axis=1) * 0.5
         with np.errstate(divide="ignore", invalid="ignore"):
             scores[ch] = np.where(mad == 0.0, 0.0, mx / (MAD_SCALE * mad))
-    for j in np.flatnonzero(~full):
-        scores[j] = robust_score(vals[starts[j] : ends[j]].astype(np.float64))
+    _scores_partial(vals, starts, counts, np.flatnonzero(~full), scores)
     return scores
+
+
+_PAD = np.int64(1) << 62  # sorts after any |2*int32 - med2| value
+
+
+def _scores_partial(
+    vals: np.ndarray, starts: np.ndarray, counts: np.ndarray,
+    pidx: np.ndarray, scores: np.ndarray,
+) -> None:
+    """Vectorized robust score for the <= one partial tail bucket per row:
+    pad each bucket to the chunk's max length with a +inf-like sentinel,
+    one C-level row sort puts the sentinel last, and the two middle order
+    statistics of the TRUE length come from a fancy index.  Integer-domain
+    arithmetic identical to the full-bucket path (and therefore to the
+    oracle's float64 loop):  med2 = s[(L-1)//2] + s[L//2],
+    2*mad = (d2s[(L-1)//2] + d2s[L//2]) / 2, all exact in f64."""
+    if pidx.shape[0] == 0:
+        return
+    # singleton buckets: med == the value -> dev == 0 -> score 0 (MAD=0)
+    ones = counts[pidx] == 1
+    if ones.any():
+        scores[pidx[ones]] = 0.0
+        pidx = pidx[~ones]
+        if pidx.shape[0] == 0:
+            return
+    for lo in range(0, pidx.shape[0], MEDIAN_CHUNK):
+        ch = pidx[lo : lo + MEDIAN_CHUNK]
+        L = counts[ch]
+        maxL = int(L.max())
+        nr = ch.shape[0]
+        col = np.arange(maxL, dtype=np.int64)
+        live = col[None, :] < L[:, None]
+        # clipped gather: padding cells read a duplicate in-bucket value,
+        # then get overwritten by the sentinel
+        gather = starts[ch][:, None] + np.minimum(col, L[:, None] - 1)
+        g = vals[gather].astype(np.int64)
+        g[~live] = _PAD
+        gs = np.sort(g, axis=1)
+        rows = np.arange(nr)
+        k1 = (L - 1) >> 1
+        k2 = L >> 1
+        med2 = gs[rows, k1] + gs[rows, k2]
+        d2 = np.abs(2 * g - med2[:, None])
+        d2[~live] = _PAD
+        d2s = np.sort(d2, axis=1)
+        mad = (d2s[rows, k1] + d2s[rows, k2]) * 0.25  # exact: /4 power of two
+        mx = d2s[rows, L - 1] * 0.5
+        with np.errstate(divide="ignore", invalid="ignore"):
+            scores[ch] = np.where(mad == 0.0, 0.0, mx / (MAD_SCALE * mad))
 
 
 def _empty_tiers() -> pa.Table:
