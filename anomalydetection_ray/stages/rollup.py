@@ -96,8 +96,21 @@ def _scores_dense(
         #   mad   = median(dev)        =>  2*mad   = median(2*dev)
         #   score = max(dev)/(1.4826*mad)  computed from the halved values.
         p = np.partition(g, (h - 1, h), axis=1)
-        med2 = p[:, h - 1].astype(np.int64) + p[:, h]  # = 2*median, exact
-        d2 = np.abs(2 * g.astype(np.int64) - med2[:, None])
+        gmin = int(g.min())
+        gmax = int(g.max())
+        if 2 * (gmax - gmin) < 2**31:
+            # int32 fast path (always taken for token vocabularies): shift
+            # by the chunk min so |2*(g-m) - (med2-2m)| == |2*g - med2|
+            # stays exact in int32 — halves the memory traffic of the
+            # median pass, which is what binds parallel scaling
+            g0 = (g - np.int32(gmin)).astype(np.int32, copy=False)
+            med2 = (
+                (p[:, h - 1].astype(np.int64) + p[:, h]) - 2 * gmin
+            ).astype(np.int32)
+            d2 = np.abs(2 * g0 - med2[:, None])
+        else:
+            med2 = p[:, h - 1].astype(np.int64) + p[:, h]  # = 2*median, exact
+            d2 = np.abs(2 * g.astype(np.int64) - med2[:, None])
         mad = np.median(d2, axis=1) * 0.5  # exact: /2 is a power of two
         mx = d2.max(axis=1) * 0.5
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -139,15 +152,29 @@ def _scores_partial(
         # clipped gather: padding cells read a duplicate in-bucket value,
         # then get overwritten by the sentinel
         gather = starts[ch][:, None] + np.minimum(col, L[:, None] - 1)
-        g = vals[gather].astype(np.int64)
-        g[~live] = _PAD
-        gs = np.sort(g, axis=1)
+        g32 = vals[gather]
+        gmin = int(g32.min())
+        gmax = int(g32.max())
         rows = np.arange(nr)
         k1 = (L - 1) >> 1
         k2 = L >> 1
-        med2 = gs[rows, k1] + gs[rows, k2]
-        d2 = np.abs(2 * g - med2[:, None])
-        d2[~live] = _PAD
+        if 2 * (gmax - gmin) < 2**31:
+            # int32 fast path, shifted by the chunk min (same exact values
+            # as the int64 path — see _scores_dense)
+            pad = np.int32(2**31 - 1)
+            g = (g32 - np.int32(gmin)).astype(np.int32, copy=False)
+            g[~live] = pad
+            gs = np.sort(g, axis=1)
+            med2 = gs[rows, k1].astype(np.int64) + gs[rows, k2]
+            d2 = np.abs(2 * g - med2[:, None].astype(np.int32))
+            d2[~live] = pad
+        else:
+            g = g32.astype(np.int64)
+            g[~live] = _PAD
+            gs = np.sort(g, axis=1)
+            med2 = gs[rows, k1] + gs[rows, k2]
+            d2 = np.abs(2 * g - med2[:, None])
+            d2[~live] = _PAD
         d2s = np.sort(d2, axis=1)
         mad = (d2s[rows, k1] + d2s[rows, k2]) * 0.25  # exact: /4 power of two
         mx = d2s[rows, L - 1] * 0.5

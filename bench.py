@@ -175,6 +175,31 @@ def run_bench(sf_dir: str, num_cpus: int, phases: list[str]) -> dict:
         extras["encode_tokens_per_s"] = tok / dt
         extras["encode_bytes_per_token"] = enc_bytes / max(tok, 1)
 
+    if "oracle_baseline" in phases:
+        # the single-process reference implementation (oracle.py) on a
+        # slice of the same input — the "match-or-beat the reference's
+        # single-node throughput" comparison point (BASELINE.json:6: the
+        # reference is single-process; ours is the Ray engine above)
+        import glob as _g
+
+        import pyarrow.parquet as _pq
+
+        from anomalydetection_ray import oracle as _oracle
+        from anomalydetection_ray.sources.validate import validate_batch as _vb
+
+        opath, _, _ = ensure_synth(int(2e7))
+        files = sorted(_g.glob(os.path.join(opath, "part-*.parquet")))
+        import pyarrow as _pa
+
+        otbl = _pa.concat_tables([_pq.read_table(f) for f in files])
+        ov = _vb(otbl)
+        otok = int(sum(int(x) for x in ov.column("n_tok").to_pylist()))
+        t0 = time.monotonic()
+        _oracle.rollup_table(ov)
+        dt = time.monotonic() - t0
+        res["queries"]["oracle_baseline"] = dt
+        extras["oracle_tokens_per_s"] = otok / dt
+
     if "ingest_shuffle" in phases:
         # explicit hash-partition shuffle path (doc co-location contract):
         # all token bytes cross the exchange — reported separately so the
