@@ -112,16 +112,36 @@ def moving_mean_std(x: np.ndarray, w: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def ewma(x: np.ndarray, alpha: float) -> np.ndarray:
-    """A2: Roberts-1959 exponentially weighted moving average (float64)."""
-    out = np.empty(x.shape[0], dtype=np.float64)
-    if x.shape[0] == 0:
+    """A2: Roberts-1959 exponentially weighted moving average (float64).
+
+    Vectorized blocked prefix scan: within a block with carry ``s``,
+    ``s_j = q_j * (s + cumsum(alpha * x_t / q_t))`` where
+    ``q_j = (1-alpha)^(j+1)`` (cumprod).  The block length is capped so
+    ``1/q`` stays < 1e250 (no overflow); the carry crosses blocks exactly.
+    A per-token Python loop would be ~0.3 us/token — unusable against
+    10^12-token corpora."""
+    n = x.shape[0]
+    out = np.empty(n, dtype=np.float64)
+    if n == 0:
         return out
-    s = float(x[0])
-    out[0] = s
+    x = np.asarray(x, dtype=np.float64)
     one_m = 1.0 - alpha
-    for i in range(1, x.shape[0]):
-        s = alpha * float(x[i]) + one_m * s
-        out[i] = s
+    if one_m <= 0.0:  # alpha >= 1: s_i = x_i
+        out[:] = x
+        return out
+    if one_m >= 1.0:  # alpha <= 0: constant s_0
+        out[:] = x[0]
+        return out
+    bmax = int(min(4096, max(1, np.floor(250.0 / -np.log10(one_m)))))
+    out[0] = s = float(x[0])
+    i = 1
+    while i < n:
+        j = min(i + bmax, n)
+        q = np.cumprod(np.full(j - i, one_m))
+        z = np.cumsum(alpha * x[i:j] / (q / one_m))  # q_t/(1-a) = (1-a)^t
+        out[i:j] = q * (s + z / one_m)
+        s = float(out[j - 1])
+        i = j
     return out
 
 

@@ -344,49 +344,79 @@ def p2_persist_summary(sf_dir: str):
 EVENTS_BUCKET = 100
 
 
-def rollup_events_tier1(sf_dir: str):
+def rollup_events_tier1(sf_dir: str, num_partitions: int = 16):
     """M1 bucket math over the events table: each user_id is a series
     (position = event rank by event_id, value = floor(value) as int32),
     tumbling buckets of EVENTS_BUCKET positions, per bucket min / max /
     exact mean / count / robust anomaly score.  Fully SQL-expressible ->
-    the strongest external oracle of the rollup semantics."""
+    the strongest external oracle of the rollup semantics.
+
+    Scale shape: one exchange on ``_pkey = hash(user_id) % P`` (all of a
+    user's events land in one partition), then each partition call sorts
+    by (user_id, event_id) and runs the SAME vectorized index algebra +
+    int-domain robust-score kernel as the flagship rollup
+    (stages/rollup.py `_scores_dense`) — no per-user or per-bucket
+    Python."""
+    import functools
+
+    from anomalydetection_ray.stages.rollup import _scores_dense
+    from anomalydetection_ray.stages.runs import PKEY, add_partition_key, run_starts
+
     ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
 
-    def per_user(group: pa.Table) -> pa.Table:
-        order = pa.compute.sort_indices(group.column("event_id"))
-        g = group.take(order)
-        v = np.floor(np.asarray(g.column("value"), dtype=np.float64)).astype(np.int32)
-        uid = g.column("user_id")[0].as_py()
+    def per_partition(batch: pa.Table) -> pa.Table:
         w = EVENTS_BUCKET
-        nb = -(-len(v) // w)
-        rows = {k: [] for k in ("user_id", "bucket", "min", "max", "mean", "count", "anomaly_score")}
-        for b in range(nb):
-            sl = v[b * w : (b + 1) * w].astype(np.int64)
-            cnt = sl.size
-            med = np.median(sl.astype(np.float64))
-            dev = np.abs(sl.astype(np.float64) - med)
-            mad = np.median(dev)
-            score = 0.0 if mad == 0.0 else float(dev.max() / (MAD_SCALE * mad))
-            rows["user_id"].append(uid)
-            rows["bucket"].append(b)
-            rows["min"].append(int(sl.min()))
-            rows["max"].append(int(sl.max()))
-            rows["mean"].append(int(sl.sum()) / cnt)
-            rows["count"].append(cnt)
-            rows["anomaly_score"].append(score)
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "bucket": pa.array([], type=pa.int64()),
+                    "min": pa.array([], type=pa.int32()),
+                    "max": pa.array([], type=pa.int32()),
+                    "mean": pa.array([], type=pa.float64()),
+                    "count": pa.array([], type=pa.int64()),
+                    "anomaly_score": pa.array([], type=pa.float64()),
+                }
+            )
+        batch = batch.drop_columns([PKEY]).sort_by(
+            [("user_id", "ascending"), ("event_id", "ascending")]
+        )
+        n = batch.num_rows
+        v = np.floor(np.asarray(batch.column("value"), dtype=np.float64)).astype(np.int32)
+        uids = np.asarray(batch.column("user_id"), dtype=np.int64)
+        ustarts = run_starts(batch, ["user_id"])
+        lens = np.diff(np.concatenate((ustarts, np.array([n], dtype=np.int64))))
+        nu = lens.shape[0]
+        nb = -(-lens // w)
+        total = int(nb.sum())
+        rows = np.repeat(np.arange(nu, dtype=np.int64), nb)
+        first = np.cumsum(nb) - nb
+        local = np.arange(total, dtype=np.int64) - first[rows]
+        bstarts = ustarts[rows] + local * w
+        bends = np.minimum(bstarts + w, ustarts[rows] + lens[rows])
+        counts = bends - bstarts
+        mins = np.minimum.reduceat(v, bstarts)
+        maxs = np.maximum.reduceat(v, bstarts)
+        sums = np.add.reduceat(v.astype(np.int64), bstarts)
+        scores = _scores_dense(v, bstarts, bends, counts, width=w)
         return pa.table(
             {
-                "user_id": pa.array(rows["user_id"], type=pa.int64()),
-                "bucket": pa.array(rows["bucket"], type=pa.int64()),
-                "min": pa.array(rows["min"], type=pa.int32()),
-                "max": pa.array(rows["max"], type=pa.int32()),
-                "mean": pa.array(rows["mean"], type=pa.float64()),
-                "count": pa.array(rows["count"], type=pa.int64()),
-                "anomaly_score": pa.array(rows["anomaly_score"], type=pa.float64()),
+                "user_id": pa.array(uids[ustarts][rows], type=pa.int64()),
+                "bucket": pa.array(local, type=pa.int64()),
+                "min": pa.array(mins, type=pa.int32()),
+                "max": pa.array(maxs, type=pa.int32()),
+                "mean": pa.array(sums / counts, type=pa.float64()),
+                "count": pa.array(counts, type=pa.int64()),
+                "anomaly_score": pa.array(scores, type=pa.float64()),
             }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    tagged = ds.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"], num_partitions=num_partitions),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return tagged.groupby(PKEY).map_groups(per_partition, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------- tier0 ----

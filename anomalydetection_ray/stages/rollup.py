@@ -78,14 +78,20 @@ def _locf_flat(vals: np.ndarray, valid: np.ndarray, offsets: np.ndarray) -> np.n
 
 
 def _scores_dense(
-    vals: np.ndarray, starts: np.ndarray, ends: np.ndarray, counts: np.ndarray
+    vals: np.ndarray, starts: np.ndarray, ends: np.ndarray, counts: np.ndarray,
+    width: int = TIER1_BUCKET,
 ) -> np.ndarray:
     total = starts.shape[0]
     scores = np.empty(total, dtype=np.float64)
-    full = counts == TIER1_BUCKET
+    if width % 2 == 1:
+        # the (h-1, h) partition pair below assumes even width; odd widths
+        # go through the padded-sort path (length-generic)
+        _scores_partial(vals, starts, counts, np.arange(total, dtype=np.int64), scores)
+        return scores
+    full = counts == width
     fidx = np.flatnonzero(full)
-    col = np.arange(TIER1_BUCKET, dtype=np.int64)
-    h = TIER1_BUCKET // 2
+    col = np.arange(width, dtype=np.int64)
+    h = width // 2
     for lo in range(0, fidx.shape[0], MEDIAN_CHUNK):
         ch = fidx[lo : lo + MEDIAN_CHUNK]
         g = vals[starts[ch][:, None] + col]  # int32, half the float64 traffic
