@@ -53,59 +53,116 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def _flat_utf8(batch: pa.Table, col: str = "text") -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint8 buffer, rebased int64 offsets) of a string column —
+    zero-copy view of the Arrow data buffer."""
+    text = batch.column(col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    text = text.cast(pa.binary())
+    offsets = np.frombuffer(text.buffers()[1], dtype=np.int32,
+                            count=len(text) + 1, offset=text.offset * 4).astype(np.int64)
+    flat = np.frombuffer(text.buffers()[2], dtype=np.uint8, count=int(offsets[-1]))
+    base = offsets[0]
+    offsets = offsets - base
+    return flat[base : base + int(offsets[-1])], offsets
+
+
+# ASCII byte classes (vectorized lookup tables).  \s here is the ASCII
+# whitespace set; multi-byte UTF-8 never collides (those bytes are >= 0x80)
+_IS_ALPHA = np.zeros(256, dtype=bool)
+_IS_ALPHA[65:91] = _IS_ALPHA[97:123] = True
+_IS_WS = np.zeros(256, dtype=bool)
+_IS_WS[[9, 10, 11, 12, 13, 32]] = True
+_IS_DIGIT = np.zeros(256, dtype=bool)
+_IS_DIGIT[48:58] = True
+_IS_CONT = np.zeros(256, dtype=bool)
+_IS_CONT[0x80:0xC0] = True  # UTF-8 continuation bytes (not characters)
+
+
+def _runs_per_row(mask: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-row count of maximal True-runs in ``mask`` (row-boundary-aware)."""
+    n = mask.shape[0]
+    if n == 0:
+        return np.zeros(offsets.shape[0] - 1, dtype=np.int64)
+    start = np.empty(n, dtype=bool)
+    start[0] = mask[0]
+    start[1:] = mask[1:] & ~mask[:-1]
+    start[offsets[:-1][offsets[:-1] < n]] = mask[offsets[:-1][offsets[:-1] < n]]
+    counts = np.zeros(offsets.shape[0] - 1, dtype=np.int64)
+    lens = np.diff(offsets)
+    nz = lens > 0
+    counts[nz] = np.add.reduceat(start.astype(np.int64), offsets[:-1][nz])
+    return counts
+
+
 def quality_batch(batch: pa.Table) -> pa.Table:
     """Deterministic quality facets per doc.  Integer counts + single
     divisions so the SQL oracle can reproduce them bit-for-bit:
       n_bytes     = octet_length(text)
       alpha_ratio = alpha_chars / n_bytes        (ASCII [A-Za-z], on bytes)
       ws_tokens   = length(split on \\s+) incl. boundary empties (DuckDB
-                    string_split_regex semantics)
-    plus a composite quality_score (rows-only facet)."""
-    texts = batch.column("text").to_pylist()
-    n_bytes, alpha, ws_tokens, score = [], [], [], []
-    for t in texts:
-        b = t.encode("utf-8")
-        nb = len(b)
-        a = sum(1 for c in b if (65 <= c <= 90) or (97 <= c <= 122))
-        toks = _WS_RE.split(t)
-        n_bytes.append(nb)
-        alpha.append(a)
-        ws_tokens.append(len(toks))
-        words = [w for w in toks if w]
-        mean_w = (sum(len(w) for w in words) / len(words)) if words else 0.0
-        ar = a / nb if nb else 0.0
-        s = 0.0
-        if nb:
-            s = max(0.0, min(1.0, 0.5 * ar + 0.3 * min(mean_w / 8.0, 1.0) + 0.2 * min(nb / 2000.0, 1.0)))
-        score.append(s)
-    nb_arr = np.array(n_bytes, dtype=np.int64)
-    al_arr = np.array(alpha, dtype=np.int64)
-    with np.errstate(invalid="ignore"):
+                    string_split_regex semantics: separator-run count + 1)
+    plus a composite quality_score (rows-only facet).  All counts come
+    from byte-class masks + reduceat over the flat buffer — no per-doc
+    Python."""
+    flat, offsets = _flat_utf8(batch)
+    nb_arr = np.diff(offsets)
+    nrows = nb_arr.shape[0]
+    nz = nb_arr > 0
+    alpha_m = _IS_ALPHA[flat]
+    al_arr = np.zeros(nrows, dtype=np.int64)
+    al_arr[nz] = np.add.reduceat(alpha_m.astype(np.int64), offsets[:-1][nz])
+    ws_m = _IS_WS[flat]
+    ws_runs = _runs_per_row(ws_m, offsets)
+    ws_tokens = ws_runs + 1  # split() length == separator runs + 1
+    word_runs = _runs_per_row(~ws_m, offsets)
+    word_bytes = np.zeros(nrows, dtype=np.int64)
+    word_bytes[nz] = np.add.reduceat((~ws_m).astype(np.int64), offsets[:-1][nz])
+    with np.errstate(invalid="ignore", divide="ignore"):
         ar_arr = np.where(nb_arr > 0, al_arr / np.maximum(nb_arr, 1), 0.0)
+        mean_w = np.where(word_runs > 0, word_bytes / np.maximum(word_runs, 1), 0.0)
+    score = np.clip(
+        0.5 * ar_arr
+        + 0.3 * np.minimum(mean_w / 8.0, 1.0)
+        + 0.2 * np.minimum(nb_arr / 2000.0, 1.0),
+        0.0,
+        1.0,
+    )
+    score = np.where(nb_arr > 0, score, 0.0)
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
             "n_bytes": pa.array(nb_arr, type=pa.int64()),
             "alpha_chars": pa.array(al_arr, type=pa.int64()),
             "alpha_ratio": pa.array(ar_arr, type=pa.float64()),
-            "ws_tokens": pa.array(np.array(ws_tokens, dtype=np.int64), type=pa.int64()),
+            "ws_tokens": pa.array(ws_tokens, type=pa.int64()),
             "quality_score": pa.array(score, type=pa.float64()),
         }
     )
 
 
 def token_count_batch(batch: pa.Table) -> pa.Table:
-    """Token counting: whitespace words + a BPE-ish regex segmentation
-    ([A-Za-z]+ | digit | single punct)."""
-    words, bpe = [], []
-    for t in batch.column("text").to_pylist():
-        words.append(sum(1 for w in _WS_RE.split(t) if w))
-        bpe.append(len(_BPE_RE.findall(t)))
+    """Token counting: whitespace words + a BPE-ish segmentation
+    ([A-Za-z]+ | digit | single non-alnum-non-ws char), both as
+    byte-class run/point counts over the flat buffer (UTF-8 continuation
+    bytes excluded so multi-byte chars count once, matching the regex)."""
+    flat, offsets = _flat_utf8(batch)
+    nrows = offsets.shape[0] - 1
+    nz = np.diff(offsets) > 0
+    ws_m = _IS_WS[flat]
+    words = _runs_per_row(~ws_m, offsets)
+    alpha_m = _IS_ALPHA[flat]
+    alpha_runs = _runs_per_row(alpha_m, offsets)
+    other_m = ~alpha_m & ~ws_m & ~_IS_DIGIT[flat] & ~_IS_CONT[flat]
+    pts = (_IS_DIGIT[flat] | other_m).astype(np.int64)
+    points = np.zeros(nrows, dtype=np.int64)
+    points[nz] = np.add.reduceat(pts, offsets[:-1][nz])
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
             "word_count": pa.array(words, type=pa.int64()),
-            "bpe_count": pa.array(bpe, type=pa.int64()),
+            "bpe_count": pa.array(alpha_runs + points, type=pa.int64()),
         }
     )
 
