@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "roundtrip_verify": q.roundtrip_verify,
         # SQL-checked operators on driver tables
         "rollup_events_tier1": q.rollup_events_tier1,
+        "a1_moving_stats_events": q.a1_moving_stats_events,
         "s3_token_counts": q.s3_token_counts,
         "g2_source_stats": q.g2_source_stats,
         "pricing_summary": q.pricing_summary,
@@ -156,6 +157,23 @@ def oracle_sql() -> dict[str, str]:
                                       median(v) - CAST(min(v) AS DOUBLE))
                              / (1.4826 * mad(v)) END AS anomaly_score
             FROM s GROUP BY user_id, bucket
+        """,
+        "a1_moving_stats_events": """
+            WITH s AS (
+                SELECT user_id, event_id,
+                       CAST(FLOOR(value) AS BIGINT) AS v,
+                       ROW_NUMBER() OVER w AS rn
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+            )
+            SELECT user_id, event_id,
+                   CASE WHEN rn >= 20 THEN
+                       CAST(SUM(v) OVER win AS DOUBLE) / 20 END AS mov_mean,
+                   CASE WHEN rn >= 20 THEN
+                       SUM(v * v) OVER win END AS mov_sumsq
+            FROM s
+            WINDOW win AS (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
         """,
         "s3_token_counts": """
             SELECT source, count(*) AS parts,

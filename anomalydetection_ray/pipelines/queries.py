@@ -419,6 +419,71 @@ def rollup_events_tier1(sf_dir: str, num_partitions: int = 16):
     return tagged.groupby(PKEY).map_groups(per_partition, batch_format="pyarrow")
 
 
+A1_WINDOW = 20
+
+
+def a1_moving_stats_events(sf_dir: str, num_partitions: int = 16):
+    """A1 sliding-window moving stats over the events table, SQL-checked:
+    each user_id is a series ordered by event_id; emit the w=20 trailing
+    mean and sum-of-squares per position with min_periods=w (positions
+    < w-1 yield NULL).  Values are floor(value) ints so every emitted
+    float is an exact int64 / w division — bit-identical to DuckDB's
+    windowed AVG regardless of either side's summation order.  Same
+    partition-granular shape as rollup_events_tier1."""
+    import functools
+
+    from anomalydetection_ray.stages.runs import PKEY, add_partition_key, run_starts
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    w = A1_WINDOW
+
+    def per_partition(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_columns([PKEY]).sort_by(
+            [("user_id", "ascending"), ("event_id", "ascending")]
+        )
+        n = batch.num_rows
+        out_mean = np.full(n, np.nan)
+        out_ssq = np.full(n, -1, dtype=np.int64)
+        if n:
+            v = np.floor(np.asarray(batch.column("value"), dtype=np.float64)).astype(np.int64)
+            ustarts = run_starts(batch, ["user_id"])
+            uends = np.concatenate((ustarts[1:], np.array([n], dtype=np.int64)))
+            # per-user cumsums restart at run boundaries: subtract the
+            # running total at each user's start (exact int64 arithmetic)
+            c1 = np.cumsum(v)
+            c2 = np.cumsum(v * v)
+            for s, e in zip(ustarts, uends):  # few-thousand users/partition
+                m = e - s
+                if m < w:
+                    continue
+                s1 = c1[s + w - 1 : e].copy()
+                s1[1:] -= c1[s : e - w]
+                s1[0] -= c1[s] - v[s]
+                s2 = c2[s + w - 1 : e].copy()
+                s2[1:] -= c2[s : e - w]
+                s2[0] -= c2[s] - v[s] * v[s]
+                out_mean[s + w - 1 : e] = s1 / w
+                out_ssq[s + w - 1 : e] = s2
+        valid = out_ssq >= 0
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "event_id": batch.column("event_id"),
+                "mov_mean": pa.array(np.where(valid, out_mean, 0.0), type=pa.float64(),
+                                     mask=~valid),
+                "mov_sumsq": pa.array(np.where(valid, out_ssq, 0), type=pa.int64(),
+                                      mask=~valid),
+            }
+        )
+
+    tagged = ds.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"], num_partitions=num_partitions),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return tagged.groupby(PKEY).map_groups(per_partition, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------- tier0 ----
 def tier0_encode_summary(sf_dir: str):
     """P2 encode of the tokenized documents corpus into a fresh tier0 dir
