@@ -228,7 +228,7 @@ def run_bench(sf_dir: str, num_cpus: int, phases: list[str]) -> dict:
     return res
 
 
-ALL_PHASES = ["rollup_synth", "rollup_docs", "topk", "ingest_encode"]
+ALL_PHASES = ["rollup_synth", "rollup_docs", "topk", "ingest_encode", "oracle_baseline"]
 
 
 def main() -> None:
