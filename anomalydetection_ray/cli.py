@@ -2,7 +2,8 @@
 argparse script, owns its Ray session, no interactive state.
 
     python -m anomalydetection_ray.cli rollup  --input DIR --out DIR [--policy locf] [--resume]
-    python -m anomalydetection_ray.cli ingest  --input DIR --out DIR [--num-parts N] [--resume]
+    python -m anomalydetection_ray.cli ingest  --input DIR --out DIR [--shuffle] [--num-parts N] [--resume]
+    python -m anomalydetection_ray.cli merge   --input TIER1_DIR --out DIR
     python -m anomalydetection_ray.cli verify  --out DIR
     python -m anomalydetection_ray.cli topk    --input DIR [--k K]
     python -m anomalydetection_ray.cli synth   --out DIR --tokens N
@@ -47,6 +48,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--num-parts", type=int, default=64)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--shuffle", action="store_true",
+                   help="hash-partition by doc_id (full exchange) instead of "
+                        "the default shuffle-free fragment-aligned encode")
+
+    p = sub.add_parser("merge", help="G1: tier2 recomputed from a tier1 dir")
+    p.add_argument("--input", required=True, help="tier1 parquet dir")
+    p.add_argument("--out", required=True)
+    p.add_argument("--num-partitions", type=int, default=64)
 
     p = sub.add_parser("verify", help="P3: decode + checksum all tier0 parts")
     p.add_argument("--out", required=True)
@@ -98,15 +107,40 @@ def main(argv: list[str] | None = None) -> int:
                               "tokens": sum(r["tokens_processed"] for r in rows),
                               "wall_s": time.monotonic() - t0}))
         elif args.cmd == "ingest":
-            from anomalydetection_ray.pipelines.ingest import ingest_pipeline
-            from anomalydetection_ray.pipelines.rollup import read_sequences
+            if args.shuffle:
+                from anomalydetection_ray.pipelines.ingest import ingest_pipeline
+                from anomalydetection_ray.pipelines.rollup import read_sequences
 
-            rows = ingest_pipeline(read_sequences(args.input, num_cpus=1), args.out,
-                                   num_parts=args.num_parts,
-                                   resume=not args.no_resume).take_all()
+                rows = ingest_pipeline(read_sequences(args.input, num_cpus=1), args.out,
+                                       num_parts=args.num_parts,
+                                       resume=not args.no_resume).take_all()
+            else:
+                from anomalydetection_ray.pipelines.ingest import ingest_persist
+
+                rows = ingest_persist(args.input, args.out,
+                                      resume=not args.no_resume).take_all()
             print(json.dumps({"cmd": "ingest", "parts": len(rows),
                               "rows": sum(r["rows_emitted"] for r in rows),
                               "tokens": sum(r["tokens_processed"] for r in rows),
+                              "wall_s": time.monotonic() - t0}))
+        elif args.cmd == "merge":
+            import ray.data
+
+            from anomalydetection_ray.stages.merge import tier2_from_tier1_ds
+
+            # accept mixed-tier dirs (rollup_persist output): merge only tier1
+            t1 = ray.data.read_parquet(args.input).filter(expr="tier == 1")
+            t2 = tier2_from_tier1_ds(t1, num_partitions=args.num_partitions)
+            t2.write_parquet(args.out)
+            import glob as _glob
+
+            import pyarrow.parquet as _pq
+
+            n_rows = sum(
+                _pq.ParquetFile(f).metadata.num_rows
+                for f in _glob.glob(os.path.join(args.out, "**", "*.parquet"), recursive=True)
+            )
+            print(json.dumps({"cmd": "merge", "tier2_rows": n_rows,
                               "wall_s": time.monotonic() - t0}))
         elif args.cmd == "verify":
             from anomalydetection_ray.pipelines.ingest import verify_tier0
