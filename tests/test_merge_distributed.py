@@ -60,3 +60,60 @@ def test_salted_groupby_sum(ray_session):
         mask = keys == k
         assert out[k]["sum_v"] == int(vals[mask].sum())
         assert out[k]["count"] == int(mask.sum())
+
+
+def test_merge_sorted_runs_matches_group_reference():
+    """_merge_sorted_runs (vectorized) == tier2_group_merge (per group),
+    including count=0 (drop-policy filled) children and empty groups."""
+    import pyarrow.compute as pc
+
+    from anomalydetection_ray.stages.merge import (
+        _merge_sorted_runs,
+        tier2_group_merge,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for d in range(12):
+        doc = f"doc-{d:03d}"
+        nb1 = int(rng.integers(1, 25))
+        for b in range(nb1):
+            cnt = int(rng.choice([0, 1000, 1000, 1000, int(rng.integers(1, 1000))]))
+            mean = float(rng.normal(1000, 50)) if cnt else 0.0
+            rows.append(
+                {
+                    "doc_id": doc, "source": "s", "tier": 1, "bucket": b,
+                    "min": None if cnt == 0 else int(rng.integers(0, 100)),
+                    "max": None if cnt == 0 else int(rng.integers(100, 200)),
+                    "mean": mean, "count": cnt,
+                    "anomaly_score": float(rng.random()),
+                    "filled": cnt == 0,
+                }
+            )
+    t1 = pa.Table.from_pylist(rows, schema=TIER_SCHEMA)
+    b2 = np.asarray(t1.column("bucket"), dtype=np.int64) // 10
+    t1 = t1.append_column("bucket2", pa.array(b2, type=pa.int64()))
+    t1 = t1.sort_by([("doc_id", "ascending"), ("source", "ascending"),
+                     ("bucket2", "ascending"), ("bucket", "ascending")])
+    got = _merge_sorted_runs(t1).sort_by([("doc_id", "ascending"), ("bucket", "ascending")])
+
+    keys = sorted({(r["doc_id"], r["source"], r["bucket"] // 10) for r in rows})
+    parts = []
+    for d, s, bb in keys:
+        g = t1.filter(
+            pc.and_(pc.equal(t1.column("doc_id"), d), pc.equal(t1.column("bucket2"), bb))
+        ).drop_columns(["bucket2"])
+        parts.append(tier2_group_merge(g))
+    want = pa.concat_tables(parts).sort_by(
+        [("doc_id", "ascending"), ("bucket", "ascending")]
+    ).cast(TIER_SCHEMA)
+    got = got.cast(TIER_SCHEMA)
+    assert got.num_rows == want.num_rows
+    for name in TIER_SCHEMA.names:
+        a, b = got.column(name), want.column(name)
+        if name == "mean":
+            av = np.asarray(a, dtype=np.float64)
+            bv = np.asarray(b, dtype=np.float64)
+            assert np.array_equal(av.view(np.uint64), bv.view(np.uint64)), name
+        else:
+            assert a.to_pylist() == b.to_pylist(), name

@@ -99,3 +99,26 @@ def test_topk_equals_sort_limit(ray_session):
         ds.sort(["score", "id"], descending=[True, False]).limit(100).to_pandas()
     )
     assert got[["score", "id"]].values.tolist() == want[["score", "id"]].values.tolist()
+
+
+def test_keep_first_by_equals_groupby_first(ray_session):
+    """stages/runs.py keep_first_by == groupby + per-group sorted first."""
+    import ray.data
+
+    from anomalydetection_ray.stages.runs import keep_first_by
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    tbl = pa.table(
+        {
+            "k": pa.array([f"key-{int(x):03d}" for x in rng.integers(0, 150, n)]),
+            "o": pa.array(rng.permutation(n).astype(np.int64)),
+            "payload": pa.array(rng.integers(0, 1000, n).astype(np.int64)),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(8)
+    got = keep_first_by(ds, keys=["k"], order_by=["o"], num_partitions=8).to_pandas()
+    got = got.sort_values("k").reset_index(drop=True)
+
+    df = tbl.to_pandas().sort_values(["k", "o"]).groupby("k", as_index=False).first()
+    assert got[["k", "o", "payload"]].values.tolist() == df[["k", "o", "payload"]].values.tolist()
