@@ -204,20 +204,89 @@ def minhash_lsh_pairs(sf_dir: str, min_est: float = 0.5):
 
 
 # ------------------------------------------------------------ simhash ----
-def simhash64(text: str) -> int:
-    feats = _WORD_RE.findall(text.lower())
-    if not feats:
-        return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for f in feats:
-        h = zlib.crc32(f.encode()) | (zlib.crc32((f + "#").encode()) << 32)
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    out = 0
+# word-char classes on lowercased ASCII bytes (multi-byte UTF-8 treated as
+# word bytes); polynomial word hash in the odd-multiplier uint64 ring:
+# h(word) = sum(byte_i * C^(last-i)) computed segment-wise over the flat
+# buffer as (sum byte_i * C^-i) * C^last — C odd => C^-1 exists mod 2^64,
+# so both power tables are plain cumprods and every word hash falls out of
+# one add.reduceat.  No per-word Python.
+_SH_C = np.uint64(0x9E3779B97F4A7C15 | 1)
+_SH_CINV = np.uint64(pow(0x9E3779B97F4A7C15 | 1, -1, 1 << 64))
+_LOWER = np.arange(256, dtype=np.uint8)
+_LOWER[65:91] += 32
+_IS_WORDB = np.zeros(256, dtype=bool)
+_IS_WORDB[48:58] = _IS_WORDB[97:123] = True  # digits + lowercase alpha
+_IS_WORDB[ord("_")] = True
+_IS_WORDB[0x80:] = True  # multi-byte UTF-8 bytes count as word bytes
+_BIT_K = np.arange(64, dtype=np.uint64)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    x = (x ^ (x >> np.uint64(33))) * np.uint64(0xC4CEB9FE1A85EC53)
+    return x ^ (x >> np.uint64(33))
+
+
+def simhash_batch_values(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """64-bit SimHash per row of a flat utf-8 buffer, fully vectorized."""
+    nrows = offsets.shape[0] - 1
+    out = np.zeros(nrows, dtype=np.uint64)
+    n = flat.shape[0]
+    if n == 0:
+        return out
+    low = _LOWER[flat]
+    wm = _IS_WORDB[low]
+    # word-run starts/ends, row-boundary aware
+    start = np.empty(n, dtype=bool)
+    start[0] = wm[0]
+    start[1:] = wm[1:] & ~wm[:-1]
+    rs = offsets[:-1][offsets[:-1] < n]
+    start[rs] = wm[rs]
+    end = np.empty(n, dtype=bool)
+    end[-1] = wm[-1]
+    end[:-1] = wm[:-1] & ~wm[1:]
+    re_ = offsets[1:][offsets[1:] < n] - 1
+    re_ = re_[re_ >= 0]
+    end[re_] = wm[re_]
+    wstarts = np.flatnonzero(start)
+    wlast = np.flatnonzero(end)
+    nwords_total = wstarts.shape[0]
+    if nwords_total == 0:
+        return out
+    # power tables: P[i] = C^i, Pinv[i] = C^-i  (odd C -> exact inverses)
+    P = np.empty(n, dtype=np.uint64)
+    P[0] = 1
+    np.cumprod(np.full(n - 1, _SH_C, dtype=np.uint64), out=P[1:])
+    Pinv = np.empty(n, dtype=np.uint64)
+    Pinv[0] = 1
+    np.cumprod(np.full(n - 1, _SH_CINV, dtype=np.uint64), out=Pinv[1:])
+    widx = np.flatnonzero(wm)
+    seg = np.flatnonzero(start[widx])
+    S = np.add.reduceat(low[widx].astype(np.uint64) * Pinv[widx], seg)
+    hwords = _mix64(S * P[wlast])
+    # doc of each word + per-doc word segments
+    doc_of = np.searchsorted(offsets, wstarts, side="right") - 1
+    dseg = np.concatenate(
+        (np.zeros(1, dtype=np.int64), np.flatnonzero(doc_of[1:] != doc_of[:-1]) + 1)
+    )
+    docs = doc_of[dseg]
+    nw = np.diff(np.concatenate((dseg, np.array([nwords_total], dtype=np.int64))))
+    # majority vote per bit: set bit k where 2 * popcount_k > nwords
+    # (ties -> 0, matching the classic acc > 0 rule); 64 reduceats over
+    # the word-level bit arrays
+    sim = np.zeros(docs.shape[0], dtype=np.uint64)
     for k in range(64):
-        if acc[k] > 0:
-            out |= 1 << k
+        bitk = (hwords >> np.uint64(k)) & np.uint64(1)
+        hits = np.add.reduceat(bitk, dseg)
+        sim |= ((2 * hits > nw.astype(np.uint64)).astype(np.uint64)) << np.uint64(k)
+    out[docs] = sim
     return out
+
+
+def simhash64(text: str) -> int:
+    """Scalar wrapper over the vectorized batch path (identical output)."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    return int(simhash_batch_values(b, np.array([0, b.shape[0]], dtype=np.int64))[0])
 
 
 def simhash_pairs(sf_dir: str, max_hamming: int = 3):
@@ -226,17 +295,20 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
     for distance <= 3)."""
 
     def sh_batch(batch: pa.Table) -> pa.Table:
-        hs = [simhash64(t) for t in batch.column("text").to_pylist()]
-        rows_doc, rows_band, rows_key, rows_h = [], [], [], []
-        for d, h in zip(batch.column("doc_id").to_pylist(), hs):
-            for b in range(4):
-                rows_doc.append(d)
-                rows_band.append(b)
-                rows_key.append((h >> (16 * b)) & 0xFFFF)
-                rows_h.append(h)
-        return pa.table({"doc_id": pa.array(rows_doc), "band": pa.array(rows_band, type=pa.int32()),
-                         "key": pa.array(rows_key, type=pa.int64()),
-                         "simhash": pa.array(rows_h, type=pa.uint64())})
+        from anomalydetection_ray.pipelines.text import _flat_utf8
+
+        flat, offsets = _flat_utf8(batch)
+        hs = simhash_batch_values(flat, offsets)
+        nrows = hs.shape[0]
+        take = pa.array(np.repeat(np.arange(nrows, dtype=np.int64), 4))
+        bands = np.tile(np.arange(4, dtype=np.int32), nrows)
+        keys = (np.repeat(hs, 4) >> (np.uint64(16) * bands.astype(np.uint64))) & np.uint64(0xFFFF)
+        doc_id = batch.column("doc_id")
+        if isinstance(doc_id, pa.ChunkedArray):
+            doc_id = doc_id.combine_chunks()
+        return pa.table({"doc_id": doc_id.take(take), "band": pa.array(bands, type=pa.int32()),
+                         "key": pa.array(keys.astype(np.int64), type=pa.int64()),
+                         "simhash": pa.array(np.repeat(hs, 4), type=pa.uint64())})
 
     def pairs(group: pa.Table) -> pa.Table:
         docs = group.column("doc_id").to_pylist()
