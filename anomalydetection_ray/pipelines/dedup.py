@@ -145,27 +145,29 @@ def band_rows_batch(batch: pa.Table) -> pa.Table:
 
 
 def bucket_pairs(group: pa.Table) -> pa.Table:
-    """One LSH bucket -> candidate pairs with signature-estimated Jaccard."""
+    """One LSH bucket -> candidate pairs with signature-estimated Jaccard.
+    Vectorized: doc-sorted order, all i<j pairs via triu_indices, and the
+    agreement matrix in one (n, n, P) broadcast — hot buckets are exactly
+    the skewed case, so no per-pair Python."""
     n = group.num_rows
     if n < 2:
         return pa.table({"doc_a": pa.array([], type=group.column("doc_id").type),
                          "doc_b": pa.array([], type=group.column("doc_id").type),
                          "est_jaccard": pa.array([], type=pa.float64())})
-    docs = group.column("doc_id").to_pylist()
-    sigs = np.stack([np.asarray(s, dtype=np.uint64) for s in group.column("signature").to_pylist()])
-    order = np.argsort(np.array(docs, dtype=object))
-    a_out, b_out, j_out = [], [], []
-    for ii in range(n):
-        for jj in range(ii + 1, n):
-            i, j = int(order[ii]), int(order[jj])
-            if docs[i] == docs[j]:
-                continue
-            est = float((sigs[i] == sigs[j]).mean())
-            a_out.append(docs[i])
-            b_out.append(docs[j])
-            j_out.append(est)
-    return pa.table({"doc_a": pa.array(a_out), "doc_b": pa.array(b_out),
-                     "est_jaccard": pa.array(j_out, type=pa.float64())})
+    order = pa.compute.sort_indices(group.column("doc_id"))
+    g = group.take(order)
+    docs = g.column("doc_id")
+    sig_col = g.column("signature")
+    if isinstance(sig_col, pa.ChunkedArray):
+        sig_col = sig_col.combine_chunks()
+    sigs = np.asarray(sig_col.values, dtype=np.uint64).reshape(n, _NUM_PERM)
+    ii, jj = np.triu_indices(n, 1)
+    est = (sigs[ii] == sigs[jj]).mean(axis=1)
+    # drop same-doc pairs (duplicate (band,bucket) rows for one doc)
+    keep = np.asarray(pa.compute.not_equal(docs.take(pa.array(ii)), docs.take(pa.array(jj))))
+    ii, jj, est = ii[keep], jj[keep], est[keep]
+    return pa.table({"doc_a": docs.take(pa.array(ii)), "doc_b": docs.take(pa.array(jj)),
+                     "est_jaccard": pa.array(est, type=pa.float64())})
 
 
 def _docs(sf_dir: str):
@@ -219,6 +221,8 @@ _IS_WORDB[48:58] = _IS_WORDB[97:123] = True  # digits + lowercase alpha
 _IS_WORDB[ord("_")] = True
 _IS_WORDB[0x80:] = True  # multi-byte UTF-8 bytes count as word bytes
 _BIT_K = np.arange(64, dtype=np.uint64)
+# byte popcount LUT (numpy 1.26 has no bitwise_count)
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
 
 
 def _mix64(x: np.ndarray) -> np.ndarray:
@@ -227,13 +231,13 @@ def _mix64(x: np.ndarray) -> np.ndarray:
     return x ^ (x >> np.uint64(33))
 
 
-def simhash_batch_values(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
-    """64-bit SimHash per row of a flat utf-8 buffer, fully vectorized."""
-    nrows = offsets.shape[0] - 1
-    out = np.zeros(nrows, dtype=np.uint64)
+def word_hashes(flat: np.ndarray, offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(hash per word, doc index per word) for the lowercased word runs of
+    a flat utf-8 buffer — the shared vectorized tokenizer of simhash and
+    lang-id.  Word hash = segment-wise invertible polynomial + murmur mix."""
     n = flat.shape[0]
     if n == 0:
-        return out
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
     low = _LOWER[flat]
     wm = _IS_WORDB[low]
     # word-run starts/ends, row-boundary aware
@@ -250,9 +254,8 @@ def simhash_batch_values(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     end[re_] = wm[re_]
     wstarts = np.flatnonzero(start)
     wlast = np.flatnonzero(end)
-    nwords_total = wstarts.shape[0]
-    if nwords_total == 0:
-        return out
+    if wstarts.shape[0] == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
     # power tables: P[i] = C^i, Pinv[i] = C^-i  (odd C -> exact inverses)
     P = np.empty(n, dtype=np.uint64)
     P[0] = 1
@@ -264,8 +267,18 @@ def simhash_batch_values(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     seg = np.flatnonzero(start[widx])
     S = np.add.reduceat(low[widx].astype(np.uint64) * Pinv[widx], seg)
     hwords = _mix64(S * P[wlast])
-    # doc of each word + per-doc word segments
     doc_of = np.searchsorted(offsets, wstarts, side="right") - 1
+    return hwords, doc_of
+
+
+def simhash_batch_values(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """64-bit SimHash per row of a flat utf-8 buffer, fully vectorized."""
+    nrows = offsets.shape[0] - 1
+    out = np.zeros(nrows, dtype=np.uint64)
+    hwords, doc_of = word_hashes(flat, offsets)
+    nwords_total = hwords.shape[0]
+    if nwords_total == 0:
+        return out
     dseg = np.concatenate(
         (np.zeros(1, dtype=np.int64), np.flatnonzero(doc_of[1:] != doc_of[:-1]) + 1)
     )
@@ -311,22 +324,24 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
                          "simhash": pa.array(np.repeat(hs, 4), type=pa.uint64())})
 
     def pairs(group: pa.Table) -> pa.Table:
-        docs = group.column("doc_id").to_pylist()
-        hs = group.column("simhash").to_pylist()
-        order = sorted(range(len(docs)), key=lambda i: docs[i])
-        a_o, b_o, d_o = [], [], []
-        for x in range(len(order)):
-            for y in range(x + 1, len(order)):
-                i, j = order[x], order[y]
-                if docs[i] == docs[j]:
-                    continue
-                ham = bin(hs[i] ^ hs[j]).count("1")
-                if ham <= max_hamming:
-                    a_o.append(docs[i])
-                    b_o.append(docs[j])
-                    d_o.append(ham)
-        return pa.table({"doc_a": pa.array(a_o), "doc_b": pa.array(b_o),
-                         "hamming": pa.array(d_o, type=pa.int32())})
+        n = group.num_rows
+        if n < 2:
+            return pa.table({"doc_a": pa.array([], type=group.column("doc_id").type),
+                             "doc_b": pa.array([], type=group.column("doc_id").type),
+                             "hamming": pa.array([], type=pa.int32())})
+        g = group.take(pa.compute.sort_indices(group.column("doc_id")))
+        docs = g.column("doc_id")
+        hs = np.asarray(g.column("simhash"), dtype=np.uint64)
+        ii, jj = np.triu_indices(n, 1)
+        x = hs[ii] ^ hs[jj]
+        ham = _POPCNT8[x.view(np.uint8)].reshape(-1, 8).sum(axis=1)
+        keep = ham <= max_hamming
+        keep &= np.asarray(
+            pa.compute.not_equal(docs.take(pa.array(ii)), docs.take(pa.array(jj)))
+        )
+        ii, jj, ham = ii[keep], jj[keep], ham[keep]
+        return pa.table({"doc_a": docs.take(pa.array(ii)), "doc_b": docs.take(pa.array(jj)),
+                         "hamming": pa.array(ham.astype(np.int32), type=pa.int32())})
 
     bands = _docs(sf_dir).map_batches(sh_batch, batch_format="pyarrow", zero_copy_batch=True)
     cand = bands.groupby(["band", "key"]).map_groups(pairs, batch_format="pyarrow")

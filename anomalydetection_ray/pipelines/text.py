@@ -24,31 +24,73 @@ _STOPWORDS = {
 }
 
 
+def _stopword_hashes() -> dict:
+    """Per-language uint64 hash sets under the shared word_hashes family
+    (64-bit hashes -> collision odds negligible)."""
+    import numpy as _np
+
+    from anomalydetection_ray.pipelines.dedup import word_hashes
+
+    out = {}
+    for lang, words in _STOPWORDS.items():
+        blob = " ".join(sorted(words)).encode("utf-8")
+        flat = _np.frombuffer(blob, dtype=_np.uint8)
+        hs, _ = word_hashes(flat, _np.array([0, flat.shape[0]], dtype=_np.int64))
+        out[lang] = _np.unique(hs)
+    return out
+
+
+_STOPWORD_HASHES = _stopword_hashes()
+
+
 def lang_id_batch(batch: pa.Table) -> pa.Table:
-    """Stopword-ratio language heuristic -> (doc_id, pred_lang, confidence)."""
-    preds, confs = [], []
-    for text in batch.column("text").to_pylist():
-        words = [w.lower() for w in _WS_RE.split(text) if w]
-        if not words:
-            preds.append("unknown")
-            confs.append(0.0)
-            continue
-        wset = words[:2000]
-        best_lang, best = "unknown", 0.0
-        for lang, sw in _STOPWORDS.items():
-            hits = sum(1 for w in wset if w in sw)
-            ratio = hits / len(wset)
-            if ratio > best:
-                best_lang, best = lang, ratio
-        if best < 0.02:
-            best_lang = "unknown"
-        preds.append(best_lang)
-        confs.append(best)
+    """Stopword-ratio language heuristic -> (doc_id, pred_lang, confidence).
+    Vectorized: every word in the batch is hashed once (the shared
+    word_hashes tokenizer), stopword membership is an np.isin against
+    each language's precomputed hash set, and per-doc hit ratios come
+    from reduceat — no per-doc Python.  Only the first 2000 words of a
+    doc vote (long-doc cap)."""
+    from anomalydetection_ray.pipelines.dedup import word_hashes
+
+    flat, offsets = _flat_utf8(batch)
+    nrows = offsets.shape[0] - 1
+    hwords, doc_of = word_hashes(flat, offsets)
+    langs = sorted(_STOPWORDS)
+    best = np.zeros(nrows, dtype=np.float64)
+    best_lang = np.zeros(nrows, dtype=np.int64) - 1
+    if hwords.shape[0]:
+        dseg_all = np.concatenate(
+            (np.zeros(1, dtype=np.int64), np.flatnonzero(doc_of[1:] != doc_of[:-1]) + 1)
+        )
+        docs_present = doc_of[dseg_all]
+        # cap: word rank within its doc < 2000
+        rank = np.arange(doc_of.shape[0], dtype=np.int64)
+        rank -= np.repeat(dseg_all, np.diff(np.concatenate((dseg_all, [doc_of.shape[0]]))))
+        keep = rank < 2000
+        hw, dk = hwords[keep], doc_of[keep]
+        dseg = np.concatenate(
+            (np.zeros(1, dtype=np.int64), np.flatnonzero(dk[1:] != dk[:-1]) + 1)
+        )
+        docs = dk[dseg]
+        nw = np.diff(np.concatenate((dseg, [dk.shape[0]])))
+        for li, lang in enumerate(langs):
+            hits = np.add.reduceat(np.isin(hw, _STOPWORD_HASHES[lang]).astype(np.int64), dseg)
+            ratio = hits / nw
+            upd = ratio > best[docs]
+            bd = docs[upd]
+            best[bd] = ratio[upd]
+            best_lang[bd] = li
+    conf_ok = best >= 0.02
+    preds = np.where(
+        conf_ok & (best_lang >= 0),
+        np.array(langs, dtype=object)[np.maximum(best_lang, 0)],
+        "unknown",
+    )
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
-            "pred_lang": pa.array(preds, type=pa.string()),
-            "confidence": pa.array(confs, type=pa.float64()),
+            "pred_lang": pa.array(preds.tolist(), type=pa.string()),
+            "confidence": pa.array(best, type=pa.float64()),
         }
     )
 
