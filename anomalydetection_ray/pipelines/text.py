@@ -215,28 +215,64 @@ _FP_K = 8
 
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
-    """Rolling-hash document fingerprint (winnowing-style): crc32 over a
-    sliding byte window, keep hashes == 0 mod _FP_KEEP_MOD, fingerprint =
-    hex of the _FP_K smallest kept hashes (order-stable, deterministic)."""
+    """Rolling-hash document fingerprint (winnowing-style): polynomial
+    hash over a sliding byte window, keep hashes == 0 mod _FP_KEEP_MOD,
+    fingerprint = hex of the _FP_K smallest distinct kept hashes (falling
+    back to the row's min window hash, then to crc32 of short rows).
+    One stencil pass over the batch's flat buffer + a lexsort-dedupe for
+    the per-row distinct-min selection — per-doc Python only for the
+    final hex join."""
+    flat, offsets = _flat_utf8(batch)
+    nrows = offsets.shape[0] - 1
+    lens = np.diff(offsets)
+    n = flat.shape[0]
+    mult = np.uint32(1103515245)
+    nwin_global = max(n - _FP_WINDOW + 1, 0)
+    acc = np.zeros(nwin_global, dtype=np.uint32)
+    for k in range(_FP_WINDOW):
+        acc = acc * mult + flat[k : k + nwin_global].astype(np.uint32)
+    # windows fully inside one row: start in [row_start, row_end - 16]
+    out_lens = np.maximum(lens - (_FP_WINDOW - 1), 0)
+    ok = out_lens > 0
+    sel_lists: list[list[int]] = [[] for _ in range(nrows)]
+    if ok.any():
+        starts = offsets[:-1][ok]
+        reps = out_lens[ok]
+        total = int(reps.sum())
+        idx = np.repeat(starts, reps) + (
+            np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(reps) - reps, reps)
+        )
+        h = acc[idx]
+        rows_of = np.repeat(np.flatnonzero(ok), reps)
+        seg_starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        # per-row min of ALL windows (fallback when nothing passes the mod)
+        row_min = np.minimum.reduceat(h, seg_starts)
+        keep = h % np.uint32(_FP_KEEP_MOD) == 0
+        kr, kh = rows_of[keep], h[keep]
+        if kr.shape[0]:
+            order = np.lexsort((kh, kr))
+            kr, kh = kr[order], kh[order]
+            first = np.empty(kr.shape[0], dtype=bool)
+            first[0] = True
+            first[1:] = (kr[1:] != kr[:-1]) | (kh[1:] != kh[:-1])
+            kr, kh = kr[first], kh[first]
+            # rank within row; keep the _FP_K smallest distinct
+            rseg = np.concatenate(([0], np.flatnonzero(kr[1:] != kr[:-1]) + 1))
+            rank = np.arange(kr.shape[0], dtype=np.int64)
+            rank -= np.repeat(rseg, np.diff(np.concatenate((rseg, [kr.shape[0]]))))
+            sel_mask = rank < _FP_K
+            for r, x in zip(kr[sel_mask].tolist(), kh[sel_mask].tolist()):
+                sel_lists[r].append(int(x))
+        # rows with windows but no kept hash -> min window hash
+        for i, r in enumerate(np.flatnonzero(ok).tolist()):
+            if not sel_lists[r]:
+                sel_lists[r].append(int(row_min[i]))
     fps = []
-    for t in batch.column("text").to_pylist():
-        b = t.encode("utf-8")
-        if len(b) < _FP_WINDOW:
-            fps.append(f"{zlib.crc32(b):08x}")
-            continue
-        arr = np.frombuffer(b, dtype=np.uint8)
-        # vectorized rolling polynomial hash (mod 2^32)
-        mult = np.uint32(1103515245)
-        h = np.zeros(len(arr) - _FP_WINDOW + 1, dtype=np.uint32)
-        acc = np.zeros_like(h)
-        for k in range(_FP_WINDOW):
-            acc = acc * mult + arr[k : k + len(h)].astype(np.uint32)
-        h = acc
-        kept = np.unique(h[h % _FP_KEEP_MOD == 0])
-        if kept.size == 0:
-            kept = np.unique(h)[:1]
-        sel = kept[:_FP_K]
-        fps.append("".join(f"{int(x):08x}" for x in sel))
+    for r in range(nrows):
+        if sel_lists[r]:
+            fps.append("".join(f"{x:08x}" for x in sel_lists[r]))
+        else:  # row shorter than the window
+            fps.append(f"{zlib.crc32(flat[offsets[r]:offsets[r + 1]].tobytes()):08x}")
     return pa.table({"doc_id": batch.column("doc_id"), "fingerprint": pa.array(fps, type=pa.string())})
 
 
