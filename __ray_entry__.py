@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g3_quantiles_nchars": q.g3_quantiles_nchars,
         "m3_token_fns": q.m3_token_fns,
         "g3_approx_quantiles": q.g3_approx_quantiles,
+        "g3_token_value_quantiles": q.g3_token_value_quantiles,
         "p1_persist_summary": q.p1_persist_summary,
         "p2_persist_summary": q.p2_persist_summary,
         "q3_sample_lineitem": q.q3_sample_lineitem,

@@ -419,6 +419,72 @@ def rollup_events_tier1(sf_dir: str, num_partitions: int = 16):
     return tagged.groupby(PKEY).map_groups(per_partition, batch_format="pyarrow")
 
 
+def g3_token_value_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99)):
+    """G3 over the token domain (SURVEY.md §2.2: per-source token-value
+    quantiles): EXACT quantiles at any scale without a sort — token ids
+    live in a bounded int domain, so each batch emits one bincount
+    histogram per source (map-side pre-aggregation), histograms add up
+    associatively under a tiny per-source groupby, and the quantile is
+    read off the merged counts.  The shuffle moves vocab-sized count
+    vectors, never token data."""
+    import ray.data
+
+    from anomalydetection_ray.constants import DEFAULT_VOCAB
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.sources.tokenize import tokenize_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    seqs = validated(docs.map_batches(tokenize_batch, batch_format="pyarrow",
+                                      zero_copy_batch=True))
+
+    def hist_batch(batch: pa.Table) -> pa.Table:
+        tokens = batch.column("tokens")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        offsets = np.asarray(tokens.offsets, dtype=np.int64)
+        base = offsets[0]
+        flat = np.asarray(tokens.values.slice(base, offsets[-1] - base), dtype=np.int64)
+        lens = np.diff(offsets - base)
+        srcs = batch.column("source").to_pylist()
+        src_of_tok = np.repeat(np.asarray(srcs, dtype=object), lens)
+        out_src, out_hist = [], []
+        for s in sorted(set(srcs)):
+            sel = flat[src_of_tok == s]
+            out_src.append(s)
+            out_hist.append(np.bincount(sel, minlength=DEFAULT_VOCAB).astype(np.int64))
+        return pa.table(
+            {
+                "source": pa.array(out_src, type=pa.string()),
+                "hist": pa.array(
+                    [h for h in out_hist], type=pa.list_(pa.int64(), DEFAULT_VOCAB)
+                ),
+            }
+        )
+
+    def merge_quantiles(group: pa.Table) -> pa.Table:
+        hist_col = group.column("hist")
+        if isinstance(hist_col, pa.ChunkedArray):
+            hist_col = hist_col.combine_chunks()
+        h = (
+            np.asarray(hist_col.values, dtype=np.int64)
+            .reshape(group.num_rows, -1)
+            .sum(axis=0)
+        )
+        c = np.cumsum(h)
+        total = int(c[-1])
+        row = {"source": [group.column("source")[0].as_py()],
+               "n_tokens": [total]}
+        for q in qs:
+            # lower quantile: smallest v with cum count >= ceil(q * n)
+            k = min(int(np.ceil(q * total)), total) if total else 0
+            v = int(np.searchsorted(c, max(k, 1))) if total else 0
+            row[f"p{int(q * 100)}"] = [v]
+        return pa.Table.from_pydict(row)
+
+    partials = seqs.map_batches(hist_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby("source").map_groups(merge_quantiles, batch_format="pyarrow")
+
+
 A1_WINDOW = 20
 
 

@@ -172,3 +172,25 @@ def test_robust_score_known():
     med = 3.0
     mad = 1.0
     assert robust_score(x) == 100.0 / (1.4826 * mad)
+
+
+def test_ewma_matches_sequential_definition():
+    """Blocked-scan EWMA == the Roberts-1959 recurrence within a few ULPs,
+    across block boundaries and alpha edge cases."""
+    import numpy as np
+
+    from anomalydetection_ray.functions.stats import ewma
+
+    rng = np.random.default_rng(17)
+    x = rng.integers(0, 50257, 9000).astype(np.float64)
+    for alpha in (0.001, 0.05, 0.5, 0.97):
+        got = ewma(x, alpha)
+        s = x[0]
+        for i in (1, 100, 4095, 4096, 4097, 8999):
+            # spot-check with the exact recurrence up to index i
+            s = x[0]
+            for j in range(1, i + 1):
+                s = alpha * x[j] + (1 - alpha) * s
+            assert abs(got[i] - s) <= 1e-9 * max(abs(s), 1.0), (alpha, i)
+    assert np.array_equal(ewma(x, 1.0), x)
+    assert np.array_equal(ewma(x, 0.0), np.full_like(x, x[0]))
