@@ -34,8 +34,8 @@ __all__ = [
     "ewma",
     "esd",
     "threshold_flags",
-    "kahan_step",
-    "kahan_weighted_mean",
+    "recover_int_sums",
+    "weighted_mean_exact",
 ]
 
 GAP_POLICIES = ("locf", "linear", "drop")
@@ -203,25 +203,25 @@ def threshold_flags(x: np.ndarray, w: int, c: float = 3.0) -> np.ndarray:
         return np.abs(x - mean) > c * std
 
 
-def kahan_step(s: float, comp: float, x: float) -> tuple[float, float]:
-    """One Kahan compensated-summation step (fixed order => bit-stable)."""
-    y = x - comp
-    t = s + y
-    comp = (t - s) - y
-    return t, comp
+def recover_int_sums(means: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Recover each bucket's EXACT integer value-sum from (mean, count).
+
+    A bucket mean is produced exactly once, as ``fl(s / c)`` with ``s`` an
+    int64 token sum and ``|s| < 2**52``; then ``fl(fl(s/c) * c)`` is within
+    ``|s| * 2**-51`` of ``s`` — far below 0.5 for any count <= 1e6 of int32
+    token values — so rounding to the nearest integer restores ``s``
+    exactly.  This makes the G1 merge order-free and bit-identical to a
+    direct integer sum (and therefore to SQL ``sum(v)/count``), with no
+    compensated-summation machinery."""
+    return np.rint(np.asarray(means, dtype=np.float64)
+                   * np.asarray(counts, dtype=np.float64)).astype(np.int64)
 
 
-def kahan_weighted_mean(means: np.ndarray, counts: np.ndarray) -> float:
-    """G1 merge: count-weighted mean with Kahan accumulation in the given
-    (child-bucket) order.  Entries with count == 0 are skipped.  Caller
-    guarantees sum(counts) > 0."""
-    s = 0.0
-    comp = 0.0
-    total = 0
-    for i in range(means.shape[0]):
-        cnt = int(counts[i])
-        if cnt == 0:
-            continue
-        s, comp = kahan_step(s, comp, float(means[i]) * float(cnt))
-        total += cnt
-    return s / float(total)
+def weighted_mean_exact(means: np.ndarray, counts: np.ndarray) -> float:
+    """G1 merge: count-weighted mean via exact integer-sum recovery.
+    Entries with count == 0 contribute nothing.  Caller guarantees
+    sum(counts) > 0.  Result == fl(sum_of_values / total_count), the same
+    IEEE division the tier1 mean itself uses."""
+    c = np.asarray(counts, dtype=np.int64)
+    s = int(recover_int_sums(means, c).sum())
+    return s / float(int(c.sum()))

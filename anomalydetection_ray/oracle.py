@@ -19,8 +19,9 @@ Semantics fixed here (and mirrored by the engine):
   mean (= int64 sum / count, one IEEE division) / count / anomaly_score
   (A4 robust z, ``functions.stats.robust_score``) / filled.
 - tier2 is DEFINED as the G1 merge of tier1 (SURVEY.md §2.2 G1): min of
-  child mins, max of maxes, sum of counts, count-weighted Kahan mean in
-  increasing child-bucket order, anomaly_score = max of child scores.
+  child mins, max of maxes, sum of counts, count-weighted mean via exact
+  integer-sum recovery (order-free, == fl(sum(values)/count) and therefore
+  == SQL ``sum(v)/count``), anomaly_score = max of child scores.
 - Empty buckets (possible only under the ``drop`` gap policy) emit
   ``filled=true`` with null min/max, count 0, score 0.0 and the previous
   bucket's mean (0.0 if leading).
@@ -47,7 +48,7 @@ from anomalydetection_ray.constants import (
     TIER1_BUCKET,
     TIER2_BUCKET,
 )
-from anomalydetection_ray.functions.stats import gap_fill, kahan_weighted_mean, robust_score
+from anomalydetection_ray.functions.stats import gap_fill, robust_score, weighted_mean_exact
 
 __all__ = [
     "split_series",
@@ -166,7 +167,7 @@ def tier2_from_tier1(t1: dict[str, list]) -> dict[str, list]:
             out["count"].append(0)
             out["filled"].append(True)
         else:
-            mean = kahan_weighted_mean(
+            mean = weighted_mean_exact(
                 np.array(t1["mean"][i:j], dtype=np.float64),
                 np.array(t1["count"][i:j], dtype=np.int64),
             )

@@ -4,8 +4,9 @@ The in-kernel tier2 merge (stages/rollup.py) covers the common case where a
 part's tier1 rows are emitted together.  This module is the general path
 the spec also requires: tier1 re-read from disk (arbitrary block layout)
 -> hash-repartition by (doc_id, source, part-aligned tier2 bucket) ->
-per-block vectorized run merge with the same fixed-order Kahan arithmetic
--> tier2 rows that are bit-identical to the in-kernel ones (tested).
+per-block vectorized run merge recovering each child's exact integer
+value-sum from (mean, count) -> tier2 rows that are bit-identical to the
+in-kernel ones (tested); the merged mean is order-free by construction.
 ``tier2_group_merge`` is kept as the one-group-at-a-time reference the
 vectorized path is cross-checked against.
 
@@ -21,7 +22,7 @@ import numpy as np
 import pyarrow as pa
 
 from anomalydetection_ray.constants import TIER1_BUCKET, TIER2_BUCKET
-from anomalydetection_ray.functions.stats import kahan_weighted_mean
+from anomalydetection_ray.functions.stats import recover_int_sums, weighted_mean_exact
 from anomalydetection_ray.oracle import TIER_SCHEMA
 
 _R = TIER2_BUCKET // TIER1_BUCKET
@@ -29,7 +30,7 @@ _R = TIER2_BUCKET // TIER1_BUCKET
 
 def tier2_group_merge(group: pa.Table) -> pa.Table:
     """One (doc_id, source, bucket2) group of tier1 rows -> one tier2 row.
-    Children sorted by bucket id => identical Kahan order to the kernel."""
+    (Reference path the vectorized merge is cross-checked against.)"""
     group = group.sort_by([("bucket", "ascending")])
     counts = np.asarray(group.column("count"), dtype=np.int64)
     means = np.asarray(group.column("mean"), dtype=np.float64)
@@ -47,7 +48,7 @@ def tier2_group_merge(group: pa.Table) -> pa.Table:
     else:
         mn = min(mins[i].as_py() for i in np.flatnonzero(live))
         mx = max(maxs[i].as_py() for i in np.flatnonzero(live))
-        mean = kahan_weighted_mean(means, counts)
+        mean = weighted_mean_exact(means, counts)
         filled = False
     return pa.table(
         {
@@ -84,44 +85,35 @@ def _group_starts(batch: pa.Table) -> np.ndarray:
 
 def _merge_sorted_runs(batch: pa.Table) -> pa.Table:
     """Vectorized G1 over a batch sorted by (doc_id, source, bucket2,
-    bucket): one output row per run, same arithmetic order as the oracle
-    (children ascend by bucket -> identical masked Kahan to the kernel)."""
+    bucket): one output row per run; the merged mean recovers exact integer
+    sums so it is order-free and bit-identical to the kernel/oracle."""
     n = batch.num_rows
     if n == 0:
         return TIER_SCHEMA.empty_table()
     starts = _group_starts(batch)
-    ends = np.concatenate((starts[1:], np.array([n], dtype=np.int64)))
     counts = np.asarray(batch.column("count"), dtype=np.int64)
     means = np.asarray(batch.column("mean"), dtype=np.float64)
     scores = np.asarray(batch.column("anomaly_score"), dtype=np.float64)
     live = counts > 0
-    mins = np.where(live, np.asarray(batch.column("min"), dtype=np.int64), _I32_MAX)
-    maxs = np.where(live, np.asarray(batch.column("max"), dtype=np.int64), _I32_MIN)
+    # fill nulls BEFORE the int cast (a null min/max converts via float NaN
+    # and an undefined NaN->int value otherwise); the sentinel substitution
+    # must not depend on nulls coinciding with count == 0
+    import pyarrow.compute as pc
+
+    mins_f = np.asarray(pc.fill_null(batch.column("min"), int(_I32_MAX)), dtype=np.int64)
+    maxs_f = np.asarray(pc.fill_null(batch.column("max"), int(_I32_MIN)), dtype=np.int64)
+    mins = np.where(live, mins_f, _I32_MAX)
+    maxs = np.where(live, maxs_f, _I32_MIN)
     cnt2 = np.add.reduceat(counts, starts)
     min2 = np.minimum.reduceat(mins, starts)
     max2 = np.maximum.reduceat(maxs, starts)
     score2 = np.maximum.reduceat(scores, starts)
     ng = starts.shape[0]
-    x_all = means * counts
-    s_acc = np.zeros(ng)
-    c_acc = np.zeros(ng)
-    last = n - 1
-    k = 0
-    while True:
-        idx = starts + k
-        m = idx <= (ends - 1)
-        if not m.any():
-            break
-        xi = np.where(m, x_all[np.minimum(idx, last)], 0.0)
-        y = xi - c_acc
-        t = s_acc + y
-        c_new = (t - s_acc) - y
-        s_acc = np.where(m, t, s_acc)
-        c_acc = np.where(m, c_new, c_acc)
-        k += 1
+    # exact integer value-sums recovered from (mean, count) -> one division
+    sums2 = np.add.reduceat(recover_int_sums(means, counts), starts)
     empty = cnt2 == 0
     with np.errstate(divide="ignore", invalid="ignore"):
-        mean2 = np.where(empty, 0.0, s_acc / np.maximum(cnt2, 1))
+        mean2 = np.where(empty, 0.0, sums2 / np.maximum(cnt2, 1))
     take = pa.array(starts, type=pa.int64())
     doc = batch.column("doc_id")
     src = batch.column("source")
@@ -155,7 +147,7 @@ def tier2_from_tier1_ds(tier1_ds, num_partitions: int = 64):
     lands wholly in one partition, the groupby exchanges on that single
     int column, and each of the ``num_partitions`` calls sorts its whole
     partition by (key, bucket) and merges all its runs fully vectorized
-    (`_merge_sorted_runs`: reduceat + the kernel's masked-Kahan loop,
+    (`_merge_sorted_runs`: reduceat + exact integer-sum recovery,
     bit-identical to the per-group reference ``tier2_group_merge``).
     Per-group Python work is gone: ``num_partitions`` UDF calls total,
     regardless of group count."""

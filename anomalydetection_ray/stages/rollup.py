@@ -12,8 +12,8 @@ NumPy-vectorized over the batch's flat token buffer —
   (bounded-memory) 2-D gather over the full buckets + a short loop over the
   at-most-one partial tail bucket per row;
 - tier2 as the G1 merge of tier1 computed with reduceat over the tier1
-  arrays plus a 10-step masked Kahan accumulation (same arithmetic order as
-  the oracle's scalar loop -> bit-identical means).
+  arrays; the tier2 mean is the exact integer value-sum divided once
+  (order-free, bit-identical to the oracle and to SQL sum(v)/count).
 
 Bit-for-bit parity with ``anomalydetection_ray.oracle`` is a test gate
 (tests/test_rollup_engine.py): every float here is produced by the same
@@ -237,35 +237,22 @@ def rollup_batch(batch: pa.Table, policy: str = "locf") -> pa.Table:
     means = sums / counts
     scores = _scores_dense(vals, starts, ends, counts)
 
-    # ---- tier2 = G1 merge of tier1 (bit-stable Kahan, child order) ----
+    # ---- tier2 = G1 merge of tier1 (exact integer sums, order-free) ----
     nb2 = -(-lens // TIER2_BUCKET)
     total2 = int(nb2.sum())
     rows2 = np.repeat(np.arange(nrows, dtype=np.int64), nb2)
     first2 = np.cumsum(nb2) - nb2
     local2 = np.arange(total2, dtype=np.int64) - first2[rows2]
     cstart = first1[rows2] + local2 * _R
-    cend = first1[rows2] + np.minimum((local2 + 1) * _R, nb1[rows2])
     bucket2 = part_ids[rows2] * _PARTS2 + local2
 
     min2 = np.minimum.reduceat(mins, cstart)
     max2 = np.maximum.reduceat(maxs, cstart)
     count2 = np.add.reduceat(counts, cstart)
     score2 = np.maximum.reduceat(scores, cstart)
-
-    x_all = means * counts  # exact: counts <= 1000 exactly representable
-    s_acc = np.zeros(total2)
-    c_acc = np.zeros(total2)
-    last = x_all.shape[0] - 1
-    for k in range(_R):
-        idx = cstart + k
-        m = idx <= (cend - 1)
-        xi = np.where(m, x_all[np.minimum(idx, last)], 0.0)
-        y = xi - c_acc
-        t = s_acc + y
-        c_new = (t - s_acc) - y
-        s_acc = np.where(m, t, s_acc)
-        c_acc = np.where(m, c_new, c_acc)
-    mean2 = s_acc / count2
+    # exact integer value-sums per tier2 bucket -> one IEEE division,
+    # order-free and identical to SQL sum(v)/count (oracle semantics)
+    mean2 = np.add.reduceat(sums, cstart) / count2
 
     doc_col = batch.column("doc_id")
     src_col = batch.column("source")
