@@ -40,6 +40,7 @@ from anomalydetection_ray.codecs import (
     checksum64,
     dod_encode_chunk,
     gorilla_decode,
+    gorilla_decode_ref,
     gorilla_encode,
 )
 from anomalydetection_ray.constants import (
@@ -277,7 +278,10 @@ def decode_part(row: dict) -> tuple[np.ndarray, np.ndarray | None]:
     Values at invalid positions are the locf fills; callers comparing to the
     original must compare only where valid."""
     n = int(row["n_tok"])
-    vals = gorilla_decode(int(row["first_val"]), row["gorilla_xor"], n)
+    # v1 greedy blocks need the generic grammar follower; v2 chunked-window
+    # blocks take the vectorized fast path (dispatch on codec_version)
+    dec_fn = gorilla_decode if int(row.get("codec_version", CODEC_VERSION)) >= 2 else gorilla_decode_ref
+    vals = dec_fn(int(row["first_val"]), row["gorilla_xor"], n)
     bitmap = row.get("null_bitmap")
     valid = None
     if bitmap is not None:

@@ -144,16 +144,39 @@ def band_rows_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def bucket_pairs(group: pa.Table) -> pa.Table:
+_PAIR_TILE = 4_000_000  # max i<j pairs materialized per tile (bounds memory)
+
+
+def iter_pair_tiles(n: int, max_pairs: int = _PAIR_TILE):
+    """Yield (ii, jj) index chunks covering every i<j pair of ``range(n)``
+    with at most ~max_pairs pairs per chunk.  A hot LSH bucket of ~20k
+    near-identical docs has ~2e8 pairs; enumerating them all at once (e.g.
+    np.triu_indices) costs tens of GB of transient arrays in one task —
+    tiling keeps peak memory O(max_pairs) while the total work is the same."""
+    rows_per_tile = max(1, max_pairs // max(n - 1, 1))
+    for a in range(0, max(n - 1, 0), rows_per_tile):
+        b = min(a + rows_per_tile, n - 1)
+        lens = n - 1 - np.arange(a, b, dtype=np.int64)
+        ii = np.repeat(np.arange(a, b, dtype=np.int64), lens)
+        total = int(lens.sum())
+        jj = (np.arange(total, dtype=np.int64)
+              - np.repeat(np.cumsum(lens) - lens, lens)) + ii + 1
+        yield ii, jj
+
+
+def bucket_pairs(group: pa.Table, min_est: float = 0.0) -> pa.Table:
     """One LSH bucket -> candidate pairs with signature-estimated Jaccard.
-    Vectorized: doc-sorted order, all i<j pairs via triu_indices, and the
-    agreement matrix in one (n, n, P) broadcast — hot buckets are exactly
-    the skewed case, so no per-pair Python."""
+    Vectorized and memory-tiled: doc-sorted order, i<j pairs in bounded
+    chunks (``iter_pair_tiles``), per-permutation agreement accumulated into
+    an int16 counter (never an (npairs, P) boolean matrix) — hot buckets
+    are exactly the skewed case, so no per-pair Python AND no O(n^2)
+    transient blow-up."""
     n = group.num_rows
+    empty = pa.table({"doc_a": pa.array([], type=group.column("doc_id").type),
+                      "doc_b": pa.array([], type=group.column("doc_id").type),
+                      "est_jaccard": pa.array([], type=pa.float64())})
     if n < 2:
-        return pa.table({"doc_a": pa.array([], type=group.column("doc_id").type),
-                         "doc_b": pa.array([], type=group.column("doc_id").type),
-                         "est_jaccard": pa.array([], type=pa.float64())})
+        return empty
     order = pa.compute.sort_indices(group.column("doc_id"))
     g = group.take(order)
     docs = g.column("doc_id")
@@ -161,13 +184,24 @@ def bucket_pairs(group: pa.Table) -> pa.Table:
     if isinstance(sig_col, pa.ChunkedArray):
         sig_col = sig_col.combine_chunks()
     sigs = np.asarray(sig_col.values, dtype=np.uint64).reshape(n, _NUM_PERM)
-    ii, jj = np.triu_indices(n, 1)
-    est = (sigs[ii] == sigs[jj]).mean(axis=1)
-    # drop same-doc pairs (duplicate (band,bucket) rows for one doc)
-    keep = np.asarray(pa.compute.not_equal(docs.take(pa.array(ii)), docs.take(pa.array(jj))))
-    ii, jj, est = ii[keep], jj[keep], est[keep]
-    return pa.table({"doc_a": docs.take(pa.array(ii)), "doc_b": docs.take(pa.array(jj)),
-                     "est_jaccard": pa.array(est, type=pa.float64())})
+    parts = []
+    for ii, jj in iter_pair_tiles(n):
+        agree = np.zeros(ii.shape[0], dtype=np.int16)
+        for p in range(_NUM_PERM):
+            agree += sigs[ii, p] == sigs[jj, p]
+        est = agree / np.float64(_NUM_PERM)
+        keep = est >= min_est
+        ii, jj, est = ii[keep], jj[keep], est[keep]
+        if ii.shape[0] == 0:
+            continue
+        # drop same-doc pairs (duplicate (band,bucket) rows for one doc)
+        keep = np.asarray(pa.compute.not_equal(docs.take(pa.array(ii)), docs.take(pa.array(jj))))
+        ii, jj, est = ii[keep], jj[keep], est[keep]
+        if ii.shape[0]:
+            parts.append(pa.table({"doc_a": docs.take(pa.array(ii)),
+                                   "doc_b": docs.take(pa.array(jj)),
+                                   "est_jaccard": pa.array(est, type=pa.float64())}))
+    return pa.concat_tables(parts) if parts else empty
 
 
 def _docs(sf_dir: str):
@@ -194,15 +228,22 @@ def exact_dedup(sf_dir: str):
 
 
 def minhash_lsh_pairs(sf_dir: str, min_est: float = 0.5):
-    """Candidate near-duplicate pairs via MinHash + banded LSH."""
+    """Candidate near-duplicate pairs via MinHash + banded LSH.  The
+    estimate threshold is applied INSIDE the bucket kernel (same est for a
+    pair regardless of which band surfaced it, so pre- vs post-dedupe
+    filtering is equivalent) — sub-threshold pairs never enter the
+    pair-dedup exchange."""
+    import functools
+
     sigs = _docs(sf_dir).map_batches(signatures_batch, batch_format="pyarrow", zero_copy_batch=True)
     bands = sigs.map_batches(band_rows_batch, batch_format="pyarrow")
-    pairs = bands.groupby(["band", "bucket"]).map_groups(bucket_pairs, batch_format="pyarrow")
+    pairs = bands.groupby(["band", "bucket"]).map_groups(
+        functools.partial(bucket_pairs, min_est=min_est), batch_format="pyarrow"
+    )
 
     from anomalydetection_ray.stages.runs import keep_first_by
 
-    uniq = keep_first_by(pairs, keys=["doc_a", "doc_b"])
-    return uniq.filter(expr=f"est_jaccard >= {min_est}")
+    return keep_first_by(pairs, keys=["doc_a", "doc_b"])
 
 
 # ------------------------------------------------------------ simhash ----
@@ -325,23 +366,32 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
 
     def pairs(group: pa.Table) -> pa.Table:
         n = group.num_rows
+        empty = pa.table({"doc_a": pa.array([], type=group.column("doc_id").type),
+                          "doc_b": pa.array([], type=group.column("doc_id").type),
+                          "hamming": pa.array([], type=pa.int32())})
         if n < 2:
-            return pa.table({"doc_a": pa.array([], type=group.column("doc_id").type),
-                             "doc_b": pa.array([], type=group.column("doc_id").type),
-                             "hamming": pa.array([], type=pa.int32())})
+            return empty
         g = group.take(pa.compute.sort_indices(group.column("doc_id")))
         docs = g.column("doc_id")
         hs = np.asarray(g.column("simhash"), dtype=np.uint64)
-        ii, jj = np.triu_indices(n, 1)
-        x = hs[ii] ^ hs[jj]
-        ham = _POPCNT8[x.view(np.uint8)].reshape(-1, 8).sum(axis=1)
-        keep = ham <= max_hamming
-        keep &= np.asarray(
-            pa.compute.not_equal(docs.take(pa.array(ii)), docs.take(pa.array(jj)))
-        )
-        ii, jj, ham = ii[keep], jj[keep], ham[keep]
-        return pa.table({"doc_a": docs.take(pa.array(ii)), "doc_b": docs.take(pa.array(jj)),
-                         "hamming": pa.array(ham.astype(np.int32), type=pa.int32())})
+        parts = []
+        # memory-tiled i<j enumeration (hot 16-bit bands are the skew case)
+        for ii, jj in iter_pair_tiles(n):
+            x = hs[ii] ^ hs[jj]
+            ham = _POPCNT8[x.view(np.uint8)].reshape(-1, 8).sum(axis=1)
+            keep = ham <= max_hamming
+            ii, jj, ham = ii[keep], jj[keep], ham[keep]
+            if ii.shape[0] == 0:
+                continue
+            keep = np.asarray(
+                pa.compute.not_equal(docs.take(pa.array(ii)), docs.take(pa.array(jj)))
+            )
+            ii, jj, ham = ii[keep], jj[keep], ham[keep]
+            if ii.shape[0]:
+                parts.append(pa.table({"doc_a": docs.take(pa.array(ii)),
+                                       "doc_b": docs.take(pa.array(jj)),
+                                       "hamming": pa.array(ham.astype(np.int32), type=pa.int32())}))
+        return pa.concat_tables(parts) if parts else empty
 
     bands = _docs(sf_dir).map_batches(sh_batch, batch_format="pyarrow", zero_copy_batch=True)
     cand = bands.groupby(["band", "key"]).map_groups(pairs, batch_format="pyarrow")

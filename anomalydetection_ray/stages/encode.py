@@ -27,6 +27,7 @@ from anomalydetection_ray.codecs import (
     DodState,
     checksum64,
     gorilla_decode,
+    gorilla_decode_ref,
     gorilla_encode,
     state_hash,
 )
@@ -167,6 +168,7 @@ def decode_batch(batch: pa.Table) -> pa.Table:
     n_tok = np.asarray(batch.column("n_tok"), dtype=np.int64)
     first_vals = np.asarray(batch.column("first_val"), dtype=np.int64)
     checksums = np.asarray(batch.column("value_checksum"), dtype=np.uint64)
+    versions = np.asarray(batch.column("codec_version"), dtype=np.int64)
     enc_col = batch.column("gorilla_xor").to_pylist()
     bm_col = batch.column("null_bitmap").to_pylist()
     offsets = np.zeros(n_rows + 1, dtype=np.int64)
@@ -176,7 +178,11 @@ def decode_batch(batch: pa.Table) -> pa.Table:
     ok = np.empty(n_rows, dtype=bool)
     for i in range(n_rows):
         n = int(n_tok[i])
-        dec = gorilla_decode(int(first_vals[i]), enc_col[i], n)
+        # dispatch on the codec_version column: the fast vectorized decoder
+        # assumes the v2 chunked-window layout; v1 greedy blocks (persisted
+        # by earlier engine versions) go through the generic grammar follower
+        dec_fn = gorilla_decode if versions[i] >= 2 else gorilla_decode_ref
+        dec = dec_fn(int(first_vals[i]), enc_col[i], n)
         ok[i] = checksum64(np.ascontiguousarray(dec, dtype=np.int32).tobytes()) == int(checksums[i])
         flat[offsets[i] : offsets[i + 1]] = dec
         if bm_col[i] is not None:

@@ -127,3 +127,104 @@ def test_checksum64():
     assert checksum64(b"") == checksum64(b"")
     assert checksum64(b"abc") != checksum64(b"abd")
     assert checksum64(b"abc") < 2**64
+
+
+def _gorilla_encode_v1(values: np.ndarray) -> bytes:
+    """Greedy v1 encoder (the pre-v2 policy): '0' = same value,
+    '10' = mantissa fits the prior window, '11' = new 5+6-bit header.
+    Exists only to produce legacy blocks for the dispatch tests."""
+    v = np.ascontiguousarray(values, dtype=np.int32).view(np.uint32)
+    bits: list[tuple[int, int]] = []  # (value, nbits)
+    prev_lz = prev_tz = prev_len = 0
+    for i in range(1, v.shape[0]):
+        xor = int(v[i] ^ v[i - 1])
+        if xor == 0:
+            bits.append((0, 1))
+            continue
+        lz = 32 - xor.bit_length()
+        tz = (xor & -xor).bit_length() - 1
+        if prev_len > 0 and lz >= prev_lz and tz >= prev_tz:
+            bits.append((0b10, 2))
+            bits.append((xor >> prev_tz, prev_len))
+        else:
+            prev_lz, prev_tz = min(lz, 31), tz
+            prev_len = 32 - prev_lz - prev_tz
+            bits.append((0b11, 2))
+            bits.append((prev_lz, 5))
+            bits.append((prev_len, 6))
+            bits.append((xor >> prev_tz, prev_len))
+    vals = np.array([b[0] for b in bits], dtype=np.uint64)
+    nb = np.array([b[1] for b in bits], dtype=np.uint8)
+    return pack_bits(vals, nb)
+
+
+def test_v1_block_decodes_through_pipeline():
+    """decode_batch / oracle.decode_part must dispatch on codec_version:
+    v1 greedy blocks go through the generic grammar follower (the fast v2
+    decoder would read them as garbage)."""
+    import pyarrow as pa
+
+    from anomalydetection_ray.oracle import TIER0_SCHEMA, decode_part
+    from anomalydetection_ray.stages.encode import decode_batch
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for n in (0, 1, 5, 100, 1337):
+        vals = rng.integers(-(2**31), 2**31 - 1, n).astype(np.int32)
+        if n > 3:
+            vals[2] = vals[1]  # force a '0' control (repeat) in the v1 stream
+        enc = _gorilla_encode_v1(vals)
+        # sanity: the generic follower reads the greedy stream
+        dec = gorilla_decode_ref(int(vals[0]) if n else 0, enc, n)
+        assert np.array_equal(dec, vals)
+        rows.append(
+            {
+                "doc_id": f"d{n}",
+                "source": "s",
+                "part_id": 0,
+                "n_tok": n,
+                "first_val": int(vals[0]) if n else 0,
+                "gorilla_xor": enc,
+                "dod_ntok": b"",
+                "codec_version": 1,
+                "value_checksum": checksum64(vals.tobytes()),
+                "null_bitmap": None,
+            }
+        )
+        # oracle path dispatches too
+        ovals, _ = decode_part(rows[-1])
+        assert np.array_equal(ovals, vals)
+    batch = pa.Table.from_pylist(rows, schema=TIER0_SCHEMA)
+    out = decode_batch(batch)
+    assert out.column("checksum_ok").to_pylist() == [True] * len(rows)
+
+
+def test_mixed_version_batch_dispatch():
+    """A batch mixing v1 and v2 rows decodes each with its own policy."""
+    import pyarrow as pa
+
+    from anomalydetection_ray.constants import CODEC_VERSION
+    from anomalydetection_ray.oracle import TIER0_SCHEMA
+    from anomalydetection_ray.stages.encode import decode_batch
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i, ver in enumerate((1, CODEC_VERSION, 1, CODEC_VERSION)):
+        vals = rng.integers(0, 50257, 500).astype(np.int32)
+        enc = _gorilla_encode_v1(vals) if ver == 1 else gorilla_encode(vals)
+        rows.append(
+            {
+                "doc_id": f"m{i}",
+                "source": "s",
+                "part_id": 0,
+                "n_tok": 500,
+                "first_val": int(vals[0]),
+                "gorilla_xor": enc,
+                "dod_ntok": b"",
+                "codec_version": ver,
+                "value_checksum": checksum64(vals.tobytes()),
+                "null_bitmap": None,
+            }
+        )
+    out = decode_batch(pa.Table.from_pylist(rows, schema=TIER0_SCHEMA))
+    assert out.column("checksum_ok").to_pylist() == [True] * 4

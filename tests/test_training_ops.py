@@ -129,3 +129,17 @@ def test_detector_registry(ray_session):
     # S-H-ESD cannot standardize -> defined as 0 anomalies (documented)
     degen = np.concatenate([np.full(200, 7, dtype=np.int32), np.array([100000], dtype=np.int32)])
     assert get_detector("esd")(degen)["n_anomalies"] == 0
+
+
+def test_iter_pair_tiles_covers_all_pairs():
+    import numpy as np
+
+    from anomalydetection_ray.pipelines.dedup import iter_pair_tiles
+
+    for n in (0, 1, 2, 5, 37, 100):
+        got = set()
+        for ii, jj in iter_pair_tiles(n, max_pairs=17):
+            assert (jj > ii).all()
+            got |= set(zip(ii.tolist(), jj.tolist()))
+        ti, tj = np.triu_indices(n, 1)
+        assert got == set(zip(ti.tolist(), tj.tolist()))
