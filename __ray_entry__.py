@@ -81,8 +81,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs": dd.simhash_pairs,
         "dedup_ngram_jaccard": dd.ngram_jaccard_pairs,
         # threshold 0.3: the driver embeddings are near-orthogonal random
-        # vectors (max off-diagonal cosine ~0.37), so 0.95 returns nothing
-        "dedup_embedding_pairs": lambda sf: dd.embedding_dup_pairs(sf, min_cosine=0.3),
+        # vectors (max off-diagonal cosine ~0.37), so 0.95 returns nothing.
+        # Pair ids only (the cosine VALUE would compare f64 matmul against
+        # DuckDB's list_cosine_similarity float path — same pairs, different
+        # last-bit floats)
+        "dedup_embedding_pairs": lambda sf: dd.embedding_dup_pairs(
+            sf, min_cosine=0.3
+        ).select_columns(["vec_a", "vec_b"]),
         # similarity search
         "ann_topk": lambda sf: sim.ann_topk_bruteforce(sf).select_columns(["vec_id", "label"]),
         "ann_lsh_topk": lambda sf: sim.ann_topk_lsh(sf).select_columns(["vec_id", "label"]),
@@ -134,14 +139,235 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+# The engine's document tokenizer (sources/tokenize.py) is a 4-byte rolling
+# hash in uint32 arithmetic over the text bytes — deliberately expressible in
+# DuckDB SQL (the driver documents are ASCII, so substr/ascii == byte access),
+# which lets the FLAGSHIP rollup/detector/quantile queries over the derived
+# token table be checked value-for-value by the driver's DuckDB oracle
+# instead of rows-only.  ``_SEQ_TOK_CTE`` reproduces token[i] =
+# ((b0*131 ^ b1*31 ^ b2*7 ^ b3) * 2654435761 mod 2^32) >> 9 mod 50257
+# and its positional unnest; verified bit-for-bit vs tokenize_batch.
+_SEQ_TOK_CTE = """
+    seq AS (
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+            list_transform(
+                range(1, greatest(octet_length(encode(text)) - 2, 1)),
+                i -> CAST((((CAST(xor(xor(xor(
+                        ascii(substr(text, CAST(i AS INT), 1)) * 131,
+                        ascii(substr(text, CAST(i AS INT) + 1, 1)) * 31),
+                        ascii(substr(text, CAST(i AS INT) + 2, 1)) * 7),
+                        ascii(substr(text, CAST(i AS INT) + 3, 1))) AS HUGEINT)
+                    * 2654435761) % 4294967296) // 512) % 50257 AS INTEGER)
+            ) AS toks
+        FROM documents),
+    tok AS (
+        SELECT doc_id, source, unnest(toks) AS v,
+               CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos
+        FROM seq)
+"""
+
+# tier1 bucket rollup over the token table (bucket = pos // 1000 holds across
+# giant-row part splits because MAX_TOKENS_PER_PART is a multiple of the
+# bucket width); the robust score uses max|x - med| = max(max-med, med-min)
+_T1_CTE = """
+    t1 AS (
+        SELECT doc_id, source, pos // 1000 AS bucket,
+               min(v) AS mn, max(v) AS mx,
+               sum(CAST(v AS BIGINT)) AS s, count(*) AS c,
+               CASE WHEN mad(v) = 0 THEN 0.0
+                    ELSE greatest(CAST(max(v) AS DOUBLE) - median(v),
+                                  median(v) - CAST(min(v) AS DOUBLE))
+                         / (1.4826 * mad(v)) END AS score
+        FROM tok GROUP BY doc_id, source, pos // 1000)
+"""
+
+_T1_SELECT = """
+    SELECT doc_id, source, CAST(1 AS TINYINT) AS tier, bucket,
+           CAST(mn AS INTEGER) AS "min", CAST(mx AS INTEGER) AS "max",
+           CAST(s AS DOUBLE) / c AS "mean", c AS "count",
+           score AS anomaly_score, false AS filled
+    FROM t1
+"""
+
+_STOPWORDS_SQL = {
+    "de": "['der','die','und','das','ist','nicht','ein','mit','zu','den']",
+    "en": "['the','and','of','to','a','in','is','that','it','for']",
+    "es": "['el','la','los','y','de','un','una','es','que','por']",
+    "fr": "['le','la','les','et','de','un','une','est','que','pour']",
+}
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB equivalents (views pre-registered by the driver).  Keys absent
-    here (rollup_*_docs, topk_anomalies_docs) are non-SQL-expressible —
-    robust median/MAD anomaly scores over a derived token table — and get
-    the driver's rows-only check; their semantics are instead covered by
-    (a) the bit-for-bit oracle gate in tests/ and (b) rollup_events_tier1,
-    which expresses the identical bucket math in SQL over events."""
+    here (detect_esd / detect_ewma: iterative / recurrence semantics; the
+    codec and persist summaries: side-effectful; the LSH/minhash families:
+    seeded-hash candidate generation) get the driver's rows-only check;
+    their semantics are covered by the bit-for-bit oracle gate in tests/."""
+    lang_ratio = ", ".join(
+        f"CASE WHEN len(ws) = 0 THEN 0.0 ELSE "
+        f"CAST(len(list_filter(ws, x -> list_contains({lst}, x))) AS DOUBLE)"
+        f" / len(ws) END AS r_{lang}"
+        for lang, lst in sorted(_STOPWORDS_SQL.items())
+    )
     return {
+        "rollup_tier1_docs": f"WITH {_SEQ_TOK_CTE}, {_T1_CTE} {_T1_SELECT}",
+        "rollup_tier2_docs": f"""
+            WITH {_SEQ_TOK_CTE}, {_T1_CTE}
+            SELECT doc_id, source, CAST(2 AS TINYINT) AS tier,
+                   bucket // 10 AS bucket,
+                   CAST(min(mn) AS INTEGER) AS "min",
+                   CAST(max(mx) AS INTEGER) AS "max",
+                   CAST(sum(s) AS DOUBLE) / sum(c) AS "mean",
+                   CAST(sum(c) AS BIGINT) AS "count",
+                   max(score) AS anomaly_score, false AS filled
+            FROM t1 GROUP BY doc_id, source, bucket // 10
+        """,
+        "topk_anomalies_docs": f"""
+            WITH {_SEQ_TOK_CTE}, {_T1_CTE}
+            {_T1_SELECT}
+            ORDER BY anomaly_score DESC, doc_id ASC, bucket ASC LIMIT 20
+        """,
+        "detect_threshold": f"""
+            WITH {_SEQ_TOK_CTE},
+            parts AS (
+                SELECT doc_id,
+                       CAST(unnest(range(0, greatest(CAST(ceil(
+                           CAST(len(toks) AS DOUBLE) / 1000000) AS BIGINT), 1)))
+                           AS INTEGER) AS part_id
+                FROM seq),
+            s AS (SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                         pos % 1000000 AS i, v FROM tok),
+            w AS (SELECT doc_id, part_id, i, v,
+                         sum(CAST(v AS BIGINT)) OVER win AS s1,
+                         sum(CAST(v AS BIGINT) * v) OVER win AS s2,
+                         row_number() OVER
+                             (PARTITION BY doc_id, part_id ORDER BY i) AS rn
+                  FROM s
+                  WINDOW win AS (PARTITION BY doc_id, part_id ORDER BY i
+                                 ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)),
+            f AS (SELECT doc_id, part_id, i FROM w
+                  WHERE rn >= 50 AND
+                        abs(CAST(v AS DOUBLE) - CAST(s1 AS DOUBLE) / 50) >
+                        3.0 * sqrt(greatest(CAST(s2 AS DOUBLE) / 50
+                            - (CAST(s1 AS DOUBLE) / 50) * (CAST(s1 AS DOUBLE) / 50),
+                            0.0))),
+            g AS (SELECT doc_id, part_id, count(*) AS n_anomalies,
+                         sum(i) AS pos_sum, sum(i * i) AS pos_sumsq
+                  FROM f GROUP BY doc_id, part_id)
+            SELECT parts.doc_id, parts.part_id, 'threshold' AS detector,
+                   COALESCE(g.n_anomalies, 0) AS n_anomalies,
+                   CAST(COALESCE(g.pos_sum, 0) AS BIGINT) AS pos_sum,
+                   CAST(COALESCE(g.pos_sumsq, 0) AS BIGINT) AS pos_sumsq
+            FROM parts LEFT JOIN g
+              ON parts.doc_id = g.doc_id AND parts.part_id = g.part_id
+        """,
+        "m3_token_fns": f"""
+            WITH {_SEQ_TOK_CTE},
+            parts AS (
+                SELECT doc_id,
+                       CAST(unnest(range(0, greatest(CAST(ceil(
+                           CAST(len(toks) AS DOUBLE) / 1000000) AS BIGINT), 1)))
+                           AS INTEGER) AS part_id
+                FROM seq),
+            m AS (SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                         pos % 1000000 AS i, v FROM tok),
+            ck AS (SELECT doc_id, part_id,
+                          sum((CAST(v AS BIGINT) % 1024 + 1) * (i + 1)) AS remap_ck,
+                          sum((CAST(least(greatest(v, 0), 499) AS BIGINT) + 1)
+                              * (i + 1)) AS clamp_ck,
+                          string_agg(CAST(v AS VARCHAR), ',' ORDER BY i)
+                              FILTER (WHERE i < 8) AS head8
+                   FROM m GROUP BY doc_id, part_id)
+            SELECT parts.doc_id, parts.part_id,
+                   CAST(COALESCE(ck.remap_ck, 0) AS BIGINT) AS remap_ck,
+                   CAST(COALESCE(ck.clamp_ck, 0) AS BIGINT) AS clamp_ck,
+                   COALESCE(ck.head8, '') AS head8
+            FROM parts LEFT JOIN ck
+              ON parts.doc_id = ck.doc_id AND parts.part_id = ck.part_id
+        """,
+        "g3_token_value_quantiles": f"""
+            WITH {_SEQ_TOK_CTE},
+            cnt AS (SELECT source, v, count(*) AS c FROM tok GROUP BY source, v),
+            cum AS (SELECT source, v,
+                           sum(c) OVER (PARTITION BY source ORDER BY v) AS cm,
+                           sum(c) OVER (PARTITION BY source) AS tot
+                    FROM cnt)
+            SELECT source, CAST(any_value(tot) AS BIGINT) AS n_tokens,
+                   CAST(min(CASE WHEN cm >= greatest(CAST(ceil(0.5 * tot) AS BIGINT), 1)
+                            THEN v END) AS BIGINT) AS p50,
+                   CAST(min(CASE WHEN cm >= greatest(CAST(ceil(0.9 * tot) AS BIGINT), 1)
+                            THEN v END) AS BIGINT) AS p90,
+                   CAST(min(CASE WHEN cm >= greatest(CAST(ceil(0.99 * tot) AS BIGINT), 1)
+                            THEN v END) AS BIGINT) AS p99
+            FROM cum GROUP BY source
+        """,
+        "d2_union_tiers": """
+            WITH d AS (SELECT greatest(octet_length(encode(text)) - 3, 0) AS n
+                       FROM documents)
+            SELECT CAST(1 AS TINYINT) AS tier,
+                   CAST(sum((n + 999) // 1000) AS BIGINT) AS "rows",
+                   CAST(sum(n) AS BIGINT) AS points FROM d
+            UNION ALL
+            SELECT CAST(2 AS TINYINT) AS tier,
+                   CAST(sum((n + 9999) // 10000) AS BIGINT) AS "rows",
+                   CAST(sum(n) AS BIGINT) AS points FROM d
+        """,
+        "q3_sample_lineitem": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            WHERE ((l_orderkey * 2654435761 + l_linenumber * 40503)
+                   % 4294967296) % 10000 < 100
+        """,
+        "lang_id": f"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_slice(regexp_extract_all(lower(text), '[0-9a-z_]+'),
+                                  1, 2000) AS ws
+                FROM documents),
+            r AS (SELECT doc_id, len(ws) AS nw, {lang_ratio} FROM w),
+            b AS (SELECT doc_id, nw, r_de, r_en, r_es, r_fr,
+                         greatest(r_de, r_en, r_es, r_fr) AS best
+                  FROM r)
+            SELECT doc_id,
+                   CASE WHEN nw = 0 OR best < 0.02 THEN 'unknown'
+                        WHEN r_de = best THEN 'de'
+                        WHEN r_en = best THEN 'en'
+                        WHEN r_es = best THEN 'es'
+                        ELSE 'fr' END AS pred_lang,
+                   best AS confidence
+            FROM b
+        """,
+        "quality_scores_full": r"""
+            WITH q AS (
+                SELECT doc_id,
+                       octet_length(encode(text)) AS n_bytes,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+                       octet_length(encode(regexp_replace(text, '[\t\n\x0B\x0C\r ]', '', 'g')))
+                           AS word_bytes,
+                       len(list_filter(string_split_regex(text, '[\t\n\x0B\x0C\r ]+'),
+                                       x -> x <> '')) AS word_runs,
+                       array_length(string_split_regex(text, '\s+')) AS ws_tokens
+                FROM documents),
+            q2 AS (
+                SELECT doc_id, n_bytes, alpha_chars, ws_tokens,
+                       CASE WHEN n_bytes = 0 THEN 0.0
+                            ELSE CAST(alpha_chars AS DOUBLE) / n_bytes END AS alpha_ratio,
+                       CASE WHEN word_runs = 0 THEN 0.0
+                            ELSE CAST(word_bytes AS DOUBLE) / word_runs END AS mean_w
+                FROM q)
+            SELECT doc_id, n_bytes, alpha_chars, alpha_ratio, ws_tokens,
+                   CASE WHEN n_bytes = 0 THEN 0.0
+                        ELSE greatest(least(
+                            0.5 * alpha_ratio
+                            + 0.3 * least(mean_w / 8.0, 1.0)
+                            + 0.2 * least(n_bytes / 2000.0, 1.0), 1.0), 0.0)
+                   END AS quality_score
+            FROM q2
+        """,
+        "dedup_embedding_pairs": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+        """,
         "rollup_events_tier1": f"""
             WITH s AS (
                 SELECT user_id,

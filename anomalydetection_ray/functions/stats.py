@@ -197,10 +197,37 @@ def esd(
 
 def threshold_flags(x: np.ndarray, w: int, c: float = 3.0) -> np.ndarray:
     """A6: control-chart detector — True where |x_i - m_i| > c * s_i
-    (moving stats from A1; first w-1 positions are never flagged)."""
-    mean, std = moving_mean_std(np.asarray(x, dtype=np.float64), w)
-    with np.errstate(invalid="ignore"):
-        return np.abs(x - mean) > c * std
+    (moving stats from A1; first w-1 positions are never flagged).
+
+    Integer-exact windowed sums: S and Sq accumulate in int64 (token
+    values are bounded, so no overflow), then m = S/w and
+    var = Sq/w - m*m are single IEEE operations — the same arithmetic a
+    SQL window SUM produces, so the flag booleans are reproducible
+    bit-for-bit by an external oracle (float-cumsum windowed sums are
+    not: their rounding drifts with position)."""
+    v = np.asarray(x)
+    n = v.shape[0]
+    out = np.zeros(n, dtype=bool)
+    if n < w or w <= 0:
+        return out
+    vi = v.astype(np.int64)
+    # float fallback for non-integral input or magnitudes whose squared
+    # cumsum could overflow int64 (|v| <= 2^20 over <= 2^23 positions is
+    # safe; token vocabularies are far below both bounds)
+    if not np.array_equal(vi, v) or (n and int(np.abs(vi).max()) > (1 << 20)):
+        mean, std = moving_mean_std(np.asarray(x, dtype=np.float64), w)
+        with np.errstate(invalid="ignore"):
+            return np.abs(x - mean) > c * std
+    c1 = np.concatenate(([0], np.cumsum(vi)))
+    c2 = np.concatenate(([0], np.cumsum(vi * vi)))
+    s1 = c1[w:] - c1[:-w]
+    s2 = c2[w:] - c2[:-w]
+    m = s1 / w
+    var = s2 / w - m * m
+    np.maximum(var, 0.0, out=var)
+    std = np.sqrt(var)
+    out[w - 1 :] = np.abs(v[w - 1 :].astype(np.float64) - m) > c * std
+    return out
 
 
 def recover_int_sums(means: np.ndarray, counts: np.ndarray) -> np.ndarray:

@@ -121,27 +121,128 @@ def signatures_batch(batch: pa.Table) -> pa.Table:
 
 
 def band_rows_batch(batch: pa.Table) -> pa.Table:
-    """signature rows -> one row per (doc, band): the LSH bucket key is a
-    crc32 of the band slice."""
-    doc_ids = batch.column("doc_id").to_pylist()
-    sigs = batch.column("signature").to_pylist()
-    out_doc, out_band, out_bucket, out_sig = [], [], [], []
-    for d, s in zip(doc_ids, sigs):
-        sa = np.asarray(s, dtype=np.uint64)
-        for b in range(_BANDS):
-            sl = sa[b * _ROWS_PER_BAND : (b + 1) * _ROWS_PER_BAND]
-            out_doc.append(d)
-            out_band.append(b)
-            out_bucket.append(zlib.crc32(sl.tobytes()))
-            out_sig.append(sa)
+    """signature rows -> one row per (doc, band), fully vectorized.
+
+    The LSH bucket key is a 64-bit polynomial hash of the band's signature
+    slice (one (n, bands) numpy pass — no per-row Python), and the band
+    rows carry ONLY (doc_id, band, bucket): shipping the full 64x-u64
+    signature in every one of the 8 band rows would 8x the shuffle's
+    largest column.  Signatures are re-attached to the (far fewer) unique
+    candidate pairs afterwards (`minhash_lsh_pairs`)."""
+    doc_id = batch.column("doc_id")
+    if isinstance(doc_id, pa.ChunkedArray):
+        doc_id = doc_id.combine_chunks()
+    sig_col = batch.column("signature")
+    if isinstance(sig_col, pa.ChunkedArray):
+        sig_col = sig_col.combine_chunks()
+    n = batch.num_rows
+    sigs = np.asarray(sig_col.values, dtype=np.uint64).reshape(n, _BANDS, _ROWS_PER_BAND)
+    acc = np.zeros((n, _BANDS), dtype=np.uint64)
+    for k in range(_ROWS_PER_BAND):
+        acc = acc * _SH_C + sigs[:, :, k]
+    bucket = _mix64(acc).astype(np.int64).ravel()
+    take = pa.array(np.repeat(np.arange(n, dtype=np.int64), _BANDS))
+    bands = np.tile(np.arange(_BANDS, dtype=np.int32), n)
     return pa.table(
         {
-            "doc_id": pa.array(out_doc),
-            "band": pa.array(out_band, type=pa.int32()),
-            "bucket": pa.array(out_bucket, type=pa.int64()),
-            "signature": pa.array(list(out_sig), type=pa.list_(pa.uint64(), _NUM_PERM)),
+            "doc_id": doc_id.take(take),
+            "band": pa.array(bands, type=pa.int32()),
+            "bucket": pa.array(bucket, type=pa.int64()),
         }
     )
+
+
+def bucket_candidates(group: pa.Table) -> pa.Table:
+    """One LSH bucket -> raw candidate (doc_a, doc_b) pairs (no payload);
+    memory-tiled like `bucket_pairs`."""
+    n = group.num_rows
+    empty = pa.table({"doc_a": pa.array([], type=group.column("doc_id").type),
+                      "doc_b": pa.array([], type=group.column("doc_id").type)})
+    if n < 2:
+        return empty
+    docs = group.column("doc_id")
+    if isinstance(docs, pa.ChunkedArray):
+        docs = docs.combine_chunks()
+    docs = docs.take(pa.compute.sort_indices(docs))
+    parts = []
+    for ii, jj in iter_pair_tiles(n):
+        keep = np.asarray(pa.compute.not_equal(docs.take(pa.array(ii)), docs.take(pa.array(jj))))
+        ii, jj = ii[keep], jj[keep]
+        if ii.shape[0]:
+            parts.append(pa.table({"doc_a": docs.take(pa.array(ii)),
+                                   "doc_b": docs.take(pa.array(jj))}))
+    return pa.concat_tables(parts) if parts else empty
+
+
+def attach_payload(pairs_ds, docs_ds, pair_col: str, payload_col: str,
+                   out_col: str, num_partitions: int = 32):
+    """Co-partitioned lookup join: attach ``docs_ds[payload_col]`` (keyed by
+    ``doc_id``) to ``pairs_ds`` rows via their ``pair_col`` — the 100-TB
+    replacement for driver-side broadcast dicts.  One partition-granular
+    exchange: both sides are tagged with the same ``_pkey = hash(key) % P``,
+    unioned, and each partition resolves its pairs with ONE C-level pandas
+    hash join (no per-pair Python, no global materialization)."""
+    import functools
+
+    import pyarrow.compute as pc
+
+    from anomalydetection_ray.stages.runs import PKEY, add_partition_key
+
+    def _pa_schema(ds) -> pa.Schema:
+        s = ds.schema()
+        return pa.schema(list(zip(s.names, s.types)))
+
+    pair_schema = _pa_schema(pairs_ds)
+    pair_names = list(pair_schema.names)
+
+    def tag_pairs(batch: pa.Table) -> pa.Table:
+        batch = add_partition_key(batch, [pair_col], num_partitions)
+        return batch.append_column("_isdoc", pa.array(np.zeros(batch.num_rows, dtype=bool)))
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        t = pa.table({pair_col: batch.column("doc_id").cast(pair_schema.field(pair_col).type),
+                      out_col: batch.column(payload_col)})
+        # pad the pair columns with nulls so the union schemas align
+        for name in pair_names:
+            if name != pair_col:
+                t = t.append_column(name, pa.nulls(batch.num_rows, pair_schema.field(name).type))
+        t = add_partition_key(t, [pair_col], num_partitions)
+        return t.append_column("_isdoc", pa.array(np.ones(batch.num_rows, dtype=bool)))
+
+    def pad_pairs(batch: pa.Table, payload_type) -> pa.Table:
+        return batch.append_column(out_col, pa.nulls(batch.num_rows, payload_type))
+
+    payload_type = _pa_schema(docs_ds).field(payload_col).type
+    tagged_pairs = pairs_ds.map_batches(
+        functools.partial(pad_pairs, payload_type=payload_type),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).map_batches(tag_pairs, batch_format="pyarrow", zero_copy_batch=True)
+    tagged_docs = docs_ds.map_batches(tag_docs, batch_format="pyarrow", zero_copy_batch=True)
+    out_names = [*pair_names, out_col]
+
+    def resolve(group: pa.Table) -> pa.Table:
+        isdoc = np.asarray(group.column("_isdoc"))
+        keys = group.column(pair_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        pair_idx = np.flatnonzero(~isdoc)
+        doc_idx = np.flatnonzero(isdoc)
+        if pair_idx.shape[0] == 0:
+            return group.select(out_names).slice(0, 0)
+        pairs = group.take(pa.array(pair_idx))
+        docs = group.take(pa.array(doc_idx))
+        # vectorized lookup: position of each pair key in the doc-key array
+        pos = pa.compute.index_in(pairs.column(pair_col), docs.column(pair_col))
+        payload = docs.column(out_col)
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        attached = payload.take(pos)
+        cols = {name: pairs.column(name) for name in pair_names}
+        cols[out_col] = attached
+        return pa.table(cols)
+
+    both = tagged_pairs.union(tagged_docs)
+    return both.groupby(PKEY).map_groups(resolve, batch_format="pyarrow")
 
 
 _PAIR_TILE = 4_000_000  # max i<j pairs materialized per tile (bounds memory)
@@ -164,44 +265,6 @@ def iter_pair_tiles(n: int, max_pairs: int = _PAIR_TILE):
         yield ii, jj
 
 
-def bucket_pairs(group: pa.Table, min_est: float = 0.0) -> pa.Table:
-    """One LSH bucket -> candidate pairs with signature-estimated Jaccard.
-    Vectorized and memory-tiled: doc-sorted order, i<j pairs in bounded
-    chunks (``iter_pair_tiles``), per-permutation agreement accumulated into
-    an int16 counter (never an (npairs, P) boolean matrix) — hot buckets
-    are exactly the skewed case, so no per-pair Python AND no O(n^2)
-    transient blow-up."""
-    n = group.num_rows
-    empty = pa.table({"doc_a": pa.array([], type=group.column("doc_id").type),
-                      "doc_b": pa.array([], type=group.column("doc_id").type),
-                      "est_jaccard": pa.array([], type=pa.float64())})
-    if n < 2:
-        return empty
-    order = pa.compute.sort_indices(group.column("doc_id"))
-    g = group.take(order)
-    docs = g.column("doc_id")
-    sig_col = g.column("signature")
-    if isinstance(sig_col, pa.ChunkedArray):
-        sig_col = sig_col.combine_chunks()
-    sigs = np.asarray(sig_col.values, dtype=np.uint64).reshape(n, _NUM_PERM)
-    parts = []
-    for ii, jj in iter_pair_tiles(n):
-        agree = np.zeros(ii.shape[0], dtype=np.int16)
-        for p in range(_NUM_PERM):
-            agree += sigs[ii, p] == sigs[jj, p]
-        est = agree / np.float64(_NUM_PERM)
-        keep = est >= min_est
-        ii, jj, est = ii[keep], jj[keep], est[keep]
-        if ii.shape[0] == 0:
-            continue
-        # drop same-doc pairs (duplicate (band,bucket) rows for one doc)
-        keep = np.asarray(pa.compute.not_equal(docs.take(pa.array(ii)), docs.take(pa.array(jj))))
-        ii, jj, est = ii[keep], jj[keep], est[keep]
-        if ii.shape[0]:
-            parts.append(pa.table({"doc_a": docs.take(pa.array(ii)),
-                                   "doc_b": docs.take(pa.array(jj)),
-                                   "est_jaccard": pa.array(est, type=pa.float64())}))
-    return pa.concat_tables(parts) if parts else empty
 
 
 def _docs(sf_dir: str):
@@ -228,22 +291,48 @@ def exact_dedup(sf_dir: str):
 
 
 def minhash_lsh_pairs(sf_dir: str, min_est: float = 0.5):
-    """Candidate near-duplicate pairs via MinHash + banded LSH.  The
-    estimate threshold is applied INSIDE the bucket kernel (same est for a
-    pair regardless of which band surfaced it, so pre- vs post-dedupe
-    filtering is equivalent) — sub-threshold pairs never enter the
-    pair-dedup exchange."""
-    import functools
+    """Candidate near-duplicate pairs via MinHash + banded LSH.
 
+    Scale shape: the banding shuffle moves only (doc_id, band, bucket)
+    rows (never the 64x-u64 signatures); buckets emit raw candidate
+    pairs; pairs are deduped FIRST; then the full signatures are attached
+    to the surviving unique pairs with two co-partitioned lookup joins
+    (`attach_payload`) and the Jaccard estimate is computed vectorized.
+    Signature bytes therefore cross the wire once per doc + twice per
+    unique candidate pair — not 8x per doc."""
     sigs = _docs(sf_dir).map_batches(signatures_batch, batch_format="pyarrow", zero_copy_batch=True)
     bands = sigs.map_batches(band_rows_batch, batch_format="pyarrow")
-    pairs = bands.groupby(["band", "bucket"]).map_groups(
-        functools.partial(bucket_pairs, min_est=min_est), batch_format="pyarrow"
-    )
+    cands = bands.groupby(["band", "bucket"]).map_groups(bucket_candidates, batch_format="pyarrow")
 
     from anomalydetection_ray.stages.runs import keep_first_by
 
-    return keep_first_by(pairs, keys=["doc_a", "doc_b"])
+    uniq = keep_first_by(cands, keys=["doc_a", "doc_b"])
+    with_a = attach_payload(uniq, sigs, "doc_a", "signature", "_sig_a")
+    with_ab = attach_payload(with_a, sigs, "doc_b", "signature", "_sig_b")
+
+    def estimate(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        out_t = pa.table({"doc_a": pa.array([], type=batch.column("doc_a").type),
+                          "doc_b": pa.array([], type=batch.column("doc_b").type),
+                          "est_jaccard": pa.array([], type=pa.float64())})
+        if n == 0:
+            return out_t
+        sa = batch.column("_sig_a")
+        sb = batch.column("_sig_b")
+        if isinstance(sa, pa.ChunkedArray):
+            sa = sa.combine_chunks()
+        if isinstance(sb, pa.ChunkedArray):
+            sb = sb.combine_chunks()
+        a = np.asarray(sa.values, dtype=np.uint64).reshape(n, _NUM_PERM)
+        b = np.asarray(sb.values, dtype=np.uint64).reshape(n, _NUM_PERM)
+        est = (a == b).sum(axis=1) / np.float64(_NUM_PERM)
+        keep = est >= min_est
+        kidx = pa.array(np.flatnonzero(keep))
+        return pa.table({"doc_a": batch.column("doc_a").take(kidx),
+                         "doc_b": batch.column("doc_b").take(kidx),
+                         "est_jaccard": pa.array(est[keep], type=pa.float64())})
+
+    return with_ab.map_batches(estimate, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ------------------------------------------------------------ simhash ----
@@ -404,28 +493,29 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
 def ngram_jaccard_pairs(sf_dir: str, n: int = 3, min_jaccard: float = 0.3):
     """Exact word-n-gram Jaccard over the MinHash candidate pairs.
 
-    Test-scale implementation broadcasts {doc_id -> ngram set} via the
-    object store (ray.put once, read per task); the 100 TB path replaces
-    the broadcast with a co-partitioned join of candidates to text shards
-    (same groupby machinery as the LSH stage)."""
-    import ray
-
-    texts = _docs(sf_dir).take_all()
+    Scale shape: NO driver-side materialization — the candidate pairs get
+    each side's text attached by a co-partitioned lookup join
+    (`attach_payload`, the same machinery as the signature re-join), so
+    text bytes move only for documents that actually appear in a
+    candidate pair, and only to the partition holding that pair.  The
+    exact n-gram set computation runs per candidate pair (bounded by LSH
+    candidate volume, not corpus size)."""
+    cands = minhash_lsh_pairs(sf_dir, min_est=0.2).select_columns(["doc_a", "doc_b"])
+    docs = _docs(sf_dir)
+    with_a = attach_payload(cands, docs, "doc_a", "text", "_text_a")
+    with_ab = attach_payload(with_a, docs, "doc_b", "text", "_text_b")
 
     def grams(t: str) -> frozenset:
         ws = _WORD_RE.findall(t.lower())
         return frozenset(tuple(ws[i : i + n]) for i in range(max(0, len(ws) - n + 1)))
 
-    gram_map = {r["doc_id"]: grams(r["text"]) for r in texts}
-    ref = ray.put(gram_map)
-
-    cands = minhash_lsh_pairs(sf_dir, min_est=0.2)
-
     def verify(batch: pa.Table) -> pa.Table:
-        gm = ray.get(ref)
         a_o, b_o, j_o = [], [], []
-        for a, b in zip(batch.column("doc_a").to_pylist(), batch.column("doc_b").to_pylist()):
-            sa, sb = gm.get(a, frozenset()), gm.get(b, frozenset())
+        for a, b, ta, tb in zip(batch.column("doc_a").to_pylist(),
+                                batch.column("doc_b").to_pylist(),
+                                batch.column("_text_a").to_pylist(),
+                                batch.column("_text_b").to_pylist()):
+            sa, sb = grams(ta or ""), grams(tb or "")
             union = len(sa | sb)
             j = (len(sa & sb) / union) if union else 0.0
             if j >= min_jaccard:
@@ -437,40 +527,108 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, min_jaccard: float = 0.3):
                          "doc_b": pa.array(b_o, type=id_type),
                          "jaccard": pa.array(j_o, type=pa.float64())})
 
-    return cands.map_batches(verify, batch_format="pyarrow")
+    return with_ab.map_batches(verify, batch_format="pyarrow")
 
 
-def embedding_dup_pairs(sf_dir: str, min_cosine: float = 0.95):
-    """Embedding-cosine near-dup pairs: broadcast the L2-normalized matrix
-    once (ray.put), each batch multiplies against it (numpy matmul)."""
-    import ray
+def _bucketed_embeddings(sf_dir: str, num_buckets: int) -> str:
+    """Persist the embeddings table once as id-bucketed parquet
+    (``bucket = vec_id % B`` directories) under /tmp — the self-join input
+    layout.  Deterministic + idempotent (tmp dir + atomic rename), so
+    repeated queries and resumed runs reuse it."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{num_buckets}".encode()).hexdigest()[:12]
+    out = f"/tmp/anomray_embbkt_{key}"
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    tmp = out + ".tmp"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id"), dtype=np.int64)
+    bucket = ids % num_buckets
+    for b in range(num_buckets):
+        sel = np.flatnonzero(bucket == b)
+        sub = t.take(pa.array(sel)).sort_by([("vec_id", "ascending")])
+        pq.write_table(sub, os.path.join(tmp, f"bucket={b}.parquet"))
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
+        f.write("ok")
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        try:
+            os.replace(tmp, out)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def embedding_dup_pairs(sf_dir: str, min_cosine: float = 0.95,
+                        num_buckets: int | None = None):
+    """Embedding-cosine near-dup pairs — EXACT all-pairs, distributed as a
+    bucket-pair self-join: ids are hashed into B buckets persisted as
+    partitioned parquet, the driver enumerates the B*(B+1)/2 bucket pairs
+    (tiny), and each Ray task loads just its two buckets and computes one
+    (n_i x n_j) cosine block.  No driver-side materialization, no
+    broadcast of the full matrix; per-task memory is O((N/B)^2) and the
+    layout is the same one the LSH scale path prunes.  (For sub-quadratic
+    TOTAL work use the LSH candidate path — exact all-pairs is inherently
+    O(N^2) compute at any layout.)"""
+    import os
+
+    import pyarrow.parquet as pq
     import ray.data
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    all_rows = emb.take_all()
-    ids = np.array([r["vec_id"] for r in all_rows], dtype=np.int64)
-    mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in all_rows])
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
-    order = np.argsort(ids)
-    ids, mat = ids[order], mat[order]
-    ref = ray.put((ids, mat))
+    n_total = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    if num_buckets is None:
+        num_buckets = max(1, -(-n_total // 2048))  # ~2k vectors per bucket
+    path = _bucketed_embeddings(sf_dir, num_buckets)
+    bucket_pairs_list = [{"ba": i, "bb": j}
+                         for i in range(num_buckets) for j in range(i, num_buckets)]
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        g_ids, g_mat = ray.get(ref)
-        q_ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
-        q = np.stack([np.asarray(e, dtype=np.float64) for e in batch.column("embedding").to_pylist()])
-        q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
-        sims = q @ g_mat.T
+    def _load(b: int) -> tuple[np.ndarray, np.ndarray]:
+        t = pq.read_table(os.path.join(path, f"bucket={b}.parquet"))
+        ids = np.asarray(t.column("vec_id"), dtype=np.int64)
+        emb = t.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = np.asarray(emb.values, dtype=np.float64)
+        m = flat.reshape(len(ids), -1) if len(ids) else flat.reshape(0, 1)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        return ids, m
+
+    def block(batch: pa.Table) -> pa.Table:
         a_o, b_o, s_o = [], [], []
-        for r in range(sims.shape[0]):
-            hit = np.flatnonzero(sims[r] >= min_cosine)
-            for c in hit:
-                if q_ids[r] < g_ids[c]:  # dedup + drop self
-                    a_o.append(int(q_ids[r]))
-                    b_o.append(int(g_ids[c]))
-                    s_o.append(float(sims[r, c]))
-        return pa.table({"vec_a": pa.array(a_o, type=pa.int64()),
-                         "vec_b": pa.array(b_o, type=pa.int64()),
-                         "cosine": pa.array(s_o, type=pa.float64())})
+        for ba, bb in zip(batch.column("ba").to_pylist(), batch.column("bb").to_pylist()):
+            ia, ma = _load(int(ba))
+            ib, mb = _load(int(bb))
+            if ia.shape[0] == 0 or ib.shape[0] == 0:
+                continue
+            sims = ma @ mb.T
+            if ba == bb:
+                rr, cc = np.nonzero(np.triu(sims >= min_cosine, k=1))
+            else:
+                rr, cc = np.nonzero(sims >= min_cosine)
+            va, vb = ia[rr], ib[cc]
+            lo = np.minimum(va, vb)
+            hi = np.maximum(va, vb)
+            keep = lo != hi
+            a_o.append(lo[keep])
+            b_o.append(hi[keep])
+            s_o.append(sims[rr, cc][keep])
+        if not a_o:
+            return pa.table({"vec_a": pa.array([], type=pa.int64()),
+                             "vec_b": pa.array([], type=pa.int64()),
+                             "cosine": pa.array([], type=pa.float64())})
+        return pa.table({"vec_a": pa.array(np.concatenate(a_o), type=pa.int64()),
+                         "vec_b": pa.array(np.concatenate(b_o), type=pa.int64()),
+                         "cosine": pa.array(np.concatenate(s_o), type=pa.float64())})
 
-    return emb.map_batches(pairs, batch_format="pyarrow")
+    ds = ray.data.from_items(bucket_pairs_list,
+                             override_num_blocks=len(bucket_pairs_list))
+    return ds.map_batches(block, batch_format="pyarrow")

@@ -192,37 +192,49 @@ def g3_quantiles_nchars(sf_dir: str):
 def m3_token_fns(sf_dir: str):
     """Token scalar/array fns (M3): vocab remap (modulo fold to 1024),
     clamp to [0, 500), head-slice(8) — applied to the tokenized documents
-    corpus; returns per-doc checksums of each derived array so the result
-    is compact and deterministic."""
-    import zlib
-
+    corpus.  Each derived array is summarized as an exact order-sensitive
+    integer checksum ``sum((v'_i + 1) * (i + 1))`` (position-weighted, so
+    permutations are detected; bounded by int64) plus the first-8 tokens
+    as a comma string — both reproducible by the DuckDB oracle, unlike a
+    crc32.  Fully vectorized over the batch's flat token buffer."""
     from anomalydetection_ray.pipelines.rollup import validated
     from anomalydetection_ray.sources.tokenize import tokenize_batch
+    from anomalydetection_ray.stages.rollup import _flat_tokens
 
     def fns(batch: pa.Table) -> pa.Table:
-        toks = batch.column("tokens")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        remap_ck, clamp_ck, head = [], [], []
-        for i in range(batch.num_rows):
-            v = np.asarray(toks[i].values, dtype=np.int32) if len(toks[i].values) else np.empty(0, np.int32)
-            remap_ck.append(zlib.crc32((v % 1024).astype(np.int32).tobytes()))
-            clamp_ck.append(zlib.crc32(np.clip(v, 0, 499).astype(np.int32).tobytes()))
-            head.append(v[:8].tolist())
+        vals, valid, offsets = _flat_tokens(batch)
+        if valid is not None:
+            vals = np.where(valid, vals, 0).astype(np.int32)
+        v = vals.astype(np.int64)
+        nrows = offsets.shape[0] - 1
+        lens = np.diff(offsets)
+        nz = lens > 0
+        # part-local 1-based position weight per flat element
+        local = (np.arange(v.shape[0], dtype=np.int64)
+                 - np.repeat(offsets[:-1], lens)) + 1
+        remap = np.zeros(nrows, dtype=np.int64)
+        clamp = np.zeros(nrows, dtype=np.int64)
+        if v.shape[0]:
+            remap_t = (v % 1024 + 1) * local
+            clamp_t = (np.clip(v, 0, 499) + 1) * local
+            remap[nz] = np.add.reduceat(remap_t, offsets[:-1][nz])
+            clamp[nz] = np.add.reduceat(clamp_t, offsets[:-1][nz])
+        heads = []
+        for r in range(nrows):
+            s, e = offsets[r], min(offsets[r] + 8, offsets[r + 1])
+            heads.append(",".join(str(int(x)) for x in v[s:e]))
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
                 "part_id": batch.column("part_id"),
-                "remap_crc": pa.array(remap_ck, type=pa.int64()),
-                "clamp_crc": pa.array(clamp_ck, type=pa.int64()),
-                "head8": pa.array(head, type=pa.list_(pa.int32())),
+                "remap_ck": pa.array(remap, type=pa.int64()),
+                "clamp_ck": pa.array(clamp, type=pa.int64()),
+                "head8": pa.array(heads, type=pa.string()),
             }
         )
 
     docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
-    from anomalydetection_ray.sources.tokenize import tokenize_batch as tb
-
-    seqs = docs.map_batches(tb, batch_format="pyarrow", zero_copy_batch=True)
+    seqs = docs.map_batches(tokenize_batch, batch_format="pyarrow", zero_copy_batch=True)
     return validated(seqs).map_batches(fns, batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -230,21 +242,19 @@ def m3_token_fns(sf_dir: str):
 def q3_sample_lineitem(sf_dir: str, frac: float = 0.01):
     """Seeded random sample (Q3) — deterministic row membership via a
     content hash (not ds.random_sample, whose membership depends on block
-    layout): keep rows where crc32(l_orderkey, l_linenumber) % 10000 <
-    frac*10000.  SQL-expressible via the same hash? crc32 is not in
-    DuckDB -> rows-only, but membership is stable for the driver re-run."""
-    import zlib
-
+    layout): keep rows where the Knuth multiplicative hash of
+    (l_orderkey, l_linenumber) mod 2^32, folded to [0, 10000), falls
+    under the sampling threshold.  Fully vectorized (uint64 numpy) and
+    exactly SQL-expressible, so the driver's DuckDB oracle checks the
+    identical membership."""
+    thresh = int(round(frac * 10000))
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
 
     def samp(batch: pa.Table) -> pa.Table:
-        ok = np.asarray(batch.column("l_orderkey"), dtype=np.int64)
-        ln = np.asarray(batch.column("l_linenumber"), dtype=np.int64)
-        keep = np.fromiter(
-            (zlib.crc32(f"{a}:{b}".encode()) % 10000 < frac * 10000 for a, b in zip(ok, ln)),
-            dtype=bool,
-            count=len(ok),
-        )
+        ok = np.asarray(batch.column("l_orderkey"), dtype=np.uint64)
+        ln = np.asarray(batch.column("l_linenumber"), dtype=np.uint64)
+        h = (ok * np.uint64(2654435761) + ln * np.uint64(40503)) & np.uint64(0xFFFFFFFF)
+        keep = (h % np.uint64(10000)) < thresh
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(samp, batch_format="pyarrow", zero_copy_batch=True)

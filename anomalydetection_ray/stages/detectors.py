@@ -7,6 +7,15 @@ stateless ``map_batches`` kernel over validated sequences rows.
 
 Built-ins: A2 EWMA smoother, A3 generalized-ESD anomaly count (robust
 S-H-ESD default), A6 moving-window threshold flags.
+
+Batch output is scalar-only per (doc, part): ``n_anomalies`` plus the
+order-insensitive position checksums ``pos_sum`` / ``pos_sumsq`` — a
+schema a SQL oracle can reproduce exactly (list columns can't be
+value-hashed portably).  The A6 threshold detector additionally has a
+fully vectorized flat-buffer batch path (``_threshold_batch_fast``): one
+pass of row-boundary-aware int64 cumsums over the whole batch, no
+per-row Python; ESD stays per-row (iterative by definition) and EWMA's
+inner scan is vectorized per row.
 """
 
 from __future__ import annotations
@@ -36,13 +45,13 @@ def detectors() -> list[str]:
 def _det_esd(values: np.ndarray, alpha: float = 0.05, k_max: int | None = None,
              robust: bool = True) -> dict:
     n_anom, idx = esd(values.astype(np.float64), alpha=alpha, k_max=k_max, robust=robust)
-    return {"n_anomalies": int(n_anom), "anomaly_positions": np.sort(idx).tolist()}
+    return {"n_anomalies": int(n_anom), "anomaly_positions": np.sort(idx)}
 
 
 def _det_threshold(values: np.ndarray, window: int = 50, c: float = 3.0) -> dict:
-    flags = threshold_flags(values.astype(np.float64), window, c)
+    flags = threshold_flags(values, window, c)
     pos = np.flatnonzero(flags)
-    return {"n_anomalies": int(pos.size), "anomaly_positions": pos.tolist()}
+    return {"n_anomalies": int(pos.size), "anomaly_positions": pos}
 
 
 def _det_ewma_resid(values: np.ndarray, alpha: float = 0.1, c: float = 4.0) -> dict:
@@ -50,16 +59,16 @@ def _det_ewma_resid(values: np.ndarray, alpha: float = 0.1, c: float = 4.0) -> d
     sigma of the one-step residuals."""
     x = values.astype(np.float64)
     if x.shape[0] < 3:
-        return {"n_anomalies": 0, "anomaly_positions": []}
+        return {"n_anomalies": 0, "anomaly_positions": np.empty(0, dtype=np.int64)}
     s = ewma(x, alpha)
     resid = x[1:] - s[:-1]
     med = np.median(resid)
     mad = np.median(np.abs(resid - med))
     if mad == 0.0:
-        return {"n_anomalies": 0, "anomaly_positions": []}
+        return {"n_anomalies": 0, "anomaly_positions": np.empty(0, dtype=np.int64)}
     sigma = 1.4826 * mad
     pos = (np.flatnonzero(np.abs(resid - med) > c * sigma) + 1)
-    return {"n_anomalies": int(pos.size), "anomaly_positions": pos.tolist()}
+    return {"n_anomalies": int(pos.size), "anomaly_positions": pos}
 
 
 register_detector("esd", _det_esd)
@@ -67,26 +76,95 @@ register_detector("threshold", _det_threshold)
 register_detector("ewma", _det_ewma_resid)
 
 
-def detect_batch(batch: pa.Table, detector: str = "esd", **params) -> pa.Table:
-    """Validated sequences rows -> per-series detector report."""
-    fn = get_detector(detector)
-    tokens = batch.column("tokens")
-    if isinstance(tokens, pa.ChunkedArray):
-        tokens = tokens.combine_chunks()
-    n_list, pos_list = [], []
-    for i in range(batch.num_rows):
-        arr = tokens[i].values
-        vals = np.asarray(arr.fill_null(0) if arr.null_count else arr, dtype=np.int32) \
-            if len(arr) else np.empty(0, dtype=np.int32)
-        out = fn(vals, **params)
-        n_list.append(out["n_anomalies"])
-        pos_list.append(out["anomaly_positions"])
+def _report_table(batch: pa.Table, detector: str, n_anom: np.ndarray,
+                  pos_sum: np.ndarray, pos_sumsq: np.ndarray) -> pa.Table:
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
             "part_id": batch.column("part_id"),
             "detector": pa.array([detector] * batch.num_rows, type=pa.string()),
-            "n_anomalies": pa.array(n_list, type=pa.int64()),
-            "anomaly_positions": pa.array(pos_list, type=pa.list_(pa.int64())),
+            "n_anomalies": pa.array(n_anom, type=pa.int64()),
+            "pos_sum": pa.array(pos_sum, type=pa.int64()),
+            "pos_sumsq": pa.array(pos_sumsq, type=pa.int64()),
         }
     )
+
+
+def _threshold_batch_fast(batch: pa.Table, window: int, c: float) -> pa.Table:
+    """Vectorized A6 over the batch's flat token buffer: padded int64
+    cumsums once for every row, window sums by subtraction, eligibility =
+    local index >= window-1.  Bit-identical to `_det_threshold` row by row
+    (same IEEE ops in the same order)."""
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0).astype(np.int64)
+    v = vals.astype(np.int64)
+    nrows = offsets.shape[0] - 1
+    lens = np.diff(offsets)
+    n = v.shape[0]
+    n_anom = np.zeros(nrows, dtype=np.int64)
+    pos_sum = np.zeros(nrows, dtype=np.int64)
+    pos_sumsq = np.zeros(nrows, dtype=np.int64)
+    w = window
+    if n and w > 0 and (not n or int(np.abs(v).max(initial=0)) <= (1 << 20)):
+        c1 = np.concatenate(([0], np.cumsum(v)))
+        c2 = np.concatenate(([0], np.cumsum(v * v)))
+        row_of = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+        local = np.arange(n, dtype=np.int64) - np.repeat(offsets[:-1], lens)
+        elig = local >= w - 1
+        t = np.flatnonzero(elig)
+        s1 = c1[t + 1] - c1[t + 1 - w]
+        s2 = c2[t + 1] - c2[t + 1 - w]
+        m = s1 / w
+        var = s2 / w - m * m
+        np.maximum(var, 0.0, out=var)
+        flags = np.abs(v[t].astype(np.float64) - m) > c * np.sqrt(var)
+        hit = t[flags]
+        hrow = row_of[hit]
+        hloc = local[hit]
+        np.add.at(n_anom, hrow, 1)
+        np.add.at(pos_sum, hrow, hloc)
+        np.add.at(pos_sumsq, hrow, hloc * hloc)
+    elif n:
+        # magnitude fallback: per-row float path (identical to the registry)
+        tokens = batch.column("tokens")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        for i in range(nrows):
+            arr = tokens[i].values
+            x = np.asarray(arr.fill_null(0) if arr.null_count else arr, dtype=np.int32) \
+                if len(arr) else np.empty(0, dtype=np.int32)
+            out = _det_threshold(x, window=w, c=c)
+            p = np.asarray(out["anomaly_positions"], dtype=np.int64)
+            n_anom[i] = out["n_anomalies"]
+            pos_sum[i] = int(p.sum())
+            pos_sumsq[i] = int((p * p).sum())
+    return _report_table(batch, "threshold", n_anom, pos_sum, pos_sumsq)
+
+
+def detect_batch(batch: pa.Table, detector: str = "esd", **params) -> pa.Table:
+    """Validated sequences rows -> per-series detector report."""
+    if detector == "threshold":
+        return _threshold_batch_fast(
+            batch, window=params.get("window", 50), c=params.get("c", 3.0)
+        )
+    fn = get_detector(detector)
+    tokens = batch.column("tokens")
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    nrows = batch.num_rows
+    n_anom = np.zeros(nrows, dtype=np.int64)
+    pos_sum = np.zeros(nrows, dtype=np.int64)
+    pos_sumsq = np.zeros(nrows, dtype=np.int64)
+    for i in range(nrows):
+        arr = tokens[i].values
+        vals = np.asarray(arr.fill_null(0) if arr.null_count else arr, dtype=np.int32) \
+            if len(arr) else np.empty(0, dtype=np.int32)
+        out = fn(vals, **params)
+        p = np.asarray(out["anomaly_positions"], dtype=np.int64)
+        n_anom[i] = out["n_anomalies"]
+        pos_sum[i] = int(p.sum())
+        pos_sumsq[i] = int((p * p).sum())
+    return _report_table(batch, detector, n_anom, pos_sum, pos_sumsq)

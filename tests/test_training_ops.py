@@ -143,3 +143,68 @@ def test_iter_pair_tiles_covers_all_pairs():
             got |= set(zip(ii.tolist(), jj.tolist()))
         ti, tj = np.triu_indices(n, 1)
         assert got == set(zip(ti.tolist(), tj.tolist()))
+
+
+def test_minhash_lsh_pipeline_matches_reference(ray_session):
+    """The banded/no-signature-shuffle pipeline returns exactly the pairs a
+    direct computation of the LSH semantics gives: (a, b) such that some
+    band's signature slice matches AND full-signature est >= min_est."""
+    import pyarrow.parquet as pq
+
+    from anomalydetection_ray.pipelines.dedup import (
+        _BANDS,
+        _ROWS_PER_BAND,
+        minhash_lsh_pairs,
+        minhash_signature,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_pylist()
+    sigs = {d: minhash_signature(x) for d, x in zip(ids, t.column("text").to_pylist())}
+    min_est = 0.5
+    expected = set()
+    sids = sorted(ids)
+    for x in range(len(sids)):
+        for y in range(x + 1, len(sids)):
+            a, b = sids[x], sids[y]
+            sa, sb = sigs[a], sigs[b]
+            banded = any(
+                np.array_equal(sa[k * _ROWS_PER_BAND:(k + 1) * _ROWS_PER_BAND],
+                               sb[k * _ROWS_PER_BAND:(k + 1) * _ROWS_PER_BAND])
+                for k in range(_BANDS)
+            )
+            if banded and float((sa == sb).mean()) >= min_est:
+                expected.add((a, b))
+    got_rows = minhash_lsh_pairs(sf, min_est=min_est).take_all()
+    got = {(min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"])) for r in got_rows}
+    assert len(got_rows) == len(got)  # no duplicate pairs
+    assert got == expected
+    for r in got_rows:
+        sa, sb = sigs[r["doc_a"]], sigs[r["doc_b"]]
+        assert r["est_jaccard"] == float((sa == sb).mean())
+
+
+def test_embedding_pairs_bucket_join_exact(ray_session):
+    """The bucket-pair self-join equals a direct all-pairs cosine filter."""
+    import pyarrow.parquet as pq
+
+    from anomalydetection_ray.pipelines.dedup import embedding_dup_pairs
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id"), dtype=np.int64)
+    m = np.stack([np.asarray(e, dtype=np.float64) for e in t.column("embedding").to_pylist()])
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    sims = m @ m.T
+    thr = 0.3
+    expected = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and sims[i, j] >= thr:
+                expected.add((int(ids[i]), int(ids[j])))
+    # force multiple buckets so cross-bucket blocks are exercised
+    rows = embedding_dup_pairs(sf, min_cosine=thr, num_buckets=7).take_all()
+    got = {(r["vec_a"], r["vec_b"]) for r in rows}
+    assert len(rows) == len(got)
+    assert got == expected
