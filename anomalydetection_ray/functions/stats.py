@@ -32,6 +32,8 @@ __all__ = [
     "gap_fill",
     "moving_mean_std",
     "ewma",
+    "ewma_flat",
+    "segment_medians",
     "esd",
     "threshold_flags",
     "recover_int_sums",
@@ -132,7 +134,7 @@ def ewma(x: np.ndarray, alpha: float) -> np.ndarray:
     if one_m >= 1.0:  # alpha <= 0: constant s_0
         out[:] = x[0]
         return out
-    bmax = int(min(4096, max(1, np.floor(250.0 / -np.log10(one_m)))))
+    bmax = _ewma_bmax(one_m)
     out[0] = s = float(x[0])
     i = 1
     while i < n:
@@ -143,6 +145,79 @@ def ewma(x: np.ndarray, alpha: float) -> np.ndarray:
         s = float(out[j - 1])
         i = j
     return out
+
+
+def _ewma_bmax(one_m: float) -> int:
+    return int(min(4096, max(1, np.floor(250.0 / -np.log10(one_m)))))
+
+
+def ewma_flat(x: np.ndarray, offsets: np.ndarray, alpha: float) -> np.ndarray:
+    """A2 over a whole flat buffer of row-concatenated series, one
+    vectorized round per ``bmax`` block ACROSS all rows — bit-identical to
+    calling ``ewma(row)`` per row (same row-local block boundaries, same
+    per-element IEEE ops; padded cells contribute exact 0.0 to the
+    cumsums).  Rounds needed = ceil(longest_row / bmax); a batch of
+    short rows completes in one round with no per-row Python."""
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[0]
+    out = np.empty(n, dtype=np.float64)
+    lens = np.diff(offsets)
+    nz = lens > 0
+    starts = offsets[:-1]
+    if n == 0 or not nz.any():
+        return out
+    one_m = 1.0 - alpha
+    if one_m <= 0.0:
+        out[:] = x
+        return out
+    if one_m >= 1.0:
+        # constant s_0 per row
+        out[:] = np.repeat(np.where(nz, x[np.minimum(starts, n - 1)], 0.0), lens)
+        return out
+    bmax = _ewma_bmax(one_m)
+    carry = x[starts[nz]].copy()
+    out[starts[nz]] = carry
+    rows = np.flatnonzero(nz)
+    pos = 1
+    while True:
+        live = lens[rows] > pos
+        rows, carry = rows[live], carry[live]
+        if rows.shape[0] == 0:
+            break
+        seg_len = np.minimum(lens[rows] - pos, bmax)
+        maxL = int(seg_len.max())
+        col = np.arange(maxL, dtype=np.int64)
+        mask = col[None, :] < seg_len[:, None]
+        gidx = starts[rows][:, None] + pos + np.minimum(col, seg_len[:, None] - 1)
+        x2d = np.where(mask, x[gidx], 0.0)
+        q = np.cumprod(np.full(maxL, one_m))
+        z2d = np.cumsum(alpha * x2d / (q / one_m)[None, :], axis=1)
+        out2d = q[None, :] * (carry[:, None] + z2d / one_m)
+        flat_idx = (starts[rows][:, None] + pos + col)[mask]
+        out[flat_idx] = out2d[mask]
+        carry = out2d[np.arange(rows.shape[0]), seg_len - 1].copy()
+        pos += bmax
+    return out
+
+
+def segment_medians(v: np.ndarray, seg_of: np.ndarray, nseg: int,
+                    seg_starts: np.ndarray, seg_lens: np.ndarray) -> np.ndarray:
+    """Median per contiguous segment of a flat array, vectorized: one
+    global lexsort keyed (segment, value), then the two middle order
+    statistics per segment — (a+b)/2 equals np.median for both parities
+    ((a+a)/2 == a exactly)."""
+    med = np.zeros(nseg, dtype=np.float64)
+    live = seg_lens > 0
+    if not live.any():
+        return med
+    order = np.lexsort((v, seg_of))
+    sv = v[order]
+    k1 = seg_starts + (seg_lens - 1) // 2
+    k2 = seg_starts + seg_lens // 2
+    k1 = np.minimum(k1, seg_starts + np.maximum(seg_lens - 1, 0))
+    k2 = np.minimum(k2, seg_starts + np.maximum(seg_lens - 1, 0))
+    med[live] = (sv[k1[live]] + sv[k2[live]]) / 2.0
+    return med
 
 
 def esd(

@@ -49,7 +49,14 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
     word_hashes tokenizer), stopword membership is an np.isin against
     each language's precomputed hash set, and per-doc hit ratios come
     from reduceat — no per-doc Python.  Only the first 2000 words of a
-    doc vote (long-doc cap)."""
+    doc vote (long-doc cap).
+
+    Heuristic definition (deliberate, and what the SQL oracle mirrors):
+    words are maximal runs of word-class BYTES ([0-9a-z_] plus any byte
+    >= 0x80) of the lowercased text — NOT whitespace tokens — so
+    punctuation never glues onto a stopword; ties between languages break
+    to the first language in sorted order (de < en < es < fr); matching
+    is via 64-bit word hashes (collision odds ~ n_words * 40 / 2^64)."""
     from anomalydetection_ray.pipelines.dedup import word_hashes
 
     flat, offsets = _flat_utf8(batch)
@@ -62,7 +69,6 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
         dseg_all = np.concatenate(
             (np.zeros(1, dtype=np.int64), np.flatnonzero(doc_of[1:] != doc_of[:-1]) + 1)
         )
-        docs_present = doc_of[dseg_all]
         # cap: word rank within its doc < 2000
         rank = np.arange(doc_of.shape[0], dtype=np.int64)
         rank -= np.repeat(dseg_all, np.diff(np.concatenate((dseg_all, [doc_of.shape[0]]))))
@@ -145,9 +151,15 @@ def quality_batch(batch: pa.Table) -> pa.Table:
       alpha_ratio = alpha_chars / n_bytes        (ASCII [A-Za-z], on bytes)
       ws_tokens   = length(split on \\s+) incl. boundary empties (DuckDB
                     string_split_regex semantics: separator-run count + 1)
-    plus a composite quality_score (rows-only facet).  All counts come
+    plus a composite quality_score (SQL-checked too).  All counts come
     from byte-class masks + reduceat over the flat buffer — no per-doc
-    Python."""
+    Python.
+
+    Definition note: mean word length (the quality_score's mean_w term)
+    is measured in BYTES of the non-whitespace runs — multi-byte UTF-8
+    characters count per byte, a deliberate byte-domain heuristic (it
+    slightly up-weights non-ASCII words; exactly what the SQL oracle
+    reproduces)."""
     flat, offsets = _flat_utf8(batch)
     nb_arr = np.diff(offsets)
     nrows = nb_arr.shape[0]

@@ -144,11 +144,66 @@ def _threshold_batch_fast(batch: pa.Table, window: int, c: float) -> pa.Table:
     return _report_table(batch, "threshold", n_anom, pos_sum, pos_sumsq)
 
 
+def _ewma_batch_fast(batch: pa.Table, alpha: float, c: float) -> pa.Table:
+    """Vectorized A2 control chart over the batch's flat token buffer:
+    one segmented blocked EWMA scan for every row at once (`ewma_flat`,
+    bit-identical to the per-row `ewma`), residuals by shifted
+    subtraction, per-row median/MAD via two global lexsorts
+    (`segment_medians`) — no per-row Python.  Rows shorter than 3
+    positions report 0 anomalies, MAD == 0 rows report 0 (both as the
+    per-row registry path defines)."""
+    from anomalydetection_ray.functions.stats import ewma_flat, segment_medians
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0).astype(np.int32)
+    x = vals.astype(np.float64)
+    nrows = offsets.shape[0] - 1
+    lens = np.diff(offsets)
+    n_anom = np.zeros(nrows, dtype=np.int64)
+    pos_sum = np.zeros(nrows, dtype=np.int64)
+    pos_sumsq = np.zeros(nrows, dtype=np.int64)
+    eligible = lens >= 3
+    if eligible.any() and x.shape[0]:
+        s = ewma_flat(x, offsets, alpha)
+        # residual r_t = x_t - s_{t-1} for non-rowstart positions
+        rowstart = np.zeros(x.shape[0], dtype=bool)
+        rowstart[offsets[:-1][lens > 0]] = True
+        t = np.flatnonzero(~rowstart)
+        row_of_all = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+        t = t[eligible[row_of_all[t]]]
+        resid = x[t] - s[t - 1]
+        rows_t = row_of_all[t]
+        # per-row resid segments (contiguous because t ascends by row)
+        seg_rows, seg_counts = np.unique(rows_t, return_counts=True)
+        seg_starts = np.concatenate(([0], np.cumsum(seg_counts)[:-1]))
+        seg_idx = np.searchsorted(seg_rows, rows_t)
+        med = segment_medians(resid, seg_idx, seg_rows.shape[0], seg_starts, seg_counts)
+        dev = np.abs(resid - med[seg_idx])
+        mad = segment_medians(dev, seg_idx, seg_rows.shape[0], seg_starts, seg_counts)
+        sigma = 1.4826 * mad
+        ok = mad[seg_idx] != 0.0
+        flags = ok & (dev > c * sigma[seg_idx])
+        hit = np.flatnonzero(flags)
+        hrow = rows_t[hit]
+        # position = row-local index of t (resid index + 1 == local idx)
+        hloc = t[hit] - offsets[:-1][hrow]
+        np.add.at(n_anom, hrow, 1)
+        np.add.at(pos_sum, hrow, hloc)
+        np.add.at(pos_sumsq, hrow, hloc * hloc)
+    return _report_table(batch, "ewma", n_anom, pos_sum, pos_sumsq)
+
+
 def detect_batch(batch: pa.Table, detector: str = "esd", **params) -> pa.Table:
     """Validated sequences rows -> per-series detector report."""
     if detector == "threshold":
         return _threshold_batch_fast(
             batch, window=params.get("window", 50), c=params.get("c", 3.0)
+        )
+    if detector == "ewma":
+        return _ewma_batch_fast(
+            batch, alpha=params.get("alpha", 0.1), c=params.get("c", 4.0)
         )
     fn = get_detector(detector)
     tokens = batch.column("tokens")

@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import os
 import time
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -49,13 +48,17 @@ SUMMARY_SCHEMA = pa.schema(
 
 
 def assign_partition(batch: pa.Table, num_parts: int) -> pa.Table:
-    """Deterministic hash partition id per row: crc32(doc_id) % num_parts.
-    (Never python hash() — it is salted per process.)"""
-    pids = np.fromiter(
-        (zlib.crc32(d.encode()) % num_parts for d in batch.column("doc_id").to_pylist()),
-        dtype=np.int32,
-        count=batch.num_rows,
-    )
+    """Deterministic hash partition id per row, vectorized: the same
+    fixed-key siphash `pd.util.hash_array` the rest of the engine's
+    exchanges use (stages/runs.py) — stable across processes, never
+    python hash() (salted per process), never a per-row crc32 loop."""
+    import pandas as pd
+
+    c = batch.column("doc_id")
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    h = pd.util.hash_array(np.asarray(c.to_pandas(), dtype=object), categorize=False)
+    pids = (h % np.uint64(num_parts)).astype(np.int32)
     return batch.append_column("pid", pa.array(pids, type=pa.int32()))
 
 

@@ -178,18 +178,20 @@ def salted_groupby_sum(ds, key: str, value_cols: list[str], num_salts: int = 16)
     """Skew-defended grouped sum/count: (key, salt) partial aggregate, then
     a tiny final merge over num_salts partials per key.  Exact (integer /
     associative) aggregates only."""
-    import zlib
-
     from ray.data.aggregate import Count, Sum
 
     def add_salt(batch: pa.Table) -> pa.Table:
-        # salt from row content hash -> deterministic, spreads hot keys
-        ks = batch.column(key).to_pylist()
-        salt = np.fromiter(
-            ((zlib.crc32(str((k, i)).encode()) % num_salts) for i, k in enumerate(ks)),
-            dtype=np.int32,
-            count=len(ks),
-        )
+        # deterministic vectorized salt: key hash + batch-local row index
+        # (spreads a hot key's rows across all salts; exact aggregates are
+        # salt-value-agnostic, so batch-relative indexing is fine)
+        import pandas as pd
+
+        c = batch.column(key)
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        h = pd.util.hash_array(np.asarray(c.to_pandas(), dtype=object), categorize=False)
+        salt = ((h + np.arange(batch.num_rows, dtype=np.uint64))
+                % np.uint64(num_salts)).astype(np.int32)
         return batch.append_column("_salt", pa.array(salt, type=pa.int32()))
 
     aggs1 = [Sum(c, alias_name=f"{c}_p") for c in value_cols] + [Count(alias_name="_cnt_p")]

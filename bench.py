@@ -117,7 +117,9 @@ def run_bench(sf_dir: str, num_cpus: int, phases: list[str]) -> dict:
     n_files = max(1, len(_glob.glob(os.path.join(spath, "part-*.parquet"))))
     onb = max(n_files, num_cpus * 2)
 
-    reps = int(os.environ.get("GRAFT_BENCH_REPS", "1"))
+    # best-of-3 by default — matches the recorded BASELINE.md protocol so the
+    # driver-run number is comparable round over round (co-tenant VM noise)
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
 
     if "rollup_synth" in phases:
         dt, n_points = None, 0
@@ -260,7 +262,12 @@ def main() -> None:
         # produce physically impossible ratios.  Interleave single-rep runs
         # across levels and merge best-per-level instead.
         scaling_reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
-        results: dict = {}
+        # per-rep results: reps_by_cpu[cpus] = [rep0_json, rep1_json, ...].
+        # Efficiency is computed WITHIN each interleaved rep (both CPU
+        # levels measured in the same time window) and the median per-rep
+        # ratio is reported — field-wise best-of-N per level is a biased
+        # estimator whose ratio no single run achieved.
+        reps_by_cpu: dict[int, list] = {c: [] for c in cpu_levels}
         for _rep in range(scaling_reps):
             for cpus in cpu_levels:
                 env = dict(os.environ)
@@ -272,24 +279,42 @@ def main() -> None:
                     [sys.executable, os.path.abspath(__file__), "--phases", "rollup_synth,ingest_encode"],
                     env=env, capture_output=True, text=True, check=True,
                 )
-                j = json.loads(out.stdout.strip().splitlines()[-1])
-                prev = results.get(cpus)
-                if prev is None:
-                    results[cpus] = j
-                else:  # field-wise best: min times, max throughputs
-                    for k, v in j["queries"].items():
-                        prev["queries"][k] = min(prev["queries"][k], v)
-                    for k in list(j.keys()):
-                        if k.endswith("_per_s"):
-                            prev[k] = max(prev[k], j[k])
+                reps_by_cpu[cpus].append(json.loads(out.stdout.strip().splitlines()[-1]))
+        # per-level best composite, used ONLY for the throughput table
+        results: dict = {}
+        for cpus, reps_list in reps_by_cpu.items():
+            best = dict(reps_list[0])
+            for j in reps_list[1:]:
+                for k, v in j["queries"].items():
+                    best["queries"] = dict(best["queries"])
+                    best["queries"][k] = min(best["queries"][k], v)
+                for k in j:
+                    if k.endswith("_per_s"):
+                        best[k] = max(best[k], j[k])
+            results[cpus] = best
+
+        def _median(xs):
+            xs = sorted(xs)
+            n = len(xs)
+            return xs[n // 2] if n % 2 else 0.5 * (xs[n // 2 - 1] + xs[n // 2])
 
         def eff(lo, hi, key):
-            return (results[hi][key] / results[lo][key]) / (hi / lo)
+            per_rep = [
+                (reps_by_cpu[hi][r][key] / reps_by_cpu[lo][r][key]) / (hi / lo)
+                for r in range(scaling_reps)
+            ]
+            return _median(per_rep)
+
+        def eff_reps(lo, hi, key):
+            return [
+                round((reps_by_cpu[hi][r][key] / reps_by_cpu[lo][r][key]) / (hi / lo), 4)
+                for r in range(scaling_reps)
+            ]
 
         pairs = [(lo, hi) for lo, hi in ((2, 8), (8, 32)) if lo in results and hi in results]
         headline = pairs[0]
         out = {
-            "metric": f"scaling efficiency N->4N (cpus {headline[0]} -> {headline[1]}, fresh processes, same input)",
+            "metric": f"scaling efficiency N->4N (cpus {headline[0]} -> {headline[1]}, fresh processes, same input, median per-rep ratio)",
             "value": eff(*headline, "rollup_tokens_per_s"),
             "unit": "ratio",
             "sf": sf_of(sf_dir),
@@ -302,13 +327,18 @@ def main() -> None:
                 f"rollup_{lo}_{hi}": eff(lo, hi, "rollup_tokens_per_s") for lo, hi in pairs
             }
             | {f"encode_{lo}_{hi}": eff(lo, hi, "encode_tokens_per_s") for lo, hi in pairs},
+            "scaling_efficiency_per_rep": {
+                f"rollup_{lo}_{hi}": eff_reps(lo, hi, "rollup_tokens_per_s") for lo, hi in pairs
+            }
+            | {f"encode_{lo}_{hi}": eff_reps(lo, hi, "encode_tokens_per_s") for lo, hi in pairs},
         }
         cap = host_capacity_probe(levels=tuple(sorted({1, *cpu_levels})))
         out["host_capacity_units_per_s"] = {str(k): v for k, v in cap.items()}
         out["host_capacity_speedup"] = {str(k): cap[k] / cap[1] for k in cap}
-        # normalized efficiency: pipeline gain vs what the host itself gives
+        # normalized efficiency: pipeline gain (median per-rep) vs what the
+        # host itself gives at the same process counts
         out["scaling_efficiency_host_normalized"] = {
-            f"rollup_{lo}_{hi}": (results[hi]["rollup_tokens_per_s"] / results[lo]["rollup_tokens_per_s"])
+            f"rollup_{lo}_{hi}": eff(lo, hi, "rollup_tokens_per_s") * (hi / lo)
             / (cap[hi] / cap[lo])
             for lo, hi in pairs
             if lo in cap and hi in cap and cap[hi] > cap[lo]
@@ -387,8 +417,11 @@ def _record_baseline(out: dict, results: dict) -> None:
             + row("rollup points/s", "rollup_points_per_s")
             + row("encode tokens/s", "encode_tokens_per_s")
             + row("codec bytes/token", "encode_bytes_per_token", "{:.3f}")
-            + "\nScaling efficiency (target >= 0.8 for N->4N):\n\n"
-            + "".join(f"- {k}: {v:.3f}\n" for k, v in effs.items())
+            + "\nScaling efficiency (target >= 0.8 for N->4N; MEDIAN of the\n"
+            "per-interleaved-rep ratios — each rep measures both CPU levels in\n"
+            "the same time window, so no cross-rep best-field mixing):\n\n"
+            + "".join(f"- {k}: {v:.3f}  (per-rep: {out['scaling_efficiency_per_rep'][k]})\n"
+                      for k, v in effs.items())
             + "\nHost capacity probe (Ray-free, kernel-shaped work, warm fork pool):\n\n"
             + "".join(
                 f"- {k} procs: {v:.2f}x single-proc aggregate\n"

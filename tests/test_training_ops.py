@@ -208,3 +208,66 @@ def test_embedding_pairs_bucket_join_exact(ray_session):
     got = {(r["vec_a"], r["vec_b"]) for r in rows}
     assert len(rows) == len(got)
     assert got == expected
+
+
+def _random_token_batch(rng, nrows, max_len, with_nulls=False, long_row=False):
+    import pyarrow as pa
+
+    rows = []
+    for i in range(nrows):
+        ln = int(rng.integers(0, max_len))
+        if long_row and i == 0:
+            ln = 9000  # crosses multiple ewma blocks (bmax<=4096)
+        toks = rng.integers(0, 50257, ln).astype(np.int32).tolist()
+        if with_nulls and ln > 3:
+            toks[1] = None
+            toks[ln // 2] = None
+        rows.append({"doc_id": f"d{i}", "source": "s", "part_id": 0,
+                     "n_tok": ln, "tokens": toks})
+    return pa.Table.from_pylist(rows)
+
+
+def test_detector_fast_paths_match_registry():
+    """The vectorized flat-buffer threshold/ewma batch kernels must be
+    bit-identical to the per-row registry detectors."""
+    import pyarrow as pa
+
+    from anomalydetection_ray.stages.detectors import (
+        _det_ewma_resid,
+        _det_threshold,
+        detect_batch,
+    )
+
+    rng = np.random.default_rng(3)
+    for with_nulls in (False, True):
+        batch = _random_token_batch(rng, 40, 700, with_nulls=with_nulls, long_row=True)
+        toks = batch.column("tokens").combine_chunks()
+        for det, fn in (("threshold", _det_threshold), ("ewma", _det_ewma_resid)):
+            out = detect_batch(batch, detector=det)
+            for i in range(batch.num_rows):
+                arr = toks[i].values
+                vals = np.asarray(arr.fill_null(0) if arr.null_count else arr,
+                                  dtype=np.int32) if len(arr) else np.empty(0, np.int32)
+                ref = fn(vals)
+                p = np.asarray(ref["anomaly_positions"], dtype=np.int64)
+                assert out.column("n_anomalies")[i].as_py() == ref["n_anomalies"], (det, i)
+                assert out.column("pos_sum")[i].as_py() == int(p.sum()), (det, i)
+                assert out.column("pos_sumsq")[i].as_py() == int((p * p).sum()), (det, i)
+
+
+def test_ewma_flat_matches_scalar():
+    from anomalydetection_ray.functions.stats import ewma, ewma_flat
+
+    rng = np.random.default_rng(9)
+    for alpha in (0.1, 0.5, 0.9, 1.5, -0.1):
+        lens = [0, 1, 2, 5, 300, 9000, 4096, 4097]
+        xs = [rng.standard_normal(ln) * 1000 for ln in lens]
+        flat = np.concatenate(xs) if xs else np.empty(0)
+        offsets = np.concatenate(([0], np.cumsum([ln for ln in lens]))).astype(np.int64)
+        got = ewma_flat(flat, offsets, alpha)
+        for i, x in enumerate(xs):
+            if len(x) == 0:
+                continue
+            expect = ewma(x, alpha)
+            seg = got[offsets[i]:offsets[i + 1]]
+            assert np.array_equal(seg, expect), (alpha, lens[i])
