@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m2_filter_lineitem": q.m2_filter_lineitem,
         "d1_dedup_events": q.d1_dedup_events,
         "j1_broadcast_join": q.j1_broadcast_join,
+        "j3_join_agg": q.j3_join_agg,
         "g3_quantiles_nchars": q.g3_quantiles_nchars,
         "m3_token_fns": q.m3_token_fns,
         "g3_approx_quantiles": q.g3_approx_quantiles,
@@ -187,6 +188,31 @@ _T1_SELECT = """
            CAST(s AS DOUBLE) / c AS "mean", c AS "count",
            score AS anomaly_score, false AS filled
     FROM t1
+"""
+
+_FP_MULT = 1103515245
+_FP_TERMS = " + ".join(
+    f"CAST(ascii(substr(text, CAST(i AS INT) + {k}, 1)) AS BIGINT)"
+    f" * {pow(_FP_MULT, 15 - k, 2 ** 32)}"
+    for k in range(16)
+)
+_FP_SQL = f"""
+    WITH winh AS (
+      SELECT doc_id,
+        list_transform(range(1, greatest(octet_length(encode(text)) - 14, 1)),
+          i -> ({_FP_TERMS}) % 4294967296) AS hs
+      FROM documents),
+    sel AS (
+      SELECT doc_id, hs,
+        list_slice(list_sort(list_distinct(list_filter(hs, x -> x % 8 = 0))),
+                   1, 8) AS kept
+      FROM winh)
+    SELECT doc_id,
+      CASE WHEN len(kept) > 0
+           THEN array_to_string(list_transform(kept, x -> printf('%08x', x)), '')
+           WHEN len(hs) > 0 THEN printf('%08x', list_aggregate(hs, 'min'))
+           ELSE NULL END AS fingerprint
+    FROM sel
 """
 
 _STOPWORDS_SQL = {
@@ -368,6 +394,11 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
         """,
+        # winnowing-style fingerprint: the 16-byte rolling polynomial hash is
+        # reproduced with precomputed M^k mod 2^32 constants; the crc32
+        # fallback for rows shorter than the window cannot be expressed in
+        # SQL, but no driver document is that short (min length ~47 bytes)
+        "doc_fingerprints": _FP_SQL,
         "rollup_events_tier1": f"""
             WITH s AS (
                 SELECT user_id,
@@ -444,6 +475,13 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
+        """,
+        "j3_join_agg": """
+            SELECT o_orderpriority,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   count(*) AS line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
         """,
         "g3_quantiles_nchars": """
             SELECT source,

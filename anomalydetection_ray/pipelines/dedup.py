@@ -176,73 +176,21 @@ def bucket_candidates(group: pa.Table) -> pa.Table:
 
 def attach_payload(pairs_ds, docs_ds, pair_col: str, payload_col: str,
                    out_col: str, num_partitions: int = 32):
-    """Co-partitioned lookup join: attach ``docs_ds[payload_col]`` (keyed by
-    ``doc_id``) to ``pairs_ds`` rows via their ``pair_col`` — the 100-TB
-    replacement for driver-side broadcast dicts.  One partition-granular
-    exchange: both sides are tagged with the same ``_pkey = hash(key) % P``,
-    unioned, and each partition resolves its pairs with ONE C-level pandas
-    hash join (no per-pair Python, no global materialization)."""
-    import functools
+    """Co-partitioned lookup join: attach ``docs_ds[payload_col]`` (keyed
+    by ``doc_id``) to ``pairs_ds`` rows via their ``pair_col`` — the
+    100-TB replacement for driver-side broadcast dicts.  Thin wrapper over
+    the general J3 operator (stages/join.py) that renames the payload so
+    the same column can be attached twice (sig_a / sig_b)."""
+    from anomalydetection_ray.stages.join import copartition_attach
 
-    import pyarrow.compute as pc
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         out_col: batch.column(payload_col)})
 
-    from anomalydetection_ray.stages.runs import PKEY, add_partition_key
-
-    def _pa_schema(ds) -> pa.Schema:
-        s = ds.schema()
-        return pa.schema(list(zip(s.names, s.types)))
-
-    pair_schema = _pa_schema(pairs_ds)
-    pair_names = list(pair_schema.names)
-
-    def tag_pairs(batch: pa.Table) -> pa.Table:
-        batch = add_partition_key(batch, [pair_col], num_partitions)
-        return batch.append_column("_isdoc", pa.array(np.zeros(batch.num_rows, dtype=bool)))
-
-    def tag_docs(batch: pa.Table) -> pa.Table:
-        t = pa.table({pair_col: batch.column("doc_id").cast(pair_schema.field(pair_col).type),
-                      out_col: batch.column(payload_col)})
-        # pad the pair columns with nulls so the union schemas align
-        for name in pair_names:
-            if name != pair_col:
-                t = t.append_column(name, pa.nulls(batch.num_rows, pair_schema.field(name).type))
-        t = add_partition_key(t, [pair_col], num_partitions)
-        return t.append_column("_isdoc", pa.array(np.ones(batch.num_rows, dtype=bool)))
-
-    def pad_pairs(batch: pa.Table, payload_type) -> pa.Table:
-        return batch.append_column(out_col, pa.nulls(batch.num_rows, payload_type))
-
-    payload_type = _pa_schema(docs_ds).field(payload_col).type
-    tagged_pairs = pairs_ds.map_batches(
-        functools.partial(pad_pairs, payload_type=payload_type),
-        batch_format="pyarrow", zero_copy_batch=True,
-    ).map_batches(tag_pairs, batch_format="pyarrow", zero_copy_batch=True)
-    tagged_docs = docs_ds.map_batches(tag_docs, batch_format="pyarrow", zero_copy_batch=True)
-    out_names = [*pair_names, out_col]
-
-    def resolve(group: pa.Table) -> pa.Table:
-        isdoc = np.asarray(group.column("_isdoc"))
-        keys = group.column(pair_col)
-        if isinstance(keys, pa.ChunkedArray):
-            keys = keys.combine_chunks()
-        pair_idx = np.flatnonzero(~isdoc)
-        doc_idx = np.flatnonzero(isdoc)
-        if pair_idx.shape[0] == 0:
-            return group.select(out_names).slice(0, 0)
-        pairs = group.take(pa.array(pair_idx))
-        docs = group.take(pa.array(doc_idx))
-        # vectorized lookup: position of each pair key in the doc-key array
-        pos = pa.compute.index_in(pairs.column(pair_col), docs.column(pair_col))
-        payload = docs.column(out_col)
-        if isinstance(payload, pa.ChunkedArray):
-            payload = payload.combine_chunks()
-        attached = payload.take(pos)
-        cols = {name: pairs.column(name) for name in pair_names}
-        cols[out_col] = attached
-        return pa.table(cols)
-
-    both = tagged_pairs.union(tagged_docs)
-    return both.groupby(PKEY).map_groups(resolve, batch_format="pyarrow")
+    docs_renamed = docs_ds.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+    return copartition_attach(pairs_ds, docs_renamed, left_on=pair_col,
+                              right_on="doc_id", payload_cols=[out_col],
+                              num_partitions=num_partitions)
 
 
 _PAIR_TILE = 4_000_000  # max i<j pairs materialized per tile (bounds memory)

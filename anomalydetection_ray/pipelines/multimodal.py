@@ -43,10 +43,68 @@ class MediaFeatureExtractor:
 
     def __init__(self, deterministic_fake: bool = False):
         self.fake = deterministic_fake
+        self._pil = None
         if not deterministic_fake:
-            # the real decoder would be loaded here, e.g. PIL / torchvision /
-            # ffmpeg bindings — absent in this container by design
-            self._decoder = None
+            # optional-dependency image decoder, loaded ONCE per actor;
+            # absent in this container -> the image path raises a clear
+            # NotImplementedError instead of silently faking
+            try:
+                from PIL import Image  # noqa: PLC0415
+
+                self._pil = Image
+            except ImportError:
+                self._pil = None
+
+    def _decode_image(self, payload: bytes) -> np.ndarray:
+        """Real image path (requires PIL): decode -> 8x8 grayscale ->
+        standardized pixel vector (FEATURE_DIM = 64 = 8*8)."""
+        if self._pil is None:
+            raise NotImplementedError(
+                "image decode requires PIL, which is not importable here; "
+                "construct MediaFeatureExtractor(deterministic_fake=True) "
+                "for the plumbing path"
+            )
+        import io
+
+        img = self._pil.open(io.BytesIO(payload)).convert("L").resize((8, 8))
+        px = np.asarray(img, dtype=np.float64).ravel()
+        return (px - px.mean()) / (px.std() + 1e-9)
+
+    def _decode_audio(self, payload: bytes) -> np.ndarray:
+        """Real audio path (stdlib ``wave`` — always available): parse the
+        RIFF/WAVE payload, downmix to mono, emit FEATURE_DIM equal-span
+        mean-|amplitude| buckets."""
+        import io
+        import wave
+
+        try:
+            with wave.open(io.BytesIO(payload)) as w:
+                sw = w.getsampwidth()
+                nch = w.getnchannels()
+                raw = w.readframes(w.getnframes())
+        except (wave.Error, EOFError) as e:
+            raise NotImplementedError(
+                f"audio payload is not RIFF/WAVE ({e}); only WAV decode is "
+                "available without external audio libraries"
+            ) from e
+        dt = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
+        if dt is None:
+            raise NotImplementedError(f"unsupported WAV sample width {sw}")
+        x = np.frombuffer(raw, dtype=dt).astype(np.float64)
+        if sw == 1:
+            x -= 128.0
+        if nch > 1:
+            x = x[: (x.shape[0] // nch) * nch].reshape(-1, nch).mean(axis=1)
+        n = x.shape[0]
+        out = np.zeros(FEATURE_DIM, dtype=np.float64)
+        if n == 0:
+            return out
+        edges = (np.arange(FEATURE_DIM + 1, dtype=np.int64) * n) // FEATURE_DIM
+        lens = np.diff(edges)
+        nzb = lens > 0
+        sums = np.add.reduceat(np.abs(x), edges[:-1][nzb]) if nzb.any() else np.empty(0)
+        out[nzb] = sums / lens[nzb]
+        return out
 
     def _decode(self, payload: bytes, kind: str) -> np.ndarray:
         if self.fake:
@@ -55,9 +113,13 @@ class MediaFeatureExtractor:
             seed = zlib.crc32(payload)
             rng = np.random.default_rng(seed)
             return rng.standard_normal(FEATURE_DIM)
+        if kind == "image":
+            return self._decode_image(payload)
+        if kind == "audio":
+            return self._decode_audio(payload)
         raise NotImplementedError(
-            "media decode requires an image/audio library not present in "
-            "this container; construct MediaFeatureExtractor("
+            "video decode requires ffmpeg bindings not present in this "
+            "container; construct MediaFeatureExtractor("
             "deterministic_fake=True) for the plumbing path"
         )
 

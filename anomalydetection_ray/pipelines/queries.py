@@ -157,6 +157,37 @@ def j1_broadcast_join(sf_dir: str):
     return ds.map_batches(join, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# ---------------------------------------------------------------- J3 ----
+def j3_join_agg(sf_dir: str):
+    """Large-large co-partitioned equi-join (J3, stages/join.py): lineitem
+    joins orders on orderkey — both sides hash-exchanged on the SAME _pkey,
+    resolved per partition with one vectorized index_in (no broadcast, no
+    per-key Python) — then an exact grouped aggregate per order priority
+    with map-side partials."""
+    from ray.data.aggregate import Sum
+
+    from anomalydetection_ray.stages.join import copartition_attach
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = copartition_attach(li, orders, left_on="l_orderkey",
+                                right_on="o_orderkey",
+                                payload_cols=["o_orderpriority"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        qty = pc.cast(batch.column("l_quantity"), pa.int64())
+        t = pa.table({"o_orderpriority": batch.column("o_orderpriority"), "qty": qty})
+        return t.group_by(["o_orderpriority"]).aggregate([("qty", "sum"), ("qty", "count")])
+
+    partials = joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby("o_orderpriority").aggregate(
+        Sum("qty_sum", alias_name="sum_qty"),
+        Sum("qty_count", alias_name="line_count"),
+    )
+
+
 # ---------------------------------------------------------------- G3 ----
 def g3_quantiles_nchars(sf_dir: str):
     """Per-source n_chars quantiles (linear interpolation == DuckDB

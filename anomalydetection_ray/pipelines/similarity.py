@@ -61,36 +61,112 @@ def ann_topk_bruteforce(sf_dir: str, query_id: int = 0, k: int = 10):
     return partials.sort(["cosine", "vec_id"], descending=[True, False]).limit(k)
 
 
-def ann_topk_lsh(sf_dir: str, query_id: int = 0, k: int = 10):
-    """LSH-bucketed ANN: seeded random hyperplanes -> bucket signatures;
-    candidates = query bucket U hamming-1 buckets; exact rerank there.
-    At 10^12 scale the bucket assignment is the partitioning key and only
-    the probed buckets are read (partition-pruned parquet layout)."""
+def _plane_params(sf_dir: str) -> tuple[int, int]:
+    """(n_planes, dim) for a corpus — bucket count adapts to corpus size,
+    aiming for >= ~64 vectors per probed neighborhood."""
     import pyarrow.parquet as pq
 
-    rng = np.random.default_rng(_SEED)
-    q = _query_vec(sf_dir, query_id)
-    # adapt bucket count to corpus size: ~2^planes buckets, aiming for
-    # >= ~64 vectors per probed neighborhood
-    n_total = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    n_total = pf.metadata.num_rows
+    t = pf.read_row_group(0, columns=["embedding"])
+    dim = len(t.column("embedding")[0].values)
     n_planes = max(2, min(_PLANES, int(np.log2(max(n_total, 4) / 4))))
-    planes = rng.standard_normal((n_planes, q.shape[0]))
+    return n_planes, dim
 
-    qsig = int((planes @ q > 0).astype(np.uint32) @ (1 << np.arange(n_planes, dtype=np.uint32)))
+
+def _planes(n_planes: int, dim: int) -> np.ndarray:
+    return np.random.default_rng(_SEED).standard_normal((n_planes, dim))
+
+
+def _sig_batch(m_norm: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    n_planes = planes.shape[0]
+    return ((m_norm @ planes.T) > 0).astype(np.uint32) @ (1 << np.arange(n_planes, dtype=np.uint32))
+
+
+def build_ann_index(sf_dir: str) -> str:
+    """Materialize the ANN LSH index ONCE as bucket-partitioned parquet:
+    one ``bucket=<sig>`` directory per non-empty hyperplane bucket.  This
+    is the real partition-pruned layout — a query reads ONLY its probed
+    bucket files, never rescans or re-signs the corpus.  Idempotent
+    (atomic tmp+rename + _DONE marker), so repeated queries reuse it; at
+    10^12 scale the same layout is written by a distributed
+    ``write_parquet(partition_cols=['bucket'])`` pass."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    n_planes, dim = _plane_params(sf_dir)
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{n_planes}:{_SEED}".encode()).hexdigest()[:12]
+    out = f"/tmp/anomray_annidx_{key}"
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    planes = _planes(n_planes, dim)
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"])
+    emb = t.column("embedding")
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    m = np.asarray(emb.values, dtype=np.float64).reshape(t.num_rows, -1)
+    norm = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    sig = _sig_batch(norm, planes)
+    order = np.argsort(sig, kind="stable")
+    t = t.take(pa.array(order))
+    sig = sig[order]
+    starts = np.concatenate(([0], np.flatnonzero(sig[1:] != sig[:-1]) + 1, [sig.shape[0]]))
+    for a, b in zip(starts[:-1], starts[1:]):
+        bdir = os.path.join(tmp, f"bucket={int(sig[a])}")
+        os.makedirs(bdir, exist_ok=True)
+        pq.write_table(t.slice(a, b - a), os.path.join(bdir, "data.parquet"))
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
+        f.write("ok")
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        try:
+            os.replace(tmp, out)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def ann_topk_lsh(sf_dir: str, query_id: int = 0, k: int = 10):
+    """LSH-bucketed ANN over the PERSISTED index: candidates = the query's
+    bucket U its hamming-1 neighbor buckets, loaded by a partition-pruned
+    parquet read of just those directories; exact cosine rerank inside the
+    candidate set.  No full-corpus scan or re-signing per query."""
+    import os
+
+    import ray.data
+
+    n_planes, dim = _plane_params(sf_dir)
+    planes = _planes(n_planes, dim)
+    q = _query_vec(sf_dir, query_id)
+    idx = build_ann_index(sf_dir)
+    qsig = int(_sig_batch(q[None, :], planes)[0])
     probe = {qsig} | {qsig ^ (1 << b) for b in range(n_planes)}
-    probe_list = sorted(probe)
+    paths = [os.path.join(idx, f"bucket={b}", "data.parquet") for b in sorted(probe)
+             if os.path.isdir(os.path.join(idx, f"bucket={b}"))]
+    if not paths:
+        return ann_topk_bruteforce(sf_dir, query_id, k)
 
-    def bucketize(batch: pa.Table) -> pa.Table:
+    def rerank(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
         labels = np.asarray(batch.column("label"), dtype=np.int32)
-        m = np.stack([np.asarray(e, dtype=np.float64) for e in batch.column("embedding").to_pylist()])
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        m = np.asarray(emb.values, dtype=np.float64).reshape(len(ids), -1)
         norm = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-        sig = ((norm @ planes.T) > 0).astype(np.uint32) @ (1 << np.arange(n_planes, dtype=np.uint32))
-        keep = np.isin(sig, probe_list) & (ids != query_id)
+        keep = ids != query_id
         sims = norm[keep] @ q
         return pa.table({"vec_id": pa.array(ids[keep], type=pa.int64()),
                          "label": pa.array(labels[keep], type=pa.int32()),
                          "cosine": pa.array(sims, type=pa.float64())})
 
-    cands = _emb(sf_dir).map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
-    return cands.sort(["cosine", "vec_id"], descending=[True, False]).limit(k)
+    cands = ray.data.read_parquet(paths, columns=["vec_id", "embedding", "label"])
+    reranked = cands.map_batches(rerank, batch_format="pyarrow", zero_copy_batch=True)
+    return reranked.sort(["cosine", "vec_id"], descending=[True, False]).limit(k)
