@@ -9,19 +9,28 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Operator coverage map (SURVEY.md §2.2 -> query name):
+Operator coverage map (SURVEY.md §2.2 -> query name; all listed entries
+are SQL-checked — the document tokenizer is reproduced in DuckDB SQL, so
+even the flagship rollup over the derived token table is value-checked):
   S1/S3+M1(A1/A4/A5)+G1 -> entry, rollup_tier1_docs, rollup_tier2_docs,
-                           rollup_events_tier1 (SQL-checked bucket math)
-  S3                    -> s3_token_counts (SQL)
-  M2                    -> m2_filter_lineitem (SQL)
-  G2                    -> g2_source_stats, pricing_summary (SQL)
-  G3                    -> g3_quantiles_nchars (SQL)
-  Q1                    -> q1_sort_lineitem (SQL)
-  Q2                    -> q2_topk_events (SQL), topk_anomalies_docs
-  D1                    -> d1_dedup_events (SQL)
-  J1                    -> j1_broadcast_join (SQL)
-Non-SQL-expressible ops (anomaly_score over token series, codecs,
-resume) get rows-only checks — documented per entry.
+                           topk_anomalies_docs, rollup_events_tier1
+  A1                    -> a1_moving_stats_events
+  A6                    -> detect_threshold
+  S3                    -> s3_token_counts
+  M2/M3                 -> m2_filter_lineitem, m3_token_fns
+  G2                    -> g2_source_stats, pricing_summary, salted variant
+  G3                    -> g3_quantiles_nchars, g3_token_value_quantiles
+  Q1/Q2/Q3              -> q1_sort_lineitem, q2_topk_events, q3_sample_lineitem
+  D1/D2                 -> d1_dedup_events, dedup_exact_docs, d2_union_tiers
+  J1/J3                 -> j1_broadcast_join, j3_join_agg
+  text/dedup extras     -> lang_id, quality_stats, quality_scores_full,
+                           token_counts, doc_fingerprints,
+                           dedup_embedding_pairs, ann_topk
+Rows-only (non-SQL-expressible by nature): detect_esd / detect_ewma
+(iterative / blocked-scan float recurrence), the codecs and persist
+summaries (side-effectful), the seeded LSH candidate generators
+(minhash/simhash/ann_lsh), g3_approx_quantiles (approximate by
+construction), media_features (seeded fake features).
 """
 
 from __future__ import annotations
@@ -215,6 +224,157 @@ _FP_SQL = f"""
     FROM sel
 """
 
+# --- seeded-hash dedup families, reproduced exactly in SQL -----------------
+# All engine hashes are mod-2^64 integer arithmetic (Horner folds, murmur
+# finalizers, multiply-shift MinHash permutations).  DuckDB's HUGEINT is a
+# SIGNED int128, so a 64x64-bit product can overflow it; _mulmod64 splits the
+# constant into 32-bit halves so every intermediate stays < 2^97.
+_M64 = 1 << 64
+
+
+def _mulmod64(a_expr: str, c: int) -> str:
+    cl, ch = c % (1 << 32), c >> 32
+    if ch:
+        return (f"(({a_expr}) * {cl} + ((({a_expr}) * {ch}) % 4294967296)"
+                f" * 4294967296) % {_M64}")
+    return f"(({a_expr}) * {cl}) % {_M64}"
+
+
+def _mix64_ctes(src: str, incol: str) -> str:
+    """CTE chain applying the murmur-style 64-bit finalizer to ``incol`` of
+    ``src`` rows (doc_id kept), emitting column ``h`` (UBIGINT)."""
+    m1 = _mulmod64("x", 0xFF51AFD7ED558CCD)
+    m2 = _mulmod64("x", 0xC4CEB9FE1A85EC53)
+    return f"""
+    m0 AS (SELECT doc_id, CAST(xor(CAST({incol} AS UBIGINT),
+                 CAST({incol} AS UBIGINT) >> 33) AS HUGEINT) AS x FROM {src}),
+    m1 AS (SELECT doc_id, CAST(xor(CAST({m1} AS UBIGINT),
+                 CAST({m1} AS UBIGINT) >> 33) AS HUGEINT) AS x FROM m0),
+    mfin AS (SELECT doc_id, xor(CAST({m2} AS UBIGINT),
+                 CAST({m2} AS UBIGINT) >> 33) AS h FROM m1)
+    """
+
+
+def _simhash_pairs_sql(max_hamming: int = 3) -> str:
+    """dedup_simhash_pairs oracle: word-hash -> per-bit majority -> 4x16-bit
+    pigeonhole bands -> exact Hamming (reproduces pipelines/dedup.py
+    simhash_batch_values bit-for-bit; verified)."""
+    c = 0x9E3779B97F4A7C15 | 1
+    fold = f"({_mulmod64('a', c)} + b) % {_M64}"
+    hits = ", ".join(f"sum(CAST((h // {1 << k}) % 2 AS BIGINT)) AS b{k}" for k in range(64))
+    simsum = " + ".join(
+        f"(CASE WHEN 2*b{k} > nw THEN CAST({1 << k} AS HUGEINT) ELSE 0 END)"
+        for k in range(64)
+    )
+    band_eq = " OR ".join(
+        f"((a.sh // {1 << (16 * b)}) % 65536) = ((b.sh // {1 << (16 * b)}) % 65536)"
+        for b in range(4)
+    )
+    return f"""
+    WITH wrows AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS wd
+      FROM documents),
+    h0 AS (SELECT doc_id, list_reduce(
+        list_prepend(CAST(0 AS HUGEINT),
+          list_transform(range(1, length(wd) + 1),
+            j -> CAST(ascii(substr(wd, CAST(j AS INT), 1)) AS HUGEINT))),
+        (a, b) -> {fold}) AS s FROM wrows),
+    {_mix64_ctes("h0", "s")},
+    bits AS (SELECT doc_id, count(*) AS nw, {hits} FROM mfin GROUP BY doc_id),
+    sim0 AS (SELECT doc_id, {simsum} AS sh FROM bits),
+    sim AS (SELECT d.doc_id, COALESCE(s.sh, 0) AS sh
+            FROM documents d LEFT JOIN sim0 s USING (doc_id))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(CAST(a.sh AS UBIGINT), CAST(b.sh AS UBIGINT)))
+                AS INTEGER) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE ({band_eq})
+      AND bit_count(xor(CAST(a.sh AS UBIGINT), CAST(b.sh AS UBIGINT))) <= {max_hamming}
+    """
+
+
+def _minhash_cte(min_est: float) -> str:
+    """Shared CTE chain producing MinHash candidate pairs with est_jaccard
+    (reproduces signatures_batch + banding + estimate; the banding predicate
+    is exact slice equality — identical to bucket-hash equality up to
+    negligible 2^-64 collisions, which the est filter then discards)."""
+    import numpy as _np
+
+    mersenne = (1 << 61) - 1
+    rng = _np.random.default_rng(42)
+    perm_a = (rng.integers(1, mersenne, 64, dtype=_np.int64).astype(_np.uint64)
+              | _np.uint64(1))
+    perm_b = rng.integers(0, mersenne, 64, dtype=_np.int64).astype(_np.uint64)
+    mult = 1099511628211
+    shingle_terms = " + ".join(
+        f"CAST(ascii(substr(text, CAST(i AS INT) + {k}, 1)) AS HUGEINT)"
+        f" * {pow(mult, 4 - k, _M64)}"
+        for k in range(5)
+    )
+    sig_cols = ", ".join(
+        f"min(({_mulmod64('CAST(h AS HUGEINT)', int(perm_a[p]))}"
+        f" + {int(perm_b[p])}) % {_M64}) AS s{p}"
+        for p in range(64)
+    )
+    band_eq = " OR ".join(
+        "(" + " AND ".join(f"a.s{8 * b + r} = b.s{8 * b + r}" for r in range(8)) + ")"
+        for b in range(8)
+    )
+    agree = " + ".join(f"(CASE WHEN a.s{p} = b.s{p} THEN 1 ELSE 0 END)" for p in range(64))
+    # the shingle finalizer is the SHORT mix (xor-mult-xor), not the full
+    # 2-multiply murmur finalizer the word hash uses
+    short_mul = _mulmod64("x", 0xFF51AFD7ED558CCD)
+    return f"""
+    swin AS (
+      SELECT doc_id, unnest(list_transform(
+          range(1, greatest(octet_length(encode(text)) - 3, 1)),
+          i -> ({shingle_terms}) % {_M64})) AS s0
+      FROM documents),
+    sm0 AS (SELECT doc_id, CAST(xor(CAST(s0 AS UBIGINT),
+                 CAST(s0 AS UBIGINT) >> 33) AS HUGEINT) AS x FROM swin),
+    mfin AS (SELECT doc_id, xor(CAST({short_mul} AS UBIGINT),
+                 CAST({short_mul} AS UBIGINT) >> 33) AS h FROM sm0),
+    sigs AS (SELECT doc_id, {sig_cols} FROM mfin GROUP BY doc_id),
+    mh_pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST({agree} AS DOUBLE) / 64 AS est_jaccard
+      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      WHERE ({band_eq}) AND CAST({agree} AS DOUBLE) / 64 >= {min_est})
+    """
+
+
+def _minhash_pairs_sql(min_est: float = 0.5) -> str:
+    return f"WITH {_minhash_cte(min_est)} SELECT doc_a, doc_b, est_jaccard FROM mh_pairs"
+
+
+def _ngram_jaccard_sql(min_jaccard: float = 0.3) -> str:
+    """dedup_ngram_jaccard oracle: MinHash candidates (min_est=0.2) verified
+    by exact word-3-gram Jaccard (grams joined with spaces — words contain
+    no spaces, so the encoding is injective)."""
+    return f"""
+    WITH {_minhash_cte(0.2)},
+    grams AS (
+      SELECT doc_id, list_distinct(list_transform(
+          range(1, greatest(len(ws) - 1, 1)),
+          i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] || ' '
+               || ws[CAST(i AS INT) + 2])) AS gs
+      FROM (SELECT doc_id,
+                   regexp_extract_all(lower(text), '[0-9a-z_]+') AS ws
+            FROM documents)),
+    verified AS (
+      SELECT p.doc_a, p.doc_b,
+             len(list_filter(ga.gs, g -> list_contains(gb.gs, g))) AS inter,
+             len(ga.gs) + len(gb.gs)
+               - len(list_filter(ga.gs, g -> list_contains(gb.gs, g))) AS un
+      FROM mh_pairs p
+      JOIN grams ga ON ga.doc_id = p.doc_a
+      JOIN grams gb ON gb.doc_id = p.doc_b)
+    SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / un AS jaccard
+    FROM verified
+    WHERE un > 0 AND CAST(inter AS DOUBLE) / un >= {min_jaccard}
+    """
+
+
 _STOPWORDS_SQL = {
     "de": "['der','die','und','das','ist','nicht','ein','mit','zu','den']",
     "en": "['the','and','of','to','a','in','is','that','it','for']",
@@ -399,6 +559,9 @@ def oracle_sql() -> dict[str, str]:
         # fallback for rows shorter than the window cannot be expressed in
         # SQL, but no driver document is that short (min length ~47 bytes)
         "doc_fingerprints": _FP_SQL,
+        "dedup_simhash_pairs": _simhash_pairs_sql(),
+        "dedup_minhash_pairs": _minhash_pairs_sql(),
+        "dedup_ngram_jaccard": _ngram_jaccard_sql(),
         "rollup_events_tier1": f"""
             WITH s AS (
                 SELECT user_id,
