@@ -26,11 +26,14 @@ even the flagship rollup over the derived token table is value-checked):
   text/dedup extras     -> lang_id, quality_stats, quality_scores_full,
                            token_counts, doc_fingerprints,
                            dedup_embedding_pairs, ann_topk
+  dedup extras          -> dedup_minhash_pairs, dedup_simhash_pairs,
+                           dedup_ngram_jaccard (full seeded-hash machinery
+                           reproduced in mod-2^64 DuckDB arithmetic)
 Rows-only (non-SQL-expressible by nature): detect_esd / detect_ewma
 (iterative / blocked-scan float recurrence), the codecs and persist
-summaries (side-effectful), the seeded LSH candidate generators
-(minhash/simhash/ann_lsh), g3_approx_quantiles (approximate by
-construction), media_features (seeded fake features).
+summaries (side-effectful), ann_lsh_topk and media_features (seeded
+normal-distribution hyperplanes / fake features), g3_approx_quantiles
+(approximate by construction).
 """
 
 from __future__ import annotations
