@@ -111,15 +111,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores_full": tx.quality,
         "token_counts": tx.token_counts,
         "doc_fingerprints": tx.fingerprints,
-        # multimodal plumbing (deterministic fake decoder; real decode is a
-        # clearly-marked NotImplementedError stub — no media libs here)
+        # multimodal plumbing: deterministic fake features here (stable
+        # rows-only check); the stage's REAL decode paths are stdlib-wave
+        # audio and optional-PIL images (pipelines/multimodal.py, tested)
         "media_features": mm.media_features,
         # per-series detectors (X1 registry; A2/A3/A6)
         "detect_esd": lambda sf: _detect(sf, "esd"),
         "detect_threshold": lambda sf: _detect(sf, "threshold"),
         "detect_ewma": lambda sf: _detect(sf, "ewma"),
-        # flagship rollup over tokenized documents (anomaly_score/median not
-        # SQL-expressible over the derived token table -> rows-only)
+        # flagship rollup over tokenized documents — fully SQL-checked: the
+        # tokenizer, bucket math AND robust anomaly score (median/mad) are
+        # all reproduced in the DuckDB oracle
         "rollup_tier1_docs": lambda sf: _rollup_tier(sf, 1),
         "rollup_tier2_docs": lambda sf: _rollup_tier(sf, 2),
         "topk_anomalies_docs": lambda sf: topk_anomalies(
