@@ -136,7 +136,9 @@ def ingest_persist(
             import numpy as _np
 
             tokens = int(_np.asarray(tier0.column("n_tok"), dtype=_np.int64).sum())
-            enc_bytes = sum(len(b) for b in tier0.column("gorilla_xor").to_pylist())
+            import pyarrow.compute as _pc
+
+            enc_bytes = int(_pc.sum(_pc.binary_length(tier0.column("gorilla_xor"))).as_py() or 0)
             sh = state_hash(dod)
             wall = _time.monotonic() - t0
             write_manifest_row(

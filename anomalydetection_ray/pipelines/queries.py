@@ -486,19 +486,18 @@ def g3_token_value_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99)):
         base = offsets[0]
         flat = np.asarray(tokens.values.slice(base, offsets[-1] - base), dtype=np.int64)
         lens = np.diff(offsets - base)
-        srcs = batch.column("source").to_pylist()
-        src_of_tok = np.repeat(np.asarray(srcs, dtype=object), lens)
-        out_src, out_hist = [], []
-        for s in sorted(set(srcs)):
-            sel = flat[src_of_tok == s]
-            out_src.append(s)
-            out_hist.append(np.bincount(sel, minlength=DEFAULT_VOCAB).astype(np.int64))
+        # integer source ids at ROW level, one scatter-add pass over the
+        # flat buffer (no per-token object comparisons)
+        uniq, inv = np.unique(np.asarray(batch.column("source").to_pylist(), dtype=object),
+                              return_inverse=True)
+        src_of_tok = np.repeat(inv.astype(np.int64), lens)
+        acc = np.zeros((uniq.shape[0], DEFAULT_VOCAB), dtype=np.int64)
+        if flat.shape[0]:
+            np.add.at(acc, (src_of_tok, flat), 1)
         return pa.table(
             {
-                "source": pa.array(out_src, type=pa.string()),
-                "hist": pa.array(
-                    [h for h in out_hist], type=pa.list_(pa.int64(), DEFAULT_VOCAB)
-                ),
+                "source": pa.array(list(uniq), type=pa.string()),
+                "hist": pa.array(list(acc), type=pa.list_(pa.int64(), DEFAULT_VOCAB)),
             }
         )
 

@@ -45,8 +45,12 @@ def ann_topk_bruteforce(sf_dir: str, query_id: int = 0, k: int = 10):
     def partial_topk(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
         labels = np.asarray(batch.column("label"), dtype=np.int32)
-        m = np.stack([np.asarray(e, dtype=np.float64) for e in batch.column("embedding").to_pylist()])
-        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        # zero-copy flat child buffer -> (n, d); no per-row Python
+        m = np.asarray(emb.values, dtype=np.float64).reshape(len(ids), -1)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
         sims = m @ q
         keep = ids != query_id
         ids, labels, sims = ids[keep], labels[keep], sims[keep]

@@ -130,7 +130,9 @@ class EncodePartition:
         tier0, dod = encode_rows(group)
         wall = time.monotonic() - t0
         tokens = int(np.asarray(group.column("n_tok"), dtype=np.int64).sum())
-        enc_bytes = sum(len(b) for b in tier0.column("gorilla_xor").to_pylist())
+        import pyarrow.compute as pc
+
+        enc_bytes = int(pc.sum(pc.binary_length(tier0.column("gorilla_xor"))).as_py() or 0)
         sh = state_hash(dod)
         if self.out_dir is not None:
             pdir = os.path.join(self.out_dir, "tier0", f"part={pid:06d}")
