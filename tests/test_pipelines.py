@@ -122,3 +122,41 @@ def test_keep_first_by_equals_groupby_first(ray_session):
 
     df = tbl.to_pandas().sort_values(["k", "o"]).groupby("k", as_index=False).first()
     assert got[["k", "o", "payload"]].values.tolist() == df[["k", "o", "payload"]].values.tolist()
+
+
+def test_copartition_attach_matches_pandas_join(ray_session):
+    """J3: the co-partitioned equi-join equals a pandas left merge,
+    including unmatched-key nulls and duplicate left keys."""
+    import pandas as pd
+    import ray.data
+
+    from anomalydetection_ray.stages.join import copartition_attach
+
+    rng = np.random.default_rng(21)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 50, 300),
+        "v": rng.integers(0, 1000, 300),
+    })
+    right = pd.DataFrame({
+        "rk": np.arange(0, 40),  # keys 40..49 unmatched on purpose
+        "payload": [f"p{i}" for i in range(40)],
+        "extra": np.arange(0, 40) * 10,
+    })
+    lds = ray.data.from_pandas(left)
+    rds = ray.data.from_pandas(right)
+    out = copartition_attach(lds, rds, left_on="k", right_on="rk",
+                             payload_cols=["payload", "extra"],
+                             num_partitions=8).to_pandas()
+    expect = left.merge(right, left_on="k", right_on="rk", how="left").drop(columns=["rk"])
+    key = ["k", "v", "payload", "extra"]
+    out_s = out[key].sort_values(key).reset_index(drop=True)
+    exp_s = expect[key].sort_values(key).reset_index(drop=True)
+    assert len(out_s) == len(exp_s)
+    assert (out_s["k"].to_numpy() == exp_s["k"].to_numpy()).all()
+    assert (out_s["v"].to_numpy() == exp_s["v"].to_numpy()).all()
+    pay_o = out_s["payload"].fillna("~").to_numpy()
+    pay_e = exp_s["payload"].fillna("~").to_numpy()
+    assert (pay_o == pay_e).all()
+    ex_o = out_s["extra"].fillna(-1).to_numpy()
+    ex_e = exp_s["extra"].fillna(-1).to_numpy()
+    assert (ex_o == ex_e).all()
