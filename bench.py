@@ -310,15 +310,15 @@ def main() -> None:
             ]
 
         def eff(lo, hi, key):
-            # best whole-rep ratio: both CPU levels of that rep were measured
-            # in the same time window, so the ratio is a real observed run —
-            # the rep least poisoned by co-tenant throttling (the host's own
-            # capacity probe swings several-fold between minutes).  The
-            # median and the full per-rep list are reported alongside.
-            return max(eff_all(lo, hi, key))
-
-        def eff_median(lo, hi, key):
+            # MEDIAN whole-rep ratio: each rep measures both CPU levels in
+            # the same time window (no cross-rep field mixing), and the
+            # median across reps resists the violent co-tenant throttling
+            # the host capacity probe documents.  Best rep + the full
+            # per-rep list are reported alongside.
             return _median(eff_all(lo, hi, key))
+
+        def eff_best(lo, hi, key):
+            return max(eff_all(lo, hi, key))
 
         def eff_reps(lo, hi, key):
             return [round(x, 4) for x in eff_all(lo, hi, key)]
@@ -326,7 +326,7 @@ def main() -> None:
         pairs = [(lo, hi) for lo, hi in ((2, 8), (8, 32)) if lo in results and hi in results]
         headline = pairs[0]
         out = {
-            "metric": f"scaling efficiency N->4N (cpus {headline[0]} -> {headline[1]}, fresh processes, same input, best whole-rep ratio)",
+            "metric": f"scaling efficiency N->4N (cpus {headline[0]} -> {headline[1]}, fresh processes, same input, median whole-rep ratio)",
             "value": eff(*headline, "rollup_tokens_per_s"),
             "unit": "ratio",
             "sf": sf_of(sf_dir),
@@ -339,10 +339,10 @@ def main() -> None:
                 f"rollup_{lo}_{hi}": eff(lo, hi, "rollup_tokens_per_s") for lo, hi in pairs
             }
             | {f"encode_{lo}_{hi}": eff(lo, hi, "encode_tokens_per_s") for lo, hi in pairs},
-            "scaling_efficiency_median": {
-                f"rollup_{lo}_{hi}": eff_median(lo, hi, "rollup_tokens_per_s") for lo, hi in pairs
+            "scaling_efficiency_best": {
+                f"rollup_{lo}_{hi}": eff_best(lo, hi, "rollup_tokens_per_s") for lo, hi in pairs
             }
-            | {f"encode_{lo}_{hi}": eff_median(lo, hi, "encode_tokens_per_s") for lo, hi in pairs},
+            | {f"encode_{lo}_{hi}": eff_best(lo, hi, "encode_tokens_per_s") for lo, hi in pairs},
             "scaling_efficiency_per_rep": {
                 f"rollup_{lo}_{hi}": eff_reps(lo, hi, "rollup_tokens_per_s") for lo, hi in pairs
             }
@@ -434,14 +434,16 @@ def _record_baseline(out: dict, results: dict) -> None:
             + row("encode tokens/s", "encode_tokens_per_s")
             + row("codec bytes/token", "encode_bytes_per_token", "{:.3f}")
             + "\nScaling efficiency (target >= 0.8 for N->4N).  Estimator: the\n"
-            "BEST whole-interleaved-rep ratio — both CPU levels of that rep ran\n"
-            "in the same time window, so the ratio is a genuinely observed\n"
-            "run, chosen to be the rep least poisoned by co-tenant throttling\n"
-            "(the Ray-free capacity probe shows the HOST itself swinging\n"
-            "several-fold between minutes).  Median + every per-rep ratio\n"
-            "reported alongside; no cross-rep field mixing anywhere:\n\n"
+            "MEDIAN whole-interleaved-rep ratio — each rep measures both CPU\n"
+            "levels in the same time window, so every ratio is a genuinely\n"
+            "observed run and the median resists the violent co-tenant\n"
+            "throttling the Ray-free capacity probe documents (the HOST\n"
+            "itself swings several-fold between minutes; per-rep ratios >1\n"
+            "mean the LOW level of that rep was throttled).  Best rep and\n"
+            "every per-rep ratio reported alongside; no cross-rep field\n"
+            "mixing anywhere:\n\n"
             + "".join(
-                f"- {k}: {v:.3f}  (median {out['scaling_efficiency_median'][k]:.3f}; "
+                f"- {k}: {v:.3f}  (best rep {out['scaling_efficiency_best'][k]:.3f}; "
                 f"per-rep: {out['scaling_efficiency_per_rep'][k]})\n"
                 for k, v in effs.items())
             + "\nHost capacity probe (Ray-free, kernel-shaped work, warm fork pool):\n\n"
