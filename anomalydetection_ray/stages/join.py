@@ -26,7 +26,17 @@ from anomalydetection_ray.stages.runs import PKEY, add_partition_key
 
 def _pa_schema(ds) -> pa.Schema:
     s = ds.schema()
-    return pa.schema(list(zip(s.names, s.types)))
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for n, t in zip(s.names, s.types):
+        if not isinstance(t, pa.DataType):
+            # pandas-backed datasets report numpy dtypes / scalar type classes
+            dt = np.dtype(t)
+            t = pa.string() if dt.kind in ("O", "U") else pa.from_numpy_dtype(dt)
+        fields.append((n, t))
+    return pa.schema(fields)
 
 
 def copartition_attach(left_ds, right_ds, left_on: str, right_on: str,
