@@ -92,6 +92,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_pairs": dd.minhash_lsh_pairs,
         "dedup_simhash_pairs": dd.simhash_pairs,
         "dedup_ngram_jaccard": dd.ngram_jaccard_pairs,
+        # near-dup clusters: connected components (min-label propagation)
+        # over the LSH pair graph — SQL-checked via a recursive CTE
+        "dedup_clusters": dd.dup_clusters,
         # threshold 0.3: the driver embeddings are near-orthogonal random
         # vectors (max off-diagonal cosine ~0.37), so 0.95 returns nothing.
         # Pair ids only (the cosine VALUE would compare f64 matmul against
@@ -567,6 +570,17 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": _simhash_pairs_sql(),
         "dedup_minhash_pairs": _minhash_pairs_sql(),
         "dedup_ngram_jaccard": _ngram_jaccard_sql(),
+        # connected components of the pair graph as a recursive CTE:
+        # reach = all (vertex, reachable-vertex) pairs, cluster = min reach
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_minhash_cte(0.5)},
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+                      UNION SELECT doc_b, doc_a FROM mh_pairs),
+            reach AS (SELECT a AS v, a AS r FROM edges
+                      UNION
+                      SELECT e.a, reach.r FROM edges e JOIN reach ON reach.v = e.b)
+            SELECT v AS doc_id, min(r) AS cluster FROM reach GROUP BY v
+        """,
         "rollup_events_tier1": f"""
             WITH s AS (
                 SELECT user_id,

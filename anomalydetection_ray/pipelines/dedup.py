@@ -438,6 +438,17 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
     return keep_first_by(cand, keys=["doc_a", "doc_b"])
 
 
+def dup_clusters(sf_dir: str, min_est: float = 0.5):
+    """Near-duplicate CLUSTERS: connected components over the MinHash/LSH
+    pair graph (cluster id = min doc_id in the component), computed by
+    distributed min-label propagation (stages/cc.py).  The canonical
+    corpus-dedup output — keep one representative per cluster."""
+    from anomalydetection_ray.stages.cc import min_label_components
+
+    pairs = minhash_lsh_pairs(sf_dir, min_est=min_est).select_columns(["doc_a", "doc_b"])
+    return min_label_components(pairs, "doc_a", "doc_b")
+
+
 def ngram_jaccard_pairs(sf_dir: str, n: int = 3, min_jaccard: float = 0.3):
     """Exact word-n-gram Jaccard over the MinHash candidate pairs.
 

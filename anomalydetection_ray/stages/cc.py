@@ -1,0 +1,111 @@
+"""Connected components over a pair list — near-duplicate CLUSTERS.
+
+Corpus dedup needs cluster ids, not just pairs: every group of mutually
+near-duplicate documents keeps one representative.  ``min_label_components``
+computes, for every vertex that appears in an edge list, the minimum
+vertex id reachable from it (the canonical cluster id) by BSP min-label
+propagation:
+
+    label(v) <- min(label(v), min over neighbors u of label(u))
+
+iterated to fixpoint.  Each round is ONE co-partitioned exchange
+(stages/join.py machinery): labels are attached to the directed edge list
+on the source endpoint, the per-destination minimum is a small groupby,
+and the merge with the previous labels is another co-partitioned attach.
+Rounds needed = graph diameter in the worst case — near-dup clusters are
+tiny and dense (diameter 2-3), so the loop converges in a handful of
+rounds; the driver only orchestrates (per-round row counts), never holds
+labels.
+
+At 10^12 scale this is the standard hash-partitioned label-propagation
+layout; pathologically long chains (diameter >> rounds) would want
+pointer-doubling, which this module deliberately omits (dup clusters are
+cliques-ish by construction).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _dedup_min(ds, key: str, val: str, num_partitions: int):
+    """min(val) per key, partition-granular (one exchange, vectorized)."""
+    import functools
+
+    from anomalydetection_ray.stages.runs import PKEY, add_partition_key, run_starts
+
+    def per_partition(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.drop_columns([PKEY]) if PKEY in batch.column_names else batch
+        batch = batch.drop_columns([PKEY]).sort_by(
+            [(key, "ascending"), (val, "ascending")]
+        )
+        starts = run_starts(batch, [key])
+        return batch.take(pa.array(starts, type=pa.int64()))
+
+    tagged = ds.map_batches(
+        functools.partial(add_partition_key, keys=[key], num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return tagged.groupby(PKEY).map_groups(per_partition, batch_format="pyarrow")
+
+
+def min_label_components(pairs_ds, a_col: str, b_col: str,
+                         num_partitions: int = 32, max_rounds: int = 32):
+    """(vertex, cluster) for every vertex in the pair list; cluster = the
+    minimum vertex id in its connected component."""
+    from anomalydetection_ray.stages.join import copartition_attach
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column(a_col)
+        b = batch.column(b_col)
+        return pa.table({"src": pa.chunked_array([a, b]).combine_chunks(),
+                         "dst": pa.chunked_array([b, a]).combine_chunks()})
+
+    edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
+    edges = edges.materialize()
+
+    # initial labels: label(v) = v, one row per distinct vertex
+    def init_labels(batch: pa.Table) -> pa.Table:
+        return pa.table({"v": batch.column("src"), "label": batch.column("src")})
+
+    labels = _dedup_min(edges.map_batches(init_labels, batch_format="pyarrow",
+                                          zero_copy_batch=True),
+                        "v", "label", num_partitions).materialize()
+
+    def _label_sum(ds) -> int:
+        from ray.data.aggregate import Sum
+
+        return int(ds.aggregate(Sum("label", alias_name="s"))["s"] or 0)
+
+    prev_sum = _label_sum(labels)
+    for _ in range(max_rounds):
+        # candidate labels seen across edges: attach src label, deliver to dst
+        def lbl_ds(b: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": b.column("v"), "label": b.column("label")})
+
+        with_lbl = copartition_attach(
+            edges, labels.map_batches(lbl_ds, batch_format="pyarrow", zero_copy_batch=True),
+            left_on="src", right_on="doc_id", payload_cols=["label"],
+            num_partitions=num_partitions,
+        )
+
+        def as_candidate(b: pa.Table) -> pa.Table:
+            return pa.table({"v": b.column("dst"), "label": b.column("label")})
+
+        cands = with_lbl.map_batches(as_candidate, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+        labels = _dedup_min(cands.union(labels), "v", "label",
+                            num_partitions).materialize()
+        # fixpoint: per-vertex labels are non-increasing, so the label sum
+        # strictly decreases until convergence — one tiny aggregate, no join
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("v"), "cluster": b.column("label")})
+
+    return labels.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)

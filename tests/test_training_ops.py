@@ -328,3 +328,48 @@ def test_media_real_image_decode_path():
     feats = ext._decode(buf.getvalue(), "image")
     assert feats.shape == (FEATURE_DIM,)
     assert abs(feats.mean()) < 1e-9  # standardized
+
+
+def test_min_label_components_matches_union_find(ray_session):
+    """Distributed min-label propagation == a union-find reference on a
+    crafted graph: a 6-chain (forces multiple propagation rounds), a
+    4-clique, an isolated pair, plus random extra edges."""
+    import pyarrow as pa
+    import ray.data
+
+    from anomalydetection_ray.stages.cc import min_label_components
+
+    rng = np.random.default_rng(13)
+    chain = [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15)]
+    clique = [(20, 21), (20, 22), (20, 23), (21, 22), (21, 23), (22, 23)]
+    pair = [(30, 31)]
+    extra = [(int(a), int(b)) for a, b in
+             zip(rng.integers(40, 55, 8), rng.integers(40, 55, 8)) if a != b]
+    edges_list = chain + clique + pair + extra
+    a = np.array([e[0] for e in edges_list], dtype=np.int64)
+    b = np.array([e[1] for e in edges_list], dtype=np.int64)
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent.setdefault(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for x, y in edges_list:
+        parent[find(x)] = find(y)
+    verts = sorted(set(a.tolist()) | set(b.tolist()))
+    comp_min: dict[int, int] = {}
+    for v in verts:
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    expected = {v: comp_min[find(v)] for v in verts}
+
+    pairs = ray.data.from_arrow(pa.table({"doc_a": a, "doc_b": b}))
+    got_rows = min_label_components(pairs, "doc_a", "doc_b",
+                                    num_partitions=4).take_all()
+    got = {r["doc_id"]: r["cluster"] for r in got_rows}
+    assert len(got_rows) == len(got)
+    assert got == expected
