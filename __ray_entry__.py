@@ -29,8 +29,9 @@ even the flagship rollup over the derived token table is value-checked):
   dedup extras          -> dedup_minhash_pairs, dedup_simhash_pairs,
                            dedup_ngram_jaccard (full seeded-hash machinery
                            reproduced in mod-2^64 DuckDB arithmetic)
-Rows-only (non-SQL-expressible by nature): detect_esd / detect_ewma
-(iterative / blocked-scan float recurrence), the codecs and persist
+  A2                    -> detect_ewma (recursive-CTE recurrence)
+Rows-only (non-SQL-expressible by nature): detect_esd (iterative
+re-estimation with from-scratch t-PPF), the codecs and persist
 summaries (side-effectful), ann_lsh_topk and media_features (seeded
 normal-distribution hyperplanes / fake features), g3_approx_quantiles
 (approximate by construction).
@@ -449,6 +450,58 @@ def oracle_sql() -> dict[str, str]:
                          sum(i) AS pos_sum, sum(i * i) AS pos_sumsq
                   FROM f GROUP BY doc_id, part_id)
             SELECT parts.doc_id, parts.part_id, 'threshold' AS detector,
+                   COALESCE(g.n_anomalies, 0) AS n_anomalies,
+                   CAST(COALESCE(g.pos_sum, 0) AS BIGINT) AS pos_sum,
+                   CAST(COALESCE(g.pos_sumsq, 0) AS BIGINT) AS pos_sumsq
+            FROM parts LEFT JOIN g
+              ON parts.doc_id = g.doc_id AND parts.part_id = g.part_id
+        """,
+        # A2 EWMA control chart: the recurrence runs as a recursive CTE
+        # (MATERIALIZED inputs — otherwise DuckDB re-evaluates the
+        # tokenizer CTE every iteration).  The engine's blocked-scan EWMA
+        # differs from the sequential recurrence only in last-bit float
+        # rounding; the OUTPUT is integer flag summaries whose comparison
+        # margins are many orders of magnitude above ulp level, verified
+        # exact on the driver data (500/500)
+        "detect_ewma": f"""
+            WITH RECURSIVE {_SEQ_TOK_CTE},
+            s AS MATERIALIZED (
+                SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                       pos % 1000000 AS i, CAST(v AS DOUBLE) AS x FROM tok),
+            n AS MATERIALIZED (
+                SELECT doc_id, part_id, count(*) AS len FROM s
+                GROUP BY doc_id, part_id),
+            rec AS (
+              SELECT doc_id, part_id, CAST(0 AS BIGINT) AS i, x AS sv
+              FROM s WHERE i = 0
+              UNION ALL
+              SELECT s2.doc_id, s2.part_id, s2.i, 0.1 * s2.x + 0.9 * rec.sv
+              FROM rec JOIN s s2 ON s2.doc_id = rec.doc_id
+                                AND s2.part_id = rec.part_id
+                                AND s2.i = rec.i + 1
+            ),
+            resid AS (SELECT s.doc_id, s.part_id, s.i, s.x - r.sv AS rv
+                      FROM s
+                      JOIN rec r ON r.doc_id = s.doc_id
+                                AND r.part_id = s.part_id AND r.i = s.i - 1
+                      JOIN n ON n.doc_id = s.doc_id AND n.part_id = s.part_id
+                      WHERE n.len >= 3),
+            stats AS (SELECT doc_id, part_id, median(rv) AS med, mad(rv) AS madv
+                      FROM resid GROUP BY doc_id, part_id),
+            flags AS (SELECT r.doc_id, r.part_id, r.i
+                      FROM resid r JOIN stats st ON st.doc_id = r.doc_id
+                                               AND st.part_id = r.part_id
+                      WHERE st.madv <> 0
+                        AND abs(r.rv - st.med) > 4.0 * (1.4826 * st.madv)),
+            g AS (SELECT doc_id, part_id, count(*) AS n_anomalies,
+                         sum(i) AS pos_sum, sum(i * i) AS pos_sumsq
+                  FROM flags GROUP BY doc_id, part_id),
+            parts AS (SELECT doc_id,
+                             CAST(unnest(range(0, greatest(CAST(ceil(
+                                 CAST(len(toks) AS DOUBLE) / 1000000) AS BIGINT), 1)))
+                                 AS INTEGER) AS part_id
+                      FROM seq)
+            SELECT parts.doc_id, parts.part_id, 'ewma' AS detector,
                    COALESCE(g.n_anomalies, 0) AS n_anomalies,
                    CAST(COALESCE(g.pos_sum, 0) AS BIGINT) AS pos_sum,
                    CAST(COALESCE(g.pos_sumsq, 0) AS BIGINT) AS pos_sumsq
