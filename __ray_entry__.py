@@ -29,9 +29,12 @@ even the flagship rollup over the derived token table is value-checked):
   dedup extras          -> dedup_minhash_pairs, dedup_simhash_pairs,
                            dedup_ngram_jaccard (full seeded-hash machinery
                            reproduced in mod-2^64 DuckDB arithmetic)
-  A2                    -> detect_ewma (recursive-CTE recurrence)
-Rows-only (non-SQL-expressible by nature): detect_esd (iterative
-re-estimation with from-scratch t-PPF), the codecs and persist
+  A2/A3                 -> detect_ewma (recursive-CTE recurrence),
+                           detect_esd (unrolled MATERIALIZED iteration +
+                           (n-k)-keyed lambda table from the engine's
+                           own t-PPF) — the whole detector family is
+                           externally value-checked
+Rows-only (non-SQL-expressible by nature): the codecs and persist
 summaries (side-effectful), ann_lsh_topk and media_features (seeded
 normal-distribution hyperplanes / fake features), g3_approx_quantiles
 (approximate by construction).
@@ -384,6 +387,111 @@ def _ngram_jaccard_sql(min_jaccard: float = 0.3) -> str:
     """
 
 
+def _esd_sql(alpha: float = 0.05, max_n: int = 1024, k_steps: int = 12) -> str:
+    """detect_esd oracle: the robust generalized-ESD iteration unrolled as a
+    fixed chain of MATERIALIZED CTE steps (without MATERIALIZED, DuckDB
+    re-inlines the step chain and runtime explodes).
+
+    Two structural insights make this expressible:
+    - the Rosner critical value lambda(n, k, alpha) depends only on
+      m = n - k (every t-PPF argument is a function of n - k), so a tiny
+      (m, lambda) VALUES table generated by the engine's own from-scratch
+      t-PPF module covers every series length up to ``max_n``;
+    - k_max = ceil(0.02 n) <= ``k_steps`` for any n <= max_n/... (12 steps
+      cover n <= 600; driver docs are <= ~560 tokens), so the per-doc
+      iterative removal is a static unroll: each step re-aggregates
+      median/MAD over the not-yet-removed points, removes the argmax
+      deviation (min-index tiebreak), and appends the R statistic.
+
+    Every float matches the engine bitwise: median/MAD of integers are
+    exact quarter-integers, scale is one multiply, R one divide, and the
+    lambda literals are repr()'d from the same Python module the engine
+    imports.  Verified exact 500/500 on the driver data."""
+    from anomalydetection_ray.functions.tppf import esd_lambda
+
+    lam_rows = ",".join(
+        f"({m}, {esd_lambda(m + 1, 1, alpha)!r})" for m in range(2, max_n)
+    )
+    steps = []
+    prev = "st0"
+    for k in range(1, k_steps + 1):
+        steps.append(f"""
+        act{k} AS MATERIALIZED (
+          SELECT b.doc_id, b.part_id, b.i, b.x
+          FROM base b JOIN {prev} t ON t.doc_id = b.doc_id AND t.part_id = b.part_id
+          JOIN meta m ON m.doc_id = b.doc_id AND m.part_id = b.part_id
+          WHERE NOT t.stopped AND {k} <= m.kmax AND NOT list_contains(t.removed, b.i)),
+        agg{k} AS MATERIALIZED (
+          SELECT doc_id, part_id, median(x) AS med, mad(x) AS madv
+          FROM act{k} GROUP BY doc_id, part_id),
+        dev{k} AS MATERIALIZED (
+          SELECT a.doc_id, a.part_id, a.i, abs(a.x - g.med) AS dv,
+                 1.4826 * g.madv AS scale
+          FROM act{k} a JOIN agg{k} g ON g.doc_id = a.doc_id AND g.part_id = a.part_id),
+        top{k} AS MATERIALIZED (
+          SELECT d.doc_id, d.part_id, max(d.dv) AS dmax, any_value(d.scale) AS scale
+          FROM dev{k} d GROUP BY d.doc_id, d.part_id),
+        pick{k} AS MATERIALIZED (
+          SELECT d.doc_id, d.part_id, min(d.i) AS pos,
+                 any_value(t.dmax) AS dmax, any_value(t.scale) AS scale
+          FROM dev{k} d JOIN top{k} t ON t.doc_id = d.doc_id AND t.part_id = d.part_id
+          WHERE d.dv = t.dmax
+          GROUP BY d.doc_id, d.part_id),
+        st{k} AS MATERIALIZED (
+          SELECT s.doc_id, s.part_id,
+                 CASE WHEN p.pos IS NOT NULL AND p.scale <> 0
+                      THEN list_append(s.removed, p.pos) ELSE s.removed END AS removed,
+                 CASE WHEN p.pos IS NOT NULL AND p.scale <> 0
+                      THEN list_append(s.rs, p.dmax / p.scale) ELSE s.rs END AS rs,
+                 CASE WHEN p.pos IS NULL THEN s.stopped
+                      WHEN p.scale = 0 THEN true ELSE s.stopped END AS stopped
+          FROM {prev} s LEFT JOIN pick{k} p
+            ON p.doc_id = s.doc_id AND p.part_id = s.part_id)""")
+        prev = f"st{k}"
+    return f"""
+    WITH {_SEQ_TOK_CTE},
+    base AS MATERIALIZED (
+      SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+             pos % 1000000 AS i, CAST(v AS DOUBLE) AS x FROM tok),
+    meta AS MATERIALIZED (
+      SELECT doc_id, part_id, count(*) AS n,
+             least(CAST(ceil(0.02 * count(*)) AS BIGINT),
+                   count(*) - 2) AS kmax
+      FROM base GROUP BY doc_id, part_id),
+    lam(m, lv) AS MATERIALIZED (SELECT * FROM (VALUES {lam_rows})),
+    st0 AS MATERIALIZED (
+      SELECT doc_id, part_id, CAST([] AS BIGINT[]) AS removed,
+             CAST([] AS DOUBLE[]) AS rs, false AS stopped FROM meta),
+    {",".join(steps)},
+    expl AS (SELECT s.doc_id, s.part_id, unnest(s.rs) AS r,
+                    generate_subscripts(s.rs, 1) AS k FROM {prev} s),
+    hit AS (SELECT ex.doc_id, ex.part_id, max(ex.k) AS n_anom
+            FROM expl ex
+            JOIN meta m ON m.doc_id = ex.doc_id AND m.part_id = ex.part_id
+            JOIN lam l ON l.m = m.n - ex.k
+            WHERE ex.r > l.lv
+            GROUP BY ex.doc_id, ex.part_id),
+    pos AS (SELECT s.doc_id, s.part_id, unnest(s.removed) AS p,
+                   generate_subscripts(s.removed, 1) AS k FROM {prev} s),
+    sums AS (SELECT p.doc_id, p.part_id, count(*) AS n_anomalies,
+                    sum(p.p) AS pos_sum, sum(p.p * p.p) AS pos_sumsq
+             FROM pos p JOIN hit h ON h.doc_id = p.doc_id AND h.part_id = p.part_id
+             WHERE p.k <= h.n_anom
+             GROUP BY p.doc_id, p.part_id),
+    parts AS (SELECT doc_id,
+                     CAST(unnest(range(0, greatest(CAST(ceil(
+                         CAST(len(toks) AS DOUBLE) / 1000000) AS BIGINT), 1)))
+                         AS INTEGER) AS part_id
+              FROM seq)
+    SELECT parts.doc_id, parts.part_id, 'esd' AS detector,
+           COALESCE(s.n_anomalies, 0) AS n_anomalies,
+           CAST(COALESCE(s.pos_sum, 0) AS BIGINT) AS pos_sum,
+           CAST(COALESCE(s.pos_sumsq, 0) AS BIGINT) AS pos_sumsq
+    FROM parts LEFT JOIN sums s
+      ON s.doc_id = parts.doc_id AND s.part_id = parts.part_id
+    """
+
+
 _STOPWORDS_SQL = {
     "de": "['der','die','und','das','ist','nicht','ein','mit','zu','den']",
     "en": "['the','and','of','to','a','in','is','that','it','for']",
@@ -393,11 +501,11 @@ _STOPWORDS_SQL = {
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB equivalents (views pre-registered by the driver).  Keys absent
-    here (detect_esd / detect_ewma: iterative / recurrence semantics; the
-    codec and persist summaries: side-effectful; the LSH/minhash families:
-    seeded-hash candidate generation) get the driver's rows-only check;
-    their semantics are covered by the bit-for-bit oracle gate in tests/."""
+    """DuckDB equivalents (views pre-registered by the driver).  Keys
+    absent here (codec/persist summaries: side-effectful; ann_lsh and
+    media: seeded normal-distribution state; g3_approx: approximate by
+    construction) get the driver's rows-only check; their semantics are
+    covered by the bit-for-bit oracle gate in tests/."""
     lang_ratio = ", ".join(
         f"CASE WHEN len(ws) = 0 THEN 0.0 ELSE "
         f"CAST(len(list_filter(ws, x -> list_contains({lst}, x))) AS DOUBLE)"
@@ -456,6 +564,9 @@ def oracle_sql() -> dict[str, str]:
             FROM parts LEFT JOIN g
               ON parts.doc_id = g.doc_id AND parts.part_id = g.part_id
         """,
+        # A3 generalized ESD (robust S-H-ESD): unrolled MATERIALIZED CTE
+        # iteration + (n-k)-keyed lambda table from the engine's own t-PPF
+        "detect_esd": _esd_sql(),
         # A2 EWMA control chart: the recurrence runs as a recursive CTE
         # (MATERIALIZED inputs — otherwise DuckDB re-evaluates the
         # tokenizer CTE every iteration).  The engine's blocked-scan EWMA
