@@ -80,6 +80,37 @@ def ensure_synth(target_tokens: int) -> tuple[str, int, int]:
     return path, i, total
 
 
+def _exec_health(ds, prefix: str) -> dict:
+    """Best-effort execution-health extras per the BASELINE.md protocol:
+    object-store spill bytes (cluster-wide) and the slowest task wall seen
+    in the pipeline's stats (straggler proxy).  Never raises."""
+    import re
+
+    out: dict = {}
+    try:
+        import ray
+
+        mem = ray._private.internal_api.memory_summary(stats_only=True)
+        m = re.search(r"Spilled (\d+) MiB", mem)
+        out[f"{prefix}_spilled_mib"] = int(m.group(1)) if m else 0
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        unit = {"us": 1e-6, "ms": 1e-3, "s": 1.0}
+        walls = [
+            float(x) * unit[u]
+            for x, u in re.findall(r"Remote wall time:.*? ([\d.]+)(us|ms|s) max", ds.stats())
+        ]
+        if walls:
+            out[f"{prefix}_task_wall_max_s"] = max(walls)
+    except Exception:  # noqa: BLE001
+        pass
+    # NOTE: both fields are best-effort — this container lacks grpc (no
+    # ray memory summary) and Ray only populates stats() on the plan that
+    # was actually consumed; absent keys mean "not measurable here", not 0.
+    return out
+
+
 def run_bench(sf_dir: str, num_cpus: int, phases: list[str]) -> dict:
     import ray
 
@@ -128,6 +159,7 @@ def run_bench(sf_dir: str, num_cpus: int, phases: list[str]) -> dict:
 
     if "rollup_synth" in phases:
         dt, n_points = None, 0
+        tiers = None
         for _ in range(reps):  # best-of-N: the host is noisy co-tenancy
             t0 = time.monotonic()
             tiers = rollup_pipeline(read_sequences(spath, override_num_blocks=onb, num_cpus=task_cpus),
@@ -136,6 +168,7 @@ def run_bench(sf_dir: str, num_cpus: int, phases: list[str]) -> dict:
             d = time.monotonic() - t0
             dt = d if dt is None else min(dt, d)
         res["queries"]["rollup_synth"] = dt
+        extras.update(_exec_health(tiers, "rollup"))
         extras["rollup_synth_tokens"] = n_tokens
         extras["rollup_synth_points"] = n_points
         extras["rollup_tokens_per_s"] = n_tokens / dt
