@@ -491,40 +491,30 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, min_jaccard: float = 0.3):
 
 def _bucketed_embeddings(sf_dir: str, num_buckets: int) -> str:
     """Persist the embeddings table once as id-bucketed parquet
-    (``bucket = vec_id % B`` directories) under /tmp — the self-join input
-    layout.  Deterministic + idempotent (tmp dir + atomic rename), so
-    repeated queries and resumed runs reuse it."""
-    import hashlib
-    import os
+    (``bucket = vec_id % B`` hive directories) — the self-join input
+    layout.  Built DISTRIBUTED: a Ray Data read -> vectorized bucket
+    column -> ``write_parquet(partition_cols=["bucket"])``, so no task
+    (and never the driver) holds more than its own blocks; idempotent and
+    content-fingerprinted via state/layout.py (atomic tmp+rename), so
+    repeated queries and resumed runs reuse it and a regenerated source
+    table rebuilds it."""
+    from anomalydetection_ray.state.layout import persist_bucketed
 
-    import pyarrow.parquet as pq
+    src = f"{sf_dir}/embeddings.parquet"
 
-    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{num_buckets}".encode()).hexdigest()[:12]
-    out = f"/tmp/anomray_embbkt_{key}"
-    if os.path.exists(os.path.join(out, "_DONE")):
-        return out
-    tmp = out + ".tmp"
-    import shutil
+    def build(tmp: str) -> None:
+        import ray.data
 
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp, exist_ok=True)
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = np.asarray(t.column("vec_id"), dtype=np.int64)
-    bucket = ids % num_buckets
-    for b in range(num_buckets):
-        sel = np.flatnonzero(bucket == b)
-        sub = t.take(pa.array(sel)).sort_by([("vec_id", "ascending")])
-        pq.write_table(sub, os.path.join(tmp, f"bucket={b}.parquet"))
-    with open(os.path.join(tmp, "_DONE"), "w") as f:
-        f.write("ok")
-    if not os.path.exists(os.path.join(out, "_DONE")):
-        try:
-            os.replace(tmp, out)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-    else:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+            return batch.append_column(
+                "bucket", pa.array(ids % num_buckets, type=pa.int64()))
+
+        (ray.data.read_parquet(src, columns=["vec_id", "embedding"])
+            .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+            .write_parquet(tmp, partition_cols=["bucket"]))
+
+    return persist_bucketed("embbkt", src, f"B{num_buckets}", build)
 
 
 def embedding_dup_pairs(sf_dir: str, min_cosine: float = 0.95,
@@ -551,7 +541,12 @@ def embedding_dup_pairs(sf_dir: str, min_cosine: float = 0.95,
                          for i in range(num_buckets) for j in range(i, num_buckets)]
 
     def _load(b: int) -> tuple[np.ndarray, np.ndarray]:
-        t = pq.read_table(os.path.join(path, f"bucket={b}.parquet"))
+        from anomalydetection_ray.state.layout import bucket_files
+
+        files = bucket_files(path, b)
+        if not files:
+            return np.empty(0, dtype=np.int64), np.empty((0, 1), dtype=np.float64)
+        t = pq.read_table(files, columns=["vec_id", "embedding"])
         ids = np.asarray(t.column("vec_id"), dtype=np.int64)
         emb = t.column("embedding")
         if isinstance(emb, pa.ChunkedArray):

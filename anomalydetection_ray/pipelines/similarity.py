@@ -89,52 +89,41 @@ def _sig_batch(m_norm: np.ndarray, planes: np.ndarray) -> np.ndarray:
 
 def build_ann_index(sf_dir: str) -> str:
     """Materialize the ANN LSH index ONCE as bucket-partitioned parquet:
-    one ``bucket=<sig>`` directory per non-empty hyperplane bucket.  This
-    is the real partition-pruned layout — a query reads ONLY its probed
-    bucket files, never rescans or re-signs the corpus.  Idempotent
-    (atomic tmp+rename + _DONE marker), so repeated queries reuse it; at
-    10^12 scale the same layout is written by a distributed
-    ``write_parquet(partition_cols=['bucket'])`` pass."""
-    import hashlib
-    import os
-    import shutil
+    one ``bucket=<sig>`` hive directory per non-empty hyperplane bucket.
+    This is the real partition-pruned layout — a query reads ONLY its
+    probed bucket files, never rescans or re-signs the corpus.
 
-    import pyarrow.parquet as pq
+    Built DISTRIBUTED: a Ray Data read signs each block against the
+    (tiny, seeded) hyperplane matrix and a
+    ``write_parquet(partition_cols=['bucket'])`` pass lands the hive
+    layout — no driver-side corpus read at any scale.  Idempotent and
+    content-fingerprinted (state/layout.py: atomic tmp+rename + _DONE),
+    so repeated queries reuse it and a regenerated source rebuilds it."""
+    from anomalydetection_ray.state.layout import persist_bucketed
 
     n_planes, dim = _plane_params(sf_dir)
-    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{n_planes}:{_SEED}".encode()).hexdigest()[:12]
-    out = f"/tmp/anomray_annidx_{key}"
-    if os.path.exists(os.path.join(out, "_DONE")):
-        return out
     planes = _planes(n_planes, dim)
-    tmp = out + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp, exist_ok=True)
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"])
-    emb = t.column("embedding")
-    if isinstance(emb, pa.ChunkedArray):
-        emb = emb.combine_chunks()
-    m = np.asarray(emb.values, dtype=np.float64).reshape(t.num_rows, -1)
-    norm = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-    sig = _sig_batch(norm, planes)
-    order = np.argsort(sig, kind="stable")
-    t = t.take(pa.array(order))
-    sig = sig[order]
-    starts = np.concatenate(([0], np.flatnonzero(sig[1:] != sig[:-1]) + 1, [sig.shape[0]]))
-    for a, b in zip(starts[:-1], starts[1:]):
-        bdir = os.path.join(tmp, f"bucket={int(sig[a])}")
-        os.makedirs(bdir, exist_ok=True)
-        pq.write_table(t.slice(a, b - a), os.path.join(bdir, "data.parquet"))
-    with open(os.path.join(tmp, "_DONE"), "w") as f:
-        f.write("ok")
-    if not os.path.exists(os.path.join(out, "_DONE")):
-        try:
-            os.replace(tmp, out)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-    else:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    src = f"{sf_dir}/embeddings.parquet"
+
+    def build(tmp: str) -> None:
+        import ray.data
+
+        def add_sig(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+            emb = batch.column("embedding")
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            m = np.asarray(emb.values, dtype=np.float64).reshape(len(ids), -1)
+            norm = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            sig = _sig_batch(norm, planes)
+            return batch.append_column(
+                "bucket", pa.array(sig.astype(np.int64), type=pa.int64()))
+
+        (ray.data.read_parquet(src, columns=["vec_id", "embedding", "label"])
+            .map_batches(add_sig, batch_format="pyarrow", zero_copy_batch=True)
+            .write_parquet(tmp, partition_cols=["bucket"]))
+
+    return persist_bucketed("annidx", src, f"P{n_planes}:S{_SEED}", build)
 
 
 def ann_topk_lsh(sf_dir: str, query_id: int = 0, k: int = 10):
@@ -142,9 +131,9 @@ def ann_topk_lsh(sf_dir: str, query_id: int = 0, k: int = 10):
     bucket U its hamming-1 neighbor buckets, loaded by a partition-pruned
     parquet read of just those directories; exact cosine rerank inside the
     candidate set.  No full-corpus scan or re-signing per query."""
-    import os
-
     import ray.data
+
+    from anomalydetection_ray.state.layout import bucket_files
 
     n_planes, dim = _plane_params(sf_dir)
     planes = _planes(n_planes, dim)
@@ -152,8 +141,7 @@ def ann_topk_lsh(sf_dir: str, query_id: int = 0, k: int = 10):
     idx = build_ann_index(sf_dir)
     qsig = int(_sig_batch(q[None, :], planes)[0])
     probe = {qsig} | {qsig ^ (1 << b) for b in range(n_planes)}
-    paths = [os.path.join(idx, f"bucket={b}", "data.parquet") for b in sorted(probe)
-             if os.path.isdir(os.path.join(idx, f"bucket={b}"))]
+    paths = [p for b in sorted(probe) for p in bucket_files(idx, b)]
     if not paths:
         return ann_topk_bruteforce(sf_dir, query_id, k)
 
