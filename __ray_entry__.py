@@ -131,6 +131,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # all reproduced in the DuckDB oracle
         "rollup_tier1_docs": lambda sf: _rollup_tier(sf, 1),
         "rollup_tier2_docs": lambda sf: _rollup_tier(sf, 2),
+        # A5 gap-fill on a null-injected derived token table (locf fill /
+        # drop with filled=true empty-bucket carry) — both SQL-checked
+        "gapfill_locf_docs": q.gapfill_locf_tier1,
+        "gapfill_drop_docs": q.gapfill_drop_tier1,
         "topk_anomalies_docs": lambda sf: topk_anomalies(
             rollup_pipeline(_docs_sequences(sf)), k=20
         ),
@@ -210,6 +214,91 @@ _T1_SELECT = """
            score AS anomaly_score, false AS filled
     FROM t1
 """
+
+# --- A5 gap-fill over a null-injected derived token table ------------------
+# The injection rules live in pipelines/queries.py (GAP_VAL_MOD/GAP_DOC_MOD)
+# and are value-based, so the oracle reproduces them with one CASE.  locf is
+# a window-function fill (last_value IGNORE NULLS, part-local like the
+# engine); drop aggregates the non-null positions per bucket and emits
+# filled=true carry rows for all-null buckets (previous non-empty bucket's
+# mean, part-local restart at 0.0), exactly oracle.rollup_part's semantics.
+_GAP_TOKN_CTE = """
+    tokn AS (
+        SELECT doc_id, source, pos,
+               CASE WHEN CAST(doc_id AS BIGINT) % {doc_mod} = 0
+                      OR v % {val_mod} = 0 THEN NULL ELSE v END AS v
+        FROM tok)
+"""
+
+
+def _gap_tokn_cte() -> str:
+    from anomalydetection_ray.pipelines.queries import GAP_DOC_MOD, GAP_VAL_MOD
+
+    return _GAP_TOKN_CTE.format(doc_mod=GAP_DOC_MOD, val_mod=GAP_VAL_MOD)
+
+
+def _gapfill_locf_sql() -> str:
+    return f"""
+    WITH {_SEQ_TOK_CTE}, {_gap_tokn_cte()},
+    fill AS (
+        SELECT doc_id, source, pos,
+               COALESCE(last_value(v IGNORE NULLS) OVER
+                   (PARTITION BY doc_id, pos // 1000000 ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS v
+        FROM tokn),
+    t1 AS (
+        SELECT doc_id, source, pos // 1000 AS bucket,
+               min(v) AS mn, max(v) AS mx,
+               sum(CAST(v AS BIGINT)) AS s, count(*) AS c,
+               CASE WHEN mad(v) = 0 THEN 0.0
+                    ELSE greatest(CAST(max(v) AS DOUBLE) - median(v),
+                                  median(v) - CAST(min(v) AS DOUBLE))
+                         / (1.4826 * mad(v)) END AS score
+        FROM fill GROUP BY doc_id, source, pos // 1000)
+    {_T1_SELECT}
+    """
+
+
+def _gapfill_drop_sql() -> str:
+    # allb enumerates EVERY bucket of every non-empty series (bucket ids are
+    # global: part * 1000 + local == pos // 1000 for any length); the left
+    # join keeps all-null buckets, which carry the previous non-empty
+    # bucket's mean (restarting per 1000-bucket part, engine semantics)
+    return f"""
+    WITH {_SEQ_TOK_CTE}, {_gap_tokn_cte()},
+    allb AS (
+        SELECT doc_id, source,
+               CAST(unnest(range(0, CAST(ceil(CAST(len(toks) AS DOUBLE) / 1000)
+                   AS BIGINT))) AS BIGINT) AS bucket
+        FROM seq WHERE len(toks) > 0),
+    agg AS (
+        SELECT doc_id, pos // 1000 AS bucket,
+               min(v) AS mn, max(v) AS mx,
+               sum(CAST(v AS BIGINT)) AS s, count(v) AS c,
+               CASE WHEN count(v) = 0 OR mad(v) = 0 THEN 0.0
+                    ELSE greatest(CAST(max(v) AS DOUBLE) - median(v),
+                                  median(v) - CAST(min(v) AS DOUBLE))
+                         / (1.4826 * mad(v)) END AS score
+        FROM tokn GROUP BY doc_id, pos // 1000),
+    j AS (
+        SELECT allb.doc_id, allb.source, allb.bucket, agg.mn, agg.mx,
+               COALESCE(agg.c, 0) AS c, COALESCE(agg.score, 0.0) AS score,
+               CASE WHEN COALESCE(agg.c, 0) > 0
+                    THEN CAST(agg.s AS DOUBLE) / agg.c END AS m0
+        FROM allb LEFT JOIN agg
+          ON allb.doc_id = agg.doc_id AND allb.bucket = agg.bucket)
+    SELECT doc_id, source, CAST(1 AS TINYINT) AS tier, bucket,
+           CAST(mn AS INTEGER) AS "min", CAST(mx AS INTEGER) AS "max",
+           COALESCE(CASE WHEN c > 0 THEN m0
+                    ELSE last_value(m0 IGNORE NULLS) OVER
+                         (PARTITION BY doc_id, bucket // 1000 ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    END, 0.0) AS "mean",
+           CAST(c AS BIGINT) AS "count", score AS anomaly_score,
+           (c = 0) AS filled
+    FROM j
+    """
+
 
 _FP_MULT = 1103515245
 _FP_TERMS = " + ".join(
@@ -514,6 +603,8 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "rollup_tier1_docs": f"WITH {_SEQ_TOK_CTE}, {_T1_CTE} {_T1_SELECT}",
+        "gapfill_locf_docs": _gapfill_locf_sql(),
+        "gapfill_drop_docs": _gapfill_drop_sql(),
         "rollup_tier2_docs": f"""
             WITH {_SEQ_TOK_CTE}, {_T1_CTE}
             SELECT doc_id, source, CAST(2 AS TINYINT) AS tier,

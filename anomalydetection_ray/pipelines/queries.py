@@ -641,3 +641,63 @@ def s3_token_counts(sf_dir: str):
         Count(alias_name="parts"),
         Sum("n_tok", alias_name="sum_tok"),
     )
+
+
+# ---------------------------------------------------------------- A5 ----
+# Deterministic null-injection rules for the gap-fill driver surface.
+# Both are VALUE-based (token value / doc id), so the DuckDB oracle
+# reproduces them with a CASE expression — no replay of any engine-side
+# position hashing is needed.
+GAP_VAL_MOD = 31   # token % 31 == 0  -> null   (~3% of positions)
+GAP_DOC_MOD = 11   # int(doc_id) % 11 == 0 -> every position null
+
+
+def inject_gaps(batch: pa.Table) -> pa.Table:
+    """Null-inject a tokenized ``sequences`` batch (the A5 derived table):
+    token -> NULL where ``token % GAP_VAL_MOD == 0`` and for every token of
+    docs with ``int(doc_id) % GAP_DOC_MOD == 0`` (all-null series exercise
+    the empty-bucket ``filled=true`` carry under the drop policy).
+    Vectorized over the flat child buffer."""
+    tokens = batch.column("tokens")
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    offsets = np.asarray(tokens.offsets, dtype=np.int64)
+    base = offsets[0]
+    child = tokens.values.slice(base, offsets[-1] - base)
+    vals = np.asarray(child, dtype=np.int32)
+    offs = offsets - base
+    lens = np.diff(offs)
+    doc_col = batch.column("doc_id")
+    if isinstance(doc_col, pa.ChunkedArray):
+        doc_col = doc_col.combine_chunks()
+    doc_null = (np.asarray(doc_col.cast(pa.int64()), dtype=np.int64) % GAP_DOC_MOD) == 0
+    mask = (vals % GAP_VAL_MOD == 0) | np.repeat(doc_null, lens)
+    gapped = pa.array(vals, type=pa.int32(), mask=mask)
+    lists = pa.ListArray.from_arrays(pa.array(offs, type=pa.int32()), gapped)
+    i = batch.schema.get_field_index("tokens")
+    return batch.set_column(i, "tokens", lists)
+
+
+def _gapfill_tier1(sf_dir: str, policy: str):
+    from anomalydetection_ray.pipelines.rollup import rollup_pipeline
+    from anomalydetection_ray.sources.tokenize import tokenize_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    seqs = docs.map_batches(tokenize_batch, batch_format="pyarrow", zero_copy_batch=True)
+    gapped = seqs.map_batches(inject_gaps, batch_format="pyarrow", zero_copy_batch=True)
+    return rollup_pipeline(gapped, policy=policy).filter(expr="tier == 1")
+
+
+def gapfill_locf_tier1(sf_dir: str):
+    """A5(a) driver surface: tier1 rollup of the null-injected token table
+    under the locf gap policy (every position defined after the fill, so
+    counts are full and ``filled`` is false everywhere)."""
+    return _gapfill_tier1(sf_dir, "locf")
+
+
+def gapfill_drop_tier1(sf_dir: str):
+    """A5(b) driver surface: tier1 rollup under the drop policy — stats
+    skip invalid positions (counts reflect valid points only) and all-null
+    buckets emit ``filled=true`` rows with null min/max, count 0 and the
+    previous bucket's mean (0.0 if leading)."""
+    return _gapfill_tier1(sf_dir, "drop")

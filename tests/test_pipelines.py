@@ -160,3 +160,41 @@ def test_copartition_attach_matches_pandas_join(ray_session):
     ex_o = out_s["extra"].fillna(-1).to_numpy()
     ex_e = exp_s["extra"].fillna(-1).to_numpy()
     assert (ex_o == ex_e).all()
+
+
+def test_gapfill_injection_matches_oracle(ray_session):
+    """A5 driver surface: inject_gaps (value/doc-based null rules) through
+    the engine rollup == oracle rollup of the same injected table, for
+    both the locf and drop policies (drop exercises filled=true carry)."""
+    import ray.data
+
+    from anomalydetection_ray.pipelines.queries import inject_gaps
+    from anomalydetection_ray.pipelines.rollup import rollup_pipeline
+
+    rng = np.random.default_rng(7)
+    doc_ids, toks = [], []
+    for i in range(44):  # i % 11 == 0 docs go all-null
+        n = int(rng.integers(5, 2500))
+        doc_ids.append(str(i))
+        toks.append(rng.integers(0, 50257, n, dtype=np.int32))
+    flat = np.concatenate(toks)
+    offs = np.concatenate([[0], np.cumsum([len(t) for t in toks])])
+    tbl = pa.table({
+        "doc_id": pa.array(doc_ids),
+        "tokens": pa.ListArray.from_arrays(pa.array(offs, type=pa.int32()),
+                                           pa.array(flat, type=pa.int32())),
+        "n_tok": pa.array([len(t) for t in toks], type=pa.int32()),
+        "source": pa.array(["s"] * len(doc_ids)),
+    })
+    gapped = inject_gaps(tbl)
+    child = gapped.column("tokens").combine_chunks().values
+    assert child.null_count > 0  # the injection actually fired
+    for policy in ("locf", "drop"):
+        ds = ray.data.from_arrow(gapped)
+        engine = pa.concat_tables(_collect(rollup_pipeline(ds, policy=policy)))
+        t1, t2 = rollup_table(gapped, policy=policy)
+        assert_tiers_bitequal(engine, pa.concat_tables([t1, t2]))
+    # drop must emit filled=true empty buckets for the all-null docs
+    t1d, _ = rollup_table(gapped, policy="drop")
+    filled = t1d.filter(t1d.column("filled"))
+    assert filled.num_rows > 0
