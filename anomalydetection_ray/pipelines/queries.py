@@ -376,8 +376,11 @@ def p2_persist_summary(sf_dir: str):
     seq_dir = tempfile.mkdtemp(prefix="p2seq_")
     docs.map_batches(tokenize_batch, batch_format="pyarrow", zero_copy_batch=True).write_parquet(seq_dir)
     out = tempfile.mkdtemp(prefix="p2out_")
+    # encoded_bytes + encoder_state_hash pin the persisted tier0 content
+    # into the driver's rows-only hash, not just counts
     return ingest_persist(seq_dir, out, resume=False, override_num_blocks=8).select_columns(
-        ["part_id", "rows_emitted", "tokens_processed"]
+        ["part_id", "rows_emitted", "tokens_processed", "encoded_bytes",
+         "encoder_state_hash"]
     )
 
 
@@ -622,7 +625,10 @@ def roundtrip_verify(sf_dir: str):
     seqs = docs.map_batches(tokenize_batch, batch_format="pyarrow", zero_copy_batch=True)
     out = tempfile.mkdtemp(prefix="tier0_rt_")
     ingest_pipeline(seqs, out, num_parts=16, resume=False).materialize()
-    return verify_tier0(out).select_columns(["doc_id", "part_id", "n_tok", "checksum_ok"])
+    # value_checksum pins the decoded token bytes of every part into the
+    # driver's (rows-only) hash, not just counts and verdicts
+    return verify_tier0(out).select_columns(
+        ["doc_id", "part_id", "n_tok", "value_checksum", "checksum_ok"])
 
 
 # ---------------------------------------------------------------- S3 ----

@@ -155,6 +155,21 @@ def rollup_pipeline(ds, policy: str = "locf", batch_size: int | None = None,
     )
 
 
+def tiers_checksum(tiers: pa.Table) -> str:
+    """Deterministic content hash of one unit's tier rows: the Arrow IPC
+    stream bytes of the (chunk-normalized) table.  Stored in the manifest's
+    lineage column and surfaced in the persist summary, so rows-only driver
+    checks pin the rolled-up CONTENT, not just row counts."""
+    import hashlib
+    import io
+
+    t = tiers.combine_chunks()
+    sink = io.BytesIO()
+    with pa.ipc.new_stream(sink, t.schema) as w:
+        w.write_table(t)
+    return hashlib.md5(sink.getvalue()).hexdigest()[:16]
+
+
 def write_tiers(tiers_ds, out_dir: str):
     """S4: partitioned parquet tier sink — one directory per tier so a
     resumed/verifying run can address tiers independently."""
@@ -209,13 +224,15 @@ def rollup_persist(
         return ray.data.from_arrow(
             _pa.table({"unit_id": _pa.array([], type=_pa.int32()),
                        "rows_emitted": _pa.array([], type=_pa.int64()),
-                       "tokens_processed": _pa.array([], type=_pa.int64())})
+                       "tokens_processed": _pa.array([], type=_pa.int64()),
+                       "tiers_checksum": _pa.array([], type=_pa.string())})
         )
 
     def process(batch) -> pa.Table:
         import pyarrow.parquet as pq
 
-        out_rows = {"unit_id": [], "rows_emitted": [], "tokens_processed": []}
+        out_rows = {"unit_id": [], "rows_emitted": [], "tokens_processed": [],
+                    "tiers_checksum": []}
         for uid, paths, rga, rgb in zip(batch["unit_id"], batch["path"],
                                         batch["rg_start"], batch["rg_end"]):
             t0 = _time.monotonic()
@@ -229,12 +246,13 @@ def rollup_persist(
             pq.write_table(tiers, tmp)
             _os.replace(tmp, _os.path.join(udir, "data.parquet"))
             tokens = int(sum(int(x) for x in v.column("n_tok").to_pylist()))
+            csum = tiers_checksum(tiers)
             write_manifest_row(
                 out_dir,
                 {
                     "part_id": int(uid),
                     "input_fragments": [f"{p}:{a}-{b}" for p, a, b in zip(paths, rga, rgb)],
-                    "encoder_state_hash": "",
+                    "encoder_state_hash": csum,
                     "rows_emitted": tiers.num_rows,
                     "tokens_processed": tokens,
                     "wall_s": _time.monotonic() - t0,
@@ -244,11 +262,13 @@ def rollup_persist(
             out_rows["unit_id"].append(int(uid))
             out_rows["rows_emitted"].append(tiers.num_rows)
             out_rows["tokens_processed"].append(tokens)
+            out_rows["tiers_checksum"].append(csum)
         return pa.table(
             {
                 "unit_id": pa.array(out_rows["unit_id"], type=pa.int32()),
                 "rows_emitted": pa.array(out_rows["rows_emitted"], type=pa.int64()),
                 "tokens_processed": pa.array(out_rows["tokens_processed"], type=pa.int64()),
+                "tiers_checksum": pa.array(out_rows["tiers_checksum"], type=pa.string()),
             }
         )
 

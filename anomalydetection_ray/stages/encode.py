@@ -205,6 +205,9 @@ def decode_batch(batch: pa.Table) -> pa.Table:
             "part_id": batch.column("part_id"),
             "n_tok": batch.column("n_tok"),
             "tokens": toks,
+            # passthrough: lets rows-only driver checks pin the decoded
+            # content bytes, not just row counts
+            "value_checksum": batch.column("value_checksum"),
             "checksum_ok": pa.array(ok, type=pa.bool_()),
         }
     )

@@ -184,11 +184,17 @@ def run_bench(sf_dir: str, num_cpus: int, phases: list[str]) -> dict:
         extras["rollup_docs_points"] = n
 
     if "topk" in phases:
-        t0 = time.monotonic()
-        tiers = rollup_pipeline(read_sequences(spath, override_num_blocks=onb, num_cpus=task_cpus),
-                                num_cpus=task_cpus)
-        top = topk_anomalies(tiers, k=100).take_all()
-        res["queries"]["topk"] = time.monotonic() - t0
+        # best-of-N like rollup/encode: a single rep swings ~2x on this
+        # co-tenant host, which made round-over-round topk incomparable
+        dt, top = None, []
+        for _ in range(reps):
+            t0 = time.monotonic()
+            tiers = rollup_pipeline(read_sequences(spath, override_num_blocks=onb, num_cpus=task_cpus),
+                                    num_cpus=task_cpus)
+            top = topk_anomalies(tiers, k=100).take_all()
+            d = time.monotonic() - t0
+            dt = d if dt is None else min(dt, d)
+        res["queries"]["topk"] = dt
         extras["topk_rows"] = len(top)
 
     if "ingest_encode" in phases:
