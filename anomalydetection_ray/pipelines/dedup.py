@@ -20,7 +20,6 @@ no python hash()).
 
 from __future__ import annotations
 
-import re
 import zlib
 
 import numpy as np
@@ -31,8 +30,6 @@ _NUM_PERM = 64
 _BANDS = 8
 _ROWS_PER_BAND = _NUM_PERM // _BANDS
 _SEED = 42
-
-_WORD_RE = re.compile(r"\w+")
 
 # deterministic 64 x (a, b) permutation parameters: x -> a*x + b mod 2^64
 # with a odd is a bijection on uint64 (multiply-shift family) — exactly the
@@ -464,29 +461,88 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, min_jaccard: float = 0.3):
     with_a = attach_payload(cands, docs, "doc_a", "text", "_text_a")
     with_ab = attach_payload(with_a, docs, "doc_b", "text", "_text_b")
 
-    def grams(t: str) -> frozenset:
-        ws = _WORD_RE.findall(t.lower())
-        return frozenset(tuple(ws[i : i + n]) for i in range(max(0, len(ws) - n + 1)))
-
     def verify(batch: pa.Table) -> pa.Table:
-        a_o, b_o, j_o = [], [], []
-        for a, b, ta, tb in zip(batch.column("doc_a").to_pylist(),
-                                batch.column("doc_b").to_pylist(),
-                                batch.column("_text_a").to_pylist(),
-                                batch.column("_text_b").to_pylist()):
-            sa, sb = grams(ta or ""), grams(tb or "")
-            union = len(sa | sb)
-            j = (len(sa & sb) / union) if union else 0.0
-            if j >= min_jaccard:
-                a_o.append(a)
-                b_o.append(b)
-                j_o.append(j)
-        id_type = batch.column("doc_a").type
-        return pa.table({"doc_a": pa.array(a_o, type=id_type),
-                         "doc_b": pa.array(b_o, type=id_type),
-                         "jaccard": pa.array(j_o, type=pa.float64())})
+        return ngram_verify_batch(batch, n=n, min_jaccard=min_jaccard)
 
     return with_ab.map_batches(verify, batch_format="pyarrow")
+
+
+_GRAM_MULT = np.uint64(0x100000001B3)  # n-gram combiner (FNV-prime, odd)
+
+
+def gram_sets(texts, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct word-n-gram hash sets for a column of texts, vectorized
+    over the flat utf-8 buffer with the shared ``word_hashes`` tokenizer
+    (gram hash = mixed polynomial of the n word hashes).  Returns
+    ``(flat sorted-unique gram buffer, int64 row offsets)``: row i's gram
+    set is ``grams[offs[i]:offs[i+1]]``, ascending — so each pair
+    verification is one C-level sorted-set intersection, no per-gram
+    Python anywhere.  Jaccard counts over the 64-bit mixed hashes equal
+    counts over the gram tuples themselves up to hash collisions
+    (probability ~ grams_per_batch^2 / 2^64, negligible)."""
+    from anomalydetection_ray.pipelines.text import _flat_utf8
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = texts.fill_null("")
+    nrows = len(texts)
+    flat, offs = _flat_utf8(pa.table({"t": texts}), "t")
+    hwords, doc_of = word_hashes(flat, offs)
+    m = hwords.shape[0]
+    if m >= n:
+        acc = np.zeros(m - n + 1, dtype=np.uint64)
+        for k in range(n):
+            acc = acc * _GRAM_MULT + hwords[k : k + acc.shape[0]]
+        grams = _mix64(acc)
+        gdoc = doc_of[: m - n + 1]
+        ok = doc_of[n - 1:] == gdoc  # all n words within one row
+        grams, gdoc = grams[ok], gdoc[ok]
+    else:
+        grams = np.empty(0, dtype=np.uint64)
+        gdoc = np.empty(0, dtype=np.int64)
+    order = np.lexsort((grams, gdoc))
+    grams, gdoc = grams[order], gdoc[order]
+    keep = np.ones(grams.shape[0], dtype=bool)
+    keep[1:] = (gdoc[1:] != gdoc[:-1]) | (grams[1:] != grams[:-1])
+    grams, gdoc = grams[keep], gdoc[keep]
+    row_offs = np.searchsorted(gdoc, np.arange(nrows + 1, dtype=np.int64))
+    return grams, row_offs
+
+
+def ngram_verify_batch(batch: pa.Table, n: int = 3,
+                       min_jaccard: float = 0.3) -> pa.Table:
+    """Exact word-n-gram Jaccard for a batch of candidate pairs carrying
+    ``_text_a``/``_text_b``.  Gram sets are computed ONCE per unique doc
+    in the batch (vectorized, `gram_sets`); the only per-pair work is a
+    sorted-set ``np.intersect1d``."""
+    id_type = batch.schema.field("doc_a").type
+    empty = pa.table({"doc_a": pa.array([], type=id_type),
+                      "doc_b": pa.array([], type=id_type),
+                      "jaccard": pa.array([], type=pa.float64())})
+    nb = batch.num_rows
+    if nb == 0:
+        return empty
+    a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+    b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+    uniq, first_pos, inv = np.unique(np.concatenate([a, b]),
+                                     return_index=True, return_inverse=True)
+    chunks = [c for col in (batch.column("_text_a"), batch.column("_text_b"))
+              for c in (col.chunks if isinstance(col, pa.ChunkedArray) else [col])]
+    texts_u = pa.concat_arrays(chunks).take(pa.array(first_pos, type=pa.int64()))
+    grams, roffs = gram_sets(texts_u, n)
+    sizes = np.diff(roffs)
+    ia, ib = inv[:nb], inv[nb:]
+    inter = np.empty(nb, dtype=np.int64)
+    for i in range(nb):
+        ga = grams[roffs[ia[i]]:roffs[ia[i] + 1]]
+        gb = grams[roffs[ib[i]]:roffs[ib[i] + 1]]
+        inter[i] = np.intersect1d(ga, gb, assume_unique=True).size
+    union = sizes[ia] + sizes[ib] - inter
+    jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+    keep = pa.array(jac >= min_jaccard)
+    out = batch.select(["doc_a", "doc_b"]).filter(keep)
+    return out.append_column("jaccard",
+                             pa.array(jac[jac >= min_jaccard], type=pa.float64()))
 
 
 def _bucketed_embeddings(sf_dir: str, num_buckets: int) -> str:

@@ -373,3 +373,46 @@ def test_min_label_components_matches_union_find(ray_session):
     got = {r["doc_id"]: r["cluster"] for r in got_rows}
     assert len(got_rows) == len(got)
     assert got == expected
+
+
+def test_ngram_verify_batch_matches_python_sets():
+    """Vectorized gram_sets/ngram_verify_batch == the scalar Python-set
+    reference (tuple 3-grams of lowercased \\w+ words) on adversarial
+    texts: repeats, short rows, empties, punctuation."""
+    import re
+
+    import pyarrow as pa
+
+    from anomalydetection_ray.pipelines.dedup import ngram_verify_batch
+
+    rng = np.random.default_rng(3)
+    words = ["alpha", "beta", "Gamma", "delta", "x1", "Y_2", "zz"]
+    texts = ["", "one", "two words", "a b", "a a a a a a"]
+    for _ in range(30):
+        k = int(rng.integers(3, 40))
+        texts.append(" ".join(rng.choice(words, k)) + rng.choice([".", "!?", ""]))
+    n_t = len(texts)
+    pairs_a, pairs_b = [], []
+    for i in range(n_t):
+        for j in range(n_t):
+            if i != j:
+                pairs_a.append(i)
+                pairs_b.append(j)
+    batch = pa.table({
+        "doc_a": pa.array(pairs_a, type=pa.int64()),
+        "doc_b": pa.array(pairs_b, type=pa.int64()),
+        "_text_a": pa.array([texts[i] for i in pairs_a]),
+        "_text_b": pa.array([texts[j] for j in pairs_b]),
+    })
+    out = ngram_verify_batch(batch, n=3, min_jaccard=0.0)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.to_pylist()}
+
+    def grams(t):
+        ws = re.findall(r"\w+", t.lower())
+        return frozenset(tuple(ws[i:i + 3]) for i in range(max(0, len(ws) - 2)))
+
+    for i, j in zip(pairs_a, pairs_b):
+        sa, sb = grams(texts[i]), grams(texts[j])
+        union = len(sa | sb)
+        ref = (len(sa & sb) / union) if union else 0.0
+        assert got[(i, j)] == ref, (i, j, got[(i, j)], ref)
