@@ -1,11 +1,13 @@
 """Multimodal column plumbing (driver round-1 extras).
 
-Images/audio/video are opaque ``binary`` columns with typed metadata.  The
-decode/resize/frame-sample kernels are STUBBED (no image/audio libs in
-this container — clearly marked NotImplementedError), but every piece of
-Ray-side plumbing is real and tested: the schema, the actor-pool
-``map_batches`` signature (setup once per actor in ``__init__``), small
-batch sizes for large payloads, and the output layout.
+Images/audio/video are opaque ``binary`` columns with typed metadata.
+Decoders: audio is REAL (stdlib ``wave``); image and video are real
+behind optional dependencies (PIL / PyAV ffmpeg bindings), loaded once
+per actor and raising a clear NotImplementedError when absent — never a
+silent fake.  Every piece of Ray-side plumbing is real and tested: the
+schema, the actor-pool ``map_batches`` signature (setup once per actor
+in ``__init__``), small batch sizes for large payloads, and the output
+layout.
 
 ``deterministic_fake=True`` swaps the stubbed decoder for a seeded fake
 (feature vector = bytes digest), so pipelines and tests exercise the full
@@ -44,9 +46,10 @@ class MediaFeatureExtractor:
     def __init__(self, deterministic_fake: bool = False):
         self.fake = deterministic_fake
         self._pil = None
+        self._av = None
         if not deterministic_fake:
-            # optional-dependency image decoder, loaded ONCE per actor;
-            # absent in this container -> the image path raises a clear
+            # optional-dependency decoders, loaded ONCE per actor; absent
+            # in this container -> the corresponding path raises a clear
             # NotImplementedError instead of silently faking
             try:
                 from PIL import Image  # noqa: PLC0415
@@ -54,6 +57,12 @@ class MediaFeatureExtractor:
                 self._pil = Image
             except ImportError:
                 self._pil = None
+            try:
+                import av  # noqa: PLC0415  (PyAV ffmpeg bindings)
+
+                self._av = av
+            except ImportError:
+                self._av = None
 
     def _decode_image(self, payload: bytes) -> np.ndarray:
         """Real image path (requires PIL): decode -> 8x8 grayscale ->
@@ -117,11 +126,50 @@ class MediaFeatureExtractor:
             return self._decode_image(payload)
         if kind == "audio":
             return self._decode_audio(payload)
-        raise NotImplementedError(
-            "video decode requires ffmpeg bindings not present in this "
-            "container; construct MediaFeatureExtractor("
-            "deterministic_fake=True) for the plumbing path"
-        )
+        if kind == "video":
+            return self._decode_video(payload)
+        raise NotImplementedError(f"unknown media kind {kind!r}")
+
+    _VIDEO_SAMPLE_FRAMES = 8
+
+    def _decode_video(self, payload: bytes) -> np.ndarray:
+        """Real video path (requires PyAV/ffmpeg, optional like PIL):
+        decode the container's first video stream, evenly frame-sample up
+        to ``_VIDEO_SAMPLE_FRAMES`` frames, reduce each to an 8x8
+        grayscale tile and average the standardized tiles (FEATURE_DIM =
+        64).  Without the bindings this raises instead of silently
+        faking."""
+        if self._av is None:
+            raise NotImplementedError(
+                "video decode requires PyAV (ffmpeg bindings), which is "
+                "not importable here; construct MediaFeatureExtractor("
+                "deterministic_fake=True) for the plumbing path"
+            )
+        import io
+
+        frames = []
+        with self._av.open(io.BytesIO(payload)) as container:
+            stream = container.streams.video[0]
+            for frame in container.decode(stream):
+                frames.append(frame.to_ndarray(format="gray"))
+        if not frames:
+            return np.zeros(FEATURE_DIM, dtype=np.float64)
+        k = min(self._VIDEO_SAMPLE_FRAMES, len(frames))
+        picks = (np.arange(k, dtype=np.int64) * len(frames)) // k
+        acc = np.zeros(FEATURE_DIM, dtype=np.float64)
+        for p in picks:
+            g = frames[int(p)].astype(np.float64)
+            h, w = g.shape
+            # 8x8 block means via integer-edge reduceat on both axes
+            ye = (np.arange(9, dtype=np.int64) * h) // 8
+            xe = (np.arange(9, dtype=np.int64) * w) // 8
+            rows = np.add.reduceat(g, ye[:-1], axis=0)
+            tile = np.add.reduceat(rows, xe[:-1], axis=1)
+            tile /= np.outer(np.maximum(np.diff(ye), 1),
+                             np.maximum(np.diff(xe), 1))
+            v = tile.ravel()
+            acc += (v - v.mean()) / (v.std() + 1e-9)
+        return acc / k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = [

@@ -416,3 +416,44 @@ def test_ngram_verify_batch_matches_python_sets():
         union = len(sa | sb)
         ref = (len(sa & sb) / union) if union else 0.0
         assert got[(i, j)] == ref, (i, j, got[(i, j)], ref)
+
+
+def test_media_real_video_decode_path():
+    """Contract test for the optional-PyAV video path (auto-skips without
+    the bindings, like the PIL image test): encode a tiny synthetic clip,
+    decode through the extractor, check shape + standardization."""
+    av = pytest.importorskip("av")
+
+    import io
+
+    from anomalydetection_ray.pipelines.multimodal import FEATURE_DIM, MediaFeatureExtractor
+
+    buf = io.BytesIO()
+    with av.open(buf, mode="w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=4)
+        stream.width, stream.height = 32, 32
+        stream.pix_fmt = "yuv420p"
+        for t in range(12):
+            frame = np.zeros((32, 32, 3), dtype=np.uint8)
+            frame[:, : (t * 3) % 32] = 255
+            vf = av.VideoFrame.from_ndarray(frame, format="rgb24")
+            for pkt in stream.encode(vf):
+                container.mux(pkt)
+        for pkt in stream.encode():
+            container.mux(pkt)
+    ext = MediaFeatureExtractor(deterministic_fake=False)
+    feats = ext._decode(buf.getvalue(), "video")
+    assert feats.shape == (FEATURE_DIM,)
+    assert np.isfinite(feats).all()
+
+
+def test_media_video_without_bindings_raises():
+    """Without PyAV the video path must raise NotImplementedError (never
+    silently fake)."""
+    from anomalydetection_ray.pipelines.multimodal import MediaFeatureExtractor
+
+    ext = MediaFeatureExtractor(deterministic_fake=False)
+    if ext._av is not None:
+        pytest.skip("PyAV present; the raising contract is moot")
+    with pytest.raises(NotImplementedError, match="PyAV"):
+        ext._decode(b"\x00\x01", "video")
