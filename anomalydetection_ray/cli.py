@@ -29,6 +29,9 @@ def _init_ray(num_cpus: int | None) -> None:
         if num_cpus is not None:
             kwargs["num_cpus"] = num_cpus
         ray.init(address=os.environ.get("RAY_ADDRESS", "local"), **kwargs)
+    from anomalydetection_ray.stages.runs import configure_shuffle
+
+    configure_shuffle()  # honors $ANOMRAY_SHUFFLE; no-op when unset
 
 
 def main(argv: list[str] | None = None) -> int:

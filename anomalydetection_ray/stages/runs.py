@@ -26,6 +26,47 @@ import pyarrow.compute as pc
 PKEY = "_pkey"
 
 
+def configure_shuffle(strategy: str | None = None) -> str:
+    """Select the all-to-all exchange implementation for every ``_pkey``
+    groupby in the engine (D1 dedup, G1 merge, J3 join, CC rounds).
+
+    ``strategy``: ``"hash"`` (Ray's hash-shuffle aggregators — the
+    cluster-native form: rows route straight to their reducer, no global
+    sort), ``"sort-pull"`` / ``"sort-push"`` (sort-based shuffles), or
+    None to read ``$ANOMRAY_SHUFFLE`` (unset -> leave Ray's default).
+    Sets the session ``DataContext``, so call it once after ``ray.init``
+    (bench.py / cli do); operators never mutate the context themselves.
+    Outputs are strategy-independent — every per-partition kernel sorts
+    its own partition — which is pytest-gated."""
+    import os
+
+    import ray.data
+    from ray.data.context import ShuffleStrategy
+
+    strategy = strategy or os.environ.get("ANOMRAY_SHUFFLE", "")
+    mapping = {
+        "hash": ShuffleStrategy.HASH_SHUFFLE,
+        "sort-pull": ShuffleStrategy.SORT_SHUFFLE_PULL_BASED,
+        "sort-push": ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED,
+    }
+    ctx = ray.data.DataContext.get_current()
+    if strategy:
+        if strategy not in mapping:
+            raise ValueError(f"unknown shuffle strategy {strategy!r}; "
+                             f"expected one of {sorted(mapping)}")
+        ctx.shuffle_strategy = mapping[strategy]
+        if strategy == "hash":
+            # Size the aggregator pool to the cluster: Ray's default (64
+            # actors at 0.25 CPU = 16 CPUs) deadlocks a small session —
+            # map tasks hold every slot and the aggregators never start.
+            import ray
+
+            total = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+            ctx.max_hash_shuffle_aggregators = max(2, total // 4)
+            ctx.default_hash_shuffle_parallelism = max(16, total * 4)
+    return str(ctx.shuffle_strategy)
+
+
 def add_partition_key(batch: pa.Table, keys: list[str], num_partitions: int) -> pa.Table:
     """Deterministic combined hash of ``keys`` mod num_partitions, vectorized."""
     import pandas as pd

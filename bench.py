@@ -121,6 +121,10 @@ def run_bench(sf_dir: str, num_cpus: int, phases: list[str]) -> dict:
 
     ray.data.DataContext.get_current().enable_progress_bars = False
 
+    from anomalydetection_ray.stages.runs import configure_shuffle
+
+    configure_shuffle()  # honors $ANOMRAY_SHUFFLE; no-op when unset
+
     from anomalydetection_ray.pipelines.ingest import ingest_pipeline
     from anomalydetection_ray.pipelines.rollup import (
         read_sequences,

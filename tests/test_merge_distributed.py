@@ -117,3 +117,43 @@ def test_merge_sorted_runs_matches_group_reference():
             assert np.array_equal(av.view(np.uint64), bv.view(np.uint64)), name
         else:
             assert a.to_pylist() == b.to_pylist(), name
+
+
+def test_pkey_exchanges_same_under_hash_shuffle(ray_session):
+    """configure_shuffle('hash') routes the _pkey groupby through Ray's
+    hash-shuffle aggregators; outputs must be identical to the default
+    sort shuffle (every per-partition kernel sorts its own partition)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from anomalydetection_ray.stages.join import copartition_attach
+    from anomalydetection_ray.stages.runs import configure_shuffle, keep_first_by
+
+    rng = np.random.default_rng(5)
+    n = 6000
+    t = pa.table({"k": rng.integers(0, 900, n), "v": rng.integers(0, 10**6, n)})
+    r = pa.table({"rk": np.arange(900, dtype=np.int64),
+                  "payload": rng.integers(0, 99, 900)})
+
+    def run():
+        ds = ray.data.from_arrow(t).repartition(8)
+        rds = ray.data.from_arrow(r).repartition(4)
+        first = (keep_first_by(ds, ["k"], order_by=["v"])
+                 .to_pandas().sort_values(["k"]).reset_index(drop=True))
+        joined = (copartition_attach(ds, rds, "k", "rk", ["payload"])
+                  .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
+        return first, joined
+
+    ctx = ray.data.DataContext.get_current()
+    saved = (ctx.shuffle_strategy, ctx.max_hash_shuffle_aggregators,
+             ctx.default_hash_shuffle_parallelism)
+    f1, j1 = run()
+    try:
+        configure_shuffle("hash")
+        f2, j2 = run()
+    finally:
+        (ctx.shuffle_strategy, ctx.max_hash_shuffle_aggregators,
+         ctx.default_hash_shuffle_parallelism) = saved
+    assert f1.equals(f2)
+    assert j1.equals(j2)
