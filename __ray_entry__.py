@@ -571,13 +571,20 @@ def _esd_sql(alpha: float = 0.05, max_n: int = 1024, k_steps: int = 12) -> str:
                      CAST(unnest(range(0, greatest(CAST(ceil(
                          CAST(len(toks) AS DOUBLE) / 1000000) AS BIGINT), 1)))
                          AS INTEGER) AS part_id
-              FROM seq)
+              FROM seq),
+    -- guard: the unroll covers kmax <= k_steps only; longer series would
+    -- silently under-iterate, so fail the oracle query instead
+    guard AS (SELECT CASE WHEN max(kmax) > {k_steps}
+                          THEN error('esd oracle: max(kmax)=' || max(kmax) ||
+                                     ' exceeds unrolled k_steps={k_steps}')
+                          ELSE 1 END AS ok FROM meta)
     SELECT parts.doc_id, parts.part_id, 'esd' AS detector,
            COALESCE(s.n_anomalies, 0) AS n_anomalies,
            CAST(COALESCE(s.pos_sum, 0) AS BIGINT) AS pos_sum,
            CAST(COALESCE(s.pos_sumsq, 0) AS BIGINT) AS pos_sumsq
     FROM parts LEFT JOIN sums s
       ON s.doc_id = parts.doc_id AND s.part_id = parts.part_id
+    CROSS JOIN guard WHERE guard.ok = 1
     """
 
 

@@ -80,6 +80,7 @@ def min_label_components(pairs_ds, a_col: str, b_col: str,
         return int(ds.aggregate(Sum("label", alias_name="s"))["s"] or 0)
 
     prev_sum = _label_sum(labels)
+    converged = False
     for _ in range(max_rounds):
         # candidate labels seen across edges: attach src label, deliver to dst
         def lbl_ds(b: pa.Table) -> pa.Table:
@@ -102,8 +103,19 @@ def min_label_components(pairs_ds, a_col: str, b_col: str,
         # strictly decreases until convergence — one tiny aggregate, no join
         cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # Labels are still shrinking — returning now would hand back wrong
+        # (partially propagated) clusters. Graph diameter > max_rounds only
+        # happens on a long-chain pair graph, which dedup candidates
+        # (clique-ish) never form; fail loudly rather than mislabel.
+        raise RuntimeError(
+            f"min_label_components did not reach a fixpoint in {max_rounds} "
+            f"rounds (label sum still decreasing); the pair graph's diameter "
+            f"exceeds max_rounds — raise max_rounds for chain-shaped graphs"
+        )
 
     def rename(b: pa.Table) -> pa.Table:
         return pa.table({"doc_id": b.column("v"), "cluster": b.column("label")})

@@ -195,13 +195,28 @@ def _ewma_batch_fast(batch: pa.Table, alpha: float, c: float) -> pa.Table:
     return _report_table(batch, "ewma", n_anom, pos_sum, pos_sumsq)
 
 
+_FAST_PARAMS = {"threshold": {"window", "c"}, "ewma": {"alpha", "c"}}
+_BUILTINS = {"threshold": _det_threshold, "ewma": _det_ewma_resid}
+
+
 def detect_batch(batch: pa.Table, detector: str = "esd", **params) -> pa.Table:
-    """Validated sequences rows -> per-series detector report."""
-    if detector == "threshold":
-        return _threshold_batch_fast(
-            batch, window=params.get("window", 50), c=params.get("c", 3.0)
-        )
-    if detector == "ewma":
+    """Validated sequences rows -> per-series detector report.
+
+    ``threshold`` / ``ewma`` take fully vectorized flat-buffer fast paths,
+    but only while the registry still maps them to the built-ins — a
+    ``register_detector`` override wins over the fast path, and a typo'd
+    keyword raises instead of being silently dropped."""
+    if detector in _BUILTINS and _REGISTRY.get(detector) is _BUILTINS[detector]:
+        extra = set(params) - _FAST_PARAMS[detector]
+        if extra:
+            raise TypeError(
+                f"detector {detector!r} got unexpected params {sorted(extra)}; "
+                f"accepted: {sorted(_FAST_PARAMS[detector])}"
+            )
+        if detector == "threshold":
+            return _threshold_batch_fast(
+                batch, window=params.get("window", 50), c=params.get("c", 3.0)
+            )
         return _ewma_batch_fast(
             batch, alpha=params.get("alpha", 0.1), c=params.get("c", 4.0)
         )

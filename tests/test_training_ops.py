@@ -255,6 +255,31 @@ def test_detector_fast_paths_match_registry():
                 assert out.column("pos_sumsq")[i].as_py() == int((p * p).sum()), (det, i)
 
 
+def test_detector_fast_path_respects_overrides():
+    """register_detector('ewma', custom) must win over the vectorized fast
+    path, and a typo'd keyword must raise instead of being dropped."""
+    import pytest
+
+    from anomalydetection_ray.stages import detectors as D
+
+    rng = np.random.default_rng(7)
+    batch = _random_token_batch(rng, 5, 80, with_nulls=False, long_row=False)
+
+    def custom(values, **params):
+        return {"n_anomalies": 7, "anomaly_positions": np.array([1, 2])}
+
+    saved = D.get_detector("ewma")
+    try:
+        D.register_detector("ewma", custom)
+        out = D.detect_batch(batch, detector="ewma")
+        assert out.column("n_anomalies").to_pylist() == [7] * batch.num_rows
+    finally:
+        D.register_detector("ewma", saved)
+
+    with pytest.raises(TypeError, match="unexpected params"):
+        D.detect_batch(batch, detector="threshold", windw=10)
+
+
 def test_ewma_flat_matches_scalar():
     from anomalydetection_ray.functions.stats import ewma, ewma_flat
 
@@ -373,6 +398,24 @@ def test_min_label_components_matches_union_find(ray_session):
     got = {r["doc_id"]: r["cluster"] for r in got_rows}
     assert len(got_rows) == len(got)
     assert got == expected
+
+
+def test_min_label_components_raises_on_nonconvergence(ray_session):
+    """A chain longer than max_rounds cannot reach the fixpoint; the loop
+    must raise rather than silently return partially propagated labels."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from anomalydetection_ray.stages.cc import min_label_components
+
+    n = 12  # diameter 11 > max_rounds=3
+    a = np.arange(n - 1, dtype=np.int64)
+    b = a + 1
+    pairs = ray.data.from_arrow(pa.table({"doc_a": a, "doc_b": b}))
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        min_label_components(pairs, "doc_a", "doc_b",
+                             num_partitions=2, max_rounds=3).take_all()
 
 
 def test_ngram_verify_batch_matches_python_sets():
