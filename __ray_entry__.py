@@ -34,9 +34,13 @@ even the flagship rollup over the derived token table is value-checked):
                            (n-k)-keyed lambda table from the engine's
                            own t-PPF) — the whole detector family is
                            externally value-checked
+  ann_lsh_topk          -> the seeded hyperplane matrix embedded as
+                           DOUBLE[] literals (numpy Generator draws are
+                           C-order-prefix-stable, so one max-size matrix
+                           covers every adaptive n_planes)
 Rows-only (non-SQL-expressible by nature): the codecs and persist
-summaries (side-effectful), ann_lsh_topk and media_features (seeded
-normal-distribution hyperplanes / fake features), g3_approx_quantiles
+summaries (side-effectful, content pinned via checksums in the rows),
+media_features (binary payload decode), g3_approx_quantiles
 (approximate by construction).
 """
 
@@ -588,6 +592,53 @@ def _esd_sql(alpha: float = 0.05, max_n: int = 1024, k_steps: int = 12) -> str:
     """
 
 
+def _ann_lsh_sql(k: int = 10, query_id: int = 0, dim: int = 64,
+                 max_planes: int = 12, seed: int = 42) -> str:
+    """ann_lsh_topk oracle: the seeded random-hyperplane LSH reproduced in
+    SQL.  The hyperplane matrix is a pure function of (seed, n_planes,
+    dim) and numpy's Generator fills arrays C-order from a sequential
+    stream, so the first ``n_planes`` rows of the max_planes x dim draw
+    equal any smaller draw — one literal DOUBLE[] VALUES table covers
+    every corpus size, with ``n_planes`` itself computed from count(*) in
+    SQL exactly as pipelines/similarity.py:_plane_params does.  Bucket =
+    sum_j (dot(v, plane_j) > 0) << j (sign is normalization-invariant);
+    probe = query bucket U hamming-1 neighbors; exact cosine rerank
+    inside the candidate set, (cosine desc, vec_id asc) tiebreak."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((max_planes, dim))
+    rows = ", ".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in planes[j])}]::DOUBLE[])"
+        for j in range(max_planes)
+    )
+    return f"""
+    WITH planes(j, p) AS (VALUES {rows}),
+    np AS (SELECT GREATEST(2, LEAST({max_planes}, CAST(FLOOR(LOG2(
+               GREATEST((SELECT count(*) FROM embeddings), 4) / 4.0))
+               AS INTEGER))) AS n_planes),
+    sig AS MATERIALIZED (
+      SELECT e.vec_id, e.label,
+             CAST(SUM(CASE WHEN list_dot_product(
+                                CAST(e.embedding AS DOUBLE[]), pl.p) > 0
+                           THEN 1 << pl.j ELSE 0 END) AS BIGINT) AS bucket
+      FROM embeddings e CROSS JOIN np JOIN planes pl ON pl.j < np.n_planes
+      GROUP BY e.vec_id, e.label),
+    probe AS (
+      SELECT bucket AS b FROM sig WHERE vec_id = {query_id}
+      UNION
+      SELECT xor(s.bucket, CAST(1 << pl.j AS BIGINT))
+      FROM sig s CROSS JOIN np JOIN planes pl ON pl.j < np.n_planes
+      WHERE s.vec_id = {query_id})
+    SELECT s.vec_id, s.label
+    FROM sig s JOIN embeddings e ON e.vec_id = s.vec_id
+    WHERE s.vec_id <> {query_id} AND s.bucket IN (SELECT b FROM probe)
+    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+         WHERE vec_id = {query_id})) DESC, s.vec_id
+    LIMIT {k}
+    """
+
+
 _STOPWORDS_SQL = {
     "de": "['der','die','und','das','ist','nicht','ein','mit','zu','den']",
     "en": "['the','and','of','to','a','in','is','that','it','for']",
@@ -598,17 +649,26 @@ _STOPWORDS_SQL = {
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB equivalents (views pre-registered by the driver).  Keys
-    absent here (codec/persist summaries: side-effectful; ann_lsh and
-    media: seeded normal-distribution state; g3_approx: approximate by
-    construction) get the driver's rows-only check; their semantics are
-    covered by the bit-for-bit oracle gate in tests/."""
+    absent here (codec/persist summaries: side-effectful; media: binary
+    payload decode; g3_approx: approximate by construction) get the
+    driver's rows-only check; their semantics are covered by the
+    bit-for-bit oracle gate in tests/."""
     lang_ratio = ", ".join(
         f"CASE WHEN len(ws) = 0 THEN 0.0 ELSE "
         f"CAST(len(list_filter(ws, x -> list_contains({lst}, x))) AS DOUBLE)"
         f" / len(ws) END AS r_{lang}"
         for lang, lst in sorted(_STOPWORDS_SQL.items())
     )
+    try:  # embedding dim for the LSH plane literals (footer-only read)
+        import pyarrow.parquet as pq
+
+        _pf = pq.ParquetFile("/root/testdata/sf0.01/embeddings.parquet")
+        _dim = len(_pf.read_row_group(0, columns=["embedding"])
+                   .column("embedding")[0].values)
+    except Exception:
+        _dim = 64
     return {
+        "ann_lsh_topk": _ann_lsh_sql(dim=_dim),
         "rollup_tier1_docs": f"WITH {_SEQ_TOK_CTE}, {_T1_CTE} {_T1_SELECT}",
         "gapfill_locf_docs": _gapfill_locf_sql(),
         "gapfill_drop_docs": _gapfill_drop_sql(),
