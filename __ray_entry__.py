@@ -22,7 +22,9 @@ even the flagship rollup over the derived token table is value-checked):
   G3                    -> g3_quantiles_nchars, g3_token_value_quantiles
   Q1/Q2/Q3              -> q1_sort_lineitem, q2_topk_events, q3_sample_lineitem
   D1/D2                 -> d1_dedup_events, dedup_exact_docs, d2_union_tiers
-  J1/J3                 -> j1_broadcast_join, j3_join_agg
+  J1/J3/J4              -> j1_broadcast_join, j3_join_agg,
+                           j4_asof_join (distributed backward as-of join
+                           vs DuckDB ASOF LEFT JOIN)
   text/dedup extras     -> lang_id, quality_stats, quality_scores_full,
                            token_counts, doc_fingerprints,
                            dedup_embedding_pairs, ann_topk
@@ -157,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d1_dedup_events": q.d1_dedup_events,
         "j1_broadcast_join": q.j1_broadcast_join,
         "j3_join_agg": q.j3_join_agg,
+        "j4_asof_join": q.j4_asof_join,
         "g3_quantiles_nchars": q.g3_quantiles_nchars,
         "m3_token_fns": q.m3_token_fns,
         "g3_approx_quantiles": q.g3_approx_quantiles,
@@ -986,6 +989,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS line_count
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
+        """,
+        "j4_asof_join": """
+            WITH ranked AS (
+              SELECT event_id, event_type, ts, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id) AS rn
+              FROM events),
+            cp AS (SELECT event_id AS calib_event_id, event_type, ts,
+                          value AS calib_value
+                   FROM ranked WHERE (rn - 1) % 50 = 0)
+            SELECT e.event_id, e.event_type, e.value,
+                   c.calib_value, c.calib_event_id
+            FROM events e ASOF LEFT JOIN cp c
+              ON e.event_type = c.event_type AND e.ts >= c.ts
         """,
         "g3_quantiles_nchars": """
             SELECT source,

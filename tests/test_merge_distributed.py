@@ -157,3 +157,43 @@ def test_pkey_exchanges_same_under_hash_shuffle(ray_session):
          ctx.default_hash_shuffle_parallelism) = saved
     assert f1.equals(f2)
     assert j1.equals(j2)
+
+
+def test_asof_attach_matches_merge_asof(ray_session):
+    """Distributed as-of join == pandas merge_asof(by=, direction='backward')
+    on a multi-key table with out-of-range rows (nulls), duplicate left
+    timestamps, and a key with no right rows at all."""
+    import pandas as pd
+    import ray.data
+
+    from anomalydetection_ray.stages.join import asof_attach
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    left = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c", "orphan"], n),
+        "t": rng.integers(0, 10_000, n).astype("datetime64[us]"),
+        "val": rng.integers(0, 1000, n),
+    })
+    left.loc[left.index[:5], "t"] = left["t"].iloc[5]  # duplicate left ts
+    nr = 300
+    right = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], nr),
+        "t": rng.integers(500, 9_500, nr).astype("datetime64[us]"),
+    })
+    right = right.drop_duplicates(["k", "t"]).reset_index(drop=True)
+    right["payload"] = np.arange(len(right), dtype=np.int64)
+
+    lds = ray.data.from_arrow(pa.Table.from_pandas(left)).repartition(6)
+    rds = ray.data.from_arrow(pa.Table.from_pandas(right)).repartition(3)
+    got = (asof_attach(lds, rds, by="k", on="t", payload_cols=["payload"],
+                       num_partitions=4)
+           .to_pandas().sort_values(["k", "t", "val"]).reset_index(drop=True))
+
+    exp = pd.merge_asof(left.sort_values("t"), right.sort_values("t"),
+                        on="t", by="k", direction="backward")
+    exp = exp.sort_values(["k", "t", "val"]).reset_index(drop=True)
+    assert got["payload"].isna().equals(exp["payload"].isna())
+    pd.testing.assert_series_equal(
+        got["payload"].astype("float64"), exp["payload"].astype("float64"))
+    pd.testing.assert_frame_equal(got[["k", "t", "val"]], exp[["k", "t", "val"]])
