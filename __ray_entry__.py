@@ -21,10 +21,18 @@ even the flagship rollup over the derived token table is value-checked):
   G2                    -> g2_source_stats, pricing_summary, salted variant
   G3                    -> g3_quantiles_nchars, g3_token_value_quantiles
   Q1/Q2/Q3              -> q1_sort_lineitem, q2_topk_events, q3_sample_lineitem
+  Q4/Q5/J6              -> q4_stratified_sample (per-group rates),
+                           q5_grouped_topk (pre-pruned per-group top-k),
+                           j6_anti_join (co-partitioned anti join)
   D1/D2                 -> d1_dedup_events, dedup_exact_docs, d2_union_tiers
   J1/J3/J4              -> j1_broadcast_join, j3_join_agg,
                            j4_asof_join (distributed backward as-of join
                            vs DuckDB ASOF LEFT JOIN)
+  W1/W2/J5              -> w1_sessionize_events (gaps-and-islands
+                           sessionization), w2_lag_features_events
+                           (per-key lag/delta features),
+                           j5_interval_stats (many-to-many interval stab
+                           join vs a seeded window table)
   text/dedup extras     -> lang_id, quality_stats, quality_scores_full,
                            token_counts, doc_fingerprints,
                            dedup_embedding_pairs, ann_topk
@@ -40,6 +48,12 @@ even the flagship rollup over the derived token table is value-checked):
                            DOUBLE[] literals (numpy Generator draws are
                            C-order-prefix-stable, so one max-size matrix
                            covers every adaptive n_planes)
+  ann_ivf_topk          -> the IVF inverted-list scale path: seeded unit
+                           centroids as DOUBLE[] literals, assignment =
+                           argmax dot (ties to lowest id), top-probe
+                           centroid pruning + exact rerank
+  A-extra (mad)         -> detect_mad (global robust-z / MAD detector,
+                           median+mad reproduced in SQL)
 Rows-only (non-SQL-expressible by nature): the codecs and persist
 summaries (side-effectful, content pinned via checksums in the rows),
 media_features (binary payload decode), g3_approx_quantiles
@@ -94,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from anomalydetection_ray.pipelines import queries as q
     from anomalydetection_ray.pipelines import similarity as sim
     from anomalydetection_ray.pipelines import text as tx
+    from anomalydetection_ray.pipelines import windows as wnd
     from anomalydetection_ray.pipelines.rollup import rollup_pipeline, topk_anomalies
 
     return {
@@ -116,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": lambda sf: sim.ann_topk_bruteforce(sf).select_columns(["vec_id", "label"]),
         "ann_lsh_topk": lambda sf: sim.ann_topk_lsh(sf).select_columns(["vec_id", "label"]),
+        "ann_ivf_topk": lambda sf: sim.ann_topk_ivf(sf).select_columns(["vec_id", "label"]),
         # text analysis
         "lang_id": tx.lang_id,
         "quality_stats": lambda sf: tx.quality(sf).select_columns(
@@ -132,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "detect_esd": lambda sf: _detect(sf, "esd"),
         "detect_threshold": lambda sf: _detect(sf, "threshold"),
         "detect_ewma": lambda sf: _detect(sf, "ewma"),
+        "detect_mad": lambda sf: _detect(sf, "mad"),
         # flagship rollup over tokenized documents — fully SQL-checked: the
         # tokenizer, bucket math AND robust anomaly score (median/mad) are
         # all reproduced in the DuckDB oracle
@@ -160,6 +177,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j1_broadcast_join": q.j1_broadcast_join,
         "j3_join_agg": q.j3_join_agg,
         "j4_asof_join": q.j4_asof_join,
+        # W1/W2/J5 timeseries window family (pipelines/windows.py)
+        "w1_sessionize_events": wnd.w1_sessionize_events,
+        "w2_lag_features_events": wnd.w2_lag_features_events,
+        "j5_interval_stats": wnd.j5_interval_stats,
         "g3_quantiles_nchars": q.g3_quantiles_nchars,
         "m3_token_fns": q.m3_token_fns,
         "g3_approx_quantiles": q.g3_approx_quantiles,
@@ -167,6 +188,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "p1_persist_summary": q.p1_persist_summary,
         "p2_persist_summary": q.p2_persist_summary,
         "q3_sample_lineitem": q.q3_sample_lineitem,
+        "q4_stratified_sample": q.q4_stratified_sample,
+        "q5_grouped_topk": q.q5_grouped_topk,
+        "j6_anti_join": q.j6_anti_join,
         "d2_union_tiers": q.d2_union_tiers,
         "g2_salted_source_stats": q.g2_salted_source_stats,
     }
@@ -642,6 +666,53 @@ def _ann_lsh_sql(k: int = 10, query_id: int = 0, dim: int = 64,
     """
 
 
+def _ann_ivf_sql(k: int = 10, query_id: int = 0, dim: int = 64,
+                 max_k: int = 32, seed: int = 7, probe: int = 2) -> str:
+    """ann_ivf_topk oracle: the seeded IVF coarse quantizer reproduced in
+    SQL.  The unit-centroid pool is a pure function of (seed, max_k, dim)
+    and row-wise normalization commutes with prefix-slicing, so one
+    literal DOUBLE[] VALUES table of all ``max_k`` normalized rows covers
+    every adaptive ``n_cents`` (computed from count(*) exactly as
+    pipelines/similarity.py:_ivf_params does).  Assignment = argmax raw
+    dot with ties to the lowest centroid id (row_number ORDER BY dot
+    DESC, j ASC); probe = the ``probe`` centroids nearest the query;
+    exact cosine rerank inside the probed lists, (cosine desc, vec_id
+    asc) tiebreak."""
+    import numpy as np
+
+    pool = np.random.default_rng(seed).standard_normal((max_k, dim))
+    cn = pool / np.linalg.norm(pool, axis=1, keepdims=True)
+    rows = ", ".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in cn[j])}]::DOUBLE[])"
+        for j in range(max_k)
+    )
+    return f"""
+    WITH cents(j, c) AS (VALUES {rows}),
+    meta AS (SELECT GREATEST(4, LEAST({max_k}, CAST(FLOOR(SQRT(
+                 (SELECT count(*) FROM embeddings) / 8.0)) AS INTEGER))) AS k),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE vec_id = {query_id}),
+    asg AS MATERIALIZED (
+        SELECT vec_id, label, j AS cid FROM (
+            SELECT e.vec_id, e.label, ct.j,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_dot_product(CAST(e.embedding AS DOUBLE[]), ct.c)
+                       DESC, ct.j) AS rn
+            FROM embeddings e CROSS JOIN meta JOIN cents ct ON ct.j < meta.k)
+        WHERE rn = 1),
+    probe AS (SELECT ct.j FROM cents ct CROSS JOIN meta CROSS JOIN qv
+              WHERE ct.j < meta.k
+              ORDER BY list_dot_product(qv.v, ct.c) DESC, ct.j
+              LIMIT {probe})
+    SELECT a.vec_id, a.label
+    FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id
+    WHERE a.vec_id <> {query_id} AND a.cid IN (SELECT j FROM probe)
+    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        (SELECT v FROM qv)) DESC, a.vec_id
+    LIMIT {k}
+    """
+
+
 _STOPWORDS_SQL = {
     "de": "['der','die','und','das','ist','nicht','ein','mit','zu','den']",
     "en": "['the','and','of','to','a','in','is','that','it','for']",
@@ -672,6 +743,7 @@ def oracle_sql() -> dict[str, str]:
         _dim = 64
     return {
         "ann_lsh_topk": _ann_lsh_sql(dim=_dim),
+        "ann_ivf_topk": _ann_ivf_sql(dim=_dim),
         "rollup_tier1_docs": f"WITH {_SEQ_TOK_CTE}, {_T1_CTE} {_T1_SELECT}",
         "gapfill_locf_docs": _gapfill_locf_sql(),
         "gapfill_drop_docs": _gapfill_drop_sql(),
@@ -719,6 +791,39 @@ def oracle_sql() -> dict[str, str]:
                          sum(i) AS pos_sum, sum(i * i) AS pos_sumsq
                   FROM f GROUP BY doc_id, part_id)
             SELECT parts.doc_id, parts.part_id, 'threshold' AS detector,
+                   COALESCE(g.n_anomalies, 0) AS n_anomalies,
+                   CAST(COALESCE(g.pos_sum, 0) AS BIGINT) AS pos_sum,
+                   CAST(COALESCE(g.pos_sumsq, 0) AS BIGINT) AS pos_sumsq
+            FROM parts LEFT JOIN g
+              ON parts.doc_id = g.doc_id AND parts.part_id = g.part_id
+        """,
+        # A-extra global robust-z (MAD) detector: DuckDB's median/mad over
+        # integer tokens interpolate exactly like the engine's
+        # segment_medians ((a+b)/2 of the middle order statistics); the
+        # comparison reproduces the engine's IEEE op order
+        # dev > c * (1.4826 * mad)
+        "detect_mad": f"""
+            WITH {_SEQ_TOK_CTE},
+            parts AS (
+                SELECT doc_id,
+                       CAST(unnest(range(0, greatest(CAST(ceil(
+                           CAST(len(toks) AS DOUBLE) / 1000000) AS BIGINT), 1)))
+                           AS INTEGER) AS part_id
+                FROM seq),
+            s AS (SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                         pos % 1000000 AS i, v FROM tok),
+            stats AS (SELECT doc_id, part_id, median(v) AS med, mad(v) AS md
+                      FROM s GROUP BY doc_id, part_id),
+            f AS (SELECT s.doc_id, s.part_id, s.i
+                  FROM s JOIN stats st
+                    ON st.doc_id = s.doc_id AND st.part_id = s.part_id
+                  WHERE st.md <> 0 AND
+                        abs(CAST(s.v AS DOUBLE) - st.med) >
+                        3.5 * (1.4826 * st.md)),
+            g AS (SELECT doc_id, part_id, count(*) AS n_anomalies,
+                         sum(i) AS pos_sum, sum(i * i) AS pos_sumsq
+                  FROM f GROUP BY doc_id, part_id)
+            SELECT parts.doc_id, parts.part_id, 'mad' AS detector,
                    COALESCE(g.n_anomalies, 0) AS n_anomalies,
                    CAST(COALESCE(g.pos_sum, 0) AS BIGINT) AS pos_sum,
                    CAST(COALESCE(g.pos_sumsq, 0) AS BIGINT) AS pos_sumsq
@@ -835,6 +940,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
             WHERE ((l_orderkey * 2654435761 + l_linenumber * 40503)
                    % 4294967296) % 10000 < 100
+        """,
+        # Q4 stratified per-group sampling: per-source rate rule + the q3
+        # membership hash, both reproduced literally
+        "q4_stratified_sample": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE ((doc_id * 2654435761) % 4294967296) % 10000
+                  < 100 * (1 + length(source) % 7)
+        """,
+        # Q5 grouped top-k (per event_type, value desc / event_id tiebreak)
+        "q5_grouped_topk": """
+            SELECT event_id, event_type, value FROM (
+                SELECT event_id, event_type, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value DESC, event_id) AS rn
+                FROM events) WHERE rn <= 3
+        """,
+        # J6 co-partitioned anti join: customers with no high-value order
+        "j6_anti_join": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 400000.0)
         """,
         "lang_id": f"""
             WITH w AS (
@@ -1003,6 +1131,62 @@ def oracle_sql() -> dict[str, str]:
                    c.calib_value, c.calib_event_id
             FROM events e ASOF LEFT JOIN cp c
               ON e.event_type = c.event_type AND e.ts >= c.ts
+        """,
+        # W1 sessionize: classic gaps-and-islands — break on lag gap > 12
+        # h (driver events are hours apart per user), island id by running
+        # sum of breaks, exact aggregates only
+        "w1_sessionize_events": """
+            WITH o AS (
+                SELECT user_id, ts, event_id, value,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS pts
+                FROM events),
+            m AS (SELECT *, CASE WHEN pts IS NULL OR
+                                      epoch_us(ts) - epoch_us(pts) > 43200000000
+                                 THEN 1 ELSE 0 END AS brk FROM o),
+            s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM m)
+            SELECT user_id, CAST(sid - 1 AS BIGINT) AS session_seq,
+                   count(*) AS n_events, min(ts) AS start_ts,
+                   max(ts) AS end_ts,
+                   CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT)
+                       AS duration_us,
+                   min(value) AS min_value, max(value) AS max_value
+            FROM s GROUP BY user_id, sid
+        """,
+        # W2 lag/delta features: single-op float delta (exact both sides)
+        "w2_lag_features_events": """
+            SELECT event_id, user_id, value,
+                   lag(value) OVER w AS prev_value,
+                   value - lag(value) OVER w AS delta_value,
+                   CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS BIGINT)
+                       AS gap_us,
+                   CAST(row_number() OVER w - 1 AS BIGINT) AS seq
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        # J5 interval stab join: the seeded overlapping window table is a
+        # pure BIGINT function of (window_id, corpus time span), rebuilt
+        # literally here; inner-join semantics (empty windows emit no row)
+        "j5_interval_stats": """
+            WITH meta AS (SELECT epoch_us(min(ts)) AS t0,
+                                 epoch_us(max(ts)) - epoch_us(min(ts)) + 1
+                                     AS span
+                          FROM events),
+            w AS (SELECT CAST(t.i AS BIGINT) AS window_id,
+                         meta.t0 + ((CAST(t.i AS BIGINT) * 2654435761)
+                                    % 4294967296) % meta.span AS lo_us,
+                         meta.t0 + ((CAST(t.i AS BIGINT) * 2654435761)
+                                    % 4294967296) % meta.span
+                             + meta.span // 6 AS hi_us
+                  FROM meta, range(0, 48) t(i))
+            SELECT w.window_id, w.lo_us, w.hi_us, count(*) AS n_events,
+                   min(e.value) AS min_value, max(e.value) AS max_value
+            FROM w JOIN events e
+              ON epoch_us(e.ts) >= w.lo_us AND epoch_us(e.ts) < w.hi_us
+            GROUP BY w.window_id, w.lo_us, w.hi_us
         """,
         "g3_quantiles_nchars": """
             SELECT source,

@@ -750,3 +750,84 @@ def gapfill_drop_tier1(sf_dir: str):
     buckets emit ``filled=true`` rows with null min/max, count 0 and the
     previous bucket's mean (0.0 if leading)."""
     return _gapfill_tier1(sf_dir, "drop")
+
+
+# ------------------------------------------------- round-3 Q/J extras ----
+def q4_stratified_sample(sf_dir: str):
+    """Stratified per-group sampling (Q3's grouped form): each source gets
+    its own deterministic rate — 100 * (1 + len(source) % 7) basis points
+    of 10000 — and membership is the same layout-independent Knuth hash of
+    doc_id that q3 uses.  Both the rate rule and the hash are reproduced
+    verbatim in the SQL oracle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def samp(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.uint64)
+        src = batch.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        slen = np.asarray(pa.compute.utf8_length(src), dtype=np.uint64)
+        rate = np.uint64(100) * (np.uint64(1) + slen % np.uint64(7))
+        h = (ids * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+        keep = (h % np.uint64(10000)) < rate
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(samp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _grouped_topk_kernel(group: pa.Table, k: int) -> pa.Table:
+    from anomalydetection_ray.stages.runs import run_starts
+
+    if group.num_rows == 0:
+        return group
+    g = group.sort_by([("event_type", "ascending"), ("value", "descending"),
+                       ("event_id", "ascending")])
+    starts = run_starts(g, ["event_type"])
+    n = g.num_rows
+    lens = np.diff(np.append(starts, n))
+    rank = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+    return g.filter(pa.array(rank < k))
+
+
+def q5_grouped_topk(sf_dir: str, k: int = 3):
+    """Grouped top-k (per event_type, k best by value desc / event_id asc
+    tiebreak) — the per-group variant of Q2's global top-k, with the same
+    prune discipline: every batch keeps at most k rows per group BEFORE
+    the exchange, so the groupby shuffles at most k * n_groups rows per
+    block instead of the table."""
+    import functools
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    pruned = ds.map_batches(
+        functools.partial(_grouped_topk_kernel, k=k),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return pruned.groupby("event_type").map_groups(
+        functools.partial(_grouped_topk_kernel, k=k),
+        batch_format="pyarrow")
+
+
+def j6_anti_join(sf_dir: str, price_floor: float = 400000.0):
+    """J6 — distributed anti join via the J3 co-partition layout:
+    customers with NO order above ``price_floor``.  The orders side is
+    pre-aggregated (groupby o_custkey -> count) so the exchange carries
+    one row per matching customer key, then ``copartition_attach``
+    attaches the count and the anti filter keeps the null rows.  No
+    broadcast of a large-table key set at any scale."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from anomalydetection_ray.stages.join import copartition_attach
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    big = orders.filter(expr=f"o_totalprice > {price_floor!r}")
+    counts = big.groupby("o_custkey").aggregate(Count(alias_name="n_big"))
+
+    joined = copartition_attach(cust, counts, left_on="c_custkey",
+                                right_on="o_custkey", payload_cols=["n_big"])
+
+    def anti(batch: pa.Table) -> pa.Table:
+        keep = pc.is_null(batch.column("n_big"))
+        return batch.filter(keep).select(["c_custkey", "c_name", "c_acctbal"])
+
+    return joined.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)

@@ -26,14 +26,14 @@ def _emb(sf_dir: str):
                                  columns=["vec_id", "embedding", "label"])
 
 
-def _query_vec(sf_dir: str, query_id: int) -> np.ndarray:
+def _query_vec(sf_dir: str, query_id: int, normalize: bool = True) -> np.ndarray:
     import pyarrow.parquet as pq
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids = np.asarray(t.column("vec_id"), dtype=np.int64)
     i = int(np.flatnonzero(ids == query_id)[0])
     v = np.asarray(t.column("embedding")[i].values, dtype=np.float64)
-    return v / max(np.linalg.norm(v), 1e-30)
+    return v / max(np.linalg.norm(v), 1e-30) if normalize else v
 
 
 def ann_topk_bruteforce(sf_dir: str, query_id: int = 0, k: int = 10):
@@ -126,24 +126,10 @@ def build_ann_index(sf_dir: str) -> str:
     return persist_bucketed("annidx", src, f"P{n_planes}:S{_SEED}", build)
 
 
-def ann_topk_lsh(sf_dir: str, query_id: int = 0, k: int = 10):
-    """LSH-bucketed ANN over the PERSISTED index: candidates = the query's
-    bucket U its hamming-1 neighbor buckets, loaded by a partition-pruned
-    parquet read of just those directories; exact cosine rerank inside the
-    candidate set.  No full-corpus scan or re-signing per query."""
+def _rerank_pruned(paths: list[str], q: np.ndarray, query_id: int, k: int):
+    """Exact cosine top-k over a partition-pruned candidate read: the
+    shared tail of both persisted-index ANN paths (LSH and IVF)."""
     import ray.data
-
-    from anomalydetection_ray.state.layout import bucket_files
-
-    n_planes, dim = _plane_params(sf_dir)
-    planes = _planes(n_planes, dim)
-    q = _query_vec(sf_dir, query_id)
-    idx = build_ann_index(sf_dir)
-    qsig = int(_sig_batch(q[None, :], planes)[0])
-    probe = {qsig} | {qsig ^ (1 << b) for b in range(n_planes)}
-    paths = [p for b in sorted(probe) for p in bucket_files(idx, b)]
-    if not paths:
-        return ann_topk_bruteforce(sf_dir, query_id, k)
 
     def rerank(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
@@ -162,3 +148,108 @@ def ann_topk_lsh(sf_dir: str, query_id: int = 0, k: int = 10):
     cands = ray.data.read_parquet(paths, columns=["vec_id", "embedding", "label"])
     reranked = cands.map_batches(rerank, batch_format="pyarrow", zero_copy_batch=True)
     return reranked.sort(["cosine", "vec_id"], descending=[True, False]).limit(k)
+
+
+def ann_topk_lsh(sf_dir: str, query_id: int = 0, k: int = 10):
+    """LSH-bucketed ANN over the PERSISTED index: candidates = the query's
+    bucket U its hamming-1 neighbor buckets, loaded by a partition-pruned
+    parquet read of just those directories; exact cosine rerank inside the
+    candidate set.  No full-corpus scan or re-signing per query."""
+    from anomalydetection_ray.state.layout import bucket_files
+
+    n_planes, dim = _plane_params(sf_dir)
+    planes = _planes(n_planes, dim)
+    q = _query_vec(sf_dir, query_id)
+    idx = build_ann_index(sf_dir)
+    qsig = int(_sig_batch(q[None, :], planes)[0])
+    probe = {qsig} | {qsig ^ (1 << b) for b in range(n_planes)}
+    paths = [p for b in sorted(probe) for p in bucket_files(idx, b)]
+    if not paths:
+        return ann_topk_bruteforce(sf_dir, query_id, k)
+    return _rerank_pruned(paths, q, query_id, k)
+
+
+# ----------------------------------------------------------- IVF ANN ----
+_IVF_SEED = 7
+_IVF_MAXK = 32  # centroid pool; first n_cents rows are the live centroids
+_IVF_PROBE = 2
+
+
+def _ivf_params(sf_dir: str) -> tuple[int, int]:
+    """(n_cents, dim): centroid count adapts to corpus size (~8 K vectors
+    per centroid at the small end, capped by the seeded pool)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    n_total = pf.metadata.num_rows
+    t = pf.read_row_group(0, columns=["embedding"])
+    dim = len(t.column("embedding")[0].values)
+    n_cents = max(4, min(_IVF_MAXK, int(np.sqrt(n_total / 8.0))))
+    return n_cents, dim
+
+
+def _ivf_centroids(n_cents: int, dim: int) -> np.ndarray:
+    """Seeded unit-norm centroid matrix: first ``n_cents`` rows of the
+    ``_IVF_MAXK x dim`` pool (numpy Generator fills C-order from a
+    sequential stream, so any smaller draw is a prefix — the same literal
+    VALUES-table trick the LSH oracle uses)."""
+    pool = np.random.default_rng(_IVF_SEED).standard_normal((_IVF_MAXK, dim))
+    c = pool[:n_cents]
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def build_ivf_index(sf_dir: str) -> str:
+    """IVF-style persisted index — the coarse-quantizer scale path next to
+    the LSH one: assign every vector to its nearest seeded unit centroid
+    (argmax raw-dot, ties to the lowest centroid id) and land the corpus
+    as one hive partition per inverted list via the same distributed
+    ``write_parquet(partition_cols=['bucket'])`` pass (state/layout.py).
+    A query then reads ONLY its probed lists.  Seeded fixed centroids
+    stand in for a k-means pass (they keep the whole index a pure seeded
+    function, SQL-checkable); swap ``_ivf_centroids`` for trained ones
+    without touching the layout."""
+    from anomalydetection_ray.state.layout import persist_bucketed
+
+    n_cents, dim = _ivf_params(sf_dir)
+    cents = _ivf_centroids(n_cents, dim)
+    src = f"{sf_dir}/embeddings.parquet"
+
+    def build(tmp: str) -> None:
+        import ray.data
+
+        def add_cid(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+            emb = batch.column("embedding")
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            m = np.asarray(emb.values, dtype=np.float64).reshape(len(ids), -1)
+            cid = np.argmax(m @ cents.T, axis=1)  # first max == lowest id
+            return batch.append_column(
+                "bucket", pa.array(cid.astype(np.int64), type=pa.int64()))
+
+        (ray.data.read_parquet(src, columns=["vec_id", "embedding", "label"])
+            .map_batches(add_cid, batch_format="pyarrow", zero_copy_batch=True)
+            .write_parquet(tmp, partition_cols=["bucket"]))
+
+    return persist_bucketed("ivfidx", src, f"K{n_cents}:S{_IVF_SEED}", build)
+
+
+def ann_topk_ivf(sf_dir: str, query_id: int = 0, k: int = 10,
+                 probe: int = _IVF_PROBE):
+    """IVF ANN over the persisted inverted lists: probe the ``probe``
+    centroids nearest the query (raw-dot order, ties to lowest id), read
+    only those hive partitions, exact cosine rerank inside them."""
+    from anomalydetection_ray.state.layout import bucket_files
+
+    n_cents, dim = _ivf_params(sf_dir)
+    cents = _ivf_centroids(n_cents, dim)
+    q_raw = _query_vec(sf_dir, query_id, normalize=False)
+    sims_c = cents @ q_raw
+    order = np.argsort(-sims_c, kind="stable")[:probe]
+    idx = build_ivf_index(sf_dir)
+    paths = [p for cid in sorted(int(c) for c in order)
+             for p in bucket_files(idx, cid)]
+    if not paths:
+        return ann_topk_bruteforce(sf_dir, query_id, k)
+    q = q_raw / max(np.linalg.norm(q_raw), 1e-30)
+    return _rerank_pruned(paths, q, query_id, k)

@@ -1,0 +1,241 @@
+"""Timeseries window operators over the events table (round-3 additions
+W1/W2/J5 — the session/feature/interval family a training-data pipeline
+needs next to the A-family bucket rollups).
+
+- ``w1_sessionize_events``: gaps-and-islands sessionization — per user,
+  events separated by more than ``gap_us`` start a new session; one output
+  row per session (count, bounds, duration, exact value extrema).
+- ``w2_lag_features_events``: per-key lag/delta feature generation — for
+  every event, the previous event's value, the single-op float delta, the
+  inter-arrival gap and the per-user sequence number.
+- ``j5_interval_stats``: many-to-many interval stab join — a small seeded
+  window table (overlapping, derived deterministically from the corpus
+  time span) broadcast into a ``map_batches`` stab kernel; per-window
+  exact aggregates.
+
+Scale shape: W1/W2 are ONE hash exchange on ``user_id`` (the engine's
+``_pkey`` machinery, same layout J3/J4 use) + per-partition vectorized
+numpy; no global sort.  J5 broadcasts the tiny window table into every
+task (the J1 broadcast assumption: small side rides the closure) and
+pre-aggregates per batch, so the final exchange carries at most
+``n_windows`` rows per block.  All SQL-checked outputs avoid distributed
+float summation (counts / int64 sums / min / max / single-op deltas).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pyarrow as pa
+
+from anomalydetection_ray.stages.runs import PKEY, add_partition_key, run_starts
+
+GAP_US = 43_200_000_000  # 12 h session gap (driver events are hours apart
+                         # per user; 12 h yields real multi-event sessions)
+N_WINDOWS = 48
+WINDOW_MIX = 2654435761  # Knuth multiplicative hash constant
+
+
+def _read_events(sf_dir: str, columns):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def _ts_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Microseconds-since-epoch int64 view of a timestamp[us] column
+    (equals DuckDB ``epoch_us``)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    v = np.asarray(col)
+    return v.view("int64") if v.dtype.kind == "M" else v.astype(np.int64, copy=False)
+
+
+# ---------------------------------------------------------------- W1 ----
+def _sessionize_kernel(group: pa.Table, gap_us: int) -> pa.Table:
+    group = group.drop_columns([PKEY]).sort_by(
+        [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")])
+    n = group.num_rows
+    if n == 0:
+        return pa.table({
+            "user_id": pa.array([], type=pa.int64()),
+            "session_seq": pa.array([], type=pa.int64()),
+            "n_events": pa.array([], type=pa.int64()),
+            "start_ts": pa.array([], type=pa.timestamp("us")),
+            "end_ts": pa.array([], type=pa.timestamp("us")),
+            "duration_us": pa.array([], type=pa.int64()),
+            "min_value": pa.array([], type=pa.float64()),
+            "max_value": pa.array([], type=pa.float64()),
+        })
+    starts = run_starts(group, ["user_id"])
+    ts = _ts_us(group.column("ts"))
+    value = np.asarray(group.column("value").combine_chunks()
+                       if isinstance(group.column("value"), pa.ChunkedArray)
+                       else group.column("value"), dtype=np.float64)
+    is_new = np.zeros(n, dtype=bool)
+    is_new[starts] = True
+    if n > 1:
+        is_new[1:] |= (ts[1:] - ts[:-1]) > gap_us
+    sstarts = np.flatnonzero(is_new)
+    nsess = sstarts.shape[0]
+    sends = np.append(sstarts[1:], n)
+    n_events = sends - sstarts
+    # per-user session sequence: global session index minus the user's
+    # first session index (sessions always break at user starts)
+    sess_id = np.cumsum(is_new) - 1
+    user_first = sess_id[starts]
+    user_of = np.searchsorted(user_first, np.arange(nsess), side="right") - 1
+    session_seq = np.arange(nsess, dtype=np.int64) - user_first[user_of]
+    take = pa.array(sstarts, type=pa.int64())
+    return pa.table({
+        "user_id": group.column("user_id").take(take),
+        "session_seq": pa.array(session_seq, type=pa.int64()),
+        "n_events": pa.array(n_events, type=pa.int64()),
+        "start_ts": group.column("ts").take(take),
+        "end_ts": group.column("ts").take(pa.array(sends - 1, type=pa.int64())),
+        "duration_us": pa.array(ts[sends - 1] - ts[sstarts], type=pa.int64()),
+        "min_value": pa.array(np.minimum.reduceat(value, sstarts), type=pa.float64()),
+        "max_value": pa.array(np.maximum.reduceat(value, sstarts), type=pa.float64()),
+    })
+
+
+def w1_sessionize_events(sf_dir: str, gap_us: int = GAP_US,
+                         num_partitions: int = 16):
+    """W1 — sessionize events per user: one hash exchange on ``user_id``,
+    then a per-partition vectorized gaps-and-islands kernel (sort, run
+    starts, cumsum of break flags, reduceat aggregates).  Oracle: the
+    classic lag/sum-over-breaks window SQL."""
+    ev = _read_events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby(PKEY).map_groups(
+        functools.partial(_sessionize_kernel, gap_us=gap_us),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- W2 ----
+def _lag_kernel(group: pa.Table) -> pa.Table:
+    group = group.drop_columns([PKEY]).sort_by(
+        [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")])
+    n = group.num_rows
+    if n == 0:
+        return pa.table({
+            "event_id": pa.array([], type=pa.int64()),
+            "user_id": pa.array([], type=pa.int64()),
+            "value": pa.array([], type=pa.float64()),
+            "prev_value": pa.array([], type=pa.float64()),
+            "delta_value": pa.array([], type=pa.float64()),
+            "gap_us": pa.array([], type=pa.int64()),
+            "seq": pa.array([], type=pa.int64()),
+        })
+    starts = run_starts(group, ["user_id"])
+    ts = _ts_us(group.column("ts"))
+    value = np.asarray(group.column("value").combine_chunks()
+                       if isinstance(group.column("value"), pa.ChunkedArray)
+                       else group.column("value"), dtype=np.float64)
+    first = np.zeros(n, dtype=bool)
+    first[starts] = True
+    prev = np.empty(n, dtype=np.float64)
+    prev[1:] = value[:-1]
+    prev[0] = np.nan
+    gap = np.empty(n, dtype=np.int64)
+    gap[1:] = ts[1:] - ts[:-1]
+    gap[0] = 0
+    lens = np.diff(np.append(starts, n))
+    seq = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+    # null at each user's first event, like SQL lag()
+    return pa.table({
+        "event_id": group.column("event_id"),
+        "user_id": group.column("user_id"),
+        "value": group.column("value"),
+        "prev_value": pa.array(prev, type=pa.float64(), mask=first),
+        "delta_value": pa.array(value - prev, type=pa.float64(), mask=first),
+        "gap_us": pa.array(gap, type=pa.int64(), mask=first),
+        "seq": pa.array(seq, type=pa.int64()),
+    })
+
+
+def w2_lag_features_events(sf_dir: str, num_partitions: int = 16):
+    """W2 — per-key lag/delta feature generation (the standard
+    training-feature shift): previous value, single-op float delta,
+    inter-arrival gap and per-user sequence number for every event.  Same
+    one-exchange layout as W1.  Oracle: lag()/row_number() window SQL."""
+    ev = _read_events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby(PKEY).map_groups(_lag_kernel, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- J5 ----
+def seeded_windows(t0_us: int, t1_us: int,
+                   n_windows: int = N_WINDOWS) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic overlapping audit windows over [t0, t1]: lo offsets
+    from a Knuth multiplicative mix of the window id (plain int64
+    arithmetic, reproduced literally in the SQL oracle), length span/6."""
+    span = t1_us - t0_us + 1
+    i = np.arange(n_windows, dtype=np.int64)
+    lo = t0_us + ((i * WINDOW_MIX) % 4294967296) % span
+    hi = lo + span // 6
+    return lo, hi
+
+
+def j5_interval_stats(sf_dir: str, n_windows: int = N_WINDOWS):
+    """J5 — many-to-many interval stab join: events against a small
+    overlapping window table (broadcast; J1's small-side assumption).
+    The stab kernel pre-aggregates per batch (count / min / max per
+    window), so the exchange after the map carries at most ``n_windows``
+    rows per block — the partial-aggregate-before-groupby discipline.
+    Windows with no events produce no row (inner-join semantics, as the
+    SQL oracle's JOIN has)."""
+    import ray.data
+    from ray.data.aggregate import Max, Min
+
+    ev = _read_events(sf_dir, ["ts", "value"])
+    bounds = ev.aggregate(Min("ts"), Max("ts"))
+    t0 = int(np.datetime64(bounds["min(ts)"], "us").astype(np.int64))
+    t1 = int(np.datetime64(bounds["max(ts)"], "us").astype(np.int64))
+    lo, hi = seeded_windows(t0, t1, n_windows)
+
+    def stab(batch: pa.Table) -> pa.Table:
+        ts = _ts_us(batch.column("ts"))
+        value = batch.column("value")
+        if isinstance(value, pa.ChunkedArray):
+            value = value.combine_chunks()
+        v = np.asarray(value, dtype=np.float64)
+        wid, cnt, mn, mx = [], [], [], []
+        for k in range(lo.shape[0]):
+            m = (ts >= lo[k]) & (ts < hi[k])
+            c = int(np.count_nonzero(m))
+            if c:
+                wid.append(k)
+                cnt.append(c)
+                mn.append(float(v[m].min()))
+                mx.append(float(v[m].max()))
+        return pa.table({
+            "window_id": pa.array(wid, type=pa.int64()),
+            "n_events": pa.array(cnt, type=pa.int64()),
+            "min_value": pa.array(mn, type=pa.float64()),
+            "max_value": pa.array(mx, type=pa.float64()),
+        })
+
+    def merge(group: pa.Table) -> pa.Table:
+        k = int(group.column("window_id")[0].as_py())
+        return pa.table({
+            "window_id": pa.array([k], type=pa.int64()),
+            "lo_us": pa.array([int(lo[k])], type=pa.int64()),
+            "hi_us": pa.array([int(hi[k])], type=pa.int64()),
+            "n_events": pa.array(
+                [pa.compute.sum(group.column("n_events")).as_py()], type=pa.int64()),
+            "min_value": pa.array(
+                [pa.compute.min(group.column("min_value")).as_py()], type=pa.float64()),
+            "max_value": pa.array(
+                [pa.compute.max(group.column("max_value")).as_py()], type=pa.float64()),
+        })
+
+    partials = ev.map_batches(stab, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby("window_id").map_groups(merge, batch_format="pyarrow")

@@ -6,7 +6,8 @@ per-position or per-series outputs.  Registered detectors run inside a
 stateless ``map_batches`` kernel over validated sequences rows.
 
 Built-ins: A2 EWMA smoother, A3 generalized-ESD anomaly count (robust
-S-H-ESD default), A6 moving-window threshold flags.
+S-H-ESD default), A6 moving-window threshold flags, and a global robust-z
+(median/MAD) detector ``mad``.
 
 Batch output is scalar-only per (doc, part): ``n_anomalies`` plus the
 order-insensitive position checksums ``pos_sum`` / ``pos_sumsq`` — a
@@ -71,9 +72,27 @@ def _det_ewma_resid(values: np.ndarray, alpha: float = 0.1, c: float = 4.0) -> d
     return {"n_anomalies": int(pos.size), "anomaly_positions": pos}
 
 
+def _det_mad(values: np.ndarray, c: float = 3.5) -> dict:
+    """Global robust z-score detector (Iglewicz & Hoaglin 1993): flag
+    positions where |x - median| > c * 1.4826 * MAD.  MAD == 0 series
+    report no anomalies (same convention as the EWMA chart)."""
+    x = values.astype(np.float64)
+    if x.shape[0] == 0:
+        return {"n_anomalies": 0, "anomaly_positions": np.empty(0, dtype=np.int64)}
+    med = np.median(x)
+    dev = np.abs(x - med)
+    mad = np.median(dev)
+    if mad == 0.0:
+        return {"n_anomalies": 0, "anomaly_positions": np.empty(0, dtype=np.int64)}
+    sigma = 1.4826 * mad
+    pos = np.flatnonzero(dev > c * sigma)
+    return {"n_anomalies": int(pos.size), "anomaly_positions": pos}
+
+
 register_detector("esd", _det_esd)
 register_detector("threshold", _det_threshold)
 register_detector("ewma", _det_ewma_resid)
+register_detector("mad", _det_mad)
 
 
 def _report_table(batch: pa.Table, detector: str, n_anom: np.ndarray,
@@ -195,8 +214,45 @@ def _ewma_batch_fast(batch: pa.Table, alpha: float, c: float) -> pa.Table:
     return _report_table(batch, "ewma", n_anom, pos_sum, pos_sumsq)
 
 
-_FAST_PARAMS = {"threshold": {"window", "c"}, "ewma": {"alpha", "c"}}
-_BUILTINS = {"threshold": _det_threshold, "ewma": _det_ewma_resid}
+def _mad_batch_fast(batch: pa.Table, c: float) -> pa.Table:
+    """Vectorized robust-z (MAD) detector over the batch's flat token
+    buffer: per-row median and MAD via two global lexsorts
+    (`segment_medians`, rows ARE the segments), flags by one vectorized
+    comparison — bit-identical to `_det_mad` row by row (same IEEE ops in
+    the same order: dev > c * (1.4826 * mad))."""
+    from anomalydetection_ray.functions.stats import segment_medians
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0).astype(np.int32)
+    x = vals.astype(np.float64)
+    nrows = offsets.shape[0] - 1
+    lens = np.diff(offsets)
+    n_anom = np.zeros(nrows, dtype=np.int64)
+    pos_sum = np.zeros(nrows, dtype=np.int64)
+    pos_sumsq = np.zeros(nrows, dtype=np.int64)
+    if x.shape[0]:
+        row_of = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+        med = segment_medians(x, row_of, nrows, offsets[:-1], lens)
+        dev = np.abs(x - med[row_of])
+        mad = segment_medians(dev, row_of, nrows, offsets[:-1], lens)
+        sigma = 1.4826 * mad
+        ok = mad[row_of] != 0.0
+        flags = ok & (dev > c * sigma[row_of])
+        hit = np.flatnonzero(flags)
+        hrow = row_of[hit]
+        hloc = hit - offsets[:-1][hrow]
+        np.add.at(n_anom, hrow, 1)
+        np.add.at(pos_sum, hrow, hloc)
+        np.add.at(pos_sumsq, hrow, hloc * hloc)
+    return _report_table(batch, "mad", n_anom, pos_sum, pos_sumsq)
+
+
+_FAST_PARAMS = {"threshold": {"window", "c"}, "ewma": {"alpha", "c"},
+                "mad": {"c"}}
+_BUILTINS = {"threshold": _det_threshold, "ewma": _det_ewma_resid,
+             "mad": _det_mad}
 
 
 def detect_batch(batch: pa.Table, detector: str = "esd", **params) -> pa.Table:
@@ -217,6 +273,8 @@ def detect_batch(batch: pa.Table, detector: str = "esd", **params) -> pa.Table:
             return _threshold_batch_fast(
                 batch, window=params.get("window", 50), c=params.get("c", 3.0)
             )
+        if detector == "mad":
+            return _mad_batch_fast(batch, c=params.get("c", 3.5))
         return _ewma_batch_fast(
             batch, alpha=params.get("alpha", 0.1), c=params.get("c", 4.0)
         )

@@ -234,6 +234,7 @@ def test_detector_fast_paths_match_registry():
 
     from anomalydetection_ray.stages.detectors import (
         _det_ewma_resid,
+        _det_mad,
         _det_threshold,
         detect_batch,
     )
@@ -242,7 +243,8 @@ def test_detector_fast_paths_match_registry():
     for with_nulls in (False, True):
         batch = _random_token_batch(rng, 40, 700, with_nulls=with_nulls, long_row=True)
         toks = batch.column("tokens").combine_chunks()
-        for det, fn in (("threshold", _det_threshold), ("ewma", _det_ewma_resid)):
+        for det, fn in (("threshold", _det_threshold), ("ewma", _det_ewma_resid),
+                        ("mad", _det_mad)):
             out = detect_batch(batch, detector=det)
             for i in range(batch.num_rows):
                 arr = toks[i].values
