@@ -104,10 +104,12 @@ def _detect(sf_dir: str, detector: str, **params):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from anomalydetection_ray.pipelines import dedup as dd
+    from anomalydetection_ray.pipelines import kmeans as km
     from anomalydetection_ray.pipelines import multimodal as mm
     from anomalydetection_ray.pipelines import queries as q
     from anomalydetection_ray.pipelines import similarity as sim
     from anomalydetection_ray.pipelines import text as tx
+    from anomalydetection_ray.pipelines import vocab as vb
     from anomalydetection_ray.pipelines import windows as wnd
     from anomalydetection_ray.pipelines.rollup import rollup_pipeline, topk_anomalies
 
@@ -177,10 +179,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j1_broadcast_join": q.j1_broadcast_join,
         "j3_join_agg": q.j3_join_agg,
         "j4_asof_join": q.j4_asof_join,
-        # W1/W2/J5 timeseries window family (pipelines/windows.py)
+        # W1/W2/W3/J5 timeseries window family (pipelines/windows.py)
         "w1_sessionize_events": wnd.w1_sessionize_events,
         "w2_lag_features_events": wnd.w2_lag_features_events,
+        "w3_rolling_stats_events": wnd.w3_rolling_stats_events,
         "j5_interval_stats": wnd.j5_interval_stats,
+        # V family: corpus vocabulary build (partial counts before shuffle)
+        "vocab_topk": vb.vocab_topk,
+        "vocab_doc_freq": vb.vocab_doc_freq,
+        # Gopher-style word-repetition quality stats (Rae et al. 2021)
+        "quality_repetition": tx.quality_repetition,
+        # G4 linear-counting distinct sketch (Whang et al. 1990)
+        "g4_approx_distinct": q.g4_approx_distinct,
+        # K1 distributed Lloyd k-means: fused assign+partial-sum passes,
+        # exact int64 reductions, pinned-order float scoring — the whole
+        # 2-iteration training loop is reproduced in the SQL oracle
+        "kmeans_train": km.kmeans_train,
         "g3_quantiles_nchars": q.g3_quantiles_nchars,
         "m3_token_fns": q.m3_token_fns,
         "g3_approx_quantiles": q.g3_approx_quantiles,
@@ -616,6 +630,81 @@ def _esd_sql(alpha: float = 0.05, max_n: int = 1024, k_steps: int = 12) -> str:
     FROM parts LEFT JOIN sums s
       ON s.doc_id = parts.doc_id AND s.part_id = parts.part_id
     CROSS JOIN guard WHERE guard.ok = 1
+    """
+
+
+def _kmeans_sql(k: int = 8, dim: int = 64) -> str:
+    """kmeans_train oracle: the 2-iteration fused Lloyd loop
+    (pipelines/kmeans.py) unrolled in SQL.  Exactness rests on three
+    pins shared with the engine: (a) the initial centroids are integral
+    quantized floats, embedded here as literals; (b) per-cluster
+    coordinate sums are INT64 over the micro-quantized embedding
+    (associative, so a DuckDB SUM equals the distributed reduction
+    verbatim); (c) assignment scores fold LEFT over the positions from a
+    0.0 seed — ``list_reduce(list_prepend(0.0, terms))`` replays
+    numpy's pinned ``for p: acc += e_p * c_p`` loop IEEE-identically,
+    then one division by the count denominator.  Ties go to the lowest
+    cid on both sides (first-argmax == row_number ORDER BY score DESC,
+    cid ASC).  Empty clusters carry the previous centroid, denominator
+    1.  Every chained CTE is MATERIALIZED (DuckDB re-inlines plain CTE
+    chains and runtime explodes)."""
+    from anomalydetection_ray.pipelines.kmeans import ESCALE, init_centroids
+
+    c0 = init_centroids(k, dim)  # integral float64 — exact SQL literals
+    rows = ", ".join(
+        f"({j}, [{', '.join(str(int(x)) for x in c0[j])}]::DOUBLE[])"
+        for j in range(k))
+    fold = ("list_reduce(list_prepend(0.0, list_transform(range(1, "
+            f"{dim + 1}), p -> q.ed[p] * c.cl[p])), (a, b) -> a + b)")
+    return f"""
+    WITH c1(cid, cl) AS (VALUES {rows}),
+    eq AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                   v -> CAST(floor(v * {ESCALE} + 0.5) AS BIGINT)) AS ei
+        FROM embeddings),
+    asg1 AS MATERIALIZED (
+        SELECT vec_id, cid FROM (
+            SELECT q.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY {fold} DESC, c.cid) AS rn
+            FROM eq q CROSS JOIN c1 c) WHERE rn = 1),
+    st1 AS MATERIALIZED (
+        SELECT a.cid, t.pos, CAST(sum(q.ei[t.pos]) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM asg1 a JOIN eq q USING (vec_id)
+        CROSS JOIN range(1, {dim + 1}) t(pos)
+        GROUP BY a.cid, t.pos),
+    c2 AS MATERIALIZED (
+        SELECT c.cid,
+               CASE WHEN n.cnt > 0 THEN n.cl ELSE c.cl END AS cl,
+               CASE WHEN n.cnt > 0 THEN CAST(n.cnt AS DOUBLE)
+                    ELSE 1.0 END AS denom
+        FROM c1 c LEFT JOIN (
+            SELECT cid, list(CAST(s AS DOUBLE) ORDER BY pos) AS cl,
+                   min(cnt) AS cnt
+            FROM st1 GROUP BY cid) n USING (cid)),
+    asg2 AS MATERIALIZED (
+        SELECT vec_id, cid FROM (
+            SELECT q.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY {fold} / c.denom DESC, c.cid) AS rn
+            FROM eq q CROSS JOIN c2 c) WHERE rn = 1),
+    st2 AS MATERIALIZED (
+        SELECT a.cid, t.pos, CAST(sum(q.ei[t.pos]) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM asg2 a JOIN eq q USING (vec_id)
+        CROSS JOIN range(1, {dim + 1}) t(pos)
+        GROUP BY a.cid, t.pos)
+    SELECT CAST(g.cid AS BIGINT) AS cid, CAST(g.pos AS BIGINT) AS pos,
+           COALESCE(s2.s, 0) AS coord_sum_q,
+           COALESCE(s2.cnt, 0) AS n_assigned,
+           CASE WHEN s2.cnt IS NULL THEN NULL
+                ELSE CAST(s2.s AS DOUBLE) / ({float(ESCALE)} * s2.cnt)
+           END AS mean
+    FROM (SELECT c.cid, t.pos
+          FROM c1 c CROSS JOIN range(1, {dim + 1}) t(pos)) g
+    LEFT JOIN st2 s2 ON s2.cid = g.cid AND s2.pos = g.pos
     """
 
 
@@ -1228,4 +1317,75 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_count
             FROM documents
         """,
+        # W3 rolling stats: exact quantized window sum — associative, so
+        # the SQL frame sum equals the engine's shifted-adds verbatim
+        "w3_rolling_stats_events": """
+            SELECT event_id, user_id, value,
+                   CAST(count(*) OVER w AS BIGINT) AS roll_n,
+                   CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                        OVER w AS BIGINT) AS roll_sum_q,
+                   CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                        OVER w AS DOUBLE)
+                       / (1000000.0 * count(*) OVER w) AS roll_avg,
+                   min(value) OVER w AS roll_min,
+                   max(value) OVER w AS roll_max
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        # V1/V2 vocabulary: words = space split minus empties, exactly
+        # the engine's split_pattern + filter
+        "vocab_topk": """
+            SELECT word, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+            WHERE word <> ''
+            GROUP BY word ORDER BY n DESC, word ASC LIMIT 25
+        """,
+        "vocab_doc_freq": """
+            SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+            WHERE word <> ''
+            GROUP BY word HAVING count(DISTINCT doc_id) >= 2
+        """,
+        # Gopher-style repetition stats: exact int counts, two float
+        # divisions on top (int64 -> DOUBLE numerators both sides)
+        "quality_repetition": """
+            WITH wc AS (
+                SELECT doc_id, word, count(*) AS c
+                FROM (SELECT doc_id,
+                             unnest(string_split(text, ' ')) AS word
+                      FROM documents)
+                WHERE word <> '' GROUP BY doc_id, word),
+            agg AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                       CAST(count(*) AS BIGINT) AS n_distinct,
+                       CAST(max(c) AS BIGINT) AS top
+                FROM wc GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(a.n_words, 0) AS n_words,
+                   COALESCE(a.n_distinct, 0) AS n_distinct_words,
+                   CAST(a.n_words - a.n_distinct AS DOUBLE) / a.n_words
+                       AS dup_word_frac,
+                   CAST(a.top AS DOUBLE) / a.n_words AS top_word_frac
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        # G4 linear counting: Knuth multiplicative hash mod 2^32 mod m
+        # (HUGEINT product mod 2^32 == the uint64 wrap mod 2^32 because
+        # 2^32 divides 2^64); the estimator's ln is one libm call on the
+        # same exact integer ratio both sides
+        "g4_approx_distinct": """
+            WITH b AS (
+                SELECT DISTINCT event_type,
+                       CAST(((CAST(user_id AS HUGEINT) * 2654435761)
+                             % 4294967296) % 4096 AS BIGINT) AS bucket
+                FROM events)
+            SELECT event_type, CAST(4096 AS BIGINT) AS m,
+                   CAST(count(*) AS BIGINT) AS occupied,
+                   4096.0 * ln(4096.0 / CAST(4096 - count(*) AS DOUBLE))
+                       AS est_distinct
+            FROM b GROUP BY event_type
+        """,
+        "kmeans_train": _kmeans_sql(dim=_dim),
     }

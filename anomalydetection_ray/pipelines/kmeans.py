@@ -1,0 +1,177 @@
+"""Distributed k-means (Lloyd) over the embeddings table — the trained
+coarse quantizer next to the seeded IVF one (round-3 K family).
+
+The classic iterative-ML dataflow on Ray Data: per iteration, broadcast
+the (tiny) centroid state into ONE fused ``map_batches`` pass that both
+assigns every vector and emits per-cluster partial sums; the partials
+(``K`` rows per block) reduce through a small ``groupby``, and only the
+``K``-row result ever reaches the driver, which updates the state and
+launches the next pass.  One data pass per iteration, no shuffle of
+vectors, state scales with ``K * dim`` regardless of corpus size.
+
+Numeric determinism (what makes the driver's exact-hash gate possible on
+an iterative float algorithm):
+
+- coordinate sums are INT64 over the micro-quantized embedding
+  ``floor(e * 2^20 + 0.5)`` — associative, so the distributed reduction
+  is independent of block order and equals the SQL oracle's
+  ``SUM(CAST(...))`` verbatim;
+- dot products fold LEFT over the 64 positions in pinned order (a
+  64-step vectorized loop, not a pairwise-reassociating matmul), which
+  the oracle reproduces with DuckDB ``list_reduce`` (same fold order,
+  IEEE-identical term products);
+- scores are ``dot / count`` (two pinned float ops), cluster means are
+  ``sum / (2^20 * count)``.
+
+Assignment is argmax-dot-over-count with ties to the lowest cluster id
+(numpy first-max == the oracle's ``ORDER BY score DESC, cid ASC``).
+Empty clusters carry their previous centroid (denominator 1).  Lloyd
+(1982); the quantized-sum trick is the same exact-integer-mean device the
+tier2 rollup merge uses.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pyarrow as pa
+
+from anomalydetection_ray.pipelines.similarity import _ivf_centroids
+
+ESCALE = 1 << 20  # embedding micro-quantization for exact int sums
+K_DEFAULT = 8
+ITERS_DEFAULT = 2
+
+
+def init_centroids(k: int, dim: int) -> np.ndarray:
+    """Float64 initial centroids: the seeded unit pool of the IVF index
+    (similarity._ivf_centroids), quantized and exactly representable so
+    the SQL oracle can carry them as integer literals."""
+    pool = _ivf_centroids(k, dim)
+    return np.floor(pool * ESCALE + 0.5)  # integral float64, SQL-literal
+
+
+def _fold_scores(ef: np.ndarray, cent: np.ndarray, denom: np.ndarray) -> np.ndarray:
+    """(n, K) score matrix ``dot(e, c_k) / denom_k`` with the dot folded
+    left over positions in pinned order — NOT a matmul, so every float
+    add happens in the same sequence the SQL oracle's list_reduce uses."""
+    n, dim = ef.shape
+    k = cent.shape[0]
+    acc = np.zeros((n, k), dtype=np.float64)
+    for p in range(dim):
+        acc += ef[:, p:p + 1] * cent[:, p]
+    return acc / denom
+
+
+def _emb_f64(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+    emb = batch.column("embedding")
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    ef = np.asarray(emb.values, dtype=np.float64).reshape(len(ids), -1)
+    return ids, ef
+
+
+def _assign_update_partial(batch: pa.Table, cent: np.ndarray,
+                           denom: np.ndarray) -> pa.Table:
+    """Fused assignment + per-cluster partial (count, int64 coordinate
+    sums) for one batch: K output rows regardless of batch size."""
+    k, dim = cent.shape
+    s = np.zeros((k, dim), dtype=np.int64)
+    cnt = np.zeros(k, dtype=np.int64)
+    if batch.num_rows:
+        _, ef = _emb_f64(batch)
+        cid_all = np.argmax(_fold_scores(ef, cent, denom), axis=1)
+        eint = np.floor(ef * ESCALE + 0.5).astype(np.int64)
+        np.add.at(s, cid_all, eint)
+        cnt = np.bincount(cid_all, minlength=k).astype(np.int64)
+    return pa.table({
+        "cid": pa.array(np.arange(k, dtype=np.int64)),
+        "cnt": pa.array(cnt, type=pa.int64()),
+        "s": pa.array(s.tolist(), type=pa.list_(pa.int64())),
+    })
+
+
+def _merge_partials(group: pa.Table) -> pa.Table:
+    cid = group.column("cid").slice(0, 1)
+    cnt = int(pa.compute.sum(group.column("cnt")).as_py())
+    sl = group.column("s")
+    if isinstance(sl, pa.ChunkedArray):
+        sl = sl.combine_chunks()
+    dim = len(sl[0])
+    mat = np.asarray(sl.values, dtype=np.int64).reshape(-1, dim)
+    tot = mat.sum(axis=0)  # int64, associative
+    return pa.table({
+        "cid": cid,
+        "cnt": pa.array([cnt], type=pa.int64()),
+        "s": pa.array([tot.tolist()], type=pa.list_(pa.int64())),
+    })
+
+
+def _reduced_state(sf_dir: str, cent: np.ndarray,
+                   denom: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """One Lloyd pass: returns (cnt[K], s[K, dim]) int64 exact."""
+    import ray.data
+
+    k, dim = cent.shape
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    partials = ds.map_batches(
+        functools.partial(_assign_update_partial, cent=cent, denom=denom),
+        batch_format="pyarrow", zero_copy_batch=True)
+    reduced = partials.groupby("cid").map_groups(_merge_partials,
+                                                batch_format="pyarrow")
+    rows = reduced.take_all()  # K rows — the only driver materialization
+    cnt = np.zeros(k, dtype=np.int64)
+    s = np.zeros((k, dim), dtype=np.int64)
+    for r in rows:
+        cnt[int(r["cid"])] = int(r["cnt"])
+        s[int(r["cid"])] = np.asarray(r["s"], dtype=np.int64)
+    return cnt, s
+
+
+def kmeans_state(sf_dir: str, k: int = K_DEFAULT,
+                 iters: int = ITERS_DEFAULT) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Run ``iters`` fused Lloyd passes; returns (cnt, s, dim) of the
+    final update (cnt[K] int64 assignment counts, s[K, dim] int64
+    quantized coordinate sums)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    dim = len(pf.read_row_group(0, columns=["embedding"]).column("embedding")[0].values)
+    cent = init_centroids(k, dim)
+    denom = np.ones(k, dtype=np.float64)
+    cnt = np.zeros(k, dtype=np.int64)
+    s = np.zeros((k, dim), dtype=np.int64)
+    for _ in range(iters):
+        cnt, s = _reduced_state(sf_dir, cent, denom)
+        live = cnt > 0
+        cent = np.where(live[:, None], s.astype(np.float64), cent)
+        denom = np.where(live, cnt.astype(np.float64), denom)
+    return cnt, s, dim
+
+
+def kmeans_train(sf_dir: str, k: int = K_DEFAULT, iters: int = ITERS_DEFAULT):
+    """K1 — distributed Lloyd k-means: ``iters`` fused
+    assign-and-partial-sum passes, exact integer reductions, pinned-order
+    float scoring.  Returns the long-form centroid table (cid, pos,
+    coord_sum_q, n_assigned, mean) — K * dim rows; ``mean`` is the
+    dequantized centroid coordinate, null for empty clusters."""
+    import ray.data
+
+    cnt, s, dim = kmeans_state(sf_dir, k, iters)
+    cid = np.repeat(np.arange(k, dtype=np.int64), dim)
+    pos = np.tile(np.arange(1, dim + 1, dtype=np.int64), k)
+    sq = s.reshape(-1)
+    nas = np.repeat(cnt, dim)
+    empty = nas == 0
+    mean = sq / (float(ESCALE) * np.where(empty, 1, nas))
+    out = pa.table({
+        "cid": pa.array(cid, type=pa.int64()),
+        "pos": pa.array(pos, type=pa.int64()),
+        "coord_sum_q": pa.array(sq, type=pa.int64()),
+        "n_assigned": pa.array(nas, type=pa.int64()),
+        "mean": pa.array(mean, type=pa.float64(), mask=empty),
+    })
+    return ray.data.from_arrow(out)

@@ -806,6 +806,48 @@ def q5_grouped_topk(sf_dir: str, k: int = 3):
         batch_format="pyarrow")
 
 
+SKETCH_M = 4096
+SKETCH_MIX = 2654435761
+
+
+def g4_approx_distinct(sf_dir: str):
+    """G4 — approximate distinct users per event_type by linear
+    (bitmap) counting, Whang et al. 1990: bucket = Knuth multiplicative
+    hash of user_id mod m; estimate = m * ln(m / (m - occupied)).  The
+    sketch property that matters at 100 TB: per-block partial state is a
+    DISTINCT (type, bucket) set — bounded by m per type regardless of
+    block size — and merging is set union, so the exchange after the map
+    carries at most n_types * m rows per block.  Both the hash and the
+    estimator are integer-deterministic and reproduced verbatim in the
+    SQL oracle (the final ln is one libm call on an exact integer
+    ratio)."""
+    import math
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = np.asarray(batch.column("user_id"), dtype=np.uint64)
+        b = (uid * np.uint64(SKETCH_MIX)) % np.uint64(4294967296) % np.uint64(SKETCH_M)
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "bucket": pa.array(b.astype(np.int64), type=pa.int64()),
+        })
+        return t.group_by(["event_type", "bucket"]).aggregate([])
+
+    def estimate(group: pa.Table) -> pa.Table:
+        occ = int(np.unique(np.asarray(group.column("bucket"))).shape[0])
+        est = float(SKETCH_M) * math.log(SKETCH_M / float(SKETCH_M - occ))
+        return pa.table({
+            "event_type": group.column("event_type").slice(0, 1),
+            "m": pa.array([SKETCH_M], type=pa.int64()),
+            "occupied": pa.array([occ], type=pa.int64()),
+            "est_distinct": pa.array([est], type=pa.float64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby("event_type").map_groups(estimate, batch_format="pyarrow")
+
+
 def j6_anti_join(sf_dir: str, price_floor: float = 400000.0):
     """J6 — distributed anti join via the J3 co-partition layout:
     customers with NO order above ``price_floor``.  The orders side is

@@ -288,11 +288,63 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     return pa.table({"doc_id": batch.column("doc_id"), "fingerprint": pa.array(fps, type=pa.string())})
 
 
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style word-repetition quality stats per document: word
+    count, distinct-word count, duplicate-word fraction and top-word
+    fraction.  Words = space-split tokens (exactly SQL ``string_split``
+    minus empties), counted with C-level Arrow ``group_by`` — no word
+    hashing, so the numbers match the SQL oracle verbatim with no
+    collision caveat.  The two fractions are single float divisions of
+    exact ints."""
+    import pyarrow.compute as pc
+
+    text = batch.column("text")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    words = pc.split_pattern(text, " ")
+    flat = pc.list_flatten(words)
+    row_of = pc.list_parent_indices(words)
+    keep = pc.not_equal(flat, "")
+    pairs = pa.table({"row": row_of.filter(keep), "word": flat.filter(keep)})
+    per_pair = pairs.group_by(["row", "word"]).aggregate([("word", "count")])
+    per_row = per_pair.group_by("row").aggregate(
+        [("word_count", "sum"), ("word_count", "count"), ("word_count", "max")])
+    n = batch.num_rows
+    n_words = np.zeros(n, dtype=np.int64)
+    n_distinct = np.zeros(n, dtype=np.int64)
+    top_cnt = np.zeros(n, dtype=np.int64)
+    rows = np.asarray(per_row.column("row"), dtype=np.int64)
+    n_words[rows] = np.asarray(per_row.column("word_count_sum"), dtype=np.int64)
+    n_distinct[rows] = np.asarray(per_row.column("word_count_count"), dtype=np.int64)
+    top_cnt[rows] = np.asarray(per_row.column("word_count_max"), dtype=np.int64)
+    empty = n_words == 0
+    denom = np.where(empty, 1, n_words).astype(np.float64)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_words": pa.array(n_words, type=pa.int64()),
+        "n_distinct_words": pa.array(n_distinct, type=pa.int64()),
+        "dup_word_frac": pa.array((n_words - n_distinct) / denom,
+                                  type=pa.float64(), mask=empty),
+        "top_word_frac": pa.array(top_cnt / denom, type=pa.float64(), mask=empty),
+    })
+
+
 def lang_id(sf_dir: str):
     import ray.data
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(lang_id_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality_repetition(sf_dir: str):
+    """Per-document word-repetition stats over the documents table — the
+    dup-line/top-ngram family of quality filters (Rae et al. 2021
+    'Gopher' §A1.1 heuristics, word-level form), embarrassingly parallel
+    map-only."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(repetition_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def quality(sf_dir: str):

@@ -1,0 +1,112 @@
+"""Corpus vocabulary building over the documents table (round-3 V family).
+
+The classic training-data vocabulary pass: corpus-wide word frequencies
+(``vocab_topk``) and per-word document frequencies (``vocab_doc_freq``,
+the DF half of TF-IDF).  Both follow the partial-aggregate-before-shuffle
+discipline:
+
+- every batch collapses its words to per-batch partial counts with
+  C-level Arrow kernels (``split_pattern`` -> flatten -> Arrow
+  ``group_by``), so the exchange carries one row per DISTINCT word per
+  block, not one per occurrence;
+- document frequency exploits that one document is one row and a row
+  never spans blocks: per-block distinct (word, doc) pairs sum to the
+  global distinct-doc count per word with a plain int sum — no
+  count-distinct shuffle of raw pairs.
+
+At 100 TB the exchange is bounded by (vocab size x blocks), and the final
+per-word groupby is over the vocabulary — orders of magnitude smaller
+than the corpus.  Top-k uses the stages/topk block-prune (at most
+``k`` rows leave each block after the count groupby).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOPK_DEFAULT = 25
+
+
+def _read_docs(sf_dir: str, columns):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _words_flat(batch: pa.Table,
+                with_doc: bool = True) -> tuple[pa.Array, pa.Array | None]:
+    """(flat word array, per-occurrence doc_id array or None) for a
+    documents batch; empty tokens from repeated separators are dropped
+    (the SQL oracle filters ``word <> ''`` identically)."""
+    text = batch.column("text")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    words = pc.split_pattern(text, " ")
+    flat = pc.list_flatten(words)
+    keep = pc.not_equal(flat, "")
+    if not with_doc:
+        return flat.filter(keep), None
+    doc = batch.column("doc_id")
+    if isinstance(doc, pa.ChunkedArray):
+        doc = doc.combine_chunks()
+    doc_of = pc.list_parent_indices(words)
+    doc_flat = doc.take(doc_of)
+    return flat.filter(keep), doc_flat.filter(keep)
+
+
+def _count_partial(batch: pa.Table) -> pa.Table:
+    flat, _ = _words_flat(batch, with_doc=False)
+    vc = pc.value_counts(flat)
+    return pa.table({
+        "word": vc.field("values"),
+        "n": pc.cast(vc.field("counts"), pa.int64()),
+    })
+
+
+def _df_partial(batch: pa.Table) -> pa.Table:
+    flat, doc_flat = _words_flat(batch)
+    pairs = pa.table({"word": flat, "doc": doc_flat})
+    distinct = pairs.group_by(["word", "doc"]).aggregate([])
+    per_word = distinct.group_by("word").aggregate([("doc", "count")])
+    return pa.table({
+        "word": per_word.column("word"),
+        "df": pc.cast(per_word.column("doc_count"), pa.int64()),
+    })
+
+
+def _sum_group(col: str):
+    def merge(group: pa.Table) -> pa.Table:
+        return pa.table({
+            "word": group.column("word").slice(0, 1),
+            col: pa.array([pc.sum(group.column(col)).as_py()], type=pa.int64()),
+        })
+
+    return merge
+
+
+def vocab_topk(sf_dir: str, k: int = TOPK_DEFAULT):
+    """V1 — corpus-wide top-k word frequencies: per-batch partial counts
+    (one row per distinct word per block), per-word sum, block-pruned
+    top-k by (count desc, word asc)."""
+    from anomalydetection_ray.stages.topk import topk
+
+    docs = _read_docs(sf_dir, ["text"])
+    partials = docs.map_batches(_count_partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    counts = partials.groupby("word").map_groups(_sum_group("n"),
+                                                batch_format="pyarrow")
+    return topk(counts, k, [("n", "descending"), ("word", "ascending")])
+
+
+def vocab_doc_freq(sf_dir: str, min_df: int = 2):
+    """V2 — per-word document frequency (the DF table of TF-IDF): distinct
+    (word, doc) pairs per block collapse to partial doc counts, which sum
+    exactly because one document never spans blocks.  Words with
+    ``df < min_df`` are dropped (the usual vocab floor)."""
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    partials = docs.map_batches(_df_partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    df = partials.groupby("word").map_groups(_sum_group("df"),
+                                             batch_format="pyarrow")
+    return df.filter(expr=f"df >= {int(min_df)}")

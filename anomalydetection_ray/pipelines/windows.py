@@ -171,6 +171,84 @@ def w2_lag_features_events(sf_dir: str, num_partitions: int = 16):
     return tagged.groupby(PKEY).map_groups(_lag_kernel, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------- W3 ----
+VSCALE = 1_000_000  # value quantization for exact order-free rolling sums
+
+
+def _rolling_kernel(group: pa.Table, window: int) -> pa.Table:
+    """Per-key rolling stats over the trailing ``window`` rows (ts,
+    event_id order), windows clipped at each key's start.  The rolling
+    sum is computed over the micro-quantized value ``floor(value * 1e6 +
+    0.5)`` in int64 — associative, so the result is independent of
+    summation order and reproducible verbatim by the SQL oracle's
+    ``SUM(CAST(...)) OVER (... ROWS BETWEEN n PRECEDING AND CURRENT
+    ROW)``; ``roll_avg`` is the single float division int_sum /
+    (1e6 * n) on top.  Min/max/count are exact by nature.  The kernel is
+    fully vectorized: ``window - 1`` shifted numpy ops, no Python row
+    loop."""
+    group = group.drop_columns([PKEY]).sort_by(
+        [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")])
+    n = group.num_rows
+    if n == 0:
+        return pa.table({
+            "event_id": pa.array([], type=pa.int64()),
+            "user_id": pa.array([], type=pa.int64()),
+            "value": pa.array([], type=pa.float64()),
+            "roll_n": pa.array([], type=pa.int64()),
+            "roll_sum_q": pa.array([], type=pa.int64()),
+            "roll_avg": pa.array([], type=pa.float64()),
+            "roll_min": pa.array([], type=pa.float64()),
+            "roll_max": pa.array([], type=pa.float64()),
+        })
+    starts = run_starts(group, ["user_id"])
+    value = np.asarray(group.column("value").combine_chunks()
+                       if isinstance(group.column("value"), pa.ChunkedArray)
+                       else group.column("value"), dtype=np.float64)
+    vq = np.floor(value * VSCALE + 0.5).astype(np.int64)
+    lens = np.diff(np.append(starts, n))
+    seq = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+    rsum = vq.copy()
+    rmin = value.copy()
+    rmax = value.copy()
+    rn = np.ones(n, dtype=np.int64)
+    for s in range(1, window):
+        idx = np.flatnonzero(seq >= s)
+        if idx.size == 0:
+            break
+        rsum[idx] += vq[idx - s]
+        rmin[idx] = np.minimum(rmin[idx], value[idx - s])
+        rmax[idx] = np.maximum(rmax[idx], value[idx - s])
+        rn[idx] += 1
+    return pa.table({
+        "event_id": group.column("event_id"),
+        "user_id": group.column("user_id"),
+        "value": group.column("value"),
+        "roll_n": pa.array(rn, type=pa.int64()),
+        "roll_sum_q": pa.array(rsum, type=pa.int64()),
+        "roll_avg": pa.array(rsum / (float(VSCALE) * rn), type=pa.float64()),
+        "roll_min": pa.array(rmin, type=pa.float64()),
+        "roll_max": pa.array(rmax, type=pa.float64()),
+    })
+
+
+def w3_rolling_stats_events(sf_dir: str, window: int = 5,
+                            num_partitions: int = 16):
+    """W3 — per-key trailing-window rolling aggregates (count / exact
+    quantized sum / avg / min / max over the last ``window`` events per
+    user): the standard timeseries feature next to W2's lags.  Same
+    one-exchange ``_pkey`` layout; the kernel is ``window - 1`` shifted
+    vectorized ops per partition.  Oracle: SQL window frame ``ROWS
+    BETWEEN window-1 PRECEDING AND CURRENT ROW``."""
+    ev = _read_events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby(PKEY).map_groups(
+        functools.partial(_rolling_kernel, window=window),
+        batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- J5 ----
 def seeded_windows(t0_us: int, t1_us: int,
                    n_windows: int = N_WINDOWS) -> tuple[np.ndarray, np.ndarray]:

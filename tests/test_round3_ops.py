@@ -1,0 +1,210 @@
+"""Round-3 operator tests: W3 rolling stats, V1/V2 vocabulary, Gopher
+repetition stats, G4 linear-counting sketch, K1 distributed k-means.
+
+References are independent pandas / numpy / collections implementations
+(different code path than the distributed Arrow kernels), plus
+partition-count invariance for the shuffled ones.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+VSCALE = 1_000_000
+
+
+def _events_df() -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(
+        f"{SF}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value", "event_type"]).to_pandas()
+
+
+def _docs_df() -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+
+
+# ---------------------------------------------------------------- W3 ----
+def _rolling_ref(df: pd.DataFrame, window: int) -> pd.DataFrame:
+    df = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    vq = np.floor(df["value"].to_numpy() * VSCALE + 0.5).astype(np.int64)
+    df = df.assign(_vq=vq)
+    g = df.groupby("user_id", sort=False)
+    roll = g["_vq"].rolling(window, min_periods=1)
+    out = pd.DataFrame({
+        "event_id": df["event_id"],
+        "user_id": df["user_id"],
+        "value": df["value"],
+        "roll_n": g["value"].rolling(window, min_periods=1).count()
+                   .reset_index(drop=True).astype(np.int64),
+        "roll_sum_q": roll.sum().reset_index(drop=True).astype(np.int64),
+        "roll_min": g["value"].rolling(window, min_periods=1).min()
+                     .reset_index(drop=True),
+        "roll_max": g["value"].rolling(window, min_periods=1).max()
+                     .reset_index(drop=True),
+    })
+    out["roll_avg"] = out["roll_sum_q"].to_numpy() / (
+        float(VSCALE) * out["roll_n"].to_numpy())
+    return out
+
+
+def test_rolling_stats_match_reference(ray_session):
+    from anomalydetection_ray.pipelines.windows import w3_rolling_stats_events
+
+    got = w3_rolling_stats_events(SF).to_pandas().sort_values(
+        "event_id").reset_index(drop=True)
+    ref = _rolling_ref(_events_df(), 5).sort_values(
+        "event_id").reset_index(drop=True)
+    cols = ["event_id", "user_id", "value", "roll_n", "roll_sum_q",
+            "roll_avg", "roll_min", "roll_max"]
+    pd.testing.assert_frame_equal(got[cols], ref[cols], check_dtype=False)
+
+
+def test_rolling_stats_partition_invariance(ray_session):
+    from anomalydetection_ray.pipelines.windows import w3_rolling_stats_events
+
+    a = w3_rolling_stats_events(SF, num_partitions=1).to_pandas()
+    b = w3_rolling_stats_events(SF, num_partitions=16).to_pandas()
+    a = a.sort_values("event_id").reset_index(drop=True)
+    b = b.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+# ------------------------------------------------------------- V1/V2 ----
+def _word_lists(df: pd.DataFrame) -> list[list[str]]:
+    return [[w for w in t.split(" ") if w] for t in df["text"]]
+
+
+def test_vocab_topk_matches_counter(ray_session):
+    from anomalydetection_ray.pipelines.vocab import vocab_topk
+
+    docs = _docs_df()
+    cnt = Counter(w for ws in _word_lists(docs) for w in ws)
+    # top-25 under (count desc, word asc)
+    ref = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    got = vocab_topk(SF).to_pandas()
+    got_pairs = list(zip(got["word"], got["n"]))
+    assert got_pairs == ref
+
+
+def test_vocab_doc_freq_matches_sets(ray_session):
+    from anomalydetection_ray.pipelines.vocab import vocab_doc_freq
+
+    docs = _docs_df()
+    df_cnt = Counter(w for ws in _word_lists(docs) for w in set(ws))
+    ref = {w: c for w, c in df_cnt.items() if c >= 2}
+    got = vocab_doc_freq(SF).to_pandas()
+    assert dict(zip(got["word"], got["df"])) == ref
+
+
+# -------------------------------------------------------- repetition ----
+def test_quality_repetition_matches_counter(ray_session):
+    from anomalydetection_ray.pipelines.text import quality_repetition
+
+    docs = _docs_df()
+    got = quality_repetition(SF).to_pandas().set_index("doc_id")
+    for doc_id, ws in zip(docs["doc_id"], _word_lists(docs)):
+        row = got.loc[doc_id]
+        c = Counter(ws)
+        assert row["n_words"] == len(ws)
+        assert row["n_distinct_words"] == len(c)
+        if ws:
+            assert row["dup_word_frac"] == (len(ws) - len(c)) / len(ws)
+            assert row["top_word_frac"] == max(c.values()) / len(ws)
+        else:
+            assert pd.isna(row["dup_word_frac"])
+
+
+def test_repetition_batch_empty_text():
+    import pyarrow as pa
+
+    from anomalydetection_ray.pipelines.text import repetition_batch
+
+    batch = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                      "text": pa.array(["", "a a b"])})
+    out = repetition_batch(batch).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_words"] == 0 and pd.isna(out.loc[1, "dup_word_frac"])
+    assert out.loc[2, "n_words"] == 3
+    assert out.loc[2, "n_distinct_words"] == 2
+    assert out.loc[2, "dup_word_frac"] == 1.0 / 3.0
+    assert out.loc[2, "top_word_frac"] == 2.0 / 3.0
+
+
+# ---------------------------------------------------------------- G4 ----
+def test_g4_sketch_matches_exact_bitmap(ray_session):
+    from anomalydetection_ray.pipelines.queries import (
+        SKETCH_M, SKETCH_MIX, g4_approx_distinct)
+
+    ev = _events_df()
+    got = g4_approx_distinct(SF).to_pandas().set_index("event_type")
+    for et, g in ev.groupby("event_type"):
+        uid = g["user_id"].to_numpy(dtype=np.uint64)
+        buckets = (uid * np.uint64(SKETCH_MIX)) % np.uint64(2**32) \
+            % np.uint64(SKETCH_M)
+        occ = len(np.unique(buckets))
+        row = got.loc[et]
+        assert row["occupied"] == occ
+        exact = g["user_id"].nunique()
+        # linear counting is tight at this load factor
+        assert abs(row["est_distinct"] - exact) <= max(10, 0.1 * exact)
+
+
+# ---------------------------------------------------------------- K1 ----
+def _kmeans_ref(emb: np.ndarray, k: int, iters: int):
+    """Single-process Lloyd with the engine's exact semantics (quantized
+    int sums, first-argmax ties) but matmul scoring — the float fold
+    order differs, so this checks algorithmic agreement, not bit-equality
+    (that's the SQL oracle's job)."""
+    from anomalydetection_ray.pipelines.kmeans import ESCALE, init_centroids
+
+    ef = emb.astype(np.float64)
+    eint = np.floor(ef * ESCALE + 0.5).astype(np.int64)
+    cent = init_centroids(k, emb.shape[1])
+    denom = np.ones(k)
+    for _ in range(iters):
+        cid = np.argmax((ef @ cent.T) / denom, axis=1)
+        cnt = np.bincount(cid, minlength=k).astype(np.int64)
+        s = np.zeros((k, emb.shape[1]), dtype=np.int64)
+        np.add.at(s, cid, eint)
+        live = cnt > 0
+        cent = np.where(live[:, None], s.astype(np.float64), cent)
+        denom = np.where(live, cnt.astype(np.float64), denom)
+    return cnt, s
+
+
+def test_kmeans_matches_single_process_reference(ray_session):
+    import pyarrow.parquet as pq
+
+    from anomalydetection_ray.pipelines.kmeans import kmeans_train
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    emb = np.asarray(t.column("embedding").combine_chunks().values,
+                     dtype=np.float64).reshape(t.num_rows, -1)
+    cnt, s = _kmeans_ref(emb, 8, 2)
+    got = kmeans_train(SF).to_pandas()
+    k, dim = s.shape
+    assert len(got) == k * dim
+    got = got.sort_values(["cid", "pos"]).reset_index(drop=True)
+    assert (got["n_assigned"].to_numpy() == np.repeat(cnt, dim)).all()
+    assert (got["coord_sum_q"].to_numpy() == s.reshape(-1)).all()
+    nz = got["n_assigned"].to_numpy() > 0
+    means = got["mean"].to_numpy()
+    from anomalydetection_ray.pipelines.kmeans import ESCALE
+    exp = s.reshape(-1) / (float(ESCALE) * np.where(nz, np.repeat(cnt, dim), 1))
+    assert np.array_equal(means[nz], exp[nz])
+    assert np.isnan(means[~nz]).all() or (~nz).sum() == 0
+
+
+def test_kmeans_assignment_counts_cover_corpus(ray_session):
+    from anomalydetection_ray.pipelines.kmeans import kmeans_state
+
+    cnt, _, dim = kmeans_state(SF, 8, 2)
+    assert cnt.sum() == 500 and dim == 64
