@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from anomalydetection_ray.pipelines import dedup as dd
     from anomalydetection_ray.pipelines import kmeans as km
     from anomalydetection_ray.pipelines import multimodal as mm
+    from anomalydetection_ray.pipelines import packing as pk
     from anomalydetection_ray.pipelines import queries as q
     from anomalydetection_ray.pipelines import similarity as sim
     from anomalydetection_ray.pipelines import text as tx
@@ -183,10 +184,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w1_sessionize_events": wnd.w1_sessionize_events,
         "w2_lag_features_events": wnd.w2_lag_features_events,
         "w3_rolling_stats_events": wnd.w3_rolling_stats_events,
+        "w4_ohlc_resample": wnd.w4_ohlc_resample_events,
         "j5_interval_stats": wnd.j5_interval_stats,
         # V family: corpus vocabulary build (partial counts before shuffle)
         "vocab_topk": vb.vocab_topk,
         "vocab_doc_freq": vb.vocab_doc_freq,
+        "tfidf_topk": vb.tfidf_topk,
+        # P3 sequence packing: distributed exclusive prefix sum
+        "pack_sequences": pk.pack_sequences,
         # Gopher-style word-repetition quality stats (Rae et al. 2021)
         "quality_repetition": tx.quality_repetition,
         # G4 linear-counting distinct sketch (Whang et al. 1990)
@@ -1388,4 +1393,57 @@ def oracle_sql() -> dict[str, str]:
             FROM b GROUP BY event_type
         """,
         "kmeans_train": _kmeans_sql(dim=_dim),
+        # W4 OHLC resample: first/last by (ts, event_id) via row_number
+        "w4_ohlc_resample": """
+            WITH o AS (
+                SELECT user_id, epoch_us(ts) // 86400000000 AS bucket, value,
+                       row_number() OVER (PARTITION BY user_id,
+                               epoch_us(ts) // 86400000000
+                           ORDER BY ts, event_id) AS rn_a,
+                       row_number() OVER (PARTITION BY user_id,
+                               epoch_us(ts) // 86400000000
+                           ORDER BY ts DESC, event_id DESC) AS rn_d
+                FROM events)
+            SELECT user_id, CAST(bucket AS BIGINT) AS bucket,
+                   count(*) AS n_events,
+                   max(CASE WHEN rn_a = 1 THEN value END) AS open,
+                   max(value) AS high, min(value) AS low,
+                   max(CASE WHEN rn_d = 1 THEN value END) AS close
+            FROM o GROUP BY user_id, bucket
+        """,
+        # V3 TF-IDF top terms: score = tf * ln(N / df), (score desc,
+        # word asc) per doc — identical floats both sides (one double
+        # division, one libm ln, one int*double product)
+        "tfidf_topk": """
+            WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+            wf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+                   FROM w WHERE word <> '' GROUP BY doc_id, word),
+            df AS (SELECT word, count(DISTINCT doc_id) AS df
+                   FROM w WHERE word <> '' GROUP BY word),
+            nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+            s AS (SELECT wf.doc_id, wf.word, wf.tf,
+                         wf.tf * ln(nd.n / df.df) AS score,
+                         row_number() OVER (PARTITION BY wf.doc_id
+                             ORDER BY wf.tf * ln(nd.n / df.df) DESC,
+                                      wf.word) AS rnk
+                  FROM wf JOIN df USING (word) CROSS JOIN nd)
+            SELECT doc_id, word, tf, score, CAST(rnk AS BIGINT) AS "rank"
+            FROM s WHERE rnk <= 3
+        """,
+        # P3 sequence packing: exclusive prefix sum over doc_id order
+        "pack_sequences": """
+            WITH n AS (SELECT doc_id,
+                              CAST(length(list_filter(string_split(text, ' '),
+                                   x -> x <> '')) AS BIGINT) AS n_tok
+                       FROM documents)
+            SELECT doc_id, n_tok,
+                   CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS tok_offset,
+                   CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) // 1024 AS seq_id
+            FROM n
+        """,
     }

@@ -1,0 +1,119 @@
+"""P3 — training-sequence packing over the documents table (round-3).
+
+The GPT-style pack-and-split: concatenate the corpus token stream in
+``doc_id`` order and cut it into fixed-length training sequences of
+``seq_len`` tokens; every document is tagged with its global token offset
+and the sequence its first token lands in.  The load-bearing primitive is
+a DISTRIBUTED EXCLUSIVE PREFIX SUM over the per-document token counts —
+the textbook two-pass scan:
+
+1. one map pass collapses the text to the tiny ``(doc_id, n_tok)``
+   relation, range-partitioned on ``doc_id`` (parquet footer min/max
+   stats give the id span — no data read);
+2. per-partition token totals (``P`` rows) reduce to the driver, which
+   computes the exclusive per-partition offsets — the only driver state,
+   ``O(P)``;
+3. a per-partition kernel sorts its own slice by ``doc_id``, local
+   cumsum + partition offset = the global offset, ``offset // seq_len``
+   = the sequence id.
+
+At 100 TB the text is read ONCE (step 1); everything after operates on
+the 16-byte-per-doc count relation, which is materialized so steps 2 and
+3 share it instead of re-tokenizing.  No global sort: range partitioning
+by id makes each partition's rows a contiguous id span, so per-partition
+local order is global order.
+
+Oracle: ``SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+PRECEDING AND 1 PRECEDING)`` — exact int64 arithmetic end to end.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SEQ_LEN_DEFAULT = 1024
+_PART = "_range_part"
+
+
+def _doc_id_span(path: str) -> tuple[int, int]:
+    """(min, max) of doc_id from parquet row-group statistics only."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    idx = pf.schema_arrow.get_field_index("doc_id")
+    lo, hi = None, None
+    for rg in range(pf.metadata.num_row_groups):
+        st = pf.metadata.row_group(rg).column(idx).statistics
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return int(lo), int(hi)
+
+
+def _count_batch(batch: pa.Table, lo: int, hi: int,
+                 num_partitions: int) -> pa.Table:
+    """(doc_id, n_tok, range partition) for one batch — words are
+    non-empty space-split tokens (== the vocab family and the SQL
+    oracle)."""
+    text = batch.column("text")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    words = pc.split_pattern(text, " ")
+    flat = pc.list_flatten(words)
+    row_of = np.asarray(pc.list_parent_indices(words), dtype=np.int64)
+    nonempty = np.asarray(pc.not_equal(flat, ""))
+    n_tok = np.bincount(row_of[nonempty], minlength=batch.num_rows)
+    ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+    part = (ids - lo) * num_partitions // (hi - lo + 1)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_tok": pa.array(n_tok.astype(np.int64), type=pa.int64()),
+        _PART: pa.array(part, type=pa.int64()),
+    })
+
+
+def _scan_kernel(group: pa.Table, offsets: np.ndarray,
+                 seq_len: int) -> pa.Table:
+    part = int(group.column(_PART)[0].as_py())
+    group = group.drop_columns([_PART]).sort_by([("doc_id", "ascending")])
+    n_tok = np.asarray(group.column("n_tok"), dtype=np.int64)
+    before = int(offsets[part]) + np.cumsum(n_tok) - n_tok
+    return pa.table({
+        "doc_id": group.column("doc_id"),
+        "n_tok": group.column("n_tok"),
+        "tok_offset": pa.array(before, type=pa.int64()),
+        "seq_id": pa.array(before // seq_len, type=pa.int64()),
+    })
+
+
+def pack_sequences(sf_dir: str, seq_len: int = SEQ_LEN_DEFAULT,
+                   num_partitions: int = 16):
+    """P3 — per-document (global token offset, training-sequence id)
+    under pack-and-split at ``seq_len``; see module docstring for the
+    two-pass distributed scan."""
+    import ray.data
+
+    path = f"{sf_dir}/documents.parquet"
+    lo, hi = _doc_id_span(path)
+    counts = (ray.data.read_parquet(path, columns=["doc_id", "text"])
+              .map_batches(functools.partial(_count_batch, lo=lo, hi=hi,
+                                             num_partitions=num_partitions),
+                           batch_format="pyarrow", zero_copy_batch=True)
+              .materialize())  # tiny int relation, shared by both passes
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        return batch.select([_PART, "n_tok"]).group_by(_PART).aggregate(
+            [("n_tok", "sum")])
+
+    totals = np.zeros(num_partitions, dtype=np.int64)
+    for row in (counts.map_batches(_partial, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+                .groupby(_PART).sum("n_tok_sum").take_all()):
+        totals[int(row[_PART])] = int(row["sum(n_tok_sum)"])
+    offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))
+    return counts.groupby(_PART).map_groups(
+        functools.partial(_scan_kernel, offsets=offsets, seq_len=seq_len),
+        batch_format="pyarrow")

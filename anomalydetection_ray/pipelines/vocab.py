@@ -22,6 +22,7 @@ than the corpus.  Top-k uses the stages/topk block-prune (at most
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -97,6 +98,58 @@ def vocab_topk(sf_dir: str, k: int = TOPK_DEFAULT):
     counts = partials.groupby("word").map_groups(_sum_group("n"),
                                                 batch_format="pyarrow")
     return topk(counts, k, [("n", "descending"), ("word", "ascending")])
+
+
+def tfidf_topk(sf_dir: str, k: int = 3):
+    """V3 — top-``k`` TF-IDF terms per document: the DF table (built by
+    the V2 distributed pass, vocab-sized) collects to the driver ONCE and
+    broadcasts into a map-only scoring pass — the J1 small-side-lookup
+    pattern, never a shuffle join of the corpus against the vocabulary.
+    ``score = tf * ln(N / df)``; per-document top-k under (score desc,
+    word asc).  At 100 TB the vocabulary is the only collected state
+    (bounded, ~10^6-10^7 rows); the corpus streams through one
+    ``map_batches``."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    df_pd = vocab_doc_freq(sf_dir, min_df=1).to_pandas()
+    vocab = pd.Index(df_pd["word"])
+    n_docs = float(pq.ParquetFile(
+        f"{sf_dir}/documents.parquet").metadata.num_rows)
+    # scalar libm log, not np.log: numpy's SIMD log diverges from libm by
+    # 1 ulp on some inputs, and DuckDB's ln (the oracle) is libm.  The
+    # loop is driver-side, once, over the vocabulary only.
+    import math
+
+    idf = np.fromiter((math.log(n_docs / d) for d in df_pd["df"]),
+                      dtype=np.float64, count=len(df_pd))
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        flat, doc_flat = _words_flat(batch)
+        pairs = pa.table({"doc_id": doc_flat, "word": flat})
+        tf_tbl = pairs.group_by(["doc_id", "word"]).aggregate(
+            [("word", "count")])
+        words = np.asarray(tf_tbl.column("word"), dtype=object)
+        tf = np.asarray(tf_tbl.column("word_count"), dtype=np.int64)
+        docs = np.asarray(tf_tbl.column("doc_id"), dtype=np.int64)
+        score = tf * idf[vocab.get_indexer(words)]
+        order = np.lexsort((words, -score, docs))
+        docs_s = docs[order]
+        starts = np.flatnonzero(np.r_[True, docs_s[1:] != docs_s[:-1]])
+        lens = np.diff(np.append(starts, len(docs_s)))
+        rank = np.arange(len(docs_s), dtype=np.int64) - np.repeat(starts, lens)
+        keep = order[rank < k]
+        return pa.table({
+            "doc_id": pa.array(docs[keep], type=pa.int64()),
+            "word": pa.array(words[keep], type=pa.string()),
+            "tf": pa.array(tf[keep], type=pa.int64()),
+            "score": pa.array(score[keep], type=pa.float64()),
+            "rank": pa.array(rank[rank < k] + 1, type=pa.int64()),
+        })
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    return docs.map_batches(score_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
 
 def vocab_doc_freq(sf_dir: str, min_df: int = 2):

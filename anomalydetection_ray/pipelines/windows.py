@@ -249,6 +249,63 @@ def w3_rolling_stats_events(sf_dir: str, window: int = 5,
         batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------- W4 ----
+DAY_US = 86_400_000_000
+
+
+def _ohlc_kernel(group: pa.Table, bucket_us: int) -> pa.Table:
+    """Per-(user, time-bucket) OHLC resample: open/close are the values
+    at the first/last (ts, event_id) of the bucket, high/low exact
+    extrema, count exact.  Vectorized with run-starts + reduceat over the
+    (user, bucket)-sorted partition slice."""
+    group = group.drop_columns([PKEY]).sort_by(
+        [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")])
+    n = group.num_rows
+    if n == 0:
+        return pa.table({
+            "user_id": pa.array([], type=pa.int64()),
+            "bucket": pa.array([], type=pa.int64()),
+            "n_events": pa.array([], type=pa.int64()),
+            "open": pa.array([], type=pa.float64()),
+            "high": pa.array([], type=pa.float64()),
+            "low": pa.array([], type=pa.float64()),
+            "close": pa.array([], type=pa.float64()),
+        })
+    uid = np.asarray(group.column("user_id"), dtype=np.int64)
+    bucket = _ts_us(group.column("ts")) // bucket_us
+    value = np.asarray(group.column("value"), dtype=np.float64)
+    brk = np.ones(n, dtype=bool)
+    brk[1:] = (uid[1:] != uid[:-1]) | (bucket[1:] != bucket[:-1])
+    starts = np.flatnonzero(brk)
+    ends = np.append(starts[1:], n) - 1
+    return pa.table({
+        "user_id": pa.array(uid[starts], type=pa.int64()),
+        "bucket": pa.array(bucket[starts], type=pa.int64()),
+        "n_events": pa.array(ends - starts + 1, type=pa.int64()),
+        "open": pa.array(value[starts], type=pa.float64()),
+        "high": pa.array(np.maximum.reduceat(value, starts), type=pa.float64()),
+        "low": pa.array(np.minimum.reduceat(value, starts), type=pa.float64()),
+        "close": pa.array(value[ends], type=pa.float64()),
+    })
+
+
+def w4_ohlc_resample_events(sf_dir: str, bucket_us: int = DAY_US,
+                            num_partitions: int = 16):
+    """W4 — time-bucket downsample (daily OHLC bars per user): the
+    resample half of the timeseries feature family.  Same one-exchange
+    ``_pkey`` layout as W1-W3 — a bucket belongs to exactly one user, so
+    partitioning by user co-locates every bucket; no second shuffle.
+    Oracle: first/last by (ts, event_id) via row_number, exact extrema."""
+    ev = _read_events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby(PKEY).map_groups(
+        functools.partial(_ohlc_kernel, bucket_us=bucket_us),
+        batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- J5 ----
 def seeded_windows(t0_us: int, t1_us: int,
                    n_windows: int = N_WINDOWS) -> tuple[np.ndarray, np.ndarray]:

@@ -208,3 +208,85 @@ def test_kmeans_assignment_counts_cover_corpus(ray_session):
 
     cnt, _, dim = kmeans_state(SF, 8, 2)
     assert cnt.sum() == 500 and dim == 64
+
+
+# ---------------------------------------------------------------- W4 ----
+def test_ohlc_matches_pandas_reference(ray_session):
+    from anomalydetection_ray.pipelines.windows import (
+        DAY_US, w4_ohlc_resample_events)
+
+    ev = _events_df().sort_values(["user_id", "ts", "event_id"])
+    ev = ev.assign(bucket=ev["ts"].astype("datetime64[us]")
+                   .astype(np.int64) // DAY_US)
+    ref = ev.groupby(["user_id", "bucket"]).agg(
+        n_events=("value", "size"), open=("value", "first"),
+        high=("value", "max"), low=("value", "min"),
+        close=("value", "last")).reset_index()
+    got = w4_ohlc_resample_events(SF).to_pandas().sort_values(
+        ["user_id", "bucket"]).reset_index(drop=True)
+    ref = ref.sort_values(["user_id", "bucket"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[ref.columns.tolist()], ref, check_dtype=False)
+    assert (got["n_events"] > 1).any()  # real multi-event buckets
+
+
+def test_ohlc_partition_invariance(ray_session):
+    from anomalydetection_ray.pipelines.windows import w4_ohlc_resample_events
+
+    a = w4_ohlc_resample_events(SF, num_partitions=1).to_pandas()
+    b = w4_ohlc_resample_events(SF, num_partitions=16).to_pandas()
+    key = ["user_id", "bucket"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------- V3 ----
+def test_tfidf_matches_python_reference(ray_session):
+    import math
+
+    from anomalydetection_ray.pipelines.vocab import tfidf_topk
+
+    docs = _docs_df()
+    wl = _word_lists(docs)
+    n = float(len(docs))
+    df_cnt = Counter(w for ws in wl for w in set(ws))
+    got = tfidf_topk(SF).to_pandas()
+    by_doc = {d: g for d, g in got.groupby("doc_id")}
+    for doc_id, ws in zip(docs["doc_id"], wl):
+        tf = Counter(ws)
+        scored = sorted(((tf[w] * math.log(n / df_cnt[w]), w)
+                         for w in tf), key=lambda t: (-t[0], t[1]))[:3]
+        g = by_doc.get(doc_id)
+        if not scored:
+            assert g is None
+            continue
+        g = g.sort_values("rank")
+        assert list(g["word"]) == [w for _, w in scored]
+        assert list(g["score"]) == [s for s, _ in scored]
+        assert list(g["rank"]) == list(range(1, len(scored) + 1))
+
+
+# ---------------------------------------------------------------- P3 ----
+def test_pack_sequences_prefix_sum_exact(ray_session):
+    from anomalydetection_ray.pipelines.packing import pack_sequences
+
+    docs = _docs_df().sort_values("doc_id").reset_index(drop=True)
+    n_tok = np.array([len([w for w in t.split(" ") if w])
+                      for t in docs["text"]], dtype=np.int64)
+    before = np.cumsum(n_tok) - n_tok
+    got = pack_sequences(SF).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert (got["n_tok"].to_numpy() == n_tok).all()
+    assert (got["tok_offset"].to_numpy() == before).all()
+    assert (got["seq_id"].to_numpy() == before // 1024).all()
+
+
+def test_pack_sequences_partition_invariance(ray_session):
+    from anomalydetection_ray.pipelines.packing import pack_sequences
+
+    a = pack_sequences(SF, num_partitions=1).to_pandas()
+    b = pack_sequences(SF, num_partitions=16).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True))
