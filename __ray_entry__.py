@@ -190,8 +190,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": vb.vocab_topk,
         "vocab_doc_freq": vb.vocab_doc_freq,
         "tfidf_topk": vb.tfidf_topk,
-        # P3 sequence packing: distributed exclusive prefix sum
+        "bigram_topk": vb.bigram_topk,
+        # P3 sequence packing / Q6 seeded shuffle: the distributed-scan
+        # pair (exclusive prefix sum / global rank), pipelines/packing.py
         "pack_sequences": pk.pack_sequences,
+        "q6_seeded_shuffle": pk.seeded_shuffle,
         # Gopher-style word-repetition quality stats (Rae et al. 2021)
         "quality_repetition": tx.quality_repetition,
         # G4 linear-counting distinct sketch (Whang et al. 1990)
@@ -1430,6 +1433,33 @@ def oracle_sql() -> dict[str, str]:
                   FROM wf JOIN df USING (word) CROSS JOIN nd)
             SELECT doc_id, word, tf, score, CAST(rnk AS BIGINT) AS "rank"
             FROM s WHERE rnk <= 3
+        """,
+        # V4 bigram top-k: adjacent pairs after empty-drop, position pairs
+        "bigram_topk": """
+            WITH ws AS (SELECT doc_id,
+                               list_filter(string_split(text, ' '),
+                                           x -> x <> '') AS w
+                        FROM documents)
+            SELECT w[t.i] || ' ' || w[t.i + 1] AS word,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM ws CROSS JOIN unnest(range(1, greatest(len(w), 1))) AS t(i)
+            GROUP BY word ORDER BY n DESC, word ASC LIMIT 25
+        """,
+        # Q6 seeded shuffle: global rank under (hash, doc_id) — id XOR
+        # seed-mix before the Knuth multiply (seed changes the
+        # permutation, not just a rank shift); HUGEINT product mod 2^32
+        # == the engine's uint64 wrap mod 2^32
+        "q6_seeded_shuffle": f"""
+            WITH h AS (SELECT doc_id,
+                              CAST((CAST(xor(doc_id % 4294967296,
+                                             {(42 * 2654435761) & 0xFFFFFFFF})
+                                         AS HUGEINT) * 2654435761)
+                                   % 4294967296 AS BIGINT) AS h
+                       FROM documents)
+            SELECT doc_id, h,
+                   CAST(row_number() OVER (ORDER BY h, doc_id) - 1
+                        AS BIGINT) AS shuffle_pos
+            FROM h
         """,
         # P3 sequence packing: exclusive prefix sum over doc_id order
         "pack_sequences": """

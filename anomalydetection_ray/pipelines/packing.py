@@ -89,6 +89,22 @@ def _scan_kernel(group: pa.Table, offsets: np.ndarray,
     })
 
 
+def _exclusive_offsets(counts, num_partitions: int, col: str) -> np.ndarray:
+    """Per-partition exclusive prefix offsets of ``sum(col)`` — the O(P)
+    driver half of the distributed scan (per-block partials collapse
+    before the exchange; only ``P`` rows reach the driver)."""
+    def _partial(batch: pa.Table) -> pa.Table:
+        return batch.select([_PART, col]).group_by(_PART).aggregate(
+            [(col, "sum")])
+
+    totals = np.zeros(num_partitions, dtype=np.int64)
+    for row in (counts.map_batches(_partial, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+                .groupby(_PART).sum(f"{col}_sum").take_all()):
+        totals[int(row[_PART])] = int(row[f"sum({col}_sum)"])
+    return np.concatenate(([0], np.cumsum(totals)[:-1]))
+
+
 def pack_sequences(sf_dir: str, seq_len: int = SEQ_LEN_DEFAULT,
                    num_partitions: int = 16):
     """P3 — per-document (global token offset, training-sequence id)
@@ -104,16 +120,63 @@ def pack_sequences(sf_dir: str, seq_len: int = SEQ_LEN_DEFAULT,
                            batch_format="pyarrow", zero_copy_batch=True)
               .materialize())  # tiny int relation, shared by both passes
 
-    def _partial(batch: pa.Table) -> pa.Table:
-        return batch.select([_PART, "n_tok"]).group_by(_PART).aggregate(
-            [("n_tok", "sum")])
-
-    totals = np.zeros(num_partitions, dtype=np.int64)
-    for row in (counts.map_batches(_partial, batch_format="pyarrow",
-                                   zero_copy_batch=True)
-                .groupby(_PART).sum("n_tok_sum").take_all()):
-        totals[int(row[_PART])] = int(row["sum(n_tok_sum)"])
-    offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))
+    offsets = _exclusive_offsets(counts, num_partitions, "n_tok")
     return counts.groupby(_PART).map_groups(
         functools.partial(_scan_kernel, offsets=offsets, seq_len=seq_len),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- Q6 ----
+SHUFFLE_SEED_DEFAULT = 42
+
+
+def _hash_batch(batch: pa.Table, seed: int, num_partitions: int) -> pa.Table:
+    """(doc_id, h, range partition on h) — layout-independent seeded
+    hash: the id is XORed with a seed mix BEFORE the Knuth multiply, so
+    a different seed produces a genuinely different permutation (an
+    affine-in-id hash would only shift every rank by a constant).  h is
+    uniform on [0, 2^32); equal hash ranges range-partition the order."""
+    ids = np.asarray(batch.column("doc_id"), dtype=np.uint64)
+    smix = (np.uint64(seed) * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+    h = (((ids & np.uint64(0xFFFFFFFF)) ^ smix) * np.uint64(2654435761)) \
+        & np.uint64(0xFFFFFFFF)
+    part = (h * np.uint64(num_partitions)) >> np.uint64(32)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "h": pa.array(h.astype(np.int64), type=pa.int64()),
+        "one": pa.array(np.ones(len(ids), dtype=np.int64), type=pa.int64()),
+        _PART: pa.array(part.astype(np.int64), type=pa.int64()),
+    })
+
+
+def _rank_kernel(group: pa.Table, offsets: np.ndarray) -> pa.Table:
+    part = int(group.column(_PART)[0].as_py())
+    group = group.drop_columns([_PART, "one"]).sort_by(
+        [("h", "ascending"), ("doc_id", "ascending")])
+    pos = int(offsets[part]) + np.arange(group.num_rows, dtype=np.int64)
+    return group.append_column("shuffle_pos", pa.array(pos, type=pa.int64()))
+
+
+def seeded_shuffle(sf_dir: str, seed: int = SHUFFLE_SEED_DEFAULT,
+                   num_partitions: int = 16):
+    """Q6 — deterministic global training-order shuffle: every document
+    gets a contiguous ``shuffle_pos`` equal to its rank under ``(hash,
+    doc_id)`` order.  The distributed-rank sibling of P3's prefix sum:
+    hash-range partitioning makes each partition a contiguous rank span,
+    so rank = per-partition exclusive row-count offset + local sort
+    position — no global sort, one tiny O(P) driver exchange.  Unlike
+    ``ds.random_shuffle()`` the order is a pure function of (doc_id,
+    seed): layout-independent, resumable, and SQL-checkable
+    (``row_number() OVER (ORDER BY h, doc_id)``)."""
+    import ray.data
+
+    hashed = (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                    columns=["doc_id"])
+              .map_batches(functools.partial(_hash_batch, seed=seed,
+                                             num_partitions=num_partitions),
+                           batch_format="pyarrow", zero_copy_batch=True)
+              .materialize())  # 24-byte/doc relation shared by both passes
+    offsets = _exclusive_offsets(hashed, num_partitions, "one")
+    return hashed.groupby(_PART).map_groups(
+        functools.partial(_rank_kernel, offsets=offsets),
         batch_format="pyarrow")

@@ -152,6 +152,43 @@ def tfidf_topk(sf_dir: str, k: int = 3):
                             zero_copy_batch=True)
 
 
+def _bigram_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch partial bigram counts: adjacent non-empty word pairs
+    within one document (pairing AFTER empty-token drop, matching the
+    oracle's ``list_filter`` + position pairs)."""
+    flat, doc_flat = _words_flat(batch)
+    n = len(flat)
+    if n < 2:
+        return pa.table({"word": pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64())})
+    left = flat.slice(0, n - 1)
+    right = flat.slice(1, n - 1)
+    docs = np.asarray(doc_flat, dtype=np.int64)
+    same = pa.array(docs[1:] == docs[:-1])
+    bigrams = pc.binary_join_element_wise(
+        left.filter(same), right.filter(same), " ")
+    vc = pc.value_counts(bigrams)
+    return pa.table({
+        "word": vc.field("values"),
+        "n": pc.cast(vc.field("counts"), pa.int64()),
+    })
+
+
+def bigram_topk(sf_dir: str, k: int = TOPK_DEFAULT):
+    """V4 — corpus-wide top-k bigram frequencies (the n-gram LM / phrase
+    mining counterpart of V1): same partial-aggregate-before-shuffle
+    discipline — the exchange carries one row per DISTINCT bigram per
+    block."""
+    from anomalydetection_ray.stages.topk import topk
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    partials = docs.map_batches(_bigram_partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    counts = partials.groupby("word").map_groups(_sum_group("n"),
+                                                batch_format="pyarrow")
+    return topk(counts, k, [("n", "descending"), ("word", "ascending")])
+
+
 def vocab_doc_freq(sf_dir: str, min_df: int = 2):
     """V2 — per-word document frequency (the DF table of TF-IDF): distinct
     (word, doc) pairs per block collapse to partial doc counts, which sum

@@ -290,3 +290,48 @@ def test_pack_sequences_partition_invariance(ray_session):
     pd.testing.assert_frame_equal(
         a.sort_values("doc_id").reset_index(drop=True),
         b.sort_values("doc_id").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------- Q6 ----
+def test_seeded_shuffle_is_a_permutation(ray_session):
+    from anomalydetection_ray.pipelines.packing import seeded_shuffle
+
+    got = seeded_shuffle(SF).to_pandas()
+    n = len(got)
+    assert sorted(got["shuffle_pos"]) == list(range(n))
+    # rank order equals (h, doc_id) lexicographic order
+    s = got.sort_values(["h", "doc_id"]).reset_index(drop=True)
+    assert (s["shuffle_pos"].to_numpy() == np.arange(n)).all()
+    # pure function of (doc_id, seed): engine hash replayed in numpy
+    ids = got["doc_id"].to_numpy(dtype=np.uint64)
+    smix = (np.uint64(42) * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+    h = (((ids & np.uint64(0xFFFFFFFF)) ^ smix) * np.uint64(2654435761)) \
+        & np.uint64(0xFFFFFFFF)
+    assert (got["h"].to_numpy(dtype=np.uint64) == h).all()
+
+
+def test_seeded_shuffle_partition_invariance_and_seed(ray_session):
+    from anomalydetection_ray.pipelines.packing import seeded_shuffle
+
+    a = seeded_shuffle(SF, num_partitions=1).to_pandas()
+    b = seeded_shuffle(SF, num_partitions=16).to_pandas()
+    key = "doc_id"
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True))
+    c = seeded_shuffle(SF, seed=7).to_pandas().sort_values(key)
+    assert (c["shuffle_pos"].to_numpy()
+            != a.sort_values(key)["shuffle_pos"].to_numpy()).any()
+
+
+# ---------------------------------------------------------------- V4 ----
+def test_bigram_topk_matches_counter(ray_session):
+    from anomalydetection_ray.pipelines.vocab import bigram_topk
+
+    docs = _docs_df()
+    cnt = Counter()
+    for ws in _word_lists(docs):
+        cnt.update(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+    ref = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    got = bigram_topk(SF).to_pandas()
+    assert list(zip(got["word"], got["n"])) == ref
