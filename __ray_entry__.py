@@ -185,7 +185,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w2_lag_features_events": wnd.w2_lag_features_events,
         "w3_rolling_stats_events": wnd.w3_rolling_stats_events,
         "w4_ohlc_resample": wnd.w4_ohlc_resample_events,
+        "w5_trend_events": wnd.w5_trend_events,
         "j5_interval_stats": wnd.j5_interval_stats,
+        # G5/G6 sketch + histogram (exact-integer distributed merges)
+        "g5_heavy_hitters_cms": q.g5_heavy_hitters_cms,
+        "g6_value_histogram": q.g6_value_histogram,
         # V family: corpus vocabulary build (partial counts before shuffle)
         "vocab_topk": vb.vocab_topk,
         "vocab_doc_freq": vb.vocab_doc_freq,
@@ -1433,6 +1437,63 @@ def oracle_sql() -> dict[str, str]:
                   FROM wf JOIN df USING (word) CROSS JOIN nd)
             SELECT doc_id, word, tf, score, CAST(rnk AS BIGINT) AS "rank"
             FROM s WHERE rnk <= 3
+        """,
+        # W5 OLS trend: exact integer moment sums (hours since first
+        # event x micro-quantized value), HUGEINT normal-equation
+        # numerator/denominator, three pinned float ops for the slope
+        "w5_trend_events": """
+            WITH b AS (
+                SELECT user_id,
+                       (epoch_us(ts) - min(epoch_us(ts))
+                            OVER (PARTITION BY user_id)) // 3600000000 AS x,
+                       CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vq
+                FROM events),
+            s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(vq) AS BIGINT) AS sy_q,
+                         CAST(sum(x * vq) AS BIGINT) AS sxy_q,
+                         CAST(sum(x * x) AS BIGINT) AS sxx
+                  FROM b GROUP BY user_id)
+            SELECT user_id, n, sx, sy_q, sxy_q, sxx,
+                   CASE WHEN CAST(n AS HUGEINT) * sxx
+                             - CAST(sx AS HUGEINT) * sx = 0 THEN NULL
+                        ELSE (CAST(CAST(n AS HUGEINT) * sxy_q
+                                   - CAST(sx AS HUGEINT) * sy_q AS DOUBLE)
+                              / CAST(CAST(n AS HUGEINT) * sxx
+                                     - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                             / 1000000.0
+                   END AS slope_per_hour
+            FROM s
+        """,
+        # G6 histogram: clamp(floor(value / width), bins-1) exact counts
+        "g6_value_histogram": """
+            SELECT event_type,
+                   CAST(least(floor(value / 10.0), 34) AS BIGINT) AS bin,
+                   count(*) AS n
+            FROM events GROUP BY event_type, bin
+        """,
+        # G5 count-min sketch: every counter cell is an exact count of
+        # hash-colliding events; estimate = min over the 4 hash rows
+        "g5_heavy_hitters_cms": """
+            WITH params(j, a, b) AS (VALUES
+                (0, 2654435761, 40503), (1, 2246822519, 65537),
+                (2, 3266489917, 4101842887), (3, 668265263, 362437)),
+            cnt AS MATERIALIZED (
+                SELECT p.j,
+                       CAST(((CAST(e.user_id AS HUGEINT) * p.a + p.b)
+                             % 4294967296) % 1024 AS BIGINT) AS cell,
+                       count(*) AS c
+                FROM events e CROSS JOIN params p GROUP BY p.j, cell),
+            top AS (SELECT user_id, count(*) AS n_exact FROM events
+                    GROUP BY user_id ORDER BY n_exact DESC, user_id
+                    LIMIT 10)
+            SELECT t.user_id, CAST(t.n_exact AS BIGINT) AS n_exact,
+                   CAST(min(c.c) AS BIGINT) AS n_cms
+            FROM top t JOIN params p ON true
+            JOIN cnt c ON c.j = p.j AND c.cell =
+                CAST(((CAST(t.user_id AS HUGEINT) * p.a + p.b)
+                      % 4294967296) % 1024 AS BIGINT)
+            GROUP BY t.user_id, t.n_exact
         """,
         # V4 bigram top-k: adjacent pairs after empty-drop, position pairs
         "bigram_topk": """

@@ -848,6 +848,125 @@ def g4_approx_distinct(sf_dir: str):
     return partials.groupby("event_type").map_groups(estimate, batch_format="pyarrow")
 
 
+HIST_WIDTH = 10.0
+HIST_BINS = 35
+
+CMS_W = 1024  # counters per row
+CMS_A = (2654435761, 2246822519, 3266489917, 668265263)  # odd multipliers
+CMS_B = (40503, 65537, 4101842887, 362437)
+
+
+def g6_value_histogram(sf_dir: str):
+    """G6 — fixed-bin value histograms per event_type: bin = clamp(floor
+    (value / width), 0, bins−1).  Per-block partial counts collapse with
+    an Arrow group_by before the exchange (≤ types · bins rows per
+    block); the final groupby is over the tiny (type, bin) grid."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        b = np.minimum(np.floor(v / HIST_WIDTH), HIST_BINS - 1).astype(np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "bin": pa.array(b, type=pa.int64())})
+        g = t.group_by(["event_type", "bin"]).aggregate([([], "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "bin": g.column("bin"),
+                         "n": pc.cast(g.column("count_all"), pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def merge(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "event_type": group.column("event_type").slice(0, 1),
+            "bin": group.column("bin").slice(0, 1),
+            "n": pa.array([int(pc.sum(group.column("n")).as_py())],
+                          type=pa.int64()),
+        })
+
+    return partials.groupby(["event_type", "bin"]).map_groups(
+        merge, batch_format="pyarrow")
+
+
+def _cms_cells(uid: np.ndarray) -> np.ndarray:
+    """(4, len) cell indices: h_j(u) = ((u·A_j + B_j) mod 2^32) mod w —
+    the G4 hash family, one row per (A, B) pair."""
+    u = uid.astype(np.uint64)
+    return np.stack([
+        (((u * np.uint64(a)) + np.uint64(b)) % np.uint64(2**32))
+        % np.uint64(CMS_W)
+        for a, b in zip(CMS_A, CMS_B)
+    ]).astype(np.int64)
+
+
+def g5_heavy_hitters_cms(sf_dir: str, k: int = 10):
+    """G5 — heavy hitters with a count-min sketch (Cormode &
+    Muthukrishnan 2005): per-block partial sketches (a single 4×1024
+    int64 row each — ONE row per block crosses the exchange regardless
+    of block size), merged by elementwise sum (associative, exact), then
+    the top-k users' exact counts compared against their CMS estimates
+    (min over the 4 rows; always ≥ exact).  Every counter cell is an
+    exact integer count of hash-colliding events, so the whole sketch is
+    reproduced verbatim in the SQL oracle."""
+    import ray.data
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = np.asarray(batch.column("user_id"), dtype=np.int64)
+        cells = _cms_cells(uid)
+        sketch = np.zeros((len(CMS_A), CMS_W), dtype=np.int64)
+        for j in range(len(CMS_A)):
+            np.add.at(sketch[j], cells[j], 1)
+        return pa.table({
+            "k": pa.array([0], type=pa.int64()),
+            "sketch": pa.array([sketch.reshape(-1).tolist()],
+                               type=pa.list_(pa.int64())),
+        })
+
+    def merge(group: pa.Table) -> pa.Table:
+        sl = group.column("sketch")
+        if isinstance(sl, pa.ChunkedArray):
+            sl = sl.combine_chunks()
+        mat = np.asarray(sl.values, dtype=np.int64).reshape(
+            group.num_rows, -1)
+        return pa.table({
+            "k": group.column("k").slice(0, 1),
+            "sketch": pa.array([mat.sum(axis=0).tolist()],
+                               type=pa.list_(pa.int64())),
+        })
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("k").map_groups(merge, batch_format="pyarrow")
+            .take_all())
+    sketch = np.asarray(rows[0]["sketch"], dtype=np.int64).reshape(
+        len(CMS_A), CMS_W)
+
+    # exact top-k users (tiny distributed count + block-pruned top-k)
+    from anomalydetection_ray.stages.topk import topk as _topk
+
+    counts = _read(sf_dir, "events", ["user_id"]).groupby(
+        "user_id").count()
+    top = _topk(counts, k, [("count()", "descending"),
+                            ("user_id", "ascending")]).take_all()
+    uids = np.array([r["user_id"] for r in top], dtype=np.int64)
+    exact = np.array([r["count()"] for r in top], dtype=np.int64)
+    cells = _cms_cells(uids)
+    est = sketch[np.arange(len(CMS_A))[:, None], cells].min(axis=0)
+    return ray.data.from_arrow(pa.table({
+        "user_id": pa.array(uids, type=pa.int64()),
+        "n_exact": pa.array(exact, type=pa.int64()),
+        "n_cms": pa.array(est, type=pa.int64()),
+    }))
+
+
 def j6_anti_join(sf_dir: str, price_floor: float = 400000.0):
     """J6 — distributed anti join via the J3 co-partition layout:
     customers with NO order above ``price_floor``.  The orders side is

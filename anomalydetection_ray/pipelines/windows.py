@@ -306,6 +306,81 @@ def w4_ohlc_resample_events(sf_dir: str, bucket_us: int = DAY_US,
         batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------- W5 ----
+HOUR_US = 3_600_000_000
+
+
+def _trend_kernel(group: pa.Table) -> pa.Table:
+    """Per-user OLS trend of value on time: exact integer moment sums
+    (x = whole hours since the user's first event, y = micro-quantized
+    value), then the closed-form slope as three pinned float ops.  The
+    final ``n·Sxy − Sx·Sy`` products are taken in arbitrary-precision
+    Python ints per group (one scalar op per user, NOT the hot path —
+    the per-row reductions stay vectorized), matching the SQL oracle's
+    HUGEINT arithmetic exactly at any magnitude."""
+    group = group.drop_columns([PKEY]).sort_by(
+        [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")])
+    n = group.num_rows
+    if n == 0:
+        return pa.table({
+            "user_id": pa.array([], type=pa.int64()),
+            "n": pa.array([], type=pa.int64()),
+            "sx": pa.array([], type=pa.int64()),
+            "sy_q": pa.array([], type=pa.int64()),
+            "sxy_q": pa.array([], type=pa.int64()),
+            "sxx": pa.array([], type=pa.int64()),
+            "slope_per_hour": pa.array([], type=pa.float64()),
+        })
+    uid = np.asarray(group.column("user_id"), dtype=np.int64)
+    ts = _ts_us(group.column("ts"))
+    vq = np.floor(np.asarray(group.column("value"), dtype=np.float64)
+                  * 1_000_000 + 0.5).astype(np.int64)
+    starts = run_starts(group, ["user_id"])
+    lens = np.diff(np.append(starts, n))
+    x = (ts - np.repeat(ts[starts], lens)) // HOUR_US
+    cnt = lens.astype(np.int64)
+    sx = np.add.reduceat(x, starts)
+    sy = np.add.reduceat(vq, starts)
+    sxy = np.add.reduceat(x * vq, starts)
+    sxx = np.add.reduceat(x * x, starts)
+    slope = np.empty(len(starts), dtype=np.float64)
+    mask = np.zeros(len(starts), dtype=bool)
+    for i in range(len(starts)):  # per GROUP, exact bigint arithmetic
+        num = int(cnt[i]) * int(sxy[i]) - int(sx[i]) * int(sy[i])
+        den = int(cnt[i]) * int(sxx[i]) - int(sx[i]) * int(sx[i])
+        if den == 0:
+            mask[i] = True
+            slope[i] = 0.0
+        else:
+            slope[i] = (float(num) / float(den)) / 1_000_000.0
+    return pa.table({
+        "user_id": pa.array(uid[starts], type=pa.int64()),
+        "n": pa.array(cnt, type=pa.int64()),
+        "sx": pa.array(sx, type=pa.int64()),
+        "sy_q": pa.array(sy, type=pa.int64()),
+        "sxy_q": pa.array(sxy, type=pa.int64()),
+        "sxx": pa.array(sxx, type=pa.int64()),
+        "slope_per_hour": pa.array(slope, type=pa.float64(), mask=mask),
+    })
+
+
+def w5_trend_events(sf_dir: str, num_partitions: int = 16):
+    """W5 — per-key OLS trend (drift) detection: the slope of value over
+    time per user, the linear-regression sibling of the A-family
+    detectors (a sustained drift that never trips a per-bucket z test).
+    Same one-exchange ``_pkey`` layout; all moment sums are exact
+    integers so the distributed result is block-order independent, and
+    the slope itself is pinned to three float ops the SQL oracle replays
+    verbatim.  Degenerate keys (all events in one hour) emit NULL."""
+    ev = _read_events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby(PKEY).map_groups(_trend_kernel,
+                                           batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- J5 ----
 def seeded_windows(t0_us: int, t1_us: int,
                    n_windows: int = N_WINDOWS) -> tuple[np.ndarray, np.ndarray]:

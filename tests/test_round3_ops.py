@@ -324,6 +324,65 @@ def test_seeded_shuffle_partition_invariance_and_seed(ray_session):
             != a.sort_values(key)["shuffle_pos"].to_numpy()).any()
 
 
+# ---------------------------------------------------------------- W5 ----
+def test_trend_matches_polyfit(ray_session):
+    from anomalydetection_ray.pipelines.windows import w5_trend_events
+
+    got = w5_trend_events(SF).to_pandas().set_index("user_id")
+    ev = _events_df()
+    for uid, g in ev.groupby("user_id"):
+        ts = g["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        x = (ts - ts.min()) // 3_600_000_000
+        y = np.floor(g["value"].to_numpy() * 1e6 + 0.5) / 1e6
+        row = got.loc[uid]
+        assert row["n"] == len(g)
+        if np.ptp(x) == 0:
+            assert pd.isna(row["slope_per_hour"])
+        else:
+            ref = np.polyfit(x.astype(float), y, 1)[0]
+            assert abs(row["slope_per_hour"] - ref) < 1e-6 * max(1, abs(ref))
+
+
+def test_trend_partition_invariance(ray_session):
+    from anomalydetection_ray.pipelines.windows import w5_trend_events
+
+    a = w5_trend_events(SF, num_partitions=1).to_pandas()
+    b = w5_trend_events(SF, num_partitions=16).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("user_id").reset_index(drop=True),
+        b.sort_values("user_id").reset_index(drop=True))
+
+
+# ------------------------------------------------------------- G5/G6 ----
+def test_histogram_matches_bincount(ray_session):
+    from anomalydetection_ray.pipelines.queries import g6_value_histogram
+
+    got = g6_value_histogram(SF).to_pandas()
+    ev = _events_df()
+    for et, g in ev.groupby("event_type"):
+        bins = np.minimum(np.floor(g["value"].to_numpy() / 10.0), 34) \
+            .astype(np.int64)
+        ref = Counter(bins)
+        sub = got[got["event_type"] == et]
+        assert dict(zip(sub["bin"], sub["n"])) == dict(ref)
+    assert got["n"].sum() == len(ev)
+
+
+def test_cms_estimates_dominate_exact(ray_session):
+    from anomalydetection_ray.pipelines.queries import g5_heavy_hitters_cms
+
+    got = g5_heavy_hitters_cms(SF).to_pandas()
+    ev = _events_df()
+    true_counts = ev.groupby("user_id").size()
+    top = true_counts.sort_values(ascending=False)
+    assert len(got) == 10
+    # the sketch never undercounts, and top users' exact counts are right
+    assert (got["n_cms"] >= got["n_exact"]).all()
+    for _, r in got.iterrows():
+        assert true_counts[r["user_id"]] == r["n_exact"]
+    assert got["n_exact"].max() == top.iloc[0]
+
+
 # ---------------------------------------------------------------- V4 ----
 def test_bigram_topk_matches_counter(ray_session):
     from anomalydetection_ray.pipelines.vocab import bigram_topk
