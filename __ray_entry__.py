@@ -102,6 +102,12 @@ def _detect(sf_dir: str, detector: str, **params):
     )
 
 
+def _invindex_probe(sf_dir: str):
+    from anomalydetection_ray.pipelines.invindex import inverted_index_probe
+
+    return inverted_index_probe(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from anomalydetection_ray.pipelines import dedup as dd
     from anomalydetection_ray.pipelines import kmeans as km
@@ -186,15 +192,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w3_rolling_stats_events": wnd.w3_rolling_stats_events,
         "w4_ohlc_resample": wnd.w4_ohlc_resample_events,
         "w5_trend_events": wnd.w5_trend_events,
+        "w6_rank_normalize": wnd.w6_rank_normalize_events,
         "j5_interval_stats": wnd.j5_interval_stats,
-        # G5/G6 sketch + histogram (exact-integer distributed merges)
+        # G5/G6/G7 sketches + histogram (exact-integer distributed merges)
         "g5_heavy_hitters_cms": q.g5_heavy_hitters_cms,
         "g6_value_histogram": q.g6_value_histogram,
+        "g7_hll_distinct": q.g7_hll_distinct,
+        # D3 temporal distribution-drift check (day-parity chi-square)
+        "d3_value_drift": q.d3_value_drift,
         # V family: corpus vocabulary build (partial counts before shuffle)
         "vocab_topk": vb.vocab_topk,
         "vocab_doc_freq": vb.vocab_doc_freq,
         "tfidf_topk": vb.tfidf_topk,
         "bigram_topk": vb.bigram_topk,
+        "lm_score_docs": vb.lm_score_docs,
+        # X3 persisted inverted index (bucket-partitioned posting lists)
+        "inverted_index_probe": _invindex_probe,
         # P3 sequence packing / Q6 seeded shuffle: the distributed-scan
         # pair (exclusive prefix sum / global rank), pipelines/packing.py
         "pack_sequences": pk.pack_sequences,
@@ -1494,6 +1507,131 @@ def oracle_sql() -> dict[str, str]:
                 CAST(((CAST(t.user_id AS HUGEINT) * p.a + p.b)
                       % 4294967296) % 1024 AS BIGINT)
             GROUP BY t.user_id, t.n_exact
+        """,
+        # W6 per-key rank/CDF normalize: DuckDB rank semantics (ties share
+        # the min rank); pct = one pinned division of exact ints
+        "w6_rank_normalize": """
+            SELECT event_id, user_id, value,
+                   CAST(rank() OVER w - 1 AS BIGINT) AS rk,
+                   CAST(count(*) OVER (PARTITION BY user_id) - 1
+                        AS BIGINT) AS nm1,
+                   CASE WHEN count(*) OVER (PARTITION BY user_id) = 1
+                        THEN 0.0
+                        ELSE CAST(rank() OVER w - 1 AS DOUBLE)
+                             / (count(*) OVER (PARTITION BY user_id) - 1)
+                   END AS pct
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY value)
+        """,
+        # D3 temporal drift: day-parity halves of the G6 histogram grid;
+        # chi2 term = exact-int square over exact-int total, one division
+        "d3_value_drift": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(least(floor(value / 10.0), 34) AS BIGINT) AS bin,
+                       (epoch_us(ts) // 86400000000) % 2 AS half
+                FROM events)
+            SELECT event_type, bin,
+                   CAST(count(*) FILTER (WHERE half = 0) AS BIGINT) AS n_even,
+                   CAST(count(*) FILTER (WHERE half = 1) AS BIGINT) AS n_odd,
+                   CAST((count(*) FILTER (WHERE half = 0)
+                         - count(*) FILTER (WHERE half = 1))
+                        * (count(*) FILTER (WHERE half = 0)
+                           - count(*) FILTER (WHERE half = 1)) AS DOUBLE)
+                   / count(*) AS chi2_term
+            FROM c GROUP BY event_type, bin
+        """,
+        # G7 HyperLogLog: registers from the Knuth hash (bucket = low 8
+        # bits, rho = 25 - bitlen(high 24 bits) via bin()); the harmonic
+        # sum is the EXACT integer sum of 2^(25-reg) incl. empty buckets;
+        # estimate = pinned IEEE expression + small-range LC correction
+        "g7_hll_distinct": """
+            WITH h AS (
+                SELECT event_type,
+                       CAST((CAST(user_id AS HUGEINT) * 2654435761)
+                            % 4294967296 AS BIGINT) AS h
+                FROM events),
+            r AS MATERIALIZED (
+                SELECT event_type, h % 256 AS bucket,
+                       25 - (CASE WHEN h // 256 = 0 THEN 0
+                                  ELSE length(bin(h // 256)) END) AS rho
+                FROM h),
+            regs AS MATERIALIZED (
+                SELECT event_type, bucket, max(rho) AS reg
+                FROM r GROUP BY event_type, bucket),
+            s AS MATERIALIZED (
+                SELECT event_type,
+                       CAST(sum(CAST(1 AS BIGINT)
+                                << CAST(25 - reg AS INTEGER)) AS BIGINT)
+                           AS s_hit,
+                       count(*) AS n_hit
+                FROM regs GROUP BY event_type),
+            f AS (SELECT event_type,
+                         CAST(s_hit + (256 - n_hit) * 33554432 AS BIGINT)
+                             AS s_int,
+                         CAST(256 - n_hit AS BIGINT) AS n_zero
+                  FROM s)
+            SELECT event_type, CAST(256 AS BIGINT) AS m, s_int, n_zero,
+                   CASE WHEN ((0.7213 / (1.0 + 1.079 / 256.0))
+                              * 65536.0 * 33554432.0)
+                             / CAST(s_int AS DOUBLE) <= 640.0
+                             AND n_zero > 0
+                        THEN 256.0 * ln(256.0 / CAST(n_zero AS DOUBLE))
+                        ELSE ((0.7213 / (1.0 + 1.079 / 256.0))
+                              * 65536.0 * 33554432.0)
+                             / CAST(s_int AS DOUBLE)
+                   END AS est_hll
+            FROM f
+        """,
+        # V5 bigram-LM scoring: top-500 bigram table (count desc, bigram
+        # asc — total order, tie-safe) joined back onto each document's
+        # bigram occurrences; all-integer outputs
+        "lm_score_docs": """
+            WITH ws AS (SELECT doc_id,
+                               list_filter(string_split(text, ' '),
+                                           x -> x <> '') AS w
+                        FROM documents),
+            bg AS MATERIALIZED (
+                SELECT doc_id, w[t.i] || ' ' || w[t.i + 1] AS bigram
+                FROM ws CROSS JOIN unnest(range(1, greatest(len(w), 1)))
+                    AS t(i)),
+            cnt AS MATERIALIZED (
+                SELECT bigram, CAST(count(*) AS BIGINT) AS n
+                FROM bg GROUP BY bigram),
+            top AS MATERIALIZED (
+                SELECT bigram, n FROM cnt
+                ORDER BY n DESC, bigram ASC LIMIT 500),
+            sc AS (SELECT b.doc_id,
+                          CAST(count(*) AS BIGINT) AS n_bigrams,
+                          CAST(count(t.bigram) AS BIGINT) AS n_known,
+                          CAST(coalesce(sum(t.n), 0) AS BIGINT) AS hit_sum
+                   FROM bg b LEFT JOIN top t USING (bigram)
+                   GROUP BY b.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(coalesce(sc.n_known, 0) AS BIGINT) AS n_known,
+                   CAST(coalesce(sc.hit_sum, 0) AS BIGINT) AS hit_sum
+            FROM documents d LEFT JOIN sc USING (doc_id)
+        """,
+        # X3 inverted-index probe: per top-5 corpus word, the posting-list
+        # aggregate (df, occurrences, doc_id sum/min/max fingerprint)
+        "inverted_index_probe": """
+            WITH w AS (SELECT doc_id,
+                              unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+            occ AS MATERIALIZED (
+                SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+                FROM w WHERE word <> '' GROUP BY doc_id, word),
+            cnt AS (SELECT word, CAST(sum(tf) AS BIGINT) AS n
+                    FROM occ GROUP BY word),
+            top AS (SELECT word FROM cnt
+                    ORDER BY n DESC, word ASC LIMIT 5)
+            SELECT o.word, CAST(count(*) AS BIGINT) AS df,
+                   CAST(sum(o.tf) AS BIGINT) AS n_occ,
+                   CAST(sum(o.doc_id) AS BIGINT) AS doc_sum,
+                   CAST(min(o.doc_id) AS BIGINT) AS doc_min,
+                   CAST(max(o.doc_id) AS BIGINT) AS doc_max
+            FROM occ o JOIN top USING (word) GROUP BY o.word
         """,
         # V4 bigram top-k: adjacent pairs after empty-drop, position pairs
         "bigram_topk": """

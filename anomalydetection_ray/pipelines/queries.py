@@ -851,6 +851,72 @@ def g4_approx_distinct(sf_dir: str):
 HIST_WIDTH = 10.0
 HIST_BINS = 35
 
+HLL_M = 256          # registers (2^8)
+HLL_WBITS = 24       # rank window bits: h = bucket(8) | w(24)
+HLL_ALPHA_NUM = 0.7213
+HLL_ALPHA_DEN = 1.0 + 1.079 / 256.0
+
+
+def g7_hll_distinct(sf_dir: str):
+    """G7 — HyperLogLog distinct users per event_type (Flajolet et al.
+    2007), the constant-space complement of G4's linear counting: h =
+    Knuth hash of user_id mod 2^32, bucket = low 8 bits, register =
+    max(25 − bitlen(high 24 bits)).  Per-block partial state is ≤
+    types · 256 (bucket, rho) rows regardless of block size; merging is
+    elementwise max (associative, exact).  The register harmonic sum is
+    carried as the EXACT integer ``s_int = Σ 2^(25−reg)`` (≤ 2^33, so
+    order-free), and the estimate — with the standard small-range
+    linear-counting correction — is a pinned IEEE expression the SQL
+    oracle replays verbatim."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = np.asarray(batch.column("user_id"), dtype=np.uint64)
+        h = (uid * np.uint64(SKETCH_MIX)) % np.uint64(2**32)
+        bucket = (h % np.uint64(HLL_M)).astype(np.int64)
+        w = (h >> np.uint64(8)).astype(np.int64)
+        # bit length via frexp exponent (exact for ints < 2^53)
+        bl = np.frexp(w.astype(np.float64))[1].astype(np.int64)
+        rho = (HLL_WBITS + 1) - bl
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "bucket": pa.array(bucket, type=pa.int64()),
+                      "rho": pa.array(rho, type=pa.int64())})
+        g = t.group_by(["event_type", "bucket"]).aggregate([("rho", "max")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "bucket": g.column("bucket"),
+                         "rho": pc.cast(g.column("rho_max"), pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def estimate(group: pa.Table) -> pa.Table:
+        import math
+
+        b = np.asarray(group.column("bucket"), dtype=np.int64)
+        r = np.asarray(group.column("rho"), dtype=np.int64)
+        regs = np.zeros(HLL_M, dtype=np.int64)
+        np.maximum.at(regs, b, r)
+        n_zero = int(np.count_nonzero(regs == 0))
+        s_int = int((np.int64(1) << (HLL_WBITS + 1 - regs)).sum())
+        raw = ((HLL_ALPHA_NUM / HLL_ALPHA_DEN) * 65536.0 * 33554432.0) \
+            / float(s_int)
+        if raw <= 2.5 * HLL_M and n_zero > 0:
+            est = float(HLL_M) * math.log(float(HLL_M) / float(n_zero))
+        else:
+            est = raw
+        return pa.table({
+            "event_type": group.column("event_type").slice(0, 1),
+            "m": pa.array([HLL_M], type=pa.int64()),
+            "s_int": pa.array([s_int], type=pa.int64()),
+            "n_zero": pa.array([n_zero], type=pa.int64()),
+            "est_hll": pa.array([est], type=pa.float64()),
+        })
+
+    return partials.groupby("event_type").map_groups(
+        estimate, batch_format="pyarrow")
+
 CMS_W = 1024  # counters per row
 CMS_A = (2654435761, 2246822519, 3266489917, 668265263)  # odd multipliers
 CMS_B = (40503, 65537, 4101842887, 362437)
@@ -965,6 +1031,60 @@ def g5_heavy_hitters_cms(sf_dir: str, k: int = 10):
         "n_exact": pa.array(exact, type=pa.int64()),
         "n_cms": pa.array(est, type=pa.int64()),
     }))
+
+
+DAY_US_Q = 86_400_000_000
+
+
+def d3_value_drift(sf_dir: str):
+    """D3 — temporal distribution-drift check: the G6 value histogram
+    computed separately over interleaved day-parity halves (even vs odd
+    epoch days) per event_type, with the per-bin chi-square contribution
+    ``(a−b)² / (a+b)``.  The training-data use: detect whether a
+    feature's distribution shifts across collection time before the data
+    is mixed into one corpus.  Counts are exact integers (same
+    partial-before-exchange shape as G6: ≤ types · bins · 2 rows per
+    block cross the exchange); the chi² term is one exact-int square and
+    one pinned IEEE division per bin."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = np.asarray(ts.cast(pa.int64()))
+        half = (us // DAY_US_Q) % 2
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        b = np.minimum(np.floor(v / HIST_WIDTH), HIST_BINS - 1).astype(np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "bin": pa.array(b, type=pa.int64()),
+                      "half": pa.array(half.astype(np.int64), type=pa.int64())})
+        g = t.group_by(["event_type", "bin", "half"]).aggregate([([], "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "bin": g.column("bin"), "half": g.column("half"),
+                         "n": pc.cast(g.column("count_all"), pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def merge(group: pa.Table) -> pa.Table:
+        h = np.asarray(group.column("half"), dtype=np.int64)
+        n = np.asarray(group.column("n"), dtype=np.int64)
+        a = int(n[h == 0].sum())
+        b = int(n[h == 1].sum())
+        term = float((a - b) * (a - b)) / float(a + b)
+        return pa.table({
+            "event_type": group.column("event_type").slice(0, 1),
+            "bin": group.column("bin").slice(0, 1),
+            "n_even": pa.array([a], type=pa.int64()),
+            "n_odd": pa.array([b], type=pa.int64()),
+            "chi2_term": pa.array([term], type=pa.float64()),
+        })
+
+    return partials.groupby(["event_type", "bin"]).map_groups(
+        merge, batch_format="pyarrow")
 
 
 def j6_anti_join(sf_dir: str, price_floor: float = 400000.0):

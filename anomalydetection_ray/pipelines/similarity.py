@@ -29,10 +29,12 @@ def _emb(sf_dir: str):
 def _query_vec(sf_dir: str, query_id: int, normalize: bool = True) -> np.ndarray:
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = np.asarray(t.column("vec_id"), dtype=np.int64)
-    i = int(np.flatnonzero(ids == query_id)[0])
-    v = np.asarray(t.column("embedding")[i].values, dtype=np.float64)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "==", int(query_id))])
+    if t.num_rows == 0:
+        raise KeyError(f"vec_id {query_id} not in {sf_dir}/embeddings.parquet")
+    v = np.asarray(t.column("embedding")[0].values, dtype=np.float64)
     return v / max(np.linalg.norm(v), 1e-30) if normalize else v
 
 

@@ -189,6 +189,58 @@ def bigram_topk(sf_dir: str, k: int = TOPK_DEFAULT):
     return topk(counts, k, [("n", "descending"), ("word", "ascending")])
 
 
+def lm_score_docs(sf_dir: str, vocab_k: int = 500):
+    """V5 — bigram-LM document scoring, the statistical stand-in for the
+    model-based quality filter of a training-data pipeline: the corpus'
+    top-``vocab_k`` bigram table (built by the V4 distributed pass,
+    deterministic under (count desc, bigram asc)) collects to the driver
+    ONCE and broadcasts into a map-only scoring pass — the same
+    J1 small-side-lookup shape as TF-IDF, never a corpus-vs-vocab
+    shuffle join.  Per document: total bigrams, bigrams found in the LM
+    table, and the exact integer sum of their corpus counts (a
+    monotone fluency proxy — all-integer so the driver hash is exact).
+    Zero-bigram documents still emit a row."""
+    import pandas as pd
+
+    top = bigram_topk(sf_dir, k=vocab_k).to_pandas()
+    lm = pd.Index(top["word"])
+    lm_n = top["n"].to_numpy(dtype=np.int64)
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id")
+        if isinstance(doc, pa.ChunkedArray):
+            doc = doc.combine_chunks()
+        doc_ids = np.asarray(doc, dtype=np.int64)
+        flat, doc_flat = _words_flat(batch)
+        n = len(flat)
+        n_big = np.zeros(len(doc_ids), dtype=np.int64)
+        n_known = np.zeros(len(doc_ids), dtype=np.int64)
+        hit_sum = np.zeros(len(doc_ids), dtype=np.int64)
+        if n >= 2:
+            occ_doc = np.asarray(doc_flat, dtype=np.int64)
+            same = occ_doc[1:] == occ_doc[:-1]
+            left = flat.slice(0, n - 1).filter(pa.array(same))
+            right = flat.slice(1, n - 1).filter(pa.array(same))
+            bigrams = pc.binary_join_element_wise(left, right, " ")
+            bdoc = occ_doc[:-1][same]
+            idx = lm.get_indexer(np.asarray(bigrams, dtype=object))
+            known = idx >= 0
+            pos = pd.Index(doc_ids).get_indexer(bdoc)
+            np.add.at(n_big, pos, 1)
+            np.add.at(n_known, pos[known], 1)
+            np.add.at(hit_sum, pos[known], lm_n[idx[known]])
+        return pa.table({
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "n_bigrams": pa.array(n_big, type=pa.int64()),
+            "n_known": pa.array(n_known, type=pa.int64()),
+            "hit_sum": pa.array(hit_sum, type=pa.int64()),
+        })
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    return docs.map_batches(score_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def vocab_doc_freq(sf_dir: str, min_df: int = 2):
     """V2 — per-word document frequency (the DF table of TF-IDF): distinct
     (word, doc) pairs per block collapse to partial doc counts, which sum

@@ -381,6 +381,63 @@ def w5_trend_events(sf_dir: str, num_partitions: int = 16):
                                            batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------- W6 ----
+def _rank_kernel(group: pa.Table) -> pa.Table:
+    """Per-user percent-rank of value (DuckDB ``percent_rank()``
+    semantics: ties share the min rank, pct = (rank−1)/(n−1), 0.0 for
+    single-row keys).  Rank and n−1 are exact integers; the pct is one
+    IEEE division the SQL oracle replays verbatim."""
+    group = group.drop_columns([PKEY]).sort_by(
+        [("user_id", "ascending"), ("value", "ascending"),
+         ("event_id", "ascending")])
+    n = group.num_rows
+    if n == 0:
+        return pa.table({
+            "event_id": pa.array([], type=pa.int64()),
+            "user_id": pa.array([], type=pa.int64()),
+            "value": pa.array([], type=pa.float64()),
+            "rk": pa.array([], type=pa.int64()),
+            "nm1": pa.array([], type=pa.int64()),
+            "pct": pa.array([], type=pa.float64()),
+        })
+    ustarts = run_starts(group, ["user_id"])
+    vstarts = run_starts(group, ["user_id", "value"])
+    ulens = np.diff(np.append(ustarts, n))
+    pos = np.arange(n, dtype=np.int64)
+    # rank−1 of each row = position of its (user, value)-run start,
+    # relative to the user-run start (ties collapse to the run start)
+    vrun_of_row = np.repeat(vstarts, np.diff(np.append(vstarts, n)))
+    rk = vrun_of_row - np.repeat(ustarts, ulens)
+    nm1 = np.repeat(ulens, ulens) - 1
+    pct = np.divide(rk, nm1, out=np.zeros(n, dtype=np.float64),
+                    where=nm1 > 0)
+    return pa.table({
+        "event_id": group.column("event_id"),
+        "user_id": group.column("user_id"),
+        "value": group.column("value"),
+        "rk": pa.array(rk, type=pa.int64()),
+        "nm1": pa.array(nm1, type=pa.int64()),
+        "pct": pa.array(pct, type=pa.float64()),
+    })
+
+
+def w6_rank_normalize_events(sf_dir: str, num_partitions: int = 16):
+    """W6 — per-key rank / CDF normalization (percent-rank of value per
+    user), the standard monotone feature transform before training.  Same
+    one-exchange ``_pkey`` layout as W1–W5; the kernel is two run-length
+    passes over one sort, no Python row loop.  Rank arithmetic is exact
+    integers so the distributed result is block-order independent; the
+    normalized pct is a single pinned IEEE division (0.0 for
+    single-event keys, matching DuckDB ``percent_rank``)."""
+    ev = _read_events(sf_dir, ["event_id", "user_id", "value"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby(PKEY).map_groups(_rank_kernel,
+                                           batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- J5 ----
 def seeded_windows(t0_us: int, t1_us: int,
                    n_windows: int = N_WINDOWS) -> tuple[np.ndarray, np.ndarray]:

@@ -394,3 +394,140 @@ def test_bigram_topk_matches_counter(ray_session):
     ref = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
     got = bigram_topk(SF).to_pandas()
     assert list(zip(got["word"], got["n"])) == ref
+
+
+# ---------------------------------------------------------------- W6 ----
+def test_rank_normalize_matches_pandas(ray_session):
+    from anomalydetection_ray.pipelines.windows import w6_rank_normalize_events
+
+    got = w6_rank_normalize_events(SF).to_pandas().sort_values(
+        "event_id").reset_index(drop=True)
+    ev = _events_df()
+    rk = ev.groupby("user_id")["value"].rank(method="min").astype(np.int64) - 1
+    n = ev.groupby("user_id")["value"].transform("size").astype(np.int64)
+    ref = pd.DataFrame({"event_id": ev["event_id"], "rk": rk, "nm1": n - 1})
+    ref["pct"] = np.where(ref["nm1"] > 0, ref["rk"] / ref["nm1"], 0.0)
+    ref = ref.sort_values("event_id").reset_index(drop=True)
+    assert (got["rk"].to_numpy() == ref["rk"].to_numpy()).all()
+    assert (got["nm1"].to_numpy() == ref["nm1"].to_numpy()).all()
+    assert np.array_equal(got["pct"].to_numpy(), ref["pct"].to_numpy())
+
+
+def test_rank_normalize_partition_invariance(ray_session):
+    from anomalydetection_ray.pipelines.windows import w6_rank_normalize_events
+
+    a = w6_rank_normalize_events(SF, num_partitions=1).to_pandas()
+    b = w6_rank_normalize_events(SF, num_partitions=16).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("event_id").reset_index(drop=True),
+        b.sort_values("event_id").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------- D3 ----
+def test_value_drift_matches_reference(ray_session):
+    from anomalydetection_ray.pipelines.queries import d3_value_drift
+
+    got = d3_value_drift(SF).to_pandas()
+    ev = _events_df()
+    half = (ev["ts"].astype("datetime64[us]").astype(np.int64)
+            // 86_400_000_000) % 2
+    bins = np.minimum(np.floor(ev["value"].to_numpy() / 10.0), 34).astype(
+        np.int64)
+    ref = pd.DataFrame({"event_type": ev["event_type"], "bin": bins,
+                        "half": half})
+    for _, r in got.iterrows():
+        sub = ref[(ref["event_type"] == r["event_type"])
+                  & (ref["bin"] == r["bin"])]
+        a = int((sub["half"] == 0).sum())
+        b = int((sub["half"] == 1).sum())
+        assert (a, b) == (r["n_even"], r["n_odd"])
+        assert r["chi2_term"] == float((a - b) * (a - b)) / float(a + b)
+    assert got["n_even"].sum() + got["n_odd"].sum() == len(ev)
+
+
+# ---------------------------------------------------------------- G7 ----
+def test_hll_registers_and_accuracy(ray_session):
+    from anomalydetection_ray.pipelines.queries import g7_hll_distinct
+
+    got = g7_hll_distinct(SF).to_pandas().set_index("event_type")
+    ev = _events_df()
+    for et, g in ev.groupby("event_type"):
+        uid = g["user_id"].to_numpy(dtype=np.uint64)
+        h = (uid * np.uint64(2654435761)) % np.uint64(2**32)
+        regs = np.zeros(256, dtype=np.int64)
+        bucket = (h % np.uint64(256)).astype(np.int64)
+        w = (h >> np.uint64(8)).astype(np.int64)
+        rho = 25 - np.frexp(w.astype(np.float64))[1].astype(np.int64)
+        np.maximum.at(regs, bucket, rho)
+        s_int = int((np.int64(1) << (25 - regs)).sum())
+        row = got.loc[et]
+        assert row["s_int"] == s_int
+        assert row["n_zero"] == int((regs == 0).sum())
+        exact = g["user_id"].nunique()
+        assert abs(row["est_hll"] - exact) < 0.35 * exact
+
+
+# ---------------------------------------------------------------- V5 ----
+def test_lm_score_matches_counter(ray_session):
+    from anomalydetection_ray.pipelines.vocab import lm_score_docs
+
+    docs = _docs_df()
+    cnt = Counter()
+    grams = {}
+    for doc_id, ws in zip(docs["doc_id"], _word_lists(docs)):
+        bg = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        grams[doc_id] = bg
+        cnt.update(bg)
+    top = dict(sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:500])
+    got = lm_score_docs(SF).to_pandas().set_index("doc_id")
+    assert len(got) == len(docs)
+    for doc_id, bg in grams.items():
+        row = got.loc[doc_id]
+        assert row["n_bigrams"] == len(bg)
+        assert row["n_known"] == sum(1 for b in bg if b in top)
+        assert row["hit_sum"] == sum(top.get(b, 0) for b in bg)
+
+
+# ---------------------------------------------------------------- X3 ----
+def test_inverted_index_probe_matches_counter(ray_session, tmp_path,
+                                              monkeypatch):
+    monkeypatch.setenv("ANOMRAY_INDEX_DIR", str(tmp_path))
+    from anomalydetection_ray.pipelines.invindex import inverted_index_probe
+
+    docs = _docs_df()
+    occ = Counter()          # (word, doc) -> tf
+    for doc_id, ws in zip(docs["doc_id"], _word_lists(docs)):
+        for w in ws:
+            occ[(w, doc_id)] += 1
+    word_n = Counter()
+    for (w, _), tf in occ.items():
+        word_n[w] += tf
+    top5 = [w for w, _ in sorted(word_n.items(),
+                                 key=lambda kv: (-kv[1], kv[0]))[:5]]
+    got = inverted_index_probe(SF).to_pandas().set_index("word")
+    assert sorted(got.index) == sorted(top5)
+    for w in top5:
+        ds = sorted(d for (ww, d) in occ if ww == w)
+        row = got.loc[w]
+        assert row["df"] == len(ds)
+        assert row["n_occ"] == word_n[w]
+        assert (row["doc_sum"], row["doc_min"], row["doc_max"]) == (
+            sum(ds), min(ds), max(ds))
+
+
+def test_inverted_index_layout_is_pruned(ray_session, tmp_path, monkeypatch):
+    # the probe must read only the probed words' bucket dirs, and the
+    # persisted layout must be hive-partitioned by bucket
+    monkeypatch.setenv("ANOMRAY_INDEX_DIR", str(tmp_path))
+    import os
+
+    from anomalydetection_ray.pipelines.invindex import (
+        NUM_BUCKETS, build_inverted_index, word_bucket)
+    import pyarrow as pa
+
+    path = build_inverted_index(SF)
+    bdirs = [d for d in os.listdir(path) if d.startswith("bucket=")]
+    assert 1 < len(bdirs) <= NUM_BUCKETS
+    # bucket routing is deterministic and stable across calls
+    w = pa.array(["alpha", "beta", "gamma"])
+    assert word_bucket(w).tolist() == word_bucket(w).tolist()
