@@ -108,6 +108,18 @@ def _invindex_probe(sf_dir: str):
     return inverted_index_probe(sf_dir)
 
 
+def _retention_plan(sf_dir: str):
+    from anomalydetection_ray.pipelines.retention import retention_plan_events
+
+    return retention_plan_events(sf_dir)
+
+
+def _retention_apply(sf_dir: str):
+    from anomalydetection_ray.pipelines.retention import retention_apply_events
+
+    return retention_apply_events(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from anomalydetection_ray.pipelines import dedup as dd
     from anomalydetection_ray.pipelines import kmeans as km
@@ -208,6 +220,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_score_docs": vb.lm_score_docs,
         # X3 persisted inverted index (bucket-partitioned posting lists)
         "inverted_index_probe": _invindex_probe,
+        # D4 train/test contamination via shared winnowing hashes
+        "d4_split_contamination": tx.split_contamination,
+        # R1 retention: SQL-checked plan + side-effectful partition expiry
+        # whose surviving-bucket evidence is ALSO SQL-checked
+        "r1_retention_plan": _retention_plan,
+        "r1_retention_apply": _retention_apply,
+        # Q7/Q8 corpus balancing + split assignment
+        "q7_quota_sample": q.q7_quota_sample,
+        "q8_split_stats": q.q8_split_stats,
         # P3 sequence packing / Q6 seeded shuffle: the distributed-scan
         # pair (exclusive prefix sum / global rank), pipelines/packing.py
         "pack_sequences": pk.pack_sequences,
@@ -1612,6 +1633,81 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sc.n_known, 0) AS BIGINT) AS n_known,
                    CAST(coalesce(sc.hit_sum, 0) AS BIGINT) AS hit_sum
             FROM documents d LEFT JOIN sc USING (doc_id)
+        """,
+        # D4 contamination: held-out docs sharing any kept winnowing
+        # window-hash (same winh CTE as the fingerprint oracle) with a
+        # train doc; split rule doc_id % 10
+        "d4_split_contamination": f"""
+            WITH winh AS (
+              SELECT doc_id,
+                list_transform(range(1, greatest(octet_length(encode(text))
+                                                 - 14, 1)),
+                  i -> ({_FP_TERMS}) % 4294967296) AS hs
+              FROM documents),
+            kept AS MATERIALIZED (
+              SELECT doc_id,
+                     unnest(list_distinct(list_filter(hs, x -> x % 8 = 0)))
+                         AS h
+              FROM winh),
+            tr AS (SELECT doc_id, h FROM kept WHERE doc_id % 10 < 8),
+            te AS (SELECT doc_id, h FROM kept WHERE doc_id % 10 >= 8)
+            SELECT te.doc_id,
+                   CAST(count(DISTINCT te.h) AS BIGINT) AS n_shared_hashes,
+                   CAST(count(DISTINCT tr.doc_id) AS BIGINT) AS n_train_docs
+            FROM te JOIN tr ON te.h = tr.h
+            GROUP BY te.doc_id
+        """,
+        # R1 retention plan: per (tier, day) survival under the tier's
+        # keep window, horizon anchored at the max day (watermark)
+        "r1_retention_plan": """
+            WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                              count(*) AS n
+                       FROM events GROUP BY day),
+            mx AS (SELECT max(day) AS md FROM d),
+            t(tier, keep) AS (VALUES ('tier0', 7), ('tier1', 14),
+                                     ('tier2', NULL))
+            SELECT t.tier, CAST(d.day AS BIGINT) AS day,
+                   CAST(d.n AS BIGINT) AS n_events,
+                   CAST(CASE WHEN t.keep IS NULL OR d.day > mx.md - t.keep
+                             THEN 1 ELSE 0 END AS BIGINT) AS kept
+            FROM d CROSS JOIN t CROSS JOIN mx
+        """,
+        # R1 retention apply: the buckets that must survive keep=7 —
+        # the engine answers from parquet footers of the PRUNED layout
+        "r1_retention_apply": """
+            WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                              count(*) AS n
+                       FROM events GROUP BY day),
+            mx AS (SELECT max(day) AS md FROM d)
+            SELECT CAST(day AS BIGINT) AS day, CAST(n AS BIGINT) AS n_events
+            FROM d CROSS JOIN mx WHERE day > md - 7
+        """,
+        # Q7 quota sample: ≤ k per source under (seeded hash, doc_id)
+        "q7_quota_sample": f"""
+            WITH h AS (SELECT source, doc_id,
+                              CAST((CAST(xor(doc_id % 4294967296,
+                                             {(7 * 2654435761) & 0xFFFFFFFF})
+                                         AS HUGEINT) * 2654435761)
+                                   % 4294967296 AS BIGINT) AS h
+                       FROM documents),
+            r AS (SELECT source, doc_id, h,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY h, doc_id) AS rn
+                  FROM h)
+            SELECT source, doc_id, h FROM r WHERE rn <= 20
+        """,
+        # Q8 split assignment stats (doc_id % 10 rule)
+        "q8_split_stats": """
+            WITH s AS (SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+                                   WHEN doc_id % 10 = 8 THEN 'val'
+                                   ELSE 'test' END AS split,
+                              doc_id, n_chars
+                       FROM documents)
+            SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+                   CAST(min(doc_id) AS BIGINT) AS doc_min,
+                   CAST(max(doc_id) AS BIGINT) AS doc_max
+            FROM s GROUP BY split
         """,
         # X3 inverted-index probe: per top-5 corpus word, the posting-list
         # aggregate (df, occurrences, doc_id sum/min/max fingerprint)

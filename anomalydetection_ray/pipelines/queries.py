@@ -1112,3 +1112,96 @@ def j6_anti_join(sf_dir: str, price_floor: float = 400000.0):
         return batch.filter(keep).select(["c_custkey", "c_name", "c_acctbal"])
 
     return joined.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUOTA_SEED_MIX = (7 * 2654435761) & 0xFFFFFFFF  # seed 7, q6-style mix
+
+
+def q7_quota_sample(sf_dir: str, k: int = 20):
+    """Q7 — per-source quota sampling (the corpus-balancing cap: at most
+    ``k`` documents per source, chosen by a seeded content hash so the
+    cap is layout- and run-independent).  Grouped-top-k discipline: every
+    block prunes to ≤ k rows per source BEFORE the exchange, so the
+    groupby shuffles at most k·n_sources rows per block regardless of
+    corpus size.  Order inside a source: (hash asc, doc_id asc) — a
+    deterministic total order the SQL oracle replays with row_number."""
+    import functools
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def prune(batch: pa.Table, k: int) -> pa.Table:
+        from anomalydetection_ray.stages.runs import run_starts
+
+        if batch.num_rows == 0:
+            return pa.table({"source": pa.array([], type=pa.string()),
+                             "doc_id": pa.array([], type=pa.int64()),
+                             "h": pa.array([], type=pa.int64())})
+        d = np.asarray(batch.column("doc_id"), dtype=np.uint64)
+        h = (((d % np.uint64(2**32)) ^ np.uint64(QUOTA_SEED_MIX))
+             * np.uint64(2654435761)) % np.uint64(2**32)
+        t = pa.table({"source": batch.column("source"),
+                      "doc_id": pa.array(d.astype(np.int64), type=pa.int64()),
+                      "h": pa.array(h.astype(np.int64), type=pa.int64())})
+        t = t.sort_by([("source", "ascending"), ("h", "ascending"),
+                       ("doc_id", "ascending")])
+        starts = run_starts(t, ["source"])
+        lens = np.diff(np.append(starts, t.num_rows))
+        rank = np.arange(t.num_rows, dtype=np.int64) - np.repeat(starts, lens)
+        return t.filter(pa.array(rank < k))
+
+    pruned = ds.map_batches(functools.partial(prune, k=k),
+                            batch_format="pyarrow", zero_copy_batch=True)
+    return pruned.groupby("source").map_groups(
+        functools.partial(prune, k=k), batch_format="pyarrow")
+
+
+def q8_split_stats(sf_dir: str):
+    """Q8 — deterministic train/val/test split assignment + per-split
+    stats: split = doc_id % 10 (< 8 train, 8 val, 9 test — the D4
+    contamination check's split rule), per split doc count, exact char
+    sum and doc_id min/max.  Partial Arrow group_by per block (≤ 3 rows
+    cross the exchange per block), tiny final merge."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        m = d % 10
+        split = np.where(m < 8, "train", np.where(m == 8, "val", "test"))
+        t = pa.table({
+            "split": pa.array(split.tolist(), type=pa.string()),
+            "doc_id": batch.column("doc_id"),
+            "n_chars": batch.column("n_chars"),
+        })
+        g = t.group_by("split").aggregate(
+            [([], "count_all"), ("n_chars", "sum"),
+             ("doc_id", "min"), ("doc_id", "max")])
+        return pa.table({
+            "split": g.column("split"),
+            "n_docs": pc.cast(g.column("count_all"), pa.int64()),
+            "chars_sum": pc.cast(g.column("n_chars_sum"), pa.int64()),
+            "doc_min": pc.cast(g.column("doc_id_min"), pa.int64()),
+            "doc_max": pc.cast(g.column("doc_id_max"), pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def merge(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "split": group.column("split").slice(0, 1),
+            "n_docs": pa.array([int(pc.sum(group.column("n_docs")).as_py())],
+                               type=pa.int64()),
+            "chars_sum": pa.array(
+                [int(pc.sum(group.column("chars_sum")).as_py())],
+                type=pa.int64()),
+            "doc_min": pa.array([int(pc.min(group.column("doc_min")).as_py())],
+                                type=pa.int64()),
+            "doc_max": pa.array([int(pc.max(group.column("doc_max")).as_py())],
+                                type=pa.int64()),
+        })
+
+    return partials.groupby("split").map_groups(merge, batch_format="pyarrow")

@@ -1,0 +1,169 @@
+"""R1 — retention / TTL expiry for the tiered rollup layouts.
+
+The third noun of the north star ("rollup + downsample + retention"):
+each tier keeps a trailing window of time buckets (raw tier0 the
+shortest, coarser tiers longer), and expiry is a PARTITION-LEVEL
+operation — the persisted layouts are hive-partitioned by day bucket, so
+expiring data is a metadata walk that drops whole directories, never a
+row-level scan.  At 100 TB this is the difference between a retention
+pass that runs in seconds (list + unlink of expired partitions) and one
+that rewrites the corpus.
+
+Two surfaces:
+
+- ``retention_plan_events`` — the SQL-checkable planning query: per
+  (tier, day bucket), the event count and whether the bucket survives
+  each tier's policy, horizon-anchored at the corpus' max day (watermark
+  semantics: retention follows the newest data, not wall-clock, so a
+  backfilled corpus plans identically).
+- ``retention_apply_events`` — the side-effectful form, ALSO
+  SQL-checked: materializes a day-partitioned layout of the events
+  table (distributed ``write_parquet(partition_cols=['day'])``), applies
+  the tier0 policy by atomically dropping expired ``day=`` directories
+  (rename-to-trash then unlink, so a reader never sees a half-deleted
+  partition), and returns the surviving buckets RE-READ from the pruned
+  layout — the driver oracle independently reproduces exactly the rows
+  that must have survived.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+DAY_US = 86_400_000_000
+# (tier, keep_days); None = keep forever — coarser tiers keep longer
+RETENTION_TIERS = (("tier0", 7), ("tier1", 14), ("tier2", None))
+
+
+def _day_counts(sf_dir: str):
+    """Distributed (day, n_events) over the events table: per-block Arrow
+    group_by partials, tiny final per-day sum."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        day = np.asarray(ts.cast(pa.int64())) // DAY_US
+        t = pa.table({"day": pa.array(day, type=pa.int64())})
+        g = t.group_by("day").aggregate([([], "count_all")])
+        return pa.table({"day": g.column("day"),
+                         "n": pc.cast(g.column("count_all"), pa.int64())})
+
+    def merge(group: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": group.column("day").slice(0, 1),
+            "n": pa.array([int(pc.sum(group.column("n")).as_py())],
+                          type=pa.int64()),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).groupby("day").map_groups(
+        merge, batch_format="pyarrow")
+
+
+def retention_plan_events(sf_dir: str):
+    """R1 planning query: per (tier, day), event count and survival under
+    the tier's policy, horizon = max day (watermark) − keep_days.  The
+    day grid is tiny (bounded by the corpus' time span), so collecting it
+    to cross with the 3-row policy table is metadata-scale work."""
+    import ray.data
+
+    rows = _day_counts(sf_dir).take_all()
+    days = np.array([r["day"] for r in rows], dtype=np.int64)
+    ns = np.array([r["n"] for r in rows], dtype=np.int64)
+    md = int(days.max())
+    tiers, keeps, day_o, n_o, kept = [], [], [], [], []
+    for tier, keep in RETENTION_TIERS:
+        for d, n in zip(days.tolist(), ns.tolist()):
+            tiers.append(tier)
+            day_o.append(d)
+            n_o.append(n)
+            kept.append(1 if keep is None or d > md - keep else 0)
+    return ray.data.from_arrow(pa.table({
+        "tier": pa.array(tiers, type=pa.string()),
+        "day": pa.array(day_o, type=pa.int64()),
+        "n_events": pa.array(n_o, type=pa.int64()),
+        "kept": pa.array(kept, type=pa.int64()),
+    }))
+
+
+def apply_retention(layout_dir: str, keep_days: int, max_day: int) -> int:
+    """Drop expired ``day=<d>`` hive partitions (d <= max_day − keep_days)
+    from a layout: atomic rename-to-trash then delete, so concurrent
+    readers see either the whole partition or none of it.  Returns the
+    number of partitions dropped.  Pure directory metadata — never opens
+    a data file."""
+    dropped = 0
+    for name in sorted(os.listdir(layout_dir)):
+        if not name.startswith("day="):
+            continue
+        day = int(name.split("=", 1)[1])
+        if day <= max_day - keep_days:
+            src = os.path.join(layout_dir, name)
+            trash = os.path.join(layout_dir, f"._trash_{name}")
+            os.replace(src, trash)
+            shutil.rmtree(trash)
+            dropped += 1
+    return dropped
+
+
+def retention_apply_events(sf_dir: str, keep_days: int = 7):
+    """R1 applied end-to-end: day-partitioned layout (distributed write) →
+    partition-level expiry (``apply_retention``) → surviving buckets
+    re-counted from a pruned re-read of the mutated layout.  The returned
+    rows are therefore evidence of the side effect itself, and the SQL
+    oracle reproduces them independently from the raw table."""
+    import ray.data
+
+    out = tempfile.mkdtemp(prefix="anomray_retention_")
+    try:
+        ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["event_id", "ts"])
+
+        def add_day(batch: pa.Table) -> pa.Table:
+            ts = batch.column("ts")
+            if isinstance(ts, pa.ChunkedArray):
+                ts = ts.combine_chunks()
+            day = np.asarray(ts.cast(pa.int64())) // DAY_US
+            return batch.append_column("day",
+                                       pa.array(day, type=pa.int64()))
+
+        ds.map_batches(add_day, batch_format="pyarrow",
+                       zero_copy_batch=True).write_parquet(
+            out, partition_cols=["day"])
+        days = [int(n.split("=", 1)[1]) for n in os.listdir(out)
+                if n.startswith("day=")]
+        max_day = max(days)
+        apply_retention(out, keep_days, max_day)
+
+        # surviving counts from parquet FOOTERS of the pruned layout — a
+        # pure metadata pass (no data pages read), exactly the cheapness
+        # retention needs at scale; the footer row counts are evidence
+        # the expired partitions are truly gone
+        import pyarrow.parquet as pq
+
+        surv_days, surv_n = [], []
+        for name in sorted(os.listdir(out)):
+            if not name.startswith("day="):
+                continue
+            d = int(name.split("=", 1)[1])
+            bdir = os.path.join(out, name)
+            n = sum(pq.ParquetFile(os.path.join(bdir, f)).metadata.num_rows
+                    for f in os.listdir(bdir) if f.endswith(".parquet"))
+            surv_days.append(d)
+            surv_n.append(n)
+        return ray.data.from_arrow(pa.table({
+            "day": pa.array(surv_days, type=pa.int64()),
+            "n_events": pa.array(surv_n, type=pa.int64()),
+        }))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -226,16 +226,12 @@ _FP_KEEP_MOD = 8
 _FP_K = 8
 
 
-def fingerprint_batch(batch: pa.Table) -> pa.Table:
-    """Rolling-hash document fingerprint (winnowing-style): polynomial
-    hash over a sliding byte window, keep hashes == 0 mod _FP_KEEP_MOD,
-    fingerprint = hex of the _FP_K smallest distinct kept hashes (falling
-    back to the row's min window hash, then to crc32 of short rows).
-    One stencil pass over the batch's flat buffer + a lexsort-dedupe for
-    the per-row distinct-min selection — per-doc Python only for the
-    final hex join."""
-    flat, offsets = _flat_utf8(batch)
-    nrows = offsets.shape[0] - 1
+def _window_hashes(flat: np.ndarray, offsets: np.ndarray):
+    """Shared winnowing stencil: (uint32 hash per in-row sliding window,
+    row index per window, rows-with-windows mask, per-such-row min window
+    hash).  One vectorized pass over the flat utf-8 buffer — used by the
+    fingerprint op and the split-contamination check so both see the
+    exact same window-hash stream."""
     lens = np.diff(offsets)
     n = flat.shape[0]
     mult = np.uint32(1103515245)
@@ -246,19 +242,58 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     # windows fully inside one row: start in [row_start, row_end - 16]
     out_lens = np.maximum(lens - (_FP_WINDOW - 1), 0)
     ok = out_lens > 0
+    if not ok.any():
+        return (np.empty(0, dtype=np.uint32), np.empty(0, dtype=np.int64),
+                ok, np.empty(0, dtype=np.uint32))
+    starts = offsets[:-1][ok]
+    reps = out_lens[ok]
+    total = int(reps.sum())
+    idx = np.repeat(starts, reps) + (
+        np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(reps) - reps, reps)
+    )
+    h = acc[idx]
+    rows_of = np.repeat(np.flatnonzero(ok), reps)
+    seg_starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
+    # per-row min of ALL windows (fallback when nothing passes the mod)
+    row_min = np.minimum.reduceat(h, seg_starts)
+    return h, rows_of, ok, row_min
+
+
+def kept_hash_rows(batch: pa.Table) -> pa.Table:
+    """Distinct kept window hashes per document as (doc_id, h) rows — the
+    winnowing shingle set the split-contamination check joins on (same
+    stencil + keep rule as the fingerprint op, no _FP_K truncation)."""
+    flat, offsets = _flat_utf8(batch)
+    h, rows_of, _, _ = _window_hashes(flat, offsets)
+    keep = h % np.uint32(_FP_KEEP_MOD) == 0
+    kr, kh = rows_of[keep], h[keep]
+    if kr.shape[0]:
+        order = np.lexsort((kh, kr))
+        kr, kh = kr[order], kh[order]
+        first = np.empty(kr.shape[0], dtype=bool)
+        first[0] = True
+        first[1:] = (kr[1:] != kr[:-1]) | (kh[1:] != kh[:-1])
+        kr, kh = kr[first], kh[first]
+    doc = np.asarray(batch.column("doc_id"), dtype=np.int64)
+    return pa.table({
+        "doc_id": pa.array(doc[kr], type=pa.int64()),
+        "h": pa.array(kh.astype(np.int64), type=pa.int64()),
+    })
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Rolling-hash document fingerprint (winnowing-style): polynomial
+    hash over a sliding byte window, keep hashes == 0 mod _FP_KEEP_MOD,
+    fingerprint = hex of the _FP_K smallest distinct kept hashes (falling
+    back to the row's min window hash, then to crc32 of short rows).
+    One stencil pass over the batch's flat buffer + a lexsort-dedupe for
+    the per-row distinct-min selection — per-doc Python only for the
+    final hex join."""
+    flat, offsets = _flat_utf8(batch)
+    nrows = offsets.shape[0] - 1
+    h, rows_of, ok, row_min = _window_hashes(flat, offsets)
     sel_lists: list[list[int]] = [[] for _ in range(nrows)]
     if ok.any():
-        starts = offsets[:-1][ok]
-        reps = out_lens[ok]
-        total = int(reps.sum())
-        idx = np.repeat(starts, reps) + (
-            np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(reps) - reps, reps)
-        )
-        h = acc[idx]
-        rows_of = np.repeat(np.flatnonzero(ok), reps)
-        seg_starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
-        # per-row min of ALL windows (fallback when nothing passes the mod)
-        row_min = np.minimum.reduceat(h, seg_starts)
         keep = h % np.uint32(_FP_KEEP_MOD) == 0
         kr, kh = rows_of[keep], h[keep]
         if kr.shape[0]:
@@ -366,3 +401,63 @@ def fingerprints(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SPLIT_MOD = 10
+SPLIT_TRAIN_LT = 8  # doc_id % 10 < 8 -> train; >= 8 -> held-out
+
+
+def split_contamination(sf_dir: str):
+    """D4 — train/test contamination check, the gate every training-data
+    pipeline needs before a held-out split is trusted: held-out documents
+    (``doc_id % 10 >= 8``) sharing any winnowing window-hash with a train
+    document.  Per contaminated held-out doc: distinct shared hashes and
+    distinct train docs sharing them.
+
+    Scale shape: the exchange is keyed on the window HASH (uniform by
+    construction), carrying only distinct (doc_id, h) pairs — corpus text
+    never moves.  Within one hash group the train x test pair expansion
+    is bounded by the group's dup multiplicity (near-dup volume, not
+    corpus volume), and the second exchange carries only those triples.
+    """
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    pairs = ds.map_batches(kept_hash_rows, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def per_hash(group: pa.Table) -> pa.Table:
+        d = np.asarray(group.column("doc_id"), dtype=np.int64)
+        d = np.unique(d)  # hash groups may repeat a doc across blocks
+        is_train = (d % SPLIT_MOD) < SPLIT_TRAIN_LT
+        tr, te = d[is_train], d[~is_train]
+        if tr.shape[0] == 0 or te.shape[0] == 0:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "train_doc": pa.array([], type=pa.int64()),
+                "h": pa.array([], type=pa.int64()),
+            })
+        h = group.column("h")[0].as_py()
+        return pa.table({
+            "doc_id": pa.array(np.repeat(te, tr.shape[0]), type=pa.int64()),
+            "train_doc": pa.array(np.tile(tr, te.shape[0]), type=pa.int64()),
+            "h": pa.array(np.full(te.shape[0] * tr.shape[0], h),
+                          type=pa.int64()),
+        })
+
+    triples = pairs.groupby("h").map_groups(per_hash, batch_format="pyarrow")
+
+    def per_test(group: pa.Table) -> pa.Table:
+        hs = np.asarray(group.column("h"), dtype=np.int64)
+        tds = np.asarray(group.column("train_doc"), dtype=np.int64)
+        return pa.table({
+            "doc_id": group.column("doc_id").slice(0, 1),
+            "n_shared_hashes": pa.array([int(np.unique(hs).shape[0])],
+                                        type=pa.int64()),
+            "n_train_docs": pa.array([int(np.unique(tds).shape[0])],
+                                     type=pa.int64()),
+        })
+
+    return triples.groupby("doc_id").map_groups(per_test,
+                                                batch_format="pyarrow")

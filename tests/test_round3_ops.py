@@ -531,3 +531,125 @@ def test_inverted_index_layout_is_pruned(ray_session, tmp_path, monkeypatch):
     # bucket routing is deterministic and stable across calls
     w = pa.array(["alpha", "beta", "gamma"])
     assert word_bucket(w).tolist() == word_bucket(w).tolist()
+
+
+# ---------------------------------------------------------------- D4 ----
+def _kept_hashes_ref(text: str) -> set[int]:
+    b = np.frombuffer(text.encode(), dtype=np.uint8)
+    if b.shape[0] < 16:
+        return set()
+    acc = np.zeros(b.shape[0] - 15, dtype=np.uint32)
+    for k in range(16):
+        acc = acc * np.uint32(1103515245) + b[k: k + b.shape[0] - 15].astype(
+            np.uint32)
+    return set(acc[acc % np.uint32(8) == 0].tolist())
+
+
+def test_split_contamination_matches_reference(ray_session):
+    from anomalydetection_ray.pipelines.text import split_contamination
+
+    docs = _docs_df()
+    kept = {d: _kept_hashes_ref(t) for d, t in zip(docs["doc_id"],
+                                                   docs["text"])}
+    train = {d: h for d, h in kept.items() if d % 10 < 8}
+    ref = {}
+    for d, hs in kept.items():
+        if d % 10 < 8:
+            continue
+        shared = set()
+        tds = set()
+        for td, ths in train.items():
+            inter = hs & ths
+            if inter:
+                shared |= inter
+                tds.add(td)
+        if shared:
+            ref[d] = (len(shared), len(tds))
+    got = split_contamination(SF).to_pandas().set_index("doc_id")
+    assert sorted(got.index) == sorted(ref)
+    for d, (nsh, ntd) in ref.items():
+        assert (got.loc[d, "n_shared_hashes"], got.loc[d, "n_train_docs"]) \
+            == (nsh, ntd)
+
+
+# ---------------------------------------------------------------- R1 ----
+def test_retention_plan_matches_reference(ray_session):
+    from anomalydetection_ray.pipelines.retention import (
+        RETENTION_TIERS, retention_plan_events)
+
+    got = retention_plan_events(SF).to_pandas()
+    ev = _events_df()
+    day = ev["ts"].astype("datetime64[us]").astype(np.int64) // 86_400_000_000
+    cnt = day.value_counts()
+    md = int(day.max())
+    assert len(got) == 3 * len(cnt)
+    for _, r in got.iterrows():
+        keep = dict(RETENTION_TIERS)[r["tier"]]
+        assert r["n_events"] == cnt[r["day"]]
+        assert r["kept"] == (1 if keep is None or r["day"] > md - keep else 0)
+
+
+def test_apply_retention_drops_partitions(tmp_path):
+    import os
+
+    from anomalydetection_ray.pipelines.retention import apply_retention
+
+    for d in (10, 11, 12, 20):
+        os.makedirs(tmp_path / f"day={d}")
+        (tmp_path / f"day={d}" / "part.parquet").write_bytes(b"x")
+    dropped = apply_retention(str(tmp_path), keep_days=7, max_day=20)
+    assert dropped == 3
+    left = sorted(n for n in os.listdir(tmp_path) if n.startswith("day="))
+    assert left == ["day=20"]
+
+
+def test_retention_apply_events_counts(ray_session):
+    from anomalydetection_ray.pipelines.retention import retention_apply_events
+
+    got = retention_apply_events(SF).to_pandas().sort_values("day")
+    ev = _events_df()
+    day = ev["ts"].astype("datetime64[us]").astype(np.int64) // 86_400_000_000
+    cnt = day.value_counts()
+    md = int(day.max())
+    ref = {d: n for d, n in cnt.items() if d > md - 7}
+    assert dict(zip(got["day"], got["n_events"])) == ref
+
+
+# ------------------------------------------------------------- Q7/Q8 ----
+def test_quota_sample_matches_rownumber(ray_session):
+    from anomalydetection_ray.pipelines.queries import (QUOTA_SEED_MIX,
+                                                        q7_quota_sample)
+
+    got = q7_quota_sample(SF, k=5).to_pandas()
+    import pyarrow.parquet as pq
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "source"]).to_pandas()
+    d = docs["doc_id"].to_numpy(dtype=np.uint64)
+    h = (((d % np.uint64(2**32)) ^ np.uint64(QUOTA_SEED_MIX))
+         * np.uint64(2654435761)) % np.uint64(2**32)
+    docs = docs.assign(h=h.astype(np.int64))
+    ref = (docs.sort_values(["source", "h", "doc_id"])
+               .groupby("source").head(5))
+    assert len(got) == len(ref)
+    pd.testing.assert_frame_equal(
+        got.sort_values(["source", "doc_id"]).reset_index(drop=True),
+        ref.sort_values(["source", "doc_id"])[["doc_id", "source", "h"]]
+           .reset_index(drop=True)[got.columns.tolist()])
+
+
+def test_split_stats_matches_pandas(ray_session):
+    from anomalydetection_ray.pipelines.queries import q8_split_stats
+
+    got = q8_split_stats(SF).to_pandas().set_index("split")
+    import pyarrow.parquet as pq
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "n_chars"]).to_pandas()
+    m = docs["doc_id"] % 10
+    split = np.where(m < 8, "train", np.where(m == 8, "val", "test"))
+    for s in ("train", "val", "test"):
+        sub = docs[split == s]
+        row = got.loc[s]
+        assert row["n_docs"] == len(sub)
+        assert row["chars_sum"] == sub["n_chars"].sum()
+        assert (row["doc_min"], row["doc_max"]) == (sub["doc_id"].min(),
+                                                    sub["doc_id"].max())
