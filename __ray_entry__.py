@@ -170,6 +170,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "detect_threshold": lambda sf: _detect(sf, "threshold"),
         "detect_ewma": lambda sf: _detect(sf, "ewma"),
         "detect_mad": lambda sf: _detect(sf, "mad"),
+        # A7 CUSUM change-point detector (Page 1954, zero-slack two-sided
+        # closed form: cumsum + running min/max over exact n-scaled ints)
+        "detect_cusum": lambda sf: _detect(sf, "cusum"),
         # flagship rollup over tokenized documents — fully SQL-checked: the
         # tokenizer, bucket math AND robust anomaly score (median/mad) are
         # all reproduced in the DuckDB oracle
@@ -241,6 +244,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact int64 reductions, pinned-order float scoring — the whole
         # 2-iteration training loop is reproduced in the SQL oracle
         "kmeans_train": km.kmeans_train,
+        # K2 per-label embedding centroids (exact quantized integer sums)
+        "k2_label_centroids": q.k2_label_centroids,
         "g3_quantiles_nchars": q.g3_quantiles_nchars,
         "m3_token_fns": q.m3_token_fns,
         "g3_approx_quantiles": q.g3_approx_quantiles,
@@ -932,6 +937,54 @@ def oracle_sql() -> dict[str, str]:
             FROM parts LEFT JOIN g
               ON parts.doc_id = g.doc_id AND parts.part_id = g.part_id
         """,
+        # A7 CUSUM (Page 1954): p = running sum of n*v - S (exact ints),
+        # s+ = p - min(0, running min p), s- = max(0, running max p) - p,
+        # alarm when either side exceeds 5 * sqrt(n*Q - S^2) (= 5*n*sigma;
+        # HUGEINT radicand -> one double cast + one correctly-rounded sqrt)
+        "detect_cusum": f"""
+            WITH {_SEQ_TOK_CTE},
+            parts AS (
+                SELECT doc_id,
+                       CAST(unnest(range(0, greatest(CAST(ceil(
+                           CAST(len(toks) AS DOUBLE) / 1000000) AS BIGINT), 1)))
+                           AS INTEGER) AS part_id
+                FROM seq),
+            s AS (SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                         pos % 1000000 AS i, v FROM tok),
+            st AS MATERIALIZED (
+                SELECT doc_id, part_id, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CAST(v AS BIGINT)) AS BIGINT) AS sv,
+                       CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS qv
+                FROM s GROUP BY doc_id, part_id),
+            pp AS (SELECT s.doc_id, s.part_id, s.i,
+                          sum(st.n * s.v - st.sv) OVER
+                              (PARTITION BY s.doc_id, s.part_id ORDER BY s.i
+                               ROWS UNBOUNDED PRECEDING) AS p
+                   FROM s JOIN st USING (doc_id, part_id)),
+            q AS (SELECT doc_id, part_id, i, p,
+                         least(min(p) OVER win, 0) AS mn,
+                         greatest(max(p) OVER win, 0) AS mx
+                  FROM pp
+                  WINDOW win AS (PARTITION BY doc_id, part_id ORDER BY i
+                                 ROWS UNBOUNDED PRECEDING)),
+            f AS (SELECT q.doc_id, q.part_id, q.i
+                  FROM q JOIN st USING (doc_id, part_id)
+                  WHERE CAST(q.p - q.mn AS DOUBLE) >
+                            5.0 * sqrt(CAST(CAST(st.n AS HUGEINT) * st.qv
+                                - CAST(st.sv AS HUGEINT) * st.sv AS DOUBLE))
+                     OR CAST(q.mx - q.p AS DOUBLE) >
+                            5.0 * sqrt(CAST(CAST(st.n AS HUGEINT) * st.qv
+                                - CAST(st.sv AS HUGEINT) * st.sv AS DOUBLE))),
+            g AS (SELECT doc_id, part_id, count(*) AS n_anomalies,
+                         sum(i) AS pos_sum, sum(i * i) AS pos_sumsq
+                  FROM f GROUP BY doc_id, part_id)
+            SELECT parts.doc_id, parts.part_id, 'cusum' AS detector,
+                   COALESCE(g.n_anomalies, 0) AS n_anomalies,
+                   CAST(COALESCE(g.pos_sum, 0) AS BIGINT) AS pos_sum,
+                   CAST(COALESCE(g.pos_sumsq, 0) AS BIGINT) AS pos_sumsq
+            FROM parts LEFT JOIN g
+              ON parts.doc_id = g.doc_id AND parts.part_id = g.part_id
+        """,
         # A-extra global robust-z (MAD) detector: DuckDB's median/mad over
         # integer tokens interpolate exactly like the engine's
         # segment_medians ((a+b)/2 of the middle order statistics); the
@@ -1434,6 +1487,25 @@ def oracle_sql() -> dict[str, str]:
             FROM b GROUP BY event_type
         """,
         "kmeans_train": _kmeans_sql(dim=_dim),
+        # K2 label centroids: quantize each element exactly as the engine
+        # (floor(v * 2^20 + 0.5) on the double-widened float), exact int
+        # sums, one pinned division
+        "k2_label_centroids": """
+            WITH u AS (SELECT label,
+                              CAST(t.i - 1 AS BIGINT) AS dim,
+                              embedding[t.i] AS e
+                       FROM embeddings
+                       CROSS JOIN unnest(range(1, len(embedding) + 1))
+                           AS t(i)),
+            q AS (SELECT CAST(label AS BIGINT) AS label, dim,
+                         CAST(floor(CAST(e AS DOUBLE) * 1048576 + 0.5)
+                              AS BIGINT) AS vq
+                  FROM u)
+            SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(vq) AS BIGINT) AS sum_q,
+                   CAST(sum(vq) AS DOUBLE) / (count(*) * 1048576) AS mean
+            FROM q GROUP BY label, dim
+        """,
         # W4 OHLC resample: first/last by (ts, event_id) via row_number
         "w4_ohlc_resample": """
             WITH o AS (

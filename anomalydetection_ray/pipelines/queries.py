@@ -1205,3 +1205,60 @@ def q8_split_stats(sf_dir: str):
         })
 
     return partials.groupby("split").map_groups(merge, batch_format="pyarrow")
+
+
+EMB_QSCALE = 1_048_576  # 2^20 micro-quantization for exact embedding sums
+
+
+def k2_label_centroids(sf_dir: str):
+    """K2 — per-label embedding centroids (the class-prototype /
+    nearest-centroid building block next to K1's k-means): exact
+    integer-quantized per-(label, dim) sums so the distributed mean is
+    block-order independent, one pinned IEEE division at the end.
+    Per-block partials collapse to ≤ labels · dim rows before the
+    exchange; the final groupby is over the tiny (label, dim) grid."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "embeddings", ["embedding", "label"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lab = np.asarray(batch.column("label"), dtype=np.int64)
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        m = np.asarray(emb.values, dtype=np.float64).reshape(len(lab), -1)
+        q = np.floor(m * EMB_QSCALE + 0.5).astype(np.int64)
+        dim = q.shape[1]
+        # per-label vectorized reduction: sort rows by label, reduceat
+        order = np.argsort(lab, kind="stable")
+        ls = lab[order]
+        qs = q[order]
+        starts = np.flatnonzero(np.r_[True, ls[1:] != ls[:-1]])
+        sums = np.add.reduceat(qs, starts, axis=0)
+        cnts = np.diff(np.append(starts, len(ls)))
+        n_grp = len(starts)
+        return pa.table({
+            "label": pa.array(np.repeat(ls[starts], dim), type=pa.int64()),
+            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), n_grp),
+                            type=pa.int64()),
+            "n": pa.array(np.repeat(cnts, dim), type=pa.int64()),
+            "sum_q": pa.array(sums.reshape(-1), type=pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def merge(group: pa.Table) -> pa.Table:
+        n = int(pc.sum(group.column("n")).as_py())
+        sq = int(pc.sum(group.column("sum_q")).as_py())
+        return pa.table({
+            "label": group.column("label").slice(0, 1),
+            "dim": group.column("dim").slice(0, 1),
+            "n": pa.array([n], type=pa.int64()),
+            "sum_q": pa.array([sq], type=pa.int64()),
+            "mean": pa.array([float(sq) / float(n * EMB_QSCALE)],
+                             type=pa.float64()),
+        })
+
+    return partials.groupby(["label", "dim"]).map_groups(
+        merge, batch_format="pyarrow")

@@ -653,3 +653,60 @@ def test_split_stats_matches_pandas(ray_session):
         assert row["chars_sum"] == sub["n_chars"].sum()
         assert (row["doc_min"], row["doc_max"]) == (sub["doc_id"].min(),
                                                     sub["doc_id"].max())
+
+
+# ---------------------------------------------------------------- A7 ----
+def test_cusum_closed_form_matches_recurrence():
+    from anomalydetection_ray.stages.detectors import _det_cusum
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n = int(rng.integers(3, 400))
+        x = rng.integers(0, 50257, size=n).astype(np.int64)
+        if trial % 4 == 0:  # inject a level shift (the CUSUM target)
+            x[n // 2:] += int(rng.integers(20000, 40000))
+        out = _det_cusum(x.astype(np.int32))
+        # textbook recurrence reference
+        S = int(x.sum())
+        Q = int((x * x).sum())
+        import math
+        h = 5.0 * math.sqrt(float(n * Q - S * S))
+        sp = sm = 0
+        pos = []
+        for t in range(n):
+            inc = n * int(x[t]) - S
+            sp = max(0, sp + inc)
+            sm = max(0, sm - inc)
+            if sp > h or sm > h:
+                pos.append(t)
+        assert out["n_anomalies"] == len(pos)
+        assert np.array_equal(out["anomaly_positions"], np.array(pos,
+                                                                 dtype=np.int64))
+
+
+def test_cusum_constant_and_empty():
+    from anomalydetection_ray.stages.detectors import _det_cusum
+
+    assert _det_cusum(np.empty(0, dtype=np.int32))["n_anomalies"] == 0
+    assert _det_cusum(np.full(100, 7, dtype=np.int32))["n_anomalies"] == 0
+
+
+# ---------------------------------------------------------------- K2 ----
+def test_label_centroids_match_pandas(ray_session):
+    from anomalydetection_ray.pipelines.queries import k2_label_centroids
+
+    got = k2_label_centroids(SF).to_pandas()
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["embedding", "label"])
+    lab = np.asarray(t.column("label"), dtype=np.int64)
+    m = np.asarray(t.column("embedding").combine_chunks().values,
+                   dtype=np.float64).reshape(len(lab), -1)
+    q = np.floor(m * 1048576 + 0.5).astype(np.int64)
+    for lb in np.unique(lab):
+        sub = q[lab == lb]
+        g = got[got["label"] == lb].sort_values("dim")
+        assert (g["n"].to_numpy() == sub.shape[0]).all()
+        assert np.array_equal(g["sum_q"].to_numpy(), sub.sum(axis=0))
+        ref_mean = sub.sum(axis=0) / float(sub.shape[0] * 1048576)
+        assert np.array_equal(g["mean"].to_numpy(), ref_mean)
