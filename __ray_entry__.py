@@ -54,6 +54,30 @@ even the flagship rollup over the derived token table is value-checked):
                            centroid pruning + exact rerank
   A-extra (mad)         -> detect_mad (global robust-z / MAD detector,
                            median+mad reproduced in SQL)
+  A7 (cusum)            -> detect_cusum (Page 1954 change-point chart,
+                           closed-form cumsum + running min/max)
+  W3/W4/W5/W6           -> w3_rolling_stats_events, w4_ohlc_resample,
+                           w5_trend_events (per-key OLS drift),
+                           w6_rank_normalize (percent-rank CDF transform)
+  G4/G5/G6/G7           -> g4_approx_distinct (linear counting),
+                           g5_heavy_hitters_cms (count-min sketch),
+                           g6_value_histogram, g7_hll_distinct
+                           (HyperLogLog — registers pinned via the exact
+                           integer harmonic sum)
+  D3/D4                 -> d3_value_drift (day-parity chi-square),
+                           d4_split_contamination (shared winnowing
+                           hashes across the doc_id%10 split)
+  R1                    -> r1_retention_plan, r1_retention_apply (the
+                           applied form's surviving-partition evidence is
+                           itself SQL-checked)
+  V1..V5                -> vocab_topk, vocab_doc_freq, tfidf_topk,
+                           bigram_topk, lm_score_docs (bigram-LM quality
+                           scoring against the broadcast top-500 table)
+  X3                    -> inverted_index_probe (persisted
+                           bucket-partitioned posting lists, pruned probe)
+  P3/Q6/Q7/Q8           -> pack_sequences, q6_seeded_shuffle,
+                           q7_quota_sample, q8_split_stats
+  K1/K2                 -> kmeans_train, k2_label_centroids
 Rows-only (non-SQL-expressible by nature): the codecs and persist
 summaries (side-effectful, content pinned via checksums in the rows),
 media_features (binary payload decode), g3_approx_quantiles
@@ -155,6 +179,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": lambda sf: sim.ann_topk_ivf(sf).select_columns(["vec_id", "label"]),
         # text analysis
         "lang_id": tx.lang_id,
+        # T5 corpus composition: (source x predicted language) mix table
+        "t5_lang_mix": tx.lang_mix_by_source,
         "quality_stats": lambda sf: tx.quality(sf).select_columns(
             ["doc_id", "n_bytes", "alpha_chars", "alpha_ratio", "ws_tokens"]
         ),
@@ -208,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w4_ohlc_resample": wnd.w4_ohlc_resample_events,
         "w5_trend_events": wnd.w5_trend_events,
         "w6_rank_normalize": wnd.w6_rank_normalize_events,
+        "w7_trimmed_mean": wnd.w7_trimmed_mean_events,
         "j5_interval_stats": wnd.j5_interval_stats,
         # G5/G6/G7 sketches + histogram (exact-integer distributed merges)
         "g5_heavy_hitters_cms": q.g5_heavy_hitters_cms,
@@ -1171,6 +1198,28 @@ def oracle_sql() -> dict[str, str]:
                    best AS confidence
             FROM b
         """,
+        # T5 mix table: the lang-ID CTEs joined back to source
+        "t5_lang_mix": f"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_slice(regexp_extract_all(lower(text), '[0-9a-z_]+'),
+                                  1, 2000) AS ws
+                FROM documents),
+            r AS (SELECT doc_id, len(ws) AS nw, {lang_ratio} FROM w),
+            b AS (SELECT doc_id, nw, r_de, r_en, r_es, r_fr,
+                         greatest(r_de, r_en, r_es, r_fr) AS best
+                  FROM r),
+            pl AS (SELECT doc_id,
+                          CASE WHEN nw = 0 OR best < 0.02 THEN 'unknown'
+                               WHEN r_de = best THEN 'de'
+                               WHEN r_en = best THEN 'en'
+                               WHEN r_es = best THEN 'es'
+                               ELSE 'fr' END AS pred_lang
+                   FROM b)
+            SELECT d.source, pl.pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+            FROM pl JOIN documents d USING (doc_id)
+            GROUP BY d.source, pl.pred_lang
+        """,
         "quality_scores_full": r"""
             WITH q AS (
                 SELECT doc_id,
@@ -1615,6 +1664,27 @@ def oracle_sql() -> dict[str, str]:
                    END AS pct
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY value)
+        """,
+        # W7 trimmed mean: drop n//10 from each end under the total order
+        # (value, event_id); exact quantized middle sum, one division
+        "w7_trimmed_mean": """
+            WITH b AS (
+                SELECT user_id, event_id,
+                       CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vq,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY value, event_id) AS rn,
+                       count(*) OVER (PARTITION BY user_id) AS n
+                FROM events),
+            t AS (SELECT user_id, vq, rn, n, n // 10 AS m FROM b)
+            SELECT user_id, CAST(max(n) AS BIGINT) AS n,
+                   CAST(max(m) AS BIGINT) AS n_trim,
+                   CAST(sum(vq) FILTER (WHERE rn > m AND rn <= n - m)
+                        AS BIGINT) AS sum_q,
+                   CAST(sum(vq) FILTER (WHERE rn > m AND rn <= n - m)
+                        AS DOUBLE)
+                   / (CAST(max(n) - 2 * max(m) AS DOUBLE) * 1000000)
+                       AS trimmed_mean
+            FROM t GROUP BY user_id
         """,
         # D3 temporal drift: day-parity halves of the G6 histogram grid;
         # chi2 term = exact-int square over exact-int total, one division

@@ -461,3 +461,42 @@ def split_contamination(sf_dir: str):
 
     return triples.groupby("doc_id").map_groups(per_test,
                                                 batch_format="pyarrow")
+
+
+def lang_mix_by_source(sf_dir: str):
+    """T5 — corpus composition report: document counts per (source,
+    predicted language) — the mix table a corpus curator reads before
+    deciding sampling weights.  The lang-ID kernel runs fused in the same
+    pass (no materialized intermediate); per-block Arrow group_by
+    partials mean ≤ sources · languages rows cross the exchange per
+    block."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pl = lang_id_batch(batch)
+        t = pa.table({"source": batch.column("source"),
+                      "pred_lang": pl.column("pred_lang")})
+        g = t.group_by(["source", "pred_lang"]).aggregate([([], "count_all")])
+        return pa.table({"source": g.column("source"),
+                         "pred_lang": g.column("pred_lang"),
+                         "n_docs": pc.cast(g.column("count_all"), pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def merge(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "source": group.column("source").slice(0, 1),
+            "pred_lang": group.column("pred_lang").slice(0, 1),
+            "n_docs": pa.array([int(pc.sum(group.column("n_docs")).as_py())],
+                               type=pa.int64()),
+        })
+
+    return partials.groupby(["source", "pred_lang"]).map_groups(
+        merge, batch_format="pyarrow")

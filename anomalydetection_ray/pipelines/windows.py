@@ -438,6 +438,63 @@ def w6_rank_normalize_events(sf_dir: str, num_partitions: int = 16):
                                            batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------- W7 ----
+W7_VSCALE = 1_000_000
+
+
+def _trimmed_kernel(group: pa.Table) -> pa.Table:
+    """Per-user 10%-trimmed mean: drop the n//10 smallest and largest
+    values (total order (value, event_id) — tie-safe), exact integer sum
+    of the quantized middle, one pinned division."""
+    group = group.drop_columns([PKEY]).sort_by(
+        [("user_id", "ascending"), ("value", "ascending"),
+         ("event_id", "ascending")])
+    n = group.num_rows
+    if n == 0:
+        return pa.table({
+            "user_id": pa.array([], type=pa.int64()),
+            "n": pa.array([], type=pa.int64()),
+            "n_trim": pa.array([], type=pa.int64()),
+            "sum_q": pa.array([], type=pa.int64()),
+            "trimmed_mean": pa.array([], type=pa.float64()),
+        })
+    uid = np.asarray(group.column("user_id"), dtype=np.int64)
+    vq = np.floor(np.asarray(group.column("value"), dtype=np.float64)
+                  * W7_VSCALE + 0.5).astype(np.int64)
+    starts = run_starts(group, ["user_id"])
+    lens = np.diff(np.append(starts, n)).astype(np.int64)
+    m = lens // 10
+    rank = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+    keep = (rank >= np.repeat(m, lens)) & (rank < np.repeat(lens - m, lens))
+    sums = np.add.reduceat(np.where(keep, vq, 0), starts)
+    denom = (lens - 2 * m).astype(np.float64) * W7_VSCALE
+    return pa.table({
+        "user_id": pa.array(uid[starts], type=pa.int64()),
+        "n": pa.array(lens, type=pa.int64()),
+        "n_trim": pa.array(m, type=pa.int64()),
+        "sum_q": pa.array(sums, type=pa.int64()),
+        "trimmed_mean": pa.array(sums.astype(np.float64) / denom,
+                                 type=pa.float64()),
+    })
+
+
+def w7_trimmed_mean_events(sf_dir: str, num_partitions: int = 16):
+    """W7 — per-key 10%-trimmed mean (the robust location feature next to
+    W6's rank transform: outlier-resistant without the median's
+    interpolation subtleties).  Same one-exchange ``_pkey`` layout; the
+    trim set is selected under a deterministic total order so the
+    distributed result is block-order independent; the quantized middle
+    sums exactly and the mean is a single IEEE division the SQL oracle
+    replays."""
+    ev = _read_events(sf_dir, ["event_id", "user_id", "value"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby(PKEY).map_groups(_trimmed_kernel,
+                                           batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- J5 ----
 def seeded_windows(t0_us: int, t1_us: int,
                    n_windows: int = N_WINDOWS) -> tuple[np.ndarray, np.ndarray]:

@@ -710,3 +710,49 @@ def test_label_centroids_match_pandas(ray_session):
         assert np.array_equal(g["sum_q"].to_numpy(), sub.sum(axis=0))
         ref_mean = sub.sum(axis=0) / float(sub.shape[0] * 1048576)
         assert np.array_equal(g["mean"].to_numpy(), ref_mean)
+
+
+# ---------------------------------------------------------------- W7 ----
+def test_trimmed_mean_matches_pandas(ray_session):
+    from anomalydetection_ray.pipelines.windows import w7_trimmed_mean_events
+
+    got = w7_trimmed_mean_events(SF).to_pandas().set_index("user_id")
+    ev = _events_df()
+    vq = np.floor(ev["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    ev = ev.assign(_vq=vq)
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["value", "event_id"])
+        n = len(g)
+        m = n // 10
+        mid = g["_vq"].to_numpy()[m: n - m]
+        row = got.loc[uid]
+        assert (row["n"], row["n_trim"]) == (n, m)
+        assert row["sum_q"] == mid.sum()
+        assert row["trimmed_mean"] == mid.sum() / (float(n - 2 * m) * 1e6)
+
+
+def test_trimmed_mean_partition_invariance(ray_session):
+    from anomalydetection_ray.pipelines.windows import w7_trimmed_mean_events
+
+    a = w7_trimmed_mean_events(SF, num_partitions=1).to_pandas()
+    b = w7_trimmed_mean_events(SF, num_partitions=16).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("user_id").reset_index(drop=True),
+        b.sort_values("user_id").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------- T5 ----
+def test_lang_mix_matches_lang_id(ray_session):
+    from anomalydetection_ray.pipelines.text import lang_id, lang_mix_by_source
+
+    mix = lang_mix_by_source(SF).to_pandas()
+    per_doc = lang_id(SF).to_pandas()
+    import pyarrow.parquet as pq
+    src = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "source"]).to_pandas()
+    joined = per_doc.merge(src, on="doc_id")
+    ref = joined.groupby(["source", "pred_lang"]).size()
+    assert mix["n_docs"].sum() == len(per_doc)
+    for _, r in mix.iterrows():
+        assert ref[(r["source"], r["pred_lang"])] == r["n_docs"]
+    assert len(mix) == len(ref)
