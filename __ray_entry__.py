@@ -218,6 +218,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_events_tier1": q.rollup_events_tier1,
         "a1_moving_stats_events": q.a1_moving_stats_events,
         "s3_token_counts": q.s3_token_counts,
+        # S6 JSONL source/sink round trip (content-preserving interchange)
+        "s6_jsonl_roundtrip": q.s6_jsonl_roundtrip,
         "g2_source_stats": q.g2_source_stats,
         "pricing_summary": q.pricing_summary,
         "q2_topk_events": q.q2_topk_events,
@@ -1649,6 +1651,15 @@ def oracle_sql() -> dict[str, str]:
                 CAST(((CAST(t.user_id AS HUGEINT) * p.a + p.b)
                       % 4294967296) % 1024 AS BIGINT)
             GROUP BY t.user_id, t.n_exact
+        """,
+        # S6 JSONL round trip: same aggregates straight off the parquet —
+        # matches only if the JSONL wire format preserved every byte
+        "s6_jsonl_roundtrip": """
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS words_sum
+            FROM documents GROUP BY source
         """,
         # W6 per-key rank/CDF normalize: DuckDB rank semantics (ties share
         # the min rank); pct = one pinned division of exact ints

@@ -1262,3 +1262,69 @@ def k2_label_centroids(sf_dir: str):
 
     return partials.groupby(["label", "dim"]).map_groups(
         merge, batch_format="pyarrow")
+
+
+def s6_jsonl_roundtrip(sf_dir: str):
+    """S6 — JSONL source/sink round trip: the documents table is written
+    to JSON-lines (distributed ``write_json``, one shard per block) and
+    read back through ``read_json``, then aggregated per source (doc
+    count, exact char sum, whitespace word-count sum).  The oracle
+    computes the same aggregates from the original PARQUET — the check
+    passes only if the alternate wire format preserved every row and
+    every text byte.  At scale this is the lakehouse-interchange path
+    (JSONL in, parquet tiers out); the aggregate keeps the verification
+    payload tiny."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    out = tempfile.mkdtemp(prefix="anomray_jsonl_")
+    try:
+        (_read(sf_dir, "documents", ["doc_id", "source", "n_chars", "text"])
+            .write_json(out))
+        back = ray.data.read_json(out)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            text = batch.column("text")
+            if isinstance(text, pa.ChunkedArray):
+                text = text.combine_chunks()
+            words = pc.list_value_length(pc.split_pattern(text, " "))
+            t = pa.table({
+                "source": batch.column("source"),
+                "n_chars": pc.cast(batch.column("n_chars"), pa.int64()),
+                "ws_words": pc.cast(words, pa.int64()),
+            })
+            g = t.group_by("source").aggregate(
+                [([], "count_all"), ("n_chars", "sum"), ("ws_words", "sum")])
+            return pa.table({
+                "source": g.column("source"),
+                "n_docs": pc.cast(g.column("count_all"), pa.int64()),
+                "chars_sum": pc.cast(g.column("n_chars_sum"), pa.int64()),
+                "words_sum": pc.cast(g.column("ws_words_sum"), pa.int64()),
+            })
+
+        partials = back.map_batches(partial, batch_format="pyarrow")
+
+        def merge(group: pa.Table) -> pa.Table:
+            return pa.table({
+                "source": group.column("source").slice(0, 1),
+                "n_docs": pa.array(
+                    [int(pc.sum(group.column("n_docs")).as_py())],
+                    type=pa.int64()),
+                "chars_sum": pa.array(
+                    [int(pc.sum(group.column("chars_sum")).as_py())],
+                    type=pa.int64()),
+                "words_sum": pa.array(
+                    [int(pc.sum(group.column("words_sum")).as_py())],
+                    type=pa.int64()),
+            })
+
+        res = partials.groupby("source").map_groups(
+            merge, batch_format="pyarrow")
+        # materialize before the tmp dir vanishes (lazy reads would fail)
+        return ray.data.from_arrow(pa.concat_tables(
+            list(res.iter_batches(batch_format="pyarrow"))))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -756,3 +756,21 @@ def test_lang_mix_matches_lang_id(ray_session):
     for _, r in mix.iterrows():
         assert ref[(r["source"], r["pred_lang"])] == r["n_docs"]
     assert len(mix) == len(ref)
+
+
+# ---------------------------------------------------------------- S6 ----
+def test_jsonl_roundtrip_matches_parquet(ray_session):
+    from anomalydetection_ray.pipelines.queries import s6_jsonl_roundtrip
+
+    got = s6_jsonl_roundtrip(SF).to_pandas().set_index("source")
+    docs = _docs_df()
+    import pyarrow.parquet as pq
+    full = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "source", "n_chars",
+                                  "text"]).to_pandas()
+    for src, g in full.groupby("source"):
+        row = got.loc[src]
+        assert row["n_docs"] == len(g)
+        assert row["chars_sum"] == g["n_chars"].sum()
+        assert row["words_sum"] == sum(len(t.split(" ")) for t in g["text"])
+    assert got["n_docs"].sum() == len(full)
