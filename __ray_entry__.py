@@ -132,6 +132,12 @@ def _invindex_probe(sf_dir: str):
     return inverted_index_probe(sf_dir)
 
 
+def _curation_funnel(sf_dir: str):
+    from anomalydetection_ray.pipelines.curation import curation_funnel
+
+    return curation_funnel(sf_dir)
+
+
 def _retention_plan(sf_dir: str):
     from anomalydetection_ray.pipelines.retention import retention_plan_events
 
@@ -254,6 +260,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index_probe": _invindex_probe,
         # D4 train/test contamination via shared winnowing hashes
         "d4_split_contamination": tx.split_contamination,
+        # C1 end-to-end curation funnel (quality -> lang -> dedup -> quota)
+        "curation_funnel": _curation_funnel,
         # R1 retention: SQL-checked plan + side-effectful partition expiry
         # whose surviving-bucket evidence is ALSO SQL-checked
         "r1_retention_plan": _retention_plan,
@@ -910,6 +918,54 @@ def oracle_sql() -> dict[str, str]:
                    .column("embedding")[0].values)
     except Exception:
         _dim = 64
+    # reusable sub-queries (lang-ID prediction / quality score), shared by
+    # lang_id, t5_lang_mix, quality_scores_full and the curation funnel
+    _langid_sql = f"""
+        WITH w AS (
+            SELECT doc_id,
+                   list_slice(regexp_extract_all(lower(text), '[0-9a-z_]+'),
+                              1, 2000) AS ws
+            FROM documents),
+        r AS (SELECT doc_id, len(ws) AS nw, {lang_ratio} FROM w),
+        b AS (SELECT doc_id, nw, r_de, r_en, r_es, r_fr,
+                     greatest(r_de, r_en, r_es, r_fr) AS best
+              FROM r)
+        SELECT doc_id,
+               CASE WHEN nw = 0 OR best < 0.02 THEN 'unknown'
+                    WHEN r_de = best THEN 'de'
+                    WHEN r_en = best THEN 'en'
+                    WHEN r_es = best THEN 'es'
+                    ELSE 'fr' END AS pred_lang,
+               best AS confidence
+        FROM b
+    """
+    _quality_sql = r"""
+        WITH q AS (
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+                   octet_length(encode(regexp_replace(text, '[\t\n\x0B\x0C\r ]', '', 'g')))
+                       AS word_bytes,
+                   len(list_filter(string_split_regex(text, '[\t\n\x0B\x0C\r ]+'),
+                                   x -> x <> '')) AS word_runs,
+                   array_length(string_split_regex(text, '\s+')) AS ws_tokens
+            FROM documents),
+        q2 AS (
+            SELECT doc_id, n_bytes, alpha_chars, ws_tokens,
+                   CASE WHEN n_bytes = 0 THEN 0.0
+                        ELSE CAST(alpha_chars AS DOUBLE) / n_bytes END AS alpha_ratio,
+                   CASE WHEN word_runs = 0 THEN 0.0
+                        ELSE CAST(word_bytes AS DOUBLE) / word_runs END AS mean_w
+            FROM q)
+        SELECT doc_id, n_bytes, alpha_chars, alpha_ratio, ws_tokens,
+               CASE WHEN n_bytes = 0 THEN 0.0
+                    ELSE greatest(least(
+                        0.5 * alpha_ratio
+                        + 0.3 * least(mean_w / 8.0, 1.0)
+                        + 0.2 * least(n_bytes / 2000.0, 1.0), 1.0), 0.0)
+               END AS quality_score
+        FROM q2
+    """
     return {
         "ann_lsh_topk": _ann_lsh_sql(dim=_dim),
         "ann_ivf_topk": _ann_ivf_sql(dim=_dim),
@@ -1181,73 +1237,51 @@ def oracle_sql() -> dict[str, str]:
                 WHERE o.o_custkey = c.c_custkey
                   AND o.o_totalprice > 400000.0)
         """,
-        "lang_id": f"""
-            WITH w AS (
-                SELECT doc_id,
-                       list_slice(regexp_extract_all(lower(text), '[0-9a-z_]+'),
-                                  1, 2000) AS ws
-                FROM documents),
-            r AS (SELECT doc_id, len(ws) AS nw, {lang_ratio} FROM w),
-            b AS (SELECT doc_id, nw, r_de, r_en, r_es, r_fr,
-                         greatest(r_de, r_en, r_es, r_fr) AS best
-                  FROM r)
-            SELECT doc_id,
-                   CASE WHEN nw = 0 OR best < 0.02 THEN 'unknown'
-                        WHEN r_de = best THEN 'de'
-                        WHEN r_en = best THEN 'en'
-                        WHEN r_es = best THEN 'es'
-                        ELSE 'fr' END AS pred_lang,
-                   best AS confidence
-            FROM b
-        """,
-        # T5 mix table: the lang-ID CTEs joined back to source
+        "lang_id": _langid_sql,
+        # T5 mix table: the lang-ID prediction joined back to source
         "t5_lang_mix": f"""
-            WITH w AS (
-                SELECT doc_id,
-                       list_slice(regexp_extract_all(lower(text), '[0-9a-z_]+'),
-                                  1, 2000) AS ws
-                FROM documents),
-            r AS (SELECT doc_id, len(ws) AS nw, {lang_ratio} FROM w),
-            b AS (SELECT doc_id, nw, r_de, r_en, r_es, r_fr,
-                         greatest(r_de, r_en, r_es, r_fr) AS best
-                  FROM r),
-            pl AS (SELECT doc_id,
-                          CASE WHEN nw = 0 OR best < 0.02 THEN 'unknown'
-                               WHEN r_de = best THEN 'de'
-                               WHEN r_en = best THEN 'en'
-                               WHEN r_es = best THEN 'es'
-                               ELSE 'fr' END AS pred_lang
-                   FROM b)
+            WITH pl AS (SELECT doc_id, pred_lang FROM ({_langid_sql}))
             SELECT d.source, pl.pred_lang, CAST(count(*) AS BIGINT) AS n_docs
             FROM pl JOIN documents d USING (doc_id)
             GROUP BY d.source, pl.pred_lang
         """,
-        "quality_scores_full": r"""
-            WITH q AS (
-                SELECT doc_id,
-                       octet_length(encode(text)) AS n_bytes,
-                       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
-                       octet_length(encode(regexp_replace(text, '[\t\n\x0B\x0C\r ]', '', 'g')))
-                           AS word_bytes,
-                       len(list_filter(string_split_regex(text, '[\t\n\x0B\x0C\r ]+'),
-                                       x -> x <> '')) AS word_runs,
-                       array_length(string_split_regex(text, '\s+')) AS ws_tokens
-                FROM documents),
-            q2 AS (
-                SELECT doc_id, n_bytes, alpha_chars, ws_tokens,
-                       CASE WHEN n_bytes = 0 THEN 0.0
-                            ELSE CAST(alpha_chars AS DOUBLE) / n_bytes END AS alpha_ratio,
-                       CASE WHEN word_runs = 0 THEN 0.0
-                            ELSE CAST(word_bytes AS DOUBLE) / word_runs END AS mean_w
-                FROM q)
-            SELECT doc_id, n_bytes, alpha_chars, alpha_ratio, ws_tokens,
-                   CASE WHEN n_bytes = 0 THEN 0.0
-                        ELSE greatest(least(
-                            0.5 * alpha_ratio
-                            + 0.3 * least(mean_w / 8.0, 1.0)
-                            + 0.2 * least(n_bytes / 2000.0, 1.0), 1.0), 0.0)
-                   END AS quality_score
-            FROM q2
+        "quality_scores_full": _quality_sql,
+        # C1 curation funnel: quality gate -> language gate -> exact
+        # dedup -> per-source quota, counted per source at every stage —
+        # the end-to-end corpus-curation composition
+        "curation_funnel": f"""
+            WITH ql AS (SELECT doc_id, quality_score FROM ({_quality_sql})),
+            pl AS (SELECT doc_id, pred_lang FROM ({_langid_sql})),
+            pass AS MATERIALIZED (
+                SELECT d.doc_id, d.source, d.text
+                FROM documents d JOIN ql USING (doc_id) JOIN pl USING (doc_id)
+                WHERE ql.quality_score >= 0.6 AND pl.pred_lang = 'en'),
+            canon AS MATERIALIZED (
+                SELECT min(doc_id) AS doc_id FROM pass GROUP BY md5(text)),
+            cs AS (SELECT p.source, c.doc_id
+                   FROM canon c JOIN pass p USING (doc_id)),
+            hq AS (SELECT source, doc_id,
+                          CAST((CAST(xor(doc_id % 4294967296,
+                                         {(7 * 2654435761) & 0xFFFFFFFF})
+                                     AS HUGEINT) * 2654435761)
+                               % 4294967296 AS BIGINT) AS h
+                   FROM cs),
+            r AS (SELECT source, row_number() OVER (PARTITION BY source
+                             ORDER BY h, doc_id) AS rn FROM hq),
+            kept AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept
+                     FROM r WHERE rn <= 15 GROUP BY source),
+            qc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_quality
+                   FROM pass GROUP BY source),
+            uc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_unique
+                   FROM cs GROUP BY source),
+            ic AS (SELECT source, CAST(count(*) AS BIGINT) AS n_in
+                   FROM documents GROUP BY source)
+            SELECT ic.source, ic.n_in,
+                   COALESCE(qc.n_quality, 0) AS n_quality,
+                   COALESCE(uc.n_unique, 0) AS n_unique,
+                   COALESCE(kept.n_kept, 0) AS n_kept
+            FROM ic LEFT JOIN qc USING (source) LEFT JOIN uc USING (source)
+                    LEFT JOIN kept USING (source)
         """,
         "dedup_embedding_pairs": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b

@@ -774,3 +774,37 @@ def test_jsonl_roundtrip_matches_parquet(ray_session):
         assert row["chars_sum"] == g["n_chars"].sum()
         assert row["words_sum"] == sum(len(t.split(" ")) for t in g["text"])
     assert got["n_docs"].sum() == len(full)
+
+
+# ---------------------------------------------------------------- C1 ----
+def test_curation_funnel_matches_composition(ray_session):
+    import hashlib
+
+    from anomalydetection_ray.pipelines.curation import curation_funnel
+    from anomalydetection_ray.pipelines.queries import QUOTA_SEED_MIX
+    from anomalydetection_ray.pipelines.text import lang_id, quality
+
+    got = curation_funnel(SF).to_pandas().set_index("source")
+    import pyarrow.parquet as pq
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "source", "text"]).to_pandas()
+    ql = quality(SF).to_pandas().set_index("doc_id")["quality_score"]
+    pl = lang_id(SF).to_pandas().set_index("doc_id")["pred_lang"]
+    docs["ok"] = (docs["doc_id"].map(ql) >= 0.6) \
+        & (docs["doc_id"].map(pl) == "en")
+    passers = docs[docs["ok"]].copy()
+    passers["th"] = [hashlib.md5(t.encode()).hexdigest()
+                     for t in passers["text"]]
+    canon = passers.sort_values("doc_id").drop_duplicates("th", keep="first")
+    d = canon["doc_id"].to_numpy(dtype=np.uint64)
+    h = (((d % np.uint64(2**32)) ^ np.uint64(QUOTA_SEED_MIX))
+         * np.uint64(2654435761)) % np.uint64(2**32)
+    canon = canon.assign(h=h.astype(np.int64))
+    kept = canon.sort_values(["source", "h", "doc_id"]).groupby(
+        "source").head(15)
+    for src, g in docs.groupby("source"):
+        row = got.loc[src]
+        assert row["n_in"] == len(g)
+        assert row["n_quality"] == int(g["ok"].sum())
+        assert row["n_unique"] == int((canon["source"] == src).sum())
+        assert row["n_kept"] == int((kept["source"] == src).sum())
