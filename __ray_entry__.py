@@ -243,6 +243,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w5_trend_events": wnd.w5_trend_events,
         "w6_rank_normalize": wnd.w6_rank_normalize_events,
         "w7_trimmed_mean": wnd.w7_trimmed_mean_events,
+        "w8_time_window": wnd.w8_time_window_events,
+        # J7 left OUTER join + aggregate (zero-fill for unmatched keys)
+        "j7_left_join_agg": q.j7_left_join_agg,
         "j5_interval_stats": wnd.j5_interval_stats,
         # G5/G6/G7 sketches + histogram (exact-integer distributed merges)
         "g5_heavy_hitters_cms": q.g5_heavy_hitters_cms,
@@ -1709,6 +1712,35 @@ def oracle_sql() -> dict[str, str]:
                    END AS pct
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY value)
+        """,
+        # W8 time-range window: RANGE INTERVAL semantics (peers by ts all
+        # count); quantized sum is exact
+        "w8_time_window": """
+            WITH b AS (SELECT event_id, user_id, ts,
+                              CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+                                  AS vq
+                       FROM events)
+            SELECT event_id, user_id,
+                   CAST(count(*) OVER w AS BIGINT) AS n_1h,
+                   CAST(sum(vq) OVER w AS BIGINT) AS sum_q_1h
+            FROM b
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                               AND CURRENT ROW)
+        """,
+        # J7 left outer join + aggregate: zero-order customers kept with
+        # zero fills; cents are exact ints
+        "j7_left_join_agg": """
+            WITH oc AS (
+                SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+                       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS cents
+                FROM orders WHERE o_totalprice >= 300000.0
+                GROUP BY o_custkey)
+            SELECT c.c_custkey, c.c_mktsegment,
+                   COALESCE(oc.n_orders, 0) AS n_orders,
+                   COALESCE(oc.cents, 0) AS cents
+            FROM customer c LEFT JOIN oc ON c.c_custkey = oc.o_custkey
         """,
         # W7 trimmed mean: drop n//10 from each end under the total order
         # (value, event_id); exact quantized middle sum, one division

@@ -1328,3 +1328,67 @@ def s6_jsonl_roundtrip(sf_dir: str):
             list(res.iter_batches(batch_format="pyarrow"))))
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+J7_PRICE_FLOOR = 300_000.0
+
+
+def j7_left_join_agg(sf_dir: str):
+    """J7 — left OUTER join + aggregate: per-customer count and exact
+    cents total of HIGH-VALUE orders (>= the price floor), keeping
+    customers with NO qualifying order at explicit zeros — the outer-join
+    semantics J3's inner aggregate can't express (every driver customer
+    has some order, so the floor is what makes the null-fill path real).
+    Orders pre-aggregate map-side (one row per customer per block crosses
+    the first exchange), then the per-customer totals attach to customers
+    via the J3 co-partitioned layout — ``copartition_attach`` is
+    null-filling by construction, and the final map pass turns unmatched
+    nulls into the outer join's zeros."""
+    import pyarrow.compute as pc
+
+    from anomalydetection_ray.stages.join import copartition_attach
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price = np.asarray(batch.column("o_totalprice"), dtype=np.float64)
+        keep = price >= J7_PRICE_FLOOR
+        cents = np.floor(price[keep] * 100 + 0.5).astype(np.int64)
+        ck = batch.column("o_custkey")
+        if isinstance(ck, pa.ChunkedArray):
+            ck = ck.combine_chunks()
+        t = pa.table({"o_custkey": ck.filter(pa.array(keep)),
+                      "cents": pa.array(cents, type=pa.int64())})
+        g = t.group_by("o_custkey").aggregate(
+            [([], "count_all"), ("cents", "sum")])
+        return pa.table({"o_custkey": g.column("o_custkey"),
+                         "n_orders": pc.cast(g.column("count_all"), pa.int64()),
+                         "cents": pc.cast(g.column("cents_sum"), pa.int64())})
+
+    def merge(group: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": group.column("o_custkey").slice(0, 1),
+            "n_orders": pa.array([int(pc.sum(group.column("n_orders")).as_py())],
+                                 type=pa.int64()),
+            "cents": pa.array([int(pc.sum(group.column("cents")).as_py())],
+                              type=pa.int64()),
+        })
+
+    per_cust = (orders.map_batches(partial, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+                .groupby("o_custkey").map_groups(merge,
+                                                 batch_format="pyarrow"))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = copartition_attach(cust, per_cust, left_on="c_custkey",
+                                right_on="o_custkey",
+                                payload_cols=["n_orders", "cents"])
+
+    def fill(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": batch.column("c_custkey"),
+            "c_mktsegment": batch.column("c_mktsegment"),
+            "n_orders": pc.fill_null(batch.column("n_orders"), 0),
+            "cents": pc.fill_null(batch.column("cents"), 0),
+        })
+
+    return joined.map_batches(fill, batch_format="pyarrow")

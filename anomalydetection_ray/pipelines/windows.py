@@ -495,6 +495,64 @@ def w7_trimmed_mean_events(sf_dir: str, num_partitions: int = 16):
                                            batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------- W8 ----
+W8_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def _time_window_kernel(group: pa.Table) -> pa.Table:
+    """Per-user trailing TIME-RANGE window (SQL ``RANGE BETWEEN INTERVAL
+    1 HOUR PRECEDING AND CURRENT ROW``: all events with ts in
+    [t−1h, t], ties-by-ts are peers and all count).  Fully vectorized:
+    per-user ts runs are made globally monotone by a per-user offset
+    larger than the corpus time span, so ONE ``searchsorted`` per bound
+    serves every user at once; counts/sums come from prefix-sum
+    differences over exact quantized ints."""
+    group = group.drop_columns([PKEY]).sort_by(
+        [("user_id", "ascending"), ("ts", "ascending"),
+         ("event_id", "ascending")])
+    n = group.num_rows
+    if n == 0:
+        return pa.table({
+            "event_id": pa.array([], type=pa.int64()),
+            "user_id": pa.array([], type=pa.int64()),
+            "n_1h": pa.array([], type=pa.int64()),
+            "sum_q_1h": pa.array([], type=pa.int64()),
+        })
+    ts = _ts_us(group.column("ts"))
+    vq = np.floor(np.asarray(group.column("value"), dtype=np.float64)
+                  * 1_000_000 + 0.5).astype(np.int64)
+    starts = run_starts(group, ["user_id"])
+    lens = np.diff(np.append(starts, n))
+    uidx = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
+    span = int(ts.max() - ts.min()) + W8_WINDOW_US + 2
+    shifted = ts + uidx * span
+    lo = np.searchsorted(shifted, shifted - W8_WINDOW_US, side="left")
+    hi = np.searchsorted(shifted, shifted, side="right")
+    csum = np.concatenate(([0], np.cumsum(vq)))
+    return pa.table({
+        "event_id": group.column("event_id"),
+        "user_id": group.column("user_id"),
+        "n_1h": pa.array(hi - lo, type=pa.int64()),
+        "sum_q_1h": pa.array(csum[hi] - csum[lo], type=pa.int64()),
+    })
+
+
+def w8_time_window_events(sf_dir: str, num_partitions: int = 16):
+    """W8 — trailing time-range window features (events per user in the
+    last hour + their exact quantized value sum), the time-based sibling
+    of W3's row-count windows: rate limiting, burst detection, activity
+    features.  Same one-exchange ``_pkey`` layout; the kernel is two
+    global ``searchsorted`` calls and one prefix sum — no per-event or
+    per-user Python."""
+    ev = _read_events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby(PKEY).map_groups(_time_window_kernel,
+                                           batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- J5 ----
 def seeded_windows(t0_us: int, t1_us: int,
                    n_windows: int = N_WINDOWS) -> tuple[np.ndarray, np.ndarray]:

@@ -808,3 +808,57 @@ def test_curation_funnel_matches_composition(ray_session):
         assert row["n_quality"] == int(g["ok"].sum())
         assert row["n_unique"] == int((canon["source"] == src).sum())
         assert row["n_kept"] == int((kept["source"] == src).sum())
+
+
+# ---------------------------------------------------------------- W8 ----
+def test_time_window_matches_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.windows import w8_time_window_events
+
+    got = w8_time_window_events(SF).to_pandas().set_index("event_id")
+    ev = _events_df()
+    ts = ev["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+    vq = np.floor(ev["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    W = 3_600_000_000
+    for uid, g in ev.assign(_ts=ts, _vq=vq).groupby("user_id"):
+        t = g["_ts"].to_numpy()
+        v = g["_vq"].to_numpy()
+        for eid, ti in zip(g["event_id"], t):
+            m = (t >= ti - W) & (t <= ti)
+            row = got.loc[eid]
+            assert row["n_1h"] == int(m.sum())
+            assert row["sum_q_1h"] == int(v[m].sum())
+
+
+def test_time_window_partition_invariance(ray_session):
+    from anomalydetection_ray.pipelines.windows import w8_time_window_events
+
+    a = w8_time_window_events(SF, num_partitions=1).to_pandas()
+    b = w8_time_window_events(SF, num_partitions=16).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("event_id").reset_index(drop=True),
+        b.sort_values("event_id").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------- J7 ----
+def test_left_join_agg_keeps_zero_customers(ray_session):
+    from anomalydetection_ray.pipelines.queries import j7_left_join_agg
+
+    got = j7_left_join_agg(SF).to_pandas().set_index("c_custkey")
+    import pyarrow.parquet as pq
+    orders = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_custkey", "o_totalprice"]).to_pandas()
+    cust = pq.read_table(f"{SF}/customer.parquet",
+                         columns=["c_custkey"]).to_pandas()
+    orders = orders[orders["o_totalprice"] >= 300000.0]
+    cents = np.floor(orders["o_totalprice"].to_numpy() * 100 + 0.5).astype(
+        np.int64)
+    ref = orders.assign(_c=cents).groupby("o_custkey").agg(
+        n=("o_custkey", "size"), cents=("_c", "sum"))
+    assert len(got) == len(cust)
+    zero = set(cust["c_custkey"]) - set(ref.index)
+    assert zero  # the sf has customers without orders (outer join matters)
+    for ck in list(zero)[:20]:
+        assert (got.loc[ck, "n_orders"], got.loc[ck, "cents"]) == (0, 0)
+    for ck in ref.index[:50]:
+        assert got.loc[ck, "n_orders"] == ref.loc[ck, "n"]
+        assert got.loc[ck, "cents"] == ref.loc[ck, "cents"]
