@@ -231,6 +231,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q2_topk_events": q.q2_topk_events,
         "q1_sort_lineitem": q.q1_sort_lineitem,
         "m2_filter_lineitem": q.m2_filter_lineitem,
+        # M4 vectorized string scalar functions (part table)
+        "m4_string_fns": q.m4_string_fns,
         "d1_dedup_events": q.d1_dedup_events,
         "j1_broadcast_join": q.j1_broadcast_join,
         "j3_join_agg": q.j3_join_agg,
@@ -1688,6 +1690,18 @@ def oracle_sql() -> dict[str, str]:
                 CAST(((CAST(t.user_id AS HUGEINT) * p.a + p.b)
                       % 4294967296) % 1024 AS BIGINT)
             GROUP BY t.user_id, t.n_exact
+        """,
+        # M4 string scalar functions (1-based substr; utf8 semantics match
+        # because part strings are ASCII)
+        "m4_string_fns": """
+            SELECT p_partkey,
+                   CAST(substr(p_brand, 7) AS BIGINT) AS brand_num,
+                   CAST(len(string_split(p_name, ' ')) AS BIGINT)
+                       AS n_name_words,
+                   CAST(length(p_name) AS BIGINT) AS name_len,
+                   upper(p_name) AS name_upper,
+                   lower(p_type) AS type_lower
+            FROM part
         """,
         # S6 JSONL round trip: same aggregates straight off the parquet —
         # matches only if the JSONL wire format preserved every byte

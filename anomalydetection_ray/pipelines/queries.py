@@ -1392,3 +1392,35 @@ def j7_left_join_agg(sf_dir: str):
         })
 
     return joined.map_batches(fill, batch_format="pyarrow")
+
+
+def m4_string_fns(sf_dir: str):
+    """M4 — vectorized string scalar functions over the part table
+    (substring → int cast, whitespace word count, utf8 length, case
+    fold): the per-row string-transform coverage next to M3's token
+    array functions.  All Arrow C kernels — no Python per row."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "part",
+               ["p_partkey", "p_name", "p_brand", "p_type"])
+
+    def fns(batch: pa.Table) -> pa.Table:
+        name = batch.column("p_name")
+        if isinstance(name, pa.ChunkedArray):
+            name = name.combine_chunks()
+        brand = batch.column("p_brand")
+        if isinstance(brand, pa.ChunkedArray):
+            brand = brand.combine_chunks()
+        return pa.table({
+            "p_partkey": batch.column("p_partkey"),
+            "brand_num": pc.cast(pc.utf8_slice_codeunits(brand, 6),
+                                 pa.int64()),
+            "n_name_words": pc.cast(
+                pc.list_value_length(pc.split_pattern(name, " ")),
+                pa.int64()),
+            "name_len": pc.cast(pc.utf8_length(name), pa.int64()),
+            "name_upper": pc.utf8_upper(name),
+            "type_lower": pc.utf8_lower(batch.column("p_type")),
+        })
+
+    return ds.map_batches(fns, batch_format="pyarrow", zero_copy_batch=True)

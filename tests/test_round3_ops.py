@@ -862,3 +862,19 @@ def test_left_join_agg_keeps_zero_customers(ray_session):
     for ck in ref.index[:50]:
         assert got.loc[ck, "n_orders"] == ref.loc[ck, "n"]
         assert got.loc[ck, "cents"] == ref.loc[ck, "cents"]
+
+
+# ---------------------------------------------------------------- M4 ----
+def test_string_fns_match_python(ray_session):
+    from anomalydetection_ray.pipelines.queries import m4_string_fns
+
+    got = m4_string_fns(SF).to_pandas().set_index("p_partkey")
+    import pyarrow.parquet as pq
+    part = pq.read_table(f"{SF}/part.parquet").to_pandas()
+    for _, r in part.head(100).iterrows():
+        row = got.loc[r["p_partkey"]]
+        assert row["brand_num"] == int(r["p_brand"][6:])
+        assert row["n_name_words"] == len(r["p_name"].split(" "))
+        assert row["name_len"] == len(r["p_name"])
+        assert row["name_upper"] == r["p_name"].upper()
+        assert row["type_lower"] == r["p_type"].lower()
