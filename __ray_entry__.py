@@ -199,6 +199,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": mm.media_features,
         # per-series detectors (X1 registry; A2/A3/A6)
         "detect_esd": lambda sf: _detect(sf, "esd"),
+        # A8 seasonal-hybrid ESD (per-phase-median de-seasonalize, then
+        # robust ESD on the residual)
+        "detect_shesd": lambda sf: _detect(sf, "shesd"),
         "detect_threshold": lambda sf: _detect(sf, "threshold"),
         "detect_ewma": lambda sf: _detect(sf, "ewma"),
         "detect_mad": lambda sf: _detect(sf, "mad"),
@@ -614,10 +617,15 @@ def _ngram_jaccard_sql(min_jaccard: float = 0.3) -> str:
     """
 
 
-def _esd_sql(alpha: float = 0.05, max_n: int = 1024, k_steps: int = 12) -> str:
-    """detect_esd oracle: the robust generalized-ESD iteration unrolled as a
-    fixed chain of MATERIALIZED CTE steps (without MATERIALIZED, DuckDB
-    re-inlines the step chain and runtime explodes).
+def _esd_sql(alpha: float = 0.05, max_n: int = 1024, k_steps: int = 12,
+             season_period: int | None = None) -> str:
+    """detect_esd / detect_shesd oracle: the robust generalized-ESD
+    iteration unrolled as a fixed chain of MATERIALIZED CTE steps (without
+    MATERIALIZED, DuckDB re-inlines the step chain and runtime explodes).
+    With ``season_period`` set, the input series is first de-seasonalized
+    by subtracting per-phase medians (phase = position mod period) — the
+    A8 S-H-ESD piecewise-median variant; phase medians of integers are
+    exact halves, so the residual iteration stays bitwise-reproducible.
 
     Two structural insights make this expressible:
     - the Rosner critical value lambda(n, k, alpha) depends only on
@@ -675,11 +683,27 @@ def _esd_sql(alpha: float = 0.05, max_n: int = 1024, k_steps: int = 12) -> str:
           FROM {prev} s LEFT JOIN pick{k} p
             ON p.doc_id = s.doc_id AND p.part_id = s.part_id)""")
         prev = f"st{k}"
-    return f"""
-    WITH {_SEQ_TOK_CTE},
+    if season_period is None:
+        det_name = "esd"
+        base_cte = """
     base AS MATERIALIZED (
       SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
-             pos % 1000000 AS i, CAST(v AS DOUBLE) AS x FROM tok),
+             pos % 1000000 AS i, CAST(v AS DOUBLE) AS x FROM tok),"""
+    else:
+        det_name = "shesd"
+        base_cte = f"""
+    raw AS MATERIALIZED (
+      SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+             pos % 1000000 AS i, CAST(v AS DOUBLE) AS x0 FROM tok),
+    phm AS MATERIALIZED (
+      SELECT doc_id, part_id, i % {season_period} AS ph, median(x0) AS pmed
+      FROM raw GROUP BY doc_id, part_id, i % {season_period}),
+    base AS MATERIALIZED (
+      SELECT r.doc_id, r.part_id, r.i, r.x0 - p.pmed AS x
+      FROM raw r JOIN phm p ON p.doc_id = r.doc_id
+        AND p.part_id = r.part_id AND p.ph = r.i % {season_period}),"""
+    return f"""
+    WITH {_SEQ_TOK_CTE},{base_cte}
     meta AS MATERIALIZED (
       SELECT doc_id, part_id, count(*) AS n,
              least(CAST(ceil(0.02 * count(*)) AS BIGINT),
@@ -716,7 +740,7 @@ def _esd_sql(alpha: float = 0.05, max_n: int = 1024, k_steps: int = 12) -> str:
                           THEN error('esd oracle: max(kmax)=' || max(kmax) ||
                                      ' exceeds unrolled k_steps={k_steps}')
                           ELSE 1 END AS ok FROM meta)
-    SELECT parts.doc_id, parts.part_id, 'esd' AS detector,
+    SELECT parts.doc_id, parts.part_id, '{det_name}' AS detector,
            COALESCE(s.n_anomalies, 0) AS n_anomalies,
            CAST(COALESCE(s.pos_sum, 0) AS BIGINT) AS pos_sum,
            CAST(COALESCE(s.pos_sumsq, 0) AS BIGINT) AS pos_sumsq
@@ -1111,6 +1135,7 @@ def oracle_sql() -> dict[str, str]:
         # A3 generalized ESD (robust S-H-ESD): unrolled MATERIALIZED CTE
         # iteration + (n-k)-keyed lambda table from the engine's own t-PPF
         "detect_esd": _esd_sql(),
+        "detect_shesd": _esd_sql(season_period=24),
         # A2 EWMA control chart: the recurrence runs as a recursive CTE
         # (MATERIALIZED inputs — otherwise DuckDB re-evaluates the
         # tokenizer CTE every iteration).  The engine's blocked-scan EWMA

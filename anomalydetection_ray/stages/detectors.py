@@ -119,7 +119,36 @@ def _det_cusum(values: np.ndarray, c: float = 5.0) -> dict:
     return {"n_anomalies": int(pos.size), "anomaly_positions": pos}
 
 
+def _det_shesd(values: np.ndarray, period: int = 24, alpha: float = 0.05,
+               k_max: int | None = None) -> dict:
+    """A8: seasonal-hybrid ESD (Hochenbaum, Vallis & Kejariwal 2017,
+    arXiv:1704.07706 §3.2) with the piecewise-median seasonal estimate:
+    the seasonal component at phase p (= position mod ``period``) is the
+    median of that phase's values, and the robust generalized-ESD test
+    runs on the residual x - seasonal.  Robust ESD re-centers every
+    iteration, so the level/trend-median term of the paper's decomposition
+    is a no-op here and is omitted.
+
+    Bit-reproducibility: phase medians of integer token values are exact
+    dyadic rationals (k/2), residuals therefore k/2 too, and every
+    downstream median/MAD the ESD iteration takes stays an exact binary
+    fraction — the SQL oracle replays the whole thing verbatim."""
+    x = values.astype(np.float64)
+    n = x.shape[0]
+    if n < 3:
+        return {"n_anomalies": 0, "anomaly_positions": np.empty(0, dtype=np.int64)}
+    pmed = np.zeros(period, dtype=np.float64)
+    for p in range(period):  # <= period iterations, each median vectorized
+        sl = x[p::period]
+        if sl.size:
+            pmed[p] = np.median(sl)
+    resid = x - pmed[np.arange(n, dtype=np.int64) % period]
+    n_anom, idx = esd(resid, alpha=alpha, k_max=k_max, robust=True)
+    return {"n_anomalies": int(n_anom), "anomaly_positions": np.sort(idx)}
+
+
 register_detector("esd", _det_esd)
+register_detector("shesd", _det_shesd)
 register_detector("cusum", _det_cusum)
 register_detector("threshold", _det_threshold)
 register_detector("ewma", _det_ewma_resid)

@@ -878,3 +878,41 @@ def test_string_fns_match_python(ray_session):
         assert row["name_len"] == len(r["p_name"])
         assert row["name_upper"] == r["p_name"].upper()
         assert row["type_lower"] == r["p_type"].lower()
+
+
+# ---------------------------------------------------------------- A8 ----
+def test_shesd_finds_spikes_seasonality_hides():
+    """Seasonal-hybrid ESD vs plain global robust-z: a sawtooth seasonal
+    pattern (amplitude >> spike) buries the injected spikes for the MAD
+    detector, but the per-phase median removal exposes them exactly."""
+    from anomalydetection_ray.stages.detectors import _det_mad, _det_shesd
+
+    rng = np.random.default_rng(7)
+    n, period = 480, 24
+    x = ((np.arange(n) % period) * 50
+         + rng.integers(0, 5, n)).astype(np.int32)
+    spikes = [100, 233, 391]
+    x[spikes] += 180  # big vs phase noise (<5), small vs season range (1150)
+
+    out = _det_shesd(x, period=period)
+    assert out["n_anomalies"] == 3
+    assert sorted(out["anomaly_positions"].tolist()) == spikes
+
+    # the plain global robust-z detector cannot see them: deviation from
+    # the global median is dominated by the seasonal term at every phase
+    mad_out = _det_mad(x)
+    assert not set(spikes) <= set(mad_out["anomaly_positions"].tolist())
+
+
+def test_shesd_matches_esd_when_no_seasonality():
+    """With a constant seasonal component the residual is a pure shift:
+    shesd and plain robust esd must agree (robust ESD is shift-invariant)."""
+    from anomalydetection_ray.stages.detectors import _det_esd, _det_shesd
+
+    rng = np.random.default_rng(11)
+    x = rng.integers(100, 110, 300).astype(np.int32)
+    x[[50, 200]] += 90
+    a = _det_esd(x)
+    b = _det_shesd(x, period=1)  # one phase == subtract the global median
+    assert a["n_anomalies"] == b["n_anomalies"]
+    assert a["anomaly_positions"].tolist() == b["anomaly_positions"].tolist()
