@@ -126,6 +126,19 @@ def _detect(sf_dir: str, detector: str, **params):
     )
 
 
+def _a9_autocorr(sf_dir: str, lag: int = 24):
+    import functools
+
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import autocorr_batch
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        functools.partial(autocorr_batch, lag=lag),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def _invindex_probe(sf_dir: str):
     from anomalydetection_ray.pipelines.invindex import inverted_index_probe
 
@@ -202,6 +215,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A8 seasonal-hybrid ESD (per-phase-median de-seasonalize, then
         # robust ESD on the residual)
         "detect_shesd": lambda sf: _detect(sf, "shesd"),
+        # A9 per-series lag-k autocorrelation feature (exact int moments)
+        "a9_autocorr": _a9_autocorr,
         "detect_threshold": lambda sf: _detect(sf, "threshold"),
         "detect_ewma": lambda sf: _detect(sf, "ewma"),
         "detect_mad": lambda sf: _detect(sf, "mad"),
@@ -1136,6 +1151,40 @@ def oracle_sql() -> dict[str, str]:
         # iteration + (n-k)-keyed lambda table from the engine's own t-PPF
         "detect_esd": _esd_sql(),
         "detect_shesd": _esd_sql(season_period=24),
+        # A9 lag-k ACF: exact BIGINT moment sums (sum() of BIGINT is
+        # HUGEINT in DuckDB — cast back so the final division casts a
+        # correctly-rounded BIGINT, the same pinned ops as the engine);
+        # self-join on i = i + lag supplies the lagged products
+        "a9_autocorr": f"""
+            WITH {_SEQ_TOK_CTE},
+            base AS MATERIALIZED (
+              SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                     pos % 1000000 AS i, CAST(v AS BIGINT) AS v FROM tok),
+            mom AS (
+              SELECT doc_id, part_id, count(*) AS n,
+                     CAST(sum(v) AS BIGINT) AS s,
+                     CAST(sum(v * v) AS BIGINT) AS q
+              FROM base GROUP BY doc_id, part_id),
+            lagp AS (
+              SELECT a.doc_id, a.part_id, count(*) AS c,
+                     CAST(sum(a.v * b.v) AS BIGINT) AS sxy,
+                     CAST(sum(a.v) AS BIGINT) AS sh,
+                     CAST(sum(b.v) AS BIGINT) AS st
+              FROM base a JOIN base b ON b.doc_id = a.doc_id
+                AND b.part_id = a.part_id AND b.i = a.i + 24
+              GROUP BY a.doc_id, a.part_id)
+            SELECT m.doc_id, m.part_id, CAST(24 AS BIGINT) AS lag, m.n,
+                   COALESCE(l.c, 0) AS n_pairs,
+                   CASE WHEN m.n > 24 AND m.n * m.q - m.s * m.s <> 0
+                        THEN CAST(m.n * m.n * l.sxy
+                                  - m.n * m.s * (l.sh + l.st)
+                                  + (m.n - 24) * m.s * m.s AS DOUBLE)
+                             / CAST(m.n * m.n * m.q
+                                    - m.n * m.s * m.s AS DOUBLE)
+                        ELSE NULL END AS acf
+            FROM mom m LEFT JOIN lagp l
+              ON l.doc_id = m.doc_id AND l.part_id = m.part_id
+        """,
         # A2 EWMA control chart: the recurrence runs as a recursive CTE
         # (MATERIALIZED inputs — otherwise DuckDB re-evaluates the
         # tokenizer CTE every iteration).  The engine's blocked-scan EWMA

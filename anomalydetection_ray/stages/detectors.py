@@ -309,6 +309,61 @@ def _mad_batch_fast(batch: pa.Table, c: float) -> pa.Table:
     return _report_table(batch, "mad", n_anom, pos_sum, pos_sumsq)
 
 
+def autocorr_batch(batch: pa.Table, lag: int = 24) -> pa.Table:
+    """A9 — per-series lag-``lag`` autocorrelation feature (the standard
+    biased ACF estimator r_L = c_L / c_0) over validated sequences rows.
+
+    Exactness discipline (same as W5's OLS trend): every moment sum is an
+    exact integer computed vectorized over the flat token buffer (cumsum
+    differences — no per-token Python), and the mean-centered combination
+        num = n²·Sxy − n·S·(Sh + St) + (n−L)·S²     (× n² of c_L·n)
+        den = n²·Q   − n·S²                          (× n² of c_0·n)
+    is taken per ROW in arbitrary-precision Python ints, then ONE IEEE
+    division — which a SQL oracle replays verbatim in BIGINT (driver-size
+    series fit; overflow would raise loudly, not corrupt).  Series with
+    n <= lag or zero variance emit NULL."""
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.int64)
+    nrows = offsets.shape[0] - 1
+    lens = np.diff(offsets)
+    starts = offsets[:-1]
+    c1 = np.concatenate(([0], np.cumsum(v)))
+    c2 = np.concatenate(([0], np.cumsum(v * v)))
+    S = c1[offsets[1:]] - c1[starts]
+    Q = c2[offsets[1:]] - c2[starts]
+    prod = v[:-lag] * v[lag:] if v.shape[0] > lag else np.empty(0, dtype=np.int64)
+    cp = np.concatenate(([0], np.cumsum(prod)))
+    hi = np.minimum(np.maximum(offsets[1:] - lag, starts), cp.shape[0] - 1)
+    lo = np.minimum(starts, cp.shape[0] - 1)
+    sxy = cp[hi] - cp[lo]
+    sh = c1[np.maximum(offsets[1:] - lag, starts)] - c1[starts]
+    st = c1[offsets[1:]] - c1[np.minimum(starts + lag, offsets[1:])]
+    npairs = np.maximum(lens - lag, 0)
+    acf = np.zeros(nrows, dtype=np.float64)
+    mask = np.zeros(nrows, dtype=bool)
+    for r in range(nrows):  # per ROW, exact bigint arithmetic
+        n = int(lens[r])
+        den = n * n * int(Q[r]) - n * int(S[r]) * int(S[r])
+        if n <= lag or den == 0:
+            mask[r] = True
+            continue
+        num = (n * n * int(sxy[r]) - n * int(S[r]) * (int(sh[r]) + int(st[r]))
+               + (n - lag) * int(S[r]) * int(S[r]))
+        acf[r] = float(num) / float(den)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "lag": pa.array(np.full(nrows, lag, dtype=np.int64), type=pa.int64()),
+        "n": pa.array(lens, type=pa.int64()),
+        "n_pairs": pa.array(npairs, type=pa.int64()),
+        "acf": pa.array(acf, type=pa.float64(), mask=mask),
+    })
+
+
 _FAST_PARAMS = {"threshold": {"window", "c"}, "ewma": {"alpha", "c"},
                 "mad": {"c"}}
 _BUILTINS = {"threshold": _det_threshold, "ewma": _det_ewma_resid,

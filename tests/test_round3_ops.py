@@ -916,3 +916,44 @@ def test_shesd_matches_esd_when_no_seasonality():
     b = _det_shesd(x, period=1)  # one phase == subtract the global median
     assert a["n_anomalies"] == b["n_anomalies"]
     assert a["anomaly_positions"].tolist() == b["anomaly_positions"].tolist()
+
+
+# ---------------------------------------------------------------- A9 ----
+def test_autocorr_matches_numpy_reference():
+    """Engine ACF kernel vs a direct per-row numpy reference (different
+    code path: mean-centered dot products, no integer scaling)."""
+    import pyarrow as pa
+
+    from anomalydetection_ray.stages.detectors import autocorr_batch
+
+    rng = np.random.default_rng(3)
+    lag = 24
+    rows = []
+    # seasonal, iid, constant (zero variance), and short (n <= lag) rows
+    rows.append((np.tile(np.arange(24) * 10, 20)
+                 + rng.integers(0, 3, 480)).astype(np.int32))
+    rows.append(rng.integers(0, 1000, 300).astype(np.int32))
+    rows.append(np.full(100, 7, dtype=np.int32))
+    rows.append(np.arange(10, dtype=np.int32))
+    batch = pa.table({
+        "doc_id": [f"d{i}" for i in range(len(rows))],
+        "part_id": pa.array([0] * len(rows), type=pa.int32()),
+        "tokens": pa.array([r.tolist() for r in rows], type=pa.list_(pa.int32())),
+    })
+    got = autocorr_batch(batch, lag=lag).to_pandas().set_index("doc_id")
+
+    for i, r in enumerate(rows):
+        x = r.astype(np.float64)
+        n = x.shape[0]
+        row = got.loc[f"d{i}"]
+        assert row["n"] == n
+        assert row["n_pairs"] == max(n - lag, 0)
+        if n <= lag or np.var(x) == 0.0:
+            assert pd.isna(row["acf"])
+            continue
+        m = x.mean()
+        ref = np.dot(x[:-lag] - m, x[lag:] - m) / np.dot(x - m, x - m)
+        assert abs(row["acf"] - ref) < 1e-12
+    # the seasonal row's lag-24 ACF is strongly positive; iid near zero
+    assert got.loc["d0", "acf"] > 0.9
+    assert abs(got.loc["d1", "acf"]) < 0.15
