@@ -139,6 +139,12 @@ def _a9_autocorr(sf_dir: str, lag: int = 24):
     )
 
 
+def _p4_chunk_docs(sf_dir: str):
+    from anomalydetection_ray.pipelines.packing import chunk_docs
+
+    return chunk_docs(sf_dir)
+
+
 def _invindex_probe(sf_dir: str):
     from anomalydetection_ray.pipelines.invindex import inverted_index_probe
 
@@ -217,6 +223,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "detect_shesd": lambda sf: _detect(sf, "shesd"),
         # A9 per-series lag-k autocorrelation feature (exact int moments)
         "a9_autocorr": _a9_autocorr,
+        # P4 overlapping-window chunking (map-only 1->many expansion)
+        "p4_chunk_docs": _p4_chunk_docs,
         "detect_threshold": lambda sf: _detect(sf, "threshold"),
         "detect_ewma": lambda sf: _detect(sf, "ewma"),
         "detect_mad": lambda sf: _detect(sf, "mad"),
@@ -1776,6 +1784,30 @@ def oracle_sql() -> dict[str, str]:
                    upper(p_name) AS name_upper,
                    lower(p_type) AS type_lower
             FROM part
+        """,
+        # P4 overlapping chunking: chunk starts unnested from the per-doc
+        # chunk count, per-chunk aggregates by a position-range join
+        "p4_chunk_docs": f"""
+            WITH {_SEQ_TOK_CTE},
+            seqn AS (SELECT doc_id, len(toks) AS n FROM seq),
+            ch AS (
+              SELECT doc_id,
+                     unnest(range(0, 1 + greatest(CAST(ceil(
+                         CAST(n - 128 AS DOUBLE) / 96) AS BIGINT), 0)))
+                       AS chunk_id,
+                     n
+              FROM seqn WHERE n > 0)
+            SELECT c.doc_id, c.chunk_id, c.chunk_id * 96 AS start_pos,
+                   count(*) AS n,
+                   CAST(sum(t.v) AS BIGINT) AS tok_sum,
+                   CAST(sum(CAST(t.v AS BIGINT) * t.v) AS BIGINT)
+                       AS tok_sumsq,
+                   CAST(min(t.v) AS BIGINT) AS tok_min,
+                   CAST(max(t.v) AS BIGINT) AS tok_max
+            FROM ch c JOIN tok t ON t.doc_id = c.doc_id
+              AND t.pos >= c.chunk_id * 96
+              AND t.pos < c.chunk_id * 96 + 128
+            GROUP BY c.doc_id, c.chunk_id
         """,
         # S6 JSONL round trip: same aggregates straight off the parquet —
         # matches only if the JSONL wire format preserved every byte

@@ -180,3 +180,85 @@ def seeded_shuffle(sf_dir: str, seed: int = SHUFFLE_SEED_DEFAULT,
     return hashed.groupby(_PART).map_groups(
         functools.partial(_rank_kernel, offsets=offsets),
         batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ P4 ----
+CHUNK_LEN_DEFAULT = 128
+CHUNK_STRIDE_DEFAULT = 96
+
+
+def chunk_batch(batch: pa.Table, chunk: int = CHUNK_LEN_DEFAULT,
+                stride: int = CHUNK_STRIDE_DEFAULT) -> pa.Table:
+    """P4 — fixed-length overlapping chunking of one sequences batch:
+    chunk ``j`` of a document covers token positions
+    ``[j*stride, j*stride + chunk)``; the last chunk may be short; a
+    document of n tokens yields ``1 + max(0, ceil((n-chunk)/stride))``
+    chunks (0 for empty docs).  Emits per-chunk aggregates (sum/sumsq/
+    min/max) instead of token lists so the rows are content-pinning and
+    portably hashable.
+
+    Fully vectorized: chunk spans come from repeat/arange index algebra,
+    sums from two padded cumsums, min/max from ONE interleaved
+    ``reduceat`` each over the flat buffer (one sentinel pad makes the
+    array-end index legal) — no per-chunk Python."""
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.int64)
+    lens = np.diff(offsets)
+    nrows = lens.shape[0]
+    nch = np.where(lens > 0, 1 + np.maximum(-(-(lens - chunk) // stride), 0), 0)
+    total = int(nch.sum())
+    row_of = np.repeat(np.arange(nrows, dtype=np.int64), nch)
+    first = np.cumsum(nch) - nch
+    j = np.arange(total, dtype=np.int64) - first[row_of]
+    start = j * stride
+    clen = np.minimum(start + chunk, lens[row_of]) - start
+    gs = offsets[:-1][row_of] + start
+    ge = gs + clen
+    c1 = np.concatenate(([0], np.cumsum(v)))
+    c2 = np.concatenate(([0], np.cumsum(v * v)))
+    tok_sum = c1[ge] - c1[gs]
+    tok_sumsq = c2[ge] - c2[gs]
+    if total:
+        inter = np.empty(2 * total, dtype=np.int64)
+        inter[0::2] = gs
+        inter[1::2] = np.minimum(ge, v.shape[0] + 0)  # ge <= len(v); pad below
+        vmin = np.minimum.reduceat(
+            np.concatenate([v, [np.iinfo(np.int64).max]]), inter)[0::2]
+        vmax = np.maximum.reduceat(
+            np.concatenate([v, [np.iinfo(np.int64).min]]), inter)[0::2]
+    else:
+        vmin = vmax = np.empty(0, dtype=np.int64)
+    return pa.table({
+        "doc_id": batch.column("doc_id").take(pa.array(row_of)),
+        "chunk_id": pa.array(j, type=pa.int64()),
+        "start_pos": pa.array(start, type=pa.int64()),
+        "n": pa.array(clen, type=pa.int64()),
+        "tok_sum": pa.array(tok_sum, type=pa.int64()),
+        "tok_sumsq": pa.array(tok_sumsq, type=pa.int64()),
+        "tok_min": pa.array(vmin, type=pa.int64()),
+        "tok_max": pa.array(vmax, type=pa.int64()),
+    })
+
+
+def chunk_docs(sf_dir: str, chunk: int = CHUNK_LEN_DEFAULT,
+               stride: int = CHUNK_STRIDE_DEFAULT):
+    """P4 — overlapping-window chunking of the tokenized corpus (the
+    training-data sibling of P3's pack-and-split: RAG / long-context
+    prep cuts each document into fixed windows with overlap).  Map-only:
+    no shuffle, the expansion happens inside each task, output streams."""
+    import ray.data
+
+    from anomalydetection_ray.sources.tokenize import tokenize_batch
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source", "text"])
+    return (docs
+            .map_batches(tokenize_batch, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .map_batches(functools.partial(chunk_batch, chunk=chunk,
+                                           stride=stride),
+                         batch_format="pyarrow", zero_copy_batch=True))

@@ -957,3 +957,44 @@ def test_autocorr_matches_numpy_reference():
     # the seasonal row's lag-24 ACF is strongly positive; iid near zero
     assert got.loc["d0", "acf"] > 0.9
     assert abs(got.loc["d1", "acf"]) < 0.15
+
+
+# ---------------------------------------------------------------- P4 ----
+def test_chunk_batch_matches_python_reference():
+    """Overlapping chunking kernel vs a per-doc Python slicing reference;
+    covers short (< chunk), exact-boundary, overlap and empty rows."""
+    import pyarrow as pa
+
+    from anomalydetection_ray.pipelines.packing import chunk_batch
+
+    rng = np.random.default_rng(5)
+    chunk, stride = 128, 96
+    rows = [
+        rng.integers(0, 50000, 7).astype(np.int32),      # shorter than chunk
+        rng.integers(0, 50000, 128).astype(np.int32),    # exactly one chunk
+        rng.integers(0, 50000, 129).astype(np.int32),    # one token over
+        rng.integers(0, 50000, 500).astype(np.int32),    # several chunks
+        np.empty(0, dtype=np.int32),                     # empty -> no chunks
+    ]
+    batch = pa.table({
+        "doc_id": [f"d{i}" for i in range(len(rows))],
+        "tokens": pa.array([r.tolist() for r in rows], type=pa.list_(pa.int32())),
+    })
+    got = chunk_batch(batch, chunk=chunk, stride=stride).to_pandas()
+
+    exp = []
+    for i, r in enumerate(rows):
+        n = len(r)
+        if n == 0:
+            continue
+        nch = 1 + max(0, -(-(n - chunk) // stride))
+        for j in range(nch):
+            seg = r[j * stride: j * stride + chunk].astype(np.int64)
+            exp.append((f"d{i}", j, j * stride, len(seg), int(seg.sum()),
+                        int((seg * seg).sum()), int(seg.min()), int(seg.max())))
+    ref = pd.DataFrame(exp, columns=["doc_id", "chunk_id", "start_pos", "n",
+                                     "tok_sum", "tok_sumsq", "tok_min",
+                                     "tok_max"])
+    got = got.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    ref = ref.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
