@@ -211,6 +211,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "quality_scores_full": tx.quality,
         "token_counts": tx.token_counts,
+        # T6 regex scrub/redaction stats (Arrow RE2 == DuckDB RE2)
+        "t6_scrub_stats": tx.scrub_stats,
         "doc_fingerprints": tx.fingerprints,
         # multimodal plumbing: deterministic fake features here (stable
         # rows-only check); the stage's REAL decode paths are stdlib-wave
@@ -1784,6 +1786,18 @@ def oracle_sql() -> dict[str, str]:
                    upper(p_name) AS name_upper,
                    lower(p_type) AS type_lower
             FROM part
+        """,
+        # T6 regex scrub: RE2 on both sides, so counts/replacements agree
+        "t6_scrub_stats": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       '\b(key|customer|value)\b')) AS BIGINT) AS n_hits,
+                   CAST(len(regexp_extract_all(text, '\bkey\b'))
+                       AS BIGINT) AS n_key,
+                   CAST(length(regexp_replace(text,
+                       '\b(key|customer|value)\b', '<PII>', 'g'))
+                       AS BIGINT) AS red_len
+            FROM documents
         """,
         # P4 overlapping chunking: chunk starts unnested from the per-doc
         # chunk count, per-chunk aggregates by a position-range join

@@ -500,3 +500,39 @@ def lang_mix_by_source(sf_dir: str):
 
     return partials.groupby(["source", "pred_lang"]).map_groups(
         merge, batch_format="pyarrow")
+
+
+SCRUB_PATTERN = r"\b(key|customer|value)\b"
+SCRUB_TOKEN = "<PII>"
+
+
+def scrub_batch(batch: pa.Table) -> pa.Table:
+    """T6 — regex scrub / redaction statistics, the PII-removal stand-in
+    every curation pipeline carries: count matches of a sensitive-term
+    pattern, rewrite them to a fixed redaction token, and report the
+    redacted length.  Arrow's regex kernels bind RE2 — the same engine
+    DuckDB's regexp_* functions use — so leftmost non-overlapping match
+    semantics agree verbatim and the oracle is a straight transliteration.
+    All C kernels, no per-row Python."""
+    import pyarrow.compute as pc
+
+    text = batch.column("text")
+    red = pc.replace_substring_regex(text, pattern=SCRUB_PATTERN,
+                                     replacement=SCRUB_TOKEN)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_hits": pc.cast(pc.count_substring_regex(text, SCRUB_PATTERN),
+                          pa.int64()),
+        "n_key": pc.cast(pc.count_substring_regex(text, r"\bkey\b"),
+                         pa.int64()),
+        "red_len": pc.cast(pc.utf8_length(red), pa.int64()),
+    })
+
+
+def scrub_stats(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(scrub_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -998,3 +998,21 @@ def test_chunk_batch_matches_python_reference():
     got = got.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
     ref = ref.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+# ---------------------------------------------------------------- T6 ----
+def test_scrub_stats_match_python_re():
+    """Arrow RE2 scrub kernel vs Python's re module on the same docs."""
+    import re
+
+    from anomalydetection_ray.pipelines.text import scrub_stats
+
+    got = scrub_stats(SF).to_pandas().set_index("doc_id")
+    docs = _docs_df()
+    pat = re.compile(r"\b(key|customer|value)\b")
+    for _, r in docs.head(80).iterrows():
+        row = got.loc[r["doc_id"]]
+        hits = pat.findall(r["text"])
+        assert row["n_hits"] == len(hits)
+        assert row["n_key"] == len(re.findall(r"\bkey\b", r["text"]))
+        assert row["red_len"] == len(pat.sub("<PII>", r["text"]))
