@@ -227,6 +227,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a9_autocorr": _a9_autocorr,
         # P4 overlapping-window chunking (map-only 1->many expansion)
         "p4_chunk_docs": _p4_chunk_docs,
+        # G8 multi-grain aggregate (GROUPING SETS) in one scan
+        "g8_grouping_sets": q.g8_grouping_sets,
+        # J8 semi join (EXISTS; complement of J6 anti join)
+        "j8_semi_join": q.j8_semi_join,
         "detect_threshold": lambda sf: _detect(sf, "threshold"),
         "detect_ewma": lambda sf: _detect(sf, "ewma"),
         "detect_mad": lambda sf: _detect(sf, "mad"),
@@ -1786,6 +1790,29 @@ def oracle_sql() -> dict[str, str]:
                    upper(p_name) AS name_upper,
                    lower(p_type) AS type_lower
             FROM part
+        """,
+        # G8 grouping sets: grain = number of rolled-up key positions
+        "g8_grouping_sets": """
+            WITH base AS (
+              SELECT event_type,
+                     epoch_us(ts) // 86400000000 AS day,
+                     CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vq
+              FROM events)
+            SELECT CAST(grouping(event_type) + grouping(day) AS BIGINT)
+                       AS grain,
+                   event_type, day,
+                   count(*) AS n,
+                   CAST(sum(vq) AS BIGINT) AS vq_sum
+            FROM base
+            GROUP BY GROUPING SETS ((event_type, day), (event_type), ())
+        """,
+        # J8 semi join: EXISTS over the same pre-aggregated right side
+        "j8_semi_join": """
+            SELECT c_custkey, c_name, c_acctbal
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 400000.0)
         """,
         # T6 regex scrub: RE2 on both sides, so counts/replacements agree
         "t6_scrub_stats": r"""

@@ -1424,3 +1424,106 @@ def m4_string_fns(sf_dir: str):
         })
 
     return ds.map_batches(fns, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def g8_grouping_sets(sf_dir: str):
+    """G8 — multi-grain aggregate (SQL GROUPING SETS) in ONE corpus scan:
+    per-(event_type, day), per-event_type, and grand-total counts + exact
+    micro-quantized value sums, all from the same pass.  Each block emits
+    Arrow group_by partials for every grain (<= types*days + types + 1
+    rows per block), a single tiny exchange merges them; rolled-up key
+    positions are NULL exactly as ``GROUP BY GROUPING SETS`` emits them,
+    with grain = number of rolled keys."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        ts = batch.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        ts_us = np.asarray(ts.cast(pa.int64()))
+        day = ts_us // DAY_US
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        vq = np.floor(v * 1_000_000 + 0.5).astype(np.int64)
+        t = pa.table({"event_type": et,
+                      "day": pa.array(day, type=pa.int64()),
+                      "vq": pa.array(vq, type=pa.int64())})
+        g0 = t.group_by(["event_type", "day"]).aggregate(
+            [("vq", "sum"), ([], "count_all")])
+        parts = [pa.table({
+            "grain": pa.array([0] * g0.num_rows, type=pa.int64()),
+            "event_type": g0.column("event_type"),
+            "day": g0.column("day"),
+            "n": pc.cast(g0.column("count_all"), pa.int64()),
+            "vq_sum": pc.cast(g0.column("vq_sum"), pa.int64()),
+        })]
+        g1 = t.group_by(["event_type"]).aggregate(
+            [("vq", "sum"), ([], "count_all")])
+        parts.append(pa.table({
+            "grain": pa.array([1] * g1.num_rows, type=pa.int64()),
+            "event_type": g1.column("event_type"),
+            "day": pa.array([-1] * g1.num_rows, type=pa.int64()),
+            "n": pc.cast(g1.column("count_all"), pa.int64()),
+            "vq_sum": pc.cast(g1.column("vq_sum"), pa.int64()),
+        }))
+        parts.append(pa.table({
+            "grain": pa.array([2], type=pa.int64()),
+            "event_type": pa.array([""], type=pa.string()),
+            "day": pa.array([-1], type=pa.int64()),
+            "n": pa.array([t.num_rows], type=pa.int64()),
+            "vq_sum": pa.array([int(vq.sum())], type=pa.int64()),
+        }))
+        return pa.concat_tables(parts)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def merge(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        grain = int(group.column("grain")[0].as_py())
+        et = group.column("event_type").slice(0, 1) if grain < 2 \
+            else pa.array([None], type=pa.string())
+        day = group.column("day").slice(0, 1) if grain < 1 \
+            else pa.array([None], type=pa.int64())
+        return pa.table({
+            "grain": group.column("grain").slice(0, 1),
+            "event_type": et,
+            "day": day,
+            "n": pa.array([int(pc.sum(group.column("n")).as_py())],
+                          type=pa.int64()),
+            "vq_sum": pa.array([int(pc.sum(group.column("vq_sum")).as_py())],
+                               type=pa.int64()),
+        })
+
+    return partials.groupby(["grain", "event_type", "day"]).map_groups(
+        merge, batch_format="pyarrow")
+
+
+def j8_semi_join(sf_dir: str, price_floor: float = 400000.0):
+    """J8 — distributed semi join, the complement of J6's anti join:
+    customers WITH at least one order above ``price_floor``.  Identical
+    co-partitioned machinery (orders pre-aggregated to one row per
+    matching key before the exchange); the filter keeps non-null rows —
+    `EXISTS` semantics with no row duplication however many orders match."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from anomalydetection_ray.stages.join import copartition_attach
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    big = orders.filter(expr=f"o_totalprice > {price_floor!r}")
+    counts = big.groupby("o_custkey").aggregate(Count(alias_name="n_big"))
+
+    joined = copartition_attach(cust, counts, left_on="c_custkey",
+                                right_on="o_custkey", payload_cols=["n_big"])
+
+    def semi(batch: pa.Table) -> pa.Table:
+        keep = pc.is_valid(batch.column("n_big"))
+        return batch.filter(keep).select(["c_custkey", "c_name", "c_acctbal"])
+
+    return joined.map_batches(semi, batch_format="pyarrow", zero_copy_batch=True)

@@ -1016,3 +1016,51 @@ def test_scrub_stats_match_python_re():
         assert row["n_hits"] == len(hits)
         assert row["n_key"] == len(re.findall(r"\bkey\b", r["text"]))
         assert row["red_len"] == len(pat.sub("<PII>", r["text"]))
+
+
+# ---------------------------------------------------------------- G8 ----
+def test_grouping_sets_match_pandas(ray_session):
+    from anomalydetection_ray.pipelines.queries import g8_grouping_sets
+
+    got = g8_grouping_sets(SF).to_pandas()
+    ev = _events_df()
+    vq = np.floor(ev["value"].to_numpy() * VSCALE + 0.5).astype(np.int64)
+    day = (ev["ts"].astype("int64") // 10**6) // 86400
+    df = pd.DataFrame({"event_type": ev["event_type"], "day": day, "vq": vq})
+
+    g0 = df.groupby(["event_type", "day"])["vq"].agg(["count", "sum"])
+    for (et, d), r in g0.iterrows():
+        row = got[(got["grain"] == 0) & (got["event_type"] == et)
+                  & (got["day"] == d)]
+        assert len(row) == 1
+        assert row.iloc[0]["n"] == r["count"]
+        assert row.iloc[0]["vq_sum"] == r["sum"]
+    g1 = df.groupby("event_type")["vq"].agg(["count", "sum"])
+    for et, r in g1.iterrows():
+        row = got[(got["grain"] == 1) & (got["event_type"] == et)]
+        assert len(row) == 1 and row.iloc[0]["day"] is None \
+            or pd.isna(row.iloc[0]["day"])
+        assert row.iloc[0]["n"] == r["count"]
+    tot = got[got["grain"] == 2]
+    assert len(tot) == 1
+    assert tot.iloc[0]["n"] == len(df)
+    assert tot.iloc[0]["vq_sum"] == int(vq.sum())
+    assert pd.isna(tot.iloc[0]["event_type"]) and pd.isna(tot.iloc[0]["day"])
+
+
+# ---------------------------------------------------------------- J8 ----
+def test_semi_join_complements_anti_join(ray_session):
+    from anomalydetection_ray.pipelines.queries import j6_anti_join, j8_semi_join
+
+    import pyarrow.parquet as pq
+    cust = pq.read_table(f"{SF}/customer.parquet", columns=["c_custkey"])
+    semi = set(j8_semi_join(SF).to_pandas()["c_custkey"])
+    anti = set(j6_anti_join(SF).to_pandas()["c_custkey"])
+    allk = set(cust.column("c_custkey").to_pylist())
+    assert semi | anti == allk
+    assert semi & anti == set()
+
+    orders = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_custkey", "o_totalprice"]).to_pandas()
+    ref = set(orders.loc[orders["o_totalprice"] > 400000.0, "o_custkey"])
+    assert semi == ref & allk
