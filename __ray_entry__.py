@@ -229,6 +229,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "p4_chunk_docs": _p4_chunk_docs,
         # G8 multi-grain aggregate (GROUPING SETS) in one scan
         "g8_grouping_sets": q.g8_grouping_sets,
+        # D5 set ops: INTERSECT / EXCEPT between derived key sets
+        "d5_set_ops": q.d5_set_ops,
+        # S7 CSV source/sink round trip (content-checked vs parquet)
+        "s7_csv_roundtrip": q.s7_csv_roundtrip,
+        # T7 pivot long->wide (per-type day-of-week count columns)
+        "t7_pivot_events": q.t7_pivot_events,
         # J8 semi join (EXISTS; complement of J6 anti join)
         "j8_semi_join": q.j8_semi_join,
         "detect_threshold": lambda sf: _detect(sf, "threshold"),
@@ -278,6 +284,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w6_rank_normalize": wnd.w6_rank_normalize_events,
         "w7_trimmed_mean": wnd.w7_trimmed_mean_events,
         "w8_time_window": wnd.w8_time_window_events,
+        # W9 per-key running cumulative sum/count (prefix-sum frame)
+        "w9_running_total": wnd.w9_running_total_events,
         # J7 left OUTER join + aggregate (zero-fill for unmatched keys)
         "j7_left_join_agg": q.j7_left_join_agg,
         "j5_interval_stats": wnd.j5_interval_stats,
@@ -1806,6 +1814,45 @@ def oracle_sql() -> dict[str, str]:
             FROM base
             GROUP BY GROUPING SETS ((event_type, day), (event_type), ())
         """,
+        # D5 set ops via the real INTERSECT / EXCEPT operators
+        "d5_set_ops": """
+            WITH a AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'purchase'),
+                 b AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'error')
+            SELECT user_id, 'intersect' AS setop
+            FROM (SELECT user_id FROM a INTERSECT SELECT user_id FROM b)
+            UNION ALL
+            SELECT user_id, 'except' AS setop
+            FROM (SELECT user_id FROM a EXCEPT SELECT user_id FROM b)
+        """,
+        # S7 CSV round trip: aggregates off the ORIGINAL parquet — passes
+        # only if the CSV wire format preserved every field
+        "s7_csv_roundtrip": """
+            SELECT l_returnflag,
+                   count(*) AS n_rows,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS cents_sum,
+                   CAST(sum(l_orderkey) AS BIGINT) AS okey_sum
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        # T7 pivot: conditional aggregation; weekday via epoch-day + 3 mod 7
+        "t7_pivot_events": """
+            WITH base AS (
+              SELECT event_type,
+                     ((epoch_us(ts) // 86400000000) + 3) % 7 AS dow
+              FROM events)
+            SELECT event_type,
+                   CAST(count(*) FILTER (dow = 0) AS BIGINT) AS dow_0,
+                   CAST(count(*) FILTER (dow = 1) AS BIGINT) AS dow_1,
+                   CAST(count(*) FILTER (dow = 2) AS BIGINT) AS dow_2,
+                   CAST(count(*) FILTER (dow = 3) AS BIGINT) AS dow_3,
+                   CAST(count(*) FILTER (dow = 4) AS BIGINT) AS dow_4,
+                   CAST(count(*) FILTER (dow = 5) AS BIGINT) AS dow_5,
+                   CAST(count(*) FILTER (dow = 6) AS BIGINT) AS dow_6
+            FROM base GROUP BY event_type
+        """,
         # J8 semi join: EXISTS over the same pre-aggregated right side
         "j8_semi_join": """
             SELECT c_custkey, c_name, c_acctbal
@@ -1876,6 +1923,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         # W8 time-range window: RANGE INTERVAL semantics (peers by ts all
         # count); quantized sum is exact
+        # W9 running total: exact int64 prefix sums over quantized value
+        "w9_running_total": """
+            WITH base AS (
+              SELECT event_id, user_id,
+                     CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vq, ts
+              FROM events)
+            SELECT event_id, user_id, vq,
+                   SUM(vq) OVER w AS running_vq,
+                   CAST(row_number() OVER w AS BIGINT) AS running_n
+            FROM base
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
         "w8_time_window": """
             WITH b AS (SELECT event_id, user_id, ts,
                               CAST(floor(value * 1000000 + 0.5) AS BIGINT)

@@ -1527,3 +1527,150 @@ def j8_semi_join(sf_dir: str, price_floor: float = 400000.0):
         return batch.filter(keep).select(["c_custkey", "c_name", "c_acctbal"])
 
     return joined.map_batches(semi, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def t7_pivot_events(sf_dir: str):
+    """T7 — pivot (long -> wide): per event_type, one row with a count
+    column per day-of-week.  Per-block Arrow group_by partials (<= types*7
+    rows per block) cross one tiny exchange keyed on event_type; the final
+    kernel scatters the 7 counts into fixed columns.  The SQL oracle is
+    the textbook conditional aggregation."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        ts_us = np.asarray(ts.cast(pa.int64()))
+        # epoch day 0 = Thursday, so weekday (Mon=0) = (day + 3) % 7
+        dow = ((ts_us // DAY_US) + 3) % 7
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "dow": pa.array(dow, type=pa.int64())})
+        g = t.group_by(["event_type", "dow"]).aggregate([([], "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "dow": g.column("dow"),
+                         "n": pc.cast(g.column("count_all"), pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def widen(group: pa.Table) -> pa.Table:
+        d = np.asarray(group.column("dow"), dtype=np.int64)
+        n = np.asarray(group.column("n"), dtype=np.int64)
+        counts = np.zeros(7, dtype=np.int64)
+        np.add.at(counts, d, n)
+        cols = {"event_type": group.column("event_type").slice(0, 1)}
+        for i in range(7):
+            cols[f"dow_{i}"] = pa.array([int(counts[i])], type=pa.int64())
+        return pa.table(cols)
+
+    return partials.groupby("event_type").map_groups(
+        widen, batch_format="pyarrow")
+
+
+def s7_csv_roundtrip(sf_dir: str):
+    """S7 — CSV source/sink round trip, the third interchange format next
+    to parquet (S1/S4) and JSONL (S6): the lineitem table's numeric core
+    is written to CSV shards (distributed ``write_csv``) and read back
+    through ``read_csv``, then aggregated per return flag.  Quantities and
+    keys are integers and prices exact cents, so the text round trip is
+    lossless and the oracle (same aggregates off the original parquet)
+    passes only if every field survived the format conversion."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    out = tempfile.mkdtemp(prefix="anomray_csv_")
+    try:
+        (_read(sf_dir, "lineitem",
+               ["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"])
+            .write_csv(out))
+        back = ray.data.read_csv(out)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            price = np.asarray(batch.column("l_extendedprice"),
+                               dtype=np.float64)
+            cents = np.floor(price * 100 + 0.5).astype(np.int64)
+            t = pa.table({
+                "l_returnflag": batch.column("l_returnflag"),
+                "qty": pc.cast(batch.column("l_quantity"), pa.int64()),
+                "cents": pa.array(cents, type=pa.int64()),
+                "okey": pc.cast(batch.column("l_orderkey"), pa.int64()),
+            })
+            g = t.group_by("l_returnflag").aggregate(
+                [([], "count_all"), ("qty", "sum"), ("cents", "sum"),
+                 ("okey", "sum")])
+            return pa.table({
+                "l_returnflag": g.column("l_returnflag"),
+                "n_rows": pc.cast(g.column("count_all"), pa.int64()),
+                "qty_sum": pc.cast(g.column("qty_sum"), pa.int64()),
+                "cents_sum": pc.cast(g.column("cents_sum"), pa.int64()),
+                "okey_sum": pc.cast(g.column("okey_sum"), pa.int64()),
+            })
+
+        partials = back.map_batches(partial, batch_format="pyarrow")
+
+        def merge(group: pa.Table) -> pa.Table:
+            cols = {"l_returnflag": group.column("l_returnflag").slice(0, 1)}
+            for c in ("n_rows", "qty_sum", "cents_sum", "okey_sum"):
+                cols[c] = pa.array([int(pc.sum(group.column(c)).as_py())],
+                                   type=pa.int64())
+            return pa.table(cols)
+
+        res = partials.groupby("l_returnflag").map_groups(
+            merge, batch_format="pyarrow")
+        return ray.data.from_arrow(pa.concat_tables(
+            list(res.iter_batches(batch_format="pyarrow"))))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def d5_set_ops(sf_dir: str):
+    """D5 — distributed set operations (INTERSECT / EXCEPT) between two
+    derived key sets: users who purchased AND errored vs users who
+    purchased but never errored.  One scan computes per-block DISTINCT
+    (user, flag) partials (<= 2*users rows per block — never one row per
+    event), one exchange keyed on user_id ORs the flags, and the classify
+    map emits the op tag.  The SQL oracle uses the real INTERSECT/EXCEPT
+    operators."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        in_a = pc.equal(et, "purchase")
+        in_b = pc.equal(et, "error")
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "in_a": in_a, "in_b": in_b})
+        t = t.filter(pc.or_(in_a, in_b))
+        g = t.group_by("user_id").aggregate([("in_a", "max"), ("in_b", "max")])
+        return pa.table({"user_id": g.column("user_id"),
+                         "in_a": g.column("in_a_max"),
+                         "in_b": g.column("in_b_max")})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def classify(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        a = bool(pc.max(group.column("in_a")).as_py())
+        b = bool(pc.max(group.column("in_b")).as_py())
+        if a and b:
+            op = "intersect"
+        elif a:
+            op = "except"
+        else:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "setop": pa.array([], type=pa.string())})
+        return pa.table({"user_id": group.column("user_id").slice(0, 1),
+                         "setop": pa.array([op], type=pa.string())})
+
+    return partials.groupby("user_id").map_groups(
+        classify, batch_format="pyarrow")

@@ -621,3 +621,56 @@ def j5_interval_stats(sf_dir: str, n_windows: int = N_WINDOWS):
 
     partials = ev.map_batches(stab, batch_format="pyarrow", zero_copy_batch=True)
     return partials.groupby("window_id").map_groups(merge, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- W9 ----
+def _cumsum_kernel(group: pa.Table) -> pa.Table:
+    """Per-user running total (SQL ``SUM() OVER (PARTITION BY user ORDER BY
+    ts, event_id ROWS UNBOUNDED PRECEDING)``) over the micro-quantized
+    value — exact int64, so the distributed result is bit-identical to the
+    window SUM whatever the block layout.  Vectorized: one global cumsum,
+    rebased at each user-run start by subtraction."""
+    group = group.drop_columns([PKEY]).sort_by(
+        [("user_id", "ascending"), ("ts", "ascending"),
+         ("event_id", "ascending")])
+    n = group.num_rows
+    if n == 0:
+        return pa.table({
+            "event_id": pa.array([], type=pa.int64()),
+            "user_id": pa.array([], type=pa.int64()),
+            "vq": pa.array([], type=pa.int64()),
+            "running_vq": pa.array([], type=pa.int64()),
+            "running_n": pa.array([], type=pa.int64()),
+        })
+    starts = run_starts(group, ["user_id"])
+    lens = np.diff(np.append(starts, n))
+    value = group.column("value")
+    if isinstance(value, pa.ChunkedArray):
+        value = value.combine_chunks()
+    vq = np.floor(np.asarray(value, dtype=np.float64) * VSCALE
+                  + 0.5).astype(np.int64)
+    c = np.cumsum(vq)
+    base = np.repeat(np.concatenate(([0], c[starts[1:] - 1])), lens)
+    running = c - base
+    seq = np.arange(n, dtype=np.int64) - np.repeat(starts, lens) + 1
+    return pa.table({
+        "event_id": group.column("event_id"),
+        "user_id": group.column("user_id"),
+        "vq": pa.array(vq, type=pa.int64()),
+        "running_vq": pa.array(running, type=pa.int64()),
+        "running_n": pa.array(seq, type=pa.int64()),
+    })
+
+
+def w9_running_total_events(sf_dir: str, num_partitions: int = 16):
+    """W9 — per-key running cumulative sum + count (the prefix-sum window
+    frame, the most common feature window of all).  Same one-exchange
+    ``_pkey`` layout as W1–W8; the kernel is one cumsum + one rebase
+    subtraction, no per-row Python."""
+    ev = _read_events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby(PKEY).map_groups(_cumsum_kernel,
+                                           batch_format="pyarrow")

@@ -1064,3 +1064,70 @@ def test_semi_join_complements_anti_join(ray_session):
                            columns=["o_custkey", "o_totalprice"]).to_pandas()
     ref = set(orders.loc[orders["o_totalprice"] > 400000.0, "o_custkey"])
     assert semi == ref & allk
+
+
+# ---------------------------------------------------------------- W9 ----
+def test_running_total_matches_pandas(ray_session):
+    from anomalydetection_ray.pipelines.windows import w9_running_total_events
+
+    got = w9_running_total_events(SF).to_pandas().set_index("event_id")
+    ev = _events_df().sort_values(["user_id", "ts", "event_id"])
+    vq = np.floor(ev["value"].to_numpy() * VSCALE + 0.5).astype(np.int64)
+    ev = ev.assign(vq=vq)
+    ev["run"] = ev.groupby("user_id")["vq"].cumsum()
+    ev["rn"] = ev.groupby("user_id").cumcount() + 1
+    assert len(got) == len(ev)
+    sub = ev.head(500)
+    for _, r in sub.iterrows():
+        row = got.loc[r["event_id"]]
+        assert row["running_vq"] == r["run"]
+        assert row["running_n"] == r["rn"]
+
+
+# ---------------------------------------------------------------- T7 ----
+def test_pivot_events_matches_pandas(ray_session):
+    from anomalydetection_ray.pipelines.queries import t7_pivot_events
+
+    got = t7_pivot_events(SF).to_pandas().set_index("event_type")
+    ev = _events_df()
+    dow = ((ev["ts"].astype("int64") // 10**6 // 86400) + 3) % 7
+    ref = pd.crosstab(ev["event_type"], dow)
+    for et in ref.index:
+        for d in range(7):
+            exp = int(ref.loc[et, d]) if d in ref.columns else 0
+            assert got.loc[et, f"dow_{d}"] == exp
+    # weekday convention sanity: epoch day 0 (1970-01-01) was a Thursday
+    assert ((pd.Timestamp("1970-01-01").dayofweek)) == 3
+
+
+# ---------------------------------------------------------------- S7 ----
+def test_csv_roundtrip_matches_parquet(ray_session):
+    from anomalydetection_ray.pipelines.queries import s7_csv_roundtrip
+
+    import pyarrow.parquet as pq
+    got = s7_csv_roundtrip(SF).to_pandas().set_index("l_returnflag")
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity", "l_extendedprice",
+                 "l_returnflag"]).to_pandas()
+    li["cents"] = np.floor(li["l_extendedprice"] * 100 + 0.5).astype(np.int64)
+    ref = li.groupby("l_returnflag").agg(
+        n_rows=("l_orderkey", "size"), qty_sum=("l_quantity", "sum"),
+        cents_sum=("cents", "sum"), okey_sum=("l_orderkey", "sum"))
+    for rf in ref.index:
+        for c in ref.columns:
+            assert got.loc[rf, c] == ref.loc[rf, c], (rf, c)
+
+
+# ---------------------------------------------------------------- D5 ----
+def test_set_ops_match_python_sets(ray_session):
+    from anomalydetection_ray.pipelines.queries import d5_set_ops
+
+    got = d5_set_ops(SF).to_pandas()
+    ev = _events_df()
+    a = set(ev.loc[ev["event_type"] == "purchase", "user_id"])
+    b = set(ev.loc[ev["event_type"] == "error", "user_id"])
+    inter = set(got.loc[got["setop"] == "intersect", "user_id"])
+    exc = set(got.loc[got["setop"] == "except", "user_id"])
+    assert inter == a & b
+    assert exc == a - b
