@@ -229,6 +229,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "p4_chunk_docs": _p4_chunk_docs,
         # G8 multi-grain aggregate (GROUPING SETS) in one scan
         "g8_grouping_sets": q.g8_grouping_sets,
+        # M5 JSON property extraction (Arrow RE2 vs DuckDB JSON path)
+        "m5_json_props": q.m5_json_props,
+        # D6 Levenshtein prefix verify over MinHash candidate pairs
+        "dedup_levenshtein_pairs": dd.levenshtein_pairs,
         # D5 set ops: INTERSECT / EXCEPT between derived key sets
         "d5_set_ops": q.d5_set_ops,
         # S7 CSV source/sink round trip (content-checked vs parquet)
@@ -1813,6 +1817,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(vq) AS BIGINT) AS vq_sum
             FROM base
             GROUP BY GROUPING SETS ((event_type, day), (event_type), ())
+        """,
+        # D6 Levenshtein: DuckDB's built-in levenshtein() vs the engine's
+        # pairs-vectorized DP, over the same MinHash candidate set
+        "dedup_levenshtein_pairs": f"""
+            WITH {_minhash_cte(0.2)},
+            pre AS (SELECT doc_id, substr(text, 1, 64) AS p FROM documents)
+            SELECT m.doc_a, m.doc_b,
+                   CAST(length(xa.p) AS BIGINT) AS len_a,
+                   CAST(length(xb.p) AS BIGINT) AS len_b,
+                   CAST(levenshtein(xa.p, xb.p) AS BIGINT) AS lev
+            FROM mh_pairs m
+            JOIN pre xa ON xa.doc_id = m.doc_a
+            JOIN pre xb ON xb.doc_id = m.doc_b
+        """,
+        # M5 JSON props: DuckDB's real JSON parser vs the engine's RE2
+        # extraction — two independent parsers agreeing on every value
+        "m5_json_props": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                       AS BIGINT) AS k_sum,
+                   min(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+                   max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
+            FROM events GROUP BY event_type
         """,
         # D5 set ops via the real INTERSECT / EXCEPT operators
         "d5_set_ops": """

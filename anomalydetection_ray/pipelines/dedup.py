@@ -642,3 +642,99 @@ def embedding_dup_pairs(sf_dir: str, min_cosine: float = 0.95,
     ds = ray.data.from_items(bucket_pairs_list,
                              override_num_blocks=len(bucket_pairs_list))
     return ds.map_batches(block, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ D6 ----
+LEV_PREFIX = 64
+
+
+def _prefix_matrix(texts, prefix: int) -> tuple[np.ndarray, np.ndarray]:
+    """(P x prefix uint8 matrix zero-padded, per-row true lengths) for a
+    string column's first ``prefix`` codeunits — one vectorized scatter
+    over the flat utf-8 buffer."""
+    import pyarrow.compute as pc
+
+    from anomalydetection_ray.pipelines.text import _flat_utf8
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    pre = pc.utf8_slice_codeunits(texts.fill_null(""), 0, prefix)
+    flat, offs = _flat_utf8(pa.table({"t": pre}), "t")
+    lens = np.diff(offs)
+    P = lens.shape[0]
+    A = np.zeros((P, prefix), dtype=np.uint8)
+    if flat.shape[0]:
+        row_of = np.repeat(np.arange(P, dtype=np.int64), lens)
+        pos = np.arange(flat.shape[0], dtype=np.int64) \
+            - np.repeat(offs[:-1], lens)
+        A[row_of, pos] = flat
+    return A, lens
+
+
+def levenshtein_batch(batch: pa.Table, prefix: int = LEV_PREFIX) -> pa.Table:
+    """Levenshtein distance between the two sides' ``prefix``-char heads
+    for every candidate pair in the batch.  The DP is vectorized ACROSS
+    PAIRS: the classic two-row recurrence runs its prefix x prefix cell
+    loop once per batch, each cell operating on a length-P vector — so
+    per-pair work is pure C regardless of how many candidates LSH
+    produced.  Padding is harmless: cell (i, j) only reads characters
+    < i, < j, and each pair's answer is captured at its true (len_a,
+    len_b) cell."""
+    P = batch.num_rows
+    if P == 0:
+        return pa.table({
+            "doc_a": pa.array([], type=pa.string()),
+            "doc_b": pa.array([], type=pa.string()),
+            "len_a": pa.array([], type=pa.int64()),
+            "len_b": pa.array([], type=pa.int64()),
+            "lev": pa.array([], type=pa.int64()),
+        })
+    A, la = _prefix_matrix(batch.column("_text_a"), prefix)
+    B, lb = _prefix_matrix(batch.column("_text_b"), prefix)
+    prev = np.broadcast_to(np.arange(prefix + 1, dtype=np.int64),
+                           (P, prefix + 1)).copy()
+    ans = np.where(la == 0, lb, -1)
+    rows = np.arange(P, dtype=np.int64)
+    for i in range(1, prefix + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        ai = A[:, i - 1][:, None]
+        cost = (ai != B).astype(np.int64)            # (P, prefix)
+        sub = prev[:, :-1] + cost                     # substitution
+        dele = prev[:, 1:] + 1                        # deletion
+        best = np.minimum(sub, dele)
+        # insertion propagates left-to-right; prefix-size scalar loop,
+        # each step a P-vector op
+        for j in range(1, prefix + 1):
+            cur[:, j] = np.minimum(best[:, j - 1], cur[:, j - 1] + 1)
+        hit = la == i
+        if hit.any():
+            ans[hit] = cur[rows[hit], lb[hit]]
+        prev = cur
+    return pa.table({
+        "doc_a": batch.column("doc_a"),
+        "doc_b": batch.column("doc_b"),
+        "len_a": pa.array(la, type=pa.int64()),
+        "len_b": pa.array(lb, type=pa.int64()),
+        "lev": pa.array(ans, type=pa.int64()),
+    })
+
+
+def levenshtein_pairs(sf_dir: str, prefix: int = LEV_PREFIX):
+    """D6 — edit-distance verification of the MinHash candidate pairs:
+    Levenshtein over each side's first ``prefix`` characters (the cheap
+    typo-class near-dup gate; full-text edit distance is quadratic in
+    document length and never worth it at corpus scale).  Same
+    scale shape as the n-gram verify: texts attach to candidate pairs by
+    co-partitioned lookup joins, the kernel cost is bounded by LSH
+    candidate volume."""
+    import functools
+
+    cands = minhash_lsh_pairs(sf_dir, min_est=0.2).select_columns(
+        ["doc_a", "doc_b"])
+    docs = _docs(sf_dir)
+    with_a = attach_payload(cands, docs, "doc_a", "text", "_text_a")
+    with_ab = attach_payload(with_a, docs, "doc_b", "text", "_text_b")
+    return with_ab.map_batches(
+        functools.partial(levenshtein_batch, prefix=prefix),
+        batch_format="pyarrow")

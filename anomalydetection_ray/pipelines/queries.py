@@ -1674,3 +1674,54 @@ def d5_set_ops(sf_dir: str):
 
     return partials.groupby("user_id").map_groups(
         classify, batch_format="pyarrow")
+
+
+def m5_json_props(sf_dir: str):
+    """M5 — semi-structured property extraction: pull the integer ``k``
+    out of the events table's JSON ``props`` column and aggregate it per
+    event_type (count, exact sum, min/max).  The extraction is an Arrow
+    RE2 ``extract_regex`` C kernel (the props schema is fixed
+    ``{"k": <int>}``, so the pattern is total); the oracle uses DuckDB's
+    real JSON path functions — two independent parsers that must agree on
+    every value."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        props = batch.column("props")
+        if isinstance(props, pa.ChunkedArray):
+            props = props.combine_chunks()
+        m = pc.extract_regex(props, r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        t = pa.table({"event_type": batch.column("event_type"), "k": k})
+        g = t.group_by("event_type").aggregate(
+            [([], "count_all"), ("k", "sum"), ("k", "min"), ("k", "max")])
+        return pa.table({
+            "event_type": g.column("event_type"),
+            "n": pc.cast(g.column("count_all"), pa.int64()),
+            "k_sum": pc.cast(g.column("k_sum"), pa.int64()),
+            "k_min": pc.cast(g.column("k_min"), pa.int64()),
+            "k_max": pc.cast(g.column("k_max"), pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def merge(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "event_type": group.column("event_type").slice(0, 1),
+            "n": pa.array([int(pc.sum(group.column("n")).as_py())],
+                          type=pa.int64()),
+            "k_sum": pa.array([int(pc.sum(group.column("k_sum")).as_py())],
+                              type=pa.int64()),
+            "k_min": pa.array([int(pc.min(group.column("k_min")).as_py())],
+                              type=pa.int64()),
+            "k_max": pa.array([int(pc.max(group.column("k_max")).as_py())],
+                              type=pa.int64()),
+        })
+
+    return partials.groupby("event_type").map_groups(
+        merge, batch_format="pyarrow")

@@ -1131,3 +1131,66 @@ def test_set_ops_match_python_sets(ray_session):
     exc = set(got.loc[got["setop"] == "except", "user_id"])
     assert inter == a & b
     assert exc == a - b
+
+
+# ---------------------------------------------------------------- D6 ----
+def test_levenshtein_batch_matches_python_dp():
+    import pyarrow as pa
+
+    from anomalydetection_ray.pipelines.dedup import levenshtein_batch
+
+    def ref_lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = np.random.default_rng(13)
+    alpha = "abcde "
+    cases = [("", ""), ("", "abc"), ("abc", ""), ("same text", "same text"),
+             ("kitten", "sitting"), ("a" * 64, "a" * 63 + "b"),
+             ("x" * 80, "x" * 80)]  # > prefix: truncated to 64 on both sides
+    for _ in range(40):
+        a = "".join(rng.choice(list(alpha), rng.integers(0, 70)))
+        b = "".join(rng.choice(list(alpha), rng.integers(0, 70)))
+        cases.append((a, b))
+    batch = pa.table({
+        "doc_a": [f"a{i}" for i in range(len(cases))],
+        "doc_b": [f"b{i}" for i in range(len(cases))],
+        "_text_a": [c[0] for c in cases],
+        "_text_b": [c[1] for c in cases],
+    })
+    got = levenshtein_batch(batch, prefix=64).to_pandas()
+    for i, (a, b) in enumerate(cases):
+        assert got.loc[i, "lev"] == ref_lev(a[:64], b[:64]), (i, a, b)
+        assert got.loc[i, "len_a"] == len(a[:64])
+        assert got.loc[i, "len_b"] == len(b[:64])
+
+
+# ---------------------------------------------------------------- M5 ----
+def test_json_props_match_python_json(ray_session):
+    import json
+
+    from anomalydetection_ray.pipelines.queries import m5_json_props
+
+    got = m5_json_props(SF).to_pandas().set_index("event_type")
+    ev = _events_df_with_props()
+    ks = ev["props"].map(lambda s: json.loads(s)["k"])
+    ref = pd.DataFrame({"event_type": ev["event_type"], "k": ks}) \
+        .groupby("event_type")["k"].agg(["count", "sum", "min", "max"])
+    for et, r in ref.iterrows():
+        assert got.loc[et, "n"] == r["count"]
+        assert got.loc[et, "k_sum"] == r["sum"]
+        assert got.loc[et, "k_min"] == r["min"]
+        assert got.loc[et, "k_max"] == r["max"]
+
+
+def _events_df_with_props() -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{SF}/events.parquet",
+                         columns=["event_type", "props"]).to_pandas()
