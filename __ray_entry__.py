@@ -231,6 +231,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g8_grouping_sets": q.g8_grouping_sets,
         # M5 JSON property extraction (Arrow RE2 vs DuckDB JSON path)
         "m5_json_props": q.m5_json_props,
+        # G9 per-group exact mode (busiest day per type, tie -> min day)
+        "g9_mode_day": q.g9_mode_day,
+        # W11 funnel analysis (ordered first-occurrence chain per user)
+        "w11_funnel": q.w11_funnel,
         # D6 Levenshtein prefix verify over MinHash candidate pairs
         "dedup_levenshtein_pairs": dd.levenshtein_pairs,
         # D5 set ops: INTERSECT / EXCEPT between derived key sets
@@ -1817,6 +1821,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(vq) AS BIGINT) AS vq_sum
             FROM base
             GROUP BY GROUPING SETS ((event_type, day), (event_type), ())
+        """,
+        # G9 mode: row_number over (count desc, day asc)
+        "g9_mode_day": """
+            WITH c AS (
+              SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                     count(*) AS n
+              FROM events GROUP BY event_type, day),
+            r AS (
+              SELECT event_type, day, n,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY n DESC, day ASC) AS rk
+              FROM c)
+            SELECT event_type, day AS mode_day, CAST(n AS BIGINT) AS mode_n
+            FROM r WHERE rk = 1
+        """,
+        # W11 funnel: FILTERed first-occurrence mins + strict-order chain
+        "w11_funnel": """
+            WITH f AS (
+              SELECT user_id,
+                     min(epoch_us(ts)) FILTER (event_type = 'view')
+                         AS t_view,
+                     min(epoch_us(ts)) FILTER (event_type = 'click')
+                         AS t_click,
+                     min(epoch_us(ts)) FILTER (event_type = 'purchase')
+                         AS t_purchase
+              FROM events GROUP BY user_id)
+            SELECT user_id, t_view, t_click, t_purchase,
+                   CAST(CASE WHEN t_view IS NULL THEN 0
+                             WHEN t_click IS NULL OR t_click <= t_view THEN 1
+                             WHEN t_purchase IS NULL OR t_purchase <= t_click
+                                  THEN 2
+                             ELSE 3 END AS BIGINT) AS stage
+            FROM f
         """,
         # D6 Levenshtein: DuckDB's built-in levenshtein() vs the engine's
         # pairs-vectorized DP, over the same MinHash candidate set

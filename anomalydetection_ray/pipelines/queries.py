@@ -1725,3 +1725,109 @@ def m5_json_props(sf_dir: str):
 
     return partials.groupby("event_type").map_groups(
         merge, batch_format="pyarrow")
+
+
+def w11_funnel(sf_dir: str):
+    """W11 — funnel analysis: per user, the first-occurrence timestamps of
+    view -> click -> purchase and the funnel stage reached (the chain
+    holds only while each first event strictly precedes the next).  One
+    scan; per-block partials = per-user min-ts per step (Arrow min skips
+    nulls, so a conditional null-mask gives FILTER semantics), <= users*1
+    rows per block cross the exchange; the final merge re-mins and
+    classifies."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        ts_us = ts.cast(pa.int64())
+        et = batch.column("event_type")
+        cols = {"user_id": batch.column("user_id")}
+        for name, typ in (("t_view", "view"), ("t_click", "click"),
+                          ("t_purchase", "purchase")):
+            cols[name] = pc.if_else(pc.equal(et, typ), ts_us,
+                                    pa.scalar(None, type=pa.int64()))
+        t = pa.table(cols)
+        g = t.group_by("user_id").aggregate(
+            [("t_view", "min"), ("t_click", "min"), ("t_purchase", "min")])
+        return pa.table({
+            "user_id": g.column("user_id"),
+            "t_view": g.column("t_view_min"),
+            "t_click": g.column("t_click_min"),
+            "t_purchase": g.column("t_purchase_min"),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def merge(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tv = pc.min(group.column("t_view")).as_py()
+        tc = pc.min(group.column("t_click")).as_py()
+        tp = pc.min(group.column("t_purchase")).as_py()
+        if tv is None:
+            stage = 0
+        elif tc is None or tc <= tv:
+            stage = 1
+        elif tp is None or tp <= tc:
+            stage = 2
+        else:
+            stage = 3
+        return pa.table({
+            "user_id": group.column("user_id").slice(0, 1),
+            "t_view": pa.array([tv], type=pa.int64()),
+            "t_click": pa.array([tc], type=pa.int64()),
+            "t_purchase": pa.array([tp], type=pa.int64()),
+            "stage": pa.array([stage], type=pa.int64()),
+        })
+
+    return partials.groupby("user_id").map_groups(
+        merge, batch_format="pyarrow")
+
+
+def g9_mode_day(sf_dir: str):
+    """G9 — per-group mode with deterministic tiebreak: the busiest day
+    per event_type (count desc, day asc).  Two-level exchange discipline:
+    per-block (type, day) count partials collapse before the shuffle, the
+    per-(type, day) counts merge, then a per-type argmax over the tiny
+    (type, day) grid — the exact-mode plan that never ships raw rows."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        day = np.asarray(ts.cast(pa.int64())) // DAY_US
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(day, type=pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate([([], "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "n": pc.cast(g.column("count_all"), pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def pick(group: pa.Table) -> pa.Table:
+        d = np.asarray(group.column("day"), dtype=np.int64)
+        n = np.asarray(group.column("n"), dtype=np.int64)
+        # merge split partials of the same day, then argmax w/ min-day tie
+        ud, inv = np.unique(d, return_inverse=True)
+        tot = np.zeros(ud.shape[0], dtype=np.int64)
+        np.add.at(tot, inv, n)
+        best = int(np.lexsort((ud, -tot))[0])
+        return pa.table({
+            "event_type": group.column("event_type").slice(0, 1),
+            "mode_day": pa.array([int(ud[best])], type=pa.int64()),
+            "mode_n": pa.array([int(tot[best])], type=pa.int64()),
+        })
+
+    return partials.groupby("event_type").map_groups(
+        pick, batch_format="pyarrow")

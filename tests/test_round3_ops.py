@@ -1194,3 +1194,45 @@ def _events_df_with_props() -> pd.DataFrame:
 
     return pq.read_table(f"{SF}/events.parquet",
                          columns=["event_type", "props"]).to_pandas()
+
+
+# --------------------------------------------------------------- W11 ----
+def test_funnel_matches_pandas(ray_session):
+    from anomalydetection_ray.pipelines.queries import w11_funnel
+
+    got = w11_funnel(SF).to_pandas().set_index("user_id")
+    ev = _events_df()
+    ev = ev.assign(ts_us=ev["ts"].astype("int64") // 10**3
+                   if ev["ts"].dtype == "datetime64[ns]" else
+                   ev["ts"].astype("int64"))
+    firsts = {}
+    for typ in ("view", "click", "purchase"):
+        firsts[typ] = ev[ev["event_type"] == typ].groupby("user_id")["ts_us"].min()
+    for uid in got.index:
+        tv = firsts["view"].get(uid)
+        tc = firsts["click"].get(uid)
+        tp = firsts["purchase"].get(uid)
+        if tv is None or pd.isna(tv):
+            stage = 0
+        elif tc is None or pd.isna(tc) or tc <= tv:
+            stage = 1
+        elif tp is None or pd.isna(tp) or tp <= tc:
+            stage = 2
+        else:
+            stage = 3
+        assert got.loc[uid, "stage"] == stage, uid
+
+
+# ---------------------------------------------------------------- G9 ----
+def test_mode_day_matches_pandas(ray_session):
+    from anomalydetection_ray.pipelines.queries import g9_mode_day
+
+    got = g9_mode_day(SF).to_pandas().set_index("event_type")
+    ev = _events_df()
+    day = ev["ts"].astype("int64") // 10**6 // 86400
+    df = pd.DataFrame({"event_type": ev["event_type"], "day": day})
+    c = df.groupby(["event_type", "day"]).size().reset_index(name="n")
+    for et, sub in c.groupby("event_type"):
+        sub = sub.sort_values(["n", "day"], ascending=[False, True])
+        assert got.loc[et, "mode_day"] == sub.iloc[0]["day"]
+        assert got.loc[et, "mode_n"] == sub.iloc[0]["n"]
