@@ -169,6 +169,12 @@ def _retention_apply(sf_dir: str):
     return retention_apply_events(sf_dir)
 
 
+def _compact_events(sf_dir: str):
+    from anomalydetection_ray.pipelines.retention import compact_events
+
+    return compact_events(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from anomalydetection_ray.pipelines import dedup as dd
     from anomalydetection_ray.pipelines import kmeans as km
@@ -319,6 +325,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # whose surviving-bucket evidence is ALSO SQL-checked
         "r1_retention_plan": _retention_plan,
         "r1_retention_apply": _retention_apply,
+        # R2 small-file compaction: one-file-per-partition rewrite whose
+        # before/after file counts and row totals are all SQL-derivable
+        "r2_compact_events": _compact_events,
         # Q7/Q8 corpus balancing + split assignment
         "q7_quota_sample": q.q7_quota_sample,
         "q8_split_stats": q.q8_split_stats,
@@ -2185,6 +2194,16 @@ def oracle_sql() -> dict[str, str]:
             mx AS (SELECT max(day) AS md FROM d)
             SELECT CAST(day AS BIGINT) AS day, CAST(n AS BIGINT) AS n_events
             FROM d CROSS JOIN mx WHERE day > md - 7
+        """,
+        # R2 compaction: rows per day; before-files = distinct shards
+        # present (event_id % 4 image per day); after-files = 1 by contract
+        "r2_compact_events": """
+            SELECT epoch_us(ts) // 86400000000 AS day,
+                   count(*) AS n_rows,
+                   CAST(count(DISTINCT event_id % 4) AS BIGINT)
+                       AS files_before,
+                   CAST(1 AS BIGINT) AS files_after
+            FROM events GROUP BY day
         """,
         # Q7 quota sample: ≤ k per source under (seeded hash, doc_id)
         "q7_quota_sample": f"""

@@ -167,3 +167,99 @@ def retention_apply_events(sf_dir: str, keep_days: int = 7):
         }))
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+# ------------------------------------------------------------------ R2 ----
+N_SHARDS = 4
+
+
+def compact_events(sf_dir: str):
+    """R2 — small-file compaction, retention's sibling maintenance pass:
+    a day-partitioned layout deliberately fragmented into ``shard =
+    event_id % N_SHARDS`` sub-files (so the *before* file count is a
+    deterministic function of the data, and therefore SQL-checkable) is
+    rewritten partition-by-partition into ONE file per day.
+
+    Scale shape: the fragment->compacted rewrite is one Ray task per day
+    partition (bounded by partition size — the same unit retention drops;
+    a day that outgrows one task would be sub-partitioned by the layout,
+    not by compaction).  Each task writes ``.compact.tmp`` then
+    ``os.replace``s it into place before unlinking the shard dirs, so a
+    concurrent reader sees either the old fragments or the finished file,
+    never a half-written one.  The returned rows re-read the mutated
+    layout's FOOTERS — evidence the rewrite actually happened — and the
+    SQL oracle reproduces (rows, before-files = distinct shards present,
+    after-files = 1) independently from the raw table."""
+    import ray
+    import ray.data
+
+    out = tempfile.mkdtemp(prefix="anomray_compact_")
+    try:
+        ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["event_id", "ts", "value"])
+
+        def add_keys(batch: pa.Table) -> pa.Table:
+            ts = batch.column("ts")
+            if isinstance(ts, pa.ChunkedArray):
+                ts = ts.combine_chunks()
+            day = np.asarray(ts.cast(pa.int64())) // DAY_US
+            eid = np.asarray(batch.column("event_id"), dtype=np.int64)
+            return (batch
+                    .append_column("day", pa.array(day, type=pa.int64()))
+                    .append_column("shard", pa.array(eid % N_SHARDS,
+                                                     type=pa.int64())))
+
+        ds.map_batches(add_keys, batch_format="pyarrow",
+                       zero_copy_batch=True).write_parquet(
+            out, partition_cols=["day", "shard"])
+
+        @ray.remote
+        def compact_day(day_dir: str) -> tuple[int, int]:
+            import os
+
+            import pyarrow.parquet as pq
+
+            frags = []
+            n_before = 0
+            for sh in sorted(os.listdir(day_dir)):
+                if not sh.startswith("shard="):
+                    continue
+                sdir = os.path.join(day_dir, sh)
+                for f in sorted(os.listdir(sdir)):
+                    if f.endswith(".parquet"):
+                        frags.append(os.path.join(sdir, f))
+                n_before += 1
+            tbl = pa.concat_tables(
+                pq.read_table(f, columns=["event_id", "value"])
+                for f in frags).sort_by("event_id")
+            tmp = os.path.join(day_dir, ".compact.tmp")
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, os.path.join(day_dir, "compacted.parquet"))
+            for sh in os.listdir(day_dir):
+                if sh.startswith("shard="):
+                    shutil.rmtree(os.path.join(day_dir, sh))
+            return n_before, tbl.num_rows
+
+        day_dirs = sorted(os.path.join(out, n) for n in os.listdir(out)
+                          if n.startswith("day="))
+        results = ray.get([compact_day.remote(d) for d in day_dirs])
+
+        import pyarrow.parquet as pq
+
+        days, rows, before, after = [], [], [], []
+        for ddir, (n_before, _) in zip(day_dirs, results):
+            files = [f for f in os.listdir(ddir) if f.endswith(".parquet")]
+            n = sum(pq.ParquetFile(os.path.join(ddir, f)).metadata.num_rows
+                    for f in files)
+            days.append(int(os.path.basename(ddir).split("=", 1)[1]))
+            rows.append(n)
+            before.append(n_before)
+            after.append(len(files))
+        return ray.data.from_arrow(pa.table({
+            "day": pa.array(days, type=pa.int64()),
+            "n_rows": pa.array(rows, type=pa.int64()),
+            "files_before": pa.array(before, type=pa.int64()),
+            "files_after": pa.array(after, type=pa.int64()),
+        }))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -1236,3 +1236,28 @@ def test_mode_day_matches_pandas(ray_session):
         sub = sub.sort_values(["n", "day"], ascending=[False, True])
         assert got.loc[et, "mode_day"] == sub.iloc[0]["day"]
         assert got.loc[et, "mode_n"] == sub.iloc[0]["n"]
+
+
+# ---------------------------------------------------------------- R2 ----
+def test_compaction_preserves_rows_and_reaches_one_file(ray_session):
+    from anomalydetection_ray.pipelines.retention import compact_events
+
+    got = compact_events(SF).to_pandas()
+    ev = _events_df()
+    day = ev["ts"].astype("int64") // 10**6 // 86400
+    ref = pd.DataFrame({"day": day, "eid": _events_df_ids()})
+    per_day = ref.groupby("day").agg(
+        n_rows=("eid", "size"),
+        files_before=("eid", lambda s: s.mod(4).nunique()))
+    assert (got["files_after"] == 1).all()
+    got = got.set_index("day")
+    for d, r in per_day.iterrows():
+        assert got.loc[d, "n_rows"] == r["n_rows"]
+        assert got.loc[d, "files_before"] == r["files_before"]
+
+
+def _events_df_ids() -> pd.Series:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{SF}/events.parquet",
+                         columns=["event_id"]).to_pandas()["event_id"]
