@@ -237,6 +237,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g8_grouping_sets": q.g8_grouping_sets,
         # M5 JSON property extraction (Arrow RE2 vs DuckDB JSON path)
         "m5_json_props": q.m5_json_props,
+        # G10 grouped Pearson correlation (exact int moments, pinned ops)
+        "g10_corr_events": q.g10_corr_events,
         # G9 per-group exact mode (busiest day per type, tie -> min day)
         "g9_mode_day": q.g9_mode_day,
         # W11 funnel analysis (ordered first-occurrence chain per user)
@@ -300,6 +302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w8_time_window": wnd.w8_time_window_events,
         # W9 per-key running cumulative sum/count (prefix-sum frame)
         "w9_running_total": wnd.w9_running_total_events,
+        # W12 per-key robust location/scale (median + MAD, exact)
+        "w12_robust_scale": wnd.w12_robust_scale_events,
         # J7 left OUTER join + aggregate (zero-fill for unmatched keys)
         "j7_left_join_agg": q.j7_left_join_agg,
         "j5_interval_stats": wnd.j5_interval_stats,
@@ -1831,6 +1835,31 @@ def oracle_sql() -> dict[str, str]:
             FROM base
             GROUP BY GROUPING SETS ((event_type, day), (event_type), ())
         """,
+        # G10 correlation: BIGINT moments, then the same three pinned
+        # float ops the engine takes (cast/cast-multiply, sqrt, divide)
+        "g10_corr_events": """
+            WITH base AS (
+              SELECT event_type,
+                     CAST(json_extract(props, '$.k') AS BIGINT) AS x,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+              FROM events),
+            m AS (
+              SELECT event_type, count(*) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(y * y) AS BIGINT) AS syy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy
+              FROM base GROUP BY event_type)
+            SELECT event_type, n, sxy,
+                   CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                        THEN NULL
+                        ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                    * CAST(n * syy - sy * sy AS DOUBLE))
+                        END AS corr_xy
+            FROM m
+        """,
         # G9 mode: row_number over (count desc, day asc)
         "g9_mode_day": """
             WITH c AS (
@@ -1996,6 +2025,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         # W8 time-range window: RANGE INTERVAL semantics (peers by ts all
         # count); quantized sum is exact
+        # W12 robust scale: median/mad of int64-quantized value are exact
+        # halves/quarters, so DuckDB's median()/mad() match bitwise
+        "w12_robust_scale": """
+            WITH base AS (
+              SELECT user_id,
+                     CAST(floor(value * 1000000 + 0.5) AS DOUBLE) AS vq
+              FROM events)
+            SELECT user_id, count(*) AS n,
+                   median(vq) AS med_vq, mad(vq) AS mad_vq
+            FROM base GROUP BY user_id
+        """,
         # W9 running total: exact int64 prefix sums over quantized value
         "w9_running_total": """
             WITH base AS (

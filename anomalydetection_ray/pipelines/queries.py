@@ -1831,3 +1831,74 @@ def g9_mode_day(sf_dir: str):
 
     return partials.groupby("event_type").map_groups(
         pick, batch_format="pyarrow")
+
+
+def g10_corr_events(sf_dir: str):
+    """G10 — grouped Pearson correlation between two columns (the JSON
+    ``k`` property x the exact value cents) per event_type.  Per-block
+    partials carry the six exact integer moment sums (n, Sx, Sy, Sxx,
+    Syy, Sxy) — one row per type per block; the final combination is
+    arbitrary-precision Python ints (W5's discipline) and the correlation
+    itself exactly three pinned float ops (two casts' products, one sqrt,
+    one division) the SQL oracle replays verbatim."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["event_type", "value", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        props = batch.column("props")
+        if isinstance(props, pa.ChunkedArray):
+            props = props.combine_chunks()
+        m = pc.extract_regex(props, r'"k":\s*(?P<k>-?\d+)')
+        x = np.asarray(pc.cast(pc.struct_field(m, "k"), pa.int64()))
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        y = np.floor(v * 100 + 0.5).astype(np.int64)
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "x": pa.array(x, type=pa.int64()),
+            "y": pa.array(y, type=pa.int64()),
+            "xx": pa.array(x * x, type=pa.int64()),
+            "yy": pa.array(y * y, type=pa.int64()),
+            "xy": pa.array(x * y, type=pa.int64()),
+        })
+        g = t.group_by("event_type").aggregate(
+            [([], "count_all"), ("x", "sum"), ("y", "sum"),
+             ("xx", "sum"), ("yy", "sum"), ("xy", "sum")])
+        return pa.table({
+            "event_type": g.column("event_type"),
+            "n": pc.cast(g.column("count_all"), pa.int64()),
+            "sx": pc.cast(g.column("x_sum"), pa.int64()),
+            "sy": pc.cast(g.column("y_sum"), pa.int64()),
+            "sxx": pc.cast(g.column("xx_sum"), pa.int64()),
+            "syy": pc.cast(g.column("yy_sum"), pa.int64()),
+            "sxy": pc.cast(g.column("xy_sum"), pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def corr(group: pa.Table) -> pa.Table:
+        import math
+
+        import pyarrow.compute as pc
+
+        n = int(pc.sum(group.column("n")).as_py())
+        sx = int(pc.sum(group.column("sx")).as_py())
+        sy = int(pc.sum(group.column("sy")).as_py())
+        sxx = int(pc.sum(group.column("sxx")).as_py())
+        syy = int(pc.sum(group.column("syy")).as_py())
+        sxy = int(pc.sum(group.column("sxy")).as_py())
+        num = n * sxy - sx * sy
+        d1 = n * sxx - sx * sx
+        d2 = n * syy - sy * sy
+        r = None if d1 == 0 or d2 == 0 \
+            else float(num) / math.sqrt(float(d1) * float(d2))
+        return pa.table({
+            "event_type": group.column("event_type").slice(0, 1),
+            "n": pa.array([n], type=pa.int64()),
+            "sxy": pa.array([sxy], type=pa.int64()),
+            "corr_xy": pa.array([r], type=pa.float64()),
+        })
+
+    return partials.groupby("event_type").map_groups(
+        corr, batch_format="pyarrow")

@@ -674,3 +674,54 @@ def w9_running_total_events(sf_dir: str, num_partitions: int = 16):
         batch_format="pyarrow", zero_copy_batch=True)
     return tagged.groupby(PKEY).map_groups(_cumsum_kernel,
                                            batch_format="pyarrow")
+
+
+# --------------------------------------------------------------- W12 ----
+def _robust_scale_kernel(group: pa.Table) -> pa.Table:
+    """Per-user median + MAD of the micro-quantized value — the robust
+    location/scale feature pair (Iglewicz & Hoaglin 1993).  Medians of
+    int64 are exact halves and MADs exact quarters, so both match DuckDB's
+    ``median``/``mad`` bitwise.  Vectorized: ONE lexsort over the whole
+    partition serves every user's median (`segment_medians`)."""
+    from anomalydetection_ray.functions.stats import segment_medians
+
+    group = group.drop_columns([PKEY]).sort_by([("user_id", "ascending")])
+    n = group.num_rows
+    if n == 0:
+        return pa.table({
+            "user_id": pa.array([], type=pa.int64()),
+            "n": pa.array([], type=pa.int64()),
+            "med_vq": pa.array([], type=pa.float64()),
+            "mad_vq": pa.array([], type=pa.float64()),
+        })
+    starts = run_starts(group, ["user_id"])
+    lens = np.diff(np.append(starts, n))
+    value = group.column("value")
+    if isinstance(value, pa.ChunkedArray):
+        value = value.combine_chunks()
+    vq = np.floor(np.asarray(value, dtype=np.float64) * VSCALE
+                  + 0.5)
+    seg_of = np.repeat(np.arange(starts.shape[0], dtype=np.int64), lens)
+    med = segment_medians(vq, seg_of, starts.shape[0], starts, lens)
+    dev = np.abs(vq - med[seg_of])
+    mad = segment_medians(dev, seg_of, starts.shape[0], starts, lens)
+    uid = np.asarray(group.column("user_id"), dtype=np.int64)
+    return pa.table({
+        "user_id": pa.array(uid[starts], type=pa.int64()),
+        "n": pa.array(lens, type=pa.int64()),
+        "med_vq": pa.array(med, type=pa.float64()),
+        "mad_vq": pa.array(mad, type=pa.float64()),
+    })
+
+
+def w12_robust_scale_events(sf_dir: str, num_partitions: int = 16):
+    """W12 — per-key robust location/scale (median + MAD of value), the
+    outlier-resistant normalization statistics computed before training.
+    Same one-exchange ``_pkey`` layout as W1–W9."""
+    ev = _read_events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby(PKEY).map_groups(_robust_scale_kernel,
+                                           batch_format="pyarrow")

@@ -1261,3 +1261,43 @@ def _events_df_ids() -> pd.Series:
 
     return pq.read_table(f"{SF}/events.parquet",
                          columns=["event_id"]).to_pandas()["event_id"]
+
+
+# --------------------------------------------------------------- W12 ----
+def test_robust_scale_matches_numpy(ray_session):
+    from anomalydetection_ray.pipelines.windows import w12_robust_scale_events
+
+    got = w12_robust_scale_events(SF).to_pandas().set_index("user_id")
+    ev = _events_df()
+    vq = np.floor(ev["value"].to_numpy() * VSCALE + 0.5)
+    df = pd.DataFrame({"user_id": ev["user_id"], "vq": vq})
+    for uid, sub in df.groupby("user_id"):
+        med = np.median(sub["vq"].to_numpy())
+        mad = np.median(np.abs(sub["vq"].to_numpy() - med))
+        assert got.loc[uid, "n"] == len(sub)
+        assert got.loc[uid, "med_vq"] == med
+        assert got.loc[uid, "mad_vq"] == mad
+
+
+# --------------------------------------------------------------- G10 ----
+def test_grouped_corr_matches_numpy(ray_session):
+    import json
+
+    from anomalydetection_ray.pipelines.queries import g10_corr_events
+
+    got = g10_corr_events(SF).to_pandas().set_index("event_type")
+    ev = pq_events()
+    x = ev["props"].map(lambda s: json.loads(s)["k"]).astype(np.int64)
+    y = np.floor(ev["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    df = pd.DataFrame({"event_type": ev["event_type"], "x": x, "y": y})
+    for et, sub in df.groupby("event_type"):
+        r = np.corrcoef(sub["x"], sub["y"])[0, 1]
+        assert abs(got.loc[et, "corr_xy"] - r) < 1e-10, et
+        assert got.loc[et, "n"] == len(sub)
+
+
+def pq_events() -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{SF}/events.parquet",
+                         columns=["event_type", "value", "props"]).to_pandas()
