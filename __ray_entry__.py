@@ -247,6 +247,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_levenshtein_pairs": dd.levenshtein_pairs,
         # D5 set ops: INTERSECT / EXCEPT between derived key sets
         "d5_set_ops": q.d5_set_ops,
+        # S8 schema-evolution union read (v1 layout + v2 with added col)
+        "s8_schema_evolution": q.s8_schema_evolution,
         # S7 CSV source/sink round trip (content-checked vs parquet)
         "s7_csv_roundtrip": q.s7_csv_roundtrip,
         # T7 pivot long->wide (per-type day-of-week count columns)
@@ -1927,6 +1929,17 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT user_id, 'except' AS setop
             FROM (SELECT user_id FROM a EXCEPT SELECT user_id FROM b)
+        """,
+        # S8 schema evolution: deterministic even/odd id split; lang is
+        # non-null exactly on the v2 (odd) half
+        "s8_schema_evolution": """
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars_sum,
+                   CAST(count(*) FILTER (doc_id % 2 = 1) AS BIGINT)
+                       AS n_with_lang,
+                   CAST(count(*) FILTER (doc_id % 2 = 1 AND lang = 'en')
+                       AS BIGINT) AS n_en
+            FROM documents GROUP BY source
         """,
         # S7 CSV round trip: aggregates off the ORIGINAL parquet — passes
         # only if the CSV wire format preserved every field

@@ -1902,3 +1902,81 @@ def g10_corr_events(sf_dir: str):
 
     return partials.groupby("event_type").map_groups(
         corr, batch_format="pyarrow")
+
+
+def s8_schema_evolution(sf_dir: str):
+    """S8 — schema-evolution union read: half the corpus is persisted
+    with a v1 schema (doc_id, source, n_chars), half with a v2 schema
+    that carries the later-added ``lang`` column.  The reader unifies the
+    two layouts — v1 rows surface ``lang = NULL`` — and aggregates per
+    source, counting rows that carry the new column and the 'en' subset
+    of them (pinning the carried values, not just their presence).  This
+    is the lakehouse reality that a column added mid-corpus must not fork
+    the pipeline.  The even/odd id split is deterministic, so the SQL
+    oracle reproduces every aggregate straight off the original table."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    out1 = tempfile.mkdtemp(prefix="anomray_sv1_")
+    out2 = tempfile.mkdtemp(prefix="anomray_sv2_")
+    try:
+        docs = _read(sf_dir, "documents",
+                     ["doc_id", "source", "n_chars", "lang"])
+
+        def split(batch: pa.Table, keep_even: bool) -> pa.Table:
+            even = pc.equal(
+                pc.bit_wise_and(pc.cast(batch.column("doc_id"), pa.int64()),
+                                1), 0)
+            return batch.filter(even if keep_even else pc.invert(even))
+
+        (docs.map_batches(lambda b: split(b, True).select(
+            ["doc_id", "source", "n_chars"]), batch_format="pyarrow")
+            .write_parquet(out1))
+        (docs.map_batches(lambda b: split(b, False), batch_format="pyarrow")
+            .write_parquet(out2))
+
+        v1 = ray.data.read_parquet(out1).map_batches(
+            lambda b: b.append_column(
+                "lang", pa.array([None] * b.num_rows, type=pa.string())),
+            batch_format="pyarrow")
+        both = v1.union(ray.data.read_parquet(out2))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            lang = batch.column("lang")
+            if isinstance(lang, pa.ChunkedArray):
+                lang = lang.combine_chunks()
+            t = pa.table({
+                "source": batch.column("source"),
+                "nc": pc.cast(batch.column("n_chars"), pa.int64()),
+                "hl": pc.cast(pc.is_valid(lang), pa.int64()),
+                "en": pc.cast(pc.fill_null(pc.equal(lang, "en"), False),
+                              pa.int64()),
+            })
+            g = t.group_by("source").aggregate(
+                [([], "count_all"), ("nc", "sum"), ("hl", "sum"),
+                 ("en", "sum")])
+            return pa.table({
+                "source": g.column("source"),
+                "n_docs": pc.cast(g.column("count_all"), pa.int64()),
+                "chars_sum": pc.cast(g.column("nc_sum"), pa.int64()),
+                "n_with_lang": pc.cast(g.column("hl_sum"), pa.int64()),
+                "n_en": pc.cast(g.column("en_sum"), pa.int64()),
+            })
+
+        def merge(group: pa.Table) -> pa.Table:
+            cols = {"source": group.column("source").slice(0, 1)}
+            for c in ("n_docs", "chars_sum", "n_with_lang", "n_en"):
+                cols[c] = pa.array([int(pc.sum(group.column(c)).as_py())],
+                                   type=pa.int64())
+            return pa.table(cols)
+
+        res = both.map_batches(partial, batch_format="pyarrow") \
+                  .groupby("source").map_groups(merge, batch_format="pyarrow")
+        return ray.data.from_arrow(pa.concat_tables(
+            list(res.iter_batches(batch_format="pyarrow"))))
+    finally:
+        shutil.rmtree(out1, ignore_errors=True)
+        shutil.rmtree(out2, ignore_errors=True)

@@ -1301,3 +1301,20 @@ def pq_events() -> pd.DataFrame:
 
     return pq.read_table(f"{SF}/events.parquet",
                          columns=["event_type", "value", "props"]).to_pandas()
+
+
+# ---------------------------------------------------------------- S8 ----
+def test_schema_evolution_union_matches_pandas(ray_session):
+    from anomalydetection_ray.pipelines.queries import s8_schema_evolution
+
+    import pyarrow.parquet as pq
+    got = s8_schema_evolution(SF).to_pandas().set_index("source")
+    docs = pq.read_table(
+        f"{SF}/documents.parquet",
+        columns=["doc_id", "source", "n_chars", "lang"]).to_pandas()
+    for src, sub in docs.groupby("source"):
+        odd = sub["doc_id"] % 2 == 1
+        assert got.loc[src, "n_docs"] == len(sub)
+        assert got.loc[src, "chars_sum"] == sub["n_chars"].sum()
+        assert got.loc[src, "n_with_lang"] == int(odd.sum())
+        assert got.loc[src, "n_en"] == int((odd & (sub["lang"] == "en")).sum())
