@@ -237,6 +237,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g8_grouping_sets": q.g8_grouping_sets,
         # M5 JSON property extraction (Arrow RE2 vs DuckDB JSON path)
         "m5_json_props": q.m5_json_props,
+        # G11 exact distributed COUNT(DISTINCT) / G12 argmax aggregate
+        "g11_distinct_users": q.g11_distinct_users,
+        "g12_last_event": q.g12_last_event,
         # G10 grouped Pearson correlation (exact int moments, pinned ops)
         "g10_corr_events": q.g10_corr_events,
         # G9 per-group exact mode (busiest day per type, tie -> min day)
@@ -1836,6 +1839,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(vq) AS BIGINT) AS vq_sum
             FROM base
             GROUP BY GROUPING SETS ((event_type, day), (event_type), ())
+        """,
+        # G11 exact distinct / G12 argmax with (ts, event_id) tiebreak
+        "g11_distinct_users": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "g12_last_event": """
+            SELECT user_id, epoch_us(ts) AS last_ts_us,
+                   event_id AS last_event_id, value AS last_value,
+                   event_type AS last_type
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rk
+                  FROM events)
+            WHERE rk = 1
         """,
         # G10 correlation: BIGINT moments, then the same three pinned
         # float ops the engine takes (cast/cast-multiply, sqrt, divide)

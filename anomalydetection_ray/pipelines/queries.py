@@ -1980,3 +1980,83 @@ def s8_schema_evolution(sf_dir: str):
     finally:
         shutil.rmtree(out1, ignore_errors=True)
         shutil.rmtree(out2, ignore_errors=True)
+
+
+def g11_distinct_users(sf_dir: str):
+    """G11 — exact distributed COUNT(DISTINCT): distinct users per
+    event_type.  Per-block partials collapse to the DISTINCT (type, user)
+    pairs present in the block (<= types*users rows per block, never one
+    per event), the exchange carries only those, and the final per-type
+    count de-dups again — the standard two-level exact-distinct plan."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "user_id": batch.column("user_id")})
+        return t.group_by(["event_type", "user_id"]).aggregate([])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def count(group: pa.Table) -> pa.Table:
+        u = np.asarray(group.column("user_id"), dtype=np.int64)
+        return pa.table({
+            "event_type": group.column("event_type").slice(0, 1),
+            "n_users": pa.array([int(np.unique(u).shape[0])],
+                                type=pa.int64()),
+        })
+
+    return partials.groupby("event_type").map_groups(
+        count, batch_format="pyarrow")
+
+
+def g12_last_event(sf_dir: str):
+    """G12 — argmax aggregate (`arg_max` / "last value"): each user's
+    most recent event's value and type, tie on ts broken by max event_id.
+    Per-block partials keep ONE candidate row per user (the block-local
+    argmax), so the exchange is bounded by users*blocks; the final merge
+    re-argmaxes the candidates."""
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "value", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        t = pa.table({
+            "user_id": batch.column("user_id"),
+            "ts_us": ts.cast(pa.int64()),
+            "event_id": batch.column("event_id"),
+            "value": batch.column("value"),
+            "event_type": batch.column("event_type"),
+        }).sort_by([("user_id", "ascending"), ("ts_us", "ascending"),
+                    ("event_id", "ascending")])
+        from anomalydetection_ray.stages.runs import run_starts
+
+        n = t.num_rows
+        if n == 0:
+            return t
+        starts = run_starts(t, ["user_id"])
+        last = np.append(starts[1:], n) - 1
+        return t.take(pa.array(last))
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def merge(group: pa.Table) -> pa.Table:
+        ts = np.asarray(group.column("ts_us"), dtype=np.int64)
+        eid = np.asarray(group.column("event_id"), dtype=np.int64)
+        i = int(np.lexsort((eid, ts))[-1])
+        return pa.table({
+            "user_id": group.column("user_id").slice(0, 1),
+            "last_ts_us": group.column("ts_us").slice(i, 1).combine_chunks(),
+            "last_event_id": group.column("event_id").slice(i, 1),
+            "last_value": group.column("value").slice(i, 1),
+            "last_type": group.column("event_type").slice(i, 1),
+        }).rename_columns(["user_id", "last_ts_us", "last_event_id",
+                           "last_value", "last_type"])
+
+    return partials.groupby("user_id").map_groups(
+        merge, batch_format="pyarrow")

@@ -1318,3 +1318,27 @@ def test_schema_evolution_union_matches_pandas(ray_session):
         assert got.loc[src, "chars_sum"] == sub["n_chars"].sum()
         assert got.loc[src, "n_with_lang"] == int(odd.sum())
         assert got.loc[src, "n_en"] == int((odd & (sub["lang"] == "en")).sum())
+
+
+# --------------------------------------------------------- G11 / G12 ----
+def test_distinct_users_matches_pandas(ray_session):
+    from anomalydetection_ray.pipelines.queries import g11_distinct_users
+
+    got = g11_distinct_users(SF).to_pandas().set_index("event_type")
+    ev = _events_df()
+    ref = ev.groupby("event_type")["user_id"].nunique()
+    for et, n in ref.items():
+        assert got.loc[et, "n_users"] == n
+
+
+def test_last_event_matches_pandas(ray_session):
+    from anomalydetection_ray.pipelines.queries import g12_last_event
+
+    got = g12_last_event(SF).to_pandas().set_index("user_id")
+    ev = _events_df().sort_values(["user_id", "ts", "event_id"])
+    last = ev.groupby("user_id").tail(1).set_index("user_id")
+    assert len(got) == len(last)
+    for uid, r in last.iterrows():
+        assert got.loc[uid, "last_event_id"] == r["event_id"]
+        assert got.loc[uid, "last_value"] == r["value"]
+        assert got.loc[uid, "last_type"] == r["event_type"]
