@@ -62,3 +62,38 @@ def test_persist_resume(ray_session, seq_dir, tmp_path):
     )
     # second resume is a no-op
     assert _run(path, partial, resume=True) == []
+
+
+def test_persist_incremental_append(ray_session, tmp_path):
+    """Continuous-aggregate semantics: a delta file appended to the input
+    dir (sorting AFTER the existing files, the append-at-end contract that
+    keeps footer-plan unit ids stable) is rolled up incrementally — the
+    resume run computes ONLY the new units, and the merged layout is
+    bit-identical to a from-scratch run over the full input."""
+    from anomalydetection_ray.pipelines.rollup import rollup_persist
+
+    tbl = fixture_table(include_giant=False)
+    d = tmp_path / "seqs"
+    d.mkdir()
+    half = tbl.num_rows // 2
+    pq.write_table(tbl.slice(0, half), d / "f000.parquet", row_group_size=10)
+
+    out = str(tmp_path / "inc")
+    s1 = rollup_persist(str(d), out).take_all()
+    assert len(s1) > 0
+
+    pq.write_table(tbl.slice(half), d / "f001.parquet", row_group_size=10)
+    s2 = rollup_persist(str(d), out, resume=True).take_all()
+    # only the delta's units ran, and their ids extend the old plan
+    assert len(s2) > 0
+    assert min(r["unit_id"] for r in s2) >= len(s1)
+
+    full = str(tmp_path / "full")
+    rollup_persist(str(d), full).take_all()
+    key = [("doc_id", "ascending"), ("tier", "ascending"),
+           ("bucket", "ascending")]
+    a = pq.read_table(os.path.join(out, "tiers")).select(TIER_SCHEMA.names)
+    b = pq.read_table(os.path.join(full, "tiers")).select(TIER_SCHEMA.names)
+    assert a.sort_by(key).equals(b.sort_by(key))
+    # third run over the unchanged input is a no-op
+    assert rollup_persist(str(d), out, resume=True).take_all() == []
