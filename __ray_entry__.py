@@ -237,6 +237,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g8_grouping_sets": q.g8_grouping_sets,
         # M5 JSON property extraction (Arrow RE2 vs DuckDB JSON path)
         "m5_json_props": q.m5_json_props,
+        # TPC-H Q3 shape: 3-table join + aggregate + top-k composed
+        "tpch_q3_like": q.tpch_q3_like,
         # G11 exact distributed COUNT(DISTINCT) / G12 argmax aggregate
         "g11_distinct_users": q.g11_distinct_users,
         "g12_last_event": q.g12_last_event,
@@ -1839,6 +1841,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(vq) AS BIGINT) AS vq_sum
             FROM base
             GROUP BY GROUPING SETS ((event_type, day), (event_type), ())
+        """,
+        # TPC-H Q3 shape; revenue = the same pinned cents expression
+        "tpch_q3_like": """
+            SELECT l.l_orderkey,
+                   CAST(sum(CAST(floor(l.l_extendedprice
+                       * (1 - l.l_discount) * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS revenue_cents,
+                   epoch_us(o.o_orderdate) AS o_date_us
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND epoch_us(o.o_orderdate) < 883612800000000
+              AND epoch_us(l.l_shipdate) > 883612800000000
+            GROUP BY l.l_orderkey, o.o_orderdate
+            ORDER BY revenue_cents DESC, o_date_us ASC, l.l_orderkey ASC
+            LIMIT 10
         """,
         # G11 exact distinct / G12 argmax with (ts, event_id) tiebreak
         "g11_distinct_users": """

@@ -2060,3 +2060,104 @@ def g12_last_event(sf_dir: str):
 
     return partials.groupby("user_id").map_groups(
         merge, batch_format="pyarrow")
+
+
+TPCH_Q3_CUT_US = 883_612_800_000_000  # 1998-01-01 in epoch microseconds
+
+
+def tpch_q3_like(sf_dir: str, k: int = 10, segment: str = "BUILDING"):
+    """Composed relational analytics (the TPC-H Q3 shape): revenue of
+    not-yet-shipped BUILDING-segment orders — a three-table join +
+    aggregate + top-k that exercises J1 (broadcast dim filter), map-side
+    pre-aggregation, J3 (co-partitioned fact-fact attach) and Q2 (block-
+    pruned top-k) in ONE pipeline.
+
+    Scale shape: the filtered customer key set broadcasts (dim-table
+    assumption); lineitem revenue pre-aggregates per orderkey inside each
+    block BEFORE the exchange; orders ships only (okey, odate); the only
+    all-to-all is the co-partitioned attach on orderkey; top-k never
+    global-sorts.  Revenue is exact cents from the pinned expression
+    ``floor(price * (1 - disc) * 100 + 0.5)`` the SQL oracle replays."""
+    import pyarrow.compute as pc
+
+    from anomalydetection_ray.stages.join import copartition_attach
+    from anomalydetection_ray.stages.topk import topk
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    ckeys = set()
+    for b in cust.filter(expr=f"c_mktsegment == {segment!r}") \
+                 .iter_batches(batch_format="pyarrow"):
+        ckeys.update(b.column("c_custkey").to_pylist())
+    # tiny dim-side key set (one row per matching customer) -> broadcast
+    ckeys_arr = pa.array(sorted(ckeys), type=pa.int64())
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ord_filter(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate")
+        if isinstance(od, pa.ChunkedArray):
+            od = od.combine_chunks()
+        od_us = od.cast(pa.int64())
+        keep = pc.and_(pc.is_in(batch.column("o_custkey"),
+                                value_set=ckeys_arr),
+                       pc.less(od_us, TPCH_Q3_CUT_US))
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "o_date_us": od_us,
+        }).filter(keep)
+
+    ord_small = orders.map_batches(ord_filter, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        sd = batch.column("l_shipdate")
+        if isinstance(sd, pa.ChunkedArray):
+            sd = sd.combine_chunks()
+        keep = np.asarray(sd.cast(pa.int64())) > TPCH_Q3_CUT_US
+        price = np.asarray(batch.column("l_extendedprice"),
+                           dtype=np.float64)[keep]
+        disc = np.asarray(batch.column("l_discount"), dtype=np.float64)[keep]
+        okey = np.asarray(batch.column("l_orderkey"), dtype=np.int64)[keep]
+        cents = np.floor(price * (1.0 - disc) * 100 + 0.5).astype(np.int64)
+        t = pa.table({"l_orderkey": pa.array(okey, type=pa.int64()),
+                      "cents": pa.array(cents, type=pa.int64())})
+        g = t.group_by("l_orderkey").aggregate([("cents", "sum")])
+        return pa.table({"l_orderkey": g.column("l_orderkey"),
+                         "cents": pc.cast(g.column("cents_sum"), pa.int64())})
+
+    li_partials = li.map_batches(rev_partial, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    joined = copartition_attach(li_partials, ord_small,
+                                left_on="l_orderkey",
+                                right_on="o_orderkey",
+                                payload_cols=["o_date_us"])
+
+    def merge(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        od = group.column("o_date_us")
+        first = od[0].as_py()
+        if first is None:  # order outside segment/date window: inner join
+            return pa.table({
+                "l_orderkey": pa.array([], type=pa.int64()),
+                "revenue_cents": pa.array([], type=pa.int64()),
+                "o_date_us": pa.array([], type=pa.int64()),
+            })
+        return pa.table({
+            "l_orderkey": group.column("l_orderkey").slice(0, 1),
+            "revenue_cents": pa.array(
+                [int(pc.sum(group.column("cents")).as_py())],
+                type=pa.int64()),
+            "o_date_us": pa.array([first], type=pa.int64()),
+        })
+
+    per_order = joined.groupby("l_orderkey").map_groups(
+        merge, batch_format="pyarrow")
+    return topk(per_order, k, [("revenue_cents", "descending"),
+                               ("o_date_us", "ascending"),
+                               ("l_orderkey", "ascending")])

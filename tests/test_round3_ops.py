@@ -1342,3 +1342,40 @@ def test_last_event_matches_pandas(ray_session):
         assert got.loc[uid, "last_event_id"] == r["event_id"]
         assert got.loc[uid, "last_value"] == r["value"]
         assert got.loc[uid, "last_type"] == r["event_type"]
+
+
+# ------------------------------------------------------------ TPC-H Q3 ----
+def test_tpch_q3_like_matches_pandas(ray_session):
+    import pyarrow.parquet as pq
+
+    from anomalydetection_ray.pipelines.queries import (TPCH_Q3_CUT_US,
+                                                        tpch_q3_like)
+
+    got = tpch_q3_like(SF).to_pandas()
+    cust = pq.read_table(f"{SF}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_orderkey", "o_custkey",
+                                    "o_orderdate"]).to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey", "l_extendedprice",
+                                "l_discount", "l_shipdate"]).to_pandas()
+    ck = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    orders = orders[(orders["o_custkey"].isin(ck))
+                    & (orders["o_orderdate"].astype("int64") < TPCH_Q3_CUT_US)]
+    li = li[li["l_shipdate"].astype("int64") > TPCH_Q3_CUT_US].copy()
+    li["cents"] = np.floor(li["l_extendedprice"]
+                           * (1 - li["l_discount"]) * 100 + 0.5).astype(np.int64)
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    agg = (j.groupby(["l_orderkey"])
+            .agg(revenue_cents=("cents", "sum"),
+                 o_date_us=("o_orderdate", "first")).reset_index())
+    agg["o_date_us"] = agg["o_date_us"].astype("int64")
+    ref = agg.sort_values(["revenue_cents", "o_date_us", "l_orderkey"],
+                          ascending=[False, True, True]).head(10)
+    got = got.sort_values(["revenue_cents", "o_date_us", "l_orderkey"],
+                          ascending=[False, True, True]).reset_index(drop=True)
+    ref = ref.reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["l_orderkey", "revenue_cents", "o_date_us"]],
+        ref[["l_orderkey", "revenue_cents", "o_date_us"]], check_dtype=False)
