@@ -237,6 +237,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g8_grouping_sets": q.g8_grouping_sets,
         # M5 JSON property extraction (Arrow RE2 vs DuckDB JSON path)
         "m5_json_props": q.m5_json_props,
+        # M6 explode/unnest (list column -> one row per token)
+        "m6_unnest_tokens": q.m6_unnest_tokens,
         # TPC-H Q3 shape: 3-table join + aggregate + top-k composed
         "tpch_q3_like": q.tpch_q3_like,
         # G11 exact distributed COUNT(DISTINCT) / G12 argmax aggregate
@@ -1841,6 +1843,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(vq) AS BIGINT) AS vq_sum
             FROM base
             GROUP BY GROUPING SETS ((event_type, day), (event_type), ())
+        """,
+        # M6 unnest: the tok CTE IS the oracle-side explode
+        "m6_unnest_tokens": f"""
+            WITH {_SEQ_TOK_CTE}
+            SELECT doc_id, pos, CAST(v AS BIGINT) AS token
+            FROM tok WHERE CAST(doc_id AS BIGINT) < 5
         """,
         # TPC-H Q3 shape; revenue = the same pinned cents expression
         "tpch_q3_like": """

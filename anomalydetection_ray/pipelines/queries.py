@@ -2161,3 +2161,37 @@ def tpch_q3_like(sf_dir: str, k: int = 10, segment: str = "BUILDING"):
     return topk(per_order, k, [("revenue_cents", "descending"),
                                ("o_date_us", "ascending"),
                                ("l_orderkey", "ascending")])
+
+
+def m6_unnest_tokens(sf_dir: str, max_doc_id: int = 5):
+    """M6 — explode / unnest: the tokenized list column flattened to one
+    row per (doc, position, token) for a bounded id range (the relational
+    UNNEST).  Map-only flat_map semantics: the expansion happens inside
+    each task straight off the list array's flat child buffer —
+    offsets-to-rows by repeat/arange, zero per-row Python."""
+    from anomalydetection_ray.sources.tokenize import tokenize_batch
+
+    import ray.data
+
+    docs = (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "source", "text"])
+            .filter(expr=f"doc_id < {max_doc_id}"))
+    seqs = docs.map_batches(tokenize_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from anomalydetection_ray.stages.rollup import _flat_tokens
+
+        vals, valid, offsets = _flat_tokens(batch)
+        lens = np.diff(offsets)
+        row_of = np.repeat(np.arange(lens.shape[0], dtype=np.int64), lens)
+        pos = np.arange(vals.shape[0], dtype=np.int64) \
+            - np.repeat(offsets[:-1], lens)
+        return pa.table({
+            "doc_id": batch.column("doc_id").take(pa.array(row_of)),
+            "pos": pa.array(pos, type=pa.int64()),
+            "token": pa.array(vals.astype(np.int64), type=pa.int64()),
+        })
+
+    return seqs.map_batches(explode, batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -1379,3 +1379,24 @@ def test_tpch_q3_like_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(
         got[["l_orderkey", "revenue_cents", "o_date_us"]],
         ref[["l_orderkey", "revenue_cents", "o_date_us"]], check_dtype=False)
+
+
+# ---------------------------------------------------------------- M6 ----
+def test_unnest_tokens_matches_tokenizer(ray_session):
+    import pyarrow as pa
+
+    from anomalydetection_ray.pipelines.queries import m6_unnest_tokens
+    from anomalydetection_ray.sources.tokenize import tokenize_batch
+
+    import pyarrow.parquet as pq
+    got = m6_unnest_tokens(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "source", "text"])
+    docs = docs.filter(pa.compute.less(docs.column("doc_id"), 5))
+    toks = tokenize_batch(docs)
+    for i in range(toks.num_rows):
+        did = toks.column("doc_id")[i].as_py()
+        arr = toks.column("tokens")[i].as_py()
+        sub = got[got["doc_id"] == did].sort_values("pos")
+        assert sub["token"].tolist() == arr
+        assert sub["pos"].tolist() == list(range(len(arr)))
