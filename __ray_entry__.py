@@ -313,6 +313,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w9_running_total": wnd.w9_running_total_events,
         # W12 per-key robust location/scale (median + MAD, exact)
         "w12_robust_scale": wnd.w12_robust_scale_events,
+        # W13 per-key time-weighted average (step integral, exact)
+        "w13_time_weighted_avg": wnd.w13_time_weighted_avg_events,
         # J7 left OUTER join + aggregate (zero-fill for unmatched keys)
         "j7_left_join_agg": q.j7_left_join_agg,
         "j5_interval_stats": wnd.j5_interval_stats,
@@ -2084,6 +2086,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         # W8 time-range window: RANGE INTERVAL semantics (peers by ts all
         # count); quantized sum is exact
+        # W13 TWA: lead(ts) gaps x cents, exact int64, one division
+        "w13_time_weighted_avg": """
+            WITH base AS (
+              SELECT user_id, event_id, epoch_us(ts) AS t,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events),
+            g AS (
+              SELECT user_id, cents,
+                     COALESCE(lead(t) OVER w - t, 0) AS gap, t
+              FROM base WINDOW w AS (PARTITION BY user_id
+                                     ORDER BY t, event_id)),
+            a AS (
+              SELECT user_id, count(*) AS n,
+                     CAST(sum(cents * gap) AS BIGINT) AS num_cents_us,
+                     max(t) - min(t) AS span_us
+              FROM g GROUP BY user_id)
+            SELECT user_id, n, num_cents_us, span_us,
+                   CASE WHEN span_us = 0 THEN NULL
+                        ELSE CAST(num_cents_us AS DOUBLE)
+                             / CAST(span_us AS DOUBLE) END AS twa_cents
+            FROM a
+        """,
         # W12 robust scale: median/mad of int64-quantized value are exact
         # halves/quarters, so DuckDB's median()/mad() match bitwise
         "w12_robust_scale": """

@@ -725,3 +725,68 @@ def w12_robust_scale_events(sf_dir: str, num_partitions: int = 16):
         batch_format="pyarrow", zero_copy_batch=True)
     return tagged.groupby(PKEY).map_groups(_robust_scale_kernel,
                                            batch_format="pyarrow")
+
+
+# --------------------------------------------------------------- W13 ----
+def _twa_kernel(group: pa.Table) -> pa.Table:
+    """Per-user time-weighted average of value under step-function
+    semantics: twa = Σ cents_i·(t_{i+1}−t_i) / (t_n−t_0) over the user's
+    ts-ordered events.  All weights are exact int64 (Σ gaps telescopes to
+    the user's span, so Σ cents·gap <= max_cents·span — far inside
+    int64); the average is ONE pinned division.  Single-event / zero-span
+    users emit NULL."""
+    group = group.drop_columns([PKEY]).sort_by(
+        [("user_id", "ascending"), ("ts", "ascending"),
+         ("event_id", "ascending")])
+    n = group.num_rows
+    if n == 0:
+        return pa.table({
+            "user_id": pa.array([], type=pa.int64()),
+            "n": pa.array([], type=pa.int64()),
+            "num_cents_us": pa.array([], type=pa.int64()),
+            "span_us": pa.array([], type=pa.int64()),
+            "twa_cents": pa.array([], type=pa.float64()),
+        })
+    starts = run_starts(group, ["user_id"])
+    lens = np.diff(np.append(starts, n))
+    ts = _ts_us(group.column("ts"))
+    value = group.column("value")
+    if isinstance(value, pa.ChunkedArray):
+        value = value.combine_chunks()
+    cents = np.floor(np.asarray(value, dtype=np.float64) * 100
+                     + 0.5).astype(np.int64)
+    is_last = np.zeros(n, dtype=bool)
+    is_last[np.append(starts[1:], n) - 1] = True
+    gap = np.empty(n, dtype=np.int64)
+    gap[:-1] = ts[1:] - ts[:-1]
+    gap[-1] = 0
+    gap[is_last] = 0  # no weight after a user's final event
+    w = cents * gap
+    c = np.concatenate(([0], np.cumsum(w)))
+    ends = np.append(starts[1:], n)
+    num = c[ends] - c[starts]
+    span = ts[ends - 1] - ts[starts]
+    twa = np.zeros(starts.shape[0], dtype=np.float64)
+    mask = span == 0
+    np.divide(num, span, out=twa, where=~mask)
+    uid = np.asarray(group.column("user_id"), dtype=np.int64)
+    return pa.table({
+        "user_id": pa.array(uid[starts], type=pa.int64()),
+        "n": pa.array(lens, type=pa.int64()),
+        "num_cents_us": pa.array(num, type=pa.int64()),
+        "span_us": pa.array(span, type=pa.int64()),
+        "twa_cents": pa.array(twa, type=pa.float64(), mask=mask),
+    })
+
+
+def w13_time_weighted_avg_events(sf_dir: str, num_partitions: int = 16):
+    """W13 — per-key time-weighted average (step-function integral over
+    the event timeline), the metric that makes irregularly-sampled series
+    comparable.  Same one-exchange ``_pkey`` layout as W1–W12."""
+    ev = _read_events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby(PKEY).map_groups(_twa_kernel,
+                                           batch_format="pyarrow")

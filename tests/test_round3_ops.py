@@ -1400,3 +1400,26 @@ def test_unnest_tokens_matches_tokenizer(ray_session):
         sub = got[got["doc_id"] == did].sort_values("pos")
         assert sub["token"].tolist() == arr
         assert sub["pos"].tolist() == list(range(len(arr)))
+
+
+# --------------------------------------------------------------- W13 ----
+def test_time_weighted_avg_matches_pandas(ray_session):
+    from anomalydetection_ray.pipelines.windows import (
+        w13_time_weighted_avg_events)
+
+    got = w13_time_weighted_avg_events(SF).to_pandas().set_index("user_id")
+    ev = _events_df().sort_values(["user_id", "ts", "event_id"])
+    ev["t"] = ev["ts"].astype("int64")
+    ev["cents"] = np.floor(ev["value"] * 100 + 0.5).astype(np.int64)
+    for uid, sub in ev.groupby("user_id"):
+        t = sub["t"].to_numpy()
+        c = sub["cents"].to_numpy()
+        span = int(t[-1] - t[0])
+        num = int((c[:-1] * np.diff(t)).sum()) if len(t) > 1 else 0
+        assert got.loc[uid, "n"] == len(sub)
+        assert got.loc[uid, "num_cents_us"] == num
+        assert got.loc[uid, "span_us"] == span
+        if span == 0:
+            assert pd.isna(got.loc[uid, "twa_cents"])
+        else:
+            assert abs(got.loc[uid, "twa_cents"] - num / span) < 1e-9
