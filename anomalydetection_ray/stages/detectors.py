@@ -6,8 +6,9 @@ per-position or per-series outputs.  Registered detectors run inside a
 stateless ``map_batches`` kernel over validated sequences rows.
 
 Built-ins: A2 EWMA smoother, A3 generalized-ESD anomaly count (robust
-S-H-ESD default), A6 moving-window threshold flags, and a global robust-z
-(median/MAD) detector ``mad``.
+S-H-ESD default), A6 moving-window threshold flags, a global robust-z
+(median/MAD) detector ``mad``, A7 CUSUM change-point (``cusum``), and the
+A8 seasonal-hybrid ESD (``shesd``, per-phase-median de-seasonalize).
 
 Batch output is scalar-only per (doc, part): ``n_anomalies`` plus the
 order-insensitive position checksums ``pos_sum`` / ``pos_sumsq`` — a
