@@ -237,6 +237,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g8_grouping_sets": q.g8_grouping_sets,
         # M5 JSON property extraction (Arrow RE2 vs DuckDB JSON path)
         "m5_json_props": q.m5_json_props,
+        # M7 cross join grid / Q9 activity-gap coverage report
+        "m7_cross_join": q.m7_cross_join,
+        "q9_activity_gaps": q.q9_activity_gaps,
         # M6 explode/unnest (list column -> one row per token)
         "m6_unnest_tokens": q.m6_unnest_tokens,
         # TPC-H Q3 shape: 3-table join + aggregate + top-k composed
@@ -1845,6 +1848,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(vq) AS BIGINT) AS vq_sum
             FROM base
             GROUP BY GROUPING SETS ((event_type, day), (event_type), ())
+        """,
+        # M7 cross join / Q9 gap report
+        "m7_cross_join": """
+            SELECT CAST(n.n_nationkey AS BIGINT) AS n_nationkey, n.n_name,
+                   CAST(r.r_regionkey AS BIGINT) AS r_regionkey, r.r_name,
+                   n.n_name || '|' || r.r_name AS pair,
+                   n.n_regionkey = r.r_regionkey AS is_member
+            FROM nation n CROSS JOIN region r
+        """,
+        "q9_activity_gaps": """
+            WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+                       FROM events),
+            span AS (SELECT max(day) - min(day) + 1 AS total FROM d)
+            SELECT user_id,
+                   CAST(count(DISTINCT day) AS BIGINT) AS active_days,
+                   CAST(any_value(span.total) - count(DISTINCT day)
+                       AS BIGINT) AS gap_days
+            FROM d CROSS JOIN span GROUP BY user_id
         """,
         # M6 unnest: the tok CTE IS the oracle-side explode
         "m6_unnest_tokens": f"""

@@ -2195,3 +2195,93 @@ def m6_unnest_tokens(sf_dir: str, max_doc_id: int = 5):
 
     return seqs.map_batches(explode, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def m7_cross_join(sf_dir: str):
+    """M7 — cross join (small x small broadcast grid): every (nation,
+    region) combination with a pair label and a membership flag (whether
+    the nation actually belongs to that region).  The canonical scaffold
+    builder: the tiny side is collected once and broadcast into a
+    flat-expansion map over the other — at scale this is dim x dim, never
+    fact x anything."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+    rtbl = pa.concat_tables(list(region.iter_batches(batch_format="pyarrow")))
+    rkeys = np.asarray(rtbl.column("r_regionkey"), dtype=np.int64)
+    rnames = rtbl.column("r_name").to_pylist()
+    order = np.argsort(rkeys, kind="stable")
+    rkeys, rnames = rkeys[order], [rnames[i] for i in order]
+    R = rkeys.shape[0]
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+
+    def grid(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        row_of = np.repeat(np.arange(n, dtype=np.int64), R)
+        ridx = np.tile(np.arange(R, dtype=np.int64), n)
+        nk = np.asarray(batch.column("n_nationkey"), dtype=np.int64)[row_of]
+        nreg = np.asarray(batch.column("n_regionkey"), dtype=np.int64)[row_of]
+        nname = batch.column("n_name").take(pa.array(row_of))
+        rname = pa.array([rnames[i] for i in ridx], type=pa.string())
+        return pa.table({
+            "n_nationkey": pa.array(nk, type=pa.int64()),
+            "n_name": nname,
+            "r_regionkey": pa.array(rkeys[ridx], type=pa.int64()),
+            "r_name": rname,
+            "pair": pc.binary_join_element_wise(nname, rname, "|"),
+            "is_member": pa.array(nreg == rkeys[ridx], type=pa.bool_()),
+        })
+
+    return nation.map_batches(grid, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def q9_activity_gaps(sf_dir: str):
+    """Q9 — per-user activity-gap report: days with at least one event vs
+    the corpus' full day span (the coverage/completeness check run before
+    a timeseries model trusts its inputs).  Per-block DISTINCT (user, day)
+    pairs collapse before the exchange; the global day span is a tiny
+    separate aggregate broadcast into the final map."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        day = np.asarray(ts.cast(pa.int64())) // DAY_US
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "day": pa.array(day, type=pa.int64())})
+        return t.group_by(["user_id", "day"]).aggregate([])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    # tiny global day-span aggregate (2 ints to the driver)
+    import ray.data
+    from ray.data.aggregate import Max, Min
+
+    span = ds.map_batches(
+        lambda b: pa.table({"day": pa.array(
+            np.asarray((b.column("ts").combine_chunks()
+                        if isinstance(b.column("ts"), pa.ChunkedArray)
+                        else b.column("ts")).cast(pa.int64())) // DAY_US,
+            type=pa.int64())}),
+        batch_format="pyarrow").aggregate(Min("day"), Max("day"))
+    total_days = int(span["max(day)"]) - int(span["min(day)"]) + 1
+
+    def count(group: pa.Table) -> pa.Table:
+        d = np.asarray(group.column("day"), dtype=np.int64)
+        active = int(np.unique(d).shape[0])
+        return pa.table({
+            "user_id": group.column("user_id").slice(0, 1),
+            "active_days": pa.array([active], type=pa.int64()),
+            "gap_days": pa.array([total_days - active], type=pa.int64()),
+        })
+
+    return partials.groupby("user_id").map_groups(
+        count, batch_format="pyarrow")

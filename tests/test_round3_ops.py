@@ -1423,3 +1423,37 @@ def test_time_weighted_avg_matches_pandas(ray_session):
             assert pd.isna(got.loc[uid, "twa_cents"])
         else:
             assert abs(got.loc[uid, "twa_cents"] - num / span) < 1e-9
+
+
+# ---------------------------------------------------------- M7 / Q9 ----
+def test_cross_join_grid(ray_session):
+    import pyarrow.parquet as pq
+
+    from anomalydetection_ray.pipelines.queries import m7_cross_join
+
+    got = m7_cross_join(SF).to_pandas()
+    nation = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{SF}/region.parquet").to_pandas()
+    assert len(got) == len(nation) * len(region)
+    assert got["is_member"].sum() == len(nation)  # each nation in 1 region
+    row = got[(got["n_nationkey"] == nation.iloc[0]["n_nationkey"])
+              & (got["r_regionkey"] == nation.iloc[0]["n_regionkey"])]
+    assert bool(row.iloc[0]["is_member"])
+    assert row.iloc[0]["pair"] == \
+        nation.iloc[0]["n_name"] + "|" + \
+        region.set_index("r_regionkey").loc[
+            nation.iloc[0]["n_regionkey"], "r_name"]
+
+
+def test_activity_gaps_matches_pandas(ray_session):
+    from anomalydetection_ray.pipelines.queries import q9_activity_gaps
+
+    got = q9_activity_gaps(SF).to_pandas().set_index("user_id")
+    ev = _events_df()
+    day = ev["ts"].astype("int64") // 10**6 // 86400
+    total = int(day.max() - day.min() + 1)
+    ref = pd.DataFrame({"user_id": ev["user_id"], "day": day}) \
+        .groupby("user_id")["day"].nunique()
+    for uid, n in ref.items():
+        assert got.loc[uid, "active_days"] == n
+        assert got.loc[uid, "gap_days"] == total - n
