@@ -237,6 +237,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g8_grouping_sets": q.g8_grouping_sets,
         # M5 JSON property extraction (Arrow RE2 vs DuckDB JSON path)
         "m5_json_props": q.m5_json_props,
+        # K3 cluster assignment (predict surface, shares K1 state)
+        "kmeans_assign": km.kmeans_assign,
         # M7 cross join grid / Q9 activity-gap coverage report
         "m7_cross_join": q.m7_cross_join,
         "q9_activity_gaps": q.q9_activity_gaps,
@@ -822,7 +824,7 @@ def _esd_sql(alpha: float = 0.05, max_n: int = 1024, k_steps: int = 12,
     """
 
 
-def _kmeans_sql(k: int = 8, dim: int = 64) -> str:
+def _kmeans_sql(k: int = 8, dim: int = 64, assign_only: bool = False) -> str:
     """kmeans_train oracle: the 2-iteration fused Lloyd loop
     (pipelines/kmeans.py) unrolled in SQL.  Exactness rests on three
     pins shared with the engine: (a) the initial centroids are integral
@@ -874,8 +876,8 @@ def _kmeans_sql(k: int = 8, dim: int = 64) -> str:
                    min(cnt) AS cnt
             FROM st1 GROUP BY cid) n USING (cid)),
     asg2 AS MATERIALIZED (
-        SELECT vec_id, cid FROM (
-            SELECT q.vec_id, c.cid,
+        SELECT vec_id, cid, score FROM (
+            SELECT q.vec_id, c.cid, {fold} / c.denom AS score,
                    row_number() OVER (PARTITION BY q.vec_id
                        ORDER BY {fold} / c.denom DESC, c.cid) AS rn
             FROM eq q CROSS JOIN c2 c) WHERE rn = 1),
@@ -885,7 +887,8 @@ def _kmeans_sql(k: int = 8, dim: int = 64) -> str:
         FROM asg2 a JOIN eq q USING (vec_id)
         CROSS JOIN range(1, {dim + 1}) t(pos)
         GROUP BY a.cid, t.pos)
-    SELECT CAST(g.cid AS BIGINT) AS cid, CAST(g.pos AS BIGINT) AS pos,
+    {"SELECT vec_id, CAST(cid AS BIGINT) AS cid, score FROM asg2"
+     if assign_only else f'''SELECT CAST(g.cid AS BIGINT) AS cid, CAST(g.pos AS BIGINT) AS pos,
            COALESCE(s2.s, 0) AS coord_sum_q,
            COALESCE(s2.cnt, 0) AS n_assigned,
            CASE WHEN s2.cnt IS NULL THEN NULL
@@ -893,7 +896,7 @@ def _kmeans_sql(k: int = 8, dim: int = 64) -> str:
            END AS mean
     FROM (SELECT c.cid, t.pos
           FROM c1 c CROSS JOIN range(1, {dim + 1}) t(pos)) g
-    LEFT JOIN st2 s2 ON s2.cid = g.cid AND s2.pos = g.pos
+    LEFT JOIN st2 s2 ON s2.cid = g.cid AND s2.pos = g.pos'''}
     """
 
 
@@ -1849,6 +1852,8 @@ def oracle_sql() -> dict[str, str]:
             FROM base
             GROUP BY GROUPING SETS ((event_type, day), (event_type), ())
         """,
+        # K3 assignment: the K1 chain's asg2 rows (vec_id, cid, score)
+        "kmeans_assign": _kmeans_sql(assign_only=True),
         # M7 cross join / Q9 gap report
         "m7_cross_join": """
             SELECT CAST(n.n_nationkey AS BIGINT) AS n_nationkey, n.n_name,

@@ -175,3 +175,46 @@ def kmeans_train(sf_dir: str, k: int = K_DEFAULT, iters: int = ITERS_DEFAULT):
         "mean": pa.array(mean, type=pa.float64(), mask=empty),
     })
     return ray.data.from_arrow(out)
+
+
+def kmeans_assign(sf_dir: str, k: int = K_DEFAULT, iters: int = ITERS_DEFAULT):
+    """K3 — cluster assignment (the predict surface): per-vector cluster
+    id and its pinned assignment score under the centroid state reached
+    after ``iters - 1`` Lloyd updates — exactly the assignment K1's final
+    training pass uses, so the SQL oracle shares the unrolled CTE chain.
+    Map-only: the K x dim state broadcasts into one pass, nothing
+    shuffles, and the output streams (one row per vector)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    dim = len(pf.read_row_group(0, columns=["embedding"])
+              .column("embedding")[0].values)
+    cent = init_centroids(k, dim)
+    denom = np.ones(k, dtype=np.float64)
+    for _ in range(iters - 1):
+        cnt, s = _reduced_state(sf_dir, cent, denom)
+        live = cnt > 0
+        cent = np.where(live[:, None], s.astype(np.float64), cent)
+        denom = np.where(live, cnt.astype(np.float64), denom)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "cid": pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.float64())})
+        ids, ef = _emb_f64(batch)
+        sc = _fold_scores(ef, cent, denom)
+        cid = np.argmax(sc, axis=1)
+        return pa.table({
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "cid": pa.array(cid.astype(np.int64), type=pa.int64()),
+            "score": pa.array(sc[np.arange(len(ids)), cid],
+                              type=pa.float64()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True)

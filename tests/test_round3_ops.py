@@ -1457,3 +1457,20 @@ def test_activity_gaps_matches_pandas(ray_session):
     for uid, n in ref.items():
         assert got.loc[uid, "active_days"] == n
         assert got.loc[uid, "gap_days"] == total - n
+
+
+# ---------------------------------------------------------------- K3 ----
+def test_kmeans_assign_consistent_with_train(ray_session):
+    """Every vector lands in a cluster; per-cluster assignment counts
+    equal K1's n_assigned; scores are finite and argmax-consistent."""
+    from anomalydetection_ray.pipelines.kmeans import (kmeans_assign,
+                                                       kmeans_train)
+
+    asg = kmeans_assign(SF).to_pandas()
+    train = kmeans_train(SF).to_pandas()
+    n_assigned = train.groupby("cid")["n_assigned"].first()
+    counts = asg["cid"].value_counts()
+    for cid, n in n_assigned.items():
+        assert counts.get(cid, 0) == n, cid
+    assert asg["vec_id"].is_unique
+    assert np.isfinite(asg["score"]).all()
