@@ -331,6 +331,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d3_value_drift": q.d3_value_drift,
         # V family: corpus vocabulary build (partial counts before shuffle)
         "vocab_topk": vb.vocab_topk,
+        # V6 out-of-vocabulary rate vs the broadcast top-k vocab
+        "v6_oov_rate": vb.oov_rate_docs,
         "vocab_doc_freq": vb.vocab_doc_freq,
         "tfidf_topk": vb.tfidf_topk,
         "bigram_topk": vb.bigram_topk,
@@ -1664,6 +1666,30 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             WHERE word <> ''
             GROUP BY word ORDER BY n DESC, word ASC LIMIT 25
+        """,
+        # V6 OOV: same top-k vocab CTE, anti-membership per doc
+        "v6_oov_rate": """
+            WITH v AS (
+              SELECT word FROM (
+                SELECT unnest(string_split(text, ' ')) AS word
+                FROM documents) w
+              WHERE word <> ''
+              GROUP BY word ORDER BY count(*) DESC, word ASC LIMIT 25),
+            w AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents),
+            a AS (
+              SELECT doc_id, count(*) AS n_words,
+                     CAST(count(*) FILTER (
+                         word NOT IN (SELECT word FROM v)) AS BIGINT)
+                         AS n_oov
+              FROM w WHERE word <> '' GROUP BY doc_id)
+            SELECT d.doc_id, COALESCE(a.n_words, 0) AS n_words,
+                   COALESCE(a.n_oov, 0) AS n_oov,
+                   CASE WHEN a.n_words IS NULL OR a.n_words = 0 THEN NULL
+                        ELSE CAST(a.n_oov AS DOUBLE)
+                             / CAST(a.n_words AS DOUBLE) END AS oov_rate
+            FROM documents d LEFT JOIN a USING (doc_id)
         """,
         "vocab_doc_freq": """
             SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df

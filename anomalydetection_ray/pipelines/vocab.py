@@ -252,3 +252,50 @@ def vocab_doc_freq(sf_dir: str, min_df: int = 2):
     df = partials.groupby("word").map_groups(_sum_group("df"),
                                              batch_format="pyarrow")
     return df.filter(expr=f"df >= {int(min_df)}")
+
+
+def oov_rate_docs(sf_dir: str, vocab_k: int = 25):
+    """V6 — out-of-vocabulary rate per document against the corpus'
+    top-``vocab_k`` word table (the coverage gate run before committing
+    to a tokenizer vocabulary).  Same J1 broadcast shape as V3/V5: the
+    V1 distributed pass builds the vocab, the tiny table collects ONCE,
+    and scoring is map-only (per doc: word count, OOV count, one pinned
+    division)."""
+    import ray.data
+
+    vdf = vocab_topk(sf_dir, k=vocab_k).to_pandas()
+    vocab = pa.array(sorted(vdf["word"]), type=pa.string())
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        flat, doc_flat = _words_flat(batch)
+        oov = pc.cast(pc.invert(pc.is_in(flat, value_set=vocab)), pa.int64())
+        t = pa.table({"doc_id": doc_flat, "oov": oov})
+        g = t.group_by("doc_id").aggregate([([], "count_all"), ("oov", "sum")])
+        present = pa.table({
+            "doc_id": g.column("doc_id"),
+            "n_words": pc.cast(g.column("count_all"), pa.int64()),
+            "n_oov": pc.cast(g.column("oov_sum"), pa.int64()),
+        })
+        # zero-word docs still emit a row (rate NULL)
+        missing = batch.filter(
+            pc.invert(pc.is_in(batch.column("doc_id"),
+                               value_set=present.column("doc_id")
+                               .combine_chunks())))
+        if missing.num_rows:
+            present = pa.concat_tables([present, pa.table({
+                "doc_id": missing.column("doc_id"),
+                "n_words": pa.array([0] * missing.num_rows, type=pa.int64()),
+                "n_oov": pa.array([0] * missing.num_rows, type=pa.int64()),
+            })])
+        n = np.asarray(present.column("n_words"), dtype=np.int64)
+        o = np.asarray(present.column("n_oov"), dtype=np.int64)
+        rate = np.zeros(n.shape[0], dtype=np.float64)
+        mask = n == 0
+        np.divide(o, n, out=rate, where=~mask)
+        return present.append_column(
+            "oov_rate", pa.array(rate, type=pa.float64(), mask=mask))
+
+    return docs.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -1474,3 +1474,26 @@ def test_kmeans_assign_consistent_with_train(ray_session):
         assert counts.get(cid, 0) == n, cid
     assert asg["vec_id"].is_unique
     assert np.isfinite(asg["score"]).all()
+
+
+# ---------------------------------------------------------------- V6 ----
+def test_oov_rate_matches_python(ray_session):
+    from collections import Counter
+
+    from anomalydetection_ray.pipelines.vocab import oov_rate_docs
+
+    got = oov_rate_docs(SF).to_pandas().set_index("doc_id")
+    docs = _docs_df()
+    cnt = Counter()
+    for t in docs["text"]:
+        cnt.update(w for w in t.split(" ") if w)
+    vocab = {w for w, _ in sorted(cnt.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))[:25]}
+    for _, r in docs.head(100).iterrows():
+        ws = [w for w in r["text"].split(" ") if w]
+        oov = sum(1 for w in ws if w not in vocab)
+        row = got.loc[r["doc_id"]]
+        assert row["n_words"] == len(ws)
+        assert row["n_oov"] == oov
+        if ws:
+            assert abs(row["oov_rate"] - oov / len(ws)) < 1e-12
