@@ -229,6 +229,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A8 seasonal-hybrid ESD (per-phase-median de-seasonalize, then
         # robust ESD on the residual)
         "detect_shesd": lambda sf: _detect(sf, "shesd"),
+        # A8b the seasonal-component table the shesd detector subtracts
+        "a8_seasonal_components": q.a8_seasonal_components,
         # A9 per-series lag-k autocorrelation feature (exact int moments)
         "a9_autocorr": _a9_autocorr,
         # P4 overlapping-window chunking (map-only 1->many expansion)
@@ -320,6 +322,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w12_robust_scale": wnd.w12_robust_scale_events,
         # W13 per-key time-weighted average (step integral, exact)
         "w13_time_weighted_avg": wnd.w13_time_weighted_avg_events,
+        # W14 A6 control chart over the events table (per-user flags)
+        "w14_event_flags": wnd.w14_event_anomaly_flags,
         # J7 left OUTER join + aggregate (zero-fill for unmatched keys)
         "j7_left_join_agg": q.j7_left_join_agg,
         "j5_interval_stats": wnd.j5_interval_stats,
@@ -1213,6 +1217,16 @@ def oracle_sql() -> dict[str, str]:
         # iteration + (n-k)-keyed lambda table from the engine's own t-PPF
         "detect_esd": _esd_sql(),
         "detect_shesd": _esd_sql(season_period=24),
+        # A8b seasonal components: phase medians, exact halves
+        "a8_seasonal_components": f"""
+            WITH {_SEQ_TOK_CTE},
+            raw AS (
+              SELECT doc_id, CAST(pos // 1000000 AS BIGINT) AS part_id,
+                     pos % 1000000 AS i, CAST(v AS DOUBLE) AS x FROM tok)
+            SELECT doc_id, part_id, i % 24 AS phase,
+                   count(*) AS n, median(x) AS phase_median
+            FROM raw GROUP BY doc_id, part_id, i % 24
+        """,
         # A9 lag-k ACF: exact BIGINT moment sums (sum() of BIGINT is
         # HUGEINT in DuckDB — cast back so the final division casts a
         # correctly-rounded BIGINT, the same pinned ops as the engine);
@@ -2138,6 +2152,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         # W8 time-range window: RANGE INTERVAL semantics (peers by ts all
         # count); quantized sum is exact
+        # W14 flags: exact int window sums, then the SAME pinned float
+        # sequence the kernel takes (div, sub, clip, sqrt, compare)
+        "w14_event_flags": """
+            WITH base AS (
+              SELECT user_id, event_id, epoch_us(ts) AS t,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events),
+            f AS (
+              SELECT user_id,
+                     CAST(row_number() OVER w - 1 AS BIGINT) AS pos, cents,
+                     CAST(sum(cents) OVER (w ROWS BETWEEN 19 PRECEDING
+                         AND CURRENT ROW) AS BIGINT) AS s1,
+                     CAST(sum(cents * cents) OVER (w ROWS BETWEEN 19
+                         PRECEDING AND CURRENT ROW) AS BIGINT) AS s2
+              FROM base
+              WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+            g AS (
+              SELECT user_id, pos, cents, s1, s2,
+                     CAST(s1 AS DOUBLE) / 20 AS m
+              FROM f),
+            h AS (
+              SELECT user_id, pos,
+                     CASE WHEN pos >= 19
+                          AND abs(CAST(cents AS DOUBLE) - m)
+                              > 3.0 * sqrt(greatest(
+                                  CAST(s2 AS DOUBLE) / 20 - m * m, 0.0))
+                          THEN 1 ELSE 0 END AS flag
+              FROM g)
+            SELECT user_id, count(*) AS n,
+                   CAST(sum(flag) AS BIGINT) AS n_flags,
+                   CAST(sum(flag * pos) AS BIGINT) AS pos_sum,
+                   CAST(sum(flag * pos * pos) AS BIGINT) AS pos_sumsq
+            FROM h GROUP BY user_id
+        """,
         # W13 TWA: lead(ts) gaps x cents, exact int64, one division
         "w13_time_weighted_avg": """
             WITH base AS (

@@ -2285,3 +2285,57 @@ def q9_activity_gaps(sf_dir: str):
 
     return partials.groupby("user_id").map_groups(
         count, batch_format="pyarrow")
+
+
+def a8_seasonal_components(sf_dir: str, period: int = 24):
+    """A8b — the seasonal DECOMPOSITION surface itself: per (doc, part,
+    phase) the phase-median seasonal component the S-H-ESD detector
+    subtracts (phase = position mod period).  Map-only: a series lives
+    entirely in its row, so every phase median is block-local; the kernel
+    is ONE lexsort over the flat buffer serving all (row, phase) segments
+    (`segment_medians`).  Medians of ints are exact halves — bitwise
+    SQL-reproducible."""
+    import functools
+
+    from anomalydetection_ray.functions.stats import segment_medians
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.sources.tokenize import tokenize_batch
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source", "text"])
+    seqs = validated(docs.map_batches(tokenize_batch, batch_format="pyarrow",
+                                      zero_copy_batch=True))
+
+    def components(batch: pa.Table) -> pa.Table:
+        from anomalydetection_ray.stages.rollup import _flat_tokens
+
+        vals, valid, offsets = _flat_tokens(batch)
+        if valid is not None:
+            vals = np.where(valid, vals, 0)
+        v = vals.astype(np.float64)
+        lens = np.diff(offsets)
+        nrows = lens.shape[0]
+        row_of = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+        local = np.arange(v.shape[0], dtype=np.int64) \
+            - np.repeat(offsets[:-1], lens)
+        seg = row_of * period + (local % period)
+        nseg = nrows * period
+        counts = np.bincount(seg, minlength=nseg).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        med = segment_medians(v, seg, nseg, starts, counts)
+        live = np.flatnonzero(counts > 0)
+        out_row = live // period
+        return pa.table({
+            "doc_id": batch.column("doc_id").take(pa.array(out_row)),
+            "part_id": pc.cast(batch.column("part_id")
+                               .take(pa.array(out_row)), pa.int64()),
+            "phase": pa.array(live % period, type=pa.int64()),
+            "n": pa.array(counts[live], type=pa.int64()),
+            "phase_median": pa.array(med[live], type=pa.float64()),
+        })
+
+    return seqs.map_batches(components, batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -790,3 +790,87 @@ def w13_time_weighted_avg_events(sf_dir: str, num_partitions: int = 16):
         batch_format="pyarrow", zero_copy_batch=True)
     return tagged.groupby(PKEY).map_groups(_twa_kernel,
                                            batch_format="pyarrow")
+
+
+# --------------------------------------------------------------- W14 ----
+def _event_flags_kernel(group: pa.Table, window: int, c: float) -> pa.Table:
+    """Per-user A6 control chart over the event value series (ts order):
+    flag |cents_i - m_i| > c * s_i with m/s from the trailing ``window``
+    events' EXACT int64 cents sums (cents^2 sums stay far inside int64 at
+    any realistic per-user history), then report the order-insensitive
+    per-user flag summary the SQL window oracle reproduces bit-for-bit —
+    the docs-table A6 detector re-expressed over the events table."""
+    group = group.drop_columns([PKEY]).sort_by(
+        [("user_id", "ascending"), ("ts", "ascending"),
+         ("event_id", "ascending")])
+    n = group.num_rows
+    if n == 0:
+        return pa.table({
+            "user_id": pa.array([], type=pa.int64()),
+            "n": pa.array([], type=pa.int64()),
+            "n_flags": pa.array([], type=pa.int64()),
+            "pos_sum": pa.array([], type=pa.int64()),
+            "pos_sumsq": pa.array([], type=pa.int64()),
+        })
+    starts = run_starts(group, ["user_id"])
+    lens = np.diff(np.append(starts, n))
+    value = group.column("value")
+    if isinstance(value, pa.ChunkedArray):
+        value = value.combine_chunks()
+    cents = np.floor(np.asarray(value, dtype=np.float64) * 100
+                     + 0.5).astype(np.int64)
+    seg_of = np.repeat(np.arange(starts.shape[0], dtype=np.int64), lens)
+    local = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+    # trailing-window sums via per-user-rebased cumsums: a window never
+    # crosses a user boundary because it is clipped at local index w-1
+    c1 = np.cumsum(cents)
+    c2 = np.cumsum(cents * cents)
+    base1 = np.repeat(np.concatenate(([0], c1[starts[1:] - 1])), lens)
+    base2 = np.repeat(np.concatenate(([0], c2[starts[1:] - 1])), lens)
+    r1 = c1 - base1  # inclusive prefix within user
+    r2 = c2 - base2
+    w = window
+    eligible = local >= w - 1
+    lag = np.maximum(local - w, -1)
+    gstart = np.repeat(starts, lens)
+    l1 = np.where(lag >= 0, c1[gstart + lag] - base1, 0)
+    l2 = np.where(lag >= 0, c2[gstart + lag] - base2, 0)
+    s1 = r1 - l1
+    s2 = r2 - l2
+    m = s1 / w
+    var = s2 / w - m * m
+    np.maximum(var, 0.0, out=var)
+    sd = np.sqrt(var)
+    flags = eligible & (np.abs(cents - m) > c * sd)
+    nseg = starts.shape[0]
+    n_flags = np.zeros(nseg, dtype=np.int64)
+    pos_sum = np.zeros(nseg, dtype=np.int64)
+    pos_sumsq = np.zeros(nseg, dtype=np.int64)
+    hit = np.flatnonzero(flags)
+    np.add.at(n_flags, seg_of[hit], 1)
+    np.add.at(pos_sum, seg_of[hit], local[hit])
+    np.add.at(pos_sumsq, seg_of[hit], local[hit] * local[hit])
+    uid = np.asarray(group.column("user_id"), dtype=np.int64)
+    return pa.table({
+        "user_id": pa.array(uid[starts], type=pa.int64()),
+        "n": pa.array(lens, type=pa.int64()),
+        "n_flags": pa.array(n_flags, type=pa.int64()),
+        "pos_sum": pa.array(pos_sum, type=pa.int64()),
+        "pos_sumsq": pa.array(pos_sumsq, type=pa.int64()),
+    })
+
+
+def w14_event_anomaly_flags(sf_dir: str, window: int = 20, c: float = 3.0,
+                            num_partitions: int = 16):
+    """W14 — the A6 control-chart detector over the EVENTS table: per-user
+    trailing-window robust flags on the value series, summarized per user.
+    Same one-exchange ``_pkey`` layout; the kernel is four cumsums and a
+    gather — no per-row Python."""
+    ev = _read_events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby(PKEY).map_groups(
+        functools.partial(_event_flags_kernel, window=window, c=c),
+        batch_format="pyarrow")

@@ -1497,3 +1497,48 @@ def test_oov_rate_matches_python(ray_session):
         assert row["n_oov"] == oov
         if ws:
             assert abs(row["oov_rate"] - oov / len(ws)) < 1e-12
+
+
+# --------------------------------------------------------------- W14 ----
+def test_event_flags_match_pandas(ray_session):
+    from anomalydetection_ray.pipelines.windows import w14_event_anomaly_flags
+
+    got = w14_event_anomaly_flags(SF).to_pandas().set_index("user_id")
+    ev = _events_df().sort_values(["user_id", "ts", "event_id"])
+    ev["cents"] = np.floor(ev["value"] * 100 + 0.5).astype(np.int64)
+    w, c = 20, 3.0
+    for uid, sub in ev.groupby("user_id"):
+        x = sub["cents"].to_numpy().astype(np.float64)
+        flags = []
+        for i in range(len(x)):
+            if i < w - 1:
+                continue
+            win = x[i - w + 1: i + 1]
+            m = win.sum() / w
+            var = max((win * win).sum() / w - m * m, 0.0)
+            if abs(x[i] - m) > c * np.sqrt(var):
+                flags.append(i)
+        assert got.loc[uid, "n"] == len(x)
+        assert got.loc[uid, "n_flags"] == len(flags), uid
+        assert got.loc[uid, "pos_sum"] == sum(flags)
+
+
+# -------------------------------------------------------------- A8b ----
+def test_seasonal_components_match_numpy(ray_session):
+    from anomalydetection_ray.pipelines.queries import a8_seasonal_components
+    from anomalydetection_ray.sources.tokenize import tokenize_batch
+
+    import pyarrow.parquet as pq
+    got = a8_seasonal_components(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "source", "text"])
+    toks = tokenize_batch(docs)
+    sub = got[got["doc_id"].isin([t.as_py() for t in toks.column("doc_id")[:20]])]
+    for did in sub["doc_id"].unique()[:20]:
+        i = toks.column("doc_id").to_pylist().index(did)
+        arr = np.asarray(toks.column("tokens")[i].as_py(), dtype=np.float64)
+        rows = got[(got["doc_id"] == did) & (got["part_id"] == 0)]
+        for _, r in rows.iterrows():
+            seg = arr[int(r["phase"])::24]
+            assert r["n"] == len(seg)
+            assert r["phase_median"] == np.median(seg)
