@@ -324,6 +324,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w13_time_weighted_avg": wnd.w13_time_weighted_avg_events,
         # W14 A6 control chart over the events table (per-user flags)
         "w14_event_flags": wnd.w14_event_anomaly_flags,
+        # T8 signup-cohort 7-day purchase retention
+        "t8_cohort_retention": wnd.t8_cohort_retention,
         # J7 left OUTER join + aggregate (zero-fill for unmatched keys)
         "j7_left_join_agg": q.j7_left_join_agg,
         "j5_interval_stats": wnd.j5_interval_stats,
@@ -2152,6 +2154,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         # W8 time-range window: RANGE INTERVAL semantics (peers by ts all
         # count); quantized sum is exact
+        # T8 cohort retention: first-signup anchor + windowed EXISTS
+        "t8_cohort_retention": """
+            WITH su AS (
+              SELECT user_id,
+                     min(epoch_us(ts)) FILTER (event_type = 'signup') AS t0
+              FROM events GROUP BY user_id),
+            per_user AS (
+              SELECT s.user_id, s.t0 // 86400000000 AS cohort_day,
+                     CASE WHEN EXISTS (
+                         SELECT 1 FROM events e
+                         WHERE e.user_id = s.user_id
+                           AND e.event_type = 'purchase'
+                           AND epoch_us(e.ts) >= s.t0
+                           AND epoch_us(e.ts) <= s.t0 + 604800000000)
+                          THEN 1 ELSE 0 END AS retained
+              FROM su s WHERE s.t0 IS NOT NULL)
+            SELECT cohort_day, count(*) AS n_users,
+                   CAST(sum(retained) AS BIGINT) AS n_retained
+            FROM per_user GROUP BY cohort_day
+        """,
         # W14 flags: exact int window sums, then the SAME pinned float
         # sequence the kernel takes (div, sub, clip, sqrt, compare)
         "w14_event_flags": """

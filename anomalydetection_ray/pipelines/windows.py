@@ -874,3 +874,79 @@ def w14_event_anomaly_flags(sf_dir: str, window: int = 20, c: float = 3.0,
     return tagged.groupby(PKEY).map_groups(
         functools.partial(_event_flags_kernel, window=window, c=c),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- T8 ----
+RETAIN_US = 7 * 86_400_000_000
+
+
+def _cohort_kernel(group: pa.Table) -> pa.Table:
+    """Per-user cohort facts: signup day (first 'signup' event) and
+    whether a 'purchase' follows within the retention window.  Emits one
+    row per signed-up user; users who never signed up are skipped (they
+    belong to no cohort)."""
+    group = group.drop_columns([PKEY]).sort_by(
+        [("user_id", "ascending"), ("ts", "ascending"),
+         ("event_id", "ascending")])
+    n = group.num_rows
+    if n == 0:
+        return pa.table({
+            "user_id": pa.array([], type=pa.int64()),
+            "cohort_day": pa.array([], type=pa.int64()),
+            "retained": pa.array([], type=pa.int64()),
+        })
+    starts = run_starts(group, ["user_id"])
+    lens = np.diff(np.append(starts, n))
+    seg_of = np.repeat(np.arange(starts.shape[0], dtype=np.int64), lens)
+    ts = _ts_us(group.column("ts"))
+    et = group.column("event_type")
+    if isinstance(et, pa.ChunkedArray):
+        et = et.combine_chunks()
+    is_signup = np.asarray(pa.compute.equal(et, "signup"))
+    is_purchase = np.asarray(pa.compute.equal(et, "purchase"))
+    BIG = np.iinfo(np.int64).max
+    nseg = starts.shape[0]
+    t_signup = np.full(nseg, BIG, dtype=np.int64)
+    np.minimum.at(t_signup, seg_of[is_signup], ts[is_signup])
+    # purchase within [t_signup, t_signup + window]
+    pw = is_purchase & (ts >= t_signup[seg_of]) \
+        & (ts <= t_signup[seg_of] + RETAIN_US)
+    retained = np.zeros(nseg, dtype=np.int64)
+    retained[seg_of[np.flatnonzero(pw)]] = 1
+    uid = np.asarray(group.column("user_id"), dtype=np.int64)
+    live = t_signup != BIG
+    return pa.table({
+        "user_id": pa.array(uid[starts][live], type=pa.int64()),
+        "cohort_day": pa.array(t_signup[live] // 86_400_000_000,
+                               type=pa.int64()),
+        "retained": pa.array(retained[live], type=pa.int64()),
+    })
+
+
+def t8_cohort_retention(sf_dir: str, num_partitions: int = 16):
+    """T8 — cohort retention: per signup-day cohort, how many users made
+    a purchase within 7 days of their first signup.  Two exchanges, both
+    tiny: the per-user `_pkey` kernel emits ONE row per signed-up user,
+    then a per-cohort-day count.  The SQL oracle replays the window rule
+    with FILTERed mins + EXISTS."""
+    ev = _read_events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    per_user = tagged.groupby(PKEY).map_groups(_cohort_kernel,
+                                               batch_format="pyarrow")
+
+    def merge(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "cohort_day": group.column("cohort_day").slice(0, 1),
+            "n_users": pa.array([group.num_rows], type=pa.int64()),
+            "n_retained": pa.array(
+                [int(pc.sum(group.column("retained")).as_py())],
+                type=pa.int64()),
+        })
+
+    return per_user.groupby("cohort_day").map_groups(
+        merge, batch_format="pyarrow")

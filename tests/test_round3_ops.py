@@ -1542,3 +1542,28 @@ def test_seasonal_components_match_numpy(ray_session):
             seg = arr[int(r["phase"])::24]
             assert r["n"] == len(seg)
             assert r["phase_median"] == np.median(seg)
+
+
+# ---------------------------------------------------------------- T8 ----
+def test_cohort_retention_matches_pandas(ray_session):
+    from anomalydetection_ray.pipelines.windows import t8_cohort_retention
+
+    got = t8_cohort_retention(SF).to_pandas().set_index("cohort_day")
+    ev = _events_df()
+    ev["t"] = ev["ts"].astype("int64")
+    win = 7 * 86_400_000_000
+    rows = []
+    for uid, sub in ev.groupby("user_id"):
+        su = sub.loc[sub["event_type"] == "signup", "t"]
+        if su.empty:
+            continue
+        t0 = int(su.min())
+        pur = sub.loc[sub["event_type"] == "purchase", "t"]
+        retained = int(((pur >= t0) & (pur <= t0 + win)).any())
+        rows.append((t0 // 86_400_000_000, retained))
+    ref = pd.DataFrame(rows, columns=["cohort_day", "retained"]) \
+        .groupby("cohort_day")["retained"].agg(["size", "sum"])
+    assert len(got) == len(ref)
+    for cd, r in ref.iterrows():
+        assert got.loc[cd, "n_users"] == r["size"]
+        assert got.loc[cd, "n_retained"] == r["sum"]
