@@ -239,6 +239,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g8_grouping_sets": q.g8_grouping_sets,
         # M5 JSON property extraction (Arrow RE2 vs DuckDB JSON path)
         "m5_json_props": q.m5_json_props,
+        # K4 vector L2 norm + int8 quantization (serving prep)
+        "k4_vector_quantize": km.vector_quantize,
         # K3 cluster assignment (predict surface, shares K1 state)
         "kmeans_assign": km.kmeans_assign,
         # M7 cross join grid / Q9 activity-gap coverage report
@@ -1893,6 +1895,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(vq) AS BIGINT) AS vq_sum
             FROM base
             GROUP BY GROUPING SETS ((event_type, day), (event_type), ())
+        """,
+        # K4 quantize: exact int64 sum-of-squares, pinned sqrt/mult/div
+        "k4_vector_quantize": """
+            WITH eq AS (
+              SELECT vec_id,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                         v -> CAST(floor(v * 1048576 + 0.5) AS BIGINT)) AS q
+              FROM embeddings),
+            m AS (
+              SELECT vec_id, q,
+                     CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list_transform(q, x -> x * x)), (a, b) -> a + b)
+                         AS BIGINT) AS ssq
+              FROM eq),
+            n AS (SELECT vec_id, q, ssq,
+                         sqrt(CAST(ssq AS DOUBLE)) AS norm_q FROM m),
+            co AS (
+              SELECT vec_id, ssq, norm_q,
+                     CASE WHEN norm_q = 0 THEN NULL ELSE
+                       list_transform(q, x -> CAST(floor(
+                           127 * CAST(x AS DOUBLE) / norm_q + 0.5)
+                           AS BIGINT)) END AS codes
+              FROM n)
+            SELECT vec_id, ssq, norm_q,
+                   CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+                       (a, b) -> a + b) AS BIGINT) AS code_sum,
+                   CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(codes, x -> x * x)),
+                       (a, b) -> a + b) AS BIGINT) AS code_sumsq
+            FROM co
         """,
         # K3 assignment: the K1 chain's asg2 rows (vec_id, cid, score)
         "kmeans_assign": _kmeans_sql(assign_only=True),

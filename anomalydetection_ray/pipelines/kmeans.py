@@ -218,3 +218,47 @@ def kmeans_assign(sf_dir: str, k: int = K_DEFAULT, iters: int = ITERS_DEFAULT):
 
     return ds.map_batches(assign, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def vector_quantize(sf_dir: str):
+    """K4 — embedding serving prep: per-vector L2 norm (over the exact
+    2^20-quantized coordinates) and an int8 quantization ``code_p =
+    floor(127 * q_p / norm + 0.5)``, summarized as content-pinning
+    integer checksums.  Map-only, one pass, nothing shuffles.  Every
+    float is pinned: norm = one sqrt of an exact int64 sum-of-squares,
+    each code = one multiply + one divide + one floor — the SQL oracle
+    replays them verbatim with list_transform/list_reduce."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    def quant(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "vec_id": pa.array([], type=pa.int64()),
+                "ssq": pa.array([], type=pa.int64()),
+                "norm_q": pa.array([], type=pa.float64()),
+                "code_sum": pa.array([], type=pa.int64()),
+                "code_sumsq": pa.array([], type=pa.int64()),
+            })
+        ids, ef = _emb_f64(batch)
+        q = np.floor(ef * ESCALE + 0.5).astype(np.int64)
+        ssq = (q * q).sum(axis=1)
+        norm = np.sqrt(ssq.astype(np.float64))
+        zero = norm == 0.0
+        safe = np.where(zero, 1.0, norm)
+        codes = np.floor(127.0 * q.astype(np.float64) / safe[:, None] + 0.5) \
+            .astype(np.int64)
+        cs = codes.sum(axis=1)
+        csq = (codes * codes).sum(axis=1)
+        return pa.table({
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "ssq": pa.array(ssq, type=pa.int64()),
+            "norm_q": pa.array(norm, type=pa.float64()),
+            "code_sum": pa.array(cs, type=pa.int64(), mask=zero),
+            "code_sumsq": pa.array(csq, type=pa.int64(), mask=zero),
+        })
+
+    return ds.map_batches(quant, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -1567,3 +1567,27 @@ def test_cohort_retention_matches_pandas(ray_session):
     for cd, r in ref.iterrows():
         assert got.loc[cd, "n_users"] == r["size"]
         assert got.loc[cd, "n_retained"] == r["sum"]
+
+
+# ---------------------------------------------------------------- K4 ----
+def test_vector_quantize_matches_numpy(ray_session):
+    import pyarrow.parquet as pq
+
+    from anomalydetection_ray.pipelines.kmeans import ESCALE, vector_quantize
+
+    got = vector_quantize(SF).to_pandas().set_index("vec_id")
+    emb = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).to_pandas()
+    for _, r in emb.head(50).iterrows():
+        e = np.asarray(r["embedding"], dtype=np.float64)
+        q = np.floor(e * ESCALE + 0.5).astype(np.int64)
+        ssq = int((q * q).sum())
+        norm = np.sqrt(float(ssq))
+        row = got.loc[r["vec_id"]]
+        assert row["ssq"] == ssq
+        assert row["norm_q"] == norm
+        if norm > 0:
+            codes = np.floor(127.0 * q / norm + 0.5).astype(np.int64)
+            assert np.abs(codes).max() <= 127  # int8-representable
+            assert row["code_sum"] == codes.sum()
+            assert row["code_sumsq"] == (codes * codes).sum()
