@@ -139,6 +139,16 @@ def _a9_autocorr(sf_dir: str, lag: int = 24):
     )
 
 
+def _pagerank_dup_graph(sf_dir: str):
+    from anomalydetection_ray.pipelines.dedup import minhash_lsh_pairs
+    from anomalydetection_ray.stages.cc import integer_pagerank
+
+    pairs = minhash_lsh_pairs(sf_dir, min_est=0.2).select_columns(
+        ["doc_a", "doc_b"])
+    return integer_pagerank(pairs, "doc_a", "doc_b", iters=3,
+                            num_partitions=8)
+
+
 def _p4_chunk_docs(sf_dir: str):
     from anomalydetection_ray.pipelines.packing import chunk_docs
 
@@ -261,6 +271,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w11_funnel": q.w11_funnel,
         # D6 Levenshtein prefix verify over MinHash candidate pairs
         "dedup_levenshtein_pairs": dd.levenshtein_pairs,
+        # X5 integer PageRank over the dup-pair graph
+        "pagerank_dup_graph": _pagerank_dup_graph,
         # D5 set ops: INTERSECT / EXCEPT between derived key sets
         "d5_set_ops": q.d5_set_ops,
         # S8 schema-evolution union read (v1 layout + v2 with added col)
@@ -2042,6 +2054,32 @@ def oracle_sql() -> dict[str, str]:
                                   THEN 2
                              ELSE 3 END AS BIGINT) AS stage
             FROM f
+        """,
+        # X5 PageRank: 3 unrolled integer iterations (floor-div shares)
+        "pagerank_dup_graph": f"""
+            WITH {_minhash_cte(0.2)},
+            e AS (SELECT doc_a AS s, doc_b AS d FROM mh_pairs
+                  UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
+            deg AS (SELECT s AS v, count(*) AS deg FROM e GROUP BY s),
+            r0 AS (SELECT v, deg, CAST(1000000 AS BIGINT) AS r FROM deg),
+            s1 AS (SELECT e.d AS v, CAST(sum(r0.r // r0.deg) AS BIGINT) AS t
+                   FROM e JOIN r0 ON r0.v = e.s GROUP BY e.d),
+            r1 AS (SELECT deg.v, deg.deg,
+                          150000 + (85 * s1.t) // 100 AS r
+                   FROM deg JOIN s1 ON s1.v = deg.v),
+            s2 AS (SELECT e.d AS v, CAST(sum(r1.r // r1.deg) AS BIGINT) AS t
+                   FROM e JOIN r1 ON r1.v = e.s GROUP BY e.d),
+            r2 AS (SELECT deg.v, deg.deg,
+                          150000 + (85 * s2.t) // 100 AS r
+                   FROM deg JOIN s2 ON s2.v = deg.v),
+            s3 AS (SELECT e.d AS v, CAST(sum(r2.r // r2.deg) AS BIGINT) AS t
+                   FROM e JOIN r2 ON r2.v = e.s GROUP BY e.d),
+            r3 AS (SELECT deg.v, deg.deg,
+                          150000 + (85 * s3.t) // 100 AS r
+                   FROM deg JOIN s3 ON s3.v = deg.v)
+            SELECT v AS doc_id, CAST(deg AS BIGINT) AS deg,
+                   CAST(r AS BIGINT) AS rank_q
+            FROM r3
         """,
         # D6 Levenshtein: DuckDB's built-in levenshtein() vs the engine's
         # pairs-vectorized DP, over the same MinHash candidate set

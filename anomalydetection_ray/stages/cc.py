@@ -121,3 +121,125 @@ def min_label_components(pairs_ds, a_col: str, b_col: str,
         return pa.table({"doc_id": b.column("v"), "cluster": b.column("label")})
 
     return labels.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------- X5 ----
+PR_SCALE = 1_000_000  # integer rank units
+PR_BASE = (15 * PR_SCALE) // 100  # (1 - d) * SCALE with d = 0.85
+
+
+def _sum_per_key(ds, key: str, val: str, num_partitions: int):
+    """sum(val) per key, partition-granular (one exchange, vectorized
+    sort + cumsum-difference kernel)."""
+    import functools
+
+    from anomalydetection_ray.stages.runs import (PKEY, add_partition_key,
+                                                  run_starts)
+
+    def per_partition(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({key: pa.array([], type=pa.int64()),
+                             val: pa.array([], type=pa.int64())})
+        batch = batch.drop_columns([PKEY]).sort_by([(key, "ascending")])
+        starts = run_starts(batch, [key])
+        v = np.asarray(batch.column(val), dtype=np.int64)
+        c = np.concatenate(([0], np.cumsum(v)))
+        ends = np.append(starts[1:], batch.num_rows)
+        return pa.table({
+            key: batch.column(key).take(pa.array(starts)),
+            val: pa.array(c[ends] - c[starts], type=pa.int64()),
+        })
+
+    tagged = ds.map_batches(
+        functools.partial(add_partition_key, keys=[key],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby(PKEY).map_groups(per_partition,
+                                           batch_format="pyarrow")
+
+
+def integer_pagerank(pairs_ds, a_col: str, b_col: str, iters: int = 3,
+                     num_partitions: int = 8):
+    """X5 — PageRank over an undirected pair graph in DETERMINISTIC
+    INTEGER arithmetic: ranks live in ``PR_SCALE`` units, each node sends
+    ``r // deg`` to every neighbor (floor division — reproducible), and
+    the update is ``r' = PR_BASE + (85 * Σ in) // 100``.  Exact integer
+    sums make the result independent of block order and bit-identical to
+    an unrolled SQL iteration — the same pinning device the k-means and
+    tier2 kernels use, applied to the classic iterative graph algorithm.
+
+    TWO exchanges per iteration, no rank-state join: the per-destination
+    sum that accumulates contributions ALSO sums a constant-1 column,
+    and in an undirected graph in-degree == degree — so each round's
+    output row (v, Σq, deg) is the complete state for the next round's
+    share computation.  The driver never holds ranks."""
+    from anomalydetection_ray.stages.join import copartition_attach
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column(a_col)
+        b = batch.column(b_col)
+        return pa.table({"src": pa.chunked_array([a, b]).combine_chunks(),
+                         "dst": pa.chunked_array([b, a]).combine_chunks()})
+
+    edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow",
+                                 zero_copy_batch=True).materialize()
+
+    # bootstrap state (v, deg, r=SCALE): one degree-count exchange
+    ones = edges.map_batches(
+        lambda b: pa.table({"v": b.column("src"),
+                            "n": pa.array(np.ones(b.num_rows, np.int64))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    state = _sum_per_key(ones, "v", "n", num_partitions).map_batches(
+        lambda b: pa.table({
+            "v": b.column("v"), "deg": b.column("n"),
+            "r": pa.array(np.full(b.num_rows, PR_SCALE, np.int64))}),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        def share(b: pa.Table) -> pa.Table:
+            r = np.asarray(b.column("r"), dtype=np.int64)
+            d = np.asarray(b.column("deg"), dtype=np.int64)
+            return pa.table({"doc_id": b.column("v"),
+                             "q": pa.array(r // d, type=pa.int64())})
+
+        with_q = copartition_attach(
+            edges, state.map_batches(share, batch_format="pyarrow"),
+            left_on="src", right_on="doc_id", payload_cols=["q"],
+            num_partitions=num_partitions)
+
+        def per_partition_sum(batch: pa.Table) -> pa.Table:
+            from anomalydetection_ray.stages.runs import PKEY, run_starts
+
+            if batch.num_rows == 0:
+                return pa.table({"v": pa.array([], type=pa.int64()),
+                                 "deg": pa.array([], type=pa.int64()),
+                                 "r": pa.array([], type=pa.int64())})
+            batch = batch.drop_columns([PKEY]).sort_by([("dst", "ascending")])
+            starts = run_starts(batch, ["dst"])
+            q = np.asarray(batch.column("q"), dtype=np.int64)
+            c = np.concatenate(([0], np.cumsum(q)))
+            ends = np.append(starts[1:], batch.num_rows)
+            t = c[ends] - c[starts]
+            deg = ends - starts  # in-degree == degree (undirected)
+            return pa.table({
+                "v": batch.column("dst").take(pa.array(starts)),
+                "deg": pa.array(deg, type=pa.int64()),
+                "r": pa.array(PR_BASE + (85 * t) // 100, type=pa.int64()),
+            })
+
+        import functools
+
+        from anomalydetection_ray.stages.runs import PKEY, add_partition_key
+
+        tagged = with_q.map_batches(
+            functools.partial(add_partition_key, keys=["dst"],
+                              num_partitions=num_partitions),
+            batch_format="pyarrow", zero_copy_batch=True)
+        state = tagged.groupby(PKEY).map_groups(
+            per_partition_sum, batch_format="pyarrow").materialize()
+
+    return state.map_batches(
+        lambda b: pa.table({"doc_id": b.column("v"),
+                            "deg": b.column("deg"),
+                            "rank_q": b.column("r")}),
+        batch_format="pyarrow")

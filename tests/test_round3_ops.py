@@ -1591,3 +1591,39 @@ def test_vector_quantize_matches_numpy(ray_session):
             assert np.abs(codes).max() <= 127  # int8-representable
             assert row["code_sum"] == codes.sum()
             assert row["code_sumsq"] == (codes * codes).sum()
+
+
+# ---------------------------------------------------------------- X5 ----
+def test_integer_pagerank_matches_python(ray_session):
+    import ray.data
+
+    from anomalydetection_ray.stages.cc import (PR_BASE, PR_SCALE,
+                                                integer_pagerank)
+
+    import pyarrow as pa
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (5, 6)]
+    ds = ray.data.from_arrow(pa.table({
+        "a": pa.array([p[0] for p in pairs], type=pa.int64()),
+        "b": pa.array([p[1] for p in pairs], type=pa.int64()),
+    }))
+    got = integer_pagerank(ds, "a", "b", iters=3, num_partitions=4) \
+        .to_pandas().set_index("doc_id")
+
+    from collections import defaultdict
+    adj = defaultdict(list)
+    for a, b in pairs:
+        adj[a].append(b)
+        adj[b].append(a)
+    r = {v: PR_SCALE for v in adj}
+    for _ in range(3):
+        s = defaultdict(int)
+        for v, nbrs in adj.items():
+            q = r[v] // len(nbrs)
+            for u in nbrs:
+                s[u] += q
+        r = {v: PR_BASE + (85 * s[v]) // 100 for v in adj}
+    for v in adj:
+        assert got.loc[v, "deg"] == len(adj[v])
+        assert got.loc[v, "rank_q"] == r[v], v
+    # degree-3 hub outranks leaves
+    assert got.loc[3, "rank_q"] > got.loc[4, "rank_q"]
