@@ -253,6 +253,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k4_vector_quantize": km.vector_quantize,
         # K3 cluster assignment (predict surface, shares K1 state)
         "kmeans_assign": km.kmeans_assign,
+        # U1 upsert / MERGE INTO (last-writer-wins CDC compaction)
+        "u1_upsert_merge": q.u1_upsert_merge,
         # M7 cross join grid / Q9 activity-gap coverage report
         "m7_cross_join": q.m7_cross_join,
         "q9_activity_gaps": q.q9_activity_gaps,
@@ -1940,6 +1942,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         # K3 assignment: the K1 chain's asg2 rows (vec_id, cid, score)
         "kmeans_assign": _kmeans_sql(assign_only=True),
+        # U1 upsert: union base + derived updates, row_number argmax
+        "u1_upsert_merge": """
+            WITH base AS (
+              SELECT event_id, epoch_us(ts) AS ts_us, user_id, value,
+                     false AS is_update
+              FROM events),
+            upd AS (
+              SELECT event_id, epoch_us(ts) + 86400000000 AS ts_us,
+                     user_id, value + 1000.0 AS value, true AS is_update
+              FROM events WHERE event_id % 7 = 0),
+            u AS (SELECT * FROM base UNION ALL SELECT * FROM upd)
+            SELECT event_id, ts_us, user_id, value, is_update
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY event_id
+                      ORDER BY ts_us DESC, is_update DESC) AS rk
+                  FROM u)
+            WHERE rk = 1
+        """,
         # M7 cross join / Q9 gap report
         "m7_cross_join": """
             SELECT CAST(n.n_nationkey AS BIGINT) AS n_nationkey, n.n_name,

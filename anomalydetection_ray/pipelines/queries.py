@@ -2339,3 +2339,66 @@ def a8_seasonal_components(sf_dir: str, period: int = 24):
 
     return seqs.map_batches(components, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def u1_upsert_merge(sf_dir: str):
+    """U1 — upsert / MERGE INTO (last-writer-wins): a derived updates
+    stream (every 7th event re-priced and time-bumped one day — a
+    deterministic rule the oracle replays) merges into the base events
+    table; for each event_id the row with the latest (ts, is_update)
+    wins.  The G12 argmax discipline: per-block one candidate row per
+    key, one exchange, final re-argmax — at scale this is the standard
+    CDC-compaction plan (never a full sort)."""
+    import pyarrow.compute as pc
+
+    DAY_US = 86_400_000_000
+    base = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def to_typed(batch: pa.Table, is_update: bool) -> pa.Table:
+        ts = batch.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        ts_us = np.asarray(ts.cast(pa.int64()))
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        eid = np.asarray(batch.column("event_id"), dtype=np.int64)
+        if is_update:
+            keep = eid % 7 == 0
+            eid, ts_us, v = eid[keep], ts_us[keep] + DAY_US, v[keep] + 1000.0
+            uid = np.asarray(batch.column("user_id"), dtype=np.int64)[keep]
+        else:
+            uid = np.asarray(batch.column("user_id"), dtype=np.int64)
+        return pa.table({
+            "event_id": pa.array(eid, type=pa.int64()),
+            "ts_us": pa.array(ts_us, type=pa.int64()),
+            "user_id": pa.array(uid, type=pa.int64()),
+            "value": pa.array(v, type=pa.float64()),
+            "is_update": pa.array(np.full(len(eid), is_update), pa.bool_()),
+        })
+
+    base_t = base.map_batches(lambda b: to_typed(b, False),
+                              batch_format="pyarrow", zero_copy_batch=True)
+    updates = base.map_batches(lambda b: to_typed(b, True),
+                               batch_format="pyarrow", zero_copy_batch=True)
+    both = base_t.union(updates)
+
+    def local_argmax(batch: pa.Table) -> pa.Table:
+        from anomalydetection_ray.stages.runs import run_starts
+
+        if batch.num_rows == 0:
+            return batch
+        t = batch.sort_by([("event_id", "ascending"), ("ts_us", "ascending"),
+                           ("is_update", "ascending")])
+        starts = run_starts(t, ["event_id"])
+        last = np.append(starts[1:], t.num_rows) - 1
+        return t.take(pa.array(last))
+
+    partials = both.map_batches(local_argmax, batch_format="pyarrow")
+
+    def merge(group: pa.Table) -> pa.Table:
+        ts = np.asarray(group.column("ts_us"), dtype=np.int64)
+        upd = np.asarray(group.column("is_update")).astype(np.int64)
+        i = int(np.lexsort((upd, ts))[-1])
+        return group.slice(i, 1)
+
+    return partials.groupby("event_id").map_groups(
+        merge, batch_format="pyarrow")

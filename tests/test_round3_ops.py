@@ -1627,3 +1627,22 @@ def test_integer_pagerank_matches_python(ray_session):
         assert got.loc[v, "rank_q"] == r[v], v
     # degree-3 hub outranks leaves
     assert got.loc[3, "rank_q"] > got.loc[4, "rank_q"]
+
+
+# ---------------------------------------------------------------- U1 ----
+def test_upsert_merge_last_writer_wins(ray_session):
+    from anomalydetection_ray.pipelines.queries import u1_upsert_merge
+
+    got = u1_upsert_merge(SF).to_pandas().set_index("event_id")
+    ev = _events_df()
+    assert len(got) == len(ev)  # merge never changes cardinality
+    upd = ev["event_id"] % 7 == 0
+    for _, r in ev.head(300).iterrows():
+        row = got.loc[r["event_id"]]
+        if r["event_id"] % 7 == 0:
+            assert bool(row["is_update"])
+            assert abs(row["value"] - (r["value"] + 1000.0)) < 1e-9
+        else:
+            assert not bool(row["is_update"])
+            assert row["value"] == r["value"]
+    assert got["is_update"].sum() == int(upd.sum())
