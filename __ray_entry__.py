@@ -253,6 +253,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k4_vector_quantize": km.vector_quantize,
         # K3 cluster assignment (predict surface, shares K1 state)
         "kmeans_assign": km.kmeans_assign,
+        # G13 per-source Gini coefficient of doc lengths
+        "g13_gini_nchars": q.g13_gini_nchars,
         # U1 upsert / MERGE INTO (last-writer-wins CDC compaction)
         "u1_upsert_merge": q.u1_upsert_merge,
         # M7 cross join grid / Q9 activity-gap coverage report
@@ -1942,6 +1944,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         # K3 assignment: the K1 chain's asg2 rows (vec_id, cid, score)
         "kmeans_assign": _kmeans_sql(assign_only=True),
+        # G13 Gini: exact int numerator/denominator, one division
+        "g13_gini_nchars": """
+            WITH r AS (
+              SELECT source, n_chars,
+                     row_number() OVER (PARTITION BY source
+                         ORDER BY n_chars, doc_id) AS i,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM documents)
+            SELECT source, CAST(any_value(n) AS BIGINT) AS n_docs,
+                   CAST(sum((2 * i - n - 1) * n_chars) AS BIGINT)
+                       AS gini_num,
+                   CAST(any_value(n) * sum(n_chars) AS BIGINT) AS gini_den,
+                   CASE WHEN any_value(n) * sum(n_chars) = 0 THEN NULL
+                        ELSE CAST(sum((2 * i - n - 1) * n_chars) AS DOUBLE)
+                             / CAST(any_value(n) * sum(n_chars) AS DOUBLE)
+                        END AS gini
+            FROM r GROUP BY source
+        """,
         # U1 upsert: union base + derived updates, row_number argmax
         "u1_upsert_merge": """
             WITH base AS (

@@ -2402,3 +2402,33 @@ def u1_upsert_merge(sf_dir: str):
 
     return partials.groupby("event_id").map_groups(
         merge, batch_format="pyarrow")
+
+
+def g13_gini_nchars(sf_dir: str):
+    """G13 — per-source Gini coefficient of document lengths (the
+    inequality statistic a curator reads to spot skewed sources):
+    G = Σ_i (2i − n − 1)·x_(i) / (n · Σx) over the ascending-sorted
+    lengths, ties broken by doc_id for a deterministic total order.
+    Numerator and denominator are exact int64 (weights are ±n-bounded
+    ints), the coefficient is ONE pinned division.  One `_pkey`-style
+    exchange keyed on source; the kernel is a sort + one weighted dot."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def per_source(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("n_chars", "ascending"), ("doc_id", "ascending")])
+        x = np.asarray(t.column("n_chars"), dtype=np.int64)
+        n = x.shape[0]
+        i = np.arange(1, n + 1, dtype=np.int64)
+        num = int(((2 * i - n - 1) * x).sum())
+        den = n * int(x.sum())
+        gini = None if den == 0 else float(num) / float(den)
+        return pa.table({
+            "source": t.column("source").slice(0, 1),
+            "n_docs": pa.array([n], type=pa.int64()),
+            "gini_num": pa.array([num], type=pa.int64()),
+            "gini_den": pa.array([den], type=pa.int64()),
+            "gini": pa.array([gini], type=pa.float64()),
+        })
+
+    return ds.groupby("source").map_groups(per_source,
+                                           batch_format="pyarrow")

@@ -1646,3 +1646,26 @@ def test_upsert_merge_last_writer_wins(ray_session):
             assert not bool(row["is_update"])
             assert row["value"] == r["value"]
     assert got["is_update"].sum() == int(upd.sum())
+
+
+# --------------------------------------------------------------- G13 ----
+def test_gini_matches_reference(ray_session):
+    from anomalydetection_ray.pipelines.queries import g13_gini_nchars
+
+    got = g13_gini_nchars(SF).to_pandas().set_index("source")
+    docs = _docs_df_with_nchars()
+    for src, sub in docs.groupby("source"):
+        x = np.sort(sub["n_chars"].to_numpy().astype(np.int64))
+        n = len(x)
+        i = np.arange(1, n + 1)
+        ref = ((2 * i - n - 1) * x).sum() / (n * x.sum())
+        assert got.loc[src, "n_docs"] == n
+        assert abs(got.loc[src, "gini"] - ref) < 1e-12
+        assert 0.0 <= got.loc[src, "gini"] < 1.0
+
+
+def _docs_df_with_nchars() -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "source", "n_chars"]).to_pandas()
