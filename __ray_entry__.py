@@ -253,6 +253,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k4_vector_quantize": km.vector_quantize,
         # K3 cluster assignment (predict surface, shares K1 state)
         "kmeans_assign": km.kmeans_assign,
+        # S9 malformed-row quarantine (side-output error channel)
+        "s9_quarantine": q.s9_quarantine,
         # G13 per-source Gini coefficient of doc lengths
         "g13_gini_nchars": q.g13_gini_nchars,
         # U1 upsert / MERGE INTO (last-writer-wins CDC compaction)
@@ -1944,6 +1946,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         # K3 assignment: the K1 chain's asg2 rows (vec_id, cid, score)
         "kmeans_assign": _kmeans_sql(assign_only=True),
+        # S9 quarantine: oracle routes by the INJECTION rule, the engine
+        # by the invariant check — they agree iff the invariant catches
+        # exactly the injected rows
+        "s9_quarantine": """
+            SELECT source,
+                   CASE WHEN doc_id % 13 = 0 THEN 'quarantined'
+                        ELSE 'ok' END AS channel,
+                   count(*) AS n_rows,
+                   CAST(sum(CASE WHEN doc_id % 13 = 0
+                            THEN length(substr(text, 1, 10))
+                            ELSE CAST(n_chars AS BIGINT) END) AS BIGINT)
+                       AS chars_sum
+            FROM documents GROUP BY source, channel
+        """,
         # G13 Gini: exact int numerator/denominator, one division
         "g13_gini_nchars": """
             WITH r AS (

@@ -2432,3 +2432,88 @@ def g13_gini_nchars(sf_dir: str):
 
     return ds.groupby("source").map_groups(per_source,
                                            batch_format="pyarrow")
+
+
+def s9_quarantine(sf_dir: str):
+    """S9 — malformed-row quarantine (the error side-channel every
+    production ingest needs): a corrupted copy of the corpus (every 13th
+    doc's text truncated — deterministic injection the oracle replays) is
+    read back and ROUTED BY INVARIANT CHECK (`n_chars == length(text)`),
+    never by the injection rule: intact rows flow to the clean channel,
+    violating rows to quarantine, both summarized per (source, channel).
+    The check passing proves the invariant catches exactly the injected
+    corruption — the engine and oracle arrive at the same rows by
+    independent routes."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    out = tempfile.mkdtemp(prefix="anomray_quar_")
+    try:
+        docs = _read(sf_dir, "documents",
+                     ["doc_id", "source", "n_chars", "text"])
+
+        def corrupt(batch: pa.Table) -> pa.Table:
+            ids = pc.cast(batch.column("doc_id"), pa.int64())
+            text = batch.column("text")
+            if isinstance(text, pa.ChunkedArray):
+                text = text.combine_chunks()
+            bad_np = np.asarray(ids) % 13 == 0
+            trunc = pc.utf8_slice_codeunits(text, 0, 10)
+            new_text = pc.if_else(pa.array(bad_np), trunc, text)
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+                "n_chars": batch.column("n_chars"),
+                "text": new_text,
+            })
+
+        docs.map_batches(corrupt, batch_format="pyarrow",
+                         zero_copy_batch=True).write_parquet(out)
+        back = ray.data.read_parquet(out)
+
+        def route(batch: pa.Table) -> pa.Table:
+            text = batch.column("text")
+            if isinstance(text, pa.ChunkedArray):
+                text = text.combine_chunks()
+            ln = pc.cast(pc.utf8_length(text), pa.int64())
+            ok = pc.equal(ln, pc.cast(batch.column("n_chars"), pa.int64()))
+            t = pa.table({
+                "source": batch.column("source"),
+                "channel": pc.if_else(ok, pa.scalar("ok"),
+                                      pa.scalar("quarantined")),
+                "chars": ln,
+            })
+            g = t.group_by(["source", "channel"]).aggregate(
+                [([], "count_all"), ("chars", "sum")])
+            return pa.table({
+                "source": g.column("source"),
+                "channel": g.column("channel"),
+                "n_rows": pc.cast(g.column("count_all"), pa.int64()),
+                "chars_sum": pc.cast(g.column("chars_sum"), pa.int64()),
+            })
+
+        partials = back.map_batches(route, batch_format="pyarrow")
+
+        def merge(group: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.table({
+                "source": group.column("source").slice(0, 1),
+                "channel": group.column("channel").slice(0, 1),
+                "n_rows": pa.array(
+                    [int(pc.sum(group.column("n_rows")).as_py())],
+                    type=pa.int64()),
+                "chars_sum": pa.array(
+                    [int(pc.sum(group.column("chars_sum")).as_py())],
+                    type=pa.int64()),
+            })
+
+        res = partials.groupby(["source", "channel"]).map_groups(
+            merge, batch_format="pyarrow")
+        return ray.data.from_arrow(pa.concat_tables(
+            list(res.iter_batches(batch_format="pyarrow"))))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -1669,3 +1669,21 @@ def _docs_df_with_nchars() -> pd.DataFrame:
 
     return pq.read_table(f"{SF}/documents.parquet",
                          columns=["doc_id", "source", "n_chars"]).to_pandas()
+
+
+# ---------------------------------------------------------------- S9 ----
+def test_quarantine_routes_by_invariant(ray_session):
+    from anomalydetection_ray.pipelines.queries import s9_quarantine
+
+    got = s9_quarantine(SF).to_pandas()
+    docs = _docs_df_with_nchars()
+    bad = docs["doc_id"] % 13 == 0
+    q = got[got["channel"] == "quarantined"]
+    ok = got[got["channel"] == "ok"]
+    assert q["n_rows"].sum() == int(bad.sum())
+    assert ok["n_rows"].sum() == int((~bad).sum())
+    # quarantined chars are the truncated lengths (all texts > 10 chars)
+    assert (q["chars_sum"] == q["n_rows"] * 10).all()
+    ref_ok = docs[~bad].groupby("source")["n_chars"].sum()
+    for src, s_ in ref_ok.items():
+        assert ok.set_index("source").loc[src, "chars_sum"] == s_
