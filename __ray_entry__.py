@@ -253,6 +253,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k4_vector_quantize": km.vector_quantize,
         # K3 cluster assignment (predict surface, shares K1 state)
         "kmeans_assign": km.kmeans_assign,
+        # G14 per-group skewness (exact raw moments, pinned float tail)
+        "g14_skewness": q.g14_skewness,
         # S9 malformed-row quarantine (side-output error channel)
         "s9_quarantine": q.s9_quarantine,
         # G13 per-source Gini coefficient of doc lengths
@@ -1946,6 +1948,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         # K3 assignment: the K1 chain's asg2 rows (vec_id, cid, score)
         "kmeans_assign": _kmeans_sql(assign_only=True),
+        # G14 skewness: bigint raw moments, same four pinned float ops
+        "g14_skewness": """
+            WITH base AS (
+              SELECT event_type,
+                     CAST(json_extract(props, '$.k') AS BIGINT) AS x
+              FROM events),
+            m AS (
+              SELECT event_type, count(*) AS n,
+                     CAST(sum(x) AS BIGINT) AS s1,
+                     CAST(sum(x * x) AS BIGINT) AS s2,
+                     CAST(sum(x * x * x) AS BIGINT) AS s3
+              FROM base GROUP BY event_type),
+            c AS (
+              SELECT event_type, n,
+                     n * s2 - s1 * s1 AS m2,
+                     n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS m3
+              FROM m)
+            SELECT event_type, n, m2 AS m2_scaled, m3 AS m3_scaled,
+                   CASE WHEN m2 <= 0 THEN NULL
+                        ELSE CAST(m3 AS DOUBLE)
+                             / (CAST(m2 AS DOUBLE)
+                                * sqrt(CAST(m2 AS DOUBLE))) END AS skewness
+            FROM c
+        """,
         # S9 quarantine: oracle routes by the INJECTION rule, the engine
         # by the invariant check — they agree iff the invariant catches
         # exactly the injected rows

@@ -2517,3 +2517,64 @@ def s9_quarantine(sf_dir: str):
             list(res.iter_batches(batch_format="pyarrow"))))
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def g14_skewness(sf_dir: str):
+    """G14 — per-group skewness of the JSON ``k`` property (population
+    skew g1 = m3 / m2^{3/2} over the n-scaled central moments
+    m2 = n·Σx² − (Σx)² and m3 = n²·Σx³ − 3n·Σx·Σx² + 2(Σx)³, whose n
+    powers cancel exactly in the ratio).  Per-block
+    partials carry (n, Σx, Σx², Σx³); the combination is bigint per group
+    and the statistic four pinned float ops."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        props = batch.column("props")
+        if isinstance(props, pa.ChunkedArray):
+            props = props.combine_chunks()
+        m = pc.extract_regex(props, r'"k":\s*(?P<k>-?\d+)')
+        x = np.asarray(pc.cast(pc.struct_field(m, "k"), pa.int64()))
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "x": pa.array(x, type=pa.int64()),
+            "x2": pa.array(x * x, type=pa.int64()),
+            "x3": pa.array(x * x * x, type=pa.int64()),
+        })
+        g = t.group_by("event_type").aggregate(
+            [([], "count_all"), ("x", "sum"), ("x2", "sum"), ("x3", "sum")])
+        return pa.table({
+            "event_type": g.column("event_type"),
+            "n": pc.cast(g.column("count_all"), pa.int64()),
+            "s1": pc.cast(g.column("x_sum"), pa.int64()),
+            "s2": pc.cast(g.column("x2_sum"), pa.int64()),
+            "s3": pc.cast(g.column("x3_sum"), pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def skew(group: pa.Table) -> pa.Table:
+        import math
+
+        import pyarrow.compute as pc
+
+        n = int(pc.sum(group.column("n")).as_py())
+        s1 = int(pc.sum(group.column("s1")).as_py())
+        s2 = int(pc.sum(group.column("s2")).as_py())
+        s3 = int(pc.sum(group.column("s3")).as_py())
+        m2 = n * s2 - s1 * s1
+        m3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1
+        g1 = None if m2 <= 0 else \
+            float(m3) / (float(m2) * math.sqrt(float(m2)))
+        return pa.table({
+            "event_type": group.column("event_type").slice(0, 1),
+            "n": pa.array([n], type=pa.int64()),
+            "m2_scaled": pa.array([m2], type=pa.int64()),
+            "m3_scaled": pa.array([m3], type=pa.int64()),
+            "skewness": pa.array([g1], type=pa.float64()),
+        })
+
+    return partials.groupby("event_type").map_groups(
+        skew, batch_format="pyarrow")

@@ -1687,3 +1687,21 @@ def test_quarantine_routes_by_invariant(ray_session):
     ref_ok = docs[~bad].groupby("source")["n_chars"].sum()
     for src, s_ in ref_ok.items():
         assert ok.set_index("source").loc[src, "chars_sum"] == s_
+
+
+# --------------------------------------------------------------- G14 ----
+def test_skewness_matches_scipy_formula(ray_session):
+    import json
+
+    from anomalydetection_ray.pipelines.queries import g14_skewness
+
+    got = g14_skewness(SF).to_pandas().set_index("event_type")
+    ev = _events_df_with_props()
+    x = ev["props"].map(lambda s: json.loads(s)["k"]).astype(np.float64)
+    df = pd.DataFrame({"event_type": ev["event_type"], "x": x})
+    for et, sub in df.groupby("event_type"):
+        v = sub["x"].to_numpy()
+        m = v.mean()
+        ref = ((v - m) ** 3).mean() / (((v - m) ** 2).mean() ** 1.5)
+        assert abs(got.loc[et, "skewness"] - ref) < 1e-9, et
+        assert got.loc[et, "n"] == len(v)
