@@ -361,6 +361,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": vb.vocab_topk,
         # V6 out-of-vocabulary rate vs the broadcast top-k vocab
         "v6_oov_rate": vb.oov_rate_docs,
+        # V7 per-source lexical richness (types, hapax legomena)
+        "v7_lexical_richness": vb.lexical_richness,
         "vocab_doc_freq": vb.vocab_doc_freq,
         "tfidf_topk": vb.tfidf_topk,
         "bigram_topk": vb.bigram_topk,
@@ -1704,6 +1706,20 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             WHERE word <> ''
             GROUP BY word ORDER BY n DESC, word ASC LIMIT 25
+        """,
+        # V7 lexical richness: types + hapax from the word-count table
+        "v7_lexical_richness": """
+            WITH wc AS (
+              SELECT source, word, count(*) AS n
+              FROM (SELECT source,
+                           unnest(string_split(text, ' ')) AS word
+                    FROM documents)
+              WHERE word <> '' GROUP BY source, word)
+            SELECT source,
+                   CAST(sum(n) AS BIGINT) AS n_tokens,
+                   count(*) AS n_types,
+                   CAST(count(*) FILTER (n = 1) AS BIGINT) AS n_hapax
+            FROM wc GROUP BY source
         """,
         # V6 OOV: same top-k vocab CTE, anti-membership per doc
         "v6_oov_rate": """

@@ -299,3 +299,59 @@ def oov_rate_docs(sf_dir: str, vocab_k: int = 25):
 
     return docs.map_batches(score, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def lexical_richness(sf_dir: str):
+    """V7 — per-source lexical richness: token count, distinct-word count
+    (types) and hapax legomena (words occurring exactly once in that
+    source) — the type/token statistics a curator reads next to the T5
+    repetition gates.  Two-level exact-distinct discipline: per-block
+    (source, word) partial counts collapse before the exchange, the
+    per-(source, word) totals merge, and the per-source rollup counts
+    types/hapaxes over the word-level table — never one row per
+    occurrence past the first aggregation."""
+    docs = _read_docs(sf_dir, ["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern(text, " ")
+        flat_all = pc.list_flatten(words)
+        src_of = src.take(pc.list_parent_indices(words))
+        keep = pc.not_equal(flat_all, "")
+        t = pa.table({"source": src_of.filter(keep),
+                      "word": flat_all.filter(keep)})
+        g = t.group_by(["source", "word"]).aggregate([([], "count_all")])
+        return pa.table({"source": g.column("source"),
+                         "word": g.column("word"),
+                         "n": pc.cast(g.column("count_all"), pa.int64())})
+
+    partials = docs.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def per_word(group: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": group.column("source").slice(0, 1),
+            "word": group.column("word").slice(0, 1),
+            "n": pa.array([int(pc.sum(group.column("n")).as_py())],
+                          type=pa.int64()),
+        })
+
+    word_totals = partials.groupby(["source", "word"]).map_groups(
+        per_word, batch_format="pyarrow")
+
+    def rollup(group: pa.Table) -> pa.Table:
+        n = np.asarray(group.column("n"), dtype=np.int64)
+        return pa.table({
+            "source": group.column("source").slice(0, 1),
+            "n_tokens": pa.array([int(n.sum())], type=pa.int64()),
+            "n_types": pa.array([n.shape[0]], type=pa.int64()),
+            "n_hapax": pa.array([int((n == 1).sum())], type=pa.int64()),
+        })
+
+    return word_totals.groupby("source").map_groups(
+        rollup, batch_format="pyarrow")

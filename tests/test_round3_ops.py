@@ -1705,3 +1705,23 @@ def test_skewness_matches_scipy_formula(ray_session):
         ref = ((v - m) ** 3).mean() / (((v - m) ** 2).mean() ** 1.5)
         assert abs(got.loc[et, "skewness"] - ref) < 1e-9, et
         assert got.loc[et, "n"] == len(v)
+
+
+# ---------------------------------------------------------------- V7 ----
+def test_lexical_richness_matches_python(ray_session):
+    from collections import Counter
+
+    from anomalydetection_ray.pipelines.vocab import lexical_richness
+
+    import pyarrow.parquet as pq
+
+    got = lexical_richness(SF).to_pandas().set_index("source")
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    for src, sub in docs.groupby("source"):
+        cnt = Counter()
+        for t in sub["text"]:
+            cnt.update(w for w in t.split(" ") if w)
+        assert got.loc[src, "n_tokens"] == sum(cnt.values())
+        assert got.loc[src, "n_types"] == len(cnt)
+        assert got.loc[src, "n_hapax"] == sum(1 for v in cnt.values() if v == 1)
