@@ -126,6 +126,14 @@ def _detect(sf_dir: str, detector: str, **params):
     )
 
 
+def _a13_longest_run(sf_dir: str):
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import longest_run_batch
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        longest_run_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _a9_autocorr(sf_dir: str, lag: int = 24):
     import functools
 
@@ -243,6 +251,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a8_seasonal_components": q.a8_seasonal_components,
         # A9 per-series lag-k autocorrelation feature (exact int moments)
         "a9_autocorr": _a9_autocorr,
+        # A13 longest run above the series mean (burst feature)
+        "a13_longest_run": _a13_longest_run,
         # P4 overlapping-window chunking (map-only 1->many expansion)
         "p4_chunk_docs": _p4_chunk_docs,
         # G8 multi-grain aggregate (GROUPING SETS) in one scan
@@ -281,6 +291,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_levenshtein_pairs": dd.levenshtein_pairs,
         # X5 integer PageRank over the dup-pair graph
         "pagerank_dup_graph": _pagerank_dup_graph,
+        # T9 per-source dedup impact report (before/after + chars saved)
+        "t9_dedup_impact": dd.dedup_impact_report,
         # D5 set ops: INTERSECT / EXCEPT between derived key sets
         "d5_set_ops": q.d5_set_ops,
         # S8 schema-evolution union read (v1 layout + v2 with added col)
@@ -1253,6 +1265,42 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, median(x) AS phase_median
             FROM raw GROUP BY doc_id, part_id, i % 24
         """,
+        # A13 longest run: gaps-and-islands over the above-mean condition
+        "a13_longest_run": f"""
+            WITH {_SEQ_TOK_CTE},
+            base AS MATERIALIZED (
+              SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                     pos % 1000000 AS i, CAST(v AS DOUBLE) AS x FROM tok),
+            w AS (
+              SELECT doc_id, part_id, i, x,
+                     avg(x) OVER (PARTITION BY doc_id, part_id) AS m,
+                     count(*) OVER (PARTITION BY doc_id, part_id) AS n
+              FROM base),
+            ab AS (SELECT doc_id, part_id, i, n FROM w WHERE x > m),
+            isl AS (
+              SELECT doc_id, part_id, n,
+                     i - row_number() OVER (PARTITION BY doc_id, part_id
+                                            ORDER BY i) AS grp
+              FROM ab),
+            runs AS (
+              SELECT doc_id, part_id, any_value(n) AS n, grp,
+                     count(*) AS rl
+              FROM isl GROUP BY doc_id, part_id, grp),
+            per AS (
+              SELECT doc_id, part_id, any_value(n) AS n,
+                     CAST(sum(rl) AS BIGINT) AS n_above,
+                     CAST(max(rl) AS BIGINT) AS longest_run
+              FROM runs GROUP BY doc_id, part_id),
+            allp AS (
+              SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                     count(*) AS n
+              FROM tok GROUP BY doc_id, part_id)
+            SELECT a.doc_id, a.part_id, a.n,
+                   COALESCE(p.n_above, 0) AS n_above,
+                   COALESCE(p.longest_run, 0) AS longest_run
+            FROM allp a LEFT JOIN per p
+              ON p.doc_id = a.doc_id AND p.part_id = a.part_id
+        """,
         # A9 lag-k ACF: exact BIGINT moment sums (sum() of BIGINT is
         # HUGEINT in DuckDB — cast back so the final division casts a
         # correctly-rounded BIGINT, the same pinned ops as the engine);
@@ -2152,6 +2200,21 @@ def oracle_sql() -> dict[str, str]:
                                   THEN 2
                              ELSE 3 END AS BIGINT) AS stage
             FROM f
+        """,
+        # T9 dedup impact: kept = min doc_id per md5 group (D1 tiebreak)
+        "t9_dedup_impact": """
+            WITH k AS (
+              SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+                     CASE WHEN doc_id = min(doc_id)
+                              OVER (PARTITION BY md5(text)) THEN 1
+                          ELSE 0 END AS kept
+              FROM documents)
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(kept) AS BIGINT) AS n_kept,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_total,
+                   CAST(sum(CASE WHEN kept = 0 THEN n_chars ELSE 0 END)
+                       AS BIGINT) AS chars_dropped
+            FROM k GROUP BY source
         """,
         # X5 PageRank: 3 unrolled integer iterations (floor-div shares)
         "pagerank_dup_graph": f"""

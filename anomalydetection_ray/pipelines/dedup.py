@@ -738,3 +738,88 @@ def levenshtein_pairs(sf_dir: str, prefix: int = LEV_PREFIX):
     return with_ab.map_batches(
         functools.partial(levenshtein_batch, prefix=prefix),
         batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ T9 ----
+def dedup_impact_report(sf_dir: str):
+    """T9 — the dedup impact report a curator reads before approving the
+    drop: per source, document counts before/after exact content dedup
+    and the exact characters removed (kept = min doc_id per md5 group —
+    D1's tiebreak).  Scale shape: the hash exchange carries (hash,
+    source, doc_id, n_chars) only; the per-hash kernel marks keeps
+    vectorized (run starts); per-source totals are tiny partials."""
+    import functools
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from anomalydetection_ray.stages.runs import (PKEY, add_partition_key,
+                                                  run_starts)
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(t.encode("utf-8")).hexdigest()
+              for t in batch.column("text").to_pylist()]
+        return pa.table({"text_hash": pa.array(hs, type=pa.string()),
+                         "doc_id": batch.column("doc_id"),
+                         "source": batch.column("source"),
+                         "n_chars": pc.cast(batch.column("n_chars"),
+                                            pa.int64())})
+
+    import ray.data
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars", "text"])
+    hashed = docs.map_batches(hash_batch, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    tagged = hashed.map_batches(
+        functools.partial(add_partition_key, keys=["text_hash"],
+                          num_partitions=16),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def mark_keeps(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "source": pa.array([], type=pa.string()),
+                "n_docs": pa.array([], type=pa.int64()),
+                "n_kept": pa.array([], type=pa.int64()),
+                "chars_total": pa.array([], type=pa.int64()),
+                "chars_dropped": pa.array([], type=pa.int64()),
+            })
+        t = batch.drop_columns([PKEY]).sort_by(
+            [("text_hash", "ascending"), ("doc_id", "ascending")])
+        starts = run_starts(t, ["text_hash"])
+        keep = np.zeros(t.num_rows, dtype=bool)
+        keep[starts] = True
+        nc = np.asarray(t.column("n_chars"), dtype=np.int64)
+        g = pa.table({
+            "source": t.column("source"),
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+            "kept": pa.array(keep.astype(np.int64)),
+            "chars": pa.array(nc, type=pa.int64()),
+            "chars_drop": pa.array(np.where(keep, 0, nc), type=pa.int64()),
+        }).group_by("source").aggregate(
+            [("one", "sum"), ("kept", "sum"), ("chars", "sum"),
+             ("chars_drop", "sum")])
+        return pa.table({
+            "source": g.column("source"),
+            "n_docs": pc.cast(g.column("one_sum"), pa.int64()),
+            "n_kept": pc.cast(g.column("kept_sum"), pa.int64()),
+            "chars_total": pc.cast(g.column("chars_sum"), pa.int64()),
+            "chars_dropped": pc.cast(g.column("chars_drop_sum"), pa.int64()),
+        })
+
+    partials = tagged.groupby(PKEY).map_groups(mark_keeps,
+                                               batch_format="pyarrow")
+
+    def merge(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cols = {"source": group.column("source").slice(0, 1)}
+        for c in ("n_docs", "n_kept", "chars_total", "chars_dropped"):
+            cols[c] = pa.array([int(pc.sum(group.column(c)).as_py())],
+                               type=pa.int64())
+        return pa.table(cols)
+
+    return partials.groupby("source").map_groups(merge,
+                                                 batch_format="pyarrow")

@@ -412,3 +412,52 @@ def detect_batch(batch: pa.Table, detector: str = "esd", **params) -> pa.Table:
         pos_sum[i] = int(p.sum())
         pos_sumsq[i] = int((p * p).sum())
     return _report_table(batch, detector, n_anom, pos_sum, pos_sumsq)
+
+
+def longest_run_batch(batch: pa.Table) -> pa.Table:
+    """A13 — per-series longest run of consecutive positions above the
+    series mean (+ the above-mean count): the runs-test-flavored burst
+    feature.  The mean is the one pinned division S/n (exact int S), the
+    comparison exact, and the run-length machinery fully vectorized over
+    the flat buffer: run starts = above-positions whose predecessor is
+    out-of-row or not-above, lengths by cumsum gathers, per-row max via
+    ``np.maximum.at``."""
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.int64)
+    lens = np.diff(offsets)
+    nrows = lens.shape[0]
+    c1 = np.concatenate(([0], np.cumsum(v)))
+    S = c1[offsets[1:]] - c1[offsets[:-1]]
+    n_above = np.zeros(nrows, dtype=np.int64)
+    longest = np.zeros(nrows, dtype=np.int64)
+    if v.shape[0]:
+        row_of = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+        mean = np.zeros(nrows, dtype=np.float64)
+        np.divide(S, lens, out=mean, where=lens > 0)
+        above = v.astype(np.float64) > mean[row_of]
+        np.add.at(n_above, row_of[above], 1)
+        is_row_start = np.zeros(v.shape[0], dtype=bool)
+        is_row_start[offsets[:-1][lens > 0]] = True
+        prev_above = np.concatenate(([False], above[:-1]))
+        run_start = above & (is_row_start | ~prev_above)
+        starts_idx = np.flatnonzero(run_start)
+        if starts_idx.size:
+            # run end = last consecutive above position within the row
+            nxt = np.concatenate((above[1:], [False]))
+            is_row_end = np.zeros(v.shape[0], dtype=bool)
+            is_row_end[offsets[1:][lens > 0] - 1] = True
+            run_end = above & (is_row_end | ~nxt)
+            ends_idx = np.flatnonzero(run_end)
+            rl = ends_idx - starts_idx + 1
+            np.maximum.at(longest, row_of[starts_idx], rl)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "n": pa.array(lens, type=pa.int64()),
+        "n_above": pa.array(n_above, type=pa.int64()),
+        "longest_run": pa.array(longest, type=pa.int64()),
+    })

@@ -1725,3 +1725,64 @@ def test_lexical_richness_matches_python(ray_session):
         assert got.loc[src, "n_tokens"] == sum(cnt.values())
         assert got.loc[src, "n_types"] == len(cnt)
         assert got.loc[src, "n_hapax"] == sum(1 for v in cnt.values() if v == 1)
+
+
+# ---------------------------------------------------------------- T9 ----
+def test_dedup_impact_matches_python(ray_session):
+    import hashlib
+
+    from anomalydetection_ray.pipelines.dedup import dedup_impact_report
+
+    import pyarrow.parquet as pq
+    got = dedup_impact_report(SF).to_pandas().set_index("source")
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "source", "n_chars",
+                                  "text"]).to_pandas()
+    docs["h"] = docs["text"].map(
+        lambda t: hashlib.md5(t.encode()).hexdigest())
+    keep_ids = set(docs.groupby("h")["doc_id"].min())
+    docs["kept"] = docs["doc_id"].isin(keep_ids)
+    for src, sub in docs.groupby("source"):
+        assert got.loc[src, "n_docs"] == len(sub)
+        assert got.loc[src, "n_kept"] == int(sub["kept"].sum())
+        assert got.loc[src, "chars_total"] == sub["n_chars"].sum()
+        assert got.loc[src, "chars_dropped"] == \
+            sub.loc[~sub["kept"], "n_chars"].sum()
+
+
+# --------------------------------------------------------------- A13 ----
+def test_longest_run_matches_python():
+    import pyarrow as pa
+
+    from anomalydetection_ray.stages.detectors import longest_run_batch
+
+    rng = np.random.default_rng(17)
+    rows = [
+        rng.integers(0, 100, 200).astype(np.int32),
+        np.array([5, 5, 5, 5], dtype=np.int32),        # no one above mean
+        np.array([1, 9, 9, 9, 1, 9], dtype=np.int32),  # run of 3 then 1
+        np.array([10], dtype=np.int32),
+        np.empty(0, dtype=np.int32),
+    ]
+    batch = pa.table({
+        "doc_id": [f"d{i}" for i in range(len(rows))],
+        "part_id": pa.array([0] * len(rows), type=pa.int32()),
+        "tokens": pa.array([r.tolist() for r in rows],
+                           type=pa.list_(pa.int32())),
+    })
+    got = longest_run_batch(batch).to_pandas().set_index("doc_id")
+    for i, r in enumerate(rows):
+        x = r.astype(np.float64)
+        row = got.loc[f"d{i}"]
+        if len(x) == 0:
+            assert row["n_above"] == 0 and row["longest_run"] == 0
+            continue
+        m = x.sum() / len(x)
+        ab = x > m
+        best = cur = 0
+        for b in ab:
+            cur = cur + 1 if b else 0
+            best = max(best, cur)
+        assert row["n_above"] == int(ab.sum()), i
+        assert row["longest_run"] == best, i
+    assert got.loc["d2", "longest_run"] == 3
