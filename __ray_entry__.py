@@ -358,6 +358,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w13_time_weighted_avg": wnd.w13_time_weighted_avg_events,
         # W14 A6 control chart over the events table (per-user flags)
         "w14_event_flags": wnd.w14_event_anomaly_flags,
+        # W16 per-key share-of-total (ratio_to_report)
+        "w16_share_of_total": wnd.w16_share_of_total_events,
         # T8 signup-cohort 7-day purchase retention
         "t8_cohort_retention": wnd.t8_cohort_retention,
         # J7 left OUTER join + aggregate (zero-fill for unmatched keys)
@@ -2385,6 +2387,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         # W8 time-range window: RANGE INTERVAL semantics (peers by ts all
         # count); quantized sum is exact
+        # W16 share: exact int num/den, one division per event
+        "w16_share_of_total": """
+            WITH base AS (
+              SELECT event_id, user_id,
+                     CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vq
+              FROM events),
+            t AS (
+              SELECT event_id, user_id, vq,
+                     CAST(sum(vq) OVER (PARTITION BY user_id) AS BIGINT)
+                         AS user_total_vq
+              FROM base)
+            SELECT event_id, user_id, vq, user_total_vq,
+                   CASE WHEN user_total_vq = 0 THEN NULL
+                        ELSE CAST(vq AS DOUBLE)
+                             / CAST(user_total_vq AS DOUBLE) END AS share
+            FROM t
+        """,
         # T8 cohort retention: first-signup anchor + windowed EXISTS
         "t8_cohort_retention": """
             WITH su AS (

@@ -950,3 +950,55 @@ def t8_cohort_retention(sf_dir: str, num_partitions: int = 16):
 
     return per_user.groupby("cohort_day").map_groups(
         merge, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------- W16 ----
+def _share_kernel(group: pa.Table) -> pa.Table:
+    """Per-event share of its user's total (SQL ``ratio_to_report``):
+    vq / Σ_user vq, exact int numerator/denominator and ONE pinned
+    division per event.  Zero-total users emit NULL shares."""
+    group = group.drop_columns([PKEY]).sort_by(
+        [("user_id", "ascending"), ("ts", "ascending"),
+         ("event_id", "ascending")])
+    n = group.num_rows
+    if n == 0:
+        return pa.table({
+            "event_id": pa.array([], type=pa.int64()),
+            "user_id": pa.array([], type=pa.int64()),
+            "vq": pa.array([], type=pa.int64()),
+            "user_total_vq": pa.array([], type=pa.int64()),
+            "share": pa.array([], type=pa.float64()),
+        })
+    starts = run_starts(group, ["user_id"])
+    lens = np.diff(np.append(starts, n))
+    value = group.column("value")
+    if isinstance(value, pa.ChunkedArray):
+        value = value.combine_chunks()
+    vq = np.floor(np.asarray(value, dtype=np.float64) * VSCALE
+                  + 0.5).astype(np.int64)
+    c = np.concatenate(([0], np.cumsum(vq)))
+    ends = np.append(starts[1:], n)
+    tot = np.repeat(c[ends] - c[starts], lens)
+    share = np.zeros(n, dtype=np.float64)
+    mask = tot == 0
+    np.divide(vq, tot, out=share, where=~mask)
+    return pa.table({
+        "event_id": group.column("event_id"),
+        "user_id": group.column("user_id"),
+        "vq": pa.array(vq, type=pa.int64()),
+        "user_total_vq": pa.array(tot, type=pa.int64()),
+        "share": pa.array(share, type=pa.float64(), mask=mask),
+    })
+
+
+def w16_share_of_total_events(sf_dir: str, num_partitions: int = 16):
+    """W16 — per-key share-of-total normalization (`ratio_to_report`),
+    the proportion feature next to W6's rank transform.  Same
+    one-exchange ``_pkey`` layout as W1–W14."""
+    ev = _read_events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby(PKEY).map_groups(_share_kernel,
+                                           batch_format="pyarrow")

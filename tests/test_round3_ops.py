@@ -1786,3 +1786,22 @@ def test_longest_run_matches_python():
         assert row["n_above"] == int(ab.sum()), i
         assert row["longest_run"] == best, i
     assert got.loc["d2", "longest_run"] == 3
+
+
+# --------------------------------------------------------------- W16 ----
+def test_share_of_total_matches_pandas(ray_session):
+    from anomalydetection_ray.pipelines.windows import (
+        w16_share_of_total_events)
+
+    got = w16_share_of_total_events(SF).to_pandas().set_index("event_id")
+    ev = _events_df()
+    vq = np.floor(ev["value"].to_numpy() * VSCALE + 0.5).astype(np.int64)
+    df = pd.DataFrame({"event_id": ev["event_id"],
+                       "user_id": ev["user_id"], "vq": vq})
+    tot = df.groupby("user_id")["vq"].transform("sum")
+    for eid, v, t in list(zip(df["event_id"], df["vq"], tot))[:500]:
+        row = got.loc[eid]
+        assert row["vq"] == v
+        assert row["user_total_vq"] == t
+        assert abs(row["share"] - v / t) < 1e-15
+    assert abs(got.groupby("user_id")["share"].sum() - 1.0).max() < 1e-9
