@@ -360,6 +360,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w14_event_flags": wnd.w14_event_anomaly_flags,
         # W16 per-key share-of-total (ratio_to_report)
         "w16_share_of_total": wnd.w16_share_of_total_events,
+        # W10 per-user event-type Markov transition matrix
+        "w10_markov_transitions": wnd.w10_markov_transitions,
         # T8 signup-cohort 7-day purchase retention
         "t8_cohort_retention": wnd.t8_cohort_retention,
         # J7 left OUTER join + aggregate (zero-fill for unmatched keys)
@@ -2403,6 +2405,25 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(vq AS DOUBLE)
                              / CAST(user_total_vq AS DOUBLE) END AS share
             FROM t
+        """,
+        # W10 Markov transitions: lead() adjacency within each user's
+        # timeline, exact counts, one pinned division per row
+        "w10_markov_transitions": """
+            WITH nxt AS (
+              SELECT event_type AS from_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS to_type
+              FROM events),
+            c AS (SELECT from_type, to_type, count(*) AS cnt
+                  FROM nxt WHERE to_type IS NOT NULL
+                  GROUP BY from_type, to_type)
+            SELECT from_type, to_type, cnt,
+                   CAST(sum(cnt) OVER (PARTITION BY from_type) AS BIGINT)
+                       AS from_total,
+                   CAST(cnt AS DOUBLE)
+                     / CAST(CAST(sum(cnt) OVER (PARTITION BY from_type)
+                                 AS BIGINT) AS DOUBLE) AS prob
+            FROM c
         """,
         # T8 cohort retention: first-signup anchor + windowed EXISTS
         "t8_cohort_retention": """

@@ -1002,3 +1002,80 @@ def w16_share_of_total_events(sf_dir: str, num_partitions: int = 16):
         batch_format="pyarrow", zero_copy_batch=True)
     return tagged.groupby(PKEY).map_groups(_share_kernel,
                                            batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- W10 ----
+def _transition_kernel(group: pa.Table) -> pa.Table:
+    """Per-partition partial transition counts: adjacent (event_type ->
+    next event_type) pairs within each user's (ts, event_id)-ordered
+    stream, counted with Arrow's C-level ``group_by``.  Emits at most
+    ``n_types**2`` rows per partition regardless of partition size — the
+    partial-before-exchange discipline."""
+    group = group.drop_columns([PKEY]).sort_by(
+        [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")])
+    n = group.num_rows
+    empty = pa.table({
+        "from_type": pa.array([], type=pa.string()),
+        "to_type": pa.array([], type=pa.string()),
+        "cnt": pa.array([], type=pa.int64()),
+    })
+    if n < 2:
+        return empty
+    starts = run_starts(group, ["user_id"])
+    et = group.column("event_type")
+    if isinstance(et, pa.ChunkedArray):
+        et = et.combine_chunks()
+    # pair i: (et[i], et[i+1]) unless i+1 starts a new user
+    keep = np.ones(n - 1, dtype=bool)
+    keep[starts[starts > 0] - 1] = False
+    if not keep.any():
+        return empty
+    idx = np.flatnonzero(keep)
+    pairs = pa.table({"from_type": et.take(pa.array(idx)),
+                      "to_type": et.take(pa.array(idx + 1))})
+    out = pairs.group_by(["from_type", "to_type"]).aggregate([([], "count_all")])
+    return pa.table({
+        "from_type": out.column("from_type"),
+        "to_type": out.column("to_type"),
+        "cnt": out.column("count_all").cast(pa.int64()),
+    })
+
+
+def _transition_merge(group: pa.Table) -> pa.Table:
+    """Final per-``from_type`` merge: sum partial counts per ``to_type``,
+    then the row-conditional probability ``cnt / from_total`` — exact
+    int64 counts, ONE pinned float division per row (both sides compute
+    float(cnt) / float(from_total))."""
+    t = group.group_by(["from_type", "to_type"]).aggregate([("cnt", "sum")])
+    cnt = np.asarray(t.column("cnt_sum"), dtype=np.int64)
+    total = int(cnt.sum())
+    prob = cnt.astype(np.float64) / float(total)
+    return pa.table({
+        "from_type": t.column("from_type"),
+        "to_type": t.column("to_type"),
+        "cnt": pa.array(cnt, type=pa.int64()),
+        "from_total": pa.array(np.full(len(cnt), total), type=pa.int64()),
+        "prob": pa.array(prob, type=pa.float64()),
+    })
+
+
+def w10_markov_transitions(sf_dir: str, num_partitions: int = 16):
+    """W10 — per-user event-type Markov transition matrix: corpus-wide
+    counts of adjacent (from_type -> to_type) steps within each user's
+    timeline, plus the conditional transition probability per from_type.
+
+    Scale shape: one ``_pkey`` hash exchange on ``user_id`` co-locates
+    each user's timeline; the per-partition kernel collapses pairs to at
+    most ``n_types**2`` partial-count rows BEFORE the second (tiny)
+    exchange on ``from_type``, so shuffle volume is independent of event
+    count.  Oracle: ``lead() OVER (PARTITION BY user_id ORDER BY ts,
+    event_id)`` + grouped counts + a windowed per-from_type total."""
+    ev = _read_events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    partials = tagged.groupby(PKEY).map_groups(_transition_kernel,
+                                               batch_format="pyarrow")
+    return partials.groupby("from_type").map_groups(_transition_merge,
+                                                    batch_format="pyarrow")

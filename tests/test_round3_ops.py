@@ -1805,3 +1805,38 @@ def test_share_of_total_matches_pandas(ray_session):
         assert row["user_total_vq"] == t
         assert abs(row["share"] - v / t) < 1e-15
     assert abs(got.groupby("user_id")["share"].sum() - 1.0).max() < 1e-9
+
+
+# --------------------------------------------------------------- W10 ----
+def test_markov_transitions_matches_pandas(ray_session):
+    from anomalydetection_ray.pipelines.windows import w10_markov_transitions
+
+    got = (w10_markov_transitions(SF).to_pandas()
+           .set_index(["from_type", "to_type"]).sort_index())
+    ev = _events_df().sort_values(["user_id", "ts", "event_id"])
+    ref = Counter()
+    for _, g in ev.groupby("user_id", sort=False):
+        t = g["event_type"].to_list()
+        for a, b in zip(t, t[1:]):
+            ref[(a, b)] += 1
+    assert len(got) == len(ref)
+    totals = Counter()
+    for (a, _), c in ref.items():
+        totals[a] += c
+    for (a, b), c in ref.items():
+        row = got.loc[(a, b)]
+        assert row["cnt"] == c
+        assert row["from_total"] == totals[a]
+        assert row["prob"] == float(c) / float(totals[a])
+    # probabilities per from_type sum to 1 exactly up to fp accumulation
+    assert np.allclose(got.groupby("from_type")["prob"].sum(), 1.0)
+
+
+def test_markov_transitions_partition_invariance(ray_session):
+    from anomalydetection_ray.pipelines.windows import w10_markov_transitions
+
+    a = (w10_markov_transitions(SF, num_partitions=3).to_pandas()
+         .sort_values(["from_type", "to_type"]).reset_index(drop=True))
+    b = (w10_markov_transitions(SF, num_partitions=16).to_pandas()
+         .sort_values(["from_type", "to_type"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
