@@ -362,6 +362,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w16_share_of_total": wnd.w16_share_of_total_events,
         # W10 per-user event-type Markov transition matrix
         "w10_markov_transitions": wnd.w10_markov_transitions,
+        # A10 Hampel rolling-median/MAD outlier filter (robust A6 sibling)
+        "a10_hampel_filter": wnd.a10_hampel_filter,
         # T8 signup-cohort 7-day purchase retention
         "t8_cohort_retention": wnd.t8_cohort_retention,
         # J7 left OUTER join + aggregate (zero-fill for unmatched keys)
@@ -2424,6 +2426,21 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(CAST(sum(cnt) OVER (PARTITION BY from_type)
                                  AS BIGINT) AS DOUBLE) AS prob
             FROM c
+        """,
+        # A10 Hampel filter: median()/mad() window aggregates (exact
+        # element-or-midpoint, the w12 discipline); pinned float compare
+        "a10_hampel_filter": """
+            WITH t AS (
+              SELECT event_id, user_id, value,
+                     median(value) OVER w AS med,
+                     mad(value) OVER w AS mad,
+                     row_number() OVER w AS rn
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+            SELECT event_id, user_id, value, med, mad,
+                   (abs(value - med) > 3.0 * (1.4826 * mad)) AS is_anomaly
+            FROM t WHERE rn >= 7
         """,
         # T8 cohort retention: first-signup anchor + windowed EXISTS
         "t8_cohort_retention": """

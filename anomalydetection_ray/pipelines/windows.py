@@ -1079,3 +1079,82 @@ def w10_markov_transitions(sf_dir: str, num_partitions: int = 16):
                                                batch_format="pyarrow")
     return partials.groupby("from_type").map_groups(_transition_merge,
                                                     batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- A10 ----
+def _hampel_kernel(group: pa.Table, window: int, c: float) -> pa.Table:
+    """Per-partition Hampel filter (Pearson/Hampel robust outlier
+    detector): rolling median and rolling MAD over the trailing
+    ``window`` rows of each user's (ts, event_id)-ordered value series;
+    a point is anomalous when ``|x - med| > c * (1.4826 * mad)``.  Rows
+    are emitted only where the window is FULL (local index >= window-1),
+    mirroring the oracle's ``rn >= window`` filter.
+
+    Vectorized via ``sliding_window_view`` + ``np.median`` along axis 1
+    (two medians, no Python row loop).  Medians of doubles are an element
+    or an exact midpoint — one IEEE op — so ``median``/``mad`` match
+    DuckDB's window ``median()``/``mad()`` bitwise (the w12 discipline);
+    the threshold comparison pins the float sequence ``c * (1.4826 *
+    mad)`` identically on both sides."""
+    group = group.drop_columns([PKEY]).sort_by(
+        [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")])
+    n = group.num_rows
+    empty = pa.table({
+        "event_id": pa.array([], type=pa.int64()),
+        "user_id": pa.array([], type=pa.int64()),
+        "value": pa.array([], type=pa.float64()),
+        "med": pa.array([], type=pa.float64()),
+        "mad": pa.array([], type=pa.float64()),
+        "is_anomaly": pa.array([], type=pa.bool_()),
+    })
+    if n < window:
+        return empty
+    starts = run_starts(group, ["user_id"])
+    lens = np.diff(np.append(starts, n))
+    seq = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+    value = group.column("value")
+    if isinstance(value, pa.ChunkedArray):
+        value = value.combine_chunks()
+    x = np.asarray(value, dtype=np.float64)
+    # window ending at global row i uses x[i-window+1 .. i]; valid only
+    # when the whole window lies inside one user's run (seq >= window-1)
+    keep = np.flatnonzero(seq >= window - 1)
+    if keep.size == 0:
+        return empty
+    sw = np.lib.stride_tricks.sliding_window_view(x, window)[keep - (window - 1)]
+    med = np.median(sw, axis=1)
+    mad = np.median(np.abs(sw - med[:, None]), axis=1)
+    xs = x[keep]
+    flag = np.abs(xs - med) > c * (1.4826 * mad)
+    ids = pa.array(keep)
+    return pa.table({
+        "event_id": group.column("event_id").take(ids),
+        "user_id": group.column("user_id").take(ids),
+        "value": pa.array(xs, type=pa.float64()),
+        "med": pa.array(med, type=pa.float64()),
+        "mad": pa.array(mad, type=pa.float64()),
+        "is_anomaly": pa.array(flag, type=pa.bool_()),
+    })
+
+
+def a10_hampel_filter(sf_dir: str, window: int = 7, c: float = 3.0,
+                      num_partitions: int = 16):
+    """A10 — Hampel rolling-median/MAD outlier filter per user over the
+    events value series: the robust sibling of the A6 moving-mean/std
+    control chart (median/MAD shrug off the very outliers a mean/std
+    window absorbs).  Classic timeseries-cleaning operator (Hampel 1974;
+    Pearson 2002 "Outliers in process modeling and identification").
+
+    Scale shape: ONE ``_pkey`` hash exchange on ``user_id`` (the same
+    layout every W-family operator uses), then a fully vectorized
+    per-partition kernel — two ``np.median`` calls over a strided window
+    view.  Oracle: DuckDB ``median()``/``mad()`` window aggregates over
+    ``ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW``."""
+    ev = _read_events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby(PKEY).map_groups(
+        functools.partial(_hampel_kernel, window=window, c=c),
+        batch_format="pyarrow")

@@ -1840,3 +1840,41 @@ def test_markov_transitions_partition_invariance(ray_session):
     b = (w10_markov_transitions(SF, num_partitions=16).to_pandas()
          .sort_values(["from_type", "to_type"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+# --------------------------------------------------------------- A10 ----
+def test_hampel_filter_matches_pandas(ray_session):
+    from anomalydetection_ray.pipelines.windows import a10_hampel_filter
+
+    W, C = 7, 3.0
+    got = a10_hampel_filter(SF, window=W, c=C).to_pandas().set_index("event_id")
+    ev = _events_df().sort_values(["user_id", "ts", "event_id"])
+    checked = 0
+    for _, g in ev.groupby("user_id", sort=False):
+        x = g["value"].to_numpy()
+        ids = g["event_id"].to_numpy()
+        for i in range(W - 1, len(x)):
+            win = np.sort(x[i - W + 1:i + 1])
+            med = np.median(win)
+            mad = np.median(np.abs(win - med))
+            row = got.loc[ids[i]]
+            assert row["med"] == med
+            assert row["mad"] == mad
+            assert bool(row["is_anomaly"]) == (abs(x[i] - med) > C * (1.4826 * mad))
+            checked += 1
+        if checked > 400:
+            break
+    # every emitted row has a full window behind it
+    seq = (ev.groupby("user_id", sort=False).cumcount()
+           .set_axis(ev["event_id"]))
+    assert (seq.loc[got.index] >= W - 1).all()
+
+
+def test_hampel_partition_invariance(ray_session):
+    from anomalydetection_ray.pipelines.windows import a10_hampel_filter
+
+    a = (a10_hampel_filter(SF, num_partitions=3).to_pandas()
+         .sort_values("event_id").reset_index(drop=True))
+    b = (a10_hampel_filter(SF, num_partitions=16).to_pandas()
+         .sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
