@@ -364,6 +364,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w10_markov_transitions": wnd.w10_markov_transitions,
         # A10 Hampel rolling-median/MAD outlier filter (robust A6 sibling)
         "a10_hampel_filter": wnd.a10_hampel_filter,
+        # D7 event-level debounce dedup (near-time duplicate suppression)
+        "d7_debounce_events": wnd.d7_debounce_events,
         # T8 signup-cohort 7-day purchase retention
         "t8_cohort_retention": wnd.t8_cohort_retention,
         # J7 left OUTER join + aggregate (zero-fill for unmatched keys)
@@ -2441,6 +2443,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, value, med, mad,
                    (abs(value - med) > 3.0 * (1.4826 * mad)) AS is_anomaly
             FROM t WHERE rn >= 7
+        """,
+        # D7 debounce: gap to previous same-(user, type) event via lag()
+        "d7_debounce_events": """
+            WITH t AS (
+              SELECT event_id, user_id, event_type,
+                     epoch_us(ts) - epoch_us(lag(ts) OVER (
+                         PARTITION BY user_id, event_type
+                         ORDER BY ts, event_id)) AS gap
+              FROM events)
+            SELECT event_id, user_id, event_type,
+                   CAST(gap AS BIGINT) AS gap_same_type_us,
+                   COALESCE(gap < CAST(86400000000 AS BIGINT), FALSE)
+                       AS is_dup
+            FROM t
         """,
         # T8 cohort retention: first-signup anchor + windowed EXISTS
         "t8_cohort_retention": """

@@ -1158,3 +1158,60 @@ def a10_hampel_filter(sf_dir: str, window: int = 7, c: float = 3.0,
     return tagged.groupby(PKEY).map_groups(
         functools.partial(_hampel_kernel, window=window, c=c),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- D7 ----
+def _debounce_kernel(group: pa.Table, min_gap_us: int) -> pa.Table:
+    """Per-partition debounce: an event is a duplicate when the previous
+    event of the SAME (user_id, event_type) is closer than
+    ``min_gap_us``.  Gap is relative to the previous observed event (SQL
+    ``lag()`` semantics), not the previous kept one — keeps the kernel a
+    pure vectorized shift, no sequential keep-state."""
+    group = group.drop_columns([PKEY]).sort_by(
+        [("user_id", "ascending"), ("event_type", "ascending"),
+         ("ts", "ascending"), ("event_id", "ascending")])
+    n = group.num_rows
+    if n == 0:
+        return pa.table({
+            "event_id": pa.array([], type=pa.int64()),
+            "user_id": pa.array([], type=pa.int64()),
+            "event_type": pa.array([], type=pa.string()),
+            "gap_same_type_us": pa.array([], type=pa.int64()),
+            "is_dup": pa.array([], type=pa.bool_()),
+        })
+    starts = run_starts(group, ["user_id", "event_type"])
+    ts = _ts_us(group.column("ts"))
+    first = np.zeros(n, dtype=bool)
+    first[starts] = True
+    gap = np.empty(n, dtype=np.int64)
+    gap[1:] = ts[1:] - ts[:-1]
+    gap[0] = 0
+    is_dup = (~first) & (gap < min_gap_us)
+    return pa.table({
+        "event_id": group.column("event_id"),
+        "user_id": group.column("user_id"),
+        "event_type": group.column("event_type"),
+        "gap_same_type_us": pa.array(gap, type=pa.int64(), mask=first),
+        "is_dup": pa.array(is_dup, type=pa.bool_()),
+    })
+
+
+def d7_debounce_events(sf_dir: str, min_gap_us: int = 86_400_000_000,
+                       num_partitions: int = 16):
+    """D7 — event-level near-time duplicate suppression (telemetry
+    debounce): flag events whose previous same-(user, type) event is
+    closer than ``min_gap_us`` (default 24 h).  The row-level sibling of
+    the document dedup family — the same operator a click/beacon
+    pipeline runs before counting.
+
+    Scale shape: ONE ``_pkey`` hash exchange on ``user_id``; the kernel
+    is a sort + one shifted subtraction, no Python loop.  Oracle:
+    ``lag(ts) OVER (PARTITION BY user_id, event_type ...)``."""
+    ev = _read_events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby(PKEY).map_groups(
+        functools.partial(_debounce_kernel, min_gap_us=min_gap_us),
+        batch_format="pyarrow")

@@ -1878,3 +1878,42 @@ def test_hampel_partition_invariance(ray_session):
     b = (a10_hampel_filter(SF, num_partitions=16).to_pandas()
          .sort_values("event_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------------------------- D7 ----
+def test_debounce_matches_pandas(ray_session):
+    from anomalydetection_ray.pipelines.windows import d7_debounce_events
+
+    GAP = 86_400_000_000
+    got = d7_debounce_events(SF, min_gap_us=GAP).to_pandas().set_index("event_id")
+    ev = _events_df().sort_values(["user_id", "event_type", "ts", "event_id"])
+    ts = ev["ts"].astype("int64").to_numpy()
+    prev_ts = np.empty(len(ev), dtype=np.int64)
+    prev_ts[1:] = ts[:-1]
+    prev_ts[0] = -1
+    same = np.zeros(len(ev), dtype=bool)
+    same[1:] = ((ev["user_id"].to_numpy()[1:] == ev["user_id"].to_numpy()[:-1])
+                & (ev["event_type"].to_numpy()[1:] == ev["event_type"].to_numpy()[:-1]))
+    gap = ts - prev_ts
+    dup = same & (gap < GAP)
+    ref = pd.DataFrame({"event_id": ev["event_id"].to_numpy(),
+                        "gap": gap, "same": same, "dup": dup}).set_index("event_id")
+    assert len(got) == len(ref)
+    sel = ref.sample(500, random_state=7) if len(ref) > 500 else ref
+    for eid, row in sel.iterrows():
+        g = got.loc[eid]
+        assert bool(g["is_dup"]) == bool(row["dup"])
+        if row["same"]:
+            assert g["gap_same_type_us"] == row["gap"]
+        else:
+            assert pd.isna(g["gap_same_type_us"])
+
+
+def test_debounce_partition_invariance(ray_session):
+    from anomalydetection_ray.pipelines.windows import d7_debounce_events
+
+    a = (d7_debounce_events(SF, num_partitions=3).to_pandas()
+         .sort_values("event_id").reset_index(drop=True))
+    b = (d7_debounce_events(SF, num_partitions=16).to_pandas()
+         .sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
