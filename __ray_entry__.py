@@ -366,6 +366,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a10_hampel_filter": wnd.a10_hampel_filter,
         # D7 event-level debounce dedup (near-time duplicate suppression)
         "d7_debounce_events": wnd.d7_debounce_events,
+        # W15 period-over-period (day-over-day per type, lag semantics)
+        "w15_period_over_period": wnd.w15_period_over_period,
         # T8 signup-cohort 7-day purchase retention
         "t8_cohort_retention": wnd.t8_cohort_retention,
         # J7 left OUTER join + aggregate (zero-fill for unmatched keys)
@@ -2457,6 +2459,23 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(gap < CAST(86400000000 AS BIGINT), FALSE)
                        AS is_dup
             FROM t
+        """,
+        # W15 period-over-period: grouped day counts + lag() within type;
+        # pct_change = exact int delta / exact int prev, one division
+        "w15_period_over_period": """
+            WITH d AS (
+              SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                     count(*) AS cnt,
+                     CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                          AS BIGINT) AS sum_vq
+              FROM events GROUP BY event_type, day)
+            SELECT event_type, day, cnt, sum_vq,
+                   lag(cnt) OVER w AS prev_cnt,
+                   cnt - lag(cnt) OVER w AS delta_cnt,
+                   day - lag(day) OVER w AS day_gap,
+                   CAST(cnt - lag(cnt) OVER w AS DOUBLE)
+                     / CAST(lag(cnt) OVER w AS DOUBLE) AS pct_change
+            FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)
         """,
         # T8 cohort retention: first-signup anchor + windowed EXISTS
         "t8_cohort_retention": """

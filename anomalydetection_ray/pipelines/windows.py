@@ -1215,3 +1215,83 @@ def d7_debounce_events(sf_dir: str, min_gap_us: int = 86_400_000_000,
     return tagged.groupby(PKEY).map_groups(
         functools.partial(_debounce_kernel, min_gap_us=min_gap_us),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- W15 ----
+DAY_US_W15 = 86_400_000_000
+
+
+def _pop_partial(batch: pa.Table) -> pa.Table:
+    """Per-block partial: (event_type, day) count + quantized value sum
+    via Arrow's C-level group_by — at most ``types * days`` rows leave
+    each block."""
+    ts = _ts_us(batch.column("ts"))
+    value = batch.column("value")
+    if isinstance(value, pa.ChunkedArray):
+        value = value.combine_chunks()
+    vq = np.floor(np.asarray(value, dtype=np.float64) * VSCALE
+                  + 0.5).astype(np.int64)
+    t = pa.table({
+        "event_type": batch.column("event_type"),
+        "day": pa.array(ts // DAY_US_W15, type=pa.int64()),
+        "vq": pa.array(vq, type=pa.int64()),
+    })
+    out = t.group_by(["event_type", "day"]).aggregate(
+        [([], "count_all"), ("vq", "sum")])
+    return pa.table({
+        "event_type": out.column("event_type"),
+        "day": out.column("day"),
+        "cnt": out.column("count_all").cast(pa.int64()),
+        "sum_vq": out.column("vq_sum").cast(pa.int64()),
+    })
+
+
+def _pop_merge(group: pa.Table) -> pa.Table:
+    """Final per-type merge: sum day partials, order by day, then the
+    lag/delta/pct-change columns.  ``pct_change = (cnt - prev) / prev``
+    — exact int numerator/denominator, ONE pinned float division."""
+    t = group.group_by(["event_type", "day"]).aggregate(
+        [("cnt", "sum"), ("sum_vq", "sum")]).sort_by([("day", "ascending")])
+    n = t.num_rows
+    day = np.asarray(t.column("day"), dtype=np.int64)
+    cnt = np.asarray(t.column("cnt_sum"), dtype=np.int64)
+    first = np.zeros(n, dtype=bool)
+    first[0] = True
+    prev = np.empty(n, dtype=np.int64)
+    prev[1:] = cnt[:-1]
+    prev[0] = 0
+    day_gap = np.empty(n, dtype=np.int64)
+    day_gap[1:] = day[1:] - day[:-1]
+    day_gap[0] = 0
+    delta = cnt - prev
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pct = delta.astype(np.float64) / prev.astype(np.float64)
+    return pa.table({
+        "event_type": t.column("event_type"),
+        "day": t.column("day"),
+        "cnt": pa.array(cnt, type=pa.int64()),
+        "sum_vq": pa.array(np.asarray(t.column("sum_vq_sum"),
+                                      dtype=np.int64), type=pa.int64()),
+        "prev_cnt": pa.array(prev, type=pa.int64(), mask=first),
+        "delta_cnt": pa.array(delta, type=pa.int64(), mask=first),
+        "day_gap": pa.array(day_gap, type=pa.int64(), mask=first),
+        "pct_change": pa.array(pct, type=pa.float64(), mask=first),
+    })
+
+
+def w15_period_over_period(sf_dir: str):
+    """W15 — period-over-period comparison: per (event_type, day) counts
+    and exact quantized value sums, with lag-to-previous-observed-day
+    delta and percent change — the report-layer staple next to T7's
+    pivot.  ``prev`` follows SQL ``lag()`` semantics (previous observed
+    day, not calendar-previous; ``day_gap`` exposes holes).
+
+    Scale shape: per-block Arrow group_by partials (≤ types·days rows per
+    block) → one tiny exchange on event_type → per-type vectorized
+    shift.  Oracle: grouped counts + ``lag() OVER (PARTITION BY
+    event_type ORDER BY day)``."""
+    ev = _read_events(sf_dir, ["ts", "event_type", "value"])
+    partials = ev.map_batches(_pop_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return partials.groupby("event_type").map_groups(_pop_merge,
+                                                     batch_format="pyarrow")

@@ -1917,3 +1917,31 @@ def test_debounce_partition_invariance(ray_session):
     b = (d7_debounce_events(SF, num_partitions=16).to_pandas()
          .sort_values("event_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+# --------------------------------------------------------------- W15 ----
+def test_period_over_period_matches_pandas(ray_session):
+    from anomalydetection_ray.pipelines.windows import w15_period_over_period
+
+    got = (w15_period_over_period(SF).to_pandas()
+           .set_index(["event_type", "day"]).sort_index())
+    ev = _events_df()
+    day = (ev["ts"].astype("int64") // 86_400_000_000).to_numpy()
+    vq = np.floor(ev["value"].to_numpy() * VSCALE + 0.5).astype(np.int64)
+    ref = (pd.DataFrame({"event_type": ev["event_type"], "day": day, "vq": vq})
+           .groupby(["event_type", "day"])
+           .agg(cnt=("vq", "size"), sum_vq=("vq", "sum")).sort_index())
+    assert len(got) == len(ref)
+    assert (got["cnt"] == ref["cnt"]).all()
+    assert (got["sum_vq"] == ref["sum_vq"]).all()
+    for et, g in ref.groupby(level=0):
+        c = g["cnt"].to_numpy()
+        days = g.index.get_level_values(1).to_numpy()
+        sub = got.loc[et]
+        assert pd.isna(sub.iloc[0]["prev_cnt"])
+        for i in range(1, len(c)):
+            row = sub.loc[days[i]]
+            assert row["prev_cnt"] == c[i - 1]
+            assert row["delta_cnt"] == c[i] - c[i - 1]
+            assert row["day_gap"] == days[i] - days[i - 1]
+            assert row["pct_change"] == float(c[i] - c[i - 1]) / float(c[i - 1])
