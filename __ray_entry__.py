@@ -194,6 +194,7 @@ def _compact_events(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from anomalydetection_ray.pipelines import bloom as bl
     from anomalydetection_ray.pipelines import dedup as dd
     from anomalydetection_ray.pipelines import kmeans as km
     from anomalydetection_ray.pipelines import multimodal as mm
@@ -368,6 +369,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d7_debounce_events": wnd.d7_debounce_events,
         # W15 period-over-period (day-over-day per type, lag semantics)
         "w15_period_over_period": wnd.w15_period_over_period,
+        # B1 bloom-filter join pruning (bit cells SQL-reproduced)
+        "b1_bloom_semi_join": bl.b1_bloom_semi_join,
         # T8 signup-cohort 7-day purchase retention
         "t8_cohort_retention": wnd.t8_cohort_retention,
         # J7 left OUTER join + aggregate (zero-fill for unmatched keys)
@@ -2459,6 +2462,30 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(gap < CAST(86400000000 AS BIGINT), FALSE)
                        AS is_dup
             FROM t
+        """,
+        # B1 bloom prune: every bit cell is the exact BIGINT expression
+        # ((k * K_j) % 2^32) % 4096; bits shared across hash functions
+        "b1_bloom_semi_join": """
+            WITH big AS (SELECT DISTINCT o_custkey AS k FROM orders
+                         WHERE o_totalprice > 450000.0),
+            bits AS (
+              SELECT (k * 2654435761) % 4294967296 % 4096 AS b FROM big
+              UNION
+              SELECT (k * 2246822519) % 4294967296 % 4096 FROM big
+              UNION
+              SELECT (k * 3266489917) % 4294967296 % 4096 FROM big),
+            c AS (SELECT c_custkey,
+                    ((c_custkey * 2654435761) % 4294967296 % 4096
+                         IN (SELECT b FROM bits)
+                     AND (c_custkey * 2246822519) % 4294967296 % 4096
+                         IN (SELECT b FROM bits)
+                     AND (c_custkey * 3266489917) % 4294967296 % 4096
+                         IN (SELECT b FROM bits)) AS bloom_pass,
+                    c_custkey IN (SELECT k FROM big) AS has_big_order
+                  FROM customer)
+            SELECT c_custkey, bloom_pass, has_big_order,
+                   bloom_pass AND NOT has_big_order AS is_false_positive
+            FROM c
         """,
         # W15 period-over-period: grouped day counts + lag() within type;
         # pct_change = exact int delta / exact int prev, one division

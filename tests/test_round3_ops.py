@@ -1945,3 +1945,34 @@ def test_period_over_period_matches_pandas(ray_session):
             assert row["delta_cnt"] == c[i] - c[i - 1]
             assert row["day_gap"] == days[i] - days[i - 1]
             assert row["pct_change"] == float(c[i] - c[i - 1]) / float(c[i - 1])
+
+
+# ---------------------------------------------------------------- B1 ----
+def test_bloom_semi_join_no_false_negatives(ray_session):
+    import pyarrow.parquet as pq
+    from anomalydetection_ray.pipelines.bloom import (
+        BLOOM_KS, BLOOM_M, b1_bloom_semi_join, bloom_bits_of)
+
+    FLOOR = 450000.0
+    got = b1_bloom_semi_join(SF, price_floor=FLOOR).to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_custkey", "o_totalprice"]).to_pandas()
+    members = set(orders.loc[orders["o_totalprice"] > FLOOR, "o_custkey"])
+    cust = pq.read_table(f"{SF}/customer.parquet",
+                         columns=["c_custkey"]).to_pandas()
+    assert len(got) == len(cust)
+    g = got.set_index("c_custkey")
+    # exact bit-array reference
+    bits = np.zeros(BLOOM_M, dtype=bool)
+    mk = np.array(sorted(members), dtype=np.int64)
+    if len(mk):
+        bits[np.unique(bloom_bits_of(mk))] = True
+    for ck in cust["c_custkey"]:
+        row = g.loc[ck]
+        ref_pass = bool(bits[bloom_bits_of(np.array([ck]))].all())
+        assert bool(row["bloom_pass"]) == ref_pass
+        assert bool(row["has_big_order"]) == (ck in members)
+        # no false negatives, ever
+        if ck in members:
+            assert row["bloom_pass"]
+        assert bool(row["is_false_positive"]) == (ref_pass and ck not in members)
