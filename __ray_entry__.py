@@ -371,6 +371,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w15_period_over_period": wnd.w15_period_over_period,
         # B1 bloom-filter join pruning (bit cells SQL-reproduced)
         "b1_bloom_semi_join": bl.b1_bloom_semi_join,
+        # Z1 z-order (Morton) layout key + per-bucket zone map
+        "z1_zorder_layout": q.z1_zorder_layout,
         # T8 signup-cohort 7-day purchase retention
         "t8_cohort_retention": wnd.t8_cohort_retention,
         # J7 left OUTER join + aggregate (zero-fill for unmatched keys)
@@ -2462,6 +2464,27 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(gap < CAST(86400000000 AS BIGINT), FALSE)
                        AS is_dup
             FROM t
+        """,
+        # Z1 z-order: the bit interleave re-derived as an exact 16-term
+        # BIGINT sum per row; zone map pins every z through sum_z
+        "z1_zorder_layout": """
+            WITH b AS (
+              SELECT user_id % 65536 AS x,
+                     (epoch_us(ts) // 86400000000) % 65536 AS y
+              FROM events),
+            z AS (
+              SELECT x, y,
+                     CAST((SELECT sum(((b.x // (1::BIGINT << CAST(i.i AS INTEGER))) % 2)
+                                          * (1::BIGINT << CAST(2 * i.i AS INTEGER))
+                                      + ((b.y // (1::BIGINT << CAST(i.i AS INTEGER))) % 2)
+                                          * (1::BIGINT << CAST(2 * i.i + 1 AS INTEGER)))
+                           FROM range(16) i(i)) AS BIGINT) AS zval
+              FROM b)
+            SELECT zval // 512 AS bucket, count(*) AS n,
+                   CAST(sum(zval) AS BIGINT) AS sum_z,
+                   min(x) AS min_user, max(x) AS max_user,
+                   min(y) AS min_day, max(y) AS max_day
+            FROM z GROUP BY bucket
         """,
         # B1 bloom prune: every bit cell is the exact BIGINT expression
         # ((k * K_j) % 2^32) % 4096; bits shared across hash functions

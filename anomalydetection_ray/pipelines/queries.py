@@ -2578,3 +2578,84 @@ def g14_skewness(sf_dir: str):
 
     return partials.groupby("event_type").map_groups(
         skew, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- Z1 ----
+def _morton_spread16(v: np.ndarray) -> np.ndarray:
+    """Spread the low 16 bits of each value to the even bit positions
+    (Morton/Z-order encoding, the magic-mask ladder)."""
+    v = v.astype(np.uint64) & np.uint64(0xFFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x33333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x55555555)
+    return v
+
+
+def z1_zorder_layout(sf_dir: str, bucket_shift: int = 9):
+    """Z1 — Z-order (Morton) clustering layout key, the lakehouse
+    ``OPTIMIZE ZORDER BY (user_id, day)`` primitive: interleave the low
+    16 bits of the two dimensions into one locality-preserving sort key,
+    bucket rows by its top bits, and emit the per-bucket ZONE MAP (count,
+    exact z-sum, min/max of both dimensions) — the artifact that shows
+    why the layout prunes: each bucket covers a bounded rectangle of the
+    (user, day) plane, so a predicate on EITHER dimension skips most
+    buckets' files.
+
+    Scale shape: map-only z computation (five mask-shift ops per
+    dimension), per-block Arrow group_by partials (<= n_buckets rows per
+    block), one tiny exchange on bucket.  Oracle: the bit-interleave is
+    re-derived in SQL as an exact 16-term BIGINT sum per row."""
+    import pyarrow.compute as pc
+
+    DAY_US = 86_400_000_000
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        day = (np.asarray(ts.cast(pa.int64())) // DAY_US) % 65536
+        uid = np.asarray(batch.column("user_id").combine_chunks()
+                         if isinstance(batch.column("user_id"), pa.ChunkedArray)
+                         else batch.column("user_id"), dtype=np.int64) % 65536
+        z = (_morton_spread16(uid)
+             | (_morton_spread16(day) << np.uint64(1))).astype(np.int64)
+        t = pa.table({
+            "bucket": pa.array(z >> bucket_shift, type=pa.int64()),
+            "z": pa.array(z, type=pa.int64()),
+            "x": pa.array(uid, type=pa.int64()),
+            "y": pa.array(day.astype(np.int64), type=pa.int64()),
+        })
+        g = t.group_by(["bucket"]).aggregate(
+            [([], "count_all"), ("z", "sum"), ("x", "min"), ("x", "max"),
+             ("y", "min"), ("y", "max")])
+        return pa.table({
+            "bucket": g.column("bucket"),
+            "n": pc.cast(g.column("count_all"), pa.int64()),
+            "sum_z": pc.cast(g.column("z_sum"), pa.int64()),
+            "min_user": g.column("x_min"), "max_user": g.column("x_max"),
+            "min_day": g.column("y_min"), "max_day": g.column("y_max"),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def merge(group: pa.Table) -> pa.Table:
+        return pa.table({
+            "bucket": group.column("bucket").slice(0, 1),
+            "n": pa.array([int(np.asarray(group.column("n")).sum())],
+                          type=pa.int64()),
+            "sum_z": pa.array([int(np.asarray(group.column("sum_z")).sum())],
+                              type=pa.int64()),
+            "min_user": pa.array([int(np.asarray(group.column("min_user")).min())],
+                                 type=pa.int64()),
+            "max_user": pa.array([int(np.asarray(group.column("max_user")).max())],
+                                 type=pa.int64()),
+            "min_day": pa.array([int(np.asarray(group.column("min_day")).min())],
+                                type=pa.int64()),
+            "max_day": pa.array([int(np.asarray(group.column("max_day")).max())],
+                                type=pa.int64()),
+        })
+
+    return partials.groupby("bucket").map_groups(merge, batch_format="pyarrow")

@@ -1976,3 +1976,36 @@ def test_bloom_semi_join_no_false_negatives(ray_session):
         if ck in members:
             assert row["bloom_pass"]
         assert bool(row["is_false_positive"]) == (ref_pass and ck not in members)
+
+
+# ---------------------------------------------------------------- Z1 ----
+def test_zorder_layout_matches_reference(ray_session):
+    from anomalydetection_ray.pipelines.queries import (
+        _morton_spread16, z1_zorder_layout)
+
+    # magic-mask spread == bit-loop reference
+    rng = np.random.default_rng(42)
+    v = rng.integers(0, 65536, 1000, dtype=np.int64)
+    ref = np.zeros(len(v), dtype=np.uint64)
+    for i in range(16):
+        ref |= (((v.astype(np.uint64) >> np.uint64(i)) & np.uint64(1))
+                << np.uint64(2 * i))
+    assert np.array_equal(_morton_spread16(v), ref)
+
+    got = z1_zorder_layout(SF).to_pandas().set_index("bucket").sort_index()
+    ev = _events_df()
+    day = ((ev["ts"].astype("int64") // 86_400_000_000) % 65536).to_numpy()
+    uid = (ev["user_id"].to_numpy() % 65536).astype(np.int64)
+    z = (_morton_spread16(uid)
+         | (_morton_spread16(day) << np.uint64(1))).astype(np.int64)
+    ref_df = (pd.DataFrame({"bucket": z >> 9, "z": z, "x": uid, "y": day})
+              .groupby("bucket")
+              .agg(n=("z", "size"), sum_z=("z", "sum"),
+                   min_user=("x", "min"), max_user=("x", "max"),
+                   min_day=("y", "min"), max_day=("y", "max")).sort_index())
+    assert len(got) == len(ref_df)
+    for c in ref_df.columns:
+        assert (got[c] == ref_df[c]).all(), c
+    # zone-map usefulness: every bucket covers a bounded user rectangle
+    assert ((got["max_user"] - got["min_user"])
+            <= (uid.max() - uid.min())).all()
