@@ -373,6 +373,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "b1_bloom_semi_join": bl.b1_bloom_semi_join,
         # Z1 z-order (Morton) layout key + per-bucket zone map
         "z1_zorder_layout": q.z1_zorder_layout,
+        # T10 column profiler (count / nulls / exact distinct / min-max)
+        "t10_column_profile": q.t10_column_profile,
         # T8 signup-cohort 7-day purchase retention
         "t8_cohort_retention": wnd.t8_cohort_retention,
         # J7 left OUTER join + aggregate (zero-fill for unmatched keys)
@@ -2464,6 +2466,42 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(gap < CAST(86400000000 AS BIGINT), FALSE)
                        AS is_dup
             FROM t
+        """,
+        # T10 column profile: one UNION ALL arm per column; numeric
+        # min/max cast to DOUBLE (magnitudes < 2^53, exact)
+        "t10_column_profile": """
+            SELECT 'event_id' AS "column", count(*) AS n,
+                   count(*) - count(event_id) AS n_null,
+                   count(DISTINCT event_id) AS n_distinct,
+                   CAST(min(event_id) AS DOUBLE) AS min_num,
+                   CAST(max(event_id) AS DOUBLE) AS max_num,
+                   NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str
+            FROM events
+            UNION ALL
+            SELECT 'user_id', count(*), count(*) - count(user_id),
+                   count(DISTINCT user_id),
+                   CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE),
+                   NULL, NULL
+            FROM events
+            UNION ALL
+            SELECT 'value', count(*), count(*) - count(value),
+                   count(DISTINCT value), min(value), max(value), NULL, NULL
+            FROM events
+            UNION ALL
+            SELECT 'ts', count(*), count(*) - count(ts),
+                   count(DISTINCT ts),
+                   CAST(epoch_us(min(ts)) AS DOUBLE),
+                   CAST(epoch_us(max(ts)) AS DOUBLE), NULL, NULL
+            FROM events
+            UNION ALL
+            SELECT 'event_type', count(*), count(*) - count(event_type),
+                   count(DISTINCT event_type), NULL, NULL,
+                   min(event_type), max(event_type)
+            FROM events
+            UNION ALL
+            SELECT 'props', count(*), count(*) - count(props),
+                   count(DISTINCT props), NULL, NULL, min(props), max(props)
+            FROM events
         """,
         # Z1 z-order: the bit interleave re-derived as an exact 16-term
         # BIGINT sum per row; zone map pins every z through sum_z

@@ -2659,3 +2659,141 @@ def z1_zorder_layout(sf_dir: str, bucket_shift: int = 9):
         })
 
     return partials.groupby("bucket").map_groups(merge, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- T10 ----
+def t10_column_profile(sf_dir: str):
+    """T10 — column profiler over the events table: per column, row
+    count, null count, EXACT distinct count, and type-appropriate
+    min/max (numeric columns as DOUBLE — int64 magnitudes here are well
+    under 2**53 so the cast is exact; string columns as VARCHAR, binary
+    collation on ASCII data).  The data-quality surface every ingest
+    runs first.
+
+    Scale shape: two partial streams, both collapse-before-exchange —
+    (a) per-block scalar stats: 6 rows per block; (b) per-block DISTINCT
+    (column, key) pairs (the G11 exact-distinct discipline; the key is
+    an injective string encoding — doubles via their int64 bit pattern,
+    so distinctness transfers).  Union + one tiny groupby(column)
+    coalesces both streams.  Oracle: one UNION ALL arm per column."""
+    import pyarrow.compute as pc
+
+    NUM_COLS = ["event_id", "user_id", "value"]
+    STR_COLS = ["event_type", "props"]
+    ALL = NUM_COLS + ["ts"] + STR_COLS
+    ds = _read(sf_dir, "events", ALL)
+
+    def _num_view(batch: pa.Table, name: str) -> np.ndarray:
+        col = batch.column(name)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if name == "ts":
+            return np.asarray(col.cast(pa.int64()), dtype=np.float64)
+        return np.asarray(col, dtype=np.float64)
+
+    def scalar_partial(batch: pa.Table) -> pa.Table:
+        rows = {"column": [], "n": [], "n_null": [], "min_num": [],
+                "max_num": [], "min_str": [], "max_str": [],
+                "n_distinct": []}
+        for name in ALL:
+            col = batch.column(name)
+            rows["column"].append(name)
+            rows["n"].append(batch.num_rows)
+            rows["n_null"].append(col.null_count)
+            rows["n_distinct"].append(None)
+            if name in STR_COLS:
+                mm = pc.min_max(col)
+                rows["min_num"].append(None)
+                rows["max_num"].append(None)
+                rows["min_str"].append(mm["min"].as_py())
+                rows["max_str"].append(mm["max"].as_py())
+            else:
+                v = _num_view(batch, name)
+                ok = ~np.isnan(v)
+                rows["min_num"].append(float(v[ok].min()) if ok.any() else None)
+                rows["max_num"].append(float(v[ok].max()) if ok.any() else None)
+                rows["min_str"].append(None)
+                rows["max_str"].append(None)
+        return pa.table({
+            "column": pa.array(rows["column"], type=pa.string()),
+            "n": pa.array(rows["n"], type=pa.int64()),
+            "n_null": pa.array(rows["n_null"], type=pa.int64()),
+            "min_num": pa.array(rows["min_num"], type=pa.float64()),
+            "max_num": pa.array(rows["max_num"], type=pa.float64()),
+            "min_str": pa.array(rows["min_str"], type=pa.string()),
+            "max_str": pa.array(rows["max_str"], type=pa.string()),
+            "n_distinct": pa.array(rows["n_distinct"], type=pa.int64()),
+        })
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        cols, keys = [], []
+        for name in ALL:
+            col = batch.column(name)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if name in STR_COLS:
+                k = col.drop_null()
+            else:
+                v = _num_view(batch, name)
+                v = v[~np.isnan(v)]
+                # injective: the double's bit pattern as int64 -> string
+                k = pc.cast(pa.array(v.view(np.int64)), pa.string())
+            u = pc.unique(k)
+            cols.append(pa.array([name] * len(u), type=pa.string()))
+            keys.append(pc.cast(u, pa.string()))
+        return pa.table({"column": pa.concat_arrays(cols),
+                         "key": pa.concat_arrays(keys)})
+
+    scal = ds.map_batches(scalar_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    pairs = ds.map_batches(distinct_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def count_distinct(group: pa.Table) -> pa.Table:
+        u = pc.unique(group.column("key").combine_chunks()
+                      if isinstance(group.column("key"), pa.ChunkedArray)
+                      else group.column("key"))
+        return pa.table({
+            "column": group.column("column").slice(0, 1),
+            "n": pa.array([None], type=pa.int64()),
+            "n_null": pa.array([None], type=pa.int64()),
+            "min_num": pa.array([None], type=pa.float64()),
+            "max_num": pa.array([None], type=pa.float64()),
+            "min_str": pa.array([None], type=pa.string()),
+            "max_str": pa.array([None], type=pa.string()),
+            "n_distinct": pa.array([len(u)], type=pa.int64()),
+        })
+
+    dist = pairs.groupby("column").map_groups(count_distinct,
+                                              batch_format="pyarrow")
+
+    def coalesce(group: pa.Table) -> pa.Table:
+        n = np.asarray(group.column("n"), dtype=np.float64)
+        nn = np.asarray(group.column("n_null"), dtype=np.float64)
+        mn = np.asarray(group.column("min_num"), dtype=np.float64)
+        mx = np.asarray(group.column("max_num"), dtype=np.float64)
+        nd = np.asarray(group.column("n_distinct"), dtype=np.float64)
+        ms = group.column("min_str").drop_null()
+        xs = group.column("max_str").drop_null()
+        has_num = ~np.isnan(mn)
+        return pa.table({
+            "column": group.column("column").slice(0, 1),
+            "n": pa.array([int(np.nansum(n))], type=pa.int64()),
+            "n_null": pa.array([int(np.nansum(nn))], type=pa.int64()),
+            "n_distinct": pa.array([int(np.nansum(nd))], type=pa.int64()),
+            "min_num": pa.array(
+                [float(mn[has_num].min()) if has_num.any() else None],
+                type=pa.float64()),
+            "max_num": pa.array(
+                [float(mx[~np.isnan(mx)].max()) if has_num.any() else None],
+                type=pa.float64()),
+            "min_str": pa.array(
+                [pc.min_max(ms)["min"].as_py() if len(ms) else None],
+                type=pa.string()),
+            "max_str": pa.array(
+                [pc.min_max(xs)["max"].as_py() if len(xs) else None],
+                type=pa.string()),
+        })
+
+    return scal.union(dist).groupby("column").map_groups(
+        coalesce, batch_format="pyarrow")

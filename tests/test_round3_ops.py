@@ -2009,3 +2009,25 @@ def test_zorder_layout_matches_reference(ray_session):
     # zone-map usefulness: every bucket covers a bounded user rectangle
     assert ((got["max_user"] - got["min_user"])
             <= (uid.max() - uid.min())).all()
+
+
+# --------------------------------------------------------------- T10 ----
+def test_column_profile_matches_pandas(ray_session):
+    import pyarrow.parquet as pq
+    from anomalydetection_ray.pipelines.queries import t10_column_profile
+
+    got = t10_column_profile(SF).to_pandas().set_index("column")
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    assert len(got) == 6
+    for c in ["event_id", "user_id", "value", "ts", "event_type", "props"]:
+        row = got.loc[c]
+        assert row["n"] == len(ev)
+        assert row["n_null"] == int(ev[c].isna().sum())
+        assert row["n_distinct"] == ev[c].nunique()
+    assert got.loc["value", "min_num"] == ev["value"].min()
+    assert got.loc["value", "max_num"] == ev["value"].max()
+    assert got.loc["ts", "min_num"] == float(ev["ts"].astype("int64").min())
+    assert got.loc["event_type", "min_str"] == ev["event_type"].min()
+    assert got.loc["props", "max_str"] == ev["props"].max()
+    assert pd.isna(got.loc["event_type", "min_num"])
+    assert pd.isna(got.loc["value", "min_str"])
