@@ -375,6 +375,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "z1_zorder_layout": q.z1_zorder_layout,
         # T10 column profiler (count / nulls / exact distinct / min-max)
         "t10_column_profile": q.t10_column_profile,
+        # W17 market-basket co-occurrence + lift over (user, type) baskets
+        "w17_cooccurrence_lift": wnd.w17_cooccurrence_lift,
         # T8 signup-cohort 7-day purchase retention
         "t8_cohort_retention": wnd.t8_cohort_retention,
         # J7 left OUTER join + aggregate (zero-fill for unmatched keys)
@@ -2466,6 +2468,27 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(gap < CAST(86400000000 AS BIGINT), FALSE)
                        AS is_dup
             FROM t
+        """,
+        # W17 co-occurrence lift: distinct-basket self-join; lift = two
+        # exact int64 products, one pinned division
+        "w17_cooccurrence_lift": """
+            WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+            n AS (SELECT count(DISTINCT user_id) AS nu FROM events),
+            tc AS (SELECT event_type, count(*) AS c FROM b
+                   GROUP BY event_type),
+            p AS (SELECT l.event_type AS type_a, r.event_type AS type_b,
+                         count(*) AS co
+                  FROM b l JOIN b r ON l.user_id = r.user_id
+                                   AND l.event_type < r.event_type
+                  GROUP BY type_a, type_b)
+            SELECT p.type_a, p.type_b, p.co,
+                   ta.c AS count_a, tb.c AS count_b, n.nu AS n_users,
+                   CAST(p.co * n.nu AS DOUBLE)
+                     / CAST(ta.c * tb.c AS DOUBLE) AS lift
+            FROM p
+            JOIN tc ta ON ta.event_type = p.type_a
+            JOIN tc tb ON tb.event_type = p.type_b
+            CROSS JOIN n
         """,
         # T10 column profile: one UNION ALL arm per column; numeric
         # min/max cast to DOUBLE (magnitudes < 2^53, exact)

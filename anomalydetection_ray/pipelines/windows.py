@@ -1295,3 +1295,141 @@ def w15_period_over_period(sf_dir: str):
                               zero_copy_batch=True)
     return partials.groupby("event_type").map_groups(_pop_merge,
                                                      batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- W17 ----
+def _basket_kernel(group: pa.Table) -> pa.Table:
+    """Per-partition basket pass: dedup (user, type) pairs, expand each
+    user's sorted distinct-type set into unordered pairs (a < b), and
+    emit partial counts — pair rows (type_a, type_b, cnt), per-type user
+    counts (type_a, NULL, cnt) and a user-count row ('__users__', NULL,
+    n).  Pair expansion is vectorized per distinct basket SIZE (segments
+    gathered into a (num_seg, L) matrix, triu index pairs taken
+    column-wise), so the only Python loop is over the <= n_types basket
+    sizes."""
+    tbl = group.drop_columns([PKEY]).sort_by(
+        [("user_id", "ascending"), ("event_type", "ascending")])
+    empty = pa.table({
+        "type_a": pa.array([], type=pa.string()),
+        "type_b": pa.array([], type=pa.string()),
+        "cnt": pa.array([], type=pa.int64()),
+    })
+    n = tbl.num_rows
+    if n == 0:
+        return empty
+    uid = np.asarray(tbl.column("user_id"), dtype=np.int64)
+    et = tbl.column("event_type")
+    if isinstance(et, pa.ChunkedArray):
+        et = et.combine_chunks()
+    codes_arr = et.dictionary_encode()
+    codes = np.asarray(codes_arr.indices, dtype=np.int64)
+    vocab = codes_arr.dictionary.to_pylist()
+    # distinct (user, code) rows
+    keep = np.ones(n, dtype=bool)
+    keep[1:] = (uid[1:] != uid[:-1]) | (codes[1:] != codes[:-1])
+    uid, codes = uid[keep], codes[keep]
+    m = len(uid)
+    starts = np.flatnonzero(np.concatenate(([True], uid[1:] != uid[:-1])))
+    lens = np.diff(np.append(starts, m))
+    out_a, out_b = [], []
+    for L in np.unique(lens):
+        if L < 2:
+            continue
+        segs = starts[lens == L]
+        mat = codes[segs[:, None] + np.arange(L)]       # (num_seg, L)
+        ii, jj = np.triu_indices(int(L), k=1)
+        out_a.append(mat[:, ii].ravel())
+        out_b.append(mat[:, jj].ravel())
+    rows_a, rows_b, rows_c = [], [], []
+    if out_a:
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        pairs = pa.table({"type_a": pa.array([vocab[i] for i in a],
+                                             type=pa.string()),
+                          "type_b": pa.array([vocab[i] for i in b],
+                                             type=pa.string())})
+        g = pairs.group_by(["type_a", "type_b"]).aggregate([([], "count_all")])
+        rows_a += g.column("type_a").to_pylist()
+        rows_b += g.column("type_b").to_pylist()
+        rows_c += g.column("count_all").to_pylist()
+    # per-type user counts (distinct by construction within partition)
+    tcodes, tcnt = np.unique(codes, return_counts=True)
+    rows_a += [vocab[i] for i in tcodes]
+    rows_b += [None] * len(tcodes)
+    rows_c += [int(c) for c in tcnt]
+    # partition user count
+    rows_a.append("__users__")
+    rows_b.append(None)
+    rows_c.append(int(len(starts)))
+    return pa.table({"type_a": pa.array(rows_a, type=pa.string()),
+                     "type_b": pa.array(rows_b, type=pa.string()),
+                     "cnt": pa.array(rows_c, type=pa.int64())})
+
+
+def _lift_final(group: pa.Table) -> pa.Table:
+    """Single tiny final group: sum partials, then ``lift = (co * n) /
+    (count_a * count_b)`` — both products exact int64, ONE pinned float
+    division."""
+    t = (group.drop_columns(["_g"])
+         .group_by(["type_a", "type_b"]).aggregate([("cnt", "sum")]))
+    ta = t.column("type_a").to_pylist()
+    tb = t.column("type_b").to_pylist()
+    cnt = np.asarray(t.column("cnt_sum"), dtype=np.int64)
+    singles = {a: int(c) for a, b, c in zip(ta, tb, cnt) if b is None}
+    n_users = singles.pop("__users__")
+    out = {"type_a": [], "type_b": [], "co": [], "count_a": [],
+           "count_b": [], "n_users": [], "lift": []}
+    for a, b, c in zip(ta, tb, cnt):
+        if b is None:
+            continue
+        ca, cb = singles[a], singles[b]
+        out["type_a"].append(a)
+        out["type_b"].append(b)
+        out["co"].append(int(c))
+        out["count_a"].append(ca)
+        out["count_b"].append(cb)
+        out["n_users"].append(n_users)
+        out["lift"].append(float(int(c) * n_users) / float(ca * cb))
+    return pa.table({
+        "type_a": pa.array(out["type_a"], type=pa.string()),
+        "type_b": pa.array(out["type_b"], type=pa.string()),
+        "co": pa.array(out["co"], type=pa.int64()),
+        "count_a": pa.array(out["count_a"], type=pa.int64()),
+        "count_b": pa.array(out["count_b"], type=pa.int64()),
+        "n_users": pa.array(out["n_users"], type=pa.int64()),
+        "lift": pa.array(out["lift"], type=pa.float64()),
+    })
+
+
+def w17_cooccurrence_lift(sf_dir: str, num_partitions: int = 16):
+    """W17 — market-basket co-occurrence with lift: for every unordered
+    event-type pair, how many users exhibit both, and the lift
+    ``P(a,b) / (P(a)P(b))`` — the association-mining staple behind
+    recommendations and feature-interaction audits (Agrawal et al. 1993).
+
+    Scale shape: per-user baskets co-locate under ONE ``_pkey`` exchange
+    on ``user_id``; the kernel collapses its partition to at most
+    ``n_types**2 + n_types + 1`` partial-count rows before the second
+    (tiny) exchange; lift is exact-int arithmetic + one division.
+    Oracle: distinct-basket self-join in SQL."""
+    ev = _read_events(sf_dir, ["user_id", "event_type"])
+
+    def dedup_block(batch: pa.Table) -> pa.Table:
+        # per-block distinct (user, type) before the exchange
+        return batch.group_by(["user_id", "event_type"]).aggregate([])
+
+    slim = ev.map_batches(dedup_block, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    tagged = slim.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    partials = tagged.groupby(PKEY).map_groups(_basket_kernel,
+                                               batch_format="pyarrow")
+
+    def tag_all(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_g", pa.array([0] * batch.num_rows,
+                                                  type=pa.int64()))
+
+    return (partials.map_batches(tag_all, batch_format="pyarrow")
+            .groupby("_g").map_groups(_lift_final, batch_format="pyarrow"))

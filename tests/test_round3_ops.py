@@ -2031,3 +2031,41 @@ def test_column_profile_matches_pandas(ray_session):
     assert got.loc["props", "max_str"] == ev["props"].max()
     assert pd.isna(got.loc["event_type", "min_num"])
     assert pd.isna(got.loc["value", "min_str"])
+
+
+# --------------------------------------------------------------- W17 ----
+def test_cooccurrence_lift_matches_reference(ray_session):
+    from itertools import combinations
+
+    from anomalydetection_ray.pipelines.windows import w17_cooccurrence_lift
+
+    got = (w17_cooccurrence_lift(SF).to_pandas()
+           .set_index(["type_a", "type_b"]).sort_index())
+    ev = _events_df()
+    baskets = ev.groupby("user_id")["event_type"].agg(lambda s: sorted(set(s)))
+    n_users = len(baskets)
+    singles = Counter()
+    pairs = Counter()
+    for b in baskets:
+        for t in b:
+            singles[t] += 1
+        for a, c in combinations(b, 2):
+            pairs[(a, c)] += 1
+    assert len(got) == len(pairs)
+    for (a, b), co in pairs.items():
+        row = got.loc[(a, b)]
+        assert row["co"] == co
+        assert row["count_a"] == singles[a]
+        assert row["count_b"] == singles[b]
+        assert row["n_users"] == n_users
+        assert row["lift"] == float(co * n_users) / float(singles[a] * singles[b])
+
+
+def test_cooccurrence_partition_invariance(ray_session):
+    from anomalydetection_ray.pipelines.windows import w17_cooccurrence_lift
+
+    a = (w17_cooccurrence_lift(SF, num_partitions=3).to_pandas()
+         .sort_values(["type_a", "type_b"]).reset_index(drop=True))
+    b = (w17_cooccurrence_lift(SF, num_partitions=16).to_pandas()
+         .sort_values(["type_a", "type_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
