@@ -377,6 +377,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t10_column_profile": q.t10_column_profile,
         # W17 market-basket co-occurrence + lift over (user, type) baskets
         "w17_cooccurrence_lift": wnd.w17_cooccurrence_lift,
+        # T11 Benford first-digit audit (fraud/synthetic-data screen)
+        "t11_benford_digits": q.t11_benford_digits,
         # T8 signup-cohort 7-day purchase retention
         "t8_cohort_retention": wnd.t8_cohort_retention,
         # J7 left OUTER join + aggregate (zero-fill for unmatched keys)
@@ -2468,6 +2470,33 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(gap < CAST(86400000000 AS BIGINT), FALSE)
                        AS is_dup
             FROM t
+        """,
+        # T11 Benford: digit from the exact cents integer's decimal
+        # string; float tail pinned (same libm log10 both sides)
+        "t11_benford_digits": """
+            WITH d AS (
+              SELECT event_type,
+                     CAST(substr(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                                      AS VARCHAR), 1, 1) AS BIGINT) AS digit
+              FROM events),
+            c AS (SELECT event_type, digit, count(*) AS n
+                  FROM d GROUP BY event_type, digit),
+            t AS (SELECT event_type,
+                         CAST(sum(n) AS BIGINT) AS total FROM c
+                  GROUP BY event_type)
+            SELECT c.event_type, c.digit, c.n, t.total,
+                   CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS obs_frac,
+                   log10(1.0 + 1.0 / CAST(c.digit AS DOUBLE)) AS exp_frac,
+                   (CAST(c.n AS DOUBLE)
+                      - CAST(t.total AS DOUBLE)
+                        * log10(1.0 + 1.0 / CAST(c.digit AS DOUBLE)))
+                   * (CAST(c.n AS DOUBLE)
+                      - CAST(t.total AS DOUBLE)
+                        * log10(1.0 + 1.0 / CAST(c.digit AS DOUBLE)))
+                   / (CAST(t.total AS DOUBLE)
+                      * log10(1.0 + 1.0 / CAST(c.digit AS DOUBLE)))
+                       AS chi2_term
+            FROM c JOIN t ON t.event_type = c.event_type
         """,
         # W17 co-occurrence lift: distinct-basket self-join; lift = two
         # exact int64 products, one pinned division

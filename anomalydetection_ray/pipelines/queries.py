@@ -2797,3 +2797,74 @@ def t10_column_profile(sf_dir: str):
 
     return scal.union(dist).groupby("column").map_groups(
         coalesce, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- T11 ----
+def t11_benford_digits(sf_dir: str):
+    """T11 — Benford first-significant-digit audit per event_type: the
+    fraud/synthetic-data screen (Benford 1938; Nigrini 2012).  For each
+    (type, digit) cell: observed count, observed fraction, Benford's
+    expected fraction ``log10(1 + 1/d)``, and the chi-square contribution
+    ``(obs - exp_n)^2 / exp_n``.
+
+    Exactness: the first digit comes from the DECIMAL STRING of the
+    exact cents integer ``floor(value*100 + 0.5)`` (Arrow C-level cast +
+    slice on the engine side, ``substr(CAST(... AS VARCHAR), 1, 1)`` in
+    SQL — no float log10 on data values anywhere).  Counts are exact
+    ints; the float tail (expected fraction, chi2) is a pinned sequence
+    of scalar libm ops identical on both sides.
+
+    Scale shape: per-block Arrow group_by partials (<= types*9 rows per
+    block), one tiny exchange on event_type."""
+    import math
+
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("value")
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        cents = np.floor(np.asarray(v, dtype=np.float64) * 100.0
+                         + 0.5).astype(np.int64)
+        digit = pc.utf8_slice_codeunits(
+            pc.cast(pa.array(cents), pa.string()), 0, 1)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "digit": digit})
+        g = t.group_by(["event_type", "digit"]).aggregate([([], "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "digit": g.column("digit"),
+                         "n": pc.cast(g.column("count_all"), pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def finish(group: pa.Table) -> pa.Table:
+        t = group.group_by(["event_type", "digit"]).aggregate([("n", "sum")])
+        t = t.sort_by([("digit", "ascending")])
+        n = np.asarray(t.column("n_sum"), dtype=np.int64)
+        total = int(n.sum())
+        digits = [int(d) for d in t.column("digit").to_pylist()]
+        # pinned scalar float tail (math.log10 == DuckDB log10, same libm)
+        exp_frac = [math.log10(1.0 + 1.0 / d) for d in digits]
+        obs_frac = [float(c) / float(total) for c in n]
+        chi2 = []
+        for c, ef in zip(n, exp_frac):
+            exp_n = float(total) * ef
+            diff = float(c) - exp_n
+            chi2.append(diff * diff / exp_n)
+        return pa.table({
+            "event_type": pa.array(
+                [t.column("event_type")[0].as_py()] * len(n),
+                type=pa.string()),
+            "digit": pa.array(digits, type=pa.int64()),
+            "n": pa.array(n, type=pa.int64()),
+            "total": pa.array([total] * len(n), type=pa.int64()),
+            "obs_frac": pa.array(obs_frac, type=pa.float64()),
+            "exp_frac": pa.array(exp_frac, type=pa.float64()),
+            "chi2_term": pa.array(chi2, type=pa.float64()),
+        })
+
+    return partials.groupby("event_type").map_groups(finish,
+                                                     batch_format="pyarrow")

@@ -2069,3 +2069,30 @@ def test_cooccurrence_partition_invariance(ray_session):
     b = (w17_cooccurrence_lift(SF, num_partitions=16).to_pandas()
          .sort_values(["type_a", "type_b"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+# --------------------------------------------------------------- T11 ----
+def test_benford_digits_matches_pandas(ray_session):
+    import math
+
+    from anomalydetection_ray.pipelines.queries import t11_benford_digits
+
+    got = (t11_benford_digits(SF).to_pandas()
+           .set_index(["event_type", "digit"]).sort_index())
+    ev = _events_df()
+    cents = np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    digit = np.array([int(str(c)[0]) for c in cents])
+    ref = (pd.DataFrame({"event_type": ev["event_type"], "digit": digit})
+           .groupby(["event_type", "digit"]).size())
+    assert len(got) == len(ref)
+    totals = ref.groupby(level=0).sum()
+    for (et, d), n in ref.items():
+        row = got.loc[(et, d)]
+        total = totals[et]
+        assert row["n"] == n
+        assert row["total"] == total
+        assert row["obs_frac"] == float(n) / float(total)
+        ef = math.log10(1.0 + 1.0 / d)
+        assert row["exp_frac"] == ef
+        exp_n = float(total) * ef
+        assert row["chi2_term"] == (float(n) - exp_n) ** 2 / exp_n
