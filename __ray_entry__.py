@@ -379,6 +379,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w17_cooccurrence_lift": wnd.w17_cooccurrence_lift,
         # T11 Benford first-digit audit (fraud/synthetic-data screen)
         "t11_benford_digits": q.t11_benford_digits,
+        # G15 per-type user-concentration entropy (pinned fold)
+        "g15_user_entropy": q.g15_user_entropy,
         # T8 signup-cohort 7-day purchase retention
         "t8_cohort_retention": wnd.t8_cohort_retention,
         # J7 left OUTER join + aggregate (zero-fill for unmatched keys)
@@ -2470,6 +2472,32 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(gap < CAST(86400000000 AS BIGINT), FALSE)
                        AS is_dup
             FROM t
+        """,
+        # G15 entropy: exact counts; float tail reproduced term-by-term
+        # in user_id order via list_reduce with a prepended 0.0 seed
+        "g15_user_entropy": """
+            WITH c AS (SELECT event_type, user_id, count(*) AS n
+                       FROM events GROUP BY event_type, user_id),
+            t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total,
+                         count(*) AS n_users
+                  FROM c GROUP BY event_type),
+            f AS (SELECT c.event_type,
+                         any_value(t.total) AS total,
+                         any_value(t.n_users) AS n_users,
+                         list(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE)
+                              * ln(CAST(c.n AS DOUBLE)
+                                   / CAST(t.total AS DOUBLE))
+                              ORDER BY c.user_id) AS xs
+                  FROM c JOIN t USING (event_type)
+                  GROUP BY c.event_type)
+            SELECT event_type, total, n_users,
+                   -list_reduce(list_prepend(0.0, xs),
+                                (a, b) -> a + b) AS entropy,
+                   CASE WHEN n_users > 1 THEN
+                     -list_reduce(list_prepend(0.0, xs), (a, b) -> a + b)
+                       / ln(CAST(n_users AS DOUBLE))
+                   END AS norm_entropy
+            FROM f
         """,
         # T11 Benford: digit from the exact cents integer's decimal
         # string; float tail pinned (same libm log10 both sides)

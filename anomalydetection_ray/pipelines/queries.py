@@ -2868,3 +2868,57 @@ def t11_benford_digits(sf_dir: str):
 
     return partials.groupby("event_type").map_groups(finish,
                                                      batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- G15 ----
+def g15_user_entropy(sf_dir: str):
+    """G15 — Shannon entropy of the per-type user distribution: how
+    concentrated each event type's volume is across users (low entropy =
+    a few users dominate — the bot/abuse screen next to T11's Benford
+    audit).  ``H = -sum p_u ln p_u`` over users, plus the normalized
+    ``H / ln(n_users)``.
+
+    Exactness: counts are exact ints (per-block Arrow group_by partials,
+    <= types*users rows per block); the float tail is a PINNED sequential
+    fold in user_id order — each term ``(n/total) * ln(n/total)`` is the
+    same libm sequence DuckDB evaluates, and the oracle reproduces the
+    exact summation order with ``list_reduce(list_prepend(0.0,
+    list(... ORDER BY user_id)))``."""
+    import math
+
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type", "user_id"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "user_id": g.column("user_id"),
+                         "n": pc.cast(g.column("count_all"), pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def finish(group: pa.Table) -> pa.Table:
+        t = (group.group_by(["event_type", "user_id"])
+             .aggregate([("n", "sum")]).sort_by([("user_id", "ascending")]))
+        n = np.asarray(t.column("n_sum"), dtype=np.int64)
+        total = int(n.sum())
+        acc = 0.0
+        for c in n:                       # tiny: one term per user
+            p = float(int(c)) / float(total)
+            acc = acc + p * math.log(p)
+        ent = -acc
+        nu = len(n)
+        norm = ent / math.log(float(nu)) if nu > 1 else None
+        return pa.table({
+            "event_type": t.column("event_type").slice(0, 1),
+            "total": pa.array([total], type=pa.int64()),
+            "n_users": pa.array([nu], type=pa.int64()),
+            "entropy": pa.array([ent], type=pa.float64()),
+            "norm_entropy": pa.array([norm], type=pa.float64()),
+        })
+
+    return partials.groupby("event_type").map_groups(finish,
+                                                     batch_format="pyarrow")

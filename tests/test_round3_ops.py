@@ -2096,3 +2096,27 @@ def test_benford_digits_matches_pandas(ray_session):
         assert row["exp_frac"] == ef
         exp_n = float(total) * ef
         assert row["chi2_term"] == (float(n) - exp_n) ** 2 / exp_n
+
+
+# --------------------------------------------------------------- G15 ----
+def test_user_entropy_matches_reference(ray_session):
+    import math
+
+    from anomalydetection_ray.pipelines.queries import g15_user_entropy
+
+    got = g15_user_entropy(SF).to_pandas().set_index("event_type")
+    ev = _events_df()
+    for et, g in ev.groupby("event_type"):
+        counts = g.groupby("user_id").size().sort_index()
+        total = int(counts.sum())
+        acc = 0.0
+        for c in counts:
+            p = float(int(c)) / float(total)
+            acc = acc + p * math.log(p)
+        row = got.loc[et]
+        assert row["total"] == total
+        assert row["n_users"] == len(counts)
+        assert row["entropy"] == -acc
+        assert row["norm_entropy"] == -acc / math.log(float(len(counts)))
+        # entropy bounded by ln(n_users)
+        assert 0.0 <= row["norm_entropy"] <= 1.0 + 1e-12
