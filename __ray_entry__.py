@@ -381,6 +381,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t11_benford_digits": q.t11_benford_digits,
         # G15 per-type user-concentration entropy (pinned fold)
         "g15_user_entropy": q.g15_user_entropy,
+        # W18 LTTB visual downsample (bucket-mean anchors, exact int64)
+        "w18_lttb_downsample": wnd.w18_lttb_downsample,
         # T8 signup-cohort 7-day purchase retention
         "t8_cohort_retention": wnd.t8_cohort_retention,
         # J7 left OUTER join + aggregate (zero-fill for unmatched keys)
@@ -2472,6 +2474,50 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(gap < CAST(86400000000 AS BIGINT), FALSE)
                        AS is_dup
             FROM t
+        """,
+        # W18 LTTB: exact int64 triangle scores; interior winner by
+        # row_number(score desc, seq); edges keep first/last points
+        "w18_lttb_downsample": """
+            WITH base AS (
+              SELECT user_id, event_id,
+                     (epoch_us(ts) - min(epoch_us(ts)) OVER
+                          (PARTITION BY user_id)) // 1000000 AS x,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS y,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) - 1 AS seq,
+                     count(*) OVER (PARTITION BY user_id) AS n
+              FROM events),
+            b AS (SELECT *, seq // 5 AS bucket,
+                         (n + 4) // 5 AS n_buckets FROM base),
+            bs AS (SELECT user_id, bucket, count(*) AS cnt,
+                          CAST(sum(x) AS BIGINT) AS sx,
+                          CAST(sum(y) AS BIGINT) AS sy
+                   FROM b GROUP BY user_id, bucket),
+            scored AS (
+              SELECT b.user_id, b.bucket, b.event_id, b.x, b.y, b.seq,
+                     abs((l.sx - b.x * l.cnt) * (r.sy - b.y * r.cnt)
+                       - (r.sx - b.x * r.cnt) * (l.sy - b.y * l.cnt))
+                         AS score
+              FROM b
+              JOIN bs l ON l.user_id = b.user_id AND l.bucket = b.bucket - 1
+              JOIN bs r ON r.user_id = b.user_id AND r.bucket = b.bucket + 1),
+            interior AS (
+              SELECT user_id, bucket, event_id, x, y, score,
+                     row_number() OVER (PARTITION BY user_id, bucket
+                                        ORDER BY score DESC, seq) AS rn
+              FROM scored),
+            edges AS (
+              SELECT user_id, bucket, event_id, x, y,
+                     NULL::BIGINT AS score,
+                     row_number() OVER (PARTITION BY user_id, bucket
+                         ORDER BY CASE WHEN bucket = 0 THEN seq
+                                       ELSE -seq END) AS rn
+              FROM b WHERE bucket = 0 OR bucket = n_buckets - 1)
+            SELECT user_id, bucket, event_id, x, y, score
+            FROM interior WHERE rn = 1
+            UNION ALL
+            SELECT user_id, bucket, event_id, x, y, score
+            FROM edges WHERE rn = 1
         """,
         # G15 entropy: exact counts; float tail reproduced term-by-term
         # in user_id order via list_reduce with a prepended 0.0 seed

@@ -1433,3 +1433,116 @@ def w17_cooccurrence_lift(sf_dir: str, num_partitions: int = 16):
 
     return (partials.map_batches(tag_all, batch_format="pyarrow")
             .groupby("_g").map_groups(_lift_final, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------- W18 ----
+def _lttb_kernel(group: pa.Table, bucket_pts: int) -> pa.Table:
+    """Per-partition LTTB downsample (bucket-mean-anchor variant).  For
+    each user's (ts, event_id)-ordered series, split into buckets of
+    ``bucket_pts`` points; the first/last buckets keep the series'
+    first/last point, every interior bucket keeps the point forming the
+    LARGEST TRIANGLE with the neighbor buckets' mean points.
+
+    All geometry is EXACT int64: x = seconds since the user's first
+    event, y = value cents; the triangle area (doubled, scaled by
+    ``n_left * n_right``) is
+    ``|(SXl - x*nl)*(SYr - y*nr) - (SXr - x*nr)*(SYl - y*nl)|`` —
+    integer products well under 2**63 at these magnitudes.  The winner
+    per bucket is argmax(score) with min-seq tiebreak, found by ONE
+    lexsort + run-take (no Python loop over rows)."""
+    group = group.drop_columns([PKEY]).sort_by(
+        [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")])
+    n = group.num_rows
+    empty = pa.table({
+        "user_id": pa.array([], type=pa.int64()),
+        "bucket": pa.array([], type=pa.int64()),
+        "event_id": pa.array([], type=pa.int64()),
+        "x": pa.array([], type=pa.int64()),
+        "y": pa.array([], type=pa.int64()),
+        "score": pa.array([], type=pa.int64()),
+    })
+    if n == 0:
+        return empty
+    uid = np.asarray(group.column("user_id"), dtype=np.int64)
+    eid = np.asarray(group.column("event_id"), dtype=np.int64)
+    ts = _ts_us(group.column("ts"))
+    value = group.column("value")
+    if isinstance(value, pa.ChunkedArray):
+        value = value.combine_chunks()
+    y = np.floor(np.asarray(value, dtype=np.float64) * 100.0
+                 + 0.5).astype(np.int64)
+    starts = run_starts(group, ["user_id"])
+    lens = np.diff(np.append(starts, n))
+    seq = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+    x = (ts - np.repeat(ts[starts], lens)) // 1_000_000
+    bucket = seq // bucket_pts
+    nb_user = (lens + bucket_pts - 1) // bucket_pts
+
+    # global bucket runs: change on new user or new bucket
+    chg = np.ones(n, dtype=bool)
+    chg[1:] = (uid[1:] != uid[:-1]) | (bucket[1:] != bucket[:-1])
+    bstarts = np.flatnonzero(chg)
+    g = np.cumsum(chg) - 1                       # row -> global bucket id
+    cnt = np.diff(np.append(bstarts, n))
+    sx = np.add.reduceat(x, bstarts)
+    sy = np.add.reduceat(y, bstarts)
+
+    nb_row = np.repeat(nb_user, lens)
+    interior = (bucket > 0) & (bucket < nb_row - 1)
+    out_rows = []
+    if interior.any():
+        gi = g[interior]
+        xi, yi = x[interior], y[interior]
+        nl, nr = cnt[gi - 1], cnt[gi + 1]
+        score = np.abs((sx[gi - 1] - xi * nl) * (sy[gi + 1] - yi * nr)
+                       - (sx[gi + 1] - xi * nr) * (sy[gi - 1] - yi * nl))
+        order = np.lexsort((seq[interior], -score, gi))
+        win_pos = order[np.concatenate(
+            ([True], gi[order][1:] != gi[order][:-1]))]
+        idx = np.flatnonzero(interior)[win_pos]
+        out_rows.append(pa.table({
+            "user_id": pa.array(uid[idx], type=pa.int64()),
+            "bucket": pa.array(bucket[idx], type=pa.int64()),
+            "event_id": pa.array(eid[idx], type=pa.int64()),
+            "x": pa.array(x[idx], type=pa.int64()),
+            "y": pa.array(y[idx], type=pa.int64()),
+            "score": pa.array(score[win_pos], type=pa.int64()),
+        }))
+    # edges: first point of the first bucket, last point of the last
+    firsts = starts
+    lasts = starts + lens - 1
+    single = nb_user == 1
+    edge_idx = np.concatenate([firsts, lasts[~single]])
+    out_rows.append(pa.table({
+        "user_id": pa.array(uid[edge_idx], type=pa.int64()),
+        "bucket": pa.array(bucket[edge_idx], type=pa.int64()),
+        "event_id": pa.array(eid[edge_idx], type=pa.int64()),
+        "x": pa.array(x[edge_idx], type=pa.int64()),
+        "y": pa.array(y[edge_idx], type=pa.int64()),
+        "score": pa.array([None] * len(edge_idx), type=pa.int64()),
+    }))
+    return pa.concat_tables(out_rows)
+
+
+def w18_lttb_downsample(sf_dir: str, bucket_pts: int = 5,
+                        num_partitions: int = 16):
+    """W18 — LTTB downsample (Steinarsson 2013, "Downsampling time
+    series for visual representation"), bucket-mean-anchor variant: keep
+    one visually-maximal point per bucket so a dashboard plots thousands
+    of points instead of billions — the read-side sibling of the W4 OHLC
+    downsample.  The anchor simplification (neighbor bucket MEANS rather
+    than the previously-selected point) removes LTTB's sequential
+    dependency, so the kernel is fully parallel AND the whole selection
+    is SQL-expressible.
+
+    Scale shape: ONE ``_pkey`` exchange on ``user_id``; per-partition
+    kernel = reduceat bucket sums + one lexsort.  Exact int64 geometry
+    throughout — the oracle reproduces every score."""
+    ev = _read_events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby(PKEY).map_groups(
+        functools.partial(_lttb_kernel, bucket_pts=bucket_pts),
+        batch_format="pyarrow")

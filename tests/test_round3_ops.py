@@ -2120,3 +2120,53 @@ def test_user_entropy_matches_reference(ray_session):
         assert row["norm_entropy"] == -acc / math.log(float(len(counts)))
         # entropy bounded by ln(n_users)
         assert 0.0 <= row["norm_entropy"] <= 1.0 + 1e-12
+
+
+# --------------------------------------------------------------- W18 ----
+def test_lttb_downsample_matches_reference(ray_session):
+    from anomalydetection_ray.pipelines.windows import w18_lttb_downsample
+
+    B = 5
+    got = (w18_lttb_downsample(SF, bucket_pts=B).to_pandas()
+           .set_index(["user_id", "bucket"]).sort_index())
+    ev = _events_df().sort_values(["user_id", "ts", "event_id"])
+    total_rows = 0
+    for uid, g in ev.groupby("user_id", sort=False):
+        ts = g["ts"].astype("int64").to_numpy()
+        x = (ts - ts[0]) // 1_000_000
+        y = np.floor(g["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        n = len(g)
+        nb = (n + B - 1) // B
+        for b in range(nb):
+            lo, hi = b * B, min((b + 1) * B, n)
+            row = got.loc[(uid, b)]
+            total_rows += 1
+            if b == 0:
+                assert row["event_id"] == eid[0] and pd.isna(row["score"])
+            elif b == nb - 1:
+                assert row["event_id"] == eid[n - 1] and pd.isna(row["score"])
+            else:
+                sl = slice((b - 1) * B, b * B)
+                sr = slice((b + 1) * B, min((b + 2) * B, n))
+                sxl, syl, nl = int(x[sl].sum()), int(y[sl].sum()), len(x[sl])
+                sxr, syr, nr = int(x[sr].sum()), int(y[sr].sum()), len(x[sr])
+                best, best_i = -1, None
+                for i in range(lo, hi):
+                    s = abs((sxl - int(x[i]) * nl) * (syr - int(y[i]) * nr)
+                            - (sxr - int(x[i]) * nr) * (syl - int(y[i]) * nl))
+                    if s > best:
+                        best, best_i = s, i
+                assert row["event_id"] == eid[best_i]
+                assert row["score"] == best
+    assert len(got) == total_rows
+
+
+def test_lttb_partition_invariance(ray_session):
+    from anomalydetection_ray.pipelines.windows import w18_lttb_downsample
+
+    a = (w18_lttb_downsample(SF, num_partitions=3).to_pandas()
+         .sort_values(["user_id", "bucket"]).reset_index(drop=True))
+    b = (w18_lttb_downsample(SF, num_partitions=16).to_pandas()
+         .sort_values(["user_id", "bucket"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
