@@ -383,6 +383,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g15_user_entropy": q.g15_user_entropy,
         # W18 LTTB visual downsample (bucket-mean anchors, exact int64)
         "w18_lttb_downsample": wnd.w18_lttb_downsample,
+        # U2 SCD type-2 validity-interval history build
+        "u2_scd2_intervals": wnd.u2_scd2_intervals,
+        # W19 per-user ntile quartile binning
+        "w19_ntile_quartiles": wnd.w19_ntile_quartiles,
         # T8 signup-cohort 7-day purchase retention
         "t8_cohort_retention": wnd.t8_cohort_retention,
         # J7 left OUTER join + aggregate (zero-fill for unmatched keys)
@@ -2474,6 +2478,24 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(gap < CAST(86400000000 AS BIGINT), FALSE)
                        AS is_dup
             FROM t
+        """,
+        # W19 ntile: SQL ntile(4) under the (value, event_id) order
+        "w19_ntile_quartiles": """
+            SELECT event_id, user_id, value,
+                   CAST(ntile(4) OVER (PARTITION BY user_id
+                                       ORDER BY value, event_id)
+                        AS BIGINT) AS tile
+            FROM events
+        """,
+        # U2 SCD-2: lead(ts) closes each interval; last row stays open
+        "u2_scd2_intervals": """
+            SELECT user_id, event_id, value,
+                   row_number() OVER w AS version,
+                   epoch_us(ts) AS valid_from_us,
+                   epoch_us(lead(ts) OVER w) AS valid_to_us,
+                   (lead(ts) OVER w IS NULL) AS is_current
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         # W18 LTTB: exact int64 triangle scores; interior winner by
         # row_number(score desc, seq); edges keep first/last points

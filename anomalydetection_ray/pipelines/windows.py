@@ -1546,3 +1546,114 @@ def w18_lttb_downsample(sf_dir: str, bucket_pts: int = 5,
     return tagged.groupby(PKEY).map_groups(
         functools.partial(_lttb_kernel, bucket_pts=bucket_pts),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- U2 ----
+def _scd2_kernel(group: pa.Table) -> pa.Table:
+    """Per-partition SCD type-2 build: each user's (ts, event_id)-ordered
+    value stream becomes validity intervals — ``valid_from`` = the row's
+    ts, ``valid_to`` = the NEXT row's ts (NULL on the current row),
+    ``version`` = per-user sequence, ``is_current`` on the last row.
+    One vectorized shift, no Python loop."""
+    group = group.drop_columns([PKEY]).sort_by(
+        [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")])
+    n = group.num_rows
+    if n == 0:
+        return pa.table({
+            "user_id": pa.array([], type=pa.int64()),
+            "event_id": pa.array([], type=pa.int64()),
+            "value": pa.array([], type=pa.float64()),
+            "version": pa.array([], type=pa.int64()),
+            "valid_from_us": pa.array([], type=pa.int64()),
+            "valid_to_us": pa.array([], type=pa.int64()),
+            "is_current": pa.array([], type=pa.bool_()),
+        })
+    starts = run_starts(group, ["user_id"])
+    lens = np.diff(np.append(starts, n))
+    seq = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+    ts = _ts_us(group.column("ts"))
+    last = np.zeros(n, dtype=bool)
+    last[starts + lens - 1] = True
+    nxt = np.empty(n, dtype=np.int64)
+    nxt[:-1] = ts[1:]
+    nxt[-1] = 0
+    return pa.table({
+        "user_id": group.column("user_id"),
+        "event_id": group.column("event_id"),
+        "value": group.column("value"),
+        "version": pa.array(seq + 1, type=pa.int64()),
+        "valid_from_us": pa.array(ts, type=pa.int64()),
+        "valid_to_us": pa.array(nxt, type=pa.int64(), mask=last),
+        "is_current": pa.array(last, type=pa.bool_()),
+    })
+
+
+def u2_scd2_intervals(sf_dir: str, num_partitions: int = 16):
+    """U2 — slowly-changing-dimension type-2 history build: turn a
+    change-event stream into validity intervals (valid_from, valid_to,
+    version, is_current) per key — the lakehouse dimension-table staple
+    next to U1's last-writer-wins upsert.  A point-in-time lookup then
+    becomes a range predicate (J4's as-of join consumes exactly this
+    shape).
+
+    Scale shape: ONE ``_pkey`` exchange on ``user_id``, one vectorized
+    shift per partition.  Oracle: ``lead(ts)``/``row_number()`` window
+    functions."""
+    ev = _read_events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby(PKEY).map_groups(_scd2_kernel,
+                                           batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- W19 ----
+def _ntile_kernel(group: pa.Table, k: int) -> pa.Table:
+    """Per-partition ntile: within each user (ordered by value,
+    event_id), assign 1..k tiles with SQL ntile() sizing — the first
+    ``n % k`` tiles get ``n // k + 1`` rows, the rest ``n // k``.
+    Vectorized closed form, no loop."""
+    group = group.drop_columns([PKEY]).sort_by(
+        [("user_id", "ascending"), ("value", "ascending"),
+         ("event_id", "ascending")])
+    n = group.num_rows
+    if n == 0:
+        return pa.table({
+            "event_id": pa.array([], type=pa.int64()),
+            "user_id": pa.array([], type=pa.int64()),
+            "value": pa.array([], type=pa.float64()),
+            "tile": pa.array([], type=pa.int64()),
+        })
+    starts = run_starts(group, ["user_id"])
+    lens = np.diff(np.append(starts, n))
+    i = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+    ln = np.repeat(lens, lens)
+    size = ln // k
+    rem = ln % k
+    cut = rem * (size + 1)
+    big = i < cut
+    tile = np.where(big, i // np.maximum(size + 1, 1),
+                    rem + (i - cut) // np.maximum(size, 1)) + 1
+    return pa.table({
+        "event_id": group.column("event_id"),
+        "user_id": group.column("user_id"),
+        "value": group.column("value"),
+        "tile": pa.array(tile, type=pa.int64()),
+    })
+
+
+def w19_ntile_quartiles(sf_dir: str, k: int = 4, num_partitions: int = 16):
+    """W19 — per-key ntile binning (quartile feature transform): each
+    user's values split into k equal-count tiles under the deterministic
+    (value, event_id) order — the bucketed sibling of W6's percent-rank
+    normalize.  Scale shape: the standard ONE ``_pkey`` exchange on
+    ``user_id``.  Oracle: SQL ``ntile(k)`` (sizing semantics reproduced
+    in closed form)."""
+    ev = _read_events(sf_dir, ["event_id", "user_id", "value"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby(PKEY).map_groups(
+        functools.partial(_ntile_kernel, k=k), batch_format="pyarrow")

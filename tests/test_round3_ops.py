@@ -2170,3 +2170,47 @@ def test_lttb_partition_invariance(ray_session):
     b = (w18_lttb_downsample(SF, num_partitions=16).to_pandas()
          .sort_values(["user_id", "bucket"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------------------------- U2 ----
+def test_scd2_intervals_matches_pandas(ray_session):
+    from anomalydetection_ray.pipelines.windows import u2_scd2_intervals
+
+    got = u2_scd2_intervals(SF).to_pandas().set_index("event_id")
+    ev = _events_df().sort_values(["user_id", "ts", "event_id"])
+    for uid, g in list(ev.groupby("user_id", sort=False))[:30]:
+        ts = g["ts"].astype("int64").to_numpy()
+        eid = g["event_id"].to_numpy()
+        for i in range(len(g)):
+            row = got.loc[eid[i]]
+            assert row["version"] == i + 1
+            assert row["valid_from_us"] == ts[i]
+            if i + 1 < len(g):
+                assert row["valid_to_us"] == ts[i + 1]
+                assert not row["is_current"]
+            else:
+                assert pd.isna(row["valid_to_us"])
+                assert row["is_current"]
+    # intervals per user tile the timeline: one current row per user
+    cur = got.groupby("user_id")["is_current"].sum()
+    assert (cur == 1).all()
+
+
+# --------------------------------------------------------------- W19 ----
+def test_ntile_matches_reference(ray_session):
+    from anomalydetection_ray.pipelines.windows import w19_ntile_quartiles
+
+    K = 4
+    got = w19_ntile_quartiles(SF, k=K).to_pandas().set_index("event_id")
+    ev = _events_df().sort_values(["user_id", "value", "event_id"])
+    for uid, g in ev.groupby("user_id", sort=False):
+        n = len(g)
+        size, rem = divmod(n, K)
+        eid = g["event_id"].to_numpy()
+        pos = 0
+        for t in range(1, K + 1):
+            w = size + (1 if t <= rem else 0)
+            for _ in range(w):
+                assert got.loc[eid[pos], "tile"] == t
+                pos += 1
+        assert pos == n
