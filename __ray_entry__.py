@@ -387,6 +387,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "u2_scd2_intervals": wnd.u2_scd2_intervals,
         # W19 per-user ntile quartile binning
         "w19_ntile_quartiles": wnd.w19_ntile_quartiles,
+        # J9 interval coalescing (busy islands per day)
+        "j9_interval_coalesce": wnd.j9_interval_coalesce,
         # T8 signup-cohort 7-day purchase retention
         "t8_cohort_retention": wnd.t8_cohort_retention,
         # J7 left OUTER join + aggregate (zero-fill for unmatched keys)
@@ -2478,6 +2480,30 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(gap < CAST(86400000000 AS BIGINT), FALSE)
                        AS is_dup
             FROM t
+        """,
+        # J9 interval coalesce: classic gaps-and-islands over intervals
+        # (break when lo clears the running max of prior his)
+        "j9_interval_coalesce": """
+            WITH iv AS (SELECT event_id, epoch_us(ts) AS lo,
+                               epoch_us(ts) + 300000000 AS hi,
+                               epoch_us(ts) // 86400000000 AS day
+                        FROM events),
+            s AS (SELECT day, event_id, lo, hi,
+                         CASE WHEN lo > max(hi) OVER (
+                                  PARTITION BY day ORDER BY lo, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING)
+                              THEN 1 ELSE 0 END AS brk
+                  FROM iv),
+            t AS (SELECT day, lo, hi,
+                         CAST(sum(brk) OVER (
+                              PARTITION BY day ORDER BY lo, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT) AS island
+                  FROM s)
+            SELECT day, island, min(lo) AS lo_us, max(hi) AS hi_us,
+                   count(*) AS n_events
+            FROM t GROUP BY day, island
         """,
         # W19 ntile: SQL ntile(4) under the (value, event_id) order
         "w19_ntile_quartiles": """

@@ -1657,3 +1657,89 @@ def w19_ntile_quartiles(sf_dir: str, k: int = 4, num_partitions: int = 16):
         batch_format="pyarrow", zero_copy_batch=True)
     return tagged.groupby(PKEY).map_groups(
         functools.partial(_ntile_kernel, k=k), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- J9 ----
+def _coalesce_kernel(group: pa.Table, hold_us: int) -> pa.Table:
+    """Per-partition interval coalescing: each event holds the line busy
+    for ``hold_us``; overlapping/touching intervals within a day merge
+    into maximal busy islands.  Vectorized: one sort, a running-max of
+    interval ends (shifted), break flags, cumsum, reduceat aggregates."""
+    group = group.drop_columns([PKEY]).sort_by(
+        [("day", "ascending"), ("lo", "ascending"), ("event_id", "ascending")])
+    n = group.num_rows
+    if n == 0:
+        return pa.table({
+            "day": pa.array([], type=pa.int64()),
+            "island": pa.array([], type=pa.int64()),
+            "lo_us": pa.array([], type=pa.int64()),
+            "hi_us": pa.array([], type=pa.int64()),
+            "n_events": pa.array([], type=pa.int64()),
+        })
+    day = np.asarray(group.column("day"), dtype=np.int64)
+    lo = np.asarray(group.column("lo"), dtype=np.int64)
+    hi = lo + hold_us
+    starts = run_starts(group, ["day"])
+    # SEGMENTED running max via day-offset rebase: lift each day's values
+    # into a disjoint band (BIG > any intra-day hi range), so a plain
+    # accumulate can never carry a previous day's maximum into this one.
+    BIG = np.int64(2) * np.int64(86_400_000_000) + np.int64(hold_us)
+    day0 = day - day[0]
+    lifted_hi = day0 * BIG + (hi - day * np.int64(86_400_000_000))
+    lifted_lo = day0 * BIG + (lo - day * np.int64(86_400_000_000))
+    runmax = np.maximum.accumulate(lifted_hi)
+    brk = np.ones(n, dtype=bool)
+    brk[1:] = lifted_lo[1:] > runmax[:-1]
+    brk[starts] = True
+    istarts = np.flatnonzero(brk)
+    ilens = np.diff(np.append(istarts, n))
+    max_hi = np.maximum.reduceat(hi, istarts)
+    # per-day island ordinal (0-based within day)
+    iday = day[istarts]
+    ifirst = np.flatnonzero(np.concatenate(([True], iday[1:] != iday[:-1])))
+    iord = (np.arange(len(istarts), dtype=np.int64)
+            - np.repeat(ifirst, np.diff(np.append(ifirst, len(istarts)))))
+    return pa.table({
+        "day": pa.array(iday, type=pa.int64()),
+        "island": pa.array(iord, type=pa.int64()),
+        "lo_us": pa.array(lo[istarts], type=pa.int64()),
+        "hi_us": pa.array(max_hi, type=pa.int64()),
+        "n_events": pa.array(ilens, type=pa.int64()),
+    })
+
+
+def j9_interval_coalesce(sf_dir: str, hold_us: int = 300_000_000,
+                         num_partitions: int = 16):
+    """J9 — interval coalescing (merge-overlapping-intervals): every
+    event opens a ``hold_us`` busy window (default 5 min); windows that
+    overlap within a calendar day merge into maximal busy islands — the
+    uptime/burst/coverage primitive (the inverse of W1's gap-based
+    sessionization, keyed by day instead of user).  Islands are scoped to
+    calendar days by definition; the kernel's day-offset rebase makes the
+    running max exactly segmented, so a window spilling past midnight
+    never bridges into the next day's islands.
+
+    Scale shape: ONE ``_pkey`` exchange on ``day`` (calendar days are
+    numerous and balanced); the kernel is sort + running max + cumsum +
+    reduceat.  Oracle: the classic ``max(hi) OVER (... ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING)`` gaps-and-islands SQL."""
+    assert hold_us <= 86_400_000_000
+    ev = _read_events(sf_dir, ["event_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = _ts_us(batch.column("ts"))
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "day": pa.array(ts // 86_400_000_000, type=pa.int64()),
+            "lo": pa.array(ts, type=pa.int64()),
+        })
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    tagged = prepped.map_batches(
+        functools.partial(add_partition_key, keys=["day"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby(PKEY).map_groups(
+        functools.partial(_coalesce_kernel, hold_us=hold_us),
+        batch_format="pyarrow")

@@ -2214,3 +2214,52 @@ def test_ntile_matches_reference(ray_session):
                 assert got.loc[eid[pos], "tile"] == t
                 pos += 1
         assert pos == n
+
+
+# ---------------------------------------------------------------- J9 ----
+def test_interval_coalesce_matches_reference(ray_session):
+    from anomalydetection_ray.pipelines.windows import j9_interval_coalesce
+
+    HOLD = 300_000_000
+    got = (j9_interval_coalesce(SF, hold_us=HOLD).to_pandas()
+           .set_index(["day", "island"]).sort_index())
+    ev = _events_df()
+    lo_all = ev["ts"].astype("int64").to_numpy()
+    eid = ev["event_id"].to_numpy()
+    day = lo_all // 86_400_000_000
+    total = 0
+    for d in np.unique(day):
+        sel = day == d
+        order = np.lexsort((eid[sel], lo_all[sel]))
+        lo = lo_all[sel][order]
+        hi = lo + HOLD
+        islands = []
+        cur_lo, cur_hi, cur_n = lo[0], hi[0], 1
+        for i in range(1, len(lo)):
+            if lo[i] > cur_hi:
+                islands.append((cur_lo, cur_hi, cur_n))
+                cur_lo, cur_hi, cur_n = lo[i], hi[i], 1
+            else:
+                cur_hi = max(cur_hi, hi[i])
+                cur_n += 1
+        islands.append((cur_lo, cur_hi, cur_n))
+        for k, (l, h, c) in enumerate(islands):
+            row = got.loc[(d, k)]
+            assert row["lo_us"] == l and row["hi_us"] == h
+            assert row["n_events"] == c
+            total += 1
+    assert len(got) == total
+    # islands within a day never overlap
+    for d, g in got.groupby(level=0):
+        g = g.sort_values("lo_us")
+        assert (g["lo_us"].to_numpy()[1:] > g["hi_us"].to_numpy()[:-1]).all()
+
+
+def test_interval_coalesce_partition_invariance(ray_session):
+    from anomalydetection_ray.pipelines.windows import j9_interval_coalesce
+
+    a = (j9_interval_coalesce(SF, num_partitions=3).to_pandas()
+         .sort_values(["day", "island"]).reset_index(drop=True))
+    b = (j9_interval_coalesce(SF, num_partitions=16).to_pandas()
+         .sort_values(["day", "island"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
