@@ -389,6 +389,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w19_ntile_quartiles": wnd.w19_ntile_quartiles,
         # J9 interval coalescing (busy islands per day)
         "j9_interval_coalesce": wnd.j9_interval_coalesce,
+        # K5 per-dimension embedding standardization stats
+        "k5_dim_standardize": km.k5_dim_standardize,
         # T8 signup-cohort 7-day purchase retention
         "t8_cohort_retention": wnd.t8_cohort_retention,
         # J7 left OUTER join + aggregate (zero-fill for unmatched keys)
@@ -2480,6 +2482,28 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(gap < CAST(86400000000 AS BIGINT), FALSE)
                        AS is_dup
             FROM t
+        """,
+        # K5 standardize: exact quantized moments per dim; float tail
+        # pinned (ex, ex2, sqrt(ex2 - ex*ex), /2^20)
+        "k5_dim_standardize": """
+            WITH u AS (SELECT CAST(t.i - 1 AS BIGINT) AS dim,
+                              CAST(floor(CAST(embedding[t.i] AS DOUBLE)
+                                         * 1048576 + 0.5) AS BIGINT) AS vq
+                       FROM embeddings
+                       CROSS JOIN unnest(range(1, len(embedding) + 1))
+                           AS t(i)),
+            m AS (SELECT dim, count(*) AS n,
+                         CAST(sum(vq) AS BIGINT) AS sum_q,
+                         CAST(sum(vq * vq) AS BIGINT) AS sumsq_q
+                  FROM u GROUP BY dim)
+            SELECT dim, n, sum_q, sumsq_q,
+                   (CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE))
+                       / 1048576.0 AS mean,
+                   sqrt(CAST(sumsq_q AS DOUBLE) / CAST(n AS DOUBLE)
+                        - (CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE)))
+                       / 1048576.0 AS std
+            FROM m
         """,
         # J9 interval coalesce: classic gaps-and-islands over intervals
         # (break when lo clears the running max of prior his)

@@ -262,3 +262,60 @@ def vector_quantize(sf_dir: str):
 
     return ds.map_batches(quant, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------- K5 ----
+def k5_dim_standardize(sf_dir: str):
+    """K5 — per-dimension feature standardization stats over the
+    embedding matrix: exact micro-quantized first/second moments per
+    dimension, plus the pinned-float mean and standard deviation the
+    serving layer divides by — the preprocessing twin of K4's
+    quantization (models want zero-mean unit-variance dims; this is the
+    fit() half).
+
+    Exactness: per-block partials are int64 sums of ``floor(e * 2^20 +
+    0.5)`` and its square (64 rows per block regardless of block size);
+    the final merge combines partials with arbitrary-precision Python
+    ints (the W5 discipline) before casting back.  The float tail is the
+    pinned elementwise sequence ``ex = sum/n; ex2 = sumsq/n; std_q =
+    sqrt(ex2 - ex*ex)`` — identical IEEE ops in the SQL oracle."""
+    import math
+
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, ef = _emb_f64(batch.append_column(
+            "vec_id", pa.array(np.zeros(batch.num_rows, dtype=np.int64))))
+        q = np.floor(ef * ESCALE + 0.5).astype(np.int64)
+        dim = q.shape[1] if q.size else 0
+        return pa.table({
+            "dim": pa.array(np.arange(dim, dtype=np.int64)),
+            "n": pa.array(np.full(dim, q.shape[0]), type=pa.int64()),
+            "sum_q": pa.array(q.sum(axis=0), type=pa.int64()),
+            "sumsq_q": pa.array((q * q).sum(axis=0), type=pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def merge(group: pa.Table) -> pa.Table:
+        n = sum(int(v) for v in group.column("n").to_pylist())
+        s = sum(int(v) for v in group.column("sum_q").to_pylist())
+        s2 = sum(int(v) for v in group.column("sumsq_q").to_pylist())
+        ex = float(s) / float(n)
+        ex2 = float(s2) / float(n)
+        std_q = math.sqrt(ex2 - ex * ex)
+        return pa.table({
+            "dim": group.column("dim").slice(0, 1),
+            "n": pa.array([n], type=pa.int64()),
+            "sum_q": pa.array([s], type=pa.int64()),
+            "sumsq_q": pa.array([s2], type=pa.int64()),
+            "mean": pa.array([(float(s) / float(n)) / float(ESCALE)],
+                             type=pa.float64()),
+            "std": pa.array([std_q / float(ESCALE)], type=pa.float64()),
+        })
+
+    return partials.groupby("dim").map_groups(merge, batch_format="pyarrow")

@@ -502,3 +502,31 @@ def test_media_video_without_bindings_raises():
         pytest.skip("PyAV present; the raising contract is moot")
     with pytest.raises(NotImplementedError, match="PyAV"):
         ext._decode(b"\x00\x01", "video")
+
+
+# ---------------------------------------------------------------- K5 ----
+def test_dim_standardize_matches_numpy(ray_session):
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from anomalydetection_ray.pipelines.kmeans import ESCALE, k5_dim_standardize
+
+    SF = "/root/testdata/sf0.001"
+    got = k5_dim_standardize(SF).to_pandas().set_index("dim").sort_index()
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    emb = t.column("embedding").combine_chunks()
+    ef = np.asarray(emb.values, dtype=np.float64).reshape(len(t), -1)
+    q = np.floor(ef * ESCALE + 0.5).astype(np.int64)
+    assert len(got) == q.shape[1]
+    for d in range(q.shape[1]):
+        row = got.loc[d]
+        n, s, s2 = q.shape[0], int(q[:, d].sum()), int((q[:, d] ** 2).sum())
+        assert row["n"] == n and row["sum_q"] == s and row["sumsq_q"] == s2
+        ex = float(s) / float(n)
+        ex2 = float(s2) / float(n)
+        assert row["mean"] == ex / float(ESCALE)
+        assert row["std"] == math.sqrt(ex2 - ex * ex) / float(ESCALE)
+        # sanity: std close to numpy's
+        assert abs(row["std"] - ef[:, d].std()) < 1e-5
