@@ -391,6 +391,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j9_interval_coalesce": wnd.j9_interval_coalesce,
         # K5 per-dimension embedding standardization stats
         "k5_dim_standardize": km.k5_dim_standardize,
+        # G16 chi-square independence (event_type x weekday)
+        "g16_chi2_independence": q.g16_chi2_independence,
+        # A12 exact two-sample KS drift per type (day-parity halves)
+        "a12_ks_drift": q.a12_ks_drift,
         # T8 signup-cohort 7-day purchase retention
         "t8_cohort_retention": wnd.t8_cohort_retention,
         # J7 left OUTER join + aggregate (zero-fill for unmatched keys)
@@ -2482,6 +2486,65 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(gap < CAST(86400000000 AS BIGINT), FALSE)
                        AS is_dup
             FROM t
+        """,
+        # A12 KS: exact cross-multiplied CDF comparison; QUALIFY argmax
+        # (num desc, cents asc); one pinned division
+        "a12_ks_drift": """
+            WITH v AS (SELECT event_type,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT)
+                                  AS cents,
+                              (epoch_us(ts) // 86400000000) % 2 = 0 AS even
+                       FROM events),
+            c AS (SELECT event_type, cents,
+                         count(*) FILTER (even) AS c_e,
+                         count(*) FILTER (NOT even) AS c_o
+                  FROM v GROUP BY event_type, cents),
+            t AS (SELECT event_type, cents,
+                         CAST(sum(c_e) OVER w AS BIGINT) AS cum_e,
+                         CAST(sum(c_o) OVER w AS BIGINT) AS cum_o,
+                         CAST(sum(c_e) OVER (PARTITION BY event_type)
+                              AS BIGINT) AS n_even,
+                         CAST(sum(c_o) OVER (PARTITION BY event_type)
+                              AS BIGINT) AS n_odd
+                  FROM c
+                  WINDOW w AS (PARTITION BY event_type ORDER BY cents
+                               ROWS UNBOUNDED PRECEDING))
+            SELECT event_type, n_even, n_odd,
+                   abs(cum_e * n_odd - cum_o * n_even) AS ks_num,
+                   cents AS at_cents,
+                   CAST(abs(cum_e * n_odd - cum_o * n_even) AS DOUBLE)
+                       / CAST(n_even * n_odd AS DOUBLE) AS ks_stat
+            FROM t
+            QUALIFY row_number() OVER (
+                PARTITION BY event_type
+                ORDER BY abs(cum_e * n_odd - cum_o * n_even) DESC,
+                         cents) = 1
+        """,
+        # G16 chi2 independence: exact-int marginals; expected = int
+        # product / int total (one division), pinned chi2 term
+        "g16_chi2_independence": """
+            WITH c AS (
+              SELECT event_type,
+                     ((epoch_us(ts) // 86400000000) + 3) % 7 AS dow,
+                     count(*) AS n
+              FROM events GROUP BY event_type, dow),
+            m AS (SELECT event_type, dow, n,
+                         CAST(sum(n) OVER (PARTITION BY event_type)
+                              AS BIGINT) AS row_total,
+                         CAST(sum(n) OVER (PARTITION BY dow)
+                              AS BIGINT) AS col_total,
+                         CAST(sum(n) OVER () AS BIGINT) AS total
+                  FROM c)
+            SELECT event_type, dow, n AS obs, row_total, col_total,
+                   CAST(row_total * col_total AS DOUBLE)
+                       / CAST(total AS DOUBLE) AS expected,
+                   (CAST(n AS DOUBLE) - CAST(row_total * col_total AS DOUBLE)
+                                          / CAST(total AS DOUBLE))
+                   * (CAST(n AS DOUBLE) - CAST(row_total * col_total AS DOUBLE)
+                                            / CAST(total AS DOUBLE))
+                   / (CAST(row_total * col_total AS DOUBLE)
+                      / CAST(total AS DOUBLE)) AS chi2_term
+            FROM m
         """,
         # K5 standardize: exact quantized moments per dim; float tail
         # pinned (ex, ex2, sqrt(ex2 - ex*ex), /2^20)

@@ -2922,3 +2922,149 @@ def g15_user_entropy(sf_dir: str):
 
     return partials.groupby("event_type").map_groups(finish,
                                                      batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- G16 ----
+def g16_chi2_independence(sf_dir: str):
+    """G16 — chi-square independence test between two categorical
+    columns (event_type x weekday): the feature-redundancy screen before
+    model training (Pearson 1900).  Per cell: observed count, expected
+    count under independence ``row_total * col_total / n`` and the
+    chi-square contribution — exact integer counts everywhere, each
+    float a pinned expression of exact ints.
+
+    Scale shape: per-block Arrow group_by partials (<= types*7 rows per
+    block), one tiny exchange, final single-group widen (the grid is
+    types x 7).  Oracle: grouped counts + window totals in SQL."""
+    import pyarrow.compute as pc
+
+    DAY_US = 86_400_000_000
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        ts_us = np.asarray(ts.cast(pa.int64()))
+        dow = ((ts_us // DAY_US) + 3) % 7   # epoch day 0 = Thursday
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "dow": pa.array(dow, type=pa.int64())})
+        g = t.group_by(["event_type", "dow"]).aggregate([([], "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "dow": g.column("dow"),
+                         "n": pc.cast(g.column("count_all"), pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_g", pa.array([0] * batch.num_rows, type=pa.int64()))
+
+    def finish(group: pa.Table) -> pa.Table:
+        t = (group.drop_columns(["_g"])
+             .group_by(["event_type", "dow"]).aggregate([("n", "sum")]))
+        et = t.column("event_type").to_pylist()
+        dow = np.asarray(t.column("dow"), dtype=np.int64)
+        obs = np.asarray(t.column("n_sum"), dtype=np.int64)
+        total = int(obs.sum())
+        row_tot = {}
+        col_tot = {}
+        for e, d, c in zip(et, dow, obs):
+            row_tot[e] = row_tot.get(e, 0) + int(c)
+            col_tot[int(d)] = col_tot.get(int(d), 0) + int(c)
+        exp, chi = [], []
+        for e, d, c in zip(et, dow, obs):
+            # expected = exact int product / exact int total (one div)
+            ex = float(row_tot[e] * col_tot[int(d)]) / float(total)
+            diff = float(int(c)) - ex
+            exp.append(ex)
+            chi.append(diff * diff / ex)
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "dow": t.column("dow"),
+            "obs": pa.array(obs, type=pa.int64()),
+            "row_total": pa.array([row_tot[e] for e in et], type=pa.int64()),
+            "col_total": pa.array([col_tot[int(d)] for d in dow],
+                                  type=pa.int64()),
+            "expected": pa.array(exp, type=pa.float64()),
+            "chi2_term": pa.array(chi, type=pa.float64()),
+        })
+
+    return (partials.map_batches(tag, batch_format="pyarrow")
+            .groupby("_g").map_groups(finish, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------- A12 ----
+def a12_ks_drift(sf_dir: str):
+    """A12 — exact two-sample Kolmogorov-Smirnov drift statistic per
+    event_type between the interleaved day-parity halves (the same split
+    D3's chi-square uses, but distribution-free and bin-free):
+    ``KS = max_v |F_even(v) - F_odd(v)|`` over the exact value CDFs.
+
+    Exactness: CDF comparison is cross-multiplied into pure integers —
+    ``|cum_e * n_o - cum_o * n_e|`` — so the max and its argmax location
+    are exact; the statistic itself is ONE pinned float division.  The
+    argmax tiebreak is the smallest value.
+
+    Scale shape: per-block partials collapse to (type, cents, parity
+    counts) rows before the exchange (bounded by the distinct-value
+    count, not the row count); the per-type final kernel is two cumsums
+    over the sorted distinct values.  Oracle: window cumsums + QUALIFY
+    argmax in SQL."""
+    import pyarrow.compute as pc
+
+    DAY_US = 86_400_000_000
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        day = np.asarray(ts.cast(pa.int64())) // DAY_US
+        v = batch.column("value")
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        cents = np.floor(np.asarray(v, dtype=np.float64) * 100.0
+                         + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "cents": pa.array(cents, type=pa.int64()),
+                      "even": pa.array((day % 2 == 0).astype(np.int64),
+                                       type=pa.int64())})
+        g = t.group_by(["event_type", "cents"]).aggregate(
+            [("even", "sum"), ([], "count_all")])
+        ce = np.asarray(g.column("even_sum"), dtype=np.int64)
+        tot = np.asarray(g.column("count_all"), dtype=np.int64)
+        return pa.table({"event_type": g.column("event_type"),
+                         "cents": g.column("cents"),
+                         "c_e": pa.array(ce, type=pa.int64()),
+                         "c_o": pa.array(tot - ce, type=pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def finish(group: pa.Table) -> pa.Table:
+        t = (group.group_by(["event_type", "cents"])
+             .aggregate([("c_e", "sum"), ("c_o", "sum")])
+             .sort_by([("cents", "ascending")]))
+        ce = np.asarray(t.column("c_e_sum"), dtype=np.int64)
+        co = np.asarray(t.column("c_o_sum"), dtype=np.int64)
+        cents = np.asarray(t.column("cents"), dtype=np.int64)
+        n_e, n_o = int(ce.sum()), int(co.sum())
+        cum_e = np.cumsum(ce)
+        cum_o = np.cumsum(co)
+        num = np.abs(cum_e * n_o - cum_o * n_e)
+        best = int(np.argmax(num))          # first max = smallest cents
+        ks_num = int(num[best])
+        return pa.table({
+            "event_type": t.column("event_type").slice(0, 1),
+            "n_even": pa.array([n_e], type=pa.int64()),
+            "n_odd": pa.array([n_o], type=pa.int64()),
+            "ks_num": pa.array([ks_num], type=pa.int64()),
+            "at_cents": pa.array([int(cents[best])], type=pa.int64()),
+            "ks_stat": pa.array(
+                [float(ks_num) / float(n_e * n_o)], type=pa.float64()),
+        })
+
+    return partials.groupby("event_type").map_groups(finish,
+                                                     batch_format="pyarrow")

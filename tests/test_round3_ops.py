@@ -2263,3 +2263,54 @@ def test_interval_coalesce_partition_invariance(ray_session):
     b = (j9_interval_coalesce(SF, num_partitions=16).to_pandas()
          .sort_values(["day", "island"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+# --------------------------------------------------------------- G16 ----
+def test_chi2_independence_matches_reference(ray_session):
+    from anomalydetection_ray.pipelines.queries import g16_chi2_independence
+
+    got = (g16_chi2_independence(SF).to_pandas()
+           .set_index(["event_type", "dow"]).sort_index())
+    ev = _events_df()
+    dow = ((ev["ts"].astype("int64") // 86_400_000_000 + 3) % 7).to_numpy()
+    ref = (pd.DataFrame({"event_type": ev["event_type"], "dow": dow})
+           .groupby(["event_type", "dow"]).size())
+    rows = ref.groupby(level=0).sum()
+    cols = ref.groupby(level=1).sum()
+    total = int(ref.sum())
+    assert len(got) == len(ref)
+    chi2_total = 0.0
+    for (et, d), n in ref.items():
+        r = got.loc[(et, d)]
+        assert r["obs"] == n
+        assert r["row_total"] == rows[et] and r["col_total"] == cols[d]
+        ex = float(int(rows[et]) * int(cols[d])) / float(total)
+        assert r["expected"] == ex
+        assert r["chi2_term"] == (float(n) - ex) ** 2 / ex
+        chi2_total += r["chi2_term"]
+    assert chi2_total >= 0.0
+
+
+# --------------------------------------------------------------- A12 ----
+def test_ks_drift_matches_reference(ray_session):
+    from anomalydetection_ray.pipelines.queries import a12_ks_drift
+
+    got = a12_ks_drift(SF).to_pandas().set_index("event_type")
+    ev = _events_df()
+    cents = np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    even = (ev["ts"].astype("int64").to_numpy() // 86_400_000_000) % 2 == 0
+    for et in ev["event_type"].unique():
+        sel = (ev["event_type"] == et).to_numpy()
+        ce, co = cents[sel & even], cents[sel & ~even]
+        n_e, n_o = len(ce), len(co)
+        vals = np.unique(cents[sel])
+        cum_e = np.searchsorted(np.sort(ce), vals, side="right")
+        cum_o = np.searchsorted(np.sort(co), vals, side="right")
+        num = np.abs(cum_e.astype(np.int64) * n_o
+                     - cum_o.astype(np.int64) * n_e)
+        best = int(np.argmax(num))
+        row = got.loc[et]
+        assert row["n_even"] == n_e and row["n_odd"] == n_o
+        assert row["ks_num"] == num[best]
+        assert row["at_cents"] == vals[best]
+        assert row["ks_stat"] == float(num[best]) / float(n_e * n_o)
