@@ -395,6 +395,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g16_chi2_independence": q.g16_chi2_independence,
         # A12 exact two-sample KS drift per type (day-parity halves)
         "a12_ks_drift": q.a12_ks_drift,
+        # D8 sorted-neighborhood dedup blocking (merge/purge)
+        "d8_sorted_neighborhood": dd.sorted_neighborhood_pairs,
         # T8 signup-cohort 7-day purchase retention
         "t8_cohort_retention": wnd.t8_cohort_retention,
         # J7 left OUTER join + aggregate (zero-fill for unmatched keys)
@@ -2486,6 +2488,20 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(gap < CAST(86400000000 AS BIGINT), FALSE)
                        AS is_dup
             FROM t
+        """,
+        # D8 sorted neighborhood: row_number per prefix block + rank-
+        # distance self-join
+        "d8_sorted_neighborhood": """
+            WITH r AS (SELECT doc_id, text, substr(text, 1, 16) AS pfx,
+                              row_number() OVER (
+                                  PARTITION BY substr(text, 1, 16)
+                                  ORDER BY text, doc_id) AS rk
+                       FROM documents)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   b.rk - a.rk AS rank_dist,
+                   a.text = b.text AS is_exact
+            FROM r a JOIN r b
+              ON a.pfx = b.pfx AND b.rk - a.rk BETWEEN 1 AND 2
         """,
         # A12 KS: exact cross-multiplied CDF comparison; QUALIFY argmax
         # (num desc, cents asc); one pinned division

@@ -823,3 +823,92 @@ def dedup_impact_report(sf_dir: str):
 
     return partials.groupby("source").map_groups(merge,
                                                  batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- D8 ----
+def sorted_neighborhood_pairs(sf_dir: str, window: int = 3,
+                              prefix_len: int = 16,
+                              num_partitions: int = 16):
+    """D8 — sorted-neighborhood dedup blocking (Hernandez & Stolfo 1995,
+    the merge/purge method): block documents on their first
+    ``prefix_len`` characters, sort each block by (text, doc_id), and
+    emit candidate pairs within a sliding rank window of ``window`` —
+    the sort-based alternative to the MinHash/SimHash hash-based
+    blocking families.  Misses near-dups whose edit lies inside the
+    prefix (inherent to the blocking choice; the LSH families cover that
+    axis).
+
+    Scale shape: ONE hash exchange keyed on the prefix (near-identical
+    texts co-locate by construction); the per-partition kernel is a sort
+    + ``window - 1`` vectorized shifts.  Oracle: ``row_number()`` per
+    prefix group + a rank-distance self-join."""
+    import functools
+
+    import ray.data
+
+    from anomalydetection_ray.stages.runs import (PKEY, add_partition_key,
+                                                  run_starts)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def add_prefix(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.append_column(
+            "pfx", pc.utf8_slice_codeunits(
+                batch.column("text").combine_chunks()
+                if isinstance(batch.column("text"), pa.ChunkedArray)
+                else batch.column("text"), 0, prefix_len))
+
+    tagged = (ds.map_batches(add_prefix, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .map_batches(functools.partial(add_partition_key,
+                                             keys=["pfx"],
+                                             num_partitions=num_partitions),
+                           batch_format="pyarrow", zero_copy_batch=True))
+
+    def kernel(group: pa.Table) -> pa.Table:
+        group = group.drop_columns([PKEY]).sort_by(
+            [("pfx", "ascending"), ("text", "ascending"),
+             ("doc_id", "ascending")])
+        n = group.num_rows
+        empty = pa.table({
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+            "rank_dist": pa.array([], type=pa.int64()),
+            "is_exact": pa.array([], type=pa.bool_()),
+        })
+        if n < 2:
+            return empty
+        starts = run_starts(group, ["pfx"])
+        lens = np.diff(np.append(starts, n))
+        seq = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+        ids = np.asarray(group.column("doc_id"), dtype=np.int64)
+        text = group.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        a_idx, b_idx, dists = [], [], []
+        for d in range(1, window):
+            ok = np.flatnonzero(seq[d:] >= d)   # b-row has >= d predecessors
+            if ok.size == 0:
+                continue
+            b = ok + d
+            a_idx.append(b - d)
+            b_idx.append(b)
+            dists.append(np.full(ok.size, d, dtype=np.int64))
+        if not a_idx:
+            return empty
+        ai = np.concatenate(a_idx)
+        bi = np.concatenate(b_idx)
+        import pyarrow.compute as pc
+
+        eq = pc.equal(text.take(pa.array(ai)), text.take(pa.array(bi)))
+        return pa.table({
+            "doc_a": pa.array(ids[ai], type=pa.int64()),
+            "doc_b": pa.array(ids[bi], type=pa.int64()),
+            "rank_dist": pa.array(np.concatenate(dists), type=pa.int64()),
+            "is_exact": eq,
+        })
+
+    return tagged.groupby(PKEY).map_groups(kernel, batch_format="pyarrow")

