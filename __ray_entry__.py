@@ -397,6 +397,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a12_ks_drift": q.a12_ks_drift,
         # D8 sorted-neighborhood dedup blocking (merge/purge)
         "d8_sorted_neighborhood": dd.sorted_neighborhood_pairs,
+        # W20 per-user time-decay score (power-of-two ladder, exact)
+        "w20_time_decay_score": wnd.w20_time_decay_score,
+        # J10 snapshot diff / CDC table compare
+        "j10_snapshot_diff": q.j10_snapshot_diff,
+        # W21 regular-grid daily resample with LOCF fill
+        "w21_grid_resample_locf": wnd.w21_grid_resample_locf,
         # T8 signup-cohort 7-day purchase retention
         "t8_cohort_retention": wnd.t8_cohort_retention,
         # J7 left OUTER join + aggregate (zero-fill for unmatched keys)
@@ -2488,6 +2494,67 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(gap < CAST(86400000000 AS BIGINT), FALSE)
                        AS is_dup
             FROM t
+        """,
+        # W21 grid resample: per-user daily calendar via range(); LOCF =
+        # last event before the day boundary (ts desc, event_id desc)
+        "w21_grid_resample_locf": """
+            WITH span AS (SELECT user_id,
+                                 min(epoch_us(ts)) // 86400000000 AS day0,
+                                 max(epoch_us(ts)) // 86400000000 AS day1
+                          FROM events GROUP BY user_id),
+            grid AS (SELECT user_id,
+                            CAST(unnest(range(day0, day1 + 1)) AS BIGINT)
+                                AS day
+                     FROM span),
+            obs AS (SELECT DISTINCT user_id,
+                           epoch_us(ts) // 86400000000 AS day FROM events)
+            SELECT g.user_id, g.day,
+                   (SELECT e.value FROM events e
+                    WHERE e.user_id = g.user_id
+                      AND epoch_us(e.ts) < (g.day + 1) * 86400000000
+                    ORDER BY e.ts DESC, e.event_id DESC LIMIT 1)
+                       AS value_locf,
+                   EXISTS(SELECT 1 FROM obs o
+                          WHERE o.user_id = g.user_id AND o.day = g.day)
+                       AS is_observed
+            FROM grid g
+        """,
+        # J10 snapshot diff: FULL OUTER JOIN + CASE over the two derived
+        # versions (float compare is bit-identical: +1.0 is exact)
+        "j10_snapshot_diff": """
+            WITH a AS (SELECT o_orderkey AS k, o_totalprice AS pa
+                       FROM orders WHERE o_orderkey % 7 <> 0),
+            b AS (SELECT o_orderkey AS k,
+                         CASE WHEN o_orderkey % 3 = 0
+                              THEN o_totalprice + 1.0
+                              ELSE o_totalprice END AS pb
+                  FROM orders WHERE o_orderkey % 5 <> 0)
+            SELECT COALESCE(a.k, b.k) AS o_orderkey,
+                   CASE WHEN a.k IS NULL THEN 'added'
+                        WHEN b.k IS NULL THEN 'removed'
+                        WHEN a.pa <> b.pb THEN 'changed'
+                        ELSE 'unchanged' END AS class,
+                   a.pa AS price_old, b.pb AS price_new
+            FROM a FULL OUTER JOIN b ON a.k = b.k
+        """,
+        # W20 time decay: integer power-of-two weight ladder; exact sums
+        "w20_time_decay_score": """
+            WITH anchor AS (SELECT max(epoch_us(ts)) // 86400000000 AS d0
+                            FROM events),
+            b AS (SELECT user_id,
+                         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vq,
+                         (SELECT d0 FROM anchor)
+                             - epoch_us(ts) // 86400000000 AS age
+                  FROM events)
+            SELECT user_id, count(*) AS n_events,
+                   CAST(sum(vq * (1048576 >> CAST(least(age // 4, 63)
+                                               AS INTEGER))) AS BIGINT)
+                       AS decay_sum_q,
+                   CAST(CAST(sum(vq * (1048576 >> CAST(least(age // 4, 63)
+                                                    AS INTEGER)))
+                             AS BIGINT) AS DOUBLE)
+                       / (1048576.0 * 1000000.0) AS decay_score
+            FROM b GROUP BY user_id
         """,
         # D8 sorted neighborhood: row_number per prefix block + rank-
         # distance self-join

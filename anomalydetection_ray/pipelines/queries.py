@@ -3068,3 +3068,83 @@ def a12_ks_drift(sf_dir: str):
 
     return partials.groupby("event_type").map_groups(finish,
                                                      batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- J10 ----
+def j10_snapshot_diff(sf_dir: str, num_partitions: int = 16):
+    """J10 — snapshot diff (CDC table compare): classify every key
+    across two table versions as added / removed / changed / unchanged —
+    the reconciliation primitive behind incremental replication audits
+    and "what did this backfill touch".  The two versions are derived
+    deterministically from ``orders`` (old = keys not divisible by 7;
+    new = keys not divisible by 5, price bumped +1.00 on keys divisible
+    by 3), so the whole diff is SQL-derivable.
+
+    Scale shape: both versions are tagged in the SAME block pass (the
+    table is read once) and co-partitioned under ONE ``_pkey`` exchange
+    on the key — the J3 layout; the kernel classifies each key run with
+    vectorized scatters.  Oracle: FULL OUTER JOIN + CASE."""
+    import functools
+
+    from anomalydetection_ray.stages.runs import PKEY, add_partition_key
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch.column("o_orderkey"), dtype=np.int64)
+        p = np.asarray(batch.column("o_totalprice").combine_chunks()
+                       if isinstance(batch.column("o_totalprice"),
+                                     pa.ChunkedArray)
+                       else batch.column("o_totalprice"), dtype=np.float64)
+        in_a = (k % 7) != 0
+        in_b = (k % 5) != 0
+        pb = np.where(k % 3 == 0, p + 1.0, p)
+        keys = np.concatenate([k[in_a], k[in_b]])
+        side = np.concatenate([np.zeros(int(in_a.sum()), dtype=np.int64),
+                               np.ones(int(in_b.sum()), dtype=np.int64)])
+        price = np.concatenate([p[in_a], pb[in_b]])
+        return pa.table({"k": pa.array(keys, type=pa.int64()),
+                         "side": pa.array(side, type=pa.int64()),
+                         "price": pa.array(price, type=pa.float64())})
+
+    tagged = (ds.map_batches(derive, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .map_batches(functools.partial(add_partition_key, keys=["k"],
+                                             num_partitions=num_partitions),
+                           batch_format="pyarrow", zero_copy_batch=True))
+
+    def classify(group: pa.Table) -> pa.Table:
+        t = group.drop_columns([PKEY]).sort_by(
+            [("k", "ascending"), ("side", "ascending")])
+        k = np.asarray(t.column("k"), dtype=np.int64)
+        side = np.asarray(t.column("side"), dtype=np.int64)
+        price = np.asarray(t.column("price"), dtype=np.float64)
+        n = len(k)
+        if n == 0:
+            return pa.table({
+                "o_orderkey": pa.array([], type=pa.int64()),
+                "class": pa.array([], type=pa.string()),
+                "price_old": pa.array([], type=pa.float64()),
+                "price_new": pa.array([], type=pa.float64()),
+            })
+        starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+        nk = len(starts)
+        gid = np.cumsum(np.concatenate(([True], k[1:] != k[:-1]))) - 1
+        has = np.zeros((nk, 2), dtype=bool)
+        pr = np.zeros((nk, 2), dtype=np.float64)
+        has[gid, side] = True
+        pr[gid, side] = price
+        cls = np.where(~has[:, 0], "added",
+                       np.where(~has[:, 1], "removed",
+                                np.where(pr[:, 0] != pr[:, 1],
+                                         "changed", "unchanged")))
+        return pa.table({
+            "o_orderkey": pa.array(k[starts], type=pa.int64()),
+            "class": pa.array(cls, type=pa.string()),
+            "price_old": pa.array(pr[:, 0], type=pa.float64(),
+                                  mask=~has[:, 0]),
+            "price_new": pa.array(pr[:, 1], type=pa.float64(),
+                                  mask=~has[:, 1]),
+        })
+
+    return tagged.groupby(PKEY).map_groups(classify, batch_format="pyarrow")

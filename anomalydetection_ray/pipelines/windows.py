@@ -1743,3 +1743,147 @@ def j9_interval_coalesce(sf_dir: str, hold_us: int = 300_000_000,
     return tagged.groupby(PKEY).map_groups(
         functools.partial(_coalesce_kernel, hold_us=hold_us),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- W20 ----
+def w20_time_decay_score(sf_dir: str, half_life_days: int = 4,
+                         num_partitions: int = 16):
+    """W20 — per-user time-decayed engagement score: recent activity
+    counts more, with weight halving every ``half_life_days`` — the
+    recency feature every ranking/engagement model wants.
+
+    Exactness trick: the decay weight is the INTEGER ``2^20 >>
+    (age_days // half_life)`` — an exact power-of-two ladder instead of
+    ``exp(-lambda t)`` — so every contribution ``vq * w`` and the
+    per-user sum are exact int64 and the score is ONE pinned float
+    division.  (A float ``exp`` would pit numpy's SIMD exp against
+    DuckDB's libm exp — last-bit divergence; the ladder sidesteps it
+    with the standard "approximate the kernel, keep the arithmetic
+    exact" move used across this engine.)
+
+    Scale shape: one tiny anchor aggregate (max ts) broadcast into the
+    partial pass; per-block (user, n, sum) Arrow partials; one exchange
+    on user_id."""
+    DAY = 86_400_000_000
+    W0 = 1 << 20
+    ev = _read_events(sf_dir, ["user_id", "ts", "value"])
+    # tiny anchor aggregate: ds.max returns a python scalar (Timestamp);
+    # normalize to an epoch day through arrow's timestamp[us]
+    anchor_day = int(pa.scalar(ev.max("ts")).cast(pa.timestamp("us")).value) \
+        // DAY
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = _ts_us(batch.column("ts"))
+        v = batch.column("value")
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        vq = np.floor(np.asarray(v, dtype=np.float64) * VSCALE
+                      + 0.5).astype(np.int64)
+        age = anchor_day - ts // DAY
+        w = (W0 >> np.minimum(age // half_life_days, 63)).astype(np.int64)
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "dq": pa.array(vq * w, type=pa.int64())})
+        g = t.group_by(["user_id"]).aggregate([("dq", "sum"),
+                                               ([], "count_all")])
+        return pa.table({
+            "user_id": g.column("user_id"),
+            "n": g.column("count_all").cast(pa.int64()),
+            "dq": g.column("dq_sum").cast(pa.int64()),
+        })
+
+    partials = ev.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def merge(group: pa.Table) -> pa.Table:
+        n = int(np.asarray(group.column("n"), dtype=np.int64).sum())
+        dq = int(np.asarray(group.column("dq"), dtype=np.int64).sum())
+        return pa.table({
+            "user_id": group.column("user_id").slice(0, 1),
+            "n_events": pa.array([n], type=pa.int64()),
+            "decay_sum_q": pa.array([dq], type=pa.int64()),
+            "decay_score": pa.array([float(dq) / (float(W0) * float(VSCALE))],
+                                    type=pa.float64()),
+        })
+
+    return partials.groupby("user_id").map_groups(merge,
+                                                  batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- W21 ----
+def _grid_locf_kernel(group: pa.Table) -> pa.Table:
+    """Per-partition regular-grid resample: for each user, one row per
+    calendar day from their first to their last event; the value is the
+    last observation at or before the end of that day (LOCF).  Fully
+    vectorized: per-user day grids by repeat/arange, one global
+    ``searchsorted`` over lifted (user-banded) timestamps."""
+    group = group.drop_columns([PKEY]).sort_by(
+        [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")])
+    n = group.num_rows
+    if n == 0:
+        return pa.table({
+            "user_id": pa.array([], type=pa.int64()),
+            "day": pa.array([], type=pa.int64()),
+            "value_locf": pa.array([], type=pa.float64()),
+            "is_observed": pa.array([], type=pa.bool_()),
+        })
+    DAY = 86_400_000_000
+    uid = np.asarray(group.column("user_id"), dtype=np.int64)
+    ts = _ts_us(group.column("ts"))
+    value = np.asarray(group.column("value").combine_chunks()
+                       if isinstance(group.column("value"), pa.ChunkedArray)
+                       else group.column("value"), dtype=np.float64)
+    starts = run_starts(group, ["user_id"])
+    lens = np.diff(np.append(starts, n))
+    day = ts // DAY
+    d0 = day[starts]
+    d1 = day[starts + lens - 1]
+    span = d1 - d0 + 1
+    # grid rows: user u repeated span_u times, day = d0_u + arange
+    gu = np.repeat(uid[starts], span)
+    goff = (np.arange(int(span.sum()), dtype=np.int64)
+            - np.repeat(np.concatenate(([0], np.cumsum(span)[:-1])), span))
+    gday = np.repeat(d0, span) + goff
+    # lift each user's timeline into a disjoint band so ONE searchsorted
+    # serves all users (the W8 trick): band index = user ordinal
+    uord = np.cumsum(np.concatenate(([True], uid[1:] != uid[:-1]))) - 1
+    SPAN_BAND = np.int64(1) << np.int64(50)      # > any ts range in us
+    ts_rel = ts - np.repeat(ts[starts], lens)
+    lifted = uord * SPAN_BAND + ts_rel
+    g_uord = np.repeat(np.arange(len(starts), dtype=np.int64), span)
+    # last event with ts < (day+1)*DAY, i.e. ts <= (day+1)*DAY - 1
+    bound_rel = (gday + 1) * DAY - 1 - np.repeat(ts[starts], span)
+    lifted_bound = g_uord * SPAN_BAND + np.minimum(bound_rel,
+                                                   SPAN_BAND - np.int64(1))
+    idx = np.searchsorted(lifted, lifted_bound, side="right") - 1
+    # idx always >= the user's first event (grid starts at their d0)
+    vals = value[idx]
+    obs_day_sorted = uord * np.int64(1 << 20) + (day - d0[uord])
+    grid_key = g_uord * np.int64(1 << 20) + goff
+    observed = np.isin(grid_key, obs_day_sorted)
+    return pa.table({
+        "user_id": pa.array(gu, type=pa.int64()),
+        "day": pa.array(gday, type=pa.int64()),
+        "value_locf": pa.array(vals, type=pa.float64()),
+        "is_observed": pa.array(observed, type=pa.bool_()),
+    })
+
+
+def w21_grid_resample_locf(sf_dir: str, num_partitions: int = 16):
+    """W21 — resample each user's irregular event series onto a regular
+    daily grid with last-observation-carried-forward fill — the
+    event-table sibling of the A5 token gap-fill, and the step that
+    makes irregular series joinable/comparable on a shared time axis.
+    One row per (user, day in their active span); ``is_observed`` marks
+    days with a real event.
+
+    Scale shape: ONE ``_pkey`` exchange on ``user_id``; the kernel
+    builds all grids with repeat/arange index algebra and resolves every
+    LOCF lookup with ONE ``searchsorted`` over user-banded timestamps.
+    Oracle: per-grid-row correlated last-event subquery in SQL."""
+    ev = _read_events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby(PKEY).map_groups(_grid_locf_kernel,
+                                           batch_format="pyarrow")

@@ -2350,3 +2350,96 @@ def test_sorted_neighborhood_partition_invariance(ray_session):
     b = (sorted_neighborhood_pairs(SF, num_partitions=16).to_pandas()
          .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+# --------------------------------------------------------------- W20 ----
+def test_time_decay_score_matches_reference(ray_session):
+    from anomalydetection_ray.pipelines.windows import w20_time_decay_score
+
+    HL, W0 = 4, 1 << 20
+    got = w20_time_decay_score(SF, half_life_days=HL).to_pandas() \
+        .set_index("user_id")
+    ev = _events_df()
+    day = ev["ts"].astype("int64").to_numpy() // 86_400_000_000
+    anchor = day.max()
+    vq = np.floor(ev["value"].to_numpy() * VSCALE + 0.5).astype(np.int64)
+    w = W0 >> np.minimum((anchor - day) // HL, 63)
+    ref = (pd.DataFrame({"user_id": ev["user_id"], "dq": vq * w})
+           .groupby("user_id").agg(n=("dq", "size"), dq=("dq", "sum")))
+    assert len(got) == len(ref)
+    for uid, row in ref.iterrows():
+        g = got.loc[uid]
+        assert g["n_events"] == row["n"]
+        assert g["decay_sum_q"] == row["dq"]
+        assert g["decay_score"] == float(row["dq"]) / (float(W0) * float(VSCALE))
+    # monotonicity: weights halve with age, never negative
+    assert (got["decay_sum_q"] >= 0).all()
+
+
+# --------------------------------------------------------------- J10 ----
+def test_snapshot_diff_matches_reference(ray_session):
+    import pyarrow.parquet as pq
+    from anomalydetection_ray.pipelines.queries import j10_snapshot_diff
+
+    got = j10_snapshot_diff(SF).to_pandas().set_index("o_orderkey")
+    orders = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_orderkey", "o_totalprice"]).to_pandas()
+    a = {int(k): float(p) for k, p in
+         zip(orders["o_orderkey"], orders["o_totalprice"]) if k % 7 != 0}
+    b = {int(k): (float(p) + 1.0 if k % 3 == 0 else float(p)) for k, p in
+         zip(orders["o_orderkey"], orders["o_totalprice"]) if k % 5 != 0}
+    keys = set(a) | set(b)
+    assert len(got) == len(keys)
+    n_cls = Counter()
+    for k in keys:
+        row = got.loc[k]
+        if k not in a:
+            cls = "added"
+        elif k not in b:
+            cls = "removed"
+        elif a[k] != b[k]:
+            cls = "changed"
+        else:
+            cls = "unchanged"
+        assert row["class"] == cls, k
+        n_cls[cls] += 1
+        if k in a:
+            assert row["price_old"] == a[k]
+        else:
+            assert pd.isna(row["price_old"])
+        if k in b:
+            assert row["price_new"] == b[k]
+        else:
+            assert pd.isna(row["price_new"])
+    # the derivation produces all four classes
+    assert set(n_cls) == {"added", "removed", "changed", "unchanged"}
+
+
+# --------------------------------------------------------------- W21 ----
+def test_grid_resample_locf_matches_reference(ray_session):
+    from anomalydetection_ray.pipelines.windows import w21_grid_resample_locf
+
+    DAY = 86_400_000_000
+    got = (w21_grid_resample_locf(SF).to_pandas()
+           .set_index(["user_id", "day"]).sort_index())
+    ev = _events_df().sort_values(["user_id", "ts", "event_id"])
+    total = 0
+    for uid, g in list(ev.groupby("user_id", sort=False))[:40]:
+        ts = g["ts"].astype("int64").to_numpy()
+        val = g["value"].to_numpy()
+        days = ts // DAY
+        obs_days = set(days.tolist())
+        for d in range(int(days[0]), int(days[-1]) + 1):
+            row = got.loc[(uid, d)]
+            sel = np.flatnonzero(ts < (d + 1) * DAY)
+            assert len(sel) > 0
+            assert row["value_locf"] == val[sel[-1]]
+            assert bool(row["is_observed"]) == (d in obs_days)
+            total += 1
+    # span completeness for the checked users
+    assert total > 0
+    # full output size equals the sum of user spans
+    spans = ev.groupby("user_id")["ts"].agg(
+        lambda s: int(s.astype("int64").max() // DAY
+                      - s.astype("int64").min() // DAY + 1))
+    assert len(got) == int(spans.sum())
