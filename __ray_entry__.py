@@ -403,6 +403,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j10_snapshot_diff": q.j10_snapshot_diff,
         # W21 regular-grid daily resample with LOCF fill
         "w21_grid_resample_locf": wnd.w21_grid_resample_locf,
+        # X4 exact phrase search (map-only full-scan path)
+        "x4_phrase_search": vb.phrase_search,
         # T8 signup-cohort 7-day purchase retention
         "t8_cohort_retention": wnd.t8_cohort_retention,
         # J7 left OUTER join + aggregate (zero-fill for unmatched keys)
@@ -2494,6 +2496,20 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(gap < CAST(86400000000 AS BIGINT), FALSE)
                        AS is_dup
             FROM t
+        """,
+        # X4 phrase search: adjacency over the empty-filtered word list
+        # (positions 0-based, = t.i - 1 of the 1-based SQL unnest)
+        "x4_phrase_search": """
+            WITH ws AS (SELECT doc_id,
+                               list_filter(string_split(text, ' '),
+                                           x -> x <> '') AS w
+                        FROM documents),
+            hits AS (SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS pos
+                     FROM ws CROSS JOIN unnest(range(1, len(w))) AS t(i)
+                     WHERE w[t.i] = 'batch' AND w[t.i + 1] = 'stream')
+            SELECT doc_id, count(*) AS n_occurrences,
+                   min(pos) AS first_pos
+            FROM hits GROUP BY doc_id
         """,
         # W21 grid resample: per-user daily calendar via range(); LOCF =
         # last event before the day boundary (ts desc, event_id desc)

@@ -355,3 +355,52 @@ def lexical_richness(sf_dir: str):
 
     return word_totals.groupby("source").map_groups(
         rollup, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- X4 ----
+def phrase_search(sf_dir: str, w1: str = "batch", w2: str = "stream"):
+    """X4 — exact phrase search ("w1 w2" adjacency) over the corpus: per
+    matching document, occurrence count and the first match position —
+    the grep/phrase surface next to T6's regex scrub and the X3 inverted
+    index (this is the full-scan path a one-off query takes when no
+    positional index exists; map-only, no shuffle — per-doc results are
+    complete inside the block because a document never spans blocks).
+
+    Positions are 0-based indexes into the empty-filtered word sequence,
+    matching the SQL oracle's ``list_filter`` + ``range`` unnest."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def scan(batch: pa.Table) -> pa.Table:
+        flat, doc_flat = _words_flat(batch)
+        n = len(flat)
+        empty = pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "n_occurrences": pa.array([], type=pa.int64()),
+            "first_pos": pa.array([], type=pa.int64()),
+        })
+        if n < 2:
+            return empty
+        doc = np.asarray(doc_flat, dtype=np.int64)
+        starts = np.flatnonzero(np.concatenate(([True], doc[1:] != doc[:-1])))
+        lens = np.diff(np.append(starts, n))
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+        is1 = np.asarray(pc.equal(flat, w1))
+        is2 = np.asarray(pc.equal(flat, w2))
+        hit = is1[:-1] & is2[1:] & (doc[:-1] == doc[1:])
+        idx = np.flatnonzero(hit)
+        if idx.size == 0:
+            return empty
+        t = pa.table({"doc_id": pa.array(doc[idx], type=pa.int64()),
+                      "pos": pa.array(pos[idx], type=pa.int64())})
+        g = t.group_by(["doc_id"]).aggregate([([], "count_all"),
+                                              ("pos", "min")])
+        return pa.table({
+            "doc_id": g.column("doc_id"),
+            "n_occurrences": pc.cast(g.column("count_all"), pa.int64()),
+            "first_pos": pc.cast(g.column("pos_min"), pa.int64()),
+        })
+
+    return ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)

@@ -2443,3 +2443,23 @@ def test_grid_resample_locf_matches_reference(ray_session):
         lambda s: int(s.astype("int64").max() // DAY
                       - s.astype("int64").min() // DAY + 1))
     assert len(got) == int(spans.sum())
+
+
+# ---------------------------------------------------------------- X4 ----
+def test_phrase_search_matches_reference(ray_session):
+    from anomalydetection_ray.pipelines.vocab import phrase_search
+
+    got = phrase_search(SF, "batch", "stream").to_pandas() \
+        .set_index("doc_id").sort_index()
+    docs = _docs_df()
+    ref = {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        w = [x for x in text.split(" ") if x != ""]
+        hits = [i for i in range(len(w) - 1)
+                if w[i] == "batch" and w[i + 1] == "stream"]
+        if hits:
+            ref[int(did)] = (len(hits), hits[0])
+    assert len(got) == len(ref)
+    for did, (n, first) in ref.items():
+        assert got.loc[did, "n_occurrences"] == n
+        assert got.loc[did, "first_pos"] == first
