@@ -405,6 +405,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w21_grid_resample_locf": wnd.w21_grid_resample_locf,
         # X4 exact phrase search (map-only full-scan path)
         "x4_phrase_search": vb.phrase_search,
+        # C3 composed relational analytics #2 (TPC-H Q10 shape)
+        "c3_tpch_q10_like": q.c3_tpch_q10_like,
         # T8 signup-cohort 7-day purchase retention
         "t8_cohort_retention": wnd.t8_cohort_retention,
         # J7 left OUTER join + aggregate (zero-fill for unmatched keys)
@@ -2496,6 +2498,22 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(gap < CAST(86400000000 AS BIGINT), FALSE)
                        AS is_dup
             FROM t
+        """,
+        # C3 Q10 shape: 4-table join + exact-cents aggregate + top-k
+        "c3_tpch_q10_like": """
+            SELECT c.c_custkey, c.c_name, n.n_name,
+                   CAST(sum(CAST(floor(l.l_extendedprice
+                       * (1 - l.l_discount) * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS revenue_cents,
+                   count(*) AS n_items
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            WHERE l.l_returnflag = 'R'
+            GROUP BY c.c_custkey, c.c_name, n.n_name
+            ORDER BY revenue_cents DESC, c.c_custkey ASC
+            LIMIT 20
         """,
         # X4 phrase search: adjacency over the empty-filtered word list
         # (positions 0-based, = t.i - 1 of the 1-based SQL unnest)

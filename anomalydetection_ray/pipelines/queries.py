@@ -3148,3 +3148,111 @@ def j10_snapshot_diff(sf_dir: str, num_partitions: int = 16):
         })
 
     return tagged.groupby(PKEY).map_groups(classify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- C3 ----
+def c3_tpch_q10_like(sf_dir: str, k: int = 20):
+    """C3 — composed relational analytics #2 (the TPC-H Q10 shape):
+    returned-item revenue per customer with their nation name, top-k —
+    a FOUR-table join (lineitem->orders->customer->nation) + two-level
+    aggregate + top-k proving the relational operators compose one level
+    deeper than C2's Q3 shape.
+
+    Scale shape: lineitem revenue pre-aggregates per orderkey inside
+    each block; the orderkey->custkey hop and the custkey->customer hop
+    are both co-partitioned attaches (J3); nation (25 rows) broadcasts
+    (J1); top-k block-prunes (Q2).  Revenue is exact cents from the
+    pinned per-row expression the SQL oracle replays."""
+    import pyarrow.compute as pc
+
+    from anomalydetection_ray.stages.join import copartition_attach
+    from anomalydetection_ray.stages.topk import topk
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount",
+                "l_returnflag"])
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        keep = np.asarray(pc.equal(batch.column("l_returnflag")
+                                   .combine_chunks()
+                                   if isinstance(batch.column("l_returnflag"),
+                                                 pa.ChunkedArray)
+                                   else batch.column("l_returnflag"), "R"))
+        price = np.asarray(batch.column("l_extendedprice"),
+                           dtype=np.float64)[keep]
+        disc = np.asarray(batch.column("l_discount"), dtype=np.float64)[keep]
+        okey = np.asarray(batch.column("l_orderkey"), dtype=np.int64)[keep]
+        cents = np.floor(price * (1.0 - disc) * 100 + 0.5).astype(np.int64)
+        t = pa.table({"l_orderkey": pa.array(okey, type=pa.int64()),
+                      "cents": pa.array(cents, type=pa.int64())})
+        g = t.group_by("l_orderkey").aggregate([("cents", "sum"),
+                                                ([], "count_all")])
+        return pa.table({"l_orderkey": g.column("l_orderkey"),
+                         "cents": pc.cast(g.column("cents_sum"), pa.int64()),
+                         "n": pc.cast(g.column("count_all"), pa.int64())})
+
+    li_partials = li.map_batches(rev_partial, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    with_cust = copartition_attach(li_partials, orders,
+                                   left_on="l_orderkey",
+                                   right_on="o_orderkey",
+                                   payload_cols=["o_custkey"])
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.is_valid(batch.column("o_custkey"))
+        t = batch.filter(keep)
+        g = t.group_by("o_custkey").aggregate([("cents", "sum"),
+                                               ("n", "sum")])
+        return pa.table({"c_custkey": g.column("o_custkey"),
+                         "cents": pc.cast(g.column("cents_sum"), pa.int64()),
+                         "n": pc.cast(g.column("n_sum"), pa.int64())})
+
+    cust_partials = with_cust.map_batches(cust_partial,
+                                          batch_format="pyarrow",
+                                          zero_copy_batch=True)
+
+    def cust_merge(group: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": group.column("c_custkey").slice(0, 1),
+            "revenue_cents": pa.array(
+                [int(np.asarray(group.column("cents"),
+                                dtype=np.int64).sum())], type=pa.int64()),
+            "n_items": pa.array(
+                [int(np.asarray(group.column("n"),
+                                dtype=np.int64).sum())], type=pa.int64()),
+        })
+
+    per_cust = cust_partials.groupby("c_custkey").map_groups(
+        cust_merge, batch_format="pyarrow")
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    attached = copartition_attach(per_cust, cust, left_on="c_custkey",
+                                  right_on="c_custkey",
+                                  payload_cols=["c_name", "c_nationkey"])
+
+    # nation is 25 rows: broadcast lookup (J1)
+    nation = {}
+    for b in _read(sf_dir, "nation", ["n_nationkey", "n_name"]) \
+            .iter_batches(batch_format="pyarrow"):
+        for nk, nm in zip(b.column("n_nationkey").to_pylist(),
+                          b.column("n_name").to_pylist()):
+            nation[nk] = nm
+
+    def finish(batch: pa.Table) -> pa.Table:
+        keep = pc.is_valid(batch.column("c_nationkey"))
+        t = batch.filter(keep)
+        names = [nation[nk] for nk in t.column("c_nationkey").to_pylist()]
+        return pa.table({
+            "c_custkey": t.column("c_custkey"),
+            "c_name": t.column("c_name"),
+            "n_name": pa.array(names, type=pa.string()),
+            "revenue_cents": t.column("revenue_cents"),
+            "n_items": t.column("n_items"),
+        })
+
+    final = attached.map_batches(finish, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return topk(final, k, [("revenue_cents", "descending"),
+                           ("c_custkey", "ascending")])

@@ -2463,3 +2463,33 @@ def test_phrase_search_matches_reference(ray_session):
     for did, (n, first) in ref.items():
         assert got.loc[did, "n_occurrences"] == n
         assert got.loc[did, "first_pos"] == first
+
+
+# ---------------------------------------------------------------- C3 ----
+def test_tpch_q10_like_matches_duckdb(ray_session):
+    import duckdb
+
+    from anomalydetection_ray.pipelines.queries import c3_tpch_q10_like
+
+    got = c3_tpch_q10_like(SF).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    for t in ["lineitem", "orders", "customer", "nation"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    ref = con.execute("""
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                   * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+               count(*) AS n_items
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY 1, 2, 3 ORDER BY revenue_cents DESC, c.c_custkey LIMIT 20
+    """).df()
+    assert len(got) == len(ref)
+    g = got.sort_values(["revenue_cents", "c_custkey"],
+                        ascending=[False, True]).reset_index(drop=True)
+    for c in ["c_custkey", "c_name", "n_name", "revenue_cents", "n_items"]:
+        assert (g[c].to_numpy() == ref[c].to_numpy()).all(), c
