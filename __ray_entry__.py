@@ -407,6 +407,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "x4_phrase_search": vb.phrase_search,
         # C3 composed relational analytics #2 (TPC-H Q10 shape)
         "c3_tpch_q10_like": q.c3_tpch_q10_like,
+        # V9 Zipf-law slope fit over the top-k vocabulary
+        "v9_zipf_slope": vb.v9_zipf_slope,
         # T8 signup-cohort 7-day purchase retention
         "t8_cohort_retention": wnd.t8_cohort_retention,
         # J7 left OUTER join + aggregate (zero-fill for unmatched keys)
@@ -2498,6 +2500,43 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(gap < CAST(86400000000 AS BIGINT), FALSE)
                        AS is_dup
             FROM t
+        """,
+        # V9 Zipf slope: OLS over (ln rank, ln count), every sum an
+        # order-pinned list_reduce fold in rank order
+        "v9_zipf_slope": """
+            WITH counts AS (
+              SELECT word, CAST(count(*) AS BIGINT) AS n
+              FROM (SELECT unnest(string_split(text, ' ')) AS word
+                    FROM documents)
+              WHERE word <> '' GROUP BY word),
+            top AS (SELECT n,
+                           row_number() OVER (ORDER BY n DESC, word ASC)
+                               AS rank
+                    FROM counts ORDER BY n DESC, word ASC LIMIT 100),
+            lists AS (SELECT
+               count(*) AS k,
+               max(n) FILTER (rank = 1) AS top_count,
+               list(ln(CAST(rank AS DOUBLE)) ORDER BY rank) AS xs,
+               list(ln(CAST(n AS DOUBLE)) ORDER BY rank) AS ys,
+               list(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))
+                    ORDER BY rank) AS xxs,
+               list(ln(CAST(rank AS DOUBLE)) * ln(CAST(n AS DOUBLE))
+                    ORDER BY rank) AS xys
+               FROM top),
+            sums AS (SELECT k, top_count,
+               list_reduce(list_prepend(0.0, xs), (a, b) -> a + b) AS sx,
+               list_reduce(list_prepend(0.0, ys), (a, b) -> a + b) AS sy,
+               list_reduce(list_prepend(0.0, xxs), (a, b) -> a + b) AS sxx,
+               list_reduce(list_prepend(0.0, xys), (a, b) -> a + b) AS sxy
+               FROM lists),
+            fit AS (SELECT k, top_count, sx, sy,
+               (CAST(k AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(k AS DOUBLE) * sxx - sx * sx) AS slope
+               FROM sums)
+            SELECT k, slope,
+                   (sy - slope * sx) / CAST(k AS DOUBLE) AS intercept,
+                   top_count
+            FROM fit
         """,
         # C3 Q10 shape: 4-table join + exact-cents aggregate + top-k
         "c3_tpch_q10_like": """

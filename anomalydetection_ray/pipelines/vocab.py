@@ -404,3 +404,45 @@ def phrase_search(sf_dir: str, w1: str = "batch", w2: str = "stream"):
         })
 
     return ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------- V9 ----
+def v9_zipf_slope(sf_dir: str, k: int = 100):
+    """V9 — Zipf-law fit over the corpus vocabulary: OLS slope of
+    ``ln(count)`` on ``ln(rank)`` over the top-``k`` words.  Natural text
+    sits near slope -1 (Zipf 1949); synthetic or templated corpora
+    deviate — the corpus-naturalness audit next to V7's richness stats.
+
+    Scale shape: the V1 distributed top-k pass does all the heavy work;
+    the fit runs over k rows in one final kernel.  Float discipline: all
+    four OLS sums are PINNED sequential folds in rank order with scalar
+    libm ``math.log`` — the oracle replays term order exactly with
+    ``list_reduce(list_prepend(0.0, list(... ORDER BY rank)))``."""
+    import math
+
+    top = vocab_topk(sf_dir, k=k)
+
+    def fit(batch: pa.Table) -> pa.Table:
+        t = batch.sort_by([("n", "descending"), ("word", "ascending")])
+        n = np.asarray(t.column("n"), dtype=np.int64)
+        kk = len(n)
+        sx = sy = sxx = sxy = 0.0
+        for i, c in enumerate(n):            # k rows, rank order pinned
+            x = math.log(float(i + 1))
+            y = math.log(float(int(c)))
+            sx = sx + x
+            sy = sy + y
+            sxx = sxx + x * x
+            sxy = sxy + x * y
+        denom = float(kk) * sxx - sx * sx
+        slope = (float(kk) * sxy - sx * sy) / denom
+        intercept = (sy - slope * sx) / float(kk)
+        return pa.table({
+            "k": pa.array([kk], type=pa.int64()),
+            "slope": pa.array([slope], type=pa.float64()),
+            "intercept": pa.array([intercept], type=pa.float64()),
+            "top_count": pa.array([int(n[0])], type=pa.int64()),
+        })
+
+    # the top-k result is a single tiny sorted table; one final kernel
+    return top.repartition(1).map_batches(fit, batch_format="pyarrow")

@@ -2493,3 +2493,31 @@ def test_tpch_q10_like_matches_duckdb(ray_session):
                         ascending=[False, True]).reset_index(drop=True)
     for c in ["c_custkey", "c_name", "n_name", "revenue_cents", "n_items"]:
         assert (g[c].to_numpy() == ref[c].to_numpy()).all(), c
+
+
+# ---------------------------------------------------------------- V9 ----
+def test_zipf_slope_matches_reference(ray_session):
+    import math
+
+    from anomalydetection_ray.pipelines.vocab import v9_zipf_slope
+
+    K = 100
+    got = v9_zipf_slope(SF, k=K).to_pandas().iloc[0]
+    docs = _docs_df()
+    cnt = Counter()
+    for text in docs["text"]:
+        cnt.update(w for w in text.split(" ") if w != "")
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:K]
+    sx = sy = sxx = sxy = 0.0
+    for i, (_, c) in enumerate(top):
+        x, y = math.log(float(i + 1)), math.log(float(c))
+        sx, sy = sx + x, sy + y
+        sxx, sxy = sxx + x * x, sxy + x * y
+    kk = float(len(top))
+    slope = (kk * sxy - sx * sy) / (kk * sxx - sx * sx)
+    assert got["k"] == len(top)
+    assert got["top_count"] == top[0][1]
+    assert got["slope"] == slope
+    assert got["intercept"] == (sy - slope * sx) / kk
+    # natural-ish Zipf range for this synthetic corpus
+    assert -3.0 < slope < 0.0
