@@ -409,6 +409,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c3_tpch_q10_like": q.c3_tpch_q10_like,
         # V9 Zipf-law slope fit over the top-k vocabulary
         "v9_zipf_slope": vb.v9_zipf_slope,
+        # T12 cross-source vocabulary Jaccard matrix
+        "t12_source_vocab_jaccard": vb.t12_source_vocab_jaccard,
         # T8 signup-cohort 7-day purchase retention
         "t8_cohort_retention": wnd.t8_cohort_retention,
         # J7 left OUTER join + aggregate (zero-fill for unmatched keys)
@@ -2500,6 +2502,29 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(gap < CAST(86400000000 AS BIGINT), FALSE)
                        AS is_dup
             FROM t
+        """,
+        # T12 vocab Jaccard: distinct (source, word) self-join; exact
+        # int intersection/union, one pinned division
+        "t12_source_vocab_jaccard": """
+            WITH sw AS (
+              SELECT DISTINCT source, word
+              FROM (SELECT source,
+                           unnest(string_split(text, ' ')) AS word
+                    FROM documents)
+              WHERE word <> ''),
+            tc AS (SELECT source, count(*) AS c FROM sw GROUP BY source),
+            p AS (SELECT a.source AS source_a, b.source AS source_b,
+                         count(*) AS inter
+                  FROM sw a JOIN sw b
+                    ON a.word = b.word AND a.source < b.source
+                  GROUP BY source_a, source_b)
+            SELECT p.source_a, p.source_b, p.inter,
+                   ta.c AS types_a, tb.c AS types_b,
+                   CAST(p.inter AS DOUBLE)
+                     / CAST(ta.c + tb.c - p.inter AS DOUBLE) AS jaccard
+            FROM p
+            JOIN tc ta ON ta.source = p.source_a
+            JOIN tc tb ON tb.source = p.source_b
         """,
         # V9 Zipf slope: OLS over (ln rank, ln count), every sum an
         # order-pinned list_reduce fold in rank order

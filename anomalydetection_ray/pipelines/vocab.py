@@ -446,3 +446,148 @@ def v9_zipf_slope(sf_dir: str, k: int = 100):
 
     # the top-k result is a single tiny sorted table; one final kernel
     return top.repartition(1).map_batches(fit, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- T12 ----
+def t12_source_vocab_jaccard(sf_dir: str, num_partitions: int = 16):
+    """T12 — cross-source vocabulary similarity matrix: exact Jaccard
+    ``|A n B| / |A u B|`` between every pair of sources' word-type sets —
+    the corpus-mixing audit (which shards are lexically redundant)
+    next to V7's per-source richness.
+
+    Scale shape: the W17 basket discipline with words as baskets and
+    sources as items — per-block DISTINCT (source, word) partials, ONE
+    hash exchange on the word, per-partition vectorized pair expansion
+    (sources-per-word is tiny), partial pair counts collapse before the
+    final tiny exchange.  Intersection/union arithmetic is exact ints +
+    one pinned division.  Oracle: distinct self-join in SQL."""
+    import functools
+
+    from anomalydetection_ray.stages.runs import (PKEY, add_partition_key,
+                                                  run_starts)
+
+    docs = _read_docs(sf_dir, ["source", "text"])
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        src = batch.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern(text, " ")
+        src_of = src.take(pc.list_parent_indices(words))
+        flat_all = pc.list_flatten(words)
+        keep = pc.not_equal(flat_all, "")
+        t = pa.table({"source": src_of.filter(keep),
+                      "word": flat_all.filter(keep)})
+        return t.group_by(["source", "word"]).aggregate([])
+
+    slim = docs.map_batches(distinct_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    tagged = slim.map_batches(
+        functools.partial(add_partition_key, keys=["word"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def pair_kernel(group: pa.Table) -> pa.Table:
+        tbl = group.drop_columns([PKEY]).sort_by(
+            [("word", "ascending"), ("source", "ascending")])
+        n = tbl.num_rows
+        empty = pa.table({
+            "source_a": pa.array([], type=pa.string()),
+            "source_b": pa.array([], type=pa.string()),
+            "cnt": pa.array([], type=pa.int64()),
+        })
+        if n == 0:
+            return empty
+        src = tbl.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = src.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        vocab = enc.dictionary.to_pylist()
+        w = tbl.column("word")
+        if isinstance(w, pa.ChunkedArray):
+            w = w.combine_chunks()
+        # distinct within partition (cross-block dups)
+        keep = np.ones(n, dtype=bool)
+        wnp = np.asarray(pc.equal(w.slice(1), w.slice(0, n - 1)))
+        keep[1:] = ~(wnp & (codes[1:] == codes[:-1]))
+        codes = codes[keep]
+        widx = np.flatnonzero(keep)
+        starts = run_starts(tbl.select(["word"]).take(pa.array(widx)),
+                            ["word"])
+        m = len(codes)
+        lens = np.diff(np.append(starts, m))
+        rows_a, rows_b, rows_c = [], [], []
+        out_a, out_b = [], []
+        for L in np.unique(lens):
+            if L < 2:
+                continue
+            segs = starts[lens == L]
+            mat = codes[segs[:, None] + np.arange(L)]
+            ii, jj = np.triu_indices(int(L), k=1)
+            out_a.append(mat[:, ii].ravel())
+            out_b.append(mat[:, jj].ravel())
+        if out_a:
+            a = np.concatenate(out_a)
+            b = np.concatenate(out_b)
+            pairs = pa.table({
+                "source_a": pa.array([vocab[i] for i in a],
+                                     type=pa.string()),
+                "source_b": pa.array([vocab[i] for i in b],
+                                     type=pa.string())})
+            g = pairs.group_by(["source_a", "source_b"]).aggregate(
+                [([], "count_all")])
+            rows_a += g.column("source_a").to_pylist()
+            rows_b += g.column("source_b").to_pylist()
+            rows_c += [int(x) for x in
+                       g.column("count_all").to_pylist()]
+        # per-source type counts (distinct words per source, partial)
+        tcodes, tcnt = np.unique(codes, return_counts=True)
+        rows_a += [vocab[i] for i in tcodes]
+        rows_b += [None] * len(tcodes)
+        rows_c += [int(c) for c in tcnt]
+        return pa.table({"source_a": pa.array(rows_a, type=pa.string()),
+                         "source_b": pa.array(rows_b, type=pa.string()),
+                         "cnt": pa.array(rows_c, type=pa.int64())})
+
+    partials = tagged.groupby(PKEY).map_groups(pair_kernel,
+                                               batch_format="pyarrow")
+
+    def tag_all(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_g", pa.array([0] * batch.num_rows,
+                                                  type=pa.int64()))
+
+    def finish(group: pa.Table) -> pa.Table:
+        t = (group.drop_columns(["_g"])
+             .group_by(["source_a", "source_b"]).aggregate([("cnt", "sum")]))
+        sa = t.column("source_a").to_pylist()
+        sb = t.column("source_b").to_pylist()
+        cnt = np.asarray(t.column("cnt_sum"), dtype=np.int64)
+        singles = {a: int(c) for a, b, c in zip(sa, sb, cnt) if b is None}
+        out = {"source_a": [], "source_b": [], "inter": [], "types_a": [],
+               "types_b": [], "jaccard": []}
+        for a, b, c in zip(sa, sb, cnt):
+            if b is None:
+                continue
+            ta, tb = singles[a], singles[b]
+            out["source_a"].append(a)
+            out["source_b"].append(b)
+            out["inter"].append(int(c))
+            out["types_a"].append(ta)
+            out["types_b"].append(tb)
+            out["jaccard"].append(float(int(c))
+                                  / float(ta + tb - int(c)))
+        return pa.table({
+            "source_a": pa.array(out["source_a"], type=pa.string()),
+            "source_b": pa.array(out["source_b"], type=pa.string()),
+            "inter": pa.array(out["inter"], type=pa.int64()),
+            "types_a": pa.array(out["types_a"], type=pa.int64()),
+            "types_b": pa.array(out["types_b"], type=pa.int64()),
+            "jaccard": pa.array(out["jaccard"], type=pa.float64()),
+        })
+
+    return (partials.map_batches(tag_all, batch_format="pyarrow")
+            .groupby("_g").map_groups(finish, batch_format="pyarrow"))

@@ -2521,3 +2521,45 @@ def test_zipf_slope_matches_reference(ray_session):
     assert got["intercept"] == (sy - slope * sx) / kk
     # natural-ish Zipf range for this synthetic corpus
     assert -3.0 < slope < 0.0
+
+
+# --------------------------------------------------------------- T12 ----
+def test_source_vocab_jaccard_matches_reference(ray_session):
+    import pyarrow.parquet as pq
+    from anomalydetection_ray.pipelines.vocab import t12_source_vocab_jaccard
+
+    got = (t12_source_vocab_jaccard(SF).to_pandas()
+           .set_index(["source_a", "source_b"]).sort_index())
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    vocab = {}
+    for s, g in docs.groupby("source"):
+        ws = set()
+        for t in g["text"]:
+            ws.update(w for w in t.split(" ") if w != "")
+        vocab[s] = ws
+    srcs = sorted(vocab)
+    n_pairs = 0
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            inter = len(vocab[a] & vocab[b])
+            if inter == 0:
+                continue
+            row = got.loc[(a, b)]
+            assert row["inter"] == inter
+            assert row["types_a"] == len(vocab[a])
+            assert row["types_b"] == len(vocab[b])
+            union = len(vocab[a]) + len(vocab[b]) - inter
+            assert row["jaccard"] == float(inter) / float(union)
+            n_pairs += 1
+    assert len(got) == n_pairs
+
+
+def test_source_vocab_jaccard_partition_invariance(ray_session):
+    from anomalydetection_ray.pipelines.vocab import t12_source_vocab_jaccard
+
+    a = (t12_source_vocab_jaccard(SF, num_partitions=3).to_pandas()
+         .sort_values(["source_a", "source_b"]).reset_index(drop=True))
+    b = (t12_source_vocab_jaccard(SF, num_partitions=16).to_pandas()
+         .sort_values(["source_a", "source_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
