@@ -411,6 +411,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v9_zipf_slope": vb.v9_zipf_slope,
         # T12 cross-source vocabulary Jaccard matrix
         "t12_source_vocab_jaccard": vb.t12_source_vocab_jaccard,
+        # S13 ORC round trip (custom task-side sink + source)
+        "s13_orc_roundtrip": q.s13_orc_roundtrip,
         # T8 signup-cohort 7-day purchase retention
         "t8_cohort_retention": wnd.t8_cohort_retention,
         # J7 left OUTER join + aggregate (zero-fill for unmatched keys)
@@ -2502,6 +2504,14 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(gap < CAST(86400000000 AS BIGINT), FALSE)
                        AS is_dup
             FROM t
+        """,
+        # S13 ORC round trip: oracle reads the ORIGINAL parquet — green
+        # only if every row/byte survived the ORC hop
+        "s13_orc_roundtrip": """
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+                   CAST(sum(doc_id) AS BIGINT) AS ids_sum
+            FROM documents GROUP BY source
         """,
         # T12 vocab Jaccard: distinct (source, word) self-join; exact
         # int intersection/union, one pinned division

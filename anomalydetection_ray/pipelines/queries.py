@@ -3256,3 +3256,103 @@ def c3_tpch_q10_like(sf_dir: str, k: int = 20):
                                  zero_copy_batch=True)
     return topk(final, k, [("revenue_cents", "descending"),
                            ("c_custkey", "ascending")])
+
+
+# ---------------------------------------------------------------- S13 ----
+def s13_orc_roundtrip(sf_dir: str):
+    """S13 — ORC source/sink round trip, the third interchange format
+    next to S6 (JSONL) and S7 (CSV).  Ray Data 2.49 ships no ORC
+    reader/writer, so this exercises the CUSTOM source/sink path: the
+    sink is a ``map_batches`` stage where each task writes its block as
+    one ORC shard (pyarrow.orc, task-side, no driver funnel); the source
+    is ``read_binary_files`` + a task-side ORC parse — the template for
+    any format Ray lacks natively.  Verification: per-source aggregates
+    (doc count, exact char sum, doc_id sum) recomputed from the
+    round-tripped rows; the oracle reads the ORIGINAL parquet, so the
+    check passes only if every row and byte survived both hops."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    out = tempfile.mkdtemp(prefix="anomray_orc_")
+    try:
+        ds = _read(sf_dir, "documents",
+                   ["doc_id", "source", "n_chars", "text"])
+
+        def write_shard(batch: pa.Table) -> pa.Table:
+            import pyarrow.orc as orc
+
+            if batch.num_rows == 0:
+                return pa.table({"shard_rows": pa.array([], type=pa.int64())})
+            first = batch.column("doc_id")[0].as_py()
+            path = os.path.join(out, f"shard-{first}-{batch.num_rows}.orc")
+            orc.write_table(batch, path)
+            return pa.table({"shard_rows": pa.array([batch.num_rows],
+                                                    type=pa.int64())})
+
+        # force the distributed sink before reading the layout back
+        n_written = sum(r["shard_rows"] for r in
+                        ds.map_batches(write_shard, batch_format="pyarrow")
+                          .take_all())
+        assert n_written > 0
+
+        back_bin = ray.data.read_binary_files(out)
+
+        def parse(batch: pa.Table) -> pa.Table:
+            import pyarrow.orc as orc
+
+            tables = []
+            for buf in batch.column("bytes").to_pylist():
+                tables.append(orc.ORCFile(pa.BufferReader(buf)).read())
+            if not tables:
+                return pa.table({
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "source": pa.array([], type=pa.string()),
+                    "n_chars": pa.array([], type=pa.int64()),
+                    "text": pa.array([], type=pa.string()),
+                })
+            return pa.concat_tables(tables)
+
+        back = back_bin.map_batches(parse, batch_format="pyarrow")
+
+        def partial(batch: pa.Table) -> pa.Table:
+            t = pa.table({
+                "source": batch.column("source"),
+                "n_chars": pc.cast(batch.column("n_chars"), pa.int64()),
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+            })
+            g = t.group_by("source").aggregate(
+                [([], "count_all"), ("n_chars", "sum"), ("doc_id", "sum")])
+            return pa.table({
+                "source": g.column("source"),
+                "n_docs": pc.cast(g.column("count_all"), pa.int64()),
+                "chars_sum": pc.cast(g.column("n_chars_sum"), pa.int64()),
+                "ids_sum": pc.cast(g.column("doc_id_sum"), pa.int64()),
+            })
+
+        partials = back.map_batches(partial, batch_format="pyarrow")
+
+        def merge(group: pa.Table) -> pa.Table:
+            return pa.table({
+                "source": group.column("source").slice(0, 1),
+                "n_docs": pa.array(
+                    [int(pc.sum(group.column("n_docs")).as_py())],
+                    type=pa.int64()),
+                "chars_sum": pa.array(
+                    [int(pc.sum(group.column("chars_sum")).as_py())],
+                    type=pa.int64()),
+                "ids_sum": pa.array(
+                    [int(pc.sum(group.column("ids_sum")).as_py())],
+                    type=pa.int64()),
+            })
+
+        res = partials.groupby("source").map_groups(
+            merge, batch_format="pyarrow")
+        # materialize before the tmp dir vanishes (lazy reads would fail)
+        return ray.data.from_arrow(pa.concat_tables(
+            list(res.iter_batches(batch_format="pyarrow"))))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -2563,3 +2563,19 @@ def test_source_vocab_jaccard_partition_invariance(ray_session):
     b = (t12_source_vocab_jaccard(SF, num_partitions=16).to_pandas()
          .sort_values(["source_a", "source_b"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+# --------------------------------------------------------------- S13 ----
+def test_orc_roundtrip_matches_parquet(ray_session):
+    import pyarrow.parquet as pq
+    from anomalydetection_ray.pipelines.queries import s13_orc_roundtrip
+
+    got = s13_orc_roundtrip(SF).to_pandas().set_index("source").sort_index()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "source", "n_chars"]).to_pandas()
+    ref = docs.groupby("source").agg(n_docs=("doc_id", "size"),
+                                     chars_sum=("n_chars", "sum"),
+                                     ids_sum=("doc_id", "sum")).sort_index()
+    assert len(got) == len(ref)
+    for c in ref.columns:
+        assert (got[c] == ref[c]).all(), c
