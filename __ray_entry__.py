@@ -413,6 +413,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t12_source_vocab_jaccard": vb.t12_source_vocab_jaccard,
         # S13 ORC round trip (custom task-side sink + source)
         "s13_orc_roundtrip": q.s13_orc_roundtrip,
+        # S15 declarative data-quality validation suite
+        "s15_validation_suite": q.s15_validation_suite,
         # T8 signup-cohort 7-day purchase retention
         "t8_cohort_retention": wnd.t8_cohort_retention,
         # J7 left OUTER join + aggregate (zero-fill for unmatched keys)
@@ -2504,6 +2506,50 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(gap < CAST(86400000000 AS BIGINT), FALSE)
                        AS is_dup
             FROM t
+        """,
+        # S15 validation suite: one UNION ALL arm per rule
+        "s15_validation_suite": """
+            SELECT 'events.value not null' AS rule,
+                   count(*) AS n_checked,
+                   count(*) - count(value) AS n_violations,
+                   (count(*) - count(value)) = 0 AS passed
+            FROM events
+            UNION ALL
+            SELECT 'events.value in [0, 1000]', count(*),
+                   CAST(sum(CASE WHEN value < 0.0 OR value > 1000.0
+                                 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(sum(CASE WHEN value < 0.0 OR value > 1000.0
+                                 THEN 1 ELSE 0 END) AS BIGINT) = 0
+            FROM events
+            UNION ALL
+            SELECT 'events.ts in contract span', count(*),
+                   CAST(sum(CASE WHEN epoch_us(ts) < 1704067200000000
+                                   OR epoch_us(ts) >= 1767225600000000
+                                 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(sum(CASE WHEN epoch_us(ts) < 1704067200000000
+                                   OR epoch_us(ts) >= 1767225600000000
+                                 THEN 1 ELSE 0 END) AS BIGINT) = 0
+            FROM events
+            UNION ALL
+            SELECT 'events.event_id unique', count(*),
+                   count(*) - count(DISTINCT event_id),
+                   (count(*) - count(DISTINCT event_id)) = 0
+            FROM events
+            UNION ALL
+            SELECT 'orders.o_custkey fk customer', count(*),
+                   CAST(sum(CASE WHEN c.c_custkey IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(sum(CASE WHEN c.c_custkey IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) = 0
+            FROM orders o LEFT JOIN customer c
+              ON c.c_custkey = o.o_custkey
+            UNION ALL
+            SELECT 'documents.n_chars == length(text)', count(*),
+                   CAST(sum(CASE WHEN n_chars <> length(text)
+                                 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(sum(CASE WHEN n_chars <> length(text)
+                                 THEN 1 ELSE 0 END) AS BIGINT) = 0
+            FROM documents
         """,
         # S13 ORC round trip: oracle reads the ORIGINAL parquet — green
         # only if every row/byte survived the ORC hop

@@ -3356,3 +3356,126 @@ def s13_orc_roundtrip(sf_dir: str):
             list(res.iter_batches(batch_format="pyarrow"))))
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+# ---------------------------------------------------------------- S15 ----
+def s15_validation_suite(sf_dir: str):
+    """S15 — declarative data-quality validation suite (the
+    expectations/contracts pass every ingest runs): one row per rule
+    with checked/violation counts.  Rules: (1) no null event values,
+    (2) value within the contracted range, (3) event_id unique,
+    (4) referential integrity orders.o_custkey -> customer,
+    (5) ts within the corpus' contracted year span,
+    (6) n_chars == length(text) on documents.
+
+    Scale shape: each rule is a partial-before-exchange aggregate (null/
+    range/invariant checks fused into single scans; uniqueness = exact
+    two-level distinct; FK = the J6 anti-join discipline with the dim
+    key set broadcast).  All counts exact ints.  Oracle: one UNION ALL
+    arm per rule."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    rows = []
+
+    # rules 1+2+5: one fused scan over events
+    ev = _read(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def _ts_us_local(col):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        v = np.asarray(col)
+        return v.view("int64") if v.dtype.kind == "M" else v.astype(np.int64)
+
+    def ev_partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("value")
+        n = batch.num_rows
+        n_null = v.null_count
+        vv = np.asarray(v.combine_chunks() if isinstance(v, pa.ChunkedArray)
+                        else v, dtype=np.float64)
+        ok = ~np.isnan(vv)
+        n_range = int(((vv < 0.0) | (vv > 1000.0))[ok].sum())
+        ts = _ts_us_local(batch.column("ts"))
+        year0 = 1704067200000000            # 2024-01-01T00:00:00Z
+        year2 = 1767225600000000            # 2026-01-01T00:00:00Z
+        n_ts = int(((ts < year0) | (ts >= year2)).sum())
+        return pa.table({
+            "n": pa.array([n], type=pa.int64()),
+            "n_null": pa.array([n_null], type=pa.int64()),
+            "n_range": pa.array([n_range], type=pa.int64()),
+            "n_ts": pa.array([n_ts], type=pa.int64()),
+        })
+
+    agg = {}
+    for b in ev.map_batches(ev_partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for c in ["n", "n_null", "n_range", "n_ts"]:
+            agg[c] = agg.get(c, 0) + int(pc.sum(b.column(c)).as_py() or 0)
+    rows.append(("events.value not null", agg["n"], agg["n_null"]))
+    rows.append(("events.value in [0, 1000]", agg["n"], agg["n_range"]))
+    rows.append(("events.ts in contract span", agg["n"], agg["n_ts"]))
+
+    # rule 3: event_id uniqueness (two-level exact distinct)
+    def id_partial(batch: pa.Table) -> pa.Table:
+        u = pc.unique(batch.column("event_id").combine_chunks()
+                      if isinstance(batch.column("event_id"), pa.ChunkedArray)
+                      else batch.column("event_id"))
+        return pa.table({"event_id": u})
+
+    def first(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    n_distinct = (ev.map_batches(id_partial, batch_format="pyarrow")
+                  .groupby("event_id").map_groups(first,
+                                                  batch_format="pyarrow")
+                  .count())
+    rows.append(("events.event_id unique", agg["n"], agg["n"] - n_distinct))
+
+    # rule 4: FK orders.o_custkey -> customer (broadcast dim key set)
+    cust_keys = set()
+    for b in _read(sf_dir, "customer", ["c_custkey"]) \
+            .iter_batches(batch_format="pyarrow"):
+        cust_keys.update(b.column("c_custkey").to_pylist())
+    ck = pa.array(sorted(cust_keys), type=pa.int64())
+
+    def fk_partial(batch: pa.Table) -> pa.Table:
+        bad = pc.sum(pc.cast(pc.invert(
+            pc.is_in(batch.column("o_custkey"), value_set=ck)),
+            pa.int64())).as_py() or 0
+        return pa.table({"n": pa.array([batch.num_rows], type=pa.int64()),
+                         "bad": pa.array([int(bad)], type=pa.int64())})
+
+    fk_n = fk_bad = 0
+    for b in _read(sf_dir, "orders", ["o_custkey"]) \
+            .map_batches(fk_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        fk_n += int(pc.sum(b.column("n")).as_py() or 0)
+        fk_bad += int(pc.sum(b.column("bad")).as_py() or 0)
+    rows.append(("orders.o_custkey fk customer", fk_n, fk_bad))
+
+    # rule 6: documents n_chars == length(text)
+    def doc_partial(batch: pa.Table) -> pa.Table:
+        ln = pc.utf8_length(batch.column("text").combine_chunks()
+                            if isinstance(batch.column("text"),
+                                          pa.ChunkedArray)
+                            else batch.column("text"))
+        bad = pc.sum(pc.cast(pc.not_equal(
+            pc.cast(ln, pa.int64()),
+            pc.cast(batch.column("n_chars"), pa.int64())),
+            pa.int64())).as_py() or 0
+        return pa.table({"n": pa.array([batch.num_rows], type=pa.int64()),
+                         "bad": pa.array([int(bad)], type=pa.int64())})
+
+    d_n = d_bad = 0
+    for b in _read(sf_dir, "documents", ["n_chars", "text"]) \
+            .map_batches(doc_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        d_n += int(pc.sum(b.column("n")).as_py() or 0)
+        d_bad += int(pc.sum(b.column("bad")).as_py() or 0)
+    rows.append(("documents.n_chars == length(text)", d_n, d_bad))
+
+    import pandas as pd
+
+    out = pd.DataFrame(rows, columns=["rule", "n_checked", "n_violations"])
+    out["passed"] = out["n_violations"] == 0
+    return ray.data.from_pandas(out)

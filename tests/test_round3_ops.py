@@ -2579,3 +2579,19 @@ def test_orc_roundtrip_matches_parquet(ray_session):
     assert len(got) == len(ref)
     for c in ref.columns:
         assert (got[c] == ref[c]).all(), c
+
+
+# --------------------------------------------------------------- S15 ----
+def test_validation_suite_all_rules_pass_on_clean_data(ray_session):
+    from anomalydetection_ray.pipelines.queries import s15_validation_suite
+
+    got = s15_validation_suite(SF).to_pandas().set_index("rule")
+    assert len(got) == 6
+    # the driver testdata satisfies every contract
+    assert got["passed"].all()
+    assert (got["n_violations"] == 0).all()
+    ev = _events_df()
+    assert got.loc["events.event_id unique", "n_checked"] == len(ev)
+    docs = _docs_df()
+    assert (got.loc["documents.n_chars == length(text)", "n_checked"]
+            == len(docs))
