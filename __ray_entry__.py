@@ -415,6 +415,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s13_orc_roundtrip": q.s13_orc_roundtrip,
         # S15 declarative data-quality validation suite
         "s15_validation_suite": q.s15_validation_suite,
+        # K6 embedding dimension-pair correlation audit
+        "k6_dim_correlation": km.k6_dim_correlation,
         # T8 signup-cohort 7-day purchase retention
         "t8_cohort_retention": wnd.t8_cohort_retention,
         # J7 left OUTER join + aggregate (zero-fill for unmatched keys)
@@ -2506,6 +2508,35 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(gap < CAST(86400000000 AS BIGINT), FALSE)
                        AS is_dup
             FROM t
+        """,
+        # K6 dim correlation: exact int64 moment sums over the first 8
+        # dims; corr = pinned elementwise float sequence
+        "k6_dim_correlation": """
+            WITH q AS (SELECT vec_id, CAST(t.i - 1 AS BIGINT) AS dim,
+                              CAST(floor(CAST(embedding[t.i] AS DOUBLE)
+                                         * 1048576 + 0.5) AS BIGINT) AS vq
+                       FROM embeddings
+                       CROSS JOIN unnest(range(1, 9)) AS t(i)),
+            p AS (SELECT a.dim AS dim_a, b.dim AS dim_b, count(*) AS n,
+                         CAST(sum(a.vq) AS BIGINT) AS sx,
+                         CAST(sum(b.vq) AS BIGINT) AS sy,
+                         CAST(sum(a.vq * a.vq) AS BIGINT) AS sxx,
+                         CAST(sum(b.vq * b.vq) AS BIGINT) AS syy,
+                         CAST(sum(a.vq * b.vq) AS BIGINT) AS sxy
+                  FROM q a JOIN q b
+                    ON a.vec_id = b.vec_id AND a.dim < b.dim
+                  GROUP BY dim_a, dim_b),
+            f AS (SELECT dim_a, dim_b, n, sx, sy, sxy,
+                         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS ex,
+                         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS ey,
+                         CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) AS exx,
+                         CAST(syy AS DOUBLE) / CAST(n AS DOUBLE) AS eyy,
+                         CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE) AS exy
+                  FROM p)
+            SELECT dim_a, dim_b, n, sx, sy, sxy,
+                   (exy - ex * ey)
+                     / (sqrt(exx - ex * ex) * sqrt(eyy - ey * ey)) AS corr
+            FROM f
         """,
         # S15 validation suite: one UNION ALL arm per rule
         "s15_validation_suite": """

@@ -319,3 +319,70 @@ def k5_dim_standardize(sf_dir: str):
         })
 
     return partials.groupby("dim").map_groups(merge, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- K6 ----
+def k6_dim_correlation(sf_dir: str, n_dims: int = 8):
+    """K6 — dimension-pair Pearson correlation over the first ``n_dims``
+    embedding dimensions: the feature-redundancy audit before PCA /
+    whitening decisions (K5 gives the diagonal; this gives the
+    off-diagonal structure).
+
+    Exactness: all five moment sums are exact int64 over the 2^20
+    micro-quantized components (per-block partials, n_dims*(n_dims-1)/2
+    rows per block); the correlation is the pinned elementwise sequence
+    ``exy - ex*ey`` over ``sqrt(vx) * sqrt(vy)`` both sides replay."""
+    import math
+
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding"])
+    ii, jj = np.triu_indices(n_dims, k=1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, ef = _emb_f64(batch.append_column(
+            "vec_id", pa.array(np.zeros(batch.num_rows, dtype=np.int64))))
+        q = np.floor(ef[:, :n_dims] * ESCALE + 0.5).astype(np.int64)
+        n = q.shape[0]
+        a = q[:, ii]
+        b = q[:, jj]
+        return pa.table({
+            "dim_a": pa.array(ii.astype(np.int64)),
+            "dim_b": pa.array(jj.astype(np.int64)),
+            "n": pa.array(np.full(len(ii), n), type=pa.int64()),
+            "sx": pa.array(a.sum(axis=0), type=pa.int64()),
+            "sy": pa.array(b.sum(axis=0), type=pa.int64()),
+            "sxx": pa.array((a * a).sum(axis=0), type=pa.int64()),
+            "syy": pa.array((b * b).sum(axis=0), type=pa.int64()),
+            "sxy": pa.array((a * b).sum(axis=0), type=pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def merge(group: pa.Table) -> pa.Table:
+        n = sum(int(v) for v in group.column("n").to_pylist())
+        sx = sum(int(v) for v in group.column("sx").to_pylist())
+        sy = sum(int(v) for v in group.column("sy").to_pylist())
+        sxx = sum(int(v) for v in group.column("sxx").to_pylist())
+        syy = sum(int(v) for v in group.column("syy").to_pylist())
+        sxy = sum(int(v) for v in group.column("sxy").to_pylist())
+        ex = float(sx) / float(n)
+        ey = float(sy) / float(n)
+        cov = float(sxy) / float(n) - ex * ey
+        vx = float(sxx) / float(n) - ex * ex
+        vy = float(syy) / float(n) - ey * ey
+        corr = cov / (math.sqrt(vx) * math.sqrt(vy))
+        return pa.table({
+            "dim_a": group.column("dim_a").slice(0, 1),
+            "dim_b": group.column("dim_b").slice(0, 1),
+            "n": pa.array([n], type=pa.int64()),
+            "sx": pa.array([sx], type=pa.int64()),
+            "sy": pa.array([sy], type=pa.int64()),
+            "sxy": pa.array([sxy], type=pa.int64()),
+            "corr": pa.array([corr], type=pa.float64()),
+        })
+
+    return partials.groupby(["dim_a", "dim_b"]).map_groups(
+        merge, batch_format="pyarrow")

@@ -530,3 +530,38 @@ def test_dim_standardize_matches_numpy(ray_session):
         assert row["std"] == math.sqrt(ex2 - ex * ex) / float(ESCALE)
         # sanity: std close to numpy's
         assert abs(row["std"] - ef[:, d].std()) < 1e-5
+
+
+# ---------------------------------------------------------------- K6 ----
+def test_dim_correlation_matches_numpy(ray_session):
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from anomalydetection_ray.pipelines.kmeans import ESCALE, k6_dim_correlation
+
+    SF = "/root/testdata/sf0.001"
+    got = (k6_dim_correlation(SF).to_pandas()
+           .set_index(["dim_a", "dim_b"]).sort_index())
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    emb = t.column("embedding").combine_chunks()
+    ef = np.asarray(emb.values, dtype=np.float64).reshape(len(t), -1)
+    q = np.floor(ef[:, :8] * ESCALE + 0.5).astype(np.int64)
+    n = q.shape[0]
+    assert len(got) == 28
+    for i in range(8):
+        for j in range(i + 1, 8):
+            row = got.loc[(i, j)]
+            sx, sy = int(q[:, i].sum()), int(q[:, j].sum())
+            sxy = int((q[:, i] * q[:, j]).sum())
+            assert row["n"] == n and row["sx"] == sx and row["sy"] == sy
+            assert row["sxy"] == sxy
+            ex, ey = float(sx) / n, float(sy) / n
+            exx = float((q[:, i] ** 2).sum()) / n
+            eyy = float((q[:, j] ** 2).sum()) / n
+            ref = (float(sxy) / n - ex * ey) / (
+                math.sqrt(exx - ex * ex) * math.sqrt(eyy - ey * ey))
+            assert row["corr"] == ref
+            # near-orthogonal random embeddings: weak correlations
+            assert abs(row["corr"]) < 0.5
