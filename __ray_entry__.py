@@ -417,6 +417,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s15_validation_suite": q.s15_validation_suite,
         # K6 embedding dimension-pair correlation audit
         "k6_dim_correlation": km.k6_dim_correlation,
+        # G23 partition-skew audit (hash-bucket balance report)
+        "g23_partition_skew": q.g23_partition_skew,
         # T8 signup-cohort 7-day purchase retention
         "t8_cohort_retention": wnd.t8_cohort_retention,
         # J7 left OUTER join + aggregate (zero-fill for unmatched keys)
@@ -2508,6 +2510,22 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(gap < CAST(86400000000 AS BIGINT), FALSE)
                        AS is_dup
             FROM t
+        """,
+        # G23 partition skew: exact bucket counts under the Knuth hash;
+        # share and skew factor are pinned divisions
+        "g23_partition_skew": """
+            WITH b AS (SELECT (user_id * 2654435761) % 4294967296 % 32
+                           AS bucket
+                       FROM events),
+            c AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                         CAST(max(n) AS BIGINT) AS mx FROM c)
+            SELECT c.bucket, c.n,
+                   CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+                   t.total,
+                   CAST(t.mx * 32 AS DOUBLE) / CAST(t.total AS DOUBLE)
+                       AS skew_factor
+            FROM c CROSS JOIN t
         """,
         # K6 dim correlation: exact int64 moment sums over the first 8
         # dims; corr = pinned elementwise float sequence

@@ -3479,3 +3479,61 @@ def s15_validation_suite(sf_dir: str):
     out = pd.DataFrame(rows, columns=["rule", "n_checked", "n_violations"])
     out["passed"] = out["n_violations"] == 0
     return ray.data.from_pandas(out)
+
+
+# ---------------------------------------------------------------- G23 ----
+def g23_partition_skew(sf_dir: str, num_partitions: int = 32):
+    """G23 — partition-skew audit: row counts per hash bucket of the
+    events key ``user_id`` under the Knuth multiplicative hash
+    ``((k * 2654435761) % 2^32) % P`` — the "do I need to salt this
+    key?" diagnostic behind every `_pkey` exchange (the G2-salted path
+    exists because of exactly this report).  Emits per-bucket counts,
+    the bucket's share, and the corpus-wide skew factor
+    ``max_bucket * P / total`` (1.0 = perfectly even).
+
+    Scale shape: per-block Arrow group_by partials (<= P rows per
+    block), one tiny exchange, single-group finish.  All counts exact;
+    the two ratios are pinned divisions."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch.column("user_id"), dtype=np.int64) \
+            .astype(np.uint64)
+        b = ((k * np.uint64(2654435761)) % np.uint64(1 << 32)) \
+            % np.uint64(num_partitions)
+        t = pa.table({"bucket": pa.array(b.astype(np.int64),
+                                         type=pa.int64())})
+        g = t.group_by(["bucket"]).aggregate([([], "count_all")])
+        return pa.table({"bucket": g.column("bucket"),
+                         "n": pc.cast(g.column("count_all"), pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_g", pa.array([0] * batch.num_rows,
+                                                  type=pa.int64()))
+
+    def finish(group: pa.Table) -> pa.Table:
+        t = (group.drop_columns(["_g"])
+             .group_by(["bucket"]).aggregate([("n", "sum")]))
+        b = np.asarray(t.column("bucket"), dtype=np.int64)
+        n = np.asarray(t.column("n_sum"), dtype=np.int64)
+        total = int(n.sum())
+        mx = int(n.max())
+        skew = float(mx * num_partitions) / float(total)
+        order = np.argsort(b)
+        return pa.table({
+            "bucket": pa.array(b[order], type=pa.int64()),
+            "n": pa.array(n[order], type=pa.int64()),
+            "share": pa.array(n[order].astype(np.float64) / float(total),
+                              type=pa.float64()),
+            "total": pa.array(np.full(len(b), total), type=pa.int64()),
+            "skew_factor": pa.array(np.full(len(b), skew),
+                                    type=pa.float64()),
+        })
+
+    return (partials.map_batches(tag, batch_format="pyarrow")
+            .groupby("_g").map_groups(finish, batch_format="pyarrow"))

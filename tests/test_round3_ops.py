@@ -2595,3 +2595,26 @@ def test_validation_suite_all_rules_pass_on_clean_data(ray_session):
     docs = _docs_df()
     assert (got.loc["documents.n_chars == length(text)", "n_checked"]
             == len(docs))
+
+
+# --------------------------------------------------------------- G23 ----
+def test_partition_skew_matches_reference(ray_session):
+    from anomalydetection_ray.pipelines.queries import g23_partition_skew
+
+    P = 32
+    got = g23_partition_skew(SF, num_partitions=P).to_pandas() \
+        .set_index("bucket").sort_index()
+    ev = _events_df()
+    k = ev["user_id"].to_numpy().astype(np.uint64)
+    b = ((k * np.uint64(2654435761)) % np.uint64(1 << 32)) % np.uint64(P)
+    ref = pd.Series(b.astype(np.int64)).value_counts().sort_index()
+    assert len(got) == len(ref)
+    total = int(ref.sum())
+    mx = int(ref.max())
+    for bucket, n in ref.items():
+        row = got.loc[bucket]
+        assert row["n"] == n
+        assert row["share"] == float(n) / float(total)
+        assert row["total"] == total
+        assert row["skew_factor"] == float(mx * P) / float(total)
+    assert got["skew_factor"].iloc[0] >= 1.0
