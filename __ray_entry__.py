@@ -419,6 +419,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k6_dim_correlation": km.k6_dim_correlation,
         # G23 partition-skew audit (hash-bucket balance report)
         "g23_partition_skew": q.g23_partition_skew,
+        # Q10 systematic every-k-th sampling under the Q6 seeded order
+        "q10_systematic_sample": pk.q10_systematic_sample,
+        # W25 per-key volatility (median/MAD of absolute deltas)
+        "w25_volatility": wnd.w25_volatility,
         # T8 signup-cohort 7-day purchase retention
         "t8_cohort_retention": wnd.t8_cohort_retention,
         # J7 left OUTER join + aggregate (zero-fill for unmatched keys)
@@ -2511,6 +2515,24 @@ def oracle_sql() -> dict[str, str]:
                        AS is_dup
             FROM t
         """,
+        # W25 volatility: lag deltas + exact-halves medians
+        "w25_volatility": """
+            WITH d AS (
+              SELECT user_id,
+                     abs(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                         - lag(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                             OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id)) AS ad
+              FROM events),
+            m AS (SELECT user_id, count(*) AS n_deltas,
+                         median(ad) AS med_abs_delta
+                  FROM d WHERE ad IS NOT NULL GROUP BY user_id)
+            SELECT m.user_id, m.n_deltas, m.med_abs_delta,
+                   median(abs(d.ad - m.med_abs_delta)) AS mad_abs_delta
+            FROM d JOIN m USING (user_id)
+            WHERE d.ad IS NOT NULL
+            GROUP BY m.user_id, m.n_deltas, m.med_abs_delta
+        """,
         # G23 partition skew: exact bucket counts under the Knuth hash;
         # share and skew factor are pinned divisions
         "g23_partition_skew": """
@@ -3481,6 +3503,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY h, doc_id) - 1
                         AS BIGINT) AS shuffle_pos
             FROM h
+        """,
+        # Q10 systematic sample: every k-th rank of the Q6 order
+        "q10_systematic_sample": f"""
+            WITH h AS (SELECT doc_id,
+                              CAST((CAST(xor(doc_id % 4294967296,
+                                             {(42 * 2654435761) & 0xFFFFFFFF})
+                                         AS HUGEINT) * 2654435761)
+                                   % 4294967296 AS BIGINT) AS h
+                       FROM documents)
+            SELECT doc_id, h,
+                   CAST(row_number() OVER (ORDER BY h, doc_id) - 1
+                        AS BIGINT) AS shuffle_pos
+            FROM h
+            QUALIFY (row_number() OVER (ORDER BY h, doc_id) - 1) % 10 = 0
         """,
         # P3 sequence packing: exclusive prefix sum over doc_id order
         "pack_sequences": """

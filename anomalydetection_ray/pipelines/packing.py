@@ -262,3 +262,27 @@ def chunk_docs(sf_dir: str, chunk: int = CHUNK_LEN_DEFAULT,
             .map_batches(functools.partial(chunk_batch, chunk=chunk,
                                            stride=stride),
                          batch_format="pyarrow", zero_copy_batch=True))
+
+
+def q10_systematic_sample(sf_dir: str, k: int = 10,
+                          seed: int = SHUFFLE_SEED_DEFAULT,
+                          num_partitions: int = 16):
+    """Q10 — systematic sampling: every ``k``-th document under the Q6
+    seeded global order (rank % k == 0).  Unlike the Q3/Q4 membership
+    samples, the sample SIZE is exact by construction (ceil(N/k)) and
+    the picks are evenly spaced through the shuffled order — the classic
+    survey-sampling design, and the deterministic distributed-rank path
+    makes it layout-independent and resumable.
+
+    Scale shape: inherits Q6's no-global-sort distributed rank; the
+    filter is map-only on top.  Oracle: ``QUALIFY (row_number() - 1) %
+    k = 0`` over the same hash order."""
+    ranked = seeded_shuffle(sf_dir, seed=seed,
+                            num_partitions=num_partitions)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        pos = np.asarray(batch.column("shuffle_pos"), dtype=np.int64)
+        return batch.filter(pa.array(pos % k == 0))
+
+    return ranked.map_batches(keep, batch_format="pyarrow",
+                              zero_copy_batch=True)

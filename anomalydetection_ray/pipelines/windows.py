@@ -1887,3 +1887,70 @@ def w21_grid_resample_locf(sf_dir: str, num_partitions: int = 16):
         batch_format="pyarrow", zero_copy_batch=True)
     return tagged.groupby(PKEY).map_groups(_grid_locf_kernel,
                                            batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- W25 ----
+def _volatility_kernel(group: pa.Table) -> pa.Table:
+    """Per-partition volatility: median and MAD of the absolute
+    successive value deltas (cents) within each user's (ts, event_id)
+    order — robust roughness, immune to level and to isolated spikes.
+    Two `segment_medians` passes (exact halves/quarters, the w12
+    discipline), no Python loop."""
+    from anomalydetection_ray.functions.stats import segment_medians
+
+    group = group.drop_columns([PKEY]).sort_by(
+        [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")])
+    n = group.num_rows
+    empty = pa.table({
+        "user_id": pa.array([], type=pa.int64()),
+        "n_deltas": pa.array([], type=pa.int64()),
+        "med_abs_delta": pa.array([], type=pa.float64()),
+        "mad_abs_delta": pa.array([], type=pa.float64()),
+    })
+    if n == 0:
+        return empty
+    uid = np.asarray(group.column("user_id"), dtype=np.int64)
+    value = group.column("value")
+    if isinstance(value, pa.ChunkedArray):
+        value = value.combine_chunks()
+    cents = np.floor(np.asarray(value, dtype=np.float64) * 100.0
+                     + 0.5).astype(np.int64)
+    starts = run_starts(group, ["user_id"])
+    first = np.zeros(n, dtype=bool)
+    first[starts] = True
+    ad = np.abs(cents[1:] - cents[:-1])[~first[1:]].astype(np.float64)
+    seg_uid = uid[1:][~first[1:]]
+    if len(ad) == 0:
+        return empty
+    # deltas are already grouped by user (order preserved)
+    dstarts = np.flatnonzero(np.concatenate(
+        ([True], seg_uid[1:] != seg_uid[:-1])))
+    dlens = np.diff(np.append(dstarts, len(ad)))
+    seg_of = np.repeat(np.arange(len(dstarts), dtype=np.int64), dlens)
+    med = segment_medians(ad, seg_of, len(dstarts), dstarts, dlens)
+    dev = np.abs(ad - med[seg_of])
+    mad = segment_medians(dev, seg_of, len(dstarts), dstarts, dlens)
+    return pa.table({
+        "user_id": pa.array(seg_uid[dstarts], type=pa.int64()),
+        "n_deltas": pa.array(dlens, type=pa.int64()),
+        "med_abs_delta": pa.array(med, type=pa.float64()),
+        "mad_abs_delta": pa.array(mad, type=pa.float64()),
+    })
+
+
+def w25_volatility(sf_dir: str, num_partitions: int = 16):
+    """W25 — per-key series roughness/volatility: the median absolute
+    successive delta and its MAD per user — the robust dispersion pair
+    for CHANGE (w12 gives it for LEVEL); flags erratic streams before a
+    model trusts their features.
+
+    Scale shape: the standard ONE ``_pkey`` exchange; the kernel is one
+    shifted subtraction + two lexsort-median passes.  Oracle: lag()
+    deltas + DuckDB ``median()`` (exact halves/quarters on cent ints)."""
+    ev = _read_events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby(PKEY).map_groups(_volatility_kernel,
+                                           batch_format="pyarrow")

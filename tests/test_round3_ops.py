@@ -2618,3 +2618,47 @@ def test_partition_skew_matches_reference(ray_session):
         assert row["total"] == total
         assert row["skew_factor"] == float(mx * P) / float(total)
     assert got["skew_factor"].iloc[0] >= 1.0
+
+
+# --------------------------------------------------------------- Q10 ----
+def test_systematic_sample_matches_reference(ray_session):
+    from anomalydetection_ray.pipelines.packing import q10_systematic_sample
+
+    K, SEED = 10, 42
+    got = q10_systematic_sample(SF, k=K).to_pandas() \
+        .sort_values("shuffle_pos").reset_index(drop=True)
+    docs = _docs_df()
+    ids = docs["doc_id"].to_numpy().astype(np.uint64)
+    smix = (np.uint64(SEED) * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+    h = (((ids & np.uint64(0xFFFFFFFF)) ^ smix) * np.uint64(2654435761)) \
+        & np.uint64(0xFFFFFFFF)
+    order = np.lexsort((ids.astype(np.int64), h.astype(np.int64)))
+    picked = order[::K]
+    assert len(got) == len(picked)
+    assert (got["doc_id"].to_numpy() == ids[picked].astype(np.int64)).all()
+    assert (got["shuffle_pos"].to_numpy()
+            == np.arange(0, len(ids), K)[:len(picked)]).all()
+    # exact sample size by construction
+    assert len(got) == -(-len(ids) // K)
+
+
+# --------------------------------------------------------------- W25 ----
+def test_volatility_matches_reference(ray_session):
+    from anomalydetection_ray.pipelines.windows import w25_volatility
+
+    got = w25_volatility(SF).to_pandas().set_index("user_id")
+    ev = _events_df().sort_values(["user_id", "ts", "event_id"])
+    n_users = 0
+    for uid, g in ev.groupby("user_id", sort=False):
+        cents = np.floor(g["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        if len(cents) < 2:
+            continue
+        ad = np.abs(np.diff(cents)).astype(np.float64)
+        med = np.median(ad)
+        mad = np.median(np.abs(ad - med))
+        row = got.loc[uid]
+        assert row["n_deltas"] == len(ad)
+        assert row["med_abs_delta"] == med
+        assert row["mad_abs_delta"] == mad
+        n_users += 1
+    assert len(got) == n_users
