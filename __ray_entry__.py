@@ -307,6 +307,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "detect_threshold": lambda sf: _detect(sf, "threshold"),
         "detect_ewma": lambda sf: _detect(sf, "ewma"),
         "detect_mad": lambda sf: _detect(sf, "mad"),
+        # A22 Grubbs single-outlier test (classical k=1 ESD, ddof=1)
+        "detect_grubbs": lambda sf: _detect(sf, "grubbs"),
         # A7 CUSUM change-point detector (Page 1954, zero-slack two-sided
         # closed form: cumsum + running min/max over exact n-scaled ints)
         "detect_cusum": lambda sf: _detect(sf, "cusum"),
@@ -1111,6 +1113,66 @@ _STOPWORDS_SQL = {
 }
 
 
+def _grubbs_sql(alpha: float = 0.05, max_n: int = 4096) -> str:
+    """A22 Grubbs single-outlier oracle: exact n-scaled integer
+    statistics + an n-keyed critical-value table generated from the
+    engine's own t-PPF (the same shared-constant device the ESD oracle
+    uses).  Guard CTE errors if any series exceeds the table range."""
+    from anomalydetection_ray.stages.detectors import grubbs_lambda
+
+    lam_rows = ", ".join(
+        f"({n}, {grubbs_lambda(n, alpha)!r})" for n in range(3, max_n + 1))
+    return f"""
+        WITH {_SEQ_TOK_CTE},
+        parts AS (
+            SELECT doc_id,
+                   CAST(unnest(range(0, greatest(CAST(ceil(
+                       CAST(len(toks) AS DOUBLE) / 1000000) AS BIGINT), 1)))
+                       AS INTEGER) AS part_id
+            FROM seq),
+        s AS MATERIALIZED (
+            SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                   pos % 1000000 AS i, CAST(v AS BIGINT) AS v FROM tok),
+        st AS MATERIALIZED (
+            SELECT doc_id, part_id, count(*) AS n,
+                   CAST(sum(v) AS BIGINT) AS sv,
+                   CAST(sum(v * v) AS BIGINT) AS qv
+            FROM s GROUP BY doc_id, part_id),
+        guard AS (SELECT CASE WHEN max(n) > {max_n}
+                              THEN error('grubbs oracle: max(n)=' || max(n)
+                                         || ' exceeds lambda table {max_n}')
+                         END AS g FROM st),
+        lam(n, lv) AS MATERIALIZED (SELECT * FROM (VALUES {lam_rows})),
+        best AS (
+            SELECT s.doc_id, s.part_id, s.i,
+                   abs(st.n * s.v - st.sv) AS dev,
+                   st.n, st.sv, st.qv
+            FROM s JOIN st USING (doc_id, part_id)
+            QUALIFY row_number() OVER (
+                PARTITION BY s.doc_id, s.part_id
+                ORDER BY abs(st.n * s.v - st.sv) DESC, s.i ASC) = 1),
+        res AS (
+            SELECT b.doc_id, b.part_id,
+                   CASE WHEN b.n >= 3
+                             AND (b.n * b.qv - b.sv * b.sv) > 0
+                             AND CAST(b.dev AS DOUBLE) >
+                                 l.lv * sqrt(CAST(b.n * b.qv - b.sv * b.sv
+                                                  AS DOUBLE)
+                                             * (CAST(b.n AS DOUBLE)
+                                                / CAST(b.n - 1 AS DOUBLE)))
+                        THEN 1 ELSE 0 END AS flag,
+                   b.i
+            FROM best b LEFT JOIN lam l ON l.n = b.n)
+        SELECT r.doc_id, r.part_id, 'grubbs' AS detector,
+               CAST(r.flag AS BIGINT) AS n_anomalies,
+               CAST(CASE WHEN r.flag = 1 THEN r.i ELSE 0 END AS BIGINT)
+                   AS pos_sum,
+               CAST(CASE WHEN r.flag = 1 THEN r.i * r.i ELSE 0 END AS BIGINT)
+                   AS pos_sumsq
+        FROM res r, guard
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB equivalents (views pre-registered by the driver).  Keys
     absent here (codec/persist summaries: side-effectful; media: binary
@@ -1319,6 +1381,8 @@ def oracle_sql() -> dict[str, str]:
         # A3 generalized ESD (robust S-H-ESD): unrolled MATERIALIZED CTE
         # iteration + (n-k)-keyed lambda table from the engine's own t-PPF
         "detect_esd": _esd_sql(),
+        # A22 Grubbs: n-keyed critical table from the shared t-PPF
+        "detect_grubbs": _grubbs_sql(),
         "detect_shesd": _esd_sql(season_period=24),
         # A8b seasonal components: phase medians, exact halves
         "a8_seasonal_components": f"""

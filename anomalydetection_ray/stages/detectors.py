@@ -461,3 +461,56 @@ def longest_run_batch(batch: pa.Table) -> pa.Table:
         "n_above": pa.array(n_above, type=pa.int64()),
         "longest_run": pa.array(longest, type=pa.int64()),
     })
+
+
+def grubbs_lambda(n: int, alpha: float = 0.05) -> float:
+    """Grubbs-1950 critical value for the single-outlier test:
+    ``((n-1)/sqrt(n)) * sqrt(t^2 / (n-2+t^2))`` with
+    ``t = t_ppf(1 - alpha/(2n), n-2)`` — from the engine's own t-PPF, so
+    oracle and engine share every bit of the constant."""
+    from anomalydetection_ray.functions.tppf import t_ppf
+
+    if n < 3:
+        return math.inf
+    t = t_ppf(1.0 - alpha / (2.0 * n), float(n - 2))
+    return ((n - 1) / math.sqrt(float(n))) * math.sqrt(
+        t * t / (n - 2 + t * t))
+
+
+def _det_grubbs(values: np.ndarray, alpha: float = 0.05) -> dict:
+    """A22: Grubbs' single-outlier test (Grubbs 1950) — the classical
+    k=1 ancestor of the A3 generalized ESD, with the textbook ddof=1
+    sample std.  Exact integer statistics in n-scaled units:
+
+        G > lambda  <=>  max|n*x - S|
+                         > lambda * sqrt((n*Q - S^2) * (n / (n-1)))
+
+    (both sides multiplied by n; S = sum, Q = sum of squares, all exact
+    ints) — so the only floats are the pinned lambda constant, one exact
+    int -> double conversion each side, one multiply, one sqrt: a SQL
+    oracle replays the comparison verbatim.  Ties on the max deviation
+    break to the lowest index."""
+    x = values.astype(np.int64)
+    n = x.shape[0]
+    none = {"n_anomalies": 0,
+            "anomaly_positions": np.empty(0, dtype=np.int64)}
+    if n < 3:
+        return none
+    S = int(x.sum())
+    Q = int((x.astype(object) * x).sum()) if n * int(
+        np.abs(x).max() or 0) ** 2 > 2**62 else int((x * x).sum())
+    m2 = n * Q - S * S
+    if m2 <= 0:
+        return none
+    dev = np.abs(n * x.astype(object) - S) if abs(S) > 2**62 // max(n, 1) \
+        else np.abs(n * x - S)
+    i = int(np.argmax(dev))
+    lam = grubbs_lambda(n, alpha)
+    rhs = lam * math.sqrt(float(m2) * (float(n) / float(n - 1)))
+    if float(int(dev[i])) > rhs:
+        return {"n_anomalies": 1,
+                "anomaly_positions": np.array([i], dtype=np.int64)}
+    return none
+
+
+register_detector("grubbs", _det_grubbs)

@@ -2662,3 +2662,29 @@ def test_volatility_matches_reference(ray_session):
         assert row["mad_abs_delta"] == mad
         n_users += 1
     assert len(got) == n_users
+
+
+# --------------------------------------------------------------- A22 ----
+def test_grubbs_detector_flags_single_outlier(ray_session):
+    import math
+
+    from anomalydetection_ray.stages.detectors import (
+        _det_grubbs, detectors, grubbs_lambda)
+
+    assert "grubbs" in detectors()
+    x = np.array([10, 12, 11, 13, 10, 11, 12, 10, 11, 100], dtype=np.int64)
+    out = _det_grubbs(x)
+    assert out["n_anomalies"] == 1
+    assert list(out["anomaly_positions"]) == [9]
+    # clean series: no flag
+    clean = np.array([10, 12, 11, 13, 10, 11, 12, 10, 11, 12], dtype=np.int64)
+    assert _det_grubbs(clean)["n_anomalies"] == 0
+    # constant series: zero variance, no flag
+    assert _det_grubbs(np.full(10, 7, dtype=np.int64))["n_anomalies"] == 0
+    # formula cross-check against the plain-float textbook computation
+    n = len(x)
+    g = np.max(np.abs(x - x.mean())) / x.std(ddof=1)
+    lam = grubbs_lambda(n)
+    assert (g > lam) == bool(out["n_anomalies"])
+    # critical value sanity (published Grubbs table: n=10, alpha=.05 -> 2.290)
+    assert abs(grubbs_lambda(10, 0.05) - 2.290) < 5e-3
