@@ -126,6 +126,14 @@ def _detect(sf_dir: str, detector: str, **params):
     )
 
 
+def _a23_tukey(sf_dir: str):
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import tukey_batch
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        tukey_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _a13_longest_run(sf_dir: str):
     from anomalydetection_ray.pipelines.rollup import validated
     from anomalydetection_ray.stages.detectors import longest_run_batch
@@ -309,6 +317,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "detect_mad": lambda sf: _detect(sf, "mad"),
         # A22 Grubbs single-outlier test (classical k=1 ESD, ddof=1)
         "detect_grubbs": lambda sf: _detect(sf, "grubbs"),
+        # A23 Tukey boxplot fences per series (Q1/Q3/IQR + outlier counts)
+        "a23_tukey_fences": _a23_tukey,
         # A7 CUSUM change-point detector (Page 1954, zero-slack two-sided
         # closed form: cumsum + running min/max over exact n-scaled ints)
         "detect_cusum": lambda sf: _detect(sf, "cusum"),
@@ -1383,6 +1393,27 @@ def oracle_sql() -> dict[str, str]:
         "detect_esd": _esd_sql(),
         # A22 Grubbs: n-keyed critical table from the shared t-PPF
         "detect_grubbs": _grubbs_sql(),
+        # A23 Tukey fences: quantile_cont interpolation == engine lerp
+        "a23_tukey_fences": f"""
+            WITH {_SEQ_TOK_CTE},
+            s AS MATERIALIZED (
+                SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                       CAST(v AS DOUBLE) AS x FROM tok),
+            q AS (SELECT doc_id, part_id, count(*) AS n,
+                         quantile_cont(x, 0.25) AS q1,
+                         quantile_cont(x, 0.75) AS q3
+                  FROM s GROUP BY doc_id, part_id)
+            SELECT q.doc_id, q.part_id, q.n, q.q1, q.q3,
+                   q.q3 - q.q1 AS iqr,
+                   CAST(count(*) FILTER
+                        (s.x < q.q1 - 1.5 * (q.q3 - q.q1)) AS BIGINT)
+                       AS n_low_outliers,
+                   CAST(count(*) FILTER
+                        (s.x > q.q3 + 1.5 * (q.q3 - q.q1)) AS BIGINT)
+                       AS n_high_outliers
+            FROM q JOIN s USING (doc_id, part_id)
+            GROUP BY q.doc_id, q.part_id, q.n, q.q1, q.q3
+        """,
         "detect_shesd": _esd_sql(season_period=24),
         # A8b seasonal components: phase medians, exact halves
         "a8_seasonal_components": f"""

@@ -514,3 +514,73 @@ def _det_grubbs(values: np.ndarray, alpha: float = 0.05) -> dict:
 
 
 register_detector("grubbs", _det_grubbs)
+
+
+def tukey_batch(batch: pa.Table, k: float = 1.5) -> pa.Table:
+    """A23 — per-series Tukey boxplot fences: Q1/Q3 via the DuckDB
+    ``quantile_cont`` interpolation ``(1-t)*lo + t*hi``, IQR, and counts
+    outside ``[Q1 - k*IQR, Q3 + k*IQR]`` — the nonparametric outlier
+    screen older than every control chart (Tukey 1977).
+
+    Fully vectorized across rows: ONE lexsort of the flat buffer keyed
+    (row, value) yields every row's order statistics; the outlier counts
+    come from two global ``searchsorted`` calls over row-banded sorted
+    values (band = row * 2^20 dominates the < 2^20 token ids, so one
+    sorted array serves all rows)."""
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.int64)
+    lens = np.diff(offsets)
+    nrows = lens.shape[0]
+    q1 = np.full(nrows, np.nan)
+    q3 = np.full(nrows, np.nan)
+    n_low = np.zeros(nrows, dtype=np.int64)
+    n_high = np.zeros(nrows, dtype=np.int64)
+    if v.shape[0]:
+        row_of = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+        order = np.lexsort((v, row_of))
+        sv = v[order].astype(np.float64)
+        live = lens > 0
+        st = offsets[:-1]
+
+        def _qcont(p: float) -> np.ndarray:
+            idx = p * (lens - 1).astype(np.float64)
+            lo = np.floor(idx).astype(np.int64)
+            t = idx - lo
+            a_i = st + np.minimum(lo, np.maximum(lens - 1, 0))
+            b_i = st + np.minimum(lo + 1, np.maximum(lens - 1, 0))
+            out = np.full(nrows, np.nan)
+            out[live] = ((1.0 - t[live]) * sv[a_i[live]]
+                         + t[live] * sv[b_i[live]])
+            return out
+
+        q1 = _qcont(0.25)
+        q3 = _qcont(0.75)
+        iqr = q3 - q1
+        lo_f = q1 - k * iqr
+        hi_f = q3 + k * iqr
+        BAND = np.float64(1 << 20)          # token ids < 2^20
+        lifted = row_of[order] * BAND + sv  # exact: values < 2^53
+        rows_idx = np.arange(nrows, dtype=np.int64)
+        lo_b = np.searchsorted(lifted, rows_idx * BAND
+                               + np.where(live, lo_f, 0.0), side="left")
+        hi_b = np.searchsorted(lifted, rows_idx * BAND
+                               + np.where(live, hi_f, 0.0), side="right")
+        n_low = np.where(live, lo_b - st, 0).astype(np.int64)
+        n_high = np.where(live, offsets[1:] - hi_b, 0).astype(np.int64)
+    iqr_out = q3 - q1
+    nan = np.isnan(q1)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "n": pa.array(lens, type=pa.int64()),
+        "q1": pa.array(np.where(nan, 0.0, q1), type=pa.float64(), mask=nan),
+        "q3": pa.array(np.where(nan, 0.0, q3), type=pa.float64(), mask=nan),
+        "iqr": pa.array(np.where(nan, 0.0, iqr_out), type=pa.float64(),
+                        mask=nan),
+        "n_low_outliers": pa.array(n_low, type=pa.int64()),
+        "n_high_outliers": pa.array(n_high, type=pa.int64()),
+    })

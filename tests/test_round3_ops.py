@@ -2688,3 +2688,41 @@ def test_grubbs_detector_flags_single_outlier(ray_session):
     assert (g > lam) == bool(out["n_anomalies"])
     # critical value sanity (published Grubbs table: n=10, alpha=.05 -> 2.290)
     assert abs(grubbs_lambda(10, 0.05) - 2.290) < 5e-3
+
+
+# --------------------------------------------------------------- A23 ----
+def test_tukey_fences_matches_reference(ray_session):
+    from anomalydetection_ray.stages.detectors import tukey_batch
+
+    rng = np.random.default_rng(7)
+
+    def qcont(x, p):
+        idx = p * (len(x) - 1)
+        lo = int(np.floor(idx))
+        t = idx - lo
+        if lo + 1 >= len(x):
+            return float(x[-1])
+        return float((1 - t) * x[lo] + t * x[lo + 1])
+
+    rows = []
+    for i, n in enumerate([1, 2, 3, 5, 40, 41, 42, 43, 200]):
+        rows.append({"doc_id": f"d{i}", "part_id": 0,
+                     "tokens": rng.integers(0, 50257, n).tolist()})
+    import pyarrow as pa
+    batch = pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows]),
+        "part_id": pa.array([r["part_id"] for r in rows], type=pa.int32()),
+        "tokens": pa.array([r["tokens"] for r in rows],
+                           type=pa.list_(pa.int32())),
+    })
+    got = tukey_batch(batch).to_pandas().set_index("doc_id")
+    for i, r in enumerate(rows):
+        x = np.sort(np.asarray(r["tokens"], dtype=np.float64))
+        q1, q3 = qcont(x, 0.25), qcont(x, 0.75)
+        iqr = q3 - q1
+        lo, hi = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+        row = got.loc[f"d{i}"]
+        assert row["n"] == len(x)
+        assert row["q1"] == q1 and row["q3"] == q3 and row["iqr"] == iqr
+        assert row["n_low_outliers"] == int((x < lo).sum())
+        assert row["n_high_outliers"] == int((x > hi).sum())
