@@ -134,6 +134,22 @@ def _a23_tukey(sf_dir: str):
         tukey_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _a24_forecast_error(sf_dir: str):
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import forecast_error_batch
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        forecast_error_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _a25_turning_points(sf_dir: str):
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import turning_points_batch
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        turning_points_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _a13_longest_run(sf_dir: str):
     from anomalydetection_ray.pipelines.rollup import validated
     from anomalydetection_ray.stages.detectors import longest_run_batch
@@ -319,6 +335,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "detect_grubbs": lambda sf: _detect(sf, "grubbs"),
         # A23 Tukey boxplot fences per series (Q1/Q3/IQR + outlier counts)
         "a23_tukey_fences": _a23_tukey,
+        # A24 seasonal-naive forecast-baseline errors (MASE-style ratio)
+        "a24_forecast_error": _a24_forecast_error,
+        # A25 turning-point counts (randomness/smoothness screen)
+        "a25_turning_points": _a25_turning_points,
         # A7 CUSUM change-point detector (Page 1954, zero-slack two-sided
         # closed form: cumsum + running min/max over exact n-scaled ints)
         "detect_cusum": lambda sf: _detect(sf, "cusum"),
@@ -1393,6 +1413,60 @@ def oracle_sql() -> dict[str, str]:
         "detect_esd": _esd_sql(),
         # A22 Grubbs: n-keyed critical table from the shared t-PPF
         "detect_grubbs": _grubbs_sql(),
+        # A24 forecast baseline: lag(1)/lag(24) absolute-error sums,
+        # exact ints; MASE ratio = three pinned float ops
+        "a24_forecast_error": f"""
+            WITH {_SEQ_TOK_CTE},
+            s AS MATERIALIZED (
+                SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                       pos % 1000000 AS i, CAST(v AS BIGINT) AS v FROM tok),
+            d AS (SELECT doc_id, part_id, v,
+                         lag(v, 1) OVER w AS p1,
+                         lag(v, 24) OVER w AS pp
+                  FROM s
+                  WINDOW w AS (PARTITION BY doc_id, part_id ORDER BY i)),
+            a AS (SELECT doc_id, part_id, count(*) AS n,
+                         CAST(COALESCE(sum(abs(v - p1)), 0) AS BIGINT)
+                             AS sae_naive,
+                         count(p1) AS n_naive,
+                         CAST(COALESCE(sum(abs(v - pp)), 0) AS BIGINT)
+                             AS sae_seasonal,
+                         count(pp) AS n_seasonal
+                  FROM d GROUP BY doc_id, part_id)
+            SELECT doc_id, part_id, n, sae_naive, n_naive,
+                   sae_seasonal, n_seasonal,
+                   CASE WHEN n_naive > 0 AND n_seasonal > 0
+                             AND sae_naive > 0
+                        THEN (CAST(sae_seasonal AS DOUBLE)
+                              / CAST(n_seasonal AS DOUBLE))
+                             / (CAST(sae_naive AS DOUBLE)
+                                / CAST(n_naive AS DOUBLE))
+                   END AS mase_ratio
+            FROM a
+        """,
+        # A25 turning points: strict lag/lead comparisons, exact ints
+        "a25_turning_points": f"""
+            WITH {_SEQ_TOK_CTE},
+            s AS MATERIALIZED (
+                SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                       pos % 1000000 AS i, CAST(v AS BIGINT) AS v FROM tok),
+            d AS (SELECT doc_id, part_id, v,
+                         lag(v) OVER w AS pv, lead(v) OVER w AS nv
+                  FROM s
+                  WINDOW w AS (PARTITION BY doc_id, part_id ORDER BY i))
+            SELECT doc_id, part_id, count(*) AS n,
+                   CAST(count(*) FILTER (pv IS NOT NULL AND nv IS NOT NULL
+                                         AND v > pv AND v > nv) AS BIGINT)
+                       AS n_local_max,
+                   CAST(count(*) FILTER (pv IS NOT NULL AND nv IS NOT NULL
+                                         AND v < pv AND v < nv) AS BIGINT)
+                       AS n_local_min,
+                   CAST(count(*) FILTER (pv IS NOT NULL AND nv IS NOT NULL
+                                         AND ((v > pv AND v > nv)
+                                              OR (v < pv AND v < nv)))
+                        AS BIGINT) AS n_turning_points
+            FROM d GROUP BY doc_id, part_id
+        """,
         # A23 Tukey fences: quantile_cont interpolation == engine lerp
         "a23_tukey_fences": f"""
             WITH {_SEQ_TOK_CTE},

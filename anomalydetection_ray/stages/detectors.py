@@ -584,3 +584,93 @@ def tukey_batch(batch: pa.Table, k: float = 1.5) -> pa.Table:
         "n_low_outliers": pa.array(n_low, type=pa.int64()),
         "n_high_outliers": pa.array(n_high, type=pa.int64()),
     })
+
+
+def forecast_error_batch(batch: pa.Table, period: int = 24) -> pa.Table:
+    """A24 — seasonal-naive forecast-baseline errors per series: the
+    sum of absolute errors of the naive forecast ``x[t-1]`` and the
+    seasonal-naive forecast ``x[t-period]``, and their MASE-style ratio
+    (Hyndman & Koehler 2006) — the sanity bar every fancier forecaster
+    must beat, and a direct seasonality-strength readout (ratio << 1
+    means the seasonal lag explains the series much better than the
+    last value).
+
+    All error sums are exact int64 over the flat buffer (two shifted
+    subtractions); the two MAEs and their ratio are pinned float ops."""
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.int64)
+    lens = np.diff(offsets)
+    nrows = lens.shape[0]
+    row_of = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+    pos = np.arange(v.shape[0], dtype=np.int64) - np.repeat(offsets[:-1],
+                                                            lens)
+    sae1 = np.zeros(nrows, dtype=np.int64)
+    saep = np.zeros(nrows, dtype=np.int64)
+    if v.shape[0]:
+        d1 = np.abs(v[1:] - v[:-1])
+        ok1 = pos[1:] >= 1
+        np.add.at(sae1, row_of[1:][ok1], d1[ok1])
+        if v.shape[0] > period:
+            dp = np.abs(v[period:] - v[:-period])
+            okp = pos[period:] >= period
+            np.add.at(saep, row_of[period:][okp], dp[okp])
+    n1 = np.maximum(lens - 1, 0)
+    np_ = np.maximum(lens - period, 0)
+    mae1 = np.full(nrows, np.nan)
+    maep = np.full(nrows, np.nan)
+    l1 = n1 > 0
+    lp = np_ > 0
+    mae1[l1] = sae1[l1].astype(np.float64) / n1[l1].astype(np.float64)
+    maep[lp] = saep[lp].astype(np.float64) / np_[lp].astype(np.float64)
+    ratio = np.full(nrows, np.nan)
+    both = l1 & lp & (mae1 > 0)
+    ratio[both] = maep[both] / mae1[both]
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "n": pa.array(lens, type=pa.int64()),
+        "sae_naive": pa.array(sae1, type=pa.int64()),
+        "n_naive": pa.array(n1, type=pa.int64()),
+        "sae_seasonal": pa.array(saep, type=pa.int64()),
+        "n_seasonal": pa.array(np_, type=pa.int64()),
+        "mase_ratio": pa.array(np.where(np.isnan(ratio), 0.0, ratio),
+                               type=pa.float64(), mask=np.isnan(ratio)),
+    })
+
+
+def turning_points_batch(batch: pa.Table) -> pa.Table:
+    """A25 — per-series turning-point counts (strict local maxima and
+    minima): the classical randomness/smoothness screen (a pure-noise
+    series has ~2(n-2)/3 turning points; trends and smoothing depress
+    the count).  Exact integer comparisons, fully vectorized."""
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.int64)
+    lens = np.diff(offsets)
+    nrows = lens.shape[0]
+    row_of = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+    pos = np.arange(v.shape[0], dtype=np.int64) - np.repeat(offsets[:-1],
+                                                            lens)
+    n_max = np.zeros(nrows, dtype=np.int64)
+    n_min = np.zeros(nrows, dtype=np.int64)
+    if v.shape[0] > 2:
+        interior = (pos[1:-1] >= 1) & (pos[1:-1] <= np.repeat(lens, lens)[1:-1] - 2)
+        is_max = (v[1:-1] > v[:-2]) & (v[1:-1] > v[2:]) & interior
+        is_min = (v[1:-1] < v[:-2]) & (v[1:-1] < v[2:]) & interior
+        np.add.at(n_max, row_of[1:-1][is_max], 1)
+        np.add.at(n_min, row_of[1:-1][is_min], 1)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "n": pa.array(lens, type=pa.int64()),
+        "n_local_max": pa.array(n_max, type=pa.int64()),
+        "n_local_min": pa.array(n_min, type=pa.int64()),
+        "n_turning_points": pa.array(n_max + n_min, type=pa.int64()),
+    })

@@ -2726,3 +2726,66 @@ def test_tukey_fences_matches_reference(ray_session):
         assert row["q1"] == q1 and row["q3"] == q3 and row["iqr"] == iqr
         assert row["n_low_outliers"] == int((x < lo).sum())
         assert row["n_high_outliers"] == int((x > hi).sum())
+
+
+# ----------------------------------------------------------- A24/A25 ----
+def _tok_batch(rows):
+    import pyarrow as pa
+
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows]),
+        "part_id": pa.array([0] * len(rows), type=pa.int32()),
+        "tokens": pa.array([r[1] for r in rows], type=pa.list_(pa.int32())),
+    })
+
+
+def test_forecast_error_matches_reference(ray_session):
+    from anomalydetection_ray.stages.detectors import forecast_error_batch
+
+    rng = np.random.default_rng(3)
+    seasonal = [int(100 + 50 * (i % 24 == 0)) for i in range(100)]
+    rows = [("noise", rng.integers(0, 1000, 60).tolist()),
+            ("seasonal", seasonal),
+            ("short", [5, 9]), ("single", [7]), ("flat", [3] * 30)]
+    got = forecast_error_batch(_tok_batch(rows), period=24).to_pandas() \
+        .set_index("doc_id")
+    for name, toks in rows:
+        x = np.asarray(toks, dtype=np.int64)
+        row = got.loc[name]
+        sae1 = int(np.abs(np.diff(x)).sum()) if len(x) > 1 else 0
+        saep = int(np.abs(x[24:] - x[:-24]).sum()) if len(x) > 24 else 0
+        assert row["sae_naive"] == sae1
+        assert row["n_naive"] == max(len(x) - 1, 0)
+        assert row["sae_seasonal"] == saep
+        assert row["n_seasonal"] == max(len(x) - 24, 0)
+        if len(x) > 24 and sae1 > 0:
+            mae1 = float(sae1) / float(len(x) - 1)
+            maep = float(saep) / float(len(x) - 24)
+            assert row["mase_ratio"] == maep / mae1
+        else:
+            assert pd.isna(row["mase_ratio"])
+    # the periodic series beats its own naive baseline through the lag
+    assert got.loc["seasonal", "sae_seasonal"] == 0
+
+
+def test_turning_points_matches_reference(ray_session):
+    from anomalydetection_ray.stages.detectors import turning_points_batch
+
+    rng = np.random.default_rng(4)
+    rows = [("noise", rng.integers(0, 1000, 80).tolist()),
+            ("mono", list(range(50))),
+            ("zigzag", [0, 9] * 20), ("short", [1, 2]), ("flat", [5] * 10)]
+    got = turning_points_batch(_tok_batch(rows)).to_pandas() \
+        .set_index("doc_id")
+    for name, toks in rows:
+        x = np.asarray(toks, dtype=np.int64)
+        nmx = sum(1 for i in range(1, len(x) - 1)
+                  if x[i] > x[i - 1] and x[i] > x[i + 1])
+        nmn = sum(1 for i in range(1, len(x) - 1)
+                  if x[i] < x[i - 1] and x[i] < x[i + 1])
+        row = got.loc[name]
+        assert row["n_local_max"] == nmx, name
+        assert row["n_local_min"] == nmn, name
+        assert row["n_turning_points"] == nmx + nmn
+    assert got.loc["mono", "n_turning_points"] == 0
+    assert got.loc["zigzag", "n_turning_points"] == 38
