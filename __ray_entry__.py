@@ -455,6 +455,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_systematic_sample": pk.q10_systematic_sample,
         # W25 per-key volatility (median/MAD of absolute deltas)
         "w25_volatility": wnd.w25_volatility,
+        # C4 composed curation: exact dedup -> sequence packing
+        "c4_dedup_packing": pk.c4_dedup_packing,
         # T8 signup-cohort 7-day purchase retention
         "t8_cohort_retention": wnd.t8_cohort_retention,
         # J7 left OUTER join + aggregate (zero-fill for unmatched keys)
@@ -3672,6 +3674,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY h, doc_id) - 1
                         AS BIGINT) AS shuffle_pos
             FROM h
+        """,
+        # C4 dedup->pack: keeper CTE + window-frame sum over doc order
+        "c4_dedup_packing": """
+            WITH k AS (SELECT min(doc_id) AS doc_id
+                       FROM documents GROUP BY md5(text)),
+            n AS (SELECT d.doc_id,
+                         CAST(length(list_filter(string_split(d.text, ' '),
+                              x -> x <> '')) AS BIGINT) AS n_tok
+                  FROM documents d JOIN k USING (doc_id))
+            SELECT doc_id, n_tok,
+                   CAST(COALESCE(sum(n_tok) OVER (
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS BIGINT)
+                       AS tok_offset,
+                   CAST(COALESCE(sum(n_tok) OVER (
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS BIGINT) // 1024
+                       AS seq_id
+            FROM n
         """,
         # Q10 systematic sample: every k-th rank of the Q6 order
         "q10_systematic_sample": f"""

@@ -286,3 +286,63 @@ def q10_systematic_sample(sf_dir: str, k: int = 10,
 
     return ranked.map_batches(keep, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def c4_dedup_packing(sf_dir: str, seq_len: int = SEQ_LEN_DEFAULT,
+                     num_partitions: int = 16):
+    """C4 — composed curation step: EXACT DEDUP then PACK.  Every LLM
+    data pipeline's last mile — duplicates dropped (D1's min-doc_id
+    keeper per content hash), then the survivors packed into fixed
+    ``seq_len`` training sequences with global token offsets (P3's
+    distributed exclusive prefix sum).  Proves the dedup relation and
+    the packing scan compose without a driver-side id set.
+
+    Scale shape: the keeper relation (doc_id only) re-partitions by the
+    SAME id-range rule as the count relation and semi-joins inside each
+    partition (no broadcast of a corpus-sized key set); then the
+    standard two-pass scan: per-partition totals -> O(P) driver offsets
+    -> per-partition local cumsum.  Oracle: keeper CTE + window-frame
+    sum over doc_id order."""
+    import ray.data
+
+    from anomalydetection_ray.pipelines import dedup as dd
+
+    path = f"{sf_dir}/documents.parquet"
+    lo, hi = _doc_id_span(path)
+    counts = (ray.data.read_parquet(path, columns=["doc_id", "text"])
+              .map_batches(functools.partial(_count_batch, lo=lo, hi=hi,
+                                             num_partitions=num_partitions),
+                           batch_format="pyarrow", zero_copy_batch=True))
+
+    def keeper_part(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        part = (ids - lo) * num_partitions // (hi - lo + 1)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_tok": pa.array(np.full(len(ids), -1), type=pa.int64()),
+            _PART: pa.array(part, type=pa.int64()),
+        })
+
+    keepers = dd.exact_dedup(sf_dir).select_columns(["doc_id"]).map_batches(
+        keeper_part, batch_format="pyarrow", zero_copy_batch=True)
+
+    def filter_kernel(group: pa.Table) -> pa.Table:
+        part = int(group.column(_PART)[0].as_py())
+        ids = np.asarray(group.column("doc_id"), dtype=np.int64)
+        ntok = np.asarray(group.column("n_tok"), dtype=np.int64)
+        is_keep = ntok == -1          # keeper-relation marker rows
+        keep_ids = ids[is_keep]
+        sel = (~is_keep) & np.isin(ids, keep_ids)
+        return pa.table({
+            "doc_id": pa.array(ids[sel], type=pa.int64()),
+            "n_tok": pa.array(ntok[sel], type=pa.int64()),
+            _PART: pa.array(np.full(int(sel.sum()), part), type=pa.int64()),
+        })
+
+    filtered = (counts.union(keepers).groupby(_PART)
+                .map_groups(filter_kernel, batch_format="pyarrow")
+                .materialize())  # tiny int relation, shared by both passes
+    offsets = _exclusive_offsets(filtered, num_partitions, "n_tok")
+    return filtered.groupby(_PART).map_groups(
+        functools.partial(_scan_kernel, offsets=offsets, seq_len=seq_len),
+        batch_format="pyarrow")

@@ -2789,3 +2789,23 @@ def test_turning_points_matches_reference(ray_session):
         assert row["n_turning_points"] == nmx + nmn
     assert got.loc["mono", "n_turning_points"] == 0
     assert got.loc["zigzag", "n_turning_points"] == 38
+
+
+# ---------------------------------------------------------------- C4 ----
+def test_dedup_packing_matches_reference(ray_session):
+    from anomalydetection_ray.pipelines.packing import c4_dedup_packing
+
+    SEQ = 1024
+    got = c4_dedup_packing(SF, seq_len=SEQ).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    docs = _docs_df().sort_values("doc_id")
+    keep = docs.groupby(docs["text"]).doc_id.transform("min") == docs["doc_id"]
+    kept = docs[keep].reset_index(drop=True)
+    n_tok = kept["text"].map(
+        lambda t: sum(1 for w in t.split(" ") if w != "")).to_numpy()
+    off = np.concatenate(([0], np.cumsum(n_tok)[:-1]))
+    assert len(got) == len(kept)
+    assert (got["doc_id"].to_numpy() == kept["doc_id"].to_numpy()).all()
+    assert (got["n_tok"].to_numpy() == n_tok).all()
+    assert (got["tok_offset"].to_numpy() == off).all()
+    assert (got["seq_id"].to_numpy() == off // SEQ).all()
