@@ -134,6 +134,63 @@ def _a23_tukey(sf_dir: str):
         tukey_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+ACF_LAGS = (1, 2, 3, 4, 6, 8, 12, 24)
+
+
+def _a26_acf_table(sf_dir: str):
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import acf_table_batch
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        acf_table_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _acf_lag_block(lag: int) -> str:
+    """One lag's A9 block (shared CTE names suffixed by lag)."""
+    return f"""
+            mom{lag} AS (
+              SELECT doc_id, part_id, count(*) AS n,
+                     CAST(sum(v) AS BIGINT) AS s,
+                     CAST(sum(v * v) AS BIGINT) AS q
+              FROM acfbase GROUP BY doc_id, part_id),
+            lagp{lag} AS (
+              SELECT a.doc_id, a.part_id, count(*) AS c,
+                     CAST(sum(a.v * b.v) AS BIGINT) AS sxy,
+                     CAST(sum(a.v) AS BIGINT) AS sh,
+                     CAST(sum(b.v) AS BIGINT) AS st
+              FROM acfbase a JOIN acfbase b ON b.doc_id = a.doc_id
+                AND b.part_id = a.part_id AND b.i = a.i + {lag}
+              GROUP BY a.doc_id, a.part_id)"""
+
+
+def _acf_lag_select(lag: int) -> str:
+    return f"""
+            SELECT m.doc_id, m.part_id, CAST({lag} AS BIGINT) AS lag, m.n,
+                   COALESCE(l.c, 0) AS n_pairs,
+                   CASE WHEN m.n > {lag} AND m.n * m.q - m.s * m.s <> 0
+                        THEN CAST(m.n * m.n * l.sxy
+                                  - m.n * m.s * (l.sh + l.st)
+                                  + (m.n - {lag}) * m.s * m.s AS DOUBLE)
+                             / CAST(m.n * m.n * m.q
+                                    - m.n * m.s * m.s AS DOUBLE)
+                        ELSE NULL END AS acf
+            FROM mom{lag} m LEFT JOIN lagp{lag} l
+              ON l.doc_id = m.doc_id AND l.part_id = m.part_id"""
+
+
+def _acf_table_sql() -> str:
+    blocks = ",".join(_acf_lag_block(L) for L in ACF_LAGS)
+    selects = "\nUNION ALL\n".join(_acf_lag_select(L) for L in ACF_LAGS)
+    return f"""
+            WITH {_SEQ_TOK_CTE},
+            acfbase AS MATERIALIZED (
+              SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                     pos % 1000000 AS i, CAST(v AS BIGINT) AS v FROM tok),
+            {blocks}
+            {selects}
+    """
+
+
 def _a24_forecast_error(sf_dir: str):
     from anomalydetection_ray.pipelines.rollup import validated
     from anomalydetection_ray.stages.detectors import forecast_error_batch
@@ -339,6 +396,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a24_forecast_error": _a24_forecast_error,
         # A25 turning-point counts (randomness/smoothness screen)
         "a25_turning_points": _a25_turning_points,
+        # A26 ACF table (correlogram over a ladder of lags)
+        "a26_acf_table": _a26_acf_table,
         # A7 CUSUM change-point detector (Page 1954, zero-slack two-sided
         # closed form: cumsum + running min/max over exact n-scaled ints)
         "detect_cusum": lambda sf: _detect(sf, "cusum"),
@@ -1415,6 +1474,8 @@ def oracle_sql() -> dict[str, str]:
         "detect_esd": _esd_sql(),
         # A22 Grubbs: n-keyed critical table from the shared t-PPF
         "detect_grubbs": _grubbs_sql(),
+        # A26 ACF table: the A9 exact-bigint block per lag, UNION ALL
+        "a26_acf_table": _acf_table_sql(),
         # A24 forecast baseline: lag(1)/lag(24) absolute-error sums,
         # exact ints; MASE ratio = three pinned float ops
         "a24_forecast_error": f"""

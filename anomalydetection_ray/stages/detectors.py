@@ -674,3 +674,14 @@ def turning_points_batch(batch: pa.Table) -> pa.Table:
         "n_local_min": pa.array(n_min, type=pa.int64()),
         "n_turning_points": pa.array(n_max + n_min, type=pa.int64()),
     })
+
+
+def acf_table_batch(batch: pa.Table,
+                    lags: tuple = (1, 2, 3, 4, 6, 8, 12, 24)) -> pa.Table:
+    """A26 — the full ACF table: the A9 lag-L autocorrelation evaluated
+    at a ladder of lags per series (the correlogram every periodicity /
+    whiteness analysis reads; seasonal strength = the lag-period spike,
+    AR signature = the low-lag decay).  One vectorized A9 sweep per lag,
+    same exact-bigint per-row combination."""
+    return pa.concat_tables([autocorr_batch(batch, lag=int(L))
+                             for L in lags])

@@ -2809,3 +2809,31 @@ def test_dedup_packing_matches_reference(ray_session):
     assert (got["n_tok"].to_numpy() == n_tok).all()
     assert (got["tok_offset"].to_numpy() == off).all()
     assert (got["seq_id"].to_numpy() == off // SEQ).all()
+
+
+# --------------------------------------------------------------- A26 ----
+def test_acf_table_matches_numpy(ray_session):
+    from anomalydetection_ray.stages.detectors import acf_table_batch
+
+    rng = np.random.default_rng(9)
+    periodic = [int(100 + 50 * ((i % 12) == 0)) for i in range(96)]
+    rows = [("noise", rng.integers(0, 1000, 64).tolist()),
+            ("periodic", periodic), ("short", [1, 2]), ("flat", [5] * 30)]
+    got = (acf_table_batch(_tok_batch(rows), lags=(1, 12)).to_pandas()
+           .set_index(["doc_id", "lag"]))
+    for name, toks in rows:
+        x = np.asarray(toks, dtype=np.float64)
+        n = len(x)
+        for L in (1, 12):
+            row = got.loc[(name, L)]
+            assert row["n"] == n
+            assert row["n_pairs"] == max(n - L, 0)
+            if n <= L or x.var() == 0:
+                assert pd.isna(row["acf"])
+            else:
+                xc = x - x.mean()
+                ref = (xc[:-L] * xc[L:]).sum() / (xc * xc).sum()
+                assert abs(row["acf"] - ref) < 1e-9
+    # the period-12 series shows the seasonal spike at its lag
+    assert (got.loc[("periodic", 12), "acf"]
+            > got.loc[("periodic", 1), "acf"] + 0.5)
