@@ -79,9 +79,11 @@ even the flagship rollup over the derived token table is value-checked):
                            q7_quota_sample, q8_split_stats
   K1/K2                 -> kmeans_train, k2_label_centroids
 Rows-only (non-SQL-expressible by nature): the codecs and persist
-summaries (side-effectful, content pinned via checksums in the rows),
-media_features (binary payload decode), g3_approx_quantiles
-(approximate by construction).
+summaries (side-effectful, content pinned via checksums in the rows) and
+g3_approx_quantiles (approximate by construction).  media_features is
+VALUE-verified since round 4: the driver surface reduces the actor-pool
+features to exact-integer bucket sums the oracle replays from the synth
+payload definition.
 """
 
 from __future__ import annotations
@@ -320,10 +322,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # T6 regex scrub/redaction stats (Arrow RE2 == DuckDB RE2)
         "t6_scrub_stats": tx.scrub_stats,
         "doc_fingerprints": tx.fingerprints,
-        # multimodal plumbing: deterministic fake features here (stable
-        # rows-only check); the stage's REAL decode paths are stdlib-wave
-        # audio and optional-PIL images (pipelines/multimodal.py, tested)
-        "media_features": mm.media_features,
+        # multimodal: the actor-pool feature path reduced to exact-integer
+        # bucket-sum summaries, VALUE-verified by a DuckDB oracle that
+        # replays the synth payload + byte-bucket feature per doc; the
+        # stage's REAL decode paths are stdlib-wave audio and optional-PIL
+        # images (pipelines/multimodal.py, tested)
+        "media_features": mm.media_feature_summary,
         # per-series detectors (X1 registry; A2/A3/A6)
         "detect_esd": lambda sf: _detect(sf, "esd"),
         # A8 seasonal-hybrid ESD (per-phase-median de-seasonalize, then
@@ -409,6 +413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A5 gap-fill on a null-injected derived token table (locf fill /
         # drop with filled=true empty-bucket carry) — both SQL-checked
         "gapfill_locf_docs": q.gapfill_locf_tier1,
+        "gapfill_linear_docs": q.gapfill_linear_tier1,
         "gapfill_drop_docs": q.gapfill_drop_tier1,
         "topk_anomalies_docs": lambda sf: topk_anomalies(
             rollup_pipeline(_docs_sequences(sf)), k=20
@@ -663,6 +668,56 @@ def _gapfill_locf_sql() -> str:
                    (PARTITION BY doc_id, pos // 1000000 ORDER BY pos
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS v
         FROM tokn),
+    t1 AS (
+        SELECT doc_id, source, pos // 1000 AS bucket,
+               min(v) AS mn, max(v) AS mx,
+               sum(CAST(v AS BIGINT)) AS s, count(*) AS c,
+               CASE WHEN mad(v) = 0 THEN 0.0
+                    ELSE greatest(CAST(max(v) AS DOUBLE) - median(v),
+                                  median(v) - CAST(min(v) AS DOUBLE))
+                         / (1.4826 * mad(v)) END AS score
+        FROM fill GROUP BY doc_id, source, pos // 1000)
+    {_T1_SELECT}
+    """
+
+
+def _gapfill_linear_sql() -> str:
+    # exact integer interpolation, round half to even, edge clamp — the
+    # same arithmetic as stages/rollup.py _linear_flat: quo = num // den
+    # (floor), then +1 iff 2*rem > den or (2*rem == den and quo odd)
+    return f"""
+    WITH {_SEQ_TOK_CTE}, {_gap_tokn_cte()},
+    nb AS MATERIALIZED (
+        SELECT doc_id, source, pos, v,
+               CAST(last_value(v IGNORE NULLS) OVER w_prev AS BIGINT) AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN pos END
+                          IGNORE NULLS) OVER w_prev AS pp,
+               CAST(first_value(v IGNORE NULLS) OVER w_next AS BIGINT) AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN pos END
+                           IGNORE NULLS) OVER w_next AS nxp
+        FROM tokn
+        WINDOW w_prev AS (PARTITION BY doc_id, pos // 1000000 ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w_next AS (PARTITION BY doc_id, pos // 1000000 ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+    interp AS MATERIALIZED (
+        SELECT doc_id, source, pos, v, pv, nv,
+               pv * (nxp - pos) + nv * (pos - pp) AS num,
+               nxp - pp AS den
+        FROM nb),
+    fill AS MATERIALIZED (
+        SELECT doc_id, source, pos,
+               CASE WHEN v IS NOT NULL THEN CAST(v AS BIGINT)
+                    WHEN pv IS NULL AND nv IS NULL THEN 0
+                    WHEN pv IS NULL THEN nv
+                    WHEN nv IS NULL THEN pv
+                    ELSE (num // den)
+                         + CASE WHEN 2 * (num - (num // den) * den) > den
+                                  OR (2 * (num - (num // den) * den) = den
+                                      AND (num // den) % 2 <> 0)
+                                THEN 1 ELSE 0 END
+               END AS v
+        FROM interp),
     t1 AS (
         SELECT doc_id, source, pos // 1000 AS bucket,
                min(v) AS mn, max(v) AS mx,
@@ -1337,6 +1392,35 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ann_ivf_sql(dim=_dim),
         "rollup_tier1_docs": f"WITH {_SEQ_TOK_CTE}, {_T1_CTE} {_T1_SELECT}",
         "gapfill_locf_docs": _gapfill_locf_sql(),
+        "gapfill_linear_docs": _gapfill_linear_sql(),
+        # media features: replay the synth payload (text repeated to 4096
+        # bytes; byte i = text byte i mod len — driver docs are pure
+        # ASCII) and the fake decoder's 64-byte-bucket sums per doc
+        "media_features": """
+            WITH b AS MATERIALIZED (
+              SELECT doc_id, i // 64 AS j,
+                     CAST(ascii(substr(text,
+                          CAST((i % length(text)) + 1 AS INT), 1))
+                          AS BIGINT) AS byte
+              FROM (SELECT doc_id, text, unnest(range(4096)) AS i
+                    FROM documents)),
+            bs AS MATERIALIZED (
+              SELECT doc_id, j, CAST(sum(byte) AS BIGINT) AS bsum
+              FROM b GROUP BY doc_id, j),
+            s AS (
+              SELECT doc_id,
+                     CAST(sum(bsum) AS BIGINT) AS byte_sum,
+                     CAST(sum((j + 1) * bsum) AS BIGINT) AS wsum,
+                     CAST(min(bsum) AS BIGINT) AS bucket_min,
+                     CAST(max(bsum) AS BIGINT) AS bucket_max
+              FROM bs GROUP BY doc_id)
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image'
+                                   WHEN 1 THEN 'audio'
+                                   ELSE 'video' END AS kind,
+                   byte_sum, wsum, bucket_min, bucket_max
+            FROM s
+        """,
         "gapfill_drop_docs": _gapfill_drop_sql(),
         "rollup_tier2_docs": f"""
             WITH {_SEQ_TOK_CTE}, {_T1_CTE}
@@ -1994,9 +2078,37 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(n_chars, 0.99) AS p99
             FROM documents GROUP BY source
         """,
-        "dedup_exact_docs": """
-            SELECT md5(text) AS text_hash, min(doc_id) AS doc_id
-            FROM documents GROUP BY md5(text)
+        # D1 exact dedup: the engine's 2x64-bit polynomial content hash
+        # (pipelines/dedup.py content_hash128) replayed exactly — powers
+        # of the odd 32-bit constants via a recursive mod-2^64 CTE
+        # (HUGEINT x 32-bit never overflows int128), byte access via
+        # ascii(substr) (driver docs are pure ASCII)
+        "dedup_exact_docs": f"""
+            WITH RECURSIVE pw(k, p1, p2) AS (
+              SELECT 0, CAST(1 AS HUGEINT), CAST(1 AS HUGEINT)
+              UNION ALL
+              SELECT k + 1, (p1 * {0x85EBCA6B}) % {1 << 64},
+                     (p2 * {0xC2B2AE35}) % {1 << 64}
+              FROM pw WHERE k < (SELECT max(length(text)) FROM documents) - 1
+            ),
+            bytes AS MATERIALIZED (
+              SELECT doc_id, length(text) - 1 - i AS e,
+                     CAST(ascii(substr(text, CAST(i + 1 AS INT), 1))
+                          AS HUGEINT) AS b
+              FROM (SELECT doc_id, text,
+                           unnest(range(length(text))) AS i FROM documents)),
+            ch AS MATERIALIZED (
+              SELECT doc_id,
+                     CAST(CASE WHEN m1 >= {1 << 63} THEN m1 - {1 << 64}
+                               ELSE m1 END AS BIGINT) AS h1,
+                     CAST(CASE WHEN m2 >= {1 << 63} THEN m2 - {1 << 64}
+                               ELSE m2 END AS BIGINT) AS h2
+              FROM (SELECT doc_id,
+                           CAST(sum(b * pw.p1) % {1 << 64} AS HUGEINT) AS m1,
+                           CAST(sum(b * pw.p2) % {1 << 64} AS HUGEINT) AS m2
+                    FROM bytes JOIN pw ON pw.k = bytes.e GROUP BY doc_id))
+            SELECT h1, h2, min(doc_id) AS doc_id
+            FROM ch GROUP BY h1, h2
         """,
         "g2_salted_source_stats": """
             SELECT source, CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,

@@ -82,12 +82,28 @@ def gap_fill(
         fill_from = np.maximum.accumulate(np.where(valid, idx, -1))
         out = np.where(fill_from >= 0, values[np.maximum(fill_from, 0)], 0)
         return out.astype(np.int32, copy=False), None
-    # linear: interpolate between neighbours, round-half-even, cast to int32;
-    # leading/trailing nulls clamp to nearest valid (np.interp semantics).
-    interp = np.interp(idx.astype(np.float64), vidx.astype(np.float64),
-                       values[vidx].astype(np.float64))
-    out = np.rint(interp)
-    np.clip(out, -(2**31), 2**31 - 1, out=out)
+    # linear: EXACT integer interpolation between neighbour valid points,
+    # round half to even; leading/trailing nulls clamp to the nearest
+    # valid point (np.interp's clamp semantics).  All-integer so the SQL
+    # oracle replays it bit-for-bit — num/den stay well inside int64
+    # (|v| < 2^31, den < 2^20 positions).
+    prev = np.maximum.accumulate(np.where(valid, idx, -1))
+    nxt = np.minimum.accumulate(np.where(valid, idx, n)[::-1])[::-1]
+    out = values.astype(np.int64, copy=True)
+    lead = ~valid & (prev < 0)
+    out[lead] = values[nxt[lead]]
+    trail = ~valid & (nxt >= n)
+    out[trail] = values[prev[trail]]
+    mid = ~valid & ~lead & ~trail
+    if mid.any():
+        p, q, i = prev[mid], nxt[mid], idx[mid]
+        vp = values[p].astype(np.int64)
+        vq = values[q].astype(np.int64)
+        den = q - p
+        num = vp * (q - i) + vq * (i - p)
+        quo = num // den
+        r2 = (num - quo * den) * 2
+        out[mid] = quo + ((r2 > den) | ((r2 == den) & (quo % 2 != 0)))
     return out.astype(np.int32), None
 
 

@@ -5,9 +5,9 @@ per-source quota, with per-source counts at every funnel stage.
 This exists to prove the engine's operators COMPOSE: the quality and
 lang-ID kernels run fused in one ``map_batches`` pass over the corpus
 (text is read once and never shuffled), the dedup stage exchanges only
-``(doc_id, source, text_hash)`` keyed on the content hash, and the quota
+``(doc_id, source, h1, h2)`` keyed on the content hash, and the quota
 stage is the Q7 grouped-top-k prune.  The driver oracle reproduces the
-whole funnel — gates, md5 dedup, seeded quota — in one SQL query, so a
+whole funnel — gates, content-hash dedup, seeded quota — in one SQL query, so a
 single hash mismatch anywhere in the chain fails the check.
 
 Scale shape: one corpus scan + two small exchanges (hash-keyed dedup of
@@ -18,7 +18,6 @@ metadata work bounded by the source count, not the corpus.
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -46,12 +45,14 @@ def curation_funnel(sf_dir: str, q_min: float = QUALITY_MIN,
         score = np.asarray(q.column("quality_score"), dtype=np.float64)
         pl = np.asarray(lg.column("pred_lang"), dtype=object)
         ok = (score >= q_min) & (pl == lang)
-        th = [hashlib.md5(t.encode("utf-8")).hexdigest()
-              for t in batch.column("text").to_pylist()]
+        from anomalydetection_ray.pipelines.dedup import content_hash_cols
+
+        h1, h2 = content_hash_cols(batch)
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "source": batch.column("source"),
-            "text_hash": pa.array(th, type=pa.string()),
+            "h1": h1,
+            "h2": h2,
             "qok": pa.array(ok, type=pa.bool_()),
         })
 
@@ -85,12 +86,12 @@ def curation_funnel(sf_dir: str, q_min: float = QUALITY_MIN,
 
     def keep_passers(batch: pa.Table) -> pa.Table:
         return batch.filter(batch.column("qok")).select(
-            ["doc_id", "source", "text_hash"])
+            ["doc_id", "source", "h1", "h2"])
 
     passers = gated.map_batches(keep_passers, batch_format="pyarrow",
                                 zero_copy_batch=True)
     n_quality = count_by_source(passers, "n_quality")
-    canon = keep_first_by(passers, keys=["text_hash"],
+    canon = keep_first_by(passers, keys=["h1", "h2"],
                           order_by=["doc_id"]).materialize()
     n_unique = count_by_source(canon, "n_unique")
 

@@ -218,13 +218,75 @@ def _docs(sf_dir: str):
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
+# ------------------------------------------------ exact content hash ----
+# 2x64-bit byte-level polynomial content hash — the D1/C1/C4 exact-dedup
+# key.  h_j(doc) = sum_i byte_i * C_j^(L-1-i) mod 2^64 with ODD 32-BIT
+# constants C_j: 32-bit so the SQL oracle's recursive power CTE multiplies
+# HUGEINT x 32-bit without overflow (the repo-wide mod-2^64 discipline),
+# odd so C^-1 exists mod 2^64 and the engine can evaluate it segment-wise
+# over the flat utf-8 buffer — (sum b_i C^-i) * C^(L-1), one cumsum, no
+# per-row Python (replaces the round-3 per-row hashlib.md5 loop).  Two
+# independent 64-bit hashes = 128 bits: collision-free in practice at
+# 10^9+ docs.
+_CH_C1 = np.uint64(0x85EBCA6B)
+_CH_C2 = np.uint64(0xC2B2AE35)
+_CH_C1INV = np.uint64(pow(0x85EBCA6B, -1, 1 << 64))
+_CH_C2INV = np.uint64(pow(0xC2B2AE35, -1, 1 << 64))
+
+
+def content_hash128(flat: np.ndarray, offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(h1, h2) int64 views of the two 64-bit polynomial content hashes,
+    one pair per row of the flat utf-8 buffer.  Empty rows hash to 0."""
+    nrows = offsets.shape[0] - 1
+    out = [np.zeros(nrows, dtype=np.uint64), np.zeros(nrows, dtype=np.uint64)]
+    n = int(offsets[-1]) if nrows >= 0 and offsets.shape[0] else 0
+    if n > 0:
+        lens = np.diff(offsets)
+        nz = lens > 0
+        maxlen = int(lens.max())
+        i_local = (np.arange(n, dtype=np.int64)
+                   - np.repeat(offsets[:-1], lens))
+        b = flat.astype(np.uint64)
+        ends = offsets[1:]
+        starts = offsets[:-1]
+        for j, (C, Cinv) in enumerate(((_CH_C1, _CH_C1INV),
+                                       (_CH_C2, _CH_C2INV))):
+            P = np.empty(maxlen, dtype=np.uint64)
+            P[0] = 1
+            if maxlen > 1:
+                np.cumprod(np.full(maxlen - 1, C, dtype=np.uint64),
+                           out=P[1:])
+            Pinv = np.empty(maxlen, dtype=np.uint64)
+            Pinv[0] = 1
+            if maxlen > 1:
+                np.cumprod(np.full(maxlen - 1, Cinv, dtype=np.uint64),
+                           out=Pinv[1:])
+            S = np.cumsum(b * Pinv[i_local], dtype=np.uint64)
+            seg = S[np.maximum(ends - 1, 0)] \
+                - np.where(starts > 0, S[np.maximum(starts - 1, 0)],
+                           np.uint64(0))
+            out[j][nz] = (seg * P[np.maximum(lens - 1, 0)])[nz]
+    return out[0].view(np.int64), out[1].view(np.int64)
+
+
+def content_hash_cols(batch: pa.Table, col: str = "text") -> tuple[pa.Array, pa.Array]:
+    """(h1, h2) as Arrow int64 arrays for a string column."""
+    from anomalydetection_ray.pipelines.text import _flat_utf8
+
+    flat, offsets = _flat_utf8(batch, col)
+    h1, h2 = content_hash128(flat, offsets)
+    return pa.array(h1, type=pa.int64()), pa.array(h2, type=pa.int64())
+
+
 def exact_dedup(sf_dir: str):
-    """Exact content dedup: md5(text) groups, keep min(doc_id)."""
-    import hashlib
+    """Exact content dedup: 128-bit content-hash groups, keep min(doc_id).
+    The hash pass is the vectorized :func:`content_hash128` flat-buffer
+    kernel; the grouped-first is the partition-granular ``keep_first_by``
+    exchange — zero per-row / per-group Python anywhere in the scan."""
 
     def hash_batch(batch: pa.Table) -> pa.Table:
-        hs = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch.column("text").to_pylist()]
-        return pa.table({"text_hash": pa.array(hs, type=pa.string()),
+        h1, h2 = content_hash_cols(batch)
+        return pa.table({"h1": h1, "h2": h2,
                          "doc_id": batch.column("doc_id")})
 
     from anomalydetection_ray.stages.runs import keep_first_by
@@ -232,7 +294,7 @@ def exact_dedup(sf_dir: str):
     hashed = _docs(sf_dir).map_batches(hash_batch, batch_format="pyarrow", zero_copy_batch=True)
     # vectorized grouped-first: hash exchange + per-block run select (no
     # per-group Python; stages/runs.py)
-    return keep_first_by(hashed, keys=["text_hash"], order_by=["doc_id"])
+    return keep_first_by(hashed, keys=["h1", "h2"], order_by=["doc_id"])
 
 
 def minhash_lsh_pairs(sf_dir: str, min_est: float = 0.5):
@@ -749,7 +811,6 @@ def dedup_impact_report(sf_dir: str):
     source, doc_id, n_chars) only; the per-hash kernel marks keeps
     vectorized (run starts); per-source totals are tiny partials."""
     import functools
-    import hashlib
 
     import pyarrow.compute as pc
 
@@ -757,9 +818,8 @@ def dedup_impact_report(sf_dir: str):
                                                   run_starts)
 
     def hash_batch(batch: pa.Table) -> pa.Table:
-        hs = [hashlib.md5(t.encode("utf-8")).hexdigest()
-              for t in batch.column("text").to_pylist()]
-        return pa.table({"text_hash": pa.array(hs, type=pa.string()),
+        h1, h2 = content_hash_cols(batch)
+        return pa.table({"h1": h1, "h2": h2,
                          "doc_id": batch.column("doc_id"),
                          "source": batch.column("source"),
                          "n_chars": pc.cast(batch.column("n_chars"),
@@ -773,7 +833,7 @@ def dedup_impact_report(sf_dir: str):
     hashed = docs.map_batches(hash_batch, batch_format="pyarrow",
                               zero_copy_batch=True)
     tagged = hashed.map_batches(
-        functools.partial(add_partition_key, keys=["text_hash"],
+        functools.partial(add_partition_key, keys=["h1", "h2"],
                           num_partitions=16),
         batch_format="pyarrow", zero_copy_batch=True)
 
@@ -787,8 +847,9 @@ def dedup_impact_report(sf_dir: str):
                 "chars_dropped": pa.array([], type=pa.int64()),
             })
         t = batch.drop_columns([PKEY]).sort_by(
-            [("text_hash", "ascending"), ("doc_id", "ascending")])
-        starts = run_starts(t, ["text_hash"])
+            [("h1", "ascending"), ("h2", "ascending"),
+             ("doc_id", "ascending")])
+        starts = run_starts(t, ["h1", "h2"])
         keep = np.zeros(t.num_rows, dtype=bool)
         keep[starts] = True
         nc = np.asarray(t.column("n_chars"), dtype=np.int64)

@@ -16,8 +16,6 @@ path end-to-end without media libraries.
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pyarrow as pa
 
@@ -117,11 +115,24 @@ class MediaFeatureExtractor:
 
     def _decode(self, payload: bytes, kind: str) -> np.ndarray:
         if self.fake:
-            # seeded digest-features: stable stand-in exercising the full
-            # Ray plumbing without media libs
-            seed = zlib.crc32(payload)
-            rng = np.random.default_rng(seed)
-            return rng.standard_normal(FEATURE_DIM)
+            # deterministic fake: FEATURE_DIM equal-span byte-bucket MEANS
+            # of the raw payload — the audio path's feature shape applied
+            # to the bytes themselves.  A real (if trivial) feature
+            # extraction that exercises the full Ray plumbing without
+            # media libs, and is exactly replayable by the SQL value
+            # oracle (bucket sums are small ints; means over the 64-byte
+            # buckets of the 4096-byte synth payloads are exact dyadic
+            # float32s).
+            b = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+            n = b.shape[0]
+            out = np.zeros(FEATURE_DIM, dtype=np.float64)
+            if n:
+                edges = (np.arange(FEATURE_DIM + 1, dtype=np.int64) * n) \
+                    // FEATURE_DIM
+                lens = np.diff(edges)
+                nzb = lens > 0
+                out[nzb] = np.add.reduceat(b, edges[:-1][nzb]) / lens[nzb]
+            return out
         if kind == "image":
             return self._decode_image(payload)
         if kind == "audio":
@@ -192,13 +203,16 @@ def synth_media_from_documents(sf_dir: str, payload_bytes: int = 4096):
     import ray.data
 
     def to_media(batch: pa.Table) -> pa.Table:
-        ids = [str(d) for d in batch.column("doc_id").to_pylist()]
+        doc_ids = batch.column("doc_id").to_pylist()
+        ids = [str(d) for d in doc_ids]
         payloads = []
         kinds = []
-        for i, t in enumerate(batch.column("text").to_pylist()):
+        # kind keys off doc_id, not the batch-local index — deterministic
+        # under any block layout (the SQL oracle replays doc_id % 3)
+        for d, t in zip(doc_ids, batch.column("text").to_pylist()):
             b = (t.encode("utf-8") * (payload_bytes // max(1, len(t)) + 1))[:payload_bytes]
             payloads.append(b)
-            kinds.append(("image", "audio", "video")[i % 3])
+            kinds.append(("image", "audio", "video")[int(d) % 3])
         n = len(ids)
         return pa.table(
             {
@@ -226,3 +240,32 @@ def media_features(sf_dir: str):
         batch_size=32,
         concurrency=(1, 4),
     )
+
+
+def media_feature_summary(sf_dir: str):
+    """The DRIVER-VERIFIED surface of the media path: the same actor-pool
+    feature extraction as :func:`media_features`, reduced per media row to
+    exact-integer bucket-sum summaries so a DuckDB oracle can value-check
+    the decode end-to-end.  The synth payload is 4096 bytes and the fake
+    feature is the 64-byte-bucket mean, so ``feature * 64`` recovers the
+    integer bucket sum exactly (bucket sums < 2^24: float32-exact)."""
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        f = batch.column("features")
+        if isinstance(f, pa.ChunkedArray):
+            f = f.combine_chunks()
+        n = batch.num_rows
+        vals = np.asarray(f.values, dtype=np.float32).reshape(n, FEATURE_DIM)
+        bs = np.rint(vals.astype(np.float64) * 64.0).astype(np.int64)
+        w = np.arange(1, FEATURE_DIM + 1, dtype=np.int64)
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "kind": batch.column("kind"),
+            "byte_sum": pa.array(bs.sum(axis=1), type=pa.int64()),
+            "wsum": pa.array((bs * w).sum(axis=1), type=pa.int64()),
+            "bucket_min": pa.array(bs.min(axis=1), type=pa.int64()),
+            "bucket_max": pa.array(bs.max(axis=1), type=pa.int64()),
+        })
+
+    return media_features(sf_dir).map_batches(
+        summarize, batch_format="pyarrow", zero_copy_batch=True)

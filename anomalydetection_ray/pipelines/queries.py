@@ -744,6 +744,14 @@ def gapfill_locf_tier1(sf_dir: str):
     return _gapfill_tier1(sf_dir, "locf")
 
 
+def gapfill_linear_tier1(sf_dir: str):
+    """A5(c) driver surface: tier1 rollup under the linear gap policy —
+    exact integer interpolation between neighbour valid points (round
+    half to even), edge clamp, all-null series fill with 0; every
+    position defined after the fill (stages/rollup.py ``_linear_flat``)."""
+    return _gapfill_tier1(sf_dir, "linear")
+
+
 def gapfill_drop_tier1(sf_dir: str):
     """A5(b) driver surface: tier1 rollup under the drop policy — stats
     skip invalid positions (counts reflect valid points only) and all-null
@@ -1365,19 +1373,13 @@ def j7_left_join_agg(sf_dir: str):
                          "n_orders": pc.cast(g.column("count_all"), pa.int64()),
                          "cents": pc.cast(g.column("cents_sum"), pa.int64())})
 
-    def merge(group: pa.Table) -> pa.Table:
-        return pa.table({
-            "o_custkey": group.column("o_custkey").slice(0, 1),
-            "n_orders": pa.array([int(pc.sum(group.column("n_orders")).as_py())],
-                                 type=pa.int64()),
-            "cents": pa.array([int(pc.sum(group.column("cents")).as_py())],
-                              type=pa.int64()),
-        })
+    from anomalydetection_ray.stages.runs import agg_by
 
-    per_cust = (orders.map_batches(partial, batch_format="pyarrow",
-                                   zero_copy_batch=True)
-                .groupby("o_custkey").map_groups(merge,
-                                                 batch_format="pyarrow"))
+    per_cust = agg_by(
+        orders.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["o_custkey"],
+        [("n_orders", "sum", "n_orders"), ("cents", "sum", "cents")])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     joined = copartition_attach(cust, per_cust, left_on="c_custkey",
                                 right_on="o_custkey",
@@ -1657,23 +1659,27 @@ def d5_set_ops(sf_dir: str):
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True)
 
-    def classify(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    from anomalydetection_ray.stages.runs import agg_by
 
-        a = bool(pc.max(group.column("in_a")).as_py())
-        b = bool(pc.max(group.column("in_b")).as_py())
-        if a and b:
-            op = "intersect"
-        elif a:
-            op = "except"
-        else:
-            return pa.table({"user_id": pa.array([], type=pa.int64()),
-                             "setop": pa.array([], type=pa.string())})
-        return pa.table({"user_id": group.column("user_id").slice(0, 1),
-                         "setop": pa.array([op], type=pa.string())})
+    merged = agg_by(partials, ["user_id"],
+                    [("in_a", "max", "in_a"), ("in_b", "max", "in_b")])
 
-    return partials.groupby("user_id").map_groups(
-        classify, batch_format="pyarrow")
+    def classify(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("in_a").combine_chunks()
+                       if isinstance(batch.column("in_a"), pa.ChunkedArray)
+                       else batch.column("in_a"))
+        b = np.asarray(batch.column("in_b").combine_chunks()
+                       if isinstance(batch.column("in_b"), pa.ChunkedArray)
+                       else batch.column("in_b"))
+        keep = a  # purchased; b alone contributes no row
+        op = np.where(b[keep], "intersect", "except")
+        return pa.table({
+            "user_id": batch.column("user_id").filter(pa.array(keep)),
+            "setop": pa.array(op, type=pa.string()),
+        })
+
+    return merged.map_batches(classify, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
 
 def m5_json_props(sf_dir: str):
@@ -1763,30 +1769,51 @@ def w11_funnel(sf_dir: str):
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True)
 
-    def merge(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    from anomalydetection_ray.stages.runs import partition_apply, run_starts as _rs
 
-        tv = pc.min(group.column("t_view")).as_py()
-        tc = pc.min(group.column("t_click")).as_py()
-        tp = pc.min(group.column("t_purchase")).as_py()
-        if tv is None:
-            stage = 0
-        elif tc is None or tc <= tv:
-            stage = 1
-        elif tp is None or tp <= tc:
-            stage = 2
-        else:
-            stage = 3
+    def merge(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], type=pa.int64()),
+                "t_view": pa.array([], type=pa.int64()),
+                "t_click": pa.array([], type=pa.int64()),
+                "t_purchase": pa.array([], type=pa.int64()),
+                "stage": pa.array([], type=pa.int64()),
+            })
+        part = part.sort_by([("user_id", "ascending")])
+        starts = _rs(part, ["user_id"])
+
+        def min_col(name):
+            # nulls -> NaN; np.fmin ignores NaN, so this is a null-
+            # skipping grouped min.  Epoch-us ints < 2^53: float64-exact.
+            c = part.column(name)
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            v = c.to_numpy(zero_copy_only=False).astype(np.float64)
+            return np.fmin.reduceat(v, starts)
+
+        tv, tc, tp = (min_col(n) for n in ("t_view", "t_click",
+                                           "t_purchase"))
+        has_v, has_c, has_p = (~np.isnan(x) for x in (tv, tc, tp))
+        stage = np.where(
+            ~has_v, 0,
+            np.where(~has_c | (tc <= tv), 1,
+                     np.where(~has_p | (tp <= tc), 2, 3)))
+
+        def int_or_null(x, has):
+            return pa.array(np.where(has, x, 0).astype(np.int64),
+                            type=pa.int64(), mask=~has)
+
         return pa.table({
-            "user_id": group.column("user_id").slice(0, 1),
-            "t_view": pa.array([tv], type=pa.int64()),
-            "t_click": pa.array([tc], type=pa.int64()),
-            "t_purchase": pa.array([tp], type=pa.int64()),
-            "stage": pa.array([stage], type=pa.int64()),
+            "user_id": part.column("user_id").take(
+                pa.array(starts, type=pa.int64())),
+            "t_view": int_or_null(tv, has_v),
+            "t_click": int_or_null(tc, has_c),
+            "t_purchase": int_or_null(tp, has_p),
+            "stage": pa.array(stage, type=pa.int64()),
         })
 
-    return partials.groupby("user_id").map_groups(
-        merge, batch_format="pyarrow")
+    return partition_apply(partials, ["user_id"], merge)
 
 
 def g9_mode_day(sf_dir: str):
@@ -2045,21 +2072,34 @@ def g12_last_event(sf_dir: str):
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True)
 
-    def merge(group: pa.Table) -> pa.Table:
-        ts = np.asarray(group.column("ts_us"), dtype=np.int64)
-        eid = np.asarray(group.column("event_id"), dtype=np.int64)
-        i = int(np.lexsort((eid, ts))[-1])
-        return pa.table({
-            "user_id": group.column("user_id").slice(0, 1),
-            "last_ts_us": group.column("ts_us").slice(i, 1).combine_chunks(),
-            "last_event_id": group.column("event_id").slice(i, 1),
-            "last_value": group.column("value").slice(i, 1),
-            "last_type": group.column("event_type").slice(i, 1),
-        }).rename_columns(["user_id", "last_ts_us", "last_event_id",
-                           "last_value", "last_type"])
+    from anomalydetection_ray.stages.runs import partition_apply, run_starts as _rs
 
-    return partials.groupby("user_id").map_groups(
-        merge, batch_format="pyarrow")
+    def merge(part: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], type=pa.int64()),
+            "last_ts_us": pa.array([], type=pa.int64()),
+            "last_event_id": pa.array([], type=pa.int64()),
+            "last_value": pa.array([], type=pa.float64()),
+            "last_type": pa.array([], type=pa.string()),
+        })
+        if part.num_rows == 0:
+            return empty
+        part = part.sort_by([("user_id", "ascending"),
+                             ("ts_us", "ascending"),
+                             ("event_id", "ascending")])
+        starts = _rs(part, ["user_id"])
+        last = pa.array(np.append(starts[1:], part.num_rows) - 1,
+                        type=pa.int64())
+        t = part.take(last)
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "last_ts_us": t.column("ts_us"),
+            "last_event_id": t.column("event_id"),
+            "last_value": t.column("value"),
+            "last_type": t.column("event_type"),
+        })
+
+    return partition_apply(partials, ["user_id"], merge)
 
 
 TPCH_Q3_CUT_US = 883_612_800_000_000  # 1998-01-01 in epoch microseconds
@@ -2137,27 +2177,17 @@ def tpch_q3_like(sf_dir: str, k: int = 10, segment: str = "BUILDING"):
                                 right_on="o_orderkey",
                                 payload_cols=["o_date_us"])
 
-    def merge(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    from anomalydetection_ray.stages.runs import agg_by
 
-        od = group.column("o_date_us")
-        first = od[0].as_py()
-        if first is None:  # order outside segment/date window: inner join
-            return pa.table({
-                "l_orderkey": pa.array([], type=pa.int64()),
-                "revenue_cents": pa.array([], type=pa.int64()),
-                "o_date_us": pa.array([], type=pa.int64()),
-            })
-        return pa.table({
-            "l_orderkey": group.column("l_orderkey").slice(0, 1),
-            "revenue_cents": pa.array(
-                [int(pc.sum(group.column("cents")).as_py())],
-                type=pa.int64()),
-            "o_date_us": pa.array([first], type=pa.int64()),
-        })
-
-    per_order = joined.groupby("l_orderkey").map_groups(
-        merge, batch_format="pyarrow")
+    # inner-join semantics: orders outside the segment/date window carry
+    # a null o_date_us on EVERY row of their group (o_orderkey is unique
+    # on the right side), so the null filter drops whole groups
+    matched = joined.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("o_date_us"))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    per_order = agg_by(matched, ["l_orderkey"],
+                       [("cents", "sum", "revenue_cents"),
+                        ("o_date_us", "first", "o_date_us")])
     return topk(per_order, k, [("revenue_cents", "descending"),
                                ("o_date_us", "ascending"),
                                ("l_orderkey", "ascending")])
@@ -2274,17 +2304,30 @@ def q9_activity_gaps(sf_dir: str):
         batch_format="pyarrow").aggregate(Min("day"), Max("day"))
     total_days = int(span["max(day)"]) - int(span["min(day)"]) + 1
 
-    def count(group: pa.Table) -> pa.Table:
-        d = np.asarray(group.column("day"), dtype=np.int64)
-        active = int(np.unique(d).shape[0])
+    from anomalydetection_ray.stages.runs import partition_apply, run_starts as _rs
+
+    def count(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], type=pa.int64()),
+                "active_days": pa.array([], type=pa.int64()),
+                "gap_days": pa.array([], type=pa.int64()),
+            })
+        part = part.sort_by([("user_id", "ascending"), ("day", "ascending")])
+        u_starts = _rs(part, ["user_id"])
+        pair_starts = _rs(part, ["user_id", "day"])
+        # distinct (user, day) runs per user: count pair-run starts that
+        # fall inside each user's row span
+        active = np.diff(np.append(
+            np.searchsorted(pair_starts, u_starts), pair_starts.shape[0]))
         return pa.table({
-            "user_id": group.column("user_id").slice(0, 1),
-            "active_days": pa.array([active], type=pa.int64()),
-            "gap_days": pa.array([total_days - active], type=pa.int64()),
+            "user_id": part.column("user_id").take(
+                pa.array(u_starts, type=pa.int64())),
+            "active_days": pa.array(active, type=pa.int64()),
+            "gap_days": pa.array(total_days - active, type=pa.int64()),
         })
 
-    return partials.groupby("user_id").map_groups(
-        count, batch_format="pyarrow")
+    return partition_apply(partials, ["user_id"], count)
 
 
 def a8_seasonal_components(sf_dir: str, period: int = 24):
@@ -2394,14 +2437,21 @@ def u1_upsert_merge(sf_dir: str):
 
     partials = both.map_batches(local_argmax, batch_format="pyarrow")
 
-    def merge(group: pa.Table) -> pa.Table:
-        ts = np.asarray(group.column("ts_us"), dtype=np.int64)
-        upd = np.asarray(group.column("is_update")).astype(np.int64)
-        i = int(np.lexsort((upd, ts))[-1])
-        return group.slice(i, 1)
+    from anomalydetection_ray.stages.runs import partition_apply, run_starts as _rs
 
-    return partials.groupby("event_id").map_groups(
-        merge, batch_format="pyarrow")
+    def merge(part: pa.Table) -> pa.Table:
+        # last-writer-wins argmax per event_id: sort the whole partition
+        # by (event_id, ts_us, is_update) and take the last row of every
+        # event_id run — no per-event Python
+        if part.num_rows == 0:
+            return part
+        t = part.sort_by([("event_id", "ascending"), ("ts_us", "ascending"),
+                          ("is_update", "ascending")])
+        starts = _rs(t, ["event_id"])
+        last = np.append(starts[1:], t.num_rows) - 1
+        return t.take(pa.array(last, type=pa.int64()))
+
+    return partition_apply(partials, ["event_id"], merge)
 
 
 def g13_gini_nchars(sf_dir: str):
@@ -3213,19 +3263,11 @@ def c3_tpch_q10_like(sf_dir: str, k: int = 20):
                                           batch_format="pyarrow",
                                           zero_copy_batch=True)
 
-    def cust_merge(group: pa.Table) -> pa.Table:
-        return pa.table({
-            "c_custkey": group.column("c_custkey").slice(0, 1),
-            "revenue_cents": pa.array(
-                [int(np.asarray(group.column("cents"),
-                                dtype=np.int64).sum())], type=pa.int64()),
-            "n_items": pa.array(
-                [int(np.asarray(group.column("n"),
-                                dtype=np.int64).sum())], type=pa.int64()),
-        })
+    from anomalydetection_ray.stages.runs import agg_by
 
-    per_cust = cust_partials.groupby("c_custkey").map_groups(
-        cust_merge, batch_format="pyarrow")
+    per_cust = agg_by(cust_partials, ["c_custkey"],
+                      [("cents", "sum", "revenue_cents"),
+                       ("n", "sum", "n_items")])
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
     attached = copartition_attach(per_cust, cust, left_on="c_custkey",
@@ -3422,13 +3464,19 @@ def s15_validation_suite(sf_dir: str):
                       else batch.column("event_id"))
         return pa.table({"event_id": u})
 
-    def first(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
+    from anomalydetection_ray.stages.runs import partition_apply, run_starts as _rs
 
-    n_distinct = (ev.map_batches(id_partial, batch_format="pyarrow")
-                  .groupby("event_id").map_groups(first,
-                                                  batch_format="pyarrow")
-                  .count())
+    def distinct_count(part: pa.Table) -> pa.Table:
+        # one row per PARTITION: its distinct event_id count (vectorized
+        # sort + run boundaries; the driver sums num_partitions ints)
+        n = (0 if part.num_rows == 0 else
+             _rs(part.sort_by([("event_id", "ascending")]),
+                 ["event_id"]).shape[0])
+        return pa.table({"n_distinct": pa.array([n], type=pa.int64())})
+
+    n_distinct = int(partition_apply(
+        ev.map_batches(id_partial, batch_format="pyarrow"),
+        ["event_id"], distinct_count).sum("n_distinct"))
     rows.append(("events.event_id unique", agg["n"], agg["n"] - n_distinct))
 
     # rule 4: FK orders.o_custkey -> customer (broadcast dim key set)

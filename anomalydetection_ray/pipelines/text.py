@@ -427,40 +427,87 @@ def split_contamination(sf_dir: str):
     pairs = ds.map_batches(kept_hash_rows, batch_format="pyarrow",
                            zero_copy_batch=True)
 
-    def per_hash(group: pa.Table) -> pa.Table:
-        d = np.asarray(group.column("doc_id"), dtype=np.int64)
-        d = np.unique(d)  # hash groups may repeat a doc across blocks
+    from anomalydetection_ray.stages.runs import partition_apply
+
+    _EMPTY_TRIPLES = pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "train_doc": pa.array([], type=pa.int64()),
+        "h": pa.array([], type=pa.int64()),
+    })
+
+    def per_hash(part: pa.Table) -> pa.Table:
+        """Per PARTITION of window hashes: for every hash group the
+        train x test pair expansion, all runs at once — one lexsort +
+        pure index arithmetic, no per-hash Python."""
+        if part.num_rows == 0:
+            return _EMPTY_TRIPLES
+        h = np.asarray(part.column("h"), dtype=np.int64)
+        d = np.asarray(part.column("doc_id"), dtype=np.int64)
+        # dedupe (h, doc) — hash groups may repeat a doc across blocks —
+        # then order test docs before train docs within each hash run
         is_train = (d % SPLIT_MOD) < SPLIT_TRAIN_LT
-        tr, te = d[is_train], d[~is_train]
-        if tr.shape[0] == 0 or te.shape[0] == 0:
+        order = np.lexsort((d, is_train, h))
+        h, d, is_train = h[order], d[order], is_train[order]
+        keep = np.r_[True, (h[1:] != h[:-1]) | (d[1:] != d[:-1])]
+        h, d, is_train = h[keep], d[keep], is_train[keep]
+        # run boundaries per hash
+        starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+        ends = np.append(starts[1:], h.shape[0])
+        csum = np.concatenate(([0], np.cumsum(is_train)))
+        ntr = csum[ends] - csum[starts]
+        nte = (ends - starts) - ntr
+        cnt = nte * ntr
+        total = int(cnt.sum())
+        if total == 0:
+            return _EMPTY_TRIPLES
+        run_of = np.repeat(np.arange(starts.shape[0]), cnt)
+        off = np.concatenate(([0], np.cumsum(cnt)))
+        local = np.arange(total, dtype=np.int64) - np.repeat(off[:-1], cnt)
+        te_idx = local // ntr[run_of]
+        tr_idx = local % ntr[run_of]
+        return pa.table({
+            "doc_id": pa.array(d[starts[run_of] + te_idx], type=pa.int64()),
+            "train_doc": pa.array(d[starts[run_of] + nte[run_of] + tr_idx],
+                                  type=pa.int64()),
+            "h": pa.array(h[starts[run_of]], type=pa.int64()),
+        })
+
+    triples = partition_apply(pairs, ["h"], per_hash)
+
+    def per_test(part: pa.Table) -> pa.Table:
+        """Per PARTITION of held-out docs: distinct shared hashes and
+        distinct train docs per doc via run boundaries — no per-doc
+        Python."""
+        if part.num_rows == 0:
             return pa.table({
                 "doc_id": pa.array([], type=pa.int64()),
-                "train_doc": pa.array([], type=pa.int64()),
-                "h": pa.array([], type=pa.int64()),
+                "n_shared_hashes": pa.array([], type=pa.int64()),
+                "n_train_docs": pa.array([], type=pa.int64()),
             })
-        h = group.column("h")[0].as_py()
+        d = np.asarray(part.column("doc_id"), dtype=np.int64)
+        hs = np.asarray(part.column("h"), dtype=np.int64)
+        tds = np.asarray(part.column("train_doc"), dtype=np.int64)
+
+        def nunique_per_doc(key: np.ndarray, d_sorted_starts, d_all):
+            pair_starts = np.flatnonzero(
+                np.r_[True, (d_all[1:] != d_all[:-1]) | (key[1:] != key[:-1])])
+            return np.diff(np.append(
+                np.searchsorted(pair_starts, d_sorted_starts),
+                pair_starts.shape[0]))
+
+        o1 = np.lexsort((hs, d))
+        d1 = d[o1]
+        doc_starts = np.flatnonzero(np.r_[True, d1[1:] != d1[:-1]])
+        n_shared = nunique_per_doc(hs[o1], doc_starts, d1)
+        o2 = np.lexsort((tds, d))
+        n_train = nunique_per_doc(tds[o2], doc_starts, d[o2])
         return pa.table({
-            "doc_id": pa.array(np.repeat(te, tr.shape[0]), type=pa.int64()),
-            "train_doc": pa.array(np.tile(tr, te.shape[0]), type=pa.int64()),
-            "h": pa.array(np.full(te.shape[0] * tr.shape[0], h),
-                          type=pa.int64()),
+            "doc_id": pa.array(d1[doc_starts], type=pa.int64()),
+            "n_shared_hashes": pa.array(n_shared, type=pa.int64()),
+            "n_train_docs": pa.array(n_train, type=pa.int64()),
         })
 
-    triples = pairs.groupby("h").map_groups(per_hash, batch_format="pyarrow")
-
-    def per_test(group: pa.Table) -> pa.Table:
-        hs = np.asarray(group.column("h"), dtype=np.int64)
-        tds = np.asarray(group.column("train_doc"), dtype=np.int64)
-        return pa.table({
-            "doc_id": group.column("doc_id").slice(0, 1),
-            "n_shared_hashes": pa.array([int(np.unique(hs).shape[0])],
-                                        type=pa.int64()),
-            "n_train_docs": pa.array([int(np.unique(tds).shape[0])],
-                                     type=pa.int64()),
-        })
-
-    return triples.groupby("doc_id").map_groups(per_test,
-                                                batch_format="pyarrow")
+    return partition_apply(triples, ["doc_id"], per_test)
 
 
 def lang_mix_by_source(sf_dir: str):

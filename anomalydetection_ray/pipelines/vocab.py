@@ -76,43 +76,39 @@ def _df_partial(batch: pa.Table) -> pa.Table:
     })
 
 
-def _sum_group(col: str):
-    def merge(group: pa.Table) -> pa.Table:
-        return pa.table({
-            "word": group.column("word").slice(0, 1),
-            col: pa.array([pc.sum(group.column(col)).as_py()], type=pa.int64()),
-        })
-
-    return merge
-
-
 def vocab_topk(sf_dir: str, k: int = TOPK_DEFAULT):
     """V1 — corpus-wide top-k word frequencies: per-batch partial counts
-    (one row per distinct word per block), per-word sum, block-pruned
-    top-k by (count desc, word asc)."""
+    (one row per distinct word per block), per-word sum via ONE ``_pkey``
+    exchange + vectorized ``reduceat`` (``agg_by`` — no per-word Python),
+    block-pruned top-k by (count desc, word asc)."""
+    from anomalydetection_ray.stages.runs import agg_by
     from anomalydetection_ray.stages.topk import topk
 
     docs = _read_docs(sf_dir, ["text"])
     partials = docs.map_batches(_count_partial, batch_format="pyarrow",
                                 zero_copy_batch=True)
-    counts = partials.groupby("word").map_groups(_sum_group("n"),
-                                                batch_format="pyarrow")
+    counts = agg_by(partials, ["word"], [("n", "sum", "n")])
     return topk(counts, k, [("n", "descending"), ("word", "ascending")])
 
 
 def tfidf_topk(sf_dir: str, k: int = 3):
-    """V3 — top-``k`` TF-IDF terms per document: the DF table (built by
-    the V2 distributed pass, vocab-sized) collects to the driver ONCE and
-    broadcasts into a map-only scoring pass — the J1 small-side-lookup
-    pattern, never a shuffle join of the corpus against the vocabulary.
-    ``score = tf * ln(N / df)``; per-document top-k under (score desc,
-    word asc).  At 100 TB the vocabulary is the only collected state
-    (bounded, ~10^6-10^7 rows); the corpus streams through one
-    ``map_batches``."""
+    """V3 — top-``k`` TF-IDF terms per document: the non-hapax DF table
+    (built by the V2 distributed pass with a real ``min_df=2`` floor)
+    collects to the driver ONCE and broadcasts into a map-only scoring
+    pass — the J1 small-side-lookup pattern, never a shuffle join of the
+    corpus against the vocabulary.  ``score = tf * ln(N / df)``; per-
+    document top-k under (score desc, word asc).
+
+    The collect is BOUNDED without changing semantics: a hapax word
+    (``df == 1`` — the dominant class on a web corpus, growing ~linearly
+    with doc count) has ``idf = ln(N / 1) = ln(N)`` exactly, so hapaxes
+    never need to ship — any word missing from the broadcast table scores
+    with the constant ``ln(N)``.  Only the ``df >= 2`` vocabulary (the
+    Heaps-law core, the part worth a driver table) is collected."""
     import pandas as pd
     import pyarrow.parquet as pq
 
-    df_pd = vocab_doc_freq(sf_dir, min_df=1).to_pandas()
+    df_pd = vocab_doc_freq(sf_dir, min_df=2).to_pandas()
     vocab = pd.Index(df_pd["word"])
     n_docs = float(pq.ParquetFile(
         f"{sf_dir}/documents.parquet").metadata.num_rows)
@@ -123,6 +119,7 @@ def tfidf_topk(sf_dir: str, k: int = 3):
 
     idf = np.fromiter((math.log(n_docs / d) for d in df_pd["df"]),
                       dtype=np.float64, count=len(df_pd))
+    ln_n = math.log(n_docs / 1.0)  # the exact idf of every df==1 word
 
     def score_batch(batch: pa.Table) -> pa.Table:
         flat, doc_flat = _words_flat(batch)
@@ -132,7 +129,10 @@ def tfidf_topk(sf_dir: str, k: int = 3):
         words = np.asarray(tf_tbl.column("word"), dtype=object)
         tf = np.asarray(tf_tbl.column("word_count"), dtype=np.int64)
         docs = np.asarray(tf_tbl.column("doc_id"), dtype=np.int64)
-        score = tf * idf[vocab.get_indexer(words)]
+        vi = vocab.get_indexer(words)
+        word_idf = (np.where(vi >= 0, idf[np.maximum(vi, 0)], ln_n)
+                    if len(idf) else np.full(len(vi), ln_n))
+        score = tf * word_idf
         order = np.lexsort((words, -score, docs))
         docs_s = docs[order]
         starts = np.flatnonzero(np.r_[True, docs_s[1:] != docs_s[:-1]])
@@ -178,14 +178,15 @@ def bigram_topk(sf_dir: str, k: int = TOPK_DEFAULT):
     """V4 — corpus-wide top-k bigram frequencies (the n-gram LM / phrase
     mining counterpart of V1): same partial-aggregate-before-shuffle
     discipline — the exchange carries one row per DISTINCT bigram per
-    block."""
+    block, and the post-exchange merge is the vectorized ``agg_by``
+    kernel (no per-bigram Python)."""
+    from anomalydetection_ray.stages.runs import agg_by
     from anomalydetection_ray.stages.topk import topk
 
     docs = _read_docs(sf_dir, ["doc_id", "text"])
     partials = docs.map_batches(_bigram_partial, batch_format="pyarrow",
                                 zero_copy_batch=True)
-    counts = partials.groupby("word").map_groups(_sum_group("n"),
-                                                batch_format="pyarrow")
+    counts = agg_by(partials, ["word"], [("n", "sum", "n")])
     return topk(counts, k, [("n", "descending"), ("word", "ascending")])
 
 
@@ -245,12 +246,15 @@ def vocab_doc_freq(sf_dir: str, min_df: int = 2):
     """V2 — per-word document frequency (the DF table of TF-IDF): distinct
     (word, doc) pairs per block collapse to partial doc counts, which sum
     exactly because one document never spans blocks.  Words with
-    ``df < min_df`` are dropped (the usual vocab floor)."""
+    ``df < min_df`` are dropped (the usual vocab floor).  The per-word
+    merge is the vectorized ``agg_by`` kernel — one ``_pkey`` exchange,
+    zero per-word Python."""
+    from anomalydetection_ray.stages.runs import agg_by
+
     docs = _read_docs(sf_dir, ["doc_id", "text"])
     partials = docs.map_batches(_df_partial, batch_format="pyarrow",
                                 zero_copy_batch=True)
-    df = partials.groupby("word").map_groups(_sum_group("df"),
-                                             batch_format="pyarrow")
+    df = agg_by(partials, ["word"], [("df", "sum", "df")])
     return df.filter(expr=f"df >= {int(min_df)}")
 
 
@@ -333,16 +337,10 @@ def lexical_richness(sf_dir: str):
     partials = docs.map_batches(partial, batch_format="pyarrow",
                                 zero_copy_batch=True)
 
-    def per_word(group: pa.Table) -> pa.Table:
-        return pa.table({
-            "source": group.column("source").slice(0, 1),
-            "word": group.column("word").slice(0, 1),
-            "n": pa.array([int(pc.sum(group.column("n")).as_py())],
-                          type=pa.int64()),
-        })
+    from anomalydetection_ray.stages.runs import agg_by
 
-    word_totals = partials.groupby(["source", "word"]).map_groups(
-        per_word, batch_format="pyarrow")
+    word_totals = agg_by(partials, ["source", "word"],
+                         [("n", "sum", "n")])
 
     def rollup(group: pa.Table) -> pa.Table:
         n = np.asarray(group.column("n"), dtype=np.int64)
@@ -353,6 +351,8 @@ def lexical_richness(sf_dir: str):
             "n_hapax": pa.array([int((n == 1).sum())], type=pa.int64()),
         })
 
+    # the final rollup is per SOURCE — a bounded group key (tens of
+    # sources), so a per-group call is fine here
     return word_totals.groupby("source").map_groups(
         rollup, batch_format="pyarrow")
 

@@ -1794,19 +1794,21 @@ def w20_time_decay_score(sf_dir: str, half_life_days: int = 4,
     partials = ev.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True)
 
-    def merge(group: pa.Table) -> pa.Table:
-        n = int(np.asarray(group.column("n"), dtype=np.int64).sum())
-        dq = int(np.asarray(group.column("dq"), dtype=np.int64).sum())
-        return pa.table({
-            "user_id": group.column("user_id").slice(0, 1),
-            "n_events": pa.array([n], type=pa.int64()),
-            "decay_sum_q": pa.array([dq], type=pa.int64()),
-            "decay_score": pa.array([float(dq) / (float(W0) * float(VSCALE))],
-                                    type=pa.float64()),
-        })
+    from anomalydetection_ray.stages.runs import agg_by
 
-    return partials.groupby("user_id").map_groups(merge,
-                                                  batch_format="pyarrow")
+    merged = agg_by(partials, ["user_id"],
+                    [("n", "sum", "n_events"), ("dq", "sum", "decay_sum_q")],
+                    num_partitions=num_partitions)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        dq = np.asarray(batch.column("decay_sum_q"), dtype=np.int64)
+        return batch.append_column(
+            "decay_score",
+            pa.array(dq.astype(np.float64) / (float(W0) * float(VSCALE)),
+                     type=pa.float64()))
+
+    return merged.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------- W21 ----

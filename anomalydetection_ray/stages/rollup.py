@@ -36,7 +36,6 @@ from anomalydetection_ray.constants import (
     TIER1_BUCKET,
     TIER2_BUCKET,
 )
-from anomalydetection_ray.functions.stats import gap_fill
 
 # buckets per median-gather chunk: 8192 buckets x 1000 positions x 8 B ~ 64 MiB
 MEDIAN_CHUNK = 8192
@@ -74,6 +73,40 @@ def _locf_flat(vals: np.ndarray, valid: np.ndarray, offsets: np.ndarray) -> np.n
     lens = np.diff(offsets)
     row_start = np.repeat(offsets[:-1], lens)
     out = np.where(last_valid >= row_start, vals[np.maximum(last_valid, 0)], 0)
+    return out.astype(np.int32, copy=False)
+
+
+def _linear_flat(vals: np.ndarray, valid: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Vectorized per-row LINEAR gap fill over the whole flat buffer:
+    identical result to ``stats.gap_fill(..., "linear")`` applied row by
+    row (exact integer interpolation, round half to even, edge clamp,
+    all-null rows -> 0) — replaces the per-affected-row Python loop."""
+    n = vals.shape[0]
+    idx = np.arange(n, dtype=np.int64)
+    lens = np.diff(offsets)
+    row_start = np.repeat(offsets[:-1], lens)
+    row_end = np.repeat(offsets[1:], lens)
+    prev = np.maximum.accumulate(np.where(valid, idx, -1))
+    nxt = np.minimum.accumulate(np.where(valid, idx, n)[::-1])[::-1]
+    has_prev = prev >= row_start
+    has_next = nxt < row_end
+    out = vals.astype(np.int64, copy=True)
+    gap = ~valid
+    lead = gap & ~has_prev & has_next
+    out[lead] = vals[nxt[lead]]
+    trail = gap & has_prev & ~has_next
+    out[trail] = vals[prev[trail]]
+    out[gap & ~has_prev & ~has_next] = 0
+    mid = gap & has_prev & has_next
+    if mid.any():
+        p, q, i = prev[mid], nxt[mid], idx[mid]
+        vp = vals[p].astype(np.int64)
+        vq = vals[q].astype(np.int64)
+        den = q - p
+        num = vp * (q - i) + vq * (i - p)
+        quo = num // den
+        r2 = (num - quo * den) * 2
+        out[mid] = quo + ((r2 > den) | ((r2 == den) & (quo % 2 != 0)))
     return out.astype(np.int32, copy=False)
 
 
@@ -203,15 +236,8 @@ def rollup_batch(batch: pa.Table, policy: str = "locf") -> pa.Table:
     if valid is not None:
         if policy == "locf":
             vals = _locf_flat(vals, valid, offsets)
-        else:  # linear: per-affected-row fill (rare), then dense path
-            vals = vals.copy()
-            lens = np.diff(offsets)
-            bad_per_row = np.add.reduceat(~valid, offsets[:-1][lens > 0])
-            rows_nonempty = np.flatnonzero(lens > 0)
-            for r, nbad in zip(rows_nonempty, bad_per_row):
-                if nbad:
-                    s, e = offsets[r], offsets[r + 1]
-                    vals[s:e], _ = gap_fill(vals[s:e], valid[s:e], policy)
+        else:  # linear: vectorized whole-buffer fill, then dense path
+            vals = _linear_flat(vals, valid, offsets)
         valid = None
 
     lens = np.diff(offsets)

@@ -122,3 +122,89 @@ def keep_first_by(ds, keys: list[str], order_by: list[str] | None = None,
         functools.partial(_first_of_runs, keys=keys, order_by=order_by),
         batch_format="pyarrow",
     )
+
+
+def partition_apply(ds, keys: list[str], kernel, num_partitions: int = 64):
+    """One hash exchange on ``keys`` at PARTITION granularity, then
+    ``kernel(partition_table)`` once per partition (``num_partitions``
+    Python calls TOTAL, independent of key cardinality).  The kernel
+    receives the whole partition WITHOUT the ``_pkey`` column and must
+    handle many key groups itself (sort + ``run_starts`` + reduceat) —
+    the scale-safe replacement for ``groupby(keys).map_groups(fn)`` on
+    high-cardinality keys (vocab words, user ids, doc ids)."""
+    tagged = ds.map_batches(
+        functools.partial(add_partition_key, keys=keys,
+                          num_partitions=num_partitions),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def run(group: pa.Table) -> pa.Table:
+        if PKEY in group.column_names:
+            group = group.drop_columns([PKEY])
+        return kernel(group)
+
+    return tagged.groupby(PKEY).map_groups(run, batch_format="pyarrow")
+
+
+_REDUCERS = {
+    "sum": lambda v, s: np.add.reduceat(v, s),
+    "min": lambda v, s: np.minimum.reduceat(v, s),
+    "max": lambda v, s: np.maximum.reduceat(v, s),
+}
+
+
+def _np_col(batch: pa.Table, name: str) -> np.ndarray:
+    c = batch.column(name)
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    return c.to_numpy(zero_copy_only=False)
+
+
+def agg_by(ds, keys: list[str], aggs: list[tuple[str, str, str]],
+           num_partitions: int = 64):
+    """Vectorized grouped aggregation: one row per distinct ``keys``
+    value with each ``(in_col, kind, out_col)`` of ``aggs`` applied,
+    ``kind`` in ``{"sum", "min", "max", "count", "first", "last"}``.
+    Exactly ``groupby(keys).agg(...)`` but with ONE ``_pkey`` exchange
+    and per-partition C-level sort + ``ufunc.reduceat`` — zero per-group
+    Python.  Integer sums reduce in int64 (exact, same as the per-group
+    form); ``first``/``last`` are under ascending ``keys`` order only
+    (deterministic when the value is constant per group — pass an
+    explicit kernel to :func:`partition_apply` otherwise)."""
+
+    def kernel(part: pa.Table) -> pa.Table:
+        out_fields: list[tuple[str, pa.DataType]] = []
+        for in_col, kind, out_col in aggs:
+            t = (pa.int64() if kind == "count"
+                 else part.schema.field(in_col).type)
+            out_fields.append((out_col, t))
+        if part.num_rows == 0:
+            cols = {k: part.column(k) for k in keys}
+            cols.update({o: pa.array([], type=t) for o, t in out_fields})
+            return pa.table(cols)
+        part = part.sort_by([(k, "ascending") for k in keys])
+        starts = run_starts(part, keys)
+        ends = np.append(starts[1:], part.num_rows)
+        take_starts = pa.array(starts, type=pa.int64())
+        cols = {k: part.column(k).take(take_starts) for k in keys}
+        for in_col, kind, out_col in aggs:
+            if kind == "count":
+                cols[out_col] = pa.array(ends - starts, type=pa.int64())
+            elif kind == "first":
+                cols[out_col] = part.column(in_col).take(take_starts)
+            elif kind == "last":
+                cols[out_col] = part.column(in_col).take(
+                    pa.array(ends - 1, type=pa.int64()))
+            else:
+                v = _np_col(part, in_col)
+                out_t = part.schema.field(in_col).type
+                if v.dtype == np.bool_:
+                    red = _REDUCERS[kind](v.astype(np.int8), starts)
+                    cols[out_col] = pa.array(red.astype(bool), type=out_t)
+                else:
+                    cols[out_col] = pa.array(_REDUCERS[kind](v, starts),
+                                             type=out_t)
+        return pa.table(cols)
+
+    return partition_apply(ds, keys, kernel, num_partitions=num_partitions)

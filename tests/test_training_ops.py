@@ -37,8 +37,32 @@ def test_exact_dedup_ray(ray_session):
 
     rows = exact_dedup(SF).take_all()
     # all driver docs are distinct at sf0.001 -> one group per doc
-    assert len(rows) == len({r["text_hash"] for r in rows})
+    assert len(rows) == len({(r["h1"], r["h2"]) for r in rows})
     assert all(isinstance(r["doc_id"], int) for r in rows)
+
+
+def test_content_hash128_matches_scalar_reference():
+    import pyarrow as pa
+
+    from anomalydetection_ray.pipelines.dedup import (_CH_C1, _CH_C2,
+                                                      content_hash_cols)
+
+    def ref(text: str, c: int) -> int:
+        h = 0
+        for b in text.encode("utf-8"):
+            h = (h * c + b) % (1 << 64)
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    texts = ["hello world", "a", "", "hello world", "x" * 1000,
+             "The quick brown fox! 123", "élève café"]
+    t = pa.table({"text": pa.array(texts, type=pa.string())})
+    h1, h2 = content_hash_cols(t)
+    assert h1.to_pylist() == [ref(s, int(_CH_C1)) for s in texts]
+    assert h2.to_pylist() == [ref(s, int(_CH_C2)) for s in texts]
+    # equal content -> equal hash; distinct content -> distinct hash here
+    assert h1[0] == h1[3] and h2[0] == h2[3]
+    assert len({(a, b) for a, b in zip(h1.to_pylist(), h2.to_pylist())}) \
+        == len(texts) - 1
 
 
 def test_ann_bruteforce_vs_lsh(ray_session):
