@@ -81,9 +81,13 @@ def ensure_synth(target_tokens: int) -> tuple[str, int, int]:
 
 
 def _exec_health(ds, prefix: str) -> dict:
-    """Best-effort execution-health extras per the BASELINE.md protocol:
-    object-store spill bytes (cluster-wide) and the slowest task wall seen
-    in the pipeline's stats (straggler proxy).  Never raises."""
+    """Execution-health extras per the BASELINE.md protocol: object-store
+    spill bytes (cluster-wide + per-dataset) and the task wall-time tail
+    (p99 + max over every executed block's exec stats — the straggler
+    measure).  The per-block walk only populates when the SAME plan object
+    was consumed (iter_batches/take_all, not count() — count() builds a
+    separate aggregate plan), which is why the bench phases consume via
+    iter_batches.  Never raises."""
     import re
 
     out: dict = {}
@@ -96,18 +100,38 @@ def _exec_health(ds, prefix: str) -> dict:
     except Exception:  # noqa: BLE001
         pass
     try:
-        unit = {"us": 1e-6, "ms": 1e-3, "s": 1.0}
-        walls = [
-            float(x) * unit[u]
-            for x, u in re.findall(r"Remote wall time:.*? ([\d.]+)(us|ms|s) max", ds.stats())
-        ]
+        import numpy as _np
+
+        st = ds._plan.stats()
+        out[f"{prefix}_spilled_bytes"] = int(st.global_bytes_spilled or 0)
+        walls: list[float] = []
+        stack, seen = [st], set()
+        while stack:
+            s = stack.pop()
+            if id(s) in seen:
+                continue
+            seen.add(id(s))
+            for metas in (s.metadata or {}).values():
+                walls.extend(m.exec_stats.wall_time_s for m in metas
+                             if m.exec_stats is not None)
+            stack.extend(s.parents or [])
         if walls:
-            out[f"{prefix}_task_wall_max_s"] = max(walls)
+            out[f"{prefix}_n_tasks"] = len(walls)
+            out[f"{prefix}_p99_task_s"] = float(_np.percentile(walls, 99))
+            out[f"{prefix}_task_wall_max_s"] = float(max(walls))
     except Exception:  # noqa: BLE001
         pass
-    # NOTE: both fields are best-effort — this container lacks grpc (no
-    # ray memory summary) and Ray only populates stats() on the plan that
-    # was actually consumed; absent keys mean "not measurable here", not 0.
+    if f"{prefix}_task_wall_max_s" not in out:
+        try:
+            unit = {"us": 1e-6, "ms": 1e-3, "s": 1.0}
+            walls = [
+                float(x) * unit[u]
+                for x, u in re.findall(r"Remote wall time:.*? ([\d.]+)(us|ms|s) max", ds.stats())
+            ]
+            if walls:
+                out[f"{prefix}_task_wall_max_s"] = max(walls)
+        except Exception:  # noqa: BLE001
+            pass
     return out
 
 
@@ -168,7 +192,10 @@ def run_bench(sf_dir: str, num_cpus: int, phases: list[str]) -> dict:
             t0 = time.monotonic()
             tiers = rollup_pipeline(read_sequences(spath, override_num_blocks=onb, num_cpus=task_cpus),
                                     num_cpus=task_cpus)
-            n_points = tiers.count()
+            # consume via iter_batches (not count()) so the SAME plan's
+            # per-block exec stats populate for _exec_health's p99/spill
+            n_points = sum(b.num_rows
+                           for b in tiers.iter_batches(batch_format="pyarrow"))
             d = time.monotonic() - t0
             dt = d if dt is None else min(dt, d)
         res["queries"]["rollup_synth"] = dt
@@ -190,16 +217,19 @@ def run_bench(sf_dir: str, num_cpus: int, phases: list[str]) -> dict:
     if "topk" in phases:
         # best-of-N like rollup/encode: a single rep swings ~2x on this
         # co-tenant host, which made round-over-round topk incomparable
-        dt, top = None, []
+        dt, top, top_ds = None, [], None
         for _ in range(reps):
             t0 = time.monotonic()
             tiers = rollup_pipeline(read_sequences(spath, override_num_blocks=onb, num_cpus=task_cpus),
                                     num_cpus=task_cpus)
-            top = topk_anomalies(tiers, k=100).take_all()
+            top_ds = topk_anomalies(tiers, k=100)
+            top = top_ds.take_all()
             d = time.monotonic() - t0
             dt = d if dt is None else min(dt, d)
         res["queries"]["topk"] = dt
         extras["topk_rows"] = len(top)
+        if top_ds is not None:
+            extras.update(_exec_health(top_ds, "topk"))
 
     if "ingest_encode" in phases:
         # scale path: fragment-aligned partitions, fused read->validate->
@@ -212,14 +242,18 @@ def run_bench(sf_dir: str, num_cpus: int, phases: list[str]) -> dict:
         dt, rows = None, []
         import shutil as _sh
 
+        summary_ds = None
         for r_i in range(reps):
             out_r = f"{out}_{r_i}"
             t0 = time.monotonic()
-            rows = ingest_persist(epath, out_r, resume=False, num_cpus=encode_task_cpus).take_all()
+            summary_ds = ingest_persist(epath, out_r, resume=False, num_cpus=encode_task_cpus)
+            rows = summary_ds.take_all()
             d = time.monotonic() - t0
             dt = d if dt is None else min(dt, d)
             _sh.rmtree(out_r, ignore_errors=True)
         res["queries"]["ingest_encode"] = dt
+        if summary_ds is not None:
+            extras.update(_exec_health(summary_ds, "encode"))
         enc_bytes = sum(r["encoded_bytes"] for r in rows)
         tok = sum(r["tokens_processed"] for r in rows)
         extras["encode_tokens_per_s"] = tok / dt
