@@ -209,6 +209,22 @@ def _a25_turning_points(sf_dir: str):
         turning_points_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _a27_perm_entropy(sf_dir: str):
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import perm_entropy_batch
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        perm_entropy_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _a28_sax(sf_dir: str):
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import sax_batch
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        sax_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _a13_longest_run(sf_dir: str):
     from anomalydetection_ray.pipelines.rollup import validated
     from anomalydetection_ray.stages.detectors import longest_run_batch
@@ -400,6 +416,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a24_forecast_error": _a24_forecast_error,
         # A25 turning-point counts (randomness/smoothness screen)
         "a25_turning_points": _a25_turning_points,
+        # A27 order-3 permutation entropy (Bandt & Pompe 2002): exact
+        # ordinal-pattern counts + pinned fixed-order entropy fold
+        "a27_perm_entropy": _a27_perm_entropy,
+        # A28 SAX symbolization (Lin & Keogh 2007): PAA frames + Gaussian
+        # breakpoints, exact-int frame sums, pinned breakpoint compares
+        "a28_sax": _a28_sax,
         # A26 ACF table (correlogram over a ladder of lags)
         "a26_acf_table": _a26_acf_table,
         # A7 CUSUM change-point detector (Page 1954, zero-slack two-sided
@@ -517,6 +539,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g23_partition_skew": q.g23_partition_skew,
         # Q10 systematic every-k-th sampling under the Q6 seeded order
         "q10_systematic_sample": pk.q10_systematic_sample,
+        # Q11 weighted (PPS) systematic sample over n_chars weight
+        # (Madow 1949): exact-integer stride crossings, P3's two-pass scan
+        "q11_weighted_sample": pk.q11_weighted_sample,
+        # G17 KMV k-minimum-values distinct sketch (Bar-Yossef 2002):
+        # bounded k-word state per group, pure-integer estimator
+        "g17_kmv_distinct": q.g17_kmv_distinct,
+        # S16 referential-integrity (FK orphan) audit over the star schema
+        "s16_fk_audit": q.s16_fk_audit,
+        # A29 lagged cross-correlation of per-type daily event volumes
+        # (lead-lag co-movement screen; exact-int moments, pinned floats)
+        "a29_xcorr_volumes": q.a29_xcorr_volumes,
         # W25 per-key volatility (median/MAD of absolute deltas)
         "w25_volatility": wnd.w25_volatility,
         # C4 composed curation: exact dedup -> sequence packing
@@ -1319,6 +1352,39 @@ def _grubbs_sql(alpha: float = 0.05, max_n: int = 4096) -> str:
     """
 
 
+def _fk_audit_sql() -> str:
+    """s16_fk_audit oracle: per FK edge, child keys grouped then LEFT
+    JOINed to the parent; orphan = parent key NULL.  UNION ALL of the
+    five star-schema edges (same literals as pipelines/queries.py
+    s16_fk_audit)."""
+    edges = [
+        ("orders.o_custkey->customer.c_custkey",
+         "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders.o_orderkey",
+         "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part.p_partkey",
+         "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier.s_suppkey",
+         "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("customer.c_nationkey->nation.n_nationkey",
+         "customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    parts = []
+    for name, child, fk, parent, pk in edges:
+        parts.append(f"""
+        SELECT '{name}' AS relation,
+               CAST(sum(n) AS BIGINT) AS n_child_rows,
+               CAST(count(*) AS BIGINT) AS n_child_keys,
+               CAST(COALESCE(sum(n) FILTER (orphan), 0) AS BIGINT)
+                   AS n_orphan_rows,
+               CAST(count(*) FILTER (orphan) AS BIGINT) AS n_orphan_keys
+        FROM (SELECT ck.k, ck.n, p.{pk} IS NULL AS orphan
+              FROM (SELECT {fk} AS k, CAST(count(*) AS BIGINT) AS n
+                    FROM {child} GROUP BY 1) ck
+              LEFT JOIN {parent} p ON ck.k = p.{pk})""")
+    return " UNION ALL ".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB equivalents (views pre-registered by the driver).  Keys
     absent here (codec/persist summaries: side-effectful; media: binary
@@ -1613,6 +1679,142 @@ def oracle_sql() -> dict[str, str]:
                                               OR (v < pv AND v < nv)))
                         AS BIGINT) AS n_turning_points
             FROM d GROUP BY doc_id, part_id
+        """,
+        # A27 permutation entropy: ordinal-pattern counts are exact ints
+        # (position tie-break = the <= / > comparisons below); the entropy
+        # is a fixed-order six-term fold — the engine adds the same libm
+        # terms in the same canonical pattern order, so floats match
+        # bitwise.  Pattern (b01,b02,b12): 111=012, 110=021, 011=102,
+        # 001=120, 101=201, 000=210.
+        "a27_perm_entropy": f"""
+            WITH {_SEQ_TOK_CTE},
+            s AS MATERIALIZED (
+                SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                       pos % 1000000 AS i, CAST(v AS BIGINT) AS v FROM tok),
+            t AS (
+                SELECT doc_id, part_id, v,
+                       lead(v, 1) OVER w AS v1, lead(v, 2) OVER w AS v2
+                FROM s
+                WINDOW w AS (PARTITION BY doc_id, part_id ORDER BY i)),
+            g AS (
+                SELECT doc_id, part_id, count(*) AS n,
+                  CAST(count(*) FILTER (v2 IS NOT NULL AND v <= v1
+                       AND v <= v2 AND v1 <= v2) AS BIGINT) AS c_012,
+                  CAST(count(*) FILTER (v2 IS NOT NULL AND v <= v1
+                       AND v <= v2 AND v1 > v2) AS BIGINT) AS c_021,
+                  CAST(count(*) FILTER (v2 IS NOT NULL AND v > v1
+                       AND v <= v2 AND v1 <= v2) AS BIGINT) AS c_102,
+                  CAST(count(*) FILTER (v2 IS NOT NULL AND v > v1
+                       AND v > v2 AND v1 <= v2) AS BIGINT) AS c_120,
+                  CAST(count(*) FILTER (v2 IS NOT NULL AND v <= v1
+                       AND v > v2 AND v1 > v2) AS BIGINT) AS c_201,
+                  CAST(count(*) FILTER (v2 IS NOT NULL AND v > v1
+                       AND v > v2 AND v1 > v2) AS BIGINT) AS c_210
+                FROM t GROUP BY doc_id, part_id),
+            e AS (
+                SELECT *,
+                       c_012 + c_021 + c_102 + c_120 + c_201 + c_210
+                           AS m_triples
+                FROM g)
+            SELECT doc_id, part_id, n, m_triples,
+                   c_012, c_021, c_102, c_120, c_201, c_210,
+                   CASE WHEN m_triples = 0 THEN 0.0 ELSE -(
+                     CASE WHEN c_012 = 0 THEN 0.0 ELSE
+                       (CAST(c_012 AS DOUBLE) / m_triples)
+                       * ln(CAST(c_012 AS DOUBLE) / m_triples) END
+                   + CASE WHEN c_021 = 0 THEN 0.0 ELSE
+                       (CAST(c_021 AS DOUBLE) / m_triples)
+                       * ln(CAST(c_021 AS DOUBLE) / m_triples) END
+                   + CASE WHEN c_102 = 0 THEN 0.0 ELSE
+                       (CAST(c_102 AS DOUBLE) / m_triples)
+                       * ln(CAST(c_102 AS DOUBLE) / m_triples) END
+                   + CASE WHEN c_120 = 0 THEN 0.0 ELSE
+                       (CAST(c_120 AS DOUBLE) / m_triples)
+                       * ln(CAST(c_120 AS DOUBLE) / m_triples) END
+                   + CASE WHEN c_201 = 0 THEN 0.0 ELSE
+                       (CAST(c_201 AS DOUBLE) / m_triples)
+                       * ln(CAST(c_201 AS DOUBLE) / m_triples) END
+                   + CASE WHEN c_210 = 0 THEN 0.0 ELSE
+                       (CAST(c_210 AS DOUBLE) / m_triples)
+                       * ln(CAST(c_210 AS DOUBLE) / m_triples) END)
+                   END AS perm_entropy,
+                   CASE WHEN m_triples = 0 THEN NULL ELSE
+                     CASE WHEN m_triples = 0 THEN 0.0 ELSE -(
+                       CASE WHEN c_012 = 0 THEN 0.0 ELSE
+                         (CAST(c_012 AS DOUBLE) / m_triples)
+                         * ln(CAST(c_012 AS DOUBLE) / m_triples) END
+                     + CASE WHEN c_021 = 0 THEN 0.0 ELSE
+                         (CAST(c_021 AS DOUBLE) / m_triples)
+                         * ln(CAST(c_021 AS DOUBLE) / m_triples) END
+                     + CASE WHEN c_102 = 0 THEN 0.0 ELSE
+                         (CAST(c_102 AS DOUBLE) / m_triples)
+                         * ln(CAST(c_102 AS DOUBLE) / m_triples) END
+                     + CASE WHEN c_120 = 0 THEN 0.0 ELSE
+                         (CAST(c_120 AS DOUBLE) / m_triples)
+                         * ln(CAST(c_120 AS DOUBLE) / m_triples) END
+                     + CASE WHEN c_201 = 0 THEN 0.0 ELSE
+                         (CAST(c_201 AS DOUBLE) / m_triples)
+                         * ln(CAST(c_201 AS DOUBLE) / m_triples) END
+                     + CASE WHEN c_210 = 0 THEN 0.0 ELSE
+                         (CAST(c_210 AS DOUBLE) / m_triples)
+                         * ln(CAST(c_210 AS DOUBLE) / m_triples) END)
+                     END / ln(6.0)
+                   END AS norm_perm_entropy
+            FROM e
+        """,
+        # A28 SAX: frame-of(i) = 8*i // n (ceil frame boundaries), exact
+        # int frame/series sums, the pinned comparison
+        #   CAST(Fs*n - S*Fl AS DOUBLE) < b * (CAST(Fl AS DOUBLE)
+        #       * sqrt(CAST(n*Q - S*S AS DOUBLE)))
+        # per breakpoint b in (-0.6745, 0, 0.6745); string_agg ORDER BY f
+        "a28_sax": f"""
+            WITH {_SEQ_TOK_CTE},
+            s AS MATERIALIZED (
+                SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                       pos % 1000000 AS i, CAST(v AS BIGINT) AS v FROM tok),
+            st AS MATERIALIZED (
+                SELECT doc_id, part_id, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(v) AS BIGINT) AS s_sum,
+                       CAST(sum(v * v) AS BIGINT) AS q_sum
+                FROM s GROUP BY doc_id, part_id),
+            fr AS MATERIALIZED (
+                SELECT s.doc_id, s.part_id,
+                       CAST(8 * s.i // st.n AS BIGINT) AS f,
+                       CAST(sum(s.v) AS BIGINT) AS fs,
+                       CAST(count(*) AS BIGINT) AS fl
+                FROM s JOIN st USING (doc_id, part_id)
+                GROUP BY s.doc_id, s.part_id, 8 * s.i // st.n),
+            fr8 AS (SELECT doc_id, part_id, unnest(range(8)) AS f FROM st),
+            frx AS (
+                SELECT fr8.doc_id, fr8.part_id, fr8.f,
+                       COALESCE(fr.fs, 0) AS fs, COALESCE(fr.fl, 0) AS fl
+                FROM fr8 LEFT JOIN fr ON fr.doc_id = fr8.doc_id
+                     AND fr.part_id = fr8.part_id AND fr.f = fr8.f),
+            sym AS (
+                SELECT frx.doc_id, frx.part_id, frx.f,
+                       CASE WHEN frx.fl = 0 THEN '_'
+                            WHEN CAST(frx.fs * st.n
+                                      - st.s_sum * frx.fl AS DOUBLE)
+                                 < -0.6745 * (CAST(frx.fl AS DOUBLE)
+                                   * sqrt(CAST(st.n * st.q_sum
+                                     - st.s_sum * st.s_sum AS DOUBLE)))
+                                THEN 'a'
+                            WHEN CAST(frx.fs * st.n
+                                      - st.s_sum * frx.fl AS DOUBLE) < 0.0
+                                THEN 'b'
+                            WHEN CAST(frx.fs * st.n
+                                      - st.s_sum * frx.fl AS DOUBLE)
+                                 < 0.6745 * (CAST(frx.fl AS DOUBLE)
+                                   * sqrt(CAST(st.n * st.q_sum
+                                     - st.s_sum * st.s_sum AS DOUBLE)))
+                                THEN 'c'
+                            ELSE 'd' END AS sym
+                FROM frx JOIN st USING (doc_id, part_id))
+            SELECT st.doc_id, st.part_id, st.n, st.s_sum,
+                   (SELECT string_agg(sym, '' ORDER BY f) FROM sym
+                    WHERE sym.doc_id = st.doc_id
+                      AND sym.part_id = st.part_id) AS sax
+            FROM st
         """,
         # A23 Tukey fences: quantile_cont interpolation == engine lerp
         "a23_tukey_fences": f"""
@@ -2541,6 +2743,96 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY event_type
+        """,
+        # S16 FK orphan audit: LEFT JOIN per star-schema edge, UNION ALL
+        "s16_fk_audit": _fk_audit_sql(),
+        # A29 lead-lag xcorr: complete day grid per type pair (missing
+        # days = 0), exact-int moment sums, the same three pinned float
+        # ops as G10
+        "a29_xcorr_volumes": """
+            WITH e AS (SELECT event_type,
+                              CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                                  AS day
+                       FROM events),
+            d AS MATERIALIZED (
+                SELECT event_type, day, CAST(count(*) AS BIGINT) AS c
+                FROM e GROUP BY 1, 2),
+            ty AS (SELECT DISTINCT event_type FROM d),
+            pr AS (SELECT a.event_type AS ta, b.event_type AS tb
+                   FROM ty a JOIN ty b ON a.event_type < b.event_type),
+            sp AS MATERIALIZED (
+                SELECT pr.ta, pr.tb, min(d.day) AS lo, max(d.day) AS hi
+                FROM pr JOIN d ON d.event_type = pr.ta
+                              OR d.event_type = pr.tb
+                GROUP BY 1, 2),
+            lg AS (SELECT unnest([0, 1, 2, 3, 7]) AS lag),
+            gr AS (SELECT sp.ta, sp.tb, lg.lag,
+                          unnest(range(sp.lo, sp.hi - lg.lag + 1)) AS day
+                   FROM sp CROSS JOIN lg
+                   WHERE sp.hi - sp.lo + 1 > lg.lag),
+            v AS (SELECT gr.ta, gr.tb, gr.lag,
+                         COALESCE(da.c, 0) AS x, COALESCE(db.c, 0) AS y
+                  FROM gr
+                  LEFT JOIN d da ON da.event_type = gr.ta
+                                AND da.day = gr.day
+                  LEFT JOIN d db ON db.event_type = gr.tb
+                                AND db.day = gr.day + gr.lag),
+            m AS (SELECT ta, tb, lag, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(x * x) AS BIGINT) AS sxx,
+                         CAST(sum(y * y) AS BIGINT) AS syy,
+                         CAST(sum(x * y) AS BIGINT) AS sxy
+                  FROM v GROUP BY 1, 2, 3)
+            SELECT ta AS type_a, tb AS type_b,
+                   CAST(lag AS BIGINT) AS lag, n, sxy,
+                   CASE WHEN n * sxx - sx * sx = 0
+                          OR n * syy - sy * sy = 0 THEN NULL
+                        ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                    * CAST(n * syy - sy * sy AS DOUBLE))
+                   END AS xcorr
+            FROM m
+        """,
+        # G17 KMV distinct sketch: same bijective mix64 finalizer in SQL
+        # (split-constant mulmod), k-th minimum via row_number, pure
+        # integer estimator (k-1)*2^64 // h_k
+        "g17_kmv_distinct": f"""
+            WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+            x0 AS (SELECT event_type,
+                          CAST(xor(CAST(user_id AS UBIGINT),
+                                   CAST(user_id AS UBIGINT) >> 33)
+                               AS HUGEINT) AS x FROM u),
+            x1 AS (SELECT event_type,
+                          CAST(xor(CAST({_mulmod64('x', 0xFF51AFD7ED558CCD)}
+                                        AS UBIGINT),
+                                   CAST({_mulmod64('x', 0xFF51AFD7ED558CCD)}
+                                        AS UBIGINT) >> 33)
+                               AS HUGEINT) AS x FROM x0),
+            x2 AS (SELECT event_type,
+                          xor(CAST({_mulmod64('x', 0xC4CEB9FE1A85EC53)}
+                                   AS UBIGINT),
+                              CAST({_mulmod64('x', 0xC4CEB9FE1A85EC53)}
+                                   AS UBIGINT) >> 33) AS h FROM x1),
+            r AS (SELECT event_type, h,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY h) AS rk,
+                         count(*) OVER (PARTITION BY event_type) AS nd
+                  FROM x2)
+            SELECT event_type,
+                   CAST(least(max(nd), 64) AS BIGINT) AS k_used,
+                   CAST(CAST(max(h) FILTER (rk <= 64) AS HUGEINT)
+                        - CASE WHEN max(h) FILTER (rk <= 64)
+                               >= 9223372036854775808
+                               THEN CAST(18446744073709551616 AS HUGEINT)
+                               ELSE 0 END AS BIGINT) AS kth_min,
+                   CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS BIGINT)
+                        ELSE CAST((63 * CAST(18446744073709551616
+                                             AS HUGEINT))
+                                  // CAST(max(h) FILTER (rk <= 64)
+                                          AS HUGEINT) AS BIGINT)
+                   END AS est_distinct
+            FROM r GROUP BY event_type
         """,
         "g12_last_event": """
             SELECT user_id, epoch_us(ts) AS last_ts_us,
@@ -3882,6 +4174,22 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS shuffle_pos
             FROM h
             QUALIFY (row_number() OVER (ORDER BY h, doc_id) - 1) % 10 = 0
+        """,
+        # Q11 weighted systematic sample: running n_chars sum over doc_id
+        # order; pick where the weight span crosses a stride multiple
+        # (stride = total // k, k=25) — all-integer floor-div arithmetic
+        "q11_weighted_sample": """
+            WITH c AS (
+                SELECT doc_id, n_chars,
+                       CAST(sum(n_chars) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+                FROM documents),
+            t AS (SELECT greatest(CAST(sum(n_chars) AS BIGINT) // 25, 1)
+                      AS stride FROM documents)
+            SELECT doc_id, n_chars, cw - n_chars AS w_before,
+                   cw // stride - (cw - n_chars) // stride AS n_hits
+            FROM c, t
+            WHERE cw // stride > (cw - n_chars) // stride
         """,
         # P3 sequence packing: exclusive prefix sum over doc_id order
         "pack_sequences": """

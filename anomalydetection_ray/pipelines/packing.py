@@ -346,3 +346,75 @@ def c4_dedup_packing(sf_dir: str, seq_len: int = SEQ_LEN_DEFAULT,
     return filtered.groupby(_PART).map_groups(
         functools.partial(_scan_kernel, offsets=offsets, seq_len=seq_len),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- Q11 ----
+def q11_weighted_sample(sf_dir: str, k: int = 25,
+                        num_partitions: int = 16):
+    """Q11 — weighted (probability-proportional-to-size) systematic
+    sample (Madow 1949): walk the corpus in doc_id order accumulating
+    ``n_chars`` weight and pick every document whose weight span crosses
+    a multiple of ``stride = total_weight // k`` — long documents are
+    proportionally more likely to be picked, the classic PPS design for
+    size-biased corpus audits.  Deterministic (no RNG), exact integer
+    arithmetic end-to-end, and the sample size is fixed by construction
+    (``total // stride`` crossings).
+
+    Scale shape: P3's two-pass distributed scan — per-partition weight
+    totals collapse per block, O(P) rows reach the driver for the
+    exclusive offsets + grand total, then each id-range partition
+    selects its crossings locally (one vectorized floor-div compare per
+    partition, no global sort, no full-corpus driver state).  Oracle:
+    window running sum over doc_id order + the same floor-div crossing
+    predicate.
+
+    Returns (doc_id, n_chars, w_before, n_hits) for picked docs;
+    ``n_hits`` > 1 marks documents longer than a whole stride."""
+    import ray.data
+
+    path = f"{sf_dir}/documents.parquet"
+    lo, hi = _doc_id_span(path)
+
+    def weight_batch(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        part = (ids - lo) * num_partitions // (hi - lo + 1)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_chars": batch.column("n_chars"),
+            _PART: pa.array(part, type=pa.int64()),
+        })
+
+    weights = (ray.data.read_parquet(path, columns=["doc_id", "n_chars"])
+               .map_batches(weight_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)
+               .materialize())  # 24-byte/doc int relation, two passes
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        return batch.select([_PART, "n_chars"]).group_by(_PART).aggregate(
+            [("n_chars", "sum")])
+
+    totals = np.zeros(num_partitions, dtype=np.int64)
+    for row in (weights.map_batches(_partial, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+                .groupby(_PART).sum("n_chars_sum").take_all()):
+        totals[int(row[_PART])] = int(row["sum(n_chars_sum)"])
+    offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))
+    total = int(totals.sum())
+    stride = max(total // int(k), 1)
+
+    def pick(group: pa.Table) -> pa.Table:
+        part = int(group.column(_PART)[0].as_py())
+        g = group.drop_columns([_PART]).sort_by([("doc_id", "ascending")])
+        w = np.asarray(g.column("n_chars"), dtype=np.int64)
+        cw = int(offsets[part]) + np.cumsum(w)
+        before = cw - w
+        hits = cw // stride - before // stride
+        keep = hits > 0
+        return pa.table({
+            "doc_id": g.column("doc_id").filter(pa.array(keep)),
+            "n_chars": g.column("n_chars").filter(pa.array(keep)),
+            "w_before": pa.array(before[keep], type=pa.int64()),
+            "n_hits": pa.array(hits[keep], type=pa.int64()),
+        })
+
+    return weights.groupby(_PART).map_groups(pick, batch_format="pyarrow")

@@ -3585,3 +3585,259 @@ def g23_partition_skew(sf_dir: str, num_partitions: int = 32):
 
     return (partials.map_batches(tag, batch_format="pyarrow")
             .groupby("_g").map_groups(finish, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------- G17 ----
+def g17_kmv_distinct(sf_dir: str, k: int = 64):
+    """G17 — KMV (k-minimum-values) distinct sketch (Bar-Yossef et al.
+    SODA 2002; Beyer et al. SIGMOD 2007): per event_type, keep the ``k``
+    smallest DISTINCT 64-bit hashes of user_id; the k-th minimum
+    estimates distinct count as ``(k-1) * 2^64 // h_k`` — the mergeable
+    bounded-state alternative to G11's exact distinct (state is k words
+    per group vs the full user set) and the exact-arithmetic sibling of
+    G7's HLL.  The murmur finalizer (``_mix64``) is a BIJECTION on
+    uint64, so distinct users <-> distinct hashes exactly and the whole
+    estimator is integer arithmetic end-to-end (no float anywhere).
+
+    Scale shape: per-block k-min partials (<= types*k rows leave each
+    block), one bounded-cardinality exchange on event_type, final merge
+    sorts <= blocks*k hashes per type.  The union of per-block k-mins
+    always contains the global k-mins; if the union holds fewer than k
+    distinct hashes the global distinct count is exact.  Oracle: same
+    mix64 in SQL (split-constant mulmod), row_number k-th min."""
+    from anomalydetection_ray.pipelines.dedup import _mix64
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "user_id": batch.column("user_id")})
+        g = t.group_by(["event_type", "user_id"]).aggregate([])
+        h = _mix64(np.asarray(g.column("user_id"), dtype=np.int64)
+                   .astype(np.uint64))
+        et = np.asarray(g.column("event_type"))
+        out_t, out_h = [], []
+        for typ in np.unique(et):
+            hh = np.unique(h[et == typ])       # sorted ascending
+            hh = hh[:k]
+            out_t.extend([str(typ)] * hh.shape[0])
+            out_h.append(hh)
+        return pa.table({
+            "event_type": pa.array(out_t, type=pa.string()),
+            "h": pa.array(np.concatenate(out_h) if out_h else
+                          np.empty(0, dtype=np.uint64), type=pa.uint64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def merge(group: pa.Table) -> pa.Table:
+        hh = np.unique(np.asarray(group.column("h"), dtype=np.uint64))
+        kept = hh[:k]
+        k_used = int(kept.shape[0])
+        kth = int(kept[-1]) if k_used else 0
+        if k_used < k:                         # union < k -> exact
+            est = k_used
+        else:
+            est = (k - 1) * (1 << 64) // kth
+        # report the hash reinterpreted as SIGNED int64 (two's complement):
+        # uint64 degrades to float64 through pandas on either compare path
+        kth_signed = kth - (1 << 64) if kth >= (1 << 63) else kth
+        return pa.table({
+            "event_type": group.column("event_type").slice(0, 1),
+            "k_used": pa.array([k_used], type=pa.int64()),
+            "kth_min": pa.array([kth_signed], type=pa.int64()),
+            "est_distinct": pa.array([est], type=pa.int64()),
+        })
+
+    return partials.groupby("event_type").map_groups(
+        merge, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- S16 ----
+def s16_fk_audit(sf_dir: str):
+    """S16 — referential-integrity audit over the star schema's foreign
+    keys: for each FK edge (orders->customer, lineitem->orders/part/
+    supplier, customer->nation) count the child rows and distinct child
+    keys with NO matching parent (orphans) — the standard pre-join data-
+    quality gate (a broken FK silently drops rows from every downstream
+    inner join).
+
+    Scale shape: the child side collapses to DISTINCT (key, n_rows)
+    partials per block before any exchange; ``copartition_attach`` joins
+    those against the parent key co-partitioned (never a broadcast of a
+    large key set); the per-edge summary is a per-block partial sum +
+    single-row merge.  Oracle: LEFT JOIN ... IS NULL per edge, UNION ALL."""
+    import functools
+
+    from anomalydetection_ray.stages.join import copartition_attach
+
+    edges = [
+        ("orders.o_custkey->customer.c_custkey",
+         "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders.o_orderkey",
+         "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part.p_partkey",
+         "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier.s_suppkey",
+         "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("customer.c_nationkey->nation.n_nationkey",
+         "customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+
+    def key_counts(batch: pa.Table, fk: str) -> pa.Table:
+        g = batch.group_by([fk]).aggregate([([], "count_all")])
+        return pa.table({fk: g.column(fk),
+                         "n_rows": g.column("count_all").cast(pa.int64())})
+
+    def mark(batch: pa.Table, pk: str) -> pa.Table:
+        return pa.table({
+            pk: batch.column(pk),
+            "_present": pa.array(np.ones(batch.num_rows, dtype=np.int8)),
+        })
+
+    def summarize(batch: pa.Table, name: str) -> pa.Table:
+        import pyarrow.compute as pc
+
+        orphan = pc.is_null(batch.column("_present"))
+        n = np.asarray(batch.column("n_rows"), dtype=np.int64)
+        om = np.asarray(orphan, dtype=bool)
+        return pa.table({
+            "relation": pa.array([name], type=pa.string()),
+            "n_child_rows": pa.array([int(n.sum())], type=pa.int64()),
+            "n_child_keys": pa.array([batch.num_rows], type=pa.int64()),
+            "n_orphan_rows": pa.array([int(n[om].sum())], type=pa.int64()),
+            "n_orphan_keys": pa.array([int(om.sum())], type=pa.int64()),
+        })
+
+    def merge(group: pa.Table) -> pa.Table:
+        cols = {"relation": group.column("relation").slice(0, 1)}
+        for c in ("n_child_rows", "n_child_keys",
+                  "n_orphan_rows", "n_orphan_keys"):
+            cols[c] = pa.array(
+                [int(np.asarray(group.column(c), dtype=np.int64).sum())],
+                type=pa.int64())
+        return pa.table(cols)
+
+    out = None
+    for name, child, fk, parent, pk in edges:
+        # per-block distinct-key partials, then a co-partitioned exact
+        # merge of the partials (n_rows summed per key) before the attach
+        ck = (_read(sf_dir, child, [fk])
+              .map_batches(functools.partial(key_counts, fk=fk),
+                           batch_format="pyarrow", zero_copy_batch=True)
+              .groupby(fk).sum("n_rows"))
+        ck = ck.map_batches(
+            lambda b, fk=fk: pa.table({
+                fk: b.column(fk),
+                "n_rows": b.column("sum(n_rows)").cast(pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        par = (_read(sf_dir, parent, [pk])
+               .map_batches(functools.partial(mark, pk=pk),
+                            batch_format="pyarrow", zero_copy_batch=True))
+        attached = copartition_attach(ck, par, left_on=fk, right_on=pk,
+                                      payload_cols=["_present"])
+        summary = (attached.map_batches(
+                       functools.partial(summarize, name=name),
+                       batch_format="pyarrow", zero_copy_batch=True)
+                   .groupby("relation").map_groups(
+                       merge, batch_format="pyarrow"))
+        out = summary if out is None else out.union(summary)
+    return out
+
+
+# ---------------------------------------------------------------- A29 ----
+def a29_xcorr_volumes(sf_dir: str, lags: tuple = (0, 1, 2, 3, 7)):
+    """A29 — lagged cross-correlation between the daily event-volume
+    series of every event-type pair (does type A's activity lead type
+    B's by L days?) — the classical lead-lag co-movement screen next to
+    A9/A26's autocorrelation.  Series = events per (type, day) on the
+    complete day grid spanning both types (missing days = 0); for lag L
+    the pairs are (x_a[d], x_b[d+L]).  Counts and all six moment sums
+    are exact integers (W5 discipline: arbitrary-precision combination,
+    then exactly three pinned float ops), so the SQL oracle matches
+    bitwise.
+
+    Scale shape: per-block (type, day) count partials -> one exchange on
+    a (types x days)-bounded key -> the finalize holds only the daily
+    grid (bounded by the TIME SPAN, not the data size: ~types*365 ints
+    per year), never row-level data."""
+    import math
+
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()), dtype=np.int64)
+        day = us // 86_400_000_000
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(day, type=pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate([([], "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "c": g.column("count_all").cast(pa.int64())})
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["event_type", "day"]).sum("c"))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "day": batch.column("day"),
+            "c": batch.column("sum(c)").cast(pa.int64()),
+            "_g": pa.array(np.zeros(batch.num_rows, dtype=np.int64)),
+        })
+
+    def finalize(group: pa.Table) -> pa.Table:
+        et = np.asarray(group.column("event_type"))
+        day = np.asarray(group.column("day"), dtype=np.int64)
+        cnt = np.asarray(group.column("c"), dtype=np.int64)
+        types = sorted(set(et.tolist()))
+        out = {"type_a": [], "type_b": [], "lag": [], "n": [],
+               "sxy": [], "xcorr": []}
+        for i, ta in enumerate(types):
+            for tb in types[i + 1:]:
+                sel = (et == ta) | (et == tb)
+                lo, hi = int(day[sel].min()), int(day[sel].max())
+                xa = np.zeros(hi - lo + 1, dtype=np.int64)
+                xb = np.zeros(hi - lo + 1, dtype=np.int64)
+                ma = et == ta
+                mb = et == tb
+                xa[day[ma] - lo] = cnt[ma]
+                xb[day[mb] - lo] = cnt[mb]
+                for L in lags:
+                    L = int(L)
+                    if hi - lo + 1 <= L:
+                        continue
+                    x = xa[:len(xa) - L] if L else xa
+                    y = xb[L:]
+                    n = int(x.shape[0])
+                    sx, sy = int(x.sum()), int(y.sum())
+                    sxx = int((x * x).sum())
+                    syy = int((y * y).sum())
+                    sxy = int((x * y).sum())
+                    num = n * sxy - sx * sy
+                    d1 = n * sxx - sx * sx
+                    d2 = n * syy - sy * sy
+                    r = None if d1 == 0 or d2 == 0 \
+                        else float(num) / math.sqrt(float(d1) * float(d2))
+                    out["type_a"].append(ta)
+                    out["type_b"].append(tb)
+                    out["lag"].append(L)
+                    out["n"].append(n)
+                    out["sxy"].append(sxy)
+                    out["xcorr"].append(r)
+        return pa.table({
+            "type_a": pa.array(out["type_a"], type=pa.string()),
+            "type_b": pa.array(out["type_b"], type=pa.string()),
+            "lag": pa.array(out["lag"], type=pa.int64()),
+            "n": pa.array(out["n"], type=pa.int64()),
+            "sxy": pa.array(out["sxy"], type=pa.int64()),
+            "xcorr": pa.array(out["xcorr"], type=pa.float64()),
+        })
+
+    return (daily.map_batches(tag, batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .groupby("_g").map_groups(finalize, batch_format="pyarrow"))

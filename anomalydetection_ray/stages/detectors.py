@@ -685,3 +685,161 @@ def acf_table_batch(batch: pa.Table,
     same exact-bigint per-row combination."""
     return pa.concat_tables([autocorr_batch(batch, lag=int(L))
                              for L in lags])
+
+
+def perm_entropy_batch(batch: pa.Table) -> pa.Table:
+    """A27 — per-series permutation entropy of order 3 (Bandt & Pompe,
+    Phys. Rev. Lett. 88:174102, 2002): Shannon entropy of the ordinal
+    patterns of consecutive value triples — the standard
+    complexity/regularity screen (white noise -> ~1.0 normalized, a
+    monotone ramp -> 0.0).  Ties are broken by position (stable argsort:
+    the earlier element sorts first on equality), which reduces each
+    triple to three boolean comparisons:
+
+        b01 = v[i]   <= v[i+1]
+        b02 = v[i]   <= v[i+2]
+        b12 = v[i+1] <= v[i+2]
+
+    (b01,b02,b12) -> pattern: 111=012, 110=021, 011=102, 001=120,
+    101=201, 000=210 (the remaining two combinations are transitivity-
+    impossible).  Pattern counts are exact integers computed fully
+    vectorized; the entropy tail is a PINNED six-term fold in fixed
+    pattern order — the same libm expression sequence the SQL oracle
+    evaluates, so the float values compare bitwise."""
+    import math
+
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.int64)
+    lens = np.diff(offsets)
+    nrows = lens.shape[0]
+    row_of = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+    pos = np.arange(v.shape[0], dtype=np.int64) - np.repeat(offsets[:-1],
+                                                            lens)
+    counts = np.zeros((nrows, 8), dtype=np.int64)
+    if v.shape[0] > 2:
+        # triple starts: flat positions i with pos[i] <= len-3 (same row)
+        start = pos[:-2] <= np.repeat(lens, lens)[:-2] - 3
+        b01 = (v[:-2] <= v[1:-1])[start]
+        b02 = (v[:-2] <= v[2:])[start]
+        b12 = (v[1:-1] <= v[2:])[start]
+        code = 4 * b01.astype(np.int64) + 2 * b02 + b12
+        np.add.at(counts, (row_of[:-2][start], code), 1)
+    # map the 6 possible codes to canonical pattern order
+    # (012, 021, 102, 120, 201, 210) = codes (7, 6, 3, 1, 4, 0)
+    order = [7, 6, 3, 1, 4, 0]
+    c = counts[:, order]
+    assert int(counts[:, [2, 5]].sum()) == 0  # transitivity-impossible
+    m = c.sum(axis=1)
+    ent = np.zeros(nrows, dtype=np.float64)
+    norm = np.full(nrows, np.nan, dtype=np.float64)
+    ln6 = math.log(6.0)
+    for r in range(nrows):              # <= batch rows; 6-term fold each
+        tot = int(m[r])
+        if tot == 0:
+            continue
+        acc = 0.0
+        for j in range(6):              # FIXED pattern order — pinned
+            cj = int(c[r, j])
+            if cj:
+                p = float(cj) / float(tot)
+                acc = acc + p * math.log(p)
+        ent[r] = -acc
+        norm[r] = -acc / ln6
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "n": pa.array(lens, type=pa.int64()),
+        "m_triples": pa.array(m, type=pa.int64()),
+        "c_012": pa.array(c[:, 0], type=pa.int64()),
+        "c_021": pa.array(c[:, 1], type=pa.int64()),
+        "c_102": pa.array(c[:, 2], type=pa.int64()),
+        "c_120": pa.array(c[:, 3], type=pa.int64()),
+        "c_201": pa.array(c[:, 4], type=pa.int64()),
+        "c_210": pa.array(c[:, 5], type=pa.int64()),
+        "perm_entropy": pa.array(ent, type=pa.float64()),
+        # from_pandas=True: NaN (series shorter than 3) -> SQL NULL
+        "norm_perm_entropy": pa.array(norm, type=pa.float64(),
+                                      from_pandas=True),
+    })
+
+
+def sax_batch(batch: pa.Table, n_frames: int = 8) -> pa.Table:
+    """A28 — SAX symbolization (Lin, Keogh et al., DMKD 2007): each
+    series is reduced to ``n_frames`` PAA frames and each frame mean is
+    quantized against the standardized series with the alphabet-4
+    Gaussian breakpoints (-0.6745, 0, 0.6745 — the N(0,1) quartiles),
+    yielding an 8-char string like 'bcadbcdd' — the classic symbolic
+    index for motif/novelty search over massive time-series tiers.
+
+    Frame f covers positions [ceil(f*n/F), ceil((f+1)*n/F)), so
+    frame-of(i) = F*i // n — the same closed form the SQL oracle uses.
+    Exactness: frame/series sums are exact ints; the standardized
+    comparison ``z_f < b`` is evaluated as
+
+        float(Fs*n - S*Fl)  <  b * (float(Fl) * sqrt(float(n*Q - S*S)))
+
+    — all-int left side (arbitrary-precision Python), exactly one sqrt /
+    two multiplies on the right, the same pinned expression DuckDB
+    evaluates, so the symbols (integer comparisons of identical doubles)
+    match bitwise.  A zero-variance series maps every frame to 'd'
+    (documented edge: every strict '<' against 0 fails)."""
+    import math
+
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.int64)
+    lens = np.diff(offsets)
+    nrows = lens.shape[0]
+    cs = np.concatenate(([0], np.cumsum(v, dtype=np.int64)))
+    cq = np.concatenate(([0], np.cumsum(v * v, dtype=np.int64)))
+    S = cs[offsets[1:]] - cs[offsets[:-1]]
+    Q = cq[offsets[1:]] - cq[offsets[:-1]]
+    # frame sums/lengths: ceil boundaries, vectorized per frame index
+    Fs = np.zeros((nrows, n_frames), dtype=np.int64)
+    Fl = np.zeros((nrows, n_frames), dtype=np.int64)
+    for f in range(n_frames):
+        a = offsets[:-1] + (f * lens + n_frames - 1) // n_frames
+        b = offsets[:-1] + ((f + 1) * lens + n_frames - 1) // n_frames
+        Fs[:, f] = cs[b] - cs[a]
+        Fl[:, f] = b - a
+    bps = (-0.6745, 0.0, 0.6745)
+    sax = []
+    for r in range(nrows):            # 8 frames/row; Python-int exactness
+        n = int(lens[r])
+        if n == 0:
+            sax.append(None)
+            continue
+        s_, q_ = int(S[r]), int(Q[r])
+        nqs2 = n * q_ - s_ * s_
+        chars = []
+        for f in range(n_frames):
+            fl = int(Fl[r, f])
+            if fl == 0:               # series shorter than n_frames
+                chars.append("_")
+                continue
+            a_int = int(Fs[r, f]) * n - s_ * fl
+            fa = float(a_int)
+            rhs = float(fl) * math.sqrt(float(nqs2))
+            if fa < bps[0] * rhs:
+                chars.append("a")
+            elif fa < bps[1] * rhs:
+                chars.append("b")
+            elif fa < bps[2] * rhs:
+                chars.append("c")
+            else:
+                chars.append("d")
+        sax.append("".join(chars))
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "n": pa.array(lens, type=pa.int64()),
+        "s_sum": pa.array(S, type=pa.int64()),
+        "sax": pa.array(sax, type=pa.string()),
+    })

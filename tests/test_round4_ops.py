@@ -1,0 +1,223 @@
+"""Round-4 operator tests: each new op re-derived by an independent
+brute-force reference over /root/testdata/sf0.001 (no DuckDB here — the
+SQL oracles are exercised by tools/driver_check.py; these tests pin the
+engine against straight numpy/Python recomputation)."""
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- A27 ----
+def test_perm_entropy_matches_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["a27_perm_entropy"](SF).to_pandas()
+           .set_index(["doc_id", "part_id"]).sort_index())
+
+    from anomalydetection_ray.sources.tokenize import tokenize_batch
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    tok = tokenize_batch(docs)
+    perms = {(0, 1, 2): 0, (0, 2, 1): 1, (1, 0, 2): 2,
+             (1, 2, 0): 3, (2, 0, 1): 4, (2, 1, 0): 5}
+    checked = 0
+    for row in tok.to_pylist()[:40]:
+        v = row["tokens"]
+        c = np.zeros(6, dtype=np.int64)
+        for i in range(len(v) - 2):
+            tri = v[i:i + 3]
+            # stable argsort = position tie-break
+            pat = tuple(int(x) for x in
+                        np.argsort(np.asarray(tri), kind="stable"))
+            c[perms[pat]] += 1
+        g = got.loc[(row["doc_id"], 0)]
+        assert [g["c_012"], g["c_021"], g["c_102"],
+                g["c_120"], g["c_201"], g["c_210"]] == c.tolist()
+        m = int(c.sum())
+        assert g["m_triples"] == m and g["n"] == len(v)
+        acc = 0.0
+        for cj in c:
+            if cj:
+                p = float(int(cj)) / float(m)
+                acc += p * math.log(p)
+        assert g["perm_entropy"] == -acc
+        assert g["norm_perm_entropy"] == -acc / math.log(6.0)
+        # pseudo-random token series: high complexity
+        assert g["norm_perm_entropy"] > 0.9
+        checked += 1
+    assert checked == 40
+
+
+# ---------------------------------------------------------------- Q11 ----
+def test_weighted_sample_matches_cumsum(ray_session):
+    from anomalydetection_ray.pipelines.packing import q11_weighted_sample
+
+    got = (q11_weighted_sample(SF, k=25).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "n_chars"]).to_pandas()
+    t = t.sort_values("doc_id").reset_index(drop=True)
+    w = t["n_chars"].to_numpy(dtype=np.int64)
+    cw = np.cumsum(w)
+    total = int(cw[-1])
+    stride = max(total // 25, 1)
+    before = cw - w
+    hits = cw // stride - before // stride
+    keep = hits > 0
+    ref = t[keep].reset_index(drop=True)
+    assert got["doc_id"].tolist() == ref["doc_id"].tolist()
+    assert got["n_chars"].tolist() == ref["n_chars"].tolist()
+    assert got["w_before"].tolist() == before[keep].tolist()
+    assert got["n_hits"].tolist() == hits[keep].tolist()
+    # every stride multiple in (0, total] is hit exactly once
+    assert int(got["n_hits"].sum()) == total // stride
+
+
+# ---------------------------------------------------------------- G17 ----
+def test_kmv_distinct_matches_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.dedup import _mix64
+    from anomalydetection_ray.pipelines.queries import g17_kmv_distinct
+
+    got = (g17_kmv_distinct(SF, k=64).to_pandas()
+           .set_index("event_type").sort_index())
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "user_id"]).to_pandas()
+    for typ, grp in ev.groupby("event_type"):
+        users = np.unique(grp["user_id"].to_numpy(dtype=np.int64))
+        h = np.sort(_mix64(users.astype(np.uint64)))
+        nd = h.shape[0]
+        row = got.loc[typ]
+        k_used = min(nd, 64)
+        assert row["k_used"] == k_used
+        kth = int(h[k_used - 1])
+        kth_signed = kth - (1 << 64) if kth >= (1 << 63) else kth
+        assert int(row["kth_min"]) == kth_signed
+        if nd < 64:
+            assert row["est_distinct"] == nd
+        else:
+            est = 63 * (1 << 64) // int(h[63])
+            assert row["est_distinct"] == est
+            # KMV with k=64: ~12.5% relative error bound (3/sqrt(k))
+            assert abs(est - nd) / nd < 0.4
+
+
+# ---------------------------------------------------------------- S16 ----
+def test_fk_audit_matches_pandas(ray_session):
+    from anomalydetection_ray.pipelines.queries import s16_fk_audit
+
+    got = (s16_fk_audit(SF).to_pandas()
+           .set_index("relation").sort_index())
+    assert len(got) == 5
+    edges = [
+        ("orders.o_custkey->customer.c_custkey",
+         "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders.o_orderkey",
+         "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part.p_partkey",
+         "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier.s_suppkey",
+         "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("customer.c_nationkey->nation.n_nationkey",
+         "customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    for name, child, fk, parent, pk in edges:
+        c = pq.read_table(f"{SF}/{child}.parquet", columns=[fk]).to_pandas()
+        p = pq.read_table(f"{SF}/{parent}.parquet", columns=[pk]).to_pandas()
+        pset = set(p[pk].tolist())
+        orphan_rows = (~c[fk].isin(pset)).sum()
+        keys = c[fk].value_counts()
+        orphan_keys = sum(1 for k in keys.index if k not in pset)
+        row = got.loc[name]
+        assert row["n_child_rows"] == len(c)
+        assert row["n_child_keys"] == len(keys)
+        assert row["n_orphan_rows"] == int(orphan_rows)
+        assert row["n_orphan_keys"] == int(orphan_keys)
+
+
+# ---------------------------------------------------------------- A29 ----
+def test_xcorr_volumes_matches_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.queries import a29_xcorr_volumes
+
+    got = (a29_xcorr_volumes(SF).to_pandas()
+           .set_index(["type_a", "type_b", "lag"]).sort_index())
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    day = (ev["ts"].astype("int64") // 86_400_000_000).to_numpy()
+    et = ev["event_type"].to_numpy()
+    types = sorted(set(et.tolist()))
+    n_rows = 0
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            sel = (et == ta) | (et == tb)
+            lo, hi = int(day[sel].min()), int(day[sel].max())
+            xa = np.zeros(hi - lo + 1, dtype=np.int64)
+            xb = np.zeros(hi - lo + 1, dtype=np.int64)
+            for d_, t_ in zip(day[sel], et[sel]):
+                (xa if t_ == ta else xb)[d_ - lo] += 1
+            for L in (0, 1, 2, 3, 7):
+                if hi - lo + 1 <= L:
+                    continue
+                x = xa[:len(xa) - L] if L else xa
+                y = xb[L:]
+                n = len(x)
+                sx, sy = int(x.sum()), int(y.sum())
+                num = n * int((x * y).sum()) - sx * sy
+                d1 = n * int((x * x).sum()) - sx * sx
+                d2 = n * int((y * y).sum()) - sy * sy
+                row = got.loc[(ta, tb, L)]
+                assert row["n"] == n
+                assert row["sxy"] == int((x * y).sum())
+                if d1 and d2:
+                    assert row["xcorr"] == \
+                        float(num) / math.sqrt(float(d1) * float(d2))
+                n_rows += 1
+    assert len(got) == n_rows
+
+
+# ---------------------------------------------------------------- A28 ----
+def test_sax_matches_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["a28_sax"](SF).to_pandas()
+           .set_index(["doc_id", "part_id"]).sort_index())
+
+    from anomalydetection_ray.sources.tokenize import tokenize_batch
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    tok = tokenize_batch(docs)
+    for row in tok.to_pylist()[:40]:
+        v = [int(x) for x in row["tokens"]]
+        n = len(v)
+        s_, q_ = sum(v), sum(x * x for x in v)
+        nqs2 = n * q_ - s_ * s_
+        chars = []
+        for f in range(8):
+            a = (f * n + 7) // 8
+            b = ((f + 1) * n + 7) // 8
+            fl = b - a
+            if fl == 0:
+                chars.append("_")
+                continue
+            fs = sum(v[a:b])
+            A = fs * n - s_ * fl
+            rhs = float(fl) * math.sqrt(float(nqs2))
+            if float(A) < -0.6745 * rhs:
+                chars.append("a")
+            elif float(A) < 0.0:
+                chars.append("b")
+            elif float(A) < 0.6745 * rhs:
+                chars.append("c")
+            else:
+                chars.append("d")
+        g = got.loc[(row["doc_id"], 0)]
+        assert g["sax"] == "".join(chars)
+        assert g["n"] == n and g["s_sum"] == s_
+        # frame-of(i) = 8*i//n partitions exactly: frames cover all n
+        assert sum(((f + 1) * n + 7) // 8 - (f * n + 7) // 8
+                   for f in range(8)) == n
