@@ -339,6 +339,26 @@ def main() -> None:
         # that can honestly evidence the north rule's N->4N criterion;
         # (8,32) is reported too, with the hardware caveat.
         cpu_levels = [int(c) for c in os.environ.get("GRAFT_SCALING_CPUS", "2,8,32").split(",")]
+        # window-quality gate (round-4 protocol): a co-tenant-throttled
+        # window physically caps raw N->4N efficiency below the 0.8 bar
+        # (e.g. probe 2.18x at 8 procs => ceiling 0.55), so measuring in
+        # one measures the neighbor, not the engine.  When
+        # GRAFT_SCALING_MIN_HOST8X is set, probe FIRST and reject the
+        # window (exit 3, one JSON line) instead of burning ~30 min.
+        min_host = float(os.environ.get("GRAFT_SCALING_MIN_HOST8X", "0"))
+        if min_host > 0:
+            hi_level = max(c for c in cpu_levels if c <= 8)
+            cap0 = host_capacity_probe(levels=(1, hi_level))
+            speedup = cap0[hi_level] / cap0[1]
+            if speedup < min_host:
+                print(json.dumps({
+                    "metric": "scaling window rejected by capacity probe",
+                    "value": speedup, "unit": f"x at {hi_level} procs",
+                    "threshold": min_host, "sf": sf_of(sf_dir),
+                    "num_cpus": cpu_levels,
+                    "queries": {},
+                }))
+                sys.exit(3)
         # host co-tenancy throttling drifts over minutes; running all reps
         # of one CPU level back-to-back lets one level eat a bad window and
         # produce physically impossible ratios.  Interleave single-rep runs
