@@ -217,6 +217,14 @@ def _a27_perm_entropy(sf_dir: str):
         perm_entropy_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _a31_runs_test(sf_dir: str):
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import runs_test_batch
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        runs_test_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _a28_sax(sf_dir: str):
     from anomalydetection_ray.pipelines.rollup import validated
     from anomalydetection_ray.stages.detectors import sax_batch
@@ -244,6 +252,15 @@ def _a9_autocorr(sf_dir: str, lag: int = 24):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def _x6_triangle_census(sf_dir: str):
+    from anomalydetection_ray.pipelines.dedup import minhash_lsh_pairs
+    from anomalydetection_ray.stages.cc import triangle_census
+
+    pairs = minhash_lsh_pairs(sf_dir, min_est=0.2).select_columns(
+        ["doc_a", "doc_b"])
+    return triangle_census(pairs, "doc_a", "doc_b", num_partitions=8)
 
 
 def _pagerank_dup_graph(sf_dir: str):
@@ -422,6 +439,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A28 SAX symbolization (Lin & Keogh 2007): PAA frames + Gaussian
         # breakpoints, exact-int frame sums, pinned breakpoint compares
         "a28_sax": _a28_sax,
+        # A31 Wald-Wolfowitz runs test vs the series median: level-shift /
+        # clustering randomness screen; exact int runs, pinned z
+        "a31_runs_test": _a31_runs_test,
         # A26 ACF table (correlogram over a ladder of lags)
         "a26_acf_table": _a26_acf_table,
         # A7 CUSUM change-point detector (Page 1954, zero-slack two-sided
@@ -550,6 +570,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A29 lagged cross-correlation of per-type daily event volumes
         # (lead-lag co-movement screen; exact-int moments, pinned floats)
         "a29_xcorr_volumes": q.a29_xcorr_volumes,
+        # W26 per-user inter-event gap stats + burstiness (Goh & Barabasi
+        # 2008): bot/human stream-regularity screen
+        "w26_burstiness": wnd.w26_burstiness,
+        # X6 exact triangle census + transitivity of the dup-pair graph
+        # (node-iterator at the minimum vertex; Newman 2003)
+        "x6_triangle_census": _x6_triangle_census,
         # W25 per-key volatility (median/MAD of absolute deltas)
         "w25_volatility": wnd.w25_volatility,
         # C4 composed curation: exact dedup -> sequence packing
@@ -1762,6 +1788,63 @@ def oracle_sql() -> dict[str, str]:
                    END AS norm_perm_entropy
             FROM e
         """,
+        # A31 runs test: median() parity dichotomization (equals dropped),
+        # exact int run counts via lag, pinned mu/var/z; z defined iff
+        # 2*n1*n2 > n1+n2 (var > 0)
+        "a31_runs_test": f"""
+            WITH {_SEQ_TOK_CTE},
+            s AS MATERIALIZED (
+                SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                       pos % 1000000 AS i, CAST(v AS BIGINT) AS v FROM tok),
+            md AS MATERIALIZED (
+                SELECT doc_id, part_id, CAST(count(*) AS BIGINT) AS n,
+                       median(v) AS med
+                FROM s GROUP BY doc_id, part_id),
+            k AS (SELECT s.doc_id, s.part_id, s.i,
+                         CASE WHEN CAST(s.v AS DOUBLE) > md.med
+                              THEN 1 ELSE -1 END AS sg
+                  FROM s JOIN md USING (doc_id, part_id)
+                  WHERE CAST(s.v AS DOUBLE) <> md.med),
+            r AS (SELECT doc_id, part_id, sg,
+                         lag(sg) OVER (PARTITION BY doc_id, part_id
+                                       ORDER BY i) AS psg
+                  FROM k),
+            agg AS (SELECT doc_id, part_id,
+                           CAST(count(*) FILTER (sg = 1) AS BIGINT)
+                               AS n_above,
+                           CAST(count(*) FILTER (sg = -1) AS BIGINT)
+                               AS n_below,
+                           CAST(1 + count(*) FILTER (psg IS NOT NULL
+                                AND sg <> psg) AS BIGINT) AS n_runs
+                    FROM r GROUP BY doc_id, part_id)
+            SELECT md.doc_id, md.part_id, md.n,
+                   COALESCE(agg.n_above, 0) AS n_above,
+                   COALESCE(agg.n_below, 0) AS n_below,
+                   COALESCE(agg.n_runs, 0) AS n_runs,
+                   CASE WHEN 2 * agg.n_above * agg.n_below
+                             > agg.n_above + agg.n_below
+                        THEN 1.0 + CAST(2 * agg.n_above * agg.n_below
+                                        AS DOUBLE)
+                             / CAST(agg.n_above + agg.n_below AS DOUBLE)
+                   END AS mu_runs,
+                   CASE WHEN 2 * agg.n_above * agg.n_below
+                             > agg.n_above + agg.n_below
+                        THEN (CAST(agg.n_runs AS DOUBLE)
+                              - (1.0 + CAST(2 * agg.n_above * agg.n_below
+                                            AS DOUBLE)
+                                 / CAST(agg.n_above + agg.n_below
+                                        AS DOUBLE)))
+                             / sqrt(CAST(2 * agg.n_above * agg.n_below
+                                    * (2 * agg.n_above * agg.n_below
+                                       - agg.n_above - agg.n_below)
+                                    AS DOUBLE)
+                                / CAST((agg.n_above + agg.n_below)
+                                       * (agg.n_above + agg.n_below)
+                                       * (agg.n_above + agg.n_below - 1)
+                                       AS DOUBLE))
+                   END AS z_runs
+            FROM md LEFT JOIN agg USING (doc_id, part_id)
+        """,
         # A28 SAX: frame-of(i) = 8*i // n (ceil frame boundaries), exact
         # int frame/series sums, the pinned comparison
         #   CAST(Fs*n - S*Fl AS DOUBLE) < b * (CAST(Fl AS DOUBLE)
@@ -2746,6 +2829,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         # S16 FK orphan audit: LEFT JOIN per star-schema edge, UNION ALL
         "s16_fk_audit": _fk_audit_sql(),
+        # W26 burstiness: lag() gaps in floor-div seconds, median()
+        # parity, pinned (sn - S)/(sn + S) with sn = sqrt(n*Q - S^2)
+        "w26_burstiness": """
+            WITH g AS (
+                SELECT user_id,
+                       (epoch_us(ts) - lag(epoch_us(ts)) OVER w)
+                           // 1000000 AS gap_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            k AS (SELECT user_id, CAST(gap_s AS BIGINT) AS gap_s
+                  FROM g WHERE gap_s IS NOT NULL),
+            agg AS (SELECT user_id,
+                           CAST(count(*) AS BIGINT) AS n_gaps,
+                           CAST(sum(gap_s) AS BIGINT) AS gap_sum_s,
+                           CAST(sum(gap_s * gap_s) AS BIGINT) AS q,
+                           median(gap_s) AS med_gap_s
+                    FROM k GROUP BY user_id)
+            SELECT user_id, n_gaps, gap_sum_s, med_gap_s,
+                   CASE WHEN sqrt(CAST(n_gaps * q
+                                       - gap_sum_s * gap_sum_s AS DOUBLE))
+                             + CAST(gap_sum_s AS DOUBLE) > 0.0
+                        THEN (sqrt(CAST(n_gaps * q
+                                   - gap_sum_s * gap_sum_s AS DOUBLE))
+                              - CAST(gap_sum_s AS DOUBLE))
+                             / (sqrt(CAST(n_gaps * q
+                                     - gap_sum_s * gap_sum_s AS DOUBLE))
+                                + CAST(gap_sum_s AS DOUBLE))
+                   END AS burstiness
+            FROM agg
+        """,
         # A29 lead-lag xcorr: complete day grid per type pair (missing
         # days = 0), exact-int moment sums, the same three pinned float
         # ops as G10
@@ -2918,6 +3031,31 @@ def oracle_sql() -> dict[str, str]:
             FROM k GROUP BY source
         """,
         # X5 PageRank: 3 unrolled integer iterations (floor-div shares)
+        # X6 triangle census: ordered-edge three-way self-join counts each
+        # triangle a<b<c once; wedges = sum C(deg, 2) over full degrees;
+        # transitivity = 3.0 * T / W (pinned)
+        "x6_triangle_census": f"""
+            WITH {_minhash_cte(0.2)},
+            e AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM mh_pairs),
+            b AS MATERIALIZED (
+                SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e),
+            deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d
+                    FROM b GROUP BY x),
+            w AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS nw
+                  FROM deg),
+            tri AS (SELECT CAST(count(*) AS BIGINT) AS t
+                    FROM e e1
+                    JOIN e e2 ON e2.u = e1.v
+                    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+                   (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+                   (SELECT nw FROM w) AS n_wedges,
+                   (SELECT t FROM tri) AS n_triangles,
+                   CASE WHEN (SELECT nw FROM w) > 0
+                        THEN 3.0 * CAST((SELECT t FROM tri) AS DOUBLE)
+                             / CAST((SELECT nw FROM w) AS DOUBLE)
+                   END AS transitivity
+        """,
         "pagerank_dup_graph": f"""
             WITH {_minhash_cte(0.2)},
             e AS (SELECT doc_a AS s, doc_b AS d FROM mh_pairs

@@ -1956,3 +1956,85 @@ def w25_volatility(sf_dir: str, num_partitions: int = 16):
         batch_format="pyarrow", zero_copy_batch=True)
     return tagged.groupby(PKEY).map_groups(_volatility_kernel,
                                            batch_format="pyarrow")
+
+
+def _burstiness_kernel(group: pa.Table) -> pa.Table:
+    """Per-partition inter-event gap stats: per user the gap count, exact
+    gap-seconds sum, exact-halves median gap, and the burstiness index
+    B = (sigma - mu)/(sigma + mu) (Goh & Barabasi 2008) evaluated as the
+    pinned expression (sn - S)/(sn + S) with sn = sqrt(n*Q - S^2) — the
+    n-scaled identity keeps everything exact-int until one sqrt and one
+    division.  B -> -1 for perfectly regular streams, 0 for Poisson,
+    -> +1 for extreme burstiness."""
+    import math
+
+    from anomalydetection_ray.functions.stats import segment_medians
+
+    group = group.drop_columns([PKEY]).sort_by(
+        [("user_id", "ascending"), ("ts", "ascending"),
+         ("event_id", "ascending")])
+    n = group.num_rows
+    empty = pa.table({
+        "user_id": pa.array([], type=pa.int64()),
+        "n_gaps": pa.array([], type=pa.int64()),
+        "gap_sum_s": pa.array([], type=pa.int64()),
+        "med_gap_s": pa.array([], type=pa.float64()),
+        "burstiness": pa.array([], type=pa.float64()),
+    })
+    if n == 0:
+        return empty
+    uid = np.asarray(group.column("user_id"), dtype=np.int64)
+    us = np.asarray(group.column("ts").cast(pa.int64()), dtype=np.int64)
+    starts = run_starts(group, ["user_id"])
+    first = np.zeros(n, dtype=bool)
+    first[starts] = True
+    gaps = ((us[1:] - us[:-1]) // 1_000_000)[~first[1:]]
+    seg_uid = uid[1:][~first[1:]]
+    if len(gaps) == 0:
+        return empty
+    dstarts = np.flatnonzero(np.concatenate(
+        ([True], seg_uid[1:] != seg_uid[:-1])))
+    dlens = np.diff(np.append(dstarts, len(gaps)))
+    seg_of = np.repeat(np.arange(len(dstarts), dtype=np.int64), dlens)
+    med = segment_medians(gaps.astype(np.float64), seg_of, len(dstarts),
+                          dstarts, dlens)
+    s_sum = np.add.reduceat(gaps, dstarts)
+    burst = np.full(len(dstarts), np.nan)
+    for j in range(len(dstarts)):     # pinned scalar float tail per user
+        ng = int(dlens[j])
+        S = int(s_sum[j])
+        sl = gaps[dstarts[j]:dstarts[j] + ng]
+        # sum(gap^2) <= max_gap * sum(gap) <= span^2 — int64-safe; the
+        # n*Q - S^2 radicand is taken in Python ints (can exceed int64)
+        Q = int((sl * sl).sum())
+        sn = math.sqrt(float(ng * Q - S * S))
+        if sn + float(S) > 0.0:
+            burst[j] = (sn - float(S)) / (sn + float(S))
+    return pa.table({
+        "user_id": pa.array(seg_uid[dstarts], type=pa.int64()),
+        "n_gaps": pa.array(dlens, type=pa.int64()),
+        "gap_sum_s": pa.array(s_sum, type=pa.int64()),
+        "med_gap_s": pa.array(med, type=pa.float64()),
+        "burstiness": pa.array(burst, type=pa.float64(),
+                               from_pandas=True),
+    })
+
+
+def w26_burstiness(sf_dir: str, num_partitions: int = 16):
+    """W26 — per-user inter-event time statistics + burstiness index:
+    gap count, total gap seconds, median gap and B = (sigma - mu)/
+    (sigma + mu) over the gap distribution — the stream-regularity
+    screen (bots are regular, humans are bursty; Goh & Barabasi 2008)
+    next to W25's value-change volatility.
+
+    Scale shape: the standard ONE ``_pkey`` exchange; kernel = one
+    shifted subtraction, one lexsort-median pass, exact-int moments,
+    pinned sqrt/division tail.  Oracle: lag() gaps + median() +
+    the same (sn - S)/(sn + S) expression."""
+    ev = _read_events(sf_dir, ["event_id", "ts", "user_id"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby(PKEY).map_groups(_burstiness_kernel,
+                                           batch_format="pyarrow")

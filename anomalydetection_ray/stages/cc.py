@@ -243,3 +243,118 @@ def integer_pagerank(pairs_ds, a_col: str, b_col: str, iters: int = 3,
                             "deg": b.column("deg"),
                             "rank_q": b.column("r")}),
         batch_format="pyarrow")
+
+
+def triangle_census(pairs_ds, a_col: str, b_col: str,
+                    num_partitions: int = 8) -> pa.Table:
+    """X6 — exact triangle census of an undirected pair graph: node /
+    edge / wedge / triangle counts and the global transitivity 3T/W
+    (Newman 2003) — the cluster-shape audit over the near-dup pair graph
+    (a clique-y graph means whole template families, a sparse one means
+    chance collisions).
+
+    Distributed shape (node-iterator algorithm, ordered variant): every
+    edge is stored once as (u < v); wedges are generated PER LOWER NODE
+    from its co-located higher adjacency (one `_pkey` exchange on u,
+    vectorized triangular pair enumeration — no per-node Python), then
+    the wedge relation semi-joins the edge relation co-partitioned on a
+    packed (b << 32 | c) key, so each triangle a < b < c is found exactly
+    once at its minimum vertex.  Counts collapse per block before any
+    driver contact; the driver only ever holds O(P) partial sums.
+
+    Partitioning assumption (documented per the custom-operator rule):
+    node ids fit in int32 (the packed wedge key is b*2^32 + c) and
+    per-node adjacency fits a task (degree-squared wedge fan-out — salt
+    or tile hot nodes before raising num_partitions if a node's degree
+    reaches ~1e4).  Returns a ONE-ROW pyarrow table."""
+    import functools
+
+    from anomalydetection_ray.stages.join import copartition_attach
+    from anomalydetection_ray.stages.runs import (PKEY, add_partition_key,
+                                                  run_starts)
+
+    edges = pairs_ds.map_batches(
+        lambda b: pa.table({"u": b.column(a_col).cast(pa.int64()),
+                            "v": b.column(b_col).cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    # degrees over BOTH endpoints -> wedge count sum C(d, 2)
+    both = edges.map_batches(
+        lambda b: pa.table({
+            "x": pa.chunked_array([b.column("u"),
+                                   b.column("v")]).combine_chunks(),
+            "n": pa.array(np.ones(2 * b.num_rows, np.int64))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    deg = _sum_per_key(both, "x", "n", num_partitions).materialize()
+    n_nodes = deg.count()
+    n_edges = edges.count()
+
+    def wedge_partial(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch.column("n"), dtype=np.int64)
+        return pa.table({"w": pa.array([int((d * (d - 1) // 2).sum())],
+                                       type=pa.int64())})
+
+    n_wedges = sum(r["w"] for r in deg.map_batches(
+        wedge_partial, batch_format="pyarrow",
+        zero_copy_batch=True).take_all())
+
+    # wedge generation per lower node (adjacency = higher neighbors)
+    tagged = edges.map_batches(
+        functools.partial(add_partition_key, keys=["u"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def gen_wedges(group: pa.Table) -> pa.Table:
+        g = group.drop_columns([PKEY]).sort_by(
+            [("u", "ascending"), ("v", "ascending")])
+        adj = np.asarray(g.column("v"), dtype=np.int64)
+        starts = run_starts(g, ["u"])
+        lens = np.diff(np.append(starts, g.num_rows))
+        # vectorized triangular enumeration: element j of a run of size d
+        # is the LEFT end of (d - 1 - j) wedges
+        within = np.arange(g.num_rows, dtype=np.int64) - np.repeat(
+            starts, lens)
+        left_counts = np.repeat(lens, lens) - 1 - within
+        M = int(left_counts.sum())
+        if M == 0:
+            return pa.table({"wk": pa.array([], type=pa.int64())})
+        p = np.repeat(np.arange(g.num_rows, dtype=np.int64), left_counts)
+        before = np.concatenate(([0], np.cumsum(left_counts)[:-1]))
+        q = p + 1 + (np.arange(M, dtype=np.int64)
+                     - np.repeat(before, left_counts))
+        return pa.table({"wk": pa.array((adj[p] << 32) | adj[q],
+                                        type=pa.int64())})
+
+    wedges = tagged.groupby(PKEY).map_groups(gen_wedges,
+                                             batch_format="pyarrow")
+    ekeys = edges.map_batches(
+        lambda b: pa.table({
+            "ek": pa.array((np.asarray(b.column("u"), np.int64) << 32)
+                           | np.asarray(b.column("v"), np.int64),
+                           type=pa.int64()),
+            "_m": pa.array(np.ones(b.num_rows, np.int8))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    hit = copartition_attach(wedges, ekeys, left_on="wk", right_on="ek",
+                             payload_cols=["_m"],
+                             num_partitions=num_partitions)
+
+    def count_hits(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"t": pa.array(
+            [int(pc.sum(pc.is_valid(batch.column("_m"))
+                        .cast(pa.int64())).as_py() or 0)],
+            type=pa.int64())})
+
+    n_tri = sum(r["t"] for r in hit.map_batches(
+        count_hits, batch_format="pyarrow").take_all())
+
+    trans = (3.0 * float(n_tri) / float(n_wedges)
+             if n_wedges > 0 else None)
+    return pa.table({
+        "n_nodes": pa.array([n_nodes], type=pa.int64()),
+        "n_edges": pa.array([n_edges], type=pa.int64()),
+        "n_wedges": pa.array([int(n_wedges)], type=pa.int64()),
+        "n_triangles": pa.array([int(n_tri)], type=pa.int64()),
+        "transitivity": pa.array([trans], type=pa.float64()),
+    })

@@ -843,3 +843,80 @@ def sax_batch(batch: pa.Table, n_frames: int = 8) -> pa.Table:
         "s_sum": pa.array(S, type=pa.int64()),
         "sax": pa.array(sax, type=pa.string()),
     })
+
+
+def runs_test_batch(batch: pa.Table) -> pa.Table:
+    """A31 — Wald–Wolfowitz runs test per series (Wald & Wolfowitz 1940):
+    dichotomize against the series median (values equal to the median are
+    dropped, the standard convention), count the runs of consecutive
+    same-sign values, and z-score the count against its null mean/variance
+
+        mu  = 1 + 2*n1*n2 / N
+        var = 2*n1*n2*(2*n1*n2 - N) / (N^2 * (N - 1)),  N = n1 + n2
+
+    — the randomness screen that catches level shifts and clustering that
+    A25's turning points miss.  n1/n2/R are exact integers; the median is
+    an exact dyadic (DuckDB ``median()`` parity); mu/var/z are pinned
+    float expressions of exact ints, replayed verbatim by the oracle.
+    Fully vectorized: ONE lexsort serves every row's median, sign changes
+    are one shifted comparison over the kept flat buffer."""
+    import math
+
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.int64)
+    lens = np.diff(offsets)
+    nrows = lens.shape[0]
+    med = np.full(nrows, np.nan)
+    n_above = np.zeros(nrows, dtype=np.int64)
+    n_below = np.zeros(nrows, dtype=np.int64)
+    n_runs = np.zeros(nrows, dtype=np.int64)
+    if v.shape[0]:
+        row_of = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+        order = np.lexsort((v, row_of))
+        sv = v[order].astype(np.float64)
+        live = lens > 0
+        st = offsets[:-1]
+        lo_i = st + np.maximum((lens - 1) // 2, 0)
+        hi_i = st + np.minimum(lens // 2, np.maximum(lens - 1, 0))
+        med[live] = 0.5 * (sv[lo_i[live]] + sv[hi_i[live]])
+        vm = med[row_of]
+        sg = np.where(v > vm, 1, np.where(v < vm, -1, 0)).astype(np.int64)
+        kept = sg != 0
+        np.add.at(n_above, row_of[kept & (sg > 0)], 1)
+        np.add.at(n_below, row_of[kept & (sg < 0)], 1)
+        kr = row_of[kept]
+        ks = sg[kept]
+        has = np.zeros(nrows, dtype=bool)
+        has[kr] = True
+        n_runs[has] = 1
+        if kr.shape[0] > 1:
+            chg = (kr[1:] == kr[:-1]) & (ks[1:] != ks[:-1])
+            np.add.at(n_runs, kr[1:][chg], 1)
+    mu_z = np.full(nrows, np.nan)
+    z = np.full(nrows, np.nan)
+    for r in range(nrows):            # pinned scalar float tail per row
+        n1, n2 = int(n_above[r]), int(n_below[r])
+        N = n1 + n2
+        a = 2 * n1 * n2
+        if N < 2 or a == 0 or a == N:
+            continue
+        mu = 1.0 + float(a) / float(N)
+        var = float(a * (a - N)) / float(N * N * (N - 1))
+        if var <= 0.0:
+            continue
+        mu_z[r] = mu
+        z[r] = (float(int(n_runs[r])) - mu) / math.sqrt(var)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "n": pa.array(lens, type=pa.int64()),
+        "n_above": pa.array(n_above, type=pa.int64()),
+        "n_below": pa.array(n_below, type=pa.int64()),
+        "n_runs": pa.array(n_runs, type=pa.int64()),
+        "mu_runs": pa.array(mu_z, type=pa.float64(), from_pandas=True),
+        "z_runs": pa.array(z, type=pa.float64(), from_pandas=True),
+    })

@@ -221,3 +221,105 @@ def test_sax_matches_bruteforce(ray_session):
         # frame-of(i) = 8*i//n partitions exactly: frames cover all n
         assert sum(((f + 1) * n + 7) // 8 - (f * n + 7) // 8
                    for f in range(8)) == n
+
+
+# ---------------------------------------------------------------- A31 ----
+def test_runs_test_matches_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["a31_runs_test"](SF).to_pandas()
+           .set_index(["doc_id", "part_id"]).sort_index())
+
+    from anomalydetection_ray.sources.tokenize import tokenize_batch
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    tok = tokenize_batch(docs)
+    for row in tok.to_pylist()[:40]:
+        v = [int(x) for x in row["tokens"]]
+        n = len(v)
+        sv = sorted(v)
+        med = 0.5 * (sv[(n - 1) // 2] + sv[n // 2])
+        sg = [1 if x > med else -1 for x in v if float(x) != med]
+        n1 = sum(1 for s in sg if s == 1)
+        n2 = len(sg) - n1
+        R = (1 + sum(1 for i in range(1, len(sg)) if sg[i] != sg[i - 1])
+             if sg else 0)
+        g = got.loc[(row["doc_id"], 0)]
+        assert g["n"] == n and g["n_above"] == n1 and g["n_below"] == n2
+        assert g["n_runs"] == R
+        a, N = 2 * n1 * n2, n1 + n2
+        if a > N:
+            mu = 1.0 + float(a) / float(N)
+            var = float(a * (a - N)) / float(N * N * (N - 1))
+            assert g["mu_runs"] == mu
+            assert g["z_runs"] == (float(R) - mu) / math.sqrt(var)
+            # pseudo-random series: |z| rarely large
+            assert abs(g["z_runs"]) < 6.0
+
+
+# ---------------------------------------------------------------- W26 ----
+def test_burstiness_matches_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.windows import w26_burstiness
+
+    got = (w26_burstiness(SF).to_pandas()
+           .set_index("user_id").sort_index())
+    ev = (pq.read_table(f"{SF}/events.parquet",
+                        columns=["event_id", "ts", "user_id"]).to_pandas()
+          .sort_values(["user_id", "ts", "event_id"]))
+    us = ev["ts"].astype("int64").to_numpy()
+    checked = 0
+    for uid, grp in ev.groupby("user_id"):
+        t = grp["ts"].astype("int64").to_numpy()
+        if len(t) < 2:
+            assert uid not in got.index
+            continue
+        gaps = [(int(t[i + 1]) - int(t[i])) // 1_000_000
+                for i in range(len(t) - 1)]
+        row = got.loc[uid]
+        assert row["n_gaps"] == len(gaps)
+        S = sum(gaps)
+        assert row["gap_sum_s"] == S
+        sg = sorted(gaps)
+        m = len(sg)
+        assert row["med_gap_s"] == 0.5 * (sg[(m - 1) // 2] + sg[m // 2])
+        Q = sum(g * g for g in gaps)
+        sn = math.sqrt(float(m * Q - S * S))
+        if sn + float(S) > 0:
+            assert row["burstiness"] == (sn - float(S)) / (sn + float(S))
+            assert -1.0 <= row["burstiness"] <= 1.0
+        checked += 1
+    # sf0.001 has few multi-event users; every one must be exact
+    assert checked >= 10 and checked == len(got)
+
+
+# ---------------------------------------------------------------- X6 ----
+def test_triangle_census_matches_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = e.queries()["x6_triangle_census"](SF).to_pandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+
+    from anomalydetection_ray.pipelines.dedup import minhash_lsh_pairs
+
+    pairs = (minhash_lsh_pairs(SF, min_est=0.2)
+             .select_columns(["doc_a", "doc_b"]).to_pandas())
+    edges = set(zip(pairs["doc_a"].astype(int), pairs["doc_b"].astype(int)))
+    nodes = {a for a, _ in edges} | {b for _, b in edges}
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    tri = sum(1 for a, b in edges for c in adj.get(b, ())
+              if (a, c) in edges)
+    assert row["n_nodes"] == len(nodes)
+    assert row["n_edges"] == len(edges)
+    assert row["n_wedges"] == wedges
+    assert row["n_triangles"] == tri
+    if wedges:
+        assert row["transitivity"] == 3.0 * float(tri) / float(wedges)
