@@ -576,6 +576,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # X6 exact triangle census + transitivity of the dup-pair graph
         # (node-iterator at the minimum vertex; Newman 2003)
         "x6_triangle_census": _x6_triangle_census,
+        # K7 distributed power iteration: dominant eigenvector of the
+        # uncentered Gram matrix, exact-int matvecs + pinned renormalize
+        "k7_power_iteration": km.k7_power_iteration,
         # W25 per-key volatility (median/MAD of absolute deltas)
         "w25_volatility": wnd.w25_volatility,
         # C4 composed curation: exact dedup -> sequence packing
@@ -2533,6 +2536,63 @@ def oracle_sql() -> dict[str, str]:
             FROM b GROUP BY event_type
         """,
         "kmeans_train": _kmeans_sql(dim=_dim),
+        # K7 power iteration: 2 exact-int matvecs over the 2^10-quantized
+        # embeddings, order-pinned norm folds, floor-requantized vectors
+        "k7_power_iteration": f"""
+            WITH eq AS MATERIALIZED (
+                SELECT vec_id,
+                       list_transform(CAST(embedding AS DOUBLE[]),
+                           v -> CAST(floor(v * 1024.0 + 0.5) AS BIGINT))
+                           AS qi
+                FROM embeddings),
+            y1 AS MATERIALIZED (
+                SELECT vec_id,
+                       CAST(1024 * list_aggregate(qi, 'sum') AS BIGINT)
+                           AS y
+                FROM eq),
+            w1g AS MATERIALIZED (
+                SELECT t.pos - 1 AS d,
+                       CAST(sum(q.qi[t.pos] * y1.y) AS BIGINT) AS w
+                FROM eq q JOIN y1 USING (vec_id)
+                CROSS JOIN range(1, {_dim + 1}) t(pos)
+                GROUP BY t.pos - 1),
+            n1 AS MATERIALIZED (
+                SELECT sqrt(list_reduce(list_prepend(0.0,
+                       list(CAST(w AS DOUBLE) * CAST(w AS DOUBLE)
+                            ORDER BY d)), (a, b) -> a + b)) AS nrm
+                FROM w1g),
+            v1 AS MATERIALIZED (
+                SELECT d, w,
+                       CAST(floor(CAST(w AS DOUBLE) / n1.nrm * 1024.0
+                                  + 0.5) AS BIGINT) AS v
+                FROM w1g, n1),
+            y2 AS MATERIALIZED (
+                SELECT q.vec_id,
+                       CAST(sum(q.qi[t.pos] * v1.v) AS BIGINT) AS y
+                FROM eq q
+                CROSS JOIN range(1, {_dim + 1}) t(pos)
+                JOIN v1 ON v1.d = t.pos - 1
+                GROUP BY q.vec_id),
+            w2g AS MATERIALIZED (
+                SELECT t.pos - 1 AS d,
+                       CAST(sum(q.qi[t.pos] * y2.y) AS BIGINT) AS w
+                FROM eq q JOIN y2 USING (vec_id)
+                CROSS JOIN range(1, {_dim + 1}) t(pos)
+                GROUP BY t.pos - 1),
+            n2 AS MATERIALIZED (
+                SELECT sqrt(list_reduce(list_prepend(0.0,
+                       list(CAST(w AS DOUBLE) * CAST(w AS DOUBLE)
+                            ORDER BY d)), (a, b) -> a + b)) AS nrm
+                FROM w2g),
+            v2 AS MATERIALIZED (
+                SELECT d, w,
+                       CAST(floor(CAST(w AS DOUBLE) / n2.nrm * 1024.0
+                                  + 0.5) AS BIGINT) AS v
+                FROM w2g, n2)
+            SELECT v1.d AS dim, v1.w AS w1, v1.v AS v1_q,
+                   v2.w AS w2, v2.v AS v2_q
+            FROM v1 JOIN v2 USING (d)
+        """,
         # K2 label centroids: quantize each element exactly as the engine
         # (floor(v * 2^20 + 0.5) on the double-widened float), exact int
         # sums, one pinned division

@@ -386,3 +386,73 @@ def k6_dim_correlation(sf_dir: str, n_dims: int = 8):
 
     return partials.groupby(["dim_a", "dim_b"]).map_groups(
         merge, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- K7 ----
+PSCALE = 1 << 10  # power-iteration quantization: coarser than ESCALE so
+#                   every per-block product sum stays inside int64
+
+
+def k7_power_iteration(sf_dir: str, iters: int = 2):
+    """K7 — distributed power iteration (von Mises & Pollaczek-Geiringer
+    1929): the dominant eigenvector of the UNCENTERED Gram matrix X^T X
+    over the embedding table — the one-component PCA direction every
+    embedding-drift / projection audit starts from, here as the iterative
+    linear-algebra sibling of K1's Lloyd loop.
+
+    Exactness (the k-means pinning discipline applied to eigensolving):
+    embeddings quantize to PSCALE=2^10 integer units; each iteration's
+    matvec w = X^T (X v) is EXACT integer arithmetic (per-block int64
+    partials — |w| <= rows * 2^10 * dim * 2^20 stays in range at block
+    granularity — combined per dim in arbitrary-precision Python ints);
+    renormalization is the pinned float tail (one order-pinned fold for
+    the norm, one division + floor per dim) and re-quantizes v to 2^10
+    units, so the SQL oracle replays both iterations verbatim.
+
+    Scale shape: one map_batches pass per iteration emitting dim partial
+    rows per block; only O(blocks * dim) ints reach the driver (the
+    kmeans K-row discipline).  Returns a dim-row pyarrow table
+    (dim, w1, v1_q, w2, v2_q)."""
+    import math
+
+    import ray.data
+
+    path = f"{sf_dir}/embeddings.parquet"
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    dim = len(pf.read_row_group(0, columns=["embedding"])
+              .column("embedding")[0].values)
+
+    def matvec_partial(batch: pa.Table, v: np.ndarray) -> pa.Table:
+        _, ef = _emb_f64(batch)
+        q = np.floor(ef * float(PSCALE) + 0.5).astype(np.int64)
+        y = q @ v                      # exact int64 per row
+        w = q.T @ y                    # exact int64 per block
+        return pa.table({
+            "d": pa.array(np.arange(dim, dtype=np.int64)),
+            "w": pa.array(w, type=pa.int64()),
+        })
+
+    out_cols: dict = {"dim": np.arange(dim, dtype=np.int64)}
+    v = np.full(dim, PSCALE, dtype=np.int64)   # deterministic all-ones start
+    for it in range(1, iters + 1):
+        import functools
+
+        ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+        parts = ds.map_batches(
+            functools.partial(matvec_partial, v=v),
+            batch_format="pyarrow", zero_copy_batch=True).take_all()
+        w = [0] * dim                          # arbitrary-precision merge
+        for r in parts:
+            w[int(r["d"])] += int(r["w"])
+        acc = 0.0
+        for d in range(dim):                   # order-pinned norm fold
+            acc = acc + float(w[d]) * float(w[d])
+        nrm = math.sqrt(acc)
+        v = np.array([math.floor(float(w[d]) / nrm * float(PSCALE) + 0.5)
+                      for d in range(dim)], dtype=np.int64)
+        out_cols[f"w{it}"] = np.array(w, dtype=np.int64)
+        out_cols[f"v{it}_q"] = v.copy()
+    return pa.table({k: pa.array(vv, type=pa.int64())
+                     for k, vv in out_cols.items()})

@@ -323,3 +323,33 @@ def test_triangle_census_matches_bruteforce(ray_session):
     assert row["n_triangles"] == tri
     if wedges:
         assert row["transitivity"] == 3.0 * float(tri) / float(wedges)
+
+
+# ---------------------------------------------------------------- K7 ----
+def test_power_iteration_matches_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.kmeans import (PSCALE,
+                                                       k7_power_iteration)
+
+    got = k7_power_iteration(SF).to_pandas().set_index("dim").sort_index()
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    emb = t.column("embedding").combine_chunks()
+    ef = np.asarray(emb.values, dtype=np.float64).reshape(len(t), -1)
+    dim = ef.shape[1]
+    q = np.floor(ef * float(PSCALE) + 0.5).astype(np.int64)
+    v = np.full(dim, PSCALE, dtype=np.int64)
+    for it in (1, 2):
+        y = q @ v
+        w = [0] * dim
+        for d in range(dim):
+            w[d] = int((q[:, d].astype(object) * y.astype(object)).sum())
+        acc = 0.0
+        for d in range(dim):
+            acc = acc + float(w[d]) * float(w[d])
+        nrm = math.sqrt(acc)
+        v = np.array([math.floor(float(w[d]) / nrm * float(PSCALE) + 0.5)
+                      for d in range(dim)], dtype=np.int64)
+        assert got[f"w{it}"].tolist() == w
+        assert got[f"v{it}_q"].tolist() == v.tolist()
+    # the requantized vector is (close to) unit scale: |v| ~ PSCALE
+    vn = np.sqrt((v.astype(np.float64) ** 2).sum())
+    assert abs(vn - PSCALE) < 0.05 * PSCALE
