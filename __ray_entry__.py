@@ -579,6 +579,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # K7 distributed power iteration: dominant eigenvector of the
         # uncentered Gram matrix, exact-int matvecs + pinned renormalize
         "k7_power_iteration": km.k7_power_iteration,
+        # T13 unpivot/melt (T7's inverse): map-only wide-to-long reshape
+        "t13_unpivot_lineitem": q.t13_unpivot_lineitem,
+        # S17 Arrow IPC (Feather v2) round trip: the zero-copy staging
+        # format, custom task-side sink + binary-file source like S13
+        "s17_feather_roundtrip": q.s17_feather_roundtrip,
+        # G18 weighted (lower) median per group: fraction-free 2*cum>=tot
+        "g18_weighted_median": q.g18_weighted_median,
         # W25 per-key volatility (median/MAD of absolute deltas)
         "w25_volatility": wnd.w25_volatility,
         # C4 composed curation: exact dedup -> sequence packing
@@ -2889,6 +2896,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         # S16 FK orphan audit: LEFT JOIN per star-schema edge, UNION ALL
         "s16_fk_audit": _fk_audit_sql(),
+        # T13 melt: UNION ALL of the four measure projections, exact cents
+        "t13_unpivot_lineitem": " UNION ALL ".join(
+            f"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT)
+                           AS l_linenumber,
+                       '{m}' AS measure,
+                       CAST(floor({m} * 100 + 0.5) AS BIGINT)
+                           AS value_cents
+                FROM lineitem"""
+            for m in ("l_quantity", "l_extendedprice",
+                      "l_discount", "l_tax")),
+        # S17 feather round trip: same original-parquet aggregate oracle
+        # as S13 — passes only if every row survived both hops
+        "s17_feather_roundtrip": """
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+                   CAST(sum(doc_id) AS BIGINT) AS ids_sum
+            FROM documents GROUP BY source
+        """,
+        # G18 weighted lower median: cumulative-weight window, 2*cum>=tot
+        "g18_weighted_median": """
+            WITH w AS (SELECT l_returnflag AS flag,
+                              CAST(floor(l_extendedprice * 100 + 0.5)
+                                   AS BIGINT) AS cents,
+                              CAST(floor(l_quantity + 0.5) AS BIGINT)
+                                  AS qty
+                       FROM lineitem),
+            g AS (SELECT flag, cents, CAST(sum(qty) AS BIGINT) AS wsum
+                  FROM w GROUP BY 1, 2),
+            c AS (SELECT flag, cents, wsum,
+                         CAST(sum(wsum) OVER (PARTITION BY flag
+                              ORDER BY cents) AS BIGINT) AS cum,
+                         CAST(sum(wsum) OVER (PARTITION BY flag)
+                              AS BIGINT) AS tot
+                  FROM g)
+            SELECT flag AS l_returnflag,
+                   CAST(max(tot) AS BIGINT) AS total_qty,
+                   CAST(min(cents) FILTER (2 * cum >= tot) AS BIGINT)
+                       AS wmedian_cents
+            FROM c GROUP BY flag
+        """,
         # W26 burstiness: lag() gaps in floor-div seconds, median()
         # parity, pinned (sn - S)/(sn + S) with sn = sqrt(n*Q - S^2)
         "w26_burstiness": """

@@ -3841,3 +3841,191 @@ def a29_xcorr_volumes(sf_dir: str, lags: tuple = (0, 1, 2, 3, 7)):
     return (daily.map_batches(tag, batch_format="pyarrow",
                               zero_copy_batch=True)
             .groupby("_g").map_groups(finalize, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------- T13 ----
+def t13_unpivot_lineitem(sf_dir: str):
+    """T13 — unpivot / melt (T7's inverse): the four lineitem measures
+    become (key, measure, value_cents) long rows — the wide-to-long
+    reshape every metrics store and plotting layer needs.  Map-only
+    1-to-4 expansion inside the task (no shuffle, no state); values are
+    exact cents ints.  Oracle: UNION ALL of four projections."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax"])
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+    def melt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ok = np.asarray(batch.column("l_orderkey"), dtype=np.int64)
+        ln = np.asarray(batch.column("l_linenumber"), dtype=np.int64)
+        keys_ok, keys_ln, names, cents = [], [], [], []
+        for m in measures:
+            v = np.asarray(batch.column(m), dtype=np.float64)
+            keys_ok.append(ok)
+            keys_ln.append(ln)
+            names.extend([m] * n)
+            cents.append(np.floor(v * 100.0 + 0.5).astype(np.int64))
+        return pa.table({
+            "l_orderkey": pa.array(np.concatenate(keys_ok),
+                                   type=pa.int64()),
+            "l_linenumber": pa.array(np.concatenate(keys_ln),
+                                     type=pa.int64()),
+            "measure": pa.array(names, type=pa.string()),
+            "value_cents": pa.array(np.concatenate(cents),
+                                    type=pa.int64()),
+        })
+
+    return ds.map_batches(melt, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------- S17 ----
+def s17_feather_roundtrip(sf_dir: str):
+    """S17 — Arrow IPC (Feather v2) source/sink round trip, the fourth
+    interchange format next to S6/S7/S13 and the ZERO-COPY one: Feather
+    v2 IS the Arrow IPC file format, so a mmap'd read costs no decode at
+    all — the right staging format for intermediate tiers that Ray tasks
+    re-read.  Same custom source/sink template as S13 (Ray 2.49 has no
+    feather reader): task-side ``pyarrow.feather`` shard writes, then
+    ``read_binary_files`` + task-side IPC parse.  Verification: the S13
+    per-source aggregate triple recomputed from the round-tripped rows
+    against the original-parquet oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    out = tempfile.mkdtemp(prefix="anomray_feather_")
+    try:
+        ds = _read(sf_dir, "documents",
+                   ["doc_id", "source", "n_chars", "text"])
+
+        def write_shard(batch: pa.Table) -> pa.Table:
+            import pyarrow.feather as feather
+
+            if batch.num_rows == 0:
+                return pa.table({"shard_rows": pa.array([], type=pa.int64())})
+            first = batch.column("doc_id")[0].as_py()
+            path = os.path.join(out, f"shard-{first}-{batch.num_rows}.feather")
+            feather.write_feather(batch, path, compression="zstd")
+            return pa.table({"shard_rows": pa.array([batch.num_rows],
+                                                    type=pa.int64())})
+
+        n_written = sum(r["shard_rows"] for r in
+                        ds.map_batches(write_shard, batch_format="pyarrow")
+                          .take_all())
+        assert n_written > 0
+
+        back = ray.data.read_binary_files(out)
+
+        def parse(batch: pa.Table) -> pa.Table:
+            import pyarrow.feather as feather
+
+            tables = [feather.read_table(pa.BufferReader(buf))
+                      for buf in batch.column("bytes").to_pylist()]
+            if not tables:
+                return pa.table({
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "source": pa.array([], type=pa.string()),
+                    "n_chars": pa.array([], type=pa.int64()),
+                    "text": pa.array([], type=pa.string()),
+                })
+            return pa.concat_tables(tables)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            t = pa.table({
+                "source": batch.column("source"),
+                "n_chars": pc.cast(batch.column("n_chars"), pa.int64()),
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+            })
+            g = t.group_by("source").aggregate(
+                [([], "count_all"), ("n_chars", "sum"), ("doc_id", "sum")])
+            return pa.table({
+                "source": g.column("source"),
+                "n_docs": pc.cast(g.column("count_all"), pa.int64()),
+                "chars_sum": pc.cast(g.column("n_chars_sum"), pa.int64()),
+                "ids_sum": pc.cast(g.column("doc_id_sum"), pa.int64()),
+            })
+
+        def merge(group: pa.Table) -> pa.Table:
+            return pa.table({
+                "source": group.column("source").slice(0, 1),
+                "n_docs": pa.array(
+                    [int(pc.sum(group.column("n_docs")).as_py())],
+                    type=pa.int64()),
+                "chars_sum": pa.array(
+                    [int(pc.sum(group.column("chars_sum")).as_py())],
+                    type=pa.int64()),
+                "ids_sum": pa.array(
+                    [int(pc.sum(group.column("ids_sum")).as_py())],
+                    type=pa.int64()),
+            })
+
+        res = (back.map_batches(parse, batch_format="pyarrow")
+               .map_batches(partial, batch_format="pyarrow")
+               .groupby("source").map_groups(merge, batch_format="pyarrow"))
+        # materialize before the tmp dir vanishes (lazy reads would fail)
+        return ray.data.from_arrow(pa.concat_tables(
+            list(res.iter_batches(batch_format="pyarrow"))))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+# ---------------------------------------------------------------- G18 ----
+def g18_weighted_median(sf_dir: str):
+    """G18 — weighted (lower) median per group: the quantity-weighted
+    median extended price per return flag — the robust "typical traded
+    price" (each line weighted by units moved), the weighted sibling of
+    G3's plain quantiles.  Lower-median rule, fraction-free: the
+    smallest value whose cumulative weight w satisfies ``2*cum >=
+    total`` — all-integer, no interpolation, SQL-exact.
+
+    Scale shape: per-block partials collapse to (flag, cents,
+    qty_sum) — bounded by the PRICE DOMAIN (distinct cent values), not
+    the row count; one exchange on that bounded key; the final per-flag
+    pass is one sort + cumsum over the collapsed domain.  Documented
+    assumption: the value domain per group fits a task (true for any
+    fixed-precision currency; re-quantize to coarser cents if not)."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(np.asarray(batch.column("l_extendedprice"),
+                                    dtype=np.float64) * 100.0
+                         + 0.5).astype(np.int64)
+        qty = np.floor(np.asarray(batch.column("l_quantity"),
+                                  dtype=np.float64) + 0.5).astype(np.int64)
+        t = pa.table({"flag": batch.column("l_returnflag"),
+                      "cents": pa.array(cents, type=pa.int64()),
+                      "qty": pa.array(qty, type=pa.int64())})
+        g = t.group_by(["flag", "cents"]).aggregate([("qty", "sum")])
+        return pa.table({"flag": g.column("flag"),
+                         "cents": g.column("cents"),
+                         "wsum": pc.cast(g.column("qty_sum"), pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def wmedian(group: pa.Table) -> pa.Table:
+        g = (group.group_by(["flag", "cents"]).aggregate([("wsum", "sum")])
+             .sort_by([("cents", "ascending")]))
+        w = np.asarray(g.column("wsum_sum"), dtype=np.int64)
+        cents = np.asarray(g.column("cents"), dtype=np.int64)
+        cum = np.cumsum(w)
+        tot = int(cum[-1])
+        idx = int(np.flatnonzero(2 * cum >= tot)[0])
+        return pa.table({
+            "l_returnflag": g.column("flag").slice(0, 1),
+            "total_qty": pa.array([tot], type=pa.int64()),
+            "wmedian_cents": pa.array([int(cents[idx])], type=pa.int64()),
+        })
+
+    return partials.groupby("flag").map_groups(wmedian,
+                                               batch_format="pyarrow")

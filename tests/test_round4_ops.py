@@ -353,3 +353,62 @@ def test_power_iteration_matches_bruteforce(ray_session):
     # the requantized vector is (close to) unit scale: |v| ~ PSCALE
     vn = np.sqrt((v.astype(np.float64) ** 2).sum())
     assert abs(vn - PSCALE) < 0.05 * PSCALE
+
+
+# ---------------------------------------------------------------- T13 ----
+def test_unpivot_matches_pandas(ray_session):
+    from anomalydetection_ray.pipelines.queries import t13_unpivot_lineitem
+
+    got = t13_unpivot_lineitem(SF).to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    assert len(got) == 4 * len(li)
+    # the (orderkey, linenumber) pair is NOT unique in the synthetic
+    # data, so compare the complete sorted value multiset per measure
+    for m in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"):
+        cents = np.sort(np.floor(li[m].to_numpy(dtype=np.float64) * 100.0
+                                 + 0.5).astype(np.int64))
+        gv = np.sort(got[got["measure"] == m]["value_cents"]
+                     .to_numpy(np.int64))
+        assert np.array_equal(gv, cents)
+
+
+# ---------------------------------------------------------------- S17 ----
+def test_feather_roundtrip_matches_source(ray_session):
+    from anomalydetection_ray.pipelines.queries import s17_feather_roundtrip
+
+    got = (s17_feather_roundtrip(SF).to_pandas()
+           .set_index("source").sort_index())
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "source", "n_chars"]).to_pandas()
+    ref = docs.groupby("source").agg(
+        n_docs=("doc_id", "size"), chars_sum=("n_chars", "sum"),
+        ids_sum=("doc_id", "sum"))
+    assert got["n_docs"].to_dict() == ref["n_docs"].to_dict()
+    assert got["chars_sum"].to_dict() == ref["chars_sum"].to_dict()
+    assert got["ids_sum"].to_dict() == ref["ids_sum"].to_dict()
+
+
+# ---------------------------------------------------------------- G18 ----
+def test_weighted_median_matches_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.queries import g18_weighted_median
+
+    got = (g18_weighted_median(SF).to_pandas()
+           .set_index("l_returnflag").sort_index())
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_returnflag", "l_extendedprice",
+                                "l_quantity"]).to_pandas()
+    for flag, grp in li.groupby("l_returnflag"):
+        cents = np.floor(grp["l_extendedprice"].to_numpy(np.float64)
+                         * 100.0 + 0.5).astype(np.int64)
+        qty = np.floor(grp["l_quantity"].to_numpy(np.float64)
+                       + 0.5).astype(np.int64)
+        order = np.argsort(cents, kind="stable")
+        cs, qs = cents[order], qty[order]
+        cum = np.cumsum(qs)
+        tot = int(cum[-1])
+        wm = int(cs[np.flatnonzero(2 * cum >= tot)[0]])
+        row = got.loc[flag]
+        assert row["total_qty"] == tot
+        assert row["wmedian_cents"] == wm
+        # weighted median sits inside the value range
+        assert cs[0] <= wm <= cs[-1]
