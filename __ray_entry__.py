@@ -586,6 +586,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s17_feather_roundtrip": q.s17_feather_roundtrip,
         # G18 weighted (lower) median per group: fraction-free 2*cum>=tot
         "g18_weighted_median": q.g18_weighted_median,
+        # S18 week-bucketed hive layout + partition-pruned day-range read
+        # (footer-stats planning, only overlapping buckets touched)
+        "s18_partition_pruning": q.s18_partition_pruning,
         # W25 per-key volatility (median/MAD of absolute deltas)
         "w25_volatility": wnd.w25_volatility,
         # C4 composed curation: exact dedup -> sequence packing
@@ -2913,6 +2916,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS chars_sum,
                    CAST(sum(doc_id) AS BIGINT) AS ids_sum
             FROM documents GROUP BY source
+        """,
+        # S18 pruned range read: same day-range aggregate over raw events
+        # — values match only if the pruned bucket read lost nothing
+        "s18_partition_pruning": """
+            WITH e AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                              AS day,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT)
+                              AS cents
+                       FROM events),
+            b AS (SELECT min(day) + 10 AS d0 FROM e)
+            SELECT day, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS cents_sum
+            FROM e, b WHERE day >= d0 AND day <= d0 + 6
+            GROUP BY day
         """,
         # G18 weighted lower median: cumulative-weight window, 2*cum>=tot
         "g18_weighted_median": """

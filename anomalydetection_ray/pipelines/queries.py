@@ -4029,3 +4029,101 @@ def g18_weighted_median(sf_dir: str):
 
     return partials.groupby("flag").map_groups(wmedian,
                                                batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- S18 ----
+def s18_partition_pruning(sf_dir: str, offset_days: int = 10,
+                          span_days: int = 7):
+    """S18 — time-partitioned layout + partition-pruned range read: the
+    events table is persisted ONCE as a hive layout bucketed by WEEK
+    (``bucket = day // 7``, the X3/ANN persisted-index machinery), and a
+    day-range query [min_day+offset, +span) then reads ONLY the buckets
+    overlapping the range — the layout discipline that turns a 100 TB
+    time-range scan into a touch of the few overlapping partitions.
+    Returns per-day counts + exact value cents inside the range.
+
+    Scale shape: the layout build is a distributed
+    ``write_parquet(partition_cols)`` pass (nothing on the driver); the
+    probe hands ONLY the overlapping buckets' files to ``read_parquet``
+    (the day bounds come from parquet FOOTER stats — zero data scanned
+    to plan).  A residual in-range filter inside the tasks trims the
+    bucket edges.  Oracle: the same day-range aggregate over the raw
+    events table — values can only match if pruning lost nothing."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from anomalydetection_ray.state.layout import (bucket_files,
+                                                   persist_bucketed)
+
+    path = f"{sf_dir}/events.parquet"
+    US_DAY = 86_400_000_000
+
+    # day bounds from footer stats only
+    md = pq.ParquetFile(path).metadata
+    names = [md.schema.column(i).name for i in range(md.num_columns)]
+    ci = names.index("ts")
+    import datetime as _dt
+
+    def _us(x) -> int:
+        if isinstance(x, _dt.datetime):
+            return int(x.replace(tzinfo=_dt.timezone.utc).timestamp()
+                       * 1_000_000)
+        return int(x)
+
+    min_day = min(_us(md.row_group(g).column(ci).statistics.min)
+                  for g in range(md.num_row_groups)) // US_DAY
+    d0 = min_day + offset_days
+    d1 = d0 + span_days - 1
+
+    def build(tmp: str) -> None:
+        ds = ray.data.read_parquet(path, columns=["ts", "value"])
+
+        def bucketize(batch: pa.Table) -> pa.Table:
+            us = np.asarray(batch.column("ts").cast(pa.int64()),
+                            dtype=np.int64)
+            day = us // US_DAY
+            return pa.table({
+                "day": pa.array(day, type=pa.int64()),
+                "cents": pa.array(
+                    np.floor(np.asarray(batch.column("value"),
+                                        dtype=np.float64) * 100.0
+                             + 0.5).astype(np.int64), type=pa.int64()),
+                "bucket": pa.array(day // 7, type=pa.int64()),
+            })
+
+        (ds.map_batches(bucketize, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .write_parquet(tmp, partition_cols=["bucket"]))
+
+    layout = persist_bucketed("evweeks", path, "W7", build)
+    files = [f for b in range(d0 // 7, d1 // 7 + 1)
+             for f in bucket_files(layout, b)]
+
+    def in_range(batch: pa.Table) -> pa.Table:
+        day = np.asarray(batch.column("day"), dtype=np.int64)
+        keep = (day >= d0) & (day <= d1)
+        t = batch.filter(pa.array(keep))
+        g = t.group_by(["day"]).aggregate([([], "count_all"),
+                                           ("cents", "sum")])
+        return pa.table({
+            "day": g.column("day"),
+            "n": pc.cast(g.column("count_all"), pa.int64()),
+            "cents_sum": pc.cast(g.column("cents_sum"), pa.int64()),
+        })
+
+    pruned = (ray.data.read_parquet(files, columns=["day", "cents"])
+              .map_batches(in_range, batch_format="pyarrow",
+                           zero_copy_batch=True))
+
+    def merge(group: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": group.column("day").slice(0, 1),
+            "n": pa.array([int(pc.sum(group.column("n")).as_py())],
+                          type=pa.int64()),
+            "cents_sum": pa.array(
+                [int(pc.sum(group.column("cents_sum")).as_py())],
+                type=pa.int64()),
+        })
+
+    return pruned.groupby("day").map_groups(merge, batch_format="pyarrow")

@@ -412,3 +412,26 @@ def test_weighted_median_matches_bruteforce(ray_session):
         assert row["wmedian_cents"] == wm
         # weighted median sits inside the value range
         assert cs[0] <= wm <= cs[-1]
+
+
+# ---------------------------------------------------------------- S18 ----
+def test_partition_pruning_matches_pandas(ray_session):
+    from anomalydetection_ray.pipelines.queries import s18_partition_pruning
+
+    got = (s18_partition_pruning(SF).to_pandas()
+           .set_index("day").sort_index())
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "value"]).to_pandas()
+    day = (ev["ts"].astype("int64") // 86_400_000_000).to_numpy()
+    cents = np.floor(ev["value"].to_numpy(np.float64) * 100.0
+                     + 0.5).astype(np.int64)
+    d0 = int(day.min()) + 10
+    sel = (day >= d0) & (day <= d0 + 6)
+    import pandas as pd
+
+    ref = (pd.DataFrame({"day": day[sel], "cents": cents[sel]})
+           .groupby("day").agg(n=("cents", "size"),
+                               cents_sum=("cents", "sum")))
+    assert got["n"].to_dict() == ref["n"].to_dict()
+    assert got["cents_sum"].to_dict() == ref["cents_sum"].to_dict()
+    assert len(got) >= 1
