@@ -225,6 +225,14 @@ def _a31_runs_test(sf_dir: str):
         runs_test_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _a32_amoc_split(sf_dir: str):
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import amoc_split_batch
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        amoc_split_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _a28_sax(sf_dir: str):
     from anomalydetection_ray.pipelines.rollup import validated
     from anomalydetection_ray.stages.detectors import sax_batch
@@ -318,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from anomalydetection_ray.pipelines import queries as q
     from anomalydetection_ray.pipelines import similarity as sim
     from anomalydetection_ray.pipelines import text as tx
+    from anomalydetection_ray.pipelines import trend
     from anomalydetection_ray.pipelines import vocab as vb
     from anomalydetection_ray.pipelines import windows as wnd
     from anomalydetection_ray.pipelines.rollup import rollup_pipeline, topk_anomalies
@@ -442,6 +451,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A31 Wald-Wolfowitz runs test vs the series median: level-shift /
         # clustering randomness screen; exact int runs, pinned z
         "a31_runs_test": _a31_runs_test,
+        # A32 AMOC mean-shift changepoint: exact-int argmax of
+        # |mean_l - mean_r| over every split, float-pruned + bigint-confirmed
+        "a32_amoc_split": _a32_amoc_split,
+        # A33/A34 per-user nonparametric trend tests over event series
+        "a33_mann_kendall": trend.a33_mann_kendall,
+        "a34_theil_sen": trend.a34_theil_sen,
         # A26 ACF table (correlogram over a ladder of lags)
         "a26_acf_table": _a26_acf_table,
         # A7 CUSUM change-point detector (Page 1954, zero-slack two-sided
@@ -1800,6 +1815,119 @@ def oracle_sql() -> dict[str, str]:
                      END / ln(6.0)
                    END AS norm_perm_entropy
             FROM e
+        """,
+        # A32 AMOC mean-shift split: a_k = P_k*n - S*k, d_k = k*(n-k) as
+        # exact BIGINTs; identical float prune on both sides (superset of
+        # every exact tie), then HUGEINT cross-compare argmax, tie -> min k
+        "a32_amoc_split": f"""
+            WITH {_SEQ_TOK_CTE},
+            s AS MATERIALIZED (
+                SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                       pos % 1000000 AS i, CAST(v AS BIGINT) AS v FROM tok),
+            tot AS MATERIALIZED (
+                SELECT doc_id, part_id, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(v) AS BIGINT) AS s_sum
+                FROM s GROUP BY doc_id, part_id),
+            c AS MATERIALIZED (
+                SELECT doc_id, part_id, i + 1 AS k,
+                       CAST(sum(v) OVER (PARTITION BY doc_id, part_id
+                                         ORDER BY i) AS BIGINT) AS pk
+                FROM s),
+            cand AS MATERIALIZED (
+                SELECT c.doc_id, c.part_id, CAST(c.k AS BIGINT) AS k, c.pk,
+                       CAST(abs(c.pk * t.n - t.s_sum * c.k) AS BIGINT) AS a,
+                       CAST(c.k * (t.n - c.k) AS BIGINT) AS d
+                FROM c JOIN tot t USING (doc_id, part_id)
+                WHERE c.k < t.n),
+            qq AS MATERIALIZED (
+                SELECT *, CAST(a AS DOUBLE) / CAST(d AS DOUBLE) AS qf,
+                       max(CAST(a AS DOUBLE) / CAST(d AS DOUBLE))
+                           OVER (PARTITION BY doc_id, part_id) AS qmax
+                FROM cand),
+            nr AS MATERIALIZED (
+                SELECT * FROM qq
+                WHERE qf >= qmax * (1.0 - 1e-12) - 1e-300),
+            best AS MATERIALIZED (
+                SELECT k.* FROM nr k
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM nr j
+                    WHERE j.doc_id = k.doc_id AND j.part_id = k.part_id
+                      AND (CAST(j.a AS HUGEINT) * k.d
+                               > CAST(k.a AS HUGEINT) * j.d
+                           OR (CAST(j.a AS HUGEINT) * k.d
+                                   = CAST(k.a AS HUGEINT) * j.d
+                               AND j.k < k.k))))
+            SELECT t.doc_id, t.part_id, t.n,
+                   b.k AS split_pos,
+                   CAST(b.a AS DOUBLE) / CAST(b.d AS DOUBLE) AS gap,
+                   CAST(b.pk AS DOUBLE) / CAST(b.k AS DOUBLE) AS mean_l,
+                   CAST(t.s_sum - b.pk AS DOUBLE)
+                       / CAST(t.n - b.k AS DOUBLE) AS mean_r
+            FROM tot t LEFT JOIN best b USING (doc_id, part_id)
+        """,
+        # A33 Mann-Kendall per user: exact-int S over time-ordered pairs,
+        # tie-corrected variance numerator, continuity-corrected z
+        "a33_mann_kendall": """
+            WITH e AS (SELECT user_id, ts, event_id, value FROM events),
+            p AS (SELECT a.user_id,
+                         CAST(sum(CASE WHEN b.value > a.value THEN 1
+                                       WHEN b.value < a.value THEN -1
+                                       ELSE 0 END) AS BIGINT) AS s_stat
+                  FROM e a JOIN e b ON a.user_id = b.user_id
+                       AND (a.ts < b.ts
+                            OR (a.ts = b.ts AND a.event_id < b.event_id))
+                  GROUP BY a.user_id),
+            nn AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+                   FROM e GROUP BY user_id),
+            tg AS (SELECT user_id, CAST(count(*) AS BIGINT) AS t
+                   FROM e GROUP BY user_id, value),
+            corr AS (SELECT user_id,
+                            CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                                AS corr
+                     FROM tg GROUP BY user_id)
+            SELECT nn.user_id, nn.n,
+                   CAST(COALESCE(p.s_stat, 0) AS BIGINT) AS s_stat,
+                   CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - corr.corr
+                        AS BIGINT) AS var_num,
+                   CASE WHEN nn.n >= 2
+                             AND nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                                 - corr.corr > 0 THEN
+                     CASE WHEN COALESCE(p.s_stat, 0) = 0 THEN 0.0
+                          WHEN p.s_stat > 0 THEN
+                            CAST(p.s_stat - 1 AS DOUBLE)
+                            / sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                                        - corr.corr AS DOUBLE) / 18.0)
+                          ELSE
+                            CAST(p.s_stat + 1 AS DOUBLE)
+                            / sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                                        - corr.corr AS DOUBLE) / 18.0)
+                     END
+                   END AS z_mk
+            FROM nn LEFT JOIN p USING (user_id)
+                    JOIN corr USING (user_id)
+        """,
+        # A34 Theil-Sen per user: pairwise slopes over time-distinct pairs,
+        # LOWER median by row_number selection (no interpolation arithmetic)
+        "a34_theil_sen": """
+            WITH e AS (SELECT user_id, ts, event_id, value FROM events),
+            pr AS (SELECT a.user_id,
+                          (b.value - a.value)
+                              / CAST(epoch_us(b.ts) - epoch_us(a.ts)
+                                     AS DOUBLE) AS slope
+                   FROM e a JOIN e b ON a.user_id = b.user_id
+                        AND (a.ts < b.ts
+                             OR (a.ts = b.ts AND a.event_id < b.event_id))
+                   WHERE b.ts <> a.ts),
+            r AS (SELECT user_id, slope,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY slope) AS rn,
+                         count(*) OVER (PARTITION BY user_id) AS p
+                  FROM pr)
+            SELECT user_id, CAST(max(p) AS BIGINT) AS n_pairs,
+                   max(CASE WHEN rn = (p + 1) // 2 THEN slope END)
+                       AS slope_med,
+                   min(slope) AS slope_min, max(slope) AS slope_max
+            FROM r GROUP BY user_id
         """,
         # A31 runs test: median() parity dichotomization (equals dropped),
         # exact int run counts via lag, pinned mu/var/z; z defined iff

@@ -920,3 +920,83 @@ def runs_test_batch(batch: pa.Table) -> pa.Table:
         "mu_runs": pa.array(mu_z, type=pa.float64(), from_pandas=True),
         "z_runs": pa.array(z, type=pa.float64(), from_pandas=True),
     })
+
+
+def amoc_split_batch(batch: pa.Table) -> pa.Table:
+    """A32 — at-most-one-changepoint (AMOC) mean-shift split per series:
+    the split k (1 <= k < n) maximizing |mean(x[:k]) - mean(x[k:])| — the
+    CUSUM-style level-shift locator (Hinkley 1970's AMOC framing) that
+    complements detect_cusum's sequential alarm with an exact offline
+    argmax.  All candidate statistics are exact integers:
+
+        a_k = P_k*n - S*k      (P_k = prefix sum, S = series sum)
+        d_k = k*(n - k)        gap(k) = |a_k| / d_k
+
+    |a_k| <= 5e16 and the cross products |a|*d <= 1.25e28 bound the
+    arithmetic: a/d fit int64 vectorized; exact argmax cross-compares are
+    Python big-ints over the float-pruned candidate set {k : q_k >=
+    qmax*(1-1e-12)} — a superset of every exactly-tied candidate on both
+    engine and oracle side, so both exact argmaxes agree (ties -> smallest
+    k).  Output floats are pinned int64->double casts and one division,
+    replayed verbatim by the DuckDB oracle (HUGEINT cross-compares)."""
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.int64)
+    lens = np.diff(offsets)
+    nrows = lens.shape[0]
+    split_pos = np.full(nrows, -1, dtype=np.int64)
+    gap = np.full(nrows, np.nan)
+    mean_l = np.full(nrows, np.nan)
+    mean_r = np.full(nrows, np.nan)
+    if v.shape[0]:
+        row_of = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+        csum = np.cumsum(v)
+        row_start = np.repeat(offsets[:-1], lens)
+        base = np.concatenate(([0], csum))[row_start]
+        prefix = csum - base                       # P_{i+1} inclusive prefix
+        n_row = lens[row_of]
+        s_row = np.concatenate(([0], csum))[offsets[1:]] - np.concatenate(([0], csum))[offsets[:-1]]
+        idx = np.arange(v.shape[0], dtype=np.int64)
+        k = idx - row_start + 1                    # candidate split after pos
+        is_cand = k < n_row                        # k in 1..n-1
+        a = prefix * n_row - s_row[row_of] * k
+        d = k * (n_row - k)
+        q = np.where(is_cand, np.abs(a).astype(np.float64)
+                     / np.maximum(d, 1).astype(np.float64), -np.inf)
+        # float prune per row, exact big-int confirm over the tied set
+        qmax = np.full(nrows, -np.inf)
+        np.maximum.at(qmax, row_of, q)
+        near = is_cand & (q >= qmax[row_of] * (1.0 - 1e-12) - 1e-300)
+        cand_idx = idx[near]
+        for r in range(nrows):
+            lo = np.searchsorted(cand_idx, offsets[r])
+            hi = np.searchsorted(cand_idx, offsets[r + 1])
+            best = -1
+            ba = bd = 0
+            for ci in cand_idx[lo:hi]:
+                ka = abs(int(a[ci]))
+                kd = int(d[ci])
+                if best < 0 or ka * bd > ba * kd:
+                    best, ba, bd = int(k[ci]), ka, kd
+            if best >= 0:
+                split_pos[r] = best
+                pk = int(prefix[offsets[r] + best - 1])
+                s = int(s_row[r])
+                n = int(lens[r])
+                gap[r] = float(ba) / float(bd)
+                mean_l[r] = float(pk) / float(best)
+                mean_r[r] = float(s - pk) / float(n - best)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "n": pa.array(lens, type=pa.int64()),
+        "split_pos": pa.array(np.where(split_pos >= 0, split_pos, 0),
+                              type=pa.int64(),
+                              mask=split_pos < 0),
+        "gap": pa.array(gap, type=pa.float64(), from_pandas=True),
+        "mean_l": pa.array(mean_l, type=pa.float64(), from_pandas=True),
+        "mean_r": pa.array(mean_r, type=pa.float64(), from_pandas=True),
+    })

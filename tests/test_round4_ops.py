@@ -435,3 +435,92 @@ def test_partition_pruning_matches_pandas(ray_session):
     assert got["n"].to_dict() == ref["n"].to_dict()
     assert got["cents_sum"].to_dict() == ref["cents_sum"].to_dict()
     assert len(got) >= 1
+
+
+# ---------------------------------------------------------------- A32 ----
+def test_amoc_split_matches_bruteforce(ray_session):
+    from fractions import Fraction
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["a32_amoc_split"](SF).to_pandas()
+           .set_index(["doc_id", "part_id"]).sort_index())
+
+    from anomalydetection_ray.sources.tokenize import tokenize_batch
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    tok = tokenize_batch(docs)
+    checked = 0
+    for row in tok.to_pylist()[:40]:
+        v = [int(x) for x in row["tokens"]]
+        n = len(v)
+        s = sum(v)
+        best, bq = None, None
+        p = 0
+        for k in range(1, n):
+            p += v[k - 1]
+            q = Fraction(abs(p * n - s * k), k * (n - k))
+            if bq is None or q > bq:
+                best, bq = k, q
+        g = got.loc[(row["doc_id"], 0)]
+        assert g["n"] == n
+        if best is None:
+            assert np.isnan(g["gap"])
+        else:
+            assert g["split_pos"] == best
+            pb = sum(v[:best])
+            assert g["gap"] == float(abs(pb * n - s * best)) / float(
+                best * (n - best))
+            assert g["mean_l"] == float(pb) / float(best)
+            assert g["mean_r"] == float(s - pb) / float(n - best)
+        checked += 1
+    assert checked == 40
+
+
+# ------------------------------------------------------------- A33/A34 ----
+def test_trend_tests_match_bruteforce(ray_session):
+    import collections
+
+    import __ray_entry__ as e
+
+    mk = (e.queries()["a33_mann_kendall"](SF).to_pandas()
+          .set_index("user_id").sort_index())
+    tsn = (e.queries()["a34_theil_sen"](SF).to_pandas()
+           .set_index("user_id").sort_index())
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "event_id", "value"])
+    by_u = collections.defaultdict(list)
+    ts_us = ev.column("ts").cast(pa.int64()).to_pylist()
+    for i, u in enumerate(ev.column("user_id").to_pylist()):
+        by_u[u].append((ts_us[i], ev.column("event_id")[i].as_py(),
+                        ev.column("value")[i].as_py()))
+    assert len(mk) == len(by_u)
+    for u, rows in sorted(by_u.items())[:30]:
+        rows.sort()
+        v = [r[2] for r in rows]
+        t = [r[0] for r in rows]
+        n = len(v)
+        s = sum((v[j] > v[i]) - (v[j] < v[i])
+                for i in range(n) for j in range(i + 1, n))
+        ties = collections.Counter(v)
+        var_num = (n * (n - 1) * (2 * n + 5)
+                   - sum(t_ * (t_ - 1) * (2 * t_ + 5)
+                         for t_ in ties.values()))
+        g = mk.loc[u]
+        assert g["n"] == n and g["s_stat"] == s and g["var_num"] == var_num
+        if n >= 2 and var_num > 0:
+            sd = math.sqrt(float(var_num) / 18.0)
+            exp = 0.0 if s == 0 else (
+                float(s - 1) / sd if s > 0 else float(s + 1) / sd)
+            assert g["z_mk"] == exp
+        slopes = sorted((v[j] - v[i]) / float(t[j] - t[i])
+                        for i in range(n) for j in range(i + 1, n)
+                        if t[j] != t[i])
+        if slopes:
+            g2 = tsn.loc[u]
+            assert g2["n_pairs"] == len(slopes)
+            assert g2["slope_med"] == slopes[(len(slopes) - 1) // 2]
+            assert g2["slope_min"] == slopes[0]
+            assert g2["slope_max"] == slopes[-1]
