@@ -180,6 +180,17 @@ def _acf_lag_select(lag: int) -> str:
               ON l.doc_id = m.doc_id AND l.part_id = m.part_id"""
 
 
+def _gram_hash_expr(n: int) -> str:
+    """Horner mod-2^64 hash of v, lead(v,1), ..., lead(v,n-1) over window w
+    — the SQL replay of dedup.token_gram_hashes (uint64 wraparound)."""
+    acc = "v"
+    for j in range(1, n):
+        acc = (f"(({acc}) * 1000003 + lead(v, {j}) OVER w)"
+               f" % 18446744073709551616")
+    return acc
+
+
+
 def _acf_table_sql() -> str:
     blocks = ",".join(_acf_lag_block(L) for L in ACF_LAGS)
     selects = "\nUNION ALL\n".join(_acf_lag_select(L) for L in ACF_LAGS)
@@ -337,6 +348,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_pairs": dd.minhash_lsh_pairs,
         "dedup_simhash_pairs": dd.simhash_pairs,
         "dedup_ngram_jaccard": dd.ngram_jaccard_pairs,
+        # T14 Dolma/Gopher-style per-doc duplicate n-gram fraction
+        "t14_dup_ngram_fraction": dd.dup_ngram_fraction,
         # near-dup clusters: connected components (min-label propagation)
         # over the LSH pair graph — SQL-checked via a recursive CTE
         "dedup_clusters": dd.dup_clusters,
@@ -562,6 +575,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c3_tpch_q10_like": q.c3_tpch_q10_like,
         # V9 Zipf-law slope fit over the top-k vocabulary
         "v9_zipf_slope": vb.v9_zipf_slope,
+        # V11 vocabulary coverage curve (types needed for 50/90/99 %)
+        "v11_coverage_curve": vb.v11_coverage_curve,
         # T12 cross-source vocabulary Jaccard matrix
         "t12_source_vocab_jaccard": vb.t12_source_vocab_jaccard,
         # S13 ORC round trip (custom task-side sink + source)
@@ -577,6 +592,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Q11 weighted (PPS) systematic sample over n_chars weight
         # (Madow 1949): exact-integer stride crossings, P3's two-pass scan
         "q11_weighted_sample": pk.q11_weighted_sample,
+        # Q12 T5-style span-corruption plan summary (deterministic mask)
+        "q12_span_corruption": pk.q12_span_corruption,
         # G17 KMV k-minimum-values distinct sketch (Bar-Yossef 2002):
         # bounded k-word state per group, pure-integer estimator
         "g17_kmv_distinct": q.g17_kmv_distinct,
@@ -1928,6 +1945,89 @@ def oracle_sql() -> dict[str, str]:
                        AS slope_med,
                    min(slope) AS slope_min, max(slope) AS slope_max
             FROM r GROUP BY user_id
+        """,
+        # Q12 span-corruption plan: the q6 Knuth-multiplier hash family
+        # replayed in HUGEINT (every intermediate < 1.2e19), span starts
+        # via lag, exact-int sums/checksums
+        "q12_span_corruption": f"""
+            WITH {_SEQ_TOK_CTE},
+            s AS MATERIALIZED (
+                SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                       pos % 1000000 AS i, CAST(v AS BIGINT) AS v FROM tok),
+            m AS MATERIALIZED (
+                SELECT doc_id, part_id, i, v,
+                       (((CAST(doc_id AS HUGEINT) % 4294967296)
+                          * 2654435761 + i) % 4294967296)
+                       * 2654435761 % 4294967296 % 100 < 15 AS masked
+                FROM s),
+            r AS (SELECT *, lag(masked) OVER (PARTITION BY doc_id, part_id
+                                              ORDER BY i) AS pm
+                  FROM m)
+            SELECT doc_id, part_id, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(*) FILTER (masked) AS BIGINT) AS n_masked,
+                   CAST(count(*) FILTER (masked AND (pm IS NULL OR NOT pm))
+                        AS BIGINT) AS n_spans,
+                   CAST(COALESCE(sum(v) FILTER (masked), 0) AS BIGINT)
+                       AS masked_sum,
+                   CAST(COALESCE(sum((i + 1) * v) FILTER (masked), 0)
+                        AS BIGINT) AS mask_checksum
+            FROM r GROUP BY doc_id, part_id
+        """,
+        # V11 coverage curve: bounded (source, token) domain, window cumsum
+        # in the pinned (cnt DESC, v ASC) order, integer coverage test
+        "v11_coverage_curve": f"""
+            WITH {_SEQ_TOK_CTE},
+            c AS MATERIALIZED (
+                SELECT source, v, CAST(count(*) AS BIGINT) AS cnt
+                FROM tok GROUP BY source, v),
+            w AS (SELECT source, cnt,
+                         CAST(sum(cnt) OVER (PARTITION BY source
+                              ORDER BY cnt DESC, v ASC
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                         row_number() OVER (PARTITION BY source
+                              ORDER BY cnt DESC, v ASC) AS rk,
+                         CAST(sum(cnt) OVER (PARTITION BY source)
+                              AS BIGINT) AS tot,
+                         count(*) OVER (PARTITION BY source) AS ntypes
+                  FROM c)
+            SELECT source, CAST(max(ntypes) AS BIGINT) AS n_types,
+                   CAST(max(tot) AS BIGINT) AS total_tokens,
+                   CAST(min(rk) FILTER (cum * 100 >= 50 * tot) AS BIGINT)
+                       AS k50,
+                   CAST(min(rk) FILTER (cum * 100 >= 90 * tot) AS BIGINT)
+                       AS k90,
+                   CAST(min(rk) FILTER (cum * 100 >= 99 * tot) AS BIGINT)
+                       AS k99
+            FROM w GROUP BY source
+        """,
+        # T14 duplicate n-gram fraction: Horner mod-2^64 gram hash chained
+        # through 8 lead() steps (HUGEINT-safe), distinct-doc gram counts
+        "t14_dup_ngram_fraction": f"""
+            WITH {_SEQ_TOK_CTE},
+            s AS MATERIALIZED (
+                SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                       pos % 1000000 AS i, CAST(v AS HUGEINT) AS v FROM tok),
+            g AS MATERIALIZED (
+                SELECT doc_id, {_gram_hash_expr(8)} AS h
+                FROM s
+                WINDOW w AS (PARTITION BY doc_id, part_id ORDER BY i)
+                QUALIFY lead(v, 7) OVER w IS NOT NULL),
+            d AS MATERIALIZED (
+                SELECT h, doc_id, CAST(count(*) AS BIGINT) AS occ
+                FROM g GROUP BY h, doc_id),
+            nd AS MATERIALIZED (
+                SELECT h, CAST(count(*) AS BIGINT) AS ndocs
+                FROM d GROUP BY h)
+            SELECT d.doc_id,
+                   CAST(sum(d.occ) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN nd.ndocs >= 2 THEN d.occ ELSE 0 END)
+                        AS BIGINT) AS n_dup,
+                   CAST(CAST(sum(CASE WHEN nd.ndocs >= 2 THEN d.occ
+                                      ELSE 0 END) AS BIGINT) AS DOUBLE)
+                       / CAST(CAST(sum(d.occ) AS BIGINT) AS DOUBLE)
+                       AS dup_frac
+            FROM d JOIN nd USING (h)
+            GROUP BY d.doc_id
         """,
         # A31 runs test: median() parity dichotomization (equals dropped),
         # exact int run counts via lag, pinned mu/var/z; z defined iff

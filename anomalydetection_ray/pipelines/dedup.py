@@ -973,3 +973,127 @@ def sorted_neighborhood_pairs(sf_dir: str, window: int = 3,
         })
 
     return tagged.groupby(PKEY).map_groups(kernel, batch_format="pyarrow")
+
+
+_GRAM_C = np.uint64(1000003)
+_GRAM_N = 8
+
+
+def token_gram_hashes(batch: pa.Table, n: int = _GRAM_N) -> tuple[np.ndarray, np.ndarray]:
+    """(hash per token n-gram, row index per gram) over a sequences batch's
+    flat token buffer.  Hash = Horner polynomial mod 2^64 with the odd
+    constant 1000003 — uint64 wraparound on the engine side, chained
+    ``(acc*C + v) % 2^64`` HUGEINT steps in SQL, bit-identical.  Grams
+    never cross row (part) boundaries."""
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.uint64)
+    total = v.shape[0]
+    lens = np.diff(offsets)
+    if total < n:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    row_of = np.repeat(np.arange(lens.shape[0], dtype=np.int64), lens)
+    h = v[: total - n + 1].copy()
+    for j in range(1, n):
+        h = h * _GRAM_C + v[j : total - n + 1 + j]
+    keep = row_of[: total - n + 1] == row_of[n - 1 :]
+    return h[keep], row_of[: total - n + 1][keep]
+
+
+def dup_ngram_fraction(sf_dir: str, n: int = _GRAM_N, num_partitions: int = 64):
+    """T14 — per-doc duplicate n-gram fraction (the Dolma/Gopher-style
+    'fraction of the document made of n-grams that also occur elsewhere'
+    quality signal; Rae et al. 2021 §A1.3): a gram occurrence counts as
+    duplicated iff its hash occurs in >= 2 DISTINCT docs.  Two bounded
+    exchanges: per-block (gram, doc) partials -> _pkey on the gram hash
+    (per-gram distinct-doc flags, vectorized run kernels) -> _pkey on
+    doc_id for the final per-doc sums.  64-bit gram-hash collisions are
+    the documented approximation, exactly as in the minhash family —
+    and the oracle replays the same hash, so the gate is still exact."""
+    import ray.data
+
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.sources.tokenize import tokenize_batch
+    from anomalydetection_ray.stages.runs import partition_apply, run_starts
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "source"])
+    seqs = validated(docs.map_batches(tokenize_batch, batch_format="pyarrow",
+                                      zero_copy_batch=True))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h, row_of = token_gram_hashes(batch, n=n)
+        doc = batch.column("doc_id").to_pandas().to_numpy()
+        if h.shape[0] == 0:
+            return pa.table({"h": pa.array([], type=pa.uint64()),
+                             "doc_id": pa.array([], type=pa.string()),
+                             "occ": pa.array([], type=pa.int64())})
+        order = np.lexsort((row_of, h))
+        hs, rs = h[order], row_of[order]
+        neq = (hs[1:] != hs[:-1]) | (rs[1:] != rs[:-1])
+        starts = np.concatenate(([0], np.nonzero(neq)[0] + 1))
+        occ = np.diff(np.append(starts, hs.shape[0]))
+        return pa.table({
+            "h": pa.array(hs[starts], type=pa.uint64()),
+            "doc_id": pa.array(doc[rs[starts]].astype(object), type=pa.string()),
+            "occ": pa.array(occ.astype(np.int64), type=pa.int64()),
+        })
+
+    partials = seqs.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def per_gram(part: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], type=pa.string()),
+                          "tot": pa.array([], type=pa.int64()),
+                          "dup": pa.array([], type=pa.int64())})
+        if part.num_rows == 0:
+            return empty
+        part = part.sort_by([("h", "ascending"), ("doc_id", "ascending")])
+        pair_starts = run_starts(part, ["h", "doc_id"])
+        occ = np.add.reduceat(
+            part.column("occ").to_numpy(zero_copy_only=False), pair_starts)
+        h = part.column("h").to_numpy(zero_copy_only=False)[pair_starts]
+        doc = part.column("doc_id").to_pandas().to_numpy()[pair_starts]
+        g_starts = np.concatenate(([0], np.nonzero(h[1:] != h[:-1])[0] + 1))
+        ndocs = np.diff(np.append(g_starts, h.shape[0]))
+        dup_flag = np.repeat(ndocs >= 2, ndocs)
+        # collapse to per-doc partials inside the partition
+        order = np.lexsort((doc,))
+        doc, occ, dup_flag = doc[order], occ[order], dup_flag[order]
+        d_starts = np.concatenate(
+            ([0], np.nonzero(doc[1:] != doc[:-1])[0] + 1))
+        tot = np.add.reduceat(occ, d_starts)
+        dup = np.add.reduceat(np.where(dup_flag, occ, 0), d_starts)
+        return pa.table({
+            "doc_id": pa.array(doc[d_starts].astype(object), type=pa.string()),
+            "tot": pa.array(tot, type=pa.int64()),
+            "dup": pa.array(dup, type=pa.int64()),
+        })
+
+    per_doc_partials = partition_apply(partials, ["h"], per_gram,
+                                       num_partitions=num_partitions)
+
+    def per_doc(part: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], type=pa.string()),
+                          "n_grams": pa.array([], type=pa.int64()),
+                          "n_dup": pa.array([], type=pa.int64()),
+                          "dup_frac": pa.array([], type=pa.float64())})
+        if part.num_rows == 0:
+            return empty
+        part = part.sort_by([("doc_id", "ascending")])
+        starts = run_starts(part, ["doc_id"])
+        tot = np.add.reduceat(part.column("tot").to_numpy(zero_copy_only=False), starts)
+        dup = np.add.reduceat(part.column("dup").to_numpy(zero_copy_only=False), starts)
+        return pa.table({
+            "doc_id": part.column("doc_id").take(pa.array(starts, type=pa.int64())),
+            "n_grams": pa.array(tot, type=pa.int64()),
+            "n_dup": pa.array(dup, type=pa.int64()),
+            "dup_frac": pa.array(dup.astype(np.float64) / tot.astype(np.float64),
+                                 type=pa.float64()),
+        })
+
+    return partition_apply(per_doc_partials, ["doc_id"], per_doc,
+                           num_partitions=num_partitions)

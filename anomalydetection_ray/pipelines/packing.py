@@ -418,3 +418,73 @@ def q11_weighted_sample(sf_dir: str, k: int = 25,
         })
 
     return weights.groupby(_PART).map_groups(pick, batch_format="pyarrow")
+
+
+def span_corruption_batch(batch: pa.Table, noise_pct: int = 15) -> pa.Table:
+    """Q12 kernel — T5-style span-corruption PLAN (Raffel et al. 2020,
+    JMLR 21(140) §3.1.4 "span corruption"): a deterministic hash decides
+    which positions of each token series are noised, and the plan is
+    summarized per (doc, part) as exact integers — masked-token count,
+    contiguous-span count, masked value sum and a position-weighted
+    checksum — so the denoising-objective prep is value-verifiable in SQL.
+
+    mask(doc, i)  <=>  (((doc % 2^32) * 2654435761 + i) % 2^32)
+                        * 2654435761 % 2^32 % 100 < noise_pct
+
+    (the q6_seeded_shuffle Knuth-multiplier family; uint64-safe: every
+    intermediate < 1.2e19).  Map-only, vectorized over the flat buffer."""
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    M32 = np.uint64(0xFFFFFFFF)
+    KNUTH = np.uint64(2654435761)
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.int64)
+    lens = np.diff(offsets)
+    nrows = lens.shape[0]
+    doc = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy(
+        zero_copy_only=False).astype(np.uint64)
+    row_of = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+    i_in = (np.arange(v.shape[0], dtype=np.int64)
+            - np.repeat(offsets[:-1], lens)).astype(np.uint64)
+    h = ((doc[row_of] & M32) * KNUTH + i_in) & M32
+    h = (h * KNUTH) & M32
+    masked = (h % np.uint64(100)) < np.uint64(noise_pct)
+    n_masked = np.zeros(nrows, dtype=np.int64)
+    np.add.at(n_masked, row_of[masked], 1)
+    starts = masked.copy()
+    if masked.shape[0] > 1:
+        inner = masked[1:] & masked[:-1] & (row_of[1:] == row_of[:-1])
+        starts[1:] &= ~inner
+    n_spans = np.zeros(nrows, dtype=np.int64)
+    np.add.at(n_spans, row_of[starts], 1)
+    msum = np.zeros(nrows, dtype=np.int64)
+    np.add.at(msum, row_of[masked], v[masked])
+    mchk = np.zeros(nrows, dtype=np.int64)
+    np.add.at(mchk, row_of[masked],
+              (i_in[masked].astype(np.int64) + 1) * v[masked])
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "n": pa.array(lens, type=pa.int64()),
+        "n_masked": pa.array(n_masked, type=pa.int64()),
+        "n_spans": pa.array(n_spans, type=pa.int64()),
+        "masked_sum": pa.array(msum, type=pa.int64()),
+        "mask_checksum": pa.array(mchk, type=pa.int64()),
+    })
+
+
+def q12_span_corruption(sf_dir: str):
+    """Q12 — the span-corruption plan summary over the tokenized corpus."""
+    import ray.data
+
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.sources.tokenize import tokenize_batch
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "source"])
+    seqs = docs.map_batches(tokenize_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return validated(seqs).map_batches(
+        span_corruption_batch, batch_format="pyarrow", zero_copy_batch=True)

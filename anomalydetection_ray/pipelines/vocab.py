@@ -591,3 +591,84 @@ def t12_source_vocab_jaccard(sf_dir: str, num_partitions: int = 16):
 
     return (partials.map_batches(tag_all, batch_format="pyarrow")
             .groupby("_g").map_groups(finish, batch_format="pyarrow"))
+
+
+def _tok_count_partial(batch: pa.Table) -> pa.Table:
+    """Per-block (source, token, cnt) partials over the tokenized corpus —
+    the bounded-domain relation (sources x DEFAULT_VOCAB) every block
+    collapses to before any exchange."""
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    lens = np.diff(offsets)
+    src = batch.column("source")
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    codes, uniq_src = src.to_pandas().factorize()
+    key = (np.repeat(codes.astype(np.int64), lens) << 17) | vals.astype(np.int64)
+    uk, cnt = np.unique(key, return_counts=True)
+    return pa.table({
+        "source": pa.array(uniq_src[(uk >> 17)].astype(object), type=pa.string()),
+        "v": pa.array(uk & 0x1FFFF, type=pa.int32()),
+        "cnt": pa.array(cnt.astype(np.int64), type=pa.int64()),
+    })
+
+
+def v11_coverage_curve(sf_dir: str, num_partitions: int = 8):
+    """V11 — vocabulary coverage curve per source: the smallest number of
+    token types (ordered by count desc, token asc) covering >= 50 / 90 /
+    99 % of all token occurrences — the tokenizer-audit statistic behind
+    'how big a vocab do we actually need'.  Per-block partials collapse to
+    the bounded (source, token) domain before ONE exchange on source; the
+    per-partition kernel merges partials with reduceat and walks each
+    source's sorted cumsum with searchsorted — all exact integers
+    (coverage test: 100*cum >= p*total)."""
+    import ray.data
+
+    from anomalydetection_ray.sources.tokenize import tokenize_batch
+    from anomalydetection_ray.stages.runs import partition_apply, run_starts
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "source"])
+    partials = docs.map_batches(tokenize_batch, batch_format="pyarrow",
+                                zero_copy_batch=True).map_batches(
+        _tok_count_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(part: pa.Table) -> pa.Table:
+        out = {"source": [], "n_types": [], "total_tokens": [],
+               "k50": [], "k90": [], "k99": []}
+        if part.num_rows:
+            part = part.sort_by([("source", "ascending"), ("v", "ascending")])
+            starts = run_starts(part, ["source", "v"])
+            cnt = np.add.reduceat(
+                part.column("cnt").to_numpy(zero_copy_only=False), starts)
+            v = part.column("v").to_numpy(zero_copy_only=False)[starts]
+            src = part.column("source").to_pandas().to_numpy()[starts]
+            s_starts = np.concatenate(
+                ([0], np.nonzero(src[1:] != src[:-1])[0] + 1))
+            s_lens = np.diff(np.append(s_starts, src.shape[0]))
+            for si, sl in zip(s_starts, s_lens):      # bounded: one per source
+                c = cnt[si:si + sl]
+                t = v[si:si + sl]
+                order = np.lexsort((t, -c))
+                cum = np.cumsum(c[order]) * 100
+                tot = int(c.sum())
+                out["source"].append(src[si])
+                out["n_types"].append(int(sl))
+                out["total_tokens"].append(tot)
+                for p, col in ((50, "k50"), (90, "k90"), (99, "k99")):
+                    out[col].append(int(np.searchsorted(cum, p * tot,
+                                                        side="left")) + 1)
+        return pa.table({
+            "source": pa.array(out["source"], type=pa.string()),
+            "n_types": pa.array(out["n_types"], type=pa.int64()),
+            "total_tokens": pa.array(out["total_tokens"], type=pa.int64()),
+            "k50": pa.array(out["k50"], type=pa.int64()),
+            "k90": pa.array(out["k90"], type=pa.int64()),
+            "k99": pa.array(out["k99"], type=pa.int64()),
+        })
+
+    return partition_apply(partials, ["source"], kernel,
+                           num_partitions=num_partitions)

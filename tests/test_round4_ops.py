@@ -524,3 +524,105 @@ def test_trend_tests_match_bruteforce(ray_session):
             assert g2["slope_med"] == slopes[(len(slopes) - 1) // 2]
             assert g2["slope_min"] == slopes[0]
             assert g2["slope_max"] == slopes[-1]
+
+
+# ---------------------------------------------------------------- Q12 ----
+def test_span_corruption_matches_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["q12_span_corruption"](SF).to_pandas()
+           .set_index(["doc_id", "part_id"]).sort_index())
+
+    from anomalydetection_ray.sources.tokenize import tokenize_batch
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    tok = tokenize_batch(docs)
+    M = 1 << 32
+    checked = 0
+    for row in tok.to_pylist()[:40]:
+        v = [int(x) for x in row["tokens"]]
+        d = int(row["doc_id"])
+        masked = [((((d % M) * 2654435761 + i) % M) * 2654435761 % M) % 100 < 15
+                  for i in range(len(v))]
+        n_spans = sum(1 for i, m in enumerate(masked)
+                      if m and (i == 0 or not masked[i - 1]))
+        g = got.loc[(row["doc_id"], 0)]
+        assert g["n"] == len(v)
+        assert g["n_masked"] == sum(masked)
+        assert g["n_spans"] == n_spans
+        assert g["masked_sum"] == sum(x for x, m in zip(v, masked) if m)
+        assert g["mask_checksum"] == sum((i + 1) * x for i, (x, m)
+                                         in enumerate(zip(v, masked)) if m)
+        checked += 1
+    assert checked == 40
+
+
+# ---------------------------------------------------------------- V11 ----
+def test_coverage_curve_matches_bruteforce(ray_session):
+    import collections
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["v11_coverage_curve"](SF).to_pandas()
+           .set_index("source").sort_index())
+
+    from anomalydetection_ray.sources.tokenize import tokenize_batch
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    tok = tokenize_batch(docs)
+    per_src = collections.defaultdict(collections.Counter)
+    for row in tok.to_pylist():
+        per_src[row["source"]].update(int(x) for x in row["tokens"])
+    assert len(got) == len(per_src)
+    for src, c in per_src.items():
+        ordered = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        tot = sum(c.values())
+        g = got.loc[src]
+        assert g["n_types"] == len(c) and g["total_tokens"] == tot
+        for p, col in ((50, "k50"), (90, "k90"), (99, "k99")):
+            cum = 0
+            for k, (_, cnt) in enumerate(ordered, start=1):
+                cum += cnt
+                if cum * 100 >= p * tot:
+                    assert g[col] == k
+                    break
+
+
+# ---------------------------------------------------------------- T14 ----
+def test_dup_ngram_fraction_matches_bruteforce(ray_session):
+    import collections
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["t14_dup_ngram_fraction"](SF).to_pandas()
+           .set_index("doc_id").sort_index())
+
+    from anomalydetection_ray.sources.tokenize import tokenize_batch
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    tok = tokenize_batch(docs)
+    M = 1 << 64
+    gram_docs = collections.defaultdict(set)
+    per_doc = {}
+    for row in tok.to_pylist():
+        v = [int(x) for x in row["tokens"]]
+        grams = []
+        for i in range(len(v) - 7):
+            h = v[i]
+            for j in range(1, 8):
+                h = (h * 1000003 + v[i + j]) % M
+            grams.append(h)
+            gram_docs[h].add(row["doc_id"])
+        per_doc[row["doc_id"]] = grams
+    n_expected = sum(1 for g in per_doc.values() if g)
+    assert len(got) == n_expected
+    for doc, grams in list(per_doc.items())[:60]:
+        if not grams:
+            continue
+        dup = sum(1 for h in grams if len(gram_docs[h]) >= 2)
+        g = got.loc[doc]
+        assert g["n_grams"] == len(grams) and g["n_dup"] == dup
+        assert g["dup_frac"] == float(dup) / float(len(grams))
