@@ -508,6 +508,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j1_broadcast_join": q.j1_broadcast_join,
         "j3_join_agg": q.j3_join_agg,
         "j4_asof_join": q.j4_asof_join,
+        # J11 forward as-of join (next checkpoint at-or-after each event)
+        "j11_asof_forward": q.j11_asof_forward,
         # W1/W2/W3/J5 timeseries window family (pipelines/windows.py)
         "w1_sessionize_events": wnd.w1_sessionize_events,
         "w2_lag_features_events": wnd.w2_lag_features_events,
@@ -2540,6 +2542,30 @@ def oracle_sql() -> dict[str, str]:
                    c.calib_value, c.calib_event_id
             FROM events e ASOF LEFT JOIN cp c
               ON e.event_type = c.event_type AND e.ts >= c.ts
+        """,
+        # J11 forward as-of: earliest checkpoint at-or-after, equal-ts
+        # ties to the smallest calib_event_id (the engine's tiebreak sort)
+        "j11_asof_forward": """
+            WITH ranked AS (
+              SELECT event_id, event_type, ts, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id) AS rn
+              FROM events),
+            cp AS (SELECT event_id AS calib_event_id, event_type, ts,
+                          value AS calib_value
+                   FROM ranked WHERE (rn - 1) % 50 = 0),
+            j AS (SELECT e.event_id,
+                         c.calib_value, c.calib_event_id,
+                         row_number() OVER (PARTITION BY e.event_id
+                                            ORDER BY c.ts,
+                                                     c.calib_event_id)
+                             AS jrn
+                  FROM events e JOIN cp c
+                    ON c.event_type = e.event_type AND c.ts >= e.ts)
+            SELECT e.event_id, e.event_type, e.value,
+                   j.calib_value, j.calib_event_id
+            FROM events e LEFT JOIN j
+              ON j.event_id = e.event_id AND j.jrn = 1
         """,
         # W1 sessionize: classic gaps-and-islands — break on lag gap > 12
         # h (driver events are hours apart per user), island id by running

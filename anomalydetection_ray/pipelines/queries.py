@@ -231,6 +231,50 @@ def j4_asof_join(sf_dir: str):
         ["event_id", "event_type", "value", "calib_value", "calib_event_id"])
 
 
+def j11_asof_forward(sf_dir: str):
+    """J11 — FORWARD as-of join (J4's mirror): every event picks up the
+    EARLIEST per-type calibration checkpoint with checkpoint.ts >=
+    event.ts — the next-maintenance / next-rebalance lookup.  Same
+    one-exchange co-partition layout as J4 (stages/join.py asof_attach,
+    direction="forward"); equal-ts checkpoints resolve deterministically
+    to the smallest calib_event_id via the tiebreak sort key, which the
+    oracle mirrors with an explicit (ts, calib_event_id) row_number."""
+    import functools
+
+    from anomalydetection_ray.stages.join import asof_attach
+    from anomalydetection_ray.stages.runs import PKEY, add_partition_key, run_starts
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+
+    def cp_kernel(group: pa.Table) -> pa.Table:
+        group = group.drop_columns([PKEY]).sort_by(
+            [("event_type", "ascending"), ("ts", "ascending"),
+             ("event_id", "ascending")])
+        starts = run_starts(group, ["event_type"])
+        n = group.num_rows
+        counts = np.diff(np.append(starts, n))
+        rank = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+        keep = np.flatnonzero(rank % 50 == 0)
+        cp = group.take(pa.array(keep, type=pa.int64()))
+        return pa.table({
+            "event_type": cp.column("event_type"),
+            "ts": cp.column("ts"),
+            "calib_event_id": cp.column("event_id"),
+            "calib_value": cp.column("value"),
+        })
+
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["event_type"], num_partitions=8),
+        batch_format="pyarrow", zero_copy_batch=True)
+    checkpoints = tagged.groupby(PKEY).map_groups(cp_kernel, batch_format="pyarrow")
+
+    joined = asof_attach(ev, checkpoints, by="event_type", on="ts",
+                         payload_cols=["calib_value", "calib_event_id"],
+                         direction="forward", tiebreak="calib_event_id")
+    return joined.select_columns(
+        ["event_id", "event_type", "value", "calib_value", "calib_event_id"])
+
+
 # ---------------------------------------------------------------- G3 ----
 def g3_quantiles_nchars(sf_dir: str):
     """Per-source n_chars quantiles (linear interpolation == DuckDB

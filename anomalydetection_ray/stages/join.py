@@ -99,11 +99,17 @@ def _ts_i64(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
 
 
 def asof_attach(left_ds, right_ds, by: str, on: str,
-                payload_cols: list[str], num_partitions: int = 32):
+                payload_cols: list[str], num_partitions: int = 32,
+                direction: str = "backward", tiebreak: str | None = None):
     """J4 — distributed backward as-of join (the timeseries lookup: for
     every left row, the payload of the LATEST right row with
     ``right.on <= left.on`` in the same ``by`` group; nulls when no right
     row precedes — ``ASOF LEFT JOIN`` semantics, DuckDB's spelling).
+    ``direction="forward"`` flips the inequality: the EARLIEST right row
+    with ``right.on >= left.on`` (the next-checkpoint lookup).  With
+    ``tiebreak`` (a payload column name), equal-``on`` right rows resolve
+    deterministically — forward picks the smallest tiebreak, backward the
+    largest — instead of the documented arbitrary-pick.
 
     Layout mirrors ``copartition_attach``: both sides hash-partitioned on
     ``by`` into the same ``_pkey``, unioned into ONE exchange, resolved
@@ -162,7 +168,13 @@ def asof_attach(left_ds, right_ds, by: str, on: str,
         lcode, rcode = codes_all[: left.num_rows], codes_all[left.num_rows:]
         lts = _ts_i64(left.column(on))
         rts = _ts_i64(right.column(on))
-        order = np.lexsort((rts, rcode))
+        if tiebreak is not None:
+            rtb = right.column(tiebreak)
+            if isinstance(rtb, pa.ChunkedArray):
+                rtb = rtb.combine_chunks()
+            order = np.lexsort((np.asarray(rtb), rts, rcode))
+        else:
+            order = np.lexsort((rts, rcode))
         rcode_s, rts_s = rcode[order], rts[order]
         # match[i] = index into sorted right of the as-of row, -1 = none
         match = np.full(left.num_rows, -1, dtype=np.int64)
@@ -172,8 +184,13 @@ def asof_attach(left_ds, right_ds, by: str, on: str,
             if lo == hi:
                 continue
             lmask = np.flatnonzero(lcode == code)
-            pos = np.searchsorted(rts_s[lo:hi], lts[lmask], side="right") - 1
-            ok = pos >= 0
+            if direction == "forward":
+                pos = np.searchsorted(rts_s[lo:hi], lts[lmask], side="left")
+                ok = pos < (hi - lo)
+            else:
+                pos = np.searchsorted(rts_s[lo:hi], lts[lmask],
+                                      side="right") - 1
+                ok = pos >= 0
             match[lmask[ok]] = lo + pos[ok]
         matched = match >= 0
         take_idx = np.where(matched, order[np.where(matched, match, 0)], -1)

@@ -197,3 +197,69 @@ def test_asof_attach_matches_merge_asof(ray_session):
     pd.testing.assert_series_equal(
         got["payload"].astype("float64"), exp["payload"].astype("float64"))
     pd.testing.assert_frame_equal(got[["k", "t", "val"]], exp[["k", "t", "val"]])
+
+
+def test_asof_attach_forward_matches_merge_asof(ray_session):
+    """direction='forward' == pandas merge_asof(direction='forward') on the
+    same adversarial table (nulls past the last right row, duplicate left
+    timestamps, an orphan key).  Right side has unique (k, t) so pandas'
+    arbitrary-equal-ts pick cannot diverge from ours."""
+    import pandas as pd
+    import ray.data
+
+    from anomalydetection_ray.stages.join import asof_attach
+
+    rng = np.random.default_rng(13)
+    n = 4000
+    left = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c", "orphan"], n),
+        "t": rng.integers(0, 10_000, n).astype("datetime64[us]"),
+        "val": rng.integers(0, 1000, n),
+    })
+    left.loc[left.index[:5], "t"] = left["t"].iloc[5]
+    nr = 300
+    right = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], nr),
+        "t": rng.integers(500, 9_500, nr).astype("datetime64[us]"),
+    })
+    right = right.drop_duplicates(["k", "t"]).reset_index(drop=True)
+    right["payload"] = np.arange(len(right), dtype=np.int64)
+
+    lds = ray.data.from_arrow(pa.Table.from_pandas(left)).repartition(6)
+    rds = ray.data.from_arrow(pa.Table.from_pandas(right)).repartition(3)
+    got = (asof_attach(lds, rds, by="k", on="t", payload_cols=["payload"],
+                       num_partitions=4, direction="forward")
+           .to_pandas().sort_values(["k", "t", "val"]).reset_index(drop=True))
+
+    exp = pd.merge_asof(left.sort_values("t"), right.sort_values("t"),
+                        on="t", by="k", direction="forward")
+    exp = exp.sort_values(["k", "t", "val"]).reset_index(drop=True)
+    assert got["payload"].isna().equals(exp["payload"].isna())
+    pd.testing.assert_series_equal(
+        got["payload"].astype("float64"), exp["payload"].astype("float64"))
+
+
+def test_asof_attach_forward_tiebreak(ray_session):
+    """Equal-``on`` right rows resolve to the SMALLEST tiebreak payload in
+    forward mode — the deterministic contract j11's oracle depends on."""
+    import pandas as pd
+    import ray.data
+
+    left = pd.DataFrame({"k": ["a", "a"], "t": np.array([5, 20]).astype("datetime64[us]"),
+                         "val": [0, 1]})
+    right = pd.DataFrame({"k": ["a"] * 3,
+                          "t": np.array([10, 10, 10]).astype("datetime64[us]"),
+                          "payload": np.array([7, 3, 9], dtype=np.int64)})
+    lds = ray.data.from_arrow(pa.Table.from_pandas(left))
+    rds = ray.data.from_arrow(pa.Table.from_pandas(right))
+    got = (asof_attach_import()(lds, rds, by="k", on="t",
+                                payload_cols=["payload"], num_partitions=2,
+                                direction="forward", tiebreak="payload")
+           .to_pandas().sort_values("val").reset_index(drop=True))
+    assert got.loc[0, "payload"] == 3       # earliest >= 5 at t=10, min tiebreak
+    assert pd.isna(got.loc[1, "payload"])   # nothing at-or-after t=20
+
+
+def asof_attach_import():
+    from anomalydetection_ray.stages.join import asof_attach
+    return asof_attach
