@@ -625,6 +625,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s18_partition_pruning": q.s18_partition_pruning,
         # W25 per-key volatility (median/MAD of absolute deltas)
         "w25_volatility": wnd.w25_volatility,
+        # W27 per-user longest strictly-increasing value streak
+        # (gaps-and-islands run structure, reduceat kernel)
+        "w27_monotone_streaks": wnd.w27_monotone_streaks,
+        # G19 trailing 7-day rolling DISTINCT users per (type, day):
+        # pre-distinct -> bounded x7 fan-out -> run-boundary count
+        "g19_rolling_distinct": q.g19_rolling_distinct,
+        # A35 exact integer-twiddle DFT power (periods 2 & 4) over
+        # per-type daily cent totals: seasonality-strength screen
+        "a35_seasonal_energy": q.a35_seasonal_energy,
         # C4 composed curation: exact dedup -> sequence packing
         "c4_dedup_packing": pk.c4_dedup_packing,
         # T8 signup-cohort 7-day purchase retention
@@ -3684,6 +3693,78 @@ def oracle_sql() -> dict[str, str]:
             FROM d JOIN m USING (user_id)
             WHERE d.ad IS NOT NULL
             GROUP BY m.user_id, m.n_deltas, m.med_abs_delta
+        """,
+        # W27 monotone streaks: gaps-and-islands — island id = rn -
+        # running count of is-increase flags; lengths by GROUP BY
+        "w27_monotone_streaks": """
+            WITH s AS (
+              SELECT user_id,
+                     row_number() OVER w AS rn,
+                     CASE WHEN value > lag(value) OVER w
+                          THEN 1 ELSE 0 END AS inc
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            g AS (
+              SELECT user_id, rn,
+                     rn - CAST(sum(inc) OVER (PARTITION BY user_id
+                                              ORDER BY rn) AS BIGINT)
+                         AS grp
+              FROM s),
+            r AS MATERIALIZED (
+              SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+              FROM g GROUP BY user_id, grp)
+            SELECT user_id,
+                   CAST(sum(len) AS BIGINT) AS n_events,
+                   CAST(max(len) AS BIGINT) AS longest_streak,
+                   CAST(sum(CASE WHEN len >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_up_runs
+            FROM r GROUP BY user_id
+        """,
+        # G19 rolling distinct: DISTINCT triples joined to the observed
+        # day grid with a trailing BETWEEN window
+        "g19_rolling_distinct": """
+            WITH tri AS (
+              SELECT DISTINCT event_type,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     user_id
+              FROM events),
+            dg AS (SELECT DISTINCT event_type, day FROM tri)
+            SELECT dg.event_type, dg.day,
+                   CAST(count(DISTINCT t.user_id) AS BIGINT) AS u7
+            FROM dg JOIN tri t
+              ON t.event_type = dg.event_type
+             AND t.day BETWEEN dg.day - 6 AND dg.day
+            GROUP BY dg.event_type, dg.day
+        """,
+        # A35 seasonal energy: integer twiddle factors (cos/sin of 90-
+        # degree multiples) make the period-2/4 DFT sums exact BIGINTs;
+        # powers are the pinned double products
+        "a35_seasonal_energy": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+              FROM events),
+            d AS MATERIALIZED (
+              SELECT event_type, day, CAST(sum(v100) AS BIGINT) AS x
+              FROM e GROUP BY event_type, day),
+            a AS (
+              SELECT event_type,
+                     CAST(count(*) AS BIGINT) AS n_days,
+                     CAST(sum(CASE WHEN day % 2 = 0 THEN x ELSE -x END)
+                          AS BIGINT) AS s_alt,
+                     CAST(sum(CASE WHEN day % 4 = 0 THEN x
+                                   WHEN day % 4 = 2 THEN -x
+                                   ELSE 0 END) AS BIGINT) AS c4,
+                     CAST(sum(CASE WHEN day % 4 = 1 THEN x
+                                   WHEN day % 4 = 3 THEN -x
+                                   ELSE 0 END) AS BIGINT) AS s4
+              FROM d GROUP BY event_type)
+            SELECT event_type, n_days, s_alt, c4, s4,
+                   CAST(s_alt AS DOUBLE) * CAST(s_alt AS DOUBLE) AS p2,
+                   CAST(c4 AS DOUBLE) * CAST(c4 AS DOUBLE)
+                     + CAST(s4 AS DOUBLE) * CAST(s4 AS DOUBLE) AS p4
+            FROM a
         """,
         # G23 partition skew: exact bucket counts under the Knuth hash;
         # share and skew factor are pinned divisions

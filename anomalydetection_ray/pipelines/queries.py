@@ -4171,3 +4171,162 @@ def s18_partition_pruning(sf_dir: str, offset_days: int = 10,
         })
 
     return pruned.groupby("day").map_groups(merge, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- G19 ----
+def g19_rolling_distinct(sf_dir: str, window_days: int = 7,
+                         num_partitions: int = 16):
+    """G19 — trailing rolling distinct: per (event_type, day), the count
+    of DISTINCT users active in the trailing ``window_days``-day window
+    — the "7-day actives per surface" metric every engagement dashboard
+    leads with, and the classic hard case for windowed aggregation
+    (distinct does not decompose like sum).
+
+    Scale shape: per-block pre-distinct shrinks the first exchange to
+    unique (type, day, user) triples; each triple then fans out to the
+    <= ``window_days`` output days it contributes to (bounded x7 blowup,
+    filtered against the observed day grid — a types x span-days
+    broadcast, bounded by TIME not data size); one second exchange on
+    (type, out_day) and a vectorized run-boundary distinct count.  No
+    per-user state, no per-group Python.  Oracle: DISTINCT triples
+    joined to the day grid with BETWEEN, count(DISTINCT)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from anomalydetection_ray.stages.runs import (
+        keep_first_by, partition_apply, run_starts)
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "user_id"])
+
+    def to_triples(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()), dtype=np.int64)
+        day = us // 86_400_000_000
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(day, type=pa.int64()),
+                      "user_id": batch.column("user_id")})
+        return t.group_by(["event_type", "day", "user_id"]).aggregate([])
+
+    pre = ds.map_batches(to_triples, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    triples = keep_first_by(pre, keys=["event_type", "day", "user_id"],
+                            num_partitions=num_partitions)
+
+    # observed (type, day) grid — bounded by types * span-days, the one
+    # justified tiny materialize (same contract as a29's day grid)
+    grid = (pre.map_batches(
+                lambda b: pa.table({"event_type": b.column("event_type"),
+                                    "day": b.column("day")})
+                .group_by(["event_type", "day"]).aggregate([]),
+                batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["event_type", "day"]).count())
+    gtbl = grid.take_all()
+    types = sorted({r["event_type"] for r in gtbl})
+    tcode = {t: i for i, t in enumerate(types)}
+    observed = np.unique(np.array(
+        [tcode[r["event_type"]] * 1_000_000 + r["day"] for r in gtbl],
+        dtype=np.int64))
+
+    def expand(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"event_type": pa.array([], type=pa.string()),
+                             "day": pa.array([], type=pa.int64()),
+                             "user_id": pa.array([], type=pa.int64())})
+        et = batch.column("event_type").to_pandas()
+        code = pd.Categorical(et, categories=types).codes.astype(np.int64)
+        day = np.asarray(batch.column("day"), dtype=np.int64)
+        uid = np.asarray(batch.column("user_id"), dtype=np.int64)
+        w = window_days
+        out_day = (day[:, None] + np.arange(w, dtype=np.int64)).ravel()
+        out_code = np.repeat(code, w)
+        out_uid = np.repeat(uid, w)
+        keep = np.isin(out_code * 1_000_000 + out_day, observed)
+        out_code, out_day, out_uid = out_code[keep], out_day[keep], out_uid[keep]
+        ets = pa.array(np.array(types, dtype=object)[out_code],
+                       type=pa.string())
+        return pa.table({"event_type": ets,
+                         "day": pa.array(out_day, type=pa.int64()),
+                         "user_id": pa.array(out_uid, type=pa.int64())})
+
+    contrib = triples.map_batches(expand, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    def kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"event_type": pa.array([], type=pa.string()),
+                             "day": pa.array([], type=pa.int64()),
+                             "u7": pa.array([], type=pa.int64())})
+        part = part.sort_by([("event_type", "ascending"),
+                             ("day", "ascending"),
+                             ("user_id", "ascending")])
+        s3 = run_starts(part, ["event_type", "day", "user_id"])
+        dd = part.take(pa.array(s3, type=pa.int64()))
+        s2 = run_starts(dd, ["event_type", "day"])
+        lens = np.diff(np.append(s2, dd.num_rows))
+        head = dd.take(pa.array(s2, type=pa.int64()))
+        return pa.table({"event_type": head.column("event_type"),
+                         "day": head.column("day"),
+                         "u7": pa.array(lens, type=pa.int64())})
+
+    return partition_apply(contrib, ["event_type", "day"], kernel,
+                           num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------- A35 ----
+def a35_seasonal_energy(sf_dir: str):
+    """A35 — exact spectral energy at periods 2 and 4 over each event
+    type's daily cent-value totals: the DFT power at the two frequencies
+    whose twiddle factors are EXACT INTEGERS (cos/sin of multiples of
+    90 degrees are in {-1, 0, 1}), so "is there an every-other-day or
+    4-day cycle?" becomes pure int64 arithmetic with a bitwise SQL
+    oracle — the seasonality-strength screen next to A8's
+    period-decomposition and A26's ACF.
+
+    Scale shape: per-block (type, day) sum partials -> one exchange on a
+    (types x span-days)-bounded key -> a per-TYPE finalize (bounded
+    groups) holding only the daily grid.  Powers are the three pinned
+    float ops on exact-int Fourier sums."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()), dtype=np.int64)
+        day = us // 86_400_000_000
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        v100 = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(day, type=pa.int64()),
+                      "v100": pa.array(v100, type=pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate([("v100", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "x": g.column("v100_sum").cast(pa.int64())})
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["event_type", "day"]).sum("x"))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        day = np.asarray(group.column("day"), dtype=np.int64)
+        x = np.asarray(group.column("sum(x)"), dtype=np.int64)
+        # exact Fourier sums at integer twiddles (python-int combine)
+        s_alt = sum(int(xi) if d % 2 == 0 else -int(xi)
+                    for d, xi in zip(day.tolist(), x.tolist()))
+        c4 = sum(int(xi) if d % 4 == 0 else (-int(xi) if d % 4 == 2 else 0)
+                 for d, xi in zip(day.tolist(), x.tolist()))
+        s4 = sum(int(xi) if d % 4 == 1 else (-int(xi) if d % 4 == 3 else 0)
+                 for d, xi in zip(day.tolist(), x.tolist()))
+        p2 = float(s_alt) * float(s_alt)
+        p4 = float(c4) * float(c4) + float(s4) * float(s4)
+        return pa.table({
+            "event_type": pa.array([et], type=pa.string()),
+            "n_days": pa.array([group.num_rows], type=pa.int64()),
+            "s_alt": pa.array([s_alt], type=pa.int64()),
+            "c4": pa.array([c4], type=pa.int64()),
+            "s4": pa.array([s4], type=pa.int64()),
+            "p2": pa.array([p2], type=pa.float64()),
+            "p4": pa.array([p4], type=pa.float64()),
+        })
+
+    return daily.groupby("event_type").map_groups(
+        finalize, batch_format="pyarrow")

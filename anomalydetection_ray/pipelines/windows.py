@@ -2038,3 +2038,61 @@ def w26_burstiness(sf_dir: str, num_partitions: int = 16):
         batch_format="pyarrow", zero_copy_batch=True)
     return tagged.groupby(PKEY).map_groups(_burstiness_kernel,
                                            batch_format="pyarrow")
+
+
+def _monotone_streak_kernel(group: pa.Table) -> pa.Table:
+    """Per-partition longest strictly-increasing value streak per user.
+    One sort, one shifted compare, two reduceat passes — no per-row or
+    per-group Python.  A streak is a maximal run of consecutive events
+    (ts order) with value[i] > value[i-1]; a lone event is a streak of
+    length 1; equal values break the streak."""
+    group = group.drop_columns([PKEY]).sort_by(
+        [("user_id", "ascending"), ("ts", "ascending"),
+         ("event_id", "ascending")])
+    n = group.num_rows
+    if n == 0:
+        return pa.table({
+            "user_id": pa.array([], type=pa.int64()),
+            "n_events": pa.array([], type=pa.int64()),
+            "longest_streak": pa.array([], type=pa.int64()),
+            "n_up_runs": pa.array([], type=pa.int64()),
+        })
+    uid = np.asarray(group.column("user_id"), dtype=np.int64)
+    v = np.asarray(group.column("value"), dtype=np.float64)
+    inc = np.zeros(n, dtype=bool)
+    inc[1:] = (uid[1:] == uid[:-1]) & (v[1:] > v[:-1])
+    rstarts = np.flatnonzero(~inc)              # every streak start
+    rlens = np.diff(np.append(rstarts, n))
+    run_uid = uid[rstarts]
+    ustarts = np.flatnonzero(np.concatenate(
+        ([True], run_uid[1:] != run_uid[:-1])))
+    return pa.table({
+        "user_id": pa.array(run_uid[ustarts], type=pa.int64()),
+        "n_events": pa.array(np.add.reduceat(rlens, ustarts),
+                             type=pa.int64()),
+        "longest_streak": pa.array(np.maximum.reduceat(rlens, ustarts),
+                                   type=pa.int64()),
+        "n_up_runs": pa.array(
+            np.add.reduceat((rlens >= 2).astype(np.int64), ustarts),
+            type=pa.int64()),
+    })
+
+
+def w27_monotone_streaks(sf_dir: str, num_partitions: int = 16):
+    """W27 — per-user longest strictly-increasing value streak and count
+    of up-runs: the monotone-momentum screen (how long do a user's
+    successive event values keep climbing?) next to A25's turning-point
+    counts and A33's Mann-Kendall global trend — run-structure rather
+    than rank-structure.
+
+    Scale shape: the standard ONE ``_pkey`` exchange; the kernel is one
+    C-level sort + one shifted compare + ``reduceat`` folds, zero
+    per-group Python.  Oracle: the gaps-and-islands identity — island id
+    = rn - running_sum(is_increase), run lengths by GROUP BY."""
+    ev = _read_events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby(PKEY).map_groups(_monotone_streak_kernel,
+                                           batch_format="pyarrow")

@@ -626,3 +626,81 @@ def test_dup_ngram_fraction_matches_bruteforce(ray_session):
         g = got.loc[doc]
         assert g["n_grams"] == len(grams) and g["n_dup"] == dup
         assert g["dup_frac"] == float(dup) / float(len(grams))
+
+
+# ---------------------------------------------------------------- W27 ----
+def test_monotone_streaks_matches_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.windows import w27_monotone_streaks
+
+    got = (w27_monotone_streaks(SF, num_partitions=5).to_pandas()
+           .set_index("user_id").sort_index())
+
+    ev = (pq.read_table(f"{SF}/events.parquet",
+                        columns=["event_id", "ts", "user_id", "value"])
+          .to_pandas().sort_values(["user_id", "ts", "event_id"]))
+    for uid, g in ev.groupby("user_id"):
+        v = g["value"].to_numpy()
+        longest = best = 1
+        n_up = 0
+        run_had_inc = False
+        for i in range(1, len(v)):
+            if v[i] > v[i - 1]:
+                best += 1
+                if not run_had_inc:
+                    n_up += 1
+                    run_had_inc = True
+            else:
+                best = 1
+                run_had_inc = False
+            longest = max(longest, best)
+        r = got.loc[uid]
+        assert r["n_events"] == len(v)
+        assert r["longest_streak"] == longest
+        assert r["n_up_runs"] == n_up
+    assert len(got) == ev["user_id"].nunique()
+
+
+# ---------------------------------------------------------------- G19 ----
+def test_rolling_distinct_matches_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.queries import g19_rolling_distinct
+
+    got = (g19_rolling_distinct(SF, num_partitions=5).to_pandas()
+           .set_index(["event_type", "day"]).sort_index())
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type", "user_id"]).to_pandas()
+    ev["day"] = (ev["ts"].astype("int64") // 86_400_000_000).astype("int64")
+    tri = ev[["event_type", "day", "user_id"]].drop_duplicates()
+    n_checked = 0
+    for (et, d), _ in tri.groupby(["event_type", "day"]):
+        win = tri[(tri["event_type"] == et)
+                  & (tri["day"].between(d - 6, d))]
+        assert got.loc[(et, d), "u7"] == win["user_id"].nunique()
+        n_checked += 1
+    assert len(got) == n_checked
+
+
+# ---------------------------------------------------------------- A35 ----
+def test_seasonal_energy_matches_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.queries import a35_seasonal_energy
+
+    got = (a35_seasonal_energy(SF).to_pandas()
+           .set_index("event_type").sort_index())
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts", "value"]).to_pandas()
+    ev["day"] = (ev["ts"].astype("int64") // 86_400_000_000).astype("int64")
+    ev["v100"] = np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+    for et, g in ev.groupby("event_type"):
+        d = g.groupby("day")["v100"].sum()
+        s_alt = sum(int(x) if dd % 2 == 0 else -int(x)
+                    for dd, x in d.items())
+        c4 = sum(int(x) if dd % 4 == 0 else (-int(x) if dd % 4 == 2 else 0)
+                 for dd, x in d.items())
+        s4 = sum(int(x) if dd % 4 == 1 else (-int(x) if dd % 4 == 3 else 0)
+                 for dd, x in d.items())
+        r = got.loc[et]
+        assert r["n_days"] == len(d)
+        assert r["s_alt"] == s_alt and r["c4"] == c4 and r["s4"] == s4
+        assert r["p2"] == float(s_alt) * float(s_alt)
+        assert r["p4"] == float(c4) * float(c4) + float(s4) * float(s4)
