@@ -634,6 +634,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A35 exact integer-twiddle DFT power (periods 2 & 4) over
         # per-type daily cent totals: seasonality-strength screen
         "a35_seasonal_energy": q.a35_seasonal_energy,
+        # A36 rescaled-range (R/S, Hurst 1951) long-range-dependence
+        # screen: exact-int cumdev range, one pinned sqrt + division
+        "a36_rescaled_range": q.a36_rescaled_range,
+        # W28 trailing k-row max/min/range envelope per user (order
+        # statistics where W3 is moments; shifted-compare kernel)
+        "w28_rolling_extrema": wnd.w28_rolling_extrema,
+        # W29 out-of-order arrival audit per type (event-time lateness
+        # vs the running high-water mark — watermark tuning stats)
+        "w29_arrival_lateness": wnd.w29_arrival_lateness,
         # C4 composed curation: exact dedup -> sequence packing
         "c4_dedup_packing": pk.c4_dedup_packing,
         # T8 signup-cohort 7-day purchase retention
@@ -3765,6 +3774,81 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c4 AS DOUBLE) * CAST(c4 AS DOUBLE)
                      + CAST(s4 AS DOUBLE) * CAST(s4 AS DOUBLE) AS p4
             FROM a
+        """,
+        # W28 rolling extrema: ROWS k-1 PRECEDING window max/min; the
+        # range subtracts the same two IEEE doubles on both sides
+        "w28_rolling_extrema": """
+            SELECT event_id, user_id, value,
+                   max(value) OVER w AS rmax,
+                   min(value) OVER w AS rmin,
+                   max(value) OVER w - min(value) OVER w AS rrange
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        # W29 arrival lateness: running event-time high-water mark in
+        # arrival (event_id) order; late = strictly below the mark
+        "w29_arrival_lateness": """
+            WITH c AS (
+              SELECT event_type, epoch_us(ts) AS us,
+                     max(epoch_us(ts)) OVER (
+                         PARTITION BY event_type ORDER BY event_id
+                         ROWS UNBOUNDED PRECEDING) AS rmax
+              FROM events),
+            a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+                  FROM c GROUP BY event_type),
+            l AS (SELECT event_type,
+                         CAST((rmax - us) // 1000000 AS BIGINT) AS late_s
+                  FROM c WHERE us < rmax),
+            m AS (SELECT event_type,
+                         CAST(count(*) AS BIGINT) AS n_late,
+                         CAST(max(late_s) AS BIGINT) AS max_late_s,
+                         CAST(sum(late_s) AS BIGINT) AS sum_late_s,
+                         median(late_s) AS med_late_s
+                  FROM l GROUP BY event_type)
+            SELECT a.event_type, a.n_events,
+                   coalesce(m.n_late, 0) AS n_late,
+                   coalesce(m.max_late_s, 0) AS max_late_s,
+                   coalesce(m.sum_late_s, 0) AS sum_late_s,
+                   m.med_late_s
+            FROM a LEFT JOIN m USING (event_type)
+        """,
+        # A36 rescaled range: integer cumdev_i = n*P_i - i*S, integer
+        # range and variance numerator, one pinned sqrt + division
+        "a36_rescaled_range": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+              FROM events),
+            d AS MATERIALIZED (
+              SELECT event_type, day, CAST(sum(v100) AS BIGINT) AS x
+              FROM e GROUP BY event_type, day),
+            c AS (
+              SELECT event_type,
+                     CAST(sum(x) OVER (PARTITION BY event_type
+                                       ORDER BY day) AS BIGINT) AS p,
+                     CAST(row_number() OVER (PARTITION BY event_type
+                                             ORDER BY day) AS BIGINT) AS i
+              FROM d),
+            t AS (SELECT event_type,
+                         CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(x) AS BIGINT) AS s,
+                         CAST(sum(x * x) AS BIGINT) AS q
+                  FROM d GROUP BY event_type),
+            r AS (SELECT c.event_type,
+                         CAST(max(t.n * c.p - c.i * t.s)
+                              - min(t.n * c.p - c.i * t.s) AS BIGINT)
+                             AS r_range
+                  FROM c JOIN t USING (event_type)
+                  GROUP BY c.event_type)
+            SELECT t.event_type, t.n AS n_days, r.r_range,
+                   CAST(t.n * t.q - t.s * t.s AS BIGINT) AS var_num,
+                   CASE WHEN t.n * t.q - t.s * t.s > 0
+                        THEN CAST(r.r_range AS DOUBLE)
+                             / sqrt(CAST(t.n * t.q - t.s * t.s AS DOUBLE))
+                   END AS rs
+            FROM t JOIN r USING (event_type)
         """,
         # G23 partition skew: exact bucket counts under the Knuth hash;
         # share and skew factor are pinned divisions

@@ -4330,3 +4330,69 @@ def a35_seasonal_energy(sf_dir: str):
 
     return daily.groupby("event_type").map_groups(
         finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- A36 ----
+def a36_rescaled_range(sf_dir: str):
+    """A36 — rescaled-range (R/S) statistic per event type over the
+    observed daily cent-total series (Hurst 1951): the range of the
+    mean-adjusted cumulative deviations divided by the standard
+    deviation — the long-range-dependence screen (R/S grows like n^H;
+    H > 0.5 = persistent trends, < 0.5 = mean reversion).
+
+    Everything before the final division is EXACT: with P_i the prefix
+    sum and S/Q the total and sum of squares, the n-scaled deviation
+    cumdev_i = n*P_i - i*S is an integer, R = max(cumdev) - min(cumdev)
+    an integer, and R/S = R / sqrt(n*Q - S^2) is one pinned sqrt + one
+    pinned division (the population-sigma n's cancel).
+
+    Scale shape: A35's — per-block (type, day) partials, one bounded
+    exchange, a per-TYPE finalize holding only the daily grid."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()), dtype=np.int64)
+        day = us // 86_400_000_000
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        v100 = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(day, type=pa.int64()),
+                      "v100": pa.array(v100, type=pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate([("v100", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "x": g.column("v100_sum").cast(pa.int64())})
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["event_type", "day"]).sum("x"))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        import math
+
+        et = group.column("event_type")[0].as_py()
+        order = np.argsort(np.asarray(group.column("day"), dtype=np.int64))
+        x = np.asarray(group.column("sum(x)"), dtype=np.int64)[order]
+        n = int(x.shape[0])
+        xs = [int(v) for v in x.tolist()]           # python-int exactness
+        S = sum(xs)
+        Q = sum(v * v for v in xs)
+        p = 0
+        cumdev = []
+        for i, v in enumerate(xs, start=1):
+            p += v
+            cumdev.append(n * p - i * S)
+        r_range = max(cumdev) - min(cumdev)
+        var_num = n * Q - S * S
+        rs = (float(r_range) / math.sqrt(float(var_num))
+              if var_num > 0 else None)
+        return pa.table({
+            "event_type": pa.array([et], type=pa.string()),
+            "n_days": pa.array([n], type=pa.int64()),
+            "r_range": pa.array([r_range], type=pa.int64()),
+            "var_num": pa.array([var_num], type=pa.int64()),
+            "rs": pa.array([rs], type=pa.float64(), from_pandas=True),
+        })
+
+    return daily.groupby("event_type").map_groups(
+        finalize, batch_format="pyarrow")

@@ -2096,3 +2096,125 @@ def w27_monotone_streaks(sf_dir: str, num_partitions: int = 16):
         batch_format="pyarrow", zero_copy_batch=True)
     return tagged.groupby(PKEY).map_groups(_monotone_streak_kernel,
                                            batch_format="pyarrow")
+
+
+def _rolling_extrema_kernel(group: pa.Table, k: int) -> pa.Table:
+    """Per-partition trailing k-row max/min of value per user: k-1
+    shifted-compare passes (O(k·n) vectorized, no per-row Python) — the
+    monotonic-deque result without the deque."""
+    group = group.drop_columns([PKEY]).sort_by(
+        [("user_id", "ascending"), ("ts", "ascending"),
+         ("event_id", "ascending")])
+    n = group.num_rows
+    if n == 0:
+        return pa.table({
+            "event_id": pa.array([], type=pa.int64()),
+            "user_id": pa.array([], type=pa.int64()),
+            "value": pa.array([], type=pa.float64()),
+            "rmax": pa.array([], type=pa.float64()),
+            "rmin": pa.array([], type=pa.float64()),
+            "rrange": pa.array([], type=pa.float64()),
+        })
+    uid = np.asarray(group.column("user_id"), dtype=np.int64)
+    v = np.asarray(group.column("value"), dtype=np.float64)
+    rmax = v.copy()
+    rmin = v.copy()
+    for j in range(1, k):
+        same = uid[j:] == uid[:-j]       # sorted by user => rank >= j
+        np.maximum(rmax[j:], np.where(same, v[:-j], -np.inf), out=rmax[j:])
+        np.minimum(rmin[j:], np.where(same, v[:-j], np.inf), out=rmin[j:])
+    return pa.table({
+        "event_id": group.column("event_id"),
+        "user_id": group.column("user_id"),
+        "value": group.column("value"),
+        "rmax": pa.array(rmax, type=pa.float64()),
+        "rmin": pa.array(rmin, type=pa.float64()),
+        "rrange": pa.array(rmax - rmin, type=pa.float64()),
+    })
+
+
+def w28_rolling_extrema(sf_dir: str, k: int = 5, num_partitions: int = 16):
+    """W28 — per-event trailing ``k``-row max/min/range of value within
+    the user's stream: the envelope features (breakout / drawdown
+    detection) next to W3's rolling mean-std — order statistics where
+    W3 is moments.
+
+    Scale shape: ONE ``_pkey`` exchange; the kernel replaces the
+    classical monotonic deque with k-1 shifted vectorized compares
+    (O(k·n), zero per-row Python).  Oracle: max/min OVER (... ROWS k-1
+    PRECEDING); the range is the same two IEEE operands subtracted on
+    both sides."""
+    import functools as _ft
+
+    ev = _read_events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby(PKEY).map_groups(
+        _ft.partial(_rolling_extrema_kernel, k=k), batch_format="pyarrow")
+
+
+def w29_arrival_lateness(sf_dir: str):
+    """W29 — out-of-order arrival audit per event type: how late (in
+    event time) do records arrive relative to the running event-time
+    high-water mark, in ARRIVAL order (event_id = generation sequence)?
+    The statistic every streaming watermark / allowed-lateness knob is
+    tuned from.  Outputs per type: event count, late count, max and
+    total lateness seconds, exact-halves median lateness of late rows.
+
+    Scale shape: per-type partition kernel (bounded key domain —
+    event_type, same contract as A29/A35's finalize); inside: one sort
+    by arrival sequence, ``np.maximum.accumulate`` high-water mark,
+    lexsort median.  Oracle: running max() OVER arrival order."""
+    from anomalydetection_ray.stages.runs import partition_apply
+
+    ev = _read_events(sf_dir, ["event_id", "ts", "event_type"])
+
+    def kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({
+                "event_type": pa.array([], type=pa.string()),
+                "n_events": pa.array([], type=pa.int64()),
+                "n_late": pa.array([], type=pa.int64()),
+                "max_late_s": pa.array([], type=pa.int64()),
+                "sum_late_s": pa.array([], type=pa.int64()),
+                "med_late_s": pa.array([], type=pa.float64()),
+            })
+        part = part.sort_by([("event_type", "ascending"),
+                             ("event_id", "ascending")])
+        et = part.column("event_type")
+        us = np.asarray(part.column("ts").cast(pa.int64()), dtype=np.int64)
+        starts = run_starts(part, ["event_type"])
+        n = part.num_rows
+        lens = np.diff(np.append(starts, n))
+        # per-type running event-time high-water mark (bounded run count
+        # — the event_type domain — so the per-run accumulate loop is
+        # O(types) Python, not O(rows))
+        rmax = us.copy()
+        for s, ln in zip(starts.tolist(), lens.tolist()):
+            np.maximum.accumulate(us[s:s + ln], out=rmax[s:s + ln])
+        late = us < rmax
+        late_s = (rmax - us) // 1_000_000
+        out_et, out_n, out_nl, out_mx, out_sm, out_md = [], [], [], [], [], []
+        for j, (s, ln) in enumerate(zip(starts.tolist(), lens.tolist())):
+            sl = slice(s, s + ln)
+            lm = late[sl]
+            ls = late_s[sl][lm]
+            out_et.append(et[s].as_py())
+            out_n.append(ln)
+            out_nl.append(int(lm.sum()))
+            out_mx.append(int(ls.max()) if ls.size else 0)
+            out_sm.append(int(ls.sum()) if ls.size else 0)
+            out_md.append(float(np.median(ls)) if ls.size else None)
+        return pa.table({
+            "event_type": pa.array(out_et, type=pa.string()),
+            "n_events": pa.array(out_n, type=pa.int64()),
+            "n_late": pa.array(out_nl, type=pa.int64()),
+            "max_late_s": pa.array(out_mx, type=pa.int64()),
+            "sum_late_s": pa.array(out_sm, type=pa.int64()),
+            "med_late_s": pa.array(out_md, type=pa.float64(),
+                                   from_pandas=True),
+        })
+
+    return partition_apply(ev, ["event_type"], kernel, num_partitions=8)

@@ -704,3 +704,82 @@ def test_seasonal_energy_matches_bruteforce(ray_session):
         assert r["s_alt"] == s_alt and r["c4"] == c4 and r["s4"] == s4
         assert r["p2"] == float(s_alt) * float(s_alt)
         assert r["p4"] == float(c4) * float(c4) + float(s4) * float(s4)
+
+
+# ---------------------------------------------------------------- W28 ----
+def test_rolling_extrema_matches_pandas(ray_session):
+    from anomalydetection_ray.pipelines.windows import w28_rolling_extrema
+
+    got = (w28_rolling_extrema(SF, k=5, num_partitions=5).to_pandas()
+           .set_index("event_id").sort_index())
+
+    ev = (pq.read_table(f"{SF}/events.parquet",
+                        columns=["event_id", "ts", "user_id", "value"])
+          .to_pandas().sort_values(["user_id", "ts", "event_id"]))
+    g = ev.groupby("user_id")["value"]
+    ev["rmax"] = g.transform(lambda s: s.rolling(5, min_periods=1).max())
+    ev["rmin"] = g.transform(lambda s: s.rolling(5, min_periods=1).min())
+    exp = ev.set_index("event_id").sort_index()
+    assert (got["rmax"] == exp["rmax"]).all()
+    assert (got["rmin"] == exp["rmin"]).all()
+    assert (got["rrange"] == exp["rmax"] - exp["rmin"]).all()
+    assert len(got) == len(exp)
+
+
+# ---------------------------------------------------------------- W29 ----
+def test_arrival_lateness_matches_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.windows import w29_arrival_lateness
+
+    got = (w29_arrival_lateness(SF).to_pandas()
+           .set_index("event_type").sort_index())
+
+    ev = (pq.read_table(f"{SF}/events.parquet",
+                        columns=["event_id", "ts", "event_type"])
+          .to_pandas().sort_values("event_id"))
+    ev["us"] = ev["ts"].astype("int64")
+    for et, g in ev.groupby("event_type"):
+        us = g["us"].to_numpy()
+        rmax = np.maximum.accumulate(us)
+        late = us < rmax
+        ls = (rmax - us)[late] // 1_000_000
+        r = got.loc[et]
+        assert r["n_events"] == len(us)
+        assert r["n_late"] == int(late.sum())
+        assert r["max_late_s"] == (int(ls.max()) if ls.size else 0)
+        assert r["sum_late_s"] == (int(ls.sum()) if ls.size else 0)
+        if ls.size:
+            assert r["med_late_s"] == float(np.median(ls))
+        else:
+            assert np.isnan(r["med_late_s"])
+
+
+# ---------------------------------------------------------------- A36 ----
+def test_rescaled_range_matches_bruteforce(ray_session):
+    import math
+
+    from anomalydetection_ray.pipelines.queries import a36_rescaled_range
+
+    got = (a36_rescaled_range(SF).to_pandas()
+           .set_index("event_type").sort_index())
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts", "value"]).to_pandas()
+    ev["day"] = (ev["ts"].astype("int64") // 86_400_000_000).astype("int64")
+    ev["v100"] = np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+    for et, g in ev.groupby("event_type"):
+        xs = [int(v) for v in g.groupby("day")["v100"].sum().sort_index()]
+        n = len(xs)
+        S = sum(xs)
+        Q = sum(v * v for v in xs)
+        p = 0
+        cumdev = []
+        for i, v in enumerate(xs, start=1):
+            p += v
+            cumdev.append(n * p - i * S)
+        r_range = max(cumdev) - min(cumdev)
+        var_num = n * Q - S * S
+        r = got.loc[et]
+        assert r["n_days"] == n
+        assert r["r_range"] == r_range
+        assert r["var_num"] == var_num
+        assert r["rs"] == float(r_range) / math.sqrt(float(var_num))
