@@ -637,6 +637,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A36 rescaled-range (R/S, Hurst 1951) long-range-dependence
         # screen: exact-int cumdev range, one pinned sqrt + division
         "a36_rescaled_range": q.a36_rescaled_range,
+        # J12 banded temporal join-aggregate (errors preceding each
+        # purchase within a trailing band; searchsorted, no pairs)
+        "j12_band_join_count": q.j12_band_join_count,
+        # S19 gzip'd JSONL round trip (the Common-Crawl-style wire
+        # format): shard-granular gzip both legs, byte-exact aggregates
+        "s19_gzip_jsonl_roundtrip": q.s19_gzip_jsonl_roundtrip,
+        # D9 cross-source duplication matrix (which corpora copy from
+        # which): LSH pairs -> source labels -> bounded-domain rollup
+        "d9_cross_source_matrix": dd.d9_cross_source_matrix,
         # W28 trailing k-row max/min/range envelope per user (order
         # statistics where W3 is moments; shifted-compare kernel)
         "w28_rolling_extrema": wnd.w28_rolling_extrema,
@@ -2451,6 +2460,26 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": _FP_SQL,
         "dedup_simhash_pairs": _simhash_pairs_sql(),
         "dedup_minhash_pairs": _minhash_pairs_sql(),
+        # D9 cross-source dup matrix: the same LSH pair SQL as a CTE,
+        # source labels by join, exact integer k = est*64 recovered,
+        # one pinned multiply+divide for the mean
+        "d9_cross_source_matrix": f"""
+            WITH pairs AS ({_minhash_pairs_sql()}),
+            lab AS (
+              SELECT least(da.source, db.source) AS source_a,
+                     greatest(da.source, db.source) AS source_b,
+                     CAST(floor(p.est_jaccard * 64 + 0.5) AS BIGINT) AS k
+              FROM pairs p
+              JOIN documents da ON da.doc_id = p.doc_a
+              JOIN documents db ON db.doc_id = p.doc_b)
+            SELECT source_a, source_b,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   CAST(sum(k) AS DOUBLE)
+                       / (CAST(count(*) AS DOUBLE) * 64.0)
+                       AS mean_est_jaccard
+            FROM lab GROUP BY source_a, source_b
+        """,
         "dedup_ngram_jaccard": _ngram_jaccard_sql(),
         # connected components of the pair graph as a recursive CTE:
         # reach = all (vertex, reachable-vertex) pairs, cluster = min reach
@@ -3812,6 +3841,33 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(m.sum_late_s, 0) AS sum_late_s,
                    m.med_late_s
             FROM a LEFT JOIN m USING (event_type)
+        """,
+        # S19 gzip JSONL round trip: same parquet-side aggregates as S6
+        # — green only if the compressed wire format was lossless
+        "s19_gzip_jsonl_roundtrip": """
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS words_sum
+            FROM documents GROUP BY source
+        """,
+        # J12 band join: LEFT JOIN over the trailing 72 h band, exact
+        # cent sums
+        "j12_band_join_count": """
+            WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us
+                       FROM events WHERE event_type = 'purchase'),
+            err AS (SELECT user_id, epoch_us(ts) AS us,
+                           CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+                    FROM events WHERE event_type = 'error')
+            SELECT p.event_id, p.user_id,
+                   CAST(count(e.us) AS BIGINT) AS n_prior_errors,
+                   CAST(coalesce(sum(e.v100), 0) AS BIGINT)
+                       AS err_cents_sum
+            FROM p LEFT JOIN err e
+              ON e.user_id = p.user_id
+             AND e.us >= p.us - 259200000000
+             AND e.us < p.us
+            GROUP BY p.event_id, p.user_id
         """,
         # A36 rescaled range: integer cumdev_i = n*P_i - i*S, integer
         # range and variance numerator, one pinned sqrt + division

@@ -1097,3 +1097,75 @@ def dup_ngram_fraction(sf_dir: str, n: int = _GRAM_N, num_partitions: int = 64):
 
     return partition_apply(per_doc_partials, ["doc_id"], per_doc,
                            num_partitions=num_partitions)
+
+
+def d9_cross_source_matrix(sf_dir: str, min_est: float = 0.5):
+    """D9 — cross-source duplication matrix: MinHash near-dup candidate
+    pairs rolled up by the (source_a, source_b) pair of the two docs —
+    WHICH corpora copy from which (mirrors, scrapes of scrapes,
+    benchmark leakage between sources).  The per-cell payload is the
+    pair count and the exact integer sum of 1000-scaled Jaccard
+    estimates (est is k_equal/64, so 1000*est*64 is a multiple of
+    1000*k — carried as the exact numerator sum_k = sum of equal-row
+    counts instead, one pinned division at the end).
+
+    Scale shape: reuses the banded-LSH pair pipeline unchanged (bucket
+    shuffle carries only (doc, band, bucket)); sources attach to the
+    UNIQUE pairs via two co-partitioned lookup joins; the final rollup
+    collapses per block to the bounded source-pair domain before one
+    tiny exchange."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    pairs = minhash_lsh_pairs(sf_dir, min_est=min_est)
+    src = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "source"])
+    with_a = attach_payload(pairs, src, "doc_a", "source", "src_a")
+    with_ab = attach_payload(with_a, src, "doc_b", "source", "src_b")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({
+                "source_a": pa.array([], type=pa.string()),
+                "source_b": pa.array([], type=pa.string()),
+                "n_pairs": pa.array([], type=pa.int64()),
+                "sum_k": pa.array([], type=pa.int64()),
+            })
+        sa = batch.column("src_a")
+        sb = batch.column("src_b")
+        lo = pc.min_element_wise(sa, sb)
+        hi = pc.max_element_wise(sa, sb)
+        est = np.asarray(batch.column("est_jaccard"), dtype=np.float64)
+        # est = k/64 exactly; recover the integer matching-row count
+        k = np.floor(est * 64.0 + 0.5).astype(np.int64)
+        t = pa.table({"source_a": lo, "source_b": hi,
+                      "k": pa.array(k, type=pa.int64())})
+        g = t.group_by(["source_a", "source_b"]).aggregate(
+            [([], "count_all"), ("k", "sum")])
+        return pa.table({
+            "source_a": g.column("source_a"),
+            "source_b": g.column("source_b"),
+            "n_pairs": pc.cast(g.column("count_all"), pa.int64()),
+            "sum_k": pc.cast(g.column("k_sum"), pa.int64()),
+        })
+
+    parts = with_ab.map_batches(partial, batch_format="pyarrow")
+    rolled = (parts.groupby(["source_a", "source_b"])
+              .sum(["n_pairs", "sum_k"]))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        npair = np.asarray(batch.column("sum(n_pairs)"), dtype=np.int64)
+        sumk = np.asarray(batch.column("sum(sum_k)"), dtype=np.int64)
+        mean_est = sumk.astype(np.float64) / (npair.astype(np.float64)
+                                              * np.float64(64.0))
+        return pa.table({
+            "source_a": batch.column("source_a"),
+            "source_b": batch.column("source_b"),
+            "n_pairs": pa.array(npair, type=pa.int64()),
+            "sum_k": pa.array(sumk, type=pa.int64()),
+            "mean_est_jaccard": pa.array(mean_est, type=pa.float64()),
+        })
+
+    return rolled.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -4396,3 +4396,174 @@ def a36_rescaled_range(sf_dir: str):
 
     return daily.groupby("event_type").map_groups(
         finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- J12 ----
+def j12_band_join_count(sf_dir: str, window_s: int = 72 * 3600,
+                        num_partitions: int = 16):
+    """J12 — banded temporal join-aggregate: for every PURCHASE event,
+    the count and exact cent-sum of the same user's ERROR events in the
+    trailing ``window_s``-second band [t - w, t) — "did failures precede
+    this conversion?".  The band join is the third temporal-join shape
+    next to J4/J11's as-of point lookup and J5's interval stab.
+
+    Scale shape: ONE co-partitioned ``_pkey`` exchange on user carries
+    BOTH roles; the kernel never materializes pairs — both sides sort by
+    a composite (dense-user-rank << 42 | rebased-ts-us) key and the band
+    resolves as two vectorized ``searchsorted`` probes + a prefix-sum
+    difference (O((n+m) log m), zero per-user Python).  Oracle: LEFT
+    JOIN with the BETWEEN band + GROUP BY."""
+    import functools
+
+    from anomalydetection_ray.stages.runs import PKEY, add_partition_key
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(part: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "event_id": pa.array([], type=pa.int64()),
+            "user_id": pa.array([], type=pa.int64()),
+            "n_prior_errors": pa.array([], type=pa.int64()),
+            "err_cents_sum": pa.array([], type=pa.int64()),
+        })
+        import pyarrow.compute as pc
+
+        part = part.drop_columns([PKEY])
+        if part.num_rows == 0:
+            return empty
+        et = part.column("event_type")
+        is_p = np.asarray(pc.equal(et, "purchase"))
+        is_e = np.asarray(pc.equal(et, "error"))
+        if not is_p.any():
+            return empty
+        uid = np.asarray(part.column("user_id"), dtype=np.int64)
+        us = np.asarray(part.column("ts").cast(pa.int64()), dtype=np.int64)
+        base = int(us.min())
+        # dense user rank over the partition (vectorized, stable)
+        uu, ucode = np.unique(uid, return_inverse=True)
+        assert (us.max() - base) < (1 << 42) and len(uu) < (1 << 21)
+        comp = (ucode.astype(np.int64) << 42) | (us - base)
+        p_sel = np.flatnonzero(is_p)
+        e_sel = np.flatnonzero(is_e)
+        e_order = e_sel[np.argsort(comp[e_sel], kind="stable")]
+        e_comp = comp[e_order]
+        v = np.asarray(part.column("value"), dtype=np.float64)
+        e_cents = np.floor(v[e_order] * 100.0 + 0.5).astype(np.int64)
+        pref = np.concatenate(([0], np.cumsum(e_cents)))
+        p_comp = comp[p_sel]
+        # clamp the band start to the user's own key block so the probe
+        # can't spill into the previous user's range
+        lo_key = np.maximum(p_comp - window_s * 1_000_000,
+                            (ucode[p_sel].astype(np.int64) << 42))
+        lo = np.searchsorted(e_comp, lo_key, side="left")
+        hi = np.searchsorted(e_comp, p_comp, side="left")
+        eid = np.asarray(part.column("event_id"), dtype=np.int64)
+        return pa.table({
+            "event_id": pa.array(eid[p_sel], type=pa.int64()),
+            "user_id": pa.array(uid[p_sel], type=pa.int64()),
+            "n_prior_errors": pa.array(hi - lo, type=pa.int64()),
+            "err_cents_sum": pa.array(pref[hi] - pref[lo],
+                                      type=pa.int64()),
+        })
+
+    return tagged.groupby(PKEY).map_groups(kernel, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- S19 ----
+def s19_gzip_jsonl_roundtrip(sf_dir: str):
+    """S19 — COMPRESSED JSONL (.jsonl.gz) source/sink round trip: the
+    wire format most external corpora actually arrive in (Common-Crawl
+    -style dumps are gzip'd JSON lines).  Documents are serialized to
+    gzip shards task-side (pandas' C json writer + one gzip.compress
+    per SHARD — no per-row Python), read back through
+    ``read_binary_files`` + task-side ``pyarrow.json`` parse, and
+    aggregated per source; the oracle computes the same aggregates from
+    the original parquet, so the check passes only if compression +
+    JSON escaping preserved every row and byte.
+
+    Scale shape: shard-granular codec work on both legs (one gzip call
+    per block), streaming reads, no driver materialization beyond the
+    bounded per-source result."""
+    import gzip
+    import io
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.json as pj
+    import ray.data
+
+    out = tempfile.mkdtemp(prefix="anomray_jsonlgz_")
+    try:
+        def write_shard(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            payload = df.to_json(orient="records", lines=True,
+                                 force_ascii=True).encode()
+            path = os.path.join(
+                out, f"shard-{int(df['doc_id'].iloc[0]):012d}.jsonl.gz")
+            with open(path, "wb") as f:
+                f.write(gzip.compress(payload, compresslevel=1))
+            return pa.table({"path": pa.array([path], type=pa.string()),
+                             "rows": pa.array([batch.num_rows],
+                                              type=pa.int64())})
+
+        markers = (_read(sf_dir, "documents",
+                         ["doc_id", "source", "n_chars", "text"])
+                   .map_batches(write_shard, batch_format="pyarrow"))
+        n_written = sum(r["rows"] for r in markers.take_all())
+
+        def parse(batch: pa.Table) -> pa.Table:
+            tables = []
+            for buf in batch.column("bytes").to_pylist():
+                # read_binary_files may already have inflated .gz via the
+                # arrow codec — decompress only when the magic is present
+                raw = gzip.decompress(buf) if buf[:2] == b"\x1f\x8b" else buf
+                tables.append(pj.read_json(io.BytesIO(raw)))
+            t = pa.concat_tables(tables)
+            text = t.column("text")
+            if isinstance(text, pa.ChunkedArray):
+                text = text.combine_chunks()
+            words = pc.list_value_length(pc.split_pattern(text, " "))
+            agg = pa.table({
+                "source": t.column("source"),
+                "n_chars": pc.cast(t.column("n_chars"), pa.int64()),
+                "ws_words": pc.cast(words, pa.int64()),
+            }).group_by("source").aggregate(
+                [([], "count_all"), ("n_chars", "sum"), ("ws_words", "sum")])
+            return pa.table({
+                "source": agg.column("source"),
+                "n_docs": pc.cast(agg.column("count_all"), pa.int64()),
+                "chars_sum": pc.cast(agg.column("n_chars_sum"), pa.int64()),
+                "words_sum": pc.cast(agg.column("ws_words_sum"), pa.int64()),
+            })
+
+        partials = (ray.data.read_binary_files(out)
+                    .map_batches(parse, batch_format="pyarrow"))
+
+        def merge(group: pa.Table) -> pa.Table:
+            return pa.table({
+                "source": group.column("source").slice(0, 1),
+                "n_docs": pa.array(
+                    [int(pc.sum(group.column("n_docs")).as_py())],
+                    type=pa.int64()),
+                "chars_sum": pa.array(
+                    [int(pc.sum(group.column("chars_sum")).as_py())],
+                    type=pa.int64()),
+                "words_sum": pa.array(
+                    [int(pc.sum(group.column("words_sum")).as_py())],
+                    type=pa.int64()),
+            })
+
+        res = partials.groupby("source").map_groups(
+            merge, batch_format="pyarrow")
+        tbl = pa.concat_tables(list(res.iter_batches(batch_format="pyarrow")))
+        assert int(pa.compute.sum(tbl.column("n_docs")).as_py()) == n_written
+        return ray.data.from_arrow(tbl)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -783,3 +783,75 @@ def test_rescaled_range_matches_bruteforce(ray_session):
         assert r["r_range"] == r_range
         assert r["var_num"] == var_num
         assert r["rs"] == float(r_range) / math.sqrt(float(var_num))
+
+
+# ---------------------------------------------------------------- J12 ----
+def test_band_join_count_matches_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.queries import j12_band_join_count
+
+    w_s = 72 * 3600
+    got = (j12_band_join_count(SF, window_s=w_s, num_partitions=5)
+           .to_pandas().set_index("event_id").sort_index())
+
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["us"] = ev["ts"].astype("int64")
+    ev["v100"] = np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+    p = ev[ev["event_type"] == "purchase"]
+    err = ev[ev["event_type"] == "error"]
+    total_hits = 0
+    for _, row in p.iterrows():
+        win = err[(err["user_id"] == row["user_id"])
+                  & (err["us"] >= row["us"] - w_s * 1_000_000)
+                  & (err["us"] < row["us"])]
+        r = got.loc[row["event_id"]]
+        assert r["n_prior_errors"] == len(win)
+        assert r["err_cents_sum"] == int(win["v100"].sum())
+        total_hits += len(win)
+    assert len(got) == len(p)
+    assert total_hits > 0          # the band is wide enough to be non-trivial
+
+
+# ---------------------------------------------------------------- S19 ----
+def test_gzip_jsonl_roundtrip_matches_source(ray_session):
+    from anomalydetection_ray.pipelines.queries import s19_gzip_jsonl_roundtrip
+
+    got = (s19_gzip_jsonl_roundtrip(SF).to_pandas()
+           .set_index("source").sort_index())
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "n_chars", "text"]).to_pandas()
+    for src, g in docs.groupby("source"):
+        r = got.loc[src]
+        assert r["n_docs"] == len(g)
+        assert r["chars_sum"] == int(g["n_chars"].sum())
+        assert r["words_sum"] == int(sum(len(t.split(" ")) for t in g["text"]))
+    assert len(got) == docs["source"].nunique()
+
+
+# ----------------------------------------------------------------- D9 ----
+def test_cross_source_matrix_matches_pairs(ray_session):
+    from anomalydetection_ray.pipelines.dedup import (
+        d9_cross_source_matrix, minhash_lsh_pairs)
+
+    got = (d9_cross_source_matrix(SF).to_pandas()
+           .set_index(["source_a", "source_b"]).sort_index())
+
+    pairs = minhash_lsh_pairs(SF).to_pandas()
+    src = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "source"]).to_pandas()
+    smap = dict(zip(src["doc_id"], src["source"]))
+    pairs["sa"] = pairs["doc_a"].map(smap)
+    pairs["sb"] = pairs["doc_b"].map(smap)
+    pairs["source_a"] = pairs[["sa", "sb"]].min(axis=1)
+    pairs["source_b"] = pairs[["sa", "sb"]].max(axis=1)
+    pairs["k"] = np.floor(pairs["est_jaccard"].to_numpy() * 64.0
+                          + 0.5).astype("int64")
+    exp = pairs.groupby(["source_a", "source_b"]).agg(
+        n_pairs=("k", "size"), sum_k=("k", "sum"))
+    assert len(got) == len(exp)
+    for idx, e in exp.iterrows():
+        r = got.loc[idx]
+        assert r["n_pairs"] == e["n_pairs"]
+        assert r["sum_k"] == e["sum_k"]
+        assert r["mean_est_jaccard"] == (
+            float(e["sum_k"]) / (float(e["n_pairs"]) * 64.0))
