@@ -646,6 +646,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # D9 cross-source duplication matrix (which corpora copy from
         # which): LSH pairs -> source labels -> bounded-domain rollup
         "d9_cross_source_matrix": dd.d9_cross_source_matrix,
+        # Q13 temperature-scaled (alpha=0.5) mixture sampling across
+        # sources — the T5/XLM-R data-mixing rule, seeded-hash quotas
+        "q13_mixture_sample": pk.q13_mixture_sample,
+        # T16 per-source byte-distribution Shannon entropy (prose vs
+        # boilerplate/encoding-damage screen)
+        "t16_char_entropy": tx.t16_char_entropy,
         # W28 trailing k-row max/min/range envelope per user (order
         # statistics where W3 is moments; shifted-compare kernel)
         "w28_rolling_extrema": wnd.w28_rolling_extrema,
@@ -3841,6 +3847,67 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(m.sum_late_s, 0) AS sum_late_s,
                    m.med_late_s
             FROM a LEFT JOIN m USING (event_type)
+        """,
+        # Q13 mixture sample: sqrt-damped quotas with the pinned
+        # list_reduce normalizer fold, Q6's Knuth hash at seed 7
+        "q13_mixture_sample": f"""
+            WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                       FROM documents GROUP BY source),
+            w AS (SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS wgt FROM c),
+            tot AS (SELECT list_reduce(
+                        list_prepend(0.0, list(wgt ORDER BY source)),
+                        (a, b) -> a + b) AS W FROM w),
+            q AS (SELECT source,
+                         CAST(floor(CAST(200 AS DOUBLE) * wgt / tot.W)
+                              AS BIGINT) AS quota
+                  FROM w, tot),
+            h AS (SELECT doc_id, source,
+                         CAST((CAST(xor(doc_id % 4294967296,
+                                        {(7 * 2654435761) & 0xFFFFFFFF})
+                                    AS HUGEINT) * 2654435761)
+                              % 4294967296 AS BIGINT) AS h
+                  FROM documents),
+            r AS (SELECT doc_id, source, h,
+                         CAST(row_number() OVER (PARTITION BY source
+                                                 ORDER BY h, doc_id) - 1
+                              AS BIGINT) AS smp_rank
+                  FROM h)
+            SELECT r.source, r.doc_id, r.h, r.smp_rank
+            FROM r JOIN q USING (source) WHERE r.smp_rank < q.quota
+        """,
+        # T16 char entropy: exact byte counts via per-position unnest,
+        # G15's pinned list_reduce entropy fold in byte order
+        "t16_char_entropy": """
+            WITH pos AS (
+              SELECT source, text,
+                     unnest(generate_series(1, length(text))) AS i
+              FROM documents),
+            c AS MATERIALIZED (
+              SELECT source,
+                     ascii(substr(text, CAST(i AS INTEGER), 1)) AS byte,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM pos GROUP BY source, byte),
+            t AS (SELECT source, CAST(sum(n) AS BIGINT) AS total,
+                         count(*) AS nb
+                  FROM c GROUP BY source),
+            f AS (SELECT c.source,
+                         any_value(t.total) AS total,
+                         any_value(t.nb) AS nb,
+                         list(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE)
+                              * ln(CAST(c.n AS DOUBLE)
+                                   / CAST(t.total AS DOUBLE))
+                              ORDER BY c.byte) AS xs
+                  FROM c JOIN t USING (source)
+                  GROUP BY c.source)
+            SELECT source, total AS total_bytes,
+                   CAST(nb AS BIGINT) AS n_distinct_bytes,
+                   -list_reduce(list_prepend(0.0, xs),
+                                (a, b) -> a + b) AS entropy,
+                   CASE WHEN nb > 1 THEN
+                     -list_reduce(list_prepend(0.0, xs), (a, b) -> a + b)
+                       / ln(CAST(nb AS DOUBLE))
+                   END AS norm_entropy
+            FROM f
         """,
         # S19 gzip JSONL round trip: same parquet-side aggregates as S6
         # — green only if the compressed wire format was lossless

@@ -488,3 +488,84 @@ def q12_span_corruption(sf_dir: str):
                             zero_copy_batch=True)
     return validated(seqs).map_batches(
         span_corruption_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q13_mixture_sample(sf_dir: str, k_total: int = 200, seed: int = 7,
+                       num_partitions: int = 16):
+    """Q13 — temperature-scaled mixture sampling across sources (the
+    multilingual/multi-corpus data-mixing rule of Raffel et al. 2020
+    §3.4.1 / XLM-R: sample source s proportionally to n_s^alpha with
+    alpha = 0.5, damping head sources and boosting tails).  Per-source
+    quotas are floor(k * sqrt(n_s) / sum sqrt(n_s)); within a source the
+    quota picks the smallest Q6-style seeded hashes — deterministic,
+    layout-independent, resumable.
+
+    Exactness: counts are exact ints; sqrt/divide/floor are PINNED (the
+    normalizer is a sequential fold in source order the oracle
+    reproduces with list_reduce); selection is integer rank under (h,
+    doc_id).  Scale shape: bounded source-domain count exchange + one
+    hash-partition exchange, vectorized rank kernel — no global sort."""
+    import math
+
+    import ray.data
+
+    from anomalydetection_ray.stages.runs import (partition_apply,
+                                                  run_starts)
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("source").aggregate([([], "count_all")])
+        return pa.table({"source": g.column("source"),
+                         "n": g.column("count_all").cast(pa.int64())})
+
+    counts = (docs.map_batches(count_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+              .groupby("source").sum("n").take_all())   # bounded: sources
+    per = sorted((r["source"], int(r["sum(n)"])) for r in counts)
+    wgt = {s: math.sqrt(float(n)) for s, n in per}
+    total_w = 0.0
+    for s, _ in per:                      # pinned fold in source order
+        total_w = total_w + wgt[s]
+    quota = {s: int(math.floor((float(k_total) * wgt[s]) / total_w))
+             for s, _ in per}
+
+    smix = (np.uint64(seed) * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.uint64)
+        h = (((ids & np.uint64(0xFFFFFFFF)) ^ smix)
+             * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+        return pa.table({"source": batch.column("source"),
+                         "doc_id": batch.column("doc_id"),
+                         "h": pa.array(h.astype(np.int64), type=pa.int64())})
+
+    hashed = docs.map_batches(hash_batch, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"source": pa.array([], type=pa.string()),
+                             "doc_id": pa.array([], type=pa.int64()),
+                             "h": pa.array([], type=pa.int64()),
+                             "smp_rank": pa.array([], type=pa.int64())})
+        part = part.sort_by([("source", "ascending"), ("h", "ascending"),
+                             ("doc_id", "ascending")])
+        starts = run_starts(part, ["source"])
+        n = part.num_rows
+        lens = np.diff(np.append(starts, n))
+        rank = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+        src_heads = part.column("source").take(
+            pa.array(starts, type=pa.int64())).to_pylist()
+        qarr = np.array([quota.get(s, 0) for s in src_heads],
+                        dtype=np.int64)        # bounded: one per source
+        keep = np.flatnonzero(rank < np.repeat(qarr, lens))
+        sel = part.take(pa.array(keep, type=pa.int64()))
+        return pa.table({"source": sel.column("source"),
+                         "doc_id": sel.column("doc_id"),
+                         "h": sel.column("h"),
+                         "smp_rank": pa.array(rank[keep], type=pa.int64())})
+
+    return partition_apply(hashed, ["source"], kernel,
+                           num_partitions=num_partitions)

@@ -583,3 +583,67 @@ def scrub_stats(sf_dir: str):
                                columns=["doc_id", "text"])
     return ds.map_batches(scrub_batch, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def t16_char_entropy(sf_dir: str):
+    """T16 — per-source character (byte) distribution entropy: the
+    corpus-quality screen that separates natural prose (~4.1 bits/char
+    English) from boilerplate, markup soup, and encoding damage — the
+    character-level sibling of V7's lexical richness.
+
+    Scale shape: per-block byte-histogram partials (one ``bincount``
+    over source-code*256+byte keys — <= sources*256 partial rows per
+    block regardless of text volume), one bounded exchange, a per-SOURCE
+    finalize.  Exactness: byte counts are exact ints; the entropy is
+    G15's PINNED sequential fold (byte-value order), each term the same
+    libm ``(n/total)*ln(n/total)`` DuckDB evaluates."""
+    import math
+
+    import pandas as pd
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, offsets = _flat_utf8(batch)
+        src = batch.column("source").to_pandas()
+        codes, uniques = pd.factorize(src, sort=True)
+        lens = np.diff(offsets)
+        row_code = np.repeat(codes.astype(np.int64), lens)
+        key = row_code * 256 + flat.astype(np.int64)
+        counts = np.bincount(key, minlength=len(uniques) * 256)
+        nz = np.flatnonzero(counts)
+        return pa.table({
+            "source": pa.array(np.asarray(uniques, dtype=object)[nz // 256],
+                               type=pa.string()),
+            "byte": pa.array(nz % 256, type=pa.int64()),
+            "n": pa.array(counts[nz], type=pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def finish(group: pa.Table) -> pa.Table:
+        t = (group.group_by(["source", "byte"]).aggregate([("n", "sum")])
+             .sort_by([("byte", "ascending")]))
+        n = np.asarray(t.column("n_sum"), dtype=np.int64)
+        total = int(n.sum())
+        acc = 0.0
+        for c in n.tolist():              # bounded: <= 256 byte values
+            p = float(int(c)) / float(total)
+            acc = acc + p * math.log(p)
+        ent = -acc
+        nb = len(n)
+        norm = ent / math.log(float(nb)) if nb > 1 else None
+        return pa.table({
+            "source": t.column("source").slice(0, 1),
+            "total_bytes": pa.array([total], type=pa.int64()),
+            "n_distinct_bytes": pa.array([nb], type=pa.int64()),
+            "entropy": pa.array([ent], type=pa.float64()),
+            "norm_entropy": pa.array([norm], type=pa.float64(),
+                                     from_pandas=True),
+        })
+
+    return partials.groupby("source").map_groups(finish,
+                                                 batch_format="pyarrow")

@@ -855,3 +855,71 @@ def test_cross_source_matrix_matches_pairs(ray_session):
         assert r["sum_k"] == e["sum_k"]
         assert r["mean_est_jaccard"] == (
             float(e["sum_k"]) / (float(e["n_pairs"]) * 64.0))
+
+
+# ---------------------------------------------------------------- Q13 ----
+def test_mixture_sample_matches_bruteforce(ray_session):
+    import math
+
+    from anomalydetection_ray.pipelines.packing import q13_mixture_sample
+
+    k = 60
+    got = (q13_mixture_sample(SF, k_total=k, seed=7, num_partitions=5)
+           .to_pandas().sort_values(["source", "smp_rank"])
+           .reset_index(drop=True))
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "source"]).to_pandas()
+    per = docs.groupby("source").size().sort_index()
+    wgt = {s: math.sqrt(float(n)) for s, n in per.items()}
+    total_w = 0.0
+    for s in per.index:
+        total_w = total_w + wgt[s]
+    smix = (7 * 2654435761) & 0xFFFFFFFF
+    docs["h"] = (((docs["doc_id"].to_numpy().astype(np.uint64)
+                   & np.uint64(0xFFFFFFFF)) ^ np.uint64(smix))
+                 * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+    rows = []
+    for s in per.index:
+        quota = int(math.floor((float(k) * wgt[s]) / total_w))
+        sel = (docs[docs["source"] == s]
+               .sort_values(["h", "doc_id"]).head(quota))
+        for rnk, (_, r) in enumerate(sel.iterrows()):
+            rows.append((s, int(r["doc_id"]), int(r["h"]), rnk))
+    import pandas as pd
+    exp = pd.DataFrame(rows, columns=["source", "doc_id", "h", "smp_rank"])
+    pd.testing.assert_frame_equal(
+        got[["source", "doc_id", "h", "smp_rank"]].astype(
+            {"doc_id": "int64", "h": "int64", "smp_rank": "int64"}),
+        exp.astype({"doc_id": "int64", "h": "int64", "smp_rank": "int64"}))
+    # tail sources get boosted relative to proportional sampling
+    assert got["source"].nunique() >= max(1, len(per) - 2)
+
+
+# ---------------------------------------------------------------- T16 ----
+def test_char_entropy_matches_bruteforce(ray_session):
+    import math
+
+    from anomalydetection_ray.pipelines.text import t16_char_entropy
+
+    got = (t16_char_entropy(SF).to_pandas()
+           .set_index("source").sort_index())
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    for src, g in docs.groupby("source"):
+        buf = "".join(g["text"]).encode()
+        counts = np.bincount(np.frombuffer(buf, dtype=np.uint8),
+                             minlength=256)
+        nz = counts[counts > 0]
+        total = int(nz.sum())
+        acc = 0.0
+        for c in sorted(np.flatnonzero(counts).tolist()):
+            p = float(int(counts[c])) / float(total)
+            acc = acc + p * math.log(p)
+        r = got.loc[src]
+        assert r["total_bytes"] == total
+        assert r["n_distinct_bytes"] == len(nz)
+        assert r["entropy"] == -acc
+        assert r["norm_entropy"] == -acc / math.log(float(len(nz)))
+        assert 3.5 < r["entropy"] / math.log(2.0) < 5.5   # prose-like
