@@ -637,6 +637,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A36 rescaled-range (R/S, Hurst 1951) long-range-dependence
         # screen: exact-int cumdev range, one pinned sqrt + division
         "a36_rescaled_range": q.a36_rescaled_range,
+        # A37 Pettitt rank-based changepoint (Pettitt 1979): exact-int
+        # mid-rank sign sums, pinned 2*exp(-6K^2/(n^3+n^2)) p-approx
+        "a37_pettitt": q.a37_pettitt,
+        # G20 Spearman rank correlation (daily cent total vs daily
+        # count): doubled mid-ranks, exact-int moments, pinned rho
+        "g20_spearman_daily": q.g20_spearman_daily,
+        # Q14 length-bucketed batching audit: power-of-two buckets via
+        # integer searchsorted, exact padding-overhead accounting
+        "q14_length_buckets": pk.q14_length_buckets,
         # J12 banded temporal join-aggregate (errors preceding each
         # purchase within a trailing band; searchsorted, no pairs)
         "j12_band_join_count": q.j12_band_join_count,
@@ -3972,6 +3981,117 @@ def oracle_sql() -> dict[str, str]:
                              / sqrt(CAST(t.n * t.q - t.s * t.s AS DOUBLE))
                    END AS rs
             FROM t JOIN r USING (event_type)
+        """,
+        # A37 Pettitt changepoint: mid-rank identity 2R = 2*min_rank +
+        # ties - 1, V_i = 2R - (n+1), U_t = cumsum; K/tau exact ints,
+        # p-approx the pinned 2*exp(-6K^2/(n^3+n^2))
+        "a37_pettitt": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+              FROM events),
+            d AS MATERIALIZED (
+              SELECT event_type, day, CAST(sum(v100) AS BIGINT) AS x
+              FROM e GROUP BY event_type, day),
+            r AS MATERIALIZED (
+              SELECT event_type, day,
+                     CAST(2 * rank() OVER (PARTITION BY event_type
+                                           ORDER BY x)
+                          + count(*) OVER (PARTITION BY event_type, x)
+                          - 1 AS BIGINT) AS two_r,
+                     CAST(count(*) OVER (PARTITION BY event_type)
+                          AS BIGINT) AS n,
+                     CAST(row_number() OVER (PARTITION BY event_type
+                                             ORDER BY day) AS BIGINT) AS t
+              FROM d),
+            u AS MATERIALIZED (
+              SELECT event_type, day, n, t,
+                     CAST(sum(two_r - (n + 1))
+                          OVER (PARTITION BY event_type ORDER BY t)
+                          AS BIGINT) AS u_t
+              FROM r),
+            k AS (SELECT event_type, any_value(n) AS n,
+                         CAST(max(abs(u_t)) AS BIGINT) AS k_stat
+                  FROM u WHERE t < n GROUP BY event_type),
+            tau AS (SELECT u.event_type,
+                           CAST(min(u.day) AS BIGINT) AS tau_day
+                    FROM u JOIN k ON u.event_type = k.event_type
+                                 AND abs(u.u_t) = k.k_stat
+                    WHERE u.t < u.n
+                    GROUP BY u.event_type)
+            SELECT k.event_type, k.n AS n_days, k.k_stat, tau.tau_day,
+                   2 * exp(CAST(-6 * k.k_stat * k.k_stat AS DOUBLE)
+                           / CAST(k.n * k.n * k.n + k.n * k.n AS DOUBLE))
+                       AS p_approx
+            FROM k JOIN tau USING (event_type)
+        """,
+        # G20 Spearman: Pearson over doubled mid-ranks; exact-int
+        # moments, pinned float(num) / (sqrt(d1) * sqrt(d2))
+        "g20_spearman_daily": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+              FROM events),
+            d AS MATERIALIZED (
+              SELECT event_type, day,
+                     CAST(sum(v100) AS BIGINT) AS x,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM e GROUP BY event_type, day),
+            r AS MATERIALIZED (
+              SELECT event_type,
+                     CAST(2 * rank() OVER (PARTITION BY event_type
+                                           ORDER BY x)
+                          + count(*) OVER (PARTITION BY event_type, x)
+                          - 1 AS BIGINT) AS a,
+                     CAST(2 * rank() OVER (PARTITION BY event_type
+                                           ORDER BY c)
+                          + count(*) OVER (PARTITION BY event_type, c)
+                          - 1 AS BIGINT) AS b
+              FROM d),
+            m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(a) AS BIGINT) AS sa,
+                         CAST(sum(b) AS BIGINT) AS sb,
+                         CAST(sum(a * a) AS BIGINT) AS saa,
+                         CAST(sum(b * b) AS BIGINT) AS sbb,
+                         CAST(sum(a * b) AS BIGINT) AS sab
+                  FROM r GROUP BY event_type)
+            SELECT event_type, n AS n_days,
+                   CAST(n * sab - sa * sb AS BIGINT) AS num,
+                   CAST(n * saa - sa * sa AS BIGINT) AS d1,
+                   CAST(n * sbb - sb * sb AS BIGINT) AS d2,
+                   CASE WHEN n * saa - sa * sa > 0
+                         AND n * sbb - sb * sb > 0 THEN
+                     CAST(n * sab - sa * sb AS DOUBLE)
+                       / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                          * sqrt(CAST(n * sbb - sb * sb AS DOUBLE)))
+                   END AS rho
+            FROM m
+        """,
+        # Q14 length buckets: powers-of-two ladder join (no float log2
+        # anywhere), exact token sums, pinned pad_frac division
+        "q14_length_buckets": """
+            WITH n AS (
+              SELECT doc_id,
+                     CAST(length(list_filter(string_split(text, ' '),
+                          x -> x <> '')) AS BIGINT) AS n_tok
+              FROM documents),
+            p AS (SELECT CAST(1 AS BIGINT) << CAST(t.s AS INTEGER) AS b
+                  FROM unnest(range(0, 63)) AS t(s)),
+            bk AS (SELECT n.doc_id, n.n_tok, min(p.b) AS bucket
+                   FROM n JOIN p ON p.b >= greatest(n.n_tok, 1)
+                   GROUP BY n.doc_id, n.n_tok),
+            g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(n_tok) AS BIGINT) AS tokens_sum
+                  FROM bk GROUP BY bucket)
+            SELECT bucket, n_docs, tokens_sum,
+                   CAST(bucket * n_docs AS BIGINT) AS padded_tokens,
+                   CAST(bucket * n_docs - tokens_sum AS BIGINT)
+                       AS pad_overhead,
+                   CAST(bucket * n_docs - tokens_sum AS DOUBLE)
+                     / CAST(bucket * n_docs AS DOUBLE) AS pad_frac
+            FROM g
         """,
         # G23 partition skew: exact bucket counts under the Knuth hash;
         # share and skew factor are pinned divisions

@@ -569,3 +569,74 @@ def q13_mixture_sample(sf_dir: str, k_total: int = 200, seed: int = 7,
 
     return partition_apply(hashed, ["source"], kernel,
                            num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------- Q14 ----
+def q14_length_buckets(sf_dir: str):
+    """Q14 — length-bucketed batching audit: assign every document to the
+    smallest power-of-two token-length bucket that holds it and report,
+    per bucket, the document count, the exact token sum, the padded token
+    volume (bucket_size * n_docs) and the padding overhead — the
+    fixed-shape-batch efficiency question every sequence-bucketing
+    trainer (and its XLA/static-graph compiler) asks before picking
+    bucket boundaries.
+
+    Exactness: n_tok is the non-empty space-split word count (the P3 /
+    vocab-family definition); the bucket is found by an exact integer
+    searchsorted against the power-of-two ladder (no log2 float in the
+    kernel), and the SQL oracle uses a powers CTE join for the same
+    arithmetic-free bucketing.  pad_frac is the one pinned int->double
+    division pair.
+
+    Scale shape: map-only collapse of each block to <= 64 (bucket,
+    partials) rows, ONE exchange on the bounded bucket key, a vectorized
+    finalize.  The text is read once; nothing wider than 64 rows ever
+    shuffles."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    pows = np.left_shift(np.int64(1), np.arange(63, dtype=np.int64))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(words)
+        row_of = np.asarray(pc.list_parent_indices(words), dtype=np.int64)
+        nonempty = np.asarray(pc.not_equal(flat, ""))
+        n_tok = np.bincount(row_of[nonempty],
+                            minlength=batch.num_rows).astype(np.int64)
+        n_eff = np.maximum(n_tok, 1)
+        bucket = pows[np.searchsorted(pows, n_eff, side="left")]
+        t = pa.table({"bucket": pa.array(bucket, type=pa.int64()),
+                      "n_tok": pa.array(n_tok, type=pa.int64()),
+                      "one": pa.array(np.ones(len(n_tok), dtype=np.int64))})
+        g = t.group_by(["bucket"]).aggregate([("n_tok", "sum"),
+                                              ("one", "sum")])
+        return pa.table({"bucket": g.column("bucket"),
+                         "tokens_sum": g.column("n_tok_sum").cast(pa.int64()),
+                         "n_docs": g.column("one_sum").cast(pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    agg = partials.groupby("bucket").sum(["tokens_sum", "n_docs"])
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        bucket = np.asarray(batch.column("bucket"), dtype=np.int64)
+        toks = np.asarray(batch.column("sum(tokens_sum)"), dtype=np.int64)
+        docs = np.asarray(batch.column("sum(n_docs)"), dtype=np.int64)
+        padded = bucket * docs
+        overhead = padded - toks
+        frac = overhead.astype(np.float64) / padded.astype(np.float64)
+        return pa.table({
+            "bucket": pa.array(bucket, type=pa.int64()),
+            "n_docs": pa.array(docs, type=pa.int64()),
+            "tokens_sum": pa.array(toks, type=pa.int64()),
+            "padded_tokens": pa.array(padded, type=pa.int64()),
+            "pad_overhead": pa.array(overhead, type=pa.int64()),
+            "pad_frac": pa.array(frac, type=pa.float64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -4567,3 +4567,168 @@ def s19_gzip_jsonl_roundtrip(sf_dir: str):
         return ray.data.from_arrow(tbl)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+# ---------------------------------------------------------------- A37 ----
+def a37_pettitt(sf_dir: str):
+    """A37 — Pettitt rank-based changepoint test (Pettitt 1979) per event
+    type over the observed daily cent-total series: the nonparametric
+    mean-shift locator next to A32's parametric AMOC — robust to outliers
+    because it sees only ranks, not magnitudes.
+
+    Exactness: with mid-ranks R_i (average ranks under ties), the
+    per-point sign sum is the INTEGER identity
+    V_i = sum_j sgn(x_i - x_j) = 2*R_i - (n+1), where
+    2*R_i = 2*min_rank_i + ties_i - 1 is itself an integer, and the
+    Pettitt statistic U_t = sum_{i<=t} V_i (the i<=t, j<=t block cancels
+    by antisymmetry).  K = max_t |U_t| over t = 1..n-1 and the argmax day
+    (min-t tiebreak) are exact ints; the only floats are the pinned
+    p-approximation 2*exp(-6K^2/(n^3+n^2)) — one int->double cast each
+    for numerator and denominator, one libm exp, one multiply, identical
+    on the SQL side.
+
+    Scale shape: A35/A36's — per-block (type, day) sum partials, one
+    exchange on the (types x span-days)-bounded key, per-TYPE finalize
+    holding only the daily grid."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()), dtype=np.int64)
+        day = us // 86_400_000_000
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        v100 = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(day, type=pa.int64()),
+                      "v100": pa.array(v100, type=pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate([("v100", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "x": g.column("v100_sum").cast(pa.int64())})
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["event_type", "day"]).sum("x"))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        import math
+
+        et = group.column("event_type")[0].as_py()
+        day = np.asarray(group.column("day"), dtype=np.int64)
+        order = np.argsort(day)
+        day = day[order]
+        x = np.asarray(group.column("sum(x)"), dtype=np.int64)[order]
+        n = int(x.shape[0])
+        # mid-ranks doubled: 2R_i = 2*min_rank + ties - 1 (exact ints)
+        sort_idx = np.argsort(x, kind="stable")
+        xs = x[sort_idx]
+        uniq, first, counts = np.unique(xs, return_index=True,
+                                        return_counts=True)
+        # min rank (1-based) of each value, broadcast back per element
+        min_rank = np.empty(n, dtype=np.int64)
+        ties = np.empty(n, dtype=np.int64)
+        pos = np.searchsorted(uniq, x)
+        min_rank = first[pos] + 1
+        ties = counts[pos]
+        two_r = 2 * min_rank + ties - 1
+        v_i = two_r - (n + 1)
+        u = np.cumsum(v_i)                      # U_t for t = 1..n
+        if n > 1:
+            u_head = u[:-1]                     # t = 1..n-1
+            absu = np.abs(u_head)
+            k_stat = int(absu.max())
+            tau_idx = int(np.argmax(absu))      # first max -> min t
+            tau_day = int(day[tau_idx])
+            p = 2.0 * math.exp(float(-6 * k_stat * k_stat)
+                               / float(n ** 3 + n ** 2))
+        else:
+            k_stat, tau_day, p = 0, int(day[0]), None
+        return pa.table({
+            "event_type": pa.array([et], type=pa.string()),
+            "n_days": pa.array([n], type=pa.int64()),
+            "k_stat": pa.array([k_stat], type=pa.int64()),
+            "tau_day": pa.array([tau_day], type=pa.int64()),
+            "p_approx": pa.array([p], type=pa.float64(), from_pandas=True),
+        })
+
+    return daily.groupby("event_type").map_groups(
+        finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- G20 ----
+def g20_spearman_daily(sf_dir: str):
+    """G20 — Spearman rank correlation per event type between the daily
+    cent-value total and the daily event count across the observed days:
+    "do busier days carry proportionally more value?" answered
+    monotonically (rank-based), the robust sibling of G10's Pearson.
+
+    Exactness: both series are replaced by DOUBLED mid-ranks
+    (2R_i = 2*min_rank + ties - 1, exact ints — the A37 identity), and
+    Spearman rho is Pearson over those integer ranks: with exact int
+    moments n, Sa, Sb, Saa, Sbb, Sab the numerator n*Sab - Sa*Sb and the
+    two variance terms are ints (the doubling cancels), and rho is the
+    pinned float(num) / (sqrt(float(d1)) * sqrt(float(d2))).
+
+    Scale shape: per-block (type, day) partials carrying (sum, count),
+    one bounded exchange, per-TYPE finalize over the daily grid."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()), dtype=np.int64)
+        day = us // 86_400_000_000
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        v100 = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(day, type=pa.int64()),
+                      "v100": pa.array(v100, type=pa.int64()),
+                      "one": pa.array(np.ones(len(day), dtype=np.int64))})
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [("v100", "sum"), ("one", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "x": g.column("v100_sum").cast(pa.int64()),
+                         "c": g.column("one_sum").cast(pa.int64())})
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["event_type", "day"])
+             .sum(["x", "c"]))
+
+    def _two_r(vals: np.ndarray) -> np.ndarray:
+        n = vals.shape[0]
+        uniq, first, counts = np.unique(np.sort(vals, kind="stable"),
+                                        return_index=True,
+                                        return_counts=True)
+        pos = np.searchsorted(uniq, vals)
+        return 2 * (first[pos] + 1) + counts[pos] - 1
+
+    def finalize(group: pa.Table) -> pa.Table:
+        import math
+
+        et = group.column("event_type")[0].as_py()
+        x = np.asarray(group.column("sum(x)"), dtype=np.int64)
+        c = np.asarray(group.column("sum(c)"), dtype=np.int64)
+        n = int(x.shape[0])
+        a = _two_r(x)
+        b = _two_r(c)
+        ai = [int(v) for v in a.tolist()]
+        bi = [int(v) for v in b.tolist()]
+        sa, sb = sum(ai), sum(bi)
+        saa = sum(v * v for v in ai)
+        sbb = sum(v * v for v in bi)
+        sab = sum(p * q for p, q in zip(ai, bi))
+        num = n * sab - sa * sb
+        d1 = n * saa - sa * sa
+        d2 = n * sbb - sb * sb
+        rho = (float(num) / (math.sqrt(float(d1)) * math.sqrt(float(d2)))
+               if d1 > 0 and d2 > 0 else None)
+        return pa.table({
+            "event_type": pa.array([et], type=pa.string()),
+            "n_days": pa.array([n], type=pa.int64()),
+            "num": pa.array([num], type=pa.int64()),
+            "d1": pa.array([d1], type=pa.int64()),
+            "d2": pa.array([d2], type=pa.int64()),
+            "rho": pa.array([rho], type=pa.float64(), from_pandas=True),
+        })
+
+    return daily.groupby("event_type").map_groups(
+        finalize, batch_format="pyarrow")

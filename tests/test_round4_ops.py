@@ -923,3 +923,111 @@ def test_char_entropy_matches_bruteforce(ray_session):
         assert r["entropy"] == -acc
         assert r["norm_entropy"] == -acc / math.log(float(len(nz)))
         assert 3.5 < r["entropy"] / math.log(2.0) < 5.5   # prose-like
+
+
+# ---------------------------------------------------------------- A37 ----
+def test_pettitt_matches_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.queries import a37_pettitt
+
+    got = (a37_pettitt(SF).to_pandas()
+           .set_index("event_type").sort_index())
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts", "value"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    ev["v100"] = np.floor(ev["value"] * 100.0 + 0.5).astype(np.int64)
+    for et, g in ev.groupby("event_type"):
+        daily = g.groupby("day")["v100"].sum().sort_index()
+        x = [int(v) for v in daily.tolist()]
+        n = len(x)
+        # brute-force U_t = sum_{i<=t} sum_{j>t} sgn(x_i - x_j)
+        def sgn(a, b):
+            return (a > b) - (a < b)
+        best_k, best_t = -1, None
+        for t in range(1, n):
+            u = sum(sgn(x[i], x[j])
+                    for i in range(t) for j in range(t, n))
+            if abs(u) > best_k:
+                best_k, best_t = abs(u), t
+        r = got.loc[et]
+        assert int(r["n_days"]) == n
+        assert int(r["k_stat"]) == best_k
+        assert int(r["tau_day"]) == int(daily.index[best_t - 1])
+        exp_p = 2.0 * math.exp(float(-6 * best_k * best_k)
+                               / float(n ** 3 + n ** 2))
+        assert r["p_approx"] == exp_p
+
+
+# ---------------------------------------------------------------- G20 ----
+def test_spearman_matches_scipy_free_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.queries import g20_spearman_daily
+
+    got = (g20_spearman_daily(SF).to_pandas()
+           .set_index("event_type").sort_index())
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts", "value"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    ev["v100"] = np.floor(ev["value"] * 100.0 + 0.5).astype(np.int64)
+    for et, g in ev.groupby("event_type"):
+        agg = g.groupby("day").agg(x=("v100", "sum"), c=("v100", "size"))
+        # pandas average ranks == mid-ranks; doubled they are ints
+        a = (2.0 * agg["x"].rank(method="average")).astype(np.int64)
+        b = (2.0 * agg["c"].rank(method="average")).astype(np.int64)
+        n = len(agg)
+        sa, sb = int(a.sum()), int(b.sum())
+        saa = int((a * a).sum())
+        sbb = int((b * b).sum())
+        sab = int((a * b).sum())
+        num = n * sab - sa * sb
+        d1 = n * saa - sa * sa
+        d2 = n * sbb - sb * sb
+        r = got.loc[et]
+        assert int(r["n_days"]) == n
+        assert int(r["num"]) == num
+        assert int(r["d1"]) == d1
+        assert int(r["d2"]) == d2
+        if d1 > 0 and d2 > 0:
+            assert r["rho"] == (float(num)
+                                / (math.sqrt(float(d1))
+                                   * math.sqrt(float(d2))))
+            assert -1.0 <= r["rho"] <= 1.0
+
+
+# ---------------------------------------------------------------- Q14 ----
+def test_length_buckets_exact(ray_session):
+    from anomalydetection_ray.pipelines.packing import q14_length_buckets
+
+    got = (q14_length_buckets(SF).to_pandas()
+           .set_index("bucket").sort_index())
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    n_tok = docs["text"].map(
+        lambda t: sum(1 for w in t.split(" ") if w != ""))
+
+    def pow2_bucket(n):
+        b = 1
+        while b < max(n, 1):
+            b <<= 1
+        return b
+
+    buckets = n_tok.map(pow2_bucket)
+    exp = (
+        docs.assign(bucket=buckets, n_tok=n_tok)
+        .groupby("bucket")
+        .agg(n_docs=("n_tok", "size"), tokens_sum=("n_tok", "sum")))
+    assert set(got.index) == set(exp.index)
+    for b, r in exp.iterrows():
+        g = got.loc[b]
+        assert int(g["n_docs"]) == int(r["n_docs"])
+        assert int(g["tokens_sum"]) == int(r["tokens_sum"])
+        padded = int(b) * int(r["n_docs"])
+        assert int(g["padded_tokens"]) == padded
+        assert int(g["pad_overhead"]) == padded - int(r["tokens_sum"])
+        assert g["pad_frac"] == (float(padded - int(r["tokens_sum"]))
+                                 / float(padded))
+    # padding waste must be < 50% by construction of power-of-two buckets
+    tot_pad = int(got["pad_overhead"].sum())
+    tot_padded = int(got["padded_tokens"].sum())
+    assert tot_pad * 2 < tot_padded
