@@ -646,6 +646,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Q14 length-bucketed batching audit: power-of-two buckets via
         # integer searchsorted, exact padding-overhead accounting
         "q14_length_buckets": pk.q14_length_buckets,
+        # G21 Theil T/L inequality indices per source (decomposable
+        # family next to G13's Gini; pinned ratio/log folds)
+        "g21_theil_index": q.g21_theil_index,
+        # W30 per-user winsorized mean (tail clamping where W7 drops;
+        # exact clamped integer sums, one pinned division)
+        "w30_winsorized_mean": wnd.w30_winsorized_mean,
+        # J13 interval ANTI stab (events outside every audit window;
+        # merged-span searchsorted coverage, bounded exchange)
+        "j13_interval_anti": wnd.j13_interval_anti,
         # J12 banded temporal join-aggregate (errors preceding each
         # purchase within a trailing band; searchsorted, no pairs)
         "j12_band_join_count": q.j12_band_join_count,
@@ -4092,6 +4101,95 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bucket * n_docs - tokens_sum AS DOUBLE)
                      / CAST(bucket * n_docs AS DOUBLE) AS pad_frac
             FROM g
+        """,
+        # G21 Theil T/L: pinned ratio float(x*n)/float(S), libm ln,
+        # deterministic (n_chars, doc_id) fold order, one division each
+        "g21_theil_index": """
+            WITH t AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                              CAST(sum(n_chars) AS BIGINT) AS s
+                       FROM documents GROUP BY source),
+            f AS (SELECT d.source, any_value(t.n) AS n,
+                         any_value(t.s) AS s,
+                         list(CAST(d.n_chars * t.n AS DOUBLE)
+                                / CAST(t.s AS DOUBLE)
+                              * ln(CAST(d.n_chars * t.n AS DOUBLE)
+                                   / CAST(t.s AS DOUBLE))
+                              ORDER BY d.n_chars, d.doc_id) AS xs,
+                         list(ln(CAST(d.n_chars * t.n AS DOUBLE)
+                                 / CAST(t.s AS DOUBLE))
+                              ORDER BY d.n_chars, d.doc_id) AS ys
+                  FROM documents d JOIN t USING (source)
+                  GROUP BY d.source)
+            SELECT source, n AS n_docs, s AS sum_chars,
+                   list_reduce(list_prepend(0.0, xs), (a, b) -> a + b)
+                     / CAST(n AS DOUBLE) AS theil_t,
+                   -list_reduce(list_prepend(0.0, ys), (a, b) -> a + b)
+                     / CAST(n AS DOUBLE) AS theil_l
+            FROM f
+        """,
+        # W30 winsorized mean: row_number boundary lookups (rn = m+1,
+        # rn = n-m), clamped exact sum, one pinned division
+        "w30_winsorized_mean": """
+            WITH b AS (
+                SELECT user_id, event_id,
+                       CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vq,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY value, event_id) AS rn,
+                       count(*) OVER (PARTITION BY user_id) AS n
+                FROM events),
+            t AS MATERIALIZED (
+                SELECT user_id, vq, rn, n, n // 10 AS m FROM b),
+            lo AS (SELECT user_id, vq AS lo_q FROM t WHERE rn = m + 1),
+            hi AS (SELECT user_id, vq AS hi_q FROM t WHERE rn = n - m),
+            s AS (SELECT user_id, CAST(max(n) AS BIGINT) AS n,
+                         CAST(max(m) AS BIGINT) AS m,
+                         CAST(sum(vq) FILTER (WHERE rn > m
+                                              AND rn <= n - m)
+                              AS BIGINT) AS mid_sum
+                  FROM t GROUP BY user_id)
+            SELECT s.user_id, s.n, s.m AS n_wins,
+                   CAST(s.mid_sum + s.m * lo.lo_q + s.m * hi.hi_q
+                        AS BIGINT) AS sum_q,
+                   CAST(s.mid_sum + s.m * lo.lo_q + s.m * hi.hi_q
+                        AS DOUBLE)
+                     / (CAST(s.n AS DOUBLE) * 1000000) AS winsor_mean
+            FROM s JOIN lo USING (user_id) JOIN hi USING (user_id)
+        """,
+        # J13 interval ANTI stab: NOT EXISTS against the same seeded
+        # window CTE as J5; exact counts/cent sums, pinned share
+        "j13_interval_anti": """
+            WITH meta AS (SELECT epoch_us(min(ts)) AS t0,
+                                 epoch_us(max(ts)) - epoch_us(min(ts)) + 1
+                                     AS span
+                          FROM events),
+            w AS (SELECT meta.t0 + ((CAST(t.i AS BIGINT) * 2654435761)
+                                    % 4294967296) % meta.span AS lo_us,
+                         meta.t0 + ((CAST(t.i AS BIGINT) * 2654435761)
+                                    % 4294967296) % meta.span
+                             + meta.span // 6 AS hi_us
+                  FROM meta, range(0, 48) t(i)),
+            o AS (SELECT event_type,
+                         CAST(count(*) AS BIGINT) AS n_outside,
+                         CAST(sum(CAST(floor(value * 100 + 0.5)
+                                       AS BIGINT)) AS BIGINT)
+                             AS cents_outside
+                  FROM events e
+                  WHERE NOT EXISTS (
+                      SELECT 1 FROM w
+                      WHERE epoch_us(e.ts) >= w.lo_us
+                        AND epoch_us(e.ts) < w.hi_us)
+                  GROUP BY event_type),
+            tot AS (SELECT event_type,
+                           CAST(count(*) AS BIGINT) AS n_total
+                    FROM events GROUP BY event_type)
+            SELECT tot.event_type,
+                   CAST(coalesce(o.n_outside, 0) AS BIGINT) AS n_outside,
+                   CAST(coalesce(o.cents_outside, 0) AS BIGINT)
+                       AS cents_outside,
+                   tot.n_total,
+                   CAST(coalesce(o.n_outside, 0) AS DOUBLE)
+                     / CAST(tot.n_total AS DOUBLE) AS outside_frac
+            FROM tot LEFT JOIN o USING (event_type)
         """,
         # G23 partition skew: exact bucket counts under the Knuth hash;
         # share and skew factor are pinned divisions

@@ -4732,3 +4732,49 @@ def g20_spearman_daily(sf_dir: str):
 
     return daily.groupby("event_type").map_groups(
         finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- G21 ----
+def g21_theil_index(sf_dir: str):
+    """G21 — per-source Theil inequality indices over document lengths
+    (Theil 1967): T = (1/n)·Σ (x/μ)·ln(x/μ) (top-sensitive) and
+    L = (1/n)·Σ ln(μ/x) (bottom-sensitive mean-log-deviation) — the
+    decomposable inequality family next to G13's Gini.
+
+    Exactness: the ratio x/μ is computed as the pinned
+    float(x·n)/float(S) (one int64 product, one int→double cast each,
+    one division); each term's ln is the same libm call DuckDB makes;
+    the folds run in the deterministic (n_chars, doc_id) ascending
+    order on both sides (G15's list_reduce discipline), and each index
+    is one final pinned division by float(n).
+
+    Scale shape: G13's — one exchange keyed on the bounded source
+    domain; the kernel is a sort + one sequential fold."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def per_source(group: pa.Table) -> pa.Table:
+        import math
+
+        t = group.sort_by([("n_chars", "ascending"), ("doc_id", "ascending")])
+        x = np.asarray(t.column("n_chars"), dtype=np.int64)
+        n = int(x.shape[0])
+        s = int(x.sum())
+        acc_t = 0.0
+        acc_l = 0.0
+        for xi in x.tolist():
+            ratio = float(int(xi) * n) / float(s)
+            lr = math.log(ratio)
+            acc_t = acc_t + ratio * lr
+            acc_l = acc_l + lr
+        theil_t = acc_t / float(n)
+        theil_l = -acc_l / float(n)
+        return pa.table({
+            "source": t.column("source").slice(0, 1),
+            "n_docs": pa.array([n], type=pa.int64()),
+            "sum_chars": pa.array([s], type=pa.int64()),
+            "theil_t": pa.array([theil_t], type=pa.float64()),
+            "theil_l": pa.array([theil_l], type=pa.float64()),
+        })
+
+    return ds.groupby("source").map_groups(per_source,
+                                           batch_format="pyarrow")

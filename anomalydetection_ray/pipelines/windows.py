@@ -2218,3 +2218,139 @@ def w29_arrival_lateness(sf_dir: str):
         })
 
     return partition_apply(ev, ["event_type"], kernel, num_partitions=8)
+
+
+# ---------------------------------------------------------------- W30 ----
+def _winsor_kernel(group: pa.Table) -> pa.Table:
+    """Per-user 10%-winsorized mean: CLAMP the m = n//10 smallest values
+    to the (m+1)-th and the m largest to the (n-m)-th (deterministic
+    total order (value, event_id)), exact integer sum of the clamped
+    quantized values, one pinned division.  W7 drops the tails; W30
+    keeps their count but caps their leverage — the estimator of choice
+    when sample size must not shrink."""
+    group = group.drop_columns([PKEY]).sort_by(
+        [("user_id", "ascending"), ("value", "ascending"),
+         ("event_id", "ascending")])
+    n = group.num_rows
+    if n == 0:
+        return pa.table({
+            "user_id": pa.array([], type=pa.int64()),
+            "n": pa.array([], type=pa.int64()),
+            "n_wins": pa.array([], type=pa.int64()),
+            "sum_q": pa.array([], type=pa.int64()),
+            "winsor_mean": pa.array([], type=pa.float64()),
+        })
+    uid = np.asarray(group.column("user_id"), dtype=np.int64)
+    vq = np.floor(np.asarray(group.column("value"), dtype=np.float64)
+                  * W7_VSCALE + 0.5).astype(np.int64)
+    starts = run_starts(group, ["user_id"])
+    lens = np.diff(np.append(starts, n)).astype(np.int64)
+    m = lens // 10
+    rank = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+    lo_q = vq[starts + m]                      # (m+1)-th smallest per user
+    hi_q = vq[starts + lens - m - 1]           # (n-m)-th smallest per user
+    clamped = np.where(rank < np.repeat(m, lens), np.repeat(lo_q, lens),
+                       np.where(rank >= np.repeat(lens - m, lens),
+                                np.repeat(hi_q, lens), vq))
+    sums = np.add.reduceat(clamped, starts)
+    means = sums.astype(np.float64) / (lens.astype(np.float64) * W7_VSCALE)
+    return pa.table({
+        "user_id": pa.array(uid[starts], type=pa.int64()),
+        "n": pa.array(lens, type=pa.int64()),
+        "n_wins": pa.array(m, type=pa.int64()),
+        "sum_q": pa.array(sums, type=pa.int64()),
+        "winsor_mean": pa.array(means, type=pa.float64()),
+    })
+
+
+def w30_winsorized_mean(sf_dir: str, num_partitions: int = 16):
+    """W30 — per-key 10%-winsorized mean: W7's one-exchange ``_pkey``
+    layout, tail CLAMPING instead of tail dropping.  The clamp
+    boundaries are selected under the deterministic (value, event_id)
+    total order so the distributed result is block-order independent;
+    the clamped quantized sum is exact int64 and the mean one IEEE
+    division the SQL oracle replays via row_number boundary lookups."""
+    ev = _read_events(sf_dir, ["event_id", "user_id", "value"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby(PKEY).map_groups(_winsor_kernel,
+                                           batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- J13 ----
+def j13_interval_anti(sf_dir: str, n_windows: int = N_WINDOWS):
+    """J13 — interval ANTI stab: the events covered by NO audit window
+    (J5's complement — "what happened outside every maintenance
+    window?"), summarized per event type as exact counts, cent sums and
+    the outside share.  The fourth temporal-join shape next to J4/J11
+    (as-of), J5 (stab), and J12 (band).
+
+    Scale shape: the 48 seeded windows are driver state merged into
+    disjoint spans (a ~48-row sort, O(1)); coverage per event is ONE
+    vectorized searchsorted against the merged span starts; each block
+    collapses to <= |event_type| partial rows before the bounded
+    exchange.  Oracle: NOT EXISTS against the same window CTE."""
+    import ray.data
+    from ray.data.aggregate import Max, Min
+
+    ev = _read_events(sf_dir, ["event_type", "ts", "value"])
+    bounds = ev.aggregate(Min("ts"), Max("ts"))
+    t0 = int(np.datetime64(bounds["min(ts)"], "us").astype(np.int64))
+    t1 = int(np.datetime64(bounds["max(ts)"], "us").astype(np.int64))
+    lo, hi = seeded_windows(t0, t1, n_windows)
+    order = np.argsort(lo, kind="stable")
+    mlo, mhi = [], []
+    for k in order.tolist():
+        if mhi and int(lo[k]) <= mhi[-1]:
+            mhi[-1] = max(mhi[-1], int(hi[k]))
+        else:
+            mlo.append(int(lo[k]))
+            mhi.append(int(hi[k]))
+    mlo_a = np.asarray(mlo, dtype=np.int64)
+    mhi_a = np.asarray(mhi, dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = _ts_us(batch.column("ts"))
+        idx = np.searchsorted(mlo_a, ts, side="right") - 1
+        covered = (idx >= 0) & (ts < mhi_a[np.maximum(idx, 0)])
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        v100 = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        outside = ~covered
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "n_outside": pa.array(outside.astype(np.int64)),
+            "cents_outside": pa.array(np.where(outside, v100, 0)),
+            "n_total": pa.array(np.ones(len(v100), dtype=np.int64)),
+        })
+        g = t.group_by(["event_type"]).aggregate(
+            [("n_outside", "sum"), ("cents_outside", "sum"),
+             ("n_total", "sum")])
+        return pa.table({
+            "event_type": g.column("event_type"),
+            "n_outside": g.column("n_outside_sum").cast(pa.int64()),
+            "cents_outside": g.column("cents_outside_sum").cast(pa.int64()),
+            "n_total": g.column("n_total_sum").cast(pa.int64()),
+        })
+
+    agg = (ev.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("event_type")
+           .sum(["n_outside", "cents_outside", "n_total"]))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n_out = np.asarray(batch.column("sum(n_outside)"), dtype=np.int64)
+        cents = np.asarray(batch.column("sum(cents_outside)"),
+                           dtype=np.int64)
+        n_tot = np.asarray(batch.column("sum(n_total)"), dtype=np.int64)
+        frac = n_out.astype(np.float64) / n_tot.astype(np.float64)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "n_outside": pa.array(n_out, type=pa.int64()),
+            "cents_outside": pa.array(cents, type=pa.int64()),
+            "n_total": pa.array(n_tot, type=pa.int64()),
+            "outside_frac": pa.array(frac, type=pa.float64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -1031,3 +1031,89 @@ def test_length_buckets_exact(ray_session):
     tot_pad = int(got["pad_overhead"].sum())
     tot_padded = int(got["padded_tokens"].sum())
     assert tot_pad * 2 < tot_padded
+
+
+# ---------------------------------------------------------------- G21 ----
+def test_theil_index_matches_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.queries import g21_theil_index
+
+    got = (g21_theil_index(SF).to_pandas()
+           .set_index("source").sort_index())
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "source", "n_chars"]).to_pandas()
+    for src, g in docs.groupby("source"):
+        g = g.sort_values(["n_chars", "doc_id"])
+        x = [int(v) for v in g["n_chars"].tolist()]
+        n, s = len(x), sum(x)
+        acc_t = acc_l = 0.0
+        for xi in x:
+            ratio = float(xi * n) / float(s)
+            lr = math.log(ratio)
+            acc_t += ratio * lr
+            acc_l += lr
+        r = got.loc[src]
+        assert int(r["n_docs"]) == n
+        assert int(r["sum_chars"]) == s
+        assert r["theil_t"] == acc_t / float(n)
+        assert r["theil_l"] == -acc_l / float(n)
+        # Theil-T of a near-uniform length distribution is small, >= 0
+        # up to fold rounding
+        assert r["theil_t"] > -1e-12
+        assert r["theil_l"] > -1e-12
+
+
+# ---------------------------------------------------------------- W30 ----
+def test_winsorized_mean_matches_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.windows import w30_winsorized_mean
+
+    got = (w30_winsorized_mean(SF).to_pandas()
+           .set_index("user_id").sort_index())
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "user_id", "value"]).to_pandas()
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["value", "event_id"])
+        vq = np.floor(g["value"].to_numpy() * 1_000_000 + 0.5).astype(
+            np.int64)
+        n = len(vq)
+        m = n // 10
+        clamped = vq.copy()
+        clamped[:m] = vq[m]
+        clamped[n - m:] = vq[n - m - 1]
+        r = got.loc[uid]
+        assert int(r["n"]) == n
+        assert int(r["n_wins"]) == m
+        assert int(r["sum_q"]) == int(clamped.sum())
+        assert r["winsor_mean"] == (float(int(clamped.sum()))
+                                    / (float(n) * 1_000_000))
+        # clamping never moves the mean past the raw extremes
+        assert g["value"].min() - 1e-6 <= r["winsor_mean"] \
+            <= g["value"].max() + 1e-6
+
+
+# ---------------------------------------------------------------- J13 ----
+def test_interval_anti_complements_stab(ray_session):
+    from anomalydetection_ray.pipelines.windows import (
+        N_WINDOWS, j13_interval_anti, seeded_windows)
+
+    got = (j13_interval_anti(SF).to_pandas()
+           .set_index("event_type").sort_index())
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts", "value"]).to_pandas()
+    us = ev["ts"].astype("int64").to_numpy()
+    lo, hi = seeded_windows(int(us.min()), int(us.max()), N_WINDOWS)
+    covered = np.zeros(len(us), dtype=bool)
+    for k in range(len(lo)):
+        covered |= (us >= lo[k]) & (us < hi[k])
+    ev["outside"] = ~covered
+    ev["v100"] = np.floor(ev["value"] * 100.0 + 0.5).astype(np.int64)
+    for et, g in ev.groupby("event_type"):
+        r = got.loc[et]
+        n_out = int(g["outside"].sum())
+        assert int(r["n_outside"]) == n_out
+        assert int(r["cents_outside"]) == int(
+            g.loc[g["outside"], "v100"].sum())
+        assert int(r["n_total"]) == len(g)
+        assert r["outside_frac"] == float(n_out) / float(len(g))
