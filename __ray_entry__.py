@@ -348,6 +348,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_pairs": dd.minhash_lsh_pairs,
         "dedup_simhash_pairs": dd.simhash_pairs,
         "dedup_ngram_jaccard": dd.ngram_jaccard_pairs,
+        # D10 asymmetric containment near-dup (Broder 1997): the
+        # quote/excerpt detector symmetric Jaccard dilutes away
+        "d10_containment_pairs": dd.d10_containment_pairs,
         # T14 Dolma/Gopher-style per-doc duplicate n-gram fraction
         "t14_dup_ngram_fraction": dd.dup_ngram_fraction,
         # near-dup clusters: connected components (min-label propagation)
@@ -1102,6 +1105,44 @@ def _ngram_jaccard_sql(min_jaccard: float = 0.3) -> str:
     SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / un AS jaccard
     FROM verified
     WHERE un > 0 AND CAST(inter AS DOUBLE) / un >= {min_jaccard}
+    """
+
+
+def _containment_sql(min_containment: float = 0.5) -> str:
+    """d10_containment_pairs oracle: MinHash candidates (min_est=0.2)
+    verified by exact word-3-gram Jaccard CONTAINMENT (inter/|A| and
+    inter/|B|), kept when the max clears the bar.  Same space-joined
+    gram encoding as the Jaccard oracle (injective over spaceless
+    words)."""
+    return f"""
+    WITH {_minhash_cte(0.2)},
+    grams AS (
+      SELECT doc_id, list_distinct(list_transform(
+          range(1, greatest(len(ws) - 1, 1)),
+          i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] || ' '
+               || ws[CAST(i AS INT) + 2])) AS gs
+      FROM (SELECT doc_id,
+                   regexp_extract_all(lower(text), '[0-9a-z_]+') AS ws
+            FROM documents)),
+    verified AS (
+      SELECT p.doc_a, p.doc_b,
+             CAST(len(list_filter(ga.gs, g -> list_contains(gb.gs, g)))
+                  AS BIGINT) AS inter,
+             CAST(len(ga.gs) AS BIGINT) AS n_a,
+             CAST(len(gb.gs) AS BIGINT) AS n_b
+      FROM mh_pairs p
+      JOIN grams ga ON ga.doc_id = p.doc_a
+      JOIN grams gb ON gb.doc_id = p.doc_b)
+    SELECT doc_a, doc_b, inter, n_a, n_b,
+           CASE WHEN n_a > 0 THEN CAST(inter AS DOUBLE) / n_a
+                ELSE 0.0 END AS cont_a,
+           CASE WHEN n_b > 0 THEN CAST(inter AS DOUBLE) / n_b
+                ELSE 0.0 END AS cont_b
+    FROM verified
+    WHERE greatest(CASE WHEN n_a > 0 THEN CAST(inter AS DOUBLE) / n_a
+                        ELSE 0.0 END,
+                   CASE WHEN n_b > 0 THEN CAST(inter AS DOUBLE) / n_b
+                        ELSE 0.0 END) >= {min_containment}
     """
 
 
@@ -2505,6 +2546,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lab GROUP BY source_a, source_b
         """,
         "dedup_ngram_jaccard": _ngram_jaccard_sql(),
+        "d10_containment_pairs": _containment_sql(),
         # connected components of the pair graph as a recursive CTE:
         # reach = all (vertex, reachable-vertex) pairs, cluster = min reach
         "dedup_clusters": f"""

@@ -1169,3 +1169,81 @@ def d9_cross_source_matrix(sf_dir: str, min_est: float = 0.5):
 
     return rolled.map_batches(finish, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def containment_verify_batch(batch: pa.Table, n: int = 3,
+                             min_containment: float = 0.5) -> pa.Table:
+    """Exact word-n-gram Jaccard CONTAINMENT for a batch of candidate
+    pairs carrying ``_text_a``/``_text_b``: inter/|A| and inter/|B|
+    (Broder 1997's asymmetric resemblance) — the metric that catches a
+    SMALL document swallowed by a big one, which symmetric Jaccard
+    dilutes below every practical threshold.  Same vectorized shape as
+    ``ngram_verify_batch``: gram sets once per unique doc, one sorted-set
+    intersection per pair; kept when max(cont_a, cont_b) clears the bar.
+    Integer gram counts are carried; the containments are one pinned
+    int->double division each."""
+    id_type = batch.schema.field("doc_a").type
+    empty = pa.table({"doc_a": pa.array([], type=id_type),
+                      "doc_b": pa.array([], type=id_type),
+                      "inter": pa.array([], type=pa.int64()),
+                      "n_a": pa.array([], type=pa.int64()),
+                      "n_b": pa.array([], type=pa.int64()),
+                      "cont_a": pa.array([], type=pa.float64()),
+                      "cont_b": pa.array([], type=pa.float64())})
+    nb = batch.num_rows
+    if nb == 0:
+        return empty
+    a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+    b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+    uniq, first_pos, inv = np.unique(np.concatenate([a, b]),
+                                     return_index=True, return_inverse=True)
+    chunks = [c for col in (batch.column("_text_a"), batch.column("_text_b"))
+              for c in (col.chunks if isinstance(col, pa.ChunkedArray)
+                        else [col])]
+    texts_u = pa.concat_arrays(chunks).take(
+        pa.array(first_pos, type=pa.int64()))
+    grams, roffs = gram_sets(texts_u, n)
+    sizes = np.diff(roffs)
+    ia, ib = inv[:nb], inv[nb:]
+    inter = np.empty(nb, dtype=np.int64)
+    for i in range(nb):
+        ga = grams[roffs[ia[i]]:roffs[ia[i] + 1]]
+        gb = grams[roffs[ib[i]]:roffs[ib[i] + 1]]
+        inter[i] = np.intersect1d(ga, gb, assume_unique=True).size
+    n_a = sizes[ia].astype(np.int64)
+    n_b = sizes[ib].astype(np.int64)
+    cont_a = np.where(n_a > 0, inter / np.maximum(n_a, 1), 0.0)
+    cont_b = np.where(n_b > 0, inter / np.maximum(n_b, 1), 0.0)
+    keep_np = np.maximum(cont_a, cont_b) >= min_containment
+    keep = pa.array(keep_np)
+    out = batch.select(["doc_a", "doc_b"]).filter(keep)
+    out = out.append_column("inter", pa.array(inter[keep_np],
+                                              type=pa.int64()))
+    out = out.append_column("n_a", pa.array(n_a[keep_np], type=pa.int64()))
+    out = out.append_column("n_b", pa.array(n_b[keep_np], type=pa.int64()))
+    out = out.append_column("cont_a", pa.array(cont_a[keep_np],
+                                               type=pa.float64()))
+    return out.append_column("cont_b", pa.array(cont_b[keep_np],
+                                                type=pa.float64()))
+
+
+def d10_containment_pairs(sf_dir: str, n: int = 3,
+                          min_containment: float = 0.5):
+    """D10 — asymmetric near-dup detection by n-gram Jaccard CONTAINMENT
+    over the MinHash candidate pairs: the quote/excerpt/boilerplate
+    detector (a small doc fully contained in a large one scores
+    containment ~1.0 but Jaccard ~|A|/|B| -> 0).  Scale shape identical
+    to `ngram_jaccard_pairs`: candidates from the banded LSH exchange,
+    text attached by co-partitioned lookups only for docs in candidate
+    pairs, exact verification bounded by candidate volume."""
+    cands = minhash_lsh_pairs(sf_dir, min_est=0.2).select_columns(
+        ["doc_a", "doc_b"])
+    docs = _docs(sf_dir)
+    with_a = attach_payload(cands, docs, "doc_a", "text", "_text_a")
+    with_ab = attach_payload(with_a, docs, "doc_b", "text", "_text_b")
+
+    def verify(batch: pa.Table) -> pa.Table:
+        return containment_verify_batch(batch, n=n,
+                                        min_containment=min_containment)
+
+    return with_ab.map_batches(verify, batch_format="pyarrow")

@@ -1117,3 +1117,34 @@ def test_interval_anti_complements_stab(ray_session):
             g.loc[g["outside"], "v100"].sum())
         assert int(r["n_total"]) == len(g)
         assert r["outside_frac"] == float(n_out) / float(len(g))
+
+
+# ---------------------------------------------------------------- D10 ----
+def test_containment_pairs_exact(ray_session):
+    import re
+
+    from anomalydetection_ray.pipelines.dedup import d10_containment_pairs
+
+    got = d10_containment_pairs(SF).to_pandas()
+    assert len(got) > 0
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    txt = dict(zip(docs["doc_id"], docs["text"]))
+    wre = re.compile(r"[0-9a-z_]+")
+
+    def gset(t):
+        ws = wre.findall(t.lower())
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    for _, r in got.iterrows():
+        ga, gb = gset(txt[r["doc_a"]]), gset(txt[r["doc_b"]])
+        inter = len(ga & gb)
+        assert int(r["inter"]) == inter
+        assert int(r["n_a"]) == len(ga)
+        assert int(r["n_b"]) == len(gb)
+        assert r["cont_a"] == float(inter) / float(max(len(ga), 1))
+        assert r["cont_b"] == float(inter) / float(max(len(gb), 1))
+        # containment dominates Jaccard and clears the bar
+        jac = inter / max(len(ga | gb), 1)
+        assert max(r["cont_a"], r["cont_b"]) >= max(jac, 0.5)
