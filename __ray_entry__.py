@@ -658,6 +658,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # J13 interval ANTI stab (events outside every audit window;
         # merged-span searchsorted coverage, bounded exchange)
         "j13_interval_anti": wnd.j13_interval_anti,
+        # S20 sorted layout + row-group ZONE-MAP pruned read (footer
+        # stats plan the probe; S18's hive pruning one level finer)
+        "s20_zonemap_pruning": q.s20_zonemap_pruning,
+        # G22 exact per-type value quantiles via bounded cent-count
+        # exchange — no sort at any scale (G3's bincount trick)
+        "g22_value_quantiles_by_type": q.g22_value_quantiles_by_type,
+        # W31 per-user session summary (W1 collapsed to engagement
+        # profiles: counts, longest, exact in-session time, 2 divisions)
+        "w31_session_summary": wnd.w31_session_summary,
         # J12 banded temporal join-aggregate (errors preceding each
         # purchase within a trailing band; searchsorted, no pairs)
         "j12_band_join_count": q.j12_band_join_count,
@@ -4232,6 +4241,82 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(o.n_outside, 0) AS DOUBLE)
                      / CAST(tot.n_total AS DOUBLE) AS outside_frac
             FROM tot LEFT JOIN o USING (event_type)
+        """,
+        # S20 zone-map pruned read: the same day-range aggregate over
+        # the raw table — values match only if pruning lost nothing
+        "s20_zonemap_pruning": """
+            WITH meta AS (SELECT epoch_us(min(ts)) // 86400000000
+                              AS min_day FROM events),
+            e AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                             AS day,
+                         CAST(floor(value * 100 + 0.5) AS BIGINT)
+                             AS cents
+                  FROM events)
+            SELECT e.day, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(e.cents) AS BIGINT) AS cents_sum
+            FROM e, meta
+            WHERE e.day >= meta.min_day + 10
+              AND e.day <= meta.min_day + 16
+            GROUP BY e.day
+        """,
+        # G22 exact per-type cent quantiles: cumulative bounded-domain
+        # counts, lower quantile = smallest v with cum >= ceil(q*n)
+        "g22_value_quantiles_by_type": """
+            WITH c AS (SELECT event_type,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT)
+                                  AS v,
+                              count(*) AS c
+                       FROM events GROUP BY event_type, v),
+            cum AS (SELECT event_type, v,
+                           sum(c) OVER (PARTITION BY event_type
+                                        ORDER BY v) AS cm,
+                           sum(c) OVER (PARTITION BY event_type) AS tot
+                    FROM c)
+            SELECT event_type, CAST(any_value(tot) AS BIGINT) AS n,
+                   CAST(min(CASE WHEN cm >= greatest(
+                            CAST(ceil(0.5 * tot) AS BIGINT), 1)
+                            THEN v END) AS BIGINT) AS p50_cents,
+                   CAST(min(CASE WHEN cm >= greatest(
+                            CAST(ceil(0.9 * tot) AS BIGINT), 1)
+                            THEN v END) AS BIGINT) AS p90_cents,
+                   CAST(min(CASE WHEN cm >= greatest(
+                            CAST(ceil(0.99 * tot) AS BIGINT), 1)
+                            THEN v END) AS BIGINT) AS p99_cents
+            FROM cum GROUP BY event_type
+        """,
+        # W31 per-user session summary: W1's lag/sum-over-breaks CTE
+        # aggregated per user; the two means are pinned divisions
+        "w31_session_summary": """
+            WITH o AS (
+                SELECT user_id, ts, event_id,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS pts
+                FROM events),
+            m AS (SELECT *, CASE WHEN pts IS NULL OR
+                                      epoch_us(ts) - epoch_us(pts)
+                                          > 43200000000
+                                 THEN 1 ELSE 0 END AS brk FROM o),
+            s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING)
+                                AS sid
+                  FROM m),
+            per_sess AS (
+                SELECT user_id, sid,
+                       CAST(count(*) AS BIGINT) AS n_ev,
+                       CAST(epoch_us(max(ts)) - epoch_us(min(ts))
+                            AS BIGINT) AS dur_us
+                FROM s GROUP BY user_id, sid)
+            SELECT user_id,
+                   CAST(sum(n_ev) AS BIGINT) AS n_events,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(max(n_ev) AS BIGINT) AS max_session_events,
+                   CAST(sum(dur_us) AS BIGINT) AS in_session_us,
+                   CAST(sum(n_ev) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS mean_session_events,
+                   CAST(sum(dur_us) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS mean_session_us
+            FROM per_sess GROUP BY user_id
         """,
         # G23 partition skew: exact bucket counts under the Knuth hash;
         # share and skew factor are pinned divisions

@@ -4778,3 +4778,191 @@ def g21_theil_index(sf_dir: str):
 
     return ds.groupby("source").map_groups(per_source,
                                            batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- S20 ----
+def s20_zonemap_pruning(sf_dir: str, offset_days: int = 10,
+                        span_days: int = 7, rows_per_group: int = 2048):
+    """S20 — sorted layout + ROW-GROUP zone-map pruned read: the events
+    table is persisted ONCE sorted by day with small row groups (a
+    distributed sort -> per-block task-side parquet writes), and a
+    day-range probe then plans from FOOTER STATISTICS ONLY which (file,
+    row-group) units can contain matching rows, reading nothing else.
+    S18 prunes at hive-directory granularity; this is the finer
+    intra-file zone-map level — together they are the two-tier pruning
+    story a 100 TB time-range scan lives on.
+
+    Scale shape: the layout build is sort + embarrassingly-parallel
+    per-block writes (one-time cost, amortized across probes); the probe
+    reads only overlapping row groups through a from_items unit list (no
+    driver data), with a residual in-range filter trimming unit edges.
+    Oracle: the same day-range aggregate over the raw table — values
+    match only if pruning lost nothing."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from anomalydetection_ray.state.layout import persist_bucketed
+
+    path = f"{sf_dir}/events.parquet"
+    US_DAY = 86_400_000_000
+
+    import datetime as _dt
+
+    def _us(x) -> int:
+        if isinstance(x, _dt.datetime):
+            return int(x.replace(tzinfo=_dt.timezone.utc).timestamp()
+                       * 1_000_000)
+        return int(x)
+
+    md = pq.ParquetFile(path).metadata
+    names = [md.schema.column(i).name for i in range(md.num_columns)]
+    ci = names.index("ts")
+    min_day = min(_us(md.row_group(g).column(ci).statistics.min)
+                  for g in range(md.num_row_groups)) // US_DAY
+    d0 = min_day + offset_days
+    d1 = d0 + span_days - 1
+
+    def build(tmp: str) -> None:
+        import hashlib as _hl
+        import os as _os
+
+        ds = ray.data.read_parquet(path, columns=["ts", "value"])
+
+        def to_day(batch: pa.Table) -> pa.Table:
+            us = np.asarray(batch.column("ts").cast(pa.int64()),
+                            dtype=np.int64)
+            return pa.table({
+                "day": pa.array(us // US_DAY, type=pa.int64()),
+                "cents": pa.array(
+                    np.floor(np.asarray(batch.column("value"),
+                                        dtype=np.float64) * 100.0
+                             + 0.5).astype(np.int64), type=pa.int64()),
+            })
+
+        def write_shard(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"path": pa.array([], type=pa.string()),
+                                 "rows": pa.array([], type=pa.int64())})
+            day = np.asarray(batch.column("day"), dtype=np.int64)
+            tag = _hl.md5(day.tobytes()).hexdigest()[:12]
+            f = _os.path.join(
+                tmp, f"part-{int(day[0])}-{int(day[-1])}-{tag}.parquet")
+            pq.write_table(batch, f, row_group_size=rows_per_group)
+            return pa.table({"path": pa.array([f], type=pa.string()),
+                             "rows": pa.array([batch.num_rows],
+                                              type=pa.int64())})
+
+        (ds.map_batches(to_day, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .sort("day")
+           .map_batches(write_shard, batch_format="pyarrow",
+                        batch_size=None)
+           .materialize())
+
+    layout = persist_bucketed(
+        "evzone", path, f"S20-rg{rows_per_group}", build)
+
+    # plan from footer stats only: (file, row-group) units overlapping
+    # [d0, d1] — and remember the totals so callers can audit pruning
+    import glob as _glob
+    units, rg_total = [], 0
+    for f in sorted(_glob.glob(f"{layout}/part-*.parquet")):
+        fmd = pq.ParquetFile(f).metadata
+        didx = [fmd.schema.column(i).name
+                for i in range(fmd.num_columns)].index("day")
+        for g in range(fmd.num_row_groups):
+            rg_total += 1
+            st = fmd.row_group(g).column(didx).statistics
+            if int(st.min) <= d1 and int(st.max) >= d0:
+                units.append({"path": f, "rg": g})
+    s20_zonemap_pruning.last_plan = {"rg_total": rg_total,
+                                     "rg_scanned": len(units)}
+
+    def read_unit(batch) -> pa.Table:
+        import pandas as _pd
+
+        tabs = []
+        for _, r in batch.iterrows():
+            t = pq.ParquetFile(r["path"]).read_row_group(int(r["rg"]))
+            day = np.asarray(t.column("day"), dtype=np.int64)
+            keep = (day >= d0) & (day <= d1)
+            t = t.filter(pa.array(keep))
+            if t.num_rows:
+                g = t.group_by(["day"]).aggregate([([], "count_all"),
+                                                   ("cents", "sum")])
+                tabs.append(pa.table({
+                    "day": g.column("day"),
+                    "n": g.column("count_all").cast(pa.int64()),
+                    "cents_sum": g.column("cents_sum").cast(pa.int64()),
+                }))
+        if not tabs:
+            return pa.table({"day": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64()),
+                             "cents_sum": pa.array([], type=pa.int64())})
+        return pa.concat_tables(tabs)
+
+    import ray.data as _rd
+    agg = (_rd.from_items(units)
+           .map_batches(read_unit, batch_format="pandas")
+           .groupby("day").sum(["n", "cents_sum"]))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": batch.column("day"),
+            "n": batch.column("sum(n)").cast(pa.int64()),
+            "cents_sum": batch.column("sum(cents_sum)").cast(pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- G22 ----
+def g22_value_quantiles_by_type(sf_dir: str, qs=(0.5, 0.9, 0.99)):
+    """G22 — EXACT per-event-type value quantiles at any scale without a
+    sort: the G3 bincount-histogram trick transplanted from the token
+    domain to quantized cents — each block emits one bounded cent
+    histogram per type (values live in a small integer domain after
+    x100 quantization), histograms add associatively under a tiny
+    per-type groupby, and the LOWER quantile (smallest v with cum count
+    >= ceil(q*n)) is read off the merged counts.  The shuffle moves
+    histogram vectors, never event rows."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def hist_batch(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        v100 = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        uniq, inv = np.unique(
+            np.asarray(batch.column("event_type").to_pylist(),
+                       dtype=object), return_inverse=True)
+        t = pa.table({
+            "event_type": pa.array(np.asarray(uniq, dtype=object)[inv],
+                                   type=pa.string()),
+            "v100": pa.array(v100, type=pa.int64()),
+            "one": pa.array(np.ones(v100.shape[0], dtype=np.int64)),
+        })
+        g = t.group_by(["event_type", "v100"]).aggregate([("one", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "v100": g.column("v100"),
+                         "c": g.column("one_sum").cast(pa.int64())})
+
+    counts = (ds.map_batches(hist_batch, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["event_type", "v100"]).sum("c"))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        order = np.argsort(np.asarray(group.column("v100"),
+                                      dtype=np.int64))
+        v = np.asarray(group.column("v100"), dtype=np.int64)[order]
+        c = np.asarray(group.column("sum(c)"), dtype=np.int64)[order]
+        cum = np.cumsum(c)
+        total = int(cum[-1])
+        row = {"event_type": [et], "n": [total]}
+        for q in qs:
+            k = min(int(np.ceil(q * total)), total) if total else 0
+            idx = int(np.searchsorted(cum, max(k, 1))) if total else 0
+            row[f"p{int(q * 100)}_cents"] = [int(v[idx])]
+        return pa.Table.from_pydict(row)
+
+    return counts.groupby("event_type").map_groups(
+        finalize, batch_format="pyarrow")

@@ -2354,3 +2354,77 @@ def j13_interval_anti(sf_dir: str, n_windows: int = N_WINDOWS):
         })
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- W31 ----
+def _session_summary_kernel(group: pa.Table,
+                            gap_us: int = GAP_US) -> pa.Table:
+    """Per-user session SUMMARY in one pass: the W1 gaps-and-islands
+    machinery collapsed to per-user aggregates (session count, longest
+    session by event count, exact total in-session microseconds) plus
+    the two pinned per-user divisions (mean events / mean duration per
+    session).  Every user lives wholly inside one partition, so the
+    summary needs no second exchange."""
+    group = group.drop_columns([PKEY]).sort_by(
+        [("user_id", "ascending"), ("ts", "ascending"),
+         ("event_id", "ascending")])
+    n = group.num_rows
+    if n == 0:
+        return pa.table({
+            "user_id": pa.array([], type=pa.int64()),
+            "n_events": pa.array([], type=pa.int64()),
+            "n_sessions": pa.array([], type=pa.int64()),
+            "max_session_events": pa.array([], type=pa.int64()),
+            "in_session_us": pa.array([], type=pa.int64()),
+            "mean_session_events": pa.array([], type=pa.float64()),
+            "mean_session_us": pa.array([], type=pa.float64()),
+        })
+    starts = run_starts(group, ["user_id"])
+    nu = starts.shape[0]
+    ts = _ts_us(group.column("ts"))
+    is_new = np.zeros(n, dtype=bool)
+    is_new[starts] = True
+    if n > 1:
+        is_new[1:] |= (ts[1:] - ts[:-1]) > gap_us
+    sstarts = np.flatnonzero(is_new)
+    sends = np.append(sstarts[1:], n)
+    sess_events = (sends - sstarts).astype(np.int64)
+    sess_dur = (ts[sends - 1] - ts[sstarts]).astype(np.int64)
+    # map sessions back to users
+    user_lens = np.diff(np.append(starts, n))
+    sess_user = np.searchsorted(starts, sstarts, side="right") - 1
+    u_sess_starts = np.searchsorted(sess_user,
+                                    np.arange(nu, dtype=np.int64))
+    n_sessions = np.diff(np.append(u_sess_starts,
+                                   sess_user.shape[0])).astype(np.int64)
+    max_events = np.maximum.reduceat(sess_events, u_sess_starts)
+    in_sess = np.add.reduceat(sess_dur, u_sess_starts)
+    mean_ev = user_lens.astype(np.float64) / n_sessions.astype(np.float64)
+    mean_us = in_sess.astype(np.float64) / n_sessions.astype(np.float64)
+    uid = np.asarray(group.column("user_id"), dtype=np.int64)
+    return pa.table({
+        "user_id": pa.array(uid[starts], type=pa.int64()),
+        "n_events": pa.array(user_lens.astype(np.int64), type=pa.int64()),
+        "n_sessions": pa.array(n_sessions, type=pa.int64()),
+        "max_session_events": pa.array(max_events, type=pa.int64()),
+        "in_session_us": pa.array(in_sess, type=pa.int64()),
+        "mean_session_events": pa.array(mean_ev, type=pa.float64()),
+        "mean_session_us": pa.array(mean_us, type=pa.float64()),
+    })
+
+
+def w31_session_summary(sf_dir: str, gap_us: int = GAP_US,
+                        num_partitions: int = 16):
+    """W31 — per-user session summary (the engagement-profile rollup of
+    W1's session table): session count, longest session, exact total
+    in-session time, mean session size/length.  One ``_pkey`` exchange,
+    one vectorized kernel, zero per-user Python; oracle = W1's
+    lag/sum-over-breaks CTE aggregated per user."""
+    ev = _read_events(sf_dir, ["event_id", "ts", "user_id"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby(PKEY).map_groups(
+        functools.partial(_session_summary_kernel, gap_us=gap_us),
+        batch_format="pyarrow")

@@ -1148,3 +1148,77 @@ def test_containment_pairs_exact(ray_session):
         # containment dominates Jaccard and clears the bar
         jac = inter / max(len(ga | gb), 1)
         assert max(r["cont_a"], r["cont_b"]) >= max(jac, 0.5)
+
+
+# ---------------------------------------------------------------- S20 ----
+def test_zonemap_pruning_reads_subset_and_matches(ray_session):
+    from anomalydetection_ray.pipelines.queries import s20_zonemap_pruning
+
+    got = (s20_zonemap_pruning(SF).to_pandas()
+           .set_index("day").sort_index())
+
+    plan = s20_zonemap_pruning.last_plan
+    assert plan["rg_total"] > plan["rg_scanned"] > 0, plan
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "value"]).to_pandas()
+    day = ev["ts"].astype("int64") // 86_400_000_000
+    d0 = int(day.min()) + 10
+    sel = ev[(day >= d0) & (day <= d0 + 6)]
+    sel_day = sel["ts"].astype("int64") // 86_400_000_000
+    v100 = np.floor(sel["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    exp = (sel.assign(day=sel_day, v100=v100)
+           .groupby("day").agg(n=("v100", "size"), cents=("v100", "sum")))
+    assert set(got.index) == set(exp.index)
+    for d, r in exp.iterrows():
+        assert int(got.loc[d, "n"]) == int(r["n"])
+        assert int(got.loc[d, "cents_sum"]) == int(r["cents"])
+
+
+# ---------------------------------------------------------------- G22 ----
+def test_value_quantiles_by_type_exact(ray_session):
+    from anomalydetection_ray.pipelines.queries import (
+        g22_value_quantiles_by_type)
+
+    got = (g22_value_quantiles_by_type(SF).to_pandas()
+           .set_index("event_type").sort_index())
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    ev["v100"] = np.floor(ev["value"] * 100.0 + 0.5).astype(np.int64)
+    for et, g in ev.groupby("event_type"):
+        v = np.sort(g["v100"].to_numpy())
+        n = len(v)
+        r = got.loc[et]
+        assert int(r["n"]) == n
+        for q, col in ((0.5, "p50_cents"), (0.9, "p90_cents"),
+                       (0.99, "p99_cents")):
+            k = min(int(math.ceil(q * n)), n)
+            assert int(r[col]) == int(v[max(k, 1) - 1]), (et, col)
+        assert r["p50_cents"] <= r["p90_cents"] <= r["p99_cents"]
+
+
+# ---------------------------------------------------------------- W31 ----
+def test_session_summary_matches_sessionize(ray_session):
+    from anomalydetection_ray.pipelines.windows import (
+        w1_sessionize_events, w31_session_summary)
+
+    got = (w31_session_summary(SF).to_pandas()
+           .set_index("user_id").sort_index())
+    sess = w1_sessionize_events(SF).to_pandas()
+
+    agg = sess.groupby("user_id").agg(
+        n_events=("n_events", "sum"),
+        n_sessions=("n_events", "size"),
+        max_session_events=("n_events", "max"),
+        in_session_us=("duration_us", "sum"))
+    assert set(got.index) == set(agg.index)
+    for uid, r in agg.iterrows():
+        g = got.loc[uid]
+        for c in ("n_events", "n_sessions", "max_session_events",
+                  "in_session_us"):
+            assert int(g[c]) == int(r[c]), (uid, c)
+        assert g["mean_session_events"] == (float(int(r["n_events"]))
+                                            / float(int(r["n_sessions"])))
+        assert g["mean_session_us"] == (float(int(r["in_session_us"]))
+                                        / float(int(r["n_sessions"])))
