@@ -273,6 +273,15 @@ def _a9_autocorr(sf_dir: str, lag: int = 24):
     )
 
 
+def _x7_degree_assortativity(sf_dir: str):
+    from anomalydetection_ray.pipelines.dedup import minhash_lsh_pairs
+    from anomalydetection_ray.stages.cc import degree_assortativity
+
+    pairs = minhash_lsh_pairs(sf_dir, min_est=0.2).select_columns(
+        ["doc_a", "doc_b"])
+    return degree_assortativity(pairs, "doc_a", "doc_b", num_partitions=8)
+
+
 def _x6_triangle_census(sf_dir: str):
     from anomalydetection_ray.pipelines.dedup import minhash_lsh_pairs
     from anomalydetection_ray.stages.cc import triangle_census
@@ -613,6 +622,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # X6 exact triangle census + transitivity of the dup-pair graph
         # (node-iterator at the minimum vertex; Newman 2003)
         "x6_triangle_census": _x6_triangle_census,
+        # X7 degree assortativity of the dup-pair graph (Newman
+        # 2002): exact-int moments over symmetrized endpoint degrees
+        "x7_degree_assortativity": _x7_degree_assortativity,
+        # Q15 token-budget greedy selection (shortest-first knapsack
+        # rule): distributed order-by-length prefix sum, no sort
+        "q15_token_budget_select": pk.q15_token_budget_select,
         # K7 distributed power iteration: dominant eigenvector of the
         # uncentered Gram matrix, exact-int matvecs + pinned renormalize
         "k7_power_iteration": km.k7_power_iteration,
@@ -3555,6 +3570,43 @@ def oracle_sql() -> dict[str, str]:
                         THEN 3.0 * CAST((SELECT t FROM tri) AS DOUBLE)
                              / CAST((SELECT nw FROM w) AS DOUBLE)
                    END AS transitivity
+        """,
+        "x7_degree_assortativity": f"""
+            WITH {_minhash_cte(0.2)},
+            e AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM mh_pairs),
+            b AS MATERIALIZED (
+                SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e),
+            deg AS MATERIALIZED (
+                SELECT x, CAST(count(*) AS BIGINT) AS d FROM b GROUP BY x),
+            se AS (SELECT u AS s, v AS t FROM e
+                   UNION ALL SELECT v, u FROM e),
+            m AS (SELECT da.d AS da, db.d AS db
+                  FROM se JOIN deg da ON da.x = se.s
+                          JOIN deg db ON db.x = se.t),
+            agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(da) AS BIGINT) AS sx,
+                           CAST(sum(da * da) AS BIGINT) AS sxx,
+                           CAST(sum(da * db) AS BIGINT) AS sxy
+                    FROM m)
+            SELECT n AS n_endpoints, sx, sxx, sxy,
+                   CASE WHEN n * sxx - sx * sx > 0
+                        THEN CAST(n * sxy - sx * sx AS DOUBLE)
+                             / CAST(n * sxx - sx * sx AS DOUBLE)
+                   END AS assortativity
+            FROM agg
+        """,
+        "q15_token_budget_select": """
+            WITH n AS (
+              SELECT doc_id,
+                     CAST(length(list_filter(string_split(text, ' '),
+                          x -> x <> '')) AS BIGINT) AS n_tok
+              FROM documents),
+            c AS (SELECT doc_id, n_tok,
+                         CAST(sum(n_tok) OVER (ORDER BY n_tok, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             AS cum_tok
+                  FROM n)
+            SELECT doc_id, n_tok, cum_tok FROM c WHERE cum_tok <= 50000
         """,
         "pagerank_dup_graph": f"""
             WITH {_minhash_cte(0.2)},

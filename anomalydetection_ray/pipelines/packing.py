@@ -640,3 +640,97 @@ def q14_length_buckets(sf_dir: str):
         })
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- Q15 ----
+def q15_token_budget_select(sf_dir: str, budget: int = 50_000,
+                            num_partitions: int = 16):
+    """Q15 — token-budget greedy selection: admit documents in
+    (n_tok asc, doc_id asc) order while the running token total stays
+    within ``budget`` — the knapsack-greedy "most documents under a
+    fixed token budget" data-selection rule (shortest-first maximizes
+    the admitted count).  Emits (doc_id, n_tok, cum_tok) for every
+    admitted doc.
+
+    Scale shape — a distributed ORDER-BY-LENGTH prefix sum with no
+    global sort: (1) one map pass collapses the corpus to the bounded
+    (n_tok -> doc count, token sum) histogram (distinct lengths, not
+    documents — the only driver state); the driver turns it into
+    base[t] = tokens of all docs with length < t.  (2) a second pass
+    ranks each doc WITHIN its length group by doc_id (one ``_pkey``
+    exchange keyed on n_tok, vectorized run-rank kernel), so
+    cum_tok = base[t] + (rank+1)*t is exact int64 per doc and the
+    budget test is local.  Oracle: window cumsum over the same total
+    order."""
+    import ray.data
+
+    from anomalydetection_ray.stages.runs import (PKEY, add_partition_key,
+                                                  run_starts)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def count(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(words)
+        row_of = np.asarray(pc.list_parent_indices(words), dtype=np.int64)
+        nonempty = np.asarray(pc.not_equal(flat, ""))
+        n_tok = np.bincount(row_of[nonempty],
+                            minlength=batch.num_rows).astype(np.int64)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_tok": pa.array(n_tok, type=pa.int64())})
+
+    counts = ds.map_batches(count, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+
+    def hist(batch: pa.Table) -> pa.Table:
+        t = pa.table({"n_tok": batch.column("n_tok"),
+                      "toks": batch.column("n_tok"),
+                      "one": pa.array(np.ones(batch.num_rows,
+                                              dtype=np.int64))})
+        g = t.group_by(["n_tok"]).aggregate([("toks", "sum"),
+                                             ("one", "sum")])
+        return pa.table({"n_tok": g.column("n_tok"),
+                         "toks": g.column("toks_sum").cast(pa.int64()),
+                         "docs": g.column("one_sum").cast(pa.int64())})
+
+    h = (counts.map_batches(hist, batch_format="pyarrow",
+                            zero_copy_batch=True)
+         .groupby("n_tok").sum(["toks", "docs"]).take_all())
+    lens = sorted(int(r["n_tok"]) for r in h)
+    tok_of = {int(r["n_tok"]): int(r["sum(toks)"]) for r in h}
+    base: dict[int, int] = {}
+    acc = 0
+    for t in lens:
+        base[t] = acc
+        acc += tok_of[t]
+
+    tagged = counts.map_batches(
+        functools.partial(add_partition_key, keys=["n_tok"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def select(group: pa.Table) -> pa.Table:
+        group = group.drop_columns([PKEY]).sort_by(
+            [("n_tok", "ascending"), ("doc_id", "ascending")])
+        n = group.num_rows
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "n_tok": pa.array([], type=pa.int64()),
+                             "cum_tok": pa.array([], type=pa.int64())})
+        nt = np.asarray(group.column("n_tok"), dtype=np.int64)
+        starts = run_starts(group, ["n_tok"])
+        glens = np.diff(np.append(starts, n))
+        rank = np.arange(n, dtype=np.int64) - np.repeat(starts, glens)
+        base_arr = np.asarray([base[int(t)] for t in nt[starts].tolist()],
+                              dtype=np.int64)
+        cum = np.repeat(base_arr, glens) + (rank + 1) * nt
+        keep = cum <= budget
+        out = group.filter(pa.array(keep))
+        return out.append_column("cum_tok",
+                                 pa.array(cum[keep], type=pa.int64()))
+
+    return tagged.groupby(PKEY).map_groups(select, batch_format="pyarrow")

@@ -358,3 +358,80 @@ def triangle_census(pairs_ds, a_col: str, b_col: str,
         "n_triangles": pa.array([int(n_tri)], type=pa.int64()),
         "transitivity": pa.array([trans], type=pa.float64()),
     })
+
+
+def degree_assortativity(pairs_ds, a_col: str, b_col: str,
+                         num_partitions: int = 8) -> pa.Table:
+    """X7 — degree assortativity of an undirected pair graph (Newman
+    2002): the Pearson correlation of endpoint degrees over the
+    symmetrized edge list — positive r means heavy duplicators link to
+    heavy duplicators (template families), negative means hub-and-spoke
+    copying.
+
+    Distributed shape: degrees from the X6 `_sum_per_key` exchange;
+    degrees attach to both edge endpoints via co-partitioned lookups
+    (no broadcast of the corpus, only of the partition routing); the
+    Pearson moments collapse per block to ONE int64 row each, so the
+    driver holds O(P) partials.  Exactness: over the SYMMETRIZED edge
+    list Sx = Sy and Sxx = Syy by construction, every moment is an
+    exact python-int, and r = float(n*Sxy - Sx^2) / float(n*Sxx - Sx^2)
+    is one pinned division.  Returns a ONE-ROW pyarrow table."""
+    from anomalydetection_ray.stages.join import copartition_attach
+
+    edges = pairs_ds.map_batches(
+        lambda b: pa.table({"u": b.column(a_col).cast(pa.int64()),
+                            "v": b.column(b_col).cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    both = edges.map_batches(
+        lambda b: pa.table({
+            "x": pa.chunked_array([b.column("u"),
+                                   b.column("v")]).combine_chunks(),
+            "n": pa.array(np.ones(2 * b.num_rows, np.int64))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    deg = _sum_per_key(both, "x", "n", num_partitions).materialize()
+
+    # symmetrized directed edges, degree attached to each endpoint
+    sym = edges.map_batches(
+        lambda b: pa.table({
+            "s": pa.chunked_array([b.column("u"),
+                                   b.column("v")]).combine_chunks(),
+            "t": pa.chunked_array([b.column("v"),
+                                   b.column("u")]).combine_chunks()}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    with_s = copartition_attach(sym, deg, "s", "x", ["n"],
+                                num_partitions=num_partitions)
+    with_s = with_s.map_batches(
+        lambda b: pa.table({"t": b.column("t"),
+                            "da": b.column("n").cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    with_st = copartition_attach(with_s, deg, "t", "x", ["n"],
+                                 num_partitions=num_partitions)
+
+    def moments(batch: pa.Table) -> pa.Table:
+        da = np.asarray(batch.column("da"), dtype=np.int64)
+        db = np.asarray(batch.column("n"), dtype=np.int64)
+        return pa.table({
+            "n": pa.array([batch.num_rows], type=pa.int64()),
+            "sx": pa.array([int(da.sum())], type=pa.int64()),
+            "sxx": pa.array([int((da * da).sum())], type=pa.int64()),
+            "sxy": pa.array([int((da * db).sum())], type=pa.int64()),
+        })
+
+    parts = with_st.map_batches(moments, batch_format="pyarrow",
+                                zero_copy_batch=True).take_all()
+    n = sum(int(r["n"]) for r in parts)
+    sx = sum(int(r["sx"]) for r in parts)
+    sxx = sum(int(r["sxx"]) for r in parts)
+    sxy = sum(int(r["sxy"]) for r in parts)
+    num = n * sxy - sx * sx
+    den = n * sxx - sx * sx
+    r = float(num) / float(den) if den > 0 else None
+    return pa.table({
+        "n_endpoints": pa.array([n], type=pa.int64()),
+        "sx": pa.array([sx], type=pa.int64()),
+        "sxx": pa.array([sxx], type=pa.int64()),
+        "sxy": pa.array([sxy], type=pa.int64()),
+        "assortativity": pa.array([r], type=pa.float64(),
+                                  from_pandas=True),
+    })

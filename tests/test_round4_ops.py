@@ -1222,3 +1222,67 @@ def test_session_summary_matches_sessionize(ray_session):
                                             / float(int(r["n_sessions"])))
         assert g["mean_session_us"] == (float(int(r["in_session_us"]))
                                         / float(int(r["n_sessions"])))
+
+
+# ---------------------------------------------------------------- Q15 ----
+def test_token_budget_select_greedy(ray_session):
+    from anomalydetection_ray.pipelines.packing import (
+        q15_token_budget_select)
+
+    budget = 5_000
+    got = (q15_token_budget_select(SF, budget=budget).to_pandas()
+           .sort_values(["n_tok", "doc_id"]).reset_index(drop=True))
+    assert len(got) > 0
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    docs["n_tok"] = docs["text"].map(
+        lambda t: sum(1 for w in t.split(" ") if w != ""))
+    docs = docs.sort_values(["n_tok", "doc_id"]).reset_index(drop=True)
+    docs["cum"] = docs["n_tok"].cumsum()
+    exp = docs[docs["cum"] <= budget]
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    assert list(got["n_tok"]) == list(exp["n_tok"])
+    assert list(got["cum_tok"]) == list(exp["cum"])
+    # greedy shortest-first admits the maximum possible count
+    assert int(got["cum_tok"].max()) <= budget
+    rest = docs[docs["cum"] > budget]
+    if len(rest):
+        assert int(got["cum_tok"].max()) + int(rest["n_tok"].iloc[0]) \
+            > budget
+
+
+# ---------------------------------------------------------------- X7 ----
+def test_degree_assortativity_exact(ray_session):
+    from anomalydetection_ray.pipelines.dedup import minhash_lsh_pairs
+    from anomalydetection_ray.stages.cc import degree_assortativity
+
+    pairs = minhash_lsh_pairs(SF, min_est=0.2).select_columns(
+        ["doc_a", "doc_b"])
+    edges = pairs.to_pandas()
+    got = degree_assortativity(
+        minhash_lsh_pairs(SF, min_est=0.2).select_columns(
+            ["doc_a", "doc_b"]),
+        "doc_a", "doc_b").to_pandas().iloc[0]
+
+    import collections
+    deg = collections.Counter()
+    for _, r in edges.iterrows():
+        deg[r["doc_a"]] += 1
+        deg[r["doc_b"]] += 1
+    pts = []
+    for _, r in edges.iterrows():
+        pts.append((deg[r["doc_a"]], deg[r["doc_b"]]))
+        pts.append((deg[r["doc_b"]], deg[r["doc_a"]]))
+    n = len(pts)
+    sx = sum(a for a, _ in pts)
+    sxx = sum(a * a for a, _ in pts)
+    sxy = sum(a * b for a, b in pts)
+    assert int(got["n_endpoints"]) == n
+    assert int(got["sx"]) == sx
+    assert int(got["sxx"]) == sxx
+    assert int(got["sxy"]) == sxy
+    den = n * sxx - sx * sx
+    if den > 0:
+        assert got["assortativity"] == float(n * sxy - sx * sx) / float(den)
+        assert -1.0 - 1e-12 <= got["assortativity"] <= 1.0 + 1e-12
