@@ -628,6 +628,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Q15 token-budget greedy selection (shortest-first knapsack
         # rule): distributed order-by-length prefix sum, no sort
         "q15_token_budget_select": pk.q15_token_budget_select,
+        # V13 Heaps-law vocabulary growth curve (types vs tokens at
+        # doc checkpoints; first-doc-per-word exchange)
+        "v13_heaps_curve": vb.v13_heaps_curve,
+        # Q16 length-interleaved shard assignment + balance audit
+        # (round-robin over the Q15 distributed length rank)
+        "q16_shard_balance": pk.q16_shard_balance,
         # K7 distributed power iteration: dominant eigenvector of the
         # uncentered Gram matrix, exact-int matvecs + pinned renormalize
         "k7_power_iteration": km.k7_power_iteration,
@@ -3594,6 +3600,50 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(n * sxx - sx * sx AS DOUBLE)
                    END AS assortativity
             FROM agg
+        """,
+        "v13_heaps_curve": """
+            WITH n AS (SELECT doc_id,
+                              list_filter(string_split(text, ' '),
+                                          x -> x <> '') AS ws
+                       FROM documents),
+            w AS (SELECT doc_id, unnest(ws) AS word FROM n),
+            fst AS MATERIALIZED (
+                SELECT word, CAST(min(doc_id) AS BIGINT) AS fd
+                FROM w GROUP BY word),
+            nt AS MATERIALIZED (
+                SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_w FROM n),
+            meta AS (SELECT CAST(count(*) AS BIGINT) AS n
+                     FROM documents),
+            cp AS (SELECT CAST(t.k AS BIGINT) AS k,
+                          CAST((CAST(t.k AS BIGINT) + 1) * meta.n // 10
+                               - 1 AS BIGINT) AS doc_hi
+                   FROM meta, range(0, 10) t(k))
+            SELECT cp.k, cp.doc_hi,
+                   (SELECT CAST(coalesce(sum(n_w), 0) AS BIGINT)
+                    FROM nt WHERE nt.doc_id <= cp.doc_hi) AS tokens_cum,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM fst WHERE fst.fd <= cp.doc_hi) AS types_cum
+            FROM cp
+        """,
+        "q16_shard_balance": """
+            WITH n AS (
+              SELECT doc_id,
+                     CAST(length(list_filter(string_split(text, ' '),
+                          x -> x <> '')) AS BIGINT) AS n_tok
+              FROM documents),
+            r AS (SELECT doc_id, n_tok,
+                         CAST(row_number() OVER (ORDER BY n_tok, doc_id)
+                              - 1 AS BIGINT) AS rk
+                  FROM n),
+            g AS (SELECT rk % 8 AS shard,
+                         CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(n_tok) AS BIGINT) AS tokens_sum
+                  FROM r GROUP BY shard),
+            tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS t FROM n)
+            SELECT g.shard, g.n_docs, g.tokens_sum,
+                   CAST(8 * g.tokens_sum AS DOUBLE)
+                     / CAST(tot.t AS DOUBLE) AS balance_ratio
+            FROM g, tot
         """,
         "q15_token_budget_select": """
             WITH n AS (

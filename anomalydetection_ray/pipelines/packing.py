@@ -734,3 +734,118 @@ def q15_token_budget_select(sf_dir: str, budget: int = 50_000,
                                  pa.array(cum[keep], type=pa.int64()))
 
     return tagged.groupby(PKEY).map_groups(select, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- Q16 ----
+def q16_shard_balance(sf_dir: str, n_shards: int = 8,
+                      num_partitions: int = 16):
+    """Q16 — length-interleaved training-shard assignment + balance
+    audit: documents are ranked by (n_tok asc, doc_id asc) and dealt
+    round-robin (``shard = rank % n_shards``) so every shard receives
+    the same length MIX — the cheap deterministic alternative to LPT
+    bin packing that keeps per-shard token totals within one max-doc of
+    each other.  Emits per-shard doc count, exact token sum, and the
+    pinned imbalance ratio (shard tokens / ideal).
+
+    Scale shape: Q15's distributed ORDER-BY-LENGTH rank (bounded length
+    histogram -> driver base offsets -> per-length doc_id rank via one
+    ``_pkey`` exchange), then the audit collapses per block to
+    ``n_shards`` partial rows before one bounded exchange.  Oracle:
+    row_number over the same total order, mod, GROUP BY."""
+    import ray.data
+
+    from anomalydetection_ray.stages.runs import (PKEY, add_partition_key,
+                                                  run_starts)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def count(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(words)
+        row_of = np.asarray(pc.list_parent_indices(words), dtype=np.int64)
+        nonempty = np.asarray(pc.not_equal(flat, ""))
+        n_tok = np.bincount(row_of[nonempty],
+                            minlength=batch.num_rows).astype(np.int64)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_tok": pa.array(n_tok, type=pa.int64())})
+
+    counts = ds.map_batches(count, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+
+    def hist(batch: pa.Table) -> pa.Table:
+        t = pa.table({"n_tok": batch.column("n_tok"),
+                      "one": pa.array(np.ones(batch.num_rows,
+                                              dtype=np.int64))})
+        g = t.group_by(["n_tok"]).aggregate([("one", "sum")])
+        return pa.table({"n_tok": g.column("n_tok"),
+                         "docs": g.column("one_sum").cast(pa.int64())})
+
+    h = (counts.map_batches(hist, batch_format="pyarrow",
+                            zero_copy_batch=True)
+         .groupby("n_tok").sum("docs").take_all())
+    lens = sorted(int(r["n_tok"]) for r in h)
+    cnt_of = {int(r["n_tok"]): int(r["sum(docs)"]) for r in h}
+    rank_base: dict[int, int] = {}
+    acc = 0
+    total_tokens = 0
+    for t in lens:
+        rank_base[t] = acc
+        acc += cnt_of[t]
+        total_tokens += t * cnt_of[t]
+
+    tagged = counts.map_batches(
+        functools.partial(add_partition_key, keys=["n_tok"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def assign(group: pa.Table) -> pa.Table:
+        group = group.drop_columns([PKEY]).sort_by(
+            [("n_tok", "ascending"), ("doc_id", "ascending")])
+        n = group.num_rows
+        if n == 0:
+            return pa.table({"shard": pa.array([], type=pa.int64()),
+                             "n_docs": pa.array([], type=pa.int64()),
+                             "tokens_sum": pa.array([], type=pa.int64())})
+        nt = np.asarray(group.column("n_tok"), dtype=np.int64)
+        starts = run_starts(group, ["n_tok"])
+        glens = np.diff(np.append(starts, n))
+        rank = np.arange(n, dtype=np.int64) - np.repeat(starts, glens)
+        base_arr = np.asarray(
+            [rank_base[int(t)] for t in nt[starts].tolist()],
+            dtype=np.int64)
+        shard = (np.repeat(base_arr, glens) + rank) % n_shards
+        t = pa.table({"shard": pa.array(shard, type=pa.int64()),
+                      "toks": pa.array(nt, type=pa.int64()),
+                      "one": pa.array(np.ones(n, dtype=np.int64))})
+        g = t.group_by(["shard"]).aggregate([("one", "sum"),
+                                             ("toks", "sum")])
+        return pa.table({"shard": g.column("shard"),
+                         "n_docs": g.column("one_sum").cast(pa.int64()),
+                         "tokens_sum": g.column("toks_sum").cast(pa.int64())})
+
+    agg = (tagged.groupby(PKEY).map_groups(assign, batch_format="pyarrow")
+           .groupby("shard").sum(["n_docs", "tokens_sum"]))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        shard = np.asarray(batch.column("shard"), dtype=np.int64)
+        nd = np.asarray(batch.column("sum(n_docs)"), dtype=np.int64)
+        ts = np.asarray(batch.column("sum(tokens_sum)"), dtype=np.int64)
+        # per-shard imbalance vs the ideal even split: pinned
+        # float(n_shards * shard_tokens) / float(total_tokens); the
+        # total is exact driver state from the length histogram
+        ratio = ((n_shards * ts).astype(np.float64)
+                 / np.float64(total_tokens)
+                 if total_tokens else np.zeros(len(ts)))
+        return pa.table({
+            "shard": pa.array(shard, type=pa.int64()),
+            "n_docs": pa.array(nd, type=pa.int64()),
+            "tokens_sum": pa.array(ts, type=pa.int64()),
+            "balance_ratio": pa.array(ratio, type=pa.float64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow",
+                           batch_size=None)

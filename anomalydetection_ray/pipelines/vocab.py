@@ -672,3 +672,92 @@ def v11_coverage_curve(sf_dir: str, num_partitions: int = 8):
 
     return partition_apply(partials, ["source"], kernel,
                            num_partitions=num_partitions)
+
+
+def v13_heaps_curve(sf_dir: str, n_checkpoints: int = 10):
+    """V13 — vocabulary growth curve (Heaps/Herdan law): cumulative
+    distinct word types vs cumulative tokens at ``n_checkpoints`` evenly
+    spaced document checkpoints in ``doc_id`` order — the
+    tokenizer-sizing / dedup-health audit (types ~ K·tokens^beta with
+    beta ~0.4-0.6 on natural text; a flattening curve means the corpus
+    is repeating itself).
+
+    Scale shape: a word's contribution to every checkpoint is decided by
+    its FIRST document alone, so the pipeline is (1) per-block (word,
+    min doc) partials -> per-word min via ONE vectorized ``agg_by``
+    exchange (the V1/V2 discipline, no per-word Python), (2) each block
+    of the first-doc relation collapses to ``n_checkpoints`` partial
+    type counts by a sorted ``searchsorted`` against the checkpoint
+    bounds, (3) per-doc token counts collapse the same way; both partial
+    relations meet in one bounded (``n_checkpoints``-row) exchange.
+    Exactness: all counts exact int64; no floats anywhere."""
+    import pyarrow.parquet as pq
+
+    from anomalydetection_ray.stages.runs import agg_by
+
+    n_docs = int(pq.ParquetFile(
+        f"{sf_dir}/documents.parquet").metadata.num_rows)
+    his = np.asarray([(k + 1) * n_docs // n_checkpoints - 1
+                      for k in range(n_checkpoints)], dtype=np.int64)
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def first_partial(batch: pa.Table) -> pa.Table:
+        flat, doc_flat = _words_flat(batch)
+        pairs = pa.table({"word": flat, "fd": doc_flat})
+        g = pairs.group_by(["word"]).aggregate([("fd", "min")])
+        return pa.table({"word": g.column("word"),
+                         "fd": g.column("fd_min").cast(pa.int64())})
+
+    firsts = agg_by(
+        docs.map_batches(first_partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["word"], [("fd", "min", "fd")])
+
+    def types_partial(batch: pa.Table) -> pa.Table:
+        fd = np.sort(np.asarray(batch.column("fd"), dtype=np.int64))
+        cnt = np.searchsorted(fd, his, side="right")
+        return pa.table({
+            "k": pa.array(np.arange(len(his), dtype=np.int64)),
+            "types_cum": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            "tokens_cum": pa.array(np.zeros(len(his), dtype=np.int64)),
+        })
+
+    def tokens_partial(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(words)
+        row_of = np.asarray(pc.list_parent_indices(words), dtype=np.int64)
+        nonempty = np.asarray(pc.not_equal(flat, ""))
+        n_w = np.bincount(row_of[nonempty],
+                          minlength=batch.num_rows).astype(np.int64)
+        d = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        order = np.argsort(d)
+        d_s, w_s = d[order], n_w[order]
+        cum = np.concatenate(([0], np.cumsum(w_s)))
+        toks = cum[np.searchsorted(d_s, his, side="right")]
+        return pa.table({
+            "k": pa.array(np.arange(len(his), dtype=np.int64)),
+            "types_cum": pa.array(np.zeros(len(his), dtype=np.int64)),
+            "tokens_cum": pa.array(toks.astype(np.int64), type=pa.int64()),
+        })
+
+    types_p = firsts.map_batches(types_partial, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    tokens_p = docs.map_batches(tokens_partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    agg = (types_p.union(tokens_p)
+           .groupby("k").sum(["types_cum", "tokens_cum"]))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch.column("k"), dtype=np.int64)
+        return pa.table({
+            "k": pa.array(k, type=pa.int64()),
+            "doc_hi": pa.array(his[k], type=pa.int64()),
+            "tokens_cum": batch.column("sum(tokens_cum)").cast(pa.int64()),
+            "types_cum": batch.column("sum(types_cum)").cast(pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -1286,3 +1286,64 @@ def test_degree_assortativity_exact(ray_session):
     if den > 0:
         assert got["assortativity"] == float(n * sxy - sx * sx) / float(den)
         assert -1.0 - 1e-12 <= got["assortativity"] <= 1.0 + 1e-12
+
+
+# ---------------------------------------------------------------- V13 ----
+def test_heaps_curve_matches_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.vocab import v13_heaps_curve
+
+    got = (v13_heaps_curve(SF).to_pandas()
+           .set_index("k").sort_index())
+
+    docs = (pq.read_table(f"{SF}/documents.parquet",
+                          columns=["doc_id", "text"]).to_pandas()
+            .sort_values("doc_id"))
+    n = len(docs)
+    seen = set()
+    types_at, tokens_at = {}, {}
+    tok = 0
+    his = {(k + 1) * n // 10 - 1 for k in range(10)}
+    for _, r in docs.iterrows():
+        ws = [w for w in r["text"].split(" ") if w != ""]
+        tok += len(ws)
+        seen.update(ws)
+        if int(r["doc_id"]) in his:
+            types_at[int(r["doc_id"])] = len(seen)
+            tokens_at[int(r["doc_id"])] = tok
+    for k in range(10):
+        hi = (k + 1) * n // 10 - 1
+        r = got.loc[k]
+        assert int(r["doc_hi"]) == hi
+        assert int(r["types_cum"]) == types_at[hi]
+        assert int(r["tokens_cum"]) == tokens_at[hi]
+    # monotone growth, sub-linear type growth (Heaps)
+    assert got["types_cum"].is_monotonic_increasing
+    assert got["tokens_cum"].is_monotonic_increasing
+    assert int(got["types_cum"].iloc[-1]) < int(got["tokens_cum"].iloc[-1])
+
+
+# ---------------------------------------------------------------- Q16 ----
+def test_shard_balance_round_robin(ray_session):
+    from anomalydetection_ray.pipelines.packing import q16_shard_balance
+
+    got = (q16_shard_balance(SF).to_pandas()
+           .set_index("shard").sort_index())
+    assert list(got.index) == list(range(8))
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    docs["n_tok"] = docs["text"].map(
+        lambda t: sum(1 for w in t.split(" ") if w != ""))
+    docs = docs.sort_values(["n_tok", "doc_id"]).reset_index(drop=True)
+    docs["shard"] = docs.index % 8
+    exp = docs.groupby("shard").agg(n_docs=("n_tok", "size"),
+                                    tokens_sum=("n_tok", "sum"))
+    tot = int(docs["n_tok"].sum())
+    for s, r in exp.iterrows():
+        g = got.loc[s]
+        assert int(g["n_docs"]) == int(r["n_docs"])
+        assert int(g["tokens_sum"]) == int(r["tokens_sum"])
+        assert g["balance_ratio"] == (float(8 * int(r["tokens_sum"]))
+                                      / float(tot))
+    # interleaving keeps every shard within 2% of the ideal split
+    assert got["balance_ratio"].between(0.98, 1.02).all()
