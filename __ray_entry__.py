@@ -634,6 +634,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Q16 length-interleaved shard assignment + balance audit
         # (round-robin over the Q15 distributed length rank)
         "q16_shard_balance": pk.q16_shard_balance,
+        # J14 backward as-of join WITH TOLERANCE (staleness guard:
+        # matches older than 12 h reject to NULL, age audited)
+        "j14_asof_tolerance": q.j14_asof_tolerance,
+        # P6 packed-sequence composition audit (docs + attention
+        # boundaries per training sequence over the P3 packing)
+        "p6_sequence_composition": pk.p6_sequence_composition,
         # K7 distributed power iteration: dominant eigenvector of the
         # uncentered Gram matrix, exact-int matvecs + pinned renormalize
         "k7_power_iteration": km.k7_power_iteration,
@@ -3624,6 +3630,55 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(count(*) AS BIGINT)
                     FROM fst WHERE fst.fd <= cp.doc_hi) AS types_cum
             FROM cp
+        """,
+        "j14_asof_tolerance": """
+            WITH ranked AS (
+              SELECT event_id, event_type, ts, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id) AS rn
+              FROM events),
+            cp AS (SELECT event_id AS calib_event_id, event_type, ts,
+                          value AS calib_value
+                   FROM ranked WHERE (rn - 1) % 50 = 0)
+            SELECT e.event_id, e.event_type, e.value,
+                   CASE WHEN epoch_us(e.ts) - epoch_us(c.ts)
+                             <= 43200000000
+                        THEN c.calib_value END AS calib_value,
+                   CASE WHEN epoch_us(e.ts) - epoch_us(c.ts)
+                             <= 43200000000
+                        THEN c.calib_event_id END AS calib_event_id,
+                   CASE WHEN epoch_us(e.ts) - epoch_us(c.ts)
+                             <= 43200000000
+                        THEN CAST(epoch_us(e.ts) - epoch_us(c.ts)
+                                  AS BIGINT) END AS age_us
+            FROM events e ASOF LEFT JOIN cp c
+              ON e.event_type = c.event_type AND e.ts >= c.ts
+        """,
+        "p6_sequence_composition": """
+            WITH n AS (
+              SELECT doc_id,
+                     CAST(length(list_filter(string_split(text, ' '),
+                          x -> x <> '')) AS BIGINT) AS n_tok
+              FROM documents),
+            c AS (SELECT doc_id, n_tok,
+                         CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS BIGINT) AS off
+                  FROM n),
+            d AS (SELECT doc_id, n_tok, off,
+                         off // 1024 AS s0,
+                         (off + n_tok - 1) // 1024 AS s1
+                  FROM c WHERE n_tok > 0),
+            f AS (SELECT unnest(generate_series(s0, s1)) AS seq_id
+                  FROM d),
+            g AS (SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs
+                  FROM f GROUP BY seq_id),
+            tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS t FROM n)
+            SELECT g.seq_id, g.n_docs,
+                   CAST(g.n_docs - 1 AS BIGINT) AS n_boundaries,
+                   CAST(least(1024, tot.t - g.seq_id * 1024) AS BIGINT)
+                       AS n_tokens
+            FROM g, tot
         """,
         "q16_shard_balance": """
             WITH n AS (

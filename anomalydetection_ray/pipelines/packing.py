@@ -849,3 +849,60 @@ def q16_shard_balance(sf_dir: str, n_shards: int = 8,
 
     return agg.map_batches(finalize, batch_format="pyarrow",
                            batch_size=None)
+
+
+# ---------------------------------------------------------------- P6 ----
+def p6_sequence_composition(sf_dir: str, seq_len: int = SEQ_LEN_DEFAULT,
+                            num_partitions: int = 16):
+    """P6 — training-sequence composition audit over the P3 packing: for
+    every packed sequence, how many documents contribute to it and how
+    many document BOUNDARIES (= cross-attention breaks / EOD tokens) it
+    carries — the attention-mask statistics a packed-pretraining run is
+    configured from (too many boundaries per sequence means the corpus
+    is too short-doc for the chosen context length).
+
+    Scale shape: P3's doc-level (offset, n_tok) relation fans out each
+    doc to the sequences it overlaps (expansion factor n_tok/seq_len +
+    1, bounded), each block collapses to per-sequence partial counts
+    before ONE exchange on seq_id; the only driver state is the exact
+    total token count (one bounded aggregate).  Oracle: the P3 cumsum
+    CTE + generate_series(s0, s1) unnest + GROUP BY."""
+    packed = pack_sequences(sf_dir, seq_len=seq_len).materialize()
+    total = packed.sum("n_tok")
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        nt = np.asarray(batch.column("n_tok"), dtype=np.int64)
+        off = np.asarray(batch.column("tok_offset"), dtype=np.int64)
+        pos = nt > 0
+        nt, off = nt[pos], off[pos]
+        s0 = off // seq_len
+        s1 = (off + nt - 1) // seq_len
+        span = (s1 - s0 + 1).astype(np.int64)
+        # vectorized ragged range: seq = s0 repeated + local arange
+        idx = np.arange(int(span.sum()), dtype=np.int64)
+        base = np.repeat(np.concatenate(([0], np.cumsum(span)[:-1])), span)
+        seq = np.repeat(s0, span) + (idx - base)
+        t = pa.table({"seq_id": pa.array(seq, type=pa.int64()),
+                      "one": pa.array(np.ones(seq.shape[0],
+                                              dtype=np.int64))})
+        g = t.group_by(["seq_id"]).aggregate([("one", "sum")])
+        return pa.table({"seq_id": g.column("seq_id"),
+                         "n_docs": g.column("one_sum").cast(pa.int64())})
+
+    agg = (packed.map_batches(fanout, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("seq_id").sum("n_docs"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        sid = np.asarray(batch.column("seq_id"), dtype=np.int64)
+        nd = np.asarray(batch.column("sum(n_docs)"), dtype=np.int64)
+        n_tokens = np.minimum(seq_len, int(total) - sid * seq_len)
+        return pa.table({
+            "seq_id": pa.array(sid, type=pa.int64()),
+            "n_docs": pa.array(nd, type=pa.int64()),
+            "n_boundaries": pa.array(nd - 1, type=pa.int64()),
+            "n_tokens": pa.array(n_tokens.astype(np.int64),
+                                 type=pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

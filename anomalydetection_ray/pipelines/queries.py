@@ -4966,3 +4966,81 @@ def g22_value_quantiles_by_type(sf_dir: str, qs=(0.5, 0.9, 0.99)):
 
     return counts.groupby("event_type").map_groups(
         finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- J14 ----
+def j14_asof_tolerance(sf_dir: str, tolerance_us: int = 43_200_000_000):
+    """J14 — backward as-of join WITH TOLERANCE: J4's latest-checkpoint
+    lookup, but a match older than ``tolerance_us`` is rejected (nulled)
+    instead of silently used — the staleness guard every feature-store /
+    calibration pipeline needs ("use the last reading, but never one
+    older than 12 h").  Also emits the match age so downstream can audit
+    staleness headroom.
+
+    Scale shape: identical to J4 — one co-partitioned ``_pkey`` exchange
+    carries both roles; the tolerance test is a post-attach vectorized
+    filter (the checkpoint ts ships as one extra payload column), no
+    second exchange.  Oracle: DuckDB ASOF LEFT JOIN + the same CASE
+    age test."""
+    import functools
+
+    from anomalydetection_ray.stages.join import asof_attach
+    from anomalydetection_ray.stages.runs import (PKEY, add_partition_key,
+                                                  run_starts)
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+
+    def cp_kernel(group: pa.Table) -> pa.Table:
+        group = group.drop_columns([PKEY]).sort_by(
+            [("event_type", "ascending"), ("ts", "ascending"),
+             ("event_id", "ascending")])
+        starts = run_starts(group, ["event_type"])
+        n = group.num_rows
+        counts = np.diff(np.append(starts, n))
+        rank = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+        keep = np.flatnonzero(rank % 50 == 0)
+        cp = group.take(pa.array(keep, type=pa.int64()))
+        return pa.table({
+            "event_type": cp.column("event_type"),
+            "ts": cp.column("ts"),
+            "calib_ts": cp.column("ts"),
+            "calib_event_id": cp.column("event_id"),
+            "calib_value": cp.column("value"),
+        })
+
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["event_type"],
+                          num_partitions=8),
+        batch_format="pyarrow", zero_copy_batch=True)
+    checkpoints = tagged.groupby(PKEY).map_groups(cp_kernel,
+                                                  batch_format="pyarrow")
+
+    joined = asof_attach(
+        ev, checkpoints, by="event_type", on="ts",
+        payload_cols=["calib_value", "calib_event_id", "calib_ts"])
+
+    def tolerate(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        cts_col = batch.column("calib_ts").cast(pa.int64())
+        has = ~np.asarray(pa.compute.is_null(cts_col))
+        cts = np.asarray(cts_col.fill_null(0), dtype=np.int64)
+        age = ts - cts
+        ok = has & (age <= tolerance_us)
+        mask = ~ok
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "event_type": batch.column("event_type"),
+            "value": batch.column("value"),
+            "calib_value": pa.array(
+                np.asarray(batch.column("calib_value").fill_null(0.0),
+                           dtype=np.float64), type=pa.float64(),
+                mask=mask),
+            "calib_event_id": pa.array(
+                np.asarray(batch.column("calib_event_id").fill_null(0),
+                           dtype=np.int64), type=pa.int64(), mask=mask),
+            "age_us": pa.array(age, type=pa.int64(), mask=mask),
+        })
+
+    return joined.map_batches(tolerate, batch_format="pyarrow",
+                              zero_copy_batch=True)

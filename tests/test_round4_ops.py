@@ -1347,3 +1347,58 @@ def test_shard_balance_round_robin(ray_session):
                                       / float(tot))
     # interleaving keeps every shard within 2% of the ideal split
     assert got["balance_ratio"].between(0.98, 1.02).all()
+
+
+# ---------------------------------------------------------------- J14 ----
+def test_asof_tolerance_nulls_stale(ray_session):
+    from anomalydetection_ray.pipelines.queries import (j14_asof_tolerance,
+                                                        j4_asof_join)
+
+    tol = 43_200_000_000
+    got = (j14_asof_tolerance(SF, tolerance_us=tol).to_pandas()
+           .set_index("event_id").sort_index())
+    base = (j4_asof_join(SF).to_pandas()
+            .set_index("event_id").sort_index())
+
+    # J14 == J4 wherever the match is fresh; stale/absent matches null
+    fresh = got["age_us"].notna()
+    assert (got.loc[fresh, "age_us"] <= tol).all()
+    assert (got.loc[fresh, "calib_event_id"]
+            == base.loc[fresh, "calib_event_id"]).all()
+    assert (got.loc[fresh, "calib_value"]
+            == base.loc[fresh, "calib_value"]).all()
+    stale = ~fresh
+    assert got.loc[stale, "calib_value"].isna().all()
+    assert got.loc[stale, "calib_event_id"].isna().all()
+    # some matches must actually be rejected for the guard to be tested
+    assert stale.sum() > 0 and fresh.sum() > 0
+
+
+# ---------------------------------------------------------------- P6 ----
+def test_sequence_composition_consistent_with_packing(ray_session):
+    from anomalydetection_ray.pipelines.packing import (
+        p6_sequence_composition, pack_sequences)
+
+    got = (p6_sequence_composition(SF).to_pandas()
+           .set_index("seq_id").sort_index())
+    packed = pack_sequences(SF).to_pandas()
+
+    total = int(packed["n_tok"].sum())
+    n_seqs = (total + 1023) // 1024
+    assert list(got.index) == list(range(n_seqs))
+    # brute-force doc count per sequence
+    import collections
+    cnt = collections.Counter()
+    for _, r in packed.iterrows():
+        if int(r["n_tok"]) == 0:
+            continue
+        s0 = int(r["tok_offset"]) // 1024
+        s1 = (int(r["tok_offset"]) + int(r["n_tok"]) - 1) // 1024
+        for s in range(s0, s1 + 1):
+            cnt[s] += 1
+    for s in range(n_seqs):
+        assert int(got.loc[s, "n_docs"]) == cnt[s]
+        assert int(got.loc[s, "n_boundaries"]) == cnt[s] - 1
+        assert int(got.loc[s, "n_tokens"]) == min(1024, total - s * 1024)
+    # every token is accounted for exactly once
+    assert int(got["n_tokens"].sum()) == total
