@@ -640,6 +640,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # P6 packed-sequence composition audit (docs + attention
         # boundaries per training sequence over the P3 packing)
         "p6_sequence_composition": pk.p6_sequence_composition,
+        # A38 Mann-Whitney rank-sum drift (even vs odd days):
+        # doubled mid-ranks, tie-corrected exact-int variance
+        "a38_mann_whitney": q.a38_mann_whitney,
+        # A39 Bartels rank von Neumann serial-randomness ratio
+        # (all-int numerator/denominator, one pinned division)
+        "a39_bartels_rvn": q.a39_bartels_rvn,
         # K7 distributed power iteration: dominant eigenvector of the
         # uncentered Gram matrix, exact-int matvecs + pinned renormalize
         "k7_power_iteration": km.k7_power_iteration,
@@ -3630,6 +3636,90 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(count(*) AS BIGINT)
                     FROM fst WHERE fst.fd <= cp.doc_hi) AS types_cum
             FROM cp
+        """,
+        "a38_mann_whitney": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+              FROM events),
+            d AS MATERIALIZED (
+              SELECT event_type, day, CAST(sum(v100) AS BIGINT) AS x
+              FROM e GROUP BY event_type, day),
+            r AS MATERIALIZED (
+              SELECT event_type, day % 2 AS par,
+                     CAST(2 * rank() OVER (PARTITION BY event_type
+                                           ORDER BY x)
+                          + count(*) OVER (PARTITION BY event_type, x)
+                          - 1 AS BIGINT) AS two_r
+              FROM d),
+            tc AS (SELECT event_type,
+                          CAST(sum(c * c * c - c) AS BIGINT) AS ties
+                   FROM (SELECT event_type, x,
+                                CAST(count(*) AS BIGINT) AS c
+                         FROM d GROUP BY event_type, x)
+                   GROUP BY event_type),
+            m AS (SELECT event_type,
+                         CAST(count(*) AS BIGINT) AS big_n,
+                         CAST(count(*) FILTER (WHERE par = 0)
+                              AS BIGINT) AS n,
+                         CAST(count(*) FILTER (WHERE par = 1)
+                              AS BIGINT) AS mm,
+                         CAST(sum(two_r) FILTER (WHERE par = 0)
+                              AS BIGINT) AS w2
+                  FROM r GROUP BY event_type)
+            SELECT m.event_type, m.n AS n_even, m.mm AS n_odd,
+                   CAST(m.w2 - m.n * (m.n + 1) AS BIGINT) AS u2,
+                   CAST(m.n * m.mm * ((m.big_n + 1) * m.big_n
+                        * (m.big_n - 1) - tc.ties) AS BIGINT)
+                       AS var2_num,
+                   CASE WHEN m.n > 0 AND m.mm > 0
+                         AND m.n * m.mm * ((m.big_n + 1) * m.big_n
+                             * (m.big_n - 1) - tc.ties) > 0 THEN
+                     CAST(m.w2 - m.n * (m.n + 1) - m.n * m.mm
+                          AS DOUBLE)
+                       / sqrt(CAST(m.n * m.mm * ((m.big_n + 1)
+                              * m.big_n * (m.big_n - 1) - tc.ties)
+                              AS DOUBLE)
+                              / CAST(3 * m.big_n * (m.big_n - 1)
+                                     AS DOUBLE))
+                   END AS z
+            FROM m JOIN tc USING (event_type)
+        """,
+        "a39_bartels_rvn": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+              FROM events),
+            d AS MATERIALIZED (
+              SELECT event_type, day, CAST(sum(v100) AS BIGINT) AS x
+              FROM e GROUP BY event_type, day),
+            r AS MATERIALIZED (
+              SELECT event_type, day,
+                     CAST(2 * rank() OVER (PARTITION BY event_type
+                                           ORDER BY x)
+                          + count(*) OVER (PARTITION BY event_type, x)
+                          - 1 AS BIGINT) AS two_r,
+                     CAST(count(*) OVER (PARTITION BY event_type)
+                          AS BIGINT) AS n
+              FROM d),
+            s AS (SELECT event_type, two_r, n,
+                         lead(two_r) OVER (PARTITION BY event_type
+                                           ORDER BY day) AS nxt
+                  FROM r),
+            agg AS (SELECT event_type, any_value(n) AS n,
+                           CAST(sum((two_r - nxt) * (two_r - nxt))
+                                FILTER (WHERE nxt IS NOT NULL)
+                                AS BIGINT) AS num2,
+                           CAST(sum((two_r - (n + 1))
+                                    * (two_r - (n + 1))) AS BIGINT)
+                               AS den2
+                    FROM s GROUP BY event_type)
+            SELECT event_type, n AS n_days, num2, den2,
+                   CASE WHEN den2 > 0 THEN CAST(num2 AS DOUBLE)
+                        / CAST(den2 AS DOUBLE) END AS rvn
+            FROM agg
         """,
         "j14_asof_tolerance": """
             WITH ranked AS (

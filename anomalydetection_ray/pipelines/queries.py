@@ -5044,3 +5044,138 @@ def j14_asof_tolerance(sf_dir: str, tolerance_us: int = 43_200_000_000):
 
     return joined.map_batches(tolerate, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------- A38 ----
+def a38_mann_whitney(sf_dir: str):
+    """A38 — Mann–Whitney rank-sum drift test per event type between the
+    even- and odd-parity days of the daily cent-total series (D3's
+    split, A12's question, answered by ranks): the distribution-free
+    "did the level shift between the halves?" screen that tolerates the
+    heavy tails a t-test chokes on.
+
+    Exactness: doubled mid-ranks 2R = 2*min_rank + ties - 1 (the A37
+    identity) make the doubled rank-sum W2 and the doubled statistic
+    U2 = W2 - n*(n+1) exact ints; the tie-corrected variance numerator
+    var2_num = n*m*((N+1)*N*(N-1) - SUM(t^3 - t)) is an exact int too,
+    and z = float(U2 - n*m) / sqrt(float(var2_num) / float(3*N*(N-1)))
+    is three pinned float ops.
+
+    Scale shape: A35-family — per-block (type, day) partials, one
+    bounded exchange, per-TYPE finalize over the daily grid."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()), dtype=np.int64)
+        day = us // 86_400_000_000
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        v100 = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(day, type=pa.int64()),
+                      "v100": pa.array(v100, type=pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate([("v100", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "x": g.column("v100_sum").cast(pa.int64())})
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["event_type", "day"]).sum("x"))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        import math
+
+        et = group.column("event_type")[0].as_py()
+        day = np.asarray(group.column("day"), dtype=np.int64)
+        x = np.asarray(group.column("sum(x)"), dtype=np.int64)
+        big_n = int(x.shape[0])
+        uniq, first, counts = np.unique(np.sort(x, kind="stable"),
+                                        return_index=True,
+                                        return_counts=True)
+        pos = np.searchsorted(uniq, x)
+        two_r = 2 * (first[pos] + 1) + counts[pos] - 1
+        even = (day % 2) == 0
+        n = int(even.sum())
+        m = big_n - n
+        w2 = int(two_r[even].sum())
+        u2 = w2 - n * (n + 1)
+        ties = sum(int(c) ** 3 - int(c) for c in counts.tolist())
+        var2_num = n * m * ((big_n + 1) * big_n * (big_n - 1) - ties)
+        if n > 0 and m > 0 and var2_num > 0:
+            z = (float(u2 - n * m)
+                 / math.sqrt(float(var2_num)
+                             / float(3 * big_n * (big_n - 1))))
+        else:
+            z = None
+        return pa.table({
+            "event_type": pa.array([et], type=pa.string()),
+            "n_even": pa.array([n], type=pa.int64()),
+            "n_odd": pa.array([m], type=pa.int64()),
+            "u2": pa.array([u2], type=pa.int64()),
+            "var2_num": pa.array([var2_num], type=pa.int64()),
+            "z": pa.array([z], type=pa.float64(), from_pandas=True),
+        })
+
+    return daily.groupby("event_type").map_groups(
+        finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- A39 ----
+def a39_bartels_rvn(sf_dir: str):
+    """A39 — Bartels rank von Neumann ratio (Bartels 1982) per event
+    type over the daily cent-total series: the rank-based serial-
+    randomness test (RVN ~ 2 under independence, < 2 under positive
+    serial correlation / trend, > 2 under alternation) — the
+    rank-robust sibling of A31's runs test and A9's ACF.
+
+    Exactness: with doubled mid-ranks 2R (A37 identity) the numerator
+    NUM2 = SUM (2R_i - 2R_{i+1})^2 is an exact int, and because
+    SUM 2R = n*(n+1) exactly, the mean of 2R is the INTEGER n+1, so the
+    denominator DEN2 = SUM (2R_i - (n+1))^2 is exact too; the doubling
+    cancels in RVN = float(NUM2) / float(DEN2) — one pinned division.
+
+    Scale shape: A35-family bounded daily grid."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()), dtype=np.int64)
+        day = us // 86_400_000_000
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        v100 = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(day, type=pa.int64()),
+                      "v100": pa.array(v100, type=pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate([("v100", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "x": g.column("v100_sum").cast(pa.int64())})
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["event_type", "day"]).sum("x"))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        day = np.asarray(group.column("day"), dtype=np.int64)
+        order = np.argsort(day)
+        x = np.asarray(group.column("sum(x)"), dtype=np.int64)[order]
+        n = int(x.shape[0])
+        uniq, first, counts = np.unique(np.sort(x, kind="stable"),
+                                        return_index=True,
+                                        return_counts=True)
+        pos = np.searchsorted(uniq, x)
+        two_r = (2 * (first[pos] + 1) + counts[pos] - 1).astype(object)
+        tr = [int(v) for v in two_r]
+        num2 = sum((tr[i] - tr[i + 1]) ** 2 for i in range(n - 1))
+        den2 = sum((v - (n + 1)) ** 2 for v in tr)
+        rvn = float(num2) / float(den2) if den2 > 0 else None
+        return pa.table({
+            "event_type": pa.array([et], type=pa.string()),
+            "n_days": pa.array([n], type=pa.int64()),
+            "num2": pa.array([num2], type=pa.int64()),
+            "den2": pa.array([den2], type=pa.int64()),
+            "rvn": pa.array([rvn], type=pa.float64(), from_pandas=True),
+        })
+
+    return daily.groupby("event_type").map_groups(
+        finalize, batch_format="pyarrow")

@@ -1402,3 +1402,78 @@ def test_sequence_composition_consistent_with_packing(ray_session):
         assert int(got.loc[s, "n_tokens"]) == min(1024, total - s * 1024)
     # every token is accounted for exactly once
     assert int(got["n_tokens"].sum()) == total
+
+
+# ---------------------------------------------------------------- A38 ----
+def test_mann_whitney_matches_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.queries import a38_mann_whitney
+
+    got = (a38_mann_whitney(SF).to_pandas()
+           .set_index("event_type").sort_index())
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts", "value"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    ev["v100"] = np.floor(ev["value"] * 100.0 + 0.5).astype(np.int64)
+    for et, g in ev.groupby("event_type"):
+        daily = g.groupby("day")["v100"].sum()
+        x = daily.to_numpy()
+        day = daily.index.to_numpy()
+        big_n = len(x)
+        two_r = (2.0 * pd_rank_avg(x)).astype(np.int64)
+        even = (day % 2) == 0
+        n, m = int(even.sum()), int((~even).sum())
+        w2 = int(two_r[even].sum())
+        u2 = w2 - n * (n + 1)
+        _, counts = np.unique(x, return_counts=True)
+        ties = int(sum(int(c) ** 3 - int(c) for c in counts))
+        var2_num = n * m * ((big_n + 1) * big_n * (big_n - 1) - ties)
+        r = got.loc[et]
+        assert int(r["n_even"]) == n and int(r["n_odd"]) == m
+        assert int(r["u2"]) == u2
+        assert int(r["var2_num"]) == var2_num
+        if var2_num > 0:
+            exp_z = (float(u2 - n * m)
+                     / math.sqrt(float(var2_num)
+                                 / float(3 * big_n * (big_n - 1))))
+            assert r["z"] == exp_z
+            # brute-force U from pairwise comparisons must agree (x2)
+            xa, xb = x[even], x[~even]
+            u_brute = sum((a > b) + 0.5 * (a == b)
+                          for a in xa for b in xb)
+            assert u2 == int(round(2 * u_brute))
+
+
+def pd_rank_avg(x):
+    import pandas as pd
+
+    return pd.Series(x).rank(method="average").to_numpy()
+
+
+# ---------------------------------------------------------------- A39 ----
+def test_bartels_rvn_matches_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.queries import a39_bartels_rvn
+
+    got = (a39_bartels_rvn(SF).to_pandas()
+           .set_index("event_type").sort_index())
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts", "value"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    ev["v100"] = np.floor(ev["value"] * 100.0 + 0.5).astype(np.int64)
+    for et, g in ev.groupby("event_type"):
+        daily = g.groupby("day")["v100"].sum().sort_index()
+        x = daily.to_numpy()
+        n = len(x)
+        tr = (2.0 * pd_rank_avg(x)).astype(np.int64)
+        num2 = int(sum((int(tr[i]) - int(tr[i + 1])) ** 2
+                       for i in range(n - 1)))
+        den2 = int(sum((int(v) - (n + 1)) ** 2 for v in tr))
+        r = got.loc[et]
+        assert int(r["n_days"]) == n
+        assert int(r["num2"]) == num2
+        assert int(r["den2"]) == den2
+        if den2 > 0:
+            assert r["rvn"] == float(num2) / float(den2)
+            # independence keeps RVN in a sane band
+            assert 0.5 < r["rvn"] < 3.5
