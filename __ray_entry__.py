@@ -646,6 +646,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A39 Bartels rank von Neumann serial-randomness ratio
         # (all-int numerator/denominator, one pinned division)
         "a39_bartels_rvn": q.a39_bartels_rvn,
+        # D13 near-dup cluster-size distribution (template-family
+        # fatness; rolls the cluster table up twice, both bounded)
+        "d13_cluster_sizes": dd.d13_cluster_sizes,
+        # U3 CDC merge with tombstones (insert/update/delete
+        # last-writer-wins; winning delete removes the key)
+        "u3_tombstone_merge": q.u3_tombstone_merge,
         # K7 distributed power iteration: dominant eigenvector of the
         # uncentered Gram matrix, exact-int matvecs + pinned renormalize
         "k7_power_iteration": km.k7_power_iteration,
@@ -3636,6 +3642,44 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(count(*) AS BIGINT)
                     FROM fst WHERE fst.fd <= cp.doc_hi) AS types_cum
             FROM cp
+        """,
+        "d13_cluster_sizes": f"""
+            WITH RECURSIVE {_minhash_cte(0.5)},
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+                      UNION SELECT doc_b, doc_a FROM mh_pairs),
+            reach AS (SELECT a AS v, a AS r FROM edges
+                      UNION
+                      SELECT e.a, reach.r FROM edges e
+                      JOIN reach ON reach.v = e.b),
+            cl AS (SELECT v AS doc_id, min(r) AS cluster
+                   FROM reach GROUP BY v),
+            per AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n
+                    FROM cl GROUP BY cluster)
+            SELECT n AS cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters,
+                   CAST(n * count(*) AS BIGINT) AS n_docs
+            FROM per GROUP BY n
+        """,
+        "u3_tombstone_merge": """
+            WITH b AS (SELECT event_id, CAST(epoch_us(ts) AS BIGINT)
+                              AS ts_us, user_id, value,
+                              CAST(0 AS BIGINT) AS op
+                       FROM events),
+            u AS (SELECT event_id,
+                         CAST(epoch_us(ts) + 86400000000 AS BIGINT),
+                         user_id, value + 1000.0, CAST(1 AS BIGINT)
+                  FROM events WHERE event_id % 7 = 0),
+            d AS (SELECT event_id,
+                         CAST(epoch_us(ts) + 172800000000 AS BIGINT),
+                         user_id, value, CAST(2 AS BIGINT)
+                  FROM events WHERE event_id % 17 = 0),
+            a AS (SELECT * FROM b UNION ALL SELECT * FROM u
+                  UNION ALL SELECT * FROM d),
+            r AS (SELECT *, row_number() OVER (PARTITION BY event_id
+                               ORDER BY ts_us DESC, op DESC) AS rn
+                  FROM a)
+            SELECT event_id, ts_us, user_id, value, op AS last_op
+            FROM r WHERE rn = 1 AND op <> 2
         """,
         "a38_mann_whitney": """
             WITH e AS (

@@ -1247,3 +1247,53 @@ def d10_containment_pairs(sf_dir: str, n: int = 3,
                                         min_containment=min_containment)
 
     return with_ab.map_batches(verify, batch_format="pyarrow")
+
+
+def d13_cluster_sizes(sf_dir: str, min_est: float = 0.5):
+    """D13 — near-dup cluster-size distribution: how big are the
+    template families?  (size 2 = simple pairs; a fat tail of large
+    clusters means boilerplate/mirror families that exact-dedup missed
+    and one-per-cluster sampling will collapse hardest.)  Rolls the
+    D-family cluster table up to (cluster_size -> n_clusters, n_docs).
+
+    Scale shape: two bounded exchanges over the CLUSTER relation (only
+    docs that appear in near-dup pairs, a small fraction of the
+    corpus): per-block (cluster, count) partials -> per-cluster sum ->
+    per-size count; both keyed relations collapse per block first."""
+    clusters = dup_clusters(sf_dir, min_est=min_est)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"cluster": batch.column("cluster"),
+                      "one": pa.array(np.ones(batch.num_rows,
+                                              dtype=np.int64))})
+        g = t.group_by(["cluster"]).aggregate([("one", "sum")])
+        return pa.table({"cluster": g.column("cluster"),
+                         "n": g.column("one_sum").cast(pa.int64())})
+
+    per_cluster = (clusters.map_batches(partial, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+                   .groupby("cluster").sum("n"))
+
+    def size_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"cluster_size": batch.column("sum(n)").cast(
+                          pa.int64()),
+                      "one": pa.array(np.ones(batch.num_rows,
+                                              dtype=np.int64))})
+        g = t.group_by(["cluster_size"]).aggregate([("one", "sum")])
+        return pa.table({"cluster_size": g.column("cluster_size"),
+                         "n_clusters": g.column("one_sum").cast(pa.int64())})
+
+    agg = (per_cluster.map_batches(size_partial, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+           .groupby("cluster_size").sum("n_clusters"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        size = np.asarray(batch.column("cluster_size"), dtype=np.int64)
+        nc = np.asarray(batch.column("sum(n_clusters)"), dtype=np.int64)
+        return pa.table({
+            "cluster_size": pa.array(size, type=pa.int64()),
+            "n_clusters": pa.array(nc, type=pa.int64()),
+            "n_docs": pa.array(size * nc, type=pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -5179,3 +5179,86 @@ def a39_bartels_rvn(sf_dir: str):
 
     return daily.groupby("event_type").map_groups(
         finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- U3 ----
+def u3_tombstone_merge(sf_dir: str):
+    """U3 — CDC merge WITH DELETES (tombstones): U1's last-writer-wins
+    upsert extended with a delete stream — the full MERGE INTO triangle
+    (insert / update / delete) a CDC compactor must resolve.  Derived
+    deterministically from events (the oracle replays the rules): every
+    7th event re-priced one day later (update, op 1); every 17th
+    tombstoned two days later (delete, op 2); base rows are op 0.  For
+    each event_id the row with the latest (ts, op) wins; a winning
+    tombstone REMOVES the key from the output.
+
+    Scale shape: U1's CDC-compaction plan unchanged — per-block local
+    argmax (one candidate per key per block), ONE exchange, partition
+    re-argmax, then the tombstone filter; never a full sort."""
+    DAY_US = 86_400_000_000
+    base = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def to_op(batch: pa.Table, op: int) -> pa.Table:
+        ts = batch.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        ts_us = np.asarray(ts.cast(pa.int64()))
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        eid = np.asarray(batch.column("event_id"), dtype=np.int64)
+        uid = np.asarray(batch.column("user_id"), dtype=np.int64)
+        if op == 1:
+            keep = eid % 7 == 0
+            eid, uid = eid[keep], uid[keep]
+            ts_us, v = ts_us[keep] + DAY_US, v[keep] + 1000.0
+        elif op == 2:
+            keep = eid % 17 == 0
+            eid, uid = eid[keep], uid[keep]
+            ts_us, v = ts_us[keep] + 2 * DAY_US, v[keep]
+        return pa.table({
+            "event_id": pa.array(eid, type=pa.int64()),
+            "ts_us": pa.array(ts_us, type=pa.int64()),
+            "user_id": pa.array(uid, type=pa.int64()),
+            "value": pa.array(v, type=pa.float64()),
+            "op": pa.array(np.full(len(eid), op, dtype=np.int64),
+                           type=pa.int64()),
+        })
+
+    streams = (base.map_batches(lambda b: to_op(b, 0),
+                                batch_format="pyarrow",
+                                zero_copy_batch=True)
+               .union(base.map_batches(lambda b: to_op(b, 1),
+                                       batch_format="pyarrow",
+                                       zero_copy_batch=True))
+               .union(base.map_batches(lambda b: to_op(b, 2),
+                                       batch_format="pyarrow",
+                                       zero_copy_batch=True)))
+
+    def local_argmax(batch: pa.Table) -> pa.Table:
+        from anomalydetection_ray.stages.runs import run_starts
+
+        if batch.num_rows == 0:
+            return batch
+        t = batch.sort_by([("event_id", "ascending"),
+                           ("ts_us", "ascending"), ("op", "ascending")])
+        starts = run_starts(t, ["event_id"])
+        last = np.append(starts[1:], t.num_rows) - 1
+        return t.take(pa.array(last))
+
+    partials = streams.map_batches(local_argmax, batch_format="pyarrow")
+
+    from anomalydetection_ray.stages.runs import partition_apply
+    from anomalydetection_ray.stages.runs import run_starts as _rs
+
+    def merge(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part
+        t = part.sort_by([("event_id", "ascending"),
+                          ("ts_us", "ascending"), ("op", "ascending")])
+        starts = _rs(t, ["event_id"])
+        last = np.append(starts[1:], t.num_rows) - 1
+        t = t.take(pa.array(last, type=pa.int64()))
+        op = np.asarray(t.column("op"), dtype=np.int64)
+        return t.filter(pa.array(op != 2)).rename_columns(
+            ["event_id", "ts_us", "user_id", "value", "last_op"])
+
+    return partition_apply(partials, ["event_id"], merge)

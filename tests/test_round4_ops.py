@@ -1477,3 +1477,61 @@ def test_bartels_rvn_matches_bruteforce(ray_session):
             assert r["rvn"] == float(num2) / float(den2)
             # independence keeps RVN in a sane band
             assert 0.5 < r["rvn"] < 3.5
+
+
+# ---------------------------------------------------------------- D13 ----
+def test_cluster_sizes_consistent_with_clusters(ray_session):
+    from anomalydetection_ray.pipelines.dedup import (d13_cluster_sizes,
+                                                      dup_clusters)
+
+    got = (d13_cluster_sizes(SF).to_pandas()
+           .set_index("cluster_size").sort_index())
+    cl = dup_clusters(SF).to_pandas()
+
+    sizes = cl.groupby("cluster").size()
+    exp = sizes.value_counts().sort_index()
+    assert list(got.index) == list(exp.index)
+    for s, n in exp.items():
+        assert int(got.loc[s, "n_clusters"]) == int(n)
+        assert int(got.loc[s, "n_docs"]) == int(s) * int(n)
+    # every clustered doc is accounted for exactly once
+    assert int(got["n_docs"].sum()) == len(cl)
+    # components have >= 2 members by construction (pair graph)
+    assert got.index.min() >= 2
+
+
+# ---------------------------------------------------------------- U3 ----
+def test_tombstone_merge_rules(ray_session):
+    from anomalydetection_ray.pipelines.queries import u3_tombstone_merge
+
+    got = (u3_tombstone_merge(SF).to_pandas()
+           .set_index("event_id").sort_index())
+
+    ev = pq.read_table(
+        f"{SF}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"]).to_pandas()
+    ev = ev.set_index("event_id").sort_index()
+    DAY = 86_400_000_000
+    for eid, r in ev.iterrows():
+        deleted = eid % 17 == 0
+        updated = eid % 7 == 0
+        if deleted:
+            assert eid not in got.index      # tombstone wins (latest ts)
+            continue
+        g = got.loc[eid]
+        base_us = int(pd_ts_us(r["ts"]))
+        if updated:
+            assert int(g["last_op"]) == 1
+            assert int(g["ts_us"]) == base_us + DAY
+            assert g["value"] == r["value"] + 1000.0
+        else:
+            assert int(g["last_op"]) == 0
+            assert int(g["ts_us"]) == base_us
+            assert g["value"] == r["value"]
+    assert len(got) == (~(ev.index % 17 == 0)).sum()
+
+
+def pd_ts_us(ts) -> int:
+    import pandas as pd
+
+    return int(pd.Timestamp(ts).value // 1000)
