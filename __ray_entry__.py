@@ -652,6 +652,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # U3 CDC merge with tombstones (insert/update/delete
         # last-writer-wins; winning delete removes the key)
         "u3_tombstone_merge": q.u3_tombstone_merge,
+        # A40 exponential goodness-of-fit of the arrival process
+        # (MLE rate + KS distance: the Poisson-ness audit)
+        "a40_exp_gof": q.a40_exp_gof,
+        # W32 per-user maximum drawdown of the cumulative cents
+        # (segmented running max, exact int64, first trough)
+        "w32_max_drawdown": wnd.w32_max_drawdown,
         # K7 distributed power iteration: dominant eigenvector of the
         # uncentered Gram matrix, exact-int matvecs + pinned renormalize
         "k7_power_iteration": km.k7_power_iteration,
@@ -3642,6 +3648,71 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(count(*) AS BIGINT)
                     FROM fst WHERE fst.fd <= cp.doc_hi) AS types_cum
             FROM cp
+        """,
+        "a40_exp_gof": """
+            WITH o AS (SELECT event_type, epoch_us(ts) AS us,
+                              lag(epoch_us(ts)) OVER (
+                                  PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS pus
+                       FROM events),
+            g AS MATERIALIZED (
+                SELECT event_type, CAST(us - pus AS BIGINT) AS gap
+                FROM o WHERE pus IS NOT NULL),
+            m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(gap) AS BIGINT) AS s
+                  FROM g GROUP BY event_type),
+            r AS (SELECT g.event_type, g.gap, m.n, m.s,
+                         CAST(row_number() OVER (
+                             PARTITION BY g.event_type
+                             ORDER BY g.gap) AS BIGINT) AS i
+                  FROM g JOIN m USING (event_type)),
+            d AS (SELECT event_type, n, s,
+                         greatest(
+                           CAST(i AS DOUBLE) / CAST(n AS DOUBLE)
+                             - (1 - exp(-(CAST(n * gap AS DOUBLE)
+                                          / CAST(s AS DOUBLE)))),
+                           (1 - exp(-(CAST(n * gap AS DOUBLE)
+                                      / CAST(s AS DOUBLE))))
+                             - CAST(i - 1 AS DOUBLE)
+                               / CAST(n AS DOUBLE)) AS dd
+                  FROM r)
+            SELECT event_type, any_value(n) AS n_gaps,
+                   any_value(s) AS gaps_us_sum, max(dd) AS ks_d
+            FROM d GROUP BY event_type
+        """,
+        "w32_max_drawdown": """
+            WITH b AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT)
+                                  AS vq
+                       FROM events),
+            c AS (SELECT user_id, event_id, us,
+                         CAST(sum(vq) OVER (PARTITION BY user_id
+                              ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             AS cum
+                  FROM b),
+            p AS (SELECT *, CAST(max(cum) OVER (PARTITION BY user_id
+                              ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             AS peak
+                  FROM c),
+            d AS MATERIALIZED (
+                SELECT user_id, event_id, us, cum,
+                       CAST(peak - cum AS BIGINT) AS dd
+                FROM p),
+            r AS (SELECT *,
+                         row_number() OVER (PARTITION BY user_id
+                             ORDER BY dd DESC, us, event_id) AS rmax,
+                         row_number() OVER (PARTITION BY user_id
+                             ORDER BY us DESC, event_id DESC) AS rlast
+                  FROM d)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                   CAST(max(CASE WHEN rlast = 1 THEN cum END)
+                        AS BIGINT) AS final_cents,
+                   CAST(max(dd) AS BIGINT) AS max_drawdown_cents,
+                   CAST(max(CASE WHEN rmax = 1 THEN event_id END)
+                        AS BIGINT) AS trough_event_id
+            FROM r GROUP BY user_id
         """,
         "d13_cluster_sizes": f"""
             WITH RECURSIVE {_minhash_cte(0.5)},

@@ -5262,3 +5262,82 @@ def u3_tombstone_merge(sf_dir: str):
             ["event_id", "ts_us", "user_id", "value", "last_op"])
 
     return partition_apply(partials, ["event_id"], merge)
+
+
+# ---------------------------------------------------------------- A40 ----
+def a40_exp_gof(sf_dir: str):
+    """A40 — exponential goodness-of-fit of the arrival process per
+    event type: fit the MLE rate to the inter-arrival gaps and report
+    the Kolmogorov-Smirnov distance to Exp(lambda-hat) — "is this a
+    Poisson process?" (bursty arrivals reject; the operational premise
+    behind every Poisson-based capacity model gets audited here).
+
+    Exactness: gaps are exact int64 microseconds; the scaled exponent
+    t_i = float(n * gap_i) / float(S) (one int64 product - products
+    bounded by n*span < 2^62 - one division) pins the CDF argument, so
+    F_i = 1 - exp(-t_i) is the same libm exp both sides; the KS
+    distance is an order-independent max over pinned per-point floats
+    (i/n and (i-1)/n are int->double divisions).
+
+    Scale shape: one `_pkey` exchange on the bounded event_type domain;
+    the kernel sorts its types' arrivals once and is fully vectorized."""
+    import functools
+
+    from anomalydetection_ray.stages.runs import (PKEY, add_partition_key,
+                                                  run_starts)
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "event_id"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["event_type"],
+                          num_partitions=8),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(group: pa.Table) -> pa.Table:
+        import math
+
+        group = group.drop_columns([PKEY]).sort_by(
+            [("event_type", "ascending"), ("ts", "ascending"),
+             ("event_id", "ascending")])
+        n_rows = group.num_rows
+        if n_rows == 0:
+            return pa.table({
+                "event_type": pa.array([], type=pa.string()),
+                "n_gaps": pa.array([], type=pa.int64()),
+                "gaps_us_sum": pa.array([], type=pa.int64()),
+                "ks_d": pa.array([], type=pa.float64()),
+            })
+        ts = np.asarray(group.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        starts = run_starts(group, ["event_type"])
+        ends = np.append(starts[1:], n_rows)
+        ets = group.column("event_type")
+        out_t, out_n, out_s, out_d = [], [], [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            g = np.sort(np.diff(ts[s:e]))
+            n = int(g.shape[0])
+            if n == 0:
+                continue
+            total = int(g.sum())
+            # pinned per-point CDF: SCALAR libm exp (numpy's SIMD exp
+            # can diverge from libm by 1 ulp — the tfidf ln precedent);
+            # per-series scalar work is the detector family's documented
+            # granularity (ESD/SHESD do the same)
+            t = (n * g.astype(np.float64)) / float(total)
+            f = np.asarray([1.0 - math.exp(-x) for x in t.tolist()],
+                           dtype=np.float64)
+            i = np.arange(1, n + 1, dtype=np.float64)
+            d_plus = (i / float(n)) - f
+            d_minus = f - ((i - 1.0) / float(n))
+            d = float(np.maximum(d_plus, d_minus).max())
+            out_t.append(ets[s].as_py())
+            out_n.append(n)
+            out_s.append(total)
+            out_d.append(d)
+        return pa.table({
+            "event_type": pa.array(out_t, type=pa.string()),
+            "n_gaps": pa.array(out_n, type=pa.int64()),
+            "gaps_us_sum": pa.array(out_s, type=pa.int64()),
+            "ks_d": pa.array(out_d, type=pa.float64()),
+        })
+
+    return tagged.groupby(PKEY).map_groups(kernel, batch_format="pyarrow")

@@ -2428,3 +2428,72 @@ def w31_session_summary(sf_dir: str, gap_us: int = GAP_US,
     return tagged.groupby(PKEY).map_groups(
         functools.partial(_session_summary_kernel, gap_us=gap_us),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- W32 ----
+def _drawdown_kernel(group: pa.Table) -> pa.Table:
+    """Per-user maximum drawdown of the cumulative cent-value series in
+    (ts, event_id) order: dd_i = running_max(cum) - cum_i, reported as
+    the exact int64 max with its peak and trough positions — the
+    worst-case give-back statistic (risk/engagement collapse) next to
+    W9's running total and W28's extrema envelope."""
+    group = group.drop_columns([PKEY]).sort_by(
+        [("user_id", "ascending"), ("ts", "ascending"),
+         ("event_id", "ascending")])
+    n = group.num_rows
+    if n == 0:
+        return pa.table({
+            "user_id": pa.array([], type=pa.int64()),
+            "n": pa.array([], type=pa.int64()),
+            "final_cents": pa.array([], type=pa.int64()),
+            "max_drawdown_cents": pa.array([], type=pa.int64()),
+            "trough_event_id": pa.array([], type=pa.int64()),
+        })
+    uid = np.asarray(group.column("user_id"), dtype=np.int64)
+    eid = np.asarray(group.column("event_id"), dtype=np.int64)
+    vq = np.floor(np.asarray(group.column("value"), dtype=np.float64)
+                  * 100.0 + 0.5).astype(np.int64)
+    starts = run_starts(group, ["user_id"])
+    lens = np.diff(np.append(starts, n))
+    # per-user cumulative sum: global cumsum minus the user's base
+    csum = np.cumsum(vq)
+    base = np.repeat(csum[starts] - vq[starts], lens)
+    cum = csum - base
+    # per-user running max via segmented maximum.accumulate: reset at
+    # run starts by lifting each segment with an offset larger than the
+    # per-user cum range (cum is already per-user-rebased, so the lift
+    # bound is the max per-user total, not the corpus total)
+    seg = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
+    lift = seg * (np.abs(cum).max() + 1) * 2
+    peak = np.maximum.accumulate(cum + lift) - lift
+    dd = peak - cum
+    out_dd = np.maximum.reduceat(dd, starts)
+    # first argmax per run, vectorized: stable order by (seg, -dd),
+    # the head of each seg block is the earliest maximum
+    order = np.lexsort((np.arange(n, dtype=np.int64), -dd, seg))
+    heads = order[np.searchsorted(seg[order],
+                                  np.arange(len(starts), dtype=np.int64))]
+    trough = eid[heads]
+    return pa.table({
+        "user_id": pa.array(uid[starts], type=pa.int64()),
+        "n": pa.array(lens.astype(np.int64), type=pa.int64()),
+        "final_cents": pa.array(cum[np.append(starts[1:], n) - 1],
+                                type=pa.int64()),
+        "max_drawdown_cents": pa.array(out_dd, type=pa.int64()),
+        "trough_event_id": pa.array(trough, type=pa.int64()),
+    })
+
+
+def w32_max_drawdown(sf_dir: str, num_partitions: int = 16):
+    """W32 — per-user maximum drawdown over the cumulative value
+    series: ONE ``_pkey`` exchange, a segmented running-max kernel
+    (cumsum + lifted maximum.accumulate, exact int64 cents end to end),
+    deterministic first-trough tiebreak.  Oracle: running-max window
+    minus running sum, argmax via ORDER BY (dd DESC, ts, event_id)."""
+    ev = _read_events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby(PKEY).map_groups(_drawdown_kernel,
+                                           batch_format="pyarrow")

@@ -1535,3 +1535,56 @@ def pd_ts_us(ts) -> int:
     import pandas as pd
 
     return int(pd.Timestamp(ts).value // 1000)
+
+
+# ---------------------------------------------------------------- A40 ----
+def test_exp_gof_matches_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.queries import a40_exp_gof
+
+    got = (a40_exp_gof(SF).to_pandas()
+           .set_index("event_type").sort_index())
+
+    ev = (pq.read_table(f"{SF}/events.parquet",
+                        columns=["event_type", "ts", "event_id"])
+          .to_pandas().sort_values(["event_type", "ts", "event_id"]))
+    for et, g in ev.groupby("event_type"):
+        us = g["ts"].astype("int64").to_numpy()
+        gaps = sorted(int(d) for d in np.diff(us))
+        n = len(gaps)
+        total = sum(gaps)
+        d_best = 0.0
+        for i, gap in enumerate(gaps, start=1):
+            f = 1.0 - math.exp(-((n * float(gap)) / float(total)))
+            d_best = max(d_best, i / float(n) - f,
+                         f - (i - 1) / float(n))
+        r = got.loc[et]
+        assert int(r["n_gaps"]) == n
+        assert int(r["gaps_us_sum"]) == total
+        assert r["ks_d"] == d_best
+        assert 0.0 <= r["ks_d"] <= 1.0
+
+
+# ---------------------------------------------------------------- W32 ----
+def test_max_drawdown_matches_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.windows import w32_max_drawdown
+
+    got = (w32_max_drawdown(SF).to_pandas()
+           .set_index("user_id").sort_index())
+
+    ev = (pq.read_table(
+        f"{SF}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"]).to_pandas()
+        .sort_values(["user_id", "ts", "event_id"]))
+    ev["vq"] = np.floor(ev["value"] * 100.0 + 0.5).astype(np.int64)
+    for uid, g in ev.groupby("user_id"):
+        cum = g["vq"].cumsum().to_numpy()
+        peak = np.maximum.accumulate(cum)
+        dd = peak - cum
+        best = int(dd.max())
+        trough = int(g["event_id"].to_numpy()[int(np.argmax(dd))])
+        r = got.loc[uid]
+        assert int(r["n"]) == len(g)
+        assert int(r["final_cents"]) == int(cum[-1])
+        assert int(r["max_drawdown_cents"]) == best
+        assert int(r["trough_event_id"]) == trough
+        assert best >= 0
