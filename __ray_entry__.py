@@ -658,6 +658,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # W32 per-user maximum drawdown of the cumulative cents
         # (segmented running max, exact int64, first trough)
         "w32_max_drawdown": wnd.w32_max_drawdown,
+        # V14 PMI collocations (Church & Hanks 1990): bound phrases
+        # vs frequent-word coincidences; bounded candidate table
+        "v14_pmi_bigrams": vb.v14_pmi_bigrams,
         # K7 distributed power iteration: dominant eigenvector of the
         # uncentered Gram matrix, exact-int matvecs + pinned renormalize
         "k7_power_iteration": km.k7_power_iteration,
@@ -3648,6 +3651,33 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(count(*) AS BIGINT)
                     FROM fst WHERE fst.fd <= cp.doc_hi) AS types_cum
             FROM cp
+        """,
+        "v14_pmi_bigrams": """
+            WITH ws AS (SELECT doc_id,
+                               list_filter(string_split(text, ' '),
+                                           x -> x <> '') AS w
+                        FROM documents),
+            uni AS MATERIALIZED (SELECT unnest(w) AS word FROM ws),
+            uc AS MATERIALIZED (
+                SELECT word, CAST(count(*) AS BIGINT) AS c
+                FROM uni GROUP BY word),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni),
+            bg AS (SELECT w[t.i] AS wa, w[t.i + 1] AS wb,
+                          w[t.i] || ' ' || w[t.i + 1] AS word
+                   FROM ws CROSS JOIN
+                        unnest(range(1, greatest(len(w), 1))) AS t(i)),
+            bc AS MATERIALIZED (
+                SELECT word, any_value(wa) AS wa, any_value(wb) AS wb,
+                       CAST(count(*) AS BIGINT) AS cxy
+                FROM bg GROUP BY word HAVING count(*) >= 5),
+            p AS (SELECT bc.word, bc.cxy, ca.c AS cx, cb.c AS cy,
+                         ln(CAST(bc.cxy * tot.n AS DOUBLE)
+                            / CAST(ca.c * cb.c AS DOUBLE)) AS pmi
+                  FROM bc JOIN uc ca ON ca.word = bc.wa
+                          JOIN uc cb ON cb.word = bc.wb
+                          CROSS JOIN tot)
+            SELECT word, cxy, cx, cy, pmi FROM p
+            ORDER BY pmi DESC, word LIMIT 25
         """,
         "a40_exp_gof": """
             WITH o AS (SELECT event_type, epoch_us(ts) AS us,

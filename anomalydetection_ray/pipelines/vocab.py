@@ -761,3 +761,88 @@ def v13_heaps_curve(sf_dir: str, n_checkpoints: int = 10):
         })
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def v14_pmi_bigrams(sf_dir: str, k: int = 25, min_count: int = 5):
+    """V14 — collocation mining by pointwise mutual information (Church
+    & Hanks 1990): the top-``k`` bigrams by
+    PMI = ln(c_xy * N / (c_x * c_y)) among bigrams with at least
+    ``min_count`` occurrences — the phrase detector that separates
+    genuine collocations from frequent-word coincidences (V4's raw
+    counts rank "of the" first; PMI ranks bound phrases).
+
+    Scale shape: V4's bigram partial counts + ONE vectorized ``agg_by``
+    exchange, the ``min_count`` floor bounds the candidate set, unigram
+    counts attach by TWO co-partitioned lookups (no corpus-vs-vocab
+    broadcast), and only the bounded candidate table sees the scalar
+    libm ln (the tfidf discipline).  Exactness: both PMI ratio operands
+    are exact int64 products, one pinned division, one libm ln; top-k
+    under (pmi desc, word asc)."""
+    import math
+
+    from anomalydetection_ray.stages.join import copartition_attach
+    from anomalydetection_ray.stages.runs import agg_by
+    from anomalydetection_ray.stages.topk import topk
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    bigrams = agg_by(
+        docs.map_batches(_bigram_partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["word"], [("n", "sum", "n")]).filter(
+            expr=f"n >= {min_count}")
+
+    def split_parts(batch: pa.Table) -> pa.Table:
+        w = batch.column("word")
+        if isinstance(w, pa.ChunkedArray):
+            w = w.combine_chunks()
+        parts = pc.split_pattern(w, " ")
+        return pa.table({
+            "word": w,
+            "cxy": batch.column("n").cast(pa.int64()),
+            "wa": pc.list_element(parts, 0),
+            "wb": pc.list_element(parts, 1),
+        })
+
+    cands = bigrams.map_batches(split_parts, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    unigrams = agg_by(
+        docs.map_batches(_count_partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["word"], [("n", "sum", "n")]).materialize()
+    n_total = int(unigrams.sum("n"))
+
+    uni = unigrams.map_batches(
+        lambda b: pa.table({"uword": b.column("word"),
+                            "c": b.column("n").cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    with_a = copartition_attach(cands, uni, "wa", "uword", ["c"])
+    with_a = with_a.map_batches(
+        lambda b: pa.table({"word": b.column("word"),
+                            "cxy": b.column("cxy"),
+                            "wb": b.column("wb"),
+                            "cx": b.column("c").cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    with_ab = copartition_attach(with_a, uni, "wb", "uword", ["c"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        cxy = np.asarray(batch.column("cxy"), dtype=np.int64)
+        cx = np.asarray(batch.column("cx"), dtype=np.int64)
+        cy = np.asarray(batch.column("c"), dtype=np.int64)
+        pmi = np.asarray(
+            [math.log(float(int(a) * n_total) / float(int(x) * int(y)))
+             for a, x, y in zip(cxy.tolist(), cx.tolist(), cy.tolist())],
+            dtype=np.float64)
+        return pa.table({
+            "word": batch.column("word"),
+            "cxy": pa.array(cxy, type=pa.int64()),
+            "cx": pa.array(cx, type=pa.int64()),
+            "cy": pa.array(cy, type=pa.int64()),
+            "pmi": pa.array(pmi, type=pa.float64()),
+        })
+
+    scored = with_ab.map_batches(score, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return topk(scored, k, [("pmi", "descending"), ("word", "ascending")])

@@ -1588,3 +1588,41 @@ def test_max_drawdown_matches_bruteforce(ray_session):
         assert int(r["max_drawdown_cents"]) == best
         assert int(r["trough_event_id"]) == trough
         assert best >= 0
+
+
+# ---------------------------------------------------------------- V14 ----
+def test_pmi_bigrams_matches_bruteforce(ray_session):
+    import collections
+
+    from anomalydetection_ray.pipelines.vocab import v14_pmi_bigrams
+
+    got = v14_pmi_bigrams(SF).to_pandas()
+    assert len(got) == 25
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    uni = collections.Counter()
+    bi = collections.Counter()
+    for t in docs["text"]:
+        ws = [w for w in t.split(" ") if w != ""]
+        uni.update(ws)
+        bi.update(" ".join(p) for p in zip(ws, ws[1:]))
+    n = sum(uni.values())
+    scored = []
+    for w, cxy in bi.items():
+        if cxy < 5:
+            continue
+        a, b = w.split(" ")
+        pmi = math.log(float(cxy * n) / float(uni[a] * uni[b]))
+        scored.append((w, cxy, uni[a], uni[b], pmi))
+    scored.sort(key=lambda r: (-r[4], r[0]))
+    exp = scored[:25]
+    for i, (_, r) in enumerate(got.sort_values(
+            ["pmi", "word"], ascending=[False, True]).iterrows()):
+        w, cxy, cx, cy, pmi = exp[i]
+        assert r["word"] == w
+        assert int(r["cxy"]) == cxy
+        assert int(r["cx"]) == cx and int(r["cy"]) == cy
+        assert r["pmi"] == pmi
+    # PMI of a true collocation exceeds the independence baseline 0
+    assert got["pmi"].max() > 0
