@@ -661,6 +661,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # V14 PMI collocations (Church & Hanks 1990): bound phrases
         # vs frequent-word coincidences; bounded candidate table
         "v14_pmi_bigrams": vb.v14_pmi_bigrams,
+        # A41 variance-ratio random-walk test (Lo-MacKinlay 1988):
+        # exact-int difference variances, four pinned float ops
+        "a41_variance_ratio": q.a41_variance_ratio,
+        # K13 inter-centroid cosine matrix (cluster-separation
+        # audit over K1 state; pinned folds, K^2*dim driver work)
+        "k13_centroid_cosines": km.k13_centroid_cosines,
         # K7 distributed power iteration: dominant eigenvector of the
         # uncentered Gram matrix, exact-int matvecs + pinned renormalize
         "k7_power_iteration": km.k7_power_iteration,
@@ -1336,7 +1342,8 @@ def _esd_sql(alpha: float = 0.05, max_n: int = 1024, k_steps: int = 12,
     """
 
 
-def _kmeans_sql(k: int = 8, dim: int = 64, assign_only: bool = False) -> str:
+def _kmeans_sql(k: int = 8, dim: int = 64, assign_only: bool = False,
+                centroid_pairs: bool = False) -> str:
     """kmeans_train oracle: the 2-iteration fused Lloyd loop
     (pipelines/kmeans.py) unrolled in SQL.  Exactness rests on three
     pins shared with the engine: (a) the initial centroids are integral
@@ -1399,8 +1406,37 @@ def _kmeans_sql(k: int = 8, dim: int = 64, assign_only: bool = False) -> str:
         FROM asg2 a JOIN eq q USING (vec_id)
         CROSS JOIN range(1, {dim + 1}) t(pos)
         GROUP BY a.cid, t.pos)
-    {"SELECT vec_id, CAST(cid AS BIGINT) AS cid, score FROM asg2"
-     if assign_only else f'''SELECT CAST(g.cid AS BIGINT) AS cid, CAST(g.pos AS BIGINT) AS pos,
+    {_kmeans_tail(dim, assign_only, centroid_pairs)}
+    """
+
+
+def _kmeans_tail(dim: int, assign_only: bool, centroid_pairs: bool) -> str:
+    from anomalydetection_ray.pipelines.kmeans import ESCALE
+
+    if assign_only:
+        return "SELECT vec_id, CAST(cid AS BIGINT) AS cid, score FROM asg2"
+    if centroid_pairs:
+        def fold(ea: str, eb: str) -> str:
+            return ("list_reduce(list_prepend(0.0, list_transform("
+                    f"range(1, {dim + 1}), p -> {ea}[p] * {eb}[p])), "
+                    "(x, y) -> x + y)")
+
+        return f''', cf AS MATERIALIZED (
+        SELECT g.cid, min(s2.cnt) AS cnt,
+               list(CAST(s2.s AS DOUBLE) / ({float(ESCALE)} * s2.cnt)
+                    ORDER BY g.pos) AS m
+        FROM (SELECT c.cid, t.pos
+              FROM c1 c CROSS JOIN range(1, {dim + 1}) t(pos)) g
+        LEFT JOIN st2 s2 ON s2.cid = g.cid AND s2.pos = g.pos
+        GROUP BY g.cid)
+    SELECT CAST(a.cid AS BIGINT) AS cid_a, CAST(b.cid AS BIGINT) AS cid_b,
+           {fold("a.m", "b.m")} AS dot,
+           {fold("a.m", "b.m")}
+             / (sqrt({fold("a.m", "a.m")}) * sqrt({fold("b.m", "b.m")}))
+               AS cosine
+    FROM cf a JOIN cf b ON a.cid < b.cid
+    WHERE a.cnt IS NOT NULL AND b.cnt IS NOT NULL'''
+    return f'''SELECT CAST(g.cid AS BIGINT) AS cid, CAST(g.pos AS BIGINT) AS pos,
            COALESCE(s2.s, 0) AS coord_sum_q,
            COALESCE(s2.cnt, 0) AS n_assigned,
            CASE WHEN s2.cnt IS NULL THEN NULL
@@ -1408,8 +1444,7 @@ def _kmeans_sql(k: int = 8, dim: int = 64, assign_only: bool = False) -> str:
            END AS mean
     FROM (SELECT c.cid, t.pos
           FROM c1 c CROSS JOIN range(1, {dim + 1}) t(pos)) g
-    LEFT JOIN st2 s2 ON s2.cid = g.cid AND s2.pos = g.pos'''}
-    """
+    LEFT JOIN st2 s2 ON s2.cid = g.cid AND s2.pos = g.pos'''
 
 
 def _ann_lsh_sql(k: int = 10, query_id: int = 0, dim: int = 64,
@@ -2970,6 +3005,7 @@ def oracle_sql() -> dict[str, str]:
             FROM b GROUP BY event_type
         """,
         "kmeans_train": _kmeans_sql(dim=_dim),
+        "k13_centroid_cosines": _kmeans_sql(dim=_dim, centroid_pairs=True),
         # K7 power iteration: 2 exact-int matvecs over the 2^10-quantized
         # embeddings, order-pinned norm folds, floor-requantized vectors
         "k7_power_iteration": f"""
@@ -3651,6 +3687,41 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(count(*) AS BIGINT)
                     FROM fst WHERE fst.fd <= cp.doc_hi) AS types_cum
             FROM cp
+        """,
+        "a41_variance_ratio": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+              FROM events),
+            d AS MATERIALIZED (
+              SELECT event_type, day, CAST(sum(v100) AS BIGINT) AS x
+              FROM e GROUP BY event_type, day),
+            s AS (SELECT event_type, day, x,
+                         lead(x, 1) OVER w AS x1,
+                         lead(x, 2) OVER w AS x2
+                  FROM d WINDOW w AS (PARTITION BY event_type
+                                      ORDER BY day)),
+            m AS (SELECT event_type,
+                         CAST(count(*) AS BIGINT) AS n_days,
+                         CAST(count(x1) AS BIGINT) AS n1,
+                         CAST(count(x2) AS BIGINT) AS n2,
+                         CAST(sum((x1 - x) * (x1 - x)) AS BIGINT) AS q1,
+                         CAST(sum(x1 - x) AS BIGINT) AS s1,
+                         CAST(sum((x2 - x) * (x2 - x)) AS BIGINT) AS q2,
+                         CAST(sum(x2 - x) AS BIGINT) AS s2
+                  FROM s GROUP BY event_type)
+            SELECT event_type, n_days,
+                   CAST(n1 * q1 - s1 * s1 AS BIGINT) AS var_num_d1,
+                   CAST(n2 * q2 - s2 * s2 AS BIGINT) AS var_num_d2,
+                   CASE WHEN n1 > 1 AND n2 > 1
+                         AND n1 * q1 - s1 * s1 > 0 THEN
+                     (CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+                      * CAST(n1 * n1 AS DOUBLE))
+                     / (CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+                        * CAST(n2 * n2 AS DOUBLE) * 2.0)
+                   END AS vr2
+            FROM m
         """,
         "v14_pmi_bigrams": """
             WITH ws AS (SELECT doc_id,

@@ -456,3 +456,59 @@ def k7_power_iteration(sf_dir: str, iters: int = 2):
         out_cols[f"v{it}_q"] = v.copy()
     return pa.table({k: pa.array(vv, type=pa.int64())
                      for k, vv in out_cols.items()})
+
+
+def k13_centroid_cosines(sf_dir: str, k: int = K_DEFAULT,
+                         iters: int = ITERS_DEFAULT):
+    """K13 — inter-centroid cosine matrix: pairwise cosine similarity of
+    the trained K1 centroids — the cluster-separation audit (two
+    centroids at cosine ~1 mean the clustering wasted a cluster on one
+    mode; uniformly low cosines mean well-spread modes).
+
+    Exactness: centroid means are K1's pinned dequantization
+    float(sum_q) / (ESCALE * n); dot products and norms fold
+    SEQUENTIALLY over positions from a 0.0 seed (the kmeans oracle's
+    list_reduce discipline), and the cosine is one division by a
+    product of two libm sqrts.  Only the K x dim state is touched —
+    driver-side K^2 * dim scalar work, no data pass at all beyond K1's
+    own training reads."""
+    import math
+
+    import ray.data
+
+    cnt, s, dim = kmeans_state(sf_dir, k, iters)
+    means = []
+    for j in range(k):
+        if cnt[j] == 0:
+            means.append(None)
+            continue
+        denom = float(ESCALE) * float(cnt[j])
+        means.append([float(int(s[j, p])) / denom for p in range(dim)])
+
+    def fold_dot(a, b) -> float:
+        acc = 0.0
+        for p in range(dim):
+            acc = acc + a[p] * b[p]
+        return acc
+
+    rows_a, rows_b, dots, coss = [], [], [], []
+    for i in range(k):
+        if means[i] is None:
+            continue
+        for j in range(i + 1, k):
+            if means[j] is None:
+                continue
+            d = fold_dot(means[i], means[j])
+            nii = fold_dot(means[i], means[i])
+            njj = fold_dot(means[j], means[j])
+            c = d / (math.sqrt(nii) * math.sqrt(njj))
+            rows_a.append(i)
+            rows_b.append(j)
+            dots.append(d)
+            coss.append(c)
+    return ray.data.from_arrow(pa.table({
+        "cid_a": pa.array(rows_a, type=pa.int64()),
+        "cid_b": pa.array(rows_b, type=pa.int64()),
+        "dot": pa.array(dots, type=pa.float64()),
+        "cosine": pa.array(coss, type=pa.float64()),
+    }))

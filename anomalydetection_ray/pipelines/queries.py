@@ -5341,3 +5341,65 @@ def a40_exp_gof(sf_dir: str):
         })
 
     return tagged.groupby(PKEY).map_groups(kernel, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- A41 ----
+def a41_variance_ratio(sf_dir: str):
+    """A41 — variance-ratio test (Lo & MacKinlay 1988, population form)
+    per event type over the daily cent-total series: VR(2) compares the
+    variance of 2-day differences to twice the variance of 1-day
+    differences — VR ~ 1 for a random walk, > 1 under momentum
+    (positive serial correlation), < 1 under mean reversion.  The
+    parametric sibling of A39's rank RVN.
+
+    Exactness: 1-day and 2-day differences are exact ints; the
+    population variance NUMERATORS n*SUM(d^2) - SUM(d)^2 are exact
+    python-ints, and VR = (float(ve) * float(n1^2))
+    / (float(vd) * float(n2^2) * 2.0) is four pinned float ops in a
+    fixed association order the SQL replays.
+
+    Scale shape: A35-family bounded daily grid."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()), dtype=np.int64)
+        day = us // 86_400_000_000
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        v100 = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(day, type=pa.int64()),
+                      "v100": pa.array(v100, type=pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate([("v100", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "x": g.column("v100_sum").cast(pa.int64())})
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["event_type", "day"]).sum("x"))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        day = np.asarray(group.column("day"), dtype=np.int64)
+        order = np.argsort(day)
+        x = [int(v) for v in
+             np.asarray(group.column("sum(x)"), dtype=np.int64)[order]]
+        n = len(x)
+        d1 = [x[i + 1] - x[i] for i in range(n - 1)]
+        d2 = [x[i + 2] - x[i] for i in range(n - 2)]
+        n1, n2 = len(d1), len(d2)
+        vd = n1 * sum(v * v for v in d1) - sum(d1) ** 2
+        ve = n2 * sum(v * v for v in d2) - sum(d2) ** 2
+        vr = ((float(ve) * float(n1 * n1))
+              / (float(vd) * float(n2 * n2) * 2.0)
+              if n1 > 1 and n2 > 1 and vd > 0 else None)
+        return pa.table({
+            "event_type": pa.array([et], type=pa.string()),
+            "n_days": pa.array([n], type=pa.int64()),
+            "var_num_d1": pa.array([vd], type=pa.int64()),
+            "var_num_d2": pa.array([ve], type=pa.int64()),
+            "vr2": pa.array([vr], type=pa.float64(), from_pandas=True),
+        })
+
+    return daily.groupby("event_type").map_groups(
+        finalize, batch_format="pyarrow")

@@ -1626,3 +1626,66 @@ def test_pmi_bigrams_matches_bruteforce(ray_session):
         assert r["pmi"] == pmi
     # PMI of a true collocation exceeds the independence baseline 0
     assert got["pmi"].max() > 0
+
+
+# ---------------------------------------------------------------- A41 ----
+def test_variance_ratio_matches_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.queries import a41_variance_ratio
+
+    got = (a41_variance_ratio(SF).to_pandas()
+           .set_index("event_type").sort_index())
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts", "value"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    ev["v100"] = np.floor(ev["value"] * 100.0 + 0.5).astype(np.int64)
+    for et, g in ev.groupby("event_type"):
+        x = [int(v) for v in g.groupby("day")["v100"].sum().sort_index()]
+        n = len(x)
+        d1 = [x[i + 1] - x[i] for i in range(n - 1)]
+        d2 = [x[i + 2] - x[i] for i in range(n - 2)]
+        n1, n2 = len(d1), len(d2)
+        vd = n1 * sum(v * v for v in d1) - sum(d1) ** 2
+        ve = n2 * sum(v * v for v in d2) - sum(d2) ** 2
+        r = got.loc[et]
+        assert int(r["n_days"]) == n
+        assert int(r["var_num_d1"]) == vd
+        assert int(r["var_num_d2"]) == ve
+        if vd > 0:
+            exp = ((float(ve) * float(n1 * n1))
+                   / (float(vd) * float(n2 * n2) * 2.0))
+            assert r["vr2"] == exp
+            assert 0.0 < r["vr2"] < 5.0
+
+
+# ---------------------------------------------------------------- K13 ----
+def test_centroid_cosines_consistent_with_kmeans(ray_session):
+    from anomalydetection_ray.pipelines.kmeans import (ESCALE,
+                                                       k13_centroid_cosines,
+                                                       kmeans_train)
+
+    got = k13_centroid_cosines(SF).to_pandas()
+    cent = kmeans_train(SF).to_pandas()
+
+    means = {}
+    for cid, g in cent.groupby("cid"):
+        if g["mean"].isna().all():
+            continue
+        means[int(cid)] = g.sort_values("pos")["mean"].to_numpy()
+    k = len(means)
+    assert len(got) == k * (k - 1) // 2
+    for _, r in got.iterrows():
+        a = means[int(r["cid_a"])]
+        b = means[int(r["cid_b"])]
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        nii = 0.0
+        for x in a:
+            nii = nii + x * x
+        njj = 0.0
+        for y in b:
+            njj = njj + y * y
+        assert r["dot"] == acc
+        assert r["cosine"] == acc / (math.sqrt(nii) * math.sqrt(njj))
+        assert -1.0 - 1e-9 <= r["cosine"] <= 1.0 + 1e-9
