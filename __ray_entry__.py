@@ -667,6 +667,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # K13 inter-centroid cosine matrix (cluster-separation
         # audit over K1 state; pinned folds, K^2*dim driver work)
         "k13_centroid_cosines": km.k13_centroid_cosines,
+        # A42 seasonal Mann-Kendall (Hirsch & Slack 1984): trend
+        # screen that a weekly cycle cannot fool; per-phase pairs
+        "a42_seasonal_mk": q.a42_seasonal_mk,
         # K7 distributed power iteration: dominant eigenvector of the
         # uncentered Gram matrix, exact-int matvecs + pinned renormalize
         "k7_power_iteration": km.k7_power_iteration,
@@ -3687,6 +3690,59 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(count(*) AS BIGINT)
                     FROM fst WHERE fst.fd <= cp.doc_hi) AS types_cum
             FROM cp
+        """,
+        "a42_seasonal_mk": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+              FROM events),
+            d AS MATERIALIZED (
+              SELECT event_type, day, CAST(sum(v100) AS BIGINT) AS x
+              FROM e GROUP BY event_type, day),
+            f AS MATERIALIZED (
+              SELECT event_type, day, (day + 3) % 7 AS ph, x FROM d),
+            p AS (SELECT a.event_type,
+                         CAST(sum(CASE WHEN b.x > a.x THEN 1
+                                       WHEN b.x < a.x THEN -1
+                                       ELSE 0 END) AS BIGINT) AS s_stat
+                  FROM f a JOIN f b ON a.event_type = b.event_type
+                       AND a.ph = b.ph AND a.day < b.day
+                  GROUP BY a.event_type),
+            nn AS (SELECT event_type, ph,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM f GROUP BY event_type, ph),
+            tg AS (SELECT event_type, ph,
+                          CAST(count(*) AS BIGINT) AS t
+                   FROM f GROUP BY event_type, ph, x),
+            cr AS (SELECT event_type, ph,
+                          CAST(sum(t * (t - 1) * (2 * t + 5))
+                               AS BIGINT) AS corr
+                   FROM tg GROUP BY event_type, ph),
+            v AS (SELECT nn.event_type,
+                         CAST(sum(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                                  - COALESCE(cr.corr, 0)) AS BIGINT)
+                             AS var_num
+                  FROM nn LEFT JOIN cr USING (event_type, ph)
+                  GROUP BY nn.event_type),
+            tot AS (SELECT event_type, CAST(count(*) AS BIGINT)
+                           AS n_days
+                    FROM f GROUP BY event_type)
+            SELECT tot.event_type, tot.n_days,
+                   CAST(COALESCE(p.s_stat, 0) AS BIGINT) AS s_stat,
+                   v.var_num,
+                   CASE WHEN tot.n_days >= 2 AND v.var_num > 0 THEN
+                     CASE WHEN COALESCE(p.s_stat, 0) = 0 THEN 0.0
+                          WHEN p.s_stat > 0 THEN
+                            CAST(p.s_stat - 1 AS DOUBLE)
+                            / sqrt(CAST(v.var_num AS DOUBLE) / 18.0)
+                          ELSE
+                            CAST(p.s_stat + 1 AS DOUBLE)
+                            / sqrt(CAST(v.var_num AS DOUBLE) / 18.0)
+                     END
+                   END AS z_smk
+            FROM tot JOIN v USING (event_type)
+                     LEFT JOIN p USING (event_type)
         """,
         "a41_variance_ratio": """
             WITH e AS (

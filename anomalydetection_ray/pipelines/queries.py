@@ -5403,3 +5403,81 @@ def a41_variance_ratio(sf_dir: str):
 
     return daily.groupby("event_type").map_groups(
         finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- A42 ----
+def a42_seasonal_mk(sf_dir: str):
+    """A42 — seasonal Mann–Kendall trend test (Hirsch & Slack 1984) per
+    event type over the daily cent-total series: A33's distribution-free
+    monotone-trend screen made season-proof by comparing days only
+    WITHIN the same weekday phase (Monday to Mondays, ...), so a weekly
+    cycle cannot masquerade as trend.  S and the tie-corrected variance
+    sum over the 7 phases; same continuity-corrected z as A33.
+
+    Exactness: per-phase S and variance numerators are exact
+    python-ints (pair loops over the <= ceil(span/7)-point phase
+    series inside the bounded-grid finalize); the z tail is A33's
+    pinned sqrt(float(var)/18.0) + one division.
+
+    Scale shape: A35-family bounded daily grid — the O(g^2) pair work
+    happens on per-phase series of length ~span/7, driver-free."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()), dtype=np.int64)
+        day = us // 86_400_000_000
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        v100 = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(day, type=pa.int64()),
+                      "v100": pa.array(v100, type=pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate([("v100", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "x": g.column("v100_sum").cast(pa.int64())})
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["event_type", "day"]).sum("x"))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        import math
+
+        et = group.column("event_type")[0].as_py()
+        day = np.asarray(group.column("day"), dtype=np.int64)
+        order = np.argsort(day)
+        day = day[order]
+        x = np.asarray(group.column("sum(x)"), dtype=np.int64)[order]
+        n = int(x.shape[0])
+        ph = (day + 3) % 7
+        s_tot = 0
+        var_tot = 0
+        for p in range(7):
+            sel = ph == p
+            xs = [int(v) for v in x[sel].tolist()]
+            np_len = len(xs)
+            for i in range(np_len):
+                for j in range(i + 1, np_len):
+                    s_tot += (xs[j] > xs[i]) - (xs[j] < xs[i])
+            var_tot += np_len * (np_len - 1) * (2 * np_len + 5)
+            _, counts = np.unique(np.asarray(xs, dtype=np.int64),
+                                  return_counts=True)
+            var_tot -= sum(int(c) * (int(c) - 1) * (2 * int(c) + 5)
+                           for c in counts.tolist())
+        if n >= 2 and var_tot > 0:
+            sd = math.sqrt(float(var_tot) / 18.0)
+            z = (0.0 if s_tot == 0
+                 else (float(s_tot - 1) / sd if s_tot > 0
+                       else float(s_tot + 1) / sd))
+        else:
+            z = None
+        return pa.table({
+            "event_type": pa.array([et], type=pa.string()),
+            "n_days": pa.array([n], type=pa.int64()),
+            "s_stat": pa.array([s_tot], type=pa.int64()),
+            "var_num": pa.array([var_tot], type=pa.int64()),
+            "z_smk": pa.array([z], type=pa.float64(), from_pandas=True),
+        })
+
+    return daily.groupby("event_type").map_groups(
+        finalize, batch_format="pyarrow")

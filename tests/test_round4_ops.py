@@ -1689,3 +1689,41 @@ def test_centroid_cosines_consistent_with_kmeans(ray_session):
         assert r["dot"] == acc
         assert r["cosine"] == acc / (math.sqrt(nii) * math.sqrt(njj))
         assert -1.0 - 1e-9 <= r["cosine"] <= 1.0 + 1e-9
+
+
+# ---------------------------------------------------------------- A42 ----
+def test_seasonal_mk_matches_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.queries import a42_seasonal_mk
+
+    got = (a42_seasonal_mk(SF).to_pandas()
+           .set_index("event_type").sort_index())
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts", "value"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    ev["v100"] = np.floor(ev["value"] * 100.0 + 0.5).astype(np.int64)
+    for et, g in ev.groupby("event_type"):
+        daily = g.groupby("day")["v100"].sum().sort_index()
+        day = daily.index.to_numpy()
+        x = daily.to_numpy()
+        n = len(x)
+        s_tot, var_tot = 0, 0
+        for p in range(7):
+            xs = [int(v) for v in x[(day + 3) % 7 == p]]
+            m = len(xs)
+            for i in range(m):
+                for j in range(i + 1, m):
+                    s_tot += (xs[j] > xs[i]) - (xs[j] < xs[i])
+            var_tot += m * (m - 1) * (2 * m + 5)
+            for c in np.unique(xs, return_counts=True)[1]:
+                var_tot -= int(c) * (int(c) - 1) * (2 * int(c) + 5)
+        r = got.loc[et]
+        assert int(r["n_days"]) == n
+        assert int(r["s_stat"]) == s_tot
+        assert int(r["var_num"]) == var_tot
+        if var_tot > 0:
+            sd = math.sqrt(float(var_tot) / 18.0)
+            exp = (0.0 if s_tot == 0
+                   else (float(s_tot - 1) / sd if s_tot > 0
+                         else float(s_tot + 1) / sd))
+            assert r["z_smk"] == exp
