@@ -670,6 +670,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A42 seasonal Mann-Kendall (Hirsch & Slack 1984): trend
         # screen that a weekly cycle cannot fool; per-phase pairs
         "a42_seasonal_mk": q.a42_seasonal_mk,
+        # R3 incremental continuous-aggregate maintenance: base +
+        # late-slice partials merge == full recompute (the oracle)
+        "r3_incremental_rollup": q.r3_incremental_rollup,
         # K7 distributed power iteration: dominant eigenvector of the
         # uncentered Gram matrix, exact-int matvecs + pinned renormalize
         "k7_power_iteration": km.k7_power_iteration,
@@ -3690,6 +3693,18 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(count(*) AS BIGINT)
                     FROM fst WHERE fst.fd <= cp.doc_hi) AS types_cum
             FROM cp
+        """,
+        "r3_incremental_rollup": """
+            SELECT user_id,
+                   CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                   CAST(min(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS min_cents,
+                   CAST(max(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS max_cents,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS cents_sum,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id, day
         """,
         "a42_seasonal_mk": """
             WITH e AS (

@@ -5481,3 +5481,76 @@ def a42_seasonal_mk(sf_dir: str):
 
     return daily.groupby("event_type").map_groups(
         finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- R3 ----
+def r3_incremental_rollup(sf_dir: str):
+    """R3 — incremental continuous-aggregate maintenance: the (user,
+    day) rollup is first built WITHOUT the late-arriving slice (every
+    13th event, the deterministic stand-in for data that shows up after
+    the watermark), then the late slice's partial aggregates MERGE into
+    the existing buckets — and the result must equal the full recompute
+    bit-for-bit, which is exactly what the oracle (a plain full
+    aggregate) checks.  This is the north star's "continuous aggregate"
+    obligation in its purest form: time-keyed buckets + associative
+    merge = O(late-slice) maintenance instead of O(corpus) recompute.
+
+    Scale shape: both passes are partial-aggregate-before-exchange
+    (min/max/sum/count are associative), the merge is ONE groupby over
+    the bucket key; nothing re-reads the base data when late rows
+    arrive.  All measures exact ints; no floats anywhere."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def partial(batch: pa.Table, late: bool) -> pa.Table:
+        eid = np.asarray(batch.column("event_id"), dtype=np.int64)
+        sel = (eid % 13 == 0) if late else (eid % 13 != 0)
+        us = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)[sel]
+        uid = np.asarray(batch.column("user_id"), dtype=np.int64)[sel]
+        v = np.asarray(batch.column("value"), dtype=np.float64)[sel]
+        v100 = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        day = us // 86_400_000_000
+        t = pa.table({"user_id": pa.array(uid, type=pa.int64()),
+                      "day": pa.array(day, type=pa.int64()),
+                      "v100": pa.array(v100, type=pa.int64()),
+                      "one": pa.array(np.ones(len(v100),
+                                              dtype=np.int64))})
+        g = t.group_by(["user_id", "day"]).aggregate(
+            [("v100", "min"), ("v100", "max"), ("v100", "sum"),
+             ("one", "sum")])
+        return pa.table({
+            "user_id": g.column("user_id"),
+            "day": g.column("day"),
+            "min_cents": g.column("v100_min").cast(pa.int64()),
+            "max_cents": g.column("v100_max").cast(pa.int64()),
+            "cents_sum": g.column("v100_sum").cast(pa.int64()),
+            "n": g.column("one_sum").cast(pa.int64()),
+        })
+
+    import functools
+
+    base = ds.map_batches(functools.partial(partial, late=False),
+                          batch_format="pyarrow", zero_copy_batch=True)
+    late = ds.map_batches(functools.partial(partial, late=True),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    merged = (base.union(late)
+              .groupby(["user_id", "day"])
+              .aggregate(Min("min_cents", alias_name="min_cents"),
+                         Max("max_cents", alias_name="max_cents"),
+                         Sum("cents_sum", alias_name="cents_sum"),
+                         Sum("n", alias_name="n")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch.column("user_id").cast(pa.int64()),
+            "day": batch.column("day").cast(pa.int64()),
+            "min_cents": batch.column("min_cents").cast(pa.int64()),
+            "max_cents": batch.column("max_cents").cast(pa.int64()),
+            "cents_sum": batch.column("cents_sum").cast(pa.int64()),
+            "n": batch.column("n").cast(pa.int64()),
+        })
+
+    return merged.map_batches(finalize, batch_format="pyarrow")

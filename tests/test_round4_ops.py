@@ -1727,3 +1727,25 @@ def test_seasonal_mk_matches_bruteforce(ray_session):
                    else (float(s_tot - 1) / sd if s_tot > 0
                          else float(s_tot + 1) / sd))
             assert r["z_smk"] == exp
+
+
+# ---------------------------------------------------------------- R3 ----
+def test_incremental_rollup_equals_full(ray_session):
+    from anomalydetection_ray.pipelines.queries import r3_incremental_rollup
+
+    got = (r3_incremental_rollup(SF).to_pandas()
+           .set_index(["user_id", "day"]).sort_index())
+
+    ev = pq.read_table(
+        f"{SF}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    ev["v100"] = np.floor(ev["value"] * 100.0 + 0.5).astype(np.int64)
+    exp = ev.groupby(["user_id", "day"]).agg(
+        min_cents=("v100", "min"), max_cents=("v100", "max"),
+        cents_sum=("v100", "sum"), n=("v100", "size")).sort_index()
+    assert len(got) == len(exp)
+    for c in ("min_cents", "max_cents", "cents_sum", "n"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    # the late slice is genuinely non-empty (merge actually exercised)
+    assert (ev["event_id"] % 13 == 0).sum() > 0
