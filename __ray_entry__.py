@@ -673,6 +673,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # R3 incremental continuous-aggregate maintenance: base +
         # late-slice partials merge == full recompute (the oracle)
         "r3_incremental_rollup": q.r3_incremental_rollup,
+        # K14 int8 quantization saturation audit per label (rail
+        # clipping + zero underflow counts over K4 codes)
+        "k14_quant_saturation": km.k14_quant_saturation,
+        # J15 cross-type forward lookup: next error per purchase
+        # with exact wait (J11 machinery, map-side type filters)
+        "j15_next_error_wait": q.j15_next_error_wait,
         # K7 distributed power iteration: dominant eigenvector of the
         # uncentered Gram matrix, exact-int matvecs + pinned renormalize
         "k7_power_iteration": km.k7_power_iteration,
@@ -3693,6 +3699,64 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(count(*) AS BIGINT)
                     FROM fst WHERE fst.fd <= cp.doc_hi) AS types_cum
             FROM cp
+        """,
+        "k14_quant_saturation": """
+            WITH eq AS (
+              SELECT CAST(label AS BIGINT) AS label,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                         v -> CAST(floor(v * 1048576 + 0.5) AS BIGINT))
+                         AS q
+              FROM embeddings),
+            n AS (SELECT label, q,
+                         sqrt(CAST(list_reduce(list_prepend(
+                             CAST(0 AS BIGINT),
+                             list_transform(q, x -> x * x)),
+                             (a, b) -> a + b) AS DOUBLE)) AS norm_q
+                  FROM eq),
+            co AS (SELECT label,
+                          list_transform(q, x -> CAST(floor(
+                              127 * CAST(x AS DOUBLE)
+                              / (CASE WHEN norm_q = 0 THEN 1.0
+                                      ELSE norm_q END) + 0.5)
+                              AS BIGINT)) AS codes
+                   FROM n),
+            per AS (SELECT label,
+                           CAST(len(codes) AS BIGINT) AS nc,
+                           CAST(len(list_filter(codes,
+                                x -> abs(x) >= 127)) AS BIGINT) AS sat,
+                           CAST(len(list_filter(codes, x -> x = 0))
+                                AS BIGINT) AS zer
+                    FROM co),
+            g AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+                         CAST(sum(nc) AS BIGINT) AS n_codes,
+                         CAST(sum(sat) AS BIGINT) AS n_saturated,
+                         CAST(sum(zer) AS BIGINT) AS n_zero
+                  FROM per GROUP BY label)
+            SELECT label, n_vecs, n_codes, n_saturated, n_zero,
+                   CAST(n_saturated AS DOUBLE) / CAST(n_codes AS DOUBLE)
+                       AS sat_frac,
+                   CAST(n_zero AS DOUBLE) / CAST(n_codes AS DOUBLE)
+                       AS zero_frac
+            FROM g
+        """,
+        "j15_next_error_wait": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+            er AS (SELECT event_id AS next_error_event_id, user_id, ts
+                   FROM events WHERE event_type = 'error'),
+            j AS (SELECT p.event_id, p.user_id,
+                         er.next_error_event_id,
+                         CAST(epoch_us(er.ts) - epoch_us(p.ts)
+                              AS BIGINT) AS wait_us,
+                         row_number() OVER (PARTITION BY p.event_id
+                             ORDER BY er.ts, er.next_error_event_id)
+                             AS rn
+                  FROM p JOIN er ON er.user_id = p.user_id
+                                AND er.ts >= p.ts)
+            SELECT p.event_id, p.user_id,
+                   j.next_error_event_id, j.wait_us
+            FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+              USING (event_id)
         """,
         "r3_incremental_rollup": """
             SELECT user_id,

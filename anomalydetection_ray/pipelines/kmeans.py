@@ -512,3 +512,83 @@ def k13_centroid_cosines(sf_dir: str, k: int = K_DEFAULT,
         "dot": pa.array(dots, type=pa.float64()),
         "cosine": pa.array(coss, type=pa.float64()),
     }))
+
+
+def k14_quant_saturation(sf_dir: str):
+    """K14 — int8 quantization saturation audit per label: how many K4
+    codes hit the +/-127 rail and how many collapse to zero — the two
+    failure modes of symmetric per-vector int8 (rails = clipping loss on
+    dominant dims, zeros = underflow loss on flat dims).  The
+    serving-quality gate next to K4's checksums.
+
+    Exactness: codes are K4's pinned floor(127*q/norm + 0.5); rail/zero
+    tests and all counts are exact ints; sat_frac and zero_frac are one
+    pinned int->double division each.  Map-only collapse to <= |label|
+    partial rows per block, ONE bounded exchange."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "label": pa.array([], type=pa.int64()),
+                "n_vecs": pa.array([], type=pa.int64()),
+                "n_codes": pa.array([], type=pa.int64()),
+                "n_saturated": pa.array([], type=pa.int64()),
+                "n_zero": pa.array([], type=pa.int64()),
+            })
+        ids, ef = _emb_f64(batch)
+        lab = np.asarray(batch.column("label"), dtype=np.int64)
+        q = np.floor(ef * ESCALE + 0.5).astype(np.int64)
+        ssq = (q * q).sum(axis=1)
+        norm = np.sqrt(ssq.astype(np.float64))
+        safe = np.where(norm == 0.0, 1.0, norm)
+        codes = np.floor(127.0 * q.astype(np.float64) / safe[:, None]
+                         + 0.5).astype(np.int64)
+        sat = (np.abs(codes) >= 127).sum(axis=1)
+        zer = (codes == 0).sum(axis=1)
+        t = pa.table({"label": pa.array(lab, type=pa.int64()),
+                      "one": pa.array(np.ones(len(lab), dtype=np.int64)),
+                      "nc": pa.array(np.full(len(lab), codes.shape[1],
+                                             dtype=np.int64)),
+                      "sat": pa.array(sat.astype(np.int64)),
+                      "zer": pa.array(zer.astype(np.int64))})
+        g = t.group_by(["label"]).aggregate(
+            [("one", "sum"), ("nc", "sum"), ("sat", "sum"),
+             ("zer", "sum")])
+        return pa.table({
+            "label": g.column("label"),
+            "n_vecs": g.column("one_sum").cast(pa.int64()),
+            "n_codes": g.column("nc_sum").cast(pa.int64()),
+            "n_saturated": g.column("sat_sum").cast(pa.int64()),
+            "n_zero": g.column("zer_sum").cast(pa.int64()),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("label")
+           .sum(["n_vecs", "n_codes", "n_saturated", "n_zero"]))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        lab = np.asarray(batch.column("label"), dtype=np.int64)
+        nv = np.asarray(batch.column("sum(n_vecs)"), dtype=np.int64)
+        nc = np.asarray(batch.column("sum(n_codes)"), dtype=np.int64)
+        ns = np.asarray(batch.column("sum(n_saturated)"), dtype=np.int64)
+        nz = np.asarray(batch.column("sum(n_zero)"), dtype=np.int64)
+        return pa.table({
+            "label": pa.array(lab, type=pa.int64()),
+            "n_vecs": pa.array(nv, type=pa.int64()),
+            "n_codes": pa.array(nc, type=pa.int64()),
+            "n_saturated": pa.array(ns, type=pa.int64()),
+            "n_zero": pa.array(nz, type=pa.int64()),
+            "sat_frac": pa.array(ns.astype(np.float64)
+                                 / nc.astype(np.float64),
+                                 type=pa.float64()),
+            "zero_frac": pa.array(nz.astype(np.float64)
+                                  / nc.astype(np.float64),
+                                  type=pa.float64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -5554,3 +5554,67 @@ def r3_incremental_rollup(sf_dir: str):
         })
 
     return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- J15 ----
+def j15_next_error_wait(sf_dir: str):
+    """J15 — cross-type forward lookup: for every PURCHASE event, the
+    same user's NEXT ERROR event at-or-after it and the exact wait in
+    microseconds (NULL if the user never errors again) — "did the
+    conversion precede a failure, and how soon?", the forward
+    counterpart of J12's trailing band count.
+
+    Scale shape: J11's forward ``asof_attach`` unchanged (ONE
+    co-partitioned exchange on user carries both roles), with the two
+    event-type filters applied map-side before the exchange so only
+    purchase/error rows ship.  Equal-ts ties resolve to the smallest
+    error event_id (the tiebreak sort), which the oracle mirrors."""
+    import pyarrow.compute as pc
+
+    from anomalydetection_ray.stages.join import asof_attach
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def only(batch: pa.Table, typ: str) -> pa.Table:
+        keep = pc.equal(batch.column("event_type"), typ)
+        return batch.filter(keep).drop_columns(["event_type"])
+
+    purchases = ev.map_batches(lambda b: only(b, "purchase"),
+                               batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def as_right(batch: pa.Table) -> pa.Table:
+        t = only(batch, "error")
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "next_error_event_id": t.column("event_id"),
+            "next_error_ts": t.column("ts"),
+        })
+
+    errors = ev.map_batches(as_right, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    joined = asof_attach(purchases, errors, by="user_id", on="ts",
+                         payload_cols=["next_error_event_id",
+                                       "next_error_ts"],
+                         direction="forward",
+                         tiebreak="next_error_event_id")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        nxt_col = batch.column("next_error_ts").cast(pa.int64())
+        has = ~np.asarray(pa.compute.is_null(nxt_col))
+        nxt = np.asarray(nxt_col.fill_null(0), dtype=np.int64)
+        wait = nxt - ts
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "next_error_event_id": batch.column("next_error_event_id"),
+            "wait_us": pa.array(wait, type=pa.int64(), mask=~has),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -1749,3 +1749,65 @@ def test_incremental_rollup_equals_full(ray_session):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
     # the late slice is genuinely non-empty (merge actually exercised)
     assert (ev["event_id"] % 13 == 0).sum() > 0
+
+
+# ---------------------------------------------------------------- K14 ----
+def test_quant_saturation_matches_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.kmeans import (ESCALE,
+                                                       k14_quant_saturation)
+
+    got = (k14_quant_saturation(SF).to_pandas()
+           .set_index("label").sort_index())
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["label", "embedding"]).to_pandas()
+    for lab, g in emb.groupby("label"):
+        nv = len(g)
+        sat = zer = nc = 0
+        for v in g["embedding"]:
+            q = np.floor(np.asarray(v, dtype=np.float64) * ESCALE
+                         + 0.5).astype(np.int64)
+            norm = math.sqrt(float(int((q * q).sum())))
+            safe = norm if norm != 0 else 1.0
+            codes = np.floor(127.0 * q.astype(np.float64) / safe
+                             + 0.5).astype(np.int64)
+            nc += len(codes)
+            sat += int((np.abs(codes) >= 127).sum())
+            zer += int((codes == 0).sum())
+        r = got.loc[lab]
+        assert int(r["n_vecs"]) == nv
+        assert int(r["n_codes"]) == nc
+        assert int(r["n_saturated"]) == sat
+        assert int(r["n_zero"]) == zer
+        assert r["sat_frac"] == float(sat) / float(nc)
+        assert r["zero_frac"] == float(zer) / float(nc)
+
+
+# ---------------------------------------------------------------- J15 ----
+def test_next_error_wait_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.queries import j15_next_error_wait
+
+    got = (j15_next_error_wait(SF).to_pandas()
+           .set_index("event_id").sort_index())
+
+    ev = pq.read_table(
+        f"{SF}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"]).to_pandas()
+    ev["us"] = ev["ts"].astype("int64")
+    purchases = ev[ev["event_type"] == "purchase"]
+    errors = ev[ev["event_type"] == "error"]
+    assert len(got) == len(purchases)
+    n_matched = 0
+    for _, p in purchases.iterrows():
+        cand = errors[(errors["user_id"] == p["user_id"])
+                      & (errors["us"] >= p["us"])]
+        r = got.loc[p["event_id"]]
+        if len(cand) == 0:
+            assert np.isnan(r["wait_us"]) or r["wait_us"] is None \
+                or r.isna()["wait_us"]
+            continue
+        n_matched += 1
+        best = cand.sort_values(["us", "event_id"]).iloc[0]
+        assert int(r["next_error_event_id"]) == int(best["event_id"])
+        assert int(r["wait_us"]) == int(best["us"] - p["us"])
+    assert n_matched > 0
