@@ -679,6 +679,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # J15 cross-type forward lookup: next error per purchase
         # with exact wait (J11 machinery, map-side type filters)
         "j15_next_error_wait": q.j15_next_error_wait,
+        # S21 predicate-pushdown read (row filter handed to the
+        # parquet scan; prune-at-the-read at row granularity)
+        "s21_filter_pushdown": q.s21_filter_pushdown,
         # K7 distributed power iteration: dominant eigenvector of the
         # uncentered Gram matrix, exact-int matvecs + pinned renormalize
         "k7_power_iteration": km.k7_power_iteration,
@@ -3699,6 +3702,15 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(count(*) AS BIGINT)
                     FROM fst WHERE fst.fd <= cp.doc_hi) AS types_cum
             FROM cp
+        """,
+        "s21_filter_pushdown": """
+            SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS cents_sum
+            FROM events
+            WHERE event_type = 'purchase' AND value >= 100.0
+            GROUP BY day
         """,
         "k14_quant_saturation": """
             WITH eq AS (

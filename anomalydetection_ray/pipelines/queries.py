@@ -5618,3 +5618,57 @@ def j15_next_error_wait(sf_dir: str):
 
     return joined.map_batches(finish, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------- S21 ----
+def s21_filter_pushdown(sf_dir: str, min_value: float = 100.0):
+    """S21 — predicate-pushdown read: the row filter
+    ``event_type = 'purchase' AND value >= min_value`` is handed to the
+    PARQUET SCAN itself (a pyarrow dataset expression on
+    ``read_parquet``), so row groups whose column statistics exclude
+    the predicate are skipped and non-matching rows never materialize
+    as Arrow — the "prune at the read" discipline at row granularity,
+    next to S18's partition pruning and S20's zone maps.  Result: per
+    day, count + exact cent sum of the qualifying rows.
+
+    Scale shape: map-only after the filtered scan; each block collapses
+    to per-day partials before one bounded exchange.  Oracle: the same
+    WHERE over the raw table — values match only if the pushed filter
+    dropped nothing it should not have."""
+    import pyarrow.dataset as pds
+    import ray.data
+
+    expr = ((pds.field("event_type") == "purchase")
+            & (pds.field("value") >= min_value))
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"],
+                               filter=expr)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        day = us // 86_400_000_000
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        v100 = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"day": pa.array(day, type=pa.int64()),
+                      "v100": pa.array(v100, type=pa.int64()),
+                      "one": pa.array(np.ones(len(day),
+                                              dtype=np.int64))})
+        g = t.group_by(["day"]).aggregate([("v100", "sum"),
+                                           ("one", "sum")])
+        return pa.table({"day": g.column("day"),
+                         "cents_sum": g.column("v100_sum").cast(pa.int64()),
+                         "n": g.column("one_sum").cast(pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("day").sum(["cents_sum", "n"]))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": batch.column("day"),
+            "n": batch.column("sum(n)").cast(pa.int64()),
+            "cents_sum": batch.column("sum(cents_sum)").cast(pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

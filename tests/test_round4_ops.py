@@ -1811,3 +1811,25 @@ def test_next_error_wait_bruteforce(ray_session):
         assert int(r["next_error_event_id"]) == int(best["event_id"])
         assert int(r["wait_us"]) == int(best["us"] - p["us"])
     assert n_matched > 0
+
+
+# ---------------------------------------------------------------- S21 ----
+def test_filter_pushdown_matches_post_filter(ray_session):
+    from anomalydetection_ray.pipelines.queries import s21_filter_pushdown
+
+    got = (s21_filter_pushdown(SF).to_pandas()
+           .set_index("day").sort_index())
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type", "value"]).to_pandas()
+    sel = ev[(ev["event_type"] == "purchase") & (ev["value"] >= 100.0)]
+    day = sel["ts"].astype("int64") // 86_400_000_000
+    v100 = np.floor(sel["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    exp = (sel.assign(day=day, v100=v100).groupby("day")
+           .agg(n=("v100", "size"), cents_sum=("v100", "sum")))
+    assert set(got.index) == set(exp.index)
+    for d, r in exp.iterrows():
+        assert int(got.loc[d, "n"]) == int(r["n"])
+        assert int(got.loc[d, "cents_sum"]) == int(r["cents_sum"])
+    # the pushdown genuinely filters (purchases >= 100 are a proper subset)
+    assert int(got["n"].sum()) < len(ev)
