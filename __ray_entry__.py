@@ -313,6 +313,12 @@ def _invindex_probe(sf_dir: str):
     return inverted_index_probe(sf_dir)
 
 
+def _c5_quality_mixture_pack(sf_dir: str):
+    from anomalydetection_ray.pipelines.curation import c5_quality_mixture_pack
+
+    return c5_quality_mixture_pack(sf_dir)
+
+
 def _curation_funnel(sf_dir: str):
     from anomalydetection_ray.pipelines.curation import curation_funnel
 
@@ -786,6 +792,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d4_split_contamination": tx.split_contamination,
         # C1 end-to-end curation funnel (quality -> lang -> dedup -> quota)
         "curation_funnel": _curation_funnel,
+        # C5 composed curation #4: quality gate -> temperature
+        # mixture over the passers -> fixed-length sequence pack
+        "c5_quality_mixture_pack": _c5_quality_mixture_pack,
         # R1 retention: SQL-checked plan + side-effectful partition expiry
         # whose surviving-bucket evidence is ALSO SQL-checked
         "r1_retention_plan": _retention_plan,
@@ -2586,7 +2595,49 @@ def oracle_sql() -> dict[str, str]:
         # C1 curation funnel: quality gate -> language gate -> exact
         # dedup -> per-source quota, counted per source at every stage —
         # the end-to-end corpus-curation composition
-        "curation_funnel": f"""
+                "c5_quality_mixture_pack": f"""
+            WITH ql AS (SELECT doc_id, quality_score
+                        FROM ({_quality_sql})),
+            pass AS MATERIALIZED (
+                SELECT d.doc_id, d.source,
+                       CAST(length(list_filter(string_split(d.text, ' '),
+                            x -> x <> '')) AS BIGINT) AS n_tok
+                FROM documents d JOIN ql USING (doc_id)
+                WHERE ql.quality_score >= 0.6),
+            w AS (SELECT source, sqrt(CAST(count(*) AS DOUBLE)) AS wgt
+                  FROM pass GROUP BY source),
+            tot AS (SELECT list_reduce(list_prepend(0.0,
+                               list(wgt ORDER BY source)),
+                               (a, b) -> a + b) AS W FROM w),
+            q AS (SELECT source,
+                         CAST(floor(CAST(150 AS DOUBLE) * wgt / tot.W)
+                              AS BIGINT) AS quota
+                  FROM w, tot),
+            h AS (SELECT doc_id, source, n_tok,
+                         CAST((CAST(xor(doc_id % 4294967296,
+                                        {(7 * 2654435761) & 0xFFFFFFFF})
+                                    AS HUGEINT) * 2654435761)
+                              % 4294967296 AS BIGINT) AS h
+                  FROM pass),
+            r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+                               ORDER BY h, doc_id) - 1 AS BIGINT)
+                               AS smp_rank
+                  FROM h),
+            sel AS MATERIALIZED (
+                SELECT r.doc_id, r.source, r.n_tok, r.smp_rank
+                FROM r JOIN q USING (source)
+                WHERE r.smp_rank < q.quota),
+            p AS (SELECT doc_id, source, n_tok, smp_rank,
+                         CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS BIGINT)
+                             AS tok_offset
+                  FROM sel)
+            SELECT doc_id, source, n_tok, smp_rank, tok_offset,
+                   tok_offset // 256 AS seq_id
+            FROM p
+        """,
+"curation_funnel": f"""
             WITH ql AS (SELECT doc_id, quality_score FROM ({_quality_sql})),
             pl AS (SELECT doc_id, pred_lang FROM ({_langid_sql})),
             pass AS MATERIALIZED (

@@ -129,3 +129,134 @@ def curation_funnel(sf_dir: str, q_min: float = QUALITY_MIN,
         "n_kept": pa.array([n_kept.get(s, 0) for s in srcs],
                            type=pa.int64()),
     }))
+
+
+def c5_quality_mixture_pack(sf_dir: str, q_min: float = QUALITY_MIN,
+                            k_total: int = 150, seed: int = 7,
+                            seq_len: int = 256,
+                            num_partitions: int = 16):
+    """C5 — composed curation #4: QUALITY GATE → TEMPERATURE MIXTURE →
+    SEQUENCE PACK.  The pre-training data path in one verified chain:
+    documents pass the quality score, the survivors are sampled with
+    the n^0.5 temperature rule (Q13's quotas computed over the PASSERS,
+    not the raw corpus — head sources damped after filtering), and the
+    selected docs are packed into fixed-length training sequences with
+    exact global token offsets.  One hash mismatch anywhere in the
+    chain fails the driver check.
+
+    Scale shape: ONE corpus scan computes quality + token counts fused
+    (text never shuffles); the mixture stage re-uses Q13's bounded
+    source-count exchange + hash-rank selection; the final pack runs
+    over the SELECTED set, whose size is bounded by ``k_total`` — the
+    driver-side cumsum is O(k_total) metadata work by construction."""
+    import math
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from anomalydetection_ray.pipelines.queries import QUOTA_SEED_MIX  # noqa: F401
+    from anomalydetection_ray.pipelines.text import quality_batch
+    from anomalydetection_ray.stages.runs import partition_apply, run_starts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "text"])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch)
+        score = np.asarray(q.column("quality_score"), dtype=np.float64)
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(words)
+        row_of = np.asarray(pc.list_parent_indices(words), dtype=np.int64)
+        nonempty = np.asarray(pc.not_equal(flat, ""))
+        n_tok = np.bincount(row_of[nonempty],
+                            minlength=batch.num_rows).astype(np.int64)
+        keep = score >= q_min
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "source": batch.column("source"),
+            "n_tok": pa.array(n_tok, type=pa.int64()),
+        }).filter(pa.array(keep))
+
+    passers = ds.map_batches(gate, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("source").aggregate([([], "count_all")])
+        return pa.table({"source": g.column("source"),
+                         "n": g.column("count_all").cast(pa.int64())})
+
+    counts = (passers.map_batches(count_partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+              .groupby("source").sum("n").take_all())
+    per = sorted((r["source"], int(r["sum(n)"])) for r in counts)
+    wgt = {s: math.sqrt(float(n)) for s, n in per}
+    total_w = 0.0
+    for s, _ in per:                       # pinned fold in source order
+        total_w = total_w + wgt[s]
+    quota = {s: int(math.floor((float(k_total) * wgt[s]) / total_w))
+             for s, _ in per}
+
+    smix = (np.uint64(seed) * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.uint64)
+        h = (((ids & np.uint64(0xFFFFFFFF)) ^ smix)
+             * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+        return batch.append_column(
+            "h", pa.array(h.astype(np.int64), type=pa.int64()))
+
+    hashed = passers.map_batches(hash_batch, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    def select(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "source": pa.array([], type=pa.string()),
+                             "n_tok": pa.array([], type=pa.int64()),
+                             "smp_rank": pa.array([], type=pa.int64())})
+        part = part.sort_by([("source", "ascending"), ("h", "ascending"),
+                             ("doc_id", "ascending")])
+        starts = run_starts(part, ["source"])
+        n = part.num_rows
+        lens = np.diff(np.append(starts, n))
+        rank = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+        heads = part.column("source").take(
+            pa.array(starts, type=pa.int64())).to_pylist()
+        qarr = np.array([quota.get(s, 0) for s in heads], dtype=np.int64)
+        keep = np.flatnonzero(rank < np.repeat(qarr, lens))
+        sel = part.take(pa.array(keep, type=pa.int64()))
+        return pa.table({"doc_id": sel.column("doc_id"),
+                         "source": sel.column("source"),
+                         "n_tok": sel.column("n_tok"),
+                         "smp_rank": pa.array(rank[keep],
+                                              type=pa.int64())})
+
+    selected = partition_apply(hashed, ["source"], select,
+                               num_partitions=num_partitions)
+
+    # final pack over the k_total-bounded selection: O(k_total) driver
+    # metadata work by construction (documented boundedness)
+    rows = selected.take_all()
+    rows.sort(key=lambda r: int(r["doc_id"]))
+    off = 0
+    out = {"doc_id": [], "source": [], "n_tok": [], "smp_rank": [],
+           "tok_offset": [], "seq_id": []}
+    for r in rows:
+        out["doc_id"].append(int(r["doc_id"]))
+        out["source"].append(r["source"])
+        out["n_tok"].append(int(r["n_tok"]))
+        out["smp_rank"].append(int(r["smp_rank"]))
+        out["tok_offset"].append(off)
+        out["seq_id"].append(off // seq_len)
+        off += int(r["n_tok"])
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+        "source": pa.array(out["source"], type=pa.string()),
+        "n_tok": pa.array(out["n_tok"], type=pa.int64()),
+        "smp_rank": pa.array(out["smp_rank"], type=pa.int64()),
+        "tok_offset": pa.array(out["tok_offset"], type=pa.int64()),
+        "seq_id": pa.array(out["seq_id"], type=pa.int64()),
+    }))

@@ -1833,3 +1833,27 @@ def test_filter_pushdown_matches_post_filter(ray_session):
         assert int(got.loc[d, "cents_sum"]) == int(r["cents_sum"])
     # the pushdown genuinely filters (purchases >= 100 are a proper subset)
     assert int(got["n"].sum()) < len(ev)
+
+
+# ---------------------------------------------------------------- C5 ----
+def test_quality_mixture_pack_composes(ray_session):
+    from anomalydetection_ray.pipelines.curation import (
+        c5_quality_mixture_pack)
+
+    got = c5_quality_mixture_pack(SF).to_pandas()
+    assert len(got) > 0
+    # pack invariants: offsets are the exclusive prefix sum in doc order
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    off = 0
+    for _, r in g.iterrows():
+        assert int(r["tok_offset"]) == off
+        assert int(r["seq_id"]) == off // 256
+        off += int(r["n_tok"])
+    # mixture invariants: per-source selection counts == floor quotas
+    import collections
+    per = collections.Counter(g["source"])
+    # tail sources must be present (temperature damps the head)
+    assert len(per) >= 2
+    # every selected rank is within its source quota
+    assert (g.groupby("source")["smp_rank"].max() + 1
+            >= g.groupby("source")["smp_rank"].count()).all()
