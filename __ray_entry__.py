@@ -688,6 +688,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # S21 predicate-pushdown read (row filter handed to the
         # parquet scan; prune-at-the-read at row granularity)
         "s21_filter_pushdown": q.s21_filter_pushdown,
+        # W33 per-user Gini-Simpson type diversity (exact rational,
+        # log-free; behavioral breadth next to W10 transitions)
+        "w33_type_diversity": wnd.w33_type_diversity,
+        # G24 per-type market beta vs the all-types daily total
+        # (exact-int covariance/variance numerators, one division)
+        "g24_beta_to_total": q.g24_beta_to_total,
         # K7 distributed power iteration: dominant eigenvector of the
         # uncentered Gram matrix, exact-int matvecs + pinned renormalize
         "k7_power_iteration": km.k7_power_iteration,
@@ -3753,6 +3759,53 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(count(*) AS BIGINT)
                     FROM fst WHERE fst.fd <= cp.doc_hi) AS types_cum
             FROM cp
+        """,
+        "w33_type_diversity": """
+            WITH c AS (SELECT user_id, event_type,
+                              CAST(count(*) AS BIGINT) AS c
+                       FROM events GROUP BY user_id, event_type),
+            g AS (SELECT user_id,
+                         CAST(sum(c) AS BIGINT) AS n_events,
+                         CAST(count(*) AS BIGINT) AS n_types,
+                         CAST(sum(c * c) AS BIGINT) AS ssq
+                  FROM c GROUP BY user_id)
+            SELECT user_id, n_events, n_types,
+                   CAST(n_events * n_events - ssq AS BIGINT) AS div_num,
+                   CAST(n_events * n_events AS BIGINT) AS div_den,
+                   CAST(n_events * n_events - ssq AS DOUBLE)
+                     / CAST(n_events * n_events AS DOUBLE)
+                       AS gini_simpson
+            FROM g
+        """,
+        "g24_beta_to_total": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+              FROM events),
+            d AS MATERIALIZED (
+              SELECT event_type, day, CAST(sum(v100) AS BIGINT) AS x
+              FROM e GROUP BY event_type, day),
+            m AS MATERIALIZED (
+              SELECT day, CAST(sum(x) AS BIGINT) AS mx
+              FROM d GROUP BY day),
+            j AS (SELECT d.event_type, d.x, m.mx
+                  FROM d JOIN m USING (day)),
+            agg AS (SELECT event_type,
+                           CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(x) AS BIGINT) AS sx,
+                           CAST(sum(mx) AS BIGINT) AS sm,
+                           CAST(sum(x * mx) AS BIGINT) AS sxm,
+                           CAST(sum(mx * mx) AS BIGINT) AS smm
+                    FROM j GROUP BY event_type)
+            SELECT event_type, n AS n_days,
+                   CAST(n * sxm - sx * sm AS BIGINT) AS cov_num,
+                   CAST(n * smm - sm * sm AS BIGINT) AS var_num,
+                   CASE WHEN n * smm - sm * sm > 0 THEN
+                     CAST(n * sxm - sx * sm AS DOUBLE)
+                       / CAST(n * smm - sm * sm AS DOUBLE)
+                   END AS beta
+            FROM agg
         """,
         "s21_filter_pushdown": """
             SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,

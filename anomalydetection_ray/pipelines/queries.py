@@ -5672,3 +5672,76 @@ def s21_filter_pushdown(sf_dir: str, min_value: float = 100.0):
         })
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- G24 ----
+def g24_beta_to_total(sf_dir: str):
+    """G24 — per-type "market beta": the OLS slope of each event type's
+    daily cent total against the ALL-TYPES daily total —
+    beta = cov(x, m) / var(m) — which types amplify corpus-wide load
+    swings (beta > their share) vs absorb them.  The cross-series
+    regression next to G10's same-series correlation.
+
+    Exactness: (type, day) and (day) totals are exact ints; the
+    covariance and variance NUMERATORS n*S_xm - S_x*S_m and
+    n*S_mm - S_m^2 are exact python-ints (the W5/G10 moment
+    discipline), and beta is one pinned division.
+
+    Scale shape: one bounded (type x days) exchange; the market series
+    is the per-day marginal of the SAME grid (computed in the finalize
+    from broadcast day totals — bounded driver state, span-days
+    rows)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()), dtype=np.int64)
+        day = us // 86_400_000_000
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        v100 = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(day, type=pa.int64()),
+                      "v100": pa.array(v100, type=pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate([("v100", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "x": g.column("v100_sum").cast(pa.int64())})
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["event_type", "day"]).sum("x")
+             .materialize())
+
+    # market series: per-day totals of the SAME bounded grid (span-days
+    # rows -> driver dict, broadcast into the finalize)
+    mkt_rows = (daily.map_batches(
+        lambda b: pa.table({
+            "day": b.column("day"),
+            "x": b.column("sum(x)").cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day").sum("x").take_all())
+    market = {int(r["day"]): int(r["sum(x)"]) for r in mkt_rows}
+
+    def finalize(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        day = np.asarray(group.column("day"), dtype=np.int64)
+        x = np.asarray(group.column("sum(x)"), dtype=np.int64)
+        xs = [int(v) for v in x.tolist()]
+        ms = [market[int(d)] for d in day.tolist()]
+        n = len(xs)
+        sx, sm = sum(xs), sum(ms)
+        sxm = sum(a * b for a, b in zip(xs, ms))
+        smm = sum(b * b for b in ms)
+        cov_num = n * sxm - sx * sm
+        var_num = n * smm - sm * sm
+        beta = float(cov_num) / float(var_num) if var_num > 0 else None
+        return pa.table({
+            "event_type": pa.array([et], type=pa.string()),
+            "n_days": pa.array([n], type=pa.int64()),
+            "cov_num": pa.array([cov_num], type=pa.int64()),
+            "var_num": pa.array([var_num], type=pa.int64()),
+            "beta": pa.array([beta], type=pa.float64(),
+                             from_pandas=True),
+        })
+
+    return daily.groupby("event_type").map_groups(
+        finalize, batch_format="pyarrow")

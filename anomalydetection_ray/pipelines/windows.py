@@ -2497,3 +2497,73 @@ def w32_max_drawdown(sf_dir: str, num_partitions: int = 16):
         batch_format="pyarrow", zero_copy_batch=True)
     return tagged.groupby(PKEY).map_groups(_drawdown_kernel,
                                            batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- W33 ----
+def w33_type_diversity(sf_dir: str, num_partitions: int = 16):
+    """W33 — per-user event-type diversity by the Gini-Simpson index
+    (Simpson 1949): D = 1 - SUM (n_t/n)^2 — the log-free diversity
+    measure (0 = monomaniac, -> 1 - 1/T = uniform over T types), the
+    behavioral-breadth feature next to W10's transition structure.
+
+    Exactness: D is EXACT RATIONAL — num = n^2 - SUM n_t^2 and
+    den = n^2 are exact ints (type domain bounded), D one pinned
+    division; no logarithm exists to diverge.  Scale shape: per-block
+    (user, type) count collapse, ONE exchange, vectorized run kernel —
+    no per-user Python."""
+    ev = _read_events(sf_dir, ["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "event_type": batch.column("event_type"),
+                      "one": pa.array(np.ones(batch.num_rows,
+                                              dtype=np.int64))})
+        g = t.group_by(["user_id", "event_type"]).aggregate(
+            [("one", "sum")])
+        return pa.table({"user_id": g.column("user_id"),
+                         "event_type": g.column("event_type"),
+                         "c": g.column("one_sum").cast(pa.int64())})
+
+    counts = (ev.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["user_id", "event_type"]).sum("c"))
+
+    tagged = counts.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(part: pa.Table) -> pa.Table:
+        part = part.drop_columns([PKEY]).sort_by(
+            [("user_id", "ascending")])
+        n_rows = part.num_rows
+        if n_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], type=pa.int64()),
+                "n_events": pa.array([], type=pa.int64()),
+                "n_types": pa.array([], type=pa.int64()),
+                "div_num": pa.array([], type=pa.int64()),
+                "div_den": pa.array([], type=pa.int64()),
+                "gini_simpson": pa.array([], type=pa.float64()),
+            })
+        starts = run_starts(part, ["user_id"])
+        uid = np.asarray(part.column("user_id"), dtype=np.int64)
+        c = np.asarray(part.column("sum(c)"), dtype=np.int64)
+        n = np.add.reduceat(c, starts)
+        ssq = np.add.reduceat(c * c, starts)
+        lens = np.diff(np.append(starts, n_rows)).astype(np.int64)
+        num = n * n - ssq
+        den = n * n
+        return pa.table({
+            "user_id": pa.array(uid[starts], type=pa.int64()),
+            "n_events": pa.array(n, type=pa.int64()),
+            "n_types": pa.array(lens, type=pa.int64()),
+            "div_num": pa.array(num, type=pa.int64()),
+            "div_den": pa.array(den, type=pa.int64()),
+            "gini_simpson": pa.array(num.astype(np.float64)
+                                     / den.astype(np.float64),
+                                     type=pa.float64()),
+        })
+
+    return tagged.groupby(PKEY).map_groups(kernel,
+                                           batch_format="pyarrow")

@@ -1857,3 +1857,59 @@ def test_quality_mixture_pack_composes(ray_session):
     # every selected rank is within its source quota
     assert (g.groupby("source")["smp_rank"].max() + 1
             >= g.groupby("source")["smp_rank"].count()).all()
+
+
+# ---------------------------------------------------------------- W33 ----
+def test_type_diversity_exact_rational(ray_session):
+    from anomalydetection_ray.pipelines.windows import w33_type_diversity
+
+    got = (w33_type_diversity(SF).to_pandas()
+           .set_index("user_id").sort_index())
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type"]).to_pandas()
+    for uid, g in ev.groupby("user_id"):
+        cnt = g["event_type"].value_counts()
+        n = int(cnt.sum())
+        ssq = int((cnt ** 2).sum())
+        r = got.loc[uid]
+        assert int(r["n_events"]) == n
+        assert int(r["n_types"]) == len(cnt)
+        assert int(r["div_num"]) == n * n - ssq
+        assert int(r["div_den"]) == n * n
+        assert r["gini_simpson"] == float(n * n - ssq) / float(n * n)
+        assert 0.0 <= r["gini_simpson"] < 1.0
+
+
+# ---------------------------------------------------------------- G24 ----
+def test_beta_to_total_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.queries import g24_beta_to_total
+
+    got = (g24_beta_to_total(SF).to_pandas()
+           .set_index("event_type").sort_index())
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts", "value"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    ev["v100"] = np.floor(ev["value"] * 100.0 + 0.5).astype(np.int64)
+    daily = ev.groupby(["event_type", "day"])["v100"].sum()
+    market = ev.groupby("day")["v100"].sum()
+    betas = []
+    for et in daily.index.get_level_values(0).unique():
+        x = daily.loc[et]
+        m = market.loc[x.index]
+        n = len(x)
+        sx, sm = int(x.sum()), int(m.sum())
+        sxm = int((x * m).sum())
+        smm = int((m * m).sum())
+        cov = n * sxm - sx * sm
+        var = n * smm - sm * sm
+        r = got.loc[et]
+        assert int(r["n_days"]) == n
+        assert int(r["cov_num"]) == cov
+        assert int(r["var_num"]) == var
+        if var > 0:
+            assert r["beta"] == float(cov) / float(var)
+            betas.append(r["beta"])
+    # betas average near each type's share of the market (sanity band)
+    assert 0.0 < float(np.mean(betas)) < 1.0
