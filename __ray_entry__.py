@@ -694,6 +694,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # G24 per-type market beta vs the all-types daily total
         # (exact-int covariance/variance numerators, one division)
         "g24_beta_to_total": q.g24_beta_to_total,
+        # A43 Cox-Stuart positional sign test for trend (ties drop,
+        # continuity-corrected z; assumption-free level-drift screen)
+        "a43_cox_stuart": q.a43_cox_stuart,
+        # V15 stylometric source distance (Burrows-Delta-lite L1
+        # over top-k function-word relative frequencies)
+        "v15_stylometric_l1": vb.v15_stylometric_l1,
         # K7 distributed power iteration: dominant eigenvector of the
         # uncentered Gram matrix, exact-int matvecs + pinned renormalize
         "k7_power_iteration": km.k7_power_iteration,
@@ -3759,6 +3765,76 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(count(*) AS BIGINT)
                     FROM fst WHERE fst.fd <= cp.doc_hi) AS types_cum
             FROM cp
+        """,
+        "a43_cox_stuart": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+              FROM events),
+            d AS MATERIALIZED (
+              SELECT event_type, day, CAST(sum(v100) AS BIGINT) AS x
+              FROM e GROUP BY event_type, day),
+            o AS (SELECT event_type, x,
+                         CAST(row_number() OVER (PARTITION BY event_type
+                             ORDER BY day) - 1 AS BIGINT) AS i,
+                         CAST(count(*) OVER (PARTITION BY event_type)
+                              AS BIGINT) AS n
+                  FROM d),
+            p AS (SELECT a.event_type, a.n, b.x - a.x AS diff
+                  FROM o a JOIN o b ON a.event_type = b.event_type
+                       AND b.i = a.i + (a.n - a.n // 2)
+                  WHERE a.i < a.n // 2),
+            agg AS (SELECT event_type, any_value(n) AS n,
+                           CAST(count(*) FILTER (WHERE diff > 0)
+                                AS BIGINT) AS s_plus,
+                           CAST(count(*) FILTER (WHERE diff < 0)
+                                AS BIGINT) AS s_minus
+                    FROM p GROUP BY event_type)
+            SELECT event_type, n AS n_days, s_plus, s_minus,
+                   CASE WHEN s_plus + s_minus > 0 THEN
+                     CAST(abs(2 * s_plus - (s_plus + s_minus)) - 1
+                          AS DOUBLE)
+                       / sqrt(CAST(s_plus + s_minus AS DOUBLE))
+                   END AS z_cs
+            FROM agg
+        """,
+        "v15_stylometric_l1": """
+            WITH ws AS (SELECT source,
+                               list_filter(string_split(text, ' '),
+                                           x -> x <> '') AS w
+                        FROM documents),
+            uni AS MATERIALIZED (
+                SELECT source, unnest(w) AS word FROM ws),
+            topk AS MATERIALIZED (
+                SELECT word FROM (
+                    SELECT word, CAST(count(*) AS BIGINT) AS n
+                    FROM uni GROUP BY word
+                    ORDER BY n DESC, word ASC LIMIT 20)),
+            tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                    FROM uni GROUP BY source),
+            c AS (SELECT u.source, u.word,
+                         CAST(count(*) AS BIGINT) AS c
+                  FROM uni u JOIN topk USING (word)
+                  GROUP BY u.source, u.word),
+            grid AS (SELECT t.source, k.word,
+                            COALESCE(c.c, 0) AS c, t.n
+                     FROM tot t CROSS JOIN topk k
+                     LEFT JOIN c ON c.source = t.source
+                                AND c.word = k.word),
+            f AS (SELECT a.source AS source_a, b.source AS source_b,
+                         list(abs(CAST(a.c AS DOUBLE)
+                                  / CAST(a.n AS DOUBLE)
+                                  - CAST(b.c AS DOUBLE)
+                                  / CAST(b.n AS DOUBLE))
+                              ORDER BY a.word) AS terms
+                  FROM grid a JOIN grid b
+                    ON a.word = b.word AND a.source < b.source
+                  GROUP BY a.source, b.source)
+            SELECT source_a, source_b,
+                   list_reduce(list_prepend(0.0, terms),
+                               (x, y) -> x + y) AS l1
+            FROM f
         """,
         "w33_type_diversity": """
             WITH c AS (SELECT user_id, event_type,

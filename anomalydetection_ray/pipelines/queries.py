@@ -5745,3 +5745,67 @@ def g24_beta_to_total(sf_dir: str):
 
     return daily.groupby("event_type").map_groups(
         finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- A43 ----
+def a43_cox_stuart(sf_dir: str):
+    """A43 — Cox–Stuart trend test (Cox & Stuart 1955) per event type
+    over the daily cent-total series: pair day i with day i + n/2 and
+    count sign changes — the positional sign test for trend (cruder but
+    assumption-free next to A33's rank pairs; detects level drift even
+    when ranks saturate).  Ties (equal pair values) drop, per the
+    classic prescription.
+
+    Exactness: pair diffs and counts are exact ints; the continuity-
+    corrected z = (|2*S_plus - m| - 1) / sqrt(m) over the m non-tied
+    pairs is two pinned float ops.
+
+    Scale shape: A35-family bounded daily grid."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()), dtype=np.int64)
+        day = us // 86_400_000_000
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        v100 = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(day, type=pa.int64()),
+                      "v100": pa.array(v100, type=pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate([("v100", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "x": g.column("v100_sum").cast(pa.int64())})
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["event_type", "day"]).sum("x"))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        import math
+
+        et = group.column("event_type")[0].as_py()
+        day = np.asarray(group.column("day"), dtype=np.int64)
+        order = np.argsort(day)
+        x = np.asarray(group.column("sum(x)"), dtype=np.int64)[order]
+        n = int(x.shape[0])
+        half = n // 2
+        # pair i with i + ceil(n/2) over the first floor(n/2) positions
+        shift = n - half
+        a = x[:half]
+        b = x[shift:shift + half]
+        d = b - a
+        s_plus = int((d > 0).sum())
+        s_minus = int((d < 0).sum())
+        m = s_plus + s_minus
+        z = ((abs(2 * s_plus - m) - 1) / math.sqrt(float(m))
+             if m > 0 else None)
+        return pa.table({
+            "event_type": pa.array([et], type=pa.string()),
+            "n_days": pa.array([n], type=pa.int64()),
+            "s_plus": pa.array([s_plus], type=pa.int64()),
+            "s_minus": pa.array([s_minus], type=pa.int64()),
+            "z_cs": pa.array([z], type=pa.float64(), from_pandas=True),
+        })
+
+    return daily.groupby("event_type").map_groups(
+        finalize, batch_format="pyarrow")

@@ -846,3 +846,87 @@ def v14_pmi_bigrams(sf_dir: str, k: int = 25, min_count: int = 5):
     scored = with_ab.map_batches(score, batch_format="pyarrow",
                                  zero_copy_batch=True)
     return topk(scored, k, [("pmi", "descending"), ("word", "ascending")])
+
+
+def v15_stylometric_l1(sf_dir: str, k: int = 20):
+    """V15 — stylometric source distance (Burrows-Delta-lite): the L1
+    distance between sources over the relative frequencies of the
+    corpus' top-``k`` words — function-word profiles are the classic
+    authorship/register fingerprint, so this matrix answers "which
+    sources write alike?" next to T12's vocabulary-overlap Jaccard.
+
+    Scale shape: the top-k word list is V1's deterministic block-pruned
+    top-k (driver state, k rows); per-(source, word) counts and
+    per-source totals collapse per block before ONE bounded exchange
+    (sources x k rows); the pairwise matrix is O(|sources|^2 * k)
+    driver metadata work.  Exactness: counts exact ints; each L1 term
+    is the pinned |float(c_a)/float(n_a) - float(c_b)/float(n_b)|,
+    folded sequentially in ALPHABETICAL word order (the G15
+    list_reduce discipline)."""
+    from anomalydetection_ray.stages.runs import agg_by
+
+    top = sorted(r["word"] for r in vocab_topk(sf_dir, k=k).take_all())
+    top_set = set(top)
+
+    docs = _read_docs(sf_dir, ["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(words)
+        row_of = np.asarray(pc.list_parent_indices(words), dtype=np.int64)
+        nonempty = np.asarray(pc.not_equal(flat, ""))
+        flat = flat.filter(pa.array(nonempty))
+        row_of = row_of[nonempty]
+        src = batch.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        src_of = src.take(pa.array(row_of, type=pa.int64()))
+        w = np.asarray(flat, dtype=object)
+        in_top = np.asarray([x in top_set for x in w.tolist()],
+                            dtype=bool)
+        t = pa.table({
+            "source": src_of,
+            "word": pa.array(np.where(in_top, w, "\x00other"),
+                             type=pa.string()),
+            "one": pa.array(np.ones(len(w), dtype=np.int64)),
+        })
+        g = t.group_by(["source", "word"]).aggregate([("one", "sum")])
+        return pa.table({"source": g.column("source"),
+                         "word": g.column("word"),
+                         "c": g.column("one_sum").cast(pa.int64())})
+
+    counts = agg_by(
+        docs.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["source", "word"], [("c", "sum", "c")]).take_all()
+
+    per: dict[str, dict[str, int]] = {}
+    tot: dict[str, int] = {}
+    for r in counts:
+        s, w, c = r["source"], r["word"], int(r["c"])
+        tot[s] = tot.get(s, 0) + c
+        if w != "\x00other":
+            per.setdefault(s, {})[w] = c
+
+    srcs = sorted(tot)
+    import ray.data
+
+    sa, sb, l1s = [], [], []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            acc = 0.0
+            for w in top:                 # alphabetical pinned fold
+                fa = float(per.get(a, {}).get(w, 0)) / float(tot[a])
+                fb = float(per.get(b, {}).get(w, 0)) / float(tot[b])
+                acc = acc + abs(fa - fb)
+            sa.append(a)
+            sb.append(b)
+            l1s.append(acc)
+    return ray.data.from_arrow(pa.table({
+        "source_a": pa.array(sa, type=pa.string()),
+        "source_b": pa.array(sb, type=pa.string()),
+        "l1": pa.array(l1s, type=pa.float64()),
+    }))

@@ -1913,3 +1913,61 @@ def test_beta_to_total_bruteforce(ray_session):
             betas.append(r["beta"])
     # betas average near each type's share of the market (sanity band)
     assert 0.0 < float(np.mean(betas)) < 1.0
+
+
+# ---------------------------------------------------------------- A43 ----
+def test_cox_stuart_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.queries import a43_cox_stuart
+
+    got = (a43_cox_stuart(SF).to_pandas()
+           .set_index("event_type").sort_index())
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts", "value"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    ev["v100"] = np.floor(ev["value"] * 100.0 + 0.5).astype(np.int64)
+    for et, g in ev.groupby("event_type"):
+        x = g.groupby("day")["v100"].sum().sort_index().to_numpy()
+        n = len(x)
+        half, shift = n // 2, n - n // 2
+        d = x[shift:shift + half] - x[:half]
+        sp, sm = int((d > 0).sum()), int((d < 0).sum())
+        r = got.loc[et]
+        assert int(r["n_days"]) == n
+        assert int(r["s_plus"]) == sp and int(r["s_minus"]) == sm
+        m = sp + sm
+        if m > 0:
+            assert r["z_cs"] == (abs(2 * sp - m) - 1) / math.sqrt(float(m))
+
+
+# ---------------------------------------------------------------- V15 ----
+def test_stylometric_l1_bruteforce(ray_session):
+    import collections
+
+    from anomalydetection_ray.pipelines.vocab import v15_stylometric_l1
+
+    got = (v15_stylometric_l1(SF).to_pandas()
+           .set_index(["source_a", "source_b"]).sort_index())
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    uni = collections.Counter()
+    per = collections.defaultdict(collections.Counter)
+    tot = collections.Counter()
+    for _, r in docs.iterrows():
+        ws = [w for w in r["text"].split(" ") if w != ""]
+        uni.update(ws)
+        per[r["source"]].update(ws)
+        tot[r["source"]] += len(ws)
+    top = sorted(w for w, _ in sorted(uni.items(),
+                                      key=lambda kv: (-kv[1], kv[0]))[:20])
+    srcs = sorted(tot)
+    assert len(got) == len(srcs) * (len(srcs) - 1) // 2
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            acc = 0.0
+            for w in top:
+                acc += abs(float(per[a][w]) / float(tot[a])
+                           - float(per[b][w]) / float(tot[b]))
+            assert got.loc[(a, b), "l1"] == acc
+    assert (got["l1"] >= 0).all()
