@@ -700,6 +700,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # V15 stylometric source distance (Burrows-Delta-lite L1
         # over top-k function-word relative frequencies)
         "v15_stylometric_l1": vb.v15_stylometric_l1,
+        # R4 retention-ladder cascade: weekly tier merged FROM the
+        # daily tier, oracled against weekly-from-raw
+        "r4_cascade_rollup": q.r4_cascade_rollup,
         # K7 distributed power iteration: dominant eigenvector of the
         # uncentered Gram matrix, exact-int matvecs + pinned renormalize
         "k7_power_iteration": km.k7_power_iteration,
@@ -3765,6 +3768,22 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(count(*) AS BIGINT)
                     FROM fst WHERE fst.fd <= cp.doc_hi) AS types_cum
             FROM cp
+        """,
+        "r4_cascade_rollup": """
+            SELECT event_type,
+                   CAST(epoch_us(ts) // 86400000000 // 7 AS BIGINT)
+                       AS week,
+                   CAST(min(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS min_cents,
+                   CAST(max(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS max_cents,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS cents_sum,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS mean_cents
+            FROM events GROUP BY event_type, week
         """,
         "a43_cox_stuart": """
             WITH e AS (

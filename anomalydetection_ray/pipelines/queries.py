@@ -5809,3 +5809,90 @@ def a43_cox_stuart(sf_dir: str):
 
     return daily.groupby("event_type").map_groups(
         finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- R4 ----
+def r4_cascade_rollup(sf_dir: str):
+    """R4 — retention-ladder cascade: the WEEKLY tier is computed FROM
+    the daily tier's partial aggregates (never from raw data), and must
+    equal the weekly aggregate computed from raw — the correctness
+    contract of every tiered-downsampling retention scheme (the north
+    star's raw -> 1k -> 10k ladder): if tier N+1 merges losslessly from
+    tier N, raw data can expire after tier N materializes.
+
+    Exactness: min/max/sum/count are associative over exact ints, so
+    the cascade is bit-exact by construction — the oracle (weekly from
+    raw) catches any non-associative leak.  mean_cents is the one
+    pinned int->double division at the END of the cascade.
+
+    Scale shape: raw is read ONCE for the daily tier; the weekly tier
+    touches only the (types x days) bounded grid."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()), dtype=np.int64)
+        day = us // 86_400_000_000
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        v100 = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(day, type=pa.int64()),
+                      "v100": pa.array(v100, type=pa.int64()),
+                      "one": pa.array(np.ones(len(day),
+                                              dtype=np.int64))})
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [("v100", "min"), ("v100", "max"), ("v100", "sum"),
+             ("one", "sum")])
+        return pa.table({
+            "event_type": g.column("event_type"),
+            "day": g.column("day"),
+            "mn": g.column("v100_min").cast(pa.int64()),
+            "mx": g.column("v100_max").cast(pa.int64()),
+            "sm": g.column("v100_sum").cast(pa.int64()),
+            "n": g.column("one_sum").cast(pa.int64()),
+        })
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["event_type", "day"])
+             .aggregate(Min("mn", alias_name="mn"),
+                        Max("mx", alias_name="mx"),
+                        Sum("sm", alias_name="sm"),
+                        Sum("n", alias_name="n")))
+
+    def to_week(batch: pa.Table) -> pa.Table:
+        day = np.asarray(batch.column("day"), dtype=np.int64)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "week": pa.array(day // 7, type=pa.int64()),
+            "mn": batch.column("mn").cast(pa.int64()),
+            "mx": batch.column("mx").cast(pa.int64()),
+            "sm": batch.column("sm").cast(pa.int64()),
+            "n": batch.column("n").cast(pa.int64()),
+        })
+
+    weekly = (daily.map_batches(to_week, batch_format="pyarrow",
+                                zero_copy_batch=True)
+              .groupby(["event_type", "week"])
+              .aggregate(Min("mn", alias_name="min_cents"),
+                         Max("mx", alias_name="max_cents"),
+                         Sum("sm", alias_name="cents_sum"),
+                         Sum("n", alias_name="n")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        sm = np.asarray(batch.column("cents_sum"), dtype=np.int64)
+        n = np.asarray(batch.column("n"), dtype=np.int64)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "week": batch.column("week").cast(pa.int64()),
+            "min_cents": batch.column("min_cents").cast(pa.int64()),
+            "max_cents": batch.column("max_cents").cast(pa.int64()),
+            "cents_sum": pa.array(sm, type=pa.int64()),
+            "n": pa.array(n, type=pa.int64()),
+            "mean_cents": pa.array(sm.astype(np.float64)
+                                   / n.astype(np.float64),
+                                   type=pa.float64()),
+        })
+
+    return weekly.map_batches(finalize, batch_format="pyarrow")

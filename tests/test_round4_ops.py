@@ -1971,3 +1971,24 @@ def test_stylometric_l1_bruteforce(ray_session):
                            - float(per[b][w]) / float(tot[b]))
             assert got.loc[(a, b), "l1"] == acc
     assert (got["l1"] >= 0).all()
+
+
+# ---------------------------------------------------------------- R4 ----
+def test_cascade_rollup_equals_raw_weekly(ray_session):
+    from anomalydetection_ray.pipelines.queries import r4_cascade_rollup
+
+    got = (r4_cascade_rollup(SF).to_pandas()
+           .set_index(["event_type", "week"]).sort_index())
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts", "value"]).to_pandas()
+    ev["week"] = ev["ts"].astype("int64") // 86_400_000_000 // 7
+    ev["v100"] = np.floor(ev["value"] * 100.0 + 0.5).astype(np.int64)
+    exp = ev.groupby(["event_type", "week"]).agg(
+        min_cents=("v100", "min"), max_cents=("v100", "max"),
+        cents_sum=("v100", "sum"), n=("v100", "size")).sort_index()
+    assert len(got) == len(exp)
+    for c in ("min_cents", "max_cents", "cents_sum", "n"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    mean = exp["cents_sum"].astype(float) / exp["n"].astype(float)
+    assert (got["mean_cents"].to_numpy() == mean.to_numpy()).all()
