@@ -703,6 +703,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # R4 retention-ladder cascade: weekly tier merged FROM the
         # daily tier, oracled against weekly-from-raw
         "r4_cascade_rollup": q.r4_cascade_rollup,
+        # D14 cross-source EXACT duplication audit (mirror / re-
+        # scrape detector at exact granularity; D9 is near-dup)
+        "d14_cross_source_exact": dd.d14_cross_source_exact,
         # K7 distributed power iteration: dominant eigenvector of the
         # uncentered Gram matrix, exact-int matvecs + pinned renormalize
         "k7_power_iteration": km.k7_power_iteration,
@@ -3768,6 +3771,27 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(count(*) AS BIGINT)
                     FROM fst WHERE fst.fd <= cp.doc_hi) AS types_cum
             FROM cp
+        """,
+        "d14_cross_source_exact": """
+            WITH h AS (SELECT source, md5(text) AS h FROM documents),
+            per AS (SELECT h, source, CAST(count(*) AS BIGINT) AS n
+                    FROM h GROUP BY h, source),
+            span AS (SELECT h, CAST(count(*) AS BIGINT) AS n_src
+                     FROM per GROUP BY h),
+            c AS (SELECT per.source,
+                         CAST(sum(CASE WHEN span.n_src >= 2
+                                       THEN per.n ELSE 0 END)
+                              AS BIGINT) AS n_cross_dup
+                  FROM per JOIN span USING (h)
+                  GROUP BY per.source),
+            t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                  FROM documents GROUP BY source)
+            SELECT t.source, t.n_docs,
+                   CAST(COALESCE(c.n_cross_dup, 0) AS BIGINT)
+                       AS n_cross_dup,
+                   CAST(COALESCE(c.n_cross_dup, 0) AS DOUBLE)
+                     / CAST(t.n_docs AS DOUBLE) AS cross_frac
+            FROM t LEFT JOIN c USING (source)
         """,
         "r4_cascade_rollup": """
             SELECT event_type,

@@ -1297,3 +1297,98 @@ def d13_cluster_sizes(sf_dir: str, min_est: float = 0.5):
         })
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def d14_cross_source_exact(sf_dir: str, num_partitions: int = 16):
+    """D14 — cross-source EXACT duplication audit: per source, how many
+    of its documents' contents appear verbatim in at least one OTHER
+    source — the mirror/re-scrape detector at exact granularity (D9 is
+    its near-dup sibling).  A corpus where src A's docs mostly hash
+    into src B is a copy, and mixture weights counting both are wrong.
+
+    Scale shape: the exact-dedup exchange shape — each block collapses
+    to distinct (h1, h2, source) triples before ONE hash-keyed
+    exchange; the kernel marks hashes spanning >= 2 sources with a
+    vectorized run test; per-source counts collapse to a bounded second
+    exchange.  Exactness: pure integer counts over the 128-bit content
+    hash (the oracle replays membership via md5 grouping — both are
+    collision-free at driver scale)."""
+    import functools
+
+    import ray.data
+
+    from anomalydetection_ray.stages.runs import (PKEY, add_partition_key,
+                                                  run_starts)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "text"])
+
+    def hash_partial(batch: pa.Table) -> pa.Table:
+        h1, h2 = content_hash_cols(batch)
+        t = pa.table({"h1": h1, "h2": h2,
+                      "source": batch.column("source"),
+                      "one": pa.array(np.ones(batch.num_rows,
+                                              dtype=np.int64))})
+        g = t.group_by(["h1", "h2", "source"]).aggregate([("one", "sum")])
+        return pa.table({"h1": g.column("h1"), "h2": g.column("h2"),
+                         "source": g.column("source"),
+                         "n_docs": g.column("one_sum").cast(pa.int64())})
+
+    partials = ds.map_batches(hash_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    tagged = partials.map_batches(
+        functools.partial(add_partition_key, keys=["h1", "h2"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"source": pa.array([], type=pa.string()),
+                             "n_cross": pa.array([], type=pa.int64())})
+        part = part.drop_columns([PKEY]).sort_by(
+            [("h1", "ascending"), ("h2", "ascending"),
+             ("source", "ascending")])
+        # merge per-block partials: runs keyed on (h1, h2, source)
+        starts3 = run_starts(part, ["h1", "h2", "source"])
+        n3 = np.add.reduceat(
+            np.asarray(part.column("n_docs"), dtype=np.int64), starts3)
+        sub = part.take(pa.array(starts3, type=pa.int64()))
+        starts2 = run_starts(sub, ["h1", "h2"])
+        span = np.diff(np.append(starts2, sub.num_rows))
+        multi = np.repeat(span >= 2, span)      # hash spans >= 2 sources
+        t = pa.table({"source": sub.column("source"),
+                      "n_cross": pa.array(np.where(multi, n3, 0),
+                                          type=pa.int64())})
+        g = t.group_by(["source"]).aggregate([("n_cross", "sum")])
+        return pa.table({"source": g.column("source"),
+                         "n_cross": g.column("n_cross_sum").cast(
+                             pa.int64())})
+
+    cross = (tagged.groupby(PKEY).map_groups(kernel,
+                                             batch_format="pyarrow")
+             .groupby("source").sum("n_cross"))
+
+    def totals_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("source").aggregate([([], "count_all")])
+        return pa.table({"source": g.column("source"),
+                         "n_docs": g.column("count_all").cast(pa.int64())})
+
+    totals = (ds.map_batches(totals_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("source").sum("n_docs").take_all())
+    tot = {r["source"]: int(r["sum(n_docs)"]) for r in totals}
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        src = batch.column("source").to_pylist()
+        nc = np.asarray(batch.column("sum(n_cross)"), dtype=np.int64)
+        nd = np.asarray([tot[s] for s in src], dtype=np.int64)
+        return pa.table({
+            "source": pa.array(src, type=pa.string()),
+            "n_docs": pa.array(nd, type=pa.int64()),
+            "n_cross_dup": pa.array(nc, type=pa.int64()),
+            "cross_frac": pa.array(nc.astype(np.float64)
+                                   / nd.astype(np.float64),
+                                   type=pa.float64()),
+        })
+
+    return cross.map_batches(finalize, batch_format="pyarrow")

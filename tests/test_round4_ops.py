@@ -1992,3 +1992,31 @@ def test_cascade_rollup_equals_raw_weekly(ray_session):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
     mean = exp["cents_sum"].astype(float) / exp["n"].astype(float)
     assert (got["mean_cents"].to_numpy() == mean.to_numpy()).all()
+
+
+# ---------------------------------------------------------------- D14 ----
+def test_cross_source_exact_bruteforce(ray_session):
+    import collections
+
+    from anomalydetection_ray.pipelines.dedup import d14_cross_source_exact
+
+    got = (d14_cross_source_exact(SF).to_pandas()
+           .set_index("source").sort_index())
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    srcs_of = collections.defaultdict(set)
+    for _, r in docs.iterrows():
+        srcs_of[r["text"]].add(r["source"])
+    per = collections.Counter()
+    tot = collections.Counter()
+    for _, r in docs.iterrows():
+        tot[r["source"]] += 1
+        if len(srcs_of[r["text"]]) >= 2:
+            per[r["source"]] += 1
+    assert set(got.index) == set(tot)
+    for s in tot:
+        assert int(got.loc[s, "n_docs"]) == tot[s]
+        assert int(got.loc[s, "n_cross_dup"]) == per[s]
+        assert got.loc[s, "cross_frac"] == (float(per[s])
+                                            / float(tot[s]))
