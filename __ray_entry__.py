@@ -706,6 +706,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # D14 cross-source EXACT duplication audit (mirror / re-
         # scrape detector at exact granularity; D9 is near-dup)
         "d14_cross_source_exact": dd.d14_cross_source_exact,
+        # W34 time-of-day load profile per type (24h histogram +
+        # shares; the seasonality input A8/A35 assume)
+        "w34_hourly_profile": wnd.w34_hourly_profile,
+        # Q17 balanced eval sampling over (source x length-quartile)
+        # strata (ntile closed form + seeded-hash rank prune)
+        "q17_balanced_eval_sample": pk.q17_balanced_eval_sample,
         # K7 distributed power iteration: dominant eigenvector of the
         # uncentered Gram matrix, exact-int matvecs + pinned renormalize
         "k7_power_iteration": km.k7_power_iteration,
@@ -3771,6 +3777,35 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(count(*) AS BIGINT)
                     FROM fst WHERE fst.fd <= cp.doc_hi) AS types_cum
             FROM cp
+        """,
+        "w34_hourly_profile": """
+            WITH c AS (SELECT event_type,
+                              CAST((epoch_us(ts) // 3600000000) % 24
+                                   AS BIGINT) AS hour,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY event_type, hour),
+            t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot
+                  FROM c GROUP BY event_type)
+            SELECT c.event_type, c.hour, c.n,
+                   CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS share
+            FROM c JOIN t USING (event_type)
+        """,
+        "q17_balanced_eval_sample": """
+            WITH q AS (SELECT doc_id, source, n_chars,
+                              CAST(ntile(4) OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS BIGINT)
+                                  AS quartile,
+                              CAST((CAST(xor(doc_id % 4294967296,
+                                             1401181143)
+                                         AS HUGEINT) * 2654435761)
+                                   % 4294967296 AS BIGINT) AS h
+                       FROM documents),
+            r AS (SELECT doc_id, source, quartile, h,
+                         row_number() OVER (PARTITION BY source, quartile
+                             ORDER BY h, doc_id) AS rn
+                  FROM q)
+            SELECT doc_id, source, quartile, h
+            FROM r WHERE rn <= 5
         """,
         "d14_cross_source_exact": """
             WITH h AS (SELECT source, md5(text) AS h FROM documents),

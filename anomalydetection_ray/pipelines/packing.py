@@ -906,3 +906,78 @@ def p6_sequence_composition(sf_dir: str, seq_len: int = SEQ_LEN_DEFAULT,
         })
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- Q17 ----
+def q17_balanced_eval_sample(sf_dir: str, k_per_stratum: int = 5,
+                             num_partitions: int = 16):
+    """Q17 — balanced evaluation-set sampling over (source x
+    length-quartile) strata: within each source, docs split into char-
+    length quartiles (SQL ntile() sizing — the W19 closed form), and
+    each of the |sources| x 4 strata contributes its ``k_per_stratum``
+    smallest seeded hashes — an eval set that cannot be gamed by
+    over-representing one source or one length regime (the Q4/Q7
+    samplers stratify on source alone).
+
+    Scale shape: ONE source-keyed exchange; the kernel sorts its
+    sources once, assigns quartiles with the vectorized ntile closed
+    form, then rank-prunes per stratum — no per-stratum Python.
+    Exactness: integer ranks throughout; the seeded hash is the Q6/Q7
+    mix the oracle replays."""
+    import ray.data
+
+    from anomalydetection_ray.pipelines.queries import QUOTA_SEED_MIX
+    from anomalydetection_ray.stages.runs import (partition_apply,
+                                                  run_starts)
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source", "n_chars"])
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.uint64)
+        h = (((ids & np.uint64(0xFFFFFFFF)) ^ np.uint64(QUOTA_SEED_MIX))
+             * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+        return batch.append_column(
+            "h", pa.array(h.astype(np.int64), type=pa.int64()))
+
+    hashed = docs.map_batches(hash_batch, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "source": pa.array([], type=pa.string()),
+                             "quartile": pa.array([], type=pa.int64()),
+                             "h": pa.array([], type=pa.int64())})
+        # quartile assignment: within source by (n_chars, doc_id)
+        part = part.sort_by([("source", "ascending"),
+                             ("n_chars", "ascending"),
+                             ("doc_id", "ascending")])
+        n = part.num_rows
+        starts = run_starts(part, ["source"])
+        lens = np.diff(np.append(starts, n))
+        i = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+        ln = np.repeat(lens, lens)
+        size = ln // 4
+        rem = ln % 4
+        cut = rem * (size + 1)
+        big = i < cut
+        tile = np.where(big, i // np.maximum(size + 1, 1),
+                        rem + (i - cut) // np.maximum(size, 1)) + 1
+        part = part.append_column("quartile",
+                                  pa.array(tile, type=pa.int64()))
+        # per-(source, quartile) rank by (h, doc_id), keep the k smallest
+        part = part.sort_by([("source", "ascending"),
+                             ("quartile", "ascending"),
+                             ("h", "ascending"), ("doc_id", "ascending")])
+        starts2 = run_starts(part, ["source", "quartile"])
+        lens2 = np.diff(np.append(starts2, n))
+        rank = np.arange(n, dtype=np.int64) - np.repeat(starts2, lens2)
+        sel = part.filter(pa.array(rank < k_per_stratum))
+        return pa.table({"doc_id": sel.column("doc_id"),
+                         "source": sel.column("source"),
+                         "quartile": sel.column("quartile"),
+                         "h": sel.column("h")})
+
+    return partition_apply(hashed, ["source"], kernel,
+                           num_partitions=num_partitions)

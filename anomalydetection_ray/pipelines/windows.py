@@ -2567,3 +2567,49 @@ def w33_type_diversity(sf_dir: str, num_partitions: int = 16):
 
     return tagged.groupby(PKEY).map_groups(kernel,
                                            batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- W34 ----
+def w34_hourly_profile(sf_dir: str):
+    """W34 — time-of-day load profile per event type: the 24-hour
+    histogram of event counts plus each hour's share — the capacity /
+    cron-collision picture every ops team draws first, and the
+    seasonality input A8/A35 assume.  Peak detection is left to the
+    reader of the share column (deterministic output keeps every hour's
+    row).
+
+    Scale shape: map-only collapse to <= |types| x 24 partial rows per
+    block, ONE bounded exchange, pinned share division."""
+    ev = _read_events(sf_dir, ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = _ts_us(batch.column("ts"))
+        hour = (us // 3_600_000_000) % 24
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "hour": pa.array(hour, type=pa.int64()),
+                      "one": pa.array(np.ones(len(hour),
+                                              dtype=np.int64))})
+        g = t.group_by(["event_type", "hour"]).aggregate([("one", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "hour": g.column("hour"),
+                         "n": g.column("one_sum").cast(pa.int64())})
+
+    agg = (ev.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["event_type", "hour"]).sum("n"))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        hour = np.asarray(group.column("hour"), dtype=np.int64)
+        n = np.asarray(group.column("sum(n)"), dtype=np.int64)
+        tot = int(n.sum())
+        return pa.table({
+            "event_type": pa.array([et] * len(hour), type=pa.string()),
+            "hour": pa.array(hour, type=pa.int64()),
+            "n": pa.array(n, type=pa.int64()),
+            "share": pa.array(n.astype(np.float64) / np.float64(tot),
+                              type=pa.float64()),
+        })
+
+    return agg.groupby("event_type").map_groups(finalize,
+                                                batch_format="pyarrow")

@@ -2020,3 +2020,50 @@ def test_cross_source_exact_bruteforce(ray_session):
         assert int(got.loc[s, "n_cross_dup"]) == per[s]
         assert got.loc[s, "cross_frac"] == (float(per[s])
                                             / float(tot[s]))
+
+
+# ---------------------------------------------------------------- W34 ----
+def test_hourly_profile_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.windows import w34_hourly_profile
+
+    got = (w34_hourly_profile(SF).to_pandas()
+           .set_index(["event_type", "hour"]).sort_index())
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    ev["hour"] = (ev["ts"].astype("int64") // 3_600_000_000) % 24
+    exp = ev.groupby(["event_type", "hour"]).size()
+    tot = ev.groupby("event_type").size()
+    assert len(got) == len(exp)
+    for (et, h), n in exp.items():
+        r = got.loc[(et, h)]
+        assert int(r["n"]) == int(n)
+        assert r["share"] == float(n) / float(tot[et])
+    # shares per type sum to ~1
+    s = got.groupby("event_type")["share"].sum()
+    assert ((s - 1.0).abs() < 1e-9).all()
+
+
+# ---------------------------------------------------------------- Q17 ----
+def test_balanced_eval_sample_strata(ray_session):
+    from anomalydetection_ray.pipelines.packing import (
+        q17_balanced_eval_sample)
+
+    got = q17_balanced_eval_sample(SF).to_pandas()
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "source", "n_chars"]
+                         ).to_pandas()
+    per_src = docs.groupby("source").size()
+    # every stratum with >= 5 docs contributes exactly 5
+    cnt = got.groupby(["source", "quartile"]).size()
+    for (s, qt), n in cnt.items():
+        stratum_sz = 0
+        g = docs[docs["source"] == s].sort_values(["n_chars", "doc_id"])
+        ln = len(g)
+        size, rem = ln // 4, ln % 4
+        stratum_sz = size + 1 if qt <= rem else size
+        assert n == min(5, stratum_sz), (s, qt)
+    # quartiles are 1..4 and all sources present
+    assert set(got["quartile"]) <= {1, 2, 3, 4}
+    assert set(got["source"]) == set(per_src.index)
