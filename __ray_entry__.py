@@ -712,6 +712,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Q17 balanced eval sampling over (source x length-quartile)
         # strata (ntile closed form + seeded-hash rank prune)
         "q17_balanced_eval_sample": pk.q17_balanced_eval_sample,
+        # S22 zstd parquet round trip (the archival codec leg of
+        # the interchange matrix; byte-exact per-source aggregates)
+        "s22_zstd_parquet_roundtrip": q.s22_zstd_parquet_roundtrip,
         # K7 distributed power iteration: dominant eigenvector of the
         # uncentered Gram matrix, exact-int matvecs + pinned renormalize
         "k7_power_iteration": km.k7_power_iteration,
@@ -3777,6 +3780,13 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(count(*) AS BIGINT)
                     FROM fst WHERE fst.fd <= cp.doc_hi) AS types_cum
             FROM cp
+        """,
+        "s22_zstd_parquet_roundtrip": """
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS words_sum
+            FROM documents GROUP BY source
         """,
         "w34_hourly_profile": """
             WITH c AS (SELECT event_type,

@@ -5896,3 +5896,86 @@ def r4_cascade_rollup(sf_dir: str):
         })
 
     return weekly.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- S22 ----
+def s22_zstd_parquet_roundtrip(sf_dir: str):
+    """S22 — zstd-compressed parquet round trip: the documents table is
+    re-written task-side as PER-BLOCK zstd parquet shards (the archival
+    codec choice — zstd compresses text ~30-50% tighter than the snappy
+    default at similar read speed) and read back; per-source aggregates
+    must equal the original table, proving the codec leg lossless.
+    Completes the interchange matrix: snappy parquet (native), ORC
+    (S13), Feather (S17), JSONL (S6), gzip JSONL (S19), CSV (S7).
+
+    Scale shape: shard-granular codec work on both legs, streaming
+    reads, bounded per-source result."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    out = tempfile.mkdtemp(prefix="anomray_zstd_")
+    try:
+        def write_shard(batch: pa.Table) -> pa.Table:
+            path = os.path.join(
+                out,
+                f"shard-{int(batch.column('doc_id')[0].as_py()):012d}"
+                ".parquet")
+            pq.write_table(batch, path, compression="zstd",
+                           compression_level=3)
+            return pa.table({"path": pa.array([path], type=pa.string()),
+                             "rows": pa.array([batch.num_rows],
+                                              type=pa.int64())})
+
+        markers = (_read(sf_dir, "documents",
+                         ["doc_id", "source", "n_chars", "text"])
+                   .map_batches(write_shard, batch_format="pyarrow"))
+        n_written = sum(r["rows"] for r in markers.take_all())
+
+        def agg(batch: pa.Table) -> pa.Table:
+            text = batch.column("text")
+            if isinstance(text, pa.ChunkedArray):
+                text = text.combine_chunks()
+            words = pc.list_value_length(pc.split_pattern(text, " "))
+            g = pa.table({
+                "source": batch.column("source"),
+                "n_chars": pc.cast(batch.column("n_chars"), pa.int64()),
+                "ws_words": pc.cast(words, pa.int64()),
+            }).group_by("source").aggregate(
+                [([], "count_all"), ("n_chars", "sum"),
+                 ("ws_words", "sum")])
+            return pa.table({
+                "source": g.column("source"),
+                "n_docs": g.column("count_all").cast(pa.int64()),
+                "chars_sum": g.column("n_chars_sum").cast(pa.int64()),
+                "words_sum": g.column("ws_words_sum").cast(pa.int64()),
+            })
+
+        back = ray.data.read_parquet(out)
+        res = (back.map_batches(agg, batch_format="pyarrow",
+                                zero_copy_batch=True)
+               .groupby("source")
+               .sum(["n_docs", "chars_sum", "words_sum"]))
+
+        def finalize(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "source": batch.column("source"),
+                "n_docs": batch.column("sum(n_docs)").cast(pa.int64()),
+                "chars_sum": batch.column("sum(chars_sum)").cast(
+                    pa.int64()),
+                "words_sum": batch.column("sum(words_sum)").cast(
+                    pa.int64()),
+            })
+
+        tbl = pa.concat_tables(list(
+            res.map_batches(finalize, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")))
+        assert int(pa.compute.sum(tbl.column("n_docs")).as_py()) \
+            == n_written
+        return ray.data.from_arrow(tbl)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -2067,3 +2067,23 @@ def test_balanced_eval_sample_strata(ray_session):
     # quartiles are 1..4 and all sources present
     assert set(got["quartile"]) <= {1, 2, 3, 4}
     assert set(got["source"]) == set(per_src.index)
+
+
+# ---------------------------------------------------------------- S22 ----
+def test_zstd_parquet_roundtrip_lossless(ray_session):
+    from anomalydetection_ray.pipelines.queries import (
+        s22_zstd_parquet_roundtrip)
+
+    got = (s22_zstd_parquet_roundtrip(SF).to_pandas()
+           .set_index("source").sort_index())
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "n_chars", "text"]).to_pandas()
+    exp = docs.groupby("source").agg(
+        n_docs=("n_chars", "size"), chars_sum=("n_chars", "sum"))
+    exp["words_sum"] = docs.groupby("source")["text"].apply(
+        lambda s: sum(len(t.split(" ")) for t in s))
+    assert set(got.index) == set(exp.index)
+    for s, r in exp.iterrows():
+        for c in ("n_docs", "chars_sum", "words_sum"):
+            assert int(got.loc[s, c]) == int(r[c]), (s, c)
