@@ -715,6 +715,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # S22 zstd parquet round trip (the archival codec leg of
         # the interchange matrix; byte-exact per-source aggregates)
         "s22_zstd_parquet_roundtrip": q.s22_zstd_parquet_roundtrip,
+        # A44 volatility-clustering screen (lag-1 ACF of absolute
+        # daily deltas; the ARCH-effect question, int64-safe)
+        "a44_arch_effect": q.a44_arch_effect,
+        # K15 cluster-balance audit (Gini-Simpson evenness of K1
+        # cluster sizes + max share; K-row state only)
+        "k15_cluster_balance": km.k15_cluster_balance,
         # K7 distributed power iteration: dominant eigenvector of the
         # uncentered Gram matrix, exact-int matvecs + pinned renormalize
         "k7_power_iteration": km.k7_power_iteration,
@@ -1394,7 +1400,8 @@ def _esd_sql(alpha: float = 0.05, max_n: int = 1024, k_steps: int = 12,
 
 
 def _kmeans_sql(k: int = 8, dim: int = 64, assign_only: bool = False,
-                centroid_pairs: bool = False) -> str:
+                centroid_pairs: bool = False,
+                cluster_counts: bool = False) -> str:
     """kmeans_train oracle: the 2-iteration fused Lloyd loop
     (pipelines/kmeans.py) unrolled in SQL.  Exactness rests on three
     pins shared with the engine: (a) the initial centroids are integral
@@ -1457,15 +1464,32 @@ def _kmeans_sql(k: int = 8, dim: int = 64, assign_only: bool = False,
         FROM asg2 a JOIN eq q USING (vec_id)
         CROSS JOIN range(1, {dim + 1}) t(pos)
         GROUP BY a.cid, t.pos)
-    {_kmeans_tail(dim, assign_only, centroid_pairs)}
+    {_kmeans_tail(dim, assign_only, centroid_pairs, cluster_counts)}
     """
 
 
-def _kmeans_tail(dim: int, assign_only: bool, centroid_pairs: bool) -> str:
+def _kmeans_tail(dim: int, assign_only: bool, centroid_pairs: bool,
+                 cluster_counts: bool = False) -> str:
     from anomalydetection_ray.pipelines.kmeans import ESCALE
 
     if assign_only:
         return "SELECT vec_id, CAST(cid AS BIGINT) AS cid, score FROM asg2"
+    if cluster_counts:
+        return """, cc AS (SELECT cid, CAST(min(cnt) AS BIGINT) AS cnt
+               FROM st2 GROUP BY cid),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS k_nonempty,
+                   CAST(sum(cnt) AS BIGINT) AS n,
+                   CAST(sum(cnt * cnt) AS BIGINT) AS ssq,
+                   CAST(max(cnt) AS BIGINT) AS mx
+            FROM cc WHERE cnt > 0)
+    SELECT k_nonempty, n AS n_vectors,
+           CAST(n * n - ssq AS BIGINT) AS bal_num,
+           CAST(n * n AS BIGINT) AS bal_den,
+           CASE WHEN n > 0 THEN CAST(n * n - ssq AS DOUBLE)
+                / CAST(n * n AS DOUBLE) END AS gini_simpson,
+           CASE WHEN n > 0 THEN CAST(mx AS DOUBLE) / CAST(n AS DOUBLE)
+           END AS max_share
+    FROM agg"""
     if centroid_pairs:
         def fold(ea: str, eb: str) -> str:
             return ("list_reduce(list_prepend(0.0, list_transform("
@@ -3781,6 +3805,48 @@ def oracle_sql() -> dict[str, str]:
                     FROM fst WHERE fst.fd <= cp.doc_hi) AS types_cum
             FROM cp
         """,
+        "a44_arch_effect": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+              FROM events),
+            d AS MATERIALIZED (
+              SELECT event_type, day, CAST(sum(v100) AS BIGINT) AS x
+              FROM e GROUP BY event_type, day),
+            t AS (SELECT event_type, day, x,
+                         lead(x, 1) OVER w AS x1,
+                         lead(x, 2) OVER w AS x2
+                  FROM d WINDOW w AS (PARTITION BY event_type
+                                      ORDER BY day)),
+            p AS (SELECT event_type,
+                         CAST(abs(x1 - x) AS BIGINT) AS a,
+                         CAST(abs(x2 - x1) AS BIGINT) AS b
+                  FROM t WHERE x2 IS NOT NULL),
+            agg AS (SELECT event_type,
+                           CAST(count(*) AS BIGINT) AS m,
+                           CAST(sum(a) AS BIGINT) AS sa,
+                           CAST(sum(b) AS BIGINT) AS sb,
+                           CAST(sum(a * a) AS BIGINT) AS saa,
+                           CAST(sum(b * b) AS BIGINT) AS sbb,
+                           CAST(sum(a * b) AS BIGINT) AS sab
+                    FROM p GROUP BY event_type),
+            nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+                   FROM d GROUP BY event_type)
+            SELECT nn.event_type, nn.n_days, agg.m AS n_pairs,
+                   CASE WHEN agg.m >= 2
+                         AND agg.m * agg.saa - agg.sa * agg.sa > 0
+                         AND agg.m * agg.sbb - agg.sb * agg.sb > 0 THEN
+                     CAST(agg.m * agg.sab - agg.sa * agg.sb AS DOUBLE)
+                       / (sqrt(CAST(agg.m * agg.saa - agg.sa * agg.sa
+                                    AS DOUBLE))
+                          * sqrt(CAST(agg.m * agg.sbb - agg.sb * agg.sb
+                                      AS DOUBLE)))
+                   END AS rho_arch
+            FROM nn JOIN agg USING (event_type)
+        """,
+        "k15_cluster_balance": _kmeans_sql(dim=_dim,
+                                           cluster_counts=True),
         "s22_zstd_parquet_roundtrip": """
             SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS chars_sum,

@@ -592,3 +592,34 @@ def k14_quant_saturation(sf_dir: str):
         })
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def k15_cluster_balance(sf_dir: str, k: int = K_DEFAULT,
+                        iters: int = ITERS_DEFAULT):
+    """K15 — cluster-balance audit over the trained K1 state: the
+    Gini-Simpson evenness of cluster sizes (exact rational — the W33
+    identity) plus the max share — one degenerate mega-cluster (share
+    -> 1, D -> 0) means k was wasted, near-uniform shares mean the
+    modes are balanced.  Touches only the K-row count vector; no data
+    pass beyond K1's own training reads."""
+    import ray.data
+
+    cnt, _s, _dim = kmeans_state(sf_dir, k, iters)
+    sizes = [int(c) for c in cnt.tolist() if int(c) > 0]
+    n = sum(sizes)
+    ssq = sum(c * c for c in sizes)
+    num = n * n - ssq
+    den = n * n
+    d = float(num) / float(den) if den > 0 else None
+    mx = max(sizes) if sizes else 0
+    max_share = float(mx) / float(n) if n > 0 else None
+    return ray.data.from_arrow(pa.table({
+        "k_nonempty": pa.array([len(sizes)], type=pa.int64()),
+        "n_vectors": pa.array([n], type=pa.int64()),
+        "bal_num": pa.array([num], type=pa.int64()),
+        "bal_den": pa.array([den], type=pa.int64()),
+        "gini_simpson": pa.array([d], type=pa.float64(),
+                                 from_pandas=True),
+        "max_share": pa.array([max_share], type=pa.float64(),
+                              from_pandas=True),
+    }))

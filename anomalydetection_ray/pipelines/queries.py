@@ -5979,3 +5979,77 @@ def s22_zstd_parquet_roundtrip(sf_dir: str):
         return ray.data.from_arrow(tbl)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+# ---------------------------------------------------------------- A44 ----
+def a44_arch_effect(sf_dir: str):
+    """A44 — volatility-clustering screen (the ARCH-effect family,
+    Engle 1982; absolute-return variant of Taylor 1986): the lag-1
+    autocorrelation of ABSOLUTE daily cent-total differences per event
+    type — "big moves follow big moves", which A9's plain ACF on levels
+    cannot see.  rho > 0 means calm/turbulent regimes alternate slowly;
+    ~0 means shock sizes are memoryless.  (|d| instead of d^2 keeps
+    every Pearson moment inside int64 — no HUGEINT->DOUBLE cast exists
+    to double-round — and is the MORE robust estimator anyway.)
+
+    Exactness: absolute diffs are exact ints; the five Pearson moments
+    are exact int64 sums; rho is the pinned
+    float(num) / (sqrt(float(v1)) * sqrt(float(v2))).
+
+    Scale shape: A35-family bounded daily grid."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()), dtype=np.int64)
+        day = us // 86_400_000_000
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        v100 = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(day, type=pa.int64()),
+                      "v100": pa.array(v100, type=pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate([("v100", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "x": g.column("v100_sum").cast(pa.int64())})
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["event_type", "day"]).sum("x"))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        import math
+
+        et = group.column("event_type")[0].as_py()
+        day = np.asarray(group.column("day"), dtype=np.int64)
+        order = np.argsort(day)
+        x = [int(v) for v in
+             np.asarray(group.column("sum(x)"), dtype=np.int64)[order]]
+        n = len(x)
+        s = [abs(x[i + 1] - x[i]) for i in range(n - 1)]   # python ints
+        a = s[:-1]
+        b = s[1:]
+        m = len(a)
+        if m >= 2:
+            sa, sb = sum(a), sum(b)
+            saa = sum(v * v for v in a)
+            sbb = sum(v * v for v in b)
+            sab = sum(p * q for p, q in zip(a, b))
+            num = m * sab - sa * sb
+            v1 = m * saa - sa * sa
+            v2 = m * sbb - sb * sb
+            rho = (float(num)
+                   / (math.sqrt(float(v1)) * math.sqrt(float(v2)))
+                   if v1 > 0 and v2 > 0 else None)
+        else:
+            num = v1 = v2 = 0
+            rho = None
+        return pa.table({
+            "event_type": pa.array([et], type=pa.string()),
+            "n_days": pa.array([n], type=pa.int64()),
+            "n_pairs": pa.array([m], type=pa.int64()),
+            "rho_arch": pa.array([rho], type=pa.float64(),
+                                 from_pandas=True),
+        })
+
+    return daily.groupby("event_type").map_groups(
+        finalize, batch_format="pyarrow")

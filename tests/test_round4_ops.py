@@ -2087,3 +2087,56 @@ def test_zstd_parquet_roundtrip_lossless(ray_session):
     for s, r in exp.iterrows():
         for c in ("n_docs", "chars_sum", "words_sum"):
             assert int(got.loc[s, c]) == int(r[c]), (s, c)
+
+
+# ---------------------------------------------------------------- A44 ----
+def test_arch_effect_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.queries import a44_arch_effect
+
+    got = (a44_arch_effect(SF).to_pandas()
+           .set_index("event_type").sort_index())
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts", "value"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    ev["v100"] = np.floor(ev["value"] * 100.0 + 0.5).astype(np.int64)
+    for et, g in ev.groupby("event_type"):
+        x = [int(v) for v in g.groupby("day")["v100"].sum().sort_index()]
+        n = len(x)
+        s = [abs(x[i + 1] - x[i]) for i in range(n - 1)]
+        a, b = s[:-1], s[1:]
+        m = len(a)
+        r = got.loc[et]
+        assert int(r["n_days"]) == n
+        assert int(r["n_pairs"]) == m
+        if m >= 2:
+            sa, sb = sum(a), sum(b)
+            saa = sum(v * v for v in a)
+            sbb = sum(v * v for v in b)
+            sab = sum(p * q for p, q in zip(a, b))
+            v1, v2 = m * saa - sa * sa, m * sbb - sb * sb
+            if v1 > 0 and v2 > 0:
+                exp = (float(m * sab - sa * sb)
+                       / (math.sqrt(float(v1)) * math.sqrt(float(v2))))
+                assert r["rho_arch"] == exp
+                assert -1.0 <= r["rho_arch"] <= 1.0
+
+
+# ---------------------------------------------------------------- K15 ----
+def test_cluster_balance_consistent_with_kmeans(ray_session):
+    from anomalydetection_ray.pipelines.kmeans import (k15_cluster_balance,
+                                                       kmeans_train)
+
+    got = k15_cluster_balance(SF).to_pandas().iloc[0]
+    cent = kmeans_train(SF).to_pandas()
+
+    sizes = (cent.groupby("cid")["n_assigned"].max())
+    sizes = [int(v) for v in sizes if int(v) > 0]
+    n = sum(sizes)
+    ssq = sum(c * c for c in sizes)
+    assert int(got["k_nonempty"]) == len(sizes)
+    assert int(got["n_vectors"]) == n
+    assert int(got["bal_num"]) == n * n - ssq
+    assert int(got["bal_den"]) == n * n
+    assert got["gini_simpson"] == float(n * n - ssq) / float(n * n)
+    assert got["max_share"] == float(max(sizes)) / float(n)
