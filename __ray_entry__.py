@@ -721,6 +721,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # K15 cluster-balance audit (Gini-Simpson evenness of K1
         # cluster sizes + max share; K-row state only)
         "k15_cluster_balance": km.k15_cluster_balance,
+        # D15 MinHash calibration audit (estimate buckets vs exact
+        # gram intersection/union integer sums)
+        "d15_minhash_calibration": dd.d15_minhash_calibration,
         # K7 distributed power iteration: dominant eigenvector of the
         # uncentered Gram matrix, exact-int matvecs + pinned renormalize
         "k7_power_iteration": km.k7_power_iteration,
@@ -3804,6 +3807,35 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(count(*) AS BIGINT)
                     FROM fst WHERE fst.fd <= cp.doc_hi) AS types_cum
             FROM cp
+        """,
+        "d15_minhash_calibration": f"""
+            WITH {_minhash_cte(0.2)},
+            grams AS (
+              SELECT doc_id, list_distinct(list_transform(
+                  range(1, greatest(len(ws) - 1, 1)),
+                  i -> ws[CAST(i AS INT)] || ' '
+                       || ws[CAST(i AS INT) + 1] || ' '
+                       || ws[CAST(i AS INT) + 2])) AS gs
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(text), '[0-9a-z_]+')
+                               AS ws
+                    FROM documents)),
+            v AS (SELECT CAST(floor(p.est_jaccard * 64 + 0.5) AS BIGINT)
+                             AS k,
+                         CAST(len(list_filter(ga.gs,
+                              g -> list_contains(gb.gs, g)))
+                              AS BIGINT) AS inter,
+                         CAST(len(ga.gs) + len(gb.gs)
+                              - len(list_filter(ga.gs,
+                                    g -> list_contains(gb.gs, g)))
+                              AS BIGINT) AS un
+                  FROM mh_pairs p
+                  JOIN grams ga ON ga.doc_id = p.doc_a
+                  JOIN grams gb ON gb.doc_id = p.doc_b)
+            SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(inter) AS BIGINT) AS inter_sum,
+                   CAST(sum(un) AS BIGINT) AS union_sum
+            FROM v GROUP BY k
         """,
         "a44_arch_effect": """
             WITH e AS (

@@ -1392,3 +1392,81 @@ def d14_cross_source_exact(sf_dir: str, num_partitions: int = 16):
         })
 
     return cross.map_batches(finalize, batch_format="pyarrow")
+
+
+def d15_minhash_calibration(sf_dir: str, n: int = 3):
+    """D15 — MinHash estimator calibration audit: for every LSH
+    candidate pair, bucket the 64-permutation ESTIMATE (exact integer
+    k = matching permutations) against the EXACT word-3-gram
+    intersection/union counts — the sketch-quality curve that tells an
+    operator whether the banding threshold is biased before they trust
+    it on 10^12 pairs.  Per k-bucket: pair count and exact integer
+    inter/union sums (sums of ratios would be order-dependent floats;
+    sums of the int numerators are exact and let the reader form any
+    calibration ratio they want).
+
+    Scale shape: the near-dup candidate machinery unchanged (banded
+    exchange, co-partitioned text attach, per-unique-doc gram sets);
+    the calibration rollup collapses to <= 65 bucket rows per block
+    before ONE bounded exchange."""
+    cands = minhash_lsh_pairs(sf_dir, min_est=0.2).select_columns(
+        ["doc_a", "doc_b", "est_jaccard"])
+    docs = _docs(sf_dir)
+    with_a = attach_payload(cands, docs, "doc_a", "text", "_text_a")
+    with_ab = attach_payload(with_a, docs, "doc_b", "text", "_text_b")
+
+    def verify(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"k": pa.array([], type=pa.int64()),
+                          "n_pairs": pa.array([], type=pa.int64()),
+                          "inter_sum": pa.array([], type=pa.int64()),
+                          "union_sum": pa.array([], type=pa.int64())})
+        nb = batch.num_rows
+        if nb == 0:
+            return empty
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        uniq, first_pos, inv = np.unique(
+            np.concatenate([a, b]), return_index=True,
+            return_inverse=True)
+        chunks = [c for col in (batch.column("_text_a"),
+                                batch.column("_text_b"))
+                  for c in (col.chunks
+                            if isinstance(col, pa.ChunkedArray)
+                            else [col])]
+        texts_u = pa.concat_arrays(chunks).take(
+            pa.array(first_pos, type=pa.int64()))
+        grams, roffs = gram_sets(texts_u, n)
+        sizes = np.diff(roffs)
+        ia, ib = inv[:nb], inv[nb:]
+        inter = np.empty(nb, dtype=np.int64)
+        for i in range(nb):
+            ga = grams[roffs[ia[i]]:roffs[ia[i] + 1]]
+            gb = grams[roffs[ib[i]]:roffs[ib[i] + 1]]
+            inter[i] = np.intersect1d(ga, gb, assume_unique=True).size
+        union = sizes[ia] + sizes[ib] - inter
+        est = np.asarray(batch.column("est_jaccard"), dtype=np.float64)
+        k = np.floor(est * 64.0 + 0.5).astype(np.int64)
+        t = pa.table({"k": pa.array(k, type=pa.int64()),
+                      "one": pa.array(np.ones(nb, dtype=np.int64)),
+                      "inter": pa.array(inter, type=pa.int64()),
+                      "un": pa.array(union.astype(np.int64))})
+        g = t.group_by(["k"]).aggregate([("one", "sum"),
+                                         ("inter", "sum"), ("un", "sum")])
+        return pa.table({"k": g.column("k"),
+                         "n_pairs": g.column("one_sum").cast(pa.int64()),
+                         "inter_sum": g.column("inter_sum").cast(
+                             pa.int64()),
+                         "union_sum": g.column("un_sum").cast(pa.int64())})
+
+    agg = (with_ab.map_batches(verify, batch_format="pyarrow")
+           .groupby("k").sum(["n_pairs", "inter_sum", "union_sum"]))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": batch.column("k").cast(pa.int64()),
+            "n_pairs": batch.column("sum(n_pairs)").cast(pa.int64()),
+            "inter_sum": batch.column("sum(inter_sum)").cast(pa.int64()),
+            "union_sum": batch.column("sum(union_sum)").cast(pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -2140,3 +2140,44 @@ def test_cluster_balance_consistent_with_kmeans(ray_session):
     assert int(got["bal_den"]) == n * n
     assert got["gini_simpson"] == float(n * n - ssq) / float(n * n)
     assert got["max_share"] == float(max(sizes)) / float(n)
+
+
+# ---------------------------------------------------------------- D15 ----
+def test_minhash_calibration_consistent(ray_session):
+    import re
+
+    from anomalydetection_ray.pipelines.dedup import (
+        d15_minhash_calibration, minhash_lsh_pairs)
+
+    got = (d15_minhash_calibration(SF).to_pandas()
+           .set_index("k").sort_index())
+    pairs = minhash_lsh_pairs(SF, min_est=0.2).to_pandas()
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    txt = dict(zip(docs["doc_id"], docs["text"]))
+    wre = re.compile(r"[0-9a-z_]+")
+
+    def gset(t):
+        ws = wre.findall(t.lower())
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    import collections
+    agg = collections.defaultdict(lambda: [0, 0, 0])
+    for _, p in pairs.iterrows():
+        ga, gb = gset(txt[p["doc_a"]]), gset(txt[p["doc_b"]])
+        inter = len(ga & gb)
+        un = len(ga | gb)
+        k = int(np.floor(p["est_jaccard"] * 64.0 + 0.5))
+        agg[k][0] += 1
+        agg[k][1] += inter
+        agg[k][2] += un
+    assert set(got.index) == set(agg)
+    for k, (n, isum, usum) in agg.items():
+        assert int(got.loc[k, "n_pairs"]) == n
+        assert int(got.loc[k, "inter_sum"]) == isum
+        assert int(got.loc[k, "union_sum"]) == usum
+    # calibration sanity: exact overlap ratio grows with the estimate
+    if len(got) >= 2:
+        ratios = got["inter_sum"] / got["union_sum"]
+        assert ratios.iloc[-1] >= ratios.iloc[0]
