@@ -724,6 +724,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # D15 MinHash calibration audit (estimate buckets vs exact
         # gram intersection/union integer sums)
         "d15_minhash_calibration": dd.d15_minhash_calibration,
+        # G25 DAU / trailing-WAU stickiness per day (G19 windowed
+        # distinct applied globally; one pinned division)
+        "g25_stickiness": q.g25_stickiness,
         # K7 distributed power iteration: dominant eigenvector of the
         # uncentered Gram matrix, exact-int matvecs + pinned renormalize
         "k7_power_iteration": km.k7_power_iteration,
@@ -3807,6 +3810,26 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(count(*) AS BIGINT)
                     FROM fst WHERE fst.fd <= cp.doc_hi) AS types_cum
             FROM cp
+        """,
+        "g25_stickiness": """
+            WITH p AS (SELECT DISTINCT
+                              CAST(epoch_us(ts) // 86400000000
+                                   AS BIGINT) AS day,
+                              user_id
+                       FROM events),
+            days AS (SELECT DISTINCT day FROM p),
+            dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+                    FROM p GROUP BY day),
+            wau AS (SELECT d.day,
+                           CAST(count(DISTINCT p.user_id) AS BIGINT)
+                               AS wau
+                    FROM days d JOIN p
+                      ON p.day BETWEEN d.day - 6 AND d.day
+                    GROUP BY d.day)
+            SELECT dau.day, dau.dau, wau.wau,
+                   CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE)
+                       AS stickiness
+            FROM dau JOIN wau USING (day)
         """,
         "d15_minhash_calibration": f"""
             WITH {_minhash_cte(0.2)},

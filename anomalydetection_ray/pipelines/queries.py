@@ -6053,3 +6053,97 @@ def a44_arch_effect(sf_dir: str):
 
     return daily.groupby("event_type").map_groups(
         finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- G25 ----
+def g25_stickiness(sf_dir: str, window_days: int = 7,
+                   num_partitions: int = 16):
+    """G25 — DAU / trailing-WAU stickiness per day: daily active users
+    over the trailing-7-day active users — THE product-engagement
+    ratio (a user base that shows up most days sticks near 1/1; a
+    weekly-batch crowd sits near 1/7).  G19's windowed-distinct
+    machinery applied globally.
+
+    Scale shape: per-block pre-distinct shrinks the first exchange to
+    unique (day, user) pairs; DAU is a bounded per-day count; WAU fans
+    each pair out to its <= 7 contributing days (bounded-by-time
+    blowup), one exchange on out_day, vectorized run-boundary distinct
+    count.  stickiness is one pinned division."""
+    from anomalydetection_ray.stages.runs import (keep_first_by,
+                                                  partition_apply,
+                                                  run_starts)
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        day = us // 86_400_000_000
+        t = pa.table({"day": pa.array(day, type=pa.int64()),
+                      "user_id": batch.column("user_id")})
+        return t.group_by(["day", "user_id"]).aggregate([])
+
+    pre = ds.map_batches(to_pairs, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    pairs = keep_first_by(pre, keys=["day", "user_id"],
+                          num_partitions=num_partitions).materialize()
+
+    day_rows = (pairs.map_batches(
+        lambda b: pa.table({"day": b.column("day")})
+        .group_by(["day"]).aggregate([]),
+        batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day").count().take_all())
+    observed = np.unique(np.asarray([int(r["day"]) for r in day_rows],
+                                    dtype=np.int64))
+
+    def expand(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"out_day": pa.array([], type=pa.int64()),
+                             "user_id": pa.array([], type=pa.int64()),
+                             "is_dau": pa.array([], type=pa.bool_())})
+        day = np.asarray(batch.column("day"), dtype=np.int64)
+        uid = np.asarray(batch.column("user_id"), dtype=np.int64)
+        off = np.arange(window_days, dtype=np.int64)
+        out = (day[:, None] + off[None, :]).reshape(-1)
+        u = np.repeat(uid, window_days)
+        keep = np.isin(out, observed)
+        out, u = out[keep], u[keep]
+        is_dau = (out - np.repeat(day, window_days)[keep]) == 0
+        return pa.table({"out_day": pa.array(out, type=pa.int64()),
+                         "user_id": pa.array(u, type=pa.int64()),
+                         "is_dau": pa.array(is_dau, type=pa.bool_())})
+
+    fanned = pairs.map_batches(expand, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"day": pa.array([], type=pa.int64()),
+                             "dau": pa.array([], type=pa.int64()),
+                             "wau": pa.array([], type=pa.int64()),
+                             "stickiness": pa.array([],
+                                                    type=pa.float64())})
+        part = part.sort_by([("out_day", "ascending"),
+                             ("user_id", "ascending")])
+        d = np.asarray(part.column("out_day"), dtype=np.int64)
+        u = np.asarray(part.column("user_id"), dtype=np.int64)
+        dau_flag = np.asarray(part.column("is_dau"))
+        starts = run_starts(part, ["out_day"])
+        # distinct users per day run: user changes within the run
+        new_u = np.ones(len(u), dtype=np.int64)
+        new_u[1:] = ((u[1:] != u[:-1]) | (d[1:] != d[:-1])).astype(
+            np.int64)
+        wau = np.add.reduceat(new_u, starts)
+        dau = np.add.reduceat(dau_flag.astype(np.int64), starts)
+        return pa.table({
+            "day": pa.array(d[starts], type=pa.int64()),
+            "dau": pa.array(dau, type=pa.int64()),
+            "wau": pa.array(wau, type=pa.int64()),
+            "stickiness": pa.array(dau.astype(np.float64)
+                                   / wau.astype(np.float64),
+                                   type=pa.float64()),
+        })
+
+    return partition_apply(fanned, ["out_day"], kernel,
+                           num_partitions=num_partitions)

@@ -2181,3 +2181,27 @@ def test_minhash_calibration_consistent(ray_session):
     if len(got) >= 2:
         ratios = got["inter_sum"] / got["union_sum"]
         assert ratios.iloc[-1] >= ratios.iloc[0]
+
+
+# ---------------------------------------------------------------- G25 ----
+def test_stickiness_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.queries import g25_stickiness
+
+    got = (g25_stickiness(SF).to_pandas()
+           .set_index("day").sort_index())
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "user_id"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    pairs = ev[["day", "user_id"]].drop_duplicates()
+    days = sorted(pairs["day"].unique())
+    assert list(got.index) == days
+    for d in days:
+        dau = pairs[pairs["day"] == d]["user_id"].nunique()
+        wau = pairs[(pairs["day"] >= d - 6)
+                    & (pairs["day"] <= d)]["user_id"].nunique()
+        r = got.loc[d]
+        assert int(r["dau"]) == dau
+        assert int(r["wau"]) == wau
+        assert r["stickiness"] == float(dau) / float(wau)
+        assert 0.0 < r["stickiness"] <= 1.0
