@@ -727,6 +727,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # G25 DAU / trailing-WAU stickiness per day (G19 windowed
         # distinct applied globally; one pinned division)
         "g25_stickiness": q.g25_stickiness,
+        # A45 formal turning-point randomness test (Kendall normal
+        # approximation over A25-style strict extrema counts)
+        "a45_turning_point_test": q.a45_turning_point_test,
+        # W35 weekend/weekday contrast per type (exact totals,
+        # pinned daily-mean ratio)
+        "w35_weekend_contrast": q.w35_weekend_contrast,
         # K7 distributed power iteration: dominant eigenvector of the
         # uncentered Gram matrix, exact-int matvecs + pinned renormalize
         "k7_power_iteration": km.k7_power_iteration,
@@ -3810,6 +3816,67 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(count(*) AS BIGINT)
                     FROM fst WHERE fst.fd <= cp.doc_hi) AS types_cum
             FROM cp
+        """,
+        "a45_turning_point_test": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+              FROM events),
+            d AS MATERIALIZED (
+              SELECT event_type, day, CAST(sum(v100) AS BIGINT) AS x
+              FROM e GROUP BY event_type, day),
+            t AS (SELECT event_type, x,
+                         lag(x) OVER w AS xp, lead(x) OVER w AS xn
+                  FROM d WINDOW w AS (PARTITION BY event_type
+                                      ORDER BY day)),
+            agg AS (SELECT event_type,
+                           CAST(count(*) FILTER (WHERE xp IS NOT NULL
+                                AND xn IS NOT NULL
+                                AND ((x > xp AND x > xn)
+                                     OR (x < xp AND x < xn)))
+                                AS BIGINT) AS t_count
+                    FROM t GROUP BY event_type),
+            nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                   FROM d GROUP BY event_type)
+            SELECT nn.event_type, nn.n AS n_days,
+                   agg.t_count AS n_turning,
+                   CASE WHEN nn.n >= 4 THEN
+                     CAST(3 * agg.t_count - 2 * (nn.n - 2) AS DOUBLE)
+                       / 3.0
+                       / sqrt(CAST(16 * nn.n - 29 AS DOUBLE) / 90.0)
+                   END AS z_tp
+            FROM nn JOIN agg USING (event_type)
+        """,
+        "w35_weekend_contrast": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+              FROM events),
+            d AS MATERIALIZED (
+              SELECT event_type, day,
+                     CASE WHEN (day + 3) % 7 >= 5 THEN 1 ELSE 0 END
+                         AS is_we,
+                     CAST(sum(v100) AS BIGINT) AS x
+              FROM e GROUP BY event_type, day),
+            agg AS (SELECT event_type,
+                           CAST(count(*) FILTER (WHERE is_we = 1)
+                                AS BIGINT) AS we_days,
+                           CAST(count(*) FILTER (WHERE is_we = 0)
+                                AS BIGINT) AS wd_days,
+                           CAST(coalesce(sum(x) FILTER (WHERE is_we = 1),
+                                0) AS BIGINT) AS we_cents,
+                           CAST(coalesce(sum(x) FILTER (WHERE is_we = 0),
+                                0) AS BIGINT) AS wd_cents
+                    FROM d GROUP BY event_type)
+            SELECT event_type, we_days, wd_days, we_cents, wd_cents,
+                   CASE WHEN wd_cents > 0 AND we_days > 0 THEN
+                     (CAST(we_cents AS DOUBLE) * CAST(wd_days AS DOUBLE))
+                       / (CAST(wd_cents AS DOUBLE)
+                          * CAST(we_days AS DOUBLE))
+                   END AS contrast
+            FROM agg
         """,
         "g25_stickiness": """
             WITH p AS (SELECT DISTINCT

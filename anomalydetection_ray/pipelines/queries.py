@@ -6147,3 +6147,130 @@ def g25_stickiness(sf_dir: str, window_days: int = 7,
 
     return partition_apply(fanned, ["out_day"], kernel,
                            num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------- A45 ----
+def a45_turning_point_test(sf_dir: str):
+    """A45 — formal turning-point randomness TEST per event type over
+    the daily cent-total series (A25 counts the turning points; this
+    adds the Kendall normal approximation): under iid, E[T] = 2(n-2)/3
+    and Var[T] = (16n - 29)/90, so z = (T - E) / sqrt(Var) flags both
+    too-smooth (trend/momentum, T << E) and too-jagged (alternation,
+    T >> E) series.
+
+    Exactness: T is an exact int (strict local extrema; plateau points
+    are not turning points); z is the pinned
+    float(3*T - 2*(n-2)) / 3.0 / sqrt(float(16*n - 29) / 90.0) — every
+    operand an exact int cast once.
+
+    Scale shape: A35-family bounded daily grid."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()), dtype=np.int64)
+        day = us // 86_400_000_000
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        v100 = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(day, type=pa.int64()),
+                      "v100": pa.array(v100, type=pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate([("v100", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "x": g.column("v100_sum").cast(pa.int64())})
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["event_type", "day"]).sum("x"))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        import math
+
+        et = group.column("event_type")[0].as_py()
+        day = np.asarray(group.column("day"), dtype=np.int64)
+        order = np.argsort(day)
+        x = np.asarray(group.column("sum(x)"), dtype=np.int64)[order]
+        n = int(x.shape[0])
+        if n >= 3:
+            mid, lo, hi = x[1:-1], x[:-2], x[2:]
+            t_count = int((((mid > lo) & (mid > hi))
+                           | ((mid < lo) & (mid < hi))).sum())
+        else:
+            t_count = 0
+        if n >= 4:
+            z = (float(3 * t_count - 2 * (n - 2)) / 3.0
+                 / math.sqrt(float(16 * n - 29) / 90.0))
+        else:
+            z = None
+        return pa.table({
+            "event_type": pa.array([et], type=pa.string()),
+            "n_days": pa.array([n], type=pa.int64()),
+            "n_turning": pa.array([t_count], type=pa.int64()),
+            "z_tp": pa.array([z], type=pa.float64(), from_pandas=True),
+        })
+
+    return daily.groupby("event_type").map_groups(
+        finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- W35 ----
+def w35_weekend_contrast(sf_dir: str):
+    """W35 — weekend/weekday contrast per event type: exact cent totals
+    and day counts for weekend (Sat/Sun) vs weekday days, and the
+    pinned ratio of their daily MEANS — the coarse weekly-seasonality
+    summary next to A35's exact DFT and G9's mode-day.
+
+    Exactness: day-of-week = (epoch_day + 3) % 7 (epoch day 0 was a
+    Thursday); all sums/counts exact ints; the contrast is
+    (float(we_sum) * float(wd_days)) / (float(wd_sum) * float(we_days))
+    — four casts, two multiplies, one division, fixed order.
+
+    Scale shape: map-only collapse to <= types x 2 partial rows per
+    block, ONE bounded exchange."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()), dtype=np.int64)
+        day = us // 86_400_000_000
+        wk = (day + 3) % 7
+        is_we = (wk >= 5).astype(np.int64)
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        v100 = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(day, type=pa.int64()),
+                      "is_we": pa.array(is_we, type=pa.int64()),
+                      "v100": pa.array(v100, type=pa.int64())})
+        g = t.group_by(["event_type", "day", "is_we"]).aggregate(
+            [("v100", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "is_we": g.column("is_we"),
+                         "x": g.column("v100_sum").cast(pa.int64())})
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["event_type", "day", "is_we"]).sum("x"))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        is_we = np.asarray(group.column("is_we"), dtype=np.int64)
+        x = np.asarray(group.column("sum(x)"), dtype=np.int64)
+        we_sum = int(x[is_we == 1].sum())
+        wd_sum = int(x[is_we == 0].sum())
+        we_days = int((is_we == 1).sum())
+        wd_days = int((is_we == 0).sum())
+        contrast = ((float(we_sum) * float(wd_days))
+                    / (float(wd_sum) * float(we_days))
+                    if wd_sum > 0 and we_days > 0 else None)
+        return pa.table({
+            "event_type": pa.array([et], type=pa.string()),
+            "we_days": pa.array([we_days], type=pa.int64()),
+            "wd_days": pa.array([wd_days], type=pa.int64()),
+            "we_cents": pa.array([we_sum], type=pa.int64()),
+            "wd_cents": pa.array([wd_sum], type=pa.int64()),
+            "contrast": pa.array([contrast], type=pa.float64(),
+                                 from_pandas=True),
+        })
+
+    return daily.groupby("event_type").map_groups(
+        finalize, batch_format="pyarrow")

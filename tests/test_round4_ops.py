@@ -2205,3 +2205,57 @@ def test_stickiness_bruteforce(ray_session):
         assert int(r["wau"]) == wau
         assert r["stickiness"] == float(dau) / float(wau)
         assert 0.0 < r["stickiness"] <= 1.0
+
+
+# ---------------------------------------------------------------- A45 ----
+def test_turning_point_test_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.queries import (
+        a45_turning_point_test)
+
+    got = (a45_turning_point_test(SF).to_pandas()
+           .set_index("event_type").sort_index())
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts", "value"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    ev["v100"] = np.floor(ev["value"] * 100.0 + 0.5).astype(np.int64)
+    for et, g in ev.groupby("event_type"):
+        x = g.groupby("day")["v100"].sum().sort_index().to_numpy()
+        n = len(x)
+        t = sum(1 for i in range(1, n - 1)
+                if (x[i] > x[i - 1] and x[i] > x[i + 1])
+                or (x[i] < x[i - 1] and x[i] < x[i + 1]))
+        r = got.loc[et]
+        assert int(r["n_days"]) == n
+        assert int(r["n_turning"]) == t
+        if n >= 4:
+            exp = (float(3 * t - 2 * (n - 2)) / 3.0
+                   / math.sqrt(float(16 * n - 29) / 90.0))
+            assert r["z_tp"] == exp
+
+
+# ---------------------------------------------------------------- W35 ----
+def test_weekend_contrast_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.queries import w35_weekend_contrast
+
+    got = (w35_weekend_contrast(SF).to_pandas()
+           .set_index("event_type").sort_index())
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts", "value"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    ev["v100"] = np.floor(ev["value"] * 100.0 + 0.5).astype(np.int64)
+    for et, g in ev.groupby("event_type"):
+        daily = g.groupby("day")["v100"].sum()
+        is_we = (daily.index + 3) % 7 >= 5
+        we_sum = int(daily[is_we].sum())
+        wd_sum = int(daily[~is_we].sum())
+        we_days, wd_days = int(is_we.sum()), int((~is_we).sum())
+        r = got.loc[et]
+        assert int(r["we_days"]) == we_days
+        assert int(r["wd_days"]) == wd_days
+        assert int(r["we_cents"]) == we_sum
+        assert int(r["wd_cents"]) == wd_sum
+        if wd_sum > 0 and we_days > 0:
+            assert r["contrast"] == ((float(we_sum) * float(wd_days))
+                                     / (float(wd_sum) * float(we_days)))
