@@ -139,6 +139,14 @@ def _a23_tukey(sf_dir: str):
 ACF_LAGS = (1, 2, 3, 4, 6, 8, 12, 24)
 
 
+def _a46_ljung_box(sf_dir: str):
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import ljung_box_batch
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        ljung_box_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _a26_acf_table(sf_dir: str):
     from anomalydetection_ray.pipelines.rollup import validated
     from anomalydetection_ray.stages.detectors import acf_table_batch
@@ -189,6 +197,47 @@ def _gram_hash_expr(n: int) -> str:
                f" % 18446744073709551616")
     return acc
 
+
+
+def _ljung_box_sql(lags=(1, 2, 3)) -> str:
+    blocks = ",".join(_acf_lag_block(L) for L in lags)
+    rho = {L: f"""CASE WHEN m{L}.n > {L}
+                   AND m{L}.n * m{L}.q - m{L}.s * m{L}.s <> 0
+              THEN CAST(m{L}.n * m{L}.n * l{L}.sxy
+                        - m{L}.n * m{L}.s * (l{L}.sh + l{L}.st)
+                        + (m{L}.n - {L}) * m{L}.s * m{L}.s AS DOUBLE)
+                   / CAST(m{L}.n * m{L}.n * m{L}.q
+                          - m{L}.n * m{L}.s * m{L}.s AS DOUBLE)
+              ELSE NULL END""" for L in lags}
+    joins = " ".join(
+        f"LEFT JOIN mom{L} m{L} ON m{L}.doc_id = m1.doc_id "
+        f"AND m{L}.part_id = m1.part_id "
+        f"LEFT JOIN lagp{L} l{L} ON l{L}.doc_id = m1.doc_id "
+        f"AND l{L}.part_id = m1.part_id"
+        for L in lags if L != 1)
+    fold = "0.0"
+    for L in lags:
+        fold = (f"({fold} + (r{L}) * (r{L}) "
+                f"/ CAST(n - {L} AS DOUBLE))")
+    sel_rho = ", ".join(f"({rho[L]}) AS r{L}" for L in lags)
+    return f"""
+            WITH {_SEQ_TOK_CTE},
+            acfbase AS MATERIALIZED (
+              SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                     pos % 1000000 AS i, CAST(v AS BIGINT) AS v FROM tok),
+            {blocks},
+            rr AS (
+              SELECT m1.doc_id, m1.part_id, m1.n, {sel_rho}
+              FROM mom1 m1
+              LEFT JOIN lagp1 l1 ON l1.doc_id = m1.doc_id
+                   AND l1.part_id = m1.part_id
+              {joins})
+            SELECT doc_id, part_id, CAST(n AS BIGINT) AS n,
+                   CASE WHEN {" AND ".join(f"r{L} IS NOT NULL" for L in lags)}
+                        THEN CAST(n * (n + 2) AS DOUBLE) * {fold}
+                   END AS lb3
+            FROM rr
+    """
 
 
 def _acf_table_sql() -> str:
@@ -730,6 +779,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A45 formal turning-point randomness test (Kendall normal
         # approximation over A25-style strict extrema counts)
         "a45_turning_point_test": q.a45_turning_point_test,
+        # A46 Ljung-Box portmanteau whiteness test (scalar summary
+        # of the A26 correlogram; pinned 3-lag fold)
+        "a46_ljung_box": _a46_ljung_box,
         # W35 weekend/weekday contrast per type (exact totals,
         # pinned daily-mean ratio)
         "w35_weekend_contrast": q.w35_weekend_contrast,
@@ -3817,6 +3869,7 @@ def oracle_sql() -> dict[str, str]:
                     FROM fst WHERE fst.fd <= cp.doc_hi) AS types_cum
             FROM cp
         """,
+        "a46_ljung_box": _ljung_box_sql(),
         "a45_turning_point_test": """
             WITH e AS (
               SELECT event_type,

@@ -1000,3 +1000,42 @@ def amoc_split_batch(batch: pa.Table) -> pa.Table:
         "mean_l": pa.array(mean_l, type=pa.float64(), from_pandas=True),
         "mean_r": pa.array(mean_r, type=pa.float64(), from_pandas=True),
     })
+
+
+def ljung_box_batch(batch: pa.Table, lags: tuple = (1, 2, 3)) -> pa.Table:
+    """A46 — Ljung-Box portmanteau whiteness test (Ljung & Box 1978)
+    over the first ``lags`` autocorrelations of each series:
+    LB = n(n+2) * SUM_k r_k^2 / (n-k) — the one-number "is there ANY
+    serial structure?" gate run before trusting iid-based thresholds
+    (A26 shows the correlogram; this is its scalar summary, chi^2_k
+    under whiteness).
+
+    Exactness: each r_k is A9's exact-bigint ratio (one pinned
+    division); the LB accumulation is a FIXED-ORDER fold
+    acc += r_k*r_k / float(n-k), then one multiply by float(n*(n+2)) —
+    the same expression sequence the SQL oracle evaluates.  Series too
+    short for the deepest lag (or zero variance) emit NULL."""
+    tabs = [autocorr_batch(batch, lag=int(k)) for k in lags]
+    n = np.asarray(tabs[0].column("n"), dtype=np.int64)
+    nrows = n.shape[0]
+    rks = [t.column("acf").to_pandas().to_numpy(dtype=np.float64,
+                                                na_value=np.nan)
+           for t in tabs]
+    lb = np.zeros(nrows, dtype=np.float64)
+    mask = np.zeros(nrows, dtype=bool)
+    for r in range(nrows):
+        ni = int(n[r])
+        if any(np.isnan(rk[r]) for rk in rks):
+            mask[r] = True
+            continue
+        acc = 0.0
+        for j, k in enumerate(lags):        # fixed lag order — pinned
+            acc = acc + (float(rks[j][r]) * float(rks[j][r])
+                         / float(ni - int(k)))
+        lb[r] = float(ni * (ni + 2)) * acc
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "n": pa.array(n, type=pa.int64()),
+        "lb3": pa.array(lb, type=pa.float64(), mask=mask),
+    })

@@ -2259,3 +2259,36 @@ def test_weekend_contrast_bruteforce(ray_session):
         if wd_sum > 0 and we_days > 0:
             assert r["contrast"] == ((float(we_sum) * float(wd_days))
                                      / (float(wd_sum) * float(we_days)))
+
+
+# ---------------------------------------------------------------- A46 ----
+def test_ljung_box_consistent_with_acf(ray_session):
+    import ray.data
+
+    from anomalydetection_ray.sources.tokenize import tokenize_batch
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import (autocorr_batch,
+                                                       ljung_box_batch)
+
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet",
+                                 columns=["doc_id", "source", "text"])
+    seqs = validated(docs.map_batches(tokenize_batch,
+                                      batch_format="pyarrow",
+                                      zero_copy_batch=True))
+    batch = pa.concat_tables(list(
+        seqs.iter_batches(batch_format="pyarrow")))
+    got = ljung_box_batch(batch).to_pandas().set_index(
+        ["doc_id", "part_id"])
+    acfs = {k: autocorr_batch(batch, lag=k).to_pandas().set_index(
+        ["doc_id", "part_id"]) for k in (1, 2, 3)}
+    for idx, r in got.iterrows():
+        n = int(r["n"])
+        rks = [acfs[k].loc[idx, "acf"] for k in (1, 2, 3)]
+        if any(np.isnan(v) for v in rks):
+            assert np.isnan(r["lb3"])
+            continue
+        acc = 0.0
+        for j, k in enumerate((1, 2, 3)):
+            acc = acc + float(rks[j]) * float(rks[j]) / float(n - k)
+        assert r["lb3"] == float(n * (n + 2)) * acc
+        assert r["lb3"] >= 0.0
