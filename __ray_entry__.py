@@ -782,6 +782,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A46 Ljung-Box portmanteau whiteness test (scalar summary
         # of the A26 correlogram; pinned 3-lag fold)
         "a46_ljung_box": _a46_ljung_box,
+        # P7 curriculum ordering (easy-first global rank over the
+        # quantized quality score; third distributed-rank sibling)
+        "p7_curriculum_order": pk.p7_curriculum_order,
+        # G26 Kruskal-Wallis k-group rank test over daily totals
+        # (the Mann-Whitney A38 generalized; pinned folds)
+        "g26_kruskal_wallis": q.g26_kruskal_wallis,
         # W35 weekend/weekday contrast per type (exact totals,
         # pinned daily-mean ratio)
         "w35_weekend_contrast": q.w35_weekend_contrast,
@@ -3870,6 +3876,75 @@ def oracle_sql() -> dict[str, str]:
             FROM cp
         """,
         "a46_ljung_box": _ljung_box_sql(),
+        "p7_curriculum_order": f"""
+            WITH ql AS (SELECT doc_id, quality_score
+                        FROM ({_quality_sql})),
+            s AS (SELECT doc_id,
+                         CAST(floor(quality_score * 1048576 + 0.5)
+                              AS BIGINT) AS score_q
+                  FROM ql),
+            r AS (SELECT doc_id, score_q,
+                         CAST(row_number() OVER (ORDER BY score_q DESC,
+                              doc_id) - 1 AS BIGINT) AS cur_rank,
+                         CAST(count(*) OVER () AS BIGINT) AS total
+                  FROM s)
+            SELECT doc_id, score_q, cur_rank,
+                   CAST(CASE WHEN cur_rank < (total % 3)
+                                  * (total // 3 + 1)
+                        THEN cur_rank // (total // 3 + 1)
+                        ELSE (total % 3)
+                             + (cur_rank - (total % 3)
+                                * (total // 3 + 1)) // (total // 3)
+                        END + 1 AS BIGINT) AS stage
+            FROM r
+        """,
+        "g26_kruskal_wallis": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+              FROM events),
+            d AS MATERIALIZED (
+              SELECT event_type, day, CAST(sum(v100) AS BIGINT) AS x
+              FROM e GROUP BY event_type, day),
+            r AS MATERIALIZED (
+              SELECT event_type,
+                     CAST(2 * rank() OVER (ORDER BY x)
+                          + count(*) OVER (PARTITION BY x) - 1
+                          AS BIGINT) AS two_r
+              FROM d),
+            g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(two_r) AS BIGINT) AS w2
+                  FROM r GROUP BY event_type),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM d),
+            tc AS (SELECT CAST(coalesce(sum(c * c * c - c), 0)
+                               AS BIGINT) AS t
+                   FROM (SELECT CAST(count(*) AS BIGINT) AS c
+                         FROM d GROUP BY x)),
+            f AS (SELECT list(CAST(w2 AS DOUBLE) * CAST(w2 AS DOUBLE)
+                              / CAST(4 * n AS DOUBLE)
+                              ORDER BY event_type) AS terms,
+                         CAST(count(*) AS BIGINT) AS n_groups
+                  FROM g)
+            SELECT tot.nn AS n_total, f.n_groups, tc.t AS ties,
+                   12.0 * list_reduce(list_prepend(0.0, f.terms),
+                                      (a, b) -> a + b)
+                     / CAST(tot.nn * (tot.nn + 1) AS DOUBLE)
+                     - 3.0 * CAST(tot.nn + 1 AS DOUBLE) AS h,
+                   CASE WHEN tot.nn > 1
+                         AND 1.0 - CAST(tc.t AS DOUBLE)
+                             / CAST(tot.nn * tot.nn * tot.nn - tot.nn
+                                    AS DOUBLE) > 0 THEN
+                     (12.0 * list_reduce(list_prepend(0.0, f.terms),
+                                         (a, b) -> a + b)
+                        / CAST(tot.nn * (tot.nn + 1) AS DOUBLE)
+                        - 3.0 * CAST(tot.nn + 1 AS DOUBLE))
+                     / (1.0 - CAST(tc.t AS DOUBLE)
+                        / CAST(tot.nn * tot.nn * tot.nn - tot.nn
+                               AS DOUBLE))
+                   END AS h_corr
+            FROM tot, tc, f
+        """,
         "a45_turning_point_test": """
             WITH e AS (
               SELECT event_type,

@@ -981,3 +981,102 @@ def q17_balanced_eval_sample(sf_dir: str, k_per_stratum: int = 5,
 
     return partition_apply(hashed, ["source"], kernel,
                            num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------- P7 ----
+def p7_curriculum_order(sf_dir: str, n_stages: int = 3,
+                        num_partitions: int = 16):
+    """P7 — curriculum ordering (Bengio et al. 2009): every document
+    gets its global rank under (quality_score desc, doc_id asc) — the
+    easy-/clean-first training order — plus a curriculum stage
+    (``n_stages`` contiguous rank bands).  The third distributed-rank
+    sibling of P3's offset scan and Q6's shuffle rank, this time keyed
+    on a FLOAT score: the score is quantized to exact int micro-units
+    (the pinned float is itself reproducible, so its quantization is
+    too), the bounded (score_q -> count) histogram gives driver base
+    offsets, and a per-bucket doc_id rank completes the global rank
+    with ONE ``_pkey`` exchange.
+
+    Exactness: score_q = floor(score * 2^20 + 0.5) over the pinned
+    quality score; ranks and stages are exact ints (stage = the W19
+    ntile sizing over the total count)."""
+    import ray.data
+
+    from anomalydetection_ray.pipelines.text import quality_batch
+    from anomalydetection_ray.stages.runs import (PKEY, add_partition_key,
+                                                  run_starts)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch)
+        s = np.asarray(q.column("quality_score"), dtype=np.float64)
+        sq = np.floor(s * 1_048_576.0 + 0.5).astype(np.int64)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "score_q": pa.array(sq, type=pa.int64())})
+
+    scored = ds.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+
+    def hist(batch: pa.Table) -> pa.Table:
+        t = pa.table({"score_q": batch.column("score_q"),
+                      "one": pa.array(np.ones(batch.num_rows,
+                                              dtype=np.int64))})
+        g = t.group_by(["score_q"]).aggregate([("one", "sum")])
+        return pa.table({"score_q": g.column("score_q"),
+                         "docs": g.column("one_sum").cast(pa.int64())})
+
+    h = (scored.map_batches(hist, batch_format="pyarrow",
+                            zero_copy_batch=True)
+         .groupby("score_q").sum("docs").take_all())
+    # descending score order: base[s] = docs with score_q > s
+    buckets = sorted(((int(r["score_q"]), int(r["sum(docs)"]))
+                      for r in h), reverse=True)
+    base: dict[int, int] = {}
+    acc = 0
+    for sq, cnt in buckets:
+        base[sq] = acc
+        acc += cnt
+    total = acc
+
+    def stage_of(rank: np.ndarray) -> np.ndarray:
+        # W19 ntile sizing over the total: first total%k stages get
+        # total//k + 1 ranks
+        size = total // n_stages
+        rem = total % n_stages
+        cut = rem * (size + 1)
+        big = rank < cut
+        return np.where(big, rank // max(size + 1, 1),
+                        rem + (rank - cut) // max(size, 1)) + 1
+
+    tagged = scored.map_batches(
+        functools.partial(add_partition_key, keys=["score_q"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def rank_kernel(group: pa.Table) -> pa.Table:
+        group = group.drop_columns([PKEY]).sort_by(
+            [("score_q", "descending"), ("doc_id", "ascending")])
+        n = group.num_rows
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "score_q": pa.array([], type=pa.int64()),
+                             "cur_rank": pa.array([], type=pa.int64()),
+                             "stage": pa.array([], type=pa.int64())})
+        sq = np.asarray(group.column("score_q"), dtype=np.int64)
+        starts = run_starts(group, ["score_q"])
+        lens = np.diff(np.append(starts, n))
+        local = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+        base_arr = np.asarray([base[int(v)] for v in sq[starts].tolist()],
+                              dtype=np.int64)
+        rank = np.repeat(base_arr, lens) + local
+        return pa.table({
+            "doc_id": group.column("doc_id"),
+            "score_q": pa.array(sq, type=pa.int64()),
+            "cur_rank": pa.array(rank, type=pa.int64()),
+            "stage": pa.array(stage_of(rank), type=pa.int64()),
+        })
+
+    return tagged.groupby(PKEY).map_groups(rank_kernel,
+                                           batch_format="pyarrow")

@@ -6274,3 +6274,77 @@ def w35_weekend_contrast(sf_dir: str):
 
     return daily.groupby("event_type").map_groups(
         finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- G26 ----
+def g26_kruskal_wallis(sf_dir: str):
+    """G26 — Kruskal–Wallis rank one-way test (Kruskal & Wallis 1952)
+    across event types over the daily cent totals: "do the types' daily
+    distributions differ at all?" — the k-group generalization of A38's
+    two-sample Mann–Whitney, distribution-free like everything in the
+    rank family.
+
+    Exactness: GLOBAL doubled mid-ranks (A37 identity) make every
+    group rank-sum W2_j an exact int; H folds the per-group terms
+    float(W2_j)·float(W2_j)/float(4·n_j) in event-type alphabetical
+    order (the G15 discipline), then 12/N(N+1) and the −3(N+1) shift
+    as pinned ops; the tie-correction divisor is one more pinned
+    ratio.
+
+    Scale shape: the (types x span-days) grid is bounded by TIME — the
+    one justified tiny materialize (a29/g24 contract); everything
+    before it is partial-aggregate exchanges."""
+    import math
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()), dtype=np.int64)
+        day = us // 86_400_000_000
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        v100 = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(day, type=pa.int64()),
+                      "v100": pa.array(v100, type=pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate([("v100", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "x": g.column("v100_sum").cast(pa.int64())})
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["event_type", "day"]).sum("x").take_all())
+
+    et = np.asarray([r["event_type"] for r in rows], dtype=object)
+    x = np.asarray([int(r["sum(x)"]) for r in rows], dtype=np.int64)
+    big_n = int(x.shape[0])
+    uniq, first, counts = np.unique(np.sort(x, kind="stable"),
+                                    return_index=True, return_counts=True)
+    pos = np.searchsorted(uniq, x)
+    two_r = 2 * (first[pos] + 1) + counts[pos] - 1
+    groups = sorted(set(et.tolist()))
+    acc = 0.0
+    w2s, ns = {}, {}
+    for g in groups:
+        sel = et == g
+        ns[g] = int(sel.sum())
+        w2s[g] = int(two_r[sel].sum())
+    for g in groups:                       # alphabetical pinned fold
+        acc = acc + (float(w2s[g]) * float(w2s[g])) / float(4 * ns[g])
+    h = (12.0 * acc / float(big_n * (big_n + 1))
+         - 3.0 * float(big_n + 1))
+    ties = sum(int(c) ** 3 - int(c) for c in counts.tolist())
+    d = (1.0 - float(ties) / float(big_n ** 3 - big_n)
+         if big_n > 1 else 0.0)
+    h_corr = h / d if d > 0 else None
+
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({
+        "n_total": pa.array([big_n], type=pa.int64()),
+        "n_groups": pa.array([len(groups)], type=pa.int64()),
+        "ties": pa.array([ties], type=pa.int64()),
+        "h": pa.array([h], type=pa.float64()),
+        "h_corr": pa.array([h_corr], type=pa.float64(),
+                           from_pandas=True),
+    }))

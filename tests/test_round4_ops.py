@@ -2292,3 +2292,63 @@ def test_ljung_box_consistent_with_acf(ray_session):
             acc = acc + float(rks[j]) * float(rks[j]) / float(n - k)
         assert r["lb3"] == float(n * (n + 2)) * acc
         assert r["lb3"] >= 0.0
+
+
+# ---------------------------------------------------------------- P7 ----
+def test_curriculum_order_global_rank(ray_session):
+    from anomalydetection_ray.pipelines.packing import p7_curriculum_order
+    from anomalydetection_ray.pipelines.text import quality_batch
+
+    got = (p7_curriculum_order(SF).to_pandas()
+           .sort_values("cur_rank").reset_index(drop=True))
+
+    docs = pq.read_table(f"{SF}/documents.parquet")
+    q = quality_batch(docs).to_pandas()
+    q["score_q"] = np.floor(q["quality_score"] * 1_048_576.0
+                            + 0.5).astype(np.int64)
+    q["doc_id"] = docs.column("doc_id").to_pandas()
+    exp = q.sort_values(["score_q", "doc_id"],
+                        ascending=[False, True]).reset_index(drop=True)
+    n = len(exp)
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    assert list(got["score_q"]) == list(exp["score_q"])
+    assert list(got["cur_rank"]) == list(range(n))
+    # stages are contiguous rank bands with ntile sizing
+    size, rem = n // 3, n % 3
+    sizes = [size + 1 if s < rem else size for s in range(3)]
+    expect_stage = np.repeat([1, 2, 3], sizes)
+    assert (got["stage"].to_numpy() == expect_stage).all()
+
+
+# ---------------------------------------------------------------- G26 ----
+def test_kruskal_wallis_bruteforce(ray_session):
+    import pandas as pd
+
+    from anomalydetection_ray.pipelines.queries import g26_kruskal_wallis
+
+    got = g26_kruskal_wallis(SF).to_pandas().iloc[0]
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts", "value"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    ev["v100"] = np.floor(ev["value"] * 100.0 + 0.5).astype(np.int64)
+    daily = (ev.groupby(["event_type", "day"])["v100"].sum()
+             .reset_index())
+    two_r = (2.0 * daily["v100"].rank(method="average")).astype(np.int64)
+    daily["two_r"] = two_r
+    n = len(daily)
+    acc = 0.0
+    for et in sorted(daily["event_type"].unique()):
+        g = daily[daily["event_type"] == et]
+        w2 = int(g["two_r"].sum())
+        acc = acc + (float(w2) * float(w2)) / float(4 * len(g))
+    h = 12.0 * acc / float(n * (n + 1)) - 3.0 * float(n + 1)
+    _, counts = np.unique(daily["v100"], return_counts=True)
+    ties = int(sum(int(c) ** 3 - int(c) for c in counts))
+    assert int(got["n_total"]) == n
+    assert int(got["ties"]) == ties
+    assert got["h"] == h
+    d = 1.0 - float(ties) / float(n ** 3 - n)
+    if d > 0:
+        assert got["h_corr"] == h / d
+        assert got["h_corr"] >= 0.0 or abs(got["h_corr"]) < 1e-9
