@@ -788,6 +788,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # G26 Kruskal-Wallis k-group rank test over daily totals
         # (the Mann-Whitney A38 generalized; pinned folds)
         "g26_kruskal_wallis": q.g26_kruskal_wallis,
+        # J16 join-fanout audit (per-order lineitem count histogram
+        # + fanout-0 bucket from footer totals)
+        "j16_fanout_histogram": q.j16_fanout_histogram,
+        # M9 date scalar functions (year/quarter extraction +
+        # bounded per-(year, quarter) rollup)
+        "m9_date_fns": q.m9_date_fns,
         # W35 weekend/weekday contrast per type (exact totals,
         # pinned daily-mean ratio)
         "w35_weekend_contrast": q.w35_weekend_contrast,
@@ -3876,6 +3882,29 @@ def oracle_sql() -> dict[str, str]:
             FROM cp
         """,
         "a46_ljung_box": _ljung_box_sql(),
+        "j16_fanout_histogram": """
+            WITH c AS (SELECT l_orderkey,
+                              CAST(count(*) AS BIGINT) AS fanout
+                       FROM lineitem GROUP BY l_orderkey),
+            h AS (SELECT fanout, CAST(count(*) AS BIGINT) AS n_orders
+                  FROM c GROUP BY fanout),
+            z AS (SELECT CAST(0 AS BIGINT) AS fanout,
+                         CAST((SELECT count(*) FROM orders)
+                              - (SELECT count(*) FROM c) AS BIGINT)
+                             AS n_orders)
+            SELECT fanout, n_orders FROM h
+            UNION ALL
+            SELECT fanout, n_orders FROM z WHERE n_orders > 0
+        """,
+        "m9_date_fns": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+                   CAST((month(o_orderdate) - 1) // 3 + 1 AS BIGINT)
+                       AS quarter,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS cents_sum
+            FROM orders GROUP BY year, quarter
+        """,
         "p7_curriculum_order": f"""
             WITH ql AS (SELECT doc_id, quality_score
                         FROM ({_quality_sql})),

@@ -6348,3 +6348,128 @@ def g26_kruskal_wallis(sf_dir: str):
         "h_corr": pa.array([h_corr], type=pa.float64(),
                            from_pandas=True),
     }))
+
+
+# ---------------------------------------------------------------- J16 ----
+def j16_fanout_histogram(sf_dir: str, num_partitions: int = 16):
+    """J16 — join-fanout audit: the histogram of per-order lineitem
+    counts — the "will this join explode?" profile every query planner
+    wants before a large-large equi-join (J3's input, audited; a fat
+    fanout tail multiplies shuffle volume super-linearly).
+
+    Scale shape: per-block (orderkey, count) partials collapse before
+    ONE key-partitioned exchange; the per-key merge is the vectorized
+    run kernel; the histogram rollup is a second BOUNDED exchange
+    (fanout values, not orders).  Orders with no lineitems appear in
+    the fanout-0 bucket via a broadcast total from footer metadata."""
+    import pyarrow.parquet as pq
+
+    from anomalydetection_ray.stages.runs import agg_by
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"k": batch.column("l_orderkey"),
+                      "one": pa.array(np.ones(batch.num_rows,
+                                              dtype=np.int64))})
+        g = t.group_by(["k"]).aggregate([("one", "sum")])
+        return pa.table({"k": g.column("k"),
+                         "c": g.column("one_sum").cast(pa.int64())})
+
+    per_order = agg_by(
+        li.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["k"], [("c", "sum", "c")])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        t = pa.table({"fanout": batch.column("c"),
+                      "one": pa.array(np.ones(batch.num_rows,
+                                              dtype=np.int64))})
+        g = t.group_by(["fanout"]).aggregate([("one", "sum")])
+        return pa.table({"fanout": g.column("fanout"),
+                         "n_orders": g.column("one_sum").cast(pa.int64())})
+
+    agg = (per_order.map_batches(hist, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+           .groupby("fanout").sum("n_orders"))
+
+    n_orders_total = int(pq.ParquetFile(
+        f"{sf_dir}/orders.parquet").metadata.num_rows)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        f = np.asarray(batch.column("fanout"), dtype=np.int64)
+        n = np.asarray(batch.column("sum(n_orders)"), dtype=np.int64)
+        return pa.table({
+            "fanout": pa.array(f, type=pa.int64()),
+            "n_orders": pa.array(n, type=pa.int64()),
+        })
+
+    out = agg.map_batches(finalize, batch_format="pyarrow")
+
+    # fanout-0 bucket: orders with no lineitems (footer-count total
+    # minus matched orders — one bounded aggregate, no join)
+    matched = per_order.count()
+    zero = n_orders_total - int(matched)
+    if zero > 0:
+        import ray.data
+
+        z = ray.data.from_arrow(pa.table({
+            "fanout": pa.array([0], type=pa.int64()),
+            "n_orders": pa.array([zero], type=pa.int64())}))
+        out = out.union(z)
+    return out
+
+
+# ---------------------------------------------------------------- M9 ----
+def m9_date_fns(sf_dir: str):
+    """M9 — date scalar functions over orders (the temporal half of
+    M4's string-function surface): year / quarter extraction from
+    o_orderdate and per-(year, quarter) order counts + exact cent
+    totals — the partition-key derivation every date-partitioned
+    lakehouse write runs first.
+
+    Scale shape: map-only collapse to bounded (year, quarter) partials
+    per block, ONE bounded exchange.  Exactness: date parts are
+    integer arithmetic on epoch days (proleptic Gregorian, the same
+    civil calendar DuckDB's year()/quarter() use via arrow's
+    cast-to-date32); totals are exact cents."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate")
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        yr = pc.cast(pc.year(d), pa.int64())
+        mo = np.asarray(pc.cast(pc.month(d), pa.int64()),
+                        dtype=np.int64)
+        qt = (mo - 1) // 3 + 1
+        v = np.asarray(batch.column("o_totalprice"), dtype=np.float64)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"year": yr,
+                      "quarter": pa.array(qt, type=pa.int64()),
+                      "cents": pa.array(cents, type=pa.int64()),
+                      "one": pa.array(np.ones(len(qt),
+                                              dtype=np.int64))})
+        g = t.group_by(["year", "quarter"]).aggregate(
+            [("cents", "sum"), ("one", "sum")])
+        return pa.table({"year": g.column("year"),
+                         "quarter": g.column("quarter"),
+                         "cents_sum": g.column("cents_sum").cast(
+                             pa.int64()),
+                         "n_orders": g.column("one_sum").cast(pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["year", "quarter"]).sum(["cents_sum", "n_orders"]))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "year": batch.column("year").cast(pa.int64()),
+            "quarter": batch.column("quarter").cast(pa.int64()),
+            "n_orders": batch.column("sum(n_orders)").cast(pa.int64()),
+            "cents_sum": batch.column("sum(cents_sum)").cast(pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -2352,3 +2352,49 @@ def test_kruskal_wallis_bruteforce(ray_session):
     if d > 0:
         assert got["h_corr"] == h / d
         assert got["h_corr"] >= 0.0 or abs(got["h_corr"]) < 1e-9
+
+
+# ---------------------------------------------------------------- J16 ----
+def test_fanout_histogram_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.queries import j16_fanout_histogram
+
+    got = (j16_fanout_histogram(SF).to_pandas()
+           .set_index("fanout").sort_index())
+
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey"]).to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_orderkey"]).to_pandas()
+    per = li.groupby("l_orderkey").size()
+    exp = per.value_counts().sort_index()
+    zero = len(orders) - len(per)
+    for f, n in exp.items():
+        assert int(got.loc[f, "n_orders"]) == int(n)
+    if zero > 0:
+        assert int(got.loc[0, "n_orders"]) == zero
+    # every order accounted for exactly once
+    assert int(got["n_orders"].sum()) == len(orders)
+
+
+# ---------------------------------------------------------------- M9 ----
+def test_date_fns_bruteforce(ray_session):
+    import pandas as pd
+
+    from anomalydetection_ray.pipelines.queries import m9_date_fns
+
+    got = (m9_date_fns(SF).to_pandas()
+           .set_index(["year", "quarter"]).sort_index())
+
+    o = pq.read_table(f"{SF}/orders.parquet",
+                      columns=["o_orderdate", "o_totalprice"]).to_pandas()
+    d = pd.to_datetime(o["o_orderdate"])
+    o["year"] = d.dt.year
+    o["quarter"] = (d.dt.month - 1) // 3 + 1
+    o["cents"] = np.floor(o["o_totalprice"] * 100.0 + 0.5).astype(np.int64)
+    exp = o.groupby(["year", "quarter"]).agg(
+        n_orders=("cents", "size"), cents_sum=("cents", "sum"))
+    assert len(got) == len(exp)
+    for (y, q), r in exp.iterrows():
+        g = got.loc[(y, q)]
+        assert int(g["n_orders"]) == int(r["n_orders"])
+        assert int(g["cents_sum"]) == int(r["cents_sum"])
