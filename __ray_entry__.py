@@ -794,6 +794,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # M9 date scalar functions (year/quarter extraction +
         # bounded per-(year, quarter) rollup)
         "m9_date_fns": q.m9_date_fns,
+        # W36 weekly retention triangle (cohort week x offset user
+        # counts; the full matrix T8 summarizes)
+        "w36_retention_triangle": wnd.w36_retention_triangle,
         # W35 weekend/weekday contrast per type (exact totals,
         # pinned daily-mean ratio)
         "w35_weekend_contrast": q.w35_weekend_contrast,
@@ -3882,6 +3885,21 @@ def oracle_sql() -> dict[str, str]:
             FROM cp
         """,
         "a46_ljung_box": _ljung_box_sql(),
+        "w36_retention_triangle": """
+            WITH p AS (SELECT DISTINCT user_id,
+                              CAST(epoch_us(ts) // 604800000000
+                                   AS BIGINT) AS week
+                       FROM events),
+            c AS (SELECT user_id, CAST(min(week) AS BIGINT)
+                             AS cohort_week
+                  FROM p GROUP BY user_id)
+            SELECT c.cohort_week,
+                   CAST(p.week - c.cohort_week AS BIGINT)
+                       AS week_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM p JOIN c USING (user_id)
+            GROUP BY c.cohort_week, week_offset
+        """,
         "j16_fanout_histogram": """
             WITH c AS (SELECT l_orderkey,
                               CAST(count(*) AS BIGINT) AS fanout

@@ -2613,3 +2613,78 @@ def w34_hourly_profile(sf_dir: str):
 
     return agg.groupby("event_type").map_groups(finalize,
                                                 batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- W36 ----
+def w36_retention_triangle(sf_dir: str, num_partitions: int = 16):
+    """W36 — the weekly retention TRIANGLE: users cohorted by their
+    first-activity week, and for every (cohort_week, week_offset) cell
+    the count of cohort members active in that later week — the full
+    retention matrix T8's single-window rate summarizes (every growth
+    dashboard's lower-triangle heatmap).
+
+    Scale shape: ONE ``_pkey`` exchange on user; the kernel derives
+    each user's cohort week AND distinct active weeks in the same
+    vectorized pass (run boundaries over sorted (user, week)), then
+    collapses to per-(cohort, offset) partial counts — the second
+    exchange is bounded by the week-span triangle, not by users."""
+    ev = _read_events(sf_dir, ["user_id", "ts"])
+
+    def to_weeks(batch: pa.Table) -> pa.Table:
+        us = _ts_us(batch.column("ts"))
+        week = us // (86_400_000_000 * 7)
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "week": pa.array(week, type=pa.int64())})
+        return t.group_by(["user_id", "week"]).aggregate([])
+
+    pre = ev.map_batches(to_weeks, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    tagged = pre.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({
+                "cohort_week": pa.array([], type=pa.int64()),
+                "week_offset": pa.array([], type=pa.int64()),
+                "n_users": pa.array([], type=pa.int64()),
+            })
+        part = part.drop_columns([PKEY]).sort_by(
+            [("user_id", "ascending"), ("week", "ascending")])
+        u = np.asarray(part.column("user_id"), dtype=np.int64)
+        w = np.asarray(part.column("week"), dtype=np.int64)
+        n = part.num_rows
+        starts = run_starts(part, ["user_id"])
+        lens = np.diff(np.append(starts, n))
+        # drop duplicate (user, week) rows surviving across blocks
+        keep = np.ones(n, dtype=bool)
+        keep[1:] = (u[1:] != u[:-1]) | (w[1:] != w[:-1])
+        u, w = u[keep], w[keep]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        lens = np.diff(np.append(starts, len(u)))
+        cohort = np.repeat(w[starts], lens)   # first week per user
+        offset = w - cohort
+        t = pa.table({"cohort_week": pa.array(cohort, type=pa.int64()),
+                      "week_offset": pa.array(offset, type=pa.int64()),
+                      "one": pa.array(np.ones(len(offset),
+                                              dtype=np.int64))})
+        g = t.group_by(["cohort_week", "week_offset"]).aggregate(
+            [("one", "sum")])
+        return pa.table({"cohort_week": g.column("cohort_week"),
+                         "week_offset": g.column("week_offset"),
+                         "n_users": g.column("one_sum").cast(pa.int64())})
+
+    agg = (tagged.groupby(PKEY).map_groups(kernel,
+                                           batch_format="pyarrow")
+           .groupby(["cohort_week", "week_offset"]).sum("n_users"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort_week": batch.column("cohort_week").cast(pa.int64()),
+            "week_offset": batch.column("week_offset").cast(pa.int64()),
+            "n_users": batch.column("sum(n_users)").cast(pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

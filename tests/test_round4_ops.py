@@ -2398,3 +2398,27 @@ def test_date_fns_bruteforce(ray_session):
         g = got.loc[(y, q)]
         assert int(g["n_orders"]) == int(r["n_orders"])
         assert int(g["cents_sum"]) == int(r["cents_sum"])
+
+
+# ---------------------------------------------------------------- W36 ----
+def test_retention_triangle_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.windows import w36_retention_triangle
+
+    got = (w36_retention_triangle(SF).to_pandas()
+           .set_index(["cohort_week", "week_offset"]).sort_index())
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    ev["week"] = ev["ts"].astype("int64") // (86_400_000_000 * 7)
+    pairs = ev[["user_id", "week"]].drop_duplicates()
+    cohort = pairs.groupby("user_id")["week"].min()
+    pairs["cohort_week"] = pairs["user_id"].map(cohort)
+    pairs["week_offset"] = pairs["week"] - pairs["cohort_week"]
+    exp = pairs.groupby(["cohort_week", "week_offset"]).size()
+    assert len(got) == len(exp)
+    for k, n in exp.items():
+        assert int(got.loc[k, "n_users"]) == int(n)
+    # offset-0 cell of each cohort equals the cohort size
+    sizes = cohort.value_counts()
+    for cw, sz in sizes.items():
+        assert int(got.loc[(cw, 0), "n_users"]) == int(sz)
