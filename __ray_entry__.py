@@ -797,6 +797,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # W36 weekly retention triangle (cohort week x offset user
         # counts; the full matrix T8 summarizes)
         "w36_retention_triangle": wnd.w36_retention_triangle,
+        # Q18 deterministic negative sampling (seeded arithmetic,
+        # no sampling shuffle; co-partitioned payload attach)
+        "q18_negative_samples": pk.q18_negative_samples,
         # W35 weekend/weekday contrast per type (exact totals,
         # pinned daily-mean ratio)
         "w35_weekend_contrast": q.w35_weekend_contrast,
@@ -3885,6 +3888,28 @@ def oracle_sql() -> dict[str, str]:
             FROM cp
         """,
         "a46_ljung_box": _ljung_box_sql(),
+        "q18_negative_samples": """
+            WITH meta AS (SELECT CAST(count(*) AS BIGINT) AS n
+                          FROM documents),
+            a AS (SELECT doc_id AS anchor_id FROM documents
+                  WHERE doc_id % 50 = 0),
+            g AS (SELECT a.anchor_id, CAST(t.j AS BIGINT) AS j,
+                         CAST(xor(CAST((CAST(a.anchor_id AS HUGEINT)
+                                        * 2654435761) % 4294967296
+                                       AS BIGINT),
+                                  (CAST(t.j AS BIGINT) * 40503)
+                                  % 4294967296) % meta.n AS BIGINT)
+                             AS neg0
+                  FROM a CROSS JOIN range(1, 5) t(j) CROSS JOIN meta),
+            fixed AS (SELECT anchor_id, j,
+                             CASE WHEN neg0 = anchor_id
+                                  THEN (neg0 + 1) % (SELECT n FROM meta)
+                                  ELSE neg0 END AS neg_id
+                      FROM g)
+            SELECT f.anchor_id, f.j, f.neg_id,
+                   CAST(d.n_chars AS BIGINT) AS neg_chars
+            FROM fixed f JOIN documents d ON d.doc_id = f.neg_id
+        """,
         "w36_retention_triangle": """
             WITH p AS (SELECT DISTINCT user_id,
                               CAST(epoch_us(ts) // 604800000000

@@ -1080,3 +1080,65 @@ def p7_curriculum_order(sf_dir: str, n_stages: int = 3,
 
     return tagged.groupby(PKEY).map_groups(rank_kernel,
                                            batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- Q18 ----
+def q18_negative_samples(sf_dir: str, k: int = 4,
+                         num_partitions: int = 32):
+    """Q18 — deterministic negative sampling for contrastive training:
+    every anchor document (doc_id % 50 == 0) draws ``k`` pseudo-random
+    negatives from the corpus id space via a seeded mix of (anchor, j)
+    — layout-independent, resumable, and collision-free with the
+    anchor by a +1 wrap.  Each negative ships its n_chars payload so
+    the pair generator downstream can length-match.
+
+    Scale shape: anchors filter map-side; negatives are PURE ARITHMETIC
+    (no sampling shuffle); the only exchange is the co-partitioned
+    payload attach on neg_id (J3's machinery).  Oracle: the same mix
+    replayed in HUGEINT + a join."""
+    import ray.data
+
+    from anomalydetection_ray.stages.join import copartition_attach
+
+    path = f"{sf_dir}/documents.parquet"
+    import pyarrow.parquet as pq
+
+    n_docs = int(pq.ParquetFile(path).metadata.num_rows)
+
+    docs = ray.data.read_parquet(path, columns=["doc_id"])
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        anchors = ids[ids % 50 == 0]
+        na = anchors.shape[0]
+        a = np.repeat(anchors, k)
+        j = np.tile(np.arange(1, k + 1, dtype=np.int64), na)
+        h = ((a.astype(np.uint64) * np.uint64(2654435761))
+             ^ (j.astype(np.uint64) * np.uint64(40503))) \
+            & np.uint64(0xFFFFFFFF)
+        neg = (h % np.uint64(n_docs)).astype(np.int64)
+        coll = neg == a
+        neg = np.where(coll, (neg + 1) % n_docs, neg)
+        return pa.table({
+            "anchor_id": pa.array(a, type=pa.int64()),
+            "j": pa.array(j, type=pa.int64()),
+            "neg_id": pa.array(neg, type=pa.int64()),
+        })
+
+    pairs = docs.map_batches(gen, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    payload = ray.data.read_parquet(path, columns=["doc_id", "n_chars"])
+    with_chars = copartition_attach(pairs, payload, "neg_id", "doc_id",
+                                    ["n_chars"],
+                                    num_partitions=num_partitions)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "anchor_id": batch.column("anchor_id").cast(pa.int64()),
+            "j": batch.column("j").cast(pa.int64()),
+            "neg_id": batch.column("neg_id").cast(pa.int64()),
+            "neg_chars": batch.column("n_chars").cast(pa.int64()),
+        })
+
+    return with_chars.map_batches(finish, batch_format="pyarrow",
+                                  zero_copy_batch=True)

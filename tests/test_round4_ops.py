@@ -2422,3 +2422,33 @@ def test_retention_triangle_bruteforce(ray_session):
     sizes = cohort.value_counts()
     for cw, sz in sizes.items():
         assert int(got.loc[(cw, 0), "n_users"]) == int(sz)
+
+
+# ---------------------------------------------------------------- Q18 ----
+def test_negative_samples_deterministic(ray_session):
+    from anomalydetection_ray.pipelines.packing import q18_negative_samples
+
+    got = (q18_negative_samples(SF).to_pandas()
+           .sort_values(["anchor_id", "j"]).reset_index(drop=True))
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "n_chars"]).to_pandas()
+    n = len(docs)
+    chars = dict(zip(docs["doc_id"], docs["n_chars"]))
+    anchors = sorted(d for d in docs["doc_id"] if d % 50 == 0)
+    assert len(got) == len(anchors) * 4
+    i = 0
+    for a in anchors:
+        for j in range(1, 5):
+            h = ((np.uint64(a) * np.uint64(2654435761))
+                 ^ (np.uint64(j) * np.uint64(40503))) \
+                & np.uint64(0xFFFFFFFF)
+            neg = int(h % np.uint64(n))
+            if neg == a:
+                neg = (neg + 1) % n
+            r = got.iloc[i]
+            assert int(r["anchor_id"]) == a and int(r["j"]) == j
+            assert int(r["neg_id"]) == neg
+            assert int(r["neg_chars"]) == int(chars[neg])
+            assert neg != a                    # never self-paired
+            i += 1
