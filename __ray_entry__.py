@@ -800,6 +800,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Q18 deterministic negative sampling (seeded arithmetic,
         # no sampling shuffle; co-partitioned payload attach)
         "q18_negative_samples": pk.q18_negative_samples,
+        # Q19 mixture-temperature sensitivity sweep (n^alpha quotas
+        # at alpha 0.3/0.5/0.7 over the bounded source domain)
+        "q19_mixture_sweep": pk.q19_mixture_sweep,
         # W35 weekend/weekday contrast per type (exact totals,
         # pinned daily-mean ratio)
         "w35_weekend_contrast": q.w35_weekend_contrast,
@@ -3888,6 +3891,26 @@ def oracle_sql() -> dict[str, str]:
             FROM cp
         """,
         "a46_ljung_box": _ljung_box_sql(),
+        "q19_mixture_sweep": """
+            WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                       FROM documents GROUP BY source),
+            al AS (SELECT CAST(t.a AS BIGINT) AS a10
+                   FROM unnest([3, 5, 7]) t(a)),
+            w AS (SELECT al.a10, c.source, c.n,
+                         pow(CAST(c.n AS DOUBLE),
+                             CAST(al.a10 AS DOUBLE) / 10.0) AS wgt
+                  FROM c CROSS JOIN al),
+            tot AS (SELECT a10,
+                           list_reduce(list_prepend(0.0,
+                               list(wgt ORDER BY source)),
+                               (x, y) -> x + y) AS W
+                    FROM w GROUP BY a10)
+            SELECT w.source, w.a10 AS alpha_x10, w.n AS n_docs,
+                   w.wgt AS weight,
+                   CAST(floor(CAST(200 AS DOUBLE) * w.wgt / tot.W)
+                        AS BIGINT) AS quota
+            FROM w JOIN tot USING (a10)
+        """,
         "q18_negative_samples": """
             WITH meta AS (SELECT CAST(count(*) AS BIGINT) AS n
                           FROM documents),

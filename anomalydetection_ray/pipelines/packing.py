@@ -1142,3 +1142,56 @@ def q18_negative_samples(sf_dir: str, k: int = 4,
 
     return with_chars.map_batches(finish, batch_format="pyarrow",
                                   zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------- Q19 ----
+def q19_mixture_sweep(sf_dir: str, k_total: int = 200,
+                      alphas: tuple = (3, 5, 7)):
+    """Q19 — mixture-temperature sensitivity sweep: Q13's n^alpha
+    quota rule evaluated at alpha = 0.3 / 0.5 / 0.7 (the range the
+    multilingual-sampling literature actually debates) — the table a
+    data-mixture owner reads to pick a temperature, showing how many
+    docs each source would contribute at each setting.
+
+    Exactness: counts exact ints; w = pow(n, alpha) is one libm pow
+    per (source, alpha); the normalizer folds in source order per
+    alpha (G15 discipline); quota = floor(k * w / W) pinned.  Driver
+    math over the bounded source domain only."""
+    import math
+
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("source").aggregate([([], "count_all")])
+        return pa.table({"source": g.column("source"),
+                         "n": g.column("count_all").cast(pa.int64())})
+
+    counts = (docs.map_batches(count_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+              .groupby("source").sum("n").take_all())
+    per = sorted((r["source"], int(r["sum(n)"])) for r in counts)
+
+    srcs, a10s, ns, ws, qs = [], [], [], [], []
+    for a10 in alphas:
+        alpha = float(a10) / 10.0
+        wgt = {s: math.pow(float(n), alpha) for s, n in per}
+        total_w = 0.0
+        for s, _ in per:                  # pinned fold in source order
+            total_w = total_w + wgt[s]
+        for s, n in per:
+            srcs.append(s)
+            a10s.append(a10)
+            ns.append(n)
+            ws.append(wgt[s])
+            qs.append(int(math.floor((float(k_total) * wgt[s])
+                                     / total_w)))
+    return ray.data.from_arrow(pa.table({
+        "source": pa.array(srcs, type=pa.string()),
+        "alpha_x10": pa.array(a10s, type=pa.int64()),
+        "n_docs": pa.array(ns, type=pa.int64()),
+        "weight": pa.array(ws, type=pa.float64()),
+        "quota": pa.array(qs, type=pa.int64()),
+    }))

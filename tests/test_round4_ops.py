@@ -2452,3 +2452,33 @@ def test_negative_samples_deterministic(ray_session):
             assert int(r["neg_chars"]) == int(chars[neg])
             assert neg != a                    # never self-paired
             i += 1
+
+
+# ---------------------------------------------------------------- Q19 ----
+def test_mixture_sweep_bruteforce(ray_session):
+    import collections
+
+    from anomalydetection_ray.pipelines.packing import q19_mixture_sweep
+
+    got = (q19_mixture_sweep(SF).to_pandas()
+           .set_index(["source", "alpha_x10"]).sort_index())
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source"]).to_pandas()
+    per = collections.Counter(docs["source"])
+    srcs = sorted(per)
+    for a10 in (3, 5, 7):
+        alpha = a10 / 10.0
+        wgt = {s: math.pow(float(per[s]), alpha) for s in srcs}
+        tw = 0.0
+        for s in srcs:
+            tw = tw + wgt[s]
+        for s in srcs:
+            r = got.loc[(s, a10)]
+            assert int(r["n_docs"]) == per[s]
+            assert r["weight"] == wgt[s]
+            assert int(r["quota"]) == int(
+                math.floor((200.0 * wgt[s]) / tw))
+    # lower temperature (higher alpha) concentrates on head sources
+    head = max(srcs, key=lambda s: per[s])
+    assert (got.loc[(head, 7), "quota"] >= got.loc[(head, 3), "quota"])
