@@ -803,6 +803,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Q19 mixture-temperature sensitivity sweep (n^alpha quotas
         # at alpha 0.3/0.5/0.7 over the bounded source domain)
         "q19_mixture_sweep": pk.q19_mixture_sweep,
+        # A47 aggregated-variance Hurst (Beran 1994) - the
+        # independent cross-check of A36 rescaled-range
+        "a47_hurst_aggvar": q.a47_hurst_aggvar,
         # W35 weekend/weekday contrast per type (exact totals,
         # pinned daily-mean ratio)
         "w35_weekend_contrast": q.w35_weekend_contrast,
@@ -3891,6 +3894,56 @@ def oracle_sql() -> dict[str, str]:
             FROM cp
         """,
         "a46_ljung_box": _ljung_box_sql(),
+        "a47_hurst_aggvar": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+              FROM events),
+            d AS MATERIALIZED (
+              SELECT event_type, day, CAST(sum(v100) AS BIGINT) AS x
+              FROM e GROUP BY event_type, day),
+            o AS MATERIALIZED (
+              SELECT event_type, x,
+                     CAST(row_number() OVER (PARTITION BY event_type
+                         ORDER BY day) - 1 AS BIGINT) AS i,
+                     CAST(count(*) OVER (PARTITION BY event_type)
+                          AS BIGINT) AS n
+              FROM d),
+            b AS (SELECT event_type, m.m, o.i // m.m AS blk,
+                         CAST(sum(o.x) AS BIGINT) AS y,
+                         CAST(count(*) AS BIGINT) AS cnt,
+                         any_value(o.n) AS n
+                  FROM o CROSS JOIN unnest([1, 2, 4]) m(m)
+                  WHERE o.i < (o.n // m.m) * m.m
+                  GROUP BY event_type, m.m, blk),
+            v AS (SELECT event_type, m,
+                         CAST(count(*) AS BIGINT) AS k,
+                         CAST(count(*) * sum(y * y) - sum(y) * sum(y)
+                              AS BIGINT) AS vnum,
+                         any_value(n) AS n
+                  FROM b GROUP BY event_type, m),
+            p AS (SELECT event_type, any_value(n) AS n_days,
+                         max(CASE WHEN m = 1 THEN vnum END) AS v1_num,
+                         max(CASE WHEN m = 2 THEN vnum END) AS v2_num,
+                         max(CASE WHEN m = 4 THEN vnum END) AS v4_num,
+                         max(CASE WHEN m = 1 THEN k END) AS k1,
+                         max(CASE WHEN m = 4 THEN k END) AS k4
+                  FROM v GROUP BY event_type)
+            SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+                   CAST(v1_num AS BIGINT) AS v1_num,
+                   CAST(v2_num AS BIGINT) AS v2_num,
+                   CAST(v4_num AS BIGINT) AS v4_num,
+                   CASE WHEN v1_num > 0 AND v4_num > 0
+                         AND k1 >= 2 AND k4 >= 2 THEN
+                     1.0 + ((ln(CAST(v4_num AS DOUBLE)
+                                / CAST(k4 * k4 * 16 AS DOUBLE))
+                             - ln(CAST(v1_num AS DOUBLE)
+                                  / CAST(k1 * k1 AS DOUBLE)))
+                            / (4.0 * ln(2.0)))
+                   END AS h_aggvar
+            FROM p
+        """,
         "q19_mixture_sweep": """
             WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
                        FROM documents GROUP BY source),

@@ -2482,3 +2482,37 @@ def test_mixture_sweep_bruteforce(ray_session):
     # lower temperature (higher alpha) concentrates on head sources
     head = max(srcs, key=lambda s: per[s])
     assert (got.loc[(head, 7), "quota"] >= got.loc[(head, 3), "quota"])
+
+
+# ---------------------------------------------------------------- A47 ----
+def test_hurst_aggvar_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.queries import a47_hurst_aggvar
+
+    got = (a47_hurst_aggvar(SF).to_pandas()
+           .set_index("event_type").sort_index())
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts", "value"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    ev["v100"] = np.floor(ev["value"] * 100.0 + 0.5).astype(np.int64)
+    for et, g in ev.groupby("event_type"):
+        x = [int(v) for v in g.groupby("day")["v100"].sum().sort_index()]
+        n = len(x)
+        vm, km = {}, {}
+        for m in (1, 2, 4):
+            k = n // m
+            ys = [sum(x[i * m:(i + 1) * m]) for i in range(k)]
+            vm[m] = k * sum(y * y for y in ys) - sum(ys) ** 2
+            km[m] = k
+        r = got.loc[et]
+        assert int(r["n_days"]) == n
+        for m, c in ((1, "v1_num"), (2, "v2_num"), (4, "v4_num")):
+            assert int(r[c]) == vm[m]
+        if vm[1] > 0 and vm[4] > 0:
+            v1 = float(vm[1]) / float(km[1] * km[1])
+            v4 = float(vm[4]) / float(km[4] * km[4] * 16)
+            exp = 1.0 + ((math.log(v4) - math.log(v1))
+                         / (4.0 * math.log(2.0)))
+            assert r["h_aggvar"] == exp
+            # H of a stationary-ish daily series stays in a sane band
+            assert -0.5 < r["h_aggvar"] < 1.5
