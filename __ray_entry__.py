@@ -9,6 +9,11 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
+Round-4 final surface: 251 ``queries()`` entries, 246 with DuckDB value
+oracles (the 5 oracle-less are side-effect/codec/approx summaries with
+content-pinned rows); the coverage map below lists the founding families —
+see COVERAGE.md for the complete per-operator table.
+
 Operator coverage map (SURVEY.md §2.2 -> query name; all listed entries
 are SQL-checked — the document tokenizer is reproduced in DuckDB SQL, so
 even the flagship rollup over the derived token table is value-checked):
@@ -806,6 +811,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A47 aggregated-variance Hurst (Beran 1994) - the
         # independent cross-check of A36 rescaled-range
         "a47_hurst_aggvar": q.a47_hurst_aggvar,
+        # W37 funnel timing: first-view -> first-purchase lag per
+        # user (W11 counts stages; this times them)
+        "w37_conversion_lag": wnd.w37_conversion_lag,
+        # T17 duplicate-sentence share per source (the Gopher
+        # duplicate-line signal at sentence granularity)
+        "t17_dup_sentence_share": tx.t17_dup_sentence_share,
         # W35 weekend/weekday contrast per type (exact totals,
         # pinned daily-mean ratio)
         "w35_weekend_contrast": q.w35_weekend_contrast,
@@ -3894,6 +3905,45 @@ def oracle_sql() -> dict[str, str]:
             FROM cp
         """,
         "a46_ljung_box": _ljung_box_sql(),
+        "w37_conversion_lag": """
+            WITH f AS (SELECT user_id,
+                              CAST(min(epoch_us(ts))
+                                   FILTER (WHERE event_type = 'view')
+                                   AS BIGINT) AS first_view_us,
+                              CAST(min(epoch_us(ts))
+                                   FILTER (WHERE event_type = 'purchase')
+                                   AS BIGINT) AS first_purchase_us
+                       FROM events
+                       WHERE event_type IN ('view', 'purchase')
+                       GROUP BY user_id)
+            SELECT user_id, first_view_us, first_purchase_us,
+                   CASE WHEN first_view_us IS NOT NULL
+                         AND first_purchase_us IS NOT NULL
+                         AND first_purchase_us >= first_view_us
+                        THEN first_purchase_us - first_view_us
+                   END AS lag_us
+            FROM f
+        """,
+        "t17_dup_sentence_share": """
+            WITH s AS (SELECT doc_id, source,
+                              unnest(list_filter(
+                                  string_split(text, '. '),
+                                  x -> x <> '')) AS sent
+                       FROM documents),
+            nd AS (SELECT sent,
+                          CAST(count(DISTINCT doc_id) AS BIGINT)
+                              AS ndocs
+                   FROM s GROUP BY sent),
+            j AS (SELECT s.source,
+                         CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END
+                             AS dup
+                  FROM s JOIN nd USING (sent))
+            SELECT source, CAST(count(*) AS BIGINT) AS n_sents,
+                   CAST(sum(dup) AS BIGINT) AS n_dup,
+                   CAST(sum(dup) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS dup_share
+            FROM j GROUP BY source
+        """,
         "a47_hurst_aggvar": """
             WITH e AS (
               SELECT event_type,

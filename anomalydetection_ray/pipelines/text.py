@@ -647,3 +647,140 @@ def t16_char_entropy(sf_dir: str):
 
     return partials.groupby("source").map_groups(finish,
                                                  batch_format="pyarrow")
+
+
+def t17_dup_sentence_share(sf_dir: str, num_partitions: int = 16):
+    """T17 — duplicate-SENTENCE share per source (the Gopher/Dolma
+    duplicate-line signal at sentence granularity, between T14's
+    n-grams and D14's whole-doc hashes): the fraction of a source's
+    sentence occurrences whose sentence text appears in >= 2 distinct
+    documents corpus-wide — boilerplate headers/footers and templated
+    sentences light up here first.
+
+    Scale shape: per-block distinct (sentence, doc) pairs collapse
+    before the sentence-keyed exchange (the vocab discipline at
+    sentence granularity); per-sentence distinct-doc counts come from
+    a vectorized run kernel; the flag re-attaches to the bounded
+    (sentence, source, occurrences) relation by a co-partitioned
+    lookup, and the rollup is per-source."""
+    import functools
+
+    import ray.data
+
+    from anomalydetection_ray.stages.join import copartition_attach
+    from anomalydetection_ray.stages.runs import (PKEY, add_partition_key,
+                                                  run_starts)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "text"])
+
+    def sentences(batch: pa.Table):
+        import pyarrow.compute as pc
+
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        sents = pc.split_pattern(text, ". ")
+        flat = pc.list_flatten(sents)
+        row_of = np.asarray(pc.list_parent_indices(sents),
+                            dtype=np.int64)
+        keep = np.asarray(pc.not_equal(flat, ""))
+        return flat.filter(pa.array(keep)), row_of[keep]
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        flat, row_of = sentences(batch)
+        doc = np.asarray(batch.column("doc_id"),
+                         dtype=np.int64)[row_of]
+        t = pa.table({"sent": flat,
+                      "doc": pa.array(doc, type=pa.int64())})
+        return t.group_by(["sent", "doc"]).aggregate([])
+
+    pairs = ds.map_batches(pair_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    tagged = pairs.map_batches(
+        functools.partial(add_partition_key, keys=["sent"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def ndocs_kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"sent": pa.array([], type=pa.string()),
+                             "ndocs": pa.array([], type=pa.int64())})
+        part = part.drop_columns([PKEY]).sort_by(
+            [("sent", "ascending"), ("doc", "ascending")])
+        s = part.column("sent")
+        d = np.asarray(part.column("doc"), dtype=np.int64)
+        n = part.num_rows
+        starts = run_starts(part, ["sent"])
+        # distinct docs per sentence run (block-level pairs may repeat
+        # across blocks)
+        new = np.ones(n, dtype=np.int64)
+        sent_id = np.zeros(n, dtype=np.int64)
+        sent_id[starts] = 1
+        sid = np.cumsum(sent_id)
+        new[1:] = ((d[1:] != d[:-1]) | (sid[1:] != sid[:-1])).astype(
+            np.int64)
+        nd = np.add.reduceat(new, starts)
+        return pa.table({
+            "sent": s.take(pa.array(starts, type=pa.int64())),
+            "ndocs": pa.array(nd, type=pa.int64()),
+        })
+
+    per_sent = tagged.groupby(PKEY).map_groups(ndocs_kernel,
+                                               batch_format="pyarrow")
+
+    def occ_partial(batch: pa.Table) -> pa.Table:
+        flat, row_of = sentences(batch)
+        src = batch.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        s_of = src.take(pa.array(row_of, type=pa.int64()))
+        t = pa.table({"sent": flat, "source": s_of,
+                      "one": pa.array(np.ones(len(row_of),
+                                              dtype=np.int64))})
+        g = t.group_by(["sent", "source"]).aggregate([("one", "sum")])
+        return pa.table({"sent": g.column("sent"),
+                         "source": g.column("source"),
+                         "occ": g.column("one_sum").cast(pa.int64())})
+
+    occ = ds.map_batches(occ_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    # collapse cross-block partials before the attach
+    from anomalydetection_ray.stages.runs import agg_by
+
+    occ = agg_by(occ, ["sent", "source"], [("occ", "sum", "occ")])
+    joined = copartition_attach(occ, per_sent, "sent", "sent",
+                                ["ndocs"],
+                                num_partitions=num_partitions)
+
+    def rollup(batch: pa.Table) -> pa.Table:
+        nd = np.asarray(batch.column("ndocs").fill_null(1),
+                        dtype=np.int64)
+        o = np.asarray(batch.column("occ"), dtype=np.int64)
+        dup = np.where(nd >= 2, o, 0)
+        t = pa.table({"source": batch.column("source"),
+                      "n_sents": pa.array(o, type=pa.int64()),
+                      "n_dup": pa.array(dup, type=pa.int64())})
+        g = t.group_by(["source"]).aggregate([("n_sents", "sum"),
+                                              ("n_dup", "sum")])
+        return pa.table({"source": g.column("source"),
+                         "n_sents": g.column("n_sents_sum").cast(
+                             pa.int64()),
+                         "n_dup": g.column("n_dup_sum").cast(pa.int64())})
+
+    agg = (joined.map_batches(rollup, batch_format="pyarrow")
+           .groupby("source").sum(["n_sents", "n_dup"]))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        ns = np.asarray(batch.column("sum(n_sents)"), dtype=np.int64)
+        dup = np.asarray(batch.column("sum(n_dup)"), dtype=np.int64)
+        return pa.table({
+            "source": batch.column("source"),
+            "n_sents": pa.array(ns, type=pa.int64()),
+            "n_dup": pa.array(dup, type=pa.int64()),
+            "dup_share": pa.array(dup.astype(np.float64)
+                                  / ns.astype(np.float64),
+                                  type=pa.float64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

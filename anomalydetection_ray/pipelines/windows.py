@@ -2688,3 +2688,77 @@ def w36_retention_triangle(sf_dir: str, num_partitions: int = 16):
         })
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- W37 ----
+def w37_conversion_lag(sf_dir: str, num_partitions: int = 16):
+    """W37 — funnel TIMING (W11 counts the stage survivors; this times
+    them): per user, the first 'view' and first 'purchase' timestamps
+    and the exact microsecond lag between them (NULL when the user
+    never purchased after first viewing, or never did one of the two) —
+    the time-to-convert distribution every growth experiment reads.
+
+    Scale shape: ONE ``_pkey`` exchange on user; the kernel derives
+    both firsts from the same sorted pass (run boundaries + per-type
+    masked minima), zero per-user Python."""
+    ev = _read_events(sf_dir, ["user_id", "ts", "event_type"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        us = _ts_us(batch.column("ts"))
+        et = batch.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        keep = np.asarray(
+            pa.compute.is_in(et, value_set=pa.array(["view",
+                                                     "purchase"])))
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "us": pa.array(us, type=pa.int64()),
+                      "is_view": pa.array(
+                          np.asarray(pa.compute.equal(et, "view")),
+                          type=pa.bool_())}).filter(pa.array(keep))
+        # per-block partial: min ts per (user, kind)
+        g = t.group_by(["user_id", "is_view"]).aggregate([("us", "min")])
+        return pa.table({"user_id": g.column("user_id"),
+                         "is_view": g.column("is_view"),
+                         "us": g.column("us_min").cast(pa.int64())})
+
+    partials = ev.map_batches(pre, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    tagged = partials.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], type=pa.int64()),
+                "first_view_us": pa.array([], type=pa.int64()),
+                "first_purchase_us": pa.array([], type=pa.int64()),
+                "lag_us": pa.array([], type=pa.int64()),
+            })
+        part = part.drop_columns([PKEY]).sort_by(
+            [("user_id", "ascending")])
+        uid = np.asarray(part.column("user_id"), dtype=np.int64)
+        us = np.asarray(part.column("us"), dtype=np.int64)
+        isv = np.asarray(part.column("is_view"))
+        starts = run_starts(part, ["user_id"])
+        big = np.int64(2**62)
+        v = np.where(isv, us, big)
+        p = np.where(~isv, us, big)
+        fv = np.minimum.reduceat(v, starts)
+        fp = np.minimum.reduceat(p, starts)
+        has_v = fv < big
+        has_p = fp < big
+        lag = fp - fv
+        ok = has_v & has_p & (lag >= 0)
+        return pa.table({
+            "user_id": pa.array(uid[starts], type=pa.int64()),
+            "first_view_us": pa.array(fv, type=pa.int64(), mask=~has_v),
+            "first_purchase_us": pa.array(fp, type=pa.int64(),
+                                          mask=~has_p),
+            "lag_us": pa.array(lag, type=pa.int64(), mask=~ok),
+        })
+
+    return tagged.groupby(PKEY).map_groups(kernel,
+                                           batch_format="pyarrow")

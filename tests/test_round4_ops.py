@@ -2516,3 +2516,66 @@ def test_hurst_aggvar_bruteforce(ray_session):
             assert r["h_aggvar"] == exp
             # H of a stationary-ish daily series stays in a sane band
             assert -0.5 < r["h_aggvar"] < 1.5
+
+
+# ---------------------------------------------------------------- W37 ----
+def test_conversion_lag_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.windows import w37_conversion_lag
+
+    got = (w37_conversion_lag(SF).to_pandas()
+           .set_index("user_id").sort_index())
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "event_type"]).to_pandas()
+    ev["us"] = ev["ts"].astype("int64")
+    n_lagged = 0
+    for uid, g in ev[ev["event_type"].isin(["view", "purchase"])] \
+            .groupby("user_id"):
+        v = g[g["event_type"] == "view"]["us"]
+        p = g[g["event_type"] == "purchase"]["us"]
+        r = got.loc[uid]
+        if len(v):
+            assert int(r["first_view_us"]) == int(v.min())
+        else:
+            assert r.isna()["first_view_us"]
+        if len(p):
+            assert int(r["first_purchase_us"]) == int(p.min())
+        else:
+            assert r.isna()["first_purchase_us"]
+        if len(v) and len(p) and p.min() >= v.min():
+            assert int(r["lag_us"]) == int(p.min() - v.min())
+            n_lagged += 1
+        else:
+            assert r.isna()["lag_us"]
+    assert n_lagged > 0
+
+
+# ---------------------------------------------------------------- T17 ----
+def test_dup_sentence_share_bruteforce(ray_session):
+    import collections
+
+    from anomalydetection_ray.pipelines.text import t17_dup_sentence_share
+
+    got = (t17_dup_sentence_share(SF).to_pandas()
+           .set_index("source").sort_index())
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "source", "text"]).to_pandas()
+    docs_of = collections.defaultdict(set)
+    for _, r in docs.iterrows():
+        for sent in r["text"].split(". "):
+            if sent:
+                docs_of[sent].add(r["doc_id"])
+    per = collections.defaultdict(lambda: [0, 0])
+    for _, r in docs.iterrows():
+        for sent in r["text"].split(". "):
+            if not sent:
+                continue
+            per[r["source"]][0] += 1
+            if len(docs_of[sent]) >= 2:
+                per[r["source"]][1] += 1
+    assert set(got.index) == set(per)
+    for s, (ns, dup) in per.items():
+        assert int(got.loc[s, "n_sents"]) == ns
+        assert int(got.loc[s, "n_dup"]) == dup
+        assert got.loc[s, "dup_share"] == float(dup) / float(ns)
