@@ -817,6 +817,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # T17 duplicate-sentence share per source (the Gopher
         # duplicate-line signal at sentence granularity)
         "t17_dup_sentence_share": tx.t17_dup_sentence_share,
+        # A48 weekly seasonal strength (Fs over median-seasonal
+        # residuals; doubled medians keep everything exact-int)
+        "a48_seasonal_strength": q.a48_seasonal_strength,
         # W35 weekend/weekday contrast per type (exact totals,
         # pinned daily-mean ratio)
         "w35_weekend_contrast": q.w35_weekend_contrast,
@@ -3905,6 +3908,40 @@ def oracle_sql() -> dict[str, str]:
             FROM cp
         """,
         "a46_ljung_box": _ljung_box_sql(),
+        "a48_seasonal_strength": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+              FROM events),
+            d AS MATERIALIZED (
+              SELECT event_type, day, (day + 3) % 7 AS ph,
+                     CAST(sum(v100) AS BIGINT) AS x
+              FROM e GROUP BY event_type, day),
+            m AS (SELECT event_type, ph,
+                         CAST(2 * median(x) AS BIGINT) AS med2
+                  FROM d GROUP BY event_type, ph),
+            r AS (SELECT d.event_type,
+                         CAST(2 * d.x - m.med2 AS BIGINT) AS r2,
+                         CAST(2 * d.x AS BIGINT) AS t2
+                  FROM d JOIN m USING (event_type, ph)),
+            agg AS (SELECT event_type,
+                           CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(r2) AS BIGINT) AS sr,
+                           CAST(sum(r2 * r2) AS BIGINT) AS qr,
+                           CAST(sum(t2) AS BIGINT) AS st,
+                           CAST(sum(t2 * t2) AS BIGINT) AS qt
+                    FROM r GROUP BY event_type)
+            SELECT event_type, n AS n_days,
+                   CAST(n * qr - sr * sr AS BIGINT) AS var_resid_num,
+                   CAST(n * qt - st * st AS BIGINT) AS var_total_num,
+                   CASE WHEN n * qt - st * st > 0 THEN
+                     greatest(0.0, 1.0 - CAST(n * qr - sr * sr
+                                              AS DOUBLE)
+                              / CAST(n * qt - st * st AS DOUBLE))
+                   END AS seasonal_strength
+            FROM agg
+        """,
         "w37_conversion_lag": """
             WITH f AS (SELECT user_id,
                               CAST(min(epoch_us(ts))

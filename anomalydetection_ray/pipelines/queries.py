@@ -6549,3 +6549,77 @@ def a47_hurst_aggvar(sf_dir: str):
 
     return daily.groupby("event_type").map_groups(
         finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- A48 ----
+def a48_seasonal_strength(sf_dir: str):
+    """A48 — weekly seasonal STRENGTH per event type (Hyndman &
+    Athanasopoulos's Fs, median-seasonal variant): with the seasonal
+    component estimated as the per-weekday-phase MEDIAN of the daily
+    cent totals, Fs = max(0, 1 - Var(residual)/Var(series)) — 0 means
+    the weekday pattern explains nothing, 1 means the series IS its
+    weekly cycle.  The effect-size companion to A35's spectral test and
+    A42's seasonal trend.
+
+    Exactness: phase medians of ints are exact halves, so DOUBLED
+    residuals 2x - 2*median are exact ints; both variance NUMERATORS
+    (over the same n, denominators cancel) are exact python-ints, and
+    Fs is one pinned division inside max(0, 1 - r).
+
+    Scale shape: A35-family bounded daily grid."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()), dtype=np.int64)
+        day = us // 86_400_000_000
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        v100 = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(day, type=pa.int64()),
+                      "v100": pa.array(v100, type=pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate([("v100", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "x": g.column("v100_sum").cast(pa.int64())})
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["event_type", "day"]).sum("x"))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        day = np.asarray(group.column("day"), dtype=np.int64)
+        x = np.asarray(group.column("sum(x)"), dtype=np.int64)
+        ph = (day + 3) % 7
+        n = int(x.shape[0])
+        # doubled phase medians are exact ints
+        med2 = {}
+        for p in range(7):
+            vals = np.sort(x[ph == p])
+            m = vals.shape[0]
+            if m == 0:
+                continue
+            if m % 2 == 1:
+                med2[p] = 2 * int(vals[m // 2])
+            else:
+                med2[p] = int(vals[m // 2 - 1]) + int(vals[m // 2])
+        r2 = [2 * int(a) - med2[int(p)] for a, p in zip(x, ph)]
+        t2 = [2 * int(a) for a in x]
+        def var_num(vs):
+            s = sum(vs)
+            q = sum(v * v for v in vs)
+            return n * q - s * s
+        vr = var_num(r2)
+        vt = var_num(t2)
+        fs = max(0.0, 1.0 - float(vr) / float(vt)) if vt > 0 else None
+        return pa.table({
+            "event_type": pa.array([et], type=pa.string()),
+            "n_days": pa.array([n], type=pa.int64()),
+            "var_resid_num": pa.array([vr], type=pa.int64()),
+            "var_total_num": pa.array([vt], type=pa.int64()),
+            "seasonal_strength": pa.array([fs], type=pa.float64(),
+                                          from_pandas=True),
+        })
+
+    return daily.groupby("event_type").map_groups(
+        finalize, batch_format="pyarrow")

@@ -2579,3 +2579,40 @@ def test_dup_sentence_share_bruteforce(ray_session):
         assert int(got.loc[s, "n_sents"]) == ns
         assert int(got.loc[s, "n_dup"]) == dup
         assert got.loc[s, "dup_share"] == float(dup) / float(ns)
+
+
+# ---------------------------------------------------------------- A48 ----
+def test_seasonal_strength_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.queries import a48_seasonal_strength
+
+    got = (a48_seasonal_strength(SF).to_pandas()
+           .set_index("event_type").sort_index())
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts", "value"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    ev["v100"] = np.floor(ev["value"] * 100.0 + 0.5).astype(np.int64)
+    for et, g in ev.groupby("event_type"):
+        daily = g.groupby("day")["v100"].sum().sort_index()
+        day = daily.index.to_numpy()
+        x = daily.to_numpy()
+        ph = (day + 3) % 7
+        n = len(x)
+        r2, t2 = [], []
+        for a, p in zip(x, ph):
+            vals = np.sort(x[ph == p])
+            m = len(vals)
+            med2 = (2 * int(vals[m // 2]) if m % 2 == 1
+                    else int(vals[m // 2 - 1]) + int(vals[m // 2]))
+            r2.append(2 * int(a) - med2)
+            t2.append(2 * int(a))
+        vr = n * sum(v * v for v in r2) - sum(r2) ** 2
+        vt = n * sum(v * v for v in t2) - sum(t2) ** 2
+        r = got.loc[et]
+        assert int(r["n_days"]) == n
+        assert int(r["var_resid_num"]) == vr
+        assert int(r["var_total_num"]) == vt
+        if vt > 0:
+            assert r["seasonal_strength"] == max(
+                0.0, 1.0 - float(vr) / float(vt))
+            assert 0.0 <= r["seasonal_strength"] <= 1.0
