@@ -820,6 +820,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A48 weekly seasonal strength (Fs over median-seasonal
         # residuals; doubled medians keep everything exact-int)
         "a48_seasonal_strength": q.a48_seasonal_strength,
+        # W38 longest consecutive-active-day streak per user
+        # (gaps-and-islands on the day grid)
+        "w38_active_streak": wnd.w38_active_streak,
         # W35 weekend/weekday contrast per type (exact totals,
         # pinned daily-mean ratio)
         "w35_weekend_contrast": q.w35_weekend_contrast,
@@ -3908,6 +3911,35 @@ def oracle_sql() -> dict[str, str]:
             FROM cp
         """,
         "a46_ljung_box": _ljung_box_sql(),
+        "w38_active_streak": """
+            WITH p AS (SELECT DISTINCT user_id,
+                              CAST(epoch_us(ts) // 86400000000
+                                   AS BIGINT) AS day
+                       FROM events),
+            r AS (SELECT user_id, day,
+                         day - row_number() OVER (PARTITION BY user_id
+                                                  ORDER BY day) AS isl
+                  FROM p),
+            i AS (SELECT user_id, isl,
+                         CAST(count(*) AS BIGINT) AS len,
+                         CAST(min(day) AS BIGINT) AS start_day
+                  FROM r GROUP BY user_id, isl),
+            t AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_active
+                  FROM p GROUP BY user_id),
+            mx AS (SELECT user_id, CAST(max(len) AS BIGINT) AS longest
+                   FROM i GROUP BY user_id),
+            sel AS (SELECT i.user_id,
+                           CAST(min(i.start_day) AS BIGINT)
+                               AS streak_start_day,
+                           CAST(count(*) AS BIGINT) AS n_max
+                    FROM i JOIN mx ON mx.user_id = i.user_id
+                                  AND i.len = mx.longest
+                    GROUP BY i.user_id)
+            SELECT t.user_id, t.n_active AS n_active_days,
+                   mx.longest AS longest_streak,
+                   sel.streak_start_day, sel.n_max AS n_max_streaks
+            FROM t JOIN mx USING (user_id) JOIN sel USING (user_id)
+        """,
         "a48_seasonal_strength": """
             WITH e AS (
               SELECT event_type,

@@ -2762,3 +2762,88 @@ def w37_conversion_lag(sf_dir: str, num_partitions: int = 16):
 
     return tagged.groupby(PKEY).map_groups(kernel,
                                            batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- W38 ----
+def w38_active_streak(sf_dir: str, num_partitions: int = 16):
+    """W38 — longest consecutive-active-day streak per user (the
+    habit-formation metric next to W27's value streaks and G25's
+    stickiness): gaps-and-islands over each user's distinct active
+    DAYS, reporting the longest run, its start day, and the count of
+    maximal runs.
+
+    Scale shape: per-block distinct (user, day) pairs collapse before
+    ONE ``_pkey`` exchange; the kernel is the W1 run machinery on the
+    day grid (island id = day - rank is constant within a run), fully
+    vectorized."""
+    ev = _read_events(sf_dir, ["user_id", "ts"])
+
+    def to_days(batch: pa.Table) -> pa.Table:
+        us = _ts_us(batch.column("ts"))
+        day = us // 86_400_000_000
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "day": pa.array(day, type=pa.int64())})
+        return t.group_by(["user_id", "day"]).aggregate([])
+
+    pre = ev.map_batches(to_days, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    tagged = pre.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], type=pa.int64()),
+                "n_active_days": pa.array([], type=pa.int64()),
+                "longest_streak": pa.array([], type=pa.int64()),
+                "streak_start_day": pa.array([], type=pa.int64()),
+                "n_max_streaks": pa.array([], type=pa.int64()),
+            })
+        part = part.drop_columns([PKEY]).sort_by(
+            [("user_id", "ascending"), ("day", "ascending")])
+        u = np.asarray(part.column("user_id"), dtype=np.int64)
+        d = np.asarray(part.column("day"), dtype=np.int64)
+        n = part.num_rows
+        # drop duplicate (user, day) rows surviving across blocks
+        keep = np.ones(n, dtype=bool)
+        keep[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1])
+        u, d = u[keep], d[keep]
+        n = len(u)
+        ustarts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        # island breaks: new user OR day gap > 1
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = (u[1:] != u[:-1]) | (d[1:] - d[:-1] > 1)
+        istart = np.flatnonzero(brk)
+        ilen = np.diff(np.append(istart, n))
+        iday = d[istart]
+        iuser_idx = np.searchsorted(ustarts, istart, side="right") - 1
+        # per user: max island length, first start achieving it, count
+        out_u, out_nd, out_ls, out_sd, out_nm = [], [], [], [], []
+        ulens = np.diff(np.append(ustarts, n))
+        # vectorized per-user reduction over islands
+        iu_starts = np.flatnonzero(np.r_[True,
+                                         iuser_idx[1:] != iuser_idx[:-1]])
+        max_len = np.maximum.reduceat(ilen, iu_starts)
+        # first island achieving the max (islands are in day order)
+        order = np.lexsort((np.arange(len(ilen)), -ilen, iuser_idx))
+        heads = order[np.searchsorted(iuser_idx[order],
+                                      iuser_idx[iu_starts])]
+        n_max = np.add.reduceat(
+            (ilen == np.repeat(max_len,
+                               np.diff(np.append(iu_starts,
+                                                 len(ilen))))).astype(
+                np.int64), iu_starts)
+        return pa.table({
+            "user_id": pa.array(u[ustarts], type=pa.int64()),
+            "n_active_days": pa.array(ulens.astype(np.int64),
+                                      type=pa.int64()),
+            "longest_streak": pa.array(max_len.astype(np.int64),
+                                       type=pa.int64()),
+            "streak_start_day": pa.array(iday[heads], type=pa.int64()),
+            "n_max_streaks": pa.array(n_max, type=pa.int64()),
+        })
+
+    return tagged.groupby(PKEY).map_groups(kernel,
+                                           batch_format="pyarrow")

@@ -2616,3 +2616,35 @@ def test_seasonal_strength_bruteforce(ray_session):
             assert r["seasonal_strength"] == max(
                 0.0, 1.0 - float(vr) / float(vt))
             assert 0.0 <= r["seasonal_strength"] <= 1.0
+
+
+# ---------------------------------------------------------------- W38 ----
+def test_active_streak_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.windows import w38_active_streak
+
+    got = (w38_active_streak(SF).to_pandas()
+           .set_index("user_id").sort_index())
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    for uid, g in ev.groupby("user_id"):
+        days = sorted(set(g["day"]))
+        runs = []
+        start = days[0]
+        ln = 1
+        for a, b in zip(days, days[1:]):
+            if b - a == 1:
+                ln += 1
+            else:
+                runs.append((start, ln))
+                start, ln = b, 1
+        runs.append((start, ln))
+        best = max(r[1] for r in runs)
+        first_start = next(s for s, l in runs if l == best)
+        n_max = sum(1 for _, l in runs if l == best)
+        r = got.loc[uid]
+        assert int(r["n_active_days"]) == len(days)
+        assert int(r["longest_streak"]) == best
+        assert int(r["streak_start_day"]) == first_start
+        assert int(r["n_max_streaks"]) == n_max
