@@ -823,6 +823,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # W38 longest consecutive-active-day streak per user
         # (gaps-and-islands on the day grid)
         "w38_active_streak": wnd.w38_active_streak,
+        # V16 Jensen-Shannon divergence between source profiles
+        # (the information-theoretic member of the T12/V15 triad)
+        "v16_js_divergence": vb.v16_js_divergence,
         # W35 weekend/weekday contrast per type (exact totals,
         # pinned daily-mean ratio)
         "w35_weekend_contrast": q.w35_weekend_contrast,
@@ -3911,6 +3914,47 @@ def oracle_sql() -> dict[str, str]:
             FROM cp
         """,
         "a46_ljung_box": _ljung_box_sql(),
+        "v16_js_divergence": """
+            WITH ws AS (SELECT source,
+                               list_filter(string_split(text, ' '),
+                                           x -> x <> '') AS w
+                        FROM documents),
+            uni AS MATERIALIZED (
+                SELECT source, unnest(w) AS word FROM ws),
+            topk AS MATERIALIZED (
+                SELECT word FROM (
+                    SELECT word, CAST(count(*) AS BIGINT) AS n
+                    FROM uni GROUP BY word
+                    ORDER BY n DESC, word ASC LIMIT 20)),
+            tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                    FROM uni GROUP BY source),
+            c AS (SELECT u.source, u.word,
+                         CAST(count(*) AS BIGINT) AS c
+                  FROM uni u JOIN topk USING (word)
+                  GROUP BY u.source, u.word),
+            grid AS (SELECT t.source, k.word,
+                            CAST(COALESCE(c.c, 0) AS DOUBLE)
+                              / CAST(t.n AS DOUBLE) AS f
+                     FROM tot t CROSS JOIN topk k
+                     LEFT JOIN c ON c.source = t.source
+                                AND c.word = k.word),
+            f AS (SELECT a.source AS source_a, b.source AS source_b,
+                         list(CASE WHEN a.f > 0.0 THEN
+                                  a.f * ln(2.0 * a.f / (a.f + b.f))
+                              ELSE 0.0 END ORDER BY a.word) AS ta,
+                         list(CASE WHEN b.f > 0.0 THEN
+                                  b.f * ln(2.0 * b.f / (a.f + b.f))
+                              ELSE 0.0 END ORDER BY a.word) AS tb
+                  FROM grid a JOIN grid b
+                    ON a.word = b.word AND a.source < b.source
+                  GROUP BY a.source, b.source)
+            SELECT source_a, source_b,
+                   0.5 * list_reduce(list_prepend(0.0, ta),
+                                     (x, y) -> x + y)
+                   + 0.5 * list_reduce(list_prepend(0.0, tb),
+                                       (x, y) -> x + y) AS js
+            FROM f
+        """,
         "w38_active_streak": """
             WITH p AS (SELECT DISTINCT user_id,
                               CAST(epoch_us(ts) // 86400000000

@@ -2648,3 +2648,40 @@ def test_active_streak_bruteforce(ray_session):
         assert int(r["longest_streak"]) == best
         assert int(r["streak_start_day"]) == first_start
         assert int(r["n_max_streaks"]) == n_max
+
+
+# ---------------------------------------------------------------- V16 ----
+def test_js_divergence_bruteforce(ray_session):
+    import collections
+
+    from anomalydetection_ray.pipelines.vocab import v16_js_divergence
+
+    got = (v16_js_divergence(SF).to_pandas()
+           .set_index(["source_a", "source_b"]).sort_index())
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    uni = collections.Counter()
+    per = collections.defaultdict(collections.Counter)
+    tot = collections.Counter()
+    for _, r in docs.iterrows():
+        ws = [w for w in r["text"].split(" ") if w != ""]
+        uni.update(ws)
+        per[r["source"]].update(ws)
+        tot[r["source"]] += len(ws)
+    top = sorted(w for w, _ in sorted(uni.items(),
+                                      key=lambda kv: (-kv[1], kv[0]))[:20])
+    srcs = sorted(tot)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            acc_a = acc_b = 0.0
+            for w in top:
+                fa = float(per[a][w]) / float(tot[a])
+                fb = float(per[b][w]) / float(tot[b])
+                if fa > 0.0:
+                    acc_a += fa * math.log(2.0 * fa / (fa + fb))
+                if fb > 0.0:
+                    acc_b += fb * math.log(2.0 * fb / (fa + fb))
+            js = 0.5 * acc_a + 0.5 * acc_b
+            assert got.loc[(a, b), "js"] == js
+            assert -1e-12 <= got.loc[(a, b), "js"] <= math.log(2.0) + 1e-12
