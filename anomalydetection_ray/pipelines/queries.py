@@ -4749,7 +4749,12 @@ def g21_theil_index(sf_dir: str):
     is one final pinned division by float(n).
 
     Scale shape: G13's — one exchange keyed on the bounded source
-    domain; the kernel is a sort + one sequential fold."""
+    domain; the kernel is a sort + one sequential fold.  Documented
+    tradeoff: the fold is O(docs-per-source) SCALAR work because each
+    term's ln must be the libm call the DuckDB oracle makes (numpy's
+    SIMD log diverges by 1 ulp); a production deployment that does not
+    need bit-parity swaps the loop for np.log over the same order and
+    keeps everything else."""
     ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
 
     def per_source(group: pa.Table) -> pa.Table:
@@ -5321,7 +5326,8 @@ def a40_exp_gof(sf_dir: str):
             # pinned per-point CDF: SCALAR libm exp (numpy's SIMD exp
             # can diverge from libm by 1 ulp — the tfidf ln precedent);
             # per-series scalar work is the detector family's documented
-            # granularity (ESD/SHESD do the same)
+            # granularity (ESD/SHESD do the same).  Production swap when
+            # bit-parity is not needed: np.exp over the same vector.
             t = (n * g.astype(np.float64)) / float(total)
             f = np.asarray([1.0 - math.exp(-x) for x in t.tolist()],
                            dtype=np.float64)
