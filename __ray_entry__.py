@@ -826,6 +826,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # V16 Jensen-Shannon divergence between source profiles
         # (the information-theoretic member of the T12/V15 triad)
         "v16_js_divergence": vb.v16_js_divergence,
+        # D16 shared-prefix template detector (boilerplate headers
+        # whose tails diverge too much for MinHash)
+        "d16_prefix_groups": dd.d16_prefix_groups,
         # W35 weekend/weekday contrast per type (exact totals,
         # pinned daily-mean ratio)
         "w35_weekend_contrast": q.w35_weekend_contrast,
@@ -3914,6 +3917,17 @@ def oracle_sql() -> dict[str, str]:
             FROM cp
         """,
         "a46_ljung_box": _ljung_box_sql(),
+        "d16_prefix_groups": """
+            WITH p AS (SELECT substr(text, 1, 32) AS prefix, source
+                       FROM documents),
+            g AS (SELECT prefix,
+                         CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(count(DISTINCT source) AS BIGINT)
+                             AS n_sources
+                  FROM p GROUP BY prefix)
+            SELECT prefix, n_docs, n_sources
+            FROM g WHERE n_docs >= 2
+        """,
         "v16_js_divergence": """
             WITH ws AS (SELECT source,
                                list_filter(string_split(text, ' '),

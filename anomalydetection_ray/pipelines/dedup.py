@@ -1470,3 +1470,76 @@ def d15_minhash_calibration(sf_dir: str, n: int = 3):
         })
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def d16_prefix_groups(sf_dir: str, prefix_len: int = 32,
+                      num_partitions: int = 16):
+    """D16 — shared-prefix template detector: groups of documents whose
+    first ``prefix_len`` characters are identical (the boilerplate
+    header / generated-template signal that catches near-dups whose
+    TAILS diverge too much for MinHash).  Emits every prefix shared by
+    >= 2 docs with its doc count and distinct-source count.
+
+    Scale shape: the prefix IS the key — each block collapses to
+    distinct (prefix, doc-count, source-set partials), one prefix-keyed
+    exchange, vectorized run merge.  No text beyond ``prefix_len``
+    bytes ever ships."""
+    import functools
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from anomalydetection_ray.stages.runs import (PKEY, add_partition_key,
+                                                  run_starts)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        prefix = pc.utf8_slice_codeunits(text, 0, prefix_len)
+        t = pa.table({"prefix": prefix,
+                      "source": batch.column("source"),
+                      "one": pa.array(np.ones(batch.num_rows,
+                                              dtype=np.int64))})
+        g = t.group_by(["prefix", "source"]).aggregate([("one", "sum")])
+        return pa.table({"prefix": g.column("prefix"),
+                         "source": g.column("source"),
+                         "n": g.column("one_sum").cast(pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    tagged = partials.map_batches(
+        functools.partial(add_partition_key, keys=["prefix"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"prefix": pa.array([], type=pa.string()),
+                             "n_docs": pa.array([], type=pa.int64()),
+                             "n_sources": pa.array([], type=pa.int64())})
+        part = part.drop_columns([PKEY]).sort_by(
+            [("prefix", "ascending"), ("source", "ascending")])
+        n = part.num_rows
+        starts3 = run_starts(part, ["prefix", "source"])
+        cnt = np.add.reduceat(
+            np.asarray(part.column("n"), dtype=np.int64), starts3)
+        sub = part.take(pa.array(starts3, type=pa.int64()))
+        starts = run_starts(sub, ["prefix"])
+        span = np.diff(np.append(starts, sub.num_rows))
+        docs = np.add.reduceat(cnt, starts)
+        keep = docs >= 2
+        return pa.table({
+            "prefix": sub.column("prefix").take(
+                pa.array(starts, type=pa.int64())).filter(
+                pa.array(keep)),
+            "n_docs": pa.array(docs[keep], type=pa.int64()),
+            "n_sources": pa.array(span[keep].astype(np.int64),
+                                  type=pa.int64()),
+        })
+
+    return tagged.groupby(PKEY).map_groups(kernel,
+                                           batch_format="pyarrow")

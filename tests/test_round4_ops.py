@@ -2685,3 +2685,26 @@ def test_js_divergence_bruteforce(ray_session):
             js = 0.5 * acc_a + 0.5 * acc_b
             assert got.loc[(a, b), "js"] == js
             assert -1e-12 <= got.loc[(a, b), "js"] <= math.log(2.0) + 1e-12
+
+
+# ---------------------------------------------------------------- D16 ----
+def test_prefix_groups_bruteforce(ray_session):
+    import collections
+
+    from anomalydetection_ray.pipelines.dedup import d16_prefix_groups
+
+    got = (d16_prefix_groups(SF).to_pandas()
+           .set_index("prefix").sort_index())
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    per = collections.defaultdict(lambda: [0, set()])
+    for _, r in docs.iterrows():
+        p = r["text"][:32]
+        per[p][0] += 1
+        per[p][1].add(r["source"])
+    exp = {p: (n, len(srcs)) for p, (n, srcs) in per.items() if n >= 2}
+    assert set(got.index) == set(exp)
+    for p, (n, ns) in exp.items():
+        assert int(got.loc[p, "n_docs"]) == n
+        assert int(got.loc[p, "n_sources"]) == ns
