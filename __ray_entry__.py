@@ -829,6 +829,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # D16 shared-prefix template detector (boilerplate headers
         # whose tails diverge too much for MinHash)
         "d16_prefix_groups": dd.d16_prefix_groups,
+        # T18 lang-ID confusion matrix vs the ground-truth lang
+        # column (the evaluation family: score the heuristics)
+        "t18_langid_confusion": tx.t18_langid_confusion,
+        # K16 cluster purity vs embedding labels (evaluation family
+        # member two: score the clustering)
+        "k16_cluster_purity": km.k16_cluster_purity,
         # W35 weekend/weekday contrast per type (exact totals,
         # pinned daily-mean ratio)
         "w35_weekend_contrast": q.w35_weekend_contrast,
@@ -1512,7 +1518,8 @@ def _esd_sql(alpha: float = 0.05, max_n: int = 1024, k_steps: int = 12,
 
 def _kmeans_sql(k: int = 8, dim: int = 64, assign_only: bool = False,
                 centroid_pairs: bool = False,
-                cluster_counts: bool = False) -> str:
+                cluster_counts: bool = False,
+                label_purity: bool = False) -> str:
     """kmeans_train oracle: the 2-iteration fused Lloyd loop
     (pipelines/kmeans.py) unrolled in SQL.  Exactness rests on three
     pins shared with the engine: (a) the initial centroids are integral
@@ -1575,16 +1582,34 @@ def _kmeans_sql(k: int = 8, dim: int = 64, assign_only: bool = False,
         FROM asg2 a JOIN eq q USING (vec_id)
         CROSS JOIN range(1, {dim + 1}) t(pos)
         GROUP BY a.cid, t.pos)
-    {_kmeans_tail(dim, assign_only, centroid_pairs, cluster_counts)}
+    {_kmeans_tail(dim, assign_only, centroid_pairs, cluster_counts, label_purity)}
     """
 
 
 def _kmeans_tail(dim: int, assign_only: bool, centroid_pairs: bool,
-                 cluster_counts: bool = False) -> str:
+                 cluster_counts: bool = False,
+                 label_purity: bool = False) -> str:
     from anomalydetection_ray.pipelines.kmeans import ESCALE
 
     if assign_only:
         return "SELECT vec_id, CAST(cid AS BIGINT) AS cid, score FROM asg2"
+    if label_purity:
+        return """, lab AS (SELECT a.cid, CAST(e2.label AS BIGINT) AS label,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM asg2 a JOIN embeddings e2 USING (vec_id)
+             GROUP BY a.cid, e2.label),
+    tots AS (SELECT cid, CAST(sum(n) AS BIGINT) AS n_vecs
+             FROM lab GROUP BY cid),
+    tops AS (SELECT cid, label AS top_label, n AS top_count FROM (
+                 SELECT cid, label, n,
+                        row_number() OVER (PARTITION BY cid
+                            ORDER BY n DESC, label) AS rn
+                 FROM lab) WHERE rn = 1)
+    SELECT CAST(t.cid AS BIGINT) AS cid, t.n_vecs,
+           tops.top_label, tops.top_count,
+           CAST(tops.top_count AS DOUBLE) / CAST(t.n_vecs AS DOUBLE)
+               AS purity
+    FROM tots t JOIN tops USING (cid)"""
     if cluster_counts:
         return """, cc AS (SELECT cid, CAST(min(cnt) AS BIGINT) AS cnt
                FROM st2 GROUP BY cid),
@@ -3917,6 +3942,23 @@ def oracle_sql() -> dict[str, str]:
             FROM cp
         """,
         "a46_ljung_box": _ljung_box_sql(),
+        "t18_langid_confusion": f"""
+            WITH pl AS (SELECT doc_id, pred_lang
+                        FROM ({_langid_sql})),
+            j AS (SELECT d.lang, pl.pred_lang
+                  FROM documents d JOIN pl USING (doc_id)),
+            c AS (SELECT lang, pred_lang,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM j GROUP BY lang, pred_lang),
+            t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS tot
+                  FROM c GROUP BY lang)
+            SELECT c.lang, c.pred_lang, c.n,
+                   CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE)
+                       AS recall
+            FROM c JOIN t USING (lang)
+        """,
+        "k16_cluster_purity": _kmeans_sql(dim=_dim,
+                                          label_purity=True),
         "d16_prefix_groups": """
             WITH p AS (SELECT substr(text, 1, 32) AS prefix, source
                        FROM documents),

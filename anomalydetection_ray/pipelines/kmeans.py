@@ -623,3 +623,62 @@ def k15_cluster_balance(sf_dir: str, k: int = K_DEFAULT,
         "max_share": pa.array([max_share], type=pa.float64(),
                               from_pandas=True),
     }))
+
+
+def k16_cluster_purity(sf_dir: str, k: int = K_DEFAULT,
+                       iters: int = ITERS_DEFAULT,
+                       num_partitions: int = 16):
+    """K16 — cluster PURITY against the ground-truth labels: for every
+    trained K1 cluster, the majority label, its count, and
+    purity = top_count / n_vecs — the second member of the EVALUATION
+    family (T18 scores lang_id; this scores the clustering).  Low
+    purity with balanced sizes means the embedding space does not
+    separate the labels — a finding about the DATA, which is the point.
+
+    Scale shape: K3's map-only assignment + ONE co-partitioned label
+    attach; per-(cid, label) counts collapse per block (<= k x |labels|
+    rows), the majority argmax runs on that bounded grid.  Ties break
+    to the smallest label on both sides."""
+    import ray.data
+
+    from anomalydetection_ray.stages.join import copartition_attach
+
+    asg = kmeans_assign(sf_dir, k=k, iters=iters)
+    labels = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                   columns=["vec_id", "label"])
+    with_lab = copartition_attach(asg, labels, "vec_id", "vec_id",
+                                  ["label"],
+                                  num_partitions=num_partitions)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"cid": batch.column("cid").cast(pa.int64()),
+                      "label": batch.column("label").cast(pa.int64()),
+                      "one": pa.array(np.ones(batch.num_rows,
+                                              dtype=np.int64))})
+        g = t.group_by(["cid", "label"]).aggregate([("one", "sum")])
+        return pa.table({"cid": g.column("cid"),
+                         "label": g.column("label"),
+                         "n": g.column("one_sum").cast(pa.int64())})
+
+    counts = (with_lab.map_batches(partial, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+              .groupby(["cid", "label"]).sum("n"))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        cid = int(group.column("cid")[0].as_py())
+        lab = np.asarray(group.column("label"), dtype=np.int64)
+        n = np.asarray(group.column("sum(n)"), dtype=np.int64)
+        tot = int(n.sum())
+        order = np.lexsort((lab, -n))
+        top = order[0]
+        return pa.table({
+            "cid": pa.array([cid], type=pa.int64()),
+            "n_vecs": pa.array([tot], type=pa.int64()),
+            "top_label": pa.array([int(lab[top])], type=pa.int64()),
+            "top_count": pa.array([int(n[top])], type=pa.int64()),
+            "purity": pa.array([float(int(n[top])) / float(tot)],
+                               type=pa.float64()),
+        })
+
+    return counts.groupby("cid").map_groups(finalize,
+                                            batch_format="pyarrow")

@@ -784,3 +784,52 @@ def t17_dup_sentence_share(sf_dir: str, num_partitions: int = 16):
         })
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def t18_langid_confusion(sf_dir: str):
+    """T18 — language-ID CONFUSION MATRIX: the n-gram lang_id detector's
+    predictions crossed against the corpus' ground-truth ``lang`` column
+    — per (true lang, predicted lang) doc counts plus the per-true-lang
+    recall.  The first member of the EVALUATION family: the engine does
+    not just run its heuristics, it scores them against labels the same
+    distributed way it runs everything else.
+
+    Scale shape: the lang_id kernel and the confusion rollup fuse into
+    ONE map pass (text read once), each block collapsing to <= |langs|^2
+    partial rows before one bounded exchange; recall is a pinned
+    division."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pred = lang_id_batch(batch).column("pred_lang")
+        t = pa.table({"lang": batch.column("lang"),
+                      "pred_lang": pred,
+                      "one": pa.array(np.ones(batch.num_rows,
+                                              dtype=np.int64))})
+        g = t.group_by(["lang", "pred_lang"]).aggregate([("one", "sum")])
+        return pa.table({"lang": g.column("lang"),
+                         "pred_lang": g.column("pred_lang"),
+                         "n": g.column("one_sum").cast(pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["lang", "pred_lang"]).sum("n"))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        lang = group.column("lang")[0].as_py()
+        pred = group.column("pred_lang")
+        n = np.asarray(group.column("sum(n)"), dtype=np.int64)
+        tot = int(n.sum())
+        return pa.table({
+            "lang": pa.array([lang] * len(n), type=pa.string()),
+            "pred_lang": pred,
+            "n": pa.array(n, type=pa.int64()),
+            "recall": pa.array(n.astype(np.float64) / np.float64(tot),
+                               type=pa.float64()),
+        })
+
+    return agg.groupby("lang").map_groups(finalize,
+                                          batch_format="pyarrow")

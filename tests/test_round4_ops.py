@@ -2708,3 +2708,59 @@ def test_prefix_groups_bruteforce(ray_session):
     for p, (n, ns) in exp.items():
         assert int(got.loc[p, "n_docs"]) == n
         assert int(got.loc[p, "n_sources"]) == ns
+
+
+# ---------------------------------------------------------------- T18 ----
+def test_langid_confusion_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.text import (lang_id_batch,
+                                                     t18_langid_confusion)
+
+    got = (t18_langid_confusion(SF).to_pandas()
+           .set_index(["lang", "pred_lang"]).sort_index())
+
+    docs = pq.read_table(f"{SF}/documents.parquet")
+    pred = lang_id_batch(docs).to_pandas()
+    import pandas as pd
+
+    df = pd.DataFrame({"lang": docs.column("lang").to_pandas(),
+                       "pred_lang": pred["pred_lang"]})
+    exp = df.groupby(["lang", "pred_lang"]).size()
+    tot = df.groupby("lang").size()
+    assert len(got) == len(exp)
+    for (l, p), n in exp.items():
+        r = got.loc[(l, p)]
+        assert int(r["n"]) == int(n)
+        assert r["recall"] == float(n) / float(tot[l])
+    # recall rows per true lang sum to 1
+    s = got.groupby("lang")["recall"].sum()
+    assert ((s - 1.0).abs() < 1e-9).all()
+
+
+# ---------------------------------------------------------------- K16 ----
+def test_cluster_purity_consistent_with_assign(ray_session):
+    import collections
+
+    from anomalydetection_ray.pipelines.kmeans import (k16_cluster_purity,
+                                                       kmeans_assign)
+
+    got = (k16_cluster_purity(SF).to_pandas()
+           .set_index("cid").sort_index())
+    asg = kmeans_assign(SF).to_pandas()
+    emb = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "label"]).to_pandas()
+    lab = dict(zip(emb["vec_id"], emb["label"]))
+
+    per = collections.defaultdict(collections.Counter)
+    for _, r in asg.iterrows():
+        per[int(r["cid"])][int(lab[r["vec_id"]])] += 1
+    assert set(got.index) == set(per)
+    for cid, cnt in per.items():
+        tot = sum(cnt.values())
+        top_label, top_count = sorted(cnt.items(),
+                                      key=lambda kv: (-kv[1], kv[0]))[0]
+        r = got.loc[cid]
+        assert int(r["n_vecs"]) == tot
+        assert int(r["top_label"]) == top_label
+        assert int(r["top_count"]) == top_count
+        assert r["purity"] == float(top_count) / float(tot)
+        assert 0.0 < r["purity"] <= 1.0
