@@ -327,6 +327,12 @@ def _a9_autocorr(sf_dir: str, lag: int = 24):
     )
 
 
+def _k17_ann_recall(sf_dir: str):
+    from anomalydetection_ray.pipelines.similarity import k17_ann_recall
+
+    return k17_ann_recall(sf_dir)
+
+
 def _x7_degree_assortativity(sf_dir: str):
     from anomalydetection_ray.pipelines.dedup import minhash_lsh_pairs
     from anomalydetection_ray.stages.cc import degree_assortativity
@@ -835,6 +841,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # K16 cluster purity vs embedding labels (evaluation family
         # member two: score the clustering)
         "k16_cluster_purity": km.k16_cluster_purity,
+        # K17 ANN recall@k (evaluation family #3: LSH index vs the
+        # exact brute-force top-k)
+        "k17_ann_recall": _k17_ann_recall,
         # W35 weekend/weekday contrast per type (exact totals,
         # pinned daily-mean ratio)
         "w35_weekend_contrast": q.w35_weekend_contrast,
@@ -3942,6 +3951,21 @@ def oracle_sql() -> dict[str, str]:
             FROM cp
         """,
         "a46_ljung_box": _ljung_box_sql(),
+        "k17_ann_recall": f"""
+            WITH exact AS (
+                SELECT vec_id FROM (
+                    SELECT vec_id,
+                           list_cosine_similarity(embedding,
+                               (SELECT embedding FROM embeddings
+                                WHERE vec_id = 0)) AS sim
+                    FROM embeddings WHERE vec_id <> 0
+                ) t ORDER BY sim DESC, vec_id LIMIT 10),
+            approx AS (SELECT vec_id FROM ({_ann_lsh_sql(dim=_dim)}))
+            SELECT CAST(10 AS BIGINT) AS k,
+                   CAST(count(*) AS BIGINT) AS n_common,
+                   CAST(count(*) AS DOUBLE) / 10.0 AS recall
+            FROM exact JOIN approx USING (vec_id)
+        """,
         "t18_langid_confusion": f"""
             WITH pl AS (SELECT doc_id, pred_lang
                         FROM ({_langid_sql})),

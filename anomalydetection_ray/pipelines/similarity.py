@@ -255,3 +255,30 @@ def ann_topk_ivf(sf_dir: str, query_id: int = 0, k: int = 10,
         return ann_topk_bruteforce(sf_dir, query_id, k)
     q = q_raw / max(np.linalg.norm(q_raw), 1e-30)
     return _rerank_pruned(paths, q, query_id, k)
+
+
+def k17_ann_recall(sf_dir: str, query_id: int = 0, k: int = 10):
+    """K17 — ANN index RECALL@k (evaluation family #3): the LSH index's
+    top-k for the query vector scored against the exact brute-force
+    top-k — the one number an ANN deployment is accepted or rejected
+    on.  recall = |lsh_set INTERSECT exact_set| / k, an exact integer
+    ratio.
+
+    Scale shape: both sides are the existing pipelines (persisted
+    bucket-pruned probe vs brute scan); the comparison is a k-row set
+    intersection on the driver — O(k) metadata work by construction."""
+    import ray.data
+
+    exact = {int(r["vec_id"])
+             for r in ann_topk_bruteforce(sf_dir, query_id=query_id,
+                                          k=k).take_all()}
+    approx = {int(r["vec_id"])
+              for r in ann_topk_lsh(sf_dir, query_id=query_id,
+                                    k=k).take_all()}
+    n_common = len(exact & approx)
+    return ray.data.from_arrow(pa.table({
+        "k": pa.array([k], type=pa.int64()),
+        "n_common": pa.array([n_common], type=pa.int64()),
+        "recall": pa.array([float(n_common) / float(k)],
+                           type=pa.float64()),
+    }))

@@ -2764,3 +2764,21 @@ def test_cluster_purity_consistent_with_assign(ray_session):
         assert int(r["top_count"]) == top_count
         assert r["purity"] == float(top_count) / float(tot)
         assert 0.0 < r["purity"] <= 1.0
+
+
+# ---------------------------------------------------------------- K17 ----
+def test_ann_recall_consistent(ray_session):
+    from anomalydetection_ray.pipelines.similarity import (
+        ann_topk_bruteforce, ann_topk_lsh, k17_ann_recall)
+
+    got = k17_ann_recall(SF).to_pandas().iloc[0]
+    exact = {int(r["vec_id"])
+             for r in ann_topk_bruteforce(SF).take_all()}
+    approx = {int(r["vec_id"]) for r in ann_topk_lsh(SF).take_all()}
+    n = len(exact & approx)
+    assert int(got["k"]) == 10
+    assert int(got["n_common"]) == n
+    assert got["recall"] == float(n) / 10.0
+    # at sf0.001 the tiny corpus gets few planes -> coarse buckets;
+    # the exact VALUE is the contract, the band is only an anti-zero guard
+    assert got["recall"] >= 0.1
