@@ -844,6 +844,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # K17 ANN recall@k (evaluation family #3: LSH index vs the
         # exact brute-force top-k)
         "k17_ann_recall": _k17_ann_recall,
+        # A49 Brown-Forsythe variance-equality (volatility drift
+        # between day-parity halves; exact-int closed-form F)
+        "a49_brown_forsythe": q.a49_brown_forsythe,
         # W35 weekend/weekday contrast per type (exact totals,
         # pinned daily-mean ratio)
         "w35_weekend_contrast": q.w35_weekend_contrast,
@@ -3951,6 +3954,49 @@ def oracle_sql() -> dict[str, str]:
             FROM cp
         """,
         "a46_ljung_box": _ljung_box_sql(),
+        "a49_brown_forsythe": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+              FROM events),
+            d AS MATERIALIZED (
+              SELECT event_type, day, day % 2 AS par,
+                     CAST(sum(v100) AS BIGINT) AS x
+              FROM e GROUP BY event_type, day),
+            md AS (SELECT event_type, par,
+                          CAST(2 * median(x) AS BIGINT) AS med2
+                   FROM d GROUP BY event_type, par),
+            z AS MATERIALIZED (
+              SELECT d.event_type, d.par,
+                     CAST(abs(2 * d.x - md.med2) AS BIGINT) AS z
+              FROM d JOIN md USING (event_type, par)),
+            g AS (SELECT event_type, par,
+                         CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(z) AS BIGINT) AS s,
+                         CAST(count(*) * sum(z * z) - sum(z) * sum(z)
+                              AS BIGINT) AS w
+                  FROM z GROUP BY event_type, par),
+            p AS (SELECT event_type,
+                         max(CASE WHEN par = 0 THEN n END) AS n1,
+                         max(CASE WHEN par = 0 THEN s END) AS s1,
+                         max(CASE WHEN par = 0 THEN w END) AS w1,
+                         max(CASE WHEN par = 1 THEN n END) AS n2,
+                         max(CASE WHEN par = 1 THEN s END) AS s2,
+                         max(CASE WHEN par = 1 THEN w END) AS w2
+                  FROM g GROUP BY event_type)
+            SELECT event_type,
+                   CAST(n1 AS BIGINT) AS n_even,
+                   CAST(n2 AS BIGINT) AS n_odd,
+                   CASE WHEN n1 >= 2 AND n2 >= 2
+                         AND (n1 + n2) * (n2 * w1 + n1 * w2) > 0 THEN
+                     CAST((n1 + n2 - 2) * (n2 * s1 - n1 * s2)
+                          * (n2 * s1 - n1 * s2) AS DOUBLE)
+                       / CAST((n1 + n2) * (n2 * w1 + n1 * w2)
+                              AS DOUBLE)
+                   END AS f_bf
+            FROM p
+        """,
         "k17_ann_recall": f"""
             WITH exact AS (
                 SELECT vec_id FROM (

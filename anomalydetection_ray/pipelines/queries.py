@@ -6629,3 +6629,78 @@ def a48_seasonal_strength(sf_dir: str):
 
     return daily.groupby("event_type").map_groups(
         finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- A49 ----
+def a49_brown_forsythe(sf_dir: str):
+    """A49 — Brown–Forsythe variance-equality test (Brown & Forsythe
+    1974) per event type between the even- and odd-parity days of the
+    daily cent-total series: ANOVA on |x - group median| — A38 asks
+    "did the LEVEL shift between the halves?", this asks "did the
+    VOLATILITY shift?" (robust to non-normality because it centers on
+    medians).
+
+    Exactness: group medians of ints are exact halves, so DOUBLED
+    absolute deviations z = |2x - 2*median| are exact ints, and for
+    k = 2 groups the F statistic collapses to the all-integer closed
+    form  F = (N-2) * d^2 / (N * (n2*W1 + n1*W2))  with
+    d = n2*s1 - n1*s2 and W_g = n_g*SUM z^2 - s_g^2 — one pinned
+    int->double division (the doubling cancels).
+
+    Scale shape: A35-family bounded daily grid."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()), dtype=np.int64)
+        day = us // 86_400_000_000
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        v100 = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(day, type=pa.int64()),
+                      "v100": pa.array(v100, type=pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate([("v100", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "x": g.column("v100_sum").cast(pa.int64())})
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["event_type", "day"]).sum("x"))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        day = np.asarray(group.column("day"), dtype=np.int64)
+        x = np.asarray(group.column("sum(x)"), dtype=np.int64)
+        even = (day % 2) == 0
+        stats = []
+        for sel in (even, ~even):
+            vals = np.sort(x[sel])
+            m = len(vals)
+            if m == 0:
+                stats.append((0, 0, 0))
+                continue
+            med2 = (2 * int(vals[m // 2]) if m % 2 == 1
+                    else int(vals[m // 2 - 1]) + int(vals[m // 2]))
+            z = [abs(2 * int(v) - med2) for v in x[sel]]
+            s = sum(z)
+            w = m * sum(v * v for v in z) - s * s
+            stats.append((m, s, w))
+        (n1, s1, w1), (n2, s2, w2) = stats
+        big_n = n1 + n2
+        if n1 >= 2 and n2 >= 2:
+            d = n2 * s1 - n1 * s2
+            f_num = (big_n - 2) * d * d
+            f_den = big_n * (n2 * w1 + n1 * w2)
+            fstat = float(f_num) / float(f_den) if f_den > 0 else None
+        else:
+            fstat = None
+        return pa.table({
+            "event_type": pa.array([et], type=pa.string()),
+            "n_even": pa.array([n1], type=pa.int64()),
+            "n_odd": pa.array([n2], type=pa.int64()),
+            "f_bf": pa.array([fstat], type=pa.float64(),
+                             from_pandas=True),
+        })
+
+    return daily.groupby("event_type").map_groups(
+        finalize, batch_format="pyarrow")

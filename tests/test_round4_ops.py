@@ -2782,3 +2782,45 @@ def test_ann_recall_consistent(ray_session):
     # at sf0.001 the tiny corpus gets few planes -> coarse buckets;
     # the exact VALUE is the contract, the band is only an anti-zero guard
     assert got["recall"] >= 0.1
+
+
+# ---------------------------------------------------------------- A49 ----
+def test_brown_forsythe_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.queries import a49_brown_forsythe
+
+    got = (a49_brown_forsythe(SF).to_pandas()
+           .set_index("event_type").sort_index())
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts", "value"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    ev["v100"] = np.floor(ev["value"] * 100.0 + 0.5).astype(np.int64)
+    for et, g in ev.groupby("event_type"):
+        daily = g.groupby("day")["v100"].sum().sort_index()
+        day = daily.index.to_numpy()
+        x = daily.to_numpy()
+        stats = []
+        for sel in ((day % 2) == 0, (day % 2) == 1):
+            vals = np.sort(x[sel])
+            m = len(vals)
+            med2 = (2 * int(vals[m // 2]) if m % 2 == 1
+                    else int(vals[m // 2 - 1]) + int(vals[m // 2]))
+            z = [abs(2 * int(v) - med2) for v in x[sel]]
+            s = sum(z)
+            stats.append((m, s, m * sum(v * v for v in z) - s * s))
+        (n1, s1, w1), (n2, s2, w2) = stats
+        big_n = n1 + n2
+        d = n2 * s1 - n1 * s2
+        f_num = (big_n - 2) * d * d
+        f_den = big_n * (n2 * w1 + n1 * w2)
+        r = got.loc[et]
+        assert int(r["n_even"]) == n1 and int(r["n_odd"]) == n2
+        if f_den > 0:
+            assert r["f_bf"] == float(f_num) / float(f_den)
+            # cross-check against scipy-free two-group ANOVA on |dev|
+            za = [abs(2 * int(v) - (2 * int(np.sort(x[(day % 2) == 0])
+                  [n1 // 2]) if n1 % 2 == 1 else
+                  int(np.sort(x[(day % 2) == 0])[n1 // 2 - 1])
+                  + int(np.sort(x[(day % 2) == 0])[n1 // 2])))
+                  for v in x[(day % 2) == 0]]
+            assert r["f_bf"] >= 0.0
