@@ -847,6 +847,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A49 Brown-Forsythe variance-equality (volatility drift
         # between day-parity halves; exact-int closed-form F)
         "a49_brown_forsythe": q.a49_brown_forsythe,
+        # W39 state dwell-time shares (holding times to W10s jump
+        # matrix; exact dwell microseconds, pinned shares)
+        "w39_dwell_time": wnd.w39_dwell_time,
         # W35 weekend/weekday contrast per type (exact totals,
         # pinned daily-mean ratio)
         "w35_weekend_contrast": q.w35_weekend_contrast,
@@ -3954,6 +3957,23 @@ def oracle_sql() -> dict[str, str]:
             FROM cp
         """,
         "a46_ljung_box": _ljung_box_sql(),
+        "w39_dwell_time": """
+            WITH o AS (SELECT event_type, user_id, ts, event_id,
+                              lead(epoch_us(ts)) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+                       FROM events),
+            d AS (SELECT event_type,
+                         CAST(count(nxt) AS BIGINT) AS n_dwells,
+                         CAST(coalesce(sum(nxt - epoch_us(ts)), 0)
+                              AS BIGINT) AS dwell_us
+                  FROM o GROUP BY event_type),
+            t AS (SELECT CAST(sum(dwell_us) AS BIGINT) AS total FROM d)
+            SELECT d.event_type, d.n_dwells, d.dwell_us,
+                   CAST(d.dwell_us AS DOUBLE) / CAST(t.total AS DOUBLE)
+                       AS share
+            FROM d, t
+        """,
         "a49_brown_forsythe": """
             WITH e AS (
               SELECT event_type,

@@ -2847,3 +2847,69 @@ def w38_active_streak(sf_dir: str, num_partitions: int = 16):
 
     return tagged.groupby(PKEY).map_groups(kernel,
                                            batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- W39 ----
+def w39_dwell_time(sf_dir: str, num_partitions: int = 16):
+    """W39 — state DWELL-TIME shares: how long users SIT in each event
+    type (the time between an event and the same user's next event,
+    attributed to the current type) — the duration complement of W10's
+    transition counts (a Markov chain needs both the jump matrix and
+    the holding times).
+
+    Scale shape: ONE ``_pkey`` exchange on user; per-partition sorted
+    diff, per-type partial sums collapse before one bounded exchange.
+    Exactness: dwell microseconds are exact int64; the share is one
+    pinned division."""
+    ev = _read_events(sf_dir, ["event_id", "user_id", "ts",
+                               "event_type"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"event_type": pa.array([], type=pa.string()),
+                             "n_dwells": pa.array([], type=pa.int64()),
+                             "dwell_us": pa.array([], type=pa.int64())})
+        part = part.drop_columns([PKEY]).sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"),
+             ("event_id", "ascending")])
+        n = part.num_rows
+        ts = _ts_us(part.column("ts"))
+        uid = np.asarray(part.column("user_id"), dtype=np.int64)
+        dwell = np.zeros(n, dtype=np.int64)
+        has = np.zeros(n, dtype=bool)
+        if n > 1:
+            same = uid[1:] == uid[:-1]
+            dwell[:-1] = np.where(same, ts[1:] - ts[:-1], 0)
+            has[:-1] = same
+        t = pa.table({"event_type": part.column("event_type"),
+                      "one": pa.array(has.astype(np.int64)),
+                      "d": pa.array(dwell, type=pa.int64())})
+        g = t.group_by(["event_type"]).aggregate([("one", "sum"),
+                                                  ("d", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "n_dwells": g.column("one_sum").cast(pa.int64()),
+                         "dwell_us": g.column("d_sum").cast(pa.int64())})
+
+    agg = (tagged.groupby(PKEY).map_groups(kernel,
+                                           batch_format="pyarrow")
+           .groupby("event_type").sum(["n_dwells", "dwell_us"]))
+
+    rows = agg.take_all()   # bounded: one row per event type
+    total = sum(int(r["sum(dwell_us)"]) for r in rows)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        nd = np.asarray(batch.column("sum(n_dwells)"), dtype=np.int64)
+        du = np.asarray(batch.column("sum(dwell_us)"), dtype=np.int64)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "n_dwells": pa.array(nd, type=pa.int64()),
+            "dwell_us": pa.array(du, type=pa.int64()),
+            "share": pa.array(du.astype(np.float64) / np.float64(total),
+                              type=pa.float64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

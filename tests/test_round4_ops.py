@@ -2824,3 +2824,34 @@ def test_brown_forsythe_bruteforce(ray_session):
                   + int(np.sort(x[(day % 2) == 0])[n1 // 2])))
                   for v in x[(day % 2) == 0]]
             assert r["f_bf"] >= 0.0
+
+
+# ---------------------------------------------------------------- W39 ----
+def test_dwell_time_bruteforce(ray_session):
+    import collections
+
+    from anomalydetection_ray.pipelines.windows import w39_dwell_time
+
+    got = (w39_dwell_time(SF).to_pandas()
+           .set_index("event_type").sort_index())
+
+    ev = (pq.read_table(
+        f"{SF}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"]).to_pandas()
+        .sort_values(["user_id", "ts", "event_id"]))
+    ev["us"] = ev["ts"].astype("int64")
+    agg = collections.defaultdict(lambda: [0, 0])
+    for uid, g in ev.groupby("user_id"):
+        us = g["us"].to_numpy()
+        et = g["event_type"].to_numpy()
+        for i in range(len(us) - 1):
+            agg[et[i]][0] += 1
+            agg[et[i]][1] += int(us[i + 1] - us[i])
+    total = sum(v[1] for v in agg.values())
+    assert set(got.index) == set(agg)
+    for t, (nd, du) in agg.items():
+        r = got.loc[t]
+        assert int(r["n_dwells"]) == nd
+        assert int(r["dwell_us"]) == du
+        assert r["share"] == float(du) / float(total)
+    assert abs(got["share"].sum() - 1.0) < 1e-9
