@@ -850,6 +850,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # W39 state dwell-time shares (holding times to W10s jump
         # matrix; exact dwell microseconds, pinned shares)
         "w39_dwell_time": wnd.w39_dwell_time,
+        # X8 source homophily of the dup graph (Newman category
+        # mixing; D9s scalar summary with an expected baseline)
+        "x8_source_homophily": dd.x8_source_homophily,
         # W35 weekend/weekday contrast per type (exact totals,
         # pinned daily-mean ratio)
         "w35_weekend_contrast": q.w35_weekend_contrast,
@@ -3957,6 +3960,40 @@ def oracle_sql() -> dict[str, str]:
             FROM cp
         """,
         "a46_ljung_box": _ljung_box_sql(),
+        "x8_source_homophily": f"""
+            WITH {_minhash_cte(0.5)},
+            lab AS MATERIALIZED (
+                SELECT da.source AS sa, db.source AS sb
+                FROM mh_pairs p
+                JOIN documents da ON da.doc_id = p.doc_a
+                JOIN documents db ON db.doc_id = p.doc_b),
+            ec AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+                          CAST(count(*) FILTER (WHERE sa = sb)
+                               AS BIGINT) AS n_same
+                   FROM lab),
+            ends AS (SELECT source, CAST(count(*) AS BIGINT) AS c
+                     FROM (SELECT sa AS source FROM lab
+                           UNION ALL SELECT sb FROM lab)
+                     GROUP BY source),
+            ex AS (SELECT list_reduce(list_prepend(0.0,
+                       list((CAST(c AS DOUBLE)
+                             / CAST(2 * (SELECT n_edges FROM ec)
+                                    AS DOUBLE))
+                            * (CAST(c AS DOUBLE)
+                               / CAST(2 * (SELECT n_edges FROM ec)
+                                      AS DOUBLE))
+                            ORDER BY source)),
+                       (x, y) -> x + y) AS expected
+                   FROM ends)
+            SELECT ec.n_edges, ec.n_same AS n_same_source,
+                   CAST(ec.n_same AS DOUBLE)
+                     / CAST(ec.n_edges AS DOUBLE) AS e_same,
+                   ex.expected,
+                   (CAST(ec.n_same AS DOUBLE)
+                      / CAST(ec.n_edges AS DOUBLE) - ex.expected)
+                     / (1.0 - ex.expected) AS q_homophily
+            FROM ec, ex
+        """,
         "w39_dwell_time": """
             WITH o AS (SELECT event_type, user_id, ts, event_id,
                               lead(epoch_us(ts)) OVER (

@@ -1543,3 +1543,96 @@ def d16_prefix_groups(sf_dir: str, prefix_len: int = 32,
 
     return tagged.groupby(PKEY).map_groups(kernel,
                                            batch_format="pyarrow")
+
+
+def x8_source_homophily(sf_dir: str, min_est: float = 0.5):
+    """X8 — source HOMOPHILY of the near-dup graph (Newman 2003
+    category mixing): the fraction of dup edges whose endpoints share a
+    source, against the expected fraction under independent endpoint
+    mixing (sum of squared endpoint-source shares), summarized by the
+    assortativity-style Q = (e_same - expected) / (1 - expected) — Q
+    near 1 means duplication is an intra-source phenomenon (templates),
+    Q near 0 means cross-source copying dominates.  The scalar summary
+    of D9's matrix.
+
+    Exactness: edge counts and endpoint-source counts are exact ints;
+    expected = a pinned fold over sources (alphabetical) of
+    (float(c_s)/float(2E))^2; e_same and Q are pinned divisions.
+
+    Scale shape: D9's bounded matrix machinery — here only the edge
+    endpoints' source labels flow (two co-partitioned lookups), then
+    per-block partial counts collapse to the bounded source domain."""
+    import math
+
+    import ray.data
+
+    pairs = minhash_lsh_pairs(sf_dir, min_est=min_est).select_columns(
+        ["doc_a", "doc_b"])
+    src = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "source"])
+    from anomalydetection_ray.stages.join import copartition_attach
+
+    with_a = copartition_attach(pairs, src, "doc_a", "doc_id",
+                                ["source"])
+    with_a = with_a.map_batches(
+        lambda b: pa.table({"doc_b": b.column("doc_b"),
+                            "src_a": b.column("source")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    with_ab = copartition_attach(with_a, src, "doc_b", "doc_id",
+                                 ["source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sa = np.asarray(batch.column("src_a"), dtype=object)
+        sb = np.asarray(batch.column("source"), dtype=object)
+        same = (sa == sb).astype(np.int64)
+        # endpoint-source counts (both ends)
+        ends = np.concatenate([sa, sb])
+        uniq, cnt = np.unique(ends.astype(str), return_counts=True)
+        t1 = pa.table({"kind": pa.array(["edge"] * 1),
+                       "n_edges": pa.array([batch.num_rows],
+                                           type=pa.int64()),
+                       "n_same": pa.array([int(same.sum())],
+                                          type=pa.int64())})
+        t2 = pa.table({"source": pa.array(list(uniq), type=pa.string()),
+                       "n_ends": pa.array(cnt.astype(np.int64),
+                                          type=pa.int64())})
+        # two relations in one union-friendly schema
+        return pa.table({
+            "source": pa.concat_arrays([
+                pa.array(["\x00edges"], type=pa.string()),
+                t2.column("source").combine_chunks()]),
+            "a": pa.concat_arrays([
+                pa.array([batch.num_rows], type=pa.int64()),
+                t2.column("n_ends").combine_chunks()]),
+            "b": pa.concat_arrays([
+                pa.array([int(same.sum())], type=pa.int64()),
+                pa.array(np.zeros(len(uniq), dtype=np.int64))]),
+        })
+
+    agg = (with_ab.map_batches(partial, batch_format="pyarrow")
+           .groupby("source").sum(["a", "b"]).take_all())
+    n_edges = n_same = 0
+    ends = {}
+    for r in agg:
+        if r["source"] == "\x00edges":
+            n_edges = int(r["sum(a)"])
+            n_same = int(r["sum(b)"])
+        else:
+            ends[r["source"]] = int(r["sum(a)"])
+    tot_ends = 2 * n_edges
+    expected = 0.0
+    for s in sorted(ends):                # alphabetical pinned fold
+        p = float(ends[s]) / float(tot_ends)
+        expected = expected + p * p
+    e_same = float(n_same) / float(n_edges) if n_edges else None
+    q = ((e_same - expected) / (1.0 - expected)
+         if n_edges and expected < 1.0 else None)
+    return ray.data.from_arrow(pa.table({
+        "n_edges": pa.array([n_edges], type=pa.int64()),
+        "n_same_source": pa.array([n_same], type=pa.int64()),
+        "e_same": pa.array([e_same], type=pa.float64(),
+                           from_pandas=True),
+        "expected": pa.array([expected], type=pa.float64()),
+        "q_homophily": pa.array([q], type=pa.float64(),
+                                from_pandas=True),
+    }))

@@ -2855,3 +2855,36 @@ def test_dwell_time_bruteforce(ray_session):
         assert int(r["dwell_us"]) == du
         assert r["share"] == float(du) / float(total)
     assert abs(got["share"].sum() - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------- X8 ----
+def test_source_homophily_bruteforce(ray_session):
+    import collections
+
+    from anomalydetection_ray.pipelines.dedup import (minhash_lsh_pairs,
+                                                      x8_source_homophily)
+
+    got = x8_source_homophily(SF).to_pandas().iloc[0]
+    pairs = minhash_lsh_pairs(SF, min_est=0.5).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "source"]).to_pandas()
+    src = dict(zip(docs["doc_id"], docs["source"]))
+
+    n_edges = len(pairs)
+    n_same = sum(1 for _, r in pairs.iterrows()
+                 if src[r["doc_a"]] == src[r["doc_b"]])
+    ends = collections.Counter()
+    for _, r in pairs.iterrows():
+        ends[src[r["doc_a"]]] += 1
+        ends[src[r["doc_b"]]] += 1
+    expected = 0.0
+    for s in sorted(ends):
+        p = float(ends[s]) / float(2 * n_edges)
+        expected = expected + p * p
+    assert int(got["n_edges"]) == n_edges
+    assert int(got["n_same_source"]) == n_same
+    e_same = float(n_same) / float(n_edges)
+    assert got["e_same"] == e_same
+    assert got["expected"] == expected
+    assert got["q_homophily"] == (e_same - expected) / (1.0 - expected)
+    assert -1.0 <= got["q_homophily"] <= 1.0
