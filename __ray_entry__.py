@@ -853,6 +853,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # X8 source homophily of the dup graph (Newman category
         # mixing; D9s scalar summary with an expected baseline)
         "x8_source_homophily": dd.x8_source_homophily,
+        # G27 daily acquisitions + cumulative users (W36 cohort
+        # sizes on the day grid)
+        "g27_daily_new_users": q.g27_daily_new_users,
         # W35 weekend/weekday contrast per type (exact totals,
         # pinned daily-mean ratio)
         "w35_weekend_contrast": q.w35_weekend_contrast,
@@ -3960,6 +3963,19 @@ def oracle_sql() -> dict[str, str]:
             FROM cp
         """,
         "a46_ljung_box": _ljung_box_sql(),
+        "g27_daily_new_users": """
+            WITH f AS (SELECT user_id,
+                              CAST(min(epoch_us(ts) // 86400000000)
+                                   AS BIGINT) AS day
+                       FROM events GROUP BY user_id),
+            c AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new_users
+                  FROM f GROUP BY day)
+            SELECT day, n_new_users,
+                   CAST(sum(n_new_users) OVER (ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS cum_users
+            FROM c
+        """,
         "x8_source_homophily": f"""
             WITH {_minhash_cte(0.5)},
             lab AS MATERIALIZED (

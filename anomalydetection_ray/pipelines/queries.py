@@ -6704,3 +6704,62 @@ def a49_brown_forsythe(sf_dir: str):
 
     return daily.groupby("event_type").map_groups(
         finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- G27 ----
+def g27_daily_new_users(sf_dir: str, num_partitions: int = 16):
+    """G27 — daily ACQUISITIONS: per day, how many users had their
+    first-ever event that day (plus the running cumulative user count)
+    — the top line of every growth dashboard, and W36's cohort sizes on
+    the day grid.
+
+    Scale shape: per-block (user, min day) partials -> per-user min via
+    ONE vectorized agg_by exchange -> bounded per-day rollup; the
+    cumulative count is a driver-side prefix sum over the bounded day
+    grid."""
+    from anomalydetection_ray.stages.runs import agg_by
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        day = us // 86_400_000_000
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "day": pa.array(day, type=pa.int64())})
+        g = t.group_by(["user_id"]).aggregate([("day", "min")])
+        return pa.table({"user_id": g.column("user_id"),
+                         "day": g.column("day_min").cast(pa.int64())})
+
+    firsts = agg_by(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id"], [("day", "min", "day")])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        t = pa.table({"day": batch.column("day"),
+                      "one": pa.array(np.ones(batch.num_rows,
+                                              dtype=np.int64))})
+        g = t.group_by(["day"]).aggregate([("one", "sum")])
+        return pa.table({"day": g.column("day"),
+                         "n_new": g.column("one_sum").cast(pa.int64())})
+
+    rows = (firsts.map_batches(hist, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("day").sum("n_new").take_all())
+    days = sorted(int(r["day"]) for r in rows)
+    n_new = {int(r["day"]): int(r["sum(n_new)"]) for r in rows}
+    cum = 0
+    out_d, out_n, out_c = [], [], []
+    for d in days:
+        cum += n_new[d]
+        out_d.append(d)
+        out_n.append(n_new[d])
+        out_c.append(cum)
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({
+        "day": pa.array(out_d, type=pa.int64()),
+        "n_new_users": pa.array(out_n, type=pa.int64()),
+        "cum_users": pa.array(out_c, type=pa.int64()),
+    }))

@@ -2888,3 +2888,24 @@ def test_source_homophily_bruteforce(ray_session):
     assert got["expected"] == expected
     assert got["q_homophily"] == (e_same - expected) / (1.0 - expected)
     assert -1.0 <= got["q_homophily"] <= 1.0
+
+
+# ---------------------------------------------------------------- G27 ----
+def test_daily_new_users_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.queries import g27_daily_new_users
+
+    got = (g27_daily_new_users(SF).to_pandas()
+           .set_index("day").sort_index())
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    firsts = ev.groupby("user_id")["day"].min()
+    exp = firsts.value_counts().sort_index()
+    assert list(got.index) == list(exp.index)
+    cum = 0
+    for d, n in exp.items():
+        cum += int(n)
+        assert int(got.loc[d, "n_new_users"]) == int(n)
+        assert int(got.loc[d, "cum_users"]) == cum
+    assert int(got["cum_users"].iloc[-1]) == ev["user_id"].nunique()
