@@ -856,6 +856,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # G27 daily acquisitions + cumulative users (W36 cohort
         # sizes on the day grid)
         "g27_daily_new_users": q.g27_daily_new_users,
+        # Q21 sampling-design error audit (evaluation family #4:
+        # systematic + hash samples scored against the exact mean)
+        "q21_sampling_error": pk.q21_sampling_error,
         # W35 weekend/weekday contrast per type (exact totals,
         # pinned daily-mean ratio)
         "w35_weekend_contrast": q.w35_weekend_contrast,
@@ -3963,6 +3966,49 @@ def oracle_sql() -> dict[str, str]:
             FROM cp
         """,
         "a46_ljung_box": _ljung_box_sql(),
+        "q21_sampling_error": """
+            WITH h AS (SELECT doc_id, n_chars,
+                              CAST((CAST(xor(doc_id % 4294967296,
+                                             4112119562) AS HUGEINT)
+                                    * 2654435761) % 4294967296
+                                   AS BIGINT) AS h
+                       FROM documents),
+            r AS (SELECT n_chars,
+                         row_number() OVER (ORDER BY h, doc_id) - 1
+                             AS rk
+                  FROM h),
+            sys AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(n_chars) AS BIGINT) AS s
+                    FROM r WHERE rk % 10 = 0),
+            hs AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(n_chars) AS BIGINT) AS s
+                   FROM (SELECT n_chars,
+                                CAST((CAST(xor(doc_id % 4294967296,
+                                               1401181143) AS HUGEINT)
+                                      * 2654435761) % 4294967296
+                                     AS BIGINT) AS h2
+                         FROM documents)
+                   WHERE h2 % 20 = 0),
+            tr AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(n_chars) AS BIGINT) AS s
+                   FROM documents)
+            SELECT tr.n AS n_total,
+                   CAST(tr.s AS DOUBLE) / CAST(tr.n AS DOUBLE)
+                       AS mean_true,
+                   sys.n AS n_sys,
+                   CAST(sys.s AS DOUBLE) / CAST(sys.n AS DOUBLE)
+                       AS mean_sys,
+                   abs(CAST(sys.s AS DOUBLE) / CAST(sys.n AS DOUBLE)
+                       - CAST(tr.s AS DOUBLE) / CAST(tr.n AS DOUBLE))
+                       AS err_sys,
+                   hs.n AS n_hash,
+                   CAST(hs.s AS DOUBLE) / CAST(hs.n AS DOUBLE)
+                       AS mean_hash,
+                   abs(CAST(hs.s AS DOUBLE) / CAST(hs.n AS DOUBLE)
+                       - CAST(tr.s AS DOUBLE) / CAST(tr.n AS DOUBLE))
+                       AS err_hash
+            FROM tr, sys, hs
+        """,
         "g27_daily_new_users": """
             WITH f AS (SELECT user_id,
                               CAST(min(epoch_us(ts) // 86400000000)

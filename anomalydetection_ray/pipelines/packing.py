@@ -1195,3 +1195,77 @@ def q19_mixture_sweep(sf_dir: str, k_total: int = 200,
         "weight": pa.array(ws, type=pa.float64()),
         "quota": pa.array(qs, type=pa.int64()),
     }))
+
+
+# ---------------------------------------------------------------- Q21 ----
+def q21_sampling_error(sf_dir: str, k_sys: int = 10, hash_mod: int = 20,
+                       num_partitions: int = 16):
+    """Q21 — sampling-design ERROR audit (evaluation family #4): the
+    corpus mean of n_chars estimated by (a) Q10's systematic
+    every-k-th-in-shuffled-order sample and (b) a Q7-style seeded
+    hash-membership sample, both scored against the exact full-corpus
+    mean — the estimator-quality check a sampling pipeline owes its
+    users before anyone trusts a 1% sample to calibrate a 100% decision.
+
+    Exactness: all three sums/counts are exact ints; the three means
+    and two absolute errors are pinned float ops.
+
+    Scale shape: the systematic path inherits Q6's distributed rank +
+    one co-partitioned n_chars attach; the hash path and the truth are
+    map-only partial sums.  Output is ONE row."""
+    import ray.data
+
+    from anomalydetection_ray.pipelines.queries import QUOTA_SEED_MIX
+    from anomalydetection_ray.stages.join import copartition_attach
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "n_chars"])
+
+    def sums(ds, col: str):
+        def partial(batch: pa.Table) -> pa.Table:
+            v = np.asarray(batch.column(col), dtype=np.int64)
+            return pa.table({"s": pa.array([int(v.sum())],
+                                           type=pa.int64()),
+                             "n": pa.array([len(v)], type=pa.int64())})
+
+        rows = ds.map_batches(partial,
+                              batch_format="pyarrow").take_all()
+        return (sum(int(r["s"]) for r in rows),
+                sum(int(r["n"]) for r in rows))
+
+    s_true, n_true = sums(docs, "n_chars")
+
+    # systematic: every k-th under the seeded shuffle order
+    sampled = q10_systematic_sample(sf_dir, k=k_sys,
+                                    num_partitions=num_partitions)
+    with_chars = copartition_attach(sampled, docs, "doc_id", "doc_id",
+                                    ["n_chars"],
+                                    num_partitions=num_partitions)
+    s_sys, n_sys = sums(with_chars, "n_chars")
+
+    # seeded hash membership (Q7's mix), keep h % hash_mod == 0
+    def hash_keep(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.uint64)
+        h = (((ids & np.uint64(0xFFFFFFFF)) ^ np.uint64(QUOTA_SEED_MIX))
+             * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+        return batch.filter(pa.array(h % np.uint64(hash_mod) == 0))
+
+    s_hash, n_hash = sums(
+        docs.map_batches(hash_keep, batch_format="pyarrow",
+                         zero_copy_batch=True), "n_chars")
+
+    mean_true = float(s_true) / float(n_true)
+    mean_sys = float(s_sys) / float(n_sys)
+    mean_hash = float(s_hash) / float(n_hash)
+    return ray.data.from_arrow(pa.table({
+        "n_total": pa.array([n_true], type=pa.int64()),
+        "mean_true": pa.array([mean_true], type=pa.float64()),
+        "n_sys": pa.array([n_sys], type=pa.int64()),
+        "mean_sys": pa.array([mean_sys], type=pa.float64()),
+        "err_sys": pa.array([abs(mean_sys - mean_true)],
+                            type=pa.float64()),
+        "n_hash": pa.array([n_hash], type=pa.int64()),
+        "mean_hash": pa.array([mean_hash], type=pa.float64()),
+        "err_hash": pa.array([abs(mean_hash - mean_true)],
+                             type=pa.float64()),
+    }))

@@ -2909,3 +2909,37 @@ def test_daily_new_users_bruteforce(ray_session):
         assert int(got.loc[d, "n_new_users"]) == int(n)
         assert int(got.loc[d, "cum_users"]) == cum
     assert int(got["cum_users"].iloc[-1]) == ev["user_id"].nunique()
+
+
+# ---------------------------------------------------------------- Q21 ----
+def test_sampling_error_consistent(ray_session):
+    from anomalydetection_ray.pipelines.packing import (
+        q10_systematic_sample, q21_sampling_error)
+    from anomalydetection_ray.pipelines.queries import QUOTA_SEED_MIX
+
+    got = q21_sampling_error(SF).to_pandas().iloc[0]
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "n_chars"]).to_pandas()
+    chars = dict(zip(docs["doc_id"], docs["n_chars"]))
+    n_true = len(docs)
+    mean_true = float(int(docs["n_chars"].sum())) / float(n_true)
+    assert int(got["n_total"]) == n_true
+    assert got["mean_true"] == mean_true
+
+    sysids = [int(r["doc_id"])
+              for r in q10_systematic_sample(SF).take_all()]
+    s = sum(int(chars[i]) for i in sysids)
+    assert int(got["n_sys"]) == len(sysids)
+    assert got["mean_sys"] == float(s) / float(len(sysids))
+    assert got["err_sys"] == abs(got["mean_sys"] - mean_true)
+
+    ids = docs["doc_id"].to_numpy().astype(np.uint64)
+    h = (((ids & np.uint64(0xFFFFFFFF)) ^ np.uint64(QUOTA_SEED_MIX))
+         * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+    sel = docs[h % np.uint64(20) == 0]
+    assert int(got["n_hash"]) == len(sel)
+    assert got["mean_hash"] == (float(int(sel["n_chars"].sum()))
+                                / float(len(sel)))
+    # both estimators land within 10% of the truth on this corpus
+    assert got["err_sys"] / mean_true < 0.1
+    assert got["err_hash"] / mean_true < 0.1
