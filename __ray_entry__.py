@@ -859,6 +859,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Q21 sampling-design error audit (evaluation family #4:
         # systematic + hash samples scored against the exact mean)
         "q21_sampling_error": pk.q21_sampling_error,
+        # C6 composed relational #4 (TPC-H Q5 shape): three
+        # co-partitioned exchanges + tiny nation/region broadcasts
+        "c6_tpch_q5_like": q.c6_tpch_q5_like,
         # W35 weekend/weekday contrast per type (exact totals,
         # pinned daily-mean ratio)
         "w35_weekend_contrast": q.w35_weekend_contrast,
@@ -3966,6 +3969,22 @@ def oracle_sql() -> dict[str, str]:
             FROM cp
         """,
         "a46_ljung_box": _ljung_box_sql(),
+        "c6_tpch_q5_like": """
+            SELECT n.n_name,
+                   CAST(sum(CAST(floor(l.l_extendedprice
+                       * (1 - l.l_discount) * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS revenue_cents,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                           AND s.s_nationkey = c.c_nationkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = 'ASIA'
+            GROUP BY n.n_name
+        """,
         "q21_sampling_error": """
             WITH h AS (SELECT doc_id, n_chars,
                               CAST((CAST(xor(doc_id % 4294967296,

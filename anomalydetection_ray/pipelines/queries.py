@@ -6763,3 +6763,101 @@ def g27_daily_new_users(sf_dir: str, num_partitions: int = 16):
         "n_new_users": pa.array(out_n, type=pa.int64()),
         "cum_users": pa.array(out_c, type=pa.int64()),
     }))
+
+
+# ---------------------------------------------------------------- C6 ----
+def c6_tpch_q5_like(sf_dir: str, region: str = "ASIA",
+                    num_partitions: int = 32):
+    """C6 — composed relational analytics #4 (TPC-H Q5 shape): revenue
+    per nation within one region where the CUSTOMER and the SUPPLIER
+    sit in the same nation — the five-table join chain
+    lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region that
+    completes the star-schema coverage (region and supplier were the
+    two tables no other query touched).
+
+    Scale shape — the textbook Q5 plan: the three SF-scaled sides
+    (orders on orderkey, customer on custkey, supplier on suppkey)
+    attach by THREE co-partitioned exchanges (J3 machinery — none of
+    them is broadcastable at 10^12 scale); only the genuinely tiny
+    nation (25) and region (5) relations broadcast into the final
+    map.  Revenue cents are the C2/C3 pinned per-row
+    floor(price*(1-disc)*100+0.5); sums exact int64."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from anomalydetection_ray.stages.join import copartition_attach
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        price = np.asarray(batch.column("l_extendedprice"),
+                           dtype=np.float64)
+        disc = np.asarray(batch.column("l_discount"), dtype=np.float64)
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(
+            np.int64)
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "l_suppkey": batch.column("l_suppkey"),
+            "cents": pa.array(cents, type=pa.int64()),
+        })
+
+    li = li.map_batches(to_cents, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    with_cust = copartition_attach(li, orders, "l_orderkey",
+                                   "o_orderkey", ["o_custkey"],
+                                   num_partitions=num_partitions)
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    with_cn = copartition_attach(with_cust, customer, "o_custkey",
+                                 "c_custkey", ["c_nationkey"],
+                                 num_partitions=num_partitions)
+    supplier = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    with_sn = copartition_attach(with_cn, supplier, "l_suppkey",
+                                 "s_suppkey", ["s_nationkey"],
+                                 num_partitions=num_partitions)
+
+    # tiny broadcast sides: nation -> (name, regionkey), region -> name
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    region_keys = set(
+        reg[reg["r_name"] == region]["r_regionkey"].tolist())
+    nk_in_region = {int(r["n_nationkey"]): r["n_name"]
+                    for _, r in nat.iterrows()
+                    if int(r["n_regionkey"]) in region_keys}
+
+    def rollup(batch: pa.Table) -> pa.Table:
+        cn = np.asarray(batch.column("c_nationkey").fill_null(-1),
+                        dtype=np.int64)
+        sn = np.asarray(batch.column("s_nationkey").fill_null(-2),
+                        dtype=np.int64)
+        cents = np.asarray(batch.column("cents"), dtype=np.int64)
+        keep = (cn == sn) & np.asarray(
+            [int(v) in nk_in_region for v in cn.tolist()], dtype=bool)
+        names = [nk_in_region[int(v)] for v in cn[keep].tolist()]
+        t = pa.table({"n_name": pa.array(names, type=pa.string()),
+                      "cents": pa.array(cents[keep], type=pa.int64()),
+                      "one": pa.array(np.ones(int(keep.sum()),
+                                              dtype=np.int64))})
+        g = t.group_by(["n_name"]).aggregate([("cents", "sum"),
+                                              ("one", "sum")])
+        return pa.table({"n_name": g.column("n_name"),
+                         "revenue_cents": g.column("cents_sum").cast(
+                             pa.int64()),
+                         "n_items": g.column("one_sum").cast(pa.int64())})
+
+    agg = (with_sn.map_batches(rollup, batch_format="pyarrow")
+           .groupby("n_name").sum(["revenue_cents", "n_items"]))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": batch.column("n_name"),
+            "revenue_cents": batch.column("sum(revenue_cents)").cast(
+                pa.int64()),
+            "n_items": batch.column("sum(n_items)").cast(pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

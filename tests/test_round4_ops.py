@@ -2943,3 +2943,35 @@ def test_sampling_error_consistent(ray_session):
     # both estimators land within 10% of the truth on this corpus
     assert got["err_sys"] / mean_true < 0.1
     assert got["err_hash"] / mean_true < 0.1
+
+
+# ---------------------------------------------------------------- C6 ----
+def test_tpch_q5_like_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.queries import c6_tpch_q5_like
+
+    got = (c6_tpch_q5_like(SF).to_pandas()
+           .set_index("n_name").sort_index())
+
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    supp = pq.read_table(f"{SF}/supplier.parquet").to_pandas()
+    nat = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{SF}/region.parquet").to_pandas()
+
+    j = (li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+         .merge(cust, left_on="o_custkey", right_on="c_custkey")
+         .merge(supp, left_on="l_suppkey", right_on="s_suppkey"))
+    j = j[j["c_nationkey"] == j["s_nationkey"]]
+    j = j.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+    j = j.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    j = j[j["r_name"] == "ASIA"]
+    j["cents"] = np.floor(j["l_extendedprice"]
+                          * (1.0 - j["l_discount"]) * 100.0
+                          + 0.5).astype(np.int64)
+    exp = j.groupby("n_name").agg(revenue_cents=("cents", "sum"),
+                                  n_items=("cents", "size"))
+    assert set(got.index) == set(exp.index)
+    for n, r in exp.iterrows():
+        assert int(got.loc[n, "revenue_cents"]) == int(r["revenue_cents"])
+        assert int(got.loc[n, "n_items"]) == int(r["n_items"])
