@@ -862,6 +862,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # C6 composed relational #4 (TPC-H Q5 shape): three
         # co-partitioned exchanges + tiny nation/region broadcasts
         "c6_tpch_q5_like": q.c6_tpch_q5_like,
+        # P8 inter-epoch shuffle decorrelation audit (mean rank
+        # displacement vs the uniform-permutation expectation)
+        "p8_epoch_decorrelation": pk.p8_epoch_decorrelation,
         # W35 weekend/weekday contrast per type (exact totals,
         # pinned daily-mean ratio)
         "w35_weekend_contrast": q.w35_weekend_contrast,
@@ -3969,6 +3972,38 @@ def oracle_sql() -> dict[str, str]:
             FROM cp
         """,
         "a46_ljung_box": _ljung_box_sql(),
+        "p8_epoch_decorrelation": """
+            WITH ha AS (SELECT doc_id,
+                               CAST(row_number() OVER (ORDER BY
+                                   CAST((CAST(xor(doc_id % 4294967296,
+                                              4112119562) AS HUGEINT)
+                                         * 2654435761) % 4294967296
+                                        AS BIGINT), doc_id) - 1
+                                    AS BIGINT) AS pa
+                        FROM documents),
+            hb AS (SELECT doc_id,
+                          CAST(row_number() OVER (ORDER BY
+                              CAST((CAST(xor(doc_id % 4294967296,
+                                         1401181143) AS HUGEINT)
+                                    * 2654435761) % 4294967296
+                                   AS BIGINT), doc_id) - 1
+                               AS BIGINT) AS pb
+                   FROM documents),
+            j AS (SELECT CAST(abs(ha.pa - hb.pb) AS BIGINT) AS d
+                  FROM ha JOIN hb USING (doc_id)),
+            agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(d) AS BIGINT) AS s
+                    FROM j)
+            SELECT n, s AS sum_abs_delta,
+                   CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS mean_abs_delta,
+                   CAST(n * n - 1 AS DOUBLE) / CAST(3 * n AS DOUBLE)
+                       AS expected_uniform,
+                   (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                     / (CAST(n * n - 1 AS DOUBLE)
+                        / CAST(3 * n AS DOUBLE)) AS decorrelation
+            FROM agg
+        """,
         "c6_tpch_q5_like": """
             SELECT n.n_name,
                    CAST(sum(CAST(floor(l.l_extendedprice

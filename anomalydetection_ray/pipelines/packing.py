@@ -1269,3 +1269,60 @@ def q21_sampling_error(sf_dir: str, k_sys: int = 10, hash_mod: int = 20,
         "err_hash": pa.array([abs(mean_hash - mean_true)],
                              type=pa.float64()),
     }))
+
+
+# ---------------------------------------------------------------- P8 ----
+def p8_epoch_decorrelation(sf_dir: str, seed_a: int = 42,
+                           seed_b: int = 7, num_partitions: int = 16):
+    """P8 — inter-epoch shuffle DECORRELATION audit: the mean absolute
+    rank displacement between two epochs' seeded global orders (Q6 with
+    different seeds), against the uniform-permutation expectation
+    (N^2-1)/(3N) — a ratio near 1 certifies that changing the seed
+    genuinely re-permutes the corpus (an affine-in-id hash would score
+    near 0 and silently feed every epoch in near-identical order, the
+    classic quiet training bug).
+
+    Exactness: both ranks are Q6's exact distributed ranks; the
+    displacement sum is an exact int; mean, expectation and ratio are
+    pinned float ops.
+
+    Scale shape: two Q6 rank passes + ONE co-partitioned join on
+    doc_id, per-block partial |delta| sums, ONE-row output."""
+    import ray.data
+
+    from anomalydetection_ray.stages.join import copartition_attach
+
+    ra = seeded_shuffle(sf_dir, seed=seed_a,
+                        num_partitions=num_partitions)
+    rb = seeded_shuffle(sf_dir, seed=seed_b,
+                        num_partitions=num_partitions)
+
+    rb2 = rb.map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id"),
+                            "pos_b": b.column("shuffle_pos")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = copartition_attach(ra, rb2, "doc_id", "doc_id",
+                                ["pos_b"],
+                                num_partitions=num_partitions)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("shuffle_pos"), dtype=np.int64)
+        b = np.asarray(batch.column("pos_b"), dtype=np.int64)
+        d = np.abs(a - b)
+        return pa.table({"s": pa.array([int(d.sum())], type=pa.int64()),
+                         "n": pa.array([len(d)], type=pa.int64())})
+
+    rows = joined.map_batches(partial,
+                              batch_format="pyarrow").take_all()
+    s = sum(int(r["s"]) for r in rows)
+    n = sum(int(r["n"]) for r in rows)
+    mean_d = float(s) / float(n)
+    expected = float(n * n - 1) / float(3 * n)
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([n], type=pa.int64()),
+        "sum_abs_delta": pa.array([s], type=pa.int64()),
+        "mean_abs_delta": pa.array([mean_d], type=pa.float64()),
+        "expected_uniform": pa.array([expected], type=pa.float64()),
+        "decorrelation": pa.array([mean_d / expected],
+                                  type=pa.float64()),
+    }))

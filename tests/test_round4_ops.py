@@ -2975,3 +2975,37 @@ def test_tpch_q5_like_bruteforce(ray_session):
     for n, r in exp.iterrows():
         assert int(got.loc[n, "revenue_cents"]) == int(r["revenue_cents"])
         assert int(got.loc[n, "n_items"]) == int(r["n_items"])
+
+
+# ---------------------------------------------------------------- P8 ----
+def test_epoch_decorrelation_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.packing import (
+        p8_epoch_decorrelation)
+
+    got = p8_epoch_decorrelation(SF).to_pandas().iloc[0]
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id"]).to_pandas()
+    ids = docs["doc_id"].to_numpy().astype(np.uint64)
+
+    def rank(seed):
+        smix = (np.uint64(seed) * np.uint64(2654435761)) \
+            & np.uint64(0xFFFFFFFF)
+        h = (((ids & np.uint64(0xFFFFFFFF)) ^ smix)
+             * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+        order = np.lexsort((ids.astype(np.int64), h.astype(np.int64)))
+        r = np.empty(len(ids), dtype=np.int64)
+        r[order] = np.arange(len(ids))
+        return r
+
+    ra, rb = rank(42), rank(7)
+    s = int(np.abs(ra - rb).sum())
+    n = len(ids)
+    assert int(got["n"]) == n
+    assert int(got["sum_abs_delta"]) == s
+    assert got["mean_abs_delta"] == float(s) / float(n)
+    exp = float(n * n - 1) / float(3 * n)
+    assert got["expected_uniform"] == exp
+    assert got["decorrelation"] == (float(s) / float(n)) / exp
+    # seeds genuinely re-permute: displacement near the uniform bound
+    assert got["decorrelation"] > 0.5
