@@ -865,6 +865,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # P8 inter-epoch shuffle decorrelation audit (mean rank
         # displacement vs the uniform-permutation expectation)
         "p8_epoch_decorrelation": pk.p8_epoch_decorrelation,
+        # D17 cross-sketch agreement (MinHash vs SimHash pair sets;
+        # evaluation family #5)
+        "d17_sketch_agreement": dd.d17_sketch_agreement,
         # W35 weekend/weekday contrast per type (exact totals,
         # pinned daily-mean ratio)
         "w35_weekend_contrast": q.w35_weekend_contrast,
@@ -3972,6 +3975,28 @@ def oracle_sql() -> dict[str, str]:
             FROM cp
         """,
         "a46_ljung_box": _ljung_box_sql(),
+        "d17_sketch_agreement": f"""
+            WITH mh AS ({_minhash_pairs_sql()}),
+            sh AS ({_simhash_pairs_sql()}),
+            mp AS (SELECT DISTINCT least(doc_a, doc_b) AS a,
+                          greatest(doc_a, doc_b) AS b FROM mh),
+            sp AS (SELECT DISTINCT least(doc_a, doc_b) AS a,
+                          greatest(doc_a, doc_b) AS b FROM sh),
+            un AS (SELECT a, b FROM mp UNION SELECT a, b FROM sp),
+            agg AS (SELECT
+                (SELECT CAST(count(*) AS BIGINT) FROM mp)
+                    AS n_minhash_pairs,
+                (SELECT CAST(count(*) AS BIGINT) FROM sp)
+                    AS n_simhash_pairs,
+                (SELECT CAST(count(*) AS BIGINT)
+                 FROM mp JOIN sp USING (a, b)) AS n_both,
+                (SELECT CAST(count(*) AS BIGINT) FROM un) AS n_union)
+            SELECT n_minhash_pairs, n_simhash_pairs, n_both, n_union,
+                   CASE WHEN n_union > 0 THEN
+                     CAST(n_both AS DOUBLE) / CAST(n_union AS DOUBLE)
+                   END AS agreement
+            FROM agg
+        """,
         "p8_epoch_decorrelation": """
             WITH ha AS (SELECT doc_id,
                                CAST(row_number() OVER (ORDER BY

@@ -1636,3 +1636,73 @@ def x8_source_homophily(sf_dir: str, min_est: float = 0.5):
         "q_homophily": pa.array([q], type=pa.float64(),
                                 from_pandas=True),
     }))
+
+
+def d17_sketch_agreement(sf_dir: str, num_partitions: int = 16):
+    """D17 — cross-SKETCH agreement audit (evaluation family #5): the
+    MinHash-LSH and SimHash near-dup pipelines run over the same corpus
+    and their candidate-pair sets are compared — pair-set sizes,
+    intersection, and Jaccard agreement.  Two independent sketches
+    agreeing is the cheap confidence signal that neither family's
+    banding knobs are silently broken; divergence localizes which
+    recall regime each sketch owns.
+
+    Scale shape: both pair relations stay distributed; the set algebra
+    is ONE exchange on the packed pair key (groupby + tag counts), and
+    only the four summary integers reach the driver."""
+    import ray.data
+
+    from anomalydetection_ray.stages.runs import agg_by
+
+    mh = minhash_lsh_pairs(sf_dir, min_est=0.5).select_columns(
+        ["doc_a", "doc_b"])
+    sh = simhash_pairs(sf_dir).select_columns(["doc_a", "doc_b"])
+
+    def tag(which: int):
+        def f(batch: pa.Table) -> pa.Table:
+            a = np.asarray(batch.column("doc_a"), dtype=np.int64)
+            b = np.asarray(batch.column("doc_b"), dtype=np.int64)
+            lo = np.minimum(a, b)
+            hi = np.maximum(a, b)
+            return pa.table({
+                "pair": pa.array((lo << np.int64(32)) | hi,
+                                 type=pa.int64()),
+                "in_mh": pa.array(np.full(len(a), 1 - which,
+                                          dtype=np.int64)),
+                "in_sh": pa.array(np.full(len(a), which,
+                                          dtype=np.int64)),
+            })
+        return f
+
+    both = (mh.map_batches(tag(0), batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .union(sh.map_batches(tag(1), batch_format="pyarrow",
+                                  zero_copy_batch=True)))
+    merged = agg_by(both, ["pair"], [("in_mh", "sum", "in_mh"),
+                                     ("in_sh", "sum", "in_sh")])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = np.asarray(batch.column("in_mh"), dtype=np.int64) > 0
+        s = np.asarray(batch.column("in_sh"), dtype=np.int64) > 0
+        return pa.table({
+            "n_mh": pa.array([int(m.sum())], type=pa.int64()),
+            "n_sh": pa.array([int(s.sum())], type=pa.int64()),
+            "n_both": pa.array([int((m & s).sum())], type=pa.int64()),
+            "n_union": pa.array([batch.num_rows], type=pa.int64()),
+        })
+
+    rows = merged.map_batches(partial,
+                              batch_format="pyarrow").take_all()
+    n_mh = sum(int(r["n_mh"]) for r in rows)
+    n_sh = sum(int(r["n_sh"]) for r in rows)
+    n_both = sum(int(r["n_both"]) for r in rows)
+    n_union = sum(int(r["n_union"]) for r in rows)
+    return ray.data.from_arrow(pa.table({
+        "n_minhash_pairs": pa.array([n_mh], type=pa.int64()),
+        "n_simhash_pairs": pa.array([n_sh], type=pa.int64()),
+        "n_both": pa.array([n_both], type=pa.int64()),
+        "n_union": pa.array([n_union], type=pa.int64()),
+        "agreement": pa.array([float(n_both) / float(n_union)
+                               if n_union else None],
+                              type=pa.float64(), from_pandas=True),
+    }))

@@ -3009,3 +3009,29 @@ def test_epoch_decorrelation_bruteforce(ray_session):
     assert got["decorrelation"] == (float(s) / float(n)) / exp
     # seeds genuinely re-permute: displacement near the uniform bound
     assert got["decorrelation"] > 0.5
+
+
+# ---------------------------------------------------------------- D17 ----
+def test_sketch_agreement_consistent(ray_session):
+    from anomalydetection_ray.pipelines.dedup import (d17_sketch_agreement,
+                                                      minhash_lsh_pairs,
+                                                      simhash_pairs)
+
+    got = d17_sketch_agreement(SF).to_pandas().iloc[0]
+
+    def pairset(df):
+        return {(min(int(r["doc_a"]), int(r["doc_b"])),
+                 max(int(r["doc_a"]), int(r["doc_b"])))
+                for _, r in df.iterrows()}
+
+    mh = pairset(minhash_lsh_pairs(SF, min_est=0.5).to_pandas())
+    sh = pairset(simhash_pairs(SF).to_pandas())
+    assert int(got["n_minhash_pairs"]) == len(mh)
+    assert int(got["n_simhash_pairs"]) == len(sh)
+    assert int(got["n_both"]) == len(mh & sh)
+    assert int(got["n_union"]) == len(mh | sh)
+    if len(mh | sh):
+        assert got["agreement"] == (float(len(mh & sh))
+                                    / float(len(mh | sh)))
+        # the two sketches hunt the same near-dups; they must overlap
+        assert got["agreement"] > 0.2
