@@ -868,6 +868,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # D17 cross-sketch agreement (MinHash vs SimHash pair sets;
         # evaluation family #5)
         "d17_sketch_agreement": dd.d17_sketch_agreement,
+        # W40 per-type arrival cadence (median/mean inter-arrival
+        # gap of the global stream each rollup tier ingests)
+        "w40_arrival_cadence": q.w40_arrival_cadence,
         # W35 weekend/weekday contrast per type (exact totals,
         # pinned daily-mean ratio)
         "w35_weekend_contrast": q.w35_weekend_contrast,
@@ -3975,6 +3978,23 @@ def oracle_sql() -> dict[str, str]:
             FROM cp
         """,
         "a46_ljung_box": _ljung_box_sql(),
+        "w40_arrival_cadence": """
+            WITH o AS (SELECT event_type,
+                              lead(epoch_us(ts)) OVER (
+                                  PARTITION BY event_type
+                                  ORDER BY ts, event_id)
+                                - epoch_us(ts) AS gap
+                       FROM events),
+            g AS (SELECT event_type, CAST(gap AS BIGINT) AS gap
+                  FROM o WHERE gap IS NOT NULL)
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(sum(gap) AS BIGINT) AS gap_sum_us,
+                   median(gap) AS median_gap_us,
+                   CAST(sum(gap) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS mean_gap_us
+            FROM g GROUP BY event_type
+        """,
         "d17_sketch_agreement": f"""
             WITH mh AS ({_minhash_pairs_sql()}),
             sh AS ({_simhash_pairs_sql()}),

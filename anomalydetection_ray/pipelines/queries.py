@@ -6861,3 +6861,72 @@ def c6_tpch_q5_like(sf_dir: str, region: str = "ASIA",
         })
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- W40 ----
+def w40_arrival_cadence(sf_dir: str, num_partitions: int = 8):
+    """W40 — per-type arrival CADENCE: exact median and mean of the
+    inter-arrival gaps of each event type's global stream — the "how
+    often does this signal tick?" number that sets every detector's
+    window parameter (W26 profiles per-user gaps; this is the per-type
+    stream the rollup tiers actually ingest).
+
+    Exactness: gaps are exact int64 microseconds; the median of ints is
+    an exact half (DuckDB median() parity, the W12 discipline); the
+    mean is one pinned division.
+
+    Scale shape: ONE `_pkey` exchange on the bounded type domain; the
+    kernel sorts each type's arrivals once, vectorized diffs."""
+    import functools
+
+    from anomalydetection_ray.stages.runs import (PKEY, add_partition_key,
+                                                  run_starts)
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "event_id"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["event_type"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(group: pa.Table) -> pa.Table:
+        group = group.drop_columns([PKEY]).sort_by(
+            [("event_type", "ascending"), ("ts", "ascending"),
+             ("event_id", "ascending")])
+        n = group.num_rows
+        if n == 0:
+            return pa.table({
+                "event_type": pa.array([], type=pa.string()),
+                "n_gaps": pa.array([], type=pa.int64()),
+                "gap_sum_us": pa.array([], type=pa.int64()),
+                "median_gap_us": pa.array([], type=pa.float64()),
+                "mean_gap_us": pa.array([], type=pa.float64()),
+            })
+        ts = np.asarray(group.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        starts = run_starts(group, ["event_type"])
+        ends = np.append(starts[1:], n)
+        ets = group.column("event_type")
+        out_t, out_n, out_s, out_md, out_mn = [], [], [], [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            g = np.sort(np.diff(ts[s:e]))
+            m = int(g.shape[0])
+            if m == 0:
+                continue
+            tot = int(g.sum())
+            med = (float(int(g[m // 2])) if m % 2 == 1
+                   else (int(g[m // 2 - 1]) + int(g[m // 2])) / 2.0)
+            out_t.append(ets[s].as_py())
+            out_n.append(m)
+            out_s.append(tot)
+            out_md.append(med)
+            out_mn.append(float(tot) / float(m))
+        return pa.table({
+            "event_type": pa.array(out_t, type=pa.string()),
+            "n_gaps": pa.array(out_n, type=pa.int64()),
+            "gap_sum_us": pa.array(out_s, type=pa.int64()),
+            "median_gap_us": pa.array(out_md, type=pa.float64()),
+            "mean_gap_us": pa.array(out_mn, type=pa.float64()),
+        })
+
+    return tagged.groupby(PKEY).map_groups(kernel,
+                                           batch_format="pyarrow")

@@ -3035,3 +3035,25 @@ def test_sketch_agreement_consistent(ray_session):
                                     / float(len(mh | sh)))
         # the two sketches hunt the same near-dups; they must overlap
         assert got["agreement"] > 0.2
+
+
+# ---------------------------------------------------------------- W40 ----
+def test_arrival_cadence_bruteforce(ray_session):
+    from anomalydetection_ray.pipelines.queries import w40_arrival_cadence
+
+    got = (w40_arrival_cadence(SF).to_pandas()
+           .set_index("event_type").sort_index())
+
+    ev = (pq.read_table(f"{SF}/events.parquet",
+                        columns=["event_type", "ts", "event_id"])
+          .to_pandas().sort_values(["event_type", "ts", "event_id"]))
+    for et, g in ev.groupby("event_type"):
+        gaps = np.sort(np.diff(g["ts"].astype("int64").to_numpy()))
+        m = len(gaps)
+        r = got.loc[et]
+        assert int(r["n_gaps"]) == m
+        assert int(r["gap_sum_us"]) == int(gaps.sum())
+        med = (float(gaps[m // 2]) if m % 2 == 1
+               else (int(gaps[m // 2 - 1]) + int(gaps[m // 2])) / 2.0)
+        assert r["median_gap_us"] == med
+        assert r["mean_gap_us"] == float(int(gaps.sum())) / float(m)
