@@ -8,55 +8,154 @@ fresh process with a fresh Ray session, and aggregates the per-line
 results — so a full sweep of all registered queries finishes regardless
 of how many queries the registry grows to.
 
+Completeness is tracked explicitly: every requested query name must
+produce a result line.  If a chunk subprocess crashes (nonzero return
+code, or names missing from its output), the missing queries are re-run
+INDIVIDUALLY (fresh process each, up to --retries attempts); queries
+still missing after retries are counted as MISSING in the summary and
+fail the run — a crash can no longer silently under-count.
+
 Usage:
     python tools/battery.py [--sf /root/testdata/sf0.01] [--chunk 40]
+                            [--json BENCH/battery_rN.json]
 
 Prints one PASS/FAIL/---- line per query (streamed from the chunks) and
-a final summary line; exit code 1 if any FAIL.
+a final summary line; exit code 1 if any FAIL or MISSING.  With --json,
+also writes the aggregated results in the driver's CORRECTNESS_r*.json
+shape: {name: {rows_match, schema_match, hash_match, spark_rows,
+oracle_rows, err}}.
 """
 
 from __future__ import annotations
 
 import argparse
+import json
+import os
 import subprocess
 import sys
+import tempfile
+
+
+def _run_chunk(chunk: list[str], sf: str) -> tuple[dict[str, dict], int]:
+    """Run one driver_check subprocess; return (results-by-name, returncode)."""
+    fd, jsonl_path = tempfile.mkstemp(suffix=".jsonl", prefix="battery_")
+    os.close(fd)
+    os.unlink(jsonl_path)  # driver_check appends; start clean
+    try:
+        proc = subprocess.run(
+            [sys.executable, "tools/driver_check.py", "--sf", sf,
+             "--jsonl", jsonl_path, *chunk],
+            capture_output=True, text=True,
+        )
+        results: dict[str, dict] = {}
+        if os.path.exists(jsonl_path):
+            with open(jsonl_path) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    rec = json.loads(line)
+                    results[rec.pop("name")] = rec
+        return results, proc.returncode
+    finally:
+        if os.path.exists(jsonl_path):
+            os.unlink(jsonl_path)
+
+
+def _status(rec: dict) -> str:
+    if rec.get("hash_match"):
+        return "PASS"
+    if rec.get("err") == "no_oracle":
+        return "----"
+    return "FAIL"
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--chunk", type=int, default=40)
+    ap.add_argument("--retries", type=int, default=2,
+                    help="individual re-run attempts for queries whose "
+                         "chunk produced no result line")
+    ap.add_argument("--json", default=None,
+                    help="write aggregated results (driver CORRECTNESS "
+                         "shape) to this path")
+    ap.add_argument("names", nargs="*",
+                    help="optional subset of query names (default: all)")
     args = ap.parse_args()
 
-    names = subprocess.run(
+    names = args.names or subprocess.run(
         [sys.executable, "-c",
          "import __ray_entry__ as e; print('\\n'.join(sorted(e.queries())))"],
         capture_output=True, text=True, check=True,
     ).stdout.split()
 
-    n_pass = n_fail = n_noracle = 0
-    failures: list[str] = []
+    all_results: dict[str, dict] = {}
     for lo in range(0, len(names), args.chunk):
         chunk = names[lo:lo + args.chunk]
-        proc = subprocess.run(
-            [sys.executable, "tools/driver_check.py", "--sf", args.sf,
-             *chunk],
-            capture_output=True, text=True,
-        )
-        for line in proc.stdout.splitlines():
-            if line.startswith(("PASS ", "FAIL ", "---- ")):
-                print(line, flush=True)
-                if line.startswith("PASS"):
-                    n_pass += 1
-                elif line.startswith("FAIL"):
-                    n_fail += 1
-                    failures.append(line.split()[1].rstrip(":"))
-                else:
-                    n_noracle += 1
+        results, rc = _run_chunk(chunk, args.sf)
+        for name in chunk:
+            if name in results:
+                rec = results[name]
+                all_results[name] = rec
+                print(f"{_status(rec)} {name}: {json.dumps(rec, default=str)[:400]}",
+                      flush=True)
+        missing = [n for n in chunk if n not in results]
+        if rc != 0 and not missing and not any(
+                _status(all_results[n]) == "FAIL" for n in chunk):
+            # Crash AFTER the last query line (e.g. during ray.shutdown):
+            # all results present, nothing to re-run — note it and move on.
+            print(f"NOTE chunk [{lo}:{lo + len(chunk)}] exited rc={rc} "
+                  f"after emitting all results", flush=True)
+        for name in missing:
+            print(f"RERUN {name}: chunk rc={rc}, no result line — "
+                  f"retrying individually", flush=True)
+            for attempt in range(args.retries):
+                solo, _rc = _run_chunk([name], args.sf)
+                if name in solo:
+                    rec = solo[name]
+                    all_results[name] = rec
+                    print(f"{_status(rec)} {name}: "
+                          f"{json.dumps(rec, default=str)[:400]}", flush=True)
+                    break
+            else:
+                all_results[name] = {"err": f"MISSING: no result after "
+                                            f"{args.retries} solo retries "
+                                            f"(chunk rc={rc})"}
+                print(f"MISS {name}: no result after retries", flush=True)
+
+    n_pass = sum(1 for r in all_results.values() if _status(r) == "PASS")
+    n_fail = sum(1 for r in all_results.values() if _status(r) == "FAIL"
+                 and not str(r.get("err", "")).startswith("MISSING"))
+    n_noracle = sum(1 for r in all_results.values() if _status(r) == "----")
+    n_missing = sum(1 for n in names
+                    if n not in all_results
+                    or str(all_results[n].get("err", "")).startswith("MISSING"))
+    failures = sorted(n for n, r in all_results.items()
+                      if _status(r) == "FAIL")
     print(f"BATTERY SUMMARY: {n_pass} PASS, {n_fail} FAIL, "
-          f"{n_noracle} no-oracle, {len(names)} registered")
+          f"{n_noracle} no-oracle, {n_missing} MISSING, "
+          f"{len(names)} registered")
     if failures:
         print("FAILED:", ", ".join(failures))
+
+    if args.json:
+        shaped = {}
+        for name in names:
+            r = all_results.get(name, {"err": "MISSING: never ran"})
+            shaped[name] = {
+                "rows_match": r.get("rows_match"),
+                "schema_match": r.get("schema_match"),
+                "hash_match": r.get("hash_match"),
+                "spark_rows": r.get("rows"),
+                "oracle_rows": r.get("oracle_rows"),
+                "err": r.get("err"),
+            }
+        with open(args.json, "w") as fh:
+            json.dump(shaped, fh, indent=1)
+        print(f"wrote {args.json} ({len(shaped)} rows)")
+
+    if failures or n_missing:
         sys.exit(1)
 
 

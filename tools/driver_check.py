@@ -101,6 +101,9 @@ def compare(name: str, q, sql: str | None, sf_dir: str) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--jsonl", default=None,
+                    help="append one full-JSON result line per query "
+                         "({'name': ..., **result}) to this path")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -126,6 +129,9 @@ def main() -> None:
         if status == "FAIL":
             failures += 1
         print(f"{status} {name}: {json.dumps(r)[:400]}")
+        if args.jsonl:
+            with open(args.jsonl, "a") as fh:
+                fh.write(json.dumps({"name": name, **r}, default=str) + "\n")
     ray.shutdown()
     sys.exit(1 if failures else 0)
 
