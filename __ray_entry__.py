@@ -435,8 +435,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vectors (max off-diagonal cosine ~0.37), so 0.95 returns nothing.
         # Pair ids only (the cosine VALUE would compare f64 matmul against
         # DuckDB's list_cosine_similarity float path — same pairs, different
-        # last-bit floats)
-        "dedup_embedding_pairs": lambda sf: dd.embedding_dup_pairs(
+        # last-bit floats).
+        # SCALE PATH (round 5): banded-LSH candidates + exact verify — no
+        # O(N^2) task grid; the oracle replicates the integer-exact banding
+        "dedup_embedding_pairs": lambda sf: dd.embedding_lsh_pairs(
+            sf, min_cosine=0.3, n_bands=8, band_bits=8
+        ).select_columns(["vec_a", "vec_b"]),
+        # fixture-scale calibration audit: the exact all-pairs surface the
+        # LSH path's pytest recall/parity test measures against
+        "dedup_embedding_allpairs": lambda sf: dd.embedding_dup_pairs(
             sf, min_cosine=0.3
         ).select_columns(["vec_a", "vec_b"]),
         # similarity search
@@ -1296,6 +1303,48 @@ def _simhash_pairs_sql(max_hamming: int = 3) -> str:
     FROM sim a JOIN sim b ON a.doc_id < b.doc_id
     WHERE ({band_eq})
       AND bit_count(xor(CAST(a.sh AS UBIGINT), CAST(b.sh AS UBIGINT))) <= {max_hamming}
+    """
+
+
+def _emb_lsh_pairs_sql(min_cosine: float = 0.3, n_bands: int = 8,
+                       band_bits: int = 8, dim: int = 64) -> str:
+    """dedup_embedding_pairs oracle: integer-quantized Rademacher-plane
+    signing -> banded candidate join -> exact cosine filter (reproduces
+    pipelines/dedup.py embedding_lsh_pairs bit-for-bit).  The quantized
+    projection dot is an exact integer on both sides (values < 2^31, sums
+    < 2^53, so even DuckDB's float dot is exact), hence the candidate set
+    matches by construction; the final cosine compare is the same
+    list_cosine_similarity >= thr decision the previous all-pairs oracle
+    already verified against the engine's float64 cosine at this sf."""
+    from anomalydetection_ray.pipelines.dedup import _emb_planes
+
+    planes = _emb_planes(n_bands * band_bits, dim)
+    rows = ",\n      ".join(
+        "({}, [{}])".format(p, ",".join(str(int(v)) for v in planes[p]))
+        for p in range(planes.shape[0]))
+    return f"""
+    WITH planes(p, s) AS (VALUES {rows}),
+    qe AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) AS q
+      FROM embeddings),
+    keys AS MATERIALIZED (
+      SELECT qe.vec_id, pl.p // {band_bits} AS band,
+             CAST(sum(CASE WHEN list_dot_product(qe.q, pl.s) > 0
+                           THEN (1 << (pl.p % {band_bits})) ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM qe CROSS JOIN planes pl
+      GROUP BY qe.vec_id, pl.p // {band_bits}),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM keys a JOIN keys b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT c.vec_a, c.vec_b
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.vec_a
+    JOIN embeddings eb ON eb.vec_id = c.vec_b
+    WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= {min_cosine}
     """
 
 
@@ -2894,7 +2943,8 @@ def oracle_sql() -> dict[str, str]:
             FROM ic LEFT JOIN qc USING (source) LEFT JOIN uc USING (source)
                     LEFT JOIN kept USING (source)
         """,
-        "dedup_embedding_pairs": """
+        "dedup_embedding_pairs": _emb_lsh_pairs_sql(),
+        "dedup_embedding_allpairs": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3

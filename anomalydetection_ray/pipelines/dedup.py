@@ -706,6 +706,150 @@ def embedding_dup_pairs(sf_dir: str, min_cosine: float = 0.95,
     return ds.map_batches(block, batch_format="pyarrow")
 
 
+# ------------------------------------- embedding banded-LSH pairs ----
+# The SCALE path for embedding-cosine near-dup (round 5; replaces the
+# O(N^2) blocked all-pairs as the registered operator — `embedding_dup_pairs`
+# stays as the fixture-scale calibration audit).  Candidates come from
+# banded random-hyperplane LSH: a pair is a candidate iff it collides in
+# >=1 band, and only candidates get an exact-cosine verify — total work
+# tracks candidate multiplicity (bounded by bucket sizes), never N^2.
+#
+# The signing step is INTEGER-EXACT so the DuckDB oracle reproduces the
+# candidate set bitwise: embeddings are quantized once
+# (floor(x * 2^20 + 0.5) — exact in float64 for float32 inputs) and
+# projected onto seeded Rademacher (+-1) hyperplanes, giving an int64 dot
+# whose sign numpy and SQL compute identically.  The ANN probe index
+# (similarity.py:92 build_ann_index) keeps its Gaussian float planes —
+# float dot SIGNS would hinge on summation order (numpy pairwise vs SQL
+# sequential), which the driver's exact-hash gate cannot tolerate.
+# Rademacher projections are a standard SimHash-style LSH family
+# (Charikar 2002 §3; Achlioptas 2003 database-friendly projections).
+_EMB_Q = 1 << 20
+_EMB_SEED = 1337
+
+
+def _emb_planes(n_planes: int, dim: int) -> np.ndarray:
+    """Seeded (n_planes x dim) Rademacher +-1 int64 matrix — the shared
+    source of truth for the engine kernel AND the oracle's VALUES table
+    (__ray_entry__ renders this exact matrix as SQL literals)."""
+    rng = np.random.default_rng(_EMB_SEED)
+    return np.where(rng.random((n_planes, dim)) < 0.5,
+                    np.int64(-1), np.int64(1))
+
+
+def _emb_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_ids int64, float64 (n x d) matrix) from an embeddings batch —
+    zero-copy flat child buffer, no per-row Python."""
+    ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+    emb = batch.column("embedding")
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    flat = np.asarray(emb.values, dtype=np.float64)
+    m = flat.reshape(len(ids), -1) if len(ids) else flat.reshape(0, 1)
+    return ids, m
+
+
+def embedding_lsh_pairs(sf_dir: str, min_cosine: float = 0.95,
+                        n_bands: int = 16, band_bits: int = 16):
+    """Embedding near-dup pairs = banded-LSH candidates + exact cosine
+    verify.  Output: (vec_a < vec_b, cosine) for candidate pairs with
+    cosine >= min_cosine.
+
+    Scale shape (mirrors `minhash_lsh_pairs`): the banding shuffle moves
+    only (vec_id, band, bucket) rows — never embeddings; buckets emit raw
+    candidate pairs (`bucket_candidates`, memory-tiled); pairs are deduped
+    FIRST (`keep_first_by`); then embeddings are attached to the surviving
+    unique pairs by two co-partitioned lookup joins (`attach_payload`) and
+    the exact float64 cosine filter runs vectorized.  Embedding bytes
+    cross the wire once per vector + twice per unique candidate pair.
+
+    Defaults (16 bands x 16 bits = 256 planes) target real near-dup
+    thresholds: at cosine 0.95 a bit flips with prob theta/pi ~ 0.10, so a
+    16-bit band fully agrees with prob ~0.18 and 16 bands miss with prob
+    (1-0.18)^16 ~ 4% while a random pair collides in a given band with
+    prob 2^-16 — candidates stay ~linear in N.  The registered driver
+    query uses (8 x 8) so the oracle's plane VALUES table stays compact.
+    """
+    import ray.data
+
+    from anomalydetection_ray.stages.runs import keep_first_by
+
+    n_planes = n_bands * band_bits
+    assert band_bits <= 62, "band key must fit int64"
+    emb_ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                   columns=["vec_id", "embedding"])
+    planes_by_dim: dict[int, np.ndarray] = {}
+
+    def band_batch(batch: pa.Table) -> pa.Table:
+        ids, m = _emb_matrix(batch)
+        n = ids.shape[0]
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "band": pa.array([], type=pa.int32()),
+                             "bucket": pa.array([], type=pa.int64())})
+        dim = m.shape[1]
+        planes = planes_by_dim.get(dim)
+        if planes is None:  # tiny seeded matrix, built once per task
+            planes = planes_by_dim.setdefault(dim, _emb_planes(n_planes, dim))
+        q = np.floor(m * _EMB_Q + 0.5).astype(np.int64)
+        bits = (q @ planes.T) > 0  # exact int64 dots
+        w = np.int64(1) << np.arange(band_bits, dtype=np.int64)
+        buckets = (bits.reshape(n, n_bands, band_bits) * w).sum(axis=2)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, n_bands), type=pa.int64()),
+            "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), n),
+                             type=pa.int32()),
+            "bucket": pa.array(buckets.ravel(), type=pa.int64()),
+        })
+
+    bands = emb_ds.map_batches(band_batch, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    cands = bands.groupby(["band", "bucket"]).map_groups(
+        bucket_candidates, batch_format="pyarrow")
+    uniq = keep_first_by(cands, keys=["doc_a", "doc_b"])
+    with_a = attach_payload(uniq, emb_ds.map_batches(
+        lambda b: pa.table({"doc_id": b.column("vec_id"),
+                            "embedding": b.column("embedding")}),
+        batch_format="pyarrow", zero_copy_batch=True),
+        "doc_a", "embedding", "_emb_a")
+    with_ab = attach_payload(with_a, emb_ds.map_batches(
+        lambda b: pa.table({"doc_id": b.column("vec_id"),
+                            "embedding": b.column("embedding")}),
+        batch_format="pyarrow", zero_copy_batch=True),
+        "doc_b", "embedding", "_emb_b")
+
+    def verify(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        empty = pa.table({"vec_a": pa.array([], type=pa.int64()),
+                          "vec_b": pa.array([], type=pa.int64()),
+                          "cosine": pa.array([], type=pa.float64())})
+        if n == 0:
+            return empty
+        ea = batch.column("_emb_a")
+        eb = batch.column("_emb_b")
+        if isinstance(ea, pa.ChunkedArray):
+            ea = ea.combine_chunks()
+        if isinstance(eb, pa.ChunkedArray):
+            eb = eb.combine_chunks()
+        a = np.asarray(ea.values, dtype=np.float64).reshape(n, -1)
+        b = np.asarray(eb.values, dtype=np.float64).reshape(n, -1)
+        a = a / np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-30)
+        b = b / np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-30)
+        # one-column matmul (a[i] @ b[i].T diag) via einsum keeps the same
+        # dgemm-free pairwise-sum path for every row
+        sims = np.einsum("ij,ij->i", a, b)
+        keep = sims >= min_cosine
+        kidx = pa.array(np.flatnonzero(keep))
+        return pa.table({
+            "vec_a": batch.column("doc_a").take(kidx).cast(pa.int64()),
+            "vec_b": batch.column("doc_b").take(kidx).cast(pa.int64()),
+            "cosine": pa.array(sims[keep], type=pa.float64()),
+        })
+
+    return with_ab.map_batches(verify, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
 # ------------------------------------------------------------------ D6 ----
 LEV_PREFIX = 64
 

@@ -234,6 +234,82 @@ def test_embedding_pairs_bucket_join_exact(ray_session):
     assert got == expected
 
 
+def test_embedding_lsh_pairs_parity(ray_session):
+    """The banded-LSH scale path equals banding replicated in numpy and is
+    a SUBSET of the all-pairs surface (precision 1.0); the surviving pairs
+    carry the same cosine decision as the exact path."""
+    import pyarrow.parquet as pq
+
+    from anomalydetection_ray.pipelines.dedup import (
+        _EMB_Q, _emb_planes, embedding_lsh_pairs)
+
+    sf = "/root/testdata/sf0.001"
+    n_bands, band_bits, thr = 8, 8, 0.3
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id"), dtype=np.int64)
+    m = np.stack([np.asarray(e, dtype=np.float64)
+                  for e in t.column("embedding").to_pylist()])
+    planes = _emb_planes(n_bands * band_bits, m.shape[1])
+    q = np.floor(m * _EMB_Q + 0.5).astype(np.int64)
+    bits = (q @ planes.T) > 0
+    w = np.int64(1) << np.arange(band_bits, dtype=np.int64)
+    keys = (bits.reshape(len(ids), n_bands, band_bits) * w).sum(axis=2)
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    sims = mn @ mn.T
+    expected = set()
+    all_pairs = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if sims[i, j] >= thr:
+                all_pairs.add((int(ids[i]), int(ids[j])))
+                if (keys[i] == keys[j]).any():
+                    expected.add((int(ids[i]), int(ids[j])))
+    rows = embedding_lsh_pairs(sf, min_cosine=thr, n_bands=n_bands,
+                               band_bits=band_bits).take_all()
+    got = {(r["vec_a"], r["vec_b"]) for r in rows}
+    assert len(rows) == len(got)  # no duplicate pairs
+    assert got == expected
+    assert got <= all_pairs  # precision 1.0 vs the exact all-pairs surface
+    for r in rows:
+        assert r["cosine"] >= thr
+
+
+def test_embedding_lsh_pairs_planted_recall(ray_session, tmp_path):
+    """Default (16 bands x 16 bits) banding recovers EVERY planted
+    near-identical pair at the real near-dup threshold (0.95) on a
+    synthetic corpus — the recall audit the scale path is sized for."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from anomalydetection_ray.pipelines.dedup import embedding_lsh_pairs
+
+    rng = np.random.default_rng(7)
+    dim, n_base, n_dups = 64, 60, 12
+    base = rng.standard_normal((n_base, dim))
+    # planted dups: tiny perturbation of the first n_dups base vectors
+    dup = base[:n_dups] + 0.01 * rng.standard_normal((n_dups, dim))
+    m = np.vstack([base, dup]).astype(np.float32)
+    ids = np.arange(m.shape[0], dtype=np.int64)
+    tab = pa.table({
+        "vec_id": pa.array(ids, type=pa.int64()),
+        "embedding": pa.array([row for row in m],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(len(ids), dtype=np.int32), type=pa.int32()),
+    })
+    pq.write_table(tab, str(tmp_path / "embeddings.parquet"))
+    mn = m.astype(np.float64)
+    mn /= np.maximum(np.linalg.norm(mn, axis=1, keepdims=True), 1e-30)
+    sims = mn @ mn.T
+    planted = {(int(i), int(n_base + i)) for i in range(n_dups)
+               if sims[i, n_base + i] >= 0.95}
+    assert len(planted) == n_dups  # the perturbation keeps cosine >= 0.95
+    rows = embedding_lsh_pairs(str(tmp_path), min_cosine=0.95).take_all()
+    got = {(r["vec_a"], r["vec_b"]) for r in rows}
+    assert planted <= got  # recall 1.0 on planted near-dups
+    for r in rows:  # and nothing below the threshold leaks through
+        assert sims[r["vec_a"], r["vec_b"]] >= 0.95
+
+
 def _random_token_batch(rng, nrows, max_len, with_nulls=False, long_row=False):
     import pyarrow as pa
 
