@@ -470,9 +470,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": mm.media_feature_summary,
         # per-series detectors (X1 registry; A2/A3/A6)
         "detect_esd": lambda sf: _detect(sf, "esd"),
+        # A3 direction knob (reference-family pos/neg one-sided modes,
+        # one-tailed Rosner critical values — Hochenbaum et al. 2017 §3)
+        "detect_esd_pos": lambda sf: _detect(sf, "esd", direction="pos"),
+        "detect_esd_neg": lambda sf: _detect(sf, "esd", direction="neg"),
+        # A3/A8 longterm piecewise mode: ESD per consecutive 100-point
+        # window, local center/scale, series-global positions
+        "detect_esd_piecewise": lambda sf: _detect(sf, "esd_piecewise"),
+        "detect_shesd_piecewise": lambda sf: _detect(
+            sf, "shesd_piecewise"),
         # A8 seasonal-hybrid ESD (per-phase-median de-seasonalize, then
         # robust ESD on the residual)
         "detect_shesd": lambda sf: _detect(sf, "shesd"),
+        # A8 one-sided seasonal variant
+        "detect_shesd_pos": lambda sf: _detect(sf, "shesd",
+                                               direction="pos"),
         # A8b the seasonal-component table the shesd detector subtracts
         "a8_seasonal_components": q.a8_seasonal_components,
         # A9 per-series lag-k autocorrelation feature (exact int moments)
@@ -1469,7 +1481,8 @@ def _containment_sql(min_containment: float = 0.5) -> str:
 
 
 def _esd_sql(alpha: float = 0.05, max_n: int = 1024, k_steps: int = 12,
-             season_period: int | None = None) -> str:
+             season_period: int | None = None, direction: str = "both",
+             part_len: int = 1_000_000, det_name: str | None = None) -> str:
     """detect_esd / detect_shesd oracle: the robust generalized-ESD
     iteration unrolled as a fixed chain of MATERIALIZED CTE steps (without
     MATERIALIZED, DuckDB re-inlines the step chain and runtime explodes).
@@ -1495,9 +1508,16 @@ def _esd_sql(alpha: float = 0.05, max_n: int = 1024, k_steps: int = 12,
     imports.  Verified exact 500/500 on the driver data."""
     from anomalydetection_ray.functions.tppf import esd_lambda
 
+    # one-sided directions score raw (signed) deviation against the
+    # ONE-tailed critical value — both literal families come from the
+    # same engine t-PPF module (functions/stats.py esd direction modes)
+    two_sided = direction == "both"
     lam_rows = ",".join(
-        f"({m}, {esd_lambda(m + 1, 1, alpha)!r})" for m in range(2, max_n)
+        f"({m}, {esd_lambda(m + 1, 1, alpha, two_sided)!r})"
+        for m in range(2, max_n)
     )
+    dv_expr = {"both": "abs(a.x - g.med)", "pos": "(a.x - g.med)",
+               "neg": "(g.med - a.x)"}[direction]
     steps = []
     prev = "st0"
     for k in range(1, k_steps + 1):
@@ -1511,7 +1531,7 @@ def _esd_sql(alpha: float = 0.05, max_n: int = 1024, k_steps: int = 12,
           SELECT doc_id, part_id, median(x) AS med, mad(x) AS madv
           FROM act{k} GROUP BY doc_id, part_id),
         dev{k} AS MATERIALIZED (
-          SELECT a.doc_id, a.part_id, a.i, abs(a.x - g.med) AS dv,
+          SELECT a.doc_id, a.part_id, a.i, {dv_expr} AS dv,
                  1.4826 * g.madv AS scale
           FROM act{k} a JOIN agg{k} g ON g.doc_id = a.doc_id AND g.part_id = a.part_id),
         top{k} AS MATERIALIZED (
@@ -1535,17 +1555,17 @@ def _esd_sql(alpha: float = 0.05, max_n: int = 1024, k_steps: int = 12,
             ON p.doc_id = s.doc_id AND p.part_id = s.part_id)""")
         prev = f"st{k}"
     if season_period is None:
-        det_name = "esd"
-        base_cte = """
+        det_name = det_name or "esd"
+        base_cte = f"""
     base AS MATERIALIZED (
-      SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
-             pos % 1000000 AS i, CAST(v AS DOUBLE) AS x FROM tok),"""
+      SELECT doc_id, CAST(pos // {part_len} AS INTEGER) AS part_id,
+             pos % {part_len} AS i, CAST(v AS DOUBLE) AS x FROM tok),"""
     else:
-        det_name = "shesd"
+        det_name = det_name or "shesd"
         base_cte = f"""
     raw AS MATERIALIZED (
-      SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
-             pos % 1000000 AS i, CAST(v AS DOUBLE) AS x0 FROM tok),
+      SELECT doc_id, CAST(pos // {part_len} AS INTEGER) AS part_id,
+             pos % {part_len} AS i, CAST(v AS DOUBLE) AS x0 FROM tok),
     phm AS MATERIALIZED (
       SELECT doc_id, part_id, i % {season_period} AS ph, median(x0) AS pmed
       FROM raw GROUP BY doc_id, part_id, i % {season_period}),
@@ -1582,7 +1602,7 @@ def _esd_sql(alpha: float = 0.05, max_n: int = 1024, k_steps: int = 12,
              GROUP BY p.doc_id, p.part_id),
     parts AS (SELECT doc_id,
                      CAST(unnest(range(0, greatest(CAST(ceil(
-                         CAST(len(toks) AS DOUBLE) / 1000000) AS BIGINT), 1)))
+                         CAST(len(toks) AS DOUBLE) / {part_len}) AS BIGINT), 1)))
                          AS INTEGER) AS part_id
               FROM seq),
     -- guard: the unroll covers kmax <= k_steps only; longer series would
@@ -1598,6 +1618,36 @@ def _esd_sql(alpha: float = 0.05, max_n: int = 1024, k_steps: int = 12,
     FROM parts LEFT JOIN sums s
       ON s.doc_id = parts.doc_id AND s.part_id = parts.part_id
     CROSS JOIN guard WHERE guard.ok = 1
+    """
+
+
+def _esd_piecewise_sql(window: int = 100, season_period: int | None = None,
+                       direction: str = "both", alpha: float = 0.05) -> str:
+    """detect_esd_piecewise / detect_shesd_piecewise oracle — the family's
+    ``longterm`` mode.  Reuses the unrolled `_esd_sql` machinery with
+    part_len = window (each "part" becomes one piecewise window, with
+    window-LOCAL positions i = pos % window), then re-aggregates the
+    per-window rows to one per-doc row with series-GLOBAL position sums:
+    for a window at offset o = window * part_id,
+        sum(p_global)   = pos_sum_local + n * o
+        sum(p_global^2) = pos_sumsq_local + 2*o*pos_sum_local + n*o^2
+    — exact int64 identities, so the compare stays bit-for-bit.  (At
+    driver scale every doc is a single engine part; the engine's
+    piecewise detector windows are part-local, matching this split.)"""
+    det = ("shesd_piecewise" if season_period is not None
+           else "esd_piecewise")
+    inner = _esd_sql(alpha=alpha, season_period=season_period,
+                     direction=direction, part_len=window)
+    return f"""
+    SELECT doc_id, 0 AS part_id, '{det}' AS detector,
+           CAST(sum(n_anomalies) AS BIGINT) AS n_anomalies,
+           CAST(sum(pos_sum + n_anomalies * ({window} * part_id))
+                AS BIGINT) AS pos_sum,
+           CAST(sum(pos_sumsq
+                    + 2 * ({window} * part_id) * pos_sum
+                    + n_anomalies * ({window} * part_id) * ({window} * part_id))
+                AS BIGINT) AS pos_sumsq
+    FROM ({inner}) GROUP BY doc_id
     """
 
 
@@ -2175,6 +2225,11 @@ def oracle_sql() -> dict[str, str]:
         # A3 generalized ESD (robust S-H-ESD): unrolled MATERIALIZED CTE
         # iteration + (n-k)-keyed lambda table from the engine's own t-PPF
         "detect_esd": _esd_sql(),
+        "detect_esd_pos": _esd_sql(direction="pos"),
+        "detect_esd_neg": _esd_sql(direction="neg"),
+        "detect_esd_piecewise": _esd_piecewise_sql(),
+        "detect_shesd_piecewise": _esd_piecewise_sql(season_period=24),
+        "detect_shesd_pos": _esd_sql(season_period=24, direction="pos"),
         # A22 Grubbs: n-keyed critical table from the shared t-PPF
         "detect_grubbs": _grubbs_sql(),
         # A26 ACF table: the A9 exact-bigint block per lag, UNION ALL

@@ -241,6 +241,7 @@ def esd(
     alpha: float = 0.05,
     k_max: int | None = None,
     robust: bool = True,
+    direction: str = "both",
 ) -> tuple[int, np.ndarray]:
     """A3: generalized ESD test (Rosner 1983) / S-H-ESD robust variant.
 
@@ -248,7 +249,14 @@ def esd(
     of the detected outliers in removal order.  ``k_max`` defaults to
     ``ceil(0.02 * n)`` (the repo family's max_anoms default).  Ties on the
     max deviation break to the lowest index (np.argmax).
+
+    ``direction`` mirrors the reference family's one-sided modes
+    (Hochenbaum et al. 2017 §3): ``'pos'`` scores raw deviation above the
+    center, ``'neg'`` below, each against the ONE-tailed critical value;
+    ``'both'`` is the classical |x - center| two-tailed test.
     """
+    if direction not in ("both", "pos", "neg"):
+        raise ValueError(f"unknown direction {direction!r}")
     x = np.asarray(x, dtype=np.float64)
     n = x.shape[0]
     if k_max is None:
@@ -271,7 +279,12 @@ def esd(
             scale = xs.std()  # ddof=0
         if scale == 0.0:
             break
-        dev = np.abs(x - center)
+        if direction == "both":
+            dev = np.abs(x - center)
+        elif direction == "pos":
+            dev = x - center
+        else:
+            dev = center - x
         dev[~remaining] = -np.inf
         i_max = int(np.argmax(dev))
         r_stats[k - 1] = dev[i_max] / scale
@@ -279,9 +292,10 @@ def esd(
         remaining[i_max] = False
         k_done = k
 
+    two_sided = direction == "both"
     n_anom = 0
     for k in range(1, k_done + 1):
-        if r_stats[k - 1] > esd_lambda(n, k, alpha):
+        if r_stats[k - 1] > esd_lambda(n, k, alpha, two_sided):
             n_anom = k
     return n_anom, removed[:n_anom].copy()
 

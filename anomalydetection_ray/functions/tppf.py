@@ -183,11 +183,16 @@ def _norm_ppf(p: float) -> float:
 
 
 @lru_cache(maxsize=65536)
-def esd_lambda(n: int, k: int, alpha: float) -> float:
-    """Rosner-1983 critical value lambda_k for the generalized ESD test."""
+def esd_lambda(n: int, k: int, alpha: float, two_sided: bool = True) -> float:
+    """Rosner-1983 critical value lambda_k for the generalized ESD test.
+
+    ``two_sided=False`` gives the one-tailed critical value the reference
+    family uses for ``direction='pos'/'neg'`` detection (Hochenbaum,
+    Vallis & Kejariwal 2017 §3: p = 1 - alpha/(n-k+1) instead of
+    1 - alpha/(2(n-k+1)))."""
     df = n - k - 1
     if df <= 0:
         return math.inf
-    p = 1.0 - alpha / (2.0 * (n - k + 1))
+    p = 1.0 - alpha / ((2.0 if two_sided else 1.0) * (n - k + 1))
     t = t_ppf(p, float(df))
     return (n - k) * t / math.sqrt((df + t * t) * (n - k + 1))

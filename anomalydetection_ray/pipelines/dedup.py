@@ -1732,11 +1732,6 @@ def x8_source_homophily(sf_dir: str, min_est: float = 0.5):
         # endpoint-source counts (both ends)
         ends = np.concatenate([sa, sb])
         uniq, cnt = np.unique(ends.astype(str), return_counts=True)
-        t1 = pa.table({"kind": pa.array(["edge"] * 1),
-                       "n_edges": pa.array([batch.num_rows],
-                                           type=pa.int64()),
-                       "n_same": pa.array([int(same.sum())],
-                                          type=pa.int64())})
         t2 = pa.table({"source": pa.array(list(uniq), type=pa.string()),
                        "n_ends": pa.array(cnt.astype(np.int64),
                                           type=pa.int64())})
@@ -1806,11 +1801,12 @@ def d17_sketch_agreement(sf_dir: str, num_partitions: int = 16):
         def f(batch: pa.Table) -> pa.Table:
             a = np.asarray(batch.column("doc_a"), dtype=np.int64)
             b = np.asarray(batch.column("doc_b"), dtype=np.int64)
-            lo = np.minimum(a, b)
-            hi = np.maximum(a, b)
+            # key on the two int64 columns directly — a packed
+            # (lo << 32) | hi key would silently collide distinct pairs
+            # once doc ids exceed 2^32
             return pa.table({
-                "pair": pa.array((lo << np.int64(32)) | hi,
-                                 type=pa.int64()),
+                "pair_lo": pa.array(np.minimum(a, b), type=pa.int64()),
+                "pair_hi": pa.array(np.maximum(a, b), type=pa.int64()),
                 "in_mh": pa.array(np.full(len(a), 1 - which,
                                           dtype=np.int64)),
                 "in_sh": pa.array(np.full(len(a), which,
@@ -1822,8 +1818,9 @@ def d17_sketch_agreement(sf_dir: str, num_partitions: int = 16):
                            zero_copy_batch=True)
             .union(sh.map_batches(tag(1), batch_format="pyarrow",
                                   zero_copy_batch=True)))
-    merged = agg_by(both, ["pair"], [("in_mh", "sum", "in_mh"),
-                                     ("in_sh", "sum", "in_sh")])
+    merged = agg_by(both, ["pair_lo", "pair_hi"],
+                    [("in_mh", "sum", "in_mh"),
+                     ("in_sh", "sum", "in_sh")])
 
     def partial(batch: pa.Table) -> pa.Table:
         m = np.asarray(batch.column("in_mh"), dtype=np.int64) > 0

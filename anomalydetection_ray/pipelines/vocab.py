@@ -91,7 +91,8 @@ def vocab_topk(sf_dir: str, k: int = TOPK_DEFAULT):
     return topk(counts, k, [("n", "descending"), ("word", "ascending")])
 
 
-def tfidf_topk(sf_dir: str, k: int = 3):
+def tfidf_topk(sf_dir: str, k: int = 3,
+               max_vocab: int = 2_000_000):
     """V3 — top-``k`` TF-IDF terms per document: the non-hapax DF table
     (built by the V2 distributed pass with a real ``min_df=2`` floor)
     collects to the driver ONCE and broadcasts into a map-only scoring
@@ -104,11 +105,31 @@ def tfidf_topk(sf_dir: str, k: int = 3):
     with doc count) has ``idf = ln(N / 1) = ln(N)`` exactly, so hapaxes
     never need to ship — any word missing from the broadcast table scores
     with the constant ``ln(N)``.  Only the ``df >= 2`` vocabulary (the
-    Heaps-law core, the part worth a driver table) is collected."""
+    Heaps-law core, the part worth a driver table) is collected — and
+    that core is in turn HARD-CAPPED at the ``max_vocab`` highest-df
+    words (block-pruned distributed top-k, so the driver never holds
+    more than the cap): per the repo's no-silent-caps rule, truncation is
+    LOGGED, and the dropped low-df tail scores with the ``ln(N)``
+    fallback (an overestimate of its true idf by at most ``ln 2`` per
+    df==2 word — acceptable for a ranking score, never silent)."""
+    import logging
+
     import pandas as pd
     import pyarrow.parquet as pq
 
-    df_pd = vocab_doc_freq(sf_dir, min_df=2).to_pandas()
+    from anomalydetection_ray.stages.topk import topk
+
+    df_ds = vocab_doc_freq(sf_dir, min_df=2)
+    # +1 sentinel row: len > max_vocab after collect <=> truncation
+    df_pd = topk(df_ds, max_vocab + 1,
+                 [("df", "descending"), ("word", "ascending")]).to_pandas()
+    if len(df_pd) > max_vocab:
+        df_pd = df_pd.iloc[:max_vocab]
+        logging.getLogger(__name__).warning(
+            "tfidf_topk: df>=2 vocabulary exceeds max_vocab=%d; collect "
+            "truncated to the %d highest-df words — the dropped low-df "
+            "tail scores with the hapax idf=ln(N) fallback",
+            max_vocab, max_vocab)
     vocab = pd.Index(df_pd["word"])
     n_docs = float(pq.ParquetFile(
         f"{sf_dir}/documents.parquet").metadata.num_rows)

@@ -2464,8 +2464,17 @@ def _drawdown_kernel(group: pa.Table) -> pa.Table:
     # per-user cum range (cum is already per-user-rebased, so the lift
     # bound is the max per-user total, not the corpus total)
     seg = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
-    lift = seg * (np.abs(cum).max() + 1) * 2
-    peak = np.maximum.accumulate(cum + lift) - lift
+    maxabs = int(np.abs(cum).max())
+    if len(starts) * (maxabs + 1) * 2 < (1 << 62):  # exact Python-int bound
+        lift = seg * np.int64((maxabs + 1) * 2)
+        peak = np.maximum.accumulate(cum + lift) - lift
+    else:
+        # overflow guard: the lift trick would wrap int64 when
+        # n_users x max|cum| x 2 approaches 2^63 — fall back to direct
+        # per-segment accumulates (same values, no lift arithmetic)
+        peak = np.empty_like(cum)
+        for s, ln in zip(starts, lens):
+            np.maximum.accumulate(cum[s:s + ln], out=peak[s:s + ln])
     dd = peak - cum
     out_dd = np.maximum.reduceat(dd, starts)
     # first argmax per run, vectorized: stable order by (seg, -dd),
@@ -2898,18 +2907,21 @@ def w39_dwell_time(sf_dir: str, num_partitions: int = 16):
                                            batch_format="pyarrow")
            .groupby("event_type").sum(["n_dwells", "dwell_us"]))
 
+    # ONE execution: collect the bounded per-type rows (one per event
+    # type), compute the total + shares from them, and return a new tiny
+    # Dataset — re-reading `agg` after a take_all() would re-execute the
+    # whole _pkey exchange pipeline a second time
     rows = agg.take_all()   # bounded: one row per event type
     total = sum(int(r["sum(dwell_us)"]) for r in rows)
+    nd = np.array([int(r["sum(n_dwells)"]) for r in rows], dtype=np.int64)
+    du = np.array([int(r["sum(dwell_us)"]) for r in rows], dtype=np.int64)
+    import ray.data
 
-    def finalize(batch: pa.Table) -> pa.Table:
-        nd = np.asarray(batch.column("sum(n_dwells)"), dtype=np.int64)
-        du = np.asarray(batch.column("sum(dwell_us)"), dtype=np.int64)
-        return pa.table({
-            "event_type": batch.column("event_type"),
-            "n_dwells": pa.array(nd, type=pa.int64()),
-            "dwell_us": pa.array(du, type=pa.int64()),
-            "share": pa.array(du.astype(np.float64) / np.float64(total),
-                              type=pa.float64()),
-        })
-
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    return ray.data.from_arrow(pa.table({
+        "event_type": pa.array([r["event_type"] for r in rows],
+                               type=pa.string()),
+        "n_dwells": pa.array(nd, type=pa.int64()),
+        "dwell_us": pa.array(du, type=pa.int64()),
+        "share": pa.array(du.astype(np.float64) / np.float64(total),
+                          type=pa.float64()),
+    }))

@@ -46,8 +46,9 @@ def detectors() -> list[str]:
 
 
 def _det_esd(values: np.ndarray, alpha: float = 0.05, k_max: int | None = None,
-             robust: bool = True) -> dict:
-    n_anom, idx = esd(values.astype(np.float64), alpha=alpha, k_max=k_max, robust=robust)
+             robust: bool = True, direction: str = "both") -> dict:
+    n_anom, idx = esd(values.astype(np.float64), alpha=alpha, k_max=k_max,
+                      robust=robust, direction=direction)
     return {"n_anomalies": int(n_anom), "anomaly_positions": np.sort(idx)}
 
 
@@ -121,7 +122,7 @@ def _det_cusum(values: np.ndarray, c: float = 5.0) -> dict:
 
 
 def _det_shesd(values: np.ndarray, period: int = 24, alpha: float = 0.05,
-               k_max: int | None = None) -> dict:
+               k_max: int | None = None, direction: str = "both") -> dict:
     """A8: seasonal-hybrid ESD (Hochenbaum, Vallis & Kejariwal 2017,
     arXiv:1704.07706 §3.2) with the piecewise-median seasonal estimate:
     the seasonal component at phase p (= position mod ``period``) is the
@@ -144,12 +145,52 @@ def _det_shesd(values: np.ndarray, period: int = 24, alpha: float = 0.05,
         if sl.size:
             pmed[p] = np.median(sl)
     resid = x - pmed[np.arange(n, dtype=np.int64) % period]
-    n_anom, idx = esd(resid, alpha=alpha, k_max=k_max, robust=True)
+    n_anom, idx = esd(resid, alpha=alpha, k_max=k_max, robust=True,
+                      direction=direction)
     return {"n_anomalies": int(n_anom), "anomaly_positions": np.sort(idx)}
+
+
+def _piecewise(values: np.ndarray, window: int, det: Callable,
+               **params) -> dict:
+    """The reference family's ``longterm`` mode: split the series into
+    consecutive ``window``-point pieces (remainder = one shorter final
+    piece) and run the detector independently per piece, so the
+    center/scale estimates stay local — long-horizon drift cannot mask a
+    local spike (Hochenbaum et al. 2017 §3.1; the family slides on
+    period-aligned chunks — consecutive fixed windows are this engine's
+    pinned, SQL-replicable variant of that split).  Positions are
+    reported series-global."""
+    pos_parts = []
+    for w0 in range(0, values.shape[0], window):
+        out = det(values[w0:w0 + window], **params)
+        p = np.asarray(out["anomaly_positions"], dtype=np.int64)
+        if p.size:
+            pos_parts.append(p + w0)
+    pos = (np.concatenate(pos_parts) if pos_parts
+           else np.empty(0, dtype=np.int64))
+    return {"n_anomalies": int(pos.size), "anomaly_positions": pos}
+
+
+def _det_esd_piecewise(values: np.ndarray, window: int = 100,
+                       alpha: float = 0.05, k_max: int | None = None,
+                       robust: bool = True,
+                       direction: str = "both") -> dict:
+    return _piecewise(values, window, _det_esd, alpha=alpha, k_max=k_max,
+                      robust=robust, direction=direction)
+
+
+def _det_shesd_piecewise(values: np.ndarray, window: int = 100,
+                         period: int = 24, alpha: float = 0.05,
+                         k_max: int | None = None,
+                         direction: str = "both") -> dict:
+    return _piecewise(values, window, _det_shesd, period=period,
+                      alpha=alpha, k_max=k_max, direction=direction)
 
 
 register_detector("esd", _det_esd)
 register_detector("shesd", _det_shesd)
+register_detector("esd_piecewise", _det_esd_piecewise)
+register_detector("shesd_piecewise", _det_shesd_piecewise)
 register_detector("cusum", _det_cusum)
 register_detector("threshold", _det_threshold)
 register_detector("ewma", _det_ewma_resid)

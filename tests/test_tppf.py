@@ -60,3 +60,65 @@ def test_esd_robust_finds_spikes():
 def test_esd_constant_series():
     n_anom, idx = esd(np.full(100, 7.0), robust=True)
     assert n_anom == 0 and idx.size == 0
+
+
+def test_esd_direction_one_sided():
+    """pos finds only upward spikes, neg only downward; both finds both;
+    the one-tailed critical value is strictly below the two-tailed one."""
+    rng = np.random.default_rng(7)
+    x = rng.normal(0, 1, 400)
+    x[[20, 110]] += 12.0   # upward spikes
+    x[[250, 333]] -= 12.0  # downward spikes
+    n_pos, idx_pos = esd(x, k_max=10, direction="pos")
+    n_neg, idx_neg = esd(x, k_max=10, direction="neg")
+    n_both, idx_both = esd(x, k_max=10, direction="both")
+    assert set(idx_pos.tolist()) == {20, 110}
+    assert set(idx_neg.tolist()) == {250, 333}
+    assert set(idx_both.tolist()) == {20, 110, 250, 333}
+    assert esd_lambda(100, 1, 0.05, False) < esd_lambda(100, 1, 0.05, True)
+
+
+def test_esd_direction_rejects_unknown():
+    import pytest
+
+    with pytest.raises(ValueError):
+        esd(np.arange(10.0), direction="sideways")
+
+
+def test_esd_piecewise_local_windows():
+    """The longterm piecewise mode flags a spike that the whole-series
+    robust test also sees, but keeps window-local centers: a strong level
+    shift between windows does not bleed anomalies across the boundary."""
+    from anomalydetection_ray.stages.detectors import (_det_esd,
+                                                       _det_esd_piecewise)
+
+    rng = np.random.default_rng(11)
+    # two regimes: mean 0 then mean 80, one true spike inside each
+    x = np.concatenate([rng.normal(0, 1, 100), rng.normal(80, 1, 100)])
+    x[40] += 15.0
+    x[160] += 15.0
+    out = _det_esd_piecewise(x, window=100)
+    assert set(np.asarray(out["anomaly_positions"]).tolist()) == {40, 160}
+    # per-window output == running plain ESD on each slice independently
+    manual = []
+    for w0 in (0, 100):
+        o = _det_esd(x[w0:w0 + 100])
+        manual.extend((np.asarray(o["anomaly_positions"]) + w0).tolist())
+    assert sorted(out["anomaly_positions"].tolist()) == sorted(manual)
+
+
+def test_shesd_piecewise_remainder_window():
+    """Spikes inside full windows are found with window-local seasonal
+    estimates; a short remainder window (fewer points than phases, so
+    per-phase medians absorb everything) reports nothing rather than
+    crashing, and positions stay series-global."""
+    from anomalydetection_ray.stages.detectors import _det_shesd_piecewise
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 1, 230)  # windows: 100, 100, 30
+    x[150] += 20.0  # inside the second full window
+    out = _det_shesd_piecewise(x, window=100, period=24)
+    pos = set(np.asarray(out["anomaly_positions"]).tolist())
+    assert 150 in pos
+    assert all(p < 230 for p in pos)
+    assert out["n_anomalies"] == len(pos)
