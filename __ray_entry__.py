@@ -485,6 +485,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A8 one-sided seasonal variant
         "detect_shesd_pos": lambda sf: _detect(sf, "shesd",
                                                direction="pos"),
+        # A52 S-H-ESD with the robust piecewise-median trend term (the
+        # median-based stand-in for the family's STL step; docstring in
+        # stages/detectors.py _det_shesd_trend)
+        "detect_shesd_trend": lambda sf: _detect(sf, "shesd_trend"),
         # A8b the seasonal-component table the shesd detector subtracts
         "a8_seasonal_components": q.a8_seasonal_components,
         # A9 per-series lag-k autocorrelation feature (exact int moments)
@@ -1482,7 +1486,8 @@ def _containment_sql(min_containment: float = 0.5) -> str:
 
 def _esd_sql(alpha: float = 0.05, max_n: int = 1024, k_steps: int = 12,
              season_period: int | None = None, direction: str = "both",
-             part_len: int = 1_000_000, det_name: str | None = None) -> str:
+             part_len: int = 1_000_000, det_name: str | None = None,
+             trend: bool = False) -> str:
     """detect_esd / detect_shesd oracle: the robust generalized-ESD
     iteration unrolled as a fixed chain of MATERIALIZED CTE steps (without
     MATERIALIZED, DuckDB re-inlines the step chain and runtime explodes).
@@ -1561,7 +1566,8 @@ def _esd_sql(alpha: float = 0.05, max_n: int = 1024, k_steps: int = 12,
       SELECT doc_id, CAST(pos // {part_len} AS INTEGER) AS part_id,
              pos % {part_len} AS i, CAST(v AS DOUBLE) AS x FROM tok),"""
     else:
-        det_name = det_name or "shesd"
+        det_name = det_name or ("shesd_trend" if trend else "shesd")
+        deseason_name = "dbase" if trend else "base"
         base_cte = f"""
     raw AS MATERIALIZED (
       SELECT doc_id, CAST(pos // {part_len} AS INTEGER) AS part_id,
@@ -1569,10 +1575,23 @@ def _esd_sql(alpha: float = 0.05, max_n: int = 1024, k_steps: int = 12,
     phm AS MATERIALIZED (
       SELECT doc_id, part_id, i % {season_period} AS ph, median(x0) AS pmed
       FROM raw GROUP BY doc_id, part_id, i % {season_period}),
-    base AS MATERIALIZED (
+    {deseason_name} AS MATERIALIZED (
       SELECT r.doc_id, r.part_id, r.i, r.x0 - p.pmed AS x
       FROM raw r JOIN phm p ON p.doc_id = r.doc_id
         AND p.part_id = r.part_id AND p.ph = r.i % {season_period}),"""
+        if trend:
+            # robust piecewise trend: the median of each full seasonal
+            # cycle of the deseasoned series (exact quarters — see
+            # stages/detectors.py _det_shesd_trend)
+            base_cte += f"""
+    cym AS MATERIALIZED (
+      SELECT doc_id, part_id, i // {season_period} AS cyc,
+             median(x) AS tmed
+      FROM dbase GROUP BY doc_id, part_id, i // {season_period}),
+    base AS MATERIALIZED (
+      SELECT d.doc_id, d.part_id, d.i, d.x - c.tmed AS x
+      FROM dbase d JOIN cym c ON c.doc_id = d.doc_id
+        AND c.part_id = d.part_id AND c.cyc = d.i // {season_period}),"""
     return f"""
     WITH {_SEQ_TOK_CTE},{base_cte}
     meta AS MATERIALIZED (
@@ -2230,6 +2249,7 @@ def oracle_sql() -> dict[str, str]:
         "detect_esd_piecewise": _esd_piecewise_sql(),
         "detect_shesd_piecewise": _esd_piecewise_sql(season_period=24),
         "detect_shesd_pos": _esd_sql(season_period=24, direction="pos"),
+        "detect_shesd_trend": _esd_sql(season_period=24, trend=True),
         # A22 Grubbs: n-keyed critical table from the shared t-PPF
         "detect_grubbs": _grubbs_sql(),
         # A26 ACF table: the A9 exact-bigint block per lag, UNION ALL

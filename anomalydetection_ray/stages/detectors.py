@@ -150,6 +150,48 @@ def _det_shesd(values: np.ndarray, period: int = 24, alpha: float = 0.05,
     return {"n_anomalies": int(n_anom), "anomaly_positions": np.sort(idx)}
 
 
+def _det_shesd_trend(values: np.ndarray, period: int = 24,
+                     alpha: float = 0.05, k_max: int | None = None,
+                     direction: str = "both") -> dict:
+    """A52: S-H-ESD with a robust piecewise-median TREND term — the
+    engine's median-based stand-in for the family's STL decomposition
+    step (Hochenbaum et al. 2017 §3.2 decompose with STL before the
+    robust test; LOESS smoothing is float-iterative and cannot be
+    replayed bitwise by a SQL oracle, so the trend here is the median of
+    each full seasonal cycle — the robust low-pass in the RobustSTL
+    spirit):
+
+        seasonal[p]  = median of phase p's values       (exact halves)
+        deseason     = x - seasonal[pos % period]
+        trend[c]     = median of cycle c's deseasoned   (exact quarters)
+        resid        = deseason - trend[pos // period]
+
+    then the robust generalized-ESD test on ``resid``.  Every median of
+    integer inputs stays an exact dyadic rational, so the full iteration
+    remains bit-reproducible by the DuckDB oracle."""
+    x = values.astype(np.float64)
+    n = x.shape[0]
+    if n < 3:
+        return {"n_anomalies": 0,
+                "anomaly_positions": np.empty(0, dtype=np.int64)}
+    pos = np.arange(n, dtype=np.int64)
+    pmed = np.zeros(period, dtype=np.float64)
+    for p in range(period):
+        sl = x[p::period]
+        if sl.size:
+            pmed[p] = np.median(sl)
+    deseason = x - pmed[pos % period]
+    cyc = pos // period
+    ncyc = int(cyc[-1]) + 1
+    tmed = np.zeros(ncyc, dtype=np.float64)
+    for c in range(ncyc):  # <= n/period iterations, each median vectorized
+        tmed[c] = np.median(deseason[c * period:(c + 1) * period])
+    resid = deseason - tmed[cyc]
+    n_anom, idx = esd(resid, alpha=alpha, k_max=k_max, robust=True,
+                      direction=direction)
+    return {"n_anomalies": int(n_anom), "anomaly_positions": np.sort(idx)}
+
+
 def _piecewise(values: np.ndarray, window: int, det: Callable,
                **params) -> dict:
     """The reference family's ``longterm`` mode: split the series into
@@ -189,6 +231,7 @@ def _det_shesd_piecewise(values: np.ndarray, window: int = 100,
 
 register_detector("esd", _det_esd)
 register_detector("shesd", _det_shesd)
+register_detector("shesd_trend", _det_shesd_trend)
 register_detector("esd_piecewise", _det_esd_piecewise)
 register_detector("shesd_piecewise", _det_shesd_piecewise)
 register_detector("cusum", _det_cusum)

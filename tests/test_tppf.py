@@ -122,3 +122,26 @@ def test_shesd_piecewise_remainder_window():
     assert 150 in pos
     assert all(p < 230 for p in pos)
     assert out["n_anomalies"] == len(pos)
+
+
+def test_shesd_trend_detrends_drifting_seasonal():
+    """A seasonal series with a strong level drift: the cycle-median
+    trend term removes the drift so the injected spike dominates the
+    residual; the trend-less shesd sees drift-inflated residuals."""
+    from anomalydetection_ray.stages.detectors import (_det_shesd,
+                                                       _det_shesd_trend)
+
+    period, cycles = 24, 10
+    n = period * cycles
+    pos = np.arange(n)
+    rng = np.random.default_rng(5)
+    season = 10.0 * (pos % period >= 12)
+    drift = 40.0 * (pos // period)  # strong per-cycle level shifts
+    x = season + drift + rng.normal(0, 1, n)
+    x[130] += 500.0
+    out = _det_shesd_trend(x, period=period)
+    assert 130 in set(np.asarray(out["anomaly_positions"]).tolist())
+    # sanity: without the trend term the drift floods the residual MAD,
+    # hiding the spike — exactly the masking STL-style decomposition fixes
+    plain = _det_shesd(x, period=period)
+    assert 130 not in set(np.asarray(plain["anomaly_positions"]).tolist())
