@@ -133,6 +133,14 @@ def _detect(sf_dir: str, detector: str, **params):
     )
 
 
+def _shesd_evalue(sf_dir: str):
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import shesd_expected_batch
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        shesd_expected_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _a23_tukey(sf_dir: str):
     from anomalydetection_ray.pipelines.rollup import validated
     from anomalydetection_ray.stages.detectors import tukey_batch
@@ -489,6 +497,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # median-based stand-in for the family's STL step; docstring in
         # stages/detectors.py _det_shesd_trend)
         "detect_shesd_trend": lambda sf: _detect(sf, "shesd_trend"),
+        # A53 the family's threshold= knob (AnomalyDetectionTs
+        # med_max/p95/p99): keep only anomalies whose raw value clears a
+        # per-cycle-maxima threshold; one-sided pos detection underneath
+        "detect_shesd_thr_medmax": lambda sf: _detect(
+            sf, "shesd_threshold", threshold="med_max"),
+        "detect_shesd_thr_p95": lambda sf: _detect(
+            sf, "shesd_threshold", threshold="p95"),
+        "detect_shesd_thr_p99": lambda sf: _detect(
+            sf, "shesd_threshold", threshold="p99"),
+        # A54 the family's e_value surface: exact-int sum of 2x the
+        # expected (seasonal-median) value at each anomaly position
+        "detect_shesd_evalue": _shesd_evalue,
         # A8b the seasonal-component table the shesd detector subtracts
         "a8_seasonal_components": q.a8_seasonal_components,
         # A9 per-series lag-k autocorrelation feature (exact int moments)
@@ -1487,7 +1507,8 @@ def _containment_sql(min_containment: float = 0.5) -> str:
 def _esd_sql(alpha: float = 0.05, max_n: int = 1024, k_steps: int = 12,
              season_period: int | None = None, direction: str = "both",
              part_len: int = 1_000_000, det_name: str | None = None,
-             trend: bool = False) -> str:
+             trend: bool = False, threshold: str | None = None,
+             evalue: bool = False) -> str:
     """detect_esd / detect_shesd oracle: the robust generalized-ESD
     iteration unrolled as a fixed chain of MATERIALIZED CTE steps (without
     MATERIALIZED, DuckDB re-inlines the step chain and runtime explodes).
@@ -1559,6 +1580,9 @@ def _esd_sql(alpha: float = 0.05, max_n: int = 1024, k_steps: int = 12,
           FROM {prev} s LEFT JOIN pick{k} p
             ON p.doc_id = s.doc_id AND p.part_id = s.part_id)""")
         prev = f"st{k}"
+    if (threshold is not None or evalue) and season_period is None:
+        raise ValueError("threshold=/evalue= oracles are seasonal "
+                         "(S-H-ESD) variants; pass season_period")
     if season_period is None:
         det_name = det_name or "esd"
         base_cte = f"""
@@ -1566,7 +1590,10 @@ def _esd_sql(alpha: float = 0.05, max_n: int = 1024, k_steps: int = 12,
       SELECT doc_id, CAST(pos // {part_len} AS INTEGER) AS part_id,
              pos % {part_len} AS i, CAST(v AS DOUBLE) AS x FROM tok),"""
     else:
-        det_name = det_name or ("shesd_trend" if trend else "shesd")
+        det_name = det_name or (
+            "shesd_trend" if trend else
+            "shesd_threshold" if threshold is not None else
+            "shesd_evalue" if evalue else "shesd")
         deseason_name = "dbase" if trend else "base"
         base_cte = f"""
     raw AS MATERIALIZED (
@@ -1592,6 +1619,54 @@ def _esd_sql(alpha: float = 0.05, max_n: int = 1024, k_steps: int = 12,
       SELECT d.doc_id, d.part_id, d.i, d.x - c.tmed AS x
       FROM dbase d JOIN cym c ON c.doc_id = d.doc_id
         AND c.part_id = d.part_id AND c.cyc = d.i // {season_period}),"""
+    # A53 threshold= knob: per-cycle maxima of the RAW series feed a
+    # med_max / nearest-rank p95/p99 threshold; anomalies below it are
+    # dropped in `sums`.  Rank = ceil(q * n_cycles), the same IEEE double
+    # ceil the engine computes (stages/detectors.py _det_shesd_threshold).
+    sums_join = ""
+    sums_filter = ""
+    if threshold is not None:
+        base_cte += f"""
+    cmx AS MATERIALIZED (
+      SELECT doc_id, part_id, max(x0) AS m
+      FROM raw GROUP BY doc_id, part_id, i // {season_period}),"""
+        if threshold == "med_max":
+            base_cte += """
+    thr AS MATERIALIZED (
+      SELECT doc_id, part_id, median(m) AS thr
+      FROM cmx GROUP BY doc_id, part_id),"""
+        else:
+            q = {"p95": 0.95, "p99": 0.99}[threshold]
+            base_cte += f"""
+    cmr AS MATERIALIZED (
+      SELECT doc_id, part_id, m,
+             row_number() OVER (PARTITION BY doc_id, part_id
+                                ORDER BY m) AS rn,
+             count(*) OVER (PARTITION BY doc_id, part_id) AS nc
+      FROM cmx),
+    thr AS MATERIALIZED (
+      SELECT doc_id, part_id, m AS thr FROM cmr
+      WHERE rn = CAST(ceil({q!r} * nc) AS BIGINT)),"""
+        sums_join = (
+            "\n               JOIN raw r ON r.doc_id = p.doc_id"
+            " AND r.part_id = p.part_id AND r.i = p.p"
+            "\n               JOIN thr t ON t.doc_id = p.doc_id"
+            " AND t.part_id = p.part_id")
+        sums_filter = " AND r.x0 >= t.thr"
+    # A54 e_value surface: the third output column becomes the exact-int
+    # sum of 2 * (seasonal phase median) over the kept anomaly positions
+    if evalue:
+        third_agg = ("CAST(round(sum(2 * ph.pmed)) AS BIGINT)"
+                     " AS exp2_sum")
+        third_out = "CAST(COALESCE(s.exp2_sum, 0) AS BIGINT) AS exp2_sum"
+        sums_join += (
+            f"\n               JOIN phm ph ON ph.doc_id = p.doc_id"
+            f" AND ph.part_id = p.part_id"
+            f" AND ph.ph = p.p % {season_period}")
+    else:
+        third_agg = "sum(p.p * p.p) AS pos_sumsq"
+        third_out = ("CAST(COALESCE(s.pos_sumsq, 0) AS BIGINT)"
+                     " AS pos_sumsq")
     return f"""
     WITH {_SEQ_TOK_CTE},{base_cte}
     meta AS MATERIALIZED (
@@ -1615,9 +1690,9 @@ def _esd_sql(alpha: float = 0.05, max_n: int = 1024, k_steps: int = 12,
     pos AS (SELECT s.doc_id, s.part_id, unnest(s.removed) AS p,
                    generate_subscripts(s.removed, 1) AS k FROM {prev} s),
     sums AS (SELECT p.doc_id, p.part_id, count(*) AS n_anomalies,
-                    sum(p.p) AS pos_sum, sum(p.p * p.p) AS pos_sumsq
-             FROM pos p JOIN hit h ON h.doc_id = p.doc_id AND h.part_id = p.part_id
-             WHERE p.k <= h.n_anom
+                    sum(p.p) AS pos_sum, {third_agg}
+             FROM pos p JOIN hit h ON h.doc_id = p.doc_id AND h.part_id = p.part_id{sums_join}
+             WHERE p.k <= h.n_anom{sums_filter}
              GROUP BY p.doc_id, p.part_id),
     parts AS (SELECT doc_id,
                      CAST(unnest(range(0, greatest(CAST(ceil(
@@ -1633,7 +1708,7 @@ def _esd_sql(alpha: float = 0.05, max_n: int = 1024, k_steps: int = 12,
     SELECT parts.doc_id, parts.part_id, '{det_name}' AS detector,
            COALESCE(s.n_anomalies, 0) AS n_anomalies,
            CAST(COALESCE(s.pos_sum, 0) AS BIGINT) AS pos_sum,
-           CAST(COALESCE(s.pos_sumsq, 0) AS BIGINT) AS pos_sumsq
+           {third_out}
     FROM parts LEFT JOIN sums s
       ON s.doc_id = parts.doc_id AND s.part_id = parts.part_id
     CROSS JOIN guard WHERE guard.ok = 1
@@ -2250,6 +2325,13 @@ def oracle_sql() -> dict[str, str]:
         "detect_shesd_piecewise": _esd_piecewise_sql(season_period=24),
         "detect_shesd_pos": _esd_sql(season_period=24, direction="pos"),
         "detect_shesd_trend": _esd_sql(season_period=24, trend=True),
+        "detect_shesd_thr_medmax": _esd_sql(
+            season_period=24, direction="pos", threshold="med_max"),
+        "detect_shesd_thr_p95": _esd_sql(
+            season_period=24, direction="pos", threshold="p95"),
+        "detect_shesd_thr_p99": _esd_sql(
+            season_period=24, direction="pos", threshold="p99"),
+        "detect_shesd_evalue": _esd_sql(season_period=24, evalue=True),
         # A22 Grubbs: n-keyed critical table from the shared t-PPF
         "detect_grubbs": _grubbs_sql(),
         # A26 ACF table: the A9 exact-bigint block per lag, UNION ALL

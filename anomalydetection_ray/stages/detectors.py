@@ -192,6 +192,49 @@ def _det_shesd_trend(values: np.ndarray, period: int = 24,
     return {"n_anomalies": int(n_anom), "anomaly_positions": np.sort(idx)}
 
 
+_THRESHOLD_Q = {"p95": 0.95, "p99": 0.99}
+
+
+def _det_shesd_threshold(values: np.ndarray, period: int = 24,
+                         alpha: float = 0.05, k_max: int | None = None,
+                         threshold: str = "med_max",
+                         direction: str = "pos") -> dict:
+    """A53: the reference family's ``threshold=`` knob (AnomalyDetectionTs
+    exposes ``med_max``/``p95``/``p99``): run S-H-ESD, then keep only
+    anomalies whose RAW value clears a threshold computed from the
+    per-cycle maxima of the series — cycle = consecutive ``period``-point
+    chunk, the engine's pinned stand-in for the family's calendar-day
+    maxima (positions are integer indexes here, not timestamps; a final
+    partial cycle counts, as a partial day does in the family).
+
+    ``med_max`` = median of the cycle maxima (integers -> exact dyadic
+    half); ``p95``/``p99`` = nearest-rank order statistic at rank
+    ``ceil(q * n_cycles)`` — rank arithmetic only, no interpolation, so
+    the DuckDB oracle replays the same IEEE ``ceil(q*n)`` and the same
+    integer order statistic verbatim.  Defaults to ``direction='pos'``:
+    an upper-value threshold only filters upper-tail anomalies
+    meaningfully (the family applies it to its positive-direction use
+    case)."""
+    if threshold not in ("med_max", *_THRESHOLD_Q):
+        raise ValueError(f"unknown threshold {threshold!r}; "
+                         f"accepted: med_max, p95, p99")
+    out = _det_shesd(values, period=period, alpha=alpha, k_max=k_max,
+                     direction=direction)
+    pos = np.asarray(out["anomaly_positions"], dtype=np.int64)
+    if pos.size == 0:
+        return out
+    x = values.astype(np.float64)
+    cmax = np.maximum.reduceat(x, np.arange(0, x.shape[0], period))
+    if threshold == "med_max":
+        thr = float(np.median(cmax))
+    else:
+        q = _THRESHOLD_Q[threshold]
+        s = np.sort(cmax)
+        thr = float(s[math.ceil(q * s.size) - 1])
+    pos = pos[x[pos] >= thr]
+    return {"n_anomalies": int(pos.size), "anomaly_positions": pos}
+
+
 def _piecewise(values: np.ndarray, window: int, det: Callable,
                **params) -> dict:
     """The reference family's ``longterm`` mode: split the series into
@@ -232,6 +275,7 @@ def _det_shesd_piecewise(values: np.ndarray, window: int = 100,
 register_detector("esd", _det_esd)
 register_detector("shesd", _det_shesd)
 register_detector("shesd_trend", _det_shesd_trend)
+register_detector("shesd_threshold", _det_shesd_threshold)
 register_detector("esd_piecewise", _det_esd_piecewise)
 register_detector("shesd_piecewise", _det_shesd_piecewise)
 register_detector("cusum", _det_cusum)
@@ -496,6 +540,54 @@ def detect_batch(batch: pa.Table, detector: str = "esd", **params) -> pa.Table:
         pos_sum[i] = int(p.sum())
         pos_sumsq[i] = int((p * p).sum())
     return _report_table(batch, detector, n_anom, pos_sum, pos_sumsq)
+
+
+def shesd_expected_batch(batch: pa.Table, period: int = 24,
+                         alpha: float = 0.05) -> pa.Table:
+    """A54 — the reference family's ``e_value`` surface: per series part,
+    the S-H-ESD anomaly count plus the SUM of the model's expected values
+    at the anomaly positions.  The family reports seasonal+trend as each
+    anomaly's expected value; plain shesd has no trend term, so expected =
+    the seasonal phase median the detector subtracted.  Phase medians of
+    integer token values are exact halves, so ``2 * expected`` is an exact
+    int64 — reported as ``exp2_sum`` so the SQL oracle compares integers,
+    never accumulated floats.  ESD is iterative by definition, so the
+    per-row loop matches the registry detectors' granularity; the medians
+    inside are vectorized."""
+    tokens = batch.column("tokens")
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    nrows = batch.num_rows
+    n_anom = np.zeros(nrows, dtype=np.int64)
+    pos_sum = np.zeros(nrows, dtype=np.int64)
+    exp2_sum = np.zeros(nrows, dtype=np.int64)
+    for i in range(nrows):
+        arr = tokens[i].values
+        vals = np.asarray(arr.fill_null(0) if arr.null_count else arr,
+                          dtype=np.int32) if len(arr) else np.empty(
+                              0, dtype=np.int32)
+        out = _det_shesd(vals, period=period, alpha=alpha)
+        p = np.asarray(out["anomaly_positions"], dtype=np.int64)
+        n_anom[i] = out["n_anomalies"]
+        pos_sum[i] = int(p.sum())
+        if p.size:
+            x = vals.astype(np.float64)
+            pmed = np.zeros(period, dtype=np.float64)
+            for ph in range(period):
+                sl = x[ph::period]
+                if sl.size:
+                    pmed[ph] = np.median(sl)
+            # each term is an exact integer (2 * k/2); the sum of a few
+            # dozen such terms stays exact in float64
+            exp2_sum[i] = int((2.0 * pmed[p % period]).sum())
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "detector": pa.array(["shesd_evalue"] * nrows, type=pa.string()),
+        "n_anomalies": pa.array(n_anom, type=pa.int64()),
+        "pos_sum": pa.array(pos_sum, type=pa.int64()),
+        "exp2_sum": pa.array(exp2_sum, type=pa.int64()),
+    })
 
 
 def longest_run_batch(batch: pa.Table) -> pa.Table:

@@ -145,3 +145,75 @@ def test_shesd_trend_detrends_drifting_seasonal():
     # hiding the spike — exactly the masking STL-style decomposition fixes
     plain = _det_shesd(x, period=period)
     assert 130 not in set(np.asarray(plain["anomaly_positions"]).tolist())
+
+
+def test_shesd_threshold_filters_low_value_anomalies():
+    """A53 (the family's ``threshold=`` knob): a strong seasonal residual
+    at a LOW phase is a real S-H-ESD anomaly but its raw value sits far
+    below the per-cycle maxima, so med_max filters it; the same-size
+    spike at the TOP phase survives.  p95/p99 keep only anomalies at or
+    above the nearest-rank order statistic of the cycle maxima."""
+    from anomalydetection_ray.stages.detectors import (_det_shesd,
+                                                       _det_shesd_threshold)
+
+    period, cycles = 24, 10
+    n = period * cycles
+    rng = np.random.default_rng(9)
+    x = 10.0 * (np.arange(n) % period) + rng.normal(0, 1, n)
+    x[50] += 15.0    # phase 2: value ~35, a >10-sigma seasonal residual
+    x[119] += 15.0   # phase 23: value ~245, above every cycle max
+    base = _det_shesd(x, period=period, direction="pos")
+    assert {50, 119} <= set(np.asarray(base["anomaly_positions"]).tolist())
+    med = _det_shesd_threshold(x, period=period, threshold="med_max")
+    kept = set(np.asarray(med["anomaly_positions"]).tolist())
+    assert 119 in kept and 50 not in kept
+    p99 = _det_shesd_threshold(x, period=period, threshold="p99")
+    # rank ceil(0.99 * 10) = 10: the largest cycle max IS x[119] itself,
+    # so >= keeps exactly that spike
+    assert set(np.asarray(p99["anomaly_positions"]).tolist()) == {119}
+    assert med["n_anomalies"] == len(kept)
+
+
+def test_shesd_threshold_rejects_unknown():
+    import pytest
+
+    from anomalydetection_ray.stages.detectors import _det_shesd_threshold
+
+    with pytest.raises(ValueError):
+        _det_shesd_threshold(np.arange(48.0), threshold="p90")
+
+
+def test_shesd_expected_batch_exact_int_evalue():
+    """A54 (the family's ``e_value``): exp2_sum equals the brute-force
+    sum of 2x the seasonal phase median at each anomaly position — an
+    exact integer for integer token series."""
+    import pyarrow as pa
+
+    from anomalydetection_ray.stages.detectors import (_det_shesd,
+                                                       shesd_expected_batch)
+
+    period = 24
+    rng = np.random.default_rng(17)
+    tok = (10 * (np.arange(240) % period)
+           + rng.integers(-3, 4, 240)).astype(np.int32)
+    tok[130] += 180
+    batch = pa.table({
+        "doc_id": pa.array(["d0"], type=pa.string()),
+        "part_id": pa.array([0], type=pa.int32()),
+        "tokens": pa.array([tok.tolist()], type=pa.list_(pa.int32())),
+    })
+    out = shesd_expected_batch(batch, period=period)
+    det = _det_shesd(tok, period=period)
+    p = np.asarray(det["anomaly_positions"], dtype=np.int64)
+    assert 130 in set(p.tolist())
+    x = tok.astype(np.float64)
+    pmed = np.array([np.median(x[ph::period]) for ph in range(period)])
+    expect2 = int((2.0 * pmed[p % period]).sum())
+    row = out.to_pylist()[0]
+    assert row["detector"] == "shesd_evalue"
+    assert row["n_anomalies"] == det["n_anomalies"]
+    assert row["pos_sum"] == int(p.sum())
+    assert row["exp2_sum"] == expect2
+    # the doubled phase medians are integers (medians of ints are exact
+    # halves), so the oracle's integer compare is well-defined
+    assert float(row["exp2_sum"]) == (2.0 * pmed[p % period]).sum()
