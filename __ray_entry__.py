@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 276 ``queries()`` entries, 271 with DuckDB value
+Round-5 final surface: 283 ``queries()`` entries, 278 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -509,6 +509,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A54 the family's e_value surface: exact-int sum of 2x the
         # expected (seasonal-median) value at each anomaly position
         "detect_shesd_evalue": _shesd_evalue,
+        # A55 the family's only_last= knob (AnomalyDetectionTs
+        # 'day'/'hr'): full-series S-H-ESD, report only anomalies in the
+        # last 1 / last 2 cycles (cycle = period-point chunk, partial
+        # trailing cycle included)
+        "detect_shesd_onlylast": lambda sf: _detect(
+            sf, "shesd_onlylast", only_last=1),
+        "detect_shesd_onlylast2": lambda sf: _detect(
+            sf, "shesd_onlylast", only_last=2),
+        # A56 the family's alpha knob at a stricter significance level
+        # (same unrolled-CTE oracle, one-percent lambda table)
+        "detect_esd_strict": lambda sf: _detect(sf, "esd", alpha=0.01),
         # A8b the seasonal-component table the shesd detector subtracts
         "a8_seasonal_components": q.a8_seasonal_components,
         # A9 per-series lag-k autocorrelation feature (exact int moments)
@@ -1508,7 +1519,7 @@ def _esd_sql(alpha: float = 0.05, max_n: int = 1024, k_steps: int = 12,
              season_period: int | None = None, direction: str = "both",
              part_len: int = 1_000_000, det_name: str | None = None,
              trend: bool = False, threshold: str | None = None,
-             evalue: bool = False) -> str:
+             evalue: bool = False, only_last: int | None = None) -> str:
     """detect_esd / detect_shesd oracle: the robust generalized-ESD
     iteration unrolled as a fixed chain of MATERIALIZED CTE steps (without
     MATERIALIZED, DuckDB re-inlines the step chain and runtime explodes).
@@ -1580,9 +1591,10 @@ def _esd_sql(alpha: float = 0.05, max_n: int = 1024, k_steps: int = 12,
           FROM {prev} s LEFT JOIN pick{k} p
             ON p.doc_id = s.doc_id AND p.part_id = s.part_id)""")
         prev = f"st{k}"
-    if (threshold is not None or evalue) and season_period is None:
-        raise ValueError("threshold=/evalue= oracles are seasonal "
-                         "(S-H-ESD) variants; pass season_period")
+    if (threshold is not None or evalue or only_last is not None) \
+            and season_period is None:
+        raise ValueError("threshold=/evalue=/only_last= oracles are "
+                         "seasonal (S-H-ESD) variants; pass season_period")
     if season_period is None:
         det_name = det_name or "esd"
         base_cte = f"""
@@ -1593,7 +1605,8 @@ def _esd_sql(alpha: float = 0.05, max_n: int = 1024, k_steps: int = 12,
         det_name = det_name or (
             "shesd_trend" if trend else
             "shesd_threshold" if threshold is not None else
-            "shesd_evalue" if evalue else "shesd")
+            "shesd_evalue" if evalue else
+            "shesd_onlylast" if only_last is not None else "shesd")
         deseason_name = "dbase" if trend else "base"
         base_cte = f"""
     raw AS MATERIALIZED (
@@ -1653,6 +1666,17 @@ def _esd_sql(alpha: float = 0.05, max_n: int = 1024, k_steps: int = 12,
             "\n               JOIN thr t ON t.doc_id = p.doc_id"
             " AND t.part_id = p.part_id")
         sums_filter = " AND r.x0 >= t.thr"
+    # A55 only_last= knob: keep only anomalies in the last `only_last`
+    # cycles — cutoff = (ceil(n/period) - only_last) * period with the
+    # ceil as INTEGER division, exactly the engine's arithmetic
+    # (stages/detectors.py _det_shesd_onlylast)
+    if only_last is not None:
+        sums_join += (
+            "\n               JOIN meta m ON m.doc_id = p.doc_id"
+            " AND m.part_id = p.part_id")
+        sums_filter += (
+            f" AND p.p >= greatest(0, ((m.n + {season_period} - 1)"
+            f" // {season_period} - {only_last}) * {season_period})")
     # A54 e_value surface: the third output column becomes the exact-int
     # sum of 2 * (seasonal phase median) over the kept anomaly positions
     if evalue:
@@ -2332,6 +2356,9 @@ def oracle_sql() -> dict[str, str]:
         "detect_shesd_thr_p99": _esd_sql(
             season_period=24, direction="pos", threshold="p99"),
         "detect_shesd_evalue": _esd_sql(season_period=24, evalue=True),
+        "detect_shesd_onlylast": _esd_sql(season_period=24, only_last=1),
+        "detect_shesd_onlylast2": _esd_sql(season_period=24, only_last=2),
+        "detect_esd_strict": _esd_sql(alpha=0.01),
         # A22 Grubbs: n-keyed critical table from the shared t-PPF
         "detect_grubbs": _grubbs_sql(),
         # A26 ACF table: the A9 exact-bigint block per lag, UNION ALL

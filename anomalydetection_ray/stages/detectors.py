@@ -235,6 +235,36 @@ def _det_shesd_threshold(values: np.ndarray, period: int = 24,
     return {"n_anomalies": int(pos.size), "anomaly_positions": pos}
 
 
+def _det_shesd_onlylast(values: np.ndarray, period: int = 24,
+                        alpha: float = 0.05, k_max: int | None = None,
+                        only_last: int = 1,
+                        direction: str = "both") -> dict:
+    """A55: the reference family's ``only_last=`` knob (AnomalyDetectionTs
+    exposes ``'day'``/``'hr'``): run S-H-ESD over the WHOLE series — the
+    seasonal medians and the ESD iteration still see every point — then
+    report only the anomalies that fall in the last ``only_last`` cycles.
+    Cycle = consecutive ``period``-point chunk, the engine's pinned
+    stand-in for the family's calendar day (positions are integer
+    indexes, not timestamps); the trailing PARTIAL cycle counts as the
+    last cycle, exactly as a partial final day does in the family.
+
+    The cutoff is pure integer arithmetic —
+    ``max(0, (ceil(n / period) - only_last) * period)`` with the ceil
+    taken as ``(n + period - 1) // period`` — so the DuckDB oracle
+    replays it verbatim with integer division, no float ceil."""
+    if only_last < 1:
+        raise ValueError(f"only_last must be >= 1, got {only_last}")
+    out = _det_shesd(values, period=period, alpha=alpha, k_max=k_max,
+                     direction=direction)
+    pos = np.asarray(out["anomaly_positions"], dtype=np.int64)
+    if pos.size == 0:
+        return out
+    n = values.shape[0]
+    cutoff = max(0, ((n + period - 1) // period - only_last) * period)
+    pos = pos[pos >= cutoff]
+    return {"n_anomalies": int(pos.size), "anomaly_positions": pos}
+
+
 def _piecewise(values: np.ndarray, window: int, det: Callable,
                **params) -> dict:
     """The reference family's ``longterm`` mode: split the series into
@@ -276,6 +306,7 @@ register_detector("esd", _det_esd)
 register_detector("shesd", _det_shesd)
 register_detector("shesd_trend", _det_shesd_trend)
 register_detector("shesd_threshold", _det_shesd_threshold)
+register_detector("shesd_onlylast", _det_shesd_onlylast)
 register_detector("esd_piecewise", _det_esd_piecewise)
 register_detector("shesd_piecewise", _det_shesd_piecewise)
 register_detector("cusum", _det_cusum)

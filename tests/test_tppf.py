@@ -217,3 +217,43 @@ def test_shesd_expected_batch_exact_int_evalue():
     # the doubled phase medians are integers (medians of ints are exact
     # halves), so the oracle's integer compare is well-defined
     assert float(row["exp2_sum"]) == (2.0 * pmed[p % period]).sum()
+
+
+def test_shesd_onlylast_keeps_trailing_cycle_only():
+    """A55 (the family's ``only_last=`` knob): detection runs over the
+    whole series, but only anomalies in the last `only_last` cycles are
+    reported — an early spike is detected by plain shesd yet dropped by
+    only_last=1; a spike in the trailing (partial) cycle survives; and
+    only_last=2 widens the window to recover a second-to-last-cycle
+    spike."""
+    from anomalydetection_ray.stages.detectors import (_det_shesd,
+                                                       _det_shesd_onlylast)
+
+    period = 24
+    n = period * 10 + 7   # trailing partial cycle, as a partial day
+    rng = np.random.default_rng(23)
+    x = 10.0 * (np.arange(n) % period) + rng.normal(0, 1, n)
+    x[30] += 90.0                 # cycle 1: early spike
+    x[period * 9 + 3] += 90.0     # cycle 9: second-to-last
+    x[period * 10 + 2] += 90.0    # cycle 10 (partial): trailing
+    base = set(np.asarray(_det_shesd(x, period=period)
+                          ["anomaly_positions"]).tolist())
+    assert {30, period * 9 + 3, period * 10 + 2} <= base
+    last1 = _det_shesd_onlylast(x, period=period, only_last=1)
+    kept1 = set(np.asarray(last1["anomaly_positions"]).tolist())
+    # cutoff = (ceil(247/24) - 1) * 24 = 10*24 = 240: partial cycle only
+    assert period * 10 + 2 in kept1
+    assert 30 not in kept1 and period * 9 + 3 not in kept1
+    last2 = _det_shesd_onlylast(x, period=period, only_last=2)
+    kept2 = set(np.asarray(last2["anomaly_positions"]).tolist())
+    assert {period * 9 + 3, period * 10 + 2} <= kept2 and 30 not in kept2
+    assert last1["n_anomalies"] == len(kept1)
+
+
+def test_shesd_onlylast_rejects_nonpositive():
+    import pytest
+
+    from anomalydetection_ray.stages.detectors import _det_shesd_onlylast
+
+    with pytest.raises(ValueError):
+        _det_shesd_onlylast(np.arange(48.0), only_last=0)
