@@ -481,7 +481,11 @@ def main() -> None:
             for lo, hi in pairs
             if lo in cap and hi in cap and cap[hi] > cap[lo]
         }
-        _record_baseline(out, results)
+        # GRAFT_SCALING_NO_BASELINE_WRITE=1: measurement-only run (hunt
+        # loops) — a dirty-window attempt must not clobber the recorded
+        # clean-window headline in BENCH/BASELINE.md
+        if os.environ.get("GRAFT_SCALING_NO_BASELINE_WRITE", "") != "1":
+            _record_baseline(out, results)
         print(json.dumps(out))
         return
 
