@@ -910,6 +910,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # G27 daily acquisitions + cumulative users (W36 cohort
         # sizes on the day grid)
         "g27_daily_new_users": q.g27_daily_new_users,
+        # T19 per-source word-length histogram (flat-buffer run
+        # lengths, continuation bytes excluded; bounded exchange)
+        "t19_word_len_hist": tx.t19_word_len_hist,
+        # D19 quality-aware exact dedup: keep the LONGEST doc per
+        # content-hash group (D1's exchange, argmax ordering column)
+        "d19_keep_best_dedup": dd.d19_keep_best_dedup,
+        # J17 nearest as-of join (backward∘forward composition,
+        # exact |gap| microseconds, tie -> the earlier candidate)
+        "j17_asof_nearest": q.j17_asof_nearest,
+        # G29 Herfindahl user-concentration per type (exact sumsq,
+        # pinned hhi / normalized-hhi divisions)
+        "g29_herfindahl": q.g29_herfindahl,
+        # G30 concentration ratio CR-4 per type (deterministic
+        # (n DESC, user_id) top-4, exact ints + one pinned share)
+        "g30_topk_share": q.g30_topk_share,
         # Q21 sampling-design error audit (evaluation family #4:
         # systematic + hash samples scored against the exact mean)
         "q21_sampling_error": pk.q21_sampling_error,
@@ -3363,6 +3378,51 @@ def oracle_sql() -> dict[str, str]:
         # of the odd 32-bit constants via a recursive mod-2^64 CTE
         # (HUGEINT x 32-bit never overflows int128), byte access via
         # ascii(substr) (driver docs are pure ASCII)
+        # T19: words = \s+ split minus empties (token_counts parity);
+        # length() counts characters = engine's continuation-excluded runs
+        "t19_word_len_hist": r"""
+            SELECT source, CAST(length(word) AS BIGINT) AS word_len,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT source,
+                         unnest(string_split_regex(text, '\s+')) AS word
+                  FROM documents)
+            WHERE word <> ''
+            GROUP BY source, word_len
+        """,
+        # D19: same content-hash CTE as dedup_exact_docs, argmax keep
+        # (max n_chars, tie min doc_id) instead of keep-first
+        "d19_keep_best_dedup": f"""
+            WITH RECURSIVE pw(k, p1, p2) AS (
+              SELECT 0, CAST(1 AS HUGEINT), CAST(1 AS HUGEINT)
+              UNION ALL
+              SELECT k + 1, (p1 * {0x85EBCA6B}) % {1 << 64},
+                     (p2 * {0xC2B2AE35}) % {1 << 64}
+              FROM pw WHERE k < (SELECT max(length(text)) FROM documents) - 1
+            ),
+            bytes AS MATERIALIZED (
+              SELECT doc_id, length(text) - 1 - i AS e,
+                     CAST(ascii(substr(text, CAST(i + 1 AS INT), 1))
+                          AS HUGEINT) AS b
+              FROM (SELECT doc_id, text,
+                           unnest(range(length(text))) AS i FROM documents)),
+            ch AS MATERIALIZED (
+              SELECT doc_id,
+                     CAST(CASE WHEN m1 >= {1 << 63} THEN m1 - {1 << 64}
+                               ELSE m1 END AS BIGINT) AS h1,
+                     CAST(CASE WHEN m2 >= {1 << 63} THEN m2 - {1 << 64}
+                               ELSE m2 END AS BIGINT) AS h2
+              FROM (SELECT doc_id,
+                           CAST(sum(b * pw.p1) % {1 << 64} AS HUGEINT) AS m1,
+                           CAST(sum(b * pw.p2) % {1 << 64} AS HUGEINT) AS m2
+                    FROM bytes JOIN pw ON pw.k = bytes.e GROUP BY doc_id))
+            SELECT h1, h2, doc_id, n_chars FROM (
+                SELECT ch.h1, ch.h2, ch.doc_id,
+                       CAST(d.n_chars AS BIGINT) AS n_chars,
+                       row_number() OVER (PARTITION BY ch.h1, ch.h2
+                           ORDER BY d.n_chars DESC, ch.doc_id) AS rk
+                FROM ch JOIN documents d USING (doc_id))
+            WHERE rk = 1
+        """,
         "dedup_exact_docs": f"""
             WITH RECURSIVE pw(k, p1, p2) AS (
               SELECT 0, CAST(1 AS HUGEINT), CAST(1 AS HUGEINT)
@@ -4354,6 +4414,83 @@ def oracle_sql() -> dict[str, str]:
                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
                        AS cum_users
             FROM c
+        """,
+        # J17: backward pick = max(us), tie max(click_id); forward pick =
+        # min(us), tie min(click_id); winner = smaller gap, tie backward
+        "j17_asof_nearest": """
+            WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us
+                       FROM events WHERE event_type = 'error'),
+            c AS (SELECT event_id AS click_id, user_id,
+                         epoch_us(ts) AS us
+                  FROM events WHERE event_type = 'click'),
+            b AS (SELECT event_id, click_id, gap, rk FROM (
+                      SELECT e.event_id, c.click_id,
+                             e.us - c.us AS gap,
+                             row_number() OVER (PARTITION BY e.event_id
+                                 ORDER BY c.us DESC, c.click_id DESC)
+                                 AS rk
+                      FROM e JOIN c ON c.user_id = e.user_id
+                                   AND c.us <= e.us)
+                  WHERE rk = 1),
+            f AS (SELECT event_id, click_id, gap, rk FROM (
+                      SELECT e.event_id, c.click_id,
+                             c.us - e.us AS gap,
+                             row_number() OVER (PARTITION BY e.event_id
+                                 ORDER BY c.us ASC, c.click_id ASC)
+                                 AS rk
+                      FROM e JOIN c ON c.user_id = e.user_id
+                                   AND c.us >= e.us)
+                  WHERE rk = 1)
+            SELECT e.event_id, e.user_id,
+                   CASE WHEN b.click_id IS NOT NULL
+                             AND (f.click_id IS NULL OR b.gap <= f.gap)
+                        THEN b.click_id ELSE f.click_id
+                   END AS nearest_click_id,
+                   CAST(CASE WHEN b.click_id IS NOT NULL
+                             AND (f.click_id IS NULL OR b.gap <= f.gap)
+                        THEN b.gap ELSE f.gap END AS BIGINT) AS gap_us
+            FROM e LEFT JOIN b USING (event_id)
+                   LEFT JOIN f USING (event_id)
+        """,
+        # G29: user counts are exact ints; hhi / hhi_norm replicate the
+        # engine's pinned division shapes verbatim
+        "g29_herfindahl": """
+            WITH c AS (SELECT event_type, user_id,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY event_type, user_id)
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(n) AS BIGINT) AS total,
+                   CAST(sum(n * n) AS BIGINT) AS sumsq,
+                   CAST(sum(n * n) AS DOUBLE)
+                     / (CAST(sum(n) AS DOUBLE)
+                        * CAST(sum(n) AS DOUBLE)) AS hhi,
+                   CASE WHEN count(*) > 1 THEN
+                       (CAST(sum(n * n) AS DOUBLE)
+                          / (CAST(sum(n) AS DOUBLE)
+                             * CAST(sum(n) AS DOUBLE))
+                        - 1.0 / CAST(count(*) AS DOUBLE))
+                       / (1.0 - 1.0 / CAST(count(*) AS DOUBLE))
+                   END AS hhi_norm
+            FROM c GROUP BY event_type
+        """,
+        # G30: deterministic top-4 set via (n DESC, user_id); cr_k is the
+        # one pinned division
+        "g30_topk_share": """
+            WITH c AS (SELECT event_type, user_id,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY event_type, user_id),
+            r AS (SELECT event_type, n,
+                         row_number() OVER (PARTITION BY event_type
+                             ORDER BY n DESC, user_id) AS rk
+                  FROM c)
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(n) AS BIGINT) AS total,
+                   CAST(sum(n) FILTER (rk <= 4) AS BIGINT) AS topk_sum,
+                   CAST(sum(n) FILTER (rk <= 4) AS DOUBLE)
+                     / CAST(sum(n) AS DOUBLE) AS cr_k
+            FROM r GROUP BY event_type
         """,
         "x8_source_homophily": f"""
             WITH {_minhash_cte(0.5)},

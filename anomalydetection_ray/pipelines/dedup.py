@@ -1847,3 +1847,39 @@ def d17_sketch_agreement(sf_dir: str, num_partitions: int = 16):
                                if n_union else None],
                               type=pa.float64(), from_pandas=True),
     }))
+
+
+# ------------------------------------------------------------- D19 ----
+def d19_keep_best_dedup(sf_dir: str):
+    """D19 — quality-aware exact dedup: one row per 128-bit content-hash
+    group, keeping the LONGEST document (max n_chars, ties -> min
+    doc_id) instead of D1's keep-first — the policy real curation
+    pipelines want when near-identical scrapes differ by truncation.
+
+    Scale shape: identical to D1 (`exact_dedup`) — vectorized flat-buffer
+    hash pass, ONE `keep_first_by` hash exchange; the only change is the
+    ordering column (`neg_chars = -n_chars` so ascending first-of-run =
+    longest doc).  Zero per-row Python anywhere."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from anomalydetection_ray.stages.runs import keep_first_by
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "n_chars"])
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        h1, h2 = content_hash_cols(batch)
+        nc = batch.column("n_chars").cast(pa.int64())
+        return pa.table({"h1": h1, "h2": h2,
+                         "doc_id": batch.column("doc_id"),
+                         "n_chars": nc,
+                         "neg_chars": pc.negate_checked(nc)})
+
+    hashed = docs.map_batches(hash_batch, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    best = keep_first_by(hashed, keys=["h1", "h2"],
+                         order_by=["neg_chars", "doc_id"])
+    return best.map_batches(
+        lambda b: b.drop_columns(["neg_chars"]),
+        batch_format="pyarrow", zero_copy_batch=True)

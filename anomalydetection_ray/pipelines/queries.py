@@ -6971,3 +6971,188 @@ def w40_arrival_cadence(sf_dir: str, num_partitions: int = 8):
 
     return tagged.groupby(PKEY).map_groups(kernel,
                                            batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- G29 ----
+def g29_herfindahl(sf_dir: str):
+    """G29 — Herfindahl–Hirschman concentration of per-type event volume
+    across users: ``HHI = sum_u (c_u / total)^2`` plus the normalized
+    ``(HHI - 1/n) / (1 - 1/n)`` — the standard market-concentration index
+    (Hirschman 1964) read here as "is this event type one bot or a real
+    population?".  The scalar complement of G15's entropy: entropy ranks
+    the middle of the distribution, HHI is dominated by the head.
+
+    Exactness: user counts, ``total`` and ``sumsq = sum c_u^2`` are exact
+    int64; hhi and hhi_norm are pinned float expressions of those ints
+    (one division shape each), replayed verbatim by the oracle.
+
+    Scale shape: per-block Arrow group_by partials (<= types*users rows
+    per block), ONE exchange on the bounded type domain, per-type widen
+    is O(users) ints."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type", "user_id"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "user_id": g.column("user_id"),
+                         "n": pc.cast(g.column("count_all"), pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def finish(group: pa.Table) -> pa.Table:
+        t = group.group_by(["event_type", "user_id"]).aggregate(
+            [("n", "sum")])
+        n = np.asarray(t.column("n_sum"), dtype=np.int64)
+        total = int(n.sum())
+        sumsq = int((n * n).sum())
+        nu = len(n)
+        hhi = float(sumsq) / (float(total) * float(total))
+        norm = ((hhi - 1.0 / float(nu)) / (1.0 - 1.0 / float(nu))
+                if nu > 1 else None)
+        return pa.table({
+            "event_type": t.column("event_type").slice(0, 1),
+            "n_users": pa.array([nu], type=pa.int64()),
+            "total": pa.array([total], type=pa.int64()),
+            "sumsq": pa.array([sumsq], type=pa.int64()),
+            "hhi": pa.array([hhi], type=pa.float64()),
+            "hhi_norm": pa.array([norm], type=pa.float64(),
+                                 from_pandas=True),
+        })
+
+    return partials.groupby("event_type").map_groups(finish,
+                                                     batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- G30 ----
+def g30_topk_share(sf_dir: str, k: int = 4):
+    """G30 — concentration ratio CR-k: per event type, the share of
+    volume owned by the k heaviest users (ties broken by user_id, so the
+    selected set is deterministic) — the regulator's version of G29's
+    HHI, and the direct "how much do the whales own" readout.
+
+    Exactness: ``topk_sum`` and ``total`` are exact int64 (per-user
+    counts re-aggregated after ONE bounded exchange); ``cr_k`` is the
+    single pinned division.
+
+    Scale shape: identical exchange to G15/G29 (<= types*users partial
+    rows per block); the per-type widen sorts the bounded user-count
+    vector once."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type", "user_id"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "user_id": g.column("user_id"),
+                         "n": pc.cast(g.column("count_all"), pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def finish(group: pa.Table) -> pa.Table:
+        t = group.group_by(["event_type", "user_id"]).aggregate(
+            [("n", "sum")])
+        n = np.asarray(t.column("n_sum"), dtype=np.int64)
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        total = int(n.sum())
+        order = np.lexsort((uid, -n))        # n DESC, user_id ASC
+        top = int(n[order[:k]].sum())
+        return pa.table({
+            "event_type": t.column("event_type").slice(0, 1),
+            "n_users": pa.array([len(n)], type=pa.int64()),
+            "total": pa.array([total], type=pa.int64()),
+            "topk_sum": pa.array([top], type=pa.int64()),
+            "cr_k": pa.array([float(top) / float(total)],
+                             type=pa.float64()),
+        })
+
+    return partials.groupby("event_type").map_groups(finish,
+                                                     batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- J17 ----
+def j17_asof_nearest(sf_dir: str):
+    """J17 — NEAREST as-of join (either direction): for every ERROR
+    event, the same user's closest CLICK event in time — "what was the
+    user doing around the failure?".  Completes the as-of family: J4
+    backward, J11 forward, J14 tolerance-bounded, J17 nearest.
+
+    Semantics (deterministic, oracle-mirrored): candidate b = latest
+    click at-or-before (ties -> largest click event_id), candidate f =
+    earliest click at-or-after (ties -> smallest click event_id); the
+    winner is the smaller |gap|, equal gaps -> the earlier (backward)
+    candidate.  ``gap_us`` is exact integer microseconds; errors of
+    users with no clicks keep NULLs.
+
+    Scale shape: a composition of TWO J4 exchanges (backward then
+    forward) on the same user key — each is one hash exchange, no
+    broadcast, no global sort; the nearest pick is a map-only tail."""
+    import pyarrow.compute as pc
+
+    from anomalydetection_ray.stages.join import asof_attach
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def only(batch: pa.Table, typ: str) -> pa.Table:
+        keep = pc.equal(batch.column("event_type"), typ)
+        return batch.filter(keep).drop_columns(["event_type"])
+
+    errors = ev.map_batches(lambda b: only(b, "error"),
+                            batch_format="pyarrow", zero_copy_batch=True)
+
+    def clicks_payload(batch: pa.Table, prefix: str) -> pa.Table:
+        t = only(batch, "click")
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            f"{prefix}_click_id": t.column("event_id"),
+            f"{prefix}_click_ts": t.column("ts"),
+        })
+
+    back = ev.map_batches(lambda b: clicks_payload(b, "prev"),
+                          batch_format="pyarrow", zero_copy_batch=True)
+    fwd = ev.map_batches(lambda b: clicks_payload(b, "next"),
+                         batch_format="pyarrow", zero_copy_batch=True)
+
+    step = asof_attach(errors, back, by="user_id", on="ts",
+                       payload_cols=["prev_click_id", "prev_click_ts"],
+                       direction="backward", tiebreak="prev_click_id")
+    step = asof_attach(step, fwd, by="user_id", on="ts",
+                       payload_cols=["next_click_id", "next_click_ts"],
+                       direction="forward", tiebreak="next_click_id")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        pc_ts = batch.column("prev_click_ts").cast(pa.int64())
+        nc_ts = batch.column("next_click_ts").cast(pa.int64())
+        has_p = ~np.asarray(pa.compute.is_null(pc_ts))
+        has_n = ~np.asarray(pa.compute.is_null(nc_ts))
+        gp = us - np.asarray(pc_ts.fill_null(0), dtype=np.int64)
+        gn = np.asarray(nc_ts.fill_null(0), dtype=np.int64) - us
+        pid = np.asarray(batch.column("prev_click_id").fill_null(0),
+                         dtype=np.int64)
+        nid = np.asarray(batch.column("next_click_id").fill_null(0),
+                         dtype=np.int64)
+        # backward wins when it exists and (no forward or gp <= gn)
+        use_p = has_p & (~has_n | (gp <= gn))
+        has = has_p | has_n
+        gap = np.where(use_p, gp, gn)
+        cid = np.where(use_p, pid, nid)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "nearest_click_id": pa.array(cid, type=pa.int64(),
+                                         mask=~has),
+            "gap_us": pa.array(gap, type=pa.int64(), mask=~has),
+        })
+
+    return step.map_batches(finish, batch_format="pyarrow",
+                            zero_copy_batch=True)

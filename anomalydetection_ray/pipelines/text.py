@@ -833,3 +833,74 @@ def t18_langid_confusion(sf_dir: str):
 
     return agg.groupby("lang").map_groups(finalize,
                                           batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- T19 ----
+def t19_word_len_hist(sf_dir: str):
+    """T19 — per-source word-length histogram: count of whitespace words
+    by character length — the cheapest stylometric profile there is
+    (machine text skews long, template spam skews flat), and the
+    length-domain complement of T10's column profile.
+
+    Word convention = T3/token_counts: maximal runs of non-``\\s`` bytes
+    over the flat utf-8 buffer; length counts CHARACTERS (continuation
+    bytes excluded via one cumsum), so multi-byte text is honest even
+    though the driver corpus is ASCII.
+
+    Scale shape: one vectorized flat-buffer pass per block -> (source,
+    word_len) count partials (<= sources x ~40 rows per block), ONE
+    bounded exchange.  Exact int64 end to end."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, offsets = _flat_utf8(batch)
+        out = pa.table({"source": pa.array([], type=pa.string()),
+                        "word_len": pa.array([], type=pa.int64()),
+                        "n": pa.array([], type=pa.int64())})
+        if flat.shape[0] == 0:
+            return out
+        m = ~_IS_WS[flat]
+        prev = np.empty_like(m)
+        prev[0] = False
+        prev[1:] = m[:-1]
+        prev[offsets[:-1]] = False          # break runs at row starts
+        nxt = np.empty_like(m)
+        nxt[-1] = False
+        nxt[:-1] = m[1:]
+        nxt[offsets[1:] - 1] = False        # break runs at row ends
+        starts = np.flatnonzero(m & ~prev)
+        ends = np.flatnonzero(m & ~nxt)
+        if starts.shape[0] == 0:
+            return out
+        ccum = np.concatenate((
+            [0], np.cumsum(_IS_CONT[flat].astype(np.int64))))
+        wlen = (ends + 1 - starts) - (ccum[ends + 1] - ccum[starts])
+        row = np.searchsorted(offsets, starts, side="right") - 1
+        src = batch.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        t = pa.table({"source": src.take(pa.array(row, type=pa.int64())),
+                      "word_len": pa.array(wlen, type=pa.int64())})
+        g = t.group_by(["source", "word_len"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"source": g.column("source"),
+                         "word_len": g.column("word_len"),
+                         "n": g.column("count_all").cast(pa.int64())})
+
+    partials = docs.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    agg = partials.groupby(["source", "word_len"]).aggregate(
+        Sum("n", alias_name="n"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": batch.column("source"),
+            "word_len": batch.column("word_len").cast(pa.int64()),
+            "n": batch.column("n").cast(pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
