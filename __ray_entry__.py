@@ -266,6 +266,61 @@ def _acf_table_sql() -> str:
     """
 
 
+PERIOD_LAGS = (2, 3, 4, 6, 8, 12, 24, 48)
+
+
+def _a59_sql() -> str:
+    """A59 oracle: per-lag exact-int ACF numerators (A9's x n^2 scaling),
+    float-free argmax (num DESC, lag ASC), one pinned division."""
+    blocks = ",".join(f"""
+            lagp{k} AS (
+              SELECT a.doc_id, a.part_id,
+                     CAST(sum(a.v * b.v) AS BIGINT) AS sxy,
+                     CAST(sum(a.v) AS BIGINT) AS sh,
+                     CAST(sum(b.v) AS BIGINT) AS st
+              FROM acfbase a JOIN acfbase b ON b.doc_id = a.doc_id
+                AND b.part_id = a.part_id AND b.i = a.i + {k}
+              GROUP BY a.doc_id, a.part_id)""" for k in PERIOD_LAGS)
+    nums = "\nUNION ALL\n".join(f"""
+            SELECT m.doc_id, m.part_id, CAST({k} AS BIGINT) AS lag,
+                   m.n * m.n * l.sxy - m.n * m.s * (l.sh + l.st)
+                   + (m.n - {k}) * m.s * m.s AS num
+            FROM mom m JOIN lagp{k} l
+              ON l.doc_id = m.doc_id AND l.part_id = m.part_id
+            WHERE m.n > {k}""" for k in PERIOD_LAGS)
+    return f"""
+            WITH {_SEQ_TOK_CTE},
+            acfbase AS MATERIALIZED (
+              SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                     pos % 1000000 AS i, CAST(v AS BIGINT) AS v FROM tok),
+            mom AS MATERIALIZED (
+              SELECT doc_id, part_id, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(v) AS BIGINT) AS s,
+                     CAST(sum(v * v) AS BIGINT) AS q
+              FROM acfbase GROUP BY doc_id, part_id),
+            {blocks},
+            nums AS ({nums}),
+            best AS (SELECT doc_id, part_id, lag, num FROM (
+                         SELECT *, row_number() OVER (
+                             PARTITION BY doc_id, part_id
+                             ORDER BY num DESC, lag ASC) AS rk
+                         FROM nums)
+                     WHERE rk = 1)
+            SELECT m.doc_id, m.part_id, m.n,
+                   CASE WHEN m.n * m.q - m.s * m.s <> 0
+                        THEN b.lag END AS best_lag,
+                   CASE WHEN m.n * m.q - m.s * m.s <> 0
+                        THEN b.num END AS best_num,
+                   CASE WHEN m.n * m.q - m.s * m.s <> 0
+                        THEN CAST(b.num AS DOUBLE)
+                             / CAST(m.n * m.n * m.q
+                                    - m.n * m.s * m.s AS DOUBLE)
+                   END AS acf_best
+            FROM mom m LEFT JOIN best b
+              ON b.doc_id = m.doc_id AND b.part_id = m.part_id
+    """
+
+
 def _a24_forecast_error(sf_dir: str):
     from anomalydetection_ray.pipelines.rollup import validated
     from anomalydetection_ray.stages.detectors import forecast_error_batch
@@ -312,6 +367,34 @@ def _a28_sax(sf_dir: str):
 
     return validated(_docs_sequences(sf_dir)).map_batches(
         sax_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _a57_wilcoxon_halves(sf_dir: str):
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import wilcoxon_halves_batch
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        wilcoxon_halves_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _a58_friedman(sf_dir: str):
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import (
+        friedman_seasonality_batch,
+    )
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        friedman_seasonality_batch, batch_format="pyarrow",
+        zero_copy_batch=True)
+
+
+def _a59_period_detect(sf_dir: str):
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import period_detect_batch
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        period_detect_batch, batch_format="pyarrow",
+        zero_copy_batch=True)
 
 
 def _a13_longest_run(sf_dir: str):
@@ -910,6 +993,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # G27 daily acquisitions + cumulative users (W36 cohort
         # sizes on the day grid)
         "g27_daily_new_users": q.g27_daily_new_users,
+        # A57 Wilcoxon signed-rank halves test (paired level-shift
+        # screen; exact midrank sums, pinned z)
+        "a57_wilcoxon_halves": _a57_wilcoxon_halves,
+        # W41 daily type-pair Pearson correlation (zero-filled day
+        # grid for free; exact int moments, pinned r)
+        "w41_daily_type_corr": q.w41_daily_type_corr,
+        # A59 seasonal period auto-detect (dominant-ACF lag over a
+        # candidate grid; float-free exact-int argmax)
+        "a59_period_detect": _a59_period_detect,
+        # A58 Friedman rank test for a phase effect (certifies the
+        # seasonality assumption S-H-ESD rests on; exact rank sums)
+        "a58_friedman_phases": _a58_friedman,
         # T19 per-source word-length histogram (flat-buffer run
         # lengths, continuation bytes excluded; bounded exchange)
         "t19_word_len_hist": tx.t19_word_len_hist,
@@ -2766,6 +2861,143 @@ def oracle_sql() -> dict[str, str]:
                                        AS DOUBLE))
                    END AS z_runs
             FROM md LEFT JOIN agg USING (doc_id, part_id)
+        """,
+        # A57: pairs (i, i + n//2), midranks of integer |d| via
+        # min(rn)+max(rn) over tie groups; z replays the engine's
+        # pinned (2*w2 - m(m+1)) / sqrt(var48/3) verbatim
+        "a57_wilcoxon_halves": f"""
+            WITH {_SEQ_TOK_CTE},
+            s AS MATERIALIZED (
+                SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                       pos % 1000000 AS i, CAST(v AS BIGINT) AS v FROM tok),
+            nn AS MATERIALIZED (
+                SELECT doc_id, part_id, CAST(count(*) AS BIGINT) AS n
+                FROM s GROUP BY doc_id, part_id),
+            k AS MATERIALIZED (
+                SELECT a.doc_id, a.part_id, a.i, b.v - a.v AS d,
+                       abs(b.v - a.v) AS av
+                FROM s a
+                JOIN nn ON nn.doc_id = a.doc_id
+                       AND nn.part_id = a.part_id
+                JOIN s b ON b.doc_id = a.doc_id
+                        AND b.part_id = a.part_id
+                        AND b.i = a.i + nn.n // 2
+                WHERE a.i < nn.n // 2 AND b.v <> a.v),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id, part_id
+                      ORDER BY av, i) AS rn
+                  FROM k),
+            mr AS (SELECT *, min(rn) OVER (PARTITION BY doc_id,
+                              part_id, av)
+                          + max(rn) OVER (PARTITION BY doc_id,
+                              part_id, av) AS mr2
+                   FROM r),
+            tg AS (SELECT doc_id, part_id,
+                          CAST(count(*) AS BIGINT) AS tl
+                   FROM k GROUP BY doc_id, part_id, av),
+            tc AS (SELECT doc_id, part_id,
+                          CAST(sum(tl * tl * tl - tl) AS BIGINT) AS t
+                   FROM tg GROUP BY doc_id, part_id),
+            w AS (SELECT doc_id, part_id,
+                         CAST(count(*) AS BIGINT) AS m,
+                         CAST(coalesce(sum(mr2) FILTER (d > 0), 0)
+                              AS BIGINT) AS w2_plus
+                  FROM mr GROUP BY doc_id, part_id)
+            SELECT nn.doc_id, nn.part_id, nn.n,
+                   COALESCE(w.m, 0) AS m,
+                   COALESCE(w.w2_plus, 0) AS w2_plus,
+                   CASE WHEN w.m >= 1
+                             AND 2 * w.m * (w.m + 1) * (2 * w.m + 1)
+                                 - tc.t > 0
+                        THEN CAST(2 * w.w2_plus - w.m * (w.m + 1)
+                                  AS DOUBLE)
+                             / sqrt(CAST(2 * w.m * (w.m + 1)
+                                         * (2 * w.m + 1) - tc.t
+                                         AS DOUBLE) / 3.0)
+                   END AS z_wilcoxon
+            FROM nn
+            LEFT JOIN w USING (doc_id, part_id)
+            LEFT JOIN tc USING (doc_id, part_id)
+        """,
+        # W41: zero-fill identity (grid sums == present-row sums);
+        # r = num / (sqrt(d1) * sqrt(d2)) of exact ints
+        "w41_daily_type_corr": """
+            WITH c AS (SELECT event_type,
+                              CAST(epoch_us(ts) // 86400000000
+                                   AS BIGINT) AS day,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY event_type, day),
+            g AS (SELECT CAST(max(day) - min(day) + 1 AS BIGINT) AS d
+                  FROM c),
+            m AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS sx,
+                         CAST(sum(n * n) AS BIGINT) AS sxx
+                  FROM c GROUP BY event_type),
+            x AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                         CAST(sum(a.n * b.n) AS BIGINT) AS sxy
+                  FROM c a JOIN c b ON a.day = b.day
+                                    AND a.event_type < b.event_type
+                  GROUP BY ta, tb)
+            SELECT ma.event_type AS type_a, mb.event_type AS type_b,
+                   g.d AS n_days,
+                   COALESCE(x.sxy, 0) AS sxy,
+                   CASE WHEN g.d * ma.sxx - ma.sx * ma.sx > 0
+                             AND g.d * mb.sxx - mb.sx * mb.sx > 0
+                        THEN CAST(g.d * COALESCE(x.sxy, 0)
+                                  - ma.sx * mb.sx AS DOUBLE)
+                             / (sqrt(CAST(g.d * ma.sxx
+                                          - ma.sx * ma.sx AS DOUBLE))
+                                * sqrt(CAST(g.d * mb.sxx
+                                            - mb.sx * mb.sx
+                                            AS DOUBLE)))
+                   END AS r
+            FROM m ma
+            JOIN m mb ON ma.event_type < mb.event_type
+            CROSS JOIN g
+            LEFT JOIN x ON x.ta = ma.event_type
+                        AND x.tb = mb.event_type
+        """,
+        # A59: exact-int argmax of the A9 numerators over the lag grid
+        "a59_period_detect": _a59_sql(),
+        # A58: complete 24-cycles are blocks, midranks within block;
+        # s4 = 4*sum R_j^2 exact; chi2 = 3*s4/(bp(p+1)) - 3b(p+1)
+        "a58_friedman_phases": f"""
+            WITH {_SEQ_TOK_CTE},
+            s AS MATERIALIZED (
+                SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                       pos % 1000000 AS i, CAST(v AS BIGINT) AS v FROM tok),
+            nn AS MATERIALIZED (
+                SELECT doc_id, part_id, CAST(count(*) AS BIGINT) AS n
+                FROM s GROUP BY doc_id, part_id),
+            u AS MATERIALIZED (
+                SELECT s.doc_id, s.part_id, s.i, s.v,
+                       s.i // 24 AS blk, s.i % 24 AS phase
+                FROM s JOIN nn ON nn.doc_id = s.doc_id
+                               AND nn.part_id = s.part_id
+                WHERE s.i < (nn.n // 24) * 24),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id, part_id, blk
+                      ORDER BY v, i) AS rn
+                  FROM u),
+            mr AS (SELECT *, min(rn) OVER (PARTITION BY doc_id,
+                              part_id, blk, v)
+                          + max(rn) OVER (PARTITION BY doc_id,
+                              part_id, blk, v) AS mr2
+                   FROM r),
+            ph AS (SELECT doc_id, part_id, phase,
+                          CAST(sum(mr2) AS BIGINT) AS r2
+                   FROM mr GROUP BY doc_id, part_id, phase),
+            agg AS (SELECT doc_id, part_id,
+                           CAST(sum(r2 * r2) AS BIGINT) AS s4
+                    FROM ph GROUP BY doc_id, part_id)
+            SELECT nn.doc_id, nn.part_id, nn.n,
+                   nn.n // 24 AS n_blocks,
+                   COALESCE(agg.s4, 0) AS s4,
+                   CASE WHEN nn.n // 24 >= 1
+                        THEN 3.0 * CAST(agg.s4 AS DOUBLE)
+                             / CAST((nn.n // 24) * 24 * 25 AS DOUBLE)
+                             - 3.0 * CAST((nn.n // 24) * 25 AS DOUBLE)
+                   END AS chi2_friedman
+            FROM nn LEFT JOIN agg USING (doc_id, part_id)
         """,
         # A28 SAX: frame-of(i) = 8*i // n (ceil frame boundaries), exact
         # int frame/series sums, the pinned comparison

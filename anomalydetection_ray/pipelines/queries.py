@@ -7156,3 +7156,94 @@ def j17_asof_nearest(sf_dir: str):
 
     return step.map_batches(finish, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------- W41 ----
+def w41_daily_type_corr(sf_dir: str):
+    """W41 — Pearson correlation between the zero-filled DAILY count
+    series of every event-type pair — "do errors co-move with
+    purchases?", the cross-signal screen next to A29's lagged
+    cross-correlation (which correlates VALUES; this correlates
+    arrival-rate series on the calendar grid).
+
+    Zero-fill for free: sums over the zero-filled day grid equal sums
+    over the present rows, so only the grid length ``n_days`` (global
+    day span) and the aligned cross products need care — all exact
+    int64.  ``r`` is the pinned ``num / (sqrt(d1) * sqrt(d2))`` of
+    exact ints, NULL when either series is constant on the grid.
+
+    Scale shape: per-block (type, day) count partials, ONE bounded
+    exchange (types x days), final single-group widen over the bounded
+    grid."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    DAY_US = 86_400_000_000
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(us // DAY_US, type=pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "n": pc.cast(g.column("count_all"),
+                                      pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["event_type", "day"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_one", pa.array(np.zeros(batch.num_rows, dtype=np.int64)))
+
+    tagged = counts.map_batches(tag, batch_format="pyarrow")
+
+    def widen(group: pa.Table) -> pa.Table:
+        import math
+
+        et = group.column("event_type").to_pylist()
+        day = np.asarray(group.column("day"), dtype=np.int64)
+        n = np.asarray(group.column("n"), dtype=np.int64)
+        d = int(day.max() - day.min() + 1)
+        types = sorted(set(et))
+        series = {}
+        for t in types:
+            sel = np.asarray([e == t for e in et], dtype=bool)
+            series[t] = dict(zip(day[sel].tolist(), n[sel].tolist()))
+        out = {"type_a": [], "type_b": [], "n_days": [], "sxy": [],
+               "r": []}
+        for i, ta in enumerate(types):
+            for tb in types[i + 1:]:
+                xa, xb = series[ta], series[tb]
+                sx = sum(xa.values())
+                sy = sum(xb.values())
+                sxx = sum(v * v for v in xa.values())
+                syy = sum(v * v for v in xb.values())
+                sxy = sum(v * xb[k] for k, v in xa.items() if k in xb)
+                d1 = d * sxx - sx * sx
+                d2 = d * syy - sy * sy
+                r = (float(d * sxy - sx * sy)
+                     / (math.sqrt(float(d1)) * math.sqrt(float(d2)))
+                     if d1 > 0 and d2 > 0 else None)
+                out["type_a"].append(ta)
+                out["type_b"].append(tb)
+                out["n_days"].append(d)
+                out["sxy"].append(sxy)
+                out["r"].append(r)
+        return pa.table({
+            "type_a": pa.array(out["type_a"], type=pa.string()),
+            "type_b": pa.array(out["type_b"], type=pa.string()),
+            "n_days": pa.array(out["n_days"], type=pa.int64()),
+            "sxy": pa.array(out["sxy"], type=pa.int64()),
+            "r": pa.array(out["r"], type=pa.float64(),
+                          from_pandas=True),
+        })
+
+    return tagged.groupby("_one").map_groups(widen,
+                                             batch_format="pyarrow")

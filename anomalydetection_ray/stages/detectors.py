@@ -1246,3 +1246,246 @@ def ljung_box_batch(batch: pa.Table, lags: tuple = (1, 2, 3)) -> pa.Table:
         "n": pa.array(n, type=pa.int64()),
         "lb3": pa.array(lb, type=pa.float64(), mask=mask),
     })
+
+
+def wilcoxon_halves_batch(batch: pa.Table) -> pa.Table:
+    """A57 — Wilcoxon signed-rank test between the two halves of each
+    series (Wilcoxon 1945): pair x_i with x_{i+n//2}, drop zero
+    differences, midrank |d|, and z-score the positive-rank sum — the
+    nonparametric level-shift test that complements A32's AMOC point
+    estimate and A38's (unpaired) Mann-Whitney with a PAIRED design
+    (phase-aligned halves cancel shared seasonality).
+
+    Exactness: midranks of integer |d| are exact halves, so
+    ``w2_plus = 2*W+`` and the tie term ``T = sum(t^3 - t)`` are exact
+    int64; with ``var48 = 2m(m+1)(2m+1) - T`` the z-score is the pinned
+
+        z = (2*w2_plus - m(m+1)) / sqrt(var48 / 3)
+
+    (numerator/denominator both scaled 4x) — one int->double cast each,
+    one division, one sqrt, replayed verbatim by the oracle.  Fully
+    vectorized: ONE lexsort serves every row's ranking; tie runs and
+    their first/last ranks come from shifted comparisons."""
+    import math
+
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.int64)
+    lens = np.diff(offsets)
+    nrows = lens.shape[0]
+    h = lens // 2
+    m = np.zeros(nrows, dtype=np.int64)
+    w2 = np.zeros(nrows, dtype=np.int64)
+    tsum = np.zeros(nrows, dtype=np.int64)
+    npairs = int(h.sum())
+    if npairs:
+        row_of = np.repeat(np.arange(nrows, dtype=np.int64), h)
+        pstart = np.concatenate(([0], np.cumsum(h)))
+        i_in = np.arange(npairs, dtype=np.int64) - pstart[row_of]
+        base = offsets[:-1][row_of]
+        d = v[base + i_in + h[row_of]] - v[base + i_in]
+        keep = d != 0
+        r = row_of[keep]
+        dk = d[keep]
+        a = np.abs(dk)
+        np.add.at(m, r, 1)
+        if r.shape[0]:
+            order = np.lexsort((a, r))
+            rs = r[order]
+            av = a[order]
+            row_first = np.searchsorted(rs, np.arange(nrows))
+            rn = np.arange(rs.shape[0], dtype=np.int64) - row_first[rs] + 1
+            newrun = np.ones(rs.shape[0], dtype=bool)
+            newrun[1:] = (rs[1:] != rs[:-1]) | (av[1:] != av[:-1])
+            run_id = np.cumsum(newrun) - 1
+            first_rn = rn[newrun]
+            last_idx = np.flatnonzero(
+                np.concatenate((newrun[1:], [True])))
+            last_rn = rn[last_idx]
+            mr2 = (first_rn + last_rn)[run_id]
+            pos = dk[order] > 0
+            np.add.at(w2, rs[pos], mr2[pos])
+            tl = np.bincount(run_id).astype(np.int64)
+            np.add.at(tsum, rs[newrun], tl * tl * tl - tl)
+    z = np.full(nrows, np.nan)
+    for i in range(nrows):            # pinned scalar float tail per row
+        mi = int(m[i])
+        if mi < 1:
+            continue
+        var48 = 2 * mi * (mi + 1) * (2 * mi + 1) - int(tsum[i])
+        if var48 <= 0:
+            continue
+        z[i] = (float(2 * int(w2[i]) - mi * (mi + 1))
+                / math.sqrt(float(var48) / 3.0))
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "n": pa.array(lens, type=pa.int64()),
+        "m": pa.array(m, type=pa.int64()),
+        "w2_plus": pa.array(w2, type=pa.int64()),
+        "z_wilcoxon": pa.array(z, type=pa.float64(), from_pandas=True),
+    })
+
+
+def friedman_seasonality_batch(batch: pa.Table,
+                               period: int = 24) -> pa.Table:
+    """A58 — Friedman rank test for a seasonal (phase) effect
+    (Friedman 1937): each complete cycle of ``period`` points is a
+    block, phases are the treatments; rank within each block (midranks
+    for ties) and score the phase rank-sums.  This certifies the
+    assumption the whole S-H-ESD family rests on — "is there a seasonal
+    effect at all?" — nonparametrically, before phase medians are
+    trusted.  The tail cycle (incomplete block) is dropped, the
+    balanced-design convention.
+
+    Exactness: midranks are exact halves, so the per-phase doubled
+    rank-sum ``r2_j = 2*R_j`` and ``s4 = sum_j r2_j^2 = 4*sum R_j^2``
+    are exact int64; the statistic is the pinned
+
+        chi2 = 3*s4 / (b*p*(p+1)) - 3*b*(p+1)
+
+    (the classical 12/(bp(p+1))*sum R^2 - 3b(p+1) with both terms
+    4x-scaled), replayed verbatim by the oracle.  No tie correction —
+    the documented pinned variant (midranks already damp ties).
+    Fully vectorized: ONE lexsort ranks every block in the batch."""
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.int64)
+    lens = np.diff(offsets)
+    nrows = lens.shape[0]
+    p = period
+    b = lens // p
+    used = b * p
+    s4 = np.zeros(nrows, dtype=np.int64)
+    total = int(used.sum())
+    if total:
+        row_of = np.repeat(np.arange(nrows, dtype=np.int64), used)
+        ustart = np.concatenate(([0], np.cumsum(used)))
+        j = np.arange(total, dtype=np.int64) - ustart[row_of]
+        x = v[offsets[:-1][row_of] + j]
+        bstart = np.concatenate(([0], np.cumsum(b)))
+        gblk = bstart[row_of] + j // p
+        phase = j % p
+        order = np.lexsort((x, gblk))
+        gs = gblk[order]
+        xs = x[order]
+        blk_first = np.searchsorted(gs, np.arange(int(b.sum()),
+                                                  dtype=np.int64))
+        rn = np.arange(total, dtype=np.int64) - blk_first[gs] + 1
+        newrun = np.ones(total, dtype=bool)
+        newrun[1:] = (gs[1:] != gs[:-1]) | (xs[1:] != xs[:-1])
+        run_id = np.cumsum(newrun) - 1
+        first_rn = rn[newrun]
+        last_rn = rn[np.flatnonzero(np.concatenate((newrun[1:],
+                                                    [True])))]
+        mr2 = (first_rn + last_rn)[run_id]
+        key = row_of[order] * p + phase[order]
+        r2 = np.bincount(key, weights=mr2.astype(np.float64),
+                         minlength=nrows * p).astype(np.int64)
+        s4 = (r2.reshape(nrows, p) ** 2).sum(axis=1)
+    chi2 = np.full(nrows, np.nan)
+    for i in range(nrows):            # pinned scalar float tail per row
+        bi = int(b[i])
+        if bi < 1:
+            continue
+        chi2[i] = (3.0 * float(int(s4[i]))
+                   / float(bi * p * (p + 1))
+                   - 3.0 * float(bi * (p + 1)))
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "n": pa.array(lens, type=pa.int64()),
+        "n_blocks": pa.array(b, type=pa.int64()),
+        "s4": pa.array(s4, type=pa.int64()),
+        "chi2_friedman": pa.array(chi2, type=pa.float64(),
+                                  from_pandas=True),
+    })
+
+
+PERIOD_LAGS = (2, 3, 4, 6, 8, 12, 24, 48)
+
+
+def period_detect_batch(batch: pa.Table,
+                        lags: tuple = PERIOD_LAGS) -> pa.Table:
+    """A59 — seasonal period auto-detection: the lag with the maximal
+    ACF over a candidate grid (ties -> the smallest lag) — the engine's
+    stand-in for the reference family's frequency inference (the family
+    derives `period` from the data's timestamp granularity; integer
+    positions have none, so the dominant-ACF lag IS the inferable
+    period).  Feed the result into detect_shesd(period=...).
+
+    Exactness: all candidate ACFs share one positive denominator
+    ``den = n^2 Q - n S^2``, so argmax over lags reduces to comparing
+    the exact-int numerators ``num_k = n^2 Sxy_k - n S (Sh_k + St_k)
+    + (n-k) S^2`` (A9's x n^2 scaling) — the winner is chosen with NO
+    float arithmetic at all; ``acf_best`` is the single pinned division
+    of the winning numerator.  Constant series (den = 0) and series
+    with no valid lag emit NULLs.  Vectorized per lag via A9's cumsum
+    machinery; the argmax is a per-row exact-int fold."""
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.int64)
+    nrows = offsets.shape[0] - 1
+    lens = np.diff(offsets)
+    starts = offsets[:-1]
+    c1 = np.concatenate(([0], np.cumsum(v)))
+    c2 = np.concatenate(([0], np.cumsum(v * v)))
+    S = c1[offsets[1:]] - c1[starts]
+    Q = c2[offsets[1:]] - c2[starts]
+    per_lag = []
+    for lag in lags:
+        if v.shape[0] > lag:
+            prod = v[:-lag] * v[lag:]
+        else:
+            prod = np.empty(0, dtype=np.int64)
+        cp = np.concatenate(([0], np.cumsum(prod)))
+        hi = np.minimum(np.maximum(offsets[1:] - lag, starts),
+                        cp.shape[0] - 1)
+        lo = np.minimum(starts, cp.shape[0] - 1)
+        sxy = cp[hi] - cp[lo]
+        sh = c1[np.maximum(offsets[1:] - lag, starts)] - c1[starts]
+        st = c1[offsets[1:]] - c1[np.minimum(starts + lag,
+                                             offsets[1:])]
+        per_lag.append((lag, sxy, sh, st))
+    best_lag = np.zeros(nrows, dtype=np.int64)
+    best_num = np.zeros(nrows, dtype=np.int64)
+    acf_best = np.zeros(nrows, dtype=np.float64)
+    null = np.zeros(nrows, dtype=bool)
+    for r in range(nrows):  # per ROW, exact bigint arithmetic
+        n = int(lens[r])
+        den = n * n * int(Q[r]) - n * int(S[r]) * int(S[r])
+        if den == 0:
+            null[r] = True
+            continue
+        win = None
+        for lag, sxy, sh, st in per_lag:
+            if n <= lag:
+                continue
+            num = (n * n * int(sxy[r])
+                   - n * int(S[r]) * (int(sh[r]) + int(st[r]))
+                   + (n - lag) * int(S[r]) * int(S[r]))
+            if win is None or num > win[1]:
+                win = (lag, num)
+        if win is None:
+            null[r] = True
+            continue
+        best_lag[r] = win[0]
+        best_num[r] = win[1]
+        acf_best[r] = float(win[1]) / float(den)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "n": pa.array(lens, type=pa.int64()),
+        "best_lag": pa.array(best_lag, type=pa.int64(), mask=null),
+        "best_num": pa.array(best_num, type=pa.int64(), mask=null),
+        "acf_best": pa.array(acf_best, type=pa.float64(), mask=null),
+    })

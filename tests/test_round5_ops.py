@@ -1,0 +1,337 @@
+"""Round-5 operator tests: each new op re-derived by an independent
+brute-force reference (straight numpy/Python — the SQL oracles are
+exercised separately by tools/driver_check.py / tools/battery.py)."""
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _tok_batch(series: list[list[int]]) -> pa.Table:
+    return pa.table({
+        "doc_id": pa.array([f"t-{i:04d}" for i in range(len(series))]),
+        "part_id": pa.array([0] * len(series), type=pa.int32()),
+        "tokens": pa.array(series, type=pa.list_(pa.int32())),
+    })
+
+
+# ---------------------------------------------------------------- A57 ----
+def _wilcoxon_brute(v: list[int]):
+    n = len(v)
+    h = n // 2
+    d = [v[i + h] - v[i] for i in range(h)]
+    d = [x for x in d if x != 0]
+    m = len(d)
+    if m == 0:
+        return m, 0, None
+    a = sorted((abs(x), i) for i, x in enumerate(d))
+    rank = {}
+    i = 0
+    while i < len(a):
+        j = i
+        while j < len(a) and a[j][0] == a[i][0]:
+            j += 1
+        mr2 = (i + 1) + j        # first rank + last rank
+        for k in range(i, j):
+            rank[a[k][1]] = mr2
+        i = j
+    w2 = sum(rank[i] for i, x in enumerate(d) if x > 0)
+    t = 0
+    i = 0
+    while i < len(a):
+        j = i
+        while j < len(a) and a[j][0] == a[i][0]:
+            j += 1
+        tl = j - i
+        t += tl * tl * tl - tl
+        i = j
+    var48 = 2 * m * (m + 1) * (2 * m + 1) - t
+    z = (float(2 * w2 - m * (m + 1)) / math.sqrt(float(var48) / 3.0)
+         if var48 > 0 else None)
+    return m, w2, z
+
+
+def test_wilcoxon_halves_bruteforce():
+    from anomalydetection_ray.stages.detectors import wilcoxon_halves_batch
+
+    rng = np.random.default_rng(7)
+    series = [rng.integers(0, 50, size=rng.integers(5, 60)).tolist()
+              for _ in range(50)]
+    series.append([3, 3, 3, 3])          # all-zero diffs -> m == 0
+    out = wilcoxon_halves_batch(_tok_batch(series)).to_pylist()
+    for row, v in zip(out, series):
+        m, w2, z = _wilcoxon_brute(v)
+        assert row["n"] == len(v)
+        assert row["m"] == m
+        assert row["w2_plus"] == w2
+        if z is None:
+            assert row["z_wilcoxon"] is None
+        else:
+            assert row["z_wilcoxon"] == z
+
+
+def test_wilcoxon_detects_level_shift():
+    from anomalydetection_ray.stages.detectors import wilcoxon_halves_batch
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(100, 120, size=48)
+    shifted = np.concatenate([base[:24], base[24:] + 40])
+    flat = np.concatenate([base[:24], base[:24]])
+    out = wilcoxon_halves_batch(
+        _tok_batch([shifted.tolist(), flat.tolist()])).to_pylist()
+    assert out[0]["z_wilcoxon"] > 3.5          # strong one-sided shift
+    assert out[1]["m"] == 0                    # identical halves
+
+
+# ---------------------------------------------------------------- A58 ----
+def _friedman_brute(v: list[int], p: int = 24):
+    b = len(v) // p
+    if b == 0:
+        return 0, 0, None
+    r2 = [0] * p
+    for blk in range(b):
+        vals = v[blk * p:(blk + 1) * p]
+        order = sorted((x, i) for i, x in enumerate(vals))
+        i = 0
+        while i < p:
+            j = i
+            while j < p and order[j][0] == order[i][0]:
+                j += 1
+            mr2 = (i + 1) + j
+            for k in range(i, j):
+                r2[order[k][1]] += mr2
+            i = j
+    s4 = sum(x * x for x in r2)
+    chi2 = (3.0 * float(s4) / float(b * p * (p + 1))
+            - 3.0 * float(b * (p + 1)))
+    return b, s4, chi2
+
+
+def test_friedman_bruteforce():
+    from anomalydetection_ray.stages.detectors import (
+        friedman_seasonality_batch,
+    )
+
+    rng = np.random.default_rng(13)
+    series = [rng.integers(0, 99, size=rng.integers(10, 150)).tolist()
+              for _ in range(40)]
+    out = friedman_seasonality_batch(_tok_batch(series)).to_pylist()
+    for row, v in zip(out, series):
+        b, s4, chi2 = _friedman_brute(v)
+        assert row["n_blocks"] == b
+        assert row["s4"] == s4
+        if chi2 is None:
+            assert row["chi2_friedman"] is None
+        else:
+            assert row["chi2_friedman"] == chi2
+
+
+def test_friedman_detects_phase_effect():
+    from anomalydetection_ray.stages.detectors import (
+        friedman_seasonality_batch,
+    )
+
+    rng = np.random.default_rng(17)
+    # strong phase effect: value ~ phase + tiny noise, 6 cycles
+    seasonal = [(i % 24) * 10 + int(rng.integers(0, 3))
+                for i in range(144)]
+    iid = rng.integers(0, 1000, size=144).tolist()
+    out = friedman_seasonality_batch(
+        _tok_batch([seasonal, iid])).to_pylist()
+    # chi2 upper bound is b-scaled; seasonal must dwarf iid
+    assert out[0]["chi2_friedman"] > 100.0
+    assert out[1]["chi2_friedman"] < 50.0
+
+
+# ---------------------------------------------------------------- A59 ----
+def test_period_detect_planted_cycle():
+    from anomalydetection_ray.stages.detectors import period_detect_batch
+
+    rng = np.random.default_rng(19)
+    wave12 = [[100, 120, 140, 160, 180, 200,
+               200, 180, 160, 140, 120, 100][i % 12]
+              + int(rng.integers(0, 5)) for i in range(240)]
+    wave24 = [int(100 + 80 * math.sin(2 * math.pi * (i % 24) / 24))
+              for i in range(240)]
+    const = [7] * 100
+    out = period_detect_batch(
+        _tok_batch([wave12, wave24, const])).to_pylist()
+    assert out[0]["best_lag"] == 12
+    assert out[1]["best_lag"] == 24
+    assert out[2]["best_lag"] is None          # zero variance
+    assert out[0]["acf_best"] > 0.8
+
+
+def test_period_detect_matches_acf_argmax():
+    """best_num must equal the A9 numerator of the winning lag."""
+    from anomalydetection_ray.sources.tokenize import tokenize_batch
+    from anomalydetection_ray.stages.detectors import (
+        PERIOD_LAGS,
+        period_detect_batch,
+    )
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    tok = tokenize_batch(docs)
+    tok = tok.append_column(
+        "part_id", pa.array([0] * tok.num_rows, type=pa.int32()))
+    out = period_detect_batch(tok).to_pylist()
+    for row, rec in list(zip(out, tok.to_pylist()))[:30]:
+        v = [int(x) for x in rec["tokens"]]
+        n = len(v)
+        s = sum(v)
+        q = sum(x * x for x in v)
+        den = n * n * q - n * s * s
+        if den == 0:
+            assert row["best_lag"] is None
+            continue
+        best = None
+        for k in PERIOD_LAGS:
+            if n <= k:
+                continue
+            sxy = sum(v[i] * v[i + k] for i in range(n - k))
+            sh = sum(v[:n - k])
+            st = sum(v[k:])
+            num = n * n * sxy - n * s * (sh + st) + (n - k) * s * s
+            if best is None or num > best[1]:
+                best = (k, num)
+        assert (row["best_lag"], row["best_num"]) == best
+
+
+# ---------------------------------------------------------------- W41 ----
+def test_daily_type_corr_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["w41_daily_type_corr"](SF).to_pandas()
+           .set_index(["type_a", "type_b"]).sort_index())
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    counts = ev.groupby(["event_type", "day"]).size()
+    days = counts.index.get_level_values("day")
+    d = int(days.max() - days.min() + 1)
+    types = sorted(ev["event_type"].unique())
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            xa = counts[ta].to_dict()
+            xb = counts[tb].to_dict()
+            sx, sy = sum(xa.values()), sum(xb.values())
+            sxx = sum(v * v for v in xa.values())
+            syy = sum(v * v for v in xb.values())
+            sxy = sum(v * xb[k] for k, v in xa.items() if k in xb)
+            row = got.loc[(ta, tb)]
+            assert row["n_days"] == d
+            assert row["sxy"] == sxy
+            d1, d2 = d * sxx - sx * sx, d * syy - sy * sy
+            if d1 > 0 and d2 > 0:
+                r = (float(d * sxy - sx * sy)
+                     / (math.sqrt(float(d1)) * math.sqrt(float(d2))))
+                assert row["r"] == r
+
+
+# ------------------------------------------------------------ G29/G30 ----
+def test_concentration_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "user_id"]).to_pandas()
+    counts = ev.groupby(["event_type", "user_id"]).size()
+
+    hhi = (e.queries()["g29_herfindahl"](SF).to_pandas()
+           .set_index("event_type"))
+    cr = (e.queries()["g30_topk_share"](SF).to_pandas()
+          .set_index("event_type"))
+    for t in sorted(ev["event_type"].unique()):
+        c = counts[t]
+        total = int(c.sum())
+        sumsq = int((c * c).sum())
+        nu = len(c)
+        row = hhi.loc[t]
+        assert (row["n_users"], row["total"], row["sumsq"]) \
+            == (nu, total, sumsq)
+        assert row["hhi"] == float(sumsq) / (float(total) * float(total))
+        top4 = int(c.reset_index()
+                   .sort_values(["user_id"])
+                   .sort_values(0, ascending=False, kind="stable")
+                   .head(4)[0].sum())
+        row = cr.loc[t]
+        assert (row["total"], row["topk_sum"]) == (total, top4)
+        assert row["cr_k"] == float(top4) / float(total)
+
+
+# ---------------------------------------------------------------- J17 ----
+def test_asof_nearest_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["j17_asof_nearest"](SF).to_pandas()
+           .set_index("event_id").sort_index())
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["us"] = ev["ts"].astype("int64")
+    errors = ev[ev.event_type == "error"]
+    clicks = ev[ev.event_type == "click"]
+    assert len(got) == len(errors)
+    for _, er in errors.iterrows():
+        cand = clicks[clicks.user_id == er.user_id]
+        row = got.loc[er.event_id]
+        if len(cand) == 0:
+            assert row["nearest_click_id"] is None or \
+                np.isnan(row["nearest_click_id"])
+            continue
+        back = cand[cand.us <= er.us]
+        fwd = cand[cand.us >= er.us]
+        b = (back.sort_values(["us", "event_id"]).iloc[-1]
+             if len(back) else None)
+        f = (fwd.sort_values(["us", "event_id"]).iloc[0]
+             if len(fwd) else None)
+        if b is not None and (f is None
+                              or er.us - b.us <= f.us - er.us):
+            want_id, want_gap = b.event_id, er.us - b.us
+        else:
+            want_id, want_gap = f.event_id, f.us - er.us
+        assert int(row["nearest_click_id"]) == int(want_id)
+        assert int(row["gap_us"]) == int(want_gap)
+
+
+# ---------------------------------------------------------------- D19 ----
+def test_keep_best_dedup_policy(ray_session, tmp_path):
+    import __ray_entry__ as e
+
+    docs = pa.table({
+        "doc_id": pa.array([f"doc-{i:08d}" for i in range(6)]),
+        "text": pa.array(["same same", "same same", "longer doc kept",
+                          "longer doc kept", "unique one", "short"]),
+        "n_chars": pa.array([9, 9, 15, 15, 10, 5], type=pa.int64()),
+        "lang": pa.array(["en"] * 6),
+        "source": pa.array(["s"] * 6),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = (e.queries()["d19_keep_best_dedup"](str(tmp_path))
+           .to_pandas().sort_values("doc_id"))
+    # 3 hash groups; equal-length dup groups keep the min doc_id
+    assert out["doc_id"].tolist() == ["doc-00000000", "doc-00000002",
+                                      "doc-00000004", "doc-00000005"]
+    assert out["n_chars"].tolist() == [9, 15, 10, 5]
+
+
+# ---------------------------------------------------------------- T19 ----
+def test_word_len_hist_bruteforce(ray_session):
+    import re
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["t19_word_len_hist"](SF).to_pandas()
+           .set_index(["source", "word_len"]).sort_index())
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    want: dict = {}
+    for _, row in docs.iterrows():
+        for w in re.split(r"\s+", row["text"]):
+            if w:
+                k = (row["source"], len(w))
+                want[k] = want.get(k, 0) + 1
+    assert len(got) == len(want)
+    for k, n in want.items():
+        assert int(got.loc[k, "n"]) == n
