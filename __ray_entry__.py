@@ -369,6 +369,14 @@ def _a28_sax(sf_dir: str):
         sax_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _e4_varint_size(sf_dir: str):
+    from anomalydetection_ray.codecs import varint_size_batch
+    from anomalydetection_ray.pipelines.rollup import validated
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        varint_size_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _a57_wilcoxon_halves(sf_dir: str):
     from anomalydetection_ray.pipelines.rollup import validated
     from anomalydetection_ray.stages.detectors import wilcoxon_halves_batch
@@ -996,6 +1004,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A57 Wilcoxon signed-rank halves test (paired level-shift
         # screen; exact midrank sums, pinned z)
         "a57_wilcoxon_halves": _a57_wilcoxon_halves,
+        # E4 zigzag-varint delta codec size (byte-oriented cousin of
+        # the Gorilla streams; size analytically SQL-replayable)
+        "e4_varint_size": _e4_varint_size,
+        # G31 Poisson dispersion index of zero-filled daily counts
+        # (overdispersion screen; exact ints, one pinned division)
+        "g31_dispersion_index": q.g31_dispersion_index,
         # W41 daily type-pair Pearson correlation (zero-filled day
         # grid for free; exact int moments, pinned r)
         "w41_daily_type_corr": q.w41_daily_type_corr,
@@ -2918,6 +2932,60 @@ def oracle_sql() -> dict[str, str]:
             FROM nn
             LEFT JOIN w USING (doc_id, part_id)
             LEFT JOIN tc USING (doc_id, part_id)
+        """,
+        # E4: LEB128 width thresholds on zigzag deltas; 4 fixed header
+        # bytes; parity with the real encoder is pytest-gated
+        "e4_varint_size": f"""
+            WITH {_SEQ_TOK_CTE},
+            s AS MATERIALIZED (
+                SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                       pos % 1000000 AS i, CAST(v AS BIGINT) AS v FROM tok),
+            d AS (SELECT doc_id, part_id,
+                         v - lag(v) OVER (PARTITION BY doc_id, part_id
+                                          ORDER BY i) AS dd
+                  FROM s),
+            z AS (SELECT doc_id, part_id,
+                         CASE WHEN dd >= 0 THEN 2 * dd
+                              ELSE -2 * dd - 1 END AS zz
+                  FROM d WHERE dd IS NOT NULL),
+            b AS (SELECT doc_id, part_id,
+                         CAST(sum(1
+                              + CASE WHEN zz >= 128 THEN 1 ELSE 0 END
+                              + CASE WHEN zz >= 16384 THEN 1
+                                     ELSE 0 END
+                              + CASE WHEN zz >= 2097152 THEN 1
+                                     ELSE 0 END
+                              + CASE WHEN zz >= 268435456 THEN 1
+                                     ELSE 0 END) AS BIGINT) AS vb
+                  FROM z GROUP BY doc_id, part_id),
+            nn AS (SELECT doc_id, part_id,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM s GROUP BY doc_id, part_id)
+            SELECT nn.doc_id, nn.part_id, nn.n,
+                   CAST(4 + COALESCE(b.vb, 0) AS BIGINT) AS n_bytes,
+                   CAST(4 + COALESCE(b.vb, 0) AS DOUBLE)
+                       / CAST(nn.n AS DOUBLE) AS bytes_per_token
+            FROM nn LEFT JOIN b USING (doc_id, part_id)
+        """,
+        # G31: W41's zero-fill identity; D = (n*Q - T^2) / (n*T)
+        "g31_dispersion_index": """
+            WITH c AS (SELECT event_type,
+                              CAST(epoch_us(ts) // 86400000000
+                                   AS BIGINT) AS day,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY event_type, day),
+            g AS (SELECT CAST(max(day) - min(day) + 1 AS BIGINT) AS d
+                  FROM c),
+            m AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total,
+                         CAST(sum(n * n) AS BIGINT) AS sumsq
+                  FROM c GROUP BY event_type)
+            SELECT m.event_type, g.d AS n_days, m.total, m.sumsq,
+                   CASE WHEN m.total > 0
+                        THEN CAST(g.d * m.sumsq
+                                  - m.total * m.total AS DOUBLE)
+                             / CAST(g.d * m.total AS DOUBLE)
+                   END AS dispersion
+            FROM m CROSS JOIN g
         """,
         # W41: zero-fill identity (grid sums == present-row sums);
         # r = num / (sqrt(d1) * sqrt(d2)) of exact ints

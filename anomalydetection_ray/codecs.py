@@ -406,3 +406,110 @@ def state_hash(state: DodState) -> str:
     (BASELINE.json:6 'encoder state hash')."""
     raw = np.array(state.as_tuple(), dtype=np.int64).tobytes()
     return f"{checksum64(raw):016x}"
+
+
+# --------------------------------------------------- E4: zigzag varint ----
+def varint_delta_encode(values: np.ndarray) -> bytes:
+    """E4 — zigzag + LEB128 varint delta encoding of an int32 stream
+    (protobuf's wire scheme applied to deltas): values[0] as 4 fixed
+    little-endian bytes, then per delta d the zigzag ``u = (d << 1) ^
+    (d >> 63)`` emitted 7 bits per byte, MSB = continuation.  The
+    byte-oriented cousin of E1/E2's bit-packed Gorilla streams — denser
+    on small-delta integer token streams, and the size is analytically
+    replayable in SQL (``varint_size_batch``).
+
+    Fully vectorized: per-delta byte counts by threshold compares,
+    destination offsets by cumsum, then one masked scatter per byte
+    position (5 passes max — deltas of uint32-range values need <= 5
+    varint bytes)."""
+    v = np.asarray(values, dtype=np.int64)
+    n = v.shape[0]
+    if n == 0:
+        return b""
+    first = int(v[0]) & 0xFFFFFFFF
+    head = first.to_bytes(4, "little")
+    if n == 1:
+        return head
+    d = v[1:] - v[:-1]
+    zz = ((d << 1) ^ (d >> 63)).astype(np.uint64)
+    nb = (1 + (zz >= (1 << 7)).astype(np.int64)
+          + (zz >= (1 << 14)).astype(np.int64)
+          + (zz >= (1 << 21)).astype(np.int64)
+          + (zz >= (1 << 28)).astype(np.int64))
+    offs = np.concatenate(([0], np.cumsum(nb)))
+    out = np.zeros(int(offs[-1]), dtype=np.uint8)
+    for j in range(5):
+        sel = nb > j
+        if not sel.any():
+            break
+        byte = ((zz[sel] >> np.uint64(7 * j))
+                & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nb[sel] - 1) > j
+        out[offs[:-1][sel] + j] = byte | (cont.astype(np.uint8) << 7)
+    return head + out.tobytes()
+
+
+def varint_delta_decode(data: bytes, n: int) -> np.ndarray:
+    """Inverse of :func:`varint_delta_encode` (n = value count)."""
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    first = int.from_bytes(data[:4], "little")
+    vals = np.empty(n, dtype=np.int64)
+    vals[0] = first
+    pos = 4
+    for i in range(1, n):
+        u = 0
+        shift = 0
+        while True:
+            b = data[pos]
+            pos += 1
+            u |= (b & 0x7F) << shift
+            if not (b & 0x80):
+                break
+            shift += 7
+        d = (u >> 1) ^ -(u & 1)
+        vals[i] = vals[i - 1] + d
+    return vals
+
+
+def varint_size_batch(batch) -> "pa.Table":
+    """E4 stats kernel: per validated sequence row, the EXACT encoded
+    byte size of :func:`varint_delta_encode` (4 fixed + per-delta LEB128
+    widths), computed vectorized over the flat token buffer without
+    materializing the bytes — byte-for-byte parity with the real encoder
+    is pytest-gated (tests/test_round5_ops.py).  ``bytes_per_token`` is
+    the one pinned division."""
+    import pyarrow as pa
+
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.int64)
+    lens = np.diff(offsets)
+    if v.shape[0] > 1:
+        d = v[1:] - v[:-1]
+        zz = ((d << 1) ^ (d >> 63)).astype(np.uint64)
+        nb = (1 + (zz >= (1 << 7)).astype(np.int64)
+              + (zz >= (1 << 14)).astype(np.int64)
+              + (zz >= (1 << 21)).astype(np.int64)
+              + (zz >= (1 << 28)).astype(np.int64))
+        c = np.concatenate(([0], np.cumsum(nb)))
+        lo = offsets[:-1]
+        hi = np.maximum(offsets[1:] - 1, lo)
+        sums = c[hi] - c[lo]
+    else:
+        sums = np.zeros(lens.shape[0], dtype=np.int64)
+    n_bytes = np.where(lens > 0, 4 + sums, 0)
+    bpt = np.zeros(lens.shape[0], dtype=np.float64)
+    np.divide(n_bytes.astype(np.float64), lens.astype(np.float64),
+              out=bpt, where=lens > 0)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "n": pa.array(lens, type=pa.int64()),
+        "n_bytes": pa.array(n_bytes, type=pa.int64()),
+        "bytes_per_token": pa.array(bpt, type=pa.float64(),
+                                    mask=lens == 0),
+    })

@@ -7247,3 +7247,75 @@ def w41_daily_type_corr(sf_dir: str):
 
     return tagged.groupby("_one").map_groups(widen,
                                              batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- G31 ----
+def g31_dispersion_index(sf_dir: str):
+    """G31 — Poisson dispersion index (variance-to-mean ratio) of each
+    event type's ZERO-FILLED daily count series: D >> 1 = bursty/
+    overdispersed arrivals, D ~ 1 = Poisson-like — the daily-grain
+    burstiness screen next to W26's inter-arrival-level one, and the
+    direct "can I model this stream as Poisson?" answer.
+
+    Zero-fill for free (W41's identity): sums over the zero-filled grid
+    equal sums over present rows, so only the global day span enters.
+    With n = span days, T = total, Q = sum of squared daily counts (all
+    exact int64):  D = var/mean = (n*Q - T^2) / (n*T) — one pinned
+    division of exact ints, replayed verbatim.
+
+    Scale shape: per-block (type, day) count partials, ONE bounded
+    exchange, single-group widen over the bounded grid."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    DAY_US = 86_400_000_000
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(us // DAY_US, type=pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "n": pc.cast(g.column("count_all"),
+                                      pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["event_type", "day"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_one", pa.array(np.zeros(batch.num_rows, dtype=np.int64)))
+
+    def widen(group: pa.Table) -> pa.Table:
+        et = group.column("event_type").to_pylist()
+        day = np.asarray(group.column("day"), dtype=np.int64)
+        n = np.asarray(group.column("n"), dtype=np.int64)
+        d = int(day.max() - day.min() + 1)
+        types = sorted(set(et))
+        out_t, out_tot, out_q, out_d = [], [], [], []
+        for t in types:
+            sel = np.asarray([e == t for e in et], dtype=bool)
+            tot = int(n[sel].sum())
+            q = int((n[sel] * n[sel]).sum())
+            out_t.append(t)
+            out_tot.append(tot)
+            out_q.append(q)
+            out_d.append(float(d * q - tot * tot) / float(d * tot)
+                         if tot > 0 else None)
+        return pa.table({
+            "event_type": pa.array(out_t, type=pa.string()),
+            "n_days": pa.array([d] * len(types), type=pa.int64()),
+            "total": pa.array(out_tot, type=pa.int64()),
+            "sumsq": pa.array(out_q, type=pa.int64()),
+            "dispersion": pa.array(out_d, type=pa.float64(),
+                                   from_pandas=True),
+        })
+
+    return (counts.map_batches(tag, batch_format="pyarrow")
+            .groupby("_one").map_groups(widen, batch_format="pyarrow"))

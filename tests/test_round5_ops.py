@@ -335,3 +335,52 @@ def test_word_len_hist_bruteforce(ray_session):
     assert len(got) == len(want)
     for k, n in want.items():
         assert int(got.loc[k, "n"]) == n
+
+
+# ----------------------------------------------------------------- E4 ----
+def test_varint_roundtrip_and_size_parity():
+    from anomalydetection_ray import codecs
+    from anomalydetection_ray.sources.tokenize import tokenize_batch
+
+    rng = np.random.default_rng(23)
+    for _ in range(40):
+        v = rng.integers(0, 50257,
+                         size=rng.integers(1, 300)).astype(np.int64)
+        enc = codecs.varint_delta_encode(v)
+        assert np.array_equal(codecs.varint_delta_decode(enc, len(v)), v)
+    # negative / large deltas exercise every LEB128 width
+    v = np.array([0, 1, -1, 2**20, -(2**20), 2**30, 0], dtype=np.int64)
+    enc = codecs.varint_delta_encode(v)
+    assert np.array_equal(codecs.varint_delta_decode(enc, len(v)), v)
+
+    # the stats kernel's analytic size == len(real encoder output)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    tok = tokenize_batch(docs)
+    tok = tok.append_column(
+        "part_id", pa.array([0] * tok.num_rows, type=pa.int32()))
+    out = codecs.varint_size_batch(tok).to_pylist()
+    for row, rec in list(zip(out, tok.to_pylist()))[:50]:
+        v = np.asarray(rec["tokens"], dtype=np.int64)
+        assert row["n_bytes"] == len(codecs.varint_delta_encode(v))
+
+
+def test_g31_dispersion_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["g31_dispersion_index"](SF).to_pandas()
+           .set_index("event_type"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    counts = ev.groupby(["event_type", "day"]).size()
+    days = counts.index.get_level_values("day")
+    d = int(days.max() - days.min() + 1)
+    for t in sorted(ev["event_type"].unique()):
+        c = counts[t]
+        total, sumsq = int(c.sum()), int((c * c).sum())
+        row = got.loc[t]
+        assert (row["n_days"], row["total"], row["sumsq"]) \
+            == (d, total, sumsq)
+        assert row["dispersion"] == \
+            float(d * sumsq - total * total) / float(d * total)
