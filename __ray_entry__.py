@@ -611,6 +611,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A56 the family's alpha knob at a stricter significance level
         # (same unrolled-CTE oracle, one-percent lambda table)
         "detect_esd_strict": lambda sf: _detect(sf, "esd", alpha=0.01),
+        # A60 the family's max_anoms cap exercised off-default AND
+        # binding: at most ONE anomaly removed per series (25 driver
+        # docs exceed it at sf0.01, so the cap provably flows)
+        "detect_esd_maxanoms": lambda sf: _detect(sf, "esd", k_max=1),
         # A8b the seasonal-component table the shesd detector subtracts
         "a8_seasonal_components": q.a8_seasonal_components,
         # A9 per-series lag-k autocorrelation feature (exact int moments)
@@ -1643,7 +1647,8 @@ def _esd_sql(alpha: float = 0.05, max_n: int = 1024, k_steps: int = 12,
              season_period: int | None = None, direction: str = "both",
              part_len: int = 1_000_000, det_name: str | None = None,
              trend: bool = False, threshold: str | None = None,
-             evalue: bool = False, only_last: int | None = None) -> str:
+             evalue: bool = False, only_last: int | None = None,
+             k_max: int | None = None) -> str:
     """detect_esd / detect_shesd oracle: the robust generalized-ESD
     iteration unrolled as a fixed chain of MATERIALIZED CTE steps (without
     MATERIALIZED, DuckDB re-inlines the step chain and runtime explodes).
@@ -1819,7 +1824,8 @@ def _esd_sql(alpha: float = 0.05, max_n: int = 1024, k_steps: int = 12,
     WITH {_SEQ_TOK_CTE},{base_cte}
     meta AS MATERIALIZED (
       SELECT doc_id, part_id, count(*) AS n,
-             least(CAST(ceil(0.02 * count(*)) AS BIGINT),
+             least({f"CAST({k_max} AS BIGINT)" if k_max is not None
+                    else "CAST(ceil(0.02 * count(*)) AS BIGINT)"},
                    count(*) - 2) AS kmax
       FROM base GROUP BY doc_id, part_id),
     lam(m, lv) AS MATERIALIZED (SELECT * FROM (VALUES {lam_rows})),
@@ -2467,6 +2473,7 @@ def oracle_sql() -> dict[str, str]:
         # A3 generalized ESD (robust S-H-ESD): unrolled MATERIALIZED CTE
         # iteration + (n-k)-keyed lambda table from the engine's own t-PPF
         "detect_esd": _esd_sql(),
+        "detect_esd_maxanoms": _esd_sql(k_max=1),
         "detect_esd_pos": _esd_sql(direction="pos"),
         "detect_esd_neg": _esd_sql(direction="neg"),
         "detect_esd_piecewise": _esd_piecewise_sql(),
