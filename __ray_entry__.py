@@ -1008,6 +1008,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A57 Wilcoxon signed-rank halves test (paired level-shift
         # screen; exact midrank sums, pinned z)
         "a57_wilcoxon_halves": _a57_wilcoxon_halves,
+        # G33 Cramér's V effect size for type x weekday (G16's chi2
+        # standardized to [0,1]; pinned ordered fold)
+        "g33_cramers_v": q.g33_cramers_v,
+        # W42 per-user activity profile (first/last day, distinct
+        # active days, counts, exact cents — the LTV/churn staple)
+        "w42_user_profile": q.w42_user_profile,
+        # V17 subword fertility per source (BPE-ish segments per
+        # whitespace word; tokenizer-fit metric)
+        "v17_subword_fertility": tx.v17_subword_fertility,
+        # T20 per-source byte-class profile (exact alpha/digit/ws/
+        # punct/continuation counts + pinned shares)
+        "t20_charset_profile": tx.t20_charset_profile,
         # E4 zigzag-varint delta codec size (byte-oriented cousin of
         # the Gorilla streams; size analytically SQL-replayable)
         "e4_varint_size": _e4_varint_size,
@@ -2939,6 +2951,112 @@ def oracle_sql() -> dict[str, str]:
             FROM nn
             LEFT JOIN w USING (doc_id, part_id)
             LEFT JOIN tc USING (doc_id, part_id)
+        """,
+        # G33: G16's present-cell terms folded in (type, dow) order
+        # via list_reduce; V = sqrt(chi2 / (n * min(r-1, c-1)))
+        "g33_cramers_v": """
+            WITH c AS (
+              SELECT event_type,
+                     ((epoch_us(ts) // 86400000000) + 3) % 7 AS dow,
+                     count(*) AS n
+              FROM events GROUP BY event_type, dow),
+            m AS (SELECT event_type, dow, n,
+                         CAST(sum(n) OVER (PARTITION BY event_type)
+                              AS BIGINT) AS rt,
+                         CAST(sum(n) OVER (PARTITION BY dow)
+                              AS BIGINT) AS ct,
+                         CAST(sum(n) OVER () AS BIGINT) AS total
+                  FROM c),
+            dims AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT)
+                                AS r,
+                            CAST(count(DISTINCT dow) AS BIGINT) AS cc,
+                            CAST(sum(n) AS BIGINT) AS total
+                     FROM c),
+            fold AS (SELECT list_reduce(list_prepend(0.0, list(
+                         (CAST(n AS DOUBLE)
+                          - CAST(rt * ct AS DOUBLE)
+                            / CAST(total AS DOUBLE))
+                         * (CAST(n AS DOUBLE)
+                            - CAST(rt * ct AS DOUBLE)
+                              / CAST(total AS DOUBLE))
+                         / (CAST(rt * ct AS DOUBLE)
+                            / CAST(total AS DOUBLE))
+                         ORDER BY event_type, dow)),
+                         (x, y) -> x + y) AS chi2
+                     FROM m)
+            SELECT dims.r AS n_types, dims.cc AS n_dows,
+                   dims.total AS n, fold.chi2,
+                   CASE WHEN least(dims.r - 1, dims.cc - 1) > 0
+                        THEN sqrt(fold.chi2
+                                  / (CAST(dims.total AS DOUBLE)
+                                     * CAST(least(dims.r - 1,
+                                                  dims.cc - 1)
+                                            AS DOUBLE)))
+                   END AS cramers_v
+            FROM dims, fold
+        """,
+        # W42: straight grouped aggregates (the engine pre-collapses
+        # (user, day) partials; DISTINCT day == the day-run count)
+        "w42_user_profile": """
+            SELECT user_id,
+                   CAST(min(epoch_us(ts) // 86400000000) AS BIGINT)
+                       AS first_day,
+                   CAST(max(epoch_us(ts) // 86400000000) AS BIGINT)
+                       AS last_day,
+                   CAST(count(DISTINCT epoch_us(ts) // 86400000000)
+                        AS BIGINT) AS n_active_days,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM events GROUP BY user_id
+        """,
+        # V17: the two token_counts conventions in one pinned ratio
+        "v17_subword_fertility": r"""
+            WITH c AS (SELECT source,
+                CAST(sum(length(list_filter(
+                    string_split_regex(text, '\s+'),
+                    x -> x <> ''))) AS BIGINT) AS words,
+                CAST(sum(length(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')))
+                    AS BIGINT) AS bpe
+              FROM documents GROUP BY source)
+            SELECT source, words, bpe,
+                   CASE WHEN words > 0
+                        THEN CAST(bpe AS DOUBLE)
+                             / CAST(words AS DOUBLE)
+                   END AS fertility
+            FROM c
+        """,
+        # T20: byte classes via char-class strips; continuation bytes =
+        # octet_length - length; other = the remainder (lead bytes +
+        # ASCII punctuation), exactly the engine's lookup-table classes
+        "t20_charset_profile": """
+            WITH c AS (SELECT source,
+                CAST(sum(octet_length(encode(text))) AS BIGINT)
+                    AS n_bytes,
+                CAST(sum(length(regexp_replace(text, '[^A-Za-z]',
+                    '', 'g'))) AS BIGINT) AS alpha,
+                CAST(sum(length(regexp_replace(text, '[^0-9]',
+                    '', 'g'))) AS BIGINT) AS digit,
+                CAST(sum(length(regexp_replace(text,
+                    '[^\\t\\n\\x0B\\f\\r ]', '', 'g'))) AS BIGINT)
+                    AS ws,
+                CAST(sum(octet_length(encode(text)) - length(text))
+                    AS BIGINT) AS cont
+              FROM documents GROUP BY source)
+            SELECT source, n_bytes, alpha, digit, ws, cont,
+                   n_bytes - alpha - digit - ws - cont AS other,
+                   CAST(alpha AS DOUBLE) / CAST(n_bytes AS DOUBLE)
+                       AS alpha_share,
+                   CAST(digit AS DOUBLE) / CAST(n_bytes AS DOUBLE)
+                       AS digit_share,
+                   CAST(ws AS DOUBLE) / CAST(n_bytes AS DOUBLE)
+                       AS ws_share,
+                   CAST(cont AS DOUBLE) / CAST(n_bytes AS DOUBLE)
+                       AS cont_share,
+                   CAST(n_bytes - alpha - digit - ws - cont AS DOUBLE)
+                       / CAST(n_bytes AS DOUBLE) AS other_share
+            FROM c
         """,
         # E4: LEB128 width thresholds on zigzag deltas; 4 fixed header
         # bytes; parity with the real encoder is pytest-gated

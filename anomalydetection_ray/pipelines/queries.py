@@ -7319,3 +7319,166 @@ def g31_dispersion_index(sf_dir: str):
 
     return (counts.map_batches(tag, batch_format="pyarrow")
             .groupby("_one").map_groups(widen, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------- G33 ----
+def g33_cramers_v(sf_dir: str):
+    """G33 — Cramér's V effect size for the event_type x weekday
+    association: the standardized [0,1] companion of G16's chi-square
+    (which scales with n and says nothing about strength).  V =
+    sqrt(chi2 / (n * min(r-1, c-1))) over the PRESENT cells of the
+    contingency grid (G16's cell convention).
+
+    Exactness: counts/totals exact int64; each cell term is G16's
+    pinned expression; chi2 is a PINNED sequential fold in (type, dow)
+    order (the oracle replays it with list_reduce ORDER BY), and V is
+    one division + one sqrt of that fold.
+
+    Scale shape: G16's bounded partials (<= types x 7 rows per block),
+    ONE exchange, single-group widen over the bounded grid."""
+    import math
+
+    import pyarrow.compute as pc
+
+    DAY_US = 86_400_000_000
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = np.asarray(ts.cast(pa.int64()))
+        dow = ((us // DAY_US) + 3) % 7
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "dow": pa.array(dow, type=pa.int64())})
+        g = t.group_by(["event_type", "dow"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "dow": g.column("dow"),
+                         "n": pc.cast(g.column("count_all"),
+                                      pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_one", pa.array(np.zeros(batch.num_rows, dtype=np.int64)))
+
+    def widen(group: pa.Table) -> pa.Table:
+        t = (group.group_by(["event_type", "dow"])
+             .aggregate([("n", "sum")])
+             .sort_by([("event_type", "ascending"),
+                       ("dow", "ascending")]))
+        et = t.column("event_type").to_pylist()
+        dow = np.asarray(t.column("dow"), dtype=np.int64)
+        n = np.asarray(t.column("n_sum"), dtype=np.int64)
+        total = int(n.sum())
+        row_tot = {}
+        col_tot = {}
+        for e, d, c in zip(et, dow, n):
+            row_tot[e] = row_tot.get(e, 0) + int(c)
+            col_tot[int(d)] = col_tot.get(int(d), 0) + int(c)
+        acc = 0.0
+        for e, d, c in zip(et, dow, n):   # pinned fold, (type, dow) order
+            exp = (float(row_tot[e] * col_tot[int(d)])
+                   / float(total))
+            diff = float(int(c)) - exp
+            acc = acc + diff * diff / exp
+        r, cc = len(row_tot), len(col_tot)
+        mind = min(r - 1, cc - 1)
+        v = (math.sqrt(acc / (float(total) * float(mind)))
+             if mind > 0 else None)
+        return pa.table({
+            "n_types": pa.array([r], type=pa.int64()),
+            "n_dows": pa.array([cc], type=pa.int64()),
+            "n": pa.array([total], type=pa.int64()),
+            "chi2": pa.array([acc], type=pa.float64()),
+            "cramers_v": pa.array([v], type=pa.float64(),
+                                  from_pandas=True),
+        })
+
+    return (partials.map_batches(tag, batch_format="pyarrow")
+            .groupby("_one").map_groups(widen, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------- W42 ----
+def w42_user_profile(sf_dir: str, num_partitions: int = 32):
+    """W42 — per-user activity profile: first/last active day, count of
+    DISTINCT active days, event count and exact cent total — the
+    feature-extraction staple every LTV / churn / cohort model starts
+    from, and the per-user flattening of W36's triangle.
+
+    Scale shape: per-block (user, day) partials (count + cent sum)
+    collapse each block before ONE `partition_apply` exchange on
+    user_id; the per-partition kernel re-merges duplicate (user, day)
+    partials with one lexsort + run detection — no per-user Python.
+    All exact int64; no floats at all."""
+    import pyarrow.compute as pc
+
+    from anomalydetection_ray.stages.runs import partition_apply
+
+    DAY_US = 86_400_000_000
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        v100 = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "day": pa.array(us // DAY_US, type=pa.int64()),
+                      "one": pa.array(np.ones(batch.num_rows,
+                                              dtype=np.int64)),
+                      "cents": pa.array(v100, type=pa.int64())})
+        g = t.group_by(["user_id", "day"]).aggregate(
+            [("one", "sum"), ("cents", "sum")])
+        return pa.table({"user_id": g.column("user_id"),
+                         "day": g.column("day"),
+                         "n": pc.cast(g.column("one_sum"), pa.int64()),
+                         "cents": pc.cast(g.column("cents_sum"),
+                                          pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def kernel(part: pa.Table) -> pa.Table:
+        from anomalydetection_ray.stages.runs import run_starts
+
+        if part.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], type=pa.int64()),
+                "first_day": pa.array([], type=pa.int64()),
+                "last_day": pa.array([], type=pa.int64()),
+                "n_active_days": pa.array([], type=pa.int64()),
+                "n_events": pa.array([], type=pa.int64()),
+                "total_cents": pa.array([], type=pa.int64()),
+            })
+        part = part.sort_by([("user_id", "ascending"),
+                             ("day", "ascending")])
+        uid = np.asarray(part.column("user_id"), dtype=np.int64)
+        day = np.asarray(part.column("day"), dtype=np.int64)
+        n = np.asarray(part.column("n"), dtype=np.int64)
+        cents = np.asarray(part.column("cents"), dtype=np.int64)
+        ustarts = run_starts(part, ["user_id"])
+        uends = np.append(ustarts[1:], part.num_rows)
+        dstarts = run_starts(part, ["user_id", "day"])
+        # distinct (user, day) runs per user: count day-run starts in
+        # each user's row range
+        n_days = (np.searchsorted(dstarts, uends, side="left")
+                  - np.searchsorted(dstarts, ustarts, side="left"))
+        c1 = np.concatenate(([0], np.cumsum(n)))
+        c2 = np.concatenate(([0], np.cumsum(cents)))
+        return pa.table({
+            "user_id": pa.array(uid[ustarts], type=pa.int64()),
+            "first_day": pa.array(day[ustarts], type=pa.int64()),
+            "last_day": pa.array(day[uends - 1], type=pa.int64()),
+            "n_active_days": pa.array(n_days, type=pa.int64()),
+            "n_events": pa.array(c1[uends] - c1[ustarts],
+                                 type=pa.int64()),
+            "total_cents": pa.array(c2[uends] - c2[ustarts],
+                                    type=pa.int64()),
+        })
+
+    return partition_apply(partials, keys=["user_id"], kernel=kernel,
+                           num_partitions=num_partitions)

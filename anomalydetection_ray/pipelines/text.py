@@ -904,3 +904,138 @@ def t19_word_len_hist(sf_dir: str):
         })
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- V17 ----
+def v17_subword_fertility(sf_dir: str):
+    """V17 — subword fertility per source: BPE-ish segment count per
+    whitespace word (T3's two token conventions in one ratio) — the
+    standard "how hard does the tokenizer work on this source"
+    vocabulary-fit metric (fertility ~1 = vocab-native text, >> 1 =
+    digits/punctuation soup the tokenizer shreds).
+
+    Exactness: both counts are the exact int64 flat-buffer run/point
+    counts of ``token_count_batch``; ``fertility`` is the one pinned
+    division per source.
+
+    Scale shape: one vectorized pass per block -> per-source partials
+    (<= sources rows per block), ONE bounded exchange."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, offsets = _flat_utf8(batch)
+        nrows = offsets.shape[0] - 1
+        nz = np.diff(offsets) > 0
+        ws_m = _IS_WS[flat]
+        words = _runs_per_row(~ws_m, offsets)
+        alpha_m = _IS_ALPHA[flat]
+        alpha_runs = _runs_per_row(alpha_m, offsets)
+        other_m = ~alpha_m & ~ws_m & ~_IS_DIGIT[flat] & ~_IS_CONT[flat]
+        pts = (_IS_DIGIT[flat] | other_m).astype(np.int64)
+        points = np.zeros(nrows, dtype=np.int64)
+        points[nz] = np.add.reduceat(pts, offsets[:-1][nz])
+        t = pa.table({"source": batch.column("source"),
+                      "w": pa.array(words, type=pa.int64()),
+                      "b": pa.array(alpha_runs + points,
+                                    type=pa.int64())})
+        g = t.group_by(["source"]).aggregate([("w", "sum"), ("b", "sum")])
+        return pa.table({"source": g.column("source"),
+                         "words": g.column("w_sum").cast(pa.int64()),
+                         "bpe": g.column("b_sum").cast(pa.int64())})
+
+    agg = (docs.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("source")
+           .aggregate(Sum("words", alias_name="words"),
+                      Sum("bpe", alias_name="bpe")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        w = np.asarray(batch.column("words").cast(pa.int64()),
+                       dtype=np.int64)
+        b = np.asarray(batch.column("bpe").cast(pa.int64()),
+                       dtype=np.int64)
+        fert = np.zeros(len(w), dtype=np.float64)
+        np.divide(b.astype(np.float64), w.astype(np.float64),
+                  out=fert, where=w > 0)
+        return pa.table({
+            "source": batch.column("source"),
+            "words": pa.array(w, type=pa.int64()),
+            "bpe": pa.array(b, type=pa.int64()),
+            "fertility": pa.array(fert, type=pa.float64(),
+                                  mask=w == 0),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- T20 ----
+def t20_charset_profile(sf_dir: str):
+    """T20 — per-source byte-class profile: exact counts of alpha /
+    digit / whitespace / punctuation-other bytes (UTF-8 continuation
+    bytes tracked separately so multi-byte text is honest) plus each
+    class's pinned share — the one-glance "what IS this source made of"
+    data-quality fingerprint next to T16's char entropy.
+
+    Scale shape: five lookup-table reduceats per block -> one row per
+    source per block, ONE bounded exchange; exact int64 counts, one
+    pinned division per share."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, offsets = _flat_utf8(batch)
+        nrows = offsets.shape[0] - 1
+        nz = np.diff(offsets) > 0
+        alpha = _IS_ALPHA[flat]
+        digit = _IS_DIGIT[flat]
+        ws = _IS_WS[flat]
+        cont = _IS_CONT[flat]
+        other = ~alpha & ~digit & ~ws & ~cont
+        cols = {}
+        for name, m in (("alpha", alpha), ("digit", digit),
+                        ("ws", ws), ("cont", cont), ("other", other)):
+            c = np.zeros(nrows, dtype=np.int64)
+            if flat.shape[0]:
+                c[nz] = np.add.reduceat(m.astype(np.int64),
+                                        offsets[:-1][nz])
+            cols[name] = c
+        t = pa.table({"source": batch.column("source"),
+                      **{k: pa.array(v, type=pa.int64())
+                         for k, v in cols.items()}})
+        g = t.group_by(["source"]).aggregate(
+            [(k, "sum") for k in cols])
+        return pa.table({"source": g.column("source"),
+                         **{k: g.column(f"{k}_sum").cast(pa.int64())
+                            for k in cols}})
+
+    agg = (docs.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("source")
+           .aggregate(*[Sum(k, alias_name=k)
+                        for k in ("alpha", "digit", "ws", "cont",
+                                  "other")]))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        cols = {k: np.asarray(batch.column(k).cast(pa.int64()),
+                              dtype=np.int64)
+                for k in ("alpha", "digit", "ws", "cont", "other")}
+        total = sum(cols.values())
+        out = {"source": batch.column("source"),
+               "n_bytes": pa.array(total, type=pa.int64())}
+        for k, v in cols.items():
+            out[k] = pa.array(v, type=pa.int64())
+            share = np.zeros(len(v), dtype=np.float64)
+            np.divide(v.astype(np.float64), total.astype(np.float64),
+                      out=share, where=total > 0)
+            out[f"{k}_share"] = pa.array(share, type=pa.float64(),
+                                         mask=total == 0)
+        return pa.table(out)
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -384,3 +384,78 @@ def test_g31_dispersion_bruteforce(ray_session):
             == (d, total, sumsq)
         assert row["dispersion"] == \
             float(d * sumsq - total * total) / float(d * total)
+
+
+# --------------------------------------------------------- V17/T20 ----
+def test_fertility_and_charset_bruteforce(ray_session):
+    import re
+
+    import __ray_entry__ as e
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+
+    fert = (e.queries()["v17_subword_fertility"](SF).to_pandas()
+            .set_index("source"))
+    prof = (e.queries()["t20_charset_profile"](SF).to_pandas()
+            .set_index("source"))
+    bpe_re = re.compile(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]")
+    for src, grp in docs.groupby("source"):
+        words = sum(len([w for w in re.split(r"\s+", t) if w])
+                    for t in grp["text"])
+        bpe = sum(len(bpe_re.findall(t)) for t in grp["text"])
+        row = fert.loc[src]
+        assert (row["words"], row["bpe"]) == (words, bpe)
+        assert row["fertility"] == float(bpe) / float(words)
+        blob = "".join(grp["text"])
+        alpha = sum(c.isascii() and c.isalpha() for c in blob)
+        digit = sum(c.isdigit() and c.isascii() for c in blob)
+        ws = sum(c in "\t\n\x0b\x0c\r " for c in blob)
+        nb = len(blob.encode())
+        row = prof.loc[src]
+        assert (row["n_bytes"], row["alpha"], row["digit"], row["ws"],
+                row["cont"]) == (nb, alpha, digit, ws, 0)
+        assert row["other"] == nb - alpha - digit - ws
+
+
+# --------------------------------------------------------- G33/W42 ----
+def test_cramers_v_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = e.queries()["g33_cramers_v"](SF).to_pandas().iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    ev["dow"] = (ev["ts"].astype("int64") // 86_400_000_000 + 3) % 7
+    cells = ev.groupby(["event_type", "dow"]).size().sort_index()
+    total = int(cells.sum())
+    rt = cells.groupby(level=0).sum()
+    ct = cells.groupby(level=1).sum()
+    acc = 0.0
+    for (t, d), n in cells.items():
+        exp = float(int(rt[t]) * int(ct[d])) / float(total)
+        diff = float(int(n)) - exp
+        acc = acc + diff * diff / exp
+    mind = min(len(rt) - 1, len(ct) - 1)
+    assert got["n"] == total
+    assert got["chi2"] == acc
+    assert got["cramers_v"] == math.sqrt(
+        acc / (float(total) * float(mind)))
+
+
+def test_user_profile_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["w42_user_profile"](SF).to_pandas()
+           .set_index("user_id").sort_index())
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    ev["cents"] = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    g = ev.groupby("user_id")
+    assert len(got) == g.ngroups
+    for uid, grp in g:
+        row = got.loc[uid]
+        assert row["first_day"] == grp["day"].min()
+        assert row["last_day"] == grp["day"].max()
+        assert row["n_active_days"] == grp["day"].nunique()
+        assert row["n_events"] == len(grp)
+        assert row["total_cents"] == int(grp["cents"].sum())
