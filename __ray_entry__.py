@@ -377,6 +377,15 @@ def _e4_varint_size(sf_dir: str):
         varint_size_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _a61_remainder_acf(sf_dir: str):
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import remainder_acf_batch
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        remainder_acf_batch, batch_format="pyarrow",
+        zero_copy_batch=True)
+
+
 def _a57_wilcoxon_halves(sf_dir: str):
     from anomalydetection_ray.pipelines.rollup import validated
     from anomalydetection_ray.stages.detectors import wilcoxon_halves_batch
@@ -1029,6 +1038,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # W41 daily type-pair Pearson correlation (zero-filled day
         # grid for free; exact int moments, pinned r)
         "w41_daily_type_corr": q.w41_daily_type_corr,
+        # A61 remainder ACF after the robust decomposition (the
+        # family's "check the STL remainder" adequacy step)
+        "a61_remainder_acf": _a61_remainder_acf,
         # A59 seasonal period auto-detect (dominant-ACF lag over a
         # candidate grid; float-free exact-int argmax)
         "a59_period_detect": _a59_period_detect,
@@ -3148,6 +3160,65 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN g
             LEFT JOIN x ON x.ta = ma.event_type
                         AND x.tb = mb.event_type
+        """,
+        # A61: A52's decomposition CTE chain, remainder x4 = exact int,
+        # A9 ACF in HUGEINT (x4 scaling can push n^2*Sxy past BIGINT)
+        "a61_remainder_acf": f"""
+            WITH {_SEQ_TOK_CTE},
+            raw AS MATERIALIZED (
+              SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                     pos % 1000000 AS i, CAST(v AS DOUBLE) AS x0
+              FROM tok),
+            phm AS MATERIALIZED (
+              SELECT doc_id, part_id, i % 24 AS ph, median(x0) AS pmed
+              FROM raw GROUP BY doc_id, part_id, i % 24),
+            dbase AS MATERIALIZED (
+              SELECT r.doc_id, r.part_id, r.i, r.x0 - p.pmed AS x
+              FROM raw r JOIN phm p ON p.doc_id = r.doc_id
+                AND p.part_id = r.part_id AND p.ph = r.i % 24),
+            cym AS MATERIALIZED (
+              SELECT doc_id, part_id, i // 24 AS cyc, median(x) AS tmed
+              FROM dbase GROUP BY doc_id, part_id, i // 24),
+            res AS MATERIALIZED (
+              SELECT d.doc_id, d.part_id, d.i,
+                     CAST(4 * (d.x - c.tmed) AS BIGINT) AS r4
+              FROM dbase d JOIN cym c ON c.doc_id = d.doc_id
+                AND c.part_id = d.part_id AND c.cyc = d.i // 24),
+            mom AS MATERIALIZED (
+              SELECT doc_id, part_id, CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(r4) AS HUGEINT) AS s,
+                     CAST(sum(CAST(r4 AS HUGEINT) * r4) AS HUGEINT)
+                         AS q
+              FROM res GROUP BY doc_id, part_id),
+            lp AS (SELECT a.doc_id, a.part_id,
+                          CAST(sum(CAST(a.r4 AS HUGEINT) * b.r4)
+                               AS HUGEINT) AS sxy,
+                          CAST(sum(a.r4) AS HUGEINT) AS sh,
+                          CAST(sum(b.r4) AS HUGEINT) AS st
+                   FROM res a JOIN res b ON b.doc_id = a.doc_id
+                     AND b.part_id = a.part_id AND b.i = a.i + 24
+                   GROUP BY a.doc_id, a.part_id),
+            nd AS (SELECT m.doc_id, m.part_id, m.n,
+                          m.n * m.n * l.sxy - m.n * m.s * (l.sh + l.st)
+                              + (m.n - 24) * m.s * m.s AS num,
+                          m.n * m.n * m.q - m.n * m.s * m.s AS den
+                   FROM mom m LEFT JOIN lp l
+                     ON l.doc_id = m.doc_id AND l.part_id = m.part_id)
+            SELECT doc_id, part_id, CAST(n AS BIGINT) AS n,
+                   CASE WHEN n > 24 AND den <> 0 THEN
+                       (CASE WHEN num >= 0
+                             THEN CAST(num // 4294967296 AS DOUBLE)
+                                  * 4294967296.0
+                                  + CAST(num % 4294967296 AS DOUBLE)
+                             ELSE -(CAST((-num) // 4294967296
+                                         AS DOUBLE) * 4294967296.0
+                                    + CAST((-num) % 4294967296
+                                           AS DOUBLE)) END)
+                       / (CAST(den // 4294967296 AS DOUBLE)
+                          * 4294967296.0
+                          + CAST(den % 4294967296 AS DOUBLE))
+                   END AS acf_resid
+            FROM nd
         """,
         # A59: exact-int argmax of the A9 numerators over the lag grid
         "a59_period_detect": _a59_sql(),

@@ -1489,3 +1489,83 @@ def period_detect_batch(batch: pa.Table,
         "best_num": pa.array(best_num, type=pa.int64(), mask=null),
         "acf_best": pa.array(acf_best, type=pa.float64(), mask=null),
     })
+
+
+def _split_double(v: int) -> float:
+    """Exact-int -> double with a PINNED rounding shape shared with the
+    SQL oracle: |v| split as hi*2^32 + lo (each half an exact double),
+    combined with two IEEE ops — avoids DuckDB's double-rounding
+    HUGEINT->DOUBLE cast for magnitudes past 2^53."""
+    u = v if v >= 0 else -v
+    d = float(u >> 32) * 4294967296.0 + float(u & 0xFFFFFFFF)
+    return d if v >= 0 else -d
+
+
+def remainder_acf_batch(batch: pa.Table, period: int = 24,
+                        lag: int = 24) -> pa.Table:
+    """A61 — decomposition-adequacy diagnostic: the lag-``period`` ACF
+    of the REMAINDER after A52's robust decomposition (phase medians +
+    per-cycle trend medians).  The family's "check the STL remainder"
+    step: |acf| near 0 certifies the seasonal+trend model absorbed the
+    structure; a large positive remainder ACF at the seasonal lag means
+    the period (or the model) is wrong and S-H-ESD's residuals are not
+    exchangeable.
+
+    Exactness: the remainder is an exact quarter-integer (int - half -
+    quarter), so ``r4 = 4*resid`` is an exact int64 series and the A9
+    ACF numerator/denominator are exact arbitrary-precision ints (the
+    oracle replays them in HUGEINT — the x4 scaling pushes worst-case
+    n^2*Sxy past BIGINT); ``acf_resid`` is the single pinned division.
+    Series with n <= lag or zero remainder variance emit NULL."""
+    tokens = batch.column("tokens")
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    nrows = batch.num_rows
+    lens = np.zeros(nrows, dtype=np.int64)
+    acf = np.full(nrows, np.nan)
+    for r in range(nrows):
+        arr = tokens[r].values
+        if arr.null_count:
+            arr = arr.fill_null(0)
+        v = np.asarray(arr, dtype=np.int64) if len(arr) else \
+            np.empty(0, dtype=np.int64)
+        n = v.shape[0]
+        lens[r] = n
+        if n <= lag:
+            continue
+        x = v.astype(np.float64)
+        pos = np.arange(n, dtype=np.int64)
+        pmed = np.zeros(period, dtype=np.float64)
+        for p in range(period):
+            sl = x[p::period]
+            if sl.size:
+                pmed[p] = np.median(sl)
+        deseason = x - pmed[pos % period]
+        cyc = pos // period
+        ncyc = int(cyc[-1]) + 1
+        tmed = np.zeros(ncyc, dtype=np.float64)
+        for c in range(ncyc):
+            tmed[c] = np.median(deseason[c * period:(c + 1) * period])
+        resid = deseason - tmed[cyc]
+        r4 = (4.0 * resid).astype(np.int64)   # exact: quarters x 4
+        s = int(r4.sum())
+        q = int((r4 * r4).sum())
+        den = n * n * q - n * s * s
+        if den == 0:
+            continue
+        sxy = int((r4[:-lag] * r4[lag:]).sum())
+        sh = int(r4[:n - lag].sum())
+        st = int(r4[lag:].sum())
+        num = n * n * sxy - n * s * (sh + st) + (n - lag) * s * s
+        # pinned int->double via 32-bit split: the x4 scaling pushes
+        # |num|/den past 2^53 where DuckDB's HUGEINT cast double-rounds;
+        # hi*2^32 + lo (both halves exact doubles) is bit-identical on
+        # both sides
+        acf[r] = _split_double(num) / _split_double(den)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "n": pa.array(lens, type=pa.int64()),
+        "acf_resid": pa.array(acf, type=pa.float64(),
+                              from_pandas=True),
+    })

@@ -459,3 +459,64 @@ def test_user_profile_bruteforce(ray_session):
         assert row["n_active_days"] == grp["day"].nunique()
         assert row["n_events"] == len(grp)
         assert row["total_cents"] == int(grp["cents"].sum())
+
+
+# ----------------------------------------------------------------- A61 ----
+def test_remainder_acf_absorbs_planted_structure():
+    """A pure seasonal+trend series must leave ~no lag-24 remainder ACF,
+    while the RAW series ACF at 24 is large — the adequacy scenario."""
+    from anomalydetection_ray.stages.detectors import (
+        autocorr_batch,
+        remainder_acf_batch,
+    )
+
+    rng = np.random.default_rng(29)
+    season = np.array([(i % 24) * 7 for i in range(240)])
+    trend = np.repeat(np.arange(10) * 50, 24)
+    noise = rng.integers(0, 3, size=240)
+    series = (1000 + season + trend + noise).tolist()
+    batch = _tok_batch([series])
+    raw = autocorr_batch(batch, lag=24).to_pylist()[0]
+    rem = remainder_acf_batch(batch).to_pylist()[0]
+    assert raw["acf"] > 0.5
+    assert abs(rem["acf_resid"]) < 0.2
+
+
+def test_remainder_acf_bruteforce():
+    from anomalydetection_ray.sources.tokenize import tokenize_batch
+    from anomalydetection_ray.stages.detectors import (
+        _split_double,
+        remainder_acf_batch,
+    )
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    tok = tokenize_batch(docs)
+    tok = tok.append_column(
+        "part_id", pa.array([0] * tok.num_rows, type=pa.int32()))
+    out = remainder_acf_batch(tok).to_pylist()
+    for row, rec in list(zip(out, tok.to_pylist()))[:25]:
+        v = np.asarray(rec["tokens"], dtype=np.int64)
+        n = len(v)
+        if n <= 24:
+            assert row["acf_resid"] is None
+            continue
+        x = v.astype(np.float64)
+        pos = np.arange(n)
+        pmed = np.array([np.median(x[p::24]) if len(x[p::24]) else 0.0
+                         for p in range(24)])
+        de = x - pmed[pos % 24]
+        ncyc = (n - 1) // 24 + 1
+        tmed = np.array([np.median(de[c * 24:(c + 1) * 24])
+                         for c in range(ncyc)])
+        r4 = (4.0 * (de - tmed[pos // 24])).astype(np.int64)
+        s = int(r4.sum())
+        q = int((r4 * r4).sum())
+        den = n * n * q - n * s * s
+        if den == 0:
+            assert row["acf_resid"] is None
+            continue
+        sxy = int((r4[:-24] * r4[24:]).sum())
+        sh, st = int(r4[:n - 24].sum()), int(r4[24:].sum())
+        num = n * n * sxy - n * s * (sh + st) + (n - 24) * s * s
+        assert row["acf_resid"] == _split_double(num) / _split_double(den)
