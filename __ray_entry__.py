@@ -1017,6 +1017,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A57 Wilcoxon signed-rank halves test (paired level-shift
         # screen; exact midrank sums, pinned z)
         "a57_wilcoxon_halves": _a57_wilcoxon_halves,
+        # G34 daily-count quantile band per type (zero-filled
+        # nearest-rank p10/p50/p90 — the dashboard "normal band")
+        "g34_daily_quantile_band": q.g34_daily_quantile_band,
+        # P9 padding-waste audit (exact waste at 4 context sizes —
+        # the no-packing baseline P3's layout is judged against)
+        "p9_padding_waste": pk.p9_padding_waste,
         # G33 Cramér's V effect size for type x weekday (G16's chi2
         # standardized to [0,1]; pinned ordered fold)
         "g33_cramers_v": q.g33_cramers_v,
@@ -2963,6 +2969,63 @@ def oracle_sql() -> dict[str, str]:
             FROM nn
             LEFT JOIN w USING (doc_id, part_id)
             LEFT JOIN tc USING (doc_id, part_id)
+        """,
+        # G34: nearest-rank order stats over the zero-filled day grid —
+        # rank inside the implicit zeros block -> 0, else the
+        # (rank - zeros)-th smallest present count
+        "g34_daily_quantile_band": """
+            WITH c AS (SELECT event_type,
+                              CAST(epoch_us(ts) // 86400000000
+                                   AS BIGINT) AS day,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY event_type, day),
+            g AS (SELECT CAST(max(day) - min(day) + 1 AS BIGINT) AS d
+                  FROM c),
+            m AS (SELECT event_type,
+                         CAST(count(*) AS BIGINT) AS present
+                  FROM c GROUP BY event_type),
+            o AS (SELECT event_type, n,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY n) AS rn
+                  FROM c),
+            r AS (SELECT m.event_type, g.d, g.d - m.present AS z,
+                         CAST(ceil(0.1 * g.d) AS BIGINT) AS r10,
+                         CAST(ceil(0.5 * g.d) AS BIGINT) AS r50,
+                         CAST(ceil(0.9 * g.d) AS BIGINT) AS r90
+                  FROM m CROSS JOIN g)
+            SELECT r.event_type, r.d AS n_days,
+                   CASE WHEN r.r10 <= r.z THEN 0 ELSE o10.n END AS p10,
+                   CASE WHEN r.r50 <= r.z THEN 0 ELSE o50.n END AS p50,
+                   CASE WHEN r.r90 <= r.z THEN 0 ELSE o90.n END AS p90
+            FROM r
+            LEFT JOIN o o10 ON o10.event_type = r.event_type
+                            AND o10.rn = r.r10 - r.z
+            LEFT JOIN o o50 ON o50.event_type = r.event_type
+                            AND o50.rn = r.r50 - r.z
+            LEFT JOIN o o90 ON o90.event_type = r.event_type
+                            AND o90.rn = r.r90 - r.z
+        """,
+        # P9: padded = ceil(n/b)*b per part over the tok series, the
+        # pinned waste/padded division per bucket
+        "p9_padding_waste": f"""
+            WITH {_SEQ_TOK_CTE},
+            s AS (SELECT doc_id, CAST(pos // 1000000 AS INTEGER)
+                             AS part_id,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM tok GROUP BY doc_id, part_id),
+            b(bucket) AS (VALUES (128), (256), (512), (1024)),
+            agg AS (SELECT CAST(b.bucket AS BIGINT) AS bucket,
+                           CAST(count(*) AS BIGINT) AS n_docs,
+                           CAST(sum(s.n) AS BIGINT) AS total_tokens,
+                           CAST(sum(((s.n + b.bucket - 1) // b.bucket)
+                                    * b.bucket) AS BIGINT)
+                               AS total_padded
+                    FROM s CROSS JOIN b GROUP BY b.bucket)
+            SELECT bucket, n_docs, total_tokens, total_padded,
+                   total_padded - total_tokens AS waste,
+                   CAST(total_padded - total_tokens AS DOUBLE)
+                       / CAST(total_padded AS DOUBLE) AS waste_frac
+            FROM agg
         """,
         # G33: G16's present-cell terms folded in (type, dow) order
         # via list_reduce; V = sqrt(chi2 / (n * min(r-1, c-1)))

@@ -1326,3 +1326,89 @@ def p8_epoch_decorrelation(sf_dir: str, seed_a: int = 42,
         "decorrelation": pa.array([mean_d / expected],
                                   type=pa.float64()),
     }))
+
+
+# ---------------------------------------------------------------- P9 ----
+P9_BUCKETS = (128, 256, 512, 1024)
+
+
+def p9_padding_waste(sf_dir: str):
+    """P9 — padding-waste audit: for each candidate context size b, the
+    exact token waste if every sequence part is padded to the next
+    multiple of b (the no-packing baseline every packing strategy is
+    judged against — P3's packed layout saves exactly this waste).
+    waste_frac ~0.5 at b >> typical length is the "you are training on
+    pad tokens" alarm.
+
+    Exactness: padded = ceil(n/b)*b per part, all exact int64; the one
+    float is the pinned waste/padded division per bucket.
+
+    Scale shape: map-only per-block partials (4 rows per block), ONE
+    exchange on the 4-row bucket domain."""
+    from ray.data.aggregate import Sum
+
+    from anomalydetection_ray.pipelines.rollup import validated
+
+    def _seqs(sf):
+        import ray.data
+
+        from anomalydetection_ray.sources.tokenize import tokenize_batch
+
+        docs = ray.data.read_parquet(f"{sf}/documents.parquet",
+                                     columns=["doc_id", "text",
+                                              "source"])
+        return docs.map_batches(tokenize_batch, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    ds = validated(_seqs(sf_dir))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tokens = batch.column("tokens")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        offsets = np.asarray(tokens.offsets, dtype=np.int64)
+        lens = np.diff(offsets)
+        rows = {"bucket": [], "n_docs": [], "total_tokens": [],
+                "total_padded": []}
+        for b in P9_BUCKETS:
+            padded = ((lens + b - 1) // b) * b
+            rows["bucket"].append(b)
+            rows["n_docs"].append(len(lens))
+            rows["total_tokens"].append(int(lens.sum()))
+            rows["total_padded"].append(int(padded.sum()))
+        return pa.table({
+            "bucket": pa.array(rows["bucket"], type=pa.int64()),
+            "n_docs": pa.array(rows["n_docs"], type=pa.int64()),
+            "total_tokens": pa.array(rows["total_tokens"],
+                                     type=pa.int64()),
+            "total_padded": pa.array(rows["total_padded"],
+                                     type=pa.int64()),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("bucket")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("total_tokens", alias_name="total_tokens"),
+                      Sum("total_padded", alias_name="total_padded")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        tot = np.asarray(batch.column("total_tokens").cast(pa.int64()),
+                         dtype=np.int64)
+        pad = np.asarray(batch.column("total_padded").cast(pa.int64()),
+                         dtype=np.int64)
+        waste = pad - tot
+        frac = np.zeros(len(pad), dtype=np.float64)
+        np.divide(waste.astype(np.float64), pad.astype(np.float64),
+                  out=frac, where=pad > 0)
+        return pa.table({
+            "bucket": batch.column("bucket").cast(pa.int64()),
+            "n_docs": batch.column("n_docs").cast(pa.int64()),
+            "total_tokens": pa.array(tot, type=pa.int64()),
+            "total_padded": pa.array(pad, type=pa.int64()),
+            "waste": pa.array(waste, type=pa.int64()),
+            "waste_frac": pa.array(frac, type=pa.float64(),
+                                   mask=pad == 0),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

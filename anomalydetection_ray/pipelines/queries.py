@@ -7482,3 +7482,81 @@ def w42_user_profile(sf_dir: str, num_partitions: int = 32):
 
     return partition_apply(partials, keys=["user_id"], kernel=kernel,
                            num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------- G34 ----
+def g34_daily_quantile_band(sf_dir: str):
+    """G34 — the "normal band" every ops dashboard draws: nearest-rank
+    p10/p50/p90 of each event type's ZERO-FILLED daily count series —
+    missing days count as zeros (a type absent for a week has a low p10,
+    exactly what the alarm threshold should see).
+
+    Exactness: order statistics of integers with the repo's nearest-rank
+    convention rank = ceil(q * n_days) (one IEEE multiply + ceil, same
+    in SQL); a rank that lands inside the implicit zeros block returns
+    0, else the (rank - zeros)-th smallest present count.  No
+    interpolation, no floats in the output.
+
+    Scale shape: the (type, day) bounded count exchange + single-group
+    widen (one sort of each type's bounded count vector)."""
+    import math
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    DAY_US = 86_400_000_000
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(us // DAY_US, type=pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "n": pc.cast(g.column("count_all"),
+                                      pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["event_type", "day"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_one", pa.array(np.zeros(batch.num_rows, dtype=np.int64)))
+
+    def widen(group: pa.Table) -> pa.Table:
+        et = group.column("event_type").to_pylist()
+        day = np.asarray(group.column("day"), dtype=np.int64)
+        n = np.asarray(group.column("n"), dtype=np.int64)
+        d = int(day.max() - day.min() + 1)
+        types = sorted(set(et))
+        out = {"event_type": [], "n_days": [], "p10": [], "p50": [],
+               "p90": []}
+        for t in types:
+            sel = np.asarray([e == t for e in et], dtype=bool)
+            present = np.sort(n[sel])
+            z = d - len(present)
+            qs = []
+            for qq in (0.1, 0.5, 0.9):
+                rank = int(math.ceil(qq * d))      # nearest-rank, 1-based
+                qs.append(0 if rank <= z
+                          else int(present[rank - z - 1]))
+            out["event_type"].append(t)
+            out["n_days"].append(d)
+            out["p10"].append(qs[0])
+            out["p50"].append(qs[1])
+            out["p90"].append(qs[2])
+        return pa.table({
+            "event_type": pa.array(out["event_type"], type=pa.string()),
+            "n_days": pa.array(out["n_days"], type=pa.int64()),
+            "p10": pa.array(out["p10"], type=pa.int64()),
+            "p50": pa.array(out["p50"], type=pa.int64()),
+            "p90": pa.array(out["p90"], type=pa.int64()),
+        })
+
+    return (counts.map_batches(tag, batch_format="pyarrow")
+            .groupby("_one").map_groups(widen, batch_format="pyarrow"))

@@ -520,3 +520,43 @@ def test_remainder_acf_bruteforce():
         sh, st = int(r4[:n - 24].sum()), int(r4[24:].sum())
         num = n * n * sxy - n * s * (sh + st) + (n - 24) * s * s
         assert row["acf_resid"] == _split_double(num) / _split_double(den)
+
+
+# --------------------------------------------------------- G34/P9 ----
+def test_daily_quantile_band_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["g34_daily_quantile_band"](SF).to_pandas()
+           .set_index("event_type"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    counts = ev.groupby(["event_type", "day"]).size()
+    days = counts.index.get_level_values("day")
+    d = int(days.max() - days.min() + 1)
+    for t in sorted(ev["event_type"].unique()):
+        present = sorted(counts[t].tolist())
+        full = [0] * (d - len(present)) + present
+        row = got.loc[t]
+        assert row["n_days"] == d
+        for q, col in ((0.1, "p10"), (0.5, "p50"), (0.9, "p90")):
+            assert row[col] == full[int(math.ceil(q * d)) - 1]
+
+
+def test_padding_waste_bruteforce(ray_session):
+    import __ray_entry__ as e
+    from anomalydetection_ray.sources.tokenize import tokenize_batch
+
+    got = (e.queries()["p9_padding_waste"](SF).to_pandas()
+           .set_index("bucket"))
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    lens = [len(r["tokens"]) for r in tokenize_batch(docs).to_pylist()]
+    for b in (128, 256, 512, 1024):
+        padded = sum(-(-n // b) * b for n in lens)
+        tot = sum(lens)
+        row = got.loc[b]
+        assert (row["n_docs"], row["total_tokens"],
+                row["total_padded"]) == (len(lens), tot, padded)
+        assert row["waste"] == padded - tot
+        assert row["waste_frac"] == float(padded - tot) / float(padded)
