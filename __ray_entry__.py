@@ -1017,6 +1017,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A57 Wilcoxon signed-rank halves test (paired level-shift
         # screen; exact midrank sums, pinned z)
         "a57_wilcoxon_halves": _a57_wilcoxon_halves,
+        # W43 per-user rolling MEDIAN (full windows; robust companion
+        # of W3's rolling mean — exact int cents, no floats)
+        "w43_rolling_median": wnd.w43_rolling_median,
+        # G35 hour-of-day profile entropy per type (temporal
+        # concentration; G15 transposed onto W34's hourly grid)
+        "g35_hourly_entropy": q.g35_hourly_entropy,
         # G34 daily-count quantile band per type (zero-filled
         # nearest-rank p10/p50/p90 — the dashboard "normal band")
         "g34_daily_quantile_band": q.g34_daily_quantile_band,
@@ -2969,6 +2975,52 @@ def oracle_sql() -> dict[str, str]:
             FROM nn
             LEFT JOIN w USING (doc_id, part_id)
             LEFT JOIN tc USING (doc_id, part_id)
+        """,
+        # W43: SQL median window frame, full windows only; odd-window
+        # median of ints is exact
+        "w43_rolling_median": """
+            WITH o AS (SELECT event_id, user_id,
+                              row_number() OVER w AS rn,
+                              median(CAST(floor(value * 100 + 0.5)
+                                          AS BIGINT)) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN 4 PRECEDING
+                                       AND CURRENT ROW) AS med
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts, event_id))
+            SELECT event_id, user_id,
+                   CAST(med AS BIGINT) AS roll_median_cents
+            FROM o WHERE rn >= 5
+        """,
+        # G35: G15's pinned fold transposed to hours; norm = /ln(24)
+        "g35_hourly_entropy": """
+            WITH c AS (SELECT event_type,
+                              (epoch_us(ts) // 3600000000) % 24 AS hour,
+                              count(*) AS n
+                       FROM events GROUP BY event_type, hour),
+            t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total,
+                         count(*) AS n_hours
+                  FROM c GROUP BY event_type),
+            f AS (SELECT c.event_type,
+                         any_value(t.total) AS total,
+                         any_value(t.n_hours) AS n_hours,
+                         list(CAST(c.n AS DOUBLE)
+                              / CAST(t.total AS DOUBLE)
+                              * ln(CAST(c.n AS DOUBLE)
+                                   / CAST(t.total AS DOUBLE))
+                              ORDER BY c.hour) AS xs
+                  FROM c JOIN t USING (event_type)
+                  GROUP BY c.event_type)
+            SELECT event_type, total,
+                   CAST(n_hours AS BIGINT) AS n_hours,
+                   -list_reduce(list_prepend(0.0, xs),
+                                (a, b) -> a + b) AS entropy,
+                   -list_reduce(list_prepend(0.0, xs),
+                                (a, b) -> a + b) / ln(24.0)
+                       AS norm_entropy
+            FROM f
         """,
         # G34: nearest-rank order stats over the zero-filled day grid —
         # rank inside the implicit zeros block -> 0, else the

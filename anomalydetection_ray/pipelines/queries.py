@@ -7560,3 +7560,65 @@ def g34_daily_quantile_band(sf_dir: str):
 
     return (counts.map_batches(tag, batch_format="pyarrow")
             .groupby("_one").map_groups(widen, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------- G35 ----
+def g35_hourly_entropy(sf_dir: str):
+    """G35 — Shannon entropy of each event type's hour-of-day profile:
+    the temporal-concentration screen (low entropy = the type fires in
+    a narrow daily window — batch jobs, cron abuse; high = human-flat)
+    — G15's user-concentration entropy transposed onto W34's hourly
+    grid.  ``norm_entropy`` divides by ln(24), the full-grid maximum.
+
+    Exactness: hour counts exact int64; the entropy is a PINNED
+    sequential fold in hour order over PRESENT hours (zero hours
+    contribute nothing), replayed by the oracle with list_reduce
+    ORDER BY; norm is one more pinned division.
+
+    Scale shape: per-block (type, hour) partials (<= types*24 rows),
+    ONE bounded exchange, per-type widen is O(24)."""
+    import math
+
+    import pyarrow.compute as pc
+
+    HOUR_US = 3_600_000_000
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        hour = (us // HOUR_US) % 24
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "hour": pa.array(hour, type=pa.int64())})
+        g = t.group_by(["event_type", "hour"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "hour": g.column("hour"),
+                         "n": pc.cast(g.column("count_all"),
+                                      pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def finish(group: pa.Table) -> pa.Table:
+        t = (group.group_by(["event_type", "hour"])
+             .aggregate([("n", "sum")])
+             .sort_by([("hour", "ascending")]))
+        n = np.asarray(t.column("n_sum"), dtype=np.int64)
+        total = int(n.sum())
+        acc = 0.0
+        for c in n:                       # pinned fold, hour order
+            p = float(int(c)) / float(total)
+            acc = acc + p * math.log(p)
+        ent = -acc
+        return pa.table({
+            "event_type": t.column("event_type").slice(0, 1),
+            "total": pa.array([total], type=pa.int64()),
+            "n_hours": pa.array([len(n)], type=pa.int64()),
+            "entropy": pa.array([ent], type=pa.float64()),
+            "norm_entropy": pa.array([ent / math.log(24.0)],
+                                     type=pa.float64()),
+        })
+
+    return partials.groupby("event_type").map_groups(
+        finish, batch_format="pyarrow")

@@ -2925,3 +2925,67 @@ def w39_dwell_time(sf_dir: str, num_partitions: int = 16):
         "share": pa.array(du.astype(np.float64) / np.float64(total),
                           type=pa.float64()),
     }))
+
+
+# ---------------------------------------------------------------- W43 ----
+def _rolling_median_kernel(group: pa.Table, window: int) -> pa.Table:
+    """Per-user trailing-window rolling MEDIAN of quantized cents —
+    emitted only for FULL windows (each user's first window-1 rows are
+    warm-up).  With an odd window the median of ints is exact; the
+    window columns are ``window`` shifted gathers and the median is one
+    ``np.partition`` over the stacked matrix — no per-row Python."""
+    group = group.drop_columns([PKEY]).sort_by(
+        [("user_id", "ascending"), ("ts", "ascending"),
+         ("event_id", "ascending")])
+    n = group.num_rows
+    empty = pa.table({
+        "event_id": pa.array([], type=pa.int64()),
+        "user_id": pa.array([], type=pa.int64()),
+        "roll_median_cents": pa.array([], type=pa.int64()),
+    })
+    if n == 0:
+        return empty
+    uid = np.asarray(group.column("user_id"), dtype=np.int64)
+    eid = np.asarray(group.column("event_id"), dtype=np.int64)
+    v = np.asarray(group.column("value"), dtype=np.float64)
+    cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+    starts = run_starts(group, ["user_id"])
+    pos_in_user = (np.arange(n, dtype=np.int64)
+                   - np.repeat(starts, np.diff(np.append(starts, n))))
+    full = pos_in_user >= window - 1
+    if not full.any():
+        return empty
+    idx = np.flatnonzero(full)
+    mat = np.empty((idx.shape[0], window), dtype=np.int64)
+    for j in range(window):
+        mat[:, j] = cents[idx - j]
+    med = np.partition(mat, window // 2, axis=1)[:, window // 2]
+    return pa.table({
+        "event_id": pa.array(eid[idx], type=pa.int64()),
+        "user_id": pa.array(uid[idx], type=pa.int64()),
+        "roll_median_cents": pa.array(med, type=pa.int64()),
+    })
+
+
+def w43_rolling_median(sf_dir: str, window: int = 5,
+                       num_partitions: int = 16):
+    """W43 — per-user trailing rolling MEDIAN (window 5, full windows
+    only): the robust companion of W3's rolling mean — one outlier
+    bends the mean band, the median band holds, which is exactly why
+    A10's Hampel filter exists; this is its plain-window cousin on the
+    events stream.
+
+    Exactness: odd-window median of quantized int cents is an exact
+    int64 — no floats anywhere.  Oracle: SQL ``median() OVER (ROWS
+    BETWEEN 4 PRECEDING AND CURRENT ROW)`` filtered to full windows.
+
+    Scale shape: W3's ONE ``_pkey`` exchange; the kernel is ``window``
+    shifted gathers + one ``np.partition``."""
+    ev = _read_events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby(PKEY).map_groups(
+        functools.partial(_rolling_median_kernel, window=window),
+        batch_format="pyarrow")

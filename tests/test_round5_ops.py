@@ -560,3 +560,44 @@ def test_padding_waste_bruteforce(ray_session):
                 row["total_padded"]) == (len(lens), tot, padded)
         assert row["waste"] == padded - tot
         assert row["waste_frac"] == float(padded - tot) / float(padded)
+
+
+# --------------------------------------------------------- W43/G35 ----
+def test_rolling_median_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["w43_rolling_median"](SF).to_pandas()
+           .set_index("event_id").sort_index())
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["cents"] = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    n_checked = 0
+    for _, grp in ev.groupby("user_id"):
+        c = grp["cents"].to_numpy()
+        eids = grp["event_id"].to_numpy()
+        for i in range(4, len(c)):
+            want = int(np.median(c[i - 4:i + 1]))
+            assert int(got.loc[eids[i], "roll_median_cents"]) == want
+            n_checked += 1
+    assert n_checked == len(got)
+
+
+def test_hourly_entropy_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["g35_hourly_entropy"](SF).to_pandas()
+           .set_index("event_type"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    ev["hour"] = (ev["ts"].astype("int64") // 3_600_000_000) % 24
+    for t, grp in ev.groupby("event_type"):
+        counts = grp.groupby("hour").size().sort_index()
+        total = int(counts.sum())
+        acc = 0.0
+        for c in counts:
+            p = float(int(c)) / float(total)
+            acc = acc + p * math.log(p)
+        row = got.loc[t]
+        assert (row["total"], row["n_hours"]) == (total, len(counts))
+        assert row["entropy"] == -acc
+        assert row["norm_entropy"] == -acc / math.log(24.0)
