@@ -1017,6 +1017,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A57 Wilcoxon signed-rank halves test (paired level-shift
         # screen; exact midrank sums, pinned z)
         "a57_wilcoxon_halves": _a57_wilcoxon_halves,
+        # X9 near-dup graph degree histogram (scatter vs template
+        # hubs — the CC-explosion early warning)
+        "x9_dup_degree_hist": dd.x9_dup_degree_hist,
+        # D20 top duplicated sentences (T17's WHICH — the actionable
+        # boilerplate blocklist; vocab-topk discipline on sentences)
+        "d20_top_dup_sentences": dd.d20_top_dup_sentences,
         # W43 per-user rolling MEDIAN (full windows; robust companion
         # of W3's rolling mean — exact int cents, no floats)
         "w43_rolling_median": wnd.w43_rolling_median,
@@ -2975,6 +2981,28 @@ def oracle_sql() -> dict[str, str]:
             FROM nn
             LEFT JOIN w USING (doc_id, part_id)
             LEFT JOIN tc USING (doc_id, part_id)
+        """,
+        # X9: degrees over the same mh_pairs relation, two group-bys
+        "x9_dup_degree_hist": f"""
+            WITH {_minhash_cte(0.5)},
+            deg AS (SELECT doc, CAST(count(*) AS BIGINT) AS degree
+                    FROM (SELECT doc_a AS doc FROM mh_pairs
+                          UNION ALL SELECT doc_b FROM mh_pairs)
+                    GROUP BY doc)
+            SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+            FROM deg GROUP BY degree
+        """,
+        # D20: T17's '. ' sentence convention; (n_occ DESC, sent) top-k
+        "d20_top_dup_sentences": """
+            SELECT sent, n_occ, n_docs FROM (
+                SELECT sent, CAST(count(*) AS BIGINT) AS n_occ,
+                       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+                FROM (SELECT doc_id,
+                             unnest(string_split(text, '. ')) AS sent
+                      FROM documents)
+                WHERE sent <> ''
+                GROUP BY sent)
+            ORDER BY n_occ DESC, sent ASC LIMIT 25
         """,
         # W43: SQL median window frame, full windows only; odd-window
         # median of ints is exact

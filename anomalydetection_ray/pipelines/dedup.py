@@ -1883,3 +1883,139 @@ def d19_keep_best_dedup(sf_dir: str):
     return best.map_batches(
         lambda b: b.drop_columns(["neg_chars"]),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------------- X9 ----
+def x9_dup_degree_hist(sf_dir: str, min_est: float = 0.5):
+    """X9 — degree histogram of the near-dup graph: how many docs have
+    1, 2, 3... near-duplicates — the graph-shape profile that tells a
+    curation run whether duplication is pairwise scatter (degree 1-2)
+    or template hubs (fat tail), and therefore whether CC clustering
+    (X5's input) will explode.
+
+    Scale shape: only (doc, 1) endpoint rows flow from the pair
+    relation; ONE exchange to per-doc degrees, a second bounded
+    exchange onto the tiny degree domain.  Exact int64 everywhere."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    pairs = minhash_lsh_pairs(sf_dir, min_est=min_est).select_columns(
+        ["doc_a", "doc_b"])
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a")
+        b = batch.column("doc_b")
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        doc = pa.concat_arrays([a.cast(pa.int64()), b.cast(pa.int64())])
+        t = pa.table({"doc": doc})
+        g = t.group_by(["doc"]).aggregate([([], "count_all")])
+        return pa.table({"doc": g.column("doc"),
+                         "degree": pc.cast(g.column("count_all"),
+                                           pa.int64())})
+
+    deg = (pairs.map_batches(endpoints, batch_format="pyarrow",
+                             zero_copy_batch=True)
+           .groupby("doc").aggregate(Sum("degree",
+                                         alias_name="degree")))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"degree": batch.column("degree").cast(pa.int64())})
+        g = t.group_by(["degree"]).aggregate([([], "count_all")])
+        return pa.table({"degree": g.column("degree"),
+                         "n_docs": pc.cast(g.column("count_all"),
+                                           pa.int64())})
+
+    hist = (deg.map_batches(partial, batch_format="pyarrow")
+            .groupby("degree").aggregate(Sum("n_docs",
+                                             alias_name="n_docs")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "degree": batch.column("degree").cast(pa.int64()),
+            "n_docs": batch.column("n_docs").cast(pa.int64()),
+        })
+
+    return hist.map_batches(finalize, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- D20 ----
+def d20_top_dup_sentences(sf_dir: str, k: int = 25):
+    """D20 — the top-k most duplicated SENTENCES corpus-wide (by total
+    occurrences, ties by sentence text): T17 tells you HOW MUCH
+    boilerplate a source carries; this shows you WHICH sentences — the
+    actionable blocklist a curation pass feeds back into scrubbing.
+    Sentence convention = T17's ``split_pattern(text, ". ")`` minus
+    empties.
+
+    Scale shape: per-block (sentence, doc) occurrence counts collapse
+    before ONE sentence-hash `partition_apply` exchange; each partition
+    prunes to its local top-k before the tiny global sort — the
+    vocab-topk discipline at sentence granularity."""
+    import ray.data
+
+    from anomalydetection_ray.stages.runs import partition_apply
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        sents = pc.split_pattern(text, ". ")
+        flat = pc.list_flatten(sents)
+        row_of = np.asarray(pc.list_parent_indices(sents),
+                            dtype=np.int64)
+        keep = np.asarray(pc.not_equal(flat, ""))
+        doc = np.asarray(batch.column("doc_id"),
+                         dtype=np.int64)[row_of[keep]]
+        t = pa.table({"sent": flat.filter(pa.array(keep)),
+                      "doc": pa.array(doc, type=pa.int64())})
+        g = t.group_by(["sent", "doc"]).aggregate([([], "count_all")])
+        return pa.table({"sent": g.column("sent"),
+                         "doc": g.column("doc"),
+                         "c": g.column("count_all").cast(pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def kernel(part: pa.Table) -> pa.Table:
+        from anomalydetection_ray.stages.runs import run_starts
+
+        empty = pa.table({"sent": pa.array([], type=pa.string()),
+                          "n_occ": pa.array([], type=pa.int64()),
+                          "n_docs": pa.array([], type=pa.int64())})
+        if part.num_rows == 0:
+            return empty
+        part = part.sort_by([("sent", "ascending"),
+                             ("doc", "ascending")])
+        c = np.asarray(part.column("c"), dtype=np.int64)
+        sstarts = run_starts(part, ["sent"])
+        sends = np.append(sstarts[1:], part.num_rows)
+        dstarts = run_starts(part, ["sent", "doc"])
+        n_docs = (np.searchsorted(dstarts, sends, side="left")
+                  - np.searchsorted(dstarts, sstarts, side="left"))
+        cc = np.concatenate(([0], np.cumsum(c)))
+        n_occ = cc[sends] - cc[sstarts]
+        sent = part.column("sent")
+        if isinstance(sent, pa.ChunkedArray):
+            sent = sent.combine_chunks()
+        t = pa.table({
+            "sent": sent.take(pa.array(sstarts, type=pa.int64())),
+            "n_occ": pa.array(n_occ, type=pa.int64()),
+            "n_docs": pa.array(n_docs, type=pa.int64()),
+        })
+        # local prune: only this partition's top-k can reach the global
+        # top-k (sentences never span partitions — hash-keyed)
+        order = np.lexsort((
+            np.asarray(t.column("sent")).astype("U"), -n_occ))[:k]
+        return t.take(pa.array(np.sort(order), type=pa.int64()))
+
+    pruned = partition_apply(partials, keys=["sent"], kernel=kernel)
+    return (pruned.sort(["n_occ", "sent"],
+                        descending=[True, False]).limit(k))

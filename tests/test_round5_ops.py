@@ -601,3 +601,45 @@ def test_hourly_entropy_bruteforce(ray_session):
         assert (row["total"], row["n_hours"]) == (total, len(counts))
         assert row["entropy"] == -acc
         assert row["norm_entropy"] == -acc / math.log(24.0)
+
+
+# --------------------------------------------------------- X9/D20 ----
+def test_dup_degree_hist_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    pairs = (e.queries()["dedup_minhash_pairs"](SF).to_pandas())
+    got = (e.queries()["x9_dup_degree_hist"](SF).to_pandas()
+           .set_index("degree").sort_index())
+    # engine pair set at min_est 0.5 (x8/x9 convention)
+    pairs = pairs[pairs["est_jaccard"] >= 0.5]
+    from collections import Counter
+
+    deg = Counter()
+    for _, r in pairs.iterrows():
+        deg[int(r["doc_a"])] += 1
+        deg[int(r["doc_b"])] += 1
+    hist = Counter(deg.values())
+    assert len(got) == len(hist)
+    for d, n in hist.items():
+        assert int(got.loc[d, "n_docs"]) == n
+
+
+def test_top_dup_sentences_bruteforce(ray_session):
+    from collections import Counter
+
+    import __ray_entry__ as e
+
+    got = e.queries()["d20_top_dup_sentences"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    occ: Counter = Counter()
+    dd: dict = {}
+    for _, r in docs.iterrows():
+        for s in r["text"].split(". "):
+            if s:
+                occ[s] += 1
+                dd.setdefault(s, set()).add(r["doc_id"])
+    want = sorted(occ.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    assert list(zip(got["sent"], got["n_occ"])) == want
+    for _, row in got.iterrows():
+        assert row["n_docs"] == len(dd[row["sent"]])
