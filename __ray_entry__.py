@@ -1017,6 +1017,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A57 Wilcoxon signed-rank halves test (paired level-shift
         # screen; exact midrank sums, pinned z)
         "a57_wilcoxon_halves": _a57_wilcoxon_halves,
+        # J18 FULL OUTER join (completes the join-type matrix; NULL,
+        # not 0, on the absent side)
+        "j18_full_outer_daily": q.j18_full_outer_daily,
+        # S23 multi-file sharded write + provenance read-back (the
+        # resume-unit layout, audited per shard)
+        "s23_sharded_roundtrip": q.s23_sharded_roundtrip,
+        # G36 per-type excess kurtosis (G14's missing 4th moment —
+        # tail-weight screen; HUGEINT moments, pinned split casts)
+        "g36_kurtosis": q.g36_kurtosis,
         # X9 near-dup graph degree histogram (scatter vs template
         # hubs — the CC-explosion early warning)
         "x9_dup_degree_hist": dd.x9_dup_degree_hist,
@@ -2981,6 +2990,68 @@ def oracle_sql() -> dict[str, str]:
             FROM nn
             LEFT JOIN w USING (doc_id, part_id)
             LEFT JOIN tc USING (doc_id, part_id)
+        """,
+        # J18: the real FULL OUTER JOIN both sides aggregated first
+        "j18_full_outer_daily": """
+            WITH e AS (SELECT CAST(epoch_us(ts) // 86400000000
+                              AS BIGINT) AS day,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events WHERE event_type = 'error'
+                       GROUP BY day),
+            p AS (SELECT CAST(epoch_us(ts) // 86400000000
+                         AS BIGINT) AS day,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM events WHERE event_type = 'purchase'
+                  GROUP BY day)
+            SELECT COALESCE(e.day, p.day) AS day,
+                   e.n AS err_n, p.n AS purchase_n
+            FROM e FULL OUTER JOIN p ON p.day = e.day
+        """,
+        # S23: shard assignment replayed as event_id % 4
+        "s23_sharded_roundtrip": """
+            SELECT event_id % 4 AS shard,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS cents_sum
+            FROM events GROUP BY shard
+        """,
+        # G36: n-scaled moments in HUGEINT (s1^4 passes int64); the
+        # non-negative 32-bit-split pinned casts, then two float ops
+        "g36_kurtosis": """
+            WITH base AS (
+              SELECT event_type,
+                     CAST(json_extract(props, '$.k') AS BIGINT) AS x
+              FROM events),
+            m AS (
+              SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(x) AS HUGEINT) AS s1,
+                     CAST(sum(x * x) AS HUGEINT) AS s2,
+                     CAST(sum(x * x * x) AS HUGEINT) AS s3,
+                     CAST(sum(CAST(x AS HUGEINT) * x * x * x)
+                          AS HUGEINT) AS s4
+              FROM base GROUP BY event_type),
+            c AS (
+              SELECT event_type, n,
+                     n * s2 - s1 * s1 AS m2s,
+                     n * n * n * s4 - 4 * n * n * s1 * s3
+                         + 6 * n * s1 * s1 * s2
+                         - 3 * s1 * s1 * s1 * s1 AS m4s
+              FROM m)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   CAST(m2s AS BIGINT) AS m2_scaled,
+                   CASE WHEN m2s <= 0 THEN NULL
+                        ELSE (CAST(m4s // 4294967296 AS DOUBLE)
+                              * 4294967296.0
+                              + CAST(m4s % 4294967296 AS DOUBLE))
+                             / ((CAST(m2s // 4294967296 AS DOUBLE)
+                                 * 4294967296.0
+                                 + CAST(m2s % 4294967296 AS DOUBLE))
+                                * (CAST(m2s // 4294967296 AS DOUBLE)
+                                   * 4294967296.0
+                                   + CAST(m2s % 4294967296
+                                          AS DOUBLE)))
+                             - 3.0 END AS kurtosis
+            FROM c
         """,
         # X9: degrees over the same mh_pairs relation, two group-bys
         "x9_dup_degree_hist": f"""

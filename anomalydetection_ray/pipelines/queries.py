@@ -7622,3 +7622,212 @@ def g35_hourly_entropy(sf_dir: str):
 
     return partials.groupby("event_type").map_groups(
         finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- G36 ----
+def g36_kurtosis(sf_dir: str):
+    """G36 — per-group excess kurtosis of the JSON ``k`` property:
+    g2 = m4/m2^2 - 3 over the n-scaled central moments (G14's missing
+    fourth moment — the tail-weight screen: heavy tails inflate g2 long
+    before the variance moves):
+
+        m2s = n*s2 - s1^2                          (= n^2 * m2)
+        m4s = n^3*s4 - 4n^2*s1*s3 + 6n*s1^2*s2 - 3*s1^4   (= n^4 * m4)
+
+    whose n powers cancel exactly in the ratio.  Both scaled moments
+    are NON-NEGATIVE exact ints carried in Python/HUGEINT (s1^4 blows
+    past int64); int->double goes through the PINNED 32-bit split
+    (A61's discipline — magnitudes past 2^53 hit DuckDB's
+    double-rounding cast), then two pinned float ops."""
+    import pyarrow.compute as pc
+
+    from anomalydetection_ray.stages.detectors import _split_double
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        props = batch.column("props")
+        if isinstance(props, pa.ChunkedArray):
+            props = props.combine_chunks()
+        m = pc.extract_regex(props, r'"k":\s*(?P<k>-?\d+)')
+        x = np.asarray(pc.cast(pc.struct_field(m, "k"), pa.int64()))
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "x": pa.array(x, type=pa.int64()),
+            "x2": pa.array(x * x, type=pa.int64()),
+            "x3": pa.array(x * x * x, type=pa.int64()),
+            "x4": pa.array(x * x * x * x, type=pa.int64()),
+        })
+        g = t.group_by("event_type").aggregate(
+            [([], "count_all"), ("x", "sum"), ("x2", "sum"),
+             ("x3", "sum"), ("x4", "sum")])
+        return pa.table({
+            "event_type": g.column("event_type"),
+            "n": pc.cast(g.column("count_all"), pa.int64()),
+            "s1": pc.cast(g.column("x_sum"), pa.int64()),
+            "s2": pc.cast(g.column("x2_sum"), pa.int64()),
+            "s3": pc.cast(g.column("x3_sum"), pa.int64()),
+            "s4": pc.cast(g.column("x4_sum"), pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def kurt(group: pa.Table) -> pa.Table:
+        n = int(pc.sum(group.column("n")).as_py())
+        s1 = int(pc.sum(group.column("s1")).as_py())
+        s2 = int(pc.sum(group.column("s2")).as_py())
+        s3 = int(pc.sum(group.column("s3")).as_py())
+        s4 = int(pc.sum(group.column("s4")).as_py())
+        m2s = n * s2 - s1 * s1
+        m4s = (n ** 3 * s4 - 4 * n * n * s1 * s3
+               + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4)
+        g2 = None if m2s <= 0 else \
+            (_split_double(m4s)
+             / (_split_double(m2s) * _split_double(m2s)) - 3.0)
+        return pa.table({
+            "event_type": group.column("event_type").slice(0, 1),
+            "n": pa.array([n], type=pa.int64()),
+            "m2_scaled": pa.array([m2s], type=pa.int64()),
+            "kurtosis": pa.array([g2], type=pa.float64(),
+                                 from_pandas=True),
+        })
+
+    return partials.groupby("event_type").map_groups(
+        kurt, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- J18 ----
+def j18_full_outer_daily(sf_dir: str):
+    """J18 — FULL OUTER join, completing the join-type matrix (J3
+    inner, J7 left, J6 anti, J8 semi): per-day error counts against
+    per-day purchase counts, keeping days where EITHER side is absent
+    with a NULL on the missing side (NULL, not 0 — "no errors" and
+    "zero errors among events" are different facts in an outer join).
+
+    Scale shape: both sides collapse to bounded (day, side) count
+    partials map-side; ONE exchange on the bounded day domain; the
+    per-day widen emits the nullable pair."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch.column("event_type"),
+                        value_set=pa.array(["error", "purchase"]))
+        t = batch.filter(keep)
+        us = np.asarray(t.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        g = pa.table({
+            "day": pa.array(us // 86_400_000_000, type=pa.int64()),
+            "side": t.column("event_type"),
+        }).group_by(["day", "side"]).aggregate([([], "count_all")])
+        return pa.table({"day": g.column("day"),
+                         "side": g.column("side"),
+                         "n": g.column("count_all").cast(pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["day", "side"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def widen(group: pa.Table) -> pa.Table:
+        sides = group.column("side").to_pylist()
+        n = np.asarray(group.column("n"), dtype=np.int64)
+        err = next((int(c) for s, c in zip(sides, n) if s == "error"),
+                   None)
+        pur = next((int(c) for s, c in zip(sides, n)
+                    if s == "purchase"), None)
+        return pa.table({
+            "day": group.column("day").slice(0, 1).cast(pa.int64()),
+            "err_n": pa.array([err], type=pa.int64(),
+                              from_pandas=True),
+            "purchase_n": pa.array([pur], type=pa.int64(),
+                                   from_pandas=True),
+        })
+
+    return counts.groupby("day").map_groups(widen,
+                                            batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- S23 ----
+def s23_sharded_roundtrip(sf_dir: str, n_shards: int = 4):
+    """S23 — multi-file sharded write + provenance-tracked read-back:
+    events split into ``n_shards`` parquet files by ``event_id %
+    n_shards`` (the resume-unit layout S4's tier sink uses), then read
+    back one file per read task with the shard id attached as a
+    provenance column, and audited per shard (count + exact cent sum).
+    The multi-file half of the roundtrip family (S6 jsonl, S7 csv, S13
+    orc, S17 feather were all single-stream).
+
+    Scale shape: the shard split is one map-side partition pass; the
+    read-back is file-granular (each shard a separate read unit — the
+    fragment-to-task mapping a multi-node run schedules independently);
+    the audit collapses map-side to n_shards rows."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    out = tempfile.mkdtemp(prefix="s23_shards_")
+    try:
+        def write_shards(batch: pa.Table) -> pa.Table:
+            eid = np.asarray(batch.column("event_id"), dtype=np.int64)
+            v = np.asarray(batch.column("value"), dtype=np.float64)
+            cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+            shard = eid % n_shards
+            for s in range(n_shards):
+                sel = shard == s
+                if not sel.any():
+                    continue
+                t = pa.table({
+                    "event_id": pa.array(eid[sel], type=pa.int64()),
+                    "cents": pa.array(cents[sel], type=pa.int64()),
+                })
+                d = os.path.join(out, f"shard={s}")
+                os.makedirs(d, exist_ok=True)
+                pq.write_table(t, os.path.join(
+                    d, f"part-{eid[sel][0]}.parquet"))
+            return pa.table({"written": pa.array(
+                [int(batch.num_rows)], type=pa.int64())})
+
+        # drain the write pass (side-effect stage, S4 discipline)
+        ds.map_batches(write_shards,
+                       batch_format="pyarrow").materialize()
+
+        back = ray.data.read_parquet(out)  # hive layout: shard column
+        agg = (back.map_batches(
+            lambda b: pa.table({
+                "shard": b.column("shard").cast(pa.int64()),
+                "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                "cents": b.column("cents"),
+            }).group_by(["shard"]).aggregate(
+                [("one", "sum"), ("cents", "sum")]),
+            batch_format="pyarrow")
+            .map_batches(lambda g: pa.table({
+                "shard": g.column("shard"),
+                "n": g.column("one_sum").cast(pa.int64()),
+                "cents_sum": g.column("cents_sum").cast(pa.int64()),
+            }), batch_format="pyarrow")
+            .groupby("shard")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("cents_sum", alias_name="cents_sum")))
+
+        def finalize(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "shard": batch.column("shard").cast(pa.int64()),
+                "n": batch.column("n").cast(pa.int64()),
+                "cents_sum": batch.column("cents_sum").cast(pa.int64()),
+            })
+
+        res = agg.map_batches(finalize, batch_format="pyarrow")
+        import ray.data as rd
+        return rd.from_arrow(pa.concat_tables(
+            list(res.iter_batches(batch_format="pyarrow"))))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

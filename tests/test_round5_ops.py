@@ -643,3 +643,95 @@ def test_top_dup_sentences_bruteforce(ray_session):
     assert list(zip(got["sent"], got["n_occ"])) == want
     for _, row in got.iterrows():
         assert row["n_docs"] == len(dd[row["sent"]])
+
+
+# --------------------------------------------------- G36/J18/S23 ----
+def test_kurtosis_bruteforce(ray_session):
+    import json
+
+    import __ray_entry__ as e
+    from anomalydetection_ray.stages.detectors import _split_double
+
+    got = (e.queries()["g36_kurtosis"](SF).to_pandas()
+           .set_index("event_type"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "props"]).to_pandas()
+    ev["k"] = ev["props"].map(lambda p: int(json.loads(p)["k"]))
+    for t, grp in ev.groupby("event_type"):
+        x = [int(v) for v in grp["k"]]
+        n = len(x)
+        s1, s2 = sum(x), sum(v * v for v in x)
+        s3, s4 = sum(v ** 3 for v in x), sum(v ** 4 for v in x)
+        m2s = n * s2 - s1 * s1
+        m4s = (n ** 3 * s4 - 4 * n * n * s1 * s3
+               + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4)
+        row = got.loc[t]
+        assert row["m2_scaled"] == m2s
+        assert row["kurtosis"] == _split_double(m4s) / (
+            _split_double(m2s) * _split_double(m2s)) - 3.0
+
+
+def test_full_outer_daily_has_nulls(ray_session):
+    import __ray_entry__ as e
+
+    got = e.queries()["j18_full_outer_daily"](SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    err = ev[ev.event_type == "error"].groupby("day").size()
+    pur = ev[ev.event_type == "purchase"].groupby("day").size()
+    days = set(err.index) | set(pur.index)
+    assert len(got) == len(days)
+    g = got.set_index("day")
+    for d in days:
+        if d in err.index:
+            assert int(g.loc[d, "err_n"]) == int(err[d])
+        else:
+            assert np.isnan(g.loc[d, "err_n"])
+        if d in pur.index:
+            assert int(g.loc[d, "purchase_n"]) == int(pur[d])
+        else:
+            assert np.isnan(g.loc[d, "purchase_n"])
+
+
+def test_full_outer_daily_null_sides(ray_session, tmp_path):
+    """Disjoint-day fixture: the OUTER part provably produces NULLs."""
+    import __ray_entry__ as e
+
+    day = 86_400_000_000
+    ev = pa.table({
+        "event_id": pa.array(range(6), type=pa.int64()),
+        "ts": pa.array([0, 0, day, day, 2 * day, 2 * day],
+                       type=pa.timestamp("us")),
+        "user_id": pa.array([1] * 6, type=pa.int64()),
+        "event_type": pa.array(["error", "error", "purchase",
+                                "purchase", "error", "purchase"]),
+        "value": pa.array([1.0] * 6),
+        "props": pa.array(["{}"] * 6),
+    })
+    import pyarrow.parquet as pqw
+
+    pqw.write_table(ev, str(tmp_path / "events.parquet"))
+    got = (e.queries()["j18_full_outer_daily"](str(tmp_path))
+           .to_pandas().set_index("day").sort_index())
+    assert len(got) == 3
+    assert int(got.loc[0, "err_n"]) == 2 and \
+        np.isnan(got.loc[0, "purchase_n"])
+    assert np.isnan(got.loc[1, "err_n"]) and \
+        int(got.loc[1, "purchase_n"]) == 2
+    assert int(got.loc[2, "err_n"]) == 1 and \
+        int(got.loc[2, "purchase_n"]) == 1
+
+
+def test_sharded_roundtrip_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["s23_sharded_roundtrip"](SF).to_pandas()
+           .set_index("shard").sort_index())
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "value"]).to_pandas()
+    ev["shard"] = ev["event_id"] % 4
+    ev["cents"] = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    for s, grp in ev.groupby("shard"):
+        assert int(got.loc[s, "n"]) == len(grp)
+        assert int(got.loc[s, "cents_sum"]) == int(grp["cents"].sum())
