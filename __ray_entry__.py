@@ -321,6 +321,82 @@ def _a59_sql() -> str:
     """
 
 
+def _a62_sql() -> str:
+    """A62 oracle: three A32-style exact argmaxes (float prune +
+    HUGEINT NOT-EXISTS cross-compare, ties -> smallest k) — level 0 on
+    the full series, then inside each half of the winning split."""
+    def argmax_block(src: str, name: str) -> str:
+        return f"""
+            q_{name} AS MATERIALIZED (
+                SELECT *, CAST(a AS DOUBLE) / CAST(d AS DOUBLE) AS qf,
+                       max(CAST(a AS DOUBLE) / CAST(d AS DOUBLE))
+                           OVER (PARTITION BY doc_id, part_id) AS qmax
+                FROM {src}),
+            nr_{name} AS MATERIALIZED (
+                SELECT * FROM q_{name}
+                WHERE qf >= qmax * (1.0 - 1e-12) - 1e-300),
+            best_{name} AS MATERIALIZED (
+                SELECT x.* FROM nr_{name} x
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM nr_{name} j
+                    WHERE j.doc_id = x.doc_id
+                      AND j.part_id = x.part_id
+                      AND (CAST(j.a AS HUGEINT) * x.d
+                               > CAST(x.a AS HUGEINT) * j.d
+                           OR (CAST(j.a AS HUGEINT) * x.d
+                                   = CAST(x.a AS HUGEINT) * j.d
+                               AND j.k < x.k))))"""
+
+    return f"""
+            WITH {_SEQ_TOK_CTE},
+            s AS MATERIALIZED (
+                SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                       pos % 1000000 AS i, CAST(v AS BIGINT) AS v FROM tok),
+            tot AS MATERIALIZED (
+                SELECT doc_id, part_id, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(v) AS BIGINT) AS s_sum
+                FROM s GROUP BY doc_id, part_id),
+            c AS MATERIALIZED (
+                SELECT doc_id, part_id, CAST(i + 1 AS BIGINT) AS k,
+                       CAST(sum(v) OVER (PARTITION BY doc_id, part_id
+                                         ORDER BY i) AS BIGINT) AS pk
+                FROM s),
+            cand0 AS MATERIALIZED (
+                SELECT c.doc_id, c.part_id, c.k, c.pk,
+                       CAST(abs(c.pk * t.n - t.s_sum * c.k)
+                            AS BIGINT) AS a,
+                       CAST(c.k * (t.n - c.k) AS BIGINT) AS d
+                FROM c JOIN tot t USING (doc_id, part_id)
+                WHERE c.k < t.n),
+            {argmax_block("cand0", "k1")},
+            candl AS MATERIALIZED (
+                SELECT c.doc_id, c.part_id, c.k, c.pk,
+                       CAST(abs(c.pk * b.k - b.pk * c.k)
+                            AS BIGINT) AS a,
+                       CAST(c.k * (b.k - c.k) AS BIGINT) AS d
+                FROM c JOIN best_k1 b USING (doc_id, part_id)
+                WHERE c.k < b.k),
+            {argmax_block("candl", "kl")},
+            candr AS MATERIALIZED (
+                SELECT c.doc_id, c.part_id, c.k,
+                       CAST(abs((c.pk - b.pk) * (t.n - b.k)
+                                - (t.s_sum - b.pk) * (c.k - b.k))
+                            AS BIGINT) AS a,
+                       CAST((c.k - b.k) * (t.n - c.k) AS BIGINT) AS d
+                FROM c
+                JOIN best_k1 b USING (doc_id, part_id)
+                JOIN tot t USING (doc_id, part_id)
+                WHERE c.k > b.k AND c.k < t.n),
+            {argmax_block("candr", "kr")}
+            SELECT t.doc_id, t.part_id, t.n,
+                   b1.k AS k1, bl.k AS k_left, br.k AS k_right
+            FROM tot t
+            LEFT JOIN best_k1 b1 USING (doc_id, part_id)
+            LEFT JOIN best_kl bl USING (doc_id, part_id)
+            LEFT JOIN best_kr br USING (doc_id, part_id)
+    """
+
+
 def _a24_forecast_error(sf_dir: str):
     from anomalydetection_ray.pipelines.rollup import validated
     from anomalydetection_ray.stages.detectors import forecast_error_batch
@@ -375,6 +451,14 @@ def _e4_varint_size(sf_dir: str):
 
     return validated(_docs_sequences(sf_dir)).map_batches(
         varint_size_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _a62_binseg(sf_dir: str):
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import binseg_batch
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        binseg_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _a61_remainder_acf(sf_dir: str):
@@ -1017,6 +1101,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A57 Wilcoxon signed-rank halves test (paired level-shift
         # screen; exact midrank sums, pinned z)
         "a57_wilcoxon_halves": _a57_wilcoxon_halves,
+        # T21 Flesch-style readability per source (countable proxies;
+        # the classic quality prior next to the Gopher rules)
+        "t21_readability": tx.t21_readability,
         # J18 FULL OUTER join (completes the join-type matrix; NULL,
         # not 0, on the absent side)
         "j18_full_outer_daily": q.j18_full_outer_daily,
@@ -1065,6 +1152,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # W41 daily type-pair Pearson correlation (zero-filled day
         # grid for free; exact int moments, pinned r)
         "w41_daily_type_corr": q.w41_daily_type_corr,
+        # A62 depth-2 binary segmentation (A32's AMOC recursed into
+        # each half — up to 3 offline mean-shift changepoints)
+        "a62_binseg": _a62_binseg,
         # A61 remainder ACF after the robust decomposition (the
         # family's "check the STL remainder" adequacy step)
         "a61_remainder_acf": _a61_remainder_acf,
@@ -2991,6 +3081,29 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN w USING (doc_id, part_id)
             LEFT JOIN tc USING (doc_id, part_id)
         """,
+        # T21: sentences = '. ' splits, words = \s+ splits, syllables =
+        # vowel-group regex count; the pinned Flesch expression
+        "t21_readability": r"""
+            WITH c AS (SELECT source,
+                CAST(sum(length(list_filter(
+                    string_split_regex(text, '\s+'),
+                    x -> x <> ''))) AS BIGINT) AS words,
+                CAST(sum(length(list_filter(
+                    string_split(text, '. '),
+                    x -> x <> ''))) AS BIGINT) AS sentences,
+                CAST(sum(length(regexp_extract_all(text,
+                    '[aeiouAEIOU]+'))) AS BIGINT) AS syllables
+              FROM documents GROUP BY source)
+            SELECT source, words, sentences, syllables,
+                   CASE WHEN words > 0 AND sentences > 0 THEN
+                       206.835
+                       - 1.015 * (CAST(words AS DOUBLE)
+                                  / CAST(sentences AS DOUBLE))
+                       - 84.6 * (CAST(syllables AS DOUBLE)
+                                 / CAST(words AS DOUBLE))
+                   END AS flesch_ease
+            FROM c
+        """,
         # J18: the real FULL OUTER JOIN both sides aggregated first
         "j18_full_outer_daily": """
             WITH e AS (SELECT CAST(epoch_us(ts) // 86400000000
@@ -3375,6 +3488,8 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN x ON x.ta = ma.event_type
                         AND x.tb = mb.event_type
         """,
+        # A62: three A32-style exact argmaxes (prune + HUGEINT confirm)
+        "a62_binseg": _a62_sql(),
         # A61: A52's decomposition CTE chain, remainder x4 = exact int,
         # A9 ACF in HUGEINT (x4 scaling can push n^2*Sxy past BIGINT)
         "a61_remainder_acf": f"""

@@ -1039,3 +1039,92 @@ def t20_charset_profile(sf_dir: str):
         return pa.table(out)
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- T21 ----
+def t21_readability(sf_dir: str):
+    """T21 — Flesch-style reading-ease per source (Flesch 1948 with the
+    repo's countable proxies: sentences = T17's non-empty '. ' splits,
+    words = T3's whitespace runs, syllables = vowel-group runs
+    [aeiouAEIOU]+, the standard regex proxy):
+
+        ease = 206.835 - 1.015 * (words/sentences)
+                       - 84.6 * (syllables/words)
+
+    — the classic quality prior next to the Gopher rules; template/
+    machine text drifts to extreme scores.
+
+    Exactness: all three counts are exact int64 (flat-buffer run
+    counts / split counts); the score is four pinned float ops of two
+    pinned divisions, replayed verbatim.
+
+    Scale shape: one vectorized pass per block -> per-source partials,
+    ONE bounded exchange."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "text"])
+    vowel = np.zeros(256, dtype=bool)
+    for ch in b"aeiouAEIOU":
+        vowel[ch] = True
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        flat, offsets = _flat_utf8(batch)
+        words = _runs_per_row(~_IS_WS[flat], offsets)
+        syll = _runs_per_row(vowel[flat], offsets)
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        sents_l = pc.split_pattern(text, ". ")
+        flat_s = pc.list_flatten(sents_l)
+        row_of = np.asarray(pc.list_parent_indices(sents_l),
+                            dtype=np.int64)
+        nonempty = np.asarray(pc.not_equal(flat_s, ""))
+        nrows = offsets.shape[0] - 1
+        sents = np.bincount(row_of[nonempty],
+                            minlength=nrows).astype(np.int64)
+        t = pa.table({"source": batch.column("source"),
+                      "w": pa.array(words, type=pa.int64()),
+                      "s": pa.array(sents, type=pa.int64()),
+                      "y": pa.array(syll, type=pa.int64())})
+        g = t.group_by(["source"]).aggregate(
+            [("w", "sum"), ("s", "sum"), ("y", "sum")])
+        return pa.table({"source": g.column("source"),
+                         "words": g.column("w_sum").cast(pa.int64()),
+                         "sentences": g.column("s_sum").cast(pa.int64()),
+                         "syllables": g.column("y_sum").cast(pa.int64())})
+
+    agg = (docs.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("source")
+           .aggregate(Sum("words", alias_name="words"),
+                      Sum("sentences", alias_name="sentences"),
+                      Sum("syllables", alias_name="syllables")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        w = np.asarray(batch.column("words").cast(pa.int64()),
+                       dtype=np.int64)
+        s = np.asarray(batch.column("sentences").cast(pa.int64()),
+                       dtype=np.int64)
+        y = np.asarray(batch.column("syllables").cast(pa.int64()),
+                       dtype=np.int64)
+        ok = (w > 0) & (s > 0)
+        ease = np.full(len(w), np.nan)
+        idx = np.flatnonzero(ok)
+        for i in idx:                    # pinned scalar tail per source
+            ease[i] = (206.835
+                       - 1.015 * (float(w[i]) / float(s[i]))
+                       - 84.6 * (float(y[i]) / float(w[i])))
+        return pa.table({
+            "source": batch.column("source"),
+            "words": pa.array(w, type=pa.int64()),
+            "sentences": pa.array(s, type=pa.int64()),
+            "syllables": pa.array(y, type=pa.int64()),
+            "flesch_ease": pa.array(ease, type=pa.float64(),
+                                    mask=~ok),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -1569,3 +1569,80 @@ def remainder_acf_batch(batch: pa.Table, period: int = 24,
         "acf_resid": pa.array(acf, type=pa.float64(),
                               from_pandas=True),
     })
+
+
+def _amoc_argmax_seg(seg: np.ndarray):
+    """Exact AMOC argmax over one segment (A32's discipline in helper
+    form): k in 1..m-1 maximizing |P_k*m - S*k| / (k*(m-k)), ties ->
+    smallest k; float prune + exact big-int cross-compare confirm.
+    Returns the in-segment k, or None for m < 2."""
+    m = int(seg.shape[0])
+    if m < 2:
+        return None
+    s = int(seg.sum())
+    p = np.cumsum(seg[:-1])
+    k = np.arange(1, m, dtype=np.int64)
+    a = np.abs(p * m - s * k)
+    d = k * (m - k)
+    q = a.astype(np.float64) / d.astype(np.float64)
+    qmax = float(q.max())
+    near = np.flatnonzero(q >= qmax * (1.0 - 1e-12) - 1e-300)
+    best = None
+    ba = bd = 0
+    for j in near:
+        ka, kd = int(a[j]), int(d[j])
+        if best is None or ka * bd > ba * kd:
+            best, ba, bd = int(k[j]), ka, kd
+    return best
+
+
+def binseg_batch(batch: pa.Table) -> pa.Table:
+    """A62 — depth-2 binary segmentation (Scott & Knott 1974 lineage;
+    the family's breakout-detection kin): A32's exact AMOC split k1,
+    then AMOC again inside each half — up to three mean-shift
+    changepoints located offline, where A32 stops at one.  Positions
+    are series-global; a half too short for a split (< 2 points)
+    emits NULL.
+
+    Exactness: identical to A32 — every candidate is the exact integer
+    fraction |P_k*m - S*k| / (k*(m-k)); argmaxes are float-pruned then
+    confirmed with big-int cross-compares (ties -> smallest k), so the
+    oracle's HUGEINT NOT-EXISTS replay agrees bit-for-bit.  No floats
+    in the output at all."""
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.int64)
+    lens = np.diff(offsets)
+    nrows = lens.shape[0]
+    out = {name: np.zeros(nrows, dtype=np.int64)
+           for name in ("k1", "k_left", "k_right")}
+    mask = {name: np.ones(nrows, dtype=bool)
+            for name in ("k1", "k_left", "k_right")}
+    for r in range(nrows):
+        seg = v[offsets[r]:offsets[r + 1]]
+        k1 = _amoc_argmax_seg(seg)
+        if k1 is None:
+            continue
+        out["k1"][r] = k1
+        mask["k1"][r] = False
+        kl = _amoc_argmax_seg(seg[:k1])
+        if kl is not None:
+            out["k_left"][r] = kl
+            mask["k_left"][r] = False
+        kr = _amoc_argmax_seg(seg[k1:])
+        if kr is not None:
+            out["k_right"][r] = k1 + kr
+            mask["k_right"][r] = False
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "n": pa.array(lens, type=pa.int64()),
+        "k1": pa.array(out["k1"], type=pa.int64(), mask=mask["k1"]),
+        "k_left": pa.array(out["k_left"], type=pa.int64(),
+                           mask=mask["k_left"]),
+        "k_right": pa.array(out["k_right"], type=pa.int64(),
+                            mask=mask["k_right"]),
+    })

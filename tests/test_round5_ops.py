@@ -735,3 +735,76 @@ def test_sharded_roundtrip_bruteforce(ray_session):
     for s, grp in ev.groupby("shard"):
         assert int(got.loc[s, "n"]) == len(grp)
         assert int(got.loc[s, "cents_sum"]) == int(grp["cents"].sum())
+
+
+# --------------------------------------------------------- T21/A62 ----
+def test_readability_bruteforce(ray_session):
+    import re
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["t21_readability"](SF).to_pandas()
+           .set_index("source"))
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    vowels = re.compile(r"[aeiouAEIOU]+")
+    for src, grp in docs.groupby("source"):
+        w = sum(len([x for x in re.split(r"\s+", t) if x])
+                for t in grp["text"])
+        s = sum(len([x for x in t.split(". ") if x])
+                for t in grp["text"])
+        y = sum(len(vowels.findall(t)) for t in grp["text"])
+        row = got.loc[src]
+        assert (row["words"], row["sentences"],
+                row["syllables"]) == (w, s, y)
+        assert row["flesch_ease"] == (
+            206.835 - 1.015 * (float(w) / float(s))
+            - 84.6 * (float(y) / float(w)))
+
+
+def test_binseg_finds_planted_shifts():
+    from anomalydetection_ray.stages.detectors import binseg_batch
+
+    # staircase 100/500/900: k1 ties exactly between 60 and 120
+    # (-> smallest, 60); the right half then finds 120; the constant
+    # left half degenerates to the all-zero-gap tie k=1
+    series = [100] * 60 + [500] * 60 + [900] * 60
+    out = binseg_batch(_tok_batch([series])).to_pylist()[0]
+    assert out["k1"] == 60
+    assert out["k_right"] == 120
+    assert out["k_left"] == 1
+
+
+def test_binseg_matches_bruteforce():
+    from anomalydetection_ray.stages.detectors import binseg_batch
+
+    def amoc(v):
+        m = len(v)
+        if m < 2:
+            return None
+        s = sum(v)
+        best = None
+        ba = bd = 0
+        p = 0
+        for k in range(1, m):
+            p += v[k - 1]
+            a, d = abs(p * m - s * k), k * (m - k)
+            if best is None or a * bd > ba * d:
+                best, ba, bd = k, a, d
+        return best
+
+    rng = np.random.default_rng(31)
+    series = [rng.integers(0, 500, size=rng.integers(2, 80)).tolist()
+              for _ in range(40)]
+    series += [[5], [7, 7, 7, 7]]
+    out = binseg_batch(_tok_batch(series)).to_pylist()
+    for row, v in zip(out, series):
+        k1 = amoc(v)
+        if k1 is None:
+            assert row["k1"] is None
+            continue
+        assert row["k1"] == k1
+        kl = amoc(v[:k1])
+        kr = amoc(v[k1:])
+        assert row["k_left"] == kl
+        assert row["k_right"] == (None if kr is None else k1 + kr)
