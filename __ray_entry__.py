@@ -1101,6 +1101,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A57 Wilcoxon signed-rank halves test (paired level-shift
         # screen; exact midrank sums, pinned z)
         "a57_wilcoxon_halves": _a57_wilcoxon_halves,
+        # W44 lag-1 ACF of zero-filled daily counts (persistence vs
+        # G31's memoryless overdispersion)
+        "w44_daily_acf1": q.w44_daily_acf1,
+        # K18 per-label medoid (member-constrained cousin of K2's
+        # centroids; exact-int quantized distances, no floats)
+        "k18_label_medoids": km.k18_label_medoids,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -3080,6 +3086,79 @@ def oracle_sql() -> dict[str, str]:
             FROM nn
             LEFT JOIN w USING (doc_id, part_id)
             LEFT JOIN tc USING (doc_id, part_id)
+        """,
+        # W44: zero-fill via boundary-day identities; A9's formula on
+        # the implicit grid (consecutive-present-day pairs only)
+        "w44_daily_acf1": """
+            WITH c AS (SELECT event_type,
+                              CAST(epoch_us(ts) // 86400000000
+                                   AS BIGINT) AS day,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY event_type, day),
+            g AS (SELECT CAST(min(day) AS BIGINT) AS lo,
+                         CAST(max(day) AS BIGINT) AS hi,
+                         CAST(max(day) - min(day) + 1 AS BIGINT) AS d
+                  FROM c),
+            m AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS s,
+                         CAST(sum(n * n) AS BIGINT) AS q
+                  FROM c GROUP BY event_type),
+            x AS (SELECT a.event_type,
+                         CAST(sum(a.n * b.n) AS BIGINT) AS sxy
+                  FROM c a JOIN c b ON b.event_type = a.event_type
+                                    AND b.day = a.day + 1
+                  GROUP BY a.event_type),
+            eb AS (SELECT m.event_type,
+                          m.s - COALESCE((SELECT n FROM c
+                              WHERE c.event_type = m.event_type
+                                AND c.day = g.hi), 0) AS sh,
+                          m.s - COALESCE((SELECT n FROM c
+                              WHERE c.event_type = m.event_type
+                                AND c.day = g.lo), 0) AS st
+                   FROM m CROSS JOIN g)
+            SELECT m.event_type, g.d AS n_days,
+                   COALESCE(x.sxy, 0) AS sxy,
+                   CASE WHEN g.d > 1
+                             AND g.d * g.d * m.q - g.d * m.s * m.s
+                                 <> 0
+                        THEN CAST(g.d * g.d * COALESCE(x.sxy, 0)
+                                  - g.d * m.s * (eb.sh + eb.st)
+                                  + (g.d - 1) * m.s * m.s AS DOUBLE)
+                             / CAST(g.d * g.d * m.q
+                                    - g.d * m.s * m.s AS DOUBLE)
+                   END AS acf1
+            FROM m
+            JOIN eb USING (event_type)
+            CROSS JOIN g
+            LEFT JOIN x USING (event_type)
+        """,
+        # K18: K5's 2^20 quantization; pairwise exact-int d2; argmin
+        # via (total_d2, vec_id) row_number
+        "k18_label_medoids": """
+            WITH u AS (
+              SELECT vec_id, label, CAST(t.i - 1 AS BIGINT) AS dim,
+                     CAST(floor(CAST(embedding[t.i] AS DOUBLE)
+                                * 1048576 + 0.5) AS BIGINT) AS q
+              FROM embeddings
+              CROSS JOIN unnest(range(1, len(embedding) + 1)) AS t(i)),
+            p AS (
+              SELECT a.label, a.vec_id AS va,
+                     CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT)
+                         AS d2
+              FROM u a JOIN u b ON a.label = b.label
+                               AND a.dim = b.dim
+                               AND a.vec_id <> b.vec_id
+              GROUP BY a.label, a.vec_id, b.vec_id),
+            t AS (SELECT label, va,
+                         CAST(sum(d2) AS BIGINT) AS total_d2
+                  FROM p GROUP BY label, va),
+            m AS (SELECT label, CAST(count(DISTINCT vec_id) AS BIGINT)
+                             AS n
+                  FROM u GROUP BY label)
+            SELECT t.label, m.n, t.va AS medoid_vec_id, t.total_d2
+            FROM (SELECT *, row_number() OVER (PARTITION BY label
+                      ORDER BY total_d2, va) AS rk FROM t) t
+            JOIN m ON m.label = t.label
+            WHERE t.rk = 1
         """,
         # T21: sentences = '. ' splits, words = \s+ splits, syllables =
         # vowel-group regex count; the pinned Flesch expression

@@ -682,3 +682,51 @@ def k16_cluster_purity(sf_dir: str, k: int = K_DEFAULT,
 
     return counts.groupby("cid").map_groups(finalize,
                                             batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- K18 ----
+def k18_label_medoids(sf_dir: str):
+    """K18 — per-label MEDOID: the actual member vector minimizing the
+    sum of squared distances to its labelmates (ties -> smallest
+    vec_id) — the robust, member-constrained cousin of K2's centroids
+    (a centroid can land in empty space; the medoid is always a real
+    example, which is what few-shot selection wants).
+
+    Exactness: K5's 2^20 micro-quantization makes every pairwise
+    squared distance an exact int64; per-label totals come from one
+    integer Gram matmul (total_a = n*|qa|^2 + sum|qb|^2 - 2*rowsum(G)),
+    and the argmin is pure integer comparison.  NO floats anywhere.
+
+    Scale shape: ONE exchange on the bounded label domain; the
+    per-label kernel is one (n x d)(d x n) int matmul.  At web scale
+    per-label membership is the bound — medoids of million-member
+    labels need the sampled/CLARANS variant (documented limit)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "label", "embedding"])
+
+    def kernel(group: pa.Table) -> pa.Table:
+        emb = group.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        x = np.asarray(emb.values, dtype=np.float64).reshape(
+            group.num_rows, -1)
+        q = np.floor(x * (1 << 20) + 0.5).astype(np.int64)
+        vid = np.asarray(group.column("vec_id"), dtype=np.int64)
+        norms = (q * q).sum(axis=1)
+        gram = q @ q.T
+        n = q.shape[0]
+        total = n * norms + norms.sum() - 2 * gram.sum(axis=1)
+        order = np.lexsort((vid, total))
+        best = order[0]
+        return pa.table({
+            "label": group.column("label").slice(0, 1).cast(pa.int64()),
+            "n": pa.array([n], type=pa.int64()),
+            "medoid_vec_id": pa.array([int(vid[best])],
+                                      type=pa.int64()),
+            "total_d2": pa.array([int(total[best])], type=pa.int64()),
+        })
+
+    return ds.groupby("label").map_groups(kernel,
+                                          batch_format="pyarrow")

@@ -7831,3 +7831,82 @@ def s23_sharded_roundtrip(sf_dir: str, n_shards: int = 4):
             list(res.iter_batches(batch_format="pyarrow"))))
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+# ---------------------------------------------------------------- W44 ----
+def w44_daily_acf1(sf_dir: str):
+    """W44 — lag-1 autocorrelation of each type's ZERO-FILLED daily
+    count series: "does a heavy day predict a heavy tomorrow?" — the
+    persistence readout that separates momentum-driven streams from
+    G31's memoryless overdispersion (both can show the same variance).
+
+    Zero-fill arithmetic without materializing the grid: with n = day
+    span, only consecutive PRESENT days contribute to Sxy, and the
+    shifted sums are ``total`` minus the boundary days' counts (zeros
+    elsewhere cancel) — all exact int64; acf is A9's pinned single
+    division.
+
+    Scale shape: the bounded (type, day) count exchange + single-group
+    widen."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    DAY_US = 86_400_000_000
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(us // DAY_US, type=pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "n": pc.cast(g.column("count_all"),
+                                      pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["event_type", "day"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_one", pa.array(np.zeros(batch.num_rows, dtype=np.int64)))
+
+    def widen(group: pa.Table) -> pa.Table:
+        et = group.column("event_type").to_pylist()
+        day = np.asarray(group.column("day"), dtype=np.int64)
+        cnt = np.asarray(group.column("n"), dtype=np.int64)
+        lo, hi = int(day.min()), int(day.max())
+        d = hi - lo + 1
+        types = sorted(set(et))
+        out_t, out_s, out_a = [], [], []
+        for t in types:
+            sel = np.asarray([e == t for e in et], dtype=bool)
+            dd = day[sel]
+            cc = cnt[sel]
+            m = dict(zip(dd.tolist(), cc.tolist()))
+            s = int(cc.sum())
+            q = int((cc * cc).sum())
+            sxy = sum(v * m[k + 1] for k, v in m.items()
+                      if k + 1 in m)
+            sh = s - m.get(hi, 0)
+            st = s - m.get(lo, 0)
+            den = d * d * q - d * s * s
+            num = d * d * sxy - d * s * (sh + st) + (d - 1) * s * s
+            out_t.append(t)
+            out_s.append(sxy)
+            out_a.append(float(num) / float(den) if den != 0 and d > 1
+                         else None)
+        return pa.table({
+            "event_type": pa.array(out_t, type=pa.string()),
+            "n_days": pa.array([d] * len(types), type=pa.int64()),
+            "sxy": pa.array(out_s, type=pa.int64()),
+            "acf1": pa.array(out_a, type=pa.float64(),
+                             from_pandas=True),
+        })
+
+    return (counts.map_batches(tag, batch_format="pyarrow")
+            .groupby("_one").map_groups(widen, batch_format="pyarrow"))

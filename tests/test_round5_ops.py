@@ -808,3 +808,53 @@ def test_binseg_matches_bruteforce():
         kr = amoc(v[k1:])
         assert row["k_left"] == kl
         assert row["k_right"] == (None if kr is None else k1 + kr)
+
+
+# --------------------------------------------------------- K18/W44 ----
+def test_label_medoids_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["k18_label_medoids"](SF).to_pandas()
+           .set_index("label").sort_index())
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    for lab, grp in emb.groupby("label"):
+        q = np.floor(np.stack(grp["embedding"].to_numpy())
+                     * (1 << 20) + 0.5).astype(np.int64)
+        vid = grp["vec_id"].to_numpy()
+        n = len(vid)
+        best = None
+        for i in range(n):
+            tot = sum(int(((q[i] - q[j]) ** 2).sum())
+                      for j in range(n) if j != i)
+            key = (tot, int(vid[i]))
+            if best is None or key < best:
+                best = key
+        row = got.loc[lab]
+        assert (row["n"], row["medoid_vec_id"],
+                row["total_d2"]) == (n, best[1], best[0])
+
+
+def test_daily_acf1_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["w44_daily_acf1"](SF).to_pandas()
+           .set_index("event_type"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    counts = ev.groupby(["event_type", "day"]).size()
+    lo = int(ev["day"].min())
+    hi = int(ev["day"].max())
+    d = hi - lo + 1
+    for t in sorted(ev["event_type"].unique()):
+        grid = np.zeros(d, dtype=np.int64)
+        for day, c in counts[t].items():
+            grid[int(day) - lo] = int(c)
+        s, q = int(grid.sum()), int((grid * grid).sum())
+        sxy = int((grid[:-1] * grid[1:]).sum())
+        sh, st = int(grid[:-1].sum()), int(grid[1:].sum())
+        num = d * d * sxy - d * s * (sh + st) + (d - 1) * s * s
+        den = d * d * q - d * s * s
+        row = got.loc[t]
+        assert (row["n_days"], row["sxy"]) == (d, sxy)
+        assert row["acf1"] == float(num) / float(den)
