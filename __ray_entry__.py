@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 283 ``queries()`` entries, 278 with DuckDB value
+Round-5 final surface: 313 ``queries()`` entries, 308 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
