@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 313 ``queries()`` entries, 308 with DuckDB value
+Round-5 final surface: 316 ``queries()`` entries, 311 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -1107,6 +1107,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # K18 per-label medoid (member-constrained cousin of K2's
         # centroids; exact-int quantized distances, no floats)
         "k18_label_medoids": km.k18_label_medoids,
+        # A63 KPSS level-stationarity statistic per type (the
+        # complement of A36's R/S; exact cumdev sums, pinned split)
+        "a63_kpss": q.a63_kpss,
+        # G37 per-type median + MAD of cents via the G22 histogram
+        # exchange (W12's robust stats on the bounded type domain)
+        "g37_mad_by_type": q.g37_mad_by_type,
+        # G38 per-type Gini over the zero-filled daily grid (G13's
+        # inequality statistic on the time axis; burst concentration)
+        "g38_daily_gini": q.g38_daily_gini,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -3159,6 +3168,120 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY total_d2, va) AS rk FROM t) t
             JOIN m ON m.label = t.label
             WHERE t.rk = 1
+        """,
+        # A63: A36's cumdev = n*P - i*S squared and summed in HUGEINT;
+        # eta via the non-negative 32-bit-split pinned casts
+        "a63_kpss": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+              FROM events),
+            d AS MATERIALIZED (
+              SELECT event_type, day, CAST(sum(v100) AS BIGINT) AS x
+              FROM e GROUP BY event_type, day),
+            c AS (
+              SELECT event_type,
+                     CAST(sum(x) OVER (PARTITION BY event_type
+                                       ORDER BY day) AS BIGINT) AS p,
+                     CAST(row_number() OVER (PARTITION BY event_type
+                                             ORDER BY day) AS BIGINT) AS i
+              FROM d),
+            t AS (SELECT event_type,
+                         CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(x) AS BIGINT) AS s,
+                         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT)
+                             AS q
+                  FROM d GROUP BY event_type),
+            a AS (SELECT c.event_type,
+                         sum(CAST(t.n * c.p - c.i * t.s AS HUGEINT)
+                             * CAST(t.n * c.p - c.i * t.s AS HUGEINT))
+                             AS num
+                  FROM c JOIN t USING (event_type)
+                  GROUP BY c.event_type),
+            f AS (SELECT t.event_type, t.n, t.s, a.num,
+                         CAST(t.n AS HUGEINT) * t.n
+                             * (t.n * t.q
+                                - CAST(t.s AS HUGEINT) * t.s) AS den,
+                         t.n * t.q - CAST(t.s AS HUGEINT) * t.s
+                             AS var_num
+                  FROM t JOIN a USING (event_type))
+            SELECT event_type, n AS n_days, s AS s_total,
+                   CASE WHEN n >= 2 AND var_num > 0
+                        THEN (CAST(num // 4294967296 AS DOUBLE)
+                              * 4294967296.0
+                              + CAST(num % 4294967296 AS DOUBLE))
+                             / (CAST(den // 4294967296 AS DOUBLE)
+                                * 4294967296.0
+                                + CAST(den % 4294967296 AS DOUBLE))
+                   END AS kpss
+            FROM f
+        """,
+        # G37: G22's histogram + LOWER rank read-off at k=(n+1)//2 for
+        # median and for the |v-med| deviation histogram (MAD)
+        "g37_mad_by_type": """
+            WITH h AS (
+              SELECT event_type,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY event_type, v),
+            t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+                  FROM h GROUP BY event_type),
+            m AS (SELECT event_type, CAST(min(v) AS BIGINT) AS med
+                  FROM (SELECT h.event_type, h.v, t.n,
+                               sum(h.c) OVER (PARTITION BY h.event_type
+                                              ORDER BY h.v) AS cum
+                        FROM h JOIN t USING (event_type))
+                  WHERE cum >= (n + 1) // 2
+                  GROUP BY event_type),
+            dv AS (SELECT h.event_type,
+                          abs(h.v - m.med) AS d,
+                          CAST(sum(h.c) AS BIGINT) AS c
+                   FROM h JOIN m USING (event_type)
+                   GROUP BY h.event_type, d),
+            md AS (SELECT event_type, CAST(min(d) AS BIGINT) AS mad
+                   FROM (SELECT dv.event_type, dv.d, t.n,
+                                sum(dv.c) OVER (PARTITION BY
+                                                dv.event_type
+                                                ORDER BY dv.d) AS cum
+                         FROM dv JOIN t USING (event_type))
+                   WHERE cum >= (n + 1) // 2
+                   GROUP BY event_type)
+            SELECT t.event_type, t.n, m.med AS median_cents,
+                   md.mad AS mad_cents,
+                   1.4826 * CAST(md.mad AS DOUBLE) AS robust_sigma
+            FROM t JOIN m USING (event_type)
+            JOIN md USING (event_type)
+        """,
+        # G38: zero-fill for free — present counts ascending at
+        # positions d-m+1..d; weight d - 2m + 2j - 1; global day span
+        "g38_daily_gini": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY event_type, day),
+            g AS (SELECT CAST(max(day) - min(day) + 1 AS BIGINT) AS d
+                  FROM c),
+            r AS (SELECT event_type, n,
+                         CAST(row_number() OVER (PARTITION BY event_type
+                                                 ORDER BY n, day)
+                              AS BIGINT) AS j,
+                         CAST(count(*) OVER (PARTITION BY event_type)
+                              AS BIGINT) AS m
+                  FROM c)
+            SELECT r.event_type, g.d AS n_days,
+                   CAST(any_value(r.m) AS BIGINT) AS n_present,
+                   CAST(sum((g.d - 2 * r.m + 2 * r.j - 1) * r.n)
+                        AS BIGINT) AS gini_num,
+                   CAST(g.d * sum(r.n) AS BIGINT) AS gini_den,
+                   CASE WHEN g.d * sum(r.n) <> 0
+                        THEN CAST(sum((g.d - 2 * r.m + 2 * r.j - 1)
+                                      * r.n) AS DOUBLE)
+                             / CAST(g.d * sum(r.n) AS DOUBLE)
+                   END AS gini
+            FROM r CROSS JOIN g
+            GROUP BY r.event_type, g.d
         """,
         # T21: sentences = '. ' splits, words = \s+ splits, syllables =
         # vowel-group regex count; the pinned Flesch expression

@@ -7910,3 +7910,209 @@ def w44_daily_acf1(sf_dir: str):
 
     return (counts.map_batches(tag, batch_format="pyarrow")
             .groupby("_one").map_groups(widen, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------- A63 ----
+def a63_kpss(sf_dir: str):
+    """A63 — KPSS level-stationarity statistic (lag 0) per event type
+    over the observed daily cent-total series (Kwiatkowski-Phillips-
+    Schmidt-Shin 1992): eta = sum_t S_t^2 / (n^2 * sigma^2) with S_t the
+    partial sums of the mean-adjusted series.  The complement of A36's
+    R/S reading — large eta rejects level stationarity (a wandering
+    level / unit root), small eta certifies the mean reversion the
+    S-H-ESD residual model assumes.
+
+    Exactness: the n-scaled deviation cumdev_t = n*P_t - t*S is A36's
+    integer quantity, so num = sum(cumdev^2) and den = n^2*(n*Q - S^2)
+    are exact arbitrary-precision ints (cumdev^2 passes int64 — Python
+    ints here, HUGEINT in the oracle) and eta is ONE division through
+    the pinned 32-bit-split casts (A61's discipline).  n < 2 or zero
+    variance emits NULL.
+
+    Scale shape: A36's — per-block (type, day) cent partials, one
+    bounded exchange, a per-TYPE finalize holding only the daily grid."""
+    from anomalydetection_ray.stages.detectors import _split_double
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()), dtype=np.int64)
+        day = us // 86_400_000_000
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        v100 = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(day, type=pa.int64()),
+                      "v100": pa.array(v100, type=pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate([("v100", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "x": g.column("v100_sum").cast(pa.int64())})
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["event_type", "day"]).sum("x"))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        order = np.argsort(np.asarray(group.column("day"), dtype=np.int64))
+        x = np.asarray(group.column("sum(x)"), dtype=np.int64)[order]
+        n = int(x.shape[0])
+        xs = [int(v) for v in x.tolist()]           # python-int exactness
+        S = sum(xs)
+        Q = sum(v * v for v in xs)
+        p = 0
+        num = 0
+        for i, v in enumerate(xs, start=1):
+            p += v
+            cumdev = n * p - i * S
+            num += cumdev * cumdev
+        var_num = n * Q - S * S
+        den = n * n * var_num
+        kpss = (_split_double(num) / _split_double(den)
+                if n >= 2 and var_num > 0 else None)
+        return pa.table({
+            "event_type": pa.array([et], type=pa.string()),
+            "n_days": pa.array([n], type=pa.int64()),
+            "s_total": pa.array([S], type=pa.int64()),
+            "kpss": pa.array([kpss], type=pa.float64(), from_pandas=True),
+        })
+
+    return daily.groupby("event_type").map_groups(
+        finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- G37 ----
+def g37_mad_by_type(sf_dir: str):
+    """G37 — per-type robust location/scale over ALL events of a type:
+    exact median and MAD of quantized cents (W12's per-user robust
+    statistics lifted to the bounded type domain) via the G22 bincount-
+    histogram exchange — the shuffle moves cent histograms, never event
+    rows, so a hot type cannot become an unbounded single-task group.
+
+    Read-off: median = the LOWER rank statistic (smallest v with
+    cum >= (n+1)//2 — G22's q=0.5 rule made float-free), MAD = the SAME
+    rule over the |v - median| deviation histogram derived from the
+    value histogram already in hand (no second pass over rows);
+    robust_sigma = 1.4826 * mad is the single pinned float op."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def hist_batch(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        v100 = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "v100": pa.array(v100, type=pa.int64()),
+            "one": pa.array(np.ones(v100.shape[0], dtype=np.int64)),
+        })
+        g = t.group_by(["event_type", "v100"]).aggregate([("one", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "v100": g.column("v100"),
+                         "c": g.column("one_sum").cast(pa.int64())})
+
+    counts = (ds.map_batches(hist_batch, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["event_type", "v100"]).sum("c"))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        order = np.argsort(np.asarray(group.column("v100"),
+                                      dtype=np.int64))
+        v = np.asarray(group.column("v100"), dtype=np.int64)[order]
+        c = np.asarray(group.column("sum(c)"), dtype=np.int64)[order]
+        n = int(c.sum())
+        k = (n + 1) // 2
+        med = int(v[int(np.searchsorted(np.cumsum(c), k))])
+        dev = np.abs(v - med)
+        dorder = np.argsort(dev, kind="stable")
+        dcum = np.cumsum(c[dorder])
+        mad = int(dev[dorder][int(np.searchsorted(dcum, k))])
+        return pa.table({
+            "event_type": pa.array([et], type=pa.string()),
+            "n": pa.array([n], type=pa.int64()),
+            "median_cents": pa.array([med], type=pa.int64()),
+            "mad_cents": pa.array([mad], type=pa.int64()),
+            "robust_sigma": pa.array([1.4826 * float(mad)],
+                                     type=pa.float64()),
+        })
+
+    return counts.groupby("event_type").map_groups(
+        finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- G38 ----
+def g38_daily_gini(sf_dir: str):
+    """G38 — per-type Gini concentration of activity across the
+    ZERO-FILLED daily grid (G13's inequality statistic transposed from
+    document lengths to the time axis): G = sum_i (2i - d - 1) x_(i)
+    / (d * sum x) over the ascending-sorted daily counts INCLUDING the
+    zeros of absent days — "is this type's volume spread evenly or
+    crammed into a few burst days?".
+
+    Zero-fill for free: zeros sort first and contribute nothing, so
+    only present days materialize — with m present days of d total, the
+    ascending counts c_(1..m) sit at positions d-m+1..d and
+    num = sum_j (d - 2m + 2j - 1) * c_(j) exactly (ties need no rule: a
+    tied block's weight sum is position-set-invariant).  num/den are
+    exact int64; gini is ONE pinned division.  d is W44's global day
+    span (one bounded exchange, single-group widen)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(us // 86_400_000_000,
+                                      type=pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "n": pc.cast(g.column("count_all"),
+                                      pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["event_type", "day"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_one", pa.array(np.zeros(batch.num_rows, dtype=np.int64)))
+
+    def widen(group: pa.Table) -> pa.Table:
+        et = group.column("event_type").to_pylist()
+        day = np.asarray(group.column("day"), dtype=np.int64)
+        cnt = np.asarray(group.column("n"), dtype=np.int64)
+        d = int(day.max()) - int(day.min()) + 1
+        types = sorted(set(et))
+        et_arr = np.asarray(et, dtype=object)
+        out = {"event_type": [], "n_days": [], "n_present": [],
+               "gini_num": [], "gini_den": [], "gini": []}
+        for t in types:
+            cc = np.sort(cnt[et_arr == t])
+            m = int(cc.shape[0])
+            j = np.arange(1, m + 1, dtype=np.int64)
+            num = int(((d - 2 * m + 2 * j - 1) * cc).sum())
+            den = d * int(cc.sum())
+            out["event_type"].append(t)
+            out["n_days"].append(d)
+            out["n_present"].append(m)
+            out["gini_num"].append(num)
+            out["gini_den"].append(den)
+            out["gini"].append(float(num) / float(den) if den != 0
+                               else None)
+        return pa.table({
+            "event_type": pa.array(out["event_type"], type=pa.string()),
+            "n_days": pa.array(out["n_days"], type=pa.int64()),
+            "n_present": pa.array(out["n_present"], type=pa.int64()),
+            "gini_num": pa.array(out["gini_num"], type=pa.int64()),
+            "gini_den": pa.array(out["gini_den"], type=pa.int64()),
+            "gini": pa.array(out["gini"], type=pa.float64(),
+                             from_pandas=True),
+        })
+
+    return (counts.map_batches(tag, batch_format="pyarrow")
+            .groupby("_one").map_groups(widen, batch_format="pyarrow"))

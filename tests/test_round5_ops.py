@@ -858,3 +858,87 @@ def test_daily_acf1_bruteforce(ray_session):
         row = got.loc[t]
         assert (row["n_days"], row["sxy"]) == (d, sxy)
         assert row["acf1"] == float(num) / float(den)
+
+
+# ------------------------------------------------------ A63/G37/G38 ----
+def _sd(u: int) -> float:
+    """The pinned 32-bit-split int->double (detectors._split_double)."""
+    return float(u >> 32) * 4294967296.0 + float(u & 0xFFFFFFFF)
+
+
+def test_kpss_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["a63_kpss"](SF).to_pandas()
+           .set_index("event_type"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts", "value"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    ev["v100"] = np.floor(ev["value"].to_numpy() * 100.0
+                          + 0.5).astype(np.int64)
+    for t, grp in ev.groupby("event_type"):
+        daily = grp.groupby("day")["v100"].sum().sort_index()
+        xs = [int(v) for v in daily.to_numpy()]
+        n = len(xs)
+        S = sum(xs)
+        Q = sum(v * v for v in xs)
+        p = 0
+        num = 0
+        for i, v in enumerate(xs, start=1):
+            p += v
+            cd = n * p - i * S
+            num += cd * cd
+        var_num = n * Q - S * S
+        row = got.loc[t]
+        assert (row["n_days"], row["s_total"]) == (n, S)
+        if n >= 2 and var_num > 0:
+            assert row["kpss"] == _sd(num) / _sd(n * n * var_num)
+        else:
+            assert row["kpss"] is None or np.isnan(row["kpss"])
+
+
+def test_mad_by_type_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["g37_mad_by_type"](SF).to_pandas()
+           .set_index("event_type"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    ev["v100"] = np.floor(ev["value"].to_numpy() * 100.0
+                          + 0.5).astype(np.int64)
+    for t, grp in ev.groupby("event_type"):
+        x = np.sort(grp["v100"].to_numpy())
+        n = len(x)
+        med = int(x[(n + 1) // 2 - 1])            # lower rank statistic
+        dev = np.sort(np.abs(x - med))
+        mad = int(dev[(n + 1) // 2 - 1])
+        row = got.loc[t]
+        assert (row["n"], row["median_cents"], row["mad_cents"]) \
+            == (n, med, mad)
+        assert row["robust_sigma"] == 1.4826 * float(mad)
+
+
+def test_daily_gini_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["g38_daily_gini"](SF).to_pandas()
+           .set_index("event_type"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    lo, hi = int(ev["day"].min()), int(ev["day"].max())
+    d = hi - lo + 1
+    for t, grp in ev.groupby("event_type"):
+        counts = grp.groupby("day").size()
+        grid = np.zeros(d, dtype=np.int64)
+        for day, c in counts.items():
+            grid[int(day) - lo] = int(c)
+        x = np.sort(grid)                          # zeros first
+        i = np.arange(1, d + 1, dtype=np.int64)
+        num = int(((2 * i - d - 1) * x).sum())     # G13's formula
+        den = d * int(x.sum())
+        row = got.loc[t]
+        assert (row["n_days"], row["n_present"]) \
+            == (d, int((grid > 0).sum()))
+        assert (row["gini_num"], row["gini_den"]) == (num, den)
+        assert row["gini"] == float(num) / float(den)
