@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 316 ``queries()`` entries, 311 with DuckDB value
+Round-5 final surface: 318 ``queries()`` entries, 313 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -451,6 +451,14 @@ def _e4_varint_size(sf_dir: str):
 
     return validated(_docs_sequences(sf_dir)).map_batches(
         varint_size_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _e5_rle_size(sf_dir: str):
+    from anomalydetection_ray.codecs import rle_size_batch
+    from anomalydetection_ray.pipelines.rollup import validated
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        rle_size_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _a62_binseg(sf_dir: str):
@@ -1116,6 +1124,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # G38 per-type Gini over the zero-filled daily grid (G13's
         # inequality statistic on the time axis; burst concentration)
         "g38_daily_gini": q.g38_daily_gini,
+        # E5 run-length codec size (the rollup-tier codec; byte-exact
+        # analytic replay like E4, roundtrip pytest-gated)
+        "e5_rle_size": _e5_rle_size,
+        # V19 word frequency-of-frequencies spectrum (the Good-Turing
+        # front table; totals never collect — second bounded histogram)
+        "v19_freq_spectrum": vb.v19_freq_spectrum,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -3282,6 +3296,64 @@ def oracle_sql() -> dict[str, str]:
                    END AS gini
             FROM r CROSS JOIN g
             GROUP BY r.event_type, g.d
+        """,
+        # E5: runs via lag-break + window run-id; 4 fixed bytes + per
+        # run LEB128(zigzag(v)) + LEB128(rl-1) width thresholds
+        "e5_rle_size": f"""
+            WITH {_SEQ_TOK_CTE},
+            s AS MATERIALIZED (
+                SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                       pos % 1000000 AS i, CAST(v AS BIGINT) AS v FROM tok),
+            d AS (SELECT doc_id, part_id, i, v,
+                         CASE WHEN lag(v) OVER (PARTITION BY doc_id,
+                                                part_id ORDER BY i)
+                              IS DISTINCT FROM v THEN 1 ELSE 0 END AS brk
+                  FROM s),
+            g AS (SELECT doc_id, part_id, v,
+                         sum(brk) OVER (PARTITION BY doc_id, part_id
+                                        ORDER BY i) AS rid
+                  FROM d),
+            r AS (SELECT doc_id, part_id,
+                         CASE WHEN v >= 0 THEN 2 * v
+                              ELSE -2 * v - 1 END AS zv,
+                         CAST(count(*) - 1 AS BIGINT) AS ul
+                  FROM g GROUP BY doc_id, part_id, rid, v),
+            b AS (SELECT doc_id, part_id,
+                         CAST(count(*) AS BIGINT) AS n_runs,
+                         CAST(sum(
+                             (1 + CASE WHEN zv >= 128 THEN 1 ELSE 0 END
+                                + CASE WHEN zv >= 16384 THEN 1
+                                       ELSE 0 END
+                                + CASE WHEN zv >= 2097152 THEN 1
+                                       ELSE 0 END
+                                + CASE WHEN zv >= 268435456 THEN 1
+                                       ELSE 0 END)
+                           + (1 + CASE WHEN ul >= 128 THEN 1 ELSE 0 END
+                                + CASE WHEN ul >= 16384 THEN 1
+                                       ELSE 0 END
+                                + CASE WHEN ul >= 2097152 THEN 1
+                                       ELSE 0 END
+                                + CASE WHEN ul >= 268435456 THEN 1
+                                       ELSE 0 END)) AS BIGINT) AS rb
+                  FROM r GROUP BY doc_id, part_id),
+            nn AS (SELECT doc_id, part_id,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM s GROUP BY doc_id, part_id)
+            SELECT nn.doc_id, nn.part_id, nn.n, b.n_runs,
+                   CAST(4 + b.rb AS BIGINT) AS n_bytes,
+                   CAST(4 + b.rb AS DOUBLE) / CAST(nn.n AS DOUBLE)
+                       AS bytes_per_token
+            FROM nn JOIN b USING (doc_id, part_id)
+        """,
+        # V19: two group-bys over V1's word convention
+        "v19_freq_spectrum": """
+            WITH c AS (
+              SELECT word, CAST(count(*) AS BIGINT) AS k
+              FROM (SELECT unnest(string_split(text, ' ')) AS word
+                    FROM documents)
+              WHERE word <> '' GROUP BY word)
+            SELECT k, CAST(count(*) AS BIGINT) AS n_types
+            FROM c GROUP BY k
         """,
         # T21: sentences = '. ' splits, words = \s+ splits, syllables =
         # vowel-group regex count; the pinned Flesch expression

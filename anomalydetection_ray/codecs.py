@@ -513,3 +513,135 @@ def varint_size_batch(batch) -> "pa.Table":
         "bytes_per_token": pa.array(bpt, type=pa.float64(),
                                     mask=lens == 0),
     })
+
+
+# ------------------------------------------------------------- E5: RLE ----
+def _leb_emit(u: np.ndarray) -> bytes:
+    """Vectorized LEB128 emission of a non-negative uint64 array (< 2^35
+    here, so <= 5 bytes each): per-value byte counts by threshold
+    compares, destination offsets by cumsum, one masked scatter per byte
+    position — E4's emission loop factored out."""
+    nb = (1 + (u >= (1 << 7)).astype(np.int64)
+          + (u >= (1 << 14)).astype(np.int64)
+          + (u >= (1 << 21)).astype(np.int64)
+          + (u >= (1 << 28)).astype(np.int64))
+    offs = np.concatenate(([0], np.cumsum(nb)))
+    out = np.zeros(int(offs[-1]), dtype=np.uint8)
+    for j in range(5):
+        sel = nb > j
+        if not sel.any():
+            break
+        byte = ((u[sel] >> np.uint64(7 * j))
+                & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nb[sel] - 1) > j
+        out[offs[:-1][sel] + j] = byte | (cont.astype(np.uint8) << 7)
+    return out.tobytes()
+
+
+def rle_encode(values: np.ndarray) -> bytes:
+    """E5 — run-length encoding of an int32 stream: a 4-byte little-
+    endian run count, then per run LEB128(zigzag(value)) followed by
+    LEB128(run_len - 1).  The classic rollup-tier codec (constant
+    stretches — gap-filled plateaus, repeated bucket mins — collapse to
+    one pair); the size is analytically replayable in SQL
+    (``rle_size_batch``), the byte-level parity pytest-gated like E4.
+
+    Fully vectorized: run starts from one shifted compare, value/length
+    pairs interleaved into a single array, one `_leb_emit` pass."""
+    v = np.asarray(values, dtype=np.int64)
+    n = v.shape[0]
+    if n == 0:
+        return b""
+    brk = np.concatenate(([True], v[1:] != v[:-1]))
+    starts = np.flatnonzero(brk)
+    rv = v[starts]
+    rl = np.diff(np.append(starts, n))
+    m = starts.shape[0]
+    pairs = np.empty(2 * m, dtype=np.int64)
+    pairs[0::2] = (rv << 1) ^ (rv >> 63)        # zigzag the value
+    pairs[1::2] = rl - 1
+    return m.to_bytes(4, "little") + _leb_emit(pairs.astype(np.uint64))
+
+
+def rle_decode(data: bytes) -> np.ndarray:
+    """Inverse of :func:`rle_encode`."""
+    if not data:
+        return np.empty(0, dtype=np.int64)
+    m = int.from_bytes(data[:4], "little")
+    pos = 4
+    out_v = np.empty(m, dtype=np.int64)
+    out_l = np.empty(m, dtype=np.int64)
+    for i in range(2 * m):
+        u = 0
+        shift = 0
+        while True:
+            b = data[pos]
+            pos += 1
+            u |= (b & 0x7F) << shift
+            if not (b & 0x80):
+                break
+            shift += 7
+        if i % 2 == 0:
+            out_v[i // 2] = (u >> 1) ^ -(u & 1)
+        else:
+            out_l[i // 2] = u + 1
+    return np.repeat(out_v, out_l)
+
+
+def rle_size_batch(batch) -> "pa.Table":
+    """E5 stats kernel: per validated sequence row, the run count and
+    EXACT encoded byte size of :func:`rle_encode` (4 fixed + per-run
+    LEB128(zigzag(value)) + LEB128(len-1) widths), vectorized over the
+    flat token buffer with runs force-broken at row boundaries —
+    byte-for-byte parity with the real encoder is pytest-gated.
+    ``bytes_per_token`` is the one pinned division."""
+    import pyarrow as pa
+
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.int64)
+    N = v.shape[0]
+    lens = np.diff(offsets)
+    if N > 0:
+        brk = np.ones(N, dtype=bool)
+        if N > 1:
+            brk[1:] = v[1:] != v[:-1]
+        row_starts = offsets[:-1][offsets[:-1] < N]
+        brk[row_starts] = True              # runs never cross rows
+        rs = np.flatnonzero(brk)
+        rv = v[rs]
+        rl = np.diff(np.append(rs, N))
+        zv = ((rv << 1) ^ (rv >> 63)).astype(np.uint64)
+        ul = (rl - 1).astype(np.uint64)
+
+        def widths(u: np.ndarray) -> np.ndarray:
+            return (1 + (u >= (1 << 7)).astype(np.int64)
+                    + (u >= (1 << 14)).astype(np.int64)
+                    + (u >= (1 << 21)).astype(np.int64)
+                    + (u >= (1 << 28)).astype(np.int64))
+
+        rb = widths(zv) + widths(ul)
+        c = np.concatenate(([0], np.cumsum(rb)))
+        lo = np.searchsorted(rs, offsets[:-1], side="left")
+        hi = np.searchsorted(rs, offsets[1:], side="left")
+        sums = c[hi] - c[lo]
+        n_runs = (hi - lo).astype(np.int64)
+    else:
+        sums = np.zeros(lens.shape[0], dtype=np.int64)
+        n_runs = np.zeros(lens.shape[0], dtype=np.int64)
+    n_bytes = np.where(lens > 0, 4 + sums, 0)
+    bpt = np.zeros(lens.shape[0], dtype=np.float64)
+    np.divide(n_bytes.astype(np.float64), lens.astype(np.float64),
+              out=bpt, where=lens > 0)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "n": pa.array(lens, type=pa.int64()),
+        "n_runs": pa.array(n_runs, type=pa.int64()),
+        "n_bytes": pa.array(n_bytes, type=pa.int64()),
+        "bytes_per_token": pa.array(bpt, type=pa.float64(),
+                                    mask=lens == 0),
+    })

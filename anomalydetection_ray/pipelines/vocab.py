@@ -1038,3 +1038,40 @@ def v16_js_divergence(sf_dir: str, k: int = 20):
         "source_b": pa.array(sb, type=pa.string()),
         "js": pa.array(js_out, type=pa.float64()),
     }))
+
+
+# ---------------------------------------------------------------- V19 ----
+def v19_freq_spectrum(sf_dir: str):
+    """V19 — word frequency-of-frequencies spectrum (the Good-Turing
+    front table): for each occurrence count ``k``, how many distinct
+    words occur exactly ``k`` times in the corpus.  The smoothing /
+    unseen-mass input every count-based LM estimate starts from, and
+    the one-glance readout of V9's Zipf tail (N_1 dominating = hapax-
+    heavy web text).
+
+    Scale shape: V1's per-word totals (per-block partial counts, one
+    ``agg_by`` exchange) never collect — a second per-block histogram
+    over the count column collapses each totals block to its distinct
+    ``k`` values and a tiny bounded groupby merges them (distinct k is
+    O(sqrt(corpus tokens)) by the Zipf identity)."""
+    from ray.data.aggregate import Sum
+
+    from anomalydetection_ray.stages.runs import agg_by
+
+    docs = _read_docs(sf_dir, ["text"])
+    partials = docs.map_batches(_count_partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    counts = agg_by(partials, ["word"], [("n", "sum", "n")])
+
+    def khist(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch.column("n"), dtype=np.int64)
+        uniq, cnt = np.unique(k, return_counts=True)
+        return pa.table({
+            "k": pa.array(uniq, type=pa.int64()),
+            "n_types": pa.array(cnt.astype(np.int64), type=pa.int64()),
+        })
+
+    return (counts.map_batches(khist, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("k").aggregate(Sum("n_types",
+                                        alias_name="n_types")))

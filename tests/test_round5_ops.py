@@ -942,3 +942,58 @@ def test_daily_gini_bruteforce(ray_session):
             == (d, int((grid > 0).sum()))
         assert (row["gini_num"], row["gini_den"]) == (num, den)
         assert row["gini"] == float(num) / float(den)
+
+
+# -------------------------------------------------------- E5/V19 ----
+def test_rle_roundtrip_and_size_parity():
+    from anomalydetection_ray.codecs import (rle_decode, rle_encode,
+                                             rle_size_batch)
+
+    rng = np.random.default_rng(11)
+    series = [
+        [],
+        [7],
+        [3, 3, 3, 3, 3],
+        [0, 0, 1, 2, 2, 2, 2, 1, 0],
+        list(rng.integers(0, 5, size=400)),            # run-heavy
+        list(rng.integers(0, 200_000, size=300)),      # run-free
+        list(np.repeat(rng.integers(0, 2**30, size=50),
+                       rng.integers(1, 200, size=50))),
+    ]
+    for s in series:
+        arr = np.asarray(s, dtype=np.int64)
+        enc = rle_encode(arr)
+        assert np.array_equal(rle_decode(enc), arr)
+    # analytic size == real encoder byte count, per row of one batch
+    batch = _tok_batch([s for s in series if len(s) > 0])
+    out = rle_size_batch(batch).to_pylist()
+    for row, s in zip(out, [s for s in series if len(s) > 0]):
+        enc = rle_encode(np.asarray(s, dtype=np.int64))
+        assert row["n_bytes"] == len(enc)
+        assert row["n"] == len(s)
+        brk = sum(1 for i in range(len(s)) if i == 0 or s[i] != s[i - 1])
+        assert row["n_runs"] == brk
+        assert row["bytes_per_token"] == len(enc) / len(s)
+
+
+def test_freq_spectrum_bruteforce(ray_session):
+    from collections import Counter
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["v19_freq_spectrum"](SF).to_pandas()
+           .set_index("k").sort_index())
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    wc = Counter()
+    for t in docs["text"]:
+        for w in t.split(" "):
+            if w != "":
+                wc[w] += 1
+    spec = Counter(wc.values())
+    assert sorted(spec.keys()) == list(got.index)
+    for k, n in spec.items():
+        assert int(got.loc[k, "n_types"]) == n
+    # Good-Turing identity: sum k*N_k = corpus token count
+    assert int((got.index.to_numpy() * got["n_types"].to_numpy()).sum()) \
+        == sum(wc.values())
