@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 318 ``queries()`` entries, 313 with DuckDB value
+Round-5 final surface: 320 ``queries()`` entries, 315 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -451,6 +451,14 @@ def _e4_varint_size(sf_dir: str):
 
     return validated(_docs_sequences(sf_dir)).map_batches(
         varint_size_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _a64_diff_sign(sf_dir: str):
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import diff_sign_batch
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        diff_sign_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _e5_rle_size(sf_dir: str):
@@ -1130,6 +1138,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # V19 word frequency-of-frequencies spectrum (the Good-Turing
         # front table; totals never collect — second bounded histogram)
         "v19_freq_spectrum": vb.v19_freq_spectrum,
+        # A64 difference-sign randomness test per series (strict
+        # ascents vs m/2; exact counts, pinned z)
+        "a64_diff_sign": _a64_diff_sign,
+        # G39 PSI value-drift between day-span halves (decile bins
+        # fitted on half A; NULL on any empty bin, fold-ordered sum)
+        "g39_psi_drift": q.g39_psi_drift,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -3344,6 +3358,118 @@ def oracle_sql() -> dict[str, str]:
                    CAST(4 + b.rb AS DOUBLE) / CAST(nn.n AS DOUBLE)
                        AS bytes_per_token
             FROM nn JOIN b USING (doc_id, part_id)
+        """,
+        # A64: strict ascents via lead compare; z's two pinned ops
+        "a64_diff_sign": f"""
+            WITH {_SEQ_TOK_CTE},
+            s AS MATERIALIZED (
+                SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                       pos % 1000000 AS i, CAST(v AS BIGINT) AS v FROM tok),
+            d AS (SELECT doc_id, part_id,
+                         CASE WHEN v > lag(v) OVER (PARTITION BY doc_id,
+                                                    part_id ORDER BY i)
+                              THEN 1 ELSE 0 END AS asc_flag
+                  FROM s),
+            a AS (SELECT doc_id, part_id,
+                         CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(asc_flag) AS BIGINT) AS n_asc
+                  FROM d GROUP BY doc_id, part_id)
+            SELECT doc_id, part_id, n, n_asc,
+                   CASE WHEN n >= 2
+                        THEN CAST(2 * n_asc - (n - 1) AS DOUBLE)
+                             / (2.0 * sqrt(CAST(n + 1 AS DOUBLE)
+                                           / 12.0))
+                   END AS z_diff_sign
+            FROM a
+        """,
+        # G39: decile edges = half-A lower rank stats at (j*nA+9)//10;
+        # bin = 1 + #{edges < v}; terms fold in bin order
+        "g39_psi_drift": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+              FROM events),
+            g AS (SELECT min(day) + (max(day) - min(day) + 1) // 2
+                             AS mid FROM e),
+            h AS (SELECT event_type,
+                         CASE WHEN day < g.mid THEN 0 ELSE 1 END AS half,
+                         v, CAST(count(*) AS BIGINT) AS c
+                  FROM e CROSS JOIN g
+                  GROUP BY event_type, half, v),
+            ta AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_a
+                   FROM h WHERE half = 0 GROUP BY event_type),
+            tb AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_b
+                   FROM h WHERE half = 1 GROUP BY event_type),
+            ranks AS (SELECT ta.event_type, t.j,
+                             (t.j * ta.n_a + 9) // 10 AS k
+                      FROM ta
+                      CROSS JOIN unnest([1,2,3,4,5,6,7,8,9]) AS t(j)),
+            bnd AS (SELECT r.event_type, r.j, CAST(min(x.v) AS BIGINT)
+                               AS b
+                    FROM ranks r JOIN (
+                        SELECT event_type, v,
+                               sum(c) OVER (PARTITION BY event_type
+                                            ORDER BY v) AS cum
+                        FROM h WHERE half = 0) x
+                      ON x.event_type = r.event_type AND x.cum >= r.k
+                    GROUP BY r.event_type, r.j),
+            vb2 AS (SELECT h.event_type, h.half, h.v,
+                           any_value(h.c) AS c,
+                           1 + CAST(sum(CASE WHEN bnd.b < h.v THEN 1
+                                             ELSE 0 END) AS BIGINT)
+                               AS bin
+                    FROM h JOIN bnd USING (event_type)
+                    GROUP BY h.event_type, h.half, h.v),
+            mass AS (SELECT event_type, half, bin,
+                            CAST(sum(c) AS BIGINT) AS c
+                     FROM vb2 GROUP BY event_type, half, bin),
+            ab AS (SELECT event_type, bin,
+                          CAST(COALESCE(sum(c) FILTER (half = 0), 0)
+                               AS BIGINT) AS ca,
+                          CAST(COALESCE(sum(c) FILTER (half = 1), 0)
+                               AS BIGINT) AS cb
+                   FROM mass GROUP BY event_type, bin),
+            fullg AS (SELECT ta.event_type, t.bin
+                      FROM ta JOIN tb USING (event_type)
+                      CROSS JOIN unnest([1,2,3,4,5,6,7,8,9,10])
+                          AS t(bin)),
+            grid AS (SELECT f.event_type, f.bin,
+                            COALESCE(ab.ca, 0) AS ca,
+                            COALESCE(ab.cb, 0) AS cb
+                     FROM fullg f LEFT JOIN ab
+                       ON ab.event_type = f.event_type
+                      AND ab.bin = f.bin),
+            agg AS (SELECT grid.event_type,
+                           any_value(ta.n_a) AS n_a,
+                           any_value(tb.n_b) AS n_b,
+                           CAST(sum(CASE WHEN grid.ca = 0
+                                           OR grid.cb = 0
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+                               AS n_empty,
+                           list(CASE WHEN grid.ca = 0 OR grid.cb = 0
+                                     THEN 0.0
+                                     ELSE (CAST(grid.ca AS DOUBLE)
+                                           / CAST(ta.n_a AS DOUBLE)
+                                           - CAST(grid.cb AS DOUBLE)
+                                             / CAST(tb.n_b AS DOUBLE))
+                                          * ln((CAST(grid.ca AS DOUBLE)
+                                                / CAST(ta.n_a
+                                                       AS DOUBLE))
+                                               / (CAST(grid.cb
+                                                       AS DOUBLE)
+                                                  / CAST(tb.n_b
+                                                         AS DOUBLE)))
+                                END ORDER BY grid.bin) AS terms
+                    FROM grid JOIN ta USING (event_type)
+                    JOIN tb USING (event_type)
+                    GROUP BY grid.event_type)
+            SELECT event_type, n_a, n_b, n_empty,
+                   CASE WHEN n_empty = 0
+                        THEN list_reduce(list_prepend(0.0, terms),
+                                         (a, b) -> a + b)
+                   END AS psi
+            FROM agg
         """,
         # V19: two group-bys over V1's word convention
         "v19_freq_spectrum": """

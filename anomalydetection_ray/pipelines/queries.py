@@ -8116,3 +8116,116 @@ def g38_daily_gini(sf_dir: str):
 
     return (counts.map_batches(tag, batch_format="pyarrow")
             .groupby("_one").map_groups(widen, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------- G39 ----
+def g39_psi_drift(sf_dir: str):
+    """G39 — Population Stability Index of the cent-value distribution
+    between the first and second half of the corpus' day span, per
+    event type: psi = sum_bins (pA_i - pB_i) * ln(pA_i / pB_i) over 10
+    decile bins FITTED ON THE FIRST HALF (the standard model-monitoring
+    drift gauge; psi > 0.2 = action threshold in the scorecard folklore).
+
+    Determinism: bin edges are the LOWER rank statistics of half A at
+    k_j = ceil(j*nA/10) (G37's float-free rule); a value v falls in bin
+    1 + #{edges < v}; duplicate edges leave their bins empty, and ANY
+    empty bin on either side emits psi = NULL (no epsilon smoothing —
+    the n_empty column says why).  The 10 per-bin float terms fold left
+    in bin order from 0.0 — the oracle replays the same fold via
+    list_reduce.  Types missing either half entirely are dropped.
+
+    Scale shape: q9's tiny eager day-span aggregate broadcasts the
+    half boundary; per-block (type, half, v100) cent histograms, ONE
+    bounded exchange, a per-TYPE finalize holding only histograms."""
+    import math
+
+    from ray.data.aggregate import Max, Min
+
+    DAY_US = 86_400_000_000
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    span = ds.map_batches(
+        lambda b: pa.table({"day": pa.array(
+            np.asarray((b.column("ts").combine_chunks()
+                        if isinstance(b.column("ts"), pa.ChunkedArray)
+                        else b.column("ts")).cast(pa.int64())) // DAY_US,
+            type=pa.int64())}),
+        batch_format="pyarrow").aggregate(Min("day"), Max("day"))
+    lo, hi = int(span["min(day)"]), int(span["max(day)"])
+    mid = lo + (hi - lo + 1) // 2
+
+    def hist(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        day = us // DAY_US
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        v100 = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "half": pa.array((day >= mid).astype(np.int64),
+                             type=pa.int64()),
+            "v100": pa.array(v100, type=pa.int64()),
+            "one": pa.array(np.ones(v100.shape[0], dtype=np.int64)),
+        })
+        g = t.group_by(["event_type", "half", "v100"]).aggregate(
+            [("one", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "half": g.column("half"),
+                         "v100": g.column("v100"),
+                         "c": g.column("one_sum").cast(pa.int64())})
+
+    counts = (ds.map_batches(hist, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["event_type", "half", "v100"]).sum("c"))
+
+    EMPTY = pa.table({
+        "event_type": pa.array([], type=pa.string()),
+        "n_a": pa.array([], type=pa.int64()),
+        "n_b": pa.array([], type=pa.int64()),
+        "n_empty": pa.array([], type=pa.int64()),
+        "psi": pa.array([], type=pa.float64()),
+    })
+
+    def finalize(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        half = np.asarray(group.column("half"), dtype=np.int64)
+        v = np.asarray(group.column("v100"), dtype=np.int64)
+        c = np.asarray(group.column("sum(c)"), dtype=np.int64)
+        sel_a = half == 0
+        sel_b = ~sel_a
+        if not sel_a.any() or not sel_b.any():
+            return EMPTY                       # type missing a half
+        ord_a = np.argsort(v[sel_a])
+        va, ca = v[sel_a][ord_a], c[sel_a][ord_a]
+        cum_a = np.cumsum(ca)
+        n_a = int(cum_a[-1])
+        n_b = int(c[sel_b].sum())
+        ks = np.array([(j * n_a + 9) // 10 for j in range(1, 10)],
+                      dtype=np.int64)
+        edges = va[np.searchsorted(cum_a, ks)]
+        # bin = 1 + #{edges < v}; masses per (half, bin)
+        mass = np.zeros((2, 10), dtype=np.int64)
+        bins = np.searchsorted(np.sort(edges), v, side="left")
+        np.add.at(mass, (half, bins), c)
+        empty = (mass[0] == 0) | (mass[1] == 0)
+        n_empty = int(empty.sum())
+        if n_empty == 0:
+            acc = 0.0
+            for i in range(10):
+                p_a = float(int(mass[0, i])) / float(n_a)
+                p_b = float(int(mass[1, i])) / float(n_b)
+                acc += (p_a - p_b) * math.log(p_a / p_b)
+            psi = acc
+        else:
+            psi = None
+        return pa.table({
+            "event_type": pa.array([et], type=pa.string()),
+            "n_a": pa.array([n_a], type=pa.int64()),
+            "n_b": pa.array([n_b], type=pa.int64()),
+            "n_empty": pa.array([n_empty], type=pa.int64()),
+            "psi": pa.array([psi], type=pa.float64(),
+                            from_pandas=True),
+        })
+
+    return counts.groupby("event_type").map_groups(
+        finalize, batch_format="pyarrow")

@@ -1646,3 +1646,40 @@ def binseg_batch(batch: pa.Table) -> pa.Table:
         "k_right": pa.array(out["k_right"], type=pa.int64(),
                             mask=mask["k_right"]),
     })
+
+
+def diff_sign_batch(batch: pa.Table) -> pa.Table:
+    """A64 — difference-sign randomness test per series (Brockwell &
+    Davis §1.6 family): among the m = n-1 consecutive pairs, count the
+    STRICT ascents n_asc (v_{i+1} > v_i; ties count as non-ascents, the
+    convention the SQL oracle replays).  Under iid-ness E[n_asc] = m/2
+    and Var[n_asc] = (n+1)/12, so z = (2*n_asc - m) / (2*sqrt((n+1)/12))
+    — trends inflate n_asc long before A25's turning-point count reacts.
+    Counts are exact vectorized ints; z is the pinned two-float-op tail.
+    Series with n < 2 emit NULL z."""
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.int64)
+    lens = np.diff(offsets)
+    nrows = lens.shape[0]
+    n_asc = np.zeros(nrows, dtype=np.int64)
+    if v.shape[0] > 1:
+        row_of = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+        asc = (v[1:] > v[:-1]) & (row_of[1:] == row_of[:-1])
+        np.add.at(n_asc, row_of[1:][asc], 1)
+    m = lens - 1
+    z = np.empty(nrows, dtype=np.float64)
+    ok = lens >= 2
+    for i in np.flatnonzero(ok):
+        z[i] = (float(2 * int(n_asc[i]) - int(m[i]))
+                / (2.0 * math.sqrt(float(int(lens[i]) + 1) / 12.0)))
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "n": pa.array(lens, type=pa.int64()),
+        "n_asc": pa.array(n_asc, type=pa.int64()),
+        "z_diff_sign": pa.array(z, type=pa.float64(), mask=~ok),
+    })

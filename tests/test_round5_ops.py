@@ -997,3 +997,65 @@ def test_freq_spectrum_bruteforce(ray_session):
     # Good-Turing identity: sum k*N_k = corpus token count
     assert int((got.index.to_numpy() * got["n_types"].to_numpy()).sum()) \
         == sum(wc.values())
+
+
+# -------------------------------------------------------- A64/G39 ----
+def test_diff_sign_bruteforce():
+    from anomalydetection_ray.stages.detectors import diff_sign_batch
+
+    rng = np.random.default_rng(23)
+    series = [list(rng.integers(0, 40, size=rng.integers(1, 120)))
+              for _ in range(25)]
+    series.append(list(range(50)))          # pure trend: z maximal
+    series.append([7] * 30)                 # all ties: n_asc = 0
+    out = diff_sign_batch(_tok_batch(series)).to_pylist()
+    for row, s in zip(out, series):
+        n = len(s)
+        n_asc = sum(1 for i in range(1, n) if s[i] > s[i - 1])
+        assert (row["n"], row["n_asc"]) == (n, n_asc)
+        if n >= 2:
+            assert row["z_diff_sign"] == \
+                float(2 * n_asc - (n - 1)) / (2.0 * math.sqrt((n + 1) / 12.0))
+        else:
+            assert row["z_diff_sign"] is None
+
+
+def test_psi_drift_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["g39_psi_drift"](SF).to_pandas()
+           .set_index("event_type"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts", "value"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    ev["v"] = np.floor(ev["value"].to_numpy() * 100.0
+                       + 0.5).astype(np.int64)
+    lo, hi = int(ev["day"].min()), int(ev["day"].max())
+    mid = lo + (hi - lo + 1) // 2
+    for t, grp in ev.groupby("event_type"):
+        a = np.sort(grp.loc[grp["day"] < mid, "v"].to_numpy())
+        b = grp.loc[grp["day"] >= mid, "v"].to_numpy()
+        if len(a) == 0 or len(b) == 0:
+            assert t not in got.index
+            continue
+        n_a, n_b = len(a), len(b)
+        edges = np.sort([a[(j * n_a + 9) // 10 - 1] for j in range(1, 10)])
+        ca = np.zeros(10, dtype=np.int64)
+        cb = np.zeros(10, dtype=np.int64)
+        for v in a:
+            ca[np.searchsorted(edges, v, side="left")] += 1
+        for v in b:
+            cb[np.searchsorted(edges, v, side="left")] += 1
+        n_empty = int(((ca == 0) | (cb == 0)).sum())
+        row = got.loc[t]
+        assert (row["n_a"], row["n_b"], row["n_empty"]) \
+            == (n_a, n_b, n_empty)
+        if n_empty == 0:
+            acc = 0.0
+            for i in range(10):
+                pa_ = float(int(ca[i])) / float(n_a)
+                pb_ = float(int(cb[i])) / float(n_b)
+                acc += (pa_ - pb_) * math.log(pa_ / pb_)
+            assert row["psi"] == acc
+        else:
+            assert np.isnan(row["psi"])
