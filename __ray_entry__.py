@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 320 ``queries()`` entries, 315 with DuckDB value
+Round-5 final surface: 321 ``queries()`` entries, 316 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -451,6 +451,46 @@ def _e4_varint_size(sf_dir: str):
 
     return validated(_docs_sequences(sf_dir)).map_batches(
         varint_size_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _c7_consensus(sf_dir: str, k: int = 25):
+    """C7 — the family's end-use composite: every series through the
+    ESD, CUSUM and threshold detectors in ONE pass (one kernel calls
+    all three on the batch in hand — no re-read, no join exchange),
+    votes = how many of the three flag >= 1 anomaly, then the
+    block-pruned distributed top-k report under the total order
+    (votes desc, n_esd desc, doc_id, part_id)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import detect_batch
+    from anomalydetection_ray.stages.topk import topk
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        e = detect_batch(batch, detector="esd")
+        c = detect_batch(batch, detector="cusum")
+        t = detect_batch(batch, detector="threshold")
+        ne = np.asarray(e.column("n_anomalies"), dtype=np.int64)
+        nc = np.asarray(c.column("n_anomalies"), dtype=np.int64)
+        nt = np.asarray(t.column("n_anomalies"), dtype=np.int64)
+        votes = ((ne > 0).astype(np.int64) + (nc > 0).astype(np.int64)
+                 + (nt > 0).astype(np.int64))
+        return pa.table({
+            "doc_id": e.column("doc_id"),
+            "part_id": e.column("part_id"),
+            "votes": pa.array(votes, type=pa.int64()),
+            "n_esd": pa.array(ne, type=pa.int64()),
+            "n_cusum": pa.array(nc, type=pa.int64()),
+            "n_threshold": pa.array(nt, type=pa.int64()),
+        })
+
+    reports = validated(_docs_sequences(sf_dir)).map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True)
+    return topk(reports, k, [("votes", "descending"),
+                             ("n_esd", "descending"),
+                             ("doc_id", "ascending"),
+                             ("part_id", "ascending")])
 
 
 def _a64_diff_sign(sf_dir: str):
@@ -1144,6 +1184,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # G39 PSI value-drift between day-span halves (decile bins
         # fitted on half A; NULL on any empty bin, fold-ordered sum)
         "g39_psi_drift": q.g39_psi_drift,
+        # C7 detector-ensemble consensus report (esd+cusum+threshold
+        # votes in one kernel pass; block-pruned top-k)
+        "c7_consensus_report": _c7_consensus,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -2488,7 +2531,7 @@ def oracle_sql() -> dict[str, str]:
                END AS quality_score
         FROM q2
     """
-    return {
+    _d = {
         "ann_lsh_topk": _ann_lsh_sql(dim=_dim),
         "ann_ivf_topk": _ann_ivf_sql(dim=_dim),
         "rollup_tier1_docs": f"WITH {_SEQ_TOK_CTE}, {_T1_CTE} {_T1_SELECT}",
@@ -8801,3 +8844,24 @@ def oracle_sql() -> dict[str, str]:
             FROM n
         """,
     }
+    # C7 composite: the three per-series detector relations joined into
+    # one consensus report — each sub-oracle is the SAME string the
+    # individual detect_* checks run, wrapped as a subquery
+    _d["c7_consensus_report"] = f"""
+        SELECT e.doc_id, e.part_id,
+               CAST((CASE WHEN e.n_anomalies > 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN c.n_anomalies > 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN t.n_anomalies > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS votes,
+               CAST(e.n_anomalies AS BIGINT) AS n_esd,
+               CAST(c.n_anomalies AS BIGINT) AS n_cusum,
+               CAST(t.n_anomalies AS BIGINT) AS n_threshold
+        FROM ({_d["detect_esd"]}) e
+        JOIN ({_d["detect_cusum"]}) c
+          ON c.doc_id = e.doc_id AND c.part_id = e.part_id
+        JOIN ({_d["detect_threshold"]}) t
+          ON t.doc_id = e.doc_id AND t.part_id = e.part_id
+        ORDER BY votes DESC, n_esd DESC, e.doc_id, e.part_id
+        LIMIT 25
+    """
+    return _d

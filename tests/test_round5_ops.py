@@ -1059,3 +1059,37 @@ def test_psi_drift_bruteforce(ray_session):
             assert row["psi"] == acc
         else:
             assert np.isnan(row["psi"])
+
+
+# ------------------------------------------------------------- C7 ----
+def test_consensus_report_cross_consistency(ray_session):
+    """C7's votes must agree with the three individual detector
+    queries, and the emitted rows must be the top-25 under the
+    documented total order."""
+    import pandas as pd
+
+    import __ray_entry__ as e
+
+    q = e.queries()
+    got = q["c7_consensus_report"](SF).to_pandas()
+    dets = {}
+    for name in ["detect_esd", "detect_cusum", "detect_threshold"]:
+        dets[name] = (q[name](SF).to_pandas()
+                      .set_index(["doc_id", "part_id"])["n_anomalies"])
+    full = pd.DataFrame({
+        "n_esd": dets["detect_esd"],
+        "n_cusum": dets["detect_cusum"],
+        "n_threshold": dets["detect_threshold"],
+    })
+    full["votes"] = ((full["n_esd"] > 0).astype(int)
+                     + (full["n_cusum"] > 0).astype(int)
+                     + (full["n_threshold"] > 0).astype(int))
+    full = full.reset_index()
+    expect = full.sort_values(
+        ["votes", "n_esd", "doc_id", "part_id"],
+        ascending=[False, False, True, True]).head(25)
+    key = ["votes", "n_esd", "n_cusum", "n_threshold", "doc_id",
+           "part_id"]
+    got_s = got[key].sort_values(key).reset_index(drop=True)
+    exp_s = expect[key].sort_values(key).reset_index(drop=True)
+    assert got_s.equals(exp_s.astype(got_s.dtypes.to_dict()))
