@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 321 ``queries()`` entries, 316 with DuckDB value
+Round-5 final surface: 322 ``queries()`` entries, 317 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -1187,6 +1187,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # C7 detector-ensemble consensus report (esd+cusum+threshold
         # votes in one kernel pass; block-pruned top-k)
         "c7_consensus_report": _c7_consensus,
+        # G40 Kendall tau-b between zero-filled daily type series
+        # (rank-robust complement of W41/G20; exact nc/nd + ties)
+        "g40_kendall_daily": q.g40_kendall_daily,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -3513,6 +3516,64 @@ def oracle_sql() -> dict[str, str]:
                                          (a, b) -> a + b)
                    END AS psi
             FROM agg
+        """,
+        # G40: explicit zero-filled grid (range x types LEFT JOIN),
+        # O(d^2) day-pair self-join for nc/nd, tie pairs per series
+        "g40_kendall_daily": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY event_type, day),
+            g AS (SELECT min(day) AS lo, max(day) AS hi,
+                         CAST(max(day) - min(day) + 1 AS BIGINT) AS d
+                  FROM c),
+            days AS (SELECT unnest(range(g.lo, g.hi + 1)) AS day
+                     FROM g),
+            types AS (SELECT DISTINCT event_type FROM c),
+            grid AS (SELECT t.event_type, dd.day,
+                            CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+                     FROM types t CROSS JOIN days dd
+                     LEFT JOIN c ON c.event_type = t.event_type
+                                AND c.day = dd.day),
+            pr AS (SELECT a.event_type AS type_a,
+                          b.event_type AS type_b,
+                          a.day, a.n AS x, b.n AS y
+                   FROM grid a JOIN grid b
+                     ON a.event_type < b.event_type
+                    AND a.day = b.day),
+            cd AS (SELECT s1.type_a, s1.type_b,
+                          CAST(sum(CASE WHEN (s1.x - s2.x)
+                                             * (s1.y - s2.y) > 0
+                                        THEN 1 ELSE 0 END) AS BIGINT)
+                              AS nc,
+                          CAST(sum(CASE WHEN (s1.x - s2.x)
+                                             * (s1.y - s2.y) < 0
+                                        THEN 1 ELSE 0 END) AS BIGINT)
+                              AS nd
+                   FROM pr s1 JOIN pr s2
+                     ON s1.type_a = s2.type_a
+                    AND s1.type_b = s2.type_b
+                    AND s1.day < s2.day
+                   GROUP BY s1.type_a, s1.type_b),
+            ties AS (SELECT event_type,
+                            CAST(sum(m * (m - 1) // 2) AS BIGINT) AS t
+                     FROM (SELECT event_type, n,
+                                  CAST(count(*) AS BIGINT) AS m
+                           FROM grid GROUP BY event_type, n)
+                     GROUP BY event_type)
+            SELECT cd.type_a, cd.type_b, g.d AS n_days, cd.nc, cd.nd,
+                   CASE WHEN (g.d * (g.d - 1) // 2 - ta.t)
+                             * (g.d * (g.d - 1) // 2 - tb.t) > 0
+                        THEN CAST(cd.nc - cd.nd AS DOUBLE)
+                             / sqrt(CAST((g.d * (g.d - 1) // 2 - ta.t)
+                                         * (g.d * (g.d - 1) // 2
+                                            - tb.t) AS DOUBLE))
+                   END AS tau_b
+            FROM cd
+            CROSS JOIN g
+            JOIN ties ta ON ta.event_type = cd.type_a
+            JOIN ties tb ON tb.event_type = cd.type_b
         """,
         # V19: two group-bys over V1's word convention
         "v19_freq_spectrum": """

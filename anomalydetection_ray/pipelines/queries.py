@@ -8229,3 +8229,105 @@ def g39_psi_drift(sf_dir: str):
 
     return counts.groupby("event_type").map_groups(
         finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- G40 ----
+def g40_kendall_daily(sf_dir: str):
+    """G40 — Kendall tau-b between the zero-filled DAILY count series
+    of every event-type pair: the rank-robust complement of W41's
+    Pearson and G20's Spearman (tau survives the burst outliers that
+    wreck r, and its tie correction handles the zero-heavy grid
+    honestly).  nc/nd = concordant/discordant day pairs, tau_b =
+    (nc - nd) / sqrt((n0 - t_x)(n0 - t_y)) with n0 = d(d-1)/2 and
+    t_* the tied-pair counts — ALL exact int64; one pinned sqrt of
+    one exact product (< 2^53 for any realistic day span), one pinned
+    division.  Constant series emit NULL.
+
+    Scale shape: W41's — per-block (type, day) count partials, ONE
+    bounded exchange, single-group widen over the bounded grid (the
+    O(d^2) pair scan is over DAYS, a domain that grows with history,
+    never with corpus size)."""
+    import math
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    DAY_US = 86_400_000_000
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(us // DAY_US, type=pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "n": pc.cast(g.column("count_all"),
+                                      pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["event_type", "day"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_one", pa.array(np.zeros(batch.num_rows, dtype=np.int64)))
+
+    def widen(group: pa.Table) -> pa.Table:
+        et = group.column("event_type").to_pylist()
+        day = np.asarray(group.column("day"), dtype=np.int64)
+        cnt = np.asarray(group.column("n"), dtype=np.int64)
+        lo, hi = int(day.min()), int(day.max())
+        d = hi - lo + 1
+        types = sorted(set(et))
+        et_arr = np.asarray(et, dtype=object)
+        grids = {}
+        for t in types:
+            g = np.zeros(d, dtype=np.int64)
+            sel = et_arr == t
+            g[day[sel] - lo] = cnt[sel]
+            grids[t] = g
+
+        def tied_pairs(g: np.ndarray) -> int:
+            _, c = np.unique(g, return_counts=True)
+            return int((c * (c - 1) // 2).sum())
+
+        n0 = d * (d - 1) // 2
+        out = {k: [] for k in ["type_a", "type_b", "n_days", "nc",
+                               "nd", "tau_b"]}
+        for i, ta in enumerate(types):
+            for tb in types[i + 1:]:
+                x, y = grids[ta], grids[tb]
+                # sign-product counts over all day pairs, vectorized
+                # via the outer difference (d x d ints, d is bounded)
+                sx = np.sign(x[:, None] - x[None, :])
+                sy = np.sign(y[:, None] - y[None, :])
+                prod = sx * sy
+                iu = np.triu_indices(d, k=1)
+                nc = int((prod[iu] > 0).sum())
+                nd = int((prod[iu] < 0).sum())
+                tx, ty = tied_pairs(x), tied_pairs(y)
+                den2 = (n0 - tx) * (n0 - ty)
+                tau = (float(nc - nd) / math.sqrt(float(den2))
+                       if den2 > 0 else None)
+                out["type_a"].append(ta)
+                out["type_b"].append(tb)
+                out["n_days"].append(d)
+                out["nc"].append(nc)
+                out["nd"].append(nd)
+                out["tau_b"].append(tau)
+        return pa.table({
+            "type_a": pa.array(out["type_a"], type=pa.string()),
+            "type_b": pa.array(out["type_b"], type=pa.string()),
+            "n_days": pa.array(out["n_days"], type=pa.int64()),
+            "nc": pa.array(out["nc"], type=pa.int64()),
+            "nd": pa.array(out["nd"], type=pa.int64()),
+            "tau_b": pa.array(out["tau_b"], type=pa.float64(),
+                              from_pandas=True),
+        })
+
+    return (counts.map_batches(tag, batch_format="pyarrow")
+            .groupby("_one").map_groups(widen, batch_format="pyarrow"))

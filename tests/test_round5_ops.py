@@ -1093,3 +1093,45 @@ def test_consensus_report_cross_consistency(ray_session):
     got_s = got[key].sort_values(key).reset_index(drop=True)
     exp_s = expect[key].sort_values(key).reset_index(drop=True)
     assert got_s.equals(exp_s.astype(got_s.dtypes.to_dict()))
+
+
+# ------------------------------------------------------------ G40 ----
+def test_kendall_daily_bruteforce(ray_session):
+    from itertools import combinations
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["g40_kendall_daily"](SF).to_pandas()
+           .set_index(["type_a", "type_b"]))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    lo, hi = int(ev["day"].min()), int(ev["day"].max())
+    d = hi - lo + 1
+    grids = {}
+    for t, grp in ev.groupby("event_type"):
+        g = np.zeros(d, dtype=np.int64)
+        for day, c in grp.groupby("day").size().items():
+            g[int(day) - lo] = int(c)
+        grids[t] = g
+
+    def ties(g):
+        _, c = np.unique(g, return_counts=True)
+        return int((c * (c - 1) // 2).sum())
+
+    n0 = d * (d - 1) // 2
+    for ta, tb in combinations(sorted(grids), 2):
+        x, y = grids[ta], grids[tb]
+        nc = nd = 0
+        for i in range(d):            # O(d^2) reference loop
+            for j in range(i + 1, d):
+                p = (x[i] - x[j]) * (y[i] - y[j])
+                nc += p > 0
+                nd += p < 0
+        row = got.loc[(ta, tb)]
+        assert (row["n_days"], row["nc"], row["nd"]) == (d, nc, nd)
+        den2 = (n0 - ties(x)) * (n0 - ties(y))
+        if den2 > 0:
+            assert row["tau_b"] == float(nc - nd) / math.sqrt(float(den2))
+        else:
+            assert np.isnan(row["tau_b"])
