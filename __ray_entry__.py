@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 322 ``queries()`` entries, 317 with DuckDB value
+Round-5 final surface: 323 ``queries()`` entries, 318 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -1190,6 +1190,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # G40 Kendall tau-b between zero-filled daily type series
         # (rank-robust complement of W41/G20; exact nc/nd + ties)
         "g40_kendall_daily": q.g40_kendall_daily,
+        # V20 byte-bigram + conditional entropy per source (the
+        # predictability screen above T16's unigram entropy)
+        "v20_bigram_entropy": tx.v20_bigram_entropy,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -3574,6 +3577,53 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN g
             JOIN ties ta ON ta.event_type = cd.type_a
             JOIN ties tb ON tb.event_type = cd.type_b
+        """,
+        # V20: adjacent-char pairs per doc; H2 folds in (b1,b2) order,
+        # H1 over the b1 marginal of the SAME pair counts
+        "v20_bigram_entropy": """
+            WITH pos AS (
+              SELECT source, text,
+                     unnest(generate_series(1, length(text) - 1)) AS i
+              FROM documents WHERE length(text) >= 2),
+            pc AS MATERIALIZED (
+              SELECT source,
+                     ascii(substr(text, CAST(i AS INTEGER), 1)) AS b1,
+                     ascii(substr(text, CAST(i + 1 AS INTEGER), 1))
+                         AS b2,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM pos GROUP BY source, b1, b2),
+            t AS (SELECT source, CAST(sum(n) AS BIGINT) AS total,
+                         count(*) AS np
+                  FROM pc GROUP BY source),
+            mg AS (SELECT source, b1, CAST(sum(n) AS BIGINT) AS n
+                   FROM pc GROUP BY source, b1),
+            f2 AS (SELECT pc.source,
+                          list(CAST(pc.n AS DOUBLE)
+                               / CAST(t.total AS DOUBLE)
+                               * ln(CAST(pc.n AS DOUBLE)
+                                    / CAST(t.total AS DOUBLE))
+                               ORDER BY pc.b1, pc.b2) AS xs
+                   FROM pc JOIN t USING (source)
+                   GROUP BY pc.source),
+            f1 AS (SELECT mg.source,
+                          list(CAST(mg.n AS DOUBLE)
+                               / CAST(t.total AS DOUBLE)
+                               * ln(CAST(mg.n AS DOUBLE)
+                                    / CAST(t.total AS DOUBLE))
+                               ORDER BY mg.b1) AS xs
+                   FROM mg JOIN t USING (source)
+                   GROUP BY mg.source)
+            SELECT t.source, t.total AS total_pairs,
+                   CAST(t.np AS BIGINT) AS n_distinct_pairs,
+                   -list_reduce(list_prepend(0.0, f2.xs),
+                                (a, b) -> a + b) AS h2,
+                   -list_reduce(list_prepend(0.0, f1.xs),
+                                (a, b) -> a + b) AS h1,
+                   (-list_reduce(list_prepend(0.0, f2.xs),
+                                 (a, b) -> a + b))
+                   - (-list_reduce(list_prepend(0.0, f1.xs),
+                                   (a, b) -> a + b)) AS cond_entropy
+            FROM t JOIN f2 USING (source) JOIN f1 USING (source)
         """,
         # V19: two group-bys over V1's word convention
         "v19_freq_spectrum": """

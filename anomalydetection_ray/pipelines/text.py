@@ -1128,3 +1128,96 @@ def t21_readability(sf_dir: str):
         })
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- V20 ----
+def v20_bigram_entropy(sf_dir: str):
+    """V20 — per-source byte-BIGRAM entropy H2 and the conditional
+    entropy H(next | prev) = H2 - H1: the predictability screen one
+    level above T16's unigram entropy (natural prose is far more
+    predictable bigram-to-bigram than its unigram histogram suggests;
+    markup soup and encoding damage are not).  H1 is the first-byte
+    marginal DERIVED FROM THE SAME pair counts (all bytes but each
+    doc's last), so the identity H2 >= H1 holds exactly.
+
+    Scale shape: T16's — per-block (source, b1, b2) ``bincount``
+    partials over source*65536 keys (bounded regardless of text
+    volume; pairs never cross document boundaries), ONE exchange, a
+    per-source finalize.  Exactness: pair counts exact ints; H2 folds
+    in (b1, b2) order and H1 in b1 order from 0.0 — the oracle replays
+    both via list_reduce — and cond = H2 - H1 is the same two-negation
+    IEEE expression on both sides."""
+    import math
+
+    import pandas as pd
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, offsets = _flat_utf8(batch)
+        src = batch.column("source").to_pandas()
+        codes, uniques = pd.factorize(src, sort=True)
+        lens = np.diff(offsets)
+        N = int(offsets[-1])
+        if N < 2:
+            return pa.table({
+                "source": pa.array([], type=pa.string()),
+                "b1": pa.array([], type=pa.int64()),
+                "b2": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+            })
+        rc = np.repeat(codes.astype(np.int64), lens)
+        mask = np.ones(N - 1, dtype=bool)
+        inner = offsets[1:-1]                # pairs ending at a row start
+        inner = inner[(inner >= 1) & (inner <= N - 1)]
+        mask[inner - 1] = False
+        b1 = flat[:-1][mask].astype(np.int64)
+        b2 = flat[1:][mask].astype(np.int64)
+        rcp = rc[:-1][mask]
+        key = rcp * 65536 + b1 * 256 + b2
+        counts = np.bincount(key, minlength=len(uniques) * 65536)
+        nz = np.flatnonzero(counts)
+        return pa.table({
+            "source": pa.array(
+                np.asarray(uniques, dtype=object)[nz // 65536],
+                type=pa.string()),
+            "b1": pa.array((nz % 65536) // 256, type=pa.int64()),
+            "b2": pa.array(nz % 256, type=pa.int64()),
+            "n": pa.array(counts[nz], type=pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def finish(group: pa.Table) -> pa.Table:
+        t = (group.group_by(["source", "b1", "b2"])
+             .aggregate([("n", "sum")])
+             .sort_by([("b1", "ascending"), ("b2", "ascending")]))
+        n = np.asarray(t.column("n_sum"), dtype=np.int64)
+        total = int(n.sum())
+        acc2 = 0.0
+        for c in n.tolist():              # bounded: <= 65536 pairs
+            p = float(int(c)) / float(total)
+            acc2 = acc2 + p * math.log(p)
+        h2 = -acc2
+        m = (pa.table({"b1": t.column("b1"), "n": t.column("n_sum")})
+             .group_by(["b1"]).aggregate([("n", "sum")])
+             .sort_by([("b1", "ascending")]))
+        acc1 = 0.0
+        for c in np.asarray(m.column("n_sum"), dtype=np.int64).tolist():
+            p = float(int(c)) / float(total)
+            acc1 = acc1 + p * math.log(p)
+        h1 = -acc1
+        return pa.table({
+            "source": t.column("source").slice(0, 1),
+            "total_pairs": pa.array([total], type=pa.int64()),
+            "n_distinct_pairs": pa.array([n.shape[0]], type=pa.int64()),
+            "h2": pa.array([h2], type=pa.float64()),
+            "h1": pa.array([h1], type=pa.float64()),
+            "cond_entropy": pa.array([h2 - h1], type=pa.float64()),
+        })
+
+    return partials.groupby("source").map_groups(
+        finish, batch_format="pyarrow")

@@ -1135,3 +1135,40 @@ def test_kendall_daily_bruteforce(ray_session):
             assert row["tau_b"] == float(nc - nd) / math.sqrt(float(den2))
         else:
             assert np.isnan(row["tau_b"])
+
+
+# ------------------------------------------------------------ V20 ----
+def test_bigram_entropy_bruteforce(ray_session):
+    from collections import Counter
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["v20_bigram_entropy"](SF).to_pandas()
+           .set_index("source"))
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    for src, grp in docs.groupby("source"):
+        pairs = Counter()
+        for t in grp["text"]:
+            b = t.encode("utf-8")
+            for i in range(len(b) - 1):
+                pairs[(b[i], b[i + 1])] += 1
+        total = sum(pairs.values())
+        acc2 = 0.0
+        for k in sorted(pairs):
+            p = float(pairs[k]) / float(total)
+            acc2 = acc2 + p * math.log(p)
+        marg = Counter()
+        for (b1, _), n in pairs.items():
+            marg[b1] += n
+        acc1 = 0.0
+        for k in sorted(marg):
+            p = float(marg[k]) / float(total)
+            acc1 = acc1 + p * math.log(p)
+        row = got.loc[src]
+        assert (row["total_pairs"], row["n_distinct_pairs"]) \
+            == (total, len(pairs))
+        assert row["h2"] == -acc2
+        assert row["h1"] == -acc1
+        assert row["cond_entropy"] == (-acc2) - (-acc1)
+        assert row["h2"] >= row["h1"] - 1e-12       # H2 >= H1 identity
