@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 323 ``queries()`` entries, 318 with DuckDB value
+Round-5 final surface: 324 ``queries()`` entries, 319 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -1193,6 +1193,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # V20 byte-bigram + conditional entropy per source (the
         # predictability screen above T16's unigram entropy)
         "v20_bigram_entropy": tx.v20_bigram_entropy,
+        # K19 per-dimension ANOVA F across labels (which embedding
+        # dims separate the classes; label-ordered SSW fold)
+        "k19_anova_f": km.k19_anova_f,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -3624,6 +3627,48 @@ def oracle_sql() -> dict[str, str]:
                    - (-list_reduce(list_prepend(0.0, f1.xs),
                                    (a, b) -> a + b)) AS cond_entropy
             FROM t JOIN f2 USING (source) JOIN f1 USING (source)
+        """,
+        # K19: K5's 2^20 quantization; per-(dim,label) int moments;
+        # SSW list_reduce fold in label order; SST/SSB/F pinned
+        "k19_anova_f": """
+            WITH u AS (
+              SELECT label, CAST(t.i - 1 AS BIGINT) AS dim,
+                     CAST(floor(CAST(embedding[t.i] AS DOUBLE)
+                                * 1048576 + 0.5) AS BIGINT) AS q
+              FROM embeddings
+              CROSS JOIN unnest(range(1, len(embedding) + 1)) AS t(i)),
+            g AS (SELECT dim, label, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(q) AS BIGINT) AS s,
+                         CAST(sum(q * q) AS BIGINT) AS q2
+                  FROM u GROUP BY dim, label),
+            t2 AS (SELECT dim, CAST(sum(n) AS BIGINT) AS nn,
+                          CAST(sum(s) AS BIGINT) AS ss,
+                          CAST(sum(q2) AS BIGINT) AS qq,
+                          CAST(count(*) AS BIGINT) AS k
+                   FROM g GROUP BY dim),
+            fo AS (SELECT g.dim,
+                          list_reduce(list_prepend(0.0,
+                              list(CAST(g.q2 AS DOUBLE)
+                                   - CAST(g.s AS DOUBLE)
+                                     * CAST(g.s AS DOUBLE)
+                                     / CAST(g.n AS DOUBLE)
+                                   ORDER BY g.label)),
+                              (a, b) -> a + b) AS ssw
+                   FROM g GROUP BY g.dim)
+            SELECT t2.dim, t2.nn AS n, t2.k AS k_labels, fo.ssw,
+                   (CAST(t2.qq AS DOUBLE)
+                    - CAST(t2.ss AS DOUBLE) * CAST(t2.ss AS DOUBLE)
+                      / CAST(t2.nn AS DOUBLE)) - fo.ssw AS ssb,
+                   CASE WHEN t2.k >= 2 AND t2.nn > t2.k
+                             AND fo.ssw > 0
+                        THEN (((CAST(t2.qq AS DOUBLE)
+                                - CAST(t2.ss AS DOUBLE)
+                                  * CAST(t2.ss AS DOUBLE)
+                                  / CAST(t2.nn AS DOUBLE)) - fo.ssw)
+                              / CAST(t2.k - 1 AS DOUBLE))
+                             / (fo.ssw / CAST(t2.nn - t2.k AS DOUBLE))
+                   END AS f_stat
+            FROM t2 JOIN fo USING (dim)
         """,
         # V19: two group-bys over V1's word convention
         "v19_freq_spectrum": """

@@ -730,3 +730,85 @@ def k18_label_medoids(sf_dir: str):
 
     return ds.groupby("label").map_groups(kernel,
                                           batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- K19 ----
+def k19_anova_f(sf_dir: str):
+    """K19 — per-dimension one-way ANOVA F across labels over the
+    embedding matrix: which dimensions actually separate the classes
+    (the feature-selection screen next to K5's scaling stats and K6's
+    redundancy map).  F = (SSB/(k-1)) / (SSW/(N-k)) with SSW/SSB from
+    the micro-quantized per-(dim, label) moments.
+
+    Determinism: per-(dim, label) n/sum/sumsq are exact int64 (K5's
+    quantization); SSW folds over labels in ascending label order from
+    0.0 with the per-label term ``q2 - s*s/n`` (the oracle replays the
+    fold via list_reduce), SST is the same three-op expression on the
+    exact totals, SSB = SST - SSW, and F is the final two pinned
+    divisions.  k < 2, N <= k or SSW <= 0 emits NULL.
+
+    Scale shape: per-block (dim, label) moment partials (dims x labels
+    rows per block regardless of block size), ONE bounded exchange, a
+    per-DIM finalize."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding", "label"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, ef = _emb_f64(batch.append_column(
+            "vec_id", pa.array(np.zeros(batch.num_rows, dtype=np.int64))))
+        q = np.floor(ef * ESCALE + 0.5).astype(np.int64)
+        lab = np.asarray(batch.column("label"), dtype=np.int64)
+        dim = q.shape[1] if q.size else 0
+        out = {"dim": [], "label": [], "n": [], "s": [], "q2": []}
+        for g in np.unique(lab):
+            rows = q[lab == g]
+            out["dim"].append(np.arange(dim, dtype=np.int64))
+            out["label"].append(np.full(dim, g, dtype=np.int64))
+            out["n"].append(np.full(dim, rows.shape[0], dtype=np.int64))
+            out["s"].append(rows.sum(axis=0))
+            out["q2"].append((rows * rows).sum(axis=0))
+        if not out["dim"]:
+            return pa.table({k: pa.array([], type=pa.int64())
+                             for k in out})
+        return pa.table({k: pa.array(np.concatenate(v), type=pa.int64())
+                         for k, v in out.items()})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def finalize(group: pa.Table) -> pa.Table:
+        d = group.column("dim")[0].as_py()
+        lab = np.asarray(group.column("label"), dtype=np.int64)
+        n = np.asarray(group.column("n"), dtype=np.int64)
+        s = np.asarray(group.column("s"), dtype=np.int64)
+        q2 = np.asarray(group.column("q2"), dtype=np.int64)
+        labels = sorted(set(lab.tolist()))
+        k = len(labels)
+        NN = int(n.sum())
+        SS = sum(int(v) for v in s.tolist())
+        QQ = sum(int(v) for v in q2.tolist())
+        ssw = 0.0
+        for g in labels:                  # ascending-label fold
+            sel = lab == g
+            ng = int(n[sel].sum())
+            sg = sum(int(v) for v in s[sel].tolist())
+            qg = sum(int(v) for v in q2[sel].tolist())
+            ssw = ssw + (float(qg) - float(sg) * float(sg) / float(ng))
+        sst = float(QQ) - float(SS) * float(SS) / float(NN)
+        ssb = sst - ssw
+        f = ((ssb / float(k - 1)) / (ssw / float(NN - k))
+             if k >= 2 and NN > k and ssw > 0 else None)
+        return pa.table({
+            "dim": pa.array([d], type=pa.int64()),
+            "n": pa.array([NN], type=pa.int64()),
+            "k_labels": pa.array([k], type=pa.int64()),
+            "ssw": pa.array([ssw], type=pa.float64()),
+            "ssb": pa.array([ssb], type=pa.float64()),
+            "f_stat": pa.array([f], type=pa.float64(),
+                               from_pandas=True),
+        })
+
+    return partials.groupby("dim").map_groups(finalize,
+                                              batch_format="pyarrow")

@@ -1172,3 +1172,37 @@ def test_bigram_entropy_bruteforce(ray_session):
         assert row["h1"] == -acc1
         assert row["cond_entropy"] == (-acc2) - (-acc1)
         assert row["h2"] >= row["h1"] - 1e-12       # H2 >= H1 identity
+
+
+# ------------------------------------------------------------ K19 ----
+def test_anova_f_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["k19_anova_f"](SF).to_pandas()
+           .set_index("dim").sort_index())
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    q = np.floor(np.stack(emb["embedding"].to_numpy())
+                 * (1 << 20) + 0.5).astype(np.int64)
+    lab = emb["label"].to_numpy()
+    labels = sorted(set(lab.tolist()))
+    N, D = q.shape
+    k = len(labels)
+    for d in range(D):
+        col = q[:, d]
+        ssw = 0.0
+        for g in labels:
+            x = col[lab == g]
+            ng = len(x)
+            sg, qg = int(x.sum()), int((x * x).sum())
+            ssw = ssw + (float(qg) - float(sg) * float(sg) / float(ng))
+        S, Q = int(col.sum()), int((col * col).sum())
+        sst = float(Q) - float(S) * float(S) / float(N)
+        ssb = sst - ssw
+        row = got.loc[d]
+        assert (row["n"], row["k_labels"]) == (N, k)
+        assert row["ssw"] == ssw and row["ssb"] == ssb
+        if k >= 2 and N > k and ssw > 0:
+            assert row["f_stat"] == \
+                (ssb / float(k - 1)) / (ssw / float(N - k))
+        else:
+            assert np.isnan(row["f_stat"])
