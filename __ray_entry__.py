@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 324 ``queries()`` entries, 319 with DuckDB value
+Round-5 final surface: 325 ``queries()`` entries, 320 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -491,6 +491,14 @@ def _c7_consensus(sf_dir: str, k: int = 25):
                              ("n_esd", "descending"),
                              ("doc_id", "ascending"),
                              ("part_id", "ascending")])
+
+
+def _a65_hjorth(sf_dir: str):
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import hjorth_batch
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        hjorth_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _a64_diff_sign(sf_dir: str):
@@ -1196,6 +1204,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # K19 per-dimension ANOVA F across labels (which embedding
         # dims separate the classes; label-ordered SSW fold)
         "k19_anova_f": km.k19_anova_f,
+        # A65 Hjorth activity/mobility/complexity per series (the
+        # no-FFT spectral triple; ratio-form split casts)
+        "a65_hjorth": _a65_hjorth,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -3669,6 +3680,80 @@ def oracle_sql() -> dict[str, str]:
                              / (fo.ssw / CAST(t2.nn - t2.k AS DOUBLE))
                    END AS f_stat
             FROM t2 JOIN fo USING (dim)
+        """,
+        # A65: m_j = n_j*Q_j - S_j^2 over x, dx, ddx in HUGEINT;
+        # ratio-form pinned chains with the 32-bit-split casts
+        "a65_hjorth": f"""
+            WITH {_SEQ_TOK_CTE},
+            s AS MATERIALIZED (
+                SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                       pos % 1000000 AS i, CAST(v AS BIGINT) AS v FROM tok),
+            dd1 AS (SELECT doc_id, part_id, i,
+                           v - lag(v) OVER (PARTITION BY doc_id, part_id
+                                            ORDER BY i) AS d
+                    FROM s),
+            d1n AS (SELECT doc_id, part_id, i, d FROM dd1
+                    WHERE d IS NOT NULL),
+            dd2 AS (SELECT doc_id, part_id, i,
+                           d - lag(d) OVER (PARTITION BY doc_id, part_id
+                                            ORDER BY i) AS e
+                    FROM d1n),
+            d2n AS (SELECT doc_id, part_id, i, e FROM dd2
+                    WHERE e IS NOT NULL),
+            mm0 AS (SELECT doc_id, part_id,
+                           CAST(count(*) AS BIGINT) AS n0,
+                           CAST(count(*) AS HUGEINT)
+                               * sum(CAST(v AS HUGEINT) * v)
+                               - CAST(sum(v) AS HUGEINT) * sum(v) AS m0
+                    FROM s GROUP BY doc_id, part_id),
+            mm1 AS (SELECT doc_id, part_id,
+                           CAST(count(*) AS BIGINT) AS n1,
+                           CAST(count(*) AS HUGEINT)
+                               * sum(CAST(d AS HUGEINT) * d)
+                               - CAST(sum(d) AS HUGEINT) * sum(d) AS m1
+                    FROM d1n GROUP BY doc_id, part_id),
+            mm2 AS (SELECT doc_id, part_id,
+                           CAST(count(*) AS BIGINT) AS n2,
+                           CAST(count(*) AS HUGEINT)
+                               * sum(CAST(e AS HUGEINT) * e)
+                               - CAST(sum(e) AS HUGEINT) * sum(e) AS m2
+                    FROM d2n GROUP BY doc_id, part_id),
+            base AS (
+                SELECT mm0.doc_id, mm0.part_id, mm0.n0, mm0.m0,
+                       mm1.n1, mm1.m1, mm2.n2, mm2.m2,
+                       (CAST(mm0.m0 // 4294967296 AS DOUBLE)
+                        * 4294967296.0
+                        + CAST(mm0.m0 % 4294967296 AS DOUBLE))
+                           AS sd0,
+                       (CAST(mm1.m1 // 4294967296 AS DOUBLE)
+                        * 4294967296.0
+                        + CAST(mm1.m1 % 4294967296 AS DOUBLE))
+                           AS sd1,
+                       (CAST(mm2.m2 // 4294967296 AS DOUBLE)
+                        * 4294967296.0
+                        + CAST(mm2.m2 % 4294967296 AS DOUBLE))
+                           AS sd2
+                FROM mm0
+                LEFT JOIN mm1 USING (doc_id, part_id)
+                LEFT JOIN mm2 USING (doc_id, part_id)),
+            mid AS (
+                SELECT *,
+                       CASE WHEN n0 >= 2 AND m0 <> 0
+                            THEN sqrt(sd1 / sd0)
+                                 * (CAST(n0 AS DOUBLE)
+                                    / CAST(n1 AS DOUBLE))
+                       END AS mobility
+                FROM base)
+            SELECT doc_id, part_id, n0 AS n,
+                   sd0 / (CAST(n0 AS DOUBLE) * CAST(n0 AS DOUBLE))
+                       AS activity,
+                   mobility,
+                   CASE WHEN n0 >= 3 AND m1 <> 0 AND mobility <> 0
+                        THEN (sqrt(sd2 / sd1)
+                              * (CAST(n1 AS DOUBLE)
+                                 / CAST(n2 AS DOUBLE))) / mobility
+                   END AS complexity
+            FROM mid
         """,
         # V19: two group-bys over V1's word convention
         "v19_freq_spectrum": """

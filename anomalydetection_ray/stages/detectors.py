@@ -1683,3 +1683,75 @@ def diff_sign_batch(batch: pa.Table) -> pa.Table:
         "n_asc": pa.array(n_asc, type=pa.int64()),
         "z_diff_sign": pa.array(z, type=pa.float64(), mask=~ok),
     })
+
+
+def hjorth_batch(batch: pa.Table) -> pa.Table:
+    """A65 — Hjorth parameters per series (Hjorth 1970, the EEG-era
+    time-domain triple still standard in signal screens): activity =
+    population variance, mobility = sqrt(var(dx)/var(x)), complexity =
+    mobility(dx)/mobility(x) — a three-number spectral summary (mean
+    frequency + bandwidth proxies) with no FFT.
+
+    Exactness: with m_j = n_j*Q_j - S_j^2 the n-scaled variance
+    numerators of the series, its first and second differences (exact
+    Python/HUGEINT ints), the pinned float chains are
+        activity   = sd(m0) / (n0 * n0)
+        mobility   = sqrt(sd(m1) / sd(m0)) * (n0 / n1)
+        complexity = sqrt(sd(m2) / sd(m1)) * (n1 / n2) / mobility
+    (sd = the 32-bit-split cast; each n as double).  The ratio form
+    keeps magnitudes at the m_j themselves — no m*n^2 products.  NULL
+    mobility when n < 2 or m0 = 0; NULL complexity when n < 3, m1 = 0
+    or mobility = 0."""
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.int64)
+    lens = np.diff(offsets)
+    nrows = lens.shape[0]
+    act = np.zeros(nrows, dtype=np.float64)
+    mob = np.zeros(nrows, dtype=np.float64)
+    cpx = np.zeros(nrows, dtype=np.float64)
+    act_ok = np.zeros(nrows, dtype=bool)
+    mob_ok = np.zeros(nrows, dtype=bool)
+    cpx_ok = np.zeros(nrows, dtype=bool)
+
+    def mvar(x: np.ndarray) -> int:
+        n = int(x.shape[0])
+        s = int(x.sum())
+        q = sum(int(t) * int(t) for t in x.tolist())
+        return n * q - s * s
+
+    for i in range(nrows):
+        x = v[offsets[i]:offsets[i + 1]]
+        n0 = int(x.shape[0])
+        if n0 == 0:
+            continue
+        m0 = mvar(x)
+        act[i] = _split_double(m0) / (float(n0) * float(n0))
+        act_ok[i] = True
+        if n0 < 2 or m0 == 0:
+            continue
+        d1 = np.diff(x)
+        n1 = n0 - 1
+        m1 = mvar(d1)
+        mob[i] = (math.sqrt(_split_double(m1) / _split_double(m0))
+                  * (float(n0) / float(n1)))
+        mob_ok[i] = True
+        if n0 < 3 or m1 == 0 or mob[i] == 0.0:
+            continue
+        d2 = np.diff(d1)
+        n2 = n0 - 2
+        m2 = mvar(d2)
+        cpx[i] = (math.sqrt(_split_double(m2) / _split_double(m1))
+                  * (float(n1) / float(n2))) / mob[i]
+        cpx_ok[i] = True
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "n": pa.array(lens, type=pa.int64()),
+        "activity": pa.array(act, type=pa.float64(), mask=~act_ok),
+        "mobility": pa.array(mob, type=pa.float64(), mask=~mob_ok),
+        "complexity": pa.array(cpx, type=pa.float64(), mask=~cpx_ok),
+    })

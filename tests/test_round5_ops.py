@@ -1206,3 +1206,44 @@ def test_anova_f_bruteforce(ray_session):
                 (ssb / float(k - 1)) / (ssw / float(N - k))
         else:
             assert np.isnan(row["f_stat"])
+
+
+# ------------------------------------------------------------ A65 ----
+def test_hjorth_bruteforce():
+    from anomalydetection_ray.stages.detectors import (_split_double,
+                                                       hjorth_batch)
+
+    rng = np.random.default_rng(31)
+    series = [list(rng.integers(0, 1000, size=rng.integers(1, 200)))
+              for _ in range(20)]
+    series.append([42] * 10)                # zero variance
+    series.append(list(range(0, 100, 3)))   # linear: d2 all zero
+    out = hjorth_batch(_tok_batch(series)).to_pylist()
+    for row, s in zip(out, series):
+        x = [int(v) for v in s]
+        n0 = len(x)
+
+        def m(xs):
+            nn = len(xs)
+            return nn * sum(t * t for t in xs) - sum(xs) ** 2
+
+        m0 = m(x)
+        assert row["n"] == n0
+        assert row["activity"] == \
+            _split_double(m0) / (float(n0) * float(n0))
+        if n0 < 2 or m0 == 0:
+            assert row["mobility"] is None
+            continue
+        d1 = [x[i + 1] - x[i] for i in range(n0 - 1)]
+        m1 = m(d1)
+        mob = (math.sqrt(_split_double(m1) / _split_double(m0))
+               * (float(n0) / float(n0 - 1)))
+        assert row["mobility"] == mob
+        if n0 < 3 or m1 == 0 or mob == 0.0:
+            assert row["complexity"] is None
+            continue
+        d2 = [d1[i + 1] - d1[i] for i in range(len(d1) - 1)]
+        m2 = m(d2)
+        assert row["complexity"] == \
+            (math.sqrt(_split_double(m2) / _split_double(m1))
+             * (float(n0 - 1) / float(n0 - 2))) / mob
