@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 325 ``queries()`` entries, 320 with DuckDB value
+Round-5 final surface: 326 ``queries()`` entries, 321 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -1207,6 +1207,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A65 Hjorth activity/mobility/complexity per series (the
         # no-FFT spectral triple; ratio-form split casts)
         "a65_hjorth": _a65_hjorth,
+        # W45 repeat-purchase cadence per user (lower-median/min/max
+        # inter-purchase gap; purchase filter before the exchange)
+        "w45_purchase_cadence": wnd.w45_purchase_cadence,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -3754,6 +3757,39 @@ def oracle_sql() -> dict[str, str]:
                                  / CAST(n2 AS DOUBLE))) / mobility
                    END AS complexity
             FROM mid
+        """,
+        # W45: gaps via lag within user (ts, event_id order); lower
+        # median = the (m+1)//2-th smallest via row_number
+        "w45_purchase_cadence": """
+            WITH p AS (
+              SELECT user_id, event_id, epoch_us(ts) AS us
+              FROM events WHERE event_type = 'purchase'),
+            d AS (SELECT user_id,
+                         us - lag(us) OVER (PARTITION BY user_id
+                                            ORDER BY us, event_id)
+                             AS gap
+                  FROM p),
+            g AS (SELECT user_id, gap,
+                         CAST(row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY gap)
+                              AS BIGINT) AS rk,
+                         CAST(count(*) OVER (PARTITION BY user_id)
+                              AS BIGINT) AS m
+                  FROM d WHERE gap IS NOT NULL),
+            n AS (SELECT user_id, CAST(count(*) AS BIGINT)
+                             AS n_purchases
+                  FROM p GROUP BY user_id),
+            agg AS (SELECT user_id, any_value(m) AS n_gaps,
+                           CAST(min(gap) AS BIGINT) AS min_gap_us,
+                           CAST(max(gap) AS BIGINT) AS max_gap_us,
+                           CAST(min(CASE WHEN rk = (m + 1) // 2
+                                         THEN gap END) AS BIGINT)
+                               AS median_gap_us
+                    FROM g GROUP BY user_id)
+            SELECT n.user_id, n.n_purchases,
+                   CAST(COALESCE(agg.n_gaps, 0) AS BIGINT) AS n_gaps,
+                   agg.median_gap_us, agg.min_gap_us, agg.max_gap_us
+            FROM n LEFT JOIN agg USING (user_id)
         """,
         # V19: two group-bys over V1's word convention
         "v19_freq_spectrum": """

@@ -2989,3 +2989,91 @@ def w43_rolling_median(sf_dir: str, window: int = 5,
     return tagged.groupby(PKEY).map_groups(
         functools.partial(_rolling_median_kernel, window=window),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- W45 ----
+def _purchase_cadence_kernel(group: pa.Table) -> pa.Table:
+    """Per-user purchase-gap order statistics in (ts, event_id) order:
+    n_purchases, n_gaps, and the LOWER-median / min / max inter-purchase
+    gap in exact int64 microseconds (G37's float-free rank rule — the
+    (m+1)//2-th smallest gap).  Vectorized: one lexsort by (user-seg,
+    gap) serves every user's rank read-off at once."""
+    group = group.drop_columns([PKEY]).sort_by(
+        [("user_id", "ascending"), ("ts", "ascending"),
+         ("event_id", "ascending")])
+    n = group.num_rows
+    if n == 0:
+        return pa.table({
+            "user_id": pa.array([], type=pa.int64()),
+            "n_purchases": pa.array([], type=pa.int64()),
+            "n_gaps": pa.array([], type=pa.int64()),
+            "median_gap_us": pa.array([], type=pa.int64()),
+            "min_gap_us": pa.array([], type=pa.int64()),
+            "max_gap_us": pa.array([], type=pa.int64()),
+        })
+    uid = np.asarray(group.column("user_id"), dtype=np.int64)
+    ts = _ts_us(group.column("ts"))
+    starts = run_starts(group, ["user_id"])
+    lens = np.diff(np.append(starts, n))
+    seg = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
+    same = np.zeros(n, dtype=bool)
+    if n > 1:
+        same[1:] = seg[1:] == seg[:-1]
+    gaps = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        gaps[1:] = ts[1:] - ts[:-1]
+    g = gaps[same]
+    gseg = seg[same]
+    m = np.zeros(len(starts), dtype=np.int64)
+    np.add.at(m, gseg, 1)
+    med = np.zeros(len(starts), dtype=np.int64)
+    gmin = np.zeros(len(starts), dtype=np.int64)
+    gmax = np.zeros(len(starts), dtype=np.int64)
+    has = m > 0
+    if g.shape[0]:
+        order = np.lexsort((g, gseg))
+        gs, gg = gseg[order], g[order]
+        seg_starts = np.searchsorted(gs, np.arange(len(starts),
+                                                   dtype=np.int64))
+        idx = seg_starts[has] + (m[has] + 1) // 2 - 1
+        med[has] = gg[idx]
+        gmin[has] = gg[seg_starts[has]]
+        gmax[has] = gg[seg_starts[has] + m[has] - 1]
+    return pa.table({
+        "user_id": pa.array(uid[starts], type=pa.int64()),
+        "n_purchases": pa.array(lens.astype(np.int64), type=pa.int64()),
+        "n_gaps": pa.array(m, type=pa.int64()),
+        "median_gap_us": pa.array(med, type=pa.int64(), mask=~has),
+        "min_gap_us": pa.array(gmin, type=pa.int64(), mask=~has),
+        "max_gap_us": pa.array(gmax, type=pa.int64(), mask=~has),
+    })
+
+
+def w45_purchase_cadence(sf_dir: str, num_partitions: int = 16):
+    """W45 — repeat-purchase cadence per user: lower-median / min / max
+    inter-PURCHASE gap (W40's cadence idea narrowed to the revenue
+    stream and keyed per user — "how often does this customer come
+    back?", the retention-forecast input next to W37's first-conversion
+    lag and J15's error-wait).  Single-purchase users emit NULL gaps.
+
+    Scale shape: the purchase filter runs map-side BEFORE the exchange
+    (only purchase rows ship), then W1's ONE ``_pkey`` exchange and a
+    vectorized order-statistics kernel."""
+    import pyarrow.compute as pc
+
+    ev = _read_events(sf_dir, ["event_id", "ts", "user_id",
+                               "event_type"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("event_type"),
+                                  "purchase"))
+        return t.drop_columns(["event_type"])
+
+    purchases = ev.map_batches(keep, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    tagged = purchases.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby(PKEY).map_groups(_purchase_cadence_kernel,
+                                           batch_format="pyarrow")

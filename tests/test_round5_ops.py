@@ -1247,3 +1247,31 @@ def test_hjorth_bruteforce():
         assert row["complexity"] == \
             (math.sqrt(_split_double(m2) / _split_double(m1))
              * (float(n0 - 1) / float(n0 - 2))) / mob
+
+
+# ------------------------------------------------------------ W45 ----
+def test_purchase_cadence_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["w45_purchase_cadence"](SF).to_pandas()
+           .set_index("user_id").sort_index())
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "ts", "user_id",
+                                "event_type"]).to_pandas()
+    p = ev[ev["event_type"] == "purchase"].copy()
+    p["us"] = p["ts"].astype("int64")
+    assert len(got) == p["user_id"].nunique()
+    for uid, grp in p.groupby("user_id"):
+        grp = grp.sort_values(["us", "event_id"])
+        us = grp["us"].to_numpy()
+        gaps = sorted((us[1:] - us[:-1]).tolist())
+        row = got.loc[uid]
+        assert (row["n_purchases"], row["n_gaps"]) \
+            == (len(grp), len(gaps))
+        if gaps:
+            assert row["median_gap_us"] == gaps[(len(gaps) + 1) // 2 - 1]
+            assert row["min_gap_us"] == gaps[0]
+            assert row["max_gap_us"] == gaps[-1]
+        else:
+            assert row[["median_gap_us", "min_gap_us",
+                        "max_gap_us"]].isna().all()
