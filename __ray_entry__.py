@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 326 ``queries()`` entries, 321 with DuckDB value
+Round-5 final surface: 327 ``queries()`` entries, 322 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -1210,6 +1210,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # W45 repeat-purchase cadence per user (lower-median/min/max
         # inter-purchase gap; purchase filter before the exchange)
         "w45_purchase_cadence": wnd.w45_purchase_cadence,
+        # V21 standardized TTR per source (STTR-25; length-bias-free
+        # richness, full doc-local chunks only)
+        "v21_sttr": tx.v21_sttr,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -3790,6 +3793,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(agg.n_gaps, 0) AS BIGINT) AS n_gaps,
                    agg.median_gap_us, agg.min_gap_us, agg.max_gap_us
             FROM n LEFT JOIN agg USING (user_id)
+        """,
+        # V21: doc-local 25-word full chunks; count(DISTINCT word)
+        # per chunk; one pinned division
+        "v21_sttr": """
+            WITH w AS (SELECT doc_id, source,
+                              list_filter(string_split(text, ' '),
+                                          x -> x <> '') AS ws
+                       FROM documents),
+            e AS (SELECT doc_id, source,
+                         CAST((t.i - 1) // 25 AS BIGINT) AS chunk,
+                         ws[t.i] AS word
+                  FROM w
+                  CROSS JOIN unnest(range(1, len(ws) + 1)) AS t(i)
+                  WHERE t.i <= (len(ws) // 25) * 25),
+            c AS (SELECT source, doc_id, chunk,
+                         CAST(count(DISTINCT word) AS BIGINT) AS types
+                  FROM e GROUP BY source, doc_id, chunk)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(types) AS BIGINT) AS sum_types,
+                   CAST(sum(types) AS DOUBLE)
+                       / CAST(25 * count(*) AS DOUBLE) AS sttr
+            FROM c GROUP BY source
         """,
         # V19: two group-bys over V1's word convention
         "v19_freq_spectrum": """

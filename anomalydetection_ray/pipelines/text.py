@@ -1221,3 +1221,97 @@ def v20_bigram_entropy(sf_dir: str):
 
     return partials.groupby("source").map_groups(
         finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- V21 ----
+def v21_sttr(sf_dir: str, chunk_words: int = 25):
+    """V21 — standardized type-token ratio per source (STTR-25): mean
+    distinct-word share over fixed ``chunk_words``-word windows, the
+    length-bias-free richness measure (plain TTR collapses as docs grow
+    — Herdan/Heaps — so V7's corpus TTR can't compare sources of
+    different doc lengths; STTR can).  Chunks are doc-local consecutive
+    word windows; the trailing partial chunk is DROPPED (only full
+    windows count), docs shorter than one chunk contribute nothing.
+
+    Exactness: per-chunk type counts are exact ints, sttr =
+    sum_types / (chunk_words * n_chunks) is ONE pinned division.
+
+    Scale shape: a document lives in one row, so chunking and
+    per-chunk distinct counting are MAP-SIDE (pure Arrow group_by in
+    the kernel); only (source, n_chunks, sum_types) partials ship —
+    one bounded exchange."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(words)
+        parent = np.asarray(pc.list_parent_indices(words),
+                            dtype=np.int64)
+        keep = np.asarray(pc.not_equal(flat, ""))
+        flat = flat.filter(pa.array(keep))
+        parent = parent[keep]
+        # word position within its doc, over the kept words
+        nw = np.bincount(parent, minlength=batch.num_rows)
+        starts = np.concatenate(([0], np.cumsum(nw)[:-1]))
+        pos = np.arange(parent.shape[0], dtype=np.int64) - starts[parent]
+        full = pos < (nw[parent] // chunk_words) * chunk_words
+        if not full.any():
+            return pa.table({
+                "source": pa.array([], type=pa.string()),
+                "n_chunks": pa.array([], type=pa.int64()),
+                "sum_types": pa.array([], type=pa.int64()),
+            })
+        t = pa.table({
+            "doc": pa.array(parent[full], type=pa.int64()),
+            "chunk": pa.array(pos[full] // chunk_words,
+                              type=pa.int64()),
+            "word": flat.filter(pa.array(full)),
+        })
+        per_chunk = (t.group_by(["doc", "chunk", "word"]).aggregate([])
+                     .group_by(["doc", "chunk"])
+                     .aggregate([([], "count_all")]))
+        src = batch.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        g = pa.table({
+            "source": src.take(per_chunk.column("doc")),
+            "types": per_chunk.column("count_all").cast(pa.int64()),
+        }).group_by(["source"]).aggregate([([], "count_all"),
+                                           ("types", "sum")])
+        return pa.table({
+            "source": g.column("source"),
+            "n_chunks": g.column("count_all").cast(pa.int64()),
+            "sum_types": g.column("types_sum").cast(pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    from ray.data.aggregate import Sum
+    agg = (partials.groupby("source")
+           .aggregate(Sum("n_chunks", alias_name="n_chunks"),
+                      Sum("sum_types", alias_name="sum_types")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nc = np.asarray(batch.column("n_chunks"), dtype=np.int64)
+        st = np.asarray(batch.column("sum_types"), dtype=np.int64)
+        sttr = np.zeros(nc.shape[0], dtype=np.float64)
+        ok = nc > 0
+        np.divide(st.astype(np.float64),
+                  (chunk_words * nc).astype(np.float64),
+                  out=sttr, where=ok)
+        return pa.table({
+            "source": batch.column("source"),
+            "n_chunks": pa.array(nc, type=pa.int64()),
+            "sum_types": pa.array(st, type=pa.int64()),
+            "sttr": pa.array(sttr, type=pa.float64(), mask=~ok),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

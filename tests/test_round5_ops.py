@@ -1275,3 +1275,28 @@ def test_purchase_cadence_bruteforce(ray_session):
         else:
             assert row[["median_gap_us", "min_gap_us",
                         "max_gap_us"]].isna().all()
+
+
+# ------------------------------------------------------------ V21 ----
+def test_sttr_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["v21_sttr"](SF).to_pandas()
+           .set_index("source"))
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    agg = {}
+    for src, grp in docs.groupby("source"):
+        nc = st = 0
+        for t in grp["text"]:
+            ws = [w for w in t.split(" ") if w != ""]
+            for c in range(len(ws) // 25):
+                nc += 1
+                st += len(set(ws[c * 25:(c + 1) * 25]))
+        if nc:
+            agg[src] = (nc, st)
+    assert sorted(agg) == sorted(got.index)
+    for src, (nc, st) in agg.items():
+        row = got.loc[src]
+        assert (row["n_chunks"], row["sum_types"]) == (nc, st)
+        assert row["sttr"] == float(st) / float(25 * nc)
