@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 327 ``queries()`` entries, 322 with DuckDB value
+Round-5 final surface: 328 ``queries()`` entries, 323 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -1213,6 +1213,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # V21 standardized TTR per source (STTR-25; length-bias-free
         # richness, full doc-local chunks only)
         "v21_sttr": tx.v21_sttr,
+        # G41 two-sample KS between error/purchase value
+        # distributions (exact sup-distance, no bin choice)
+        "g41_ks_two_types": q.g41_ks_two_types,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -3815,6 +3818,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(types) AS DOUBLE)
                        / CAST(25 * count(*) AS DOUBLE) AS sttr
             FROM c GROUP BY source
+        """,
+        # G41: cumulative counts over merged support; argmax by
+        # (dn DESC, v ASC); one pinned division
+        "g41_ks_two_types": """
+            WITH h AS (
+              SELECT event_type,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM events
+              WHERE event_type IN ('error', 'purchase')
+              GROUP BY event_type, v),
+            t AS (SELECT
+                    CAST(COALESCE(sum(c) FILTER (event_type = 'error'),
+                                  0) AS BIGINT) AS n_a,
+                    CAST(COALESCE(sum(c) FILTER (event_type =
+                                                 'purchase'), 0)
+                         AS BIGINT) AS n_b
+                  FROM h),
+            p AS (SELECT v,
+                         CAST(COALESCE(sum(c) FILTER (event_type =
+                                                      'error'), 0)
+                              AS BIGINT) AS ca,
+                         CAST(COALESCE(sum(c) FILTER (event_type =
+                                                      'purchase'), 0)
+                              AS BIGINT) AS cb
+                  FROM h GROUP BY v),
+            w AS (SELECT v,
+                         CAST(sum(ca) OVER (ORDER BY v) AS BIGINT)
+                             AS cca,
+                         CAST(sum(cb) OVER (ORDER BY v) AS BIGINT)
+                             AS ccb
+                  FROM p),
+            d AS (SELECT w.v,
+                         abs(w.cca * t.n_b - w.ccb * t.n_a) AS dn
+                  FROM w CROSS JOIN t),
+            top AS (SELECT v, dn,
+                           row_number() OVER (ORDER BY dn DESC, v ASC)
+                               AS rk
+                    FROM d)
+            SELECT 'error' AS type_a, 'purchase' AS type_b,
+                   t.n_a, t.n_b,
+                   CAST(top.dn AS BIGINT) AS d_num,
+                   CAST(top.v AS BIGINT) AS at_cents,
+                   CASE WHEN t.n_a > 0 AND t.n_b > 0
+                        THEN CAST(top.dn AS DOUBLE)
+                             / CAST(t.n_a * t.n_b AS DOUBLE)
+                   END AS ks
+            FROM top CROSS JOIN t
+            WHERE top.rk = 1
         """,
         # V19: two group-bys over V1's word convention
         "v19_freq_spectrum": """

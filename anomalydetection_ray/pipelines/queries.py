@@ -8331,3 +8331,83 @@ def g40_kendall_daily(sf_dir: str):
 
     return (counts.map_batches(tag, batch_format="pyarrow")
             .groupby("_one").map_groups(widen, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------- G41 ----
+def g41_ks_two_types(sf_dir: str, type_a: str = "error",
+                     type_b: str = "purchase"):
+    """G41 — two-sample Kolmogorov-Smirnov distance between the
+    cent-value distributions of two event types ("do failures carry a
+    different value profile than conversions?"): the distributional
+    sibling of A12's within-type temporal drift and G39's binned PSI —
+    KS needs no bin choice and gives the exact sup-distance.
+
+    Exactness: with c1/c2 the cumulative counts over the merged cent
+    support, D_num = max |c1*n2 - c2*n1| is an exact int64 argmax
+    (first support value wins ties, ascending), ks = D_num/(n1*n2) is
+    ONE pinned division.
+
+    Scale shape: G22's — the two types' cent histograms collapse
+    map-side, ONE bounded exchange, a single-group finalize holding
+    two histograms."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch.column("event_type"),
+                        value_set=pa.array([type_a, type_b]))
+        t = batch.filter(keep)
+        v = np.asarray(t.column("value"), dtype=np.float64)
+        v100 = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        g = pa.table({
+            "event_type": t.column("event_type"),
+            "v100": pa.array(v100, type=pa.int64()),
+            "one": pa.array(np.ones(v100.shape[0], dtype=np.int64)),
+        }).group_by(["event_type", "v100"]).aggregate([("one", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "v100": g.column("v100"),
+                         "c": g.column("one_sum").cast(pa.int64())})
+
+    counts = (ds.map_batches(hist, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["event_type", "v100"])
+              .aggregate(Sum("c", alias_name="c")))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_one", pa.array(np.zeros(batch.num_rows, dtype=np.int64)))
+
+    def widen(group: pa.Table) -> pa.Table:
+        et = np.asarray(group.column("event_type").to_pylist(),
+                        dtype=object)
+        v = np.asarray(group.column("v100"), dtype=np.int64)
+        c = np.asarray(group.column("c"), dtype=np.int64)
+        support = np.unique(v)
+        ca = np.zeros(support.shape[0], dtype=np.int64)
+        cb = np.zeros(support.shape[0], dtype=np.int64)
+        sel_a = et == type_a
+        sel_b = et == type_b
+        ca[np.searchsorted(support, v[sel_a])] = c[sel_a]
+        cb[np.searchsorted(support, v[sel_b])] = c[sel_b]
+        n_a, n_b = int(ca.sum()), int(cb.sum())
+        cca, ccb = np.cumsum(ca), np.cumsum(cb)
+        dn = np.abs(cca * n_b - ccb * n_a)
+        d_num = int(dn.max()) if support.size else 0
+        at = int(support[int(np.argmax(dn))]) if support.size else None
+        ks = (float(d_num) / float(n_a * n_b)
+              if n_a > 0 and n_b > 0 else None)
+        return pa.table({
+            "type_a": pa.array([type_a], type=pa.string()),
+            "type_b": pa.array([type_b], type=pa.string()),
+            "n_a": pa.array([n_a], type=pa.int64()),
+            "n_b": pa.array([n_b], type=pa.int64()),
+            "d_num": pa.array([d_num], type=pa.int64()),
+            "at_cents": pa.array([at], type=pa.int64(),
+                                 from_pandas=True),
+            "ks": pa.array([ks], type=pa.float64(), from_pandas=True),
+        })
+
+    return (counts.map_batches(tag, batch_format="pyarrow")
+            .groupby("_one").map_groups(widen, batch_format="pyarrow"))

@@ -1300,3 +1300,28 @@ def test_sttr_bruteforce(ray_session):
         row = got.loc[src]
         assert (row["n_chunks"], row["sum_types"]) == (nc, st)
         assert row["sttr"] == float(st) / float(25 * nc)
+
+
+# ------------------------------------------------------------ G41 ----
+def test_ks_two_types_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = e.queries()["g41_ks_two_types"](SF).to_pandas().iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    a = np.sort(np.floor(
+        ev.loc[ev["event_type"] == "error", "value"].to_numpy()
+        * 100.0 + 0.5).astype(np.int64))
+    b = np.sort(np.floor(
+        ev.loc[ev["event_type"] == "purchase", "value"].to_numpy()
+        * 100.0 + 0.5).astype(np.int64))
+    support = np.unique(np.concatenate([a, b]))
+    best = (-1, None)
+    for v in support:
+        dn = abs(int((a <= v).sum()) * len(b)
+                 - int((b <= v).sum()) * len(a))
+        if dn > best[0]:
+            best = (dn, int(v))
+    assert (got["n_a"], got["n_b"]) == (len(a), len(b))
+    assert (got["d_num"], got["at_cents"]) == best
+    assert got["ks"] == float(best[0]) / float(len(a) * len(b))
