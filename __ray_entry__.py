@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 328 ``queries()`` entries, 323 with DuckDB value
+Round-5 final surface: 329 ``queries()`` entries, 324 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -491,6 +491,14 @@ def _c7_consensus(sf_dir: str, k: int = 25):
                              ("n_esd", "descending"),
                              ("doc_id", "ascending"),
                              ("part_id", "ascending")])
+
+
+def _a66_records(sf_dir: str):
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import records_batch
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        records_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _a65_hjorth(sf_dir: str):
@@ -1216,6 +1224,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # G41 two-sample KS between error/purchase value
         # distributions (exact sup-distance, no bin choice)
         "g41_ks_two_types": q.g41_ks_two_types,
+        # A66 record counts vs harmonic expectation (Foster-Stuart
+        # trend screen; exact prefix-extrema compares)
+        "a66_records": _a66_records,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -3867,6 +3878,39 @@ def oracle_sql() -> dict[str, str]:
                    END AS ks
             FROM top CROSS JOIN t
             WHERE top.rk = 1
+        """,
+        # A66: prefix-extrema window compares; the 1/i harmonic fold
+        # replayed via list_transform + list_reduce
+        "a66_records": f"""
+            WITH {_SEQ_TOK_CTE},
+            s AS MATERIALIZED (
+                SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                       pos % 1000000 AS i, CAST(v AS BIGINT) AS v FROM tok),
+            w AS (SELECT doc_id, part_id, v,
+                         max(v) OVER win AS pmax,
+                         min(v) OVER win AS pmin,
+                         row_number() OVER (PARTITION BY doc_id,
+                                            part_id ORDER BY i) AS rn
+                  FROM s
+                  WINDOW win AS (PARTITION BY doc_id, part_id
+                                 ORDER BY i
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING)),
+            a AS (SELECT doc_id, part_id,
+                         CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(CASE WHEN rn >= 2 AND v > pmax
+                                       THEN 1 ELSE 0 END) AS BIGINT)
+                             AS n_high_records,
+                         CAST(sum(CASE WHEN rn >= 2 AND v < pmin
+                                       THEN 1 ELSE 0 END) AS BIGINT)
+                             AS n_low_records
+                  FROM w GROUP BY doc_id, part_id)
+            SELECT doc_id, part_id, n, n_high_records, n_low_records,
+                   list_reduce(list_prepend(0.0,
+                       list_transform(range(2, n + 1),
+                                      i -> 1.0 / CAST(i AS DOUBLE))),
+                       (x, y) -> x + y) AS expected_records
+            FROM a
         """,
         # V19: two group-bys over V1's word convention
         "v19_freq_spectrum": """

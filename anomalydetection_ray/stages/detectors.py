@@ -1755,3 +1755,47 @@ def hjorth_batch(batch: pa.Table) -> pa.Table:
         "mobility": pa.array(mob, type=pa.float64(), mask=~mob_ok),
         "complexity": pa.array(cpx, type=pa.float64(), mask=~cpx_ok),
     })
+
+
+def records_batch(batch: pa.Table) -> pa.Table:
+    """A66 — record-count randomness test per series: the number of
+    strict upper records (x_i beats every earlier value, i >= 2) and
+    lower records, against the iid expectation sum_{i=2..n} 1/i
+    (= H_n - 1; Foster-Stuart's record machinery) — trends mint upper
+    records far beyond the harmonic rate, making this the cheapest
+    trend screen after A64's difference signs.
+
+    Counts are exact ints (prefix max/min compares, vectorized per
+    series); ``expected_records`` folds 1/i left in ascending-i order
+    from 0.0 — the oracle replays the fold via list_transform +
+    list_reduce."""
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.int64)
+    lens = np.diff(offsets)
+    nrows = lens.shape[0]
+    n_high = np.zeros(nrows, dtype=np.int64)
+    n_low = np.zeros(nrows, dtype=np.int64)
+    exp = np.zeros(nrows, dtype=np.float64)
+    for r in range(nrows):
+        x = v[offsets[r]:offsets[r + 1]]
+        if x.shape[0] >= 2:
+            pmax = np.maximum.accumulate(x)[:-1]
+            pmin = np.minimum.accumulate(x)[:-1]
+            n_high[r] = int((x[1:] > pmax).sum())
+            n_low[r] = int((x[1:] < pmin).sum())
+        acc = 0.0
+        for i in range(2, int(x.shape[0]) + 1):
+            acc = acc + 1.0 / float(i)
+        exp[r] = acc
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "n": pa.array(lens, type=pa.int64()),
+        "n_high_records": pa.array(n_high, type=pa.int64()),
+        "n_low_records": pa.array(n_low, type=pa.int64()),
+        "expected_records": pa.array(exp, type=pa.float64()),
+    })

@@ -1325,3 +1325,30 @@ def test_ks_two_types_bruteforce(ray_session):
     assert (got["n_a"], got["n_b"]) == (len(a), len(b))
     assert (got["d_num"], got["at_cents"]) == best
     assert got["ks"] == float(best[0]) / float(len(a) * len(b))
+
+
+# ------------------------------------------------------------ A66 ----
+def test_records_bruteforce():
+    from anomalydetection_ray.stages.detectors import records_batch
+
+    rng = np.random.default_rng(41)
+    series = [list(rng.integers(0, 50, size=rng.integers(1, 150)))
+              for _ in range(20)]
+    series.append(list(range(30)))        # every step an upper record
+    series.append([9] * 12)               # no records at all
+    out = records_batch(_tok_batch(series)).to_pylist()
+    for row, s in zip(out, series):
+        n = len(s)
+        hi = lo = 0
+        for i in range(1, n):
+            if s[i] > max(s[:i]):
+                hi += 1
+            if s[i] < min(s[:i]):
+                lo += 1
+        acc = 0.0
+        for i in range(2, n + 1):
+            acc = acc + 1.0 / float(i)
+        assert (row["n"], row["n_high_records"],
+                row["n_low_records"]) == (n, hi, lo)
+        assert row["expected_records"] == acc
+    assert out[-2]["n_high_records"] == 29   # the pure trend
