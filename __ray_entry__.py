@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 329 ``queries()`` entries, 324 with DuckDB value
+Round-5 final surface: 330 ``queries()`` entries, 325 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -1227,6 +1227,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A66 record counts vs harmonic expectation (Foster-Stuart
         # trend screen; exact prefix-extrema compares)
         "a66_records": _a66_records,
+        # J19 last-touch attribution per purchase day (ASOF click
+        # lookup + 7-day window; one co-partitioned exchange)
+        "j19_last_touch": q.j19_last_touch,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -3911,6 +3914,31 @@ def oracle_sql() -> dict[str, str]:
                                       i -> 1.0 / CAST(i AS DOUBLE))),
                        (x, y) -> x + y) AS expected_records
             FROM a
+        """,
+        # J19: DuckDB ASOF LEFT JOIN (latest click strictly before)
+        # + the 7-day window test, rolled up per purchase day
+        "j19_last_touch": """
+            WITH p AS (SELECT user_id, epoch_us(ts) AS us,
+                              CAST(epoch_us(ts) // 86400000000
+                                   AS BIGINT) AS day
+                       FROM events WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, epoch_us(ts) AS us
+                  FROM events WHERE event_type = 'click'),
+            a AS (SELECT p.day, p.us AS pus, c.us AS cus
+                  FROM p ASOF LEFT JOIN c
+                    ON p.user_id = c.user_id AND c.us < p.us)
+            SELECT day,
+                   CAST(count(*) AS BIGINT) AS n_purchases,
+                   CAST(sum(CASE WHEN cus IS NOT NULL
+                                  AND pus - cus <= 604800000000
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_attributed,
+                   CAST(COALESCE(sum(CASE WHEN cus IS NOT NULL
+                                           AND pus - cus
+                                               <= 604800000000
+                                     THEN pus - cus ELSE 0 END), 0)
+                        AS BIGINT) AS lag_us_sum
+            FROM a GROUP BY day
         """,
         # V19: two group-bys over V1's word convention
         "v19_freq_spectrum": """

@@ -8411,3 +8411,100 @@ def g41_ks_two_types(sf_dir: str, type_a: str = "error",
 
     return (counts.map_batches(tag, batch_format="pyarrow")
             .groupby("_one").map_groups(widen, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------- J19 ----
+def j19_last_touch(sf_dir: str, window_us: int = 7 * 86_400_000_000,
+                   num_partitions: int = 16):
+    """J19 — last-touch attribution: each PURCHASE looks up the same
+    user's most recent CLICK strictly before it; a match older than
+    ``window_us`` (7 days) loses the credit.  Per purchase-day report:
+    purchases, attributed purchases, and the exact summed lag of the
+    attributed ones — the marketing-attribution shape that J4/J11/J14's
+    as-of machinery exists for, aggregated the way a campaign dashboard
+    reads it.
+
+    Scale shape: ONE co-partitioned ``_pkey`` exchange on user carries
+    BOTH roles (map-side filtered to clicks+purchases only); the
+    kernel resolves every lookup with one ``searchsorted`` over a
+    (dense-user-rank << 45 | rebased-us) composite key — no per-user
+    Python; the per-day rollup is a second, day-bounded exchange.
+    Oracle: DuckDB ASOF LEFT JOIN + the same window test."""
+    import functools
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from anomalydetection_ray.stages.runs import PKEY, add_partition_key
+
+    DAY_US = 86_400_000_000
+    ev = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("event_type"),
+                                     value_set=pa.array(["click",
+                                                         "purchase"])))
+
+    both = ev.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    tagged = both.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(group: pa.Table) -> pa.Table:
+        et = np.asarray(group.column("event_type").to_pylist(),
+                        dtype=object)
+        uid = np.asarray(group.column("user_id"), dtype=np.int64)
+        us = np.asarray(group.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        is_c = et == "click"
+        is_p = et == "purchase"
+        if not is_p.any():
+            return pa.table({
+                "day": pa.array([], type=pa.int64()),
+                "n_purchases": pa.array([], type=pa.int64()),
+                "n_attributed": pa.array([], type=pa.int64()),
+                "lag_us_sum": pa.array([], type=pa.int64()),
+            })
+        base = int(us.min())
+        # 2^45 us ~ 1.1 years of span headroom per partition; guard the
+        # composite rather than silently corrupting ranks
+        assert int(us.max()) - base < (1 << 45), "ts span exceeds key"
+        ur = np.unique(uid)
+        rank = np.searchsorted(ur, uid).astype(np.int64)
+        key = (rank << 45) | (us - base)
+        ck = np.sort(key[is_c])
+        pk = key[is_p]
+        idx = np.searchsorted(ck, pk, side="left") - 1
+        found = idx >= 0
+        # same-user check: the composite keeps users in disjoint ranges
+        prev = np.where(found, ck[np.maximum(idx, 0)], 0)
+        found &= (prev >> 45) == (pk >> 45)
+        lag = np.where(found, pk - prev, 0)          # us diff: bases cancel
+        attributed = found & (lag <= window_us)
+        day = us[is_p] // DAY_US
+        t = pa.table({
+            "day": pa.array(day, type=pa.int64()),
+            "one": pa.array(np.ones(day.shape[0], dtype=np.int64)),
+            "att": pa.array(attributed.astype(np.int64)),
+            "lag": pa.array(np.where(attributed, lag, 0),
+                            type=pa.int64()),
+        })
+        g = t.group_by(["day"]).aggregate([("one", "sum"),
+                                           ("att", "sum"),
+                                           ("lag", "sum")])
+        return pa.table({
+            "day": g.column("day"),
+            "n_purchases": g.column("one_sum").cast(pa.int64()),
+            "n_attributed": g.column("att_sum").cast(pa.int64()),
+            "lag_us_sum": g.column("lag_sum").cast(pa.int64()),
+        })
+
+    per_day = tagged.groupby(PKEY).map_groups(kernel,
+                                              batch_format="pyarrow")
+    return (per_day.groupby("day")
+            .aggregate(Sum("n_purchases", alias_name="n_purchases"),
+                       Sum("n_attributed", alias_name="n_attributed"),
+                       Sum("lag_us_sum", alias_name="lag_us_sum")))

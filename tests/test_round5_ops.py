@@ -1352,3 +1352,36 @@ def test_records_bruteforce():
                 row["n_low_records"]) == (n, hi, lo)
         assert row["expected_records"] == acc
     assert out[-2]["n_high_records"] == 29   # the pure trend
+
+
+# ------------------------------------------------------------ J19 ----
+def test_last_touch_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["j19_last_touch"](SF).to_pandas()
+           .set_index("day").sort_index())
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "user_id", "event_type"]).to_pandas()
+    ev["us"] = ev["ts"].astype("int64")
+    W = 7 * 86_400_000_000
+    clicks = {u: np.sort(g["us"].to_numpy())
+              for u, g in ev[ev["event_type"] == "click"].groupby("user_id")}
+    agg = {}
+    for _, r in ev[ev["event_type"] == "purchase"].iterrows():
+        day = int(r["us"]) // 86_400_000_000
+        n, a, s = agg.get(day, (0, 0, 0))
+        n += 1
+        cs = clicks.get(r["user_id"])
+        if cs is not None:
+            i = int(np.searchsorted(cs, int(r["us"]), side="left")) - 1
+            if i >= 0:
+                lag = int(r["us"]) - int(cs[i])
+                if lag <= W:
+                    a += 1
+                    s += lag
+        agg[day] = (n, a, s)
+    assert sorted(agg) == list(got.index)
+    for day, (n, a, s) in agg.items():
+        row = got.loc[day]
+        assert (row["n_purchases"], row["n_attributed"],
+                row["lag_us_sum"]) == (n, a, s)
