@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 330 ``queries()`` entries, 325 with DuckDB value
+Round-5 final surface: 331 ``queries()`` entries, 326 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -491,6 +491,14 @@ def _c7_consensus(sf_dir: str, k: int = 25):
                              ("n_esd", "descending"),
                              ("doc_id", "ascending"),
                              ("part_id", "ascending")])
+
+
+def _a67_cusum_squares(sf_dir: str):
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import cusum_squares_batch
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        cusum_squares_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _a66_records(sf_dir: str):
@@ -1230,6 +1238,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # J19 last-touch attribution per purchase day (ASOF click
         # lookup + 7-day window; one co-partitioned exchange)
         "j19_last_touch": q.j19_last_touch,
+        # A67 CUSUM-of-squares variance-change screen (Brown-Durbin-
+        # Evans; exact prefix-of-squares argmax, split-cast ratio)
+        "a67_cusum_squares": _a67_cusum_squares,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -3939,6 +3950,52 @@ def oracle_sql() -> dict[str, str]:
                                      THEN pus - cus ELSE 0 END), 0)
                         AS BIGINT) AS lag_us_sum
             FROM a GROUP BY day
+        """,
+        # A67: HUGEINT prefix-of-squares; argmax (|num| DESC, k ASC);
+        # the non-negative 32-bit-split ratio
+        "a67_cusum_squares": f"""
+            WITH {_SEQ_TOK_CTE},
+            s AS MATERIALIZED (
+                SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                       pos % 1000000 AS i, CAST(v AS BIGINT) AS v FROM tok),
+            st AS (SELECT doc_id, part_id,
+                          CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT)
+                              AS q
+                   FROM s GROUP BY doc_id, part_id),
+            pp AS (SELECT s.doc_id, s.part_id,
+                          CAST(row_number() OVER w AS BIGINT) AS k,
+                          CAST(sum(CAST(s.v AS HUGEINT) * s.v)
+                               OVER w AS HUGEINT) AS qk,
+                          st.n, st.q
+                   FROM s JOIN st USING (doc_id, part_id)
+                   WINDOW w AS (PARTITION BY s.doc_id, s.part_id
+                                ORDER BY s.i
+                                ROWS UNBOUNDED PRECEDING)),
+            nm AS (SELECT doc_id, part_id, k, n, q,
+                          abs(n * qk - k * q) AS a
+                   FROM pp WHERE k < n),
+            top AS (SELECT doc_id, part_id, k, n, q, a,
+                           row_number() OVER (PARTITION BY doc_id,
+                                              part_id
+                                              ORDER BY a DESC, k ASC)
+                               AS rk
+                    FROM nm)
+            SELECT st.doc_id, st.part_id, st.n,
+                   CASE WHEN st.n >= 2 AND st.q <> 0
+                        THEN (CAST(top.a // 4294967296 AS DOUBLE)
+                              * 4294967296.0
+                              + CAST(top.a % 4294967296 AS DOUBLE))
+                             / (CAST((st.n * st.q) // 4294967296
+                                     AS DOUBLE) * 4294967296.0
+                                + CAST((st.n * st.q) % 4294967296
+                                       AS DOUBLE))
+                   END AS cusum_sq,
+                   CASE WHEN st.n >= 2 AND st.q <> 0
+                        THEN top.k END AS at_k
+            FROM st LEFT JOIN top
+              ON top.doc_id = st.doc_id AND top.part_id = st.part_id
+             AND top.rk = 1
         """,
         # V19: two group-bys over V1's word convention
         "v19_freq_spectrum": """

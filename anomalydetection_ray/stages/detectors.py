@@ -1799,3 +1799,56 @@ def records_batch(batch: pa.Table) -> pa.Table:
         "n_low_records": pa.array(n_low, type=pa.int64()),
         "expected_records": pa.array(exp, type=pa.float64()),
     })
+
+
+def cusum_squares_batch(batch: pa.Table) -> pa.Table:
+    """A67 — CUSUM-of-squares variance-changepoint screen per series
+    (Brown-Durbin-Evans): D_k = Q_k/Q - k/n over the prefix sums of
+    x^2; the max |D_k| locates a variance break the mean-tracking A7 /
+    A32 family is blind to (centered noise with a burst of volatility).
+
+    Exactness: num_k = n*Q_k - k*Q is an exact arbitrary-precision int
+    (Python here, HUGEINT in the oracle); the argmax over k = 1..n-1
+    takes the largest |num_k| with the SMALLEST k on ties, and the
+    statistic |num|/(n*Q) is ONE division through the 32-bit-split
+    casts.  n < 2 or Q = 0 emits NULL."""
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.int64)
+    lens = np.diff(offsets)
+    nrows = lens.shape[0]
+    stat = np.zeros(nrows, dtype=np.float64)
+    at_k = np.zeros(nrows, dtype=np.int64)
+    ok = np.zeros(nrows, dtype=bool)
+    for r in range(nrows):
+        x = v[offsets[r]:offsets[r + 1]]
+        n = int(x.shape[0])
+        if n < 2:
+            continue
+        xs = [int(t) * int(t) for t in x.tolist()]
+        Q = sum(xs)
+        if Q == 0:
+            continue
+        best = 0
+        best_k = 0
+        qk = 0
+        for k in range(1, n):
+            qk += xs[k - 1]
+            num = n * qk - k * Q
+            a = num if num >= 0 else -num
+            if a > best:
+                best = a
+                best_k = k
+        stat[r] = _split_double(best) / _split_double(n * Q)
+        at_k[r] = best_k
+        ok[r] = True
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "n": pa.array(lens, type=pa.int64()),
+        "cusum_sq": pa.array(stat, type=pa.float64(), mask=~ok),
+        "at_k": pa.array(at_k, type=pa.int64(), mask=~ok),
+    })

@@ -1385,3 +1385,33 @@ def test_last_touch_bruteforce(ray_session):
         row = got.loc[day]
         assert (row["n_purchases"], row["n_attributed"],
                 row["lag_us_sum"]) == (n, a, s)
+
+
+# ------------------------------------------------------------ A67 ----
+def test_cusum_squares_bruteforce():
+    from anomalydetection_ray.stages.detectors import (_split_double,
+                                                       cusum_squares_batch)
+
+    rng = np.random.default_rng(43)
+    series = [list(rng.integers(0, 30, size=rng.integers(1, 120)))
+              for _ in range(20)]
+    series.append([1] * 40 + [20] * 40)    # planted variance break
+    series.append([0, 0, 0])               # Q = 0 -> NULL
+    out = cusum_squares_batch(_tok_batch(series)).to_pylist()
+    for row, s in zip(out, series):
+        n = len(s)
+        xs = [t * t for t in s]
+        Q = sum(xs)
+        if n < 2 or Q == 0:
+            assert row["cusum_sq"] is None and row["at_k"] is None
+            continue
+        best, best_k, qk = 0, 0, 0
+        for k in range(1, n):
+            qk += xs[k - 1]
+            a = abs(n * qk - k * Q)
+            if a > best:
+                best, best_k = a, k
+        assert row["at_k"] == best_k
+        assert row["cusum_sq"] == \
+            _split_double(best) / _split_double(n * Q)
+    assert out[-2]["at_k"] == 40            # the planted break point
