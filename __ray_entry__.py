@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 331 ``queries()`` entries, 326 with DuckDB value
+Round-5 final surface: 332 ``queries()`` entries, 327 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -1241,6 +1241,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A67 CUSUM-of-squares variance-change screen (Brown-Durbin-
         # Evans; exact prefix-of-squares argmax, split-cast ratio)
         "a67_cusum_squares": _a67_cusum_squares,
+        # W46 per-user transition entropy (order-predictability of
+        # behavior; W10's pairs collapsed per user, bounded fold)
+        "w46_transition_entropy": wnd.w46_transition_entropy,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -3996,6 +3999,43 @@ def oracle_sql() -> dict[str, str]:
             FROM st LEFT JOIN top
               ON top.doc_id = st.doc_id AND top.part_id = st.part_id
              AND top.rk = 1
+        """,
+        # W46: lead() pairs within user; per-user list_reduce fold in
+        # (t1, t2) order; single-event users LEFT-JOIN to NULL
+        "w46_transition_entropy": """
+            WITH o AS (
+              SELECT user_id, event_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY epoch_us(ts),
+                                                     event_id) AS nxt
+              FROM events),
+            pr AS (SELECT user_id, event_type AS t1, nxt AS t2,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM o WHERE nxt IS NOT NULL
+                   GROUP BY user_id, t1, t2),
+            t AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS total,
+                         CAST(count(*) AS BIGINT) AS n_pairs
+                  FROM pr GROUP BY user_id),
+            f AS (SELECT pr.user_id,
+                         list(CAST(pr.n AS DOUBLE)
+                              / CAST(t.total AS DOUBLE)
+                              * ln(CAST(pr.n AS DOUBLE)
+                                   / CAST(t.total AS DOUBLE))
+                              ORDER BY pr.t1, pr.t2) AS xs
+                  FROM pr JOIN t USING (user_id)
+                  GROUP BY pr.user_id),
+            u AS (SELECT DISTINCT user_id FROM events)
+            SELECT u.user_id,
+                   CAST(COALESCE(t.total, 0) AS BIGINT)
+                       AS n_transitions,
+                   CAST(COALESCE(t.n_pairs, 0) AS BIGINT) AS n_pairs,
+                   CASE WHEN t.total > 0
+                        THEN -list_reduce(list_prepend(0.0, f.xs),
+                                          (a, b) -> a + b)
+                   END AS trans_entropy
+            FROM u
+            LEFT JOIN t USING (user_id)
+            LEFT JOIN f USING (user_id)
         """,
         # V19: two group-bys over V1's word convention
         "v19_freq_spectrum": """

@@ -3077,3 +3077,80 @@ def w45_purchase_cadence(sf_dir: str, num_partitions: int = 16):
         batch_format="pyarrow", zero_copy_batch=True)
     return tagged.groupby(PKEY).map_groups(_purchase_cadence_kernel,
                                            batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- W46 ----
+def _trans_entropy_kernel(group: pa.Table) -> pa.Table:
+    """Per-user entropy of the consecutive event-type transition
+    distribution in (ts, event_id) order: counts are exact ints; each
+    user's entropy folds its <= n_types^2 pair terms left in (t1, t2)
+    order from 0.0 with scalar libm ``p*ln(p)`` (the W10/G35 parity
+    discipline — the oracle replays the fold via list_reduce)."""
+    import math
+
+    group = group.drop_columns([PKEY]).sort_by(
+        [("user_id", "ascending"), ("ts", "ascending"),
+         ("event_id", "ascending")])
+    n = group.num_rows
+    if n == 0:
+        return pa.table({
+            "user_id": pa.array([], type=pa.int64()),
+            "n_transitions": pa.array([], type=pa.int64()),
+            "n_pairs": pa.array([], type=pa.int64()),
+            "trans_entropy": pa.array([], type=pa.float64()),
+        })
+    uid = np.asarray(group.column("user_id"), dtype=np.int64)
+    et = group.column("event_type")
+    if isinstance(et, pa.ChunkedArray):
+        et = et.combine_chunks()
+    same = uid[1:] == uid[:-1]
+    pairs = pa.table({
+        "user_id": pa.array(uid[1:][same], type=pa.int64()),
+        "t1": et.slice(0, n - 1).filter(pa.array(same)),
+        "t2": et.slice(1, n - 1).filter(pa.array(same)),
+    }).group_by(["user_id", "t1", "t2"]).aggregate([([], "count_all")])
+    pairs = pairs.sort_by([("user_id", "ascending"),
+                           ("t1", "ascending"), ("t2", "ascending")])
+    pu = np.asarray(pairs.column("user_id"), dtype=np.int64)
+    pc_ = np.asarray(pairs.column("count_all"), dtype=np.int64)
+    users = np.unique(uid)
+    tot = np.zeros(users.shape[0], dtype=np.int64)
+    np.add.at(tot, np.searchsorted(users, pu), pc_)
+    n_pairs = np.zeros(users.shape[0], dtype=np.int64)
+    np.add.at(n_pairs, np.searchsorted(users, pu), 1)
+    ent = np.zeros(users.shape[0], dtype=np.float64)
+    urank = np.searchsorted(users, pu)
+    # bounded fold: <= n_types^2 terms per user, scalar libm for parity
+    accs = [0.0] * users.shape[0]
+    for r in range(pu.shape[0]):
+        u = int(urank[r])
+        p = float(int(pc_[r])) / float(int(tot[u]))
+        accs[u] = accs[u] + p * math.log(p)
+    has = tot > 0
+    for u in range(users.shape[0]):
+        ent[u] = -accs[u]
+    return pa.table({
+        "user_id": pa.array(users, type=pa.int64()),
+        "n_transitions": pa.array(tot, type=pa.int64()),
+        "n_pairs": pa.array(n_pairs, type=pa.int64()),
+        "trans_entropy": pa.array(ent, type=pa.float64(), mask=~has),
+    })
+
+
+def w46_transition_entropy(sf_dir: str, num_partitions: int = 16):
+    """W46 — per-user behavioral predictability: the entropy of the
+    user's consecutive event-type TRANSITION distribution (W10's Markov
+    pair counts, collapsed per user into one number; G15's session
+    entropy measures WHAT a user does — this measures how predictable
+    the ORDER is).  Single-event users emit NULL.
+
+    Scale shape: W1's ONE ``_pkey`` exchange; the kernel's fold is
+    bounded by n_types^2 terms per user."""
+    ev = _read_events(sf_dir, ["event_id", "ts", "user_id",
+                               "event_type"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby(PKEY).map_groups(_trans_entropy_kernel,
+                                           batch_format="pyarrow")

@@ -1415,3 +1415,34 @@ def test_cusum_squares_bruteforce():
         assert row["cusum_sq"] == \
             _split_double(best) / _split_double(n * Q)
     assert out[-2]["at_k"] == 40            # the planted break point
+
+
+# ------------------------------------------------------------ W46 ----
+def test_transition_entropy_bruteforce(ray_session):
+    from collections import Counter
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["w46_transition_entropy"](SF).to_pandas()
+           .set_index("user_id").sort_index())
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "ts", "user_id",
+                                "event_type"]).to_pandas()
+    ev["us"] = ev["ts"].astype("int64")
+    assert len(got) == ev["user_id"].nunique()
+    for uid, grp in ev.groupby("user_id"):
+        grp = grp.sort_values(["us", "event_id"])
+        ts_ = grp["event_type"].tolist()
+        pairs = Counter(zip(ts_[:-1], ts_[1:]))
+        total = sum(pairs.values())
+        row = got.loc[uid]
+        assert (row["n_transitions"], row["n_pairs"]) \
+            == (total, len(pairs))
+        if total == 0:
+            assert np.isnan(row["trans_entropy"])
+            continue
+        acc = 0.0
+        for k in sorted(pairs):
+            p = float(pairs[k]) / float(total)
+            acc = acc + p * math.log(p)
+        assert row["trans_entropy"] == -acc
