@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 332 ``queries()`` entries, 327 with DuckDB value
+Round-5 final surface: 333 ``queries()`` entries, 328 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -1244,6 +1244,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # W46 per-user transition entropy (order-predictability of
         # behavior; W10's pairs collapsed per user, bounded fold)
         "w46_transition_entropy": wnd.w46_transition_entropy,
+        # D22 normalization-aware dedup audit (raw vs canonical-form
+        # distinct groups; the blind spot raw hashing misses)
+        "d22_normalized_dedup": dd.d22_normalized_dedup,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -4036,6 +4039,20 @@ def oracle_sql() -> dict[str, str]:
             FROM u
             LEFT JOIN t USING (user_id)
             LEFT JOIN f USING (user_id)
+        """,
+        # D22: COUNT(DISTINCT) both ways — the oracle needs no hash
+        # replay, an independent route to the same groups
+        "d22_normalized_dedup": r"""
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT text) AS BIGINT) AS n_raw_groups,
+                   CAST(count(DISTINCT lower(trim(regexp_replace(
+                        text, '\s+', ' ', 'g')))) AS BIGINT)
+                       AS n_norm_groups,
+                   CAST(count(DISTINCT text)
+                        - count(DISTINCT lower(trim(regexp_replace(
+                              text, '\s+', ' ', 'g')))) AS BIGINT)
+                       AS extra_dups
+            FROM documents
         """,
         # V19: two group-bys over V1's word convention
         "v19_freq_spectrum": """

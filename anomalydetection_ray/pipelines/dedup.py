@@ -2019,3 +2019,78 @@ def d20_top_dup_sentences(sf_dir: str, k: int = 25):
     pruned = partition_apply(partials, keys=["sent"], kernel=kernel)
     return (pruned.sort(["n_occ", "sent"],
                         descending=[True, False]).limit(k))
+
+
+# ---------------------------------------------------------------- D22 ----
+def d22_normalized_dedup(sf_dir: str):
+    """D22 — normalization-aware exact dedup audit: distinct-content
+    group counts under the RAW text versus under the canonical form
+    ``lower(collapse-whitespace(trim))`` — the near-exact copies
+    (re-encoded, re-wrapped, case-mangled mirrors) that raw hashing
+    misses and MinHash doesn't need to catch; ``extra_dups`` = groups
+    merged only by normalization, the honest size of that blind spot.
+
+    Scale shape: both hash passes are the vectorized flat-buffer
+    content hash; per-block DISTINCT (kind, h) partials collapse before
+    ONE exchange (`keep_first_by`), per-block counts of the survivors
+    collapse again, and only (kind, count) partials reach the final
+    single-row widen.  Oracle: COUNT(DISTINCT text) vs COUNT(DISTINCT
+    normalized) — independent route, no hash replay."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from anomalydetection_ray.stages.runs import keep_first_by
+
+    def hash_both(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        norm = pc.utf8_lower(pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(text, r"\s+", " ")))
+        out = []
+        for kind, col in (("raw", text), ("norm", norm)):
+            t = pa.table({"doc_id": batch.column("doc_id"),
+                          "text": col})
+            h1, h2 = content_hash_cols(t)
+            out.append(pa.table({
+                "kind": pa.array([kind] * batch.num_rows,
+                                 type=pa.string()),
+                "h1": h1, "h2": h2,
+            }))
+        both = pa.concat_tables(out)
+        return both.group_by(["kind", "h1", "h2"]).aggregate([])
+
+    docs = _docs(sf_dir)
+    n_docs = docs.count()                    # tiny eager scalar
+    distinct = keep_first_by(
+        docs.map_batches(hash_both, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        keys=["kind", "h1", "h2"])
+
+    def block_counts(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["kind"]).aggregate([([], "count_all")])
+        return pa.table({"kind": g.column("kind"),
+                         "n": g.column("count_all").cast(pa.int64())})
+
+    per_kind = (distinct.map_batches(block_counts,
+                                     batch_format="pyarrow")
+                .groupby("kind").aggregate(Sum("n", alias_name="n")))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_one", pa.array(np.zeros(batch.num_rows, dtype=np.int64)))
+
+    def widen(group: pa.Table) -> pa.Table:
+        m = dict(zip(group.column("kind").to_pylist(),
+                     [int(v) for v in group.column("n").to_pylist()]))
+        raw, norm = m.get("raw", 0), m.get("norm", 0)
+        return pa.table({
+            "n_docs": pa.array([n_docs], type=pa.int64()),
+            "n_raw_groups": pa.array([raw], type=pa.int64()),
+            "n_norm_groups": pa.array([norm], type=pa.int64()),
+            "extra_dups": pa.array([raw - norm], type=pa.int64()),
+        })
+
+    return (per_kind.map_batches(tag, batch_format="pyarrow")
+            .groupby("_one").map_groups(widen, batch_format="pyarrow"))

@@ -1446,3 +1446,43 @@ def test_transition_entropy_bruteforce(ray_session):
             p = float(pairs[k]) / float(total)
             acc = acc + p * math.log(p)
         assert row["trans_entropy"] == -acc
+
+
+# ------------------------------------------------------------ D22 ----
+def test_normalized_dedup_bruteforce(ray_session):
+    import re
+    import tempfile
+
+    import __ray_entry__ as e
+
+    got = e.queries()["d22_normalized_dedup"](SF).to_pandas().iloc[0]
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    norm = docs["text"].map(
+        lambda t: re.sub(r"\s+", " ", t).strip().lower())
+    assert got["n_docs"] == len(docs)
+    assert got["n_raw_groups"] == docs["text"].nunique()
+    assert got["n_norm_groups"] == norm.nunique()
+    assert got["extra_dups"] == docs["text"].nunique() - norm.nunique()
+
+    # planted blind spot: case/whitespace variants of one doc
+    with tempfile.TemporaryDirectory() as tmp:
+        base = pq.read_table(f"{SF}/documents.parquet")
+        texts = base.column("text").to_pylist()[:10]
+        texts += [texts[0].upper(), "  " + texts[1] + "  ",
+                  texts[2].replace(" ", "  ")]
+        import pyarrow as pa_
+        t = pa_.table({
+            "doc_id": pa_.array(range(len(texts)), type=pa_.int64()),
+            "text": pa_.array(texts),
+            "lang": pa_.array(["en"] * len(texts)),
+            "source": pa_.array(["s0"] * len(texts)),
+            "n_chars": pa_.array([len(x) for x in texts],
+                                 type=pa_.int64()),
+        })
+        pq.write_table(t, f"{tmp}/documents.parquet")
+        planted = e.queries()["d22_normalized_dedup"](tmp).to_pandas().iloc[0]
+        assert planted["n_docs"] == 13
+        assert planted["n_raw_groups"] == 13       # all raw-distinct
+        assert planted["n_norm_groups"] == 10      # 3 variants merge
+        assert planted["extra_dups"] == 3
