@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 333 ``queries()`` entries, 328 with DuckDB value
+Round-5 final surface: 334 ``queries()`` entries, 329 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -1247,6 +1247,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # D22 normalization-aware dedup audit (raw vs canonical-form
         # distinct groups; the blind spot raw hashing misses)
         "d22_normalized_dedup": dd.d22_normalized_dedup,
+        # A68 von Neumann ratio per type (raw-value sibling of A39;
+        # exact n*sum(d^2)/(nQ-S^2), split-cast division)
+        "a68_von_neumann": q.a68_von_neumann,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -4053,6 +4056,49 @@ def oracle_sql() -> dict[str, str]:
                               text, '\s+', ' ', 'g')))) AS BIGINT)
                        AS extra_dups
             FROM documents
+        """,
+        # A68: d via lag over day order; HUGEINT vn numerator; the
+        # non-negative split-cast division
+        "a68_von_neumann": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+              FROM events),
+            d AS MATERIALIZED (
+              SELECT event_type, day, CAST(sum(v100) AS BIGINT) AS x
+              FROM e GROUP BY event_type, day),
+            dd AS (SELECT event_type,
+                          x - lag(x) OVER (PARTITION BY event_type
+                                           ORDER BY day) AS dx
+                   FROM d),
+            s2 AS (SELECT event_type,
+                          CAST(COALESCE(sum(CAST(dx AS HUGEINT) * dx),
+                                        0) AS HUGEINT) AS d2
+                   FROM dd WHERE dx IS NOT NULL GROUP BY event_type),
+            t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(x) AS BIGINT) AS s,
+                         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT)
+                             AS q
+                  FROM d GROUP BY event_type)
+            SELECT t.event_type, t.n AS n_days,
+                   CAST(COALESCE(s2.d2, 0) AS BIGINT) AS d2_sum,
+                   CASE WHEN t.n >= 2
+                             AND t.n * t.q - CAST(t.s AS HUGEINT)
+                                 * t.s > 0
+                        THEN (CAST((t.n * COALESCE(s2.d2, 0))
+                                   // 4294967296 AS DOUBLE)
+                              * 4294967296.0
+                              + CAST((t.n * COALESCE(s2.d2, 0))
+                                     % 4294967296 AS DOUBLE))
+                             / (CAST((t.n * t.q - CAST(t.s AS HUGEINT)
+                                      * t.s) // 4294967296 AS DOUBLE)
+                                * 4294967296.0
+                                + CAST((t.n * t.q
+                                        - CAST(t.s AS HUGEINT) * t.s)
+                                       % 4294967296 AS DOUBLE))
+                   END AS vn
+            FROM t LEFT JOIN s2 USING (event_type)
         """,
         # V19: two group-bys over V1's word convention
         "v19_freq_spectrum": """

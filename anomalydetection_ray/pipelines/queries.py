@@ -8508,3 +8508,63 @@ def j19_last_touch(sf_dir: str, window_us: int = 7 * 86_400_000_000,
             .aggregate(Sum("n_purchases", alias_name="n_purchases"),
                        Sum("n_attributed", alias_name="n_attributed"),
                        Sum("lag_us_sum", alias_name="lag_us_sum")))
+
+
+# ---------------------------------------------------------------- A68 ----
+def a68_von_neumann(sf_dir: str):
+    """A68 — von Neumann ratio per event type over the observed daily
+    cent-total series: vn = sum(d_i^2) / sum((x - xbar)^2), the raw-
+    value sibling of A39's rank-based Bartels test (vn ~ 2 under iid;
+    << 2 = positive persistence, >> 2 = alternation) — and unlike A39
+    it feels magnitudes, not just order.
+
+    Exactness: vn = n * sum(d^2) / (n*Q - S^2) — numerator and
+    denominator exact ints (Python/HUGEINT), ONE division through the
+    pinned 32-bit-split casts.  n < 2 or zero variance emits NULL.
+
+    Scale shape: A36's — bounded (type, day) cent partials, one
+    exchange, per-type finalize over the daily grid."""
+    from anomalydetection_ray.stages.detectors import _split_double
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        day = us // 86_400_000_000
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        v100 = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(day, type=pa.int64()),
+                      "v100": pa.array(v100, type=pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate([("v100", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "x": g.column("v100_sum").cast(pa.int64())})
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["event_type", "day"]).sum("x"))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        order = np.argsort(np.asarray(group.column("day"),
+                                      dtype=np.int64))
+        x = np.asarray(group.column("sum(x)"), dtype=np.int64)[order]
+        xs = [int(v) for v in x.tolist()]
+        n = len(xs)
+        S = sum(xs)
+        Q = sum(v * v for v in xs)
+        d2 = sum((b - a) * (b - a) for a, b in zip(xs, xs[1:]))
+        var_num = n * Q - S * S
+        vn = (_split_double(n * d2) / _split_double(var_num)
+              if n >= 2 and var_num > 0 else None)
+        return pa.table({
+            "event_type": pa.array([et], type=pa.string()),
+            "n_days": pa.array([n], type=pa.int64()),
+            "d2_sum": pa.array([d2], type=pa.int64()),
+            "vn": pa.array([vn], type=pa.float64(), from_pandas=True),
+        })
+
+    return daily.groupby("event_type").map_groups(
+        finalize, batch_format="pyarrow")

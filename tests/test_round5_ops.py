@@ -1486,3 +1486,32 @@ def test_normalized_dedup_bruteforce(ray_session):
         assert planted["n_raw_groups"] == 13       # all raw-distinct
         assert planted["n_norm_groups"] == 10      # 3 variants merge
         assert planted["extra_dups"] == 3
+
+
+# ------------------------------------------------------------ A68 ----
+def test_von_neumann_bruteforce(ray_session):
+    from anomalydetection_ray.stages.detectors import _split_double
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["a68_von_neumann"](SF).to_pandas()
+           .set_index("event_type"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts", "value"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    ev["v100"] = np.floor(ev["value"].to_numpy() * 100.0
+                          + 0.5).astype(np.int64)
+    for t, grp in ev.groupby("event_type"):
+        daily = grp.groupby("day")["v100"].sum().sort_index()
+        xs = [int(v) for v in daily.to_numpy()]
+        n = len(xs)
+        S, Q = sum(xs), sum(v * v for v in xs)
+        d2 = sum((b - a) ** 2 for a, b in zip(xs, xs[1:]))
+        row = got.loc[t]
+        assert (row["n_days"], row["d2_sum"]) == (n, d2)
+        var_num = n * Q - S * S
+        if n >= 2 and var_num > 0:
+            assert row["vn"] == \
+                _split_double(n * d2) / _split_double(var_num)
+        else:
+            assert np.isnan(row["vn"])
