@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 334 ``queries()`` entries, 329 with DuckDB value
+Round-5 final surface: 335 ``queries()`` entries, 330 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -1250,6 +1250,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A68 von Neumann ratio per type (raw-value sibling of A39;
         # exact n*sum(d^2)/(nQ-S^2), split-cast division)
         "a68_von_neumann": q.a68_von_neumann,
+        # K20 cluster x label confusion matrix (the full grid behind
+        # K16's purity scalar; bounded k x labels exchange)
+        "k20_confusion_matrix": km.k20_confusion_matrix,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -2192,7 +2195,8 @@ def _esd_piecewise_sql(window: int = 100, season_period: int | None = None,
 def _kmeans_sql(k: int = 8, dim: int = 64, assign_only: bool = False,
                 centroid_pairs: bool = False,
                 cluster_counts: bool = False,
-                label_purity: bool = False) -> str:
+                label_purity: bool = False,
+                confusion: bool = False) -> str:
     """kmeans_train oracle: the 2-iteration fused Lloyd loop
     (pipelines/kmeans.py) unrolled in SQL.  Exactness rests on three
     pins shared with the engine: (a) the initial centroids are integral
@@ -2255,17 +2259,24 @@ def _kmeans_sql(k: int = 8, dim: int = 64, assign_only: bool = False,
         FROM asg2 a JOIN eq q USING (vec_id)
         CROSS JOIN range(1, {dim + 1}) t(pos)
         GROUP BY a.cid, t.pos)
-    {_kmeans_tail(dim, assign_only, centroid_pairs, cluster_counts, label_purity)}
+    {_kmeans_tail(dim, assign_only, centroid_pairs, cluster_counts, label_purity, confusion)}
     """
 
 
 def _kmeans_tail(dim: int, assign_only: bool, centroid_pairs: bool,
                  cluster_counts: bool = False,
-                 label_purity: bool = False) -> str:
+                 label_purity: bool = False,
+                 confusion: bool = False) -> str:
     from anomalydetection_ray.pipelines.kmeans import ESCALE
 
     if assign_only:
         return "SELECT vec_id, CAST(cid AS BIGINT) AS cid, score FROM asg2"
+    if confusion:
+        return """, lab AS (SELECT a.cid, CAST(e2.label AS BIGINT) AS label,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM asg2 a JOIN embeddings e2 USING (vec_id)
+             GROUP BY a.cid, e2.label)
+    SELECT CAST(cid AS BIGINT) AS cid, label, n FROM lab"""
     if label_purity:
         return """, lab AS (SELECT a.cid, CAST(e2.label AS BIGINT) AS label,
                     CAST(count(*) AS BIGINT) AS n
@@ -6472,6 +6483,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "k16_cluster_purity": _kmeans_sql(dim=_dim,
                                           label_purity=True),
+        "k20_confusion_matrix": _kmeans_sql(dim=_dim, confusion=True),
         "d16_prefix_groups": """
             WITH p AS (SELECT substr(text, 1, 32) AS prefix, source
                        FROM documents),

@@ -812,3 +812,51 @@ def k19_anova_f(sf_dir: str):
 
     return partials.groupby("dim").map_groups(finalize,
                                               batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- K20 ----
+def k20_confusion_matrix(sf_dir: str, k: int = K_DEFAULT,
+                         iters: int = ITERS_DEFAULT,
+                         num_partitions: int = 16):
+    """K20 — the full (assigned cluster x true label) CONFUSION MATRIX
+    behind K16's purity scalar: which labels each cluster absorbs and
+    where each label scatters — the readout that tells you WHETHER a
+    low-purity cluster is a 50/50 merge or a long mixing tail (purity
+    can't distinguish them).
+
+    Scale shape: K16's exactly — map-only assignment, ONE
+    co-partitioned label attach, per-(cid, label) count partials on a
+    <= k x |labels| bounded grid."""
+    import ray.data
+
+    from anomalydetection_ray.stages.join import copartition_attach
+
+    asg = kmeans_assign(sf_dir, k=k, iters=iters)
+    labels = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                   columns=["vec_id", "label"])
+    with_lab = copartition_attach(asg, labels, "vec_id", "vec_id",
+                                  ["label"],
+                                  num_partitions=num_partitions)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"cid": batch.column("cid").cast(pa.int64()),
+                      "label": batch.column("label").cast(pa.int64()),
+                      "one": pa.array(np.ones(batch.num_rows,
+                                              dtype=np.int64))})
+        g = t.group_by(["cid", "label"]).aggregate([("one", "sum")])
+        return pa.table({"cid": g.column("cid"),
+                         "label": g.column("label"),
+                         "n": g.column("one_sum").cast(pa.int64())})
+
+    counts = (with_lab.map_batches(partial, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+              .groupby(["cid", "label"]).sum("n"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "cid": batch.column("cid").cast(pa.int64()),
+            "label": batch.column("label").cast(pa.int64()),
+            "n": batch.column("sum(n)").cast(pa.int64()),
+        })
+
+    return counts.map_batches(rename, batch_format="pyarrow")

@@ -1515,3 +1515,28 @@ def test_von_neumann_bruteforce(ray_session):
                 _split_double(n * d2) / _split_double(var_num)
         else:
             assert np.isnan(row["vn"])
+
+
+# ------------------------------------------------------------ K20 ----
+def test_confusion_matrix_consistency(ray_session):
+    """K20's matrix must marginalize to K16's purity rows and to the
+    true label counts of the embeddings table."""
+    import __ray_entry__ as e
+
+    q = e.queries()
+    cm = q["k20_confusion_matrix"](SF).to_pandas()
+    k16 = q["k16_cluster_purity"](SF).to_pandas().set_index("cid")
+    emb = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["label"]).to_pandas()
+    # row marginal == cluster sizes; argmax == (top_label, top_count)
+    for cid, grp in cm.groupby("cid"):
+        row = k16.loc[cid]
+        assert grp["n"].sum() == row["n_vecs"]
+        top = grp.sort_values(["n", "label"],
+                              ascending=[False, True]).iloc[0]
+        assert (top["label"], top["n"]) \
+            == (row["top_label"], row["top_count"])
+    # column marginal == true label histogram
+    lab_hist = emb["label"].value_counts()
+    for label, grp in cm.groupby("label"):
+        assert grp["n"].sum() == lab_hist[label]
