@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 335 ``queries()`` entries, 330 with DuckDB value
+Round-5 final surface: 336 ``queries()`` entries, 331 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -523,6 +523,14 @@ def _a64_diff_sign(sf_dir: str):
 
     return validated(_docs_sequences(sf_dir)).map_batches(
         diff_sign_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _e6_for_size(sf_dir: str):
+    from anomalydetection_ray.codecs import for_size_batch
+    from anomalydetection_ray.pipelines.rollup import validated
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        for_size_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _e5_rle_size(sf_dir: str):
@@ -1253,6 +1261,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # K20 cluster x label confusion matrix (the full grid behind
         # K16's purity scalar; bounded k x labels exchange)
         "k20_confusion_matrix": km.k20_confusion_matrix,
+        # E6 frame-of-reference bitpack size (the Parquet-lineage
+        # block codec; reduceat extrema + exact frexp widths)
+        "e6_for_size": _e6_for_size,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -4110,6 +4121,37 @@ def oracle_sql() -> dict[str, str]:
                                        % 4294967296 AS DOUBLE))
                    END AS vn
             FROM t LEFT JOIN s2 USING (event_type)
+        """,
+        # E6: per-128 block extrema; width = min w with delta < 2^w;
+        # 5 header bytes + ceil(cnt*w/8) per block
+        "e6_for_size": f"""
+            WITH {_SEQ_TOK_CTE},
+            s AS MATERIALIZED (
+                SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                       pos % 1000000 AS i, CAST(v AS BIGINT) AS v FROM tok),
+            blk AS (SELECT doc_id, part_id, i // 128 AS b,
+                           CAST(count(*) AS BIGINT) AS cnt,
+                           CAST(max(v) - min(v) AS BIGINT) AS delta
+                    FROM s GROUP BY doc_id, part_id, b),
+            pw AS (SELECT unnest(range(0, 33)) AS w),
+            wb AS (SELECT blk.doc_id, blk.part_id, blk.cnt,
+                          (SELECT min(w) FROM pw
+                           WHERE blk.delta < (CAST(1 AS BIGINT) << w))
+                              AS w
+                   FROM blk),
+            tot AS (SELECT doc_id, part_id,
+                           CAST(count(*) AS BIGINT) AS n_blocks,
+                           CAST(sum(5 + (cnt * w + 7) // 8) AS BIGINT)
+                               AS n_bytes
+                    FROM wb GROUP BY doc_id, part_id),
+            nn AS (SELECT doc_id, part_id,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM s GROUP BY doc_id, part_id)
+            SELECT nn.doc_id, nn.part_id, nn.n, tot.n_blocks,
+                   tot.n_bytes,
+                   CAST(tot.n_bytes AS DOUBLE) / CAST(nn.n AS DOUBLE)
+                       AS bytes_per_token
+            FROM nn JOIN tot USING (doc_id, part_id)
         """,
         # V19: two group-bys over V1's word convention
         "v19_freq_spectrum": """

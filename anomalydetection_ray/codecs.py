@@ -645,3 +645,126 @@ def rle_size_batch(batch) -> "pa.Table":
         "bytes_per_token": pa.array(bpt, type=pa.float64(),
                                     mask=lens == 0),
     })
+
+
+# ------------------------------------------------------ E6: FOR bitpack ----
+_FOR_BLOCK = 128
+
+
+def for_encode(values: np.ndarray) -> bytes:
+    """E6 — frame-of-reference bitpacking of an int32 stream in blocks
+    of 128: per block a 4-byte little-endian frame (block min, uint32
+    two's complement) + 1 byte bit width w, then the 128 (or fewer,
+    last block) deltas ``v - min`` packed w bits each, LSB-first within
+    the byte stream and zero-padded to a byte boundary.  The third
+    byte-oriented codec next to E4's varint deltas and E5's RLE — the
+    columnar-format classic (Parquet/ORC lineage), and the size is
+    analytically replayable (``for_size_batch``).
+
+    Encode is a per-block loop (roundtrip/parity surface only — the
+    distributed hot path is the vectorized size kernel, the E4/E5
+    discipline)."""
+    v = np.asarray(values, dtype=np.int64)
+    n = v.shape[0]
+    if n == 0:
+        return b""
+    out = bytearray()
+    for b0 in range(0, n, _FOR_BLOCK):
+        blk = v[b0:b0 + _FOR_BLOCK]
+        mn = int(blk.min())
+        delta = (blk - mn).astype(np.uint64)
+        mx = int(delta.max())
+        w = mx.bit_length()
+        out += (mn & 0xFFFFFFFF).to_bytes(4, "little")
+        out.append(w)
+        if w:
+            acc = 0
+            nb = 0
+            for d in delta.tolist():
+                acc |= int(d) << nb
+                nb += w
+                while nb >= 8:
+                    out.append(acc & 0xFF)
+                    acc >>= 8
+                    nb -= 8
+            if nb:
+                out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def for_decode(data: bytes, n: int) -> np.ndarray:
+    """Inverse of :func:`for_encode` (n = value count)."""
+    out = np.empty(n, dtype=np.int64)
+    pos = 0
+    i = 0
+    while i < n:
+        cnt = min(_FOR_BLOCK, n - i)
+        mn = int.from_bytes(data[pos:pos + 4], "little")
+        if mn >= 1 << 31:
+            mn -= 1 << 32
+        w = data[pos + 4]
+        pos += 5
+        if w == 0:
+            out[i:i + cnt] = mn
+        else:
+            nbytes = (cnt * w + 7) // 8
+            acc = int.from_bytes(data[pos:pos + nbytes], "little")
+            mask = (1 << w) - 1
+            for j in range(cnt):
+                out[i + j] = mn + ((acc >> (j * w)) & mask)
+            pos += nbytes
+        i += cnt
+    return out
+
+
+def for_size_batch(batch) -> "pa.Table":
+    """E6 stats kernel: per validated sequence row, the EXACT encoded
+    byte size of :func:`for_encode` (per 128-value block: 5 header
+    bytes + ceil(cnt*w/8), w = bit width of max(v - min)), computed
+    vectorized over the flat token buffer — block extrema via
+    ``reduceat`` on row-aligned block starts, widths via the exact
+    ``frexp`` exponent (ints < 2^53).  Byte parity with the real
+    encoder is pytest-gated; ``bytes_per_token`` is the one pinned
+    division."""
+    import pyarrow as pa
+
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.int64)
+    lens = np.diff(offsets)
+    nrows = lens.shape[0]
+    nblk = (lens + _FOR_BLOCK - 1) // _FOR_BLOCK
+    n_bytes = np.zeros(nrows, dtype=np.int64)
+    if int(nblk.sum()) > 0:
+        # global block-start index: per row, offsets[i] + 128*j
+        row_of_blk = np.repeat(np.arange(nrows, dtype=np.int64), nblk)
+        within = (np.arange(row_of_blk.shape[0], dtype=np.int64)
+                  - np.concatenate(([0],
+                                    np.cumsum(nblk)[:-1]))[row_of_blk])
+        bstart = offsets[:-1][row_of_blk] + within * _FOR_BLOCK
+        bend = np.minimum(bstart + _FOR_BLOCK,
+                          offsets[1:][row_of_blk])
+        cnt = bend - bstart
+        mn = np.minimum.reduceat(v, bstart)
+        mx = np.maximum.reduceat(v, bstart)
+        delta = mx - mn
+        w = np.zeros(delta.shape[0], dtype=np.int64)
+        pos_ = delta > 0
+        w[pos_] = np.frexp(delta[pos_].astype(np.float64))[1]
+        blk_bytes = 5 + (cnt * w + 7) // 8
+        np.add.at(n_bytes, row_of_blk, blk_bytes)
+    bpt = np.zeros(nrows, dtype=np.float64)
+    np.divide(n_bytes.astype(np.float64), lens.astype(np.float64),
+              out=bpt, where=lens > 0)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "n": pa.array(lens, type=pa.int64()),
+        "n_blocks": pa.array(nblk.astype(np.int64), type=pa.int64()),
+        "n_bytes": pa.array(n_bytes, type=pa.int64()),
+        "bytes_per_token": pa.array(bpt, type=pa.float64(),
+                                    mask=lens == 0),
+    })

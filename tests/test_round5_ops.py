@@ -1540,3 +1540,30 @@ def test_confusion_matrix_consistency(ray_session):
     lab_hist = emb["label"].value_counts()
     for label, grp in cm.groupby("label"):
         assert grp["n"].sum() == lab_hist[label]
+
+
+# ------------------------------------------------------------- E6 ----
+def test_for_roundtrip_and_size_parity():
+    from anomalydetection_ray.codecs import (for_decode, for_encode,
+                                             for_size_batch)
+
+    rng = np.random.default_rng(53)
+    series = [
+        [5],
+        [7] * 200,                                    # w = 0 blocks
+        list(rng.integers(-1000, 50_000, size=300)),
+        list(rng.integers(0, 3, size=129)),           # partial block
+        [2**31 - 1, -2**31, 0],                       # full int32 range
+        list(rng.integers(0, 2**20, size=513)),
+    ]
+    for s in series:
+        arr = np.asarray(s, dtype=np.int64)
+        enc = for_encode(arr)
+        assert np.array_equal(for_decode(enc, len(arr)), arr)
+    batch = _tok_batch(series)
+    out = for_size_batch(batch).to_pylist()
+    for row, s in zip(out, series):
+        enc = for_encode(np.asarray(s, dtype=np.int64))
+        assert row["n_bytes"] == len(enc)
+        assert row["n_blocks"] == (len(s) + 127) // 128
+        assert row["bytes_per_token"] == len(enc) / len(s)
