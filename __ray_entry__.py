@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 336 ``queries()`` entries, 331 with DuckDB value
+Round-5 final surface: 338 ``queries()`` entries, 333 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -1264,6 +1264,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # E6 frame-of-reference bitpack size (the Parquet-lineage
         # block codec; reduceat extrema + exact frexp widths)
         "e6_for_size": _e6_for_size,
+        # Q24 sqrt-temperature mixture plan over sources (alpha=0.5
+        # upsampling weights; correctly-rounded sqrt, ordered fold)
+        "q24_temperature_mixture": q.q24_temperature_mixture,
+        # W47 burst-run detection per type (threshold-core Kleinberg
+        # on the zero-filled grid; gaps-and-islands runs, all ints)
+        "w47_burst_runs": q.w47_burst_runs,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -4152,6 +4158,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(tot.n_bytes AS DOUBLE) / CAST(nn.n AS DOUBLE)
                        AS bytes_per_token
             FROM nn JOIN tot USING (doc_id, part_id)
+        """,
+        # Q24: normalizer = list_reduce fold of sqrt(n) in source
+        # order; one division per share
+        "q24_temperature_mixture": """
+            WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                       FROM documents GROUP BY source),
+            t AS (SELECT list_reduce(list_prepend(0.0,
+                      list(sqrt(CAST(n AS DOUBLE)) ORDER BY source)),
+                      (a, b) -> a + b) AS total
+                  FROM c)
+            SELECT c.source, c.n AS n_docs,
+                   sqrt(CAST(c.n AS DOUBLE)) AS weight,
+                   sqrt(CAST(c.n AS DOUBLE)) / t.total AS share
+            FROM c CROSS JOIN t
+        """,
+        # W47: burst = d*n > 2*S exact compare; runs via
+        # day - row_number gaps-and-islands
+        "w47_burst_runs": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY event_type, day),
+            g AS (SELECT CAST(max(day) - min(day) + 1 AS BIGINT) AS d
+                  FROM c),
+            t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS s
+                  FROM c GROUP BY event_type),
+            b AS (SELECT c.event_type, c.day
+                  FROM c JOIN t USING (event_type) CROSS JOIN g
+                  WHERE g.d * c.n > 2 * t.s),
+            r AS (SELECT event_type,
+                         day - row_number() OVER (PARTITION BY
+                                                  event_type
+                                                  ORDER BY day) AS grp
+                  FROM b),
+            runs AS (SELECT event_type, grp,
+                            CAST(count(*) AS BIGINT) AS len
+                     FROM r GROUP BY event_type, grp),
+            agg AS (SELECT event_type,
+                           CAST(sum(len) AS BIGINT) AS n_burst_days,
+                           CAST(count(*) AS BIGINT) AS n_burst_runs,
+                           CAST(max(len) AS BIGINT) AS longest_run
+                    FROM runs GROUP BY event_type)
+            SELECT t.event_type, g.d AS n_days,
+                   CAST(COALESCE(agg.n_burst_days, 0) AS BIGINT)
+                       AS n_burst_days,
+                   CAST(COALESCE(agg.n_burst_runs, 0) AS BIGINT)
+                       AS n_burst_runs,
+                   CAST(COALESCE(agg.longest_run, 0) AS BIGINT)
+                       AS longest_run
+            FROM t CROSS JOIN g
+            LEFT JOIN agg USING (event_type)
         """,
         # V19: two group-bys over V1's word convention
         "v19_freq_spectrum": """

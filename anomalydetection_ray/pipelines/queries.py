@@ -8568,3 +8568,147 @@ def a68_von_neumann(sf_dir: str):
 
     return daily.groupby("event_type").map_groups(
         finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- Q24 ----
+def q24_temperature_mixture(sf_dir: str):
+    """Q24 — temperature-scaled mixture plan over sources: sampling
+    weight w_s = sqrt(n_s) / sum_s sqrt(n_s) (the alpha = 0.5 case of
+    the multilingual upsampling rule — boosts tail sources, damps the
+    head; sqrt specifically because IEEE sqrt is correctly rounded, so
+    the plan is bit-replayable where a pow(x, 0.7) would not be).
+    The PLANNING half of Q13/Q19's mixture samplers: what those
+    samplers should converge to.
+
+    Determinism: n_s exact ints; the normalizer folds sqrt terms left
+    in source order from 0.0 (list_reduce in the oracle); each share is
+    one division.
+
+    Scale shape: one bounded per-source count exchange + single-group
+    widen."""
+    import math
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["source"]).aggregate([([], "count_all")])
+        return pa.table({"source": g.column("source"),
+                         "n": pc.cast(g.column("count_all"),
+                                      pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("source").aggregate(Sum("n", alias_name="n")))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_one", pa.array(np.zeros(batch.num_rows, dtype=np.int64)))
+
+    def widen(group: pa.Table) -> pa.Table:
+        src = group.column("source").to_pylist()
+        n = [int(v) for v in group.column("n").to_pylist()]
+        order = np.argsort(np.asarray(src, dtype=object))
+        total = 0.0
+        for i in order:                      # source-order fold
+            total = total + math.sqrt(float(n[i]))
+        srcs = [src[i] for i in order]
+        ns = [n[i] for i in order]
+        w = [math.sqrt(float(v)) for v in ns]
+        return pa.table({
+            "source": pa.array(srcs, type=pa.string()),
+            "n_docs": pa.array(ns, type=pa.int64()),
+            "weight": pa.array(w, type=pa.float64()),
+            "share": pa.array([x / total for x in w],
+                              type=pa.float64()),
+        })
+
+    return (counts.map_batches(tag, batch_format="pyarrow")
+            .groupby("_one").map_groups(widen, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------- W47 ----
+def w47_burst_runs(sf_dir: str):
+    """W47 — burst-run detection per event type on the ZERO-FILLED
+    daily grid: a day bursts when its count exceeds TWICE the grid
+    mean (d*x > 2*S — exact int compare, no division), and a burst RUN
+    is a maximal streak of consecutive calendar days all bursting
+    (Kleinberg's two-state burst model collapsed to its threshold
+    core).  Reports days, runs, and the longest run per type — the
+    "was it one sustained surge or scattered spikes?" readout next to
+    W26's burstiness coefficient.
+
+    Zero days can never burst, so only present days materialize; run
+    boundaries fall out of day-number gaps (gaps-and-islands).  All
+    outputs exact int64.
+
+    Scale shape: W44's bounded (type, day) count exchange +
+    single-group widen."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    DAY_US = 86_400_000_000
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(us // DAY_US, type=pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "n": pc.cast(g.column("count_all"),
+                                      pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["event_type", "day"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_one", pa.array(np.zeros(batch.num_rows, dtype=np.int64)))
+
+    def widen(group: pa.Table) -> pa.Table:
+        et = np.asarray(group.column("event_type").to_pylist(),
+                        dtype=object)
+        day = np.asarray(group.column("day"), dtype=np.int64)
+        cnt = np.asarray(group.column("n"), dtype=np.int64)
+        d = int(day.max()) - int(day.min()) + 1
+        out = {k: [] for k in ["event_type", "n_days", "n_burst_days",
+                               "n_burst_runs", "longest_run"]}
+        for t in sorted(set(et.tolist())):
+            sel = et == t
+            S = int(cnt[sel].sum())
+            bd = np.sort(day[sel][d * cnt[sel] > 2 * S])
+            nb = int(bd.shape[0])
+            if nb:
+                breaks = np.concatenate(
+                    ([True], np.diff(bd) != 1))
+                starts = np.flatnonzero(breaks)
+                runs = np.diff(np.append(starts, nb))
+                n_runs, longest = len(starts), int(runs.max())
+            else:
+                n_runs, longest = 0, 0
+            out["event_type"].append(t)
+            out["n_days"].append(d)
+            out["n_burst_days"].append(nb)
+            out["n_burst_runs"].append(n_runs)
+            out["longest_run"].append(longest)
+        return pa.table({
+            "event_type": pa.array(out["event_type"], type=pa.string()),
+            "n_days": pa.array(out["n_days"], type=pa.int64()),
+            "n_burst_days": pa.array(out["n_burst_days"],
+                                     type=pa.int64()),
+            "n_burst_runs": pa.array(out["n_burst_runs"],
+                                     type=pa.int64()),
+            "longest_run": pa.array(out["longest_run"],
+                                    type=pa.int64()),
+        })
+
+    return (counts.map_batches(tag, batch_format="pyarrow")
+            .groupby("_one").map_groups(widen, batch_format="pyarrow"))

@@ -1567,3 +1567,52 @@ def test_for_roundtrip_and_size_parity():
         assert row["n_bytes"] == len(enc)
         assert row["n_blocks"] == (len(s) + 127) // 128
         assert row["bytes_per_token"] == len(enc) / len(s)
+
+
+# -------------------------------------------------------- Q24/W47 ----
+def test_temperature_mixture_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["q24_temperature_mixture"](SF).to_pandas()
+           .set_index("source"))
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source"]).to_pandas()
+    counts = docs["source"].value_counts().sort_index()
+    total = 0.0
+    for s in counts.index:
+        total = total + math.sqrt(float(counts[s]))
+    assert list(got.index) == list(counts.index)
+    for s in counts.index:
+        row = got.loc[s]
+        w = math.sqrt(float(counts[s]))
+        assert (row["n_docs"], row["weight"]) == (counts[s], w)
+        assert row["share"] == w / total
+    assert abs(got["share"].sum() - 1.0) < 1e-12
+
+
+def test_burst_runs_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["w47_burst_runs"](SF).to_pandas()
+           .set_index("event_type"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    lo, hi = int(ev["day"].min()), int(ev["day"].max())
+    d = hi - lo + 1
+    for t, grp in ev.groupby("event_type"):
+        counts = grp.groupby("day").size()
+        S = int(counts.sum())
+        burst = sorted(int(day) for day, c in counts.items()
+                       if d * int(c) > 2 * S)
+        runs = []
+        for day in burst:
+            if runs and day == runs[-1][-1] + 1:
+                runs[-1].append(day)
+            else:
+                runs.append([day])
+        row = got.loc[t]
+        assert (row["n_days"], row["n_burst_days"],
+                row["n_burst_runs"]) == (d, len(burst), len(runs))
+        assert row["longest_run"] == \
+            (max(len(r) for r in runs) if runs else 0)
