@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 338 ``queries()`` entries, 333 with DuckDB value
+Round-5 final surface: 339 ``queries()`` entries, 334 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -1270,6 +1270,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # W47 burst-run detection per type (threshold-core Kleinberg
         # on the zero-filled grid; gaps-and-islands runs, all ints)
         "w47_burst_runs": q.w47_burst_runs,
+        # T22 delimiter-balance audit per source (paren mismatch /
+        # odd quotes — the truncation screen)
+        "t22_balance_audit": tx.t22_balance_audit,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -4210,6 +4213,31 @@ def oracle_sql() -> dict[str, str]:
                        AS longest_run
             FROM t CROSS JOIN g
             LEFT JOIN agg USING (event_type)
+        """,
+        # T22: per-doc char counts via length-replace identities; one
+        # pinned division per source
+        "t22_balance_audit": """
+            WITH d AS (
+              SELECT source,
+                     length(text) - length(replace(text, '(', ''))
+                         AS op,
+                     length(text) - length(replace(text, ')', ''))
+                         AS cl,
+                     length(text) - length(replace(text, '"', ''))
+                         AS qt
+              FROM documents),
+            f AS (SELECT source,
+                         CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(CASE WHEN op <> cl OR qt % 2 = 1
+                                       THEN 1 ELSE 0 END) AS BIGINT)
+                             AS n_unbalanced
+                  FROM d GROUP BY source)
+            SELECT source, n_docs, n_unbalanced,
+                   CASE WHEN n_docs > 0
+                        THEN CAST(n_unbalanced AS DOUBLE)
+                             / CAST(n_docs AS DOUBLE)
+                   END AS unbalanced_share
+            FROM f
         """,
         # V19: two group-bys over V1's word convention
         "v19_freq_spectrum": """

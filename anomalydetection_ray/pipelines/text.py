@@ -1315,3 +1315,71 @@ def v21_sttr(sf_dir: str, chunk_words: int = 25):
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- T22 ----
+def t22_balance_audit(sf_dir: str):
+    """T22 — delimiter-balance audit per source: documents whose
+    parentheses counts disagree or whose double-quote count is odd
+    (the cheap malformed-markup / truncation screen a curator runs
+    before trusting extraction output — truncated docs break balance
+    long before perplexity notices).  Counts exact ints; share is one
+    pinned division.
+
+    Scale shape: map-side byte counting over the flat buffer (three
+    ``bincount`` reads), one bounded per-source exchange."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        flat, offsets = _flat_utf8(batch)
+        lens = np.diff(offsets)
+        nrows = lens.shape[0]
+        row_of = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+        opens = np.zeros(nrows, dtype=np.int64)
+        closes = np.zeros(nrows, dtype=np.int64)
+        quotes = np.zeros(nrows, dtype=np.int64)
+        if flat.shape[0]:
+            np.add.at(opens, row_of[flat == 0x28], 1)    # (
+            np.add.at(closes, row_of[flat == 0x29], 1)   # )
+            np.add.at(quotes, row_of[flat == 0x22], 1)   # "
+        bad = (opens != closes) | (quotes % 2 == 1)
+        src = batch.column("source").to_pandas()
+        codes, uniques = pd.factorize(src, sort=True)
+        n_docs = np.bincount(codes, minlength=len(uniques))
+        n_bad = np.bincount(codes, weights=bad.astype(np.float64),
+                            minlength=len(uniques)).astype(np.int64)
+        return pa.table({
+            "source": pa.array(np.asarray(uniques, dtype=object),
+                               type=pa.string()),
+            "n_docs": pa.array(n_docs.astype(np.int64),
+                               type=pa.int64()),
+            "n_unbalanced": pa.array(n_bad, type=pa.int64()),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("source")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_unbalanced", alias_name="n_unbalanced")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch.column("n_docs"), dtype=np.int64)
+        b = np.asarray(batch.column("n_unbalanced"), dtype=np.int64)
+        share = np.zeros(n.shape[0], dtype=np.float64)
+        np.divide(b.astype(np.float64), n.astype(np.float64),
+                  out=share, where=n > 0)
+        return pa.table({
+            "source": batch.column("source"),
+            "n_docs": pa.array(n, type=pa.int64()),
+            "n_unbalanced": pa.array(b, type=pa.int64()),
+            "unbalanced_share": pa.array(share, type=pa.float64(),
+                                         mask=n == 0),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

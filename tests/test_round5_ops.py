@@ -1616,3 +1616,21 @@ def test_burst_runs_bruteforce(ray_session):
                 row["n_burst_runs"]) == (d, len(burst), len(runs))
         assert row["longest_run"] == \
             (max(len(r) for r in runs) if runs else 0)
+
+
+# ------------------------------------------------------------ T22 ----
+def test_balance_audit_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["t22_balance_audit"](SF).to_pandas()
+           .set_index("source"))
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    for src, grp in docs.groupby("source"):
+        bad = sum(1 for t in grp["text"]
+                  if t.count("(") != t.count(")")
+                  or t.count('"') % 2 == 1)
+        row = got.loc[src]
+        assert (row["n_docs"], row["n_unbalanced"]) == (len(grp), bad)
+        assert row["unbalanced_share"] == \
+            float(bad) / float(len(grp))
