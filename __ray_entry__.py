@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 339 ``queries()`` entries, 334 with DuckDB value
+Round-5 final surface: 340 ``queries()`` entries, 335 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -1273,6 +1273,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # T22 delimiter-balance audit per source (paren mismatch /
         # odd quotes — the truncation screen)
         "t22_balance_audit": tx.t22_balance_audit,
+        # X10 ordered proximity search w1 NEAR/5 w2 (X4 relaxed to
+        # the window; two searchsorted probes per occurrence)
+        "x10_near_search": vb.x10_near_search,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -4238,6 +4241,31 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(n_docs AS DOUBLE)
                    END AS unbalanced_share
             FROM f
+        """,
+        # X10: position pairs with 0 < p2 - p1 <= 5, same doc
+        "x10_near_search": """
+            WITH ws AS (SELECT doc_id,
+                               list_filter(string_split(text, ' '),
+                                           x -> x <> '') AS w
+                        FROM documents),
+            p1 AS (SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS pos
+                   FROM ws
+                   CROSS JOIN unnest(range(1, len(w) + 1)) AS t(i)
+                   WHERE w[t.i] = 'batch'),
+            p2 AS (SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS pos
+                   FROM ws
+                   CROSS JOIN unnest(range(1, len(w) + 1)) AS t(i)
+                   WHERE w[t.i] = 'stream'),
+            hits AS (SELECT p1.doc_id, p1.pos,
+                            CAST(count(*) AS BIGINT) AS c
+                     FROM p1 JOIN p2
+                       ON p2.doc_id = p1.doc_id
+                      AND p2.pos > p1.pos
+                      AND p2.pos <= p1.pos + 5
+                     GROUP BY p1.doc_id, p1.pos)
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_pairs,
+                   CAST(min(pos) AS BIGINT) AS first_pos
+            FROM hits GROUP BY doc_id
         """,
         # V19: two group-bys over V1's word convention
         "v19_freq_spectrum": """

@@ -1075,3 +1075,65 @@ def v19_freq_spectrum(sf_dir: str):
                                zero_copy_batch=True)
             .groupby("k").aggregate(Sum("n_types",
                                         alias_name="n_types")))
+
+
+# ---------------------------------------------------------------- X10 ----
+def x10_near_search(sf_dir: str, w1: str = "batch", w2: str = "stream",
+                    k: int = 5):
+    """X10 — ordered proximity search (w1 NEAR/k w2): occurrences of
+    ``w1`` followed by ``w2`` within ``k`` words in the same document —
+    X4's exact-adjacency search relaxed to the window every search
+    engine actually serves.  Per matching doc: pair count and the first
+    participating w1 position.
+
+    Map-only like X4 (a document never spans blocks); every w1
+    occurrence resolves its window with two ``searchsorted`` probes
+    over the (doc << 43 | pos) composite — no per-doc Python."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def scan(batch: pa.Table) -> pa.Table:
+        flat, doc_flat = _words_flat(batch)
+        n = len(flat)
+        empty = pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "n_pairs": pa.array([], type=pa.int64()),
+            "first_pos": pa.array([], type=pa.int64()),
+        })
+        if n == 0:
+            return empty
+        doc = np.asarray(doc_flat, dtype=np.int64)
+        starts = np.flatnonzero(np.concatenate(([True],
+                                                doc[1:] != doc[:-1])))
+        lens = np.diff(np.append(starts, n))
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+        assert int(pos.max()) + k < (1 << 43)
+        key = (doc << 43) | pos
+        i1 = np.flatnonzero(np.asarray(pc.equal(flat, w1)))
+        i2 = np.flatnonzero(np.asarray(pc.equal(flat, w2)))
+        if i1.size == 0 or i2.size == 0:
+            return empty
+        k2 = np.sort(key[i2])
+        lo = np.searchsorted(k2, key[i1], side="right")
+        hi = np.searchsorted(k2, key[i1] + k, side="right")
+        cnt = hi - lo
+        hit = cnt > 0
+        if not hit.any():
+            return empty
+        t = pa.table({
+            "doc_id": pa.array(doc[i1][hit], type=pa.int64()),
+            "pos": pa.array(pos[i1][hit], type=pa.int64()),
+            "c": pa.array(cnt[hit], type=pa.int64()),
+        })
+        g = t.group_by(["doc_id"]).aggregate([("c", "sum"),
+                                              ("pos", "min")])
+        return pa.table({
+            "doc_id": g.column("doc_id"),
+            "n_pairs": pc.cast(g.column("c_sum"), pa.int64()),
+            "first_pos": pc.cast(g.column("pos_min"), pa.int64()),
+        })
+
+    return ds.map_batches(scan, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -1634,3 +1634,26 @@ def test_balance_audit_bruteforce(ray_session):
         assert (row["n_docs"], row["n_unbalanced"]) == (len(grp), bad)
         assert row["unbalanced_share"] == \
             float(bad) / float(len(grp))
+
+
+# ------------------------------------------------------------ X10 ----
+def test_near_search_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["x10_near_search"](SF).to_pandas()
+           .set_index("doc_id").sort_index())
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    expect = {}
+    for _, r in docs.iterrows():
+        ws = [w for w in r["text"].split(" ") if w != ""]
+        p1 = [i for i, w in enumerate(ws) if w == "batch"]
+        p2 = [i for i, w in enumerate(ws) if w == "stream"]
+        pairs = [(a, b) for a in p1 for b in p2 if 0 < b - a <= 5]
+        if pairs:
+            expect[int(r["doc_id"])] = (len(pairs),
+                                        min(a for a, _ in pairs))
+    assert sorted(expect) == list(got.index)
+    for d, (n, fp) in expect.items():
+        row = got.loc[d]
+        assert (row["n_pairs"], row["first_pos"]) == (n, fp)
