@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 340 ``queries()`` entries, 335 with DuckDB value
+Round-5 final surface: 341 ``queries()`` entries, 336 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -1276,6 +1276,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # X10 ordered proximity search w1 NEAR/5 w2 (X4 relaxed to
         # the window; two searchsorted probes per occurrence)
         "x10_near_search": vb.x10_near_search,
+        # W48 top-10 behavioral trigram paths (discovered funnels;
+        # bounded n_types^3 partials per partition)
+        "w48_top_paths": wnd.w48_top_paths,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -4266,6 +4269,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_pairs,
                    CAST(min(pos) AS BIGINT) AS first_pos
             FROM hits GROUP BY doc_id
+        """,
+        # W48: two chained leads within user; (n DESC, lexicographic)
+        # top-10
+        "w48_top_paths": """
+            WITH o AS (
+              SELECT user_id, event_type AS t1,
+                     lead(event_type, 1) OVER w AS t2,
+                     lead(event_type, 2) OVER w AS t3
+              FROM events
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id))
+            SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+            FROM o WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+            GROUP BY t1, t2, t3
+            ORDER BY n DESC, t1, t2, t3 LIMIT 10
         """,
         # V19: two group-bys over V1's word convention
         "v19_freq_spectrum": """

@@ -3154,3 +3154,68 @@ def w46_transition_entropy(sf_dir: str, num_partitions: int = 16):
         batch_format="pyarrow", zero_copy_batch=True)
     return tagged.groupby(PKEY).map_groups(_trans_entropy_kernel,
                                            batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- W48 ----
+def _trigram_kernel(group: pa.Table) -> pa.Table:
+    """Per-partition (t1, t2, t3) path counts over each user's
+    (ts, event_id)-ordered stream — bounded output (<= n_types^3 rows
+    per partition) regardless of event volume."""
+    group = group.drop_columns([PKEY]).sort_by(
+        [("user_id", "ascending"), ("ts", "ascending"),
+         ("event_id", "ascending")])
+    n = group.num_rows
+    empty = pa.table({
+        "t1": pa.array([], type=pa.string()),
+        "t2": pa.array([], type=pa.string()),
+        "t3": pa.array([], type=pa.string()),
+        "n": pa.array([], type=pa.int64()),
+    })
+    if n < 3:
+        return empty
+    uid = np.asarray(group.column("user_id"), dtype=np.int64)
+    et = group.column("event_type")
+    if isinstance(et, pa.ChunkedArray):
+        et = et.combine_chunks()
+    ok = (uid[:-2] == uid[1:-1]) & (uid[1:-1] == uid[2:])
+    if not ok.any():
+        return empty
+    sel = pa.array(ok)
+    g = pa.table({
+        "t1": et.slice(0, n - 2).filter(sel),
+        "t2": et.slice(1, n - 2).filter(sel),
+        "t3": et.slice(2, n - 2).filter(sel),
+    }).group_by(["t1", "t2", "t3"]).aggregate([([], "count_all")])
+    return pa.table({
+        "t1": g.column("t1"), "t2": g.column("t2"),
+        "t3": g.column("t3"),
+        "n": g.column("count_all").cast(pa.int64()),
+    })
+
+
+def w48_top_paths(sf_dir: str, k: int = 10, num_partitions: int = 16):
+    """W48 — the corpus' top-k three-step behavioral paths: counts of
+    consecutive event-type TRIGRAMS within each user's stream, ranked
+    (n desc, then lexicographic) — the path-mining readout one step
+    beyond W10's Markov pairs (a funnel you DISCOVER instead of the
+    funnel you assert in W11).
+
+    Scale shape: ONE ``_pkey`` exchange; per-partition counts are
+    bounded by n_types^3, the global merge and top-k are tiny."""
+    from ray.data.aggregate import Sum
+
+    ev = _read_events(sf_dir, ["event_id", "ts", "user_id",
+                               "event_type"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    counts = (tagged.groupby(PKEY).map_groups(_trigram_kernel,
+                                              batch_format="pyarrow")
+              .groupby(["t1", "t2", "t3"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    from anomalydetection_ray.stages.topk import topk
+
+    return topk(counts, k, [("n", "descending"), ("t1", "ascending"),
+                            ("t2", "ascending"), ("t3", "ascending")])

@@ -1657,3 +1657,27 @@ def test_near_search_bruteforce(ray_session):
     for d, (n, fp) in expect.items():
         row = got.loc[d]
         assert (row["n_pairs"], row["first_pos"]) == (n, fp)
+
+
+# ------------------------------------------------------------ W48 ----
+def test_top_paths_bruteforce(ray_session):
+    from collections import Counter
+
+    import __ray_entry__ as e
+
+    got = e.queries()["w48_top_paths"](SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "ts", "user_id",
+                                "event_type"]).to_pandas()
+    ev["us"] = ev["ts"].astype("int64")
+    tri = Counter()
+    for _, grp in ev.groupby("user_id"):
+        seq = grp.sort_values(["us", "event_id"])["event_type"].tolist()
+        for i in range(len(seq) - 2):
+            tri[(seq[i], seq[i + 1], seq[i + 2])] += 1
+    top = sorted(tri.items(),
+                 key=lambda kv: (-kv[1], kv[0]))[:10]
+    got_rows = sorted(
+        ((r["t1"], r["t2"], r["t3"]), int(r["n"]))
+        for _, r in got.iterrows())
+    assert got_rows == sorted(top)
