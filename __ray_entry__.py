@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 341 ``queries()`` entries, 336 with DuckDB value
+Round-5 final surface: 342 ``queries()`` entries, 337 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -1279,6 +1279,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # W48 top-10 behavioral trigram paths (discovered funnels;
         # bounded n_types^3 partials per partition)
         "w48_top_paths": wnd.w48_top_paths,
+        # D23 cluster-aware keep-best dedup (one longest survivor per
+        # near-dup CC cluster; singletons survive as themselves)
+        "d23_cluster_keep_best": dd.d23_cluster_keep_best,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -5226,6 +5229,29 @@ def oracle_sql() -> dict[str, str]:
                       UNION
                       SELECT e.a, reach.r FROM edges e JOIN reach ON reach.v = e.b)
             SELECT v AS doc_id, min(r) AS cluster FROM reach GROUP BY v
+        """,
+        # D23: the dedup_clusters CC + COALESCE singleton labels +
+        # row_number keep-best (n_chars DESC, doc_id ASC)
+        "d23_cluster_keep_best": f"""
+            WITH RECURSIVE {_minhash_cte(0.5)},
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+                      UNION SELECT doc_b, doc_a FROM mh_pairs),
+            reach AS (SELECT a AS v, a AS r FROM edges
+                      UNION
+                      SELECT e.a, reach.r FROM edges e
+                      JOIN reach ON reach.v = e.b),
+            cl AS (SELECT v AS doc_id, min(r) AS cluster
+                   FROM reach GROUP BY v),
+            fullt AS (SELECT d.doc_id,
+                             CAST(COALESCE(cl.cluster, d.doc_id)
+                                  AS BIGINT) AS cluster,
+                             CAST(d.n_chars AS BIGINT) AS n_chars
+                      FROM documents d LEFT JOIN cl USING (doc_id))
+            SELECT doc_id, cluster, n_chars FROM (
+                SELECT *, row_number() OVER (PARTITION BY cluster
+                    ORDER BY n_chars DESC, doc_id) AS rk
+                FROM fullt)
+            WHERE rk = 1
         """,
         "rollup_events_tier1": f"""
             WITH s AS (

@@ -2094,3 +2094,56 @@ def d22_normalized_dedup(sf_dir: str):
 
     return (per_kind.map_batches(tag, batch_format="pyarrow")
             .groupby("_one").map_groups(widen, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------- D23 ----
+def d23_cluster_keep_best(sf_dir: str, min_est: float = 0.5,
+                          num_partitions: int = 16):
+    """D23 — cluster-aware keep-best dedup: ONE survivor per NEAR-dup
+    cluster (X-family connected components over the MinHash-LSH pair
+    graph), keeping the longest member (max n_chars, ties -> min
+    doc_id); unclustered docs survive as their own singleton cluster.
+    D19 applies this policy to exact-hash groups; this is the policy
+    production curation actually ships — near-identical scrapes differ
+    by truncation, and the cluster, not the hash bucket, is the
+    dedup unit.
+
+    Scale shape: the cluster labels come from the existing bounded
+    label-propagation CC (`dup_clusters`); labels attach to the doc
+    table via ONE co-partitioned join (nulls = singleton -> own id),
+    and the survivor per cluster is ONE `keep_first_by` exchange on
+    the cluster key.  Oracle: the dedup_clusters recursive-CTE CC +
+    row_number keep-best — an independent route to the same clusters."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from anomalydetection_ray.stages.join import copartition_attach
+    from anomalydetection_ray.stages.runs import keep_first_by
+
+    clusters = dup_clusters(sf_dir, min_est=min_est)
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "n_chars"])
+    with_cl = copartition_attach(docs, clusters, "doc_id", "doc_id",
+                                 ["cluster"],
+                                 num_partitions=num_partitions)
+
+    def fill(batch: pa.Table) -> pa.Table:
+        cl = batch.column("cluster")
+        if isinstance(cl, pa.ChunkedArray):
+            cl = cl.combine_chunks()
+        did = batch.column("doc_id").cast(pa.int64())
+        nc = batch.column("n_chars").cast(pa.int64())
+        return pa.table({
+            "doc_id": did,
+            "cluster": pc.coalesce(cl.cast(pa.int64()), did),
+            "n_chars": nc,
+            "neg_chars": pc.negate_checked(nc),
+        })
+
+    filled = with_cl.map_batches(fill, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    best = keep_first_by(filled, keys=["cluster"],
+                         order_by=["neg_chars", "doc_id"])
+    return best.map_batches(
+        lambda b: b.select(["doc_id", "cluster", "n_chars"]),
+        batch_format="pyarrow")

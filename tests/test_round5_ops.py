@@ -1681,3 +1681,31 @@ def test_top_paths_bruteforce(ray_session):
         ((r["t1"], r["t2"], r["t3"]), int(r["n"]))
         for _, r in got.iterrows())
     assert got_rows == sorted(top)
+
+
+# ------------------------------------------------------------ D23 ----
+def test_cluster_keep_best_consistency(ray_session):
+    """D23's survivors must be exactly: per dedup_clusters cluster the
+    (max n_chars, min doc_id) member, plus every unclustered doc."""
+    import __ray_entry__ as e
+
+    q = e.queries()
+    got = (q["d23_cluster_keep_best"](SF).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    cl = q["dedup_clusters"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "n_chars"]).to_pandas()
+    merged = docs.merge(cl, on="doc_id", how="left")
+    merged["cluster"] = merged["cluster"].fillna(
+        merged["doc_id"]).astype("int64")
+    expect = (merged.sort_values(["cluster", "n_chars", "doc_id"],
+                                 ascending=[True, False, True])
+              .groupby("cluster").head(1)
+              .sort_values("doc_id").reset_index(drop=True))
+    assert len(got) == len(expect)
+    assert (got["doc_id"].to_numpy()
+            == expect["doc_id"].to_numpy()).all()
+    assert (got["cluster"].to_numpy()
+            == expect["cluster"].to_numpy()).all()
+    # every non-surviving doc shares a cluster with a longer survivor
+    assert len(got) == merged["cluster"].nunique()
