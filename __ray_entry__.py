@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 342 ``queries()`` entries, 337 with DuckDB value
+Round-5 final surface: 343 ``queries()`` entries, 338 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -1282,6 +1282,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # D23 cluster-aware keep-best dedup (one longest survivor per
         # near-dup CC cluster; singletons survive as themselves)
         "d23_cluster_keep_best": dd.d23_cluster_keep_best,
+        # A69 Jarque-Bera normality screen per type (ratio-split
+        # skew^2 keeps every operand inside HUGEINT; signed split)
+        "a69_jarque_bera": q.a69_jarque_bera,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -4287,6 +4290,66 @@ def oracle_sql() -> dict[str, str]:
             FROM o WHERE t2 IS NOT NULL AND t3 IS NOT NULL
             GROUP BY t1, t2, t3
             ORDER BY n DESC, t1, t2, t3 LIMIT 10
+        """,
+        # A69: HUGEINT scaled central moments; signed 32-bit-split for
+        # the (possibly negative) m3s; ratio-split skew^2
+        "a69_jarque_bera": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+              FROM events),
+            d AS MATERIALIZED (
+              SELECT event_type, day, CAST(sum(v100) AS BIGINT) AS x
+              FROM e GROUP BY event_type, day),
+            m AS (SELECT event_type,
+                         CAST(count(*) AS HUGEINT) AS n,
+                         CAST(sum(x) AS HUGEINT) AS s1,
+                         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT)
+                             AS s2,
+                         CAST(sum(CAST(x AS HUGEINT) * x * x)
+                              AS HUGEINT) AS s3,
+                         CAST(sum(CAST(x AS HUGEINT) * x * x * x)
+                              AS HUGEINT) AS s4
+                  FROM d GROUP BY event_type),
+            c AS (SELECT event_type, n,
+                         n * s2 - s1 * s1 AS m2s,
+                         n * n * s3 - 3 * n * s1 * s2
+                             + 2 * s1 * s1 * s1 AS m3s,
+                         n * n * n * s4 - 4 * n * n * s1 * s3
+                             + 6 * n * s1 * s1 * s2
+                             - 3 * s1 * s1 * s1 * s1 AS m4s
+                  FROM m),
+            f AS (SELECT event_type, n, m2s,
+                         (CAST(m2s // 4294967296 AS DOUBLE)
+                          * 4294967296.0
+                          + CAST(m2s % 4294967296 AS DOUBLE)) AS sd2,
+                         (CASE WHEN m3s >= 0 THEN
+                              CAST(m3s // 4294967296 AS DOUBLE)
+                              * 4294967296.0
+                              + CAST(m3s % 4294967296 AS DOUBLE)
+                          ELSE -(CAST((-m3s) // 4294967296 AS DOUBLE)
+                                 * 4294967296.0
+                                 + CAST((-m3s) % 4294967296
+                                        AS DOUBLE)) END) AS sd3,
+                         (CAST(m4s // 4294967296 AS DOUBLE)
+                          * 4294967296.0
+                          + CAST(m4s % 4294967296 AS DOUBLE)) AS sd4
+                  FROM c),
+            g AS (SELECT event_type, n, m2s,
+                         (sd3 / sd2) * (sd3 / sd2) / sd2 AS skew2,
+                         sd4 / (sd2 * sd2) - 3.0 AS ex_kurt
+                  FROM f)
+            SELECT event_type, CAST(n AS BIGINT) AS n_days,
+                   CASE WHEN n >= 2 AND m2s > 0 THEN skew2 END
+                       AS skew2,
+                   CASE WHEN n >= 2 AND m2s > 0 THEN ex_kurt END
+                       AS ex_kurt,
+                   CASE WHEN n >= 2 AND m2s > 0
+                        THEN (CAST(n AS DOUBLE) / 6.0)
+                             * (skew2 + (ex_kurt * ex_kurt) / 4.0)
+                   END AS jb
+            FROM g
         """,
         # V19: two group-bys over V1's word convention
         "v19_freq_spectrum": """

@@ -8712,3 +8712,79 @@ def w47_burst_runs(sf_dir: str):
 
     return (counts.map_batches(tag, batch_format="pyarrow")
             .groupby("_one").map_groups(widen, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------- A69 ----
+def a69_jarque_bera(sf_dir: str):
+    """A69 — Jarque-Bera normality screen per event type over the
+    observed daily cent-total series: JB = n/6 * (skew^2 + kurt^2/4)
+    from the n-scaled central moments — the gate before any
+    Gaussian-assuming control chart (A6's 3-sigma bands mean nothing
+    on a skewed heavy-tailed daily series; JB says so first).
+
+    Exactness: power sums s1..s4 are exact ints; the scaled central
+    moments m2s = n*s2 - s1^2, m3s = n^2*s3 - 3n*s1*s2 + 2*s1^3,
+    m4s (G36's) satisfy skew^2 = m3s^2/m2s^3 and kurt = m4s/m2s^2 - 3
+    with all n-powers cancelling.  m2s^3 would blow past HUGEINT, so
+    skew^2 evaluates in the RATIO-SPLIT form (r = sd(m3s)/sd(m2s);
+    skew2 = r*r/sd(m2s)) — every operand stays <= m4s, inside the
+    oracle's HUGEINT + 32-bit-split casts.  n < 2 or zero variance
+    emits NULL.
+
+    Scale shape: A36's bounded (type, day) cent partials + per-type
+    finalize."""
+    from anomalydetection_ray.stages.detectors import _split_double
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        day = us // 86_400_000_000
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        v100 = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(day, type=pa.int64()),
+                      "v100": pa.array(v100, type=pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate([("v100", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "x": g.column("v100_sum").cast(pa.int64())})
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["event_type", "day"]).sum("x"))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        xs = [int(v) for v in
+              np.asarray(group.column("sum(x)"), dtype=np.int64)]
+        n = len(xs)
+        s1 = sum(xs)
+        s2 = sum(v * v for v in xs)
+        s3 = sum(v ** 3 for v in xs)
+        s4 = sum(v ** 4 for v in xs)
+        m2s = n * s2 - s1 * s1
+        m3s = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
+        m4s = (n ** 3 * s4 - 4 * n * n * s1 * s3
+               + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4)
+        if n >= 2 and m2s > 0:
+            r = _split_double(m3s) / _split_double(m2s)
+            skew2 = (r * r) / _split_double(m2s)
+            kurt = (_split_double(m4s)
+                    / (_split_double(m2s) * _split_double(m2s)) - 3.0)
+            jb = (float(n) / 6.0) * (skew2 + (kurt * kurt) / 4.0)
+        else:
+            skew2 = kurt = jb = None
+        return pa.table({
+            "event_type": pa.array([et], type=pa.string()),
+            "n_days": pa.array([n], type=pa.int64()),
+            "skew2": pa.array([skew2], type=pa.float64(),
+                              from_pandas=True),
+            "ex_kurt": pa.array([kurt], type=pa.float64(),
+                                from_pandas=True),
+            "jb": pa.array([jb], type=pa.float64(), from_pandas=True),
+        })
+
+    return daily.groupby("event_type").map_groups(
+        finalize, batch_format="pyarrow")

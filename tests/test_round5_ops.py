@@ -1709,3 +1709,41 @@ def test_cluster_keep_best_consistency(ray_session):
             == expect["cluster"].to_numpy()).all()
     # every non-surviving doc shares a cluster with a longer survivor
     assert len(got) == merged["cluster"].nunique()
+
+
+# ------------------------------------------------------------ A69 ----
+def test_jarque_bera_bruteforce(ray_session):
+    from anomalydetection_ray.stages.detectors import _split_double
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["a69_jarque_bera"](SF).to_pandas()
+           .set_index("event_type"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts", "value"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    ev["v100"] = np.floor(ev["value"].to_numpy() * 100.0
+                          + 0.5).astype(np.int64)
+    for t, grp in ev.groupby("event_type"):
+        xs = [int(v) for v in
+              grp.groupby("day")["v100"].sum().to_numpy()]
+        n = len(xs)
+        s1, s2 = sum(xs), sum(v * v for v in xs)
+        s3, s4 = sum(v ** 3 for v in xs), sum(v ** 4 for v in xs)
+        m2s = n * s2 - s1 * s1
+        m3s = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
+        m4s = (n ** 3 * s4 - 4 * n * n * s1 * s3
+               + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4)
+        row = got.loc[t]
+        assert row["n_days"] == n
+        if n >= 2 and m2s > 0:
+            r = _split_double(m3s) / _split_double(m2s)
+            skew2 = (r * r) / _split_double(m2s)
+            kurt = (_split_double(m4s)
+                    / (_split_double(m2s) * _split_double(m2s)) - 3.0)
+            assert row["skew2"] == skew2
+            assert row["ex_kurt"] == kurt
+            assert row["jb"] == \
+                (float(n) / 6.0) * (skew2 + (kurt * kurt) / 4.0)
+        else:
+            assert np.isnan(row["jb"])
