@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 343 ``queries()`` entries, 338 with DuckDB value
+Round-5 final surface: 344 ``queries()`` entries, 339 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -1285,6 +1285,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A69 Jarque-Bera normality screen per type (ratio-split
         # skew^2 keeps every operand inside HUGEINT; signed split)
         "a69_jarque_bera": q.a69_jarque_bera,
+        # W49 weekday seasonality strength per type (A48's strength
+        # on the calendar; robust phase medians, split-cast ratio)
+        "w49_weekday_strength": q.w49_weekday_strength,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -4350,6 +4353,68 @@ def oracle_sql() -> dict[str, str]:
                              * (skew2 + (ex_kurt * ex_kurt) / 4.0)
                    END AS jb
             FROM g
+        """,
+        # W49: zero-filled grid; lower-median per (type, day%7);
+        # 1 - split(num_r)/split(num_x)
+        "w49_weekday_strength": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY event_type, day),
+            g AS (SELECT min(day) AS lo, max(day) AS hi FROM c),
+            days AS (SELECT unnest(range(g.lo, g.hi + 1)) AS day
+                     FROM g),
+            types AS (SELECT DISTINCT event_type FROM c),
+            grid AS (SELECT t.event_type, dd.day, dd.day % 7 AS w,
+                            CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+                     FROM types t CROSS JOIN days dd
+                     LEFT JOIN c ON c.event_type = t.event_type
+                                AND c.day = dd.day),
+            med AS (SELECT event_type, w,
+                           CAST(min(val) AS BIGINT) AS med
+                    FROM (SELECT event_type, w, n AS val,
+                                 row_number() OVER (PARTITION BY
+                                     event_type, w
+                                     ORDER BY n, day) AS rk,
+                                 count(*) OVER (PARTITION BY
+                                     event_type, w) AS m
+                          FROM grid)
+                    WHERE rk = (m + 1) // 2
+                    GROUP BY event_type, w),
+            r AS (SELECT grid.event_type, grid.n,
+                         grid.n - med.med AS resid
+                  FROM grid JOIN med
+                    ON med.event_type = grid.event_type
+                   AND med.w = grid.w),
+            a AS (SELECT event_type,
+                         CAST(count(*) AS HUGEINT) AS d,
+                         CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT)
+                             AS q,
+                         CAST(sum(n) AS HUGEINT) AS s,
+                         CAST(sum(CAST(resid AS HUGEINT) * resid)
+                              AS HUGEINT) AS qr,
+                         CAST(sum(resid) AS HUGEINT) AS sr
+                  FROM r GROUP BY event_type),
+            ms AS (SELECT event_type, CAST(sum(med) AS BIGINT)
+                              AS med_sum
+                   FROM med GROUP BY event_type)
+            SELECT a.event_type, CAST(a.d AS BIGINT) AS n_days,
+                   ms.med_sum,
+                   CASE WHEN a.d * a.q - a.s * a.s > 0
+                        THEN 1.0 -
+                             (CAST((a.d * a.qr - a.sr * a.sr)
+                                   // 4294967296 AS DOUBLE)
+                              * 4294967296.0
+                              + CAST((a.d * a.qr - a.sr * a.sr)
+                                     % 4294967296 AS DOUBLE))
+                             / (CAST((a.d * a.q - a.s * a.s)
+                                     // 4294967296 AS DOUBLE)
+                                * 4294967296.0
+                                + CAST((a.d * a.q - a.s * a.s)
+                                       % 4294967296 AS DOUBLE))
+                   END AS strength
+            FROM a JOIN ms USING (event_type)
         """,
         # V19: two group-bys over V1's word convention
         "v19_freq_spectrum": """

@@ -8788,3 +8788,94 @@ def a69_jarque_bera(sf_dir: str):
 
     return daily.groupby("event_type").map_groups(
         finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- W49 ----
+def w49_weekday_strength(sf_dir: str):
+    """W49 — weekday seasonality strength per event type on the
+    ZERO-FILLED daily count grid: 1 - var(x - med_{day%7}) / var(x),
+    the calendar twin of A48's positional seasonal strength — how much
+    of a type's daily variance the weekly rhythm explains (robust
+    phase MEDIANS absorb the seasonal level, so one burst day can't
+    fake a weekly pattern).
+
+    Determinism: phase medians are lower-rank statistics of ints
+    (G37's rule, (m+1)//2), residual/raw variance numerators
+    d*Q - S^2 are exact non-negative Python/HUGEINT ints, and the
+    strength is ONE split-cast division subtracted from 1.0.  Zero
+    raw variance emits NULL; ``med_sum`` pins the medians in the
+    hash.
+
+    Scale shape: W44's bounded (type, day) exchange + single-group
+    widen over the bounded grid."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from anomalydetection_ray.stages.detectors import _split_double
+
+    DAY_US = 86_400_000_000
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(us // DAY_US, type=pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "n": pc.cast(g.column("count_all"),
+                                      pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["event_type", "day"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_one", pa.array(np.zeros(batch.num_rows, dtype=np.int64)))
+
+    def widen(group: pa.Table) -> pa.Table:
+        et = np.asarray(group.column("event_type").to_pylist(),
+                        dtype=object)
+        day = np.asarray(group.column("day"), dtype=np.int64)
+        cnt = np.asarray(group.column("n"), dtype=np.int64)
+        lo, hi = int(day.min()), int(day.max())
+        d = hi - lo + 1
+        wdays = (np.arange(lo, hi + 1, dtype=np.int64)) % 7
+        out = {k: [] for k in ["event_type", "n_days", "med_sum",
+                               "strength"]}
+        for t in sorted(set(et.tolist())):
+            sel = et == t
+            grid = np.zeros(d, dtype=np.int64)
+            grid[day[sel] - lo] = cnt[sel]
+            med = np.zeros(7, dtype=np.int64)
+            for w in range(7):
+                vals = np.sort(grid[wdays == w])
+                m = vals.shape[0]
+                if m:
+                    med[w] = vals[(m + 1) // 2 - 1]
+            resid = grid - med[wdays]
+            xs = [int(v) for v in grid.tolist()]
+            rs = [int(v) for v in resid.tolist()]
+            num_x = d * sum(v * v for v in xs) - sum(xs) ** 2
+            num_r = d * sum(v * v for v in rs) - sum(rs) ** 2
+            strength = (1.0 - _split_double(num_r)
+                        / _split_double(num_x)
+                        if num_x > 0 else None)
+            out["event_type"].append(t)
+            out["n_days"].append(d)
+            out["med_sum"].append(int(med.sum()))
+            out["strength"].append(strength)
+        return pa.table({
+            "event_type": pa.array(out["event_type"], type=pa.string()),
+            "n_days": pa.array(out["n_days"], type=pa.int64()),
+            "med_sum": pa.array(out["med_sum"], type=pa.int64()),
+            "strength": pa.array(out["strength"], type=pa.float64(),
+                                 from_pandas=True),
+        })
+
+    return (counts.map_batches(tag, batch_format="pyarrow")
+            .groupby("_one").map_groups(widen, batch_format="pyarrow"))

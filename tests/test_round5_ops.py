@@ -1747,3 +1747,40 @@ def test_jarque_bera_bruteforce(ray_session):
                 (float(n) / 6.0) * (skew2 + (kurt * kurt) / 4.0)
         else:
             assert np.isnan(row["jb"])
+
+
+# ------------------------------------------------------------ W49 ----
+def test_weekday_strength_bruteforce(ray_session):
+    from anomalydetection_ray.stages.detectors import _split_double
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["w49_weekday_strength"](SF).to_pandas()
+           .set_index("event_type"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    lo, hi = int(ev["day"].min()), int(ev["day"].max())
+    d = hi - lo + 1
+    wd = np.arange(lo, hi + 1) % 7
+    for t, grp in ev.groupby("event_type"):
+        grid = np.zeros(d, dtype=np.int64)
+        for day, c in grp.groupby("day").size().items():
+            grid[int(day) - lo] = int(c)
+        med = np.zeros(7, dtype=np.int64)
+        for w in range(7):
+            vals = sorted(grid[wd == w].tolist())
+            if vals:
+                med[w] = vals[(len(vals) + 1) // 2 - 1]
+        resid = grid - med[wd]
+        xs = [int(v) for v in grid]
+        rs = [int(v) for v in resid]
+        num_x = d * sum(v * v for v in xs) - sum(xs) ** 2
+        num_r = d * sum(v * v for v in rs) - sum(rs) ** 2
+        row = got.loc[t]
+        assert (row["n_days"], row["med_sum"]) == (d, int(med.sum()))
+        if num_x > 0:
+            assert row["strength"] == \
+                1.0 - _split_double(num_r) / _split_double(num_x)
+        else:
+            assert np.isnan(row["strength"])
