@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 344 ``queries()`` entries, 339 with DuckDB value
+Round-5 final surface: 345 ``queries()`` entries, 340 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -1288,6 +1288,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # W49 weekday seasonality strength per type (A48's strength
         # on the calendar; robust phase medians, split-cast ratio)
         "w49_weekday_strength": q.w49_weekday_strength,
+        # W50 tenure-activity Pearson across users (hour-floored
+        # tenure keeps sums int64; signed split numerator)
+        "w50_tenure_activity_corr": q.w50_tenure_activity_corr,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -4415,6 +4418,50 @@ def oracle_sql() -> dict[str, str]:
                                        % 4294967296 AS DOUBLE))
                    END AS strength
             FROM a JOIN ms USING (event_type)
+        """,
+        # W50: per-user min/max/count; hour-floored tenure; G10's
+        # pinned r with signed split numerator
+        "w50_tenure_activity_corr": """
+            WITH u AS (
+              SELECT user_id,
+                     CAST((max(epoch_us(ts)) - min(epoch_us(ts)))
+                          // 3600000000 AS BIGINT) AS x,
+                     CAST(count(*) AS BIGINT) AS y
+              FROM events GROUP BY user_id),
+            m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                         CAST(sum(x) AS HUGEINT) AS sx,
+                         CAST(sum(y) AS HUGEINT) AS sy,
+                         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT)
+                             AS sxx,
+                         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT)
+                             AS syy,
+                         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT)
+                             AS sxy
+                  FROM u),
+            c AS (SELECT n, sxy,
+                         n * sxy - sx * sy AS num,
+                         n * sxx - sx * sx AS dx,
+                         n * syy - sy * sy AS dy
+                  FROM m)
+            SELECT CAST(n AS BIGINT) AS n_users,
+                   CAST(sxy AS BIGINT) AS sxy,
+                   CASE WHEN dx > 0 AND dy > 0 THEN
+                       (CASE WHEN num >= 0 THEN
+                            CAST(num // 4294967296 AS DOUBLE)
+                            * 4294967296.0
+                            + CAST(num % 4294967296 AS DOUBLE)
+                        ELSE -(CAST((-num) // 4294967296 AS DOUBLE)
+                               * 4294967296.0
+                               + CAST((-num) % 4294967296
+                                      AS DOUBLE)) END)
+                       / (sqrt(CAST(dx // 4294967296 AS DOUBLE)
+                               * 4294967296.0
+                               + CAST(dx % 4294967296 AS DOUBLE))
+                          * sqrt(CAST(dy // 4294967296 AS DOUBLE)
+                                 * 4294967296.0
+                                 + CAST(dy % 4294967296 AS DOUBLE)))
+                   END AS r
+            FROM c
         """,
         # V19: two group-bys over V1's word convention
         "v19_freq_spectrum": """

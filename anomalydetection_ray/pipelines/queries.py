@@ -8879,3 +8879,88 @@ def w49_weekday_strength(sf_dir: str):
 
     return (counts.map_batches(tag, batch_format="pyarrow")
             .groupby("_one").map_groups(widen, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------- W50 ----
+def w50_tenure_activity_corr(sf_dir: str):
+    """W50 — Pearson correlation between user TENURE (hours between
+    first and last event, floored) and event count, across all users:
+    "do long-lived accounts actually do more?" — the engagement-economy
+    scalar G10's per-type value correlation can't see because it never
+    leaves the event grain.
+
+    Exactness: tenure floors to whole hours so every correlation sum
+    fits int64 at any realistic user count (hours < 1e5 even for a
+    decade; the us-grain squares would not); moments combine as exact
+    ints; r is G10's pinned num / (sqrt * sqrt) with the SIGNED
+    split cast on the (possibly negative) numerator.
+
+    Scale shape: per-block (user, min, max, count) partials, ONE
+    user-keyed exchange, per-block correlation-moment partials over
+    the per-user rows (bounded: 6 ints per block), tiny final merge."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    from anomalydetection_ray.stages.detectors import _split_double
+
+    HOUR_US = 3_600_000_000
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "us": pa.array(us, type=pa.int64())})
+        g = t.group_by(["user_id"]).aggregate(
+            [("us", "min"), ("us", "max"), ([], "count_all")])
+        return pa.table({"user_id": g.column("user_id"),
+                         "first_us": g.column("us_min"),
+                         "last_us": g.column("us_max"),
+                         "n": pc.cast(g.column("count_all"),
+                                      pa.int64())})
+
+    per_user = (ds.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby("user_id")
+                .aggregate(Min("first_us", alias_name="first_us"),
+                           Max("last_us", alias_name="last_us"),
+                           Sum("n", alias_name="n")))
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = ((np.asarray(batch.column("last_us"), dtype=np.int64)
+              - np.asarray(batch.column("first_us"), dtype=np.int64))
+             // HOUR_US)
+        y = np.asarray(batch.column("n"), dtype=np.int64)
+        return pa.table({
+            "_one": pa.array([0], type=pa.int64()),
+            "nu": pa.array([x.shape[0]], type=pa.int64()),
+            "sx": pa.array([int(x.sum())], type=pa.int64()),
+            "sy": pa.array([int(y.sum())], type=pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], type=pa.int64()),
+            "syy": pa.array([int((y * y).sum())], type=pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], type=pa.int64()),
+        })
+
+    parts = per_user.map_batches(moments, batch_format="pyarrow")
+
+    def finalize(group: pa.Table) -> pa.Table:
+        import math
+
+        tot = {c: sum(int(v) for v in group.column(c).to_pylist())
+               for c in ["nu", "sx", "sy", "sxx", "syy", "sxy"]}
+        n = tot["nu"]
+        num = n * tot["sxy"] - tot["sx"] * tot["sy"]
+        dx = n * tot["sxx"] - tot["sx"] * tot["sx"]
+        dy = n * tot["syy"] - tot["sy"] * tot["sy"]
+        r = (_split_double(num)
+             / (math.sqrt(_split_double(dx))
+                * math.sqrt(_split_double(dy)))
+             if dx > 0 and dy > 0 else None)
+        return pa.table({
+            "n_users": pa.array([n], type=pa.int64()),
+            "sxy": pa.array([tot["sxy"]], type=pa.int64()),
+            "r": pa.array([r], type=pa.float64(), from_pandas=True),
+        })
+
+    return parts.groupby("_one").map_groups(finalize,
+                                            batch_format="pyarrow")

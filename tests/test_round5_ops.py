@@ -1784,3 +1784,29 @@ def test_weekday_strength_bruteforce(ray_session):
                 1.0 - _split_double(num_r) / _split_double(num_x)
         else:
             assert np.isnan(row["strength"])
+
+
+# ------------------------------------------------------------ W50 ----
+def test_tenure_activity_corr_bruteforce(ray_session):
+    from anomalydetection_ray.stages.detectors import _split_double
+
+    import __ray_entry__ as e
+
+    got = e.queries()["w50_tenure_activity_corr"](SF).to_pandas().iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    ev["us"] = ev["ts"].astype("int64")
+    g = ev.groupby("user_id")["us"].agg(["min", "max", "count"])
+    x = [(int(b) - int(a)) // 3_600_000_000
+         for a, b in zip(g["min"], g["max"])]
+    y = [int(v) for v in g["count"]]
+    n = len(x)
+    sx, sy = sum(x), sum(y)
+    sxx = sum(v * v for v in x)
+    syy = sum(v * v for v in y)
+    sxy = sum(a * b for a, b in zip(x, y))
+    num = n * sxy - sx * sy
+    dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+    assert (got["n_users"], got["sxy"]) == (n, sxy)
+    assert got["r"] == _split_double(num) / (
+        math.sqrt(_split_double(dx)) * math.sqrt(_split_double(dy)))
