@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 345 ``queries()`` entries, 340 with DuckDB value
+Round-5 final surface: 346 ``queries()`` entries, 341 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -1291,6 +1291,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # W50 tenure-activity Pearson across users (hour-floored
         # tenure keeps sums int64; signed split numerator)
         "w50_tenure_activity_corr": q.w50_tenure_activity_corr,
+        # A70 Dickey-Fuller slope per type (unit-root companion of
+        # A63's KPSS; exact OLS ints, signed split division)
+        "a70_df_slope": q.a70_df_slope,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -4462,6 +4465,55 @@ def oracle_sql() -> dict[str, str]:
                                  + CAST(dy % 4294967296 AS DOUBLE)))
                    END AS r
             FROM c
+        """,
+        # A70: y = lead-diff, z = lagged level; exact OLS slope in
+        # HUGEINT; signed split on num, non-negative on den
+        "a70_df_slope": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+              FROM events),
+            d AS MATERIALIZED (
+              SELECT event_type, day, CAST(sum(v100) AS BIGINT) AS x
+              FROM e GROUP BY event_type, day),
+            p AS (SELECT event_type, x AS z,
+                         lead(x) OVER (PARTITION BY event_type
+                                       ORDER BY day) - x AS y
+                  FROM d),
+            pp AS (SELECT event_type, z, y FROM p
+                   WHERE y IS NOT NULL),
+            m AS (SELECT event_type,
+                         CAST(count(*) AS HUGEINT) AS m,
+                         CAST(sum(z) AS HUGEINT) AS sz,
+                         CAST(sum(y) AS HUGEINT) AS sy,
+                         CAST(sum(CAST(z AS HUGEINT) * z) AS HUGEINT)
+                             AS szz,
+                         CAST(sum(CAST(z AS HUGEINT) * y) AS HUGEINT)
+                             AS szy
+                  FROM pp GROUP BY event_type),
+            t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                  FROM d GROUP BY event_type),
+            c AS (SELECT event_type,
+                         m * szy - sz * sy AS num,
+                         m * szz - sz * sz AS den, m
+                  FROM m)
+            SELECT t.event_type, t.n AS n_days,
+                   CAST(COALESCE(c.num, 0) AS BIGINT) AS df_num,
+                   CASE WHEN c.m >= 2 AND c.den > 0 THEN
+                       (CASE WHEN c.num >= 0 THEN
+                            CAST(c.num // 4294967296 AS DOUBLE)
+                            * 4294967296.0
+                            + CAST(c.num % 4294967296 AS DOUBLE)
+                        ELSE -(CAST((-c.num) // 4294967296 AS DOUBLE)
+                               * 4294967296.0
+                               + CAST((-c.num) % 4294967296
+                                      AS DOUBLE)) END)
+                       / (CAST(c.den // 4294967296 AS DOUBLE)
+                          * 4294967296.0
+                          + CAST(c.den % 4294967296 AS DOUBLE))
+                   END AS beta
+            FROM t LEFT JOIN c USING (event_type)
         """,
         # V19: two group-bys over V1's word convention
         "v19_freq_spectrum": """

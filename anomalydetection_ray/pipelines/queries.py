@@ -8964,3 +8964,75 @@ def w50_tenure_activity_corr(sf_dir: str):
 
     return parts.groupby("_one").map_groups(finalize,
                                             batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- A70 ----
+def a70_df_slope(sf_dir: str):
+    """A70 — Dickey-Fuller regression slope per event type over the
+    observed daily cent-total series: the OLS coefficient of
+    dx_t = alpha + beta * x_{t-1}; beta near 0 = unit root (shocks
+    persist), strongly negative = mean reversion.  A63's KPSS tests
+    the stationary null; this tests the unit-root null — running the
+    classic complementary pair from the same exchange is the whole
+    point.
+
+    Exactness: with y = first differences and z = lagged levels over
+    the m = n-1 pairs, num = m*Szy - Sz*Sy and den = m*Szz - Sz^2 are
+    exact ints (HUGEINT in the oracle); beta is ONE division through
+    the SIGNED split casts.  m < 2 or constant z emits NULL.
+
+    Scale shape: A36's bounded (type, day) exchange + per-type
+    finalize."""
+    from anomalydetection_ray.stages.detectors import _split_double
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        day = us // 86_400_000_000
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        v100 = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(day, type=pa.int64()),
+                      "v100": pa.array(v100, type=pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate([("v100", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "x": g.column("v100_sum").cast(pa.int64())})
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["event_type", "day"]).sum("x"))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        order = np.argsort(np.asarray(group.column("day"),
+                                      dtype=np.int64))
+        xs = [int(v) for v in
+              np.asarray(group.column("sum(x)"),
+                         dtype=np.int64)[order]]
+        n = len(xs)
+        m = n - 1
+        if m >= 2:
+            z = xs[:-1]
+            y = [b - a for a, b in zip(xs, xs[1:])]
+            sz, sy = sum(z), sum(y)
+            szz = sum(v * v for v in z)
+            szy = sum(a * b for a, b in zip(z, y))
+            num = m * szy - sz * sy
+            den = m * szz - sz * sz
+            beta = (_split_double(num) / _split_double(den)
+                    if den > 0 else None)
+        else:
+            num, den, beta = 0, 0, None
+        return pa.table({
+            "event_type": pa.array([et], type=pa.string()),
+            "n_days": pa.array([n], type=pa.int64()),
+            "df_num": pa.array([num], type=pa.int64()),
+            "beta": pa.array([beta], type=pa.float64(),
+                             from_pandas=True),
+        })
+
+    return daily.groupby("event_type").map_groups(
+        finalize, batch_format="pyarrow")

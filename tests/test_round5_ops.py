@@ -1810,3 +1810,34 @@ def test_tenure_activity_corr_bruteforce(ray_session):
     assert (got["n_users"], got["sxy"]) == (n, sxy)
     assert got["r"] == _split_double(num) / (
         math.sqrt(_split_double(dx)) * math.sqrt(_split_double(dy)))
+
+
+# ------------------------------------------------------------ A70 ----
+def test_df_slope_bruteforce(ray_session):
+    from anomalydetection_ray.stages.detectors import _split_double
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["a70_df_slope"](SF).to_pandas()
+           .set_index("event_type"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts", "value"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    ev["v100"] = np.floor(ev["value"].to_numpy() * 100.0
+                          + 0.5).astype(np.int64)
+    for t, grp in ev.groupby("event_type"):
+        xs = [int(v) for v in
+              grp.groupby("day")["v100"].sum().sort_index().to_numpy()]
+        n, m = len(xs), len(xs) - 1
+        row = got.loc[t]
+        assert row["n_days"] == n
+        if m >= 2:
+            z = xs[:-1]
+            y = [b - a for a, b in zip(xs, xs[1:])]
+            num = m * sum(a * b for a, b in zip(z, y)) \
+                - sum(z) * sum(y)
+            den = m * sum(v * v for v in z) - sum(z) ** 2
+            assert row["df_num"] == num
+            if den > 0:
+                assert row["beta"] == \
+                    _split_double(num) / _split_double(den)
