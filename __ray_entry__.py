@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 346 ``queries()`` entries, 341 with DuckDB value
+Round-5 final surface: 347 ``queries()`` entries, 342 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -1294,6 +1294,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A70 Dickey-Fuller slope per type (unit-root companion of
         # A63's KPSS; exact OLS ints, signed split division)
         "a70_df_slope": q.a70_df_slope,
+        # W51 robust daily volatility per type (lower-median |d/d
+        # change|; the fat-tail-proof W25 — NO floats in output)
+        "w51_robust_volatility": q.w51_robust_volatility,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -4514,6 +4517,41 @@ def oracle_sql() -> dict[str, str]:
                           + CAST(c.den % 4294967296 AS DOUBLE))
                    END AS beta
             FROM t LEFT JOIN c USING (event_type)
+        """,
+        # W51: |lead diff| rank statistics via row_number at
+        # (m+1)//2 and max
+        "w51_robust_volatility": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+              FROM events),
+            d AS MATERIALIZED (
+              SELECT event_type, day, CAST(sum(v100) AS BIGINT) AS x
+              FROM e GROUP BY event_type, day),
+            dd AS (SELECT event_type,
+                          abs(x - lag(x) OVER (PARTITION BY event_type
+                                               ORDER BY day)) AS a
+                   FROM d),
+            dn AS (SELECT event_type, a,
+                          CAST(row_number() OVER (PARTITION BY
+                              event_type ORDER BY a) AS BIGINT) AS rk,
+                          CAST(count(*) OVER (PARTITION BY event_type)
+                               AS BIGINT) AS m
+                   FROM dd WHERE a IS NOT NULL),
+            agg AS (SELECT event_type, any_value(m) AS n_changes,
+                           CAST(min(CASE WHEN rk = (m + 1) // 2
+                                         THEN a END) AS BIGINT)
+                               AS med_abs_change,
+                           CAST(max(a) AS BIGINT) AS max_abs_change
+                    FROM dn GROUP BY event_type),
+            t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                  FROM d GROUP BY event_type)
+            SELECT t.event_type, t.n AS n_days,
+                   CAST(COALESCE(agg.n_changes, 0) AS BIGINT)
+                       AS n_changes,
+                   agg.med_abs_change, agg.max_abs_change
+            FROM t LEFT JOIN agg USING (event_type)
         """,
         # V19: two group-bys over V1's word convention
         "v19_freq_spectrum": """

@@ -9036,3 +9036,67 @@ def a70_df_slope(sf_dir: str):
 
     return daily.groupby("event_type").map_groups(
         finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- W51 ----
+def w51_robust_volatility(sf_dir: str):
+    """W51 — robust daily volatility per event type: the LOWER median
+    of |day-over-day change| of the observed daily cent totals — W25's
+    volatility with the estimator a fat-tailed ops series actually
+    needs (one incident day inflates a std beyond use; the median
+    absolute change shrugs it off).  Also emits the max |change| so
+    the tail is visible next to the robust center.
+
+    Exactness: changes are exact int64; the median is G37's
+    (m+1)//2 rank statistic — NO floats anywhere in the output.
+
+    Scale shape: A36's bounded (type, day) exchange + per-type
+    finalize over the daily grid."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        day = us // 86_400_000_000
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        v100 = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(day, type=pa.int64()),
+                      "v100": pa.array(v100, type=pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate([("v100", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "x": g.column("v100_sum").cast(pa.int64())})
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["event_type", "day"]).sum("x"))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        order = np.argsort(np.asarray(group.column("day"),
+                                      dtype=np.int64))
+        x = np.asarray(group.column("sum(x)"), dtype=np.int64)[order]
+        n = int(x.shape[0])
+        if n >= 2:
+            d = np.sort(np.abs(np.diff(x)))
+            m = int(d.shape[0])
+            med = int(d[(m + 1) // 2 - 1])
+            mx = int(d[-1])
+            has = True
+        else:
+            m, med, mx, has = 0, 0, 0, False
+        return pa.table({
+            "event_type": pa.array([et], type=pa.string()),
+            "n_days": pa.array([n], type=pa.int64()),
+            "n_changes": pa.array([m], type=pa.int64()),
+            "med_abs_change": pa.array([med if has else None],
+                                       type=pa.int64(),
+                                       from_pandas=True),
+            "max_abs_change": pa.array([mx if has else None],
+                                       type=pa.int64(),
+                                       from_pandas=True),
+        })
+
+    return daily.groupby("event_type").map_groups(
+        finalize, batch_format="pyarrow")

@@ -1841,3 +1841,27 @@ def test_df_slope_bruteforce(ray_session):
             if den > 0:
                 assert row["beta"] == \
                     _split_double(num) / _split_double(den)
+
+
+# ------------------------------------------------------------ W51 ----
+def test_robust_volatility_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["w51_robust_volatility"](SF).to_pandas()
+           .set_index("event_type"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts", "value"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    ev["v100"] = np.floor(ev["value"].to_numpy() * 100.0
+                          + 0.5).astype(np.int64)
+    for t, grp in ev.groupby("event_type"):
+        xs = grp.groupby("day")["v100"].sum().sort_index().to_numpy()
+        diffs = sorted(abs(int(b) - int(a))
+                       for a, b in zip(xs, xs[1:]))
+        row = got.loc[t]
+        assert (row["n_days"], row["n_changes"]) \
+            == (len(xs), len(diffs))
+        if diffs:
+            assert row["med_abs_change"] == \
+                diffs[(len(diffs) + 1) // 2 - 1]
+            assert row["max_abs_change"] == diffs[-1]
