@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 347 ``queries()`` entries, 342 with DuckDB value
+Round-5 final surface: 348 ``queries()`` entries, 343 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -659,6 +659,12 @@ def _c5_quality_mixture_pack(sf_dir: str):
     return c5_quality_mixture_pack(sf_dir)
 
 
+def _c8_quality_sweep(sf_dir: str):
+    from anomalydetection_ray.pipelines.curation import c8_quality_sweep
+
+    return c8_quality_sweep(sf_dir)
+
+
 def _curation_funnel(sf_dir: str):
     from anomalydetection_ray.pipelines.curation import curation_funnel
 
@@ -1297,6 +1303,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # W51 robust daily volatility per type (lower-median |d/d
         # change|; the fat-tail-proof W25 — NO floats in output)
         "w51_robust_volatility": q.w51_robust_volatility,
+        # C8 quality-gate calibration sweep (retained docs/chars at
+        # each candidate threshold — the curve before C1's q_min)
+        "c8_quality_sweep": _c8_quality_sweep,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -4553,6 +4562,24 @@ def oracle_sql() -> dict[str, str]:
                    agg.med_abs_change, agg.max_abs_change
             FROM t LEFT JOIN agg USING (event_type)
         """,
+        # C8: the shared _quality_sql composite + threshold VALUES
+        # cross join
+        "c8_quality_sweep": ("""
+            WITH ql AS (SELECT doc_id, quality_score
+                        FROM (""" + _quality_sql + """)),
+            j AS (SELECT d.doc_id, CAST(d.n_chars AS BIGINT)
+                             AS n_chars, ql.quality_score
+                  FROM documents d JOIN ql USING (doc_id)),
+            th(t) AS (VALUES (0.2), (0.4), (0.6), (0.8))
+            SELECT th.t AS threshold,
+                   CAST(COALESCE(sum(CASE WHEN j.quality_score >= th.t
+                                          THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_docs,
+                   CAST(COALESCE(sum(CASE WHEN j.quality_score >= th.t
+                                          THEN j.n_chars ELSE 0 END),
+                                 0) AS BIGINT) AS n_chars
+            FROM th CROSS JOIN j GROUP BY th.t
+        """),
         # V19: two group-bys over V1's word convention
         "v19_freq_spectrum": """
             WITH c AS (

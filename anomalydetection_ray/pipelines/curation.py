@@ -260,3 +260,51 @@ def c5_quality_mixture_pack(sf_dir: str, q_min: float = QUALITY_MIN,
         "tok_offset": pa.array(out["tok_offset"], type=pa.int64()),
         "seq_id": pa.array(out["seq_id"], type=pa.int64()),
     }))
+
+
+# ----------------------------------------------------------------- C8 ----
+def c8_quality_sweep(sf_dir: str,
+                     thresholds: tuple = (0.2, 0.4, 0.6, 0.8)):
+    """C8 — quality-gate CALIBRATION sweep: docs and characters
+    retained at each candidate quality_score threshold — the curve a
+    curator reads BEFORE picking C1's single q_min (every gate value
+    is a data-volume/quality trade; this surfaces the whole trade at
+    once).
+
+    Exactness: the score is the SQL-replayed composite of
+    quality_batch; thresholds are exact literals shared with the
+    oracle; counts/char sums exact ints.
+
+    Scale shape: one map-side pass computes the score and collapses to
+    len(thresholds) partial rows per block; ONE bounded exchange on
+    the threshold key."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from anomalydetection_ray.pipelines.text import quality_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch)
+        score = np.asarray(q.column("quality_score"), dtype=np.float64)
+        nc = np.asarray(batch.column("n_chars"), dtype=np.int64)
+        rows = {"threshold": [], "n_docs": [], "n_chars": []}
+        for t in thresholds:
+            keep = score >= t
+            rows["threshold"].append(float(t))
+            rows["n_docs"].append(int(keep.sum()))
+            rows["n_chars"].append(int(nc[keep].sum()))
+        return pa.table({
+            "threshold": pa.array(rows["threshold"],
+                                  type=pa.float64()),
+            "n_docs": pa.array(rows["n_docs"], type=pa.int64()),
+            "n_chars": pa.array(rows["n_chars"], type=pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("threshold")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("n_chars", alias_name="n_chars")))

@@ -1865,3 +1865,27 @@ def test_robust_volatility_bruteforce(ray_session):
             assert row["med_abs_change"] == \
                 diffs[(len(diffs) + 1) // 2 - 1]
             assert row["max_abs_change"] == diffs[-1]
+
+
+# ------------------------------------------------------------- C8 ----
+def test_quality_sweep_consistency(ray_session):
+    """C8's retained counts must be monotone non-increasing in the
+    threshold and agree with a direct scan of quality_scores_full."""
+    import __ray_entry__ as e
+
+    q = e.queries()
+    got = (q["c8_quality_sweep"](SF).to_pandas()
+           .sort_values("threshold").reset_index(drop=True))
+    scores = q["quality_scores_full"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "n_chars"]).to_pandas()
+    m = scores.merge(docs, on="doc_id")
+    assert list(got["threshold"]) == [0.2, 0.4, 0.6, 0.8]
+    prev = None
+    for _, r in got.iterrows():
+        keep = m[m["quality_score"] >= r["threshold"]]
+        assert r["n_docs"] == len(keep)
+        assert r["n_chars"] == int(keep["n_chars"].sum())
+        if prev is not None:
+            assert r["n_docs"] <= prev
+        prev = r["n_docs"]
