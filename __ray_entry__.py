@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 348 ``queries()`` entries, 343 with DuckDB value
+Round-5 final surface: 349 ``queries()`` entries, 344 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -1306,6 +1306,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # C8 quality-gate calibration sweep (retained docs/chars at
         # each candidate threshold — the curve before C1's q_min)
         "c8_quality_sweep": _c8_quality_sweep,
+        # W52 transition time matrix (mean seconds per type->type
+        # step; W10's counts given a clock)
+        "w52_transition_times": wnd.w52_transition_times,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -4580,6 +4583,24 @@ def oracle_sql() -> dict[str, str]:
                                  0) AS BIGINT) AS n_chars
             FROM th CROSS JOIN j GROUP BY th.t
         """),
+        # W52: lead() pairs within user; second-floored gap sums; one
+        # pinned division per pair
+        "w52_transition_times": """
+            WITH o AS (
+              SELECT user_id, event_type AS t1,
+                     lead(event_type) OVER w AS t2,
+                     (lead(epoch_us(ts)) OVER w - epoch_us(ts))
+                         // 1000000 AS gap_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id))
+            SELECT t1, t2, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(gap_s) AS BIGINT) AS gap_s_sum,
+                   CAST(sum(gap_s) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS mean_gap_s
+            FROM o WHERE t2 IS NOT NULL
+            GROUP BY t1, t2
+        """,
         # V19: two group-bys over V1's word convention
         "v19_freq_spectrum": """
             WITH c AS (

@@ -3219,3 +3219,84 @@ def w48_top_paths(sf_dir: str, k: int = 10, num_partitions: int = 16):
 
     return topk(counts, k, [("n", "descending"), ("t1", "ascending"),
                             ("t2", "ascending"), ("t3", "ascending")])
+
+
+# ---------------------------------------------------------------- W52 ----
+def _trans_time_kernel(group: pa.Table) -> pa.Table:
+    """Per-partition (t1, t2) transition counts + second-floored gap
+    sums over each user's (ts, event_id)-ordered stream — bounded
+    output (<= n_types^2 rows per partition)."""
+    group = group.drop_columns([PKEY]).sort_by(
+        [("user_id", "ascending"), ("ts", "ascending"),
+         ("event_id", "ascending")])
+    n = group.num_rows
+    empty = pa.table({
+        "t1": pa.array([], type=pa.string()),
+        "t2": pa.array([], type=pa.string()),
+        "n": pa.array([], type=pa.int64()),
+        "gap_s_sum": pa.array([], type=pa.int64()),
+    })
+    if n < 2:
+        return empty
+    uid = np.asarray(group.column("user_id"), dtype=np.int64)
+    ts = _ts_us(group.column("ts"))
+    et = group.column("event_type")
+    if isinstance(et, pa.ChunkedArray):
+        et = et.combine_chunks()
+    same = uid[1:] == uid[:-1]
+    if not same.any():
+        return empty
+    gap_s = (ts[1:] - ts[:-1]) // 1_000_000
+    sel = pa.array(same)
+    g = pa.table({
+        "t1": et.slice(0, n - 1).filter(sel),
+        "t2": et.slice(1, n - 1).filter(sel),
+        "g": pa.array(gap_s[same], type=pa.int64()),
+    }).group_by(["t1", "t2"]).aggregate([([], "count_all"),
+                                         ("g", "sum")])
+    return pa.table({
+        "t1": g.column("t1"), "t2": g.column("t2"),
+        "n": g.column("count_all").cast(pa.int64()),
+        "gap_s_sum": g.column("g_sum").cast(pa.int64()),
+    })
+
+
+def w52_transition_times(sf_dir: str, num_partitions: int = 16):
+    """W52 — the transition TIME matrix: mean seconds between each
+    consecutive event-type pair within a user's stream (W10 counts the
+    transitions; this says how long they take — "error -> purchase in
+    90 s" and "error -> purchase in 2 days" are different products).
+    Gap sums floor to whole seconds so they stay int64 at any scale;
+    the mean is ONE pinned division per pair.
+
+    Scale shape: ONE ``_pkey`` exchange, bounded n_types^2 partials
+    per partition, tiny final merge."""
+    from ray.data.aggregate import Sum
+
+    ev = _read_events(sf_dir, ["event_id", "ts", "user_id",
+                               "event_type"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    agg = (tagged.groupby(PKEY).map_groups(_trans_time_kernel,
+                                           batch_format="pyarrow")
+           .groupby(["t1", "t2"])
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("gap_s_sum", alias_name="gap_s_sum")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nn = np.asarray(batch.column("n"), dtype=np.int64)
+        gs = np.asarray(batch.column("gap_s_sum"), dtype=np.int64)
+        mean = np.zeros(nn.shape[0], dtype=np.float64)
+        np.divide(gs.astype(np.float64), nn.astype(np.float64),
+                  out=mean, where=nn > 0)
+        return pa.table({
+            "t1": batch.column("t1"), "t2": batch.column("t2"),
+            "n": pa.array(nn, type=pa.int64()),
+            "gap_s_sum": pa.array(gs, type=pa.int64()),
+            "mean_gap_s": pa.array(mean, type=pa.float64(),
+                                   mask=nn == 0),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -1889,3 +1889,31 @@ def test_quality_sweep_consistency(ray_session):
         if prev is not None:
             assert r["n_docs"] <= prev
         prev = r["n_docs"]
+
+
+# ------------------------------------------------------------ W52 ----
+def test_transition_times_bruteforce(ray_session):
+    from collections import defaultdict
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["w52_transition_times"](SF).to_pandas()
+           .set_index(["t1", "t2"]))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "ts", "user_id",
+                                "event_type"]).to_pandas()
+    ev["us"] = ev["ts"].astype("int64")
+    agg = defaultdict(lambda: [0, 0])
+    for _, grp in ev.groupby("user_id"):
+        grp = grp.sort_values(["us", "event_id"])
+        ts_ = grp["event_type"].tolist()
+        us_ = grp["us"].tolist()
+        for i in range(len(ts_) - 1):
+            a = agg[(ts_[i], ts_[i + 1])]
+            a[0] += 1
+            a[1] += (us_[i + 1] - us_[i]) // 1_000_000
+    assert len(got) == len(agg)
+    for k, (n, s) in agg.items():
+        row = got.loc[k]
+        assert (row["n"], row["gap_s_sum"]) == (n, s)
+        assert row["mean_gap_s"] == float(s) / float(n)
