@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 349 ``queries()`` entries, 344 with DuckDB value
+Round-5 final surface: 350 ``queries()`` entries, 345 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -1309,6 +1309,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # W52 transition time matrix (mean seconds per type->type
         # step; W10's counts given a clock)
         "w52_transition_times": wnd.w52_transition_times,
+        # D25 word-trigram redundancy per source (substring-dedup
+        # savings estimator; two-level exact-distinct discipline)
+        "d25_trigram_redundancy": dd.d25_trigram_redundancy,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -4600,6 +4603,30 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(count(*) AS DOUBLE) AS mean_gap_s
             FROM o WHERE t2 IS NOT NULL
             GROUP BY t1, t2
+        """,
+        # D25: within-doc word trigrams; DISTINCT via subquery; one
+        # pinned division
+        "d25_trigram_redundancy": """
+            WITH ws AS (SELECT source,
+                               list_filter(string_split(text, ' '),
+                                           x -> x <> '') AS w
+                        FROM documents),
+            g AS (SELECT source, w[t.i] AS g1, w[t.i + 1] AS g2,
+                         w[t.i + 2] AS g3
+                  FROM ws
+                  CROSS JOIN unnest(range(1, len(w) - 1)) AS t(i)),
+            tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_total
+                    FROM g GROUP BY source),
+            dst AS (SELECT source, CAST(count(*) AS BIGINT)
+                               AS n_distinct
+                    FROM (SELECT DISTINCT source, g1, g2, g3 FROM g)
+                    GROUP BY source)
+            SELECT tot.source, tot.n_total, dst.n_distinct,
+                   CASE WHEN tot.n_total > 0
+                        THEN CAST(dst.n_distinct AS DOUBLE)
+                             / CAST(tot.n_total AS DOUBLE)
+                   END AS distinct_share
+            FROM tot JOIN dst USING (source)
         """,
         # V19: two group-bys over V1's word convention
         "v19_freq_spectrum": """

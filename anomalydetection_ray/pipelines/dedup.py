@@ -2147,3 +2147,103 @@ def d23_cluster_keep_best(sf_dir: str, min_est: float = 0.5,
     return best.map_batches(
         lambda b: b.select(["doc_id", "cluster", "n_chars"]),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- D25 ----
+def d25_trigram_redundancy(sf_dir: str):
+    """D25 — word-trigram redundancy per source: total vs DISTINCT
+    within-doc word 3-grams and the distinct share — the substring-
+    dedup savings estimator (a low distinct share means a substring/
+    paragraph-level dedup pass would pay; T14 measures how much of
+    each DOC is duplicated n-grams, this says where, by source, the
+    corpus-level redundancy lives).
+
+    Scale shape: V7's two-level exact-distinct discipline lifted to
+    trigrams — per-block (source, g1, g2, g3) partial counts collapse
+    before ONE exchange on the gram key; the per-source rollup ships
+    only (source, n_distinct, n_total) partials.  share is ONE pinned
+    division."""
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from anomalydetection_ray.stages.runs import agg_by
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(words)
+        parent = np.asarray(pc.list_parent_indices(words),
+                            dtype=np.int64)
+        keep = np.asarray(pc.not_equal(flat, ""))
+        flat = flat.filter(pa.array(keep))
+        parent = parent[keep]
+        n = len(flat)
+        empty = pa.table({
+            "source": pa.array([], type=pa.string()),
+            "g1": pa.array([], type=pa.string()),
+            "g2": pa.array([], type=pa.string()),
+            "g3": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
+        })
+        if n < 3:
+            return empty
+        ok = (parent[:-2] == parent[1:-1]) & (parent[1:-1] == parent[2:])
+        if not ok.any():
+            return empty
+        sel = pa.array(ok)
+        src = batch.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        g = pa.table({
+            "source": src.take(pa.array(parent[:-2][ok])),
+            "g1": flat.slice(0, n - 2).filter(sel),
+            "g2": flat.slice(1, n - 2).filter(sel),
+            "g3": flat.slice(2, n - 2).filter(sel),
+        }).group_by(["source", "g1", "g2", "g3"]).aggregate(
+            [([], "count_all")])
+        return pa.table({
+            "source": g.column("source"), "g1": g.column("g1"),
+            "g2": g.column("g2"), "g3": g.column("g3"),
+            "n": g.column("count_all").cast(pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    totals = agg_by(partials, ["source", "g1", "g2", "g3"],
+                    [("n", "sum", "n")])
+
+    def rollup(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["source"]).aggregate([([], "count_all"),
+                                                  ("n", "sum")])
+        return pa.table({
+            "source": g.column("source"),
+            "n_distinct": g.column("count_all").cast(pa.int64()),
+            "n_total": g.column("n_sum").cast(pa.int64()),
+        })
+
+    agg = (totals.map_batches(rollup, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("n_distinct", alias_name="n_distinct"),
+                      Sum("n_total", alias_name="n_total")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch.column("n_distinct"), dtype=np.int64)
+        t = np.asarray(batch.column("n_total"), dtype=np.int64)
+        share = np.zeros(d.shape[0], dtype=np.float64)
+        np.divide(d.astype(np.float64), t.astype(np.float64),
+                  out=share, where=t > 0)
+        return pa.table({
+            "source": batch.column("source"),
+            "n_total": pa.array(t, type=pa.int64()),
+            "n_distinct": pa.array(d, type=pa.int64()),
+            "distinct_share": pa.array(share, type=pa.float64(),
+                                       mask=t == 0),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -1917,3 +1917,27 @@ def test_transition_times_bruteforce(ray_session):
         row = got.loc[k]
         assert (row["n"], row["gap_s_sum"]) == (n, s)
         assert row["mean_gap_s"] == float(s) / float(n)
+
+
+# ------------------------------------------------------------ D25 ----
+def test_trigram_redundancy_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["d25_trigram_redundancy"](SF).to_pandas()
+           .set_index("source"))
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    for src, grp in docs.groupby("source"):
+        total = 0
+        seen = set()
+        for t in grp["text"]:
+            ws = [w for w in t.split(" ") if w != ""]
+            for i in range(len(ws) - 2):
+                total += 1
+                seen.add((ws[i], ws[i + 1], ws[i + 2]))
+        row = got.loc[src]
+        assert (row["n_total"], row["n_distinct"]) \
+            == (total, len(seen))
+        if total:
+            assert row["distinct_share"] == \
+                float(len(seen)) / float(total)
