@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 350 ``queries()`` entries, 345 with DuckDB value
+Round-5 final surface: 351 ``queries()`` entries, 346 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -1312,6 +1312,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # D25 word-trigram redundancy per source (substring-dedup
         # savings estimator; two-level exact-distinct discipline)
         "d25_trigram_redundancy": dd.d25_trigram_redundancy,
+        # A71 robust daily outlier count per type (modified-z 3.5 as
+        # the EXACT integer inequality — no float in the decision)
+        "a71_daily_mad_outliers": q.a71_daily_mad_outliers,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -4627,6 +4630,49 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(tot.n_total AS DOUBLE)
                    END AS distinct_share
             FROM tot JOIN dst USING (source)
+        """,
+        # A71: lower-rank med/MAD + the exact 10000*|x-med| >
+        # 51891*mad inequality
+        "a71_daily_mad_outliers": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+              FROM events),
+            d AS MATERIALIZED (
+              SELECT event_type, day, CAST(sum(v100) AS BIGINT) AS x
+              FROM e GROUP BY event_type, day),
+            t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                  FROM d GROUP BY event_type),
+            m AS (SELECT event_type, CAST(min(x) AS BIGINT) AS med
+                  FROM (SELECT d.event_type, d.x, t.n,
+                               row_number() OVER (PARTITION BY
+                                   d.event_type ORDER BY d.x) AS rk
+                        FROM d JOIN t USING (event_type))
+                  WHERE rk = (n + 1) // 2 GROUP BY event_type),
+            dv AS (SELECT d.event_type,
+                          abs(d.x - m.med) AS a
+                   FROM d JOIN m USING (event_type)),
+            md AS (SELECT event_type, CAST(min(a) AS BIGINT) AS mad
+                   FROM (SELECT dv.event_type, dv.a, t.n,
+                                row_number() OVER (PARTITION BY
+                                    dv.event_type ORDER BY dv.a)
+                                    AS rk
+                         FROM dv JOIN t USING (event_type))
+                   WHERE rk = (n + 1) // 2 GROUP BY event_type),
+            f AS (SELECT dv.event_type,
+                         CAST(sum(CASE WHEN 10000 * dv.a
+                                            > 51891 * md.mad
+                                       THEN 1 ELSE 0 END) AS BIGINT)
+                             AS n_flagged
+                  FROM dv JOIN md USING (event_type)
+                  GROUP BY dv.event_type)
+            SELECT t.event_type, t.n AS n_days,
+                   m.med AS med_cents, md.mad AS mad_cents,
+                   f.n_flagged
+            FROM t JOIN m USING (event_type)
+            JOIN md USING (event_type)
+            JOIN f USING (event_type)
         """,
         # V19: two group-bys over V1's word convention
         "v19_freq_spectrum": """

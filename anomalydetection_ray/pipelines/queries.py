@@ -9100,3 +9100,62 @@ def w51_robust_volatility(sf_dir: str):
 
     return daily.groupby("event_type").map_groups(
         finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- A71 ----
+def a71_daily_mad_outliers(sf_dir: str):
+    """A71 — robust daily outlier count per event type: days whose
+    cent total sits more than 3.5 robust sigmas from the median of the
+    observed daily series (Iglewicz-Hoaglin's modified z cutoff) —
+    detect_mad's per-series screen transplanted to the calendar, the
+    "how many bad days did this stream have?" scalar an SRE reads
+    first.
+
+    Exactness: median and MAD are G37's lower-rank statistics (exact
+    ints), and the 3.5 * 1.4826 threshold compares as the EXACT
+    integer inequality 10000*|x - med| > 51891*mad — no float enters
+    the decision, so the flag set is bit-stable by construction.
+    mad = 0 flags every day with x != med (the degenerate-scale
+    convention, documented and oracle-shared).
+
+    Scale shape: A36's bounded (type, day) exchange + per-type
+    finalize."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        day = us // 86_400_000_000
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        v100 = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(day, type=pa.int64()),
+                      "v100": pa.array(v100, type=pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate([("v100", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "x": g.column("v100_sum").cast(pa.int64())})
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["event_type", "day"]).sum("x"))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        x = np.sort(np.asarray(group.column("sum(x)"),
+                               dtype=np.int64))
+        n = int(x.shape[0])
+        med = int(x[(n + 1) // 2 - 1])
+        dev = np.sort(np.abs(x - med))
+        mad = int(dev[(n + 1) // 2 - 1])
+        flagged = int((10000 * np.abs(x - med) > 51891 * mad).sum())
+        return pa.table({
+            "event_type": pa.array([et], type=pa.string()),
+            "n_days": pa.array([n], type=pa.int64()),
+            "med_cents": pa.array([med], type=pa.int64()),
+            "mad_cents": pa.array([mad], type=pa.int64()),
+            "n_flagged": pa.array([flagged], type=pa.int64()),
+        })
+
+    return daily.groupby("event_type").map_groups(
+        finalize, batch_format="pyarrow")

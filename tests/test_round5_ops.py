@@ -1941,3 +1941,27 @@ def test_trigram_redundancy_bruteforce(ray_session):
         if total:
             assert row["distinct_share"] == \
                 float(len(seen)) / float(total)
+
+
+# ------------------------------------------------------------ A71 ----
+def test_daily_mad_outliers_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["a71_daily_mad_outliers"](SF).to_pandas()
+           .set_index("event_type"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts", "value"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    ev["v100"] = np.floor(ev["value"].to_numpy() * 100.0
+                          + 0.5).astype(np.int64)
+    for t, grp in ev.groupby("event_type"):
+        xs = sorted(int(v) for v in grp.groupby("day")["v100"].sum())
+        n = len(xs)
+        med = xs[(n + 1) // 2 - 1]
+        devs = sorted(abs(v - med) for v in xs)
+        mad = devs[(n + 1) // 2 - 1]
+        flagged = sum(1 for v in xs
+                      if 10000 * abs(v - med) > 51891 * mad)
+        row = got.loc[t]
+        assert (row["n_days"], row["med_cents"], row["mad_cents"],
+                row["n_flagged"]) == (n, med, mad, flagged)
