@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 351 ``queries()`` entries, 346 with DuckDB value
+Round-5 final surface: 352 ``queries()`` entries, 347 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -1315,6 +1315,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A71 robust daily outlier count per type (modified-z 3.5 as
         # the EXACT integer inequality — no float in the decision)
         "a71_daily_mad_outliers": q.a71_daily_mad_outliers,
+        # G42 user-activity log2 histogram (exact power-of-two
+        # buckets via frexp/powers join — skew evidence)
+        "g42_activity_hist": q.g42_activity_hist,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -4673,6 +4676,21 @@ def oracle_sql() -> dict[str, str]:
             FROM t JOIN m USING (event_type)
             JOIN md USING (event_type)
             JOIN f USING (event_type)
+        """,
+        # G42: bucket = max w with 2^w <= n (powers join, no float
+        # log)
+        "g42_activity_hist": """
+            WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY user_id),
+            pw AS (SELECT unnest(range(0, 63)) AS w),
+            b AS (SELECT u.user_id,
+                         (SELECT max(w) FROM pw
+                          WHERE (CAST(1 AS BIGINT) << w) <= u.n)
+                             AS bucket
+                  FROM u)
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM b GROUP BY bucket
         """,
         # V19: two group-bys over V1's word convention
         "v19_freq_spectrum": """

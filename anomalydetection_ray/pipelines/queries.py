@@ -9159,3 +9159,44 @@ def a71_daily_mad_outliers(sf_dir: str):
 
     return daily.groupby("event_type").map_groups(
         finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- G42 ----
+def g42_activity_hist(sf_dir: str):
+    """G42 — the user-activity distribution: how many users fall in
+    each power-of-two event-count bucket (bucket = floor(log2(n)),
+    computed EXACTLY via the frexp exponent / powers-table join, never
+    a float log) — the "is engagement head-heavy?" histogram next to
+    G29's HHI scalar, and the skew evidence behind the salted-key
+    discipline the engine's exchanges assume.
+
+    Scale shape: per-block (user, count) partials, one user-keyed
+    exchange, a per-block bucket histogram collapse, one tiny bounded
+    exchange on the <= 64 bucket keys."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["user_id"]).aggregate([([], "count_all")])
+        return pa.table({"user_id": g.column("user_id"),
+                         "n": pc.cast(g.column("count_all"),
+                                      pa.int64())})
+
+    per_user = (ds.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby("user_id").aggregate(Sum("n", alias_name="n")))
+
+    def hist(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch.column("n"), dtype=np.int64)
+        bucket = (np.frexp(n.astype(np.float64))[1] - 1).astype(np.int64)
+        uniq, cnt = np.unique(bucket, return_counts=True)
+        return pa.table({
+            "bucket": pa.array(uniq, type=pa.int64()),
+            "n_users": pa.array(cnt.astype(np.int64), type=pa.int64()),
+        })
+
+    return (per_user.map_batches(hist, batch_format="pyarrow")
+            .groupby("bucket").aggregate(Sum("n_users",
+                                             alias_name="n_users")))

@@ -1965,3 +1965,21 @@ def test_daily_mad_outliers_bruteforce(ray_session):
         row = got.loc[t]
         assert (row["n_days"], row["med_cents"], row["mad_cents"],
                 row["n_flagged"]) == (n, med, mad, flagged)
+
+
+# ------------------------------------------------------------ G42 ----
+def test_activity_hist_bruteforce(ray_session):
+    from collections import Counter
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["g42_activity_hist"](SF).to_pandas()
+           .set_index("bucket").sort_index())
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id"]).to_pandas()
+    counts = ev["user_id"].value_counts()
+    hist = Counter(int(n).bit_length() - 1 for n in counts)
+    assert sorted(hist) == list(got.index)
+    for b, c in hist.items():
+        assert int(got.loc[b, "n_users"]) == c
+    assert int(got["n_users"].sum()) == len(counts)
