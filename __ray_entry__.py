@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 352 ``queries()`` entries, 347 with DuckDB value
+Round-5 final surface: 353 ``queries()`` entries, 348 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -1318,6 +1318,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # G42 user-activity log2 histogram (exact power-of-two
         # buckets via frexp/powers join — skew evidence)
         "g42_activity_hist": q.g42_activity_hist,
+        # Q25 water-filling token allocation (largest integer common
+        # cap fitting budget = total//2; leftover reported)
+        "q25_waterfill_allocation": q.q25_waterfill_allocation,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -4691,6 +4694,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(bucket AS BIGINT) AS bucket,
                    CAST(count(*) AS BIGINT) AS n_users
             FROM b GROUP BY bucket
+        """,
+        # Q25: the sorted prefix walk replayed with window prefix
+        # sums; first i with cand <= n picks the cap
+        "q25_waterfill_allocation": """
+            WITH c AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n
+              FROM (SELECT source,
+                           unnest(string_split(text, ' ')) AS word
+                    FROM documents)
+              WHERE word <> '' GROUP BY source),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                         CAST(count(*) AS BIGINT) AS m
+                  FROM c),
+            o AS (SELECT source, n,
+                         CAST(row_number() OVER
+                             (ORDER BY n, source) AS BIGINT) AS i,
+                         CAST(COALESCE(sum(n) OVER
+                             (ORDER BY n, source
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0)
+                              AS BIGINT) AS pfx
+                  FROM c),
+            w AS (SELECT o.i, o.n,
+                         (t.total // 2 - o.pfx) // (t.m - o.i + 1)
+                             AS cand
+                  FROM o CROSS JOIN t),
+            pick AS (SELECT min(i) AS i0 FROM w WHERE cand <= n),
+            cp AS (SELECT CASE WHEN pick.i0 IS NULL
+                               THEN (SELECT max(n) FROM c)
+                               ELSE (SELECT cand FROM w
+                                     WHERE w.i = pick.i0) END AS cap
+                   FROM pick),
+            agg AS (SELECT CAST(sum(least(c.n, cp.cap)) AS BIGINT)
+                               AS total_alloc
+                    FROM c CROSS JOIN cp)
+            SELECT c.source, c.n AS n_words,
+                   CAST(least(c.n, cp.cap) AS BIGINT) AS alloc,
+                   CAST(cp.cap AS BIGINT) AS cap,
+                   CAST(t.total // 2 - agg.total_alloc AS BIGINT)
+                       AS leftover
+            FROM c CROSS JOIN cp CROSS JOIN t CROSS JOIN agg
         """,
         # V19: two group-bys over V1's word convention
         "v19_freq_spectrum": """

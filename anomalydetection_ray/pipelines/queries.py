@@ -9200,3 +9200,88 @@ def g42_activity_hist(sf_dir: str):
     return (per_user.map_batches(hist, batch_format="pyarrow")
             .groupby("bucket").aggregate(Sum("n_users",
                                              alias_name="n_users")))
+
+
+# ---------------------------------------------------------------- Q25 ----
+def q25_waterfill_allocation(sf_dir: str):
+    """Q25 — water-filling token allocation: distribute a training
+    budget of HALF the corpus' words across sources under a common
+    per-source cap — alloc_s = min(n_s, cap) with the LARGEST integer
+    cap whose total fits the budget (the fair-allocation dual of Q24's
+    sqrt upsampling: Q24 reweights, this truncates heads so tails
+    survive intact).  Leftover = budget - sum(alloc) (< number of
+    uncapped sources by construction) is reported, never silently
+    spread.
+
+    Exactness: word counts exact ints; the cap solves the piecewise-
+    linear fit by the prefix-sum walk (sorted ascending), all integer
+    arithmetic; no floats anywhere in the output.
+
+    Scale shape: ONE bounded per-source word-count exchange +
+    single-group widen over the tens-of-sources table."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(words)
+        keep = pc.not_equal(flat, "")
+        src_of = (batch.column("source").combine_chunks()
+                  if isinstance(batch.column("source"), pa.ChunkedArray)
+                  else batch.column("source")).take(
+                      pc.list_parent_indices(words))
+        t = pa.table({"source": src_of.filter(keep)})
+        g = t.group_by(["source"]).aggregate([([], "count_all")])
+        return pa.table({"source": g.column("source"),
+                         "n": pc.cast(g.column("count_all"),
+                                      pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("source").aggregate(Sum("n", alias_name="n")))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_one", pa.array(np.zeros(batch.num_rows, dtype=np.int64)))
+
+    def widen(group: pa.Table) -> pa.Table:
+        src = group.column("source").to_pylist()
+        n = [int(v) for v in group.column("n").to_pylist()]
+        order = sorted(range(len(src)), key=lambda i: (n[i], src[i]))
+        total = sum(n)
+        budget = total // 2
+        m = len(n)
+        # prefix walk: largest i with P_i + (m-i)*a_i <= budget
+        cap = budget // m if m else 0
+        prefix = 0
+        for idx, i in enumerate(order):
+            remaining = m - idx
+            # cap candidate if every remaining source is capped here
+            cand = (budget - prefix) // remaining
+            if cand <= n[i]:
+                cap = cand
+                break
+            prefix += n[i]
+        else:
+            cap = n[order[-1]] if m else 0   # budget >= total
+        alloc = [min(v, cap) for v in n]
+        leftover = budget - sum(alloc)
+        out_order = sorted(range(len(src)), key=lambda i: src[i])
+        return pa.table({
+            "source": pa.array([src[i] for i in out_order],
+                               type=pa.string()),
+            "n_words": pa.array([n[i] for i in out_order],
+                                type=pa.int64()),
+            "alloc": pa.array([alloc[i] for i in out_order],
+                              type=pa.int64()),
+            "cap": pa.array([cap] * m, type=pa.int64()),
+            "leftover": pa.array([leftover] * m, type=pa.int64()),
+        })
+
+    return (counts.map_batches(tag, batch_format="pyarrow")
+            .groupby("_one").map_groups(widen, batch_format="pyarrow"))

@@ -1983,3 +1983,37 @@ def test_activity_hist_bruteforce(ray_session):
     for b, c in hist.items():
         assert int(got.loc[b, "n_users"]) == c
     assert int(got["n_users"].sum()) == len(counts)
+
+
+# ------------------------------------------------------------ Q25 ----
+def test_waterfill_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["q25_waterfill_allocation"](SF).to_pandas()
+           .set_index("source").sort_index())
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    counts = {}
+    for src, grp in docs.groupby("source"):
+        counts[src] = sum(
+            sum(1 for w in t.split(" ") if w != "")
+            for t in grp["text"])
+    total = sum(counts.values())
+    budget = total // 2
+    # exact brute force: try every cap until the budget breaks
+    best = 0
+    for cap in range(0, max(counts.values()) + 1):
+        if sum(min(n, cap) for n in counts.values()) <= budget:
+            best = cap
+        else:
+            break
+    alloc = {s: min(n, best) for s, n in counts.items()}
+    leftover = budget - sum(alloc.values())
+    assert list(got.index) == sorted(counts)
+    for s in counts:
+        row = got.loc[s]
+        assert (row["n_words"], row["alloc"], row["cap"],
+                row["leftover"]) == (counts[s], alloc[s], best,
+                                     leftover)
+    # the cap is maximal: cap+1 must break the budget
+    assert sum(min(n, best + 1) for n in counts.values()) > budget
