@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 353 ``queries()`` entries, 348 with DuckDB value
+Round-5 final surface: 354 ``queries()`` entries, 349 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -1321,6 +1321,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Q25 water-filling token allocation (largest integer common
         # cap fitting budget = total//2; leftover reported)
         "q25_waterfill_allocation": q.q25_waterfill_allocation,
+        # V22 BPE first-merge candidates (top within-word byte pairs
+        # — the tokenizer-training step as a checkable unit)
+        "v22_bpe_candidates": tx.v22_bpe_candidates,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -4735,6 +4738,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t.total // 2 - agg.total_alloc AS BIGINT)
                        AS leftover
             FROM c CROSS JOIN cp CROSS JOIN t CROSS JOIN agg
+        """,
+        # V22: adjacent char pairs, both non-space; ranked LIMIT k
+        "v22_bpe_candidates": """
+            WITH pos AS (
+              SELECT text,
+                     unnest(generate_series(1, length(text) - 1)) AS i
+              FROM documents WHERE length(text) >= 2),
+            pc2 AS (
+              SELECT ascii(substr(text, CAST(i AS INTEGER), 1)) AS b1,
+                     ascii(substr(text, CAST(i + 1 AS INTEGER), 1))
+                         AS b2
+              FROM pos)
+            SELECT CAST(b1 AS BIGINT) AS b1, CAST(b2 AS BIGINT) AS b2,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM pc2 WHERE b1 <> 32 AND b2 <> 32
+            GROUP BY b1, b2
+            ORDER BY n DESC, b1, b2 LIMIT 10
         """,
         # V19: two group-bys over V1's word convention
         "v19_freq_spectrum": """

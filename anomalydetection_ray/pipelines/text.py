@@ -1383,3 +1383,61 @@ def t22_balance_audit(sf_dir: str):
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- V22 ----
+def v22_bpe_candidates(sf_dir: str, k: int = 10):
+    """V22 — the first BPE merge step, surfaced: the top-``k`` most
+    frequent ADJACENT byte pairs within words (pairs touching a space
+    are excluded — merges never cross word boundaries in the classic
+    tokenizer), ranked (count desc, b1, b2).  Run iteratively this IS
+    BPE training; one step is the SQL-checkable unit, and its winner
+    ordering is exactly what a tokenizer-health audit reads (a natural
+    corpus starts with 'e '+consonant clusters; markup soup starts
+    with '<<').
+
+    Scale shape: V20's per-block 65536-key ``bincount`` partials (no
+    source split), ONE bounded exchange, block-pruned top-k."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, offsets = _flat_utf8(batch)
+        N = int(offsets[-1])
+        empty = pa.table({
+            "b1": pa.array([], type=pa.int64()),
+            "b2": pa.array([], type=pa.int64()),
+            "n": pa.array([], type=pa.int64()),
+        })
+        if N < 2:
+            return empty
+        mask = np.ones(N - 1, dtype=bool)
+        inner = offsets[1:-1]
+        inner = inner[(inner >= 1) & (inner <= N - 1)]
+        mask[inner - 1] = False                 # no cross-doc pairs
+        b1 = flat[:-1].astype(np.int64)
+        b2 = flat[1:].astype(np.int64)
+        mask &= (b1 != 0x20) & (b2 != 0x20)     # within-word only
+        if not mask.any():
+            return empty
+        key = b1[mask] * 256 + b2[mask]
+        counts = np.bincount(key, minlength=65536)
+        nz = np.flatnonzero(counts)
+        return pa.table({
+            "b1": pa.array(nz // 256, type=pa.int64()),
+            "b2": pa.array(nz % 256, type=pa.int64()),
+            "n": pa.array(counts[nz], type=pa.int64()),
+        })
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["b1", "b2"]).aggregate(Sum("n",
+                                                   alias_name="n")))
+
+    from anomalydetection_ray.stages.topk import topk
+
+    return topk(counts, k, [("n", "descending"), ("b1", "ascending"),
+                            ("b2", "ascending")])

@@ -2017,3 +2017,24 @@ def test_waterfill_bruteforce(ray_session):
                                      leftover)
     # the cap is maximal: cap+1 must break the budget
     assert sum(min(n, best + 1) for n in counts.values()) > budget
+
+
+# ------------------------------------------------------------ V22 ----
+def test_bpe_candidates_bruteforce(ray_session):
+    from collections import Counter
+
+    import __ray_entry__ as e
+
+    got = e.queries()["v22_bpe_candidates"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    pairs = Counter()
+    for t in docs["text"]:
+        b = t.encode("utf-8")
+        for i in range(len(b) - 1):
+            if b[i] != 0x20 and b[i + 1] != 0x20:
+                pairs[(b[i], b[i + 1])] += 1
+    top = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got_rows = [((int(r["b1"]), int(r["b2"])), int(r["n"]))
+                for _, r in got.iterrows()]
+    assert sorted(got_rows) == sorted(top)
