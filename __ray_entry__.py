@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 354 ``queries()`` entries, 349 with DuckDB value
+Round-5 final surface: 355 ``queries()`` entries, 350 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -1324,6 +1324,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # V22 BPE first-merge candidates (top within-word byte pairs
         # — the tokenizer-training step as a checkable unit)
         "v22_bpe_candidates": tx.v22_bpe_candidates,
+        # C9 abandoned-session report per start day (W1 sessions x
+        # W11 funnel verdict; the growth-ops daily readout)
+        "c9_abandoned_sessions": wnd.c9_abandoned_sessions,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -4755,6 +4758,41 @@ def oracle_sql() -> dict[str, str]:
             FROM pc2 WHERE b1 <> 32 AND b2 <> 32
             GROUP BY b1, b2
             ORDER BY n DESC, b1, b2 LIMIT 10
+        """,
+        # C9: W1's 12h-gap session CTE + per-session type counts,
+        # rolled up by session-start day
+        "c9_abandoned_sessions": """
+            WITH o AS (
+                SELECT user_id, ts, event_id, event_type,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS pts
+                FROM events),
+            m AS (SELECT *, CASE WHEN pts IS NULL OR
+                                      epoch_us(ts) - epoch_us(pts)
+                                          > 43200000000
+                                 THEN 1 ELSE 0 END AS brk FROM o),
+            s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING)
+                               AS sid
+                  FROM m),
+            sess AS (SELECT user_id, sid,
+                            CAST(epoch_us(min(ts)) // 86400000000
+                                 AS BIGINT) AS day,
+                            CAST(sum(CASE WHEN event_type = 'click'
+                                          THEN 1 ELSE 0 END)
+                                 AS BIGINT) AS n_clicks,
+                            CAST(sum(CASE WHEN event_type = 'purchase'
+                                          THEN 1 ELSE 0 END)
+                                 AS BIGINT) AS n_purch
+                     FROM s GROUP BY user_id, sid)
+            SELECT day, CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(CASE WHEN n_clicks >= 1 AND n_purch = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_abandoned,
+                   CAST(sum(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_converted
+            FROM sess GROUP BY day
         """,
         # V19: two group-bys over V1's word convention
         "v19_freq_spectrum": """

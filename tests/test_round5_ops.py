@@ -2038,3 +2038,39 @@ def test_bpe_candidates_bruteforce(ray_session):
     got_rows = [((int(r["b1"]), int(r["b2"])), int(r["n"]))
                 for _, r in got.iterrows()]
     assert sorted(got_rows) == sorted(top)
+
+
+# ------------------------------------------------------------- C9 ----
+def test_abandoned_sessions_bruteforce(ray_session):
+    from collections import defaultdict
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["c9_abandoned_sessions"](SF).to_pandas()
+           .set_index("day").sort_index())
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "ts", "user_id",
+                                "event_type"]).to_pandas()
+    ev["us"] = ev["ts"].astype("int64")
+    agg = defaultdict(lambda: [0, 0, 0])
+    GAP = 43_200_000_000
+    for _, grp in ev.groupby("user_id"):
+        grp = grp.sort_values(["us", "event_id"])
+        sessions = []
+        for _, r in grp.iterrows():
+            if not sessions or r["us"] - sessions[-1][-1][0] > GAP:
+                sessions.append([])
+            sessions[-1].append((r["us"], r["event_type"]))
+        for sess in sessions:
+            day = sess[0][0] // 86_400_000_000
+            types = [t for _, t in sess]
+            a = agg[day]
+            a[0] += 1
+            a[1] += types.count("click") >= 1 \
+                and types.count("purchase") == 0
+            a[2] += types.count("purchase") > 0
+    assert sorted(agg) == list(got.index)
+    for day, (ns, ab, cv) in agg.items():
+        row = got.loc[day]
+        assert (row["n_sessions"], row["n_abandoned"],
+                row["n_converted"]) == (ns, ab, cv)
