@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 355 ``queries()`` entries, 350 with DuckDB value
+Round-5 final surface: 356 ``queries()`` entries, 351 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -1327,6 +1327,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # C9 abandoned-session report per start day (W1 sessions x
         # W11 funnel verdict; the growth-ops daily readout)
         "c9_abandoned_sessions": wnd.c9_abandoned_sessions,
+        # K21 per-cluster radius stats (max + lower-median member
+        # distance; exact hi/lo-carried ints, pinned sqrt chain)
+        "k21_cluster_radii": km.k21_cluster_radii,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -2270,7 +2273,8 @@ def _kmeans_sql(k: int = 8, dim: int = 64, assign_only: bool = False,
                 centroid_pairs: bool = False,
                 cluster_counts: bool = False,
                 label_purity: bool = False,
-                confusion: bool = False) -> str:
+                confusion: bool = False,
+                radius: bool = False) -> str:
     """kmeans_train oracle: the 2-iteration fused Lloyd loop
     (pipelines/kmeans.py) unrolled in SQL.  Exactness rests on three
     pins shared with the engine: (a) the initial centroids are integral
@@ -2333,18 +2337,54 @@ def _kmeans_sql(k: int = 8, dim: int = 64, assign_only: bool = False,
         FROM asg2 a JOIN eq q USING (vec_id)
         CROSS JOIN range(1, {dim + 1}) t(pos)
         GROUP BY a.cid, t.pos)
-    {_kmeans_tail(dim, assign_only, centroid_pairs, cluster_counts, label_purity, confusion)}
+    {_kmeans_tail(dim, assign_only, centroid_pairs, cluster_counts, label_purity, confusion, radius)}
     """
 
 
 def _kmeans_tail(dim: int, assign_only: bool, centroid_pairs: bool,
                  cluster_counts: bool = False,
                  label_purity: bool = False,
-                 confusion: bool = False) -> str:
+                 confusion: bool = False,
+                 radius: bool = False) -> str:
     from anomalydetection_ray.pipelines.kmeans import ESCALE
 
     if assign_only:
         return "SELECT vec_id, CAST(cid AS BIGINT) AS cid, score FROM asg2"
+    if radius:
+        return f""", mem AS MATERIALIZED (
+        SELECT a.cid, a.vec_id, t.pos, q.ei[t.pos] AS qi
+        FROM asg2 a JOIN eq q USING (vec_id)
+        CROSS JOIN range(1, {dim + 1}) t(pos)),
+    ccn AS (SELECT cid, CAST(min(cnt) AS BIGINT) AS cnt
+            FROM st2 GROUP BY cid),
+    r2 AS MATERIALIZED (
+        SELECT mem.cid, mem.vec_id,
+               CAST(sum(CAST(ccn.cnt * mem.qi - s2.s AS HUGEINT)
+                        * CAST(ccn.cnt * mem.qi - s2.s AS HUGEINT))
+                    AS HUGEINT) AS r2s
+        FROM mem JOIN st2 s2 ON s2.cid = mem.cid AND s2.pos = mem.pos
+        JOIN ccn ON ccn.cid = mem.cid
+        GROUP BY mem.cid, mem.vec_id),
+    rk2 AS (SELECT cid, r2s,
+                   row_number() OVER (PARTITION BY cid
+                                      ORDER BY r2s, vec_id) AS rk,
+                   count(*) OVER (PARTITION BY cid) AS m
+            FROM r2),
+    mx AS (SELECT cid, max(r2s) AS mxv,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM r2 GROUP BY cid),
+    md AS (SELECT cid, min(r2s) AS mdv FROM rk2
+           WHERE rk = (m + 1) // 2 GROUP BY cid)
+    SELECT CAST(mx.cid AS BIGINT) AS cid, mx.n,
+           CAST(mx.mxv // 4294967296 AS BIGINT) AS r2max_hi,
+           CAST(mx.mxv % 4294967296 AS BIGINT) AS r2max_lo,
+           sqrt(CAST(mx.mxv // 4294967296 AS DOUBLE) * 4294967296.0
+                + CAST(mx.mxv % 4294967296 AS DOUBLE))
+               / (CAST(ccn.cnt AS DOUBLE) * 1048576.0) AS radius_max,
+           sqrt(CAST(md.mdv // 4294967296 AS DOUBLE) * 4294967296.0
+                + CAST(md.mdv % 4294967296 AS DOUBLE))
+               / (CAST(ccn.cnt AS DOUBLE) * 1048576.0) AS radius_med
+    FROM mx JOIN md USING (cid) JOIN ccn USING (cid)"""
     if confusion:
         return """, lab AS (SELECT a.cid, CAST(e2.label AS BIGINT) AS label,
                     CAST(count(*) AS BIGINT) AS n
@@ -7190,6 +7230,7 @@ def oracle_sql() -> dict[str, str]:
         "k16_cluster_purity": _kmeans_sql(dim=_dim,
                                           label_purity=True),
         "k20_confusion_matrix": _kmeans_sql(dim=_dim, confusion=True),
+        "k21_cluster_radii": _kmeans_sql(dim=_dim, radius=True),
         "d16_prefix_groups": """
             WITH p AS (SELECT substr(text, 1, 32) AS prefix, source
                        FROM documents),

@@ -860,3 +860,104 @@ def k20_confusion_matrix(sf_dir: str, k: int = K_DEFAULT,
         })
 
     return counts.map_batches(rename, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- K21 ----
+def k21_cluster_radii(sf_dir: str, k: int = K_DEFAULT,
+                      iters: int = ITERS_DEFAULT):
+    """K21 — per-cluster radius statistics: the maximum and LOWER-median
+    member distance to the cluster's own (final-state) centroid — the
+    compactness diagnostic that closes the evaluation family (K15 sizes,
+    K16 purity, K20 confusion; this says whether a cluster is a tight
+    ball or a diffuse catch-all).
+
+    Exactness: with cnt/s the final Lloyd state, the cnt-scaled squared
+    distance r2s = sum_p (cnt*q_p - s_p)^2 is an exact integer per
+    member (Python here, HUGEINT in the oracle; it can pass int64, so
+    partials carry it as an exact (hi, lo) 32-bit pair), order
+    statistics are taken on the exact ints, and the dequantized radii
+    are the pinned sqrt(split(r2s)) / (cnt * 2^20) chain.
+
+    Scale shape: K3's map-only assignment with the K x dim state
+    broadcast; ONE cid-keyed exchange of (cid, hi, lo) rows; per-cid
+    finalize holds only that cluster's members (the documented
+    membership bound shared with K18)."""
+    import math
+
+    import ray.data
+
+    from anomalydetection_ray.stages.detectors import _split_double
+
+    cnt, s, dim = kmeans_state(sf_dir, k, iters)
+    cent = init_centroids(k, dim)
+    denom = np.ones(k, dtype=np.float64)
+    for _ in range(iters - 1):
+        c2, s2 = _reduced_state(sf_dir, cent, denom)
+        live = c2 > 0
+        cent = np.where(live[:, None], s2.astype(np.float64), cent)
+        denom = np.where(live, c2.astype(np.float64), denom)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "cid": pa.array([], type=pa.int64()),
+                "vec_id": pa.array([], type=pa.int64()),
+                "hi": pa.array([], type=pa.int64()),
+                "lo": pa.array([], type=pa.int64()),
+            })
+        ids, ef = _emb_f64(batch)
+        sc = _fold_scores(ef, cent, denom)
+        cid = np.argmax(sc, axis=1).astype(np.int64)
+        q = np.floor(ef * ESCALE + 0.5).astype(np.int64)
+        n = q.shape[0]
+        hi = np.empty(n, dtype=np.int64)
+        lo = np.empty(n, dtype=np.int64)
+        for r in range(n):
+            c = int(cid[r])
+            cc = int(cnt[c])
+            sv = s[c]
+            row = q[r]
+            acc = 0
+            for p in range(dim):
+                d = cc * int(row[p]) - int(sv[p])
+                acc += d * d
+            hi[r] = acc >> 32
+            lo[r] = acc & 0xFFFFFFFF
+        return pa.table({
+            "cid": pa.array(cid, type=pa.int64()),
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "hi": pa.array(hi, type=pa.int64()),
+            "lo": pa.array(lo, type=pa.int64()),
+        })
+
+    members = ds.map_batches(kernel, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def finalize(group: pa.Table) -> pa.Table:
+        c = int(group.column("cid")[0].as_py())
+        hi = group.column("hi").to_pylist()
+        lo = group.column("lo").to_pylist()
+        r2s = sorted((int(h) << 32) | int(v)
+                     for h, v in zip(hi, lo))
+        m = len(r2s)
+        mx = r2s[-1]
+        md = r2s[(m + 1) // 2 - 1]
+        den = float(int(cnt[c])) * float(ESCALE)
+        return pa.table({
+            "cid": pa.array([c], type=pa.int64()),
+            "n": pa.array([m], type=pa.int64()),
+            "r2max_hi": pa.array([mx >> 32], type=pa.int64()),
+            "r2max_lo": pa.array([mx & 0xFFFFFFFF], type=pa.int64()),
+            "radius_max": pa.array(
+                [math.sqrt(_split_double(mx)) / den],
+                type=pa.float64()),
+            "radius_med": pa.array(
+                [math.sqrt(_split_double(md)) / den],
+                type=pa.float64()),
+        })
+
+    return members.groupby("cid").map_groups(finalize,
+                                             batch_format="pyarrow")

@@ -2074,3 +2074,41 @@ def test_abandoned_sessions_bruteforce(ray_session):
         row = got.loc[day]
         assert (row["n_sessions"], row["n_abandoned"],
                 row["n_converted"]) == (ns, ab, cv)
+
+
+# ------------------------------------------------------------ K21 ----
+def test_cluster_radii_bruteforce(ray_session):
+    import math
+
+    from anomalydetection_ray.pipelines.kmeans import (ESCALE,
+                                                       kmeans_state)
+    from anomalydetection_ray.stages.detectors import _split_double
+
+    import __ray_entry__ as e
+
+    q = e.queries()
+    got = (q["k21_cluster_radii"](SF).to_pandas()
+           .set_index("cid").sort_index())
+    asg = q["kmeans_assign"](SF).to_pandas().set_index("vec_id")
+    cnt, s, dim = kmeans_state(SF)
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    qm = np.floor(np.stack(emb["embedding"].to_numpy())
+                  * ESCALE + 0.5).astype(np.int64)
+    by_cid = {}
+    for vid, row in zip(emb["vec_id"].to_numpy(), qm):
+        c = int(asg.loc[int(vid), "cid"])
+        cc = int(cnt[c])
+        r2s = sum((cc * int(row[p]) - int(s[c][p])) ** 2
+                  for p in range(dim))
+        by_cid.setdefault(c, []).append(r2s)
+    assert sorted(by_cid) == list(got.index)
+    for c, vals in by_cid.items():
+        vals.sort()
+        m = len(vals)
+        mx, md = vals[-1], vals[(m + 1) // 2 - 1]
+        den = float(int(cnt[c])) * float(ESCALE)
+        row = got.loc[c]
+        assert (row["n"], row["r2max_hi"], row["r2max_lo"]) \
+            == (m, mx >> 32, mx & 0xFFFFFFFF)
+        assert row["radius_max"] == math.sqrt(_split_double(mx)) / den
+        assert row["radius_med"] == math.sqrt(_split_double(md)) / den
