@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 356 ``queries()`` entries, 351 with DuckDB value
+Round-5 final surface: 357 ``queries()`` entries, 352 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -499,6 +499,14 @@ def _a67_cusum_squares(sf_dir: str):
 
     return validated(_docs_sequences(sf_dir)).map_batches(
         cusum_squares_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _a72_slope_break(sf_dir: str):
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import slope_break_batch
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        slope_break_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _a66_records(sf_dir: str):
@@ -1330,6 +1338,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # K21 per-cluster radius stats (max + lower-median member
         # distance; exact hi/lo-carried ints, pinned sqrt chain)
         "k21_cluster_radii": km.k21_cluster_radii,
+        # A72 slope-break changepoint (AMOC on first differences —
+        # level/variance/slope changepoint triple complete)
+        "a72_slope_break": _a72_slope_break,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -4833,6 +4844,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_converted
             FROM sess GROUP BY day
+        """,
+        # A72: A32's float-prune + HUGEINT cross-compare argmax over
+        # the FIRST-DIFFERENCE series (slope break = diff mean shift)
+        "a72_slope_break": f"""
+            WITH {_SEQ_TOK_CTE},
+            s0 AS MATERIALIZED (
+                SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                       pos % 1000000 AS i, CAST(v AS BIGINT) AS v FROM tok),
+            s AS MATERIALIZED (
+                SELECT doc_id, part_id, i - 1 AS i, dv AS v FROM (
+                    SELECT doc_id, part_id, i,
+                           v - lag(v) OVER (PARTITION BY doc_id,
+                                            part_id ORDER BY i) AS dv
+                    FROM s0)
+                WHERE dv IS NOT NULL),
+            orig AS (SELECT doc_id, part_id,
+                            CAST(count(*) AS BIGINT) AS n
+                     FROM s0 GROUP BY doc_id, part_id),
+            tot AS MATERIALIZED (
+                SELECT doc_id, part_id, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(v) AS BIGINT) AS s_sum
+                FROM s GROUP BY doc_id, part_id),
+            c AS MATERIALIZED (
+                SELECT doc_id, part_id, i + 1 AS k,
+                       CAST(sum(v) OVER (PARTITION BY doc_id, part_id
+                                         ORDER BY i) AS BIGINT) AS pk
+                FROM s),
+            cand AS MATERIALIZED (
+                SELECT c.doc_id, c.part_id, CAST(c.k AS BIGINT) AS k,
+                       c.pk,
+                       CAST(abs(c.pk * t.n - t.s_sum * c.k) AS BIGINT)
+                           AS a,
+                       CAST(c.k * (t.n - c.k) AS BIGINT) AS d
+                FROM c JOIN tot t USING (doc_id, part_id)
+                WHERE c.k < t.n),
+            qq AS MATERIALIZED (
+                SELECT *, CAST(a AS DOUBLE) / CAST(d AS DOUBLE) AS qf,
+                       max(CAST(a AS DOUBLE) / CAST(d AS DOUBLE))
+                           OVER (PARTITION BY doc_id, part_id) AS qmax
+                FROM cand),
+            nr AS MATERIALIZED (
+                SELECT * FROM qq
+                WHERE qf >= qmax * (1.0 - 1e-12) - 1e-300),
+            best AS MATERIALIZED (
+                SELECT k.* FROM nr k
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM nr j
+                    WHERE j.doc_id = k.doc_id
+                      AND j.part_id = k.part_id
+                      AND (CAST(j.a AS HUGEINT) * k.d
+                               > CAST(k.a AS HUGEINT) * j.d
+                           OR (CAST(j.a AS HUGEINT) * k.d
+                                   = CAST(k.a AS HUGEINT) * j.d
+                               AND j.k < k.k))))
+            SELECT o.doc_id, o.part_id, o.n,
+                   b.k AS split_pos,
+                   CAST(b.a AS DOUBLE) / CAST(b.d AS DOUBLE) AS gap,
+                   CAST(b.pk AS DOUBLE) / CAST(b.k AS DOUBLE)
+                       AS slope_l,
+                   CAST(t.s_sum - b.pk AS DOUBLE)
+                       / CAST(t.n - b.k AS DOUBLE) AS slope_r
+            FROM orig o
+            LEFT JOIN tot t USING (doc_id, part_id)
+            LEFT JOIN best b ON b.doc_id = o.doc_id
+                            AND b.part_id = o.part_id
         """,
         # V19: two group-bys over V1's word convention
         "v19_freq_spectrum": """

@@ -1852,3 +1852,54 @@ def cusum_squares_batch(batch: pa.Table) -> pa.Table:
         "cusum_sq": pa.array(stat, type=pa.float64(), mask=~ok),
         "at_k": pa.array(at_k, type=pa.int64(), mask=~ok),
     })
+
+
+def slope_break_batch(batch: pa.Table) -> pa.Table:
+    """A72 — at-most-one SLOPE-break per series: a change in trend
+    slope at position k is exactly a change in MEAN of the first-
+    difference series at diff-index k, so the detector is A32's AMOC
+    argmax run on the differences — the third changepoint type next to
+    A32/A62 (level) and A67 (variance), sharing their bit-exact
+    big-int argmax discipline for free.  ``slope_l/slope_r`` are the
+    segment mean slopes (pinned divisions); series with n < 3 (fewer
+    than 2 diffs) emit NULL.
+
+    Construction is zero-copy-ish: one vectorized diff over the flat
+    buffer with row-boundary drops, offsets shift by the row index
+    (every validated row has n >= 1)."""
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.int64)
+    lens = np.diff(offsets)
+    N = v.shape[0]
+    nrows = lens.shape[0]
+    if N > 1:
+        d = v[1:] - v[:-1]
+        keep = np.ones(N - 1, dtype=bool)
+        inner = offsets[1:-1]
+        inner = inner[(inner >= 1) & (inner <= N - 1)]
+        keep[inner - 1] = False
+        dflat = d[keep].astype(np.int32)
+    else:
+        dflat = np.empty(0, dtype=np.int32)
+    new_off = (offsets - np.arange(nrows + 1, dtype=np.int64)
+               ).clip(min=0).astype(np.int32)
+    diffs = pa.ListArray.from_arrays(pa.array(new_off,
+                                              type=pa.int32()),
+                                     pa.array(dflat, type=pa.int32()))
+    db = pa.table({"doc_id": batch.column("doc_id"),
+                   "part_id": batch.column("part_id"),
+                   "tokens": diffs})
+    out = amoc_split_batch(db)
+    return pa.table({
+        "doc_id": out.column("doc_id"),
+        "part_id": out.column("part_id"),
+        "n": pa.array(lens, type=pa.int64()),
+        "split_pos": out.column("split_pos"),
+        "gap": out.column("gap"),
+        "slope_l": out.column("mean_l"),
+        "slope_r": out.column("mean_r"),
+    })

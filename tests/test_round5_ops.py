@@ -2112,3 +2112,39 @@ def test_cluster_radii_bruteforce(ray_session):
             == (m, mx >> 32, mx & 0xFFFFFFFF)
         assert row["radius_max"] == math.sqrt(_split_double(mx)) / den
         assert row["radius_med"] == math.sqrt(_split_double(md)) / den
+
+
+# ------------------------------------------------------------ A72 ----
+def test_slope_break_bruteforce():
+    from fractions import Fraction
+
+    from anomalydetection_ray.stages.detectors import slope_break_batch
+
+    rng = np.random.default_rng(61)
+    series = [list(rng.integers(0, 100, size=rng.integers(1, 80)))
+              for _ in range(15)]
+    # planted slope break: up-ramp then flat
+    series.append(list(range(0, 120, 3)) + [117] * 40)
+    out = slope_break_batch(_tok_batch(series)).to_pylist()
+    for row, sr in zip(out, series):
+        d = [b - a for a, b in zip(sr, sr[1:])]
+        m = len(d)
+        assert row["n"] == len(sr)
+        if m < 2:
+            assert row["split_pos"] is None
+            continue
+        S = sum(d)
+        best_k, best_gap = None, Fraction(-1)
+        pk = 0
+        for k in range(1, m):
+            pk += d[k - 1]
+            gap = Fraction(abs(pk * m - S * k), k * (m - k))
+            if gap > best_gap:
+                best_gap, best_k = gap, k
+        assert row["split_pos"] == best_k
+        pk = sum(d[:best_k])
+        assert row["slope_l"] == float(pk) / float(best_k)
+        assert row["slope_r"] == float(S - pk) / float(m - best_k)
+    # planted break: 39 ramp diffs (range(0,120,3) has 40 values),
+    # then 41 zero diffs -> split at diff index 39
+    assert out[-1]["split_pos"] == 39
