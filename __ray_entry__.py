@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 357 ``queries()`` entries, 352 with DuckDB value
+Round-5 final surface: 362 ``queries()`` entries, 357 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -507,6 +507,47 @@ def _a72_slope_break(sf_dir: str):
 
     return validated(_docs_sequences(sf_dir)).map_batches(
         slope_break_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _a73_mean_side(sf_dir: str):
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import mean_side_batch
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        mean_side_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _a74_energy_chunks(sf_dir: str):
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import energy_chunks_batch
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        energy_chunks_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _a76_extremum_location(sf_dir: str):
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import extremum_location_batch
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        extremum_location_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _a79_reoccurring(sf_dir: str):
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import reoccurring_batch
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        reoccurring_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _a82_index_mass_quantile(sf_dir: str):
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import index_mass_quantile_batch
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        index_mass_quantile_batch, batch_format="pyarrow",
+        zero_copy_batch=True)
 
 
 def _a66_records(sf_dir: str):
@@ -1341,6 +1382,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A72 slope-break changepoint (AMOC on first differences —
         # level/variance/slope changepoint triple complete)
         "a72_slope_break": _a72_slope_break,
+        # A73 mean-side stats (count above/below mean + mean crossings;
+        # all-exact-int stationarity screen, tsfresh family)
+        "a73_mean_side": _a73_mean_side,
+        # A74 energy distribution over 4 equal chunks (exact sum-of-
+        # squares per chunk + smallest-index argmax)
+        "a74_energy_chunks": _a74_energy_chunks,
+        # A76 extremum locations (first/last position of max/min)
+        "a76_extremum_location": _a76_extremum_location,
+        # A79 reoccurring-value stats (distinct / reoccurring values
+        # and points, with both sums — within-series dup structure)
+        "a79_reoccurring": _a79_reoccurring,
+        # A82 index-mass quantiles (smallest prefix carrying 25/50/75%
+        # of the series mass; exact 4x-scaled compares)
+        "a82_index_mass_quantile": _a82_index_mass_quantile,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -4909,6 +4964,142 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN tot t USING (doc_id, part_id)
             LEFT JOIN best b ON b.doc_id = o.doc_id
                             AND b.part_id = o.part_id
+        """,
+        # A73: exact v*n vs sum compares + one lag for crossings
+        "a73_mean_side": f"""
+            WITH {_SEQ_TOK_CTE},
+            s AS MATERIALIZED (
+                SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                       pos % 1000000 AS i, CAST(v AS BIGINT) AS v FROM tok),
+            tot AS MATERIALIZED (
+                SELECT doc_id, part_id, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(v) AS BIGINT) AS s_sum
+                FROM s GROUP BY doc_id, part_id),
+            f AS MATERIALIZED (
+                SELECT s.doc_id, s.part_id, s.i,
+                       (s.v * t.n > t.s_sum) AS above,
+                       (s.v * t.n < t.s_sum) AS below
+                FROM s JOIN tot t USING (doc_id, part_id)),
+            l AS (SELECT doc_id, part_id, above, below,
+                         lag(above) OVER (PARTITION BY doc_id, part_id
+                                          ORDER BY i) AS prev
+                  FROM f)
+            SELECT t.doc_id, t.part_id, t.n,
+                   CAST(sum(CASE WHEN l.above THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_above,
+                   CAST(sum(CASE WHEN l.below THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_below,
+                   CAST(sum(CASE WHEN l.prev IS NOT NULL
+                                  AND l.above <> l.prev
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_cross
+            FROM l JOIN tot t USING (doc_id, part_id)
+            GROUP BY t.doc_id, t.part_id, t.n
+        """,
+        # A74: chunk = (i*4)//n; exact v*v sums; smallest-index argmax
+        "a74_energy_chunks": f"""
+            WITH {_SEQ_TOK_CTE},
+            s AS MATERIALIZED (
+                SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                       pos % 1000000 AS i, CAST(v AS BIGINT) AS v FROM tok),
+            tot AS MATERIALIZED (
+                SELECT doc_id, part_id, CAST(count(*) AS BIGINT) AS n
+                FROM s GROUP BY doc_id, part_id),
+            c AS (SELECT s.doc_id, s.part_id,
+                         (s.i * 4) // t.n AS chunk, s.v
+                  FROM s JOIN tot t USING (doc_id, part_id)),
+            e AS (SELECT doc_id, part_id,
+                    CAST(sum(CASE WHEN chunk = 0 THEN v*v ELSE 0 END)
+                         AS BIGINT) AS e0,
+                    CAST(sum(CASE WHEN chunk = 1 THEN v*v ELSE 0 END)
+                         AS BIGINT) AS e1,
+                    CAST(sum(CASE WHEN chunk = 2 THEN v*v ELSE 0 END)
+                         AS BIGINT) AS e2,
+                    CAST(sum(CASE WHEN chunk = 3 THEN v*v ELSE 0 END)
+                         AS BIGINT) AS e3
+                  FROM c GROUP BY doc_id, part_id)
+            SELECT t.doc_id, t.part_id, t.n, e.e0, e.e1, e.e2, e.e3,
+                   e.e0 + e.e1 + e.e2 + e.e3 AS e_total,
+                   CAST(CASE WHEN e.e0 >= e.e1 AND e.e0 >= e.e2
+                                  AND e.e0 >= e.e3 THEN 0
+                             WHEN e.e1 >= e.e2 AND e.e1 >= e.e3 THEN 1
+                             WHEN e.e2 >= e.e3 THEN 2
+                             ELSE 3 END AS BIGINT) AS peak_chunk
+            FROM tot t JOIN e USING (doc_id, part_id)
+        """,
+        # A76: per-series max/min then conditional min/max of position
+        "a76_extremum_location": f"""
+            WITH {_SEQ_TOK_CTE},
+            s AS MATERIALIZED (
+                SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                       pos % 1000000 AS i, CAST(v AS BIGINT) AS v FROM tok),
+            a AS MATERIALIZED (
+                SELECT doc_id, part_id, CAST(count(*) AS BIGINT) AS n,
+                       CAST(max(v) AS BIGINT) AS v_max,
+                       CAST(min(v) AS BIGINT) AS v_min
+                FROM s GROUP BY doc_id, part_id)
+            SELECT a.doc_id, a.part_id, a.n, a.v_max, a.v_min,
+                   CAST(min(CASE WHEN s.v = a.v_max THEN s.i END)
+                        AS BIGINT) AS first_max_pos,
+                   CAST(max(CASE WHEN s.v = a.v_max THEN s.i END)
+                        AS BIGINT) AS last_max_pos,
+                   CAST(min(CASE WHEN s.v = a.v_min THEN s.i END)
+                        AS BIGINT) AS first_min_pos,
+                   CAST(max(CASE WHEN s.v = a.v_min THEN s.i END)
+                        AS BIGINT) AS last_min_pos
+            FROM s JOIN a USING (doc_id, part_id)
+            GROUP BY a.doc_id, a.part_id, a.n, a.v_max, a.v_min
+        """,
+        # A79: one (doc, part, value) group-by then threshold sums
+        "a79_reoccurring": f"""
+            WITH {_SEQ_TOK_CTE},
+            s AS MATERIALIZED (
+                SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                       CAST(v AS BIGINT) AS v FROM tok),
+            g AS MATERIALIZED (
+                SELECT doc_id, part_id, v,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM s GROUP BY doc_id, part_id, v),
+            tot AS (SELECT doc_id, part_id,
+                           CAST(sum(c) AS BIGINT) AS n
+                    FROM g GROUP BY doc_id, part_id)
+            SELECT t.doc_id, t.part_id, t.n,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(sum(CASE WHEN g.c >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_reocc_vals,
+                   CAST(sum(CASE WHEN g.c >= 2 THEN g.c ELSE 0 END)
+                        AS BIGINT) AS n_reocc_pts,
+                   CAST(sum(CASE WHEN g.c >= 2 THEN g.v ELSE 0 END)
+                        AS BIGINT) AS sum_reocc_vals,
+                   CAST(sum(CASE WHEN g.c >= 2 THEN g.v * g.c
+                            ELSE 0 END) AS BIGINT) AS sum_reocc_pts
+            FROM g JOIN tot t USING (doc_id, part_id)
+            GROUP BY t.doc_id, t.part_id, t.n
+        """,
+        # A82: 4x-scaled inclusive window cumsum vs q4*total compares
+        "a82_index_mass_quantile": f"""
+            WITH {_SEQ_TOK_CTE},
+            s AS MATERIALIZED (
+                SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                       pos % 1000000 AS i, CAST(v AS BIGINT) AS v FROM tok),
+            c AS MATERIALIZED (
+                SELECT doc_id, part_id, i,
+                       CAST(sum(v) OVER (PARTITION BY doc_id, part_id
+                                         ORDER BY i) AS BIGINT) * 4
+                           AS c4
+                FROM s),
+            tot AS (SELECT doc_id, part_id,
+                           CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(v) AS BIGINT) AS total
+                    FROM s GROUP BY doc_id, part_id)
+            SELECT t.doc_id, t.part_id, t.n, t.total,
+                   CAST(min(CASE WHEN c.c4 >= 1 * t.total THEN c.i END)
+                        AS BIGINT) AS imq_25,
+                   CAST(min(CASE WHEN c.c4 >= 2 * t.total THEN c.i END)
+                        AS BIGINT) AS imq_50,
+                   CAST(min(CASE WHEN c.c4 >= 3 * t.total THEN c.i END)
+                        AS BIGINT) AS imq_75
+            FROM c JOIN tot t USING (doc_id, part_id)
+            GROUP BY t.doc_id, t.part_id, t.n, t.total
         """,
         # V19: two group-bys over V1's word convention
         "v19_freq_spectrum": """

@@ -1903,3 +1903,222 @@ def slope_break_batch(batch: pa.Table) -> pa.Table:
         "slope_l": out.column("mean_l"),
         "slope_r": out.column("mean_r"),
     })
+
+
+def mean_side_batch(batch: pa.Table) -> pa.Table:
+    """A73 — mean-side statistics per series (the tsfresh
+    ``count_above_mean`` / ``count_below_mean`` / ``number_crossing_m``
+    trio, Christ et al. 2018): with S = sum(v) and n the length, an
+    element is ABOVE iff v*n > S and BELOW iff v*n < S (exact int64
+    compares — v <= 50256 and n <= 1e6 keep v*n under 2^63; elements
+    equal to the mean are neither), and a CROSSING is an adjacent pair
+    whose ABOVE flags differ.  Mean-reverting noise crosses ~n/2 times;
+    trends and level shifts crash the crossing count, making this the
+    cheapest stationarity screen in the registry.  All outputs exact
+    ints — no float tail at all."""
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.int64)
+    lens = np.diff(offsets)
+    nrows = lens.shape[0]
+    n_above = np.zeros(nrows, dtype=np.int64)
+    n_below = np.zeros(nrows, dtype=np.int64)
+    n_cross = np.zeros(nrows, dtype=np.int64)
+    if v.shape[0]:
+        row_of = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+        s_row = np.zeros(nrows, dtype=np.int64)
+        np.add.at(s_row, row_of, v)
+        lhs = v * lens[row_of]
+        rhs = s_row[row_of]
+        above = lhs > rhs
+        np.add.at(n_above, row_of[above], 1)
+        below = lhs < rhs
+        np.add.at(n_below, row_of[below], 1)
+        if v.shape[0] > 1:
+            cross = (above[1:] != above[:-1]) & (row_of[1:] == row_of[:-1])
+            np.add.at(n_cross, row_of[1:][cross], 1)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "n": pa.array(lens, type=pa.int64()),
+        "n_above": pa.array(n_above, type=pa.int64()),
+        "n_below": pa.array(n_below, type=pa.int64()),
+        "n_cross": pa.array(n_cross, type=pa.int64()),
+    })
+
+
+def energy_chunks_batch(batch: pa.Table, k: int = 4) -> pa.Table:
+    """A74 — energy distribution over k equal chunks per series (the
+    tsfresh ``energy_ratio_by_chunks`` statistic): element at within-row
+    position i belongs to chunk (i*k)//n, and each chunk's energy is its
+    sum of squares.  A stationary series spreads energy ~uniformly; a
+    ramp or late burst concentrates it in the last chunks.  Energies are
+    exact int64 (v^2 <= 50256^2 ~ 2.5e9, times <= 1e6 elements ~ 2.5e15
+    per series); ``peak_chunk`` is the argmax with smallest-index
+    tie-break — no float tail."""
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.int64)
+    lens = np.diff(offsets)
+    nrows = lens.shape[0]
+    e = np.zeros((nrows, k), dtype=np.int64)
+    if v.shape[0]:
+        row_of = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+        i_in = np.arange(v.shape[0], dtype=np.int64) - offsets[:-1][row_of]
+        chunk = (i_in * k) // lens[row_of]
+        np.add.at(e, (row_of, chunk), v * v)
+    total = e.sum(axis=1)
+    peak = e.argmax(axis=1).astype(np.int64)  # ties -> smallest index
+    cols = {
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "n": pa.array(lens, type=pa.int64()),
+    }
+    for c in range(k):
+        cols[f"e{c}"] = pa.array(e[:, c], type=pa.int64())
+    cols["e_total"] = pa.array(total, type=pa.int64())
+    cols["peak_chunk"] = pa.array(peak, type=pa.int64())
+    return pa.table(cols)
+
+
+def extremum_location_batch(batch: pa.Table) -> pa.Table:
+    """A76 — extremum locations per series (the tsfresh
+    ``first/last_location_of_maximum/minimum`` quartet): the within-row
+    positions (0-based) of the first and last occurrence of the series
+    max and min, plus the extrema themselves.  An anomaly detector's
+    cheapest "WHERE is the spike" companion to A23/A10's "is there
+    one".  Everything exact ints, fully vectorized (masked min/max
+    scatter over the flat buffer, no per-row Python)."""
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.int64)
+    lens = np.diff(offsets)
+    nrows = lens.shape[0]
+    big = np.int64(1) << 62
+    vmax = np.full(nrows, -big, dtype=np.int64)
+    vmin = np.full(nrows, big, dtype=np.int64)
+    fmax = np.full(nrows, big, dtype=np.int64)
+    lmax = np.full(nrows, -1, dtype=np.int64)
+    fmin = np.full(nrows, big, dtype=np.int64)
+    lmin = np.full(nrows, -1, dtype=np.int64)
+    if v.shape[0]:
+        row_of = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+        i_in = np.arange(v.shape[0], dtype=np.int64) - offsets[:-1][row_of]
+        np.maximum.at(vmax, row_of, v)
+        np.minimum.at(vmin, row_of, v)
+        at_max = v == vmax[row_of]
+        np.minimum.at(fmax, row_of[at_max], i_in[at_max])
+        np.maximum.at(lmax, row_of[at_max], i_in[at_max])
+        at_min = v == vmin[row_of]
+        np.minimum.at(fmin, row_of[at_min], i_in[at_min])
+        np.maximum.at(lmin, row_of[at_min], i_in[at_min])
+    ok = lens > 0
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "n": pa.array(lens, type=pa.int64()),
+        "v_max": pa.array(vmax, type=pa.int64(), mask=~ok),
+        "v_min": pa.array(vmin, type=pa.int64(), mask=~ok),
+        "first_max_pos": pa.array(fmax, type=pa.int64(), mask=~ok),
+        "last_max_pos": pa.array(lmax, type=pa.int64(), mask=~ok),
+        "first_min_pos": pa.array(fmin, type=pa.int64(), mask=~ok),
+        "last_min_pos": pa.array(lmin, type=pa.int64(), mask=~ok),
+    })
+
+
+def reoccurring_batch(batch: pa.Table) -> pa.Table:
+    """A79 — reoccurring-value statistics per series (the tsfresh
+    ``percentage/sum_of_reoccurring_datapoints/values`` family): over
+    the per-series value multiset, count the distinct values, the
+    distinct values with multiplicity >= 2, the data points whose value
+    reoccurs, and the two sums (each reoccurring value once; every
+    reoccurring data point).  A near-constant or heavily quantized
+    series is almost all reoccurring mass; a high-entropy one almost
+    none — the registry's duplicate-structure screen at the value level
+    (D-family looks across docs, this looks within).  Exact ints; the
+    per-row np.unique sort is O(n log n) on the row only."""
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.int64)
+    lens = np.diff(offsets)
+    nrows = lens.shape[0]
+    n_distinct = np.zeros(nrows, dtype=np.int64)
+    n_reocc_vals = np.zeros(nrows, dtype=np.int64)
+    n_reocc_pts = np.zeros(nrows, dtype=np.int64)
+    sum_reocc_vals = np.zeros(nrows, dtype=np.int64)
+    sum_reocc_pts = np.zeros(nrows, dtype=np.int64)
+    for i in range(nrows):
+        x = v[offsets[i]:offsets[i + 1]]
+        if not x.shape[0]:
+            continue
+        uq, cnt = np.unique(x, return_counts=True)
+        re = cnt >= 2
+        n_distinct[i] = uq.shape[0]
+        n_reocc_vals[i] = int(re.sum())
+        n_reocc_pts[i] = int(cnt[re].sum())
+        sum_reocc_vals[i] = int(uq[re].sum())
+        sum_reocc_pts[i] = int((uq[re] * cnt[re]).sum())
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "n": pa.array(lens, type=pa.int64()),
+        "n_distinct": pa.array(n_distinct, type=pa.int64()),
+        "n_reocc_vals": pa.array(n_reocc_vals, type=pa.int64()),
+        "n_reocc_pts": pa.array(n_reocc_pts, type=pa.int64()),
+        "sum_reocc_vals": pa.array(sum_reocc_vals, type=pa.int64()),
+        "sum_reocc_pts": pa.array(sum_reocc_pts, type=pa.int64()),
+    })
+
+
+def index_mass_quantile_batch(batch: pa.Table) -> pa.Table:
+    """A82 — index-mass quantiles per series (the tsfresh
+    ``index_mass_quantile`` statistic at q = 0.25/0.5/0.75): the
+    smallest 0-based position p whose INCLUSIVE prefix sum carries at
+    least a q-fraction of the series total, i.e. min p with
+    4*prefix(p) >= q4*total (q4 = 1, 2, 3) — token values are
+    non-negative so the prefix is monotone and the compare is an exact
+    int64 one (4*prefix <= 4*50256*1e6 ~ 2e11).  Early mass (bursty
+    head) pulls all three indices toward 0; a ramp pushes them right.
+    An all-zero series trivially satisfies every quantile at p = 0 —
+    the convention the SQL oracle replays.  NULL for empty series."""
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.int64)
+    lens = np.diff(offsets)
+    nrows = lens.shape[0]
+    out = np.zeros((nrows, 3), dtype=np.int64)
+    totals = np.zeros(nrows, dtype=np.int64)
+    for i in range(nrows):
+        x = v[offsets[i]:offsets[i + 1]]
+        if not x.shape[0]:
+            continue
+        c4 = np.cumsum(x) * 4
+        t = int(c4[-1]) // 4
+        totals[i] = t
+        for j, q4 in enumerate((1, 2, 3)):
+            out[i, j] = int(np.searchsorted(c4, q4 * t, side="left"))
+    ok = lens > 0
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "n": pa.array(lens, type=pa.int64()),
+        "total": pa.array(totals, type=pa.int64()),
+        "imq_25": pa.array(out[:, 0], type=pa.int64(), mask=~ok),
+        "imq_50": pa.array(out[:, 1], type=pa.int64(), mask=~ok),
+        "imq_75": pa.array(out[:, 2], type=pa.int64(), mask=~ok),
+    })

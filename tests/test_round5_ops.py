@@ -2148,3 +2148,104 @@ def test_slope_break_bruteforce():
     # planted break: 39 ramp diffs (range(0,120,3) has 40 values),
     # then 41 zero diffs -> split at diff index 39
     assert out[-1]["split_pos"] == 39
+
+
+def test_mean_side_bruteforce():
+    from anomalydetection_ray.stages.detectors import mean_side_batch
+
+    rng = np.random.default_rng(73)
+    series = [list(rng.integers(0, 50, size=rng.integers(1, 60)))
+              for _ in range(20)]
+    series.append([5, 5, 5, 5])            # constant: nothing above/below
+    series.append([0, 10, 0, 10, 0, 10])   # alternating: crosses every step
+    out = mean_side_batch(_tok_batch(series)).to_pylist()
+    for row, sr in zip(out, series):
+        n, s = len(sr), sum(sr)
+        above = [v * n > s for v in sr]
+        assert row["n"] == n
+        assert row["n_above"] == sum(above)
+        assert row["n_below"] == sum(v * n < s for v in sr)
+        assert row["n_cross"] == sum(a != b for a, b in zip(above, above[1:]))
+    assert out[-2]["n_above"] == 0 and out[-2]["n_cross"] == 0
+    assert out[-1]["n_cross"] == 5
+
+
+def test_energy_chunks_bruteforce():
+    from anomalydetection_ray.stages.detectors import energy_chunks_batch
+
+    rng = np.random.default_rng(74)
+    series = [list(rng.integers(0, 100, size=rng.integers(1, 70)))
+              for _ in range(20)]
+    series.append([0] * 30 + [50] * 10)    # all energy in the last chunk
+    out = energy_chunks_batch(_tok_batch(series)).to_pylist()
+    for row, sr in zip(out, series):
+        n = len(sr)
+        e = [0, 0, 0, 0]
+        for i, v in enumerate(sr):
+            e[(i * 4) // n] += v * v
+        assert [row[f"e{c}"] for c in range(4)] == e
+        assert row["e_total"] == sum(e)
+        assert row["peak_chunk"] == max(range(4), key=lambda c: (e[c], -c))
+    assert out[-1]["peak_chunk"] == 3
+
+
+def test_extremum_location_bruteforce():
+    from anomalydetection_ray.stages.detectors import extremum_location_batch
+
+    rng = np.random.default_rng(76)
+    series = [list(rng.integers(0, 20, size=rng.integers(1, 50)))
+              for _ in range(20)]
+    out = extremum_location_batch(_tok_batch(series)).to_pylist()
+    for row, sr in zip(out, series):
+        mx, mn = max(sr), min(sr)
+        assert row["v_max"] == mx and row["v_min"] == mn
+        assert row["first_max_pos"] == sr.index(mx)
+        assert row["last_max_pos"] == len(sr) - 1 - sr[::-1].index(mx)
+        assert row["first_min_pos"] == sr.index(mn)
+        assert row["last_min_pos"] == len(sr) - 1 - sr[::-1].index(mn)
+
+
+def test_reoccurring_bruteforce():
+    from collections import Counter
+
+    from anomalydetection_ray.stages.detectors import reoccurring_batch
+
+    rng = np.random.default_rng(79)
+    series = [list(rng.integers(0, 12, size=rng.integers(1, 60)))
+              for _ in range(20)]
+    series.append([1, 2, 3, 4, 5])          # all unique: zero reoccurring
+    out = reoccurring_batch(_tok_batch(series)).to_pylist()
+    for row, sr in zip(out, series):
+        c = Counter(sr)
+        re = {v: k for v, k in c.items() if k >= 2}
+        assert row["n_distinct"] == len(c)
+        assert row["n_reocc_vals"] == len(re)
+        assert row["n_reocc_pts"] == sum(re.values())
+        assert row["sum_reocc_vals"] == sum(re.keys())
+        assert row["sum_reocc_pts"] == sum(v * k for v, k in re.items())
+    assert out[-1]["n_reocc_vals"] == 0
+
+
+def test_index_mass_quantile_bruteforce():
+    from anomalydetection_ray.stages.detectors import index_mass_quantile_batch
+
+    rng = np.random.default_rng(82)
+    series = [list(rng.integers(0, 40, size=rng.integers(1, 60)))
+              for _ in range(20)]
+    series.append([0, 0, 0])                # zero mass: p = 0 everywhere
+    series.append([100] + [0] * 20)         # all mass at the head
+    out = index_mass_quantile_batch(_tok_batch(series)).to_pylist()
+    for row, sr in zip(out, series):
+        t = sum(sr)
+        assert row["total"] == t
+        for q4, col in ((1, "imq_25"), (2, "imq_50"), (3, "imq_75")):
+            c = 0
+            p = None
+            for i, v in enumerate(sr):
+                c += v
+                if 4 * c >= q4 * t:
+                    p = i
+                    break
+            assert row[col] == p
+    assert out[-2]["imq_75"] == 0
+    assert out[-1]["imq_75"] == 0
