@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 362 ``queries()`` entries, 357 with DuckDB value
+Round-5 final surface: 366 ``queries()`` entries, 361 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -1358,6 +1358,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # W52 transition time matrix (mean seconds per type->type
         # step; W10's counts given a clock)
         "w52_transition_times": wnd.w52_transition_times,
+        # W54 ping-pong alternation matrix (A-B-A triples per user
+        # stream; the oscillation screen W10's pair matrix can't see)
+        "w54_pingpong": wnd.w54_pingpong,
+        # W53 peak-hour concentration per type (argmax hour + share)
+        "w53_peak_hour_share": q.w53_peak_hour_share,
+        # G43 Tukey trimean per type off G22's additive cent histograms
+        "g43_trimean": q.g43_trimean,
+        # V24 Yule's K per source (repeat-rate constant; hi/lo-split m2)
+        "v24_yule_k": tx.v24_yule_k,
         # D25 word-trigram redundancy per source (substring-dedup
         # savings estimator; two-level exact-distinct discipline)
         "d25_trigram_redundancy": dd.d25_trigram_redundancy,
@@ -5100,6 +5109,102 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS imq_75
             FROM c JOIN tot t USING (doc_id, part_id)
             GROUP BY t.doc_id, t.part_id, t.n, t.total
+        """,
+        # W54: two leads inside the per-user window; sentinel total row
+        "w54_pingpong": """
+            WITH o AS (SELECT user_id, event_type AS a,
+                              lead(event_type, 1) OVER w AS b,
+                              lead(event_type, 2) OVER w AS c2
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts, event_id)),
+            t AS (SELECT * FROM o WHERE c2 IS NOT NULL),
+            pp AS (SELECT a AS t_a, b AS t_b,
+                          CAST(count(*) AS BIGINT) AS n_pingpong
+                   FROM t WHERE a = c2 AND a <> b GROUP BY a, b),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n_triples FROM t)
+            SELECT t_a, t_b, n_pingpong,
+                   CAST(0 AS BIGINT) AS n_triples
+            FROM pp
+            UNION ALL
+            SELECT '__total__', '__total__', CAST(0 AS BIGINT),
+                   n_triples
+            FROM tot WHERE n_triples > 0
+        """,
+        # W53: (type, hour) counts; rank by (c DESC, hour ASC); one
+        # pinned division
+        "w53_peak_hour_share": """
+            WITH h AS (SELECT event_type,
+                              CAST((epoch_us(ts) // 3600000000) % 24
+                                   AS BIGINT) AS hour,
+                              CAST(count(*) AS BIGINT) AS c
+                       FROM events GROUP BY event_type, hour),
+            t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS total_n
+                  FROM h GROUP BY event_type),
+            b AS (SELECT event_type, hour, c,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY c DESC, hour ASC)
+                             AS rk
+                  FROM h)
+            SELECT t.event_type, t.total_n, b.hour AS peak_hour,
+                   b.c AS peak_n,
+                   CAST(b.c AS DOUBLE) / CAST(t.total_n AS DOUBLE)
+                       AS peak_share
+            FROM t JOIN b ON b.event_type = t.event_type AND b.rk = 1
+        """,
+        # G43: G22's lower-quantile read-off (4*cum >= q4*n) at the
+        # quartiles; exact x4 trimean, one /4.0 division
+        "g43_trimean": """
+            WITH h AS (SELECT event_type,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT)
+                                  AS v,
+                              CAST(count(*) AS BIGINT) AS c
+                       FROM events GROUP BY event_type, v),
+            w AS (SELECT event_type, v,
+                         CAST(sum(c) OVER (PARTITION BY event_type
+                                           ORDER BY v) AS BIGINT)
+                             AS cum,
+                         CAST(sum(c) OVER (PARTITION BY event_type)
+                              AS BIGINT) AS n
+                  FROM h),
+            q AS (SELECT event_type, n,
+                         CAST(min(CASE WHEN cum * 4 >= 1 * n THEN v
+                                  END) AS BIGINT) AS q1_cents,
+                         CAST(min(CASE WHEN cum * 4 >= 2 * n THEN v
+                                  END) AS BIGINT) AS q2_cents,
+                         CAST(min(CASE WHEN cum * 4 >= 3 * n THEN v
+                                  END) AS BIGINT) AS q3_cents
+                  FROM w GROUP BY event_type, n)
+            SELECT event_type, n, q1_cents, q2_cents, q3_cents,
+                   q1_cents + 2 * q2_cents + q3_cents AS trimean_x4,
+                   CAST(q1_cents + 2 * q2_cents + q3_cents AS DOUBLE)
+                       / 4.0 AS trimean_cents
+            FROM q
+        """,
+        # V24: HUGEINT m2 shipped as a 2^32 hi/lo split; the A70
+        # split-double division shape for K
+        "v24_yule_k": """
+            WITH c AS (SELECT source, word,
+                              CAST(count(*) AS HUGEINT) AS f
+                       FROM (SELECT source,
+                                    unnest(string_split(text, ' '))
+                                        AS word
+                             FROM documents)
+                       WHERE word <> '' GROUP BY source, word),
+            a AS (SELECT source, CAST(sum(f) AS HUGEINT) AS n,
+                         CAST(count(*) AS BIGINT) AS n_types,
+                         CAST(sum(f * f) AS HUGEINT) AS m2
+                  FROM c GROUP BY source)
+            SELECT source, CAST(n AS BIGINT) AS n_words, n_types,
+                   CAST(m2 // 4294967296 AS BIGINT) AS m2_hi,
+                   CAST(m2 % 4294967296 AS BIGINT) AS m2_lo,
+                   (CAST((10000 * (m2 - n)) // 4294967296 AS DOUBLE)
+                    * 4294967296.0
+                    + CAST((10000 * (m2 - n)) % 4294967296 AS DOUBLE))
+                   / (CAST((n * n) // 4294967296 AS DOUBLE)
+                      * 4294967296.0
+                      + CAST((n * n) % 4294967296 AS DOUBLE)) AS yule_k
+            FROM a
         """,
         # V19: two group-bys over V1's word convention
         "v19_freq_spectrum": """

@@ -9285,3 +9285,115 @@ def q25_waterfill_allocation(sf_dir: str):
 
     return (counts.map_batches(tag, batch_format="pyarrow")
             .groupby("_one").map_groups(widen, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------- G43 ----
+def g43_trimean(sf_dir: str):
+    """G43 — Tukey's trimean per event type: (Q1 + 2*median + Q3) / 4
+    over quantized cents, the classic robust center that (unlike the
+    plain median) still feels the shoulders of the distribution.
+    Quartiles are the exact LOWER quantiles (smallest v with cumulative
+    count >= ceil(q*n)) read off G22's additive cent histograms —
+    ``trimean_x4`` is the exact integer q1 + 2*q2 + q3; the float
+    trimean is ONE pinned division by 4.0.
+
+    Scale shape: per-block bounded cent histograms, one tiny per-type
+    exchange, per-type read-off — no row sort anywhere (G22's
+    discipline)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def hist_batch(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        v100 = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "v100": pa.array(v100, type=pa.int64()),
+            "one": pa.array(np.ones(v100.shape[0], dtype=np.int64)),
+        })
+        g = t.group_by(["event_type", "v100"]).aggregate([("one", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "v100": g.column("v100"),
+                         "c": g.column("one_sum").cast(pa.int64())})
+
+    counts = (ds.map_batches(hist_batch, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["event_type", "v100"]).sum("c"))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        order = np.argsort(np.asarray(group.column("v100"),
+                                      dtype=np.int64))
+        v = np.asarray(group.column("v100"), dtype=np.int64)[order]
+        c = np.asarray(group.column("sum(c)"), dtype=np.int64)[order]
+        cum = np.cumsum(c)
+        total = int(cum[-1])
+        qv = []
+        for q4 in (1, 2, 3):
+            k = -(-q4 * total // 4)          # ceil(q4*n/4), exact int
+            qv.append(int(v[int(np.searchsorted(cum, max(k, 1)))]))
+        x4 = qv[0] + 2 * qv[1] + qv[2]
+        return pa.table({
+            "event_type": pa.array([et], type=pa.string()),
+            "n": pa.array([total], type=pa.int64()),
+            "q1_cents": pa.array([qv[0]], type=pa.int64()),
+            "q2_cents": pa.array([qv[1]], type=pa.int64()),
+            "q3_cents": pa.array([qv[2]], type=pa.int64()),
+            "trimean_x4": pa.array([x4], type=pa.int64()),
+            "trimean_cents": pa.array([float(x4) / 4.0],
+                                      type=pa.float64()),
+        })
+
+    return counts.groupby("event_type").map_groups(
+        finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- W53 ----
+def w53_peak_hour_share(sf_dir: str):
+    """W53 — peak-hour concentration per event type: the UTC hour with
+    the most events, its count, and its share of the type's total —
+    W34's full 24-hour profile reduced to the one number a scheduler or
+    anomaly baseline wants ("42% of errors land in hour 03").  Ties
+    break to the SMALLEST hour.  Counts exact; share is ONE pinned
+    division.
+
+    Scale shape: per-block (type, hour) count partials (bounded 24 x
+    n_types), one tiny exchange, vectorized argmax read-off."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def hour_batch(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        hour = (us // 3_600_000_000) % 24
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "hour": pa.array(hour, type=pa.int64()),
+            "one": pa.array(np.ones(hour.shape[0], dtype=np.int64)),
+        })
+        g = t.group_by(["event_type", "hour"]).aggregate([("one", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "hour": g.column("hour"),
+                         "c": g.column("one_sum").cast(pa.int64())})
+
+    counts = (ds.map_batches(hour_batch, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["event_type", "hour"]).sum("c"))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        h = np.asarray(group.column("hour"), dtype=np.int64)
+        c = np.asarray(group.column("sum(c)"), dtype=np.int64)
+        order = np.argsort(h)
+        h, c = h[order], c[order]
+        total = int(c.sum())
+        best = int(np.argmax(c))             # ties -> smallest hour
+        return pa.table({
+            "event_type": pa.array([et], type=pa.string()),
+            "total_n": pa.array([total], type=pa.int64()),
+            "peak_hour": pa.array([int(h[best])], type=pa.int64()),
+            "peak_n": pa.array([int(c[best])], type=pa.int64()),
+            "peak_share": pa.array([float(int(c[best])) / float(total)],
+                                   type=pa.float64()),
+        })
+
+    return counts.groupby("event_type").map_groups(
+        finalize, batch_format="pyarrow")

@@ -1441,3 +1441,116 @@ def v22_bpe_candidates(sf_dir: str, k: int = 10):
 
     return topk(counts, k, [("n", "descending"), ("b1", "ascending"),
                             ("b2", "ascending")])
+
+
+# ---------------------------------------------------------------- V24 ----
+def v24_yule_k(sf_dir: str):
+    """V24 — Yule's characteristic K per source (Yule 1944, the
+    stylometric repeat-rate constant): K = 10^4 * (m2 - N) / N^2 with
+    N the word-token count and m2 = sum of squared word frequencies —
+    length-invariant where plain TTR is not, and THE classic
+    boilerplate/templated-text alarm (duplicated phrasing inflates the
+    head frequencies, so K jumps).  V1's word convention (space split,
+    empties dropped).
+
+    Exactness: frequencies and m2 are exact Python ints (no int64
+    wrap at any scale — f^2 can pass 2^63 for a hot word at corpus
+    scale, so m2 travels as a hi/lo 2^32 split pair); K is the A70
+    split-double chain 10^4*(m2 - N) / N^2, one pinned division.
+
+    Scale shape: per-block (source, word) partial counts -> one
+    Heaps-bounded exchange -> per-source m2 partials -> tiny final
+    merge (the V19 shape with a squared tail)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(words)
+        parent = np.asarray(pc.list_parent_indices(words),
+                            dtype=np.int64)
+        keep = np.asarray(pc.not_equal(flat, ""))
+        src = batch.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        t = pa.table({
+            "source": src.take(pa.array(parent[keep])),
+            "word": flat.filter(pa.array(keep)),
+            "one": pa.array(np.ones(int(keep.sum()), dtype=np.int64)),
+        })
+        g = t.group_by(["source", "word"]).aggregate([("one", "sum")])
+        return pa.table({"source": g.column("source"),
+                         "word": g.column("word"),
+                         "f": g.column("one_sum").cast(pa.int64())})
+
+    freqs = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["source", "word"]).sum("f"))
+
+    def sq_partial(batch: pa.Table) -> pa.Table:
+        f = np.asarray(batch.column("sum(f)"), dtype=np.int64)
+        src = batch.column("source")
+        t = pa.table({"source": src,
+                      "f": pa.array(f, type=pa.int64())})
+        g = t.group_by(["source"]).aggregate([("f", "sum"),
+                                              ([], "count_all")])
+        # m2 in exact Python ints per source (f^2 wraps int64 for hot
+        # words at corpus scale), shipped as a hi/lo 2^32 split
+        srcs = g.column("source").to_pylist()
+        by = {s: 0 for s in srcs}
+        codes = batch.column("source").to_pylist()
+        for s, fi in zip(codes, f.tolist()):
+            by[s] += fi * fi
+        m2_hi = [by[s] >> 32 for s in srcs]
+        m2_lo = [by[s] & 0xFFFFFFFF for s in srcs]
+        return pa.table({
+            "source": g.column("source"),
+            "n_words": g.column("f_sum").cast(pa.int64()),
+            "n_types": g.column("count_all").cast(pa.int64()),
+            "m2_hi": pa.array(m2_hi, type=pa.int64()),
+            "m2_lo": pa.array(m2_lo, type=pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    agg = (freqs.map_batches(sq_partial, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("n_words", alias_name="n_words"),
+                      Sum("n_types", alias_name="n_types"),
+                      Sum("m2_hi", alias_name="m2_hi"),
+                      Sum("m2_lo", alias_name="m2_lo")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        from anomalydetection_ray.stages.detectors import _split_double
+
+        nw = np.asarray(batch.column("n_words"), dtype=np.int64)
+        hi = np.asarray(batch.column("m2_hi"), dtype=np.int64)
+        lo = np.asarray(batch.column("m2_lo"), dtype=np.int64)
+        yk = np.zeros(nw.shape[0], dtype=np.float64)
+        m2h = np.zeros(nw.shape[0], dtype=np.int64)
+        m2l = np.zeros(nw.shape[0], dtype=np.int64)
+        for i in range(nw.shape[0]):
+            m2 = (int(hi[i]) << 32) + int(lo[i])   # lo carries merge
+            m2h[i] = m2 >> 32
+            m2l[i] = m2 & 0xFFFFFFFF
+            n = int(nw[i])
+            if n:
+                yk[i] = (_split_double(10000 * (m2 - n))
+                         / _split_double(n * n))
+        return pa.table({
+            "source": batch.column("source"),
+            "n_words": pa.array(nw, type=pa.int64()),
+            "n_types": batch.column("n_types"),
+            "m2_hi": pa.array(m2h, type=pa.int64()),
+            "m2_lo": pa.array(m2l, type=pa.int64()),
+            "yule_k": pa.array(yk, type=pa.float64(), mask=nw == 0),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

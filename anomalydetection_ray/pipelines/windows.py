@@ -3373,3 +3373,82 @@ def c9_abandoned_sessions(sf_dir: str, num_partitions: int = 16):
             .aggregate(Sum("n_sessions", alias_name="n_sessions"),
                        Sum("n_abandoned", alias_name="n_abandoned"),
                        Sum("n_converted", alias_name="n_converted")))
+
+
+# ---------------------------------------------------------------- W54 ----
+def _pingpong_kernel(group: pa.Table) -> pa.Table:
+    """Per-partition ping-pong triple counts over each user's
+    (ts, event_id)-ordered stream: a triple (e_i, e_{i+1}, e_{i+2})
+    with e_i = e_{i+2} <> e_{i+1} keyed by (t_a = e_i, t_b = e_{i+1}),
+    plus the partition's total within-user triple count carried on a
+    separate 'total' kind row — bounded <= n_types^2 + 1 rows."""
+    group = group.drop_columns([PKEY]).sort_by(
+        [("user_id", "ascending"), ("ts", "ascending"),
+         ("event_id", "ascending")])
+    n = group.num_rows
+    empty = pa.table({
+        "t_a": pa.array([], type=pa.string()),
+        "t_b": pa.array([], type=pa.string()),
+        "n_pingpong": pa.array([], type=pa.int64()),
+        "n_triples": pa.array([], type=pa.int64()),
+    })
+    if n < 3:
+        return empty
+    uid = np.asarray(group.column("user_id"), dtype=np.int64)
+    et = group.column("event_type")
+    if isinstance(et, pa.ChunkedArray):
+        et = et.combine_chunks()
+    c = np.asarray(et.dictionary_encode().indices, dtype=np.int64)
+    same3 = (uid[2:] == uid[:-2])            # triple within one user
+    if not same3.any():
+        return empty
+    n_triples = int(same3.sum())
+    pp = same3 & (c[:-2] == c[2:]) & (c[:-2] != c[1:-1])
+    if not pp.any():
+        return pa.table({
+            "t_a": pa.array(["__total__"], type=pa.string()),
+            "t_b": pa.array(["__total__"], type=pa.string()),
+            "n_pingpong": pa.array([0], type=pa.int64()),
+            "n_triples": pa.array([n_triples], type=pa.int64()),
+        })
+    sel = pa.array(pp)
+    g = pa.table({
+        "t_a": et.slice(0, n - 2).filter(sel),
+        "t_b": et.slice(1, n - 2).filter(sel),
+    }).group_by(["t_a", "t_b"]).aggregate([([], "count_all")])
+    return pa.table({
+        "t_a": pa.concat_arrays([g.column("t_a").combine_chunks(),
+                                 pa.array(["__total__"])]),
+        "t_b": pa.concat_arrays([g.column("t_b").combine_chunks(),
+                                 pa.array(["__total__"])]),
+        "n_pingpong": pa.concat_arrays([
+            g.column("count_all").cast(pa.int64()).combine_chunks(),
+            pa.array([0], type=pa.int64())]),
+        "n_triples": pa.array([0] * g.num_rows + [n_triples],
+                              type=pa.int64()),
+    })
+
+
+def w54_pingpong(sf_dir: str, num_partitions: int = 16):
+    """W54 — ping-pong alternation matrix: among each user's
+    consecutive event-type TRIPLES, count the A-B-A patterns keyed by
+    (A, B) with A <> B, plus the global triple total on a sentinel
+    ``__total__`` row — the oscillation screen (retry loops, bouncing
+    between two pages) that W10's pair matrix can't see because both
+    A->B and B->A look normal pairwise.  All counts exact ints.
+
+    Scale shape: ONE ``_pkey`` exchange (user-partitioned), bounded
+    n_types^2 partials per partition, tiny final sum."""
+    from ray.data.aggregate import Sum
+
+    ev = _read_events(sf_dir, ["event_id", "ts", "user_id",
+                               "event_type"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return (tagged.groupby(PKEY).map_groups(_pingpong_kernel,
+                                            batch_format="pyarrow")
+            .groupby(["t_a", "t_b"])
+            .aggregate(Sum("n_pingpong", alias_name="n_pingpong"),
+                       Sum("n_triples", alias_name="n_triples")))

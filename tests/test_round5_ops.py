@@ -2249,3 +2249,94 @@ def test_index_mass_quantile_bruteforce():
             assert row[col] == p
     assert out[-2]["imq_75"] == 0
     assert out[-1]["imq_75"] == 0
+
+
+def test_pingpong_bruteforce(ray_session):
+    from collections import Counter
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["w54_pingpong"](SF).to_pandas()
+           .set_index(["t_a", "t_b"]))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "ts", "user_id",
+                                "event_type"]).to_pandas()
+    ev["us"] = ev["ts"].astype("int64")
+    pp = Counter()
+    n_triples = 0
+    for _, grp in ev.groupby("user_id"):
+        ts_ = grp.sort_values(["us", "event_id"])["event_type"].tolist()
+        for i in range(len(ts_) - 2):
+            n_triples += 1
+            if ts_[i] == ts_[i + 2] and ts_[i] != ts_[i + 1]:
+                pp[(ts_[i], ts_[i + 1])] += 1
+    assert len(got) == len(pp) + 1
+    for k, n in pp.items():
+        assert got.loc[k]["n_pingpong"] == n
+        assert got.loc[k]["n_triples"] == 0
+    tot = got.loc[("__total__", "__total__")]
+    assert (tot["n_pingpong"], tot["n_triples"]) == (0, n_triples)
+
+
+def test_peak_hour_share_bruteforce(ray_session):
+    from collections import Counter
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["w53_peak_hour_share"](SF).to_pandas()
+           .set_index("event_type"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    ev["hour"] = (ev["ts"].astype("int64") // 3_600_000_000) % 24
+    for et, grp in ev.groupby("event_type"):
+        c = Counter(grp["hour"].tolist())
+        peak_h = min(c, key=lambda h: (-c[h], h))
+        row = got.loc[et]
+        assert (row["total_n"], row["peak_hour"], row["peak_n"]) \
+            == (len(grp), peak_h, c[peak_h])
+        assert row["peak_share"] == float(c[peak_h]) / float(len(grp))
+
+
+def test_trimean_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["g43_trimean"](SF).to_pandas()
+           .set_index("event_type"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    ev["v100"] = np.floor(ev["value"] * 100.0 + 0.5).astype("int64")
+    for et, grp in ev.groupby("event_type"):
+        v = np.sort(grp["v100"].to_numpy())
+        n = len(v)
+        qv = [int(v[-(-q4 * n // 4) - 1]) for q4 in (1, 2, 3)]
+        x4 = qv[0] + 2 * qv[1] + qv[2]
+        row = got.loc[et]
+        assert (row["n"], row["q1_cents"], row["q2_cents"],
+                row["q3_cents"], row["trimean_x4"]) \
+            == (n, qv[0], qv[1], qv[2], x4)
+        assert row["trimean_cents"] == float(x4) / 4.0
+
+
+def test_yule_k_bruteforce(ray_session):
+    from collections import Counter
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["v24_yule_k"](SF).to_pandas()
+           .set_index("source"))
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    for src, grp in docs.groupby("source"):
+        c = Counter()
+        for t in grp["text"]:
+            c.update(w for w in t.split(" ") if w != "")
+        n = sum(c.values())
+        m2 = sum(f * f for f in c.values())
+        row = got.loc[src]
+        assert (row["n_words"], row["n_types"]) == (n, len(c))
+        assert (int(row["m2_hi"]) << 32) + int(row["m2_lo"]) == m2
+        if n:
+            from anomalydetection_ray.stages.detectors import \
+                _split_double
+            assert row["yule_k"] == (_split_double(10000 * (m2 - n))
+                                     / _split_double(n * n))
