@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 366 ``queries()`` entries, 361 with DuckDB value
+Round-5 final surface: 371 ``queries()`` entries, 366 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -548,6 +548,38 @@ def _a82_index_mass_quantile(sf_dir: str):
     return validated(_docs_sequences(sf_dir)).map_batches(
         index_mass_quantile_batch, batch_format="pyarrow",
         zero_copy_batch=True)
+
+
+def _a80_beyond_sigma(sf_dir: str):
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import beyond_sigma_batch
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        beyond_sigma_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _a84_abs_change(sf_dir: str):
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import abs_change_batch
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        abs_change_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _a85_monotone_runs(sf_dir: str):
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import monotone_run_batch
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        monotone_run_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _a86_symmetry(sf_dir: str):
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import symmetry_batch
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        symmetry_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _a66_records(sf_dir: str):
@@ -1405,6 +1437,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A82 index-mass quantiles (smallest prefix carrying 25/50/75%
         # of the series mass; exact 4x-scaled compares)
         "a82_index_mass_quantile": _a82_index_mass_quantile,
+        # A80 beyond-r-sigma counts (isqrt-lifted exact compares)
+        "a80_beyond_sigma": _a80_beyond_sigma,
+        # A84 absolute-change stats (|diff| sum/max + pinned mean)
+        "a84_abs_change": _a84_abs_change,
+        # A85 longest strictly monotone runs (ascent/descent streaks)
+        "a85_monotone_runs": _a85_monotone_runs,
+        # A86 symmetry-looking flag (20|S - n*med| vs n*range)
+        "a86_symmetry": _a86_symmetry,
+        # G44 daily Simpson concentration (P[two events share a type])
+        "g44_simpson_day": q.g44_simpson_day,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -5109,6 +5151,154 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS imq_75
             FROM c JOIN tot t USING (doc_id, part_id)
             GROUP BY t.doc_id, t.part_id, t.n, t.total
+        """,
+        # A80: HUGEINT d^2 vs r^2*(nQ - S^2) per element (the kernel's
+        # isqrt threshold is the same predicate)
+        "a80_beyond_sigma": f"""
+            WITH {_SEQ_TOK_CTE},
+            s AS MATERIALIZED (
+                SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                       CAST(v AS BIGINT) AS v FROM tok),
+            tot AS MATERIALIZED (
+                SELECT doc_id, part_id, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(v) AS BIGINT) AS s_sum,
+                       CAST(sum(v * v) AS BIGINT) AS q
+                FROM s GROUP BY doc_id, part_id),
+            m AS (SELECT doc_id, part_id, n, s_sum,
+                         CAST(n AS HUGEINT) * q
+                             - CAST(s_sum AS HUGEINT) * s_sum AS y
+                  FROM tot)
+            SELECT m.doc_id, m.part_id, m.n,
+                   CAST(sum(CASE WHEN CAST(s.v * m.n - m.s_sum
+                                       AS HUGEINT)
+                                      * (s.v * m.n - m.s_sum) > m.y
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_beyond_1s,
+                   CAST(sum(CASE WHEN CAST(s.v * m.n - m.s_sum
+                                       AS HUGEINT)
+                                      * (s.v * m.n - m.s_sum)
+                                      > 4 * m.y
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_beyond_2s
+            FROM s JOIN m USING (doc_id, part_id)
+            GROUP BY m.doc_id, m.part_id, m.n
+        """,
+        # A84: lag diffs; sums exact, one division
+        "a84_abs_change": f"""
+            WITH {_SEQ_TOK_CTE},
+            s AS MATERIALIZED (
+                SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                       pos % 1000000 AS i, CAST(v AS BIGINT) AS v FROM tok),
+            tot AS (SELECT doc_id, part_id,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM s GROUP BY doc_id, part_id),
+            d AS (SELECT doc_id, part_id,
+                         abs(v - lag(v) OVER (PARTITION BY doc_id,
+                                              part_id ORDER BY i))
+                             AS ad
+                  FROM s),
+            a AS (SELECT doc_id, part_id,
+                         CAST(sum(ad) AS BIGINT) AS s_abs,
+                         CAST(max(ad) AS BIGINT) AS mx_abs
+                  FROM d WHERE ad IS NOT NULL
+                  GROUP BY doc_id, part_id)
+            SELECT t.doc_id, t.part_id, t.n,
+                   COALESCE(a.s_abs, 0) AS sum_abs_change,
+                   COALESCE(a.mx_abs, 0) AS max_abs_change,
+                   CASE WHEN t.n >= 2 THEN
+                       CAST(COALESCE(a.s_abs, 0) AS DOUBLE)
+                       / CAST(t.n - 1 AS DOUBLE)
+                   END AS mean_abs_change
+            FROM tot t LEFT JOIN a USING (doc_id, part_id)
+        """,
+        # A85: gaps-and-islands (i - row_number) run grouping, both
+        # directions
+        "a85_monotone_runs": f"""
+            WITH {_SEQ_TOK_CTE},
+            s AS MATERIALIZED (
+                SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                       pos % 1000000 AS i, CAST(v AS BIGINT) AS v FROM tok),
+            tot AS (SELECT doc_id, part_id,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM s GROUP BY doc_id, part_id),
+            dd AS MATERIALIZED (
+                SELECT doc_id, part_id, i,
+                       v - lag(v) OVER (PARTITION BY doc_id, part_id
+                                        ORDER BY i) AS dv
+                FROM s),
+            ga AS (SELECT doc_id, part_id,
+                          i - row_number() OVER (PARTITION BY doc_id,
+                                                 part_id ORDER BY i)
+                              AS grp
+                   FROM dd WHERE dv > 0),
+            ra AS (SELECT doc_id, part_id,
+                          CAST(count(*) AS BIGINT) AS rl
+                   FROM ga GROUP BY doc_id, part_id, grp),
+            ma AS (SELECT doc_id, part_id, max(rl) AS longest_asc
+                   FROM ra GROUP BY doc_id, part_id),
+            gd AS (SELECT doc_id, part_id,
+                          i - row_number() OVER (PARTITION BY doc_id,
+                                                 part_id ORDER BY i)
+                              AS grp
+                   FROM dd WHERE dv < 0),
+            rd AS (SELECT doc_id, part_id,
+                          CAST(count(*) AS BIGINT) AS rl
+                   FROM gd GROUP BY doc_id, part_id, grp),
+            md AS (SELECT doc_id, part_id, max(rl) AS longest_desc
+                   FROM rd GROUP BY doc_id, part_id)
+            SELECT t.doc_id, t.part_id, t.n,
+                   COALESCE(ma.longest_asc, 0) AS longest_asc,
+                   COALESCE(md.longest_desc, 0) AS longest_desc
+            FROM tot t
+            LEFT JOIN ma USING (doc_id, part_id)
+            LEFT JOIN md USING (doc_id, part_id)
+        """,
+        # A86: lower median via the rn = (n+1)//2 order statistic;
+        # both sides exact ints
+        "a86_symmetry": f"""
+            WITH {_SEQ_TOK_CTE},
+            s AS MATERIALIZED (
+                SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                       pos % 1000000 AS i, CAST(v AS BIGINT) AS v FROM tok),
+            tot AS MATERIALIZED (
+                SELECT doc_id, part_id, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(v) AS BIGINT) AS s_sum,
+                       CAST(max(v) AS BIGINT) AS vmax,
+                       CAST(min(v) AS BIGINT) AS vmin
+                FROM s GROUP BY doc_id, part_id),
+            r AS (SELECT doc_id, part_id, v,
+                         row_number() OVER (PARTITION BY doc_id,
+                                            part_id ORDER BY v, i)
+                             AS rn
+                  FROM s),
+            med AS (SELECT r.doc_id, r.part_id,
+                           CAST(min(r.v) AS BIGINT) AS med
+                    FROM r JOIN tot t USING (doc_id, part_id)
+                    WHERE r.rn = (t.n + 1) // 2
+                    GROUP BY r.doc_id, r.part_id)
+            SELECT t.doc_id, t.part_id, t.n, m.med AS median,
+                   20 * abs(t.s_sum - t.n * m.med) AS asym_lhs,
+                   t.n * (t.vmax - t.vmin) AS asym_rhs,
+                   (20 * abs(t.s_sum - t.n * m.med)
+                    > t.n * (t.vmax - t.vmin)) AS is_asymmetric
+            FROM tot t JOIN med m USING (doc_id, part_id)
+        """,
+        # G44: (day, type) counts -> exact Simpson numerator/denominator
+        "g44_simpson_day": """
+            WITH c AS (SELECT CAST(epoch_us(ts) // 86400000000
+                              AS BIGINT) AS day, event_type,
+                              CAST(count(*) AS BIGINT) AS c
+                       FROM events GROUP BY day, event_type),
+            a AS (SELECT day, CAST(sum(c) AS BIGINT) AS n,
+                         CAST(sum(c * (c - 1)) AS BIGINT) AS num
+                  FROM c GROUP BY day)
+            SELECT day, n, num AS simpson_num,
+                   n * (n - 1) AS simpson_den,
+                   CASE WHEN n >= 2 THEN
+                       CAST(num AS DOUBLE)
+                       / CAST(n * (n - 1) AS DOUBLE)
+                   END AS p_same_type
+            FROM a
         """,
         # W54: two leads inside the per-user window; sentinel total row
         "w54_pingpong": """

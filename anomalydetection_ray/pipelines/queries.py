@@ -9397,3 +9397,63 @@ def w53_peak_hour_share(sf_dir: str):
 
     return counts.groupby("event_type").map_groups(
         finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- G44 ----
+def g44_simpson_day(sf_dir: str):
+    """G44 — daily Simpson concentration of event types: the exact
+    probability that two random events drawn (without replacement)
+    from one day share a type — num = sum_t c_t*(c_t - 1), den =
+    n*(n-1).  The day-granular twin of G29's Herfindahl (which squares
+    shares); the without-replacement form stays a ratio of exact ints.
+    NULL probability when n < 2.
+
+    Scale shape: per-block (day, type) count partials (bounded day x
+    type domain), one tiny exchange, vectorized finalize."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def day_type(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        day = us // 86_400_000_000
+        t = pa.table({
+            "day": pa.array(day, type=pa.int64()),
+            "event_type": batch.column("event_type"),
+            "one": pa.array(np.ones(day.shape[0], dtype=np.int64)),
+        })
+        g = t.group_by(["day", "event_type"]).aggregate([("one", "sum")])
+        return pa.table({"day": g.column("day"),
+                         "event_type": g.column("event_type"),
+                         "c": g.column("one_sum").cast(pa.int64())})
+
+    counts = (ds.map_batches(day_type, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["day", "event_type"]).sum("c"))
+
+    def per_day(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch.column("sum(c)"), dtype=np.int64)
+        t = pa.table({
+            "day": batch.column("day"),
+            "n": pa.array(c, type=pa.int64()),
+            "num": pa.array(c * (c - 1), type=pa.int64()),
+        })
+        g = t.group_by(["day"]).aggregate([("n", "sum"), ("num", "sum")])
+        n = np.asarray(g.column("n_sum"), dtype=np.int64)
+        num = np.asarray(g.column("num_sum"), dtype=np.int64)
+        den = n * (n - 1)
+        ok = n >= 2
+        p = np.zeros(n.shape[0], dtype=np.float64)
+        np.divide(num.astype(np.float64), den.astype(np.float64),
+                  out=p, where=ok)
+        return pa.table({
+            "day": g.column("day"),
+            "n": pa.array(n, type=pa.int64()),
+            "simpson_num": pa.array(num, type=pa.int64()),
+            "simpson_den": pa.array(den, type=pa.int64()),
+            "p_same_type": pa.array(p, type=pa.float64(), mask=~ok),
+        })
+
+    # the (day, type) -> day reduction needs all of a day's type rows
+    # together: repartition the tiny counts relation to one block
+    return counts.repartition(1).map_batches(per_day,
+                                             batch_format="pyarrow")

@@ -2122,3 +2122,179 @@ def index_mass_quantile_batch(batch: pa.Table) -> pa.Table:
         "imq_50": pa.array(out[:, 1], type=pa.int64(), mask=~ok),
         "imq_75": pa.array(out[:, 2], type=pa.int64(), mask=~ok),
     })
+
+
+def beyond_sigma_batch(batch: pa.Table) -> pa.Table:
+    """A80 — beyond-r-sigma counts per series (the tsfresh
+    ``ratio_beyond_r_sigma`` statistic at r = 1 and 2): how many
+    elements sit strictly more than r population-sd from the mean.
+    The compare |v - mean| > r*sd is lifted to exact integers:
+    (v*n - S)^2 > r^2 * (n*Q - S^2)  <=>  |v*n - S| >= isqrt(y) + 1
+    with y = r^2*(n*Q - S^2) (floor-isqrt; the equivalence is exact
+    because s = isqrt(y) gives s^2 <= y < (s+1)^2).  y is a Python int
+    (n*Q can pass 2^63); the per-element compare is a vectorized int64
+    one against the scalar threshold.  A heavy-tailed series blows the
+    2-sigma count far past the ~4.6% Gaussian rate."""
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.int64)
+    lens = np.diff(offsets)
+    nrows = lens.shape[0]
+    b1 = np.zeros(nrows, dtype=np.int64)
+    b2 = np.zeros(nrows, dtype=np.int64)
+    for i in range(nrows):
+        x = v[offsets[i]:offsets[i + 1]]
+        n = int(x.shape[0])
+        if n == 0:
+            continue
+        s = int(x.sum())
+        q = int((x * x).sum())
+        m_ = n * q - s * s                 # n^2-scaled variance, exact
+        d = np.abs(x * n - s)
+        b1[i] = int((d > math.isqrt(m_)).sum())
+        b2[i] = int((d > math.isqrt(4 * m_)).sum())
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "n": pa.array(lens, type=pa.int64()),
+        "n_beyond_1s": pa.array(b1, type=pa.int64()),
+        "n_beyond_2s": pa.array(b2, type=pa.int64()),
+    })
+
+
+def abs_change_batch(batch: pa.Table) -> pa.Table:
+    """A84 — absolute-change statistics per series (the tsfresh
+    ``mean_abs_change`` / ``absolute_maximum``-of-diff pair): over the
+    m = n-1 first differences, the exact |diff| sum and max, and the
+    mean as ONE pinned division.  The roughness companion to A64's
+    direction signs — a slow drift and a jagged oscillation have the
+    same diff-sign balance but wildly different |diff| mass.  NULL
+    mean for n < 2."""
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.int64)
+    lens = np.diff(offsets)
+    nrows = lens.shape[0]
+    s_abs = np.zeros(nrows, dtype=np.int64)
+    mx_abs = np.zeros(nrows, dtype=np.int64)
+    if v.shape[0] > 1:
+        row_of = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+        d = np.abs(v[1:] - v[:-1])
+        same = row_of[1:] == row_of[:-1]
+        np.add.at(s_abs, row_of[1:][same], d[same])
+        np.maximum.at(mx_abs, row_of[1:][same], d[same])
+    ok = lens >= 2
+    mean = np.zeros(nrows, dtype=np.float64)
+    np.divide(s_abs.astype(np.float64),
+              (lens - 1).astype(np.float64), out=mean, where=ok)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "n": pa.array(lens, type=pa.int64()),
+        "sum_abs_change": pa.array(s_abs, type=pa.int64()),
+        "max_abs_change": pa.array(mx_abs, type=pa.int64()),
+        "mean_abs_change": pa.array(mean, type=pa.float64(), mask=~ok),
+    })
+
+
+def monotone_run_batch(batch: pa.Table) -> pa.Table:
+    """A85 — longest strictly monotone runs per series: the maximum
+    count of CONSECUTIVE strict ascents and of strict descents (a run
+    of k ascents spans k+1 elements; ties break both).  A13 measures
+    above-mean bursts; this measures uninterrupted trends — the
+    longest-ascent length is the classic nonparametric ramp detector.
+    Fully vectorized over the flat buffer with the A13 run machinery
+    (run starts -> cumsum gathers -> per-row max); exact ints."""
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.int64)
+    lens = np.diff(offsets)
+    nrows = lens.shape[0]
+
+    def longest(mask: np.ndarray, row_of: np.ndarray) -> np.ndarray:
+        out = np.zeros(nrows, dtype=np.int64)
+        if not mask.any():
+            return out
+        prev = np.empty_like(mask)
+        prev[0] = False
+        prev[1:] = mask[:-1] & (row_of[1:] == row_of[:-1])
+        starts = np.flatnonzero(mask & ~prev)
+        # run length of the run beginning at each start: count of mask
+        # positions before the NEXT start
+        cum = np.cumsum(mask.astype(np.int64))
+        ends = np.empty_like(starts)
+        ends[:-1] = starts[1:]
+        ends[-1] = mask.shape[0]
+        run_len = cum[ends - 1] - cum[starts] + 1
+        np.maximum.at(out, row_of[starts], run_len)
+        return out
+
+    if v.shape[0] > 1:
+        row_of = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+        same = row_of[1:] == row_of[:-1]
+        asc = (v[1:] > v[:-1]) & same
+        desc = (v[1:] < v[:-1]) & same
+        l_asc = longest(asc, row_of[1:])
+        l_desc = longest(desc, row_of[1:])
+    else:
+        l_asc = np.zeros(nrows, dtype=np.int64)
+        l_desc = np.zeros(nrows, dtype=np.int64)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "n": pa.array(lens, type=pa.int64()),
+        "longest_asc": pa.array(l_asc, type=pa.int64()),
+        "longest_desc": pa.array(l_desc, type=pa.int64()),
+    })
+
+
+def symmetry_batch(batch: pa.Table) -> pa.Table:
+    """A86 — symmetry-looking flag per series (the tsfresh
+    ``symmetry_looking`` test at r = 0.05): a distribution "looks
+    symmetric" when |mean - median| <= r * (max - min).  Lifted to
+    exact integers with the lower median med (the ceil(n/2)-th order
+    statistic): asym_lhs = 20*|S - n*med| vs asym_rhs = n*(max - min);
+    the series is asymmetric when lhs > rhs.  Both sides exact int64
+    (|S - n*med| <= 5e10, n*range <= 5e10).  NULL for empty series."""
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.int64)
+    lens = np.diff(offsets)
+    nrows = lens.shape[0]
+    med = np.zeros(nrows, dtype=np.int64)
+    lhs = np.zeros(nrows, dtype=np.int64)
+    rhs = np.zeros(nrows, dtype=np.int64)
+    asym = np.zeros(nrows, dtype=bool)
+    for i in range(nrows):
+        x = v[offsets[i]:offsets[i + 1]]
+        n = int(x.shape[0])
+        if n == 0:
+            continue
+        k = (n + 1) // 2                    # lower median, 1-indexed
+        m = int(np.partition(x, k - 1)[k - 1])
+        med[i] = m
+        lhs[i] = 20 * abs(int(x.sum()) - n * m)
+        rhs[i] = n * (int(x.max()) - int(x.min()))
+        asym[i] = lhs[i] > rhs[i]
+    ok = lens > 0
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "n": pa.array(lens, type=pa.int64()),
+        "median": pa.array(med, type=pa.int64(), mask=~ok),
+        "asym_lhs": pa.array(lhs, type=pa.int64(), mask=~ok),
+        "asym_rhs": pa.array(rhs, type=pa.int64(), mask=~ok),
+        "is_asymmetric": pa.array(asym, type=pa.bool_(), mask=~ok),
+    })

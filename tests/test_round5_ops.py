@@ -2340,3 +2340,109 @@ def test_yule_k_bruteforce(ray_session):
                 _split_double
             assert row["yule_k"] == (_split_double(10000 * (m2 - n))
                                      / _split_double(n * n))
+
+
+def test_beyond_sigma_bruteforce():
+    from anomalydetection_ray.stages.detectors import beyond_sigma_batch
+
+    rng = np.random.default_rng(80)
+    series = [list(rng.integers(0, 200, size=rng.integers(1, 80)))
+              for _ in range(20)]
+    series.append([10] * 20)                # zero variance
+    series.append([0] * 30 + [1000])        # one huge outlier
+    out = beyond_sigma_batch(_tok_batch(series)).to_pylist()
+    for row, sr in zip(out, series):
+        n, s = len(sr), sum(sr)
+        q = sum(v * v for v in sr)
+        y = n * q - s * s
+        b1 = sum((v * n - s) ** 2 > y for v in sr)
+        b2 = sum((v * n - s) ** 2 > 4 * y for v in sr)
+        assert (row["n_beyond_1s"], row["n_beyond_2s"]) == (b1, b2)
+    assert out[-2]["n_beyond_1s"] == 0
+    assert out[-1]["n_beyond_2s"] == 1
+
+
+def test_abs_change_bruteforce():
+    from anomalydetection_ray.stages.detectors import abs_change_batch
+
+    rng = np.random.default_rng(84)
+    series = [list(rng.integers(0, 100, size=rng.integers(1, 60)))
+              for _ in range(20)]
+    out = abs_change_batch(_tok_batch(series)).to_pylist()
+    for row, sr in zip(out, series):
+        d = [abs(b - a) for a, b in zip(sr, sr[1:])]
+        assert row["sum_abs_change"] == sum(d)
+        assert row["max_abs_change"] == (max(d) if d else 0)
+        if len(sr) >= 2:
+            assert row["mean_abs_change"] == \
+                float(sum(d)) / float(len(sr) - 1)
+        else:
+            assert row["mean_abs_change"] is None
+
+
+def test_monotone_runs_bruteforce():
+    from anomalydetection_ray.stages.detectors import monotone_run_batch
+
+    rng = np.random.default_rng(85)
+    series = [list(rng.integers(0, 10, size=rng.integers(1, 60)))
+              for _ in range(25)]
+    series.append(list(range(15)) + [3, 2, 1, 0])  # 14 ascents, 4 descents
+
+    def brute(sr, up):
+        best = cur = 0
+        for a, b in zip(sr, sr[1:]):
+            step = b > a if up else b < a
+            cur = cur + 1 if step else 0
+            best = max(best, cur)
+        return best
+
+    out = monotone_run_batch(_tok_batch(series)).to_pylist()
+    for row, sr in zip(out, series):
+        assert row["longest_asc"] == brute(sr, True)
+        assert row["longest_desc"] == brute(sr, False)
+    assert out[-1]["longest_asc"] == 14
+    assert out[-1]["longest_desc"] == 4
+
+
+def test_symmetry_bruteforce():
+    from anomalydetection_ray.stages.detectors import symmetry_batch
+
+    rng = np.random.default_rng(86)
+    series = [list(rng.integers(0, 50, size=rng.integers(1, 60)))
+              for _ in range(20)]
+    series.append([0] * 10 + [100])         # heavily right-skewed
+    out = symmetry_batch(_tok_batch(series)).to_pylist()
+    for row, sr in zip(out, series):
+        n = len(sr)
+        med = sorted(sr)[(n + 1) // 2 - 1]
+        lhs = 20 * abs(sum(sr) - n * med)
+        rhs = n * (max(sr) - min(sr))
+        assert (row["median"], row["asym_lhs"], row["asym_rhs"]) \
+            == (med, lhs, rhs)
+        assert row["is_asymmetric"] == (lhs > rhs)
+    assert out[-1]["is_asymmetric"]
+
+
+def test_simpson_day_bruteforce(ray_session):
+    from collections import Counter, defaultdict
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["g44_simpson_day"](SF).to_pandas()
+           .set_index("day"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    days = defaultdict(Counter)
+    for d, et in zip(ev["day"], ev["event_type"]):
+        days[d][et] += 1
+    assert len(got) == len(days)
+    for d, c in days.items():
+        n = sum(c.values())
+        num = sum(k * (k - 1) for k in c.values())
+        row = got.loc[d]
+        assert (row["n"], row["simpson_num"], row["simpson_den"]) \
+            == (n, num, n * (n - 1))
+        if n >= 2:
+            assert row["p_same_type"] == \
+                float(num) / float(n * (n - 1))
