@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 371 ``queries()`` entries, 366 with DuckDB value
+Round-5 final surface: 376 ``queries()`` entries, 371 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -580,6 +580,15 @@ def _a86_symmetry(sf_dir: str):
 
     return validated(_docs_sequences(sf_dir)).map_batches(
         symmetry_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _a83_binned_entropy(sf_dir: str):
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import binned_entropy_batch
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        binned_entropy_batch, batch_format="pyarrow",
+        zero_copy_batch=True)
 
 
 def _a66_records(sf_dir: str):
@@ -1447,6 +1456,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a86_symmetry": _a86_symmetry,
         # G44 daily Simpson concentration (P[two events share a type])
         "g44_simpson_day": q.g44_simpson_day,
+        # A83 binned entropy over the fixed 10-bin vocab grid
+        "a83_binned_entropy": _a83_binned_entropy,
+        # W55 activation latency (seconds from 1st to 5th event)
+        "w55_time_to_kth": wnd.w55_time_to_kth,
+        # T23 word-shape profile per source (num/caps/title/lower/other)
+        "t23_word_shapes": tx.t23_word_shapes,
+        # V25 hapax + Sichel dis-legomena shares per source
+        "v25_hapax_sichel": tx.v25_hapax_sichel,
+        # G45 peak-to-median daily load per type
+        "g45_peak_to_median": q.g45_peak_to_median,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -5299,6 +5318,121 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(n * (n - 1) AS DOUBLE)
                    END AS p_same_type
             FROM a
+        """,
+        # A83: G15's pinned fold (ascending-bin p*ln(p) list, left fold
+        # from 0.0, negated) over the fixed // 5026 grid
+        "a83_binned_entropy": f"""
+            WITH {_SEQ_TOK_CTE},
+            s AS MATERIALIZED (
+                SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                       CAST(v AS BIGINT) // 5026 AS bin FROM tok),
+            c AS MATERIALIZED (
+                SELECT doc_id, part_id, bin,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM s GROUP BY doc_id, part_id, bin),
+            t AS (SELECT doc_id, part_id, CAST(sum(c) AS BIGINT) AS n,
+                         CAST(count(*) AS BIGINT) AS n_bins_used
+                  FROM c GROUP BY doc_id, part_id),
+            f AS (SELECT c.doc_id, c.part_id, any_value(t.n) AS n,
+                         any_value(t.n_bins_used) AS n_bins_used,
+                         list(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE)
+                              * ln(CAST(c.c AS DOUBLE)
+                                   / CAST(t.n AS DOUBLE))
+                              ORDER BY c.bin) AS xs
+                  FROM c JOIN t USING (doc_id, part_id)
+                  GROUP BY c.doc_id, c.part_id)
+            SELECT doc_id, part_id, n, n_bins_used,
+                   -list_reduce(list_prepend(0.0, xs),
+                                (a, b) -> a + b) AS entropy
+            FROM f
+        """,
+        # W55: row_number in the per-user window; rn=1 and rn=5 gather
+        "w55_time_to_kth": """
+            WITH r AS (SELECT user_id,
+                              epoch_us(ts) AS us,
+                              row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)
+                                  AS rn
+                       FROM events),
+            t AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                         CAST(min(CASE WHEN rn = 1 THEN us END)
+                              AS BIGINT) AS us1,
+                         CAST(min(CASE WHEN rn = 5 THEN us END)
+                              AS BIGINT) AS us5
+                  FROM r GROUP BY user_id)
+            SELECT user_id, n_events,
+                   CASE WHEN n_events >= 5 THEN (us5 - us1) // 1000000
+                   END AS latency_s
+            FROM t
+        """,
+        # T23: CASE priority over anchored RE2-compatible classes
+        "t23_word_shapes": """
+            WITH w AS (SELECT source,
+                              unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+            k AS (SELECT source,
+                         CASE WHEN regexp_matches(word, '^[0-9]+$')
+                                  THEN 'num'
+                              WHEN regexp_matches(word, '^[A-Z][A-Z]+$')
+                                  THEN 'caps'
+                              WHEN regexp_matches(word, '^[A-Z][a-z]*$')
+                                  THEN 'title'
+                              WHEN regexp_matches(word, '^[a-z]+$')
+                                  THEN 'lower'
+                              ELSE 'other' END AS shape
+                  FROM w WHERE word <> '')
+            SELECT source, shape, CAST(count(*) AS BIGINT) AS n_words
+            FROM k GROUP BY source, shape
+        """,
+        # V25: V24's frequency relation, thresholded
+        "v25_hapax_sichel": """
+            WITH c AS (SELECT source, word,
+                              CAST(count(*) AS BIGINT) AS f
+                       FROM (SELECT source,
+                                    unnest(string_split(text, ' '))
+                                        AS word
+                             FROM documents)
+                       WHERE word <> '' GROUP BY source, word),
+            a AS (SELECT source, CAST(sum(f) AS BIGINT) AS n_tokens,
+                         CAST(count(*) AS BIGINT) AS n_types,
+                         CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS v1,
+                         CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS v2
+                  FROM c GROUP BY source)
+            SELECT source, n_tokens, n_types, v1, v2,
+                   CAST(v1 AS DOUBLE) / CAST(n_types AS DOUBLE)
+                       AS hapax_share,
+                   CAST(v2 AS DOUBLE) / CAST(n_types AS DOUBLE)
+                       AS sichel_s
+            FROM a
+        """,
+        # G45: per-type day counts; lower-median via order statistic
+        "g45_peak_to_median": """
+            WITH c AS (SELECT event_type,
+                              CAST(epoch_us(ts) // 86400000000
+                                   AS BIGINT) AS day,
+                              CAST(count(*) AS BIGINT) AS c
+                       FROM events GROUP BY event_type, day),
+            t AS (SELECT event_type,
+                         CAST(count(*) AS BIGINT) AS n_days,
+                         CAST(max(c) AS BIGINT) AS peak_daily
+                  FROM c GROUP BY event_type),
+            r AS (SELECT event_type, c,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY c, day) AS rn
+                  FROM c),
+            m AS (SELECT r.event_type,
+                         CAST(min(r.c) AS BIGINT) AS median_daily
+                  FROM r JOIN t USING (event_type)
+                  WHERE r.rn = (t.n_days + 1) // 2
+                  GROUP BY r.event_type)
+            SELECT t.event_type, t.n_days, t.peak_daily,
+                   m.median_daily,
+                   CAST(t.peak_daily AS DOUBLE)
+                       / CAST(m.median_daily AS DOUBLE)
+                       AS peak_to_median
+            FROM t JOIN m USING (event_type)
         """,
         # W54: two leads inside the per-user window; sentinel total row
         "w54_pingpong": """

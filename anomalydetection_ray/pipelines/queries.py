@@ -9457,3 +9457,51 @@ def g44_simpson_day(sf_dir: str):
     # together: repartition the tiny counts relation to one block
     return counts.repartition(1).map_batches(per_day,
                                              batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- G45 ----
+def g45_peak_to_median(sf_dir: str):
+    """G45 — peak-to-typical daily load per event type: max daily
+    count over the lower-median daily count, across the type's
+    OBSERVED days (days with >= 1 event) — the capacity-planning ratio
+    ("size for 3x the typical day") and a skew alarm when it
+    explodes.  Counts and the median exact ints; ONE pinned division.
+
+    Scale shape: per-block (type, day) partials, one bounded exchange,
+    per-type read-off over a day-bounded group."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def day_counts(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "day": pa.array(us // 86_400_000_000, type=pa.int64()),
+            "one": pa.array(np.ones(us.shape[0], dtype=np.int64)),
+        })
+        g = t.group_by(["event_type", "day"]).aggregate([("one", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "c": g.column("one_sum").cast(pa.int64())})
+
+    counts = (ds.map_batches(day_counts, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["event_type", "day"]).sum("c"))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        c = np.sort(np.asarray(group.column("sum(c)"), dtype=np.int64))
+        nd = c.shape[0]
+        med = int(c[(nd + 1) // 2 - 1])
+        pk = int(c[-1])
+        return pa.table({
+            "event_type": pa.array([et], type=pa.string()),
+            "n_days": pa.array([nd], type=pa.int64()),
+            "peak_daily": pa.array([pk], type=pa.int64()),
+            "median_daily": pa.array([med], type=pa.int64()),
+            "peak_to_median": pa.array([float(pk) / float(med)],
+                                       type=pa.float64()),
+        })
+
+    return counts.groupby("event_type").map_groups(
+        finalize, batch_format="pyarrow")

@@ -1554,3 +1554,169 @@ def v24_yule_k(sf_dir: str):
         })
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- T23 ----
+_SHAPE_PATTERNS = [
+    ("num", r"^[0-9]+$"),
+    ("caps", r"^[A-Z][A-Z]+$"),
+    ("title", r"^[A-Z][a-z]*$"),
+    ("lower", r"^[a-z]+$"),
+]
+
+
+def t23_word_shapes(sf_dir: str):
+    """T23 — word-shape profile per source: every word (V1's space
+    split, empties dropped) classified by the FIRST matching shape in
+    a fixed priority order — numeric, ALL-CAPS (2+ uppercase), Title
+    (uppercase head + lowercase tail; a lone capital letter lands
+    here), lowercase, else ``other`` — the cheap register/genre
+    fingerprint (legalese screams caps, code screams other).  Counts
+    exact; output long-format (source, shape, n_words).
+
+    Scale shape: vectorized RE2 matches over the flat word array
+    (compiled once per batch call), bounded (source x 5) partials, one
+    tiny exchange."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(words)
+        parent = np.asarray(pc.list_parent_indices(words),
+                            dtype=np.int64)
+        keep = np.asarray(pc.not_equal(flat, ""))
+        flat = flat.filter(pa.array(keep))
+        parent = parent[keep]
+        shape = np.full(len(flat), "other", dtype=object)
+        unassigned = np.ones(len(flat), dtype=bool)
+        for name, pat in _SHAPE_PATTERNS:
+            m = np.asarray(pc.match_substring_regex(flat, pat))
+            hit = m & unassigned
+            shape[hit] = name
+            unassigned &= ~m
+        src = batch.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        t = pa.table({
+            "source": src.take(pa.array(parent)),
+            "shape": pa.array(shape, type=pa.string()),
+            "one": pa.array(np.ones(len(flat), dtype=np.int64)),
+        })
+        g = t.group_by(["source", "shape"]).aggregate([("one", "sum")])
+        return pa.table({"source": g.column("source"),
+                         "shape": g.column("shape"),
+                         "n_words": g.column("one_sum").cast(pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["source", "shape"]).sum("n_words")
+            .map_batches(lambda b: pa.table({
+                "source": b.column("source"),
+                "shape": b.column("shape"),
+                "n_words": b.column("sum(n_words)")}),
+                batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------- V25 ----
+def v25_hapax_sichel(sf_dir: str):
+    """V25 — hapax and dis legomena per source: V1 = word types seen
+    ONCE, V2 = types seen twice, V = all types, N = tokens;
+    ``hapax_share`` = V1/V (vocabulary growth pressure — Baayen's LNRE
+    regime indicator) and ``sichel_s`` = V2/V (Sichel 1975's
+    text-length-stable constant).  Both ratios ONE pinned division
+    each; counts exact.
+
+    Scale shape: V24's (source, word) Heaps-bounded exchange, then
+    per-block threshold-count partials and a tiny per-source merge."""
+    import ray.data
+
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(words)
+        parent = np.asarray(pc.list_parent_indices(words),
+                            dtype=np.int64)
+        keep = np.asarray(pc.not_equal(flat, ""))
+        src = batch.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        t = pa.table({
+            "source": src.take(pa.array(parent[keep])),
+            "word": flat.filter(pa.array(keep)),
+            "one": pa.array(np.ones(int(keep.sum()), dtype=np.int64)),
+        })
+        g = t.group_by(["source", "word"]).aggregate([("one", "sum")])
+        return pa.table({"source": g.column("source"),
+                         "word": g.column("word"),
+                         "f": g.column("one_sum").cast(pa.int64())})
+
+    freqs = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["source", "word"]).sum("f"))
+
+    def th_partial(batch: pa.Table) -> pa.Table:
+        f = np.asarray(batch.column("sum(f)"), dtype=np.int64)
+        t = pa.table({
+            "source": batch.column("source"),
+            "n_tokens": pa.array(f, type=pa.int64()),
+            "v1": pa.array((f == 1).astype(np.int64)),
+            "v2": pa.array((f == 2).astype(np.int64)),
+            "one": pa.array(np.ones(f.shape[0], dtype=np.int64)),
+        })
+        g = t.group_by(["source"]).aggregate(
+            [("n_tokens", "sum"), ("v1", "sum"), ("v2", "sum"),
+             ("one", "sum")])
+        return pa.table({
+            "source": g.column("source"),
+            "n_tokens": g.column("n_tokens_sum").cast(pa.int64()),
+            "v1": g.column("v1_sum").cast(pa.int64()),
+            "v2": g.column("v2_sum").cast(pa.int64()),
+            "n_types": g.column("one_sum").cast(pa.int64()),
+        })
+
+    agg = (freqs.map_batches(th_partial, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                      Sum("v1", alias_name="v1"),
+                      Sum("v2", alias_name="v2"),
+                      Sum("n_types", alias_name="n_types")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        v1 = np.asarray(batch.column("v1"), dtype=np.int64)
+        v2 = np.asarray(batch.column("v2"), dtype=np.int64)
+        vt = np.asarray(batch.column("n_types"), dtype=np.int64)
+        ok = vt > 0
+        h = np.zeros(vt.shape[0], dtype=np.float64)
+        s = np.zeros(vt.shape[0], dtype=np.float64)
+        np.divide(v1.astype(np.float64), vt.astype(np.float64),
+                  out=h, where=ok)
+        np.divide(v2.astype(np.float64), vt.astype(np.float64),
+                  out=s, where=ok)
+        return pa.table({
+            "source": batch.column("source"),
+            "n_tokens": batch.column("n_tokens"),
+            "n_types": pa.array(vt, type=pa.int64()),
+            "v1": pa.array(v1, type=pa.int64()),
+            "v2": pa.array(v2, type=pa.int64()),
+            "hapax_share": pa.array(h, type=pa.float64(), mask=~ok),
+            "sichel_s": pa.array(s, type=pa.float64(), mask=~ok),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -3452,3 +3452,52 @@ def w54_pingpong(sf_dir: str, num_partitions: int = 16):
             .groupby(["t_a", "t_b"])
             .aggregate(Sum("n_pingpong", alias_name="n_pingpong"),
                        Sum("n_triples", alias_name="n_triples")))
+
+
+# ---------------------------------------------------------------- W55 ----
+def _time_to_kth_kernel(group: pa.Table, k: int = 5) -> pa.Table:
+    """Per-partition (user_id, n_events, latency_s) rows over each
+    user's (ts, event_id)-ordered stream: whole seconds from the 1st
+    to the k-th event (NULL when the user has fewer than k).  Users
+    are partition-local (the exchange key), so output is exact."""
+    group = group.drop_columns([PKEY]).sort_by(
+        [("user_id", "ascending"), ("ts", "ascending"),
+         ("event_id", "ascending")])
+    n = group.num_rows
+    if n == 0:
+        return pa.table({
+            "user_id": pa.array([], type=pa.int64()),
+            "n_events": pa.array([], type=pa.int64()),
+            "latency_s": pa.array([], type=pa.int64()),
+        })
+    uid = np.asarray(group.column("user_id"), dtype=np.int64)
+    ts = _ts_us(group.column("ts"))
+    starts = np.flatnonzero(np.concatenate(([True], uid[1:] != uid[:-1])))
+    counts = np.diff(np.concatenate((starts, [n])))
+    has_k = counts >= k
+    lat = np.zeros(starts.shape[0], dtype=np.int64)
+    lat[has_k] = (ts[starts[has_k] + (k - 1)] - ts[starts[has_k]]) \
+        // 1_000_000
+    return pa.table({
+        "user_id": pa.array(uid[starts], type=pa.int64()),
+        "n_events": pa.array(counts, type=pa.int64()),
+        "latency_s": pa.array(lat, type=pa.int64(), mask=~has_k),
+    })
+
+
+def w55_time_to_kth(sf_dir: str, k: int = 5, num_partitions: int = 16):
+    """W55 — activation latency per user: whole seconds from a user's
+    FIRST event to their k-th (default 5th) — the classic
+    time-to-activation funnel metric ("how long until a user is truly
+    engaged"); NULL for users who never got there.  Exact int seconds.
+
+    Scale shape: ONE ``_pkey`` exchange (user-partitioned), vectorized
+    first/k-th gathers per partition, one output row per user."""
+    ev = _read_events(sf_dir, ["event_id", "ts", "user_id"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby(PKEY).map_groups(
+        functools.partial(_time_to_kth_kernel, k=k),
+        batch_format="pyarrow")

@@ -2298,3 +2298,47 @@ def symmetry_batch(batch: pa.Table) -> pa.Table:
         "asym_rhs": pa.array(rhs, type=pa.int64(), mask=~ok),
         "is_asymmetric": pa.array(asym, type=pa.bool_(), mask=~ok),
     })
+
+
+def binned_entropy_batch(batch: pa.Table, n_bins: int = 10,
+                         bin_width: int = 5026) -> pa.Table:
+    """A83 — binned entropy per series (the tsfresh ``binned_entropy``
+    statistic over a FIXED grid): tokens fall into 10 fixed-width bins
+    of the vocab domain (bin = v // 5026 covers 0..50256 in bins
+    0..9), and the entropy of the occupancy distribution
+    -sum p*ln(p) says whether the series roams the domain or camps in
+    one band.  Counts exact; the float tail replays the oracle's
+    fold EXACTLY: the p*ln(p) terms are accumulated left-to-right in
+    ascending-bin order from 0.0 over OCCUPIED bins only, then negated
+    (the G15 pinned-fold convention).  NULL for empty series."""
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.int64) // bin_width
+    lens = np.diff(offsets)
+    nrows = lens.shape[0]
+    ent = np.zeros(nrows, dtype=np.float64)
+    used = np.zeros(nrows, dtype=np.int64)
+    for i in range(nrows):
+        x = v[offsets[i]:offsets[i + 1]]
+        n = int(x.shape[0])
+        if n == 0:
+            continue
+        c = np.bincount(x, minlength=n_bins)
+        used[i] = int((c > 0).sum())
+        acc = 0.0
+        for cb in c.tolist():
+            if cb:
+                p = float(cb) / float(n)
+                acc = acc + p * math.log(p)
+        ent[i] = -acc
+    ok = lens > 0
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "n": pa.array(lens, type=pa.int64()),
+        "n_bins_used": pa.array(used, type=pa.int64(), mask=~ok),
+        "entropy": pa.array(ent, type=pa.float64(), mask=~ok),
+    })

@@ -2446,3 +2446,118 @@ def test_simpson_day_bruteforce(ray_session):
         if n >= 2:
             assert row["p_same_type"] == \
                 float(num) / float(n * (n - 1))
+
+
+def test_binned_entropy_bruteforce():
+    from anomalydetection_ray.stages.detectors import binned_entropy_batch
+
+    rng = np.random.default_rng(83)
+    series = [list(rng.integers(0, 50257, size=rng.integers(1, 80)))
+              for _ in range(20)]
+    series.append([100] * 30)               # one bin -> entropy 0
+    out = binned_entropy_batch(_tok_batch(series)).to_pylist()
+    for row, sr in zip(out, series):
+        n = len(sr)
+        c = [0] * 10
+        for v in sr:
+            c[v // 5026] += 1
+        acc = 0.0
+        for cb in c:
+            if cb:
+                p = float(cb) / float(n)
+                acc = acc + p * math.log(p)
+        assert row["n_bins_used"] == sum(1 for cb in c if cb)
+        assert row["entropy"] == -acc
+    assert out[-1]["entropy"] == 0.0
+
+
+def test_time_to_kth_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["w55_time_to_kth"](SF).to_pandas()
+           .set_index("user_id"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "ts", "user_id"]).to_pandas()
+    ev["us"] = ev["ts"].astype("int64")
+    n_users = 0
+    for uid, grp in ev.groupby("user_id"):
+        n_users += 1
+        us = grp.sort_values(["us", "event_id"])["us"].tolist()
+        row = got.loc[uid]
+        assert row["n_events"] == len(us)
+        if len(us) >= 5:
+            assert row["latency_s"] == (us[4] - us[0]) // 1_000_000
+        else:
+            assert np.isnan(row["latency_s"])
+    assert len(got) == n_users
+
+
+def test_word_shapes_bruteforce(ray_session):
+    import re
+    from collections import Counter
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["t23_word_shapes"](SF).to_pandas()
+           .set_index(["source", "shape"]))
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    pats = [("num", re.compile(r"^[0-9]+$")),
+            ("caps", re.compile(r"^[A-Z][A-Z]+$")),
+            ("title", re.compile(r"^[A-Z][a-z]*$")),
+            ("lower", re.compile(r"^[a-z]+$"))]
+    exp = Counter()
+    for src, t in zip(docs["source"], docs["text"]):
+        for w in t.split(" "):
+            if w == "":
+                continue
+            for name, p in pats:
+                if p.match(w):
+                    exp[(src, name)] += 1
+                    break
+            else:
+                exp[(src, "other")] += 1
+    assert len(got) == len(exp)
+    for k, n in exp.items():
+        assert got.loc[k]["n_words"] == n
+
+
+def test_hapax_sichel_bruteforce(ray_session):
+    from collections import Counter
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["v25_hapax_sichel"](SF).to_pandas()
+           .set_index("source"))
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    for src, grp in docs.groupby("source"):
+        c = Counter()
+        for t in grp["text"]:
+            c.update(w for w in t.split(" ") if w != "")
+        v1 = sum(1 for f in c.values() if f == 1)
+        v2 = sum(1 for f in c.values() if f == 2)
+        row = got.loc[src]
+        assert (row["n_tokens"], row["n_types"], row["v1"],
+                row["v2"]) == (sum(c.values()), len(c), v1, v2)
+        assert row["hapax_share"] == float(v1) / float(len(c))
+        assert row["sichel_s"] == float(v2) / float(len(c))
+
+
+def test_peak_to_median_bruteforce(ray_session):
+    from collections import Counter
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["g45_peak_to_median"](SF).to_pandas()
+           .set_index("event_type"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    for et, grp in ev.groupby("event_type"):
+        c = sorted(Counter(grp["day"].tolist()).values())
+        med = c[(len(c) + 1) // 2 - 1]
+        row = got.loc[et]
+        assert (row["n_days"], row["peak_daily"], row["median_daily"]) \
+            == (len(c), c[-1], med)
+        assert row["peak_to_median"] == float(c[-1]) / float(med)
