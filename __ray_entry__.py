@@ -9,7 +9,7 @@ Per the contract, nothing here (or in the library) calls ray.init() /
 ray.shutdown(); only bench.py, CLI entry points and the test fixture own a
 Ray session.
 
-Round-5 final surface: 376 ``queries()`` entries, 371 with DuckDB value
+Round-5 final surface: 379 ``queries()`` entries, 374 with DuckDB value
 oracles (the 5 oracle-less are side-effect/codec/approx summaries with
 content-pinned rows); the coverage map below lists the founding families —
 see COVERAGE.md for the complete per-operator table.
@@ -589,6 +589,14 @@ def _a83_binned_entropy(sf_dir: str):
     return validated(_docs_sequences(sf_dir)).map_batches(
         binned_entropy_batch, batch_format="pyarrow",
         zero_copy_batch=True)
+
+
+def _a87_c3(sf_dir: str):
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import c3_batch
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        c3_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _a66_records(sf_dir: str):
@@ -1466,6 +1474,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v25_hapax_sichel": tx.v25_hapax_sichel,
         # G45 peak-to-median daily load per type
         "g45_peak_to_median": q.g45_peak_to_median,
+        # A87 c3 nonlinearity statistic (hi/lo-split triple products)
+        "a87_c3": _a87_c3,
+        # Q28 uniform-mixture importance weights per source
+        "q28_source_reweight": q.q28_source_reweight,
+        # W56 first-return gap histogram (time to second visit)
+        "w56_return_gap_hist": wnd.w56_return_gap_hist,
         # T21 Flesch-style readability per source (countable proxies;
         # the classic quality prior next to the Gopher rules)
         "t21_readability": tx.t21_readability,
@@ -5433,6 +5447,76 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(m.median_daily AS DOUBLE)
                        AS peak_to_median
             FROM t JOIN m USING (event_type)
+        """,
+        # A87: two leads, HUGEINT triple-product sum, hi/lo emit +
+        # the split-double / (n-2) mean
+        "a87_c3": f"""
+            WITH {_SEQ_TOK_CTE},
+            s AS MATERIALIZED (
+                SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                       pos % 1000000 AS i, CAST(v AS BIGINT) AS v FROM tok),
+            tot AS (SELECT doc_id, part_id,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM s GROUP BY doc_id, part_id),
+            tr AS (SELECT doc_id, part_id,
+                          CAST(v AS HUGEINT)
+                          * lead(v, 1) OVER w * lead(v, 2) OVER w AS p
+                   FROM s
+                   WINDOW w AS (PARTITION BY doc_id, part_id
+                                ORDER BY i)),
+            a AS (SELECT doc_id, part_id,
+                         CAST(sum(p) AS HUGEINT) AS tot3
+                  FROM tr WHERE p IS NOT NULL
+                  GROUP BY doc_id, part_id)
+            SELECT t.doc_id, t.part_id, t.n,
+                   CASE WHEN t.n >= 3 THEN
+                       CAST(a.tot3 // 4294967296 AS BIGINT)
+                   END AS c3_hi,
+                   CASE WHEN t.n >= 3 THEN
+                       CAST(a.tot3 % 4294967296 AS BIGINT)
+                   END AS c3_lo,
+                   CASE WHEN t.n >= 3 THEN
+                       (CAST(a.tot3 // 4294967296 AS DOUBLE)
+                        * 4294967296.0
+                        + CAST(a.tot3 % 4294967296 AS DOUBLE))
+                       / CAST(t.n - 2 AS DOUBLE)
+                   END AS c3
+            FROM tot t LEFT JOIN a USING (doc_id, part_id)
+        """,
+        # Q28: two tiny aggregates + one pinned division
+        "q28_source_reweight": """
+            WITH c AS (SELECT source,
+                              CAST(count(*) AS BIGINT) AS n_docs
+                       FROM documents GROUP BY source),
+            t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+                         CAST(count(*) AS BIGINT) AS n_sources
+                  FROM c)
+            SELECT c.source, c.n_docs, t.n_total, t.n_sources,
+                   CAST(t.n_total AS DOUBLE)
+                       / CAST(c.n_docs * t.n_sources AS DOUBLE)
+                       AS weight
+            FROM c CROSS JOIN t
+        """,
+        # W56: distinct active days, rn=1/rn=2 gather, -1 sentinel
+        "w56_return_gap_hist": """
+            WITH d AS (SELECT DISTINCT user_id,
+                              CAST(epoch_us(ts) // 86400000000
+                                   AS BIGINT) AS day
+                       FROM events),
+            r AS (SELECT user_id, day,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY day) AS rn
+                  FROM d),
+            g AS (SELECT user_id,
+                         CAST(min(CASE WHEN rn = 1 THEN day END)
+                              AS BIGINT) AS d1,
+                         CAST(min(CASE WHEN rn = 2 THEN day END)
+                              AS BIGINT) AS d2
+                  FROM r GROUP BY user_id)
+            SELECT CASE WHEN d2 IS NULL THEN -1
+                        ELSE d2 - d1 END AS gap_days,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM g GROUP BY 1
         """,
         # W54: two leads inside the per-user window; sentinel total row
         "w54_pingpong": """

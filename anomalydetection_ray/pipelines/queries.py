@@ -9505,3 +9505,49 @@ def g45_peak_to_median(sf_dir: str):
 
     return counts.groupby("event_type").map_groups(
         finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- Q28 ----
+def q28_source_reweight(sf_dir: str):
+    """Q28 — uniform-mixture importance weights per source: the factor
+    w = N / (n_sources * n_src) that re-weights source-s examples so
+    every source contributes equally to the training mixture (w > 1
+    up-weights rare sources).  The weight table a Q13-style mixture
+    sampler consumes when the target is uniform.  Counts exact; the
+    weight is ONE pinned division of exact ints.
+
+    Scale shape: per-block source-count partials, one bounded
+    exchange, single-block widen for the global N / n_sources."""
+    ds = _read(sf_dir, "documents", ["source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (pa.table({"source": batch.column("source"),
+                       "one": pa.array(np.ones(batch.num_rows,
+                                               dtype=np.int64))})
+             .group_by(["source"]).aggregate([("one", "sum")]))
+        return pa.table({"source": g.column("source"),
+                         "n_docs": g.column("one_sum").cast(pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("source").sum("n_docs"))
+
+    def widen(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch.column("sum(n_docs)"), dtype=np.int64)
+        total = int(n.sum())
+        k = n.shape[0]
+        w = np.zeros(k, dtype=np.float64)
+        np.divide(float(total), (n * k).astype(np.float64), out=w,
+                  where=n > 0)
+        return pa.table({
+            "source": batch.column("source"),
+            "n_docs": pa.array(n, type=pa.int64()),
+            "n_total": pa.array([total] * k, type=pa.int64()),
+            "n_sources": pa.array([k] * k, type=pa.int64()),
+            "weight": pa.array(w, type=pa.float64()),
+        })
+
+    # the widen needs every source row together: the counts relation is
+    # bounded by the source domain, so one block is safe at any scale
+    return counts.repartition(1).map_batches(widen,
+                                             batch_format="pyarrow")

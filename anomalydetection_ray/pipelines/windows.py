@@ -3501,3 +3501,55 @@ def w55_time_to_kth(sf_dir: str, k: int = 5, num_partitions: int = 16):
     return tagged.groupby(PKEY).map_groups(
         functools.partial(_time_to_kth_kernel, k=k),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- W56 ----
+def _return_gap_kernel(group: pa.Table) -> pa.Table:
+    """Per-partition histogram partial of first-return gaps: for each
+    user with >= 2 DISTINCT active days, the day gap between the first
+    and second active day — emitted as bounded (gap_days, n_users)
+    rows plus a ``gap_days = -1`` row counting never-returned users."""
+    group = group.drop_columns([PKEY])
+    uid = np.asarray(group.column("user_id"), dtype=np.int64)
+    day = _ts_us(group.column("ts")) // 86_400_000_000
+    order = np.lexsort((day, uid))
+    uid, day = uid[order], day[order]
+    # distinct (user, day) rows
+    keep = np.concatenate(([True],
+                           (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])))
+    uid, day = uid[keep], day[keep]
+    starts = np.flatnonzero(np.concatenate(([True],
+                                            uid[1:] != uid[:-1])))
+    counts = np.diff(np.concatenate((starts, [uid.shape[0]])))
+    gaps = np.full(starts.shape[0], -1, dtype=np.int64)
+    has2 = counts >= 2
+    gaps[has2] = day[starts[has2] + 1] - day[starts[has2]]
+    uq, c = np.unique(gaps, return_counts=True)
+    return pa.table({
+        "gap_days": pa.array(uq, type=pa.int64()),
+        "n_users": pa.array(c.astype(np.int64), type=pa.int64()),
+    })
+
+
+def w56_return_gap_hist(sf_dir: str, num_partitions: int = 16):
+    """W56 — first-return gap histogram: for every user, the number of
+    days between their first active day and their SECOND distinct
+    active day (the canonical "time to second visit" retention
+    distribution; ``gap_days = -1`` buckets the users who never came
+    back).  Exact integer day gaps over a bounded gap domain.
+
+    Scale shape: ONE ``_pkey`` exchange (user-partitioned), per-
+    partition vectorized distinct-day compaction + bounded histogram
+    partials, tiny final sum."""
+    ev = _read_events(sf_dir, ["ts", "user_id"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return (tagged.groupby(PKEY).map_groups(_return_gap_kernel,
+                                            batch_format="pyarrow")
+            .groupby("gap_days").sum("n_users")
+            .map_batches(lambda b: pa.table({
+                "gap_days": b.column("gap_days"),
+                "n_users": b.column("sum(n_users)")}),
+                batch_format="pyarrow"))

@@ -2342,3 +2342,54 @@ def binned_entropy_batch(batch: pa.Table, n_bins: int = 10,
         "n_bins_used": pa.array(used, type=pa.int64(), mask=~ok),
         "entropy": pa.array(ent, type=pa.float64(), mask=~ok),
     })
+
+
+def c3_batch(batch: pa.Table) -> pa.Table:
+    """A87 — the c3 nonlinearity statistic per series (tsfresh ``c3``
+    at lag 1; Schreiber & Schmitz 1997's higher-order autocovariance):
+    mean of v[i] * v[i+1] * v[i+2] over the n-2 in-row triples — a
+    linear Gaussian process has no consistent triple-product skew, so
+    c3 drifting from (mean)^3 flags nonlinear structure.
+
+    Exactness without HUGEINT columns: each triple product is < 2^48
+    (tokens < 2^16), so the batch splits products into hi = p >> 32
+    and lo = p & (2^32-1) and accumulates both halves per row in
+    int64 (each half-sum < 2^56 at the 1e6-element part cap); the
+    total re-assembles as an exact Python int, shipped as the
+    (c3_hi, c3_lo) 2^32 pair with the pinned split-double / (n-2)
+    mean.  NULL c3 for n < 3."""
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.int64)
+    lens = np.diff(offsets)
+    nrows = lens.shape[0]
+    hi = np.zeros(nrows, dtype=np.int64)
+    lo = np.zeros(nrows, dtype=np.int64)
+    if v.shape[0] > 2:
+        row_of = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+        p = v[:-2] * v[1:-1] * v[2:]
+        same = row_of[:-2] == row_of[2:]
+        r = row_of[:-2][same]
+        p = p[same]
+        np.add.at(hi, r, p >> 32)
+        np.add.at(lo, r, p & 0xFFFFFFFF)
+    c3 = np.zeros(nrows, dtype=np.float64)
+    out_hi = np.zeros(nrows, dtype=np.int64)
+    out_lo = np.zeros(nrows, dtype=np.int64)
+    ok = lens >= 3
+    for i in np.flatnonzero(ok):
+        total = (int(hi[i]) << 32) + int(lo[i])   # lo carries re-fold
+        out_hi[i] = total >> 32
+        out_lo[i] = total & 0xFFFFFFFF
+        c3[i] = _split_double(total) / float(int(lens[i]) - 2)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "n": pa.array(lens, type=pa.int64()),
+        "c3_hi": pa.array(out_hi, type=pa.int64(), mask=~ok),
+        "c3_lo": pa.array(out_lo, type=pa.int64(), mask=~ok),
+        "c3": pa.array(c3, type=pa.float64(), mask=~ok),
+    })

@@ -2561,3 +2561,64 @@ def test_peak_to_median_bruteforce(ray_session):
         assert (row["n_days"], row["peak_daily"], row["median_daily"]) \
             == (len(c), c[-1], med)
         assert row["peak_to_median"] == float(c[-1]) / float(med)
+
+
+def test_c3_bruteforce():
+    from anomalydetection_ray.stages.detectors import _split_double, c3_batch
+
+    rng = np.random.default_rng(87)
+    series = [list(rng.integers(0, 50257, size=rng.integers(1, 80)))
+              for _ in range(20)]
+    series.append([50256] * 50)             # max-magnitude products
+    out = c3_batch(_tok_batch(series)).to_pylist()
+    for row, sr in zip(out, series):
+        n = len(sr)
+        if n < 3:
+            assert row["c3"] is None
+            continue
+        tot = sum(sr[i] * sr[i + 1] * sr[i + 2] for i in range(n - 2))
+        assert (int(row["c3_hi"]) << 32) + int(row["c3_lo"]) == tot
+        assert row["c3"] == _split_double(tot) / float(n - 2)
+    assert ((int(out[-1]["c3_hi"]) << 32) + int(out[-1]["c3_lo"])
+            == 48 * 50256 ** 3)
+
+
+def test_source_reweight_bruteforce(ray_session):
+    from collections import Counter
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["q28_source_reweight"](SF).to_pandas()
+           .set_index("source"))
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source"]).to_pandas()
+    c = Counter(docs["source"])
+    total, k = sum(c.values()), len(c)
+    assert len(got) == k
+    for src, n in c.items():
+        row = got.loc[src]
+        assert (row["n_docs"], row["n_total"], row["n_sources"]) \
+            == (n, total, k)
+        assert row["weight"] == float(total) / float(n * k)
+    # weighted doc mass is uniform across sources
+    assert all(abs(got.loc[s]["weight"] * c[s] - total / k) < 1e-6
+               for s in c)
+
+
+def test_return_gap_bruteforce(ray_session):
+    from collections import Counter
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["w56_return_gap_hist"](SF).to_pandas()
+           .set_index("gap_days"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "user_id"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    gaps = Counter()
+    for _, grp in ev.groupby("user_id"):
+        days = sorted(set(grp["day"]))
+        gaps[days[1] - days[0] if len(days) >= 2 else -1] += 1
+    assert len(got) == len(gaps)
+    for g, n in gaps.items():
+        assert got.loc[g]["n_users"] == n
