@@ -599,6 +599,23 @@ def _a87_c3(sf_dir: str):
         c3_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _a88_bowley(sf_dir: str):
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import bowley_batch
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        bowley_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _a93_last_rank(sf_dir: str):
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import last_value_rank_batch
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        last_value_rank_batch, batch_format="pyarrow",
+        zero_copy_batch=True)
+
+
 def _a66_records(sf_dir: str):
     from anomalydetection_ray.pipelines.rollup import validated
     from anomalydetection_ray.stages.detectors import records_batch
@@ -1476,6 +1493,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g45_peak_to_median": q.g45_peak_to_median,
         # A87 c3 nonlinearity statistic (hi/lo-split triple products)
         "a87_c3": _a87_c3,
+        # A88 Bowley quartile skewness per series (robust shape)
+        "a88_bowley_skew": _a88_bowley,
+        # A93 percentile rank of the last value per series (the
+        # streaming-alert primitive evaluated in batch)
+        "a93_last_value_rank": _a93_last_rank,
+        # G46 Bowley skew + quartile dispersion per type off the
+        # G43 cent histograms
+        "g46_bowley_by_type": q.g46_bowley_by_type,
+        # K23 nearest-other-centroid margin (redundant-cluster audit)
+        "k23_centroid_margin": km.k23_centroid_margin,
         # Q28 uniform-mixture importance weights per source
         "q28_source_reweight": q.q28_source_reweight,
         # W56 first-return gap histogram (time to second visit)
@@ -2424,7 +2451,8 @@ def _kmeans_sql(k: int = 8, dim: int = 64, assign_only: bool = False,
                 cluster_counts: bool = False,
                 label_purity: bool = False,
                 confusion: bool = False,
-                radius: bool = False) -> str:
+                radius: bool = False,
+                centroid_margin: bool = False) -> str:
     """kmeans_train oracle: the 2-iteration fused Lloyd loop
     (pipelines/kmeans.py) unrolled in SQL.  Exactness rests on three
     pins shared with the engine: (a) the initial centroids are integral
@@ -2487,7 +2515,7 @@ def _kmeans_sql(k: int = 8, dim: int = 64, assign_only: bool = False,
         FROM asg2 a JOIN eq q USING (vec_id)
         CROSS JOIN range(1, {dim + 1}) t(pos)
         GROUP BY a.cid, t.pos)
-    {_kmeans_tail(dim, assign_only, centroid_pairs, cluster_counts, label_purity, confusion, radius)}
+    {_kmeans_tail(dim, assign_only, centroid_pairs, cluster_counts, label_purity, confusion, radius, centroid_margin)}
     """
 
 
@@ -2495,7 +2523,8 @@ def _kmeans_tail(dim: int, assign_only: bool, centroid_pairs: bool,
                  cluster_counts: bool = False,
                  label_purity: bool = False,
                  confusion: bool = False,
-                 radius: bool = False) -> str:
+                 radius: bool = False,
+                 centroid_margin: bool = False) -> str:
     from anomalydetection_ray.pipelines.kmeans import ESCALE
 
     if assign_only:
@@ -2574,6 +2603,34 @@ def _kmeans_tail(dim: int, assign_only: bool, centroid_pairs: bool,
            CASE WHEN n > 0 THEN CAST(mx AS DOUBLE) / CAST(n AS DOUBLE)
            END AS max_share
     FROM agg"""
+    if centroid_margin:
+        def fold(ea: str, eb: str) -> str:
+            return ("list_reduce(list_prepend(0.0, list_transform("
+                    f"range(1, {dim + 1}), p -> {ea}[p] * {eb}[p])), "
+                    "(x, y) -> x + y)")
+
+        return f''', cf AS MATERIALIZED (
+        SELECT g.cid, min(s2.cnt) AS cnt,
+               list(CAST(s2.s AS DOUBLE) / ({float(ESCALE)} * s2.cnt)
+                    ORDER BY g.pos) AS m
+        FROM (SELECT c.cid, t.pos
+              FROM c1 c CROSS JOIN range(1, {dim + 1}) t(pos)) g
+        LEFT JOIN st2 s2 ON s2.cid = g.cid AND s2.pos = g.pos
+        GROUP BY g.cid),
+    pr AS MATERIALIZED (
+        SELECT a.cid, b.cid AS ocid,
+               {fold("a.m", "b.m")}
+                 / (sqrt({fold("a.m", "a.m")})
+                    * sqrt({fold("b.m", "b.m")})) AS cosine
+        FROM cf a JOIN cf b ON a.cid <> b.cid
+        WHERE a.cnt IS NOT NULL AND b.cnt IS NOT NULL)
+    SELECT CAST(cid AS BIGINT) AS cid,
+           CAST(ocid AS BIGINT) AS nearest_cid,
+           cosine AS max_cosine
+    FROM (SELECT cid, ocid, cosine,
+                 row_number() OVER (PARTITION BY cid
+                                    ORDER BY cosine DESC, ocid) AS rn
+          FROM pr) WHERE rn = 1'''
     if centroid_pairs:
         def fold(ea: str, eb: str) -> str:
             return ("list_reduce(list_prepend(0.0, list_transform("
@@ -5483,6 +5540,68 @@ def oracle_sql() -> dict[str, str]:
                    END AS c3
             FROM tot t LEFT JOIN a USING (doc_id, part_id)
         """,
+        # A88: exact lower quartiles via rn = ceil(q4*n/4) order
+        # statistics; one pinned division (token magnitudes << 2^53,
+        # so CAST equals the kernel's split-double exactly)
+        "a88_bowley_skew": f"""
+            WITH {_SEQ_TOK_CTE},
+            s AS MATERIALIZED (
+                SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                       pos % 1000000 AS i, CAST(v AS BIGINT) AS v FROM tok),
+            tot AS MATERIALIZED (
+                SELECT doc_id, part_id, CAST(count(*) AS BIGINT) AS n
+                FROM s GROUP BY doc_id, part_id),
+            r AS (SELECT doc_id, part_id, v,
+                         row_number() OVER (PARTITION BY doc_id,
+                                            part_id ORDER BY v, i)
+                             AS rn
+                  FROM s),
+            q AS (SELECT r.doc_id, r.part_id,
+                         CAST(min(CASE WHEN r.rn = (1 * t.n + 3) // 4
+                                  THEN r.v END) AS BIGINT) AS q1,
+                         CAST(min(CASE WHEN r.rn = (2 * t.n + 3) // 4
+                                  THEN r.v END) AS BIGINT) AS q2,
+                         CAST(min(CASE WHEN r.rn = (3 * t.n + 3) // 4
+                                  THEN r.v END) AS BIGINT) AS q3
+                  FROM r JOIN tot t USING (doc_id, part_id)
+                  GROUP BY r.doc_id, r.part_id)
+            SELECT t.doc_id, t.part_id, t.n, q.q1, q.q2, q.q3,
+                   CASE WHEN q.q3 > q.q1 THEN
+                       CAST(q.q1 + q.q3 - 2 * q.q2 AS DOUBLE)
+                       / CAST(q.q3 - q.q1 AS DOUBLE)
+                   END AS bowley_skew
+            FROM tot t LEFT JOIN q USING (doc_id, part_id)
+        """,
+        # A93: final element by max position, exact strict/weak counts,
+        # one pinned n_leq/n division
+        "a93_last_value_rank": f"""
+            WITH {_SEQ_TOK_CTE},
+            s AS MATERIALIZED (
+                SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                       pos % 1000000 AS i, CAST(v AS BIGINT) AS v FROM tok),
+            tot AS MATERIALIZED (
+                SELECT doc_id, part_id, CAST(count(*) AS BIGINT) AS n,
+                       CAST(max(i) AS BIGINT) AS imax
+                FROM s GROUP BY doc_id, part_id),
+            l AS MATERIALIZED (
+                SELECT s.doc_id, s.part_id, s.v AS last_value
+                FROM s JOIN tot t
+                ON s.doc_id = t.doc_id AND s.part_id = t.part_id
+                   AND s.i = t.imax),
+            c AS (SELECT s.doc_id, s.part_id,
+                         CAST(sum(CASE WHEN s.v < l.last_value
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_less,
+                         CAST(sum(CASE WHEN s.v <= l.last_value
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_leq
+                  FROM s JOIN l USING (doc_id, part_id)
+                  GROUP BY s.doc_id, s.part_id)
+            SELECT t.doc_id, t.part_id, t.n, l.last_value,
+                   c.n_less, c.n_leq,
+                   CAST(c.n_leq AS DOUBLE) / CAST(t.n AS DOUBLE)
+                       AS pct_rank
+            FROM tot t JOIN l USING (doc_id, part_id)
+            JOIN c USING (doc_id, part_id)
+        """,
         # Q28: two tiny aggregates + one pinned division
         "q28_source_reweight": """
             WITH c AS (SELECT source,
@@ -5587,6 +5706,40 @@ def oracle_sql() -> dict[str, str]:
                    q1_cents + 2 * q2_cents + q3_cents AS trimean_x4,
                    CAST(q1_cents + 2 * q2_cents + q3_cents AS DOUBLE)
                        / 4.0 AS trimean_cents
+            FROM q
+        """,
+        # G46: G43's histogram-cumsum quartile read-off + the two
+        # pinned Bowley/QCD ratios (NULL on zero denominators)
+        "g46_bowley_by_type": """
+            WITH h AS (SELECT event_type,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT)
+                                  AS v,
+                              CAST(count(*) AS BIGINT) AS c
+                       FROM events GROUP BY event_type, v),
+            w AS (SELECT event_type, v,
+                         CAST(sum(c) OVER (PARTITION BY event_type
+                                           ORDER BY v) AS BIGINT)
+                             AS cum,
+                         CAST(sum(c) OVER (PARTITION BY event_type)
+                              AS BIGINT) AS n
+                  FROM h),
+            q AS (SELECT event_type, n,
+                         CAST(min(CASE WHEN cum * 4 >= 1 * n THEN v
+                                  END) AS BIGINT) AS q1_cents,
+                         CAST(min(CASE WHEN cum * 4 >= 2 * n THEN v
+                                  END) AS BIGINT) AS q2_cents,
+                         CAST(min(CASE WHEN cum * 4 >= 3 * n THEN v
+                                  END) AS BIGINT) AS q3_cents
+                  FROM w GROUP BY event_type, n)
+            SELECT event_type, n, q1_cents, q2_cents, q3_cents,
+                   CASE WHEN q3_cents > q1_cents THEN
+                       CAST(q1_cents + q3_cents - 2 * q2_cents AS DOUBLE)
+                       / CAST(q3_cents - q1_cents AS DOUBLE)
+                   END AS bowley_skew,
+                   CASE WHEN q3_cents + q1_cents <> 0 THEN
+                       CAST(q3_cents - q1_cents AS DOUBLE)
+                       / CAST(q3_cents + q1_cents AS DOUBLE)
+                   END AS qcd
             FROM q
         """,
         # V24: HUGEINT m2 shipped as a 2^32 hi/lo split; the A70
@@ -6980,6 +7133,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_train": _kmeans_sql(dim=_dim),
         "k13_centroid_cosines": _kmeans_sql(dim=_dim, centroid_pairs=True),
+        "k23_centroid_margin": _kmeans_sql(dim=_dim, centroid_margin=True),
         # K7 power iteration: 2 exact-int matvecs over the 2^10-quantized
         # embeddings, order-pinned norm folds, floor-requantized vectors
         "k7_power_iteration": f"""

@@ -961,3 +961,57 @@ def k21_cluster_radii(sf_dir: str, k: int = K_DEFAULT,
 
     return members.groupby("cid").map_groups(finalize,
                                              batch_format="pyarrow")
+
+
+def k23_centroid_margin(sf_dir: str, k: int = K_DEFAULT,
+                        iters: int = ITERS_DEFAULT):
+    """K23 — nearest-other-centroid margin: for every trained K1
+    centroid, the MOST similar other centroid (max cosine, ties to the
+    smaller cid) — K13's full pairwise matrix reduced to the one row
+    per cluster a "merge these two?" audit actually reads.  A margin
+    near cosine 1 marks a redundant cluster.
+
+    Exactness: K13's pinned fold (sequential 0.0-seeded dot products,
+    one division by the product of two libm sqrts), then an exact
+    (cosine DESC, cid ASC) argmax per centroid.  Driver-side
+    K^2 * dim scalar work only."""
+    import math
+
+    import ray.data
+
+    cnt, s, dim = kmeans_state(sf_dir, k, iters)
+    means = []
+    for j in range(k):
+        if cnt[j] == 0:
+            means.append(None)
+            continue
+        denom = float(ESCALE) * float(cnt[j])
+        means.append([float(int(s[j, p])) / denom for p in range(dim)])
+
+    def fold_dot(a, b) -> float:
+        acc = 0.0
+        for p in range(dim):
+            acc = acc + a[p] * b[p]
+        return acc
+
+    live = [i for i in range(k) if means[i] is not None]
+    norms = {i: math.sqrt(fold_dot(means[i], means[i])) for i in live}
+    best = {}
+    for i in live:
+        for j in live:
+            if j <= i:
+                continue
+            c = fold_dot(means[i], means[j]) / (norms[i] * norms[j])
+            for a, b in ((i, j), (j, i)):
+                cur = best.get(a)
+                if cur is None or c > cur[1] \
+                        or (c == cur[1] and b < cur[0]):
+                    best[a] = (b, c)
+    cids = sorted(best)
+    return ray.data.from_arrow(pa.table({
+        "cid": pa.array(cids, type=pa.int64()),
+        "nearest_cid": pa.array([best[i][0] for i in cids],
+                                type=pa.int64()),
+        "max_cosine": pa.array([best[i][1] for i in cids],
+                               type=pa.float64()),
+    }))

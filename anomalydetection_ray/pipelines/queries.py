@@ -9551,3 +9551,67 @@ def q28_source_reweight(sf_dir: str):
     # bounded by the source domain, so one block is safe at any scale
     return counts.repartition(1).map_batches(widen,
                                              batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- G46 ----
+def g46_bowley_by_type(sf_dir: str):
+    """G46 — Bowley skewness + quartile coefficient of dispersion per
+    event type, read off G43's additive cent histograms: skew =
+    (q1 + q3 - 2*q2)/(q3 - q1) and qcd = (q3 - q1)/(q3 + q1) — the
+    robust shape pair for money-like columns where G14's moment skew
+    chases single whales.  Quartiles exact lower order statistics;
+    each ratio ONE split-double division (NULL on zero denominators).
+
+    Scale shape: identical to G43 — bounded histograms, tiny exchange,
+    per-type read-off, no row sort."""
+    from anomalydetection_ray.stages.detectors import _split_double
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def hist_batch(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        v100 = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "v100": pa.array(v100, type=pa.int64()),
+            "one": pa.array(np.ones(v100.shape[0], dtype=np.int64)),
+        })
+        g = t.group_by(["event_type", "v100"]).aggregate([("one", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "v100": g.column("v100"),
+                         "c": g.column("one_sum").cast(pa.int64())})
+
+    counts = (ds.map_batches(hist_batch, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["event_type", "v100"]).sum("c"))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        order = np.argsort(np.asarray(group.column("v100"),
+                                      dtype=np.int64))
+        v = np.asarray(group.column("v100"), dtype=np.int64)[order]
+        c = np.asarray(group.column("sum(c)"), dtype=np.int64)[order]
+        cum = np.cumsum(c)
+        total = int(cum[-1])
+        qv = [int(v[int(np.searchsorted(cum,
+                                        max((q4 * total + 3) // 4, 1)))])
+              for q4 in (1, 2, 3)]
+        num_s = qv[0] + qv[2] - 2 * qv[1]
+        den_s = qv[2] - qv[0]
+        den_q = qv[2] + qv[0]
+        skew = [_split_double(num_s) / _split_double(den_s)] \
+            if den_s > 0 else [None]
+        qcd = [_split_double(den_s) / _split_double(den_q)] \
+            if den_q != 0 else [None]
+        return pa.table({
+            "event_type": pa.array([et], type=pa.string()),
+            "n": pa.array([total], type=pa.int64()),
+            "q1_cents": pa.array([qv[0]], type=pa.int64()),
+            "q2_cents": pa.array([qv[1]], type=pa.int64()),
+            "q3_cents": pa.array([qv[2]], type=pa.int64()),
+            "bowley_skew": pa.array(skew, type=pa.float64()),
+            "qcd": pa.array(qcd, type=pa.float64()),
+        })
+
+    return counts.groupby("event_type").map_groups(
+        finalize, batch_format="pyarrow")

@@ -2393,3 +2393,83 @@ def c3_batch(batch: pa.Table) -> pa.Table:
         "c3_lo": pa.array(out_lo, type=pa.int64(), mask=~ok),
         "c3": pa.array(c3, type=pa.float64(), mask=~ok),
     })
+
+
+def bowley_batch(batch: pa.Table) -> pa.Table:
+    """A88 — Bowley quartile skewness per series: with the exact LOWER
+    quartiles q1/q2/q3 (k-th order statistics at k = ceil(q4*n/4)),
+    skew = (q1 + q3 - 2*q2) / (q3 - q1) — the robust skewness that
+    ignores everything outside the box, complementing A86's
+    mean-median test and G14's moment skewness.  Numerator and
+    denominator exact ints; the ratio is the pinned split-double
+    division (NULL when q3 = q1 or the series is empty)."""
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.int64)
+    lens = np.diff(offsets)
+    nrows = lens.shape[0]
+    q = np.zeros((nrows, 3), dtype=np.int64)
+    skew = np.zeros(nrows, dtype=np.float64)
+    ok = np.zeros(nrows, dtype=bool)
+    has = lens > 0
+    for i in np.flatnonzero(has):
+        x = np.sort(v[offsets[i]:offsets[i + 1]])
+        n = int(x.shape[0])
+        for j, q4 in enumerate((1, 2, 3)):
+            q[i, j] = int(x[(q4 * n + 3) // 4 - 1])
+        den = int(q[i, 2] - q[i, 0])
+        if den > 0:
+            num = int(q[i, 0] + q[i, 2] - 2 * q[i, 1])
+            skew[i] = _split_double(num) / _split_double(den)
+            ok[i] = True
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "n": pa.array(lens, type=pa.int64()),
+        "q1": pa.array(q[:, 0], type=pa.int64(), mask=~has),
+        "q2": pa.array(q[:, 1], type=pa.int64(), mask=~has),
+        "q3": pa.array(q[:, 2], type=pa.int64(), mask=~has),
+        "bowley_skew": pa.array(skew, type=pa.float64(), mask=~ok),
+    })
+
+
+def last_value_rank_batch(batch: pa.Table) -> pa.Table:
+    """A93 — percentile rank of the LAST value per series: n_less /
+    n_leq counts of the final element against the whole series and the
+    pinned percentile n_leq / n — the streaming-alert primitive ("is
+    the latest reading extreme for this series?") evaluated in batch.
+    Counts exact, fully vectorized (one gather of the row-final values
+    broadcast back over the flat buffer)."""
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.int64)
+    lens = np.diff(offsets)
+    nrows = lens.shape[0]
+    n_less = np.zeros(nrows, dtype=np.int64)
+    n_leq = np.zeros(nrows, dtype=np.int64)
+    last = np.zeros(nrows, dtype=np.int64)
+    has = lens > 0
+    if v.shape[0]:
+        row_of = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+        last[has] = v[offsets[1:][has] - 1]
+        lb = last[row_of]
+        np.add.at(n_less, row_of[v < lb], 1)
+        np.add.at(n_leq, row_of[v <= lb], 1)
+    pct = np.zeros(nrows, dtype=np.float64)
+    np.divide(n_leq.astype(np.float64), lens.astype(np.float64),
+              out=pct, where=has)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "n": pa.array(lens, type=pa.int64()),
+        "last_value": pa.array(last, type=pa.int64(), mask=~has),
+        "n_less": pa.array(n_less, type=pa.int64(), mask=~has),
+        "n_leq": pa.array(n_leq, type=pa.int64(), mask=~has),
+        "pct_rank": pa.array(pct, type=pa.float64(), mask=~has),
+    })

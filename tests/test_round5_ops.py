@@ -2622,3 +2622,102 @@ def test_return_gap_bruteforce(ray_session):
     assert len(got) == len(gaps)
     for g, n in gaps.items():
         assert got.loc[g]["n_users"] == n
+
+
+# ---------------------------------------------------------------- A88 ----
+def test_bowley_bruteforce():
+    from anomalydetection_ray.stages.detectors import bowley_batch
+
+    rng = np.random.default_rng(23)
+    series = [rng.integers(0, 500, size=rng.integers(1, 80)).tolist()
+              for _ in range(60)]
+    series.append([7])                    # n=1: q1=q2=q3 -> NULL skew
+    series.append([4, 4, 4, 4, 4])        # constant -> NULL skew
+    out = bowley_batch(_tok_batch(series)).to_pylist()
+    for row, v in zip(out, series):
+        x = sorted(v)
+        n = len(x)
+        q = [x[(q4 * n + 3) // 4 - 1] for q4 in (1, 2, 3)]
+        assert row["n"] == n
+        assert (row["q1"], row["q2"], row["q3"]) == tuple(q)
+        if q[2] > q[0]:
+            assert row["bowley_skew"] == \
+                float(q[0] + q[2] - 2 * q[1]) / float(q[2] - q[0])
+        else:
+            assert row["bowley_skew"] is None
+
+
+def test_bowley_detects_right_skew():
+    from anomalydetection_ray.stages.detectors import bowley_batch
+
+    rng = np.random.default_rng(29)
+    sym = rng.integers(0, 100, size=200).tolist()
+    skewed = (rng.integers(0, 10, size=140).tolist()
+              + rng.integers(50, 100, size=60).tolist())
+    out = bowley_batch(_tok_batch([sym, skewed])).to_pylist()
+    assert abs(out[0]["bowley_skew"]) < 0.3
+    assert out[1]["bowley_skew"] > 0.5
+
+
+# ---------------------------------------------------------------- A93 ----
+def test_last_value_rank_bruteforce():
+    from anomalydetection_ray.stages.detectors import last_value_rank_batch
+
+    rng = np.random.default_rng(31)
+    series = [rng.integers(0, 40, size=rng.integers(1, 70)).tolist()
+              for _ in range(60)]
+    series.append([9] * 12)               # all-equal: pct = 1.0
+    out = last_value_rank_batch(_tok_batch(series)).to_pylist()
+    for row, v in zip(out, series):
+        last = v[-1]
+        n_less = sum(1 for x in v if x < last)
+        n_leq = sum(1 for x in v if x <= last)
+        assert row["n"] == len(v)
+        assert row["last_value"] == last
+        assert row["n_less"] == n_less
+        assert row["n_leq"] == n_leq
+        assert row["pct_rank"] == float(n_leq) / float(len(v))
+
+
+# ---------------------------------------------------------------- G46 ----
+def test_g46_bowley_by_type_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["g46_bowley_by_type"](SF).to_pandas()
+           .set_index("event_type"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    ev["cents"] = np.floor(ev["value"] * 100.0 + 0.5).astype(np.int64)
+    for et, grp in ev.groupby("event_type"):
+        x = np.sort(grp["cents"].to_numpy())
+        n = len(x)
+        q = [int(x[(q4 * n + 3) // 4 - 1]) for q4 in (1, 2, 3)]
+        row = got.loc[et]
+        assert row["n"] == n
+        assert (row["q1_cents"], row["q2_cents"], row["q3_cents"]) \
+            == tuple(q)
+        if q[2] > q[0]:
+            assert row["bowley_skew"] == \
+                float(q[0] + q[2] - 2 * q[1]) / float(q[2] - q[0])
+
+
+# ---------------------------------------------------------------- K23 ----
+def test_k23_margin_matches_k13_pairs(ray_session):
+    import __ray_entry__ as e
+
+    pairs = e.queries()["k13_centroid_cosines"](SF).to_pandas()
+    got = (e.queries()["k23_centroid_margin"](SF).to_pandas()
+           .set_index("cid"))
+    # brute-force the per-centroid argmax from the full K13 matrix
+    best: dict[int, tuple[int, float]] = {}
+    for _, r in pairs.iterrows():
+        for a, b in ((int(r["cid_a"]), int(r["cid_b"])),
+                     (int(r["cid_b"]), int(r["cid_a"]))):
+            cur = best.get(a)
+            c = float(r["cosine"])
+            if cur is None or c > cur[1] or (c == cur[1] and b < cur[0]):
+                best[a] = (b, c)
+    assert set(got.index) == set(best)
+    for cid, (b, c) in best.items():
+        assert got.loc[cid]["nearest_cid"] == b
+        assert got.loc[cid]["max_cosine"] == c
