@@ -616,6 +616,40 @@ def _a93_last_rank(sf_dir: str):
         zero_copy_batch=True)
 
 
+def _a89_time_reversal(sf_dir: str):
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import time_reversal_batch
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        time_reversal_batch, batch_format="pyarrow",
+        zero_copy_batch=True)
+
+
+def _a90_cid_ce(sf_dir: str):
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import cid_ce_batch
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        cid_ce_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _a91_second_derivative(sf_dir: str):
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import second_derivative_batch
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        second_derivative_batch, batch_format="pyarrow",
+        zero_copy_batch=True)
+
+
+def _a94_peaks(sf_dir: str):
+    from anomalydetection_ray.pipelines.rollup import validated
+    from anomalydetection_ray.stages.detectors import peaks_batch
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        peaks_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _a66_records(sf_dir: str):
     from anomalydetection_ray.pipelines.rollup import validated
     from anomalydetection_ray.stages.detectors import records_batch
@@ -1503,6 +1537,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g46_bowley_by_type": q.g46_bowley_by_type,
         # K23 nearest-other-centroid margin (redundant-cluster audit)
         "k23_centroid_margin": km.k23_centroid_margin,
+        # A89 time-reversal asymmetry (signed hi/lo-split triple terms)
+        "a89_time_reversal": _a89_time_reversal,
+        # A90 CID complexity estimate (exact sum of squared diffs)
+        "a90_cid_ce": _a90_cid_ce,
+        # A91 mean central second derivative (telescoped numerator)
+        "a91_second_derivative": _a91_second_derivative,
+        # A94 strict peak counts at support 1 and 2
+        "a94_peaks": _a94_peaks,
         # Q28 uniform-mixture importance weights per source
         "q28_source_reweight": q.q28_source_reweight,
         # W56 first-return gap histogram (time to second visit)
@@ -5601,6 +5643,139 @@ def oracle_sql() -> dict[str, str]:
                        AS pct_rank
             FROM tot t JOIN l USING (doc_id, part_id)
             JOIN c USING (doc_id, part_id)
+        """,
+        # A89: signed HUGEINT triple-term sum shipped as sign +
+        # abs-value 2^32 hi/lo split; one pinned division
+        "a89_time_reversal": f"""
+            WITH {_SEQ_TOK_CTE},
+            s AS MATERIALIZED (
+                SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                       pos % 1000000 AS i, CAST(v AS BIGINT) AS v FROM tok),
+            tot AS (SELECT doc_id, part_id,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM s GROUP BY doc_id, part_id),
+            tr AS (SELECT doc_id, part_id,
+                          CAST(lead(v, 2) OVER w AS HUGEINT)
+                              * lead(v, 2) OVER w * lead(v, 1) OVER w
+                          - CAST(lead(v, 1) OVER w AS HUGEINT) * v * v
+                              AS d
+                   FROM s
+                   WINDOW w AS (PARTITION BY doc_id, part_id
+                                ORDER BY i)),
+            a AS (SELECT doc_id, part_id,
+                         CAST(sum(d) AS HUGEINT) AS t
+                  FROM tr WHERE d IS NOT NULL
+                  GROUP BY doc_id, part_id)
+            SELECT t.doc_id, t.part_id, t.n,
+                   CASE WHEN t.n >= 3 THEN
+                       CASE WHEN a.t > 0 THEN 1
+                            WHEN a.t < 0 THEN -1 ELSE 0 END
+                   END AS trev_sign,
+                   CASE WHEN t.n >= 3 THEN
+                       CAST(abs(a.t) // 4294967296 AS BIGINT)
+                   END AS trev_hi,
+                   CASE WHEN t.n >= 3 THEN
+                       CAST(abs(a.t) % 4294967296 AS BIGINT)
+                   END AS trev_lo,
+                   CASE WHEN t.n >= 3 THEN
+                       (CASE WHEN a.t >= 0 THEN 1.0 ELSE -1.0 END)
+                       * (CAST(abs(a.t) // 4294967296 AS DOUBLE)
+                          * 4294967296.0
+                          + CAST(abs(a.t) % 4294967296 AS DOUBLE))
+                       / CAST(t.n - 2 AS DOUBLE)
+                   END AS trev
+            FROM tot t LEFT JOIN a USING (doc_id, part_id)
+        """,
+        # A90: exact BIGINT sum of squared diffs (< 2^53 at the part
+        # cap); ONE libm sqrt of the pinned split-double
+        "a90_cid_ce": f"""
+            WITH {_SEQ_TOK_CTE},
+            s AS MATERIALIZED (
+                SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                       pos % 1000000 AS i, CAST(v AS BIGINT) AS v FROM tok),
+            tot AS (SELECT doc_id, part_id,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM s GROUP BY doc_id, part_id),
+            tr AS (SELECT doc_id, part_id,
+                          lead(v, 1) OVER w - v AS d
+                   FROM s
+                   WINDOW w AS (PARTITION BY doc_id, part_id
+                                ORDER BY i)),
+            a AS (SELECT doc_id, part_id,
+                         CAST(sum(CAST(d AS HUGEINT) * d) AS BIGINT)
+                             AS ss
+                  FROM tr WHERE d IS NOT NULL
+                  GROUP BY doc_id, part_id)
+            SELECT t.doc_id, t.part_id, t.n,
+                   CASE WHEN t.n >= 2 THEN a.ss END AS ss_diff,
+                   CASE WHEN t.n >= 2 THEN
+                       sqrt(CAST(a.ss // 4294967296 AS DOUBLE)
+                            * 4294967296.0
+                            + CAST(a.ss % 4294967296 AS DOUBLE))
+                   END AS cid_ce
+            FROM tot t LEFT JOIN a USING (doc_id, part_id)
+        """,
+        # A91: telescoped boundary gather (additive CASE terms so the
+        # n=3 overlap at i=1 counts twice); one pinned division
+        "a91_second_derivative": f"""
+            WITH {_SEQ_TOK_CTE},
+            s AS MATERIALIZED (
+                SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                       pos % 1000000 AS i, CAST(v AS BIGINT) AS v FROM tok),
+            tot AS MATERIALIZED (
+                SELECT doc_id, part_id, CAST(count(*) AS BIGINT) AS n
+                FROM s GROUP BY doc_id, part_id),
+            b AS (SELECT s.doc_id, s.part_id,
+                         CAST(sum(
+                             (CASE WHEN s.i = t.n - 1 THEN s.v
+                              ELSE 0 END)
+                             + (CASE WHEN s.i = t.n - 2 THEN -s.v
+                                ELSE 0 END)
+                             + (CASE WHEN s.i = 1 THEN -s.v ELSE 0 END)
+                             + (CASE WHEN s.i = 0 THEN s.v ELSE 0 END))
+                              AS BIGINT) AS num
+                  FROM s JOIN tot t USING (doc_id, part_id)
+                  WHERE t.n >= 3
+                  GROUP BY s.doc_id, s.part_id)
+            SELECT t.doc_id, t.part_id, t.n, b.num AS d2_num,
+                   CASE WHEN t.n >= 3 THEN
+                       CAST(b.num AS DOUBLE)
+                       / CAST(2 * (t.n - 2) AS DOUBLE)
+                   END AS msdc
+            FROM tot t LEFT JOIN b USING (doc_id, part_id)
+        """,
+        # A94: strict-inequality peak counts via materialized lag/lead
+        # neighbors; exact int sums (0, never NULL, for short series)
+        "a94_peaks": f"""
+            WITH {_SEQ_TOK_CTE},
+            s AS MATERIALIZED (
+                SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                       pos % 1000000 AS i, CAST(v AS BIGINT) AS v FROM tok),
+            tot AS (SELECT doc_id, part_id,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM s GROUP BY doc_id, part_id),
+            tr AS (SELECT doc_id, part_id, v,
+                          lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2,
+                          lead(v, 1) OVER w AS r1,
+                          lead(v, 2) OVER w AS r2
+                   FROM s
+                   WINDOW w AS (PARTITION BY doc_id, part_id
+                                ORDER BY i)),
+            p AS (SELECT doc_id, part_id,
+                         CAST(sum(CASE WHEN l1 IS NOT NULL
+                                        AND r1 IS NOT NULL
+                                        AND v > l1 AND v > r1
+                                  THEN 1 ELSE 0 END) AS BIGINT)
+                             AS n_peaks1,
+                         CAST(sum(CASE WHEN l2 IS NOT NULL
+                                        AND r2 IS NOT NULL
+                                        AND v > l1 AND v > l2
+                                        AND v > r1 AND v > r2
+                                  THEN 1 ELSE 0 END) AS BIGINT)
+                             AS n_peaks2
+                  FROM tr GROUP BY doc_id, part_id)
+            SELECT t.doc_id, t.part_id, t.n, p.n_peaks1, p.n_peaks2
+            FROM tot t JOIN p USING (doc_id, part_id)
         """,
         # Q28: two tiny aggregates + one pinned division
         "q28_source_reweight": """

@@ -2473,3 +2473,175 @@ def last_value_rank_batch(batch: pa.Table) -> pa.Table:
         "n_leq": pa.array(n_leq, type=pa.int64(), mask=~has),
         "pct_rank": pa.array(pct, type=pa.float64(), mask=~has),
     })
+
+
+def time_reversal_batch(batch: pa.Table) -> pa.Table:
+    """A89 — time-reversal asymmetry statistic per series (tsfresh
+    ``time_reversal_asymmetry_statistic`` at lag 1; Fulcher & Jones
+    2014 trev): mean of v[i+2]^2*v[i+1] - v[i+1]*v[i]^2 over the n-2
+    in-row triples.  Reversible (e.g. linear Gaussian) series score
+    ~0; a consistent sign means rises and falls are shaped differently
+    — the cheapest "is this series time-asymmetric?" screen next to
+    A87's c3.
+
+    Exactness: each signed triple term |d| < 2^48 (tokens < 2^16), so
+    the batch accumulates d >> 32 (arithmetic shift) and d & (2^32-1)
+    per row in int64 — both half-sums stay < 2^56 at the 1e6-element
+    part cap — and the total re-assembles as an exact Python int.
+    Shipped as sign + |total| 2^32 hi/lo pair with the pinned
+    split-double / (n-2) mean.  NULL for n < 3."""
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.int64)
+    lens = np.diff(offsets)
+    nrows = lens.shape[0]
+    hi = np.zeros(nrows, dtype=np.int64)
+    lo = np.zeros(nrows, dtype=np.int64)
+    if v.shape[0] > 2:
+        row_of = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+        d = v[2:] * v[2:] * v[1:-1] - v[1:-1] * v[:-2] * v[:-2]
+        same = row_of[:-2] == row_of[2:]
+        r = row_of[:-2][same]
+        d = d[same]
+        np.add.at(hi, r, d >> 32)
+        np.add.at(lo, r, d & 0xFFFFFFFF)
+    trev = np.zeros(nrows, dtype=np.float64)
+    out_hi = np.zeros(nrows, dtype=np.int64)
+    out_lo = np.zeros(nrows, dtype=np.int64)
+    sign = np.zeros(nrows, dtype=np.int64)
+    ok = lens >= 3
+    for i in np.flatnonzero(ok):
+        total = (int(hi[i]) << 32) + int(lo[i])
+        sign[i] = 0 if total == 0 else (1 if total > 0 else -1)
+        a = abs(total)
+        out_hi[i] = a >> 32
+        out_lo[i] = a & 0xFFFFFFFF
+        trev[i] = _split_double(total) / float(int(lens[i]) - 2)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "n": pa.array(lens, type=pa.int64()),
+        "trev_sign": pa.array(sign, type=pa.int64(), mask=~ok),
+        "trev_hi": pa.array(out_hi, type=pa.int64(), mask=~ok),
+        "trev_lo": pa.array(out_lo, type=pa.int64(), mask=~ok),
+        "trev": pa.array(trev, type=pa.float64(), mask=~ok),
+    })
+
+
+def cid_ce_batch(batch: pa.Table) -> pa.Table:
+    """A90 — CID complexity estimate per series (tsfresh ``cid_ce``;
+    Batista et al. 2014 complexity-invariant distance): sqrt of the
+    sum of squared first differences — a straight line scores 0, a
+    jagged series scores high; the standard "how wiggly is it"
+    normalizer for distance-based matching.
+
+    Exactness: each diff^2 < 2^33 and the per-row sum < 2^53 at the
+    1e6-element part cap, so ss_diff is an exact int64 and DuckDB's
+    BIGINT sum replays it; ce = ONE libm sqrt of the pinned
+    split-double.  NULL for n < 2."""
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.int64)
+    lens = np.diff(offsets)
+    nrows = lens.shape[0]
+    ss = np.zeros(nrows, dtype=np.int64)
+    if v.shape[0] > 1:
+        row_of = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+        d = v[1:] - v[:-1]
+        same = row_of[1:] == row_of[:-1]
+        np.add.at(ss, row_of[1:][same], (d * d)[same])
+    ok = lens >= 2
+    ce = np.zeros(nrows, dtype=np.float64)
+    for i in np.flatnonzero(ok):
+        ce[i] = math.sqrt(_split_double(int(ss[i])))
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "n": pa.array(lens, type=pa.int64()),
+        "ss_diff": pa.array(ss, type=pa.int64(), mask=~ok),
+        "cid_ce": pa.array(ce, type=pa.float64(), mask=~ok),
+    })
+
+
+def second_derivative_batch(batch: pa.Table) -> pa.Table:
+    """A91 — mean central second derivative per series (tsfresh
+    ``mean_second_derivative_central``): mean of
+    (v[i+2] - 2*v[i+1] + v[i]) / 2 over the n-2 interior points — the
+    average curvature ("is the trend accelerating?").  The sum
+    TELESCOPES to (v[n-1] - v[n-2]) - (v[1] - v[0]), so the kernel is
+    four gathers per row, no scan.
+
+    Exactness: the telescoped numerator is an exact small int;
+    msdc = split-double(num) / (2*(n-2)) is the single pinned
+    division.  NULL for n < 3."""
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.int64)
+    lens = np.diff(offsets)
+    nrows = lens.shape[0]
+    num = np.zeros(nrows, dtype=np.int64)
+    ok = lens >= 3
+    idx = np.flatnonzero(ok)
+    if idx.shape[0]:
+        o = offsets[:-1][ok]
+        e = offsets[1:][ok] - 1
+        num[ok] = (v[e] - v[e - 1]) - (v[o + 1] - v[o])
+    msdc = np.zeros(nrows, dtype=np.float64)
+    for i in idx:
+        msdc[i] = _split_double(int(num[i])) / float(2 * (int(lens[i]) - 2))
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "n": pa.array(lens, type=pa.int64()),
+        "d2_num": pa.array(num, type=pa.int64(), mask=~ok),
+        "msdc": pa.array(msdc, type=pa.float64(), mask=~ok),
+    })
+
+
+def peaks_batch(batch: pa.Table) -> pa.Table:
+    """A94 — peak counts per series (tsfresh ``number_peaks`` at
+    support 1 and 2): an interior element is a support-``s`` peak when
+    it is STRICTLY greater than all s neighbors on each side (boundary
+    elements without full support never qualify).  The burst-density
+    readout next to A22's turning points (which count direction
+    changes, ties excluded but plateaus folded).
+
+    Exactness: pure integer comparisons, fully vectorized with
+    row-boundary masks; counts are exact int64."""
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.int64)
+    lens = np.diff(offsets)
+    nrows = lens.shape[0]
+    p1 = np.zeros(nrows, dtype=np.int64)
+    p2 = np.zeros(nrows, dtype=np.int64)
+    if v.shape[0] > 2:
+        row_of = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+        c = v[1:-1]
+        in1 = (row_of[:-2] == row_of[2:]) & (c > v[:-2]) & (c > v[2:])
+        np.add.at(p1, row_of[1:-1][in1], 1)
+    if v.shape[0] > 4:
+        c = v[2:-2]
+        in2 = ((row_of[:-4] == row_of[4:])
+               & (c > v[:-4]) & (c > v[1:-3])
+               & (c > v[3:-1]) & (c > v[4:]))
+        np.add.at(p2, row_of[2:-2][in2], 1)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "n": pa.array(lens, type=pa.int64()),
+        "n_peaks1": pa.array(p1, type=pa.int64()),
+        "n_peaks2": pa.array(p2, type=pa.int64()),
+    })

@@ -2721,3 +2721,102 @@ def test_k23_margin_matches_k13_pairs(ray_session):
     for cid, (b, c) in best.items():
         assert got.loc[cid]["nearest_cid"] == b
         assert got.loc[cid]["max_cosine"] == c
+
+
+# ---------------------------------------------------------------- A89 ----
+def test_time_reversal_bruteforce():
+    from anomalydetection_ray.stages.detectors import (_split_double,
+                                                       time_reversal_batch)
+
+    rng = np.random.default_rng(37)
+    series = [rng.integers(0, 50257, size=rng.integers(1, 90)).tolist()
+              for _ in range(60)]
+    series.append([5, 5, 5, 5])           # reversible constant: trev 0
+    out = time_reversal_batch(_tok_batch(series)).to_pylist()
+    for row, v in zip(out, series):
+        n = len(v)
+        assert row["n"] == n
+        if n < 3:
+            assert row["trev"] is None
+            continue
+        total = sum(v[i + 2] * v[i + 2] * v[i + 1]
+                    - v[i + 1] * v[i] * v[i] for i in range(n - 2))
+        assert row["trev_sign"] == (0 if total == 0
+                                    else (1 if total > 0 else -1))
+        assert (row["trev_hi"] << 32) + row["trev_lo"] == abs(total)
+        assert row["trev"] == _split_double(total) / float(n - 2)
+
+
+def test_time_reversal_detects_sawtooth_asymmetry():
+    from anomalydetection_ray.stages.detectors import time_reversal_batch
+
+    # slow rise, instant fall: strongly time-asymmetric; reversing the
+    # series must flip the statistic's sign (trev is odd under reversal
+    # up to the boundary triples, exactly odd for this periodic shape)
+    saw = ([i for i in range(50)] + [0]) * 4
+    out = time_reversal_batch(_tok_batch([saw, saw[::-1]])).to_pylist()
+    assert out[0]["trev"] > 100
+    assert out[1]["trev"] < -100
+
+
+# ---------------------------------------------------------------- A90 ----
+def test_cid_ce_bruteforce():
+    import math
+
+    from anomalydetection_ray.stages.detectors import cid_ce_batch
+
+    rng = np.random.default_rng(43)
+    series = [rng.integers(0, 50257, size=rng.integers(1, 90)).tolist()
+              for _ in range(60)]
+    series.append([3, 3, 3])              # straight line: ce 0
+    out = cid_ce_batch(_tok_batch(series)).to_pylist()
+    for row, v in zip(out, series):
+        if len(v) < 2:
+            assert row["ss_diff"] is None
+            continue
+        ss = sum((v[i + 1] - v[i]) ** 2 for i in range(len(v) - 1))
+        assert row["ss_diff"] == ss
+        assert row["cid_ce"] == math.sqrt(float(ss))
+
+
+# ---------------------------------------------------------------- A91 ----
+def test_second_derivative_bruteforce():
+    from anomalydetection_ray.stages.detectors import (
+        _split_double, second_derivative_batch)
+
+    rng = np.random.default_rng(47)
+    series = [rng.integers(0, 1000, size=rng.integers(1, 90)).tolist()
+              for _ in range(60)]
+    series.append([1, 5, 9, 13])          # linear: curvature 0
+    series.append([0, 4, 0])              # n=3 overlap at i=1
+    out = second_derivative_batch(_tok_batch(series)).to_pylist()
+    for row, v in zip(out, series):
+        n = len(v)
+        if n < 3:
+            assert row["msdc"] is None
+            continue
+        num = sum(v[i + 2] - 2 * v[i + 1] + v[i] for i in range(n - 2))
+        assert row["d2_num"] == num
+        assert row["msdc"] == _split_double(num) / float(2 * (n - 2))
+    assert out[-2]["msdc"] == 0.0
+    assert out[-1]["d2_num"] == -8        # (0-4) - (4-0)
+
+
+# ---------------------------------------------------------------- A94 ----
+def test_peaks_bruteforce():
+    from anomalydetection_ray.stages.detectors import peaks_batch
+
+    rng = np.random.default_rng(53)
+    series = [rng.integers(0, 30, size=rng.integers(1, 90)).tolist()
+              for _ in range(60)]
+    series.append([1, 9, 1, 9, 1, 9, 1])  # alternating: 3 support-1 peaks
+    out = peaks_batch(_tok_batch(series)).to_pylist()
+    for row, v in zip(out, series):
+        n = len(v)
+        p1 = sum(1 for i in range(1, n - 1)
+                 if v[i] > v[i - 1] and v[i] > v[i + 1])
+        p2 = sum(1 for i in range(2, n - 2)
+                 if all(v[i] > v[i + d] for d in (-2, -1, 1, 2)))
+        assert row["n_peaks1"] == p1
+        assert row["n_peaks2"] == p2
+    assert out[-1]["n_peaks1"] == 3 and out[-1]["n_peaks2"] == 0
