@@ -1545,6 +1545,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a91_second_derivative": _a91_second_derivative,
         # A94 strict peak counts at support 1 and 2
         "a94_peaks": _a94_peaks,
+        # Q29 TPC-H Q3-shaped shipping priority (3-table join +
+        # grouped revenue + block-pruned top-k)
+        "q29_shipping_priority": q.q29_shipping_priority,
+        # W57 Goh-Barabási burstiness per type (zero-filled daily grid)
+        "w57_burstiness": q.w57_burstiness,
+        # G47 Tukey-fence outlier-day census per type (all-integer)
+        "g47_outlier_days": q.g47_outlier_days,
+        # W58 weekly retention cohort matrix
+        "w58_retention_cohorts": wnd.w58_retention_cohorts,
         # Q28 uniform-mixture importance weights per source
         "q28_source_reweight": q.q28_source_reweight,
         # W56 first-return gap histogram (time to second visit)
@@ -5776,6 +5785,119 @@ def oracle_sql() -> dict[str, str]:
                   FROM tr GROUP BY doc_id, part_id)
             SELECT t.doc_id, t.part_id, t.n, p.n_peaks1, p.n_peaks2
             FROM tot t JOIN p USING (doc_id, part_id)
+        """,
+        # Q29: exact cent/percent quantization makes revenue*10^4 an
+        # int64 sum; split-double / 1e4 is the one float op; ties
+        # (rev DESC, date ASC, orderkey ASC)
+        "q29_shipping_priority": """
+            WITH j AS (
+                SELECT l.l_orderkey, o.o_orderdate,
+                       CAST(sum(CAST(floor(l.l_extendedprice * 100
+                                           + 0.5) AS BIGINT)
+                                * (100 - CAST(floor(l.l_discount * 100
+                                               + 0.5) AS BIGINT)))
+                            AS BIGINT) AS rev
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                WHERE c.c_mktsegment = 'BUILDING'
+                  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+                  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+                GROUP BY l.l_orderkey, o.o_orderdate)
+            SELECT l_orderkey, o_orderdate, rev AS rev_x10k,
+                   (CAST(rev // 4294967296 AS DOUBLE) * 4294967296.0
+                    + CAST(rev % 4294967296 AS DOUBLE)) / 10000.0
+                       AS revenue
+            FROM j
+            ORDER BY rev_x10k DESC, o_orderdate, l_orderkey
+            LIMIT 10
+        """,
+        # W57: G31's zero-fill identities; mu/sigma/B each ONE pinned
+        # IEEE op on the exact int moments
+        "w57_burstiness": """
+            WITH c AS (SELECT event_type,
+                              CAST(epoch_us(ts) // 86400000000
+                                   AS BIGINT) AS day,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY event_type, day),
+            g AS (SELECT CAST(max(day) - min(day) + 1 AS BIGINT) AS nd
+                  FROM c),
+            a AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS t,
+                         CAST(sum(n * n) AS BIGINT) AS q
+                  FROM c GROUP BY event_type)
+            SELECT a.event_type, g.nd AS n_days, a.t AS total,
+                   g.nd * a.q - a.t * a.t AS var_num,
+                   CASE WHEN a.t > 0 THEN
+                       (sqrt(CAST((g.nd * a.q - a.t * a.t)
+                                  // 4294967296 AS DOUBLE)
+                             * 4294967296.0
+                             + CAST((g.nd * a.q - a.t * a.t)
+                                    % 4294967296 AS DOUBLE))
+                        / CAST(g.nd AS DOUBLE)
+                        - CAST(a.t AS DOUBLE) / CAST(g.nd AS DOUBLE))
+                       / (sqrt(CAST((g.nd * a.q - a.t * a.t)
+                                    // 4294967296 AS DOUBLE)
+                               * 4294967296.0
+                               + CAST((g.nd * a.q - a.t * a.t)
+                                      % 4294967296 AS DOUBLE))
+                          / CAST(g.nd AS DOUBLE)
+                          + CAST(a.t AS DOUBLE) / CAST(g.nd AS DOUBLE))
+                   END AS burstiness
+            FROM a CROSS JOIN g
+        """,
+        # G47: x4-scaled integer Tukey fences — not a single float
+        "g47_outlier_days": """
+            WITH c AS (SELECT event_type,
+                              CAST(epoch_us(ts) // 86400000000
+                                   AS BIGINT) AS day,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY event_type, day),
+            m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m
+                  FROM c GROUP BY event_type),
+            r AS (SELECT event_type, n,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY n, day) AS rn
+                  FROM c),
+            q AS (SELECT r.event_type,
+                         CAST(min(CASE WHEN r.rn = (1 * m.m + 3) // 4
+                                  THEN r.n END) AS BIGINT) AS q1,
+                         CAST(min(CASE WHEN r.rn = (3 * m.m + 3) // 4
+                                  THEN r.n END) AS BIGINT) AS q3
+                  FROM r JOIN m USING (event_type)
+                  GROUP BY r.event_type),
+            o AS (SELECT c.event_type,
+                         CAST(sum(CASE WHEN 4 * c.n <
+                                       4 * q.q1 - 6 * (q.q3 - q.q1)
+                                  THEN 1 ELSE 0 END) AS BIGINT)
+                             AS n_low_days,
+                         CAST(sum(CASE WHEN 4 * c.n >
+                                       4 * q.q3 + 6 * (q.q3 - q.q1)
+                                  THEN 1 ELSE 0 END) AS BIGINT)
+                             AS n_high_days
+                  FROM c JOIN q USING (event_type)
+                  GROUP BY c.event_type)
+            SELECT m.event_type, m.m AS n_days_observed,
+                   q.q1 AS q1_daily, q.q3 AS q3_daily,
+                   o.n_low_days, o.n_high_days
+            FROM m JOIN q USING (event_type) JOIN o USING (event_type)
+        """,
+        # W58: distinct (user, day) -> first day -> distinct
+        # (cohort, offset) per user; exact counts
+        "w58_retention_cohorts": """
+            WITH d AS (SELECT DISTINCT user_id,
+                              CAST(epoch_us(ts) // 86400000000
+                                   AS BIGINT) AS day
+                       FROM events),
+            f AS (SELECT user_id, CAST(min(day) AS BIGINT) AS fd
+                  FROM d GROUP BY user_id),
+            p AS (SELECT DISTINCT d.user_id,
+                         CAST(f.fd // 7 AS BIGINT) AS cohort_week,
+                         CAST((d.day - f.fd) // 7 AS BIGINT)
+                             AS offset_week
+                  FROM d JOIN f USING (user_id))
+            SELECT cohort_week, offset_week,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM p GROUP BY cohort_week, offset_week
         """,
         # Q28: two tiny aggregates + one pinned division
         "q28_source_reweight": """

@@ -9615,3 +9615,253 @@ def g46_bowley_by_type(sf_dir: str):
 
     return counts.groupby("event_type").map_groups(
         finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- Q29 ----
+def q29_shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                          cutoff: str = "1998-06-01", k: int = 10):
+    """Q29 — TPC-H Q3-shaped shipping priority: top-``k`` unshipped
+    orders by revenue for one market segment — customers in ``segment``,
+    orders placed before ``cutoff``, lineitems shipping after it;
+    revenue = sum(l_extendedprice * (1 - l_discount)) per order.  The
+    classic 3-table join + grouped aggregate + top-k pipeline.
+
+    Exactness: price and discount are 2-decimal TPC-H values, so
+    p100 = round(price*100) and d100 = round(disc*100) are exact ints
+    and revenue*10000 = sum(p100 * (100 - d100)) is an exact int64;
+    the float ``revenue`` is ONE pinned split-double / 1e4.
+
+    Scale shape: two co-partitioned exchanges (orders⋈customer on
+    custkey, lineitem⋈orders on orderkey — stages/join.py, no
+    broadcast of a large side), per-batch revenue partials, a small
+    per-order groupby, then the block-pruned top-k (no global sort)."""
+    import pyarrow.compute as pc
+
+    from anomalydetection_ray.stages.detectors import _split_double
+    from anomalydetection_ray.stages.join import copartition_attach
+    from anomalydetection_ray.stages.topk import topk
+
+    cut = np.datetime64(cutoff, "us").astype("int64")
+
+    def _in_segment(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("c_mktsegment"),
+                                     segment))
+
+    cust = (_read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+            .map_batches(_in_segment, batch_format="pyarrow",
+                         zero_copy_batch=True))
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def _before(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch.column("o_orderdate").cast(pa.int64()))
+        return batch.filter(pa.array(ts < cut))
+
+    orders = orders.map_batches(_before, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def _drop_null(col: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_valid(batch.column(col)))
+        return f
+
+    # orders ⋈ customer: attach the segment tag, keep matching orders
+    o_seg = copartition_attach(
+        orders, cust, left_on="o_custkey", right_on="c_custkey",
+        payload_cols=["c_mktsegment"]).map_batches(
+            _drop_null("c_mktsegment"), batch_format="pyarrow",
+            zero_copy_batch=True)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_shipdate", "l_extendedprice",
+                "l_discount"])
+
+    def _after(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch.column("l_shipdate").cast(pa.int64()))
+        return batch.filter(pa.array(ts > cut))
+
+    li = li.map_batches(_after, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    joined = copartition_attach(
+        li, o_seg, left_on="l_orderkey", right_on="o_orderkey",
+        payload_cols=["o_orderdate"]).map_batches(
+            _drop_null("o_orderdate"), batch_format="pyarrow",
+            zero_copy_batch=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        p = np.asarray(batch.column("l_extendedprice"),
+                       dtype=np.float64)
+        d = np.asarray(batch.column("l_discount"), dtype=np.float64)
+        p100 = np.floor(p * 100.0 + 0.5).astype(np.int64)
+        d100 = np.floor(d * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "o_orderdate": batch.column("o_orderdate"),
+            "rev": pa.array(p100 * (100 - d100), type=pa.int64()),
+        })
+        g = t.group_by(["l_orderkey", "o_orderdate"]).aggregate(
+            [("rev", "sum")])
+        return pa.table({"l_orderkey": g.column("l_orderkey"),
+                         "o_orderdate": g.column("o_orderdate"),
+                         "rev": g.column("rev_sum").cast(pa.int64())})
+
+    per_order = (joined.map_batches(partial, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+                 .groupby(["l_orderkey", "o_orderdate"]).sum("rev"))
+
+    def widen(batch: pa.Table) -> pa.Table:
+        rev = np.asarray(batch.column("sum(rev)"), dtype=np.int64)
+        revenue = np.array([_split_double(int(r)) / 10000.0
+                            for r in rev], dtype=np.float64)
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "o_orderdate": batch.column("o_orderdate"),
+            "rev_x10k": pa.array(rev, type=pa.int64()),
+            "revenue": pa.array(revenue, type=pa.float64()),
+        })
+
+    wide = per_order.map_batches(widen, batch_format="pyarrow")
+    return topk(wide, k, [("rev_x10k", "descending"),
+                          ("o_orderdate", "ascending"),
+                          ("l_orderkey", "ascending")])
+
+
+# ---------------------------------------------------------------- W57 ----
+def w57_burstiness(sf_dir: str):
+    """W57 — Goh-Barabási burstiness parameter per event type over the
+    ZERO-FILLED daily count series: B = (sigma - mu) / (sigma + mu) in
+    [-1, 1] — B ~ -1 periodic, ~0 Poisson, -> 1 extremely bursty.  The
+    bounded-range companion of G31's dispersion index (D is unbounded;
+    B is comparable across types with different rates).
+
+    Exactness: G31's zero-fill identities give exact int64 T (total)
+    and Q (sum of squared daily counts) over the global day span n;
+    var_num = n*Q - T^2 is an exact nonnegative int.  The float tail
+    is pinned: mu = split(T)/n, sigma = sqrt(split(var_num))/n,
+    B = (sigma - mu)/(sigma + mu) — each a single IEEE op replayed
+    verbatim by the oracle.
+
+    Scale shape: per-block (type, day) count partials, ONE bounded
+    exchange, single-group widen over the bounded grid (G31's shape)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from anomalydetection_ray.stages.detectors import _split_double
+
+    DAY_US = 86_400_000_000
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(us // DAY_US, type=pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "n": pc.cast(g.column("count_all"),
+                                      pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["event_type", "day"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_one", pa.array(np.zeros(batch.num_rows, dtype=np.int64)))
+
+    def widen(group: pa.Table) -> pa.Table:
+        import math
+
+        et = group.column("event_type").to_pylist()
+        day = np.asarray(group.column("day"), dtype=np.int64)
+        n = np.asarray(group.column("n"), dtype=np.int64)
+        nd = int(day.max() - day.min() + 1)
+        types = sorted(set(et))
+        out_t, out_tot, out_v, out_b = [], [], [], []
+        for t in types:
+            sel = np.asarray([e == t for e in et], dtype=bool)
+            tot = int(n[sel].sum())
+            q = int((n[sel] * n[sel]).sum())
+            var_num = nd * q - tot * tot
+            out_t.append(t)
+            out_tot.append(tot)
+            out_v.append(var_num)
+            if tot > 0:
+                mu = _split_double(tot) / float(nd)
+                sig = math.sqrt(_split_double(var_num)) / float(nd)
+                out_b.append((sig - mu) / (sig + mu))
+            else:
+                out_b.append(None)
+        return pa.table({
+            "event_type": pa.array(out_t, type=pa.string()),
+            "n_days": pa.array([nd] * len(types), type=pa.int64()),
+            "total": pa.array(out_tot, type=pa.int64()),
+            "var_num": pa.array(out_v, type=pa.int64()),
+            "burstiness": pa.array(out_b, type=pa.float64(),
+                                   from_pandas=True),
+        })
+
+    return (counts.map_batches(tag, batch_format="pyarrow")
+            .groupby("_one").map_groups(widen, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------- G47 ----
+def g47_outlier_days(sf_dir: str):
+    """G47 — Tukey-fence outlier days per event type over the OBSERVED
+    daily counts: with q1/q3 the exact lower quartiles of the count
+    multiset, a day is a low/high outlier when its count falls outside
+    [q1 - 1.5*IQR, q3 + 1.5*IQR] — the box-plot whisker census
+    ("how many freak days did this stream have?").
+
+    Exactness: ENTIRELY integer — the fence compares are scaled by 4
+    (4*c < 4*q1 - 6*(q3 - q1), 4*c > 4*q3 + 6*(q3 - q1)), so there is
+    not a single float in the operator.
+
+    Scale shape: per-block (type, day) count partials, ONE bounded
+    exchange, per-type finalize over <= grid-days rows."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    DAY_US = 86_400_000_000
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(us // DAY_US, type=pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "n": pc.cast(g.column("count_all"),
+                                      pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["event_type", "day"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        c = np.sort(np.asarray(group.column("n"), dtype=np.int64))
+        m = int(c.shape[0])
+        q1 = int(c[(1 * m + 3) // 4 - 1])
+        q3 = int(c[(3 * m + 3) // 4 - 1])
+        iqr6 = 6 * (q3 - q1)
+        n_low = int(np.count_nonzero(4 * c < 4 * q1 - iqr6))
+        n_high = int(np.count_nonzero(4 * c > 4 * q3 + iqr6))
+        return pa.table({
+            "event_type": pa.array([et], type=pa.string()),
+            "n_days_observed": pa.array([m], type=pa.int64()),
+            "q1_daily": pa.array([q1], type=pa.int64()),
+            "q3_daily": pa.array([q3], type=pa.int64()),
+            "n_low_days": pa.array([n_low], type=pa.int64()),
+            "n_high_days": pa.array([n_high], type=pa.int64()),
+        })
+
+    return counts.groupby("event_type").map_groups(
+        finalize, batch_format="pyarrow")

@@ -3553,3 +3553,69 @@ def w56_return_gap_hist(sf_dir: str, num_partitions: int = 16):
                 "gap_days": b.column("gap_days"),
                 "n_users": b.column("sum(n_users)")}),
                 batch_format="pyarrow"))
+
+
+def _cohort_kernel(group: pa.Table) -> pa.Table:
+    """Per-partition retention-cohort partial: distinct (user, day)
+    activity -> per-user first day -> distinct (cohort_week = first
+    day // 7, offset_week = (day - first_day) // 7) pairs, counted.
+    Users never span partitions (the exchange keys on user_id), so the
+    per-partition counts add exactly."""
+    group = group.drop_columns([PKEY])
+    uid = np.asarray(group.column("user_id"), dtype=np.int64)
+    day = _ts_us(group.column("ts")) // 86_400_000_000
+    order = np.lexsort((day, uid))
+    uid, day = uid[order], day[order]
+    keep = np.concatenate(([True],
+                           (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])))
+    uid, day = uid[keep], day[keep]
+    starts = np.flatnonzero(np.concatenate(([True],
+                                            uid[1:] != uid[:-1])))
+    lens = np.diff(np.concatenate((starts, [uid.shape[0]])))
+    fd = np.repeat(day[starts], lens)
+    cohort = np.repeat(day[starts] // 7, lens)
+    offset = (day - fd) // 7
+    # distinct (user, cohort, offset): days within one user are sorted,
+    # so equal offsets are adjacent within the user's run
+    u_keep = np.concatenate(([True], (uid[1:] != uid[:-1])
+                             | (offset[1:] != offset[:-1])))
+    t = pa.table({
+        "cohort_week": pa.array(cohort[u_keep], type=pa.int64()),
+        "offset_week": pa.array(offset[u_keep], type=pa.int64()),
+        "one": pa.array(np.ones(int(u_keep.sum()), dtype=np.int64)),
+    })
+    g = t.group_by(["cohort_week", "offset_week"]).aggregate(
+        [("one", "sum")])
+    return pa.table({
+        "cohort_week": g.column("cohort_week"),
+        "offset_week": g.column("offset_week"),
+        "n_users": g.column("one_sum").cast(pa.int64()),
+    })
+
+
+def w58_retention_cohorts(sf_dir: str, num_partitions: int = 16):
+    """W58 — the weekly retention cohort matrix: users grouped by the
+    week of their FIRST activity (cohort_week = first active day // 7),
+    counted as active at each week offset since that first day — the
+    canonical cohort-retention triangle every growth dashboard draws.
+
+    Exactness: pure integer day/week arithmetic, exact distinct-user
+    counts (a user lives wholly in one partition, so partition partials
+    add exactly).
+
+    Scale shape: ONE ``_pkey`` exchange (user-partitioned), per-
+    partition vectorized distinct compaction + bounded (cohort, offset)
+    partials, tiny final sum over the bounded week grid."""
+    ev = _read_events(sf_dir, ["ts", "user_id"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return (tagged.groupby(PKEY).map_groups(_cohort_kernel,
+                                            batch_format="pyarrow")
+            .groupby(["cohort_week", "offset_week"]).sum("n_users")
+            .map_batches(lambda b: pa.table({
+                "cohort_week": b.column("cohort_week"),
+                "offset_week": b.column("offset_week"),
+                "n_users": b.column("sum(n_users)")}),
+                batch_format="pyarrow"))

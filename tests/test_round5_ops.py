@@ -2820,3 +2820,109 @@ def test_peaks_bruteforce():
         assert row["n_peaks1"] == p1
         assert row["n_peaks2"] == p2
     assert out[-1]["n_peaks1"] == 3 and out[-1]["n_peaks2"] == 0
+
+
+# ---------------------------------------------------------------- Q29 ----
+def test_q29_shipping_priority_bruteforce(ray_session):
+    import duckdb
+
+    import __ray_entry__ as e
+
+    got = e.queries()["q29_shipping_priority"](SF).to_pandas()
+    # independent brute force in pandas (not the registered SQL oracle)
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    od = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    cu = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    cut = np.datetime64("1998-06-01")
+    cu = cu[cu["c_mktsegment"] == "BUILDING"]
+    od = od[(od["o_orderdate"] < cut)
+            & od["o_custkey"].isin(cu["c_custkey"])]
+    li = li[(li["l_shipdate"] > cut)
+            & li["l_orderkey"].isin(od["o_orderkey"])].copy()
+    li["rev"] = (np.floor(li["l_extendedprice"] * 100 + 0.5).astype(np.int64)
+                 * (100 - np.floor(li["l_discount"] * 100
+                                   + 0.5).astype(np.int64)))
+    agg = li.groupby("l_orderkey")["rev"].sum().reset_index()
+    agg = agg.merge(od[["o_orderkey", "o_orderdate"]],
+                    left_on="l_orderkey", right_on="o_orderkey")
+    agg = agg.sort_values(["rev", "o_orderdate", "l_orderkey"],
+                          ascending=[False, True, True]).head(10)
+    assert list(got["l_orderkey"]) == list(agg["l_orderkey"])
+    assert list(got["rev_x10k"]) == list(agg["rev"])
+    for r, x in zip(got["revenue"], agg["rev"]):
+        assert r == float(x) / 10000.0
+
+
+# ---------------------------------------------------------------- W57 ----
+def test_w57_burstiness_bruteforce(ray_session):
+    import math
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["w57_burstiness"](SF).to_pandas()
+           .set_index("event_type"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    nd = int(ev["day"].max() - ev["day"].min() + 1)
+    for et, grp in ev.groupby("event_type"):
+        c = grp.groupby("day").size().to_numpy().astype(np.int64)
+        tot = int(c.sum())
+        q = int((c * c).sum())
+        vn = nd * q - tot * tot
+        row = got.loc[et]
+        assert row["n_days"] == nd
+        assert row["total"] == tot
+        assert row["var_num"] == vn
+        mu = float(tot) / float(nd)
+        sig = math.sqrt(float(vn)) / float(nd)
+        assert row["burstiness"] == (sig - mu) / (sig + mu)
+        assert -1.0 <= row["burstiness"] <= 1.0
+
+
+# ---------------------------------------------------------------- G47 ----
+def test_g47_outlier_days_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["g47_outlier_days"](SF).to_pandas()
+           .set_index("event_type"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    for et, grp in ev.groupby("event_type"):
+        c = np.sort(grp.groupby("day").size().to_numpy().astype(np.int64))
+        m = len(c)
+        q1 = int(c[(m + 3) // 4 - 1])
+        q3 = int(c[(3 * m + 3) // 4 - 1])
+        row = got.loc[et]
+        assert row["n_days_observed"] == m
+        assert (row["q1_daily"], row["q3_daily"]) == (q1, q3)
+        assert row["n_low_days"] == int(
+            np.count_nonzero(4 * c < 4 * q1 - 6 * (q3 - q1)))
+        assert row["n_high_days"] == int(
+            np.count_nonzero(4 * c > 4 * q3 + 6 * (q3 - q1)))
+
+
+# ---------------------------------------------------------------- W58 ----
+def test_w58_retention_cohorts_bruteforce(ray_session):
+    from collections import Counter
+
+    import __ray_entry__ as e
+
+    got = e.queries()["w58_retention_cohorts"](SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "user_id"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    want = Counter()
+    for uid, grp in ev.groupby("user_id"):
+        days = sorted(set(grp["day"]))
+        fd = days[0]
+        for off in sorted({(d - fd) // 7 for d in days}):
+            want[(fd // 7, off)] += 1
+    have = {(r["cohort_week"], r["offset_week"]): r["n_users"]
+            for _, r in got.iterrows()}
+    assert have == dict(want)
+    # every cohort has an offset-0 row covering all its users
+    week0 = {k[0]: v for k, v in want.items() if k[1] == 0}
+    for cw, n in week0.items():
+        assert have[(cw, 0)] == n
