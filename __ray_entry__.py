@@ -1554,6 +1554,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g47_outlier_days": q.g47_outlier_days,
         # W58 weekly retention cohort matrix
         "w58_retention_cohorts": wnd.w58_retention_cohorts,
+        # Q30 TPC-H Q5-shaped local supplier volume (6-table star)
+        "q30_local_supplier_volume": q.q30_local_supplier_volume,
+        # A95 weekly spectral line per type (DFT power at period 7)
+        "a95_weekly_spectrum": q.a95_weekly_spectrum,
+        # A96 diurnal spectral line per type (DFT power at period 24h)
+        "a96_diurnal_spectrum": q.a96_diurnal_spectrum,
         # Q28 uniform-mixture importance weights per source
         "q28_source_reweight": q.q28_source_reweight,
         # W56 first-return gap histogram (time to second visit)
@@ -2907,6 +2913,49 @@ def _fk_audit_sql() -> str:
                     FROM {child} GROUP BY 1) ck
               LEFT JOIN {parent} p ON ck.k = p.{pk})""")
     return " UNION ALL ".join(parts)
+
+
+def _spectral_sql(period: int, unit_us: int, power_col: str) -> str:
+    """A95/A96 oracle: the one-period DFT power via per-residue count
+    sums (exact ints — zero bins free) and the engine's pinned ordered
+    fold (ascending residue, 0.0 seed, one multiply per term);
+    cos/sin/pi() hit the same libm as Python's math module, and the
+    angle expression replays ((2*pi)*r)/period left-associatively."""
+    return f"""
+        WITH c AS (SELECT event_type,
+                          CAST((epoch_us(ts) // {unit_us}) % {period}
+                               AS BIGINT) AS r,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY event_type, r),
+        grid AS (SELECT e.event_type, t.r
+                 FROM (SELECT DISTINCT event_type FROM c) e
+                 CROSS JOIN range(0, {period}) t(r)),
+        fr AS (SELECT g.event_type, g.r, COALESCE(c.n, 0) AS n
+               FROM grid g LEFT JOIN c
+               ON c.event_type = g.event_type AND c.r = g.r),
+        l AS (SELECT event_type,
+                     list(CAST(n AS DOUBLE) ORDER BY r) AS sv,
+                     list(n ORDER BY r) AS si,
+                     CAST(sum(n) AS BIGINT) AS total
+              FROM fr GROUP BY event_type),
+        f AS (SELECT event_type, total, si,
+                     list_reduce(list_prepend(0.0, list_transform(
+                         range(1, {period + 1}),
+                         p -> sv[p] * cos(2 * pi() * (p - 1)
+                                          / {period}))),
+                         (a, b) -> a + b) AS x,
+                     list_reduce(list_prepend(0.0, list_transform(
+                         range(1, {period + 1}),
+                         p -> sv[p] * sin(2 * pi() * (p - 1)
+                                          / {period}))),
+                         (a, b) -> a + b) AS y
+              FROM l)
+        SELECT event_type, total,
+               CAST(list_position(si, list_max(si)) - 1 AS BIGINT)
+                   AS r_peak,
+               x AS cos_sum, y AS sin_sum, x * x + y * y AS {power_col}
+        FROM f
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5899,6 +5948,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_users
             FROM p GROUP BY cohort_week, offset_week
         """,
+        # Q30: Q29's quantization over the 6-table star; rev per nation
+        "q30_local_supplier_volume": """
+            WITH j AS (
+                SELECT c.c_nationkey AS nationkey,
+                       CAST(sum(CAST(floor(l.l_extendedprice * 100
+                                           + 0.5) AS BIGINT)
+                                * (100 - CAST(floor(l.l_discount * 100
+                                               + 0.5) AS BIGINT)))
+                            AS BIGINT) AS rev
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation n ON c.c_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+                WHERE r.r_name = 'ASIA'
+                  AND c.c_nationkey = s.s_nationkey
+                  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+                GROUP BY c.c_nationkey)
+            SELECT n.n_name, j.rev AS rev_x10k,
+                   (CAST(j.rev // 4294967296 AS DOUBLE) * 4294967296.0
+                    + CAST(j.rev % 4294967296 AS DOUBLE)) / 10000.0
+                       AS revenue
+            FROM j JOIN nation n ON j.nationkey = n.n_nationkey
+        """,
+        # A95/A96: per-residue exact counts + pinned trig folds
+        "a95_weekly_spectrum": _spectral_sql(7, 86_400_000_000,
+                                             "power7"),
+        "a96_diurnal_spectrum": _spectral_sql(24, 3_600_000_000,
+                                              "power24"),
         # Q28: two tiny aggregates + one pinned division
         "q28_source_reweight": """
             WITH c AS (SELECT source,

@@ -9865,3 +9865,205 @@ def g47_outlier_days(sf_dir: str):
 
     return counts.groupby("event_type").map_groups(
         finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- Q30 ----
+def q30_local_supplier_volume(sf_dir: str, region: str = "ASIA",
+                              lo: str = "1996-01-01",
+                              hi: str = "1997-01-01"):
+    """Q30 — TPC-H Q5-shaped local supplier volume: revenue per nation
+    from lineitems where the CUSTOMER and the SUPPLIER sit in the same
+    nation, nations restricted to one region, orders in a one-year
+    window — the canonical 6-table star join.
+
+    Exactness: Q29's cent*percent quantization (revenue*10^4 exact
+    int64 sums; ONE split-double / 1e4 per nation).
+
+    Scale shape: three co-partitioned exchanges on the three distinct
+    large keys (orderkey, custkey, suppkey — stages/join.py; orders
+    pre-filtered by date so the widest exchange carries only the
+    window), nation/region broadcast as plain dict closures (J1
+    discipline — 25/5 rows), bounded final groupby on nation."""
+    import pyarrow.compute as pc
+
+    from anomalydetection_ray.stages.detectors import _split_double
+    from anomalydetection_ray.stages.join import copartition_attach
+
+    lo_us = np.datetime64(lo, "us").astype("int64")
+    hi_us = np.datetime64(hi, "us").astype("int64")
+
+    nation = _read(sf_dir, "nation").take_all()      # 25 rows
+    regions = _read(sf_dir, "region").take_all()     # 5 rows
+    rkey = {r["r_regionkey"]: r["r_name"] for r in regions}
+    in_region = {n["n_nationkey"] for n in nation
+                 if rkey[n["n_regionkey"]] == region}
+    n_name = {n["n_nationkey"]: n["n_name"] for n in nation}
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def _window(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch.column("o_orderdate").cast(pa.int64()))
+        return batch.filter(pa.array((ts >= lo_us) & (ts < hi_us)))
+
+    orders = orders.map_batches(_window, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"])
+    # lineitem ⋈ orders (orderkey): attach o_custkey, drop non-window
+    j1 = copartition_attach(li, orders, left_on="l_orderkey",
+                            right_on="o_orderkey",
+                            payload_cols=["o_custkey"])
+
+    def _has(col: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_valid(batch.column(col)))
+        return f
+
+    j1 = j1.map_batches(_has("o_custkey"), batch_format="pyarrow",
+                        zero_copy_batch=True)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j2 = copartition_attach(j1, cust, left_on="o_custkey",
+                            right_on="c_custkey",
+                            payload_cols=["c_nationkey"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    j3 = copartition_attach(j2, supp, left_on="l_suppkey",
+                            right_on="s_suppkey",
+                            payload_cols=["s_nationkey"])
+
+    in_arr = np.array(sorted(in_region), dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cn = np.asarray(batch.column("c_nationkey").cast(pa.int64()))
+        sn = np.asarray(batch.column("s_nationkey").cast(pa.int64()))
+        keep = ((cn == sn)
+                & np.isin(cn, in_arr)
+                & pc.is_valid(batch.column("c_nationkey")).to_numpy(
+                    zero_copy_only=False)
+                & pc.is_valid(batch.column("s_nationkey")).to_numpy(
+                    zero_copy_only=False))
+        b = batch.filter(pa.array(keep))
+        if b.num_rows == 0:
+            return pa.table({
+                "nationkey": pa.array([], type=pa.int64()),
+                "rev": pa.array([], type=pa.int64())})
+        p = np.asarray(b.column("l_extendedprice"), dtype=np.float64)
+        d = np.asarray(b.column("l_discount"), dtype=np.float64)
+        p100 = np.floor(p * 100.0 + 0.5).astype(np.int64)
+        d100 = np.floor(d * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({
+            "nationkey": b.column("c_nationkey").cast(pa.int64()),
+            "rev": pa.array(p100 * (100 - d100), type=pa.int64())})
+        g = t.group_by(["nationkey"]).aggregate([("rev", "sum")])
+        return pa.table({"nationkey": g.column("nationkey"),
+                         "rev": g.column("rev_sum").cast(pa.int64())})
+
+    agg = (j3.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("nationkey").sum("rev"))
+
+    nk = np.array(sorted(n_name), dtype=np.int64)
+    nm = np.array([n_name[k] for k in nk], dtype=object)
+
+    def widen(batch: pa.Table) -> pa.Table:
+        key = np.asarray(batch.column("nationkey"), dtype=np.int64)
+        rev = np.asarray(batch.column("sum(rev)"), dtype=np.int64)
+        pos = np.searchsorted(nk, key)
+        revenue = np.array([_split_double(int(r)) / 10000.0
+                            for r in rev], dtype=np.float64)
+        return pa.table({
+            "n_name": pa.array(nm[pos], type=pa.string()),
+            "rev_x10k": pa.array(rev, type=pa.int64()),
+            "revenue": pa.array(revenue, type=pa.float64()),
+        })
+
+    return agg.map_batches(widen, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ A95/A96 ----
+def _spectral_line(sf_dir: str, period: int, unit_us: int,
+                   power_col: str):
+    """Shared engine for A95/A96 — the DFT power at ONE known period of
+    a type's event-arrival series, computed the cheap exact way: when
+    the period divides the time grid into ``period`` residue classes,
+    the Fourier sums collapse to per-residue COUNT sums (exact ints),
+    and the whole float tail is a ``period``-term ordered fold of
+    count * cos / count * sin plus x*x + y*y.  Zero-filled bins are
+    free (zeros add nothing to residue sums).
+
+    Scale shape: per-block (type, residue) count partials, ONE bounded
+    exchange (|types| * period rows), per-type finalize."""
+    import math
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "r": pa.array((us // unit_us) % period, type=pa.int64()),
+        })
+        g = t.group_by(["event_type", "r"]).aggregate([([],
+                                                        "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "r": g.column("r"),
+                         "n": pc.cast(g.column("count_all"),
+                                      pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["event_type", "r"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        r = np.asarray(group.column("r"), dtype=np.int64)
+        n = np.asarray(group.column("n"), dtype=np.int64)
+        s = np.zeros(period, dtype=np.int64)
+        s[r] = n
+        total = int(s.sum())
+        # pinned fold: ascending residue, 0.0 seed, one multiply per
+        # term (replayed by the oracle's list_reduce)
+        x = 0.0
+        y = 0.0
+        for k in range(period):
+            x = x + float(int(s[k])) * math.cos(
+                2.0 * math.pi * float(k) / float(period))
+            y = y + float(int(s[k])) * math.sin(
+                2.0 * math.pi * float(k) / float(period))
+        argmax = int(np.argmax(s))  # first max, ties to smallest r
+        return pa.table({
+            "event_type": pa.array([et], type=pa.string()),
+            "total": pa.array([total], type=pa.int64()),
+            "r_peak": pa.array([argmax], type=pa.int64()),
+            "cos_sum": pa.array([x], type=pa.float64()),
+            "sin_sum": pa.array([y], type=pa.float64()),
+            power_col: pa.array([x * x + y * y], type=pa.float64()),
+        })
+
+    return counts.groupby("event_type").map_groups(
+        finalize, batch_format="pyarrow")
+
+
+def a95_weekly_spectrum(sf_dir: str):
+    """A95 — weekly spectral line per event type: the DFT power of the
+    arrival series at period 7 days — the direct "is there a weekly
+    rhythm?" detector (large power7 = strong weekday/weekend cycle),
+    complementing W49's variance-ratio seasonal strength with the
+    classical Fourier readout.  Exact per-weekday-residue counts; the
+    float tail is a pinned 7-term fold."""
+    return _spectral_line(sf_dir, 7, 86_400_000_000, "power7")
+
+
+def a96_diurnal_spectrum(sf_dir: str):
+    """A96 — diurnal spectral line per event type: the DFT power of
+    the arrival series at period 24 hours (hour-of-day residues) — the
+    "does this stream breathe with the day?" detector next to G35's
+    hourly entropy.  Exact per-hour counts; pinned 24-term fold."""
+    return _spectral_line(sf_dir, 24, 3_600_000_000, "power24")

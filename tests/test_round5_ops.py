@@ -2926,3 +2926,106 @@ def test_w58_retention_cohorts_bruteforce(ray_session):
     week0 = {k[0]: v for k, v in want.items() if k[1] == 0}
     for cw, n in week0.items():
         assert have[(cw, 0)] == n
+
+
+# ---------------------------------------------------------------- Q30 ----
+def test_q30_local_supplier_volume_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["q30_local_supplier_volume"](SF).to_pandas()
+           .set_index("n_name"))
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    od = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    cu = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    su = pq.read_table(f"{SF}/supplier.parquet").to_pandas()
+    na = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+    re_ = pq.read_table(f"{SF}/region.parquet").to_pandas()
+    asia = set(na.merge(re_, left_on="n_regionkey",
+                        right_on="r_regionkey")
+               .query("r_name == 'ASIA'")["n_nationkey"])
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1997-01-01")
+    od = od[(od["o_orderdate"] >= lo) & (od["o_orderdate"] < hi)]
+    j = (li.merge(od[["o_orderkey", "o_custkey"]],
+                  left_on="l_orderkey", right_on="o_orderkey")
+         .merge(cu[["c_custkey", "c_nationkey"]],
+                left_on="o_custkey", right_on="c_custkey")
+         .merge(su[["s_suppkey", "s_nationkey"]],
+                left_on="l_suppkey", right_on="s_suppkey"))
+    j = j[(j["c_nationkey"] == j["s_nationkey"])
+          & j["c_nationkey"].isin(asia)].copy()
+    j["rev"] = (np.floor(j["l_extendedprice"] * 100 + 0.5).astype(np.int64)
+                * (100 - np.floor(j["l_discount"] * 100
+                                  + 0.5).astype(np.int64)))
+    want = j.groupby("c_nationkey")["rev"].sum()
+    names = na.set_index("n_nationkey")["n_name"]
+    assert len(got) == len(want)
+    for nk, rev in want.items():
+        row = got.loc[names[nk]]
+        assert row["rev_x10k"] == rev
+        assert row["revenue"] == float(rev) / 10000.0
+
+
+# ------------------------------------------------------------ A95/A96 ----
+def test_spectral_lines_bruteforce(ray_session):
+    import math
+
+    import __ray_entry__ as e
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    us = ev["ts"].astype("int64")
+    for name, period, unit, col in [
+            ("a95_weekly_spectrum", 7, 86_400_000_000, "power7"),
+            ("a96_diurnal_spectrum", 24, 3_600_000_000, "power24")]:
+        got = (e.queries()[name](SF).to_pandas()
+               .set_index("event_type"))
+        ev["r"] = (us // unit) % period
+        for et, grp in ev.groupby("event_type"):
+            s = np.zeros(period, dtype=np.int64)
+            for r, c in grp["r"].value_counts().items():
+                s[int(r)] = int(c)
+            x = y = 0.0
+            for k in range(period):
+                x = x + float(int(s[k])) * math.cos(
+                    2.0 * math.pi * float(k) / float(period))
+                y = y + float(int(s[k])) * math.sin(
+                    2.0 * math.pi * float(k) / float(period))
+            row = got.loc[et]
+            assert row["total"] == int(s.sum())
+            assert row["r_peak"] == int(np.argmax(s))
+            assert row["cos_sum"] == x and row["sin_sum"] == y
+            assert row[col] == x * x + y * y
+
+
+def test_spectral_line_detects_planted_weekly_cycle(ray_session):
+    import ray.data
+
+    from anomalydetection_ray.pipelines.queries import _spectral_line
+
+    # synth parquet: type "weekly" fires only on residue-0 days, type
+    # "flat" uniformly -> power7 huge vs ~0
+    import tempfile, os
+    import pyarrow.parquet as _pq
+
+    d = tempfile.mkdtemp(prefix="a95_")
+    days = np.arange(140)
+    rows = []
+    for day in days:
+        if day % 7 == 0:
+            rows += [("weekly", day)] * 10
+        rows += [("flat", day)]
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "ts": pa.array(
+            np.array([d_ * 86_400_000_000 + 1 for _, d_ in rows],
+                     dtype="datetime64[us]")),
+        "user_id": pa.array([0] * len(rows), type=pa.int64()),
+        "event_type": pa.array([k for k, _ in rows]),
+        "value": pa.array([0.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    _pq.write_table(t, os.path.join(d, "events.parquet"))
+    got = (_spectral_line(d, 7, 86_400_000_000, "power7").to_pandas()
+           .set_index("event_type"))
+    assert got.loc["weekly"]["power7"] > 100 * max(
+        got.loc["flat"]["power7"], 1e-9)
