@@ -3555,7 +3555,7 @@ def w56_return_gap_hist(sf_dir: str, num_partitions: int = 16):
                 batch_format="pyarrow"))
 
 
-def _cohort_kernel(group: pa.Table) -> pa.Table:
+def _w58_cohort_kernel(group: pa.Table) -> pa.Table:
     """Per-partition retention-cohort partial: distinct (user, day)
     activity -> per-user first day -> distinct (cohort_week = first
     day // 7, offset_week = (day - first_day) // 7) pairs, counted.
@@ -3594,10 +3594,14 @@ def _cohort_kernel(group: pa.Table) -> pa.Table:
 
 
 def w58_retention_cohorts(sf_dir: str, num_partitions: int = 16):
-    """W58 — the weekly retention cohort matrix: users grouped by the
-    week of their FIRST activity (cohort_week = first active day // 7),
-    counted as active at each week offset since that first day — the
-    canonical cohort-retention triangle every growth dashboard draws.
+    """W58 — USER-ANCHORED weekly retention: users grouped by the week
+    of their FIRST activity (cohort_week = first active day // 7),
+    counted as active at each 7-day offset SINCE THAT FIRST DAY
+    (offset_week = (day - first_day) // 7).  The signup-anchored
+    retention curve next to W36's calendar-anchored triangle (W36
+    buckets activity by calendar week, so a Sunday signup "retains"
+    after one day; this op measures true elapsed weeks) and T8's
+    signup-event 7-day binary flag.
 
     Exactness: pure integer day/week arithmetic, exact distinct-user
     counts (a user lives wholly in one partition, so partition partials
@@ -3611,7 +3615,7 @@ def w58_retention_cohorts(sf_dir: str, num_partitions: int = 16):
         functools.partial(add_partition_key, keys=["user_id"],
                           num_partitions=num_partitions),
         batch_format="pyarrow", zero_copy_batch=True)
-    return (tagged.groupby(PKEY).map_groups(_cohort_kernel,
+    return (tagged.groupby(PKEY).map_groups(_w58_cohort_kernel,
                                             batch_format="pyarrow")
             .groupby(["cohort_week", "offset_week"]).sum("n_users")
             .map_batches(lambda b: pa.table({
