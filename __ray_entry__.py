@@ -1560,6 +1560,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a95_weekly_spectrum": q.a95_weekly_spectrum,
         # A96 diurnal spectral line per type (DFT power at period 24h)
         "a96_diurnal_spectrum": q.a96_diurnal_spectrum,
+        # Q31 TPC-H Q14-shaped promo revenue share
+        "q31_promo_revenue_share": q.q31_promo_revenue_share,
+        # Q33 TPC-H Q4-shaped late-shipment priority census
+        # (EXISTS-with-inequality semi join)
+        "q33_late_shipment_census": q.q33_late_shipment_census,
+        # Q34 TPC-H Q18-shaped large-volume orders (HAVING + top-k)
+        "q34_large_volume_orders": q.q34_large_volume_orders,
+        # G49 type x dow x hour heatmap with per-type shares
+        "g49_dow_hour_heatmap": q.g49_dow_hour_heatmap,
         # Q28 uniform-mixture importance weights per source
         "q28_source_reweight": q.q28_source_reweight,
         # W56 first-return gap histogram (time to second visit)
@@ -5979,6 +5988,80 @@ def oracle_sql() -> dict[str, str]:
                                              "power7"),
         "a96_diurnal_spectrum": _spectral_sql(24, 3_600_000_000,
                                               "power24"),
+        # Q31: both revenue sums exact ints; share = two pinned ops
+        "q31_promo_revenue_share": """
+            WITH j AS (
+                SELECT CAST(floor(l.l_extendedprice * 100 + 0.5)
+                            AS BIGINT)
+                       * (100 - CAST(floor(l.l_discount * 100 + 0.5)
+                                     AS BIGINT)) AS rev,
+                       (p.p_type = 'PROMO') AS promo
+                FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+                  AND l.l_shipdate < TIMESTAMP '1996-04-01'),
+            a AS (SELECT CAST(sum(CASE WHEN promo THEN rev ELSE 0 END)
+                              AS BIGINT) AS p,
+                         CAST(sum(rev) AS BIGINT) AS t
+                  FROM j)
+            SELECT p AS promo_rev_x10k, t AS total_rev_x10k,
+                   CASE WHEN t > 0 THEN
+                       (100.0 * (CAST(p // 4294967296 AS DOUBLE)
+                                 * 4294967296.0
+                                 + CAST(p % 4294967296 AS DOUBLE)))
+                       / (CAST(t // 4294967296 AS DOUBLE)
+                          * 4294967296.0
+                          + CAST(t % 4294967296 AS DOUBLE))
+                   END AS promo_share
+            FROM a
+        """,
+        # Q33: EXISTS with the 90-day inequality; exact day-us compare
+        "q33_late_shipment_census": """
+            WITH o AS (SELECT o_orderkey, o_orderdate, o_orderpriority
+                       FROM orders
+                       WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                         AND o_orderdate < TIMESTAMP '1996-07-01')
+            SELECT o.o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_late_orders
+            FROM o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND epoch_us(l.l_shipdate) >
+                      epoch_us(o.o_orderdate) + 7776000000000)
+            GROUP BY o.o_orderpriority
+        """,
+        # Q34: integral quantities; HAVING prune then attach + top-k
+        "q34_large_volume_orders": """
+            WITH s AS (SELECT l_orderkey,
+                              CAST(sum(CAST(l_quantity AS BIGINT))
+                                   AS BIGINT) AS total_qty
+                       FROM lineitem GROUP BY l_orderkey
+                       HAVING sum(CAST(l_quantity AS BIGINT)) > 150)
+            SELECT s.l_orderkey, s.total_qty, o.o_custkey,
+                   o.o_orderdate
+            FROM s JOIN orders o ON s.l_orderkey = o.o_orderkey
+            ORDER BY s.total_qty DESC, s.l_orderkey
+            LIMIT 20
+        """,
+        # G49: bounded 3-key grid counts + per-type share divisions
+        "g49_dow_hour_heatmap": """
+            WITH c AS (SELECT event_type,
+                              CAST((epoch_us(ts) // 86400000000) % 7
+                                   AS BIGINT) AS dow,
+                              CAST((epoch_us(ts) // 3600000000) % 24
+                                   AS BIGINT) AS hour,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events
+                       GROUP BY event_type, dow, hour),
+            t AS (SELECT event_type,
+                         CAST(sum(n) AS BIGINT) AS type_total
+                  FROM c GROUP BY event_type)
+            SELECT c.event_type, c.dow, c.hour, c.n, t.type_total,
+                   CAST(c.n AS DOUBLE) / CAST(t.type_total AS DOUBLE)
+                       AS share
+            FROM c JOIN t USING (event_type)
+        """,
         # Q28: two tiny aggregates + one pinned division
         "q28_source_reweight": """
             WITH c AS (SELECT source,

@@ -10067,3 +10067,256 @@ def a96_diurnal_spectrum(sf_dir: str):
     "does this stream breathe with the day?" detector next to G35's
     hourly entropy.  Exact per-hour counts; pinned 24-term fold."""
     return _spectral_line(sf_dir, 24, 3_600_000_000, "power24")
+
+
+# ---------------------------------------------------------------- Q31 ----
+def q31_promo_revenue_share(sf_dir: str, lo: str = "1996-03-01",
+                            hi: str = "1996-04-01"):
+    """Q31 — TPC-H Q14-shaped promotion effect: the share of one
+    month's revenue that came from parts of type 'PROMO' —
+    100 * promo_rev / total_rev, the single-scalar marketing KPI.
+
+    Exactness: Q29's cent*percent revenue quantization keeps both
+    sums exact int64; the share is 100.0 * split(promo) / split(total)
+    (two pinned IEEE ops).
+
+    Scale shape: lineitem is date-filtered at the map side BEFORE the
+    one co-partitioned exchange on partkey (stages/join.py); the final
+    aggregate collapses to a single row of int partials."""
+    from anomalydetection_ray.stages.detectors import _split_double
+    from anomalydetection_ray.stages.join import copartition_attach
+
+    lo_us = np.datetime64(lo, "us").astype("int64")
+    hi_us = np.datetime64(hi, "us").astype("int64")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_shipdate", "l_extendedprice",
+                "l_discount"])
+
+    def _window(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch.column("l_shipdate").cast(pa.int64()))
+        return batch.filter(pa.array((ts >= lo_us) & (ts < hi_us)))
+
+    li = li.map_batches(_window, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    parts = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    joined = copartition_attach(li, parts, left_on="l_partkey",
+                                right_on="p_partkey",
+                                payload_cols=["p_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        p = np.asarray(batch.column("l_extendedprice"),
+                       dtype=np.float64)
+        d = np.asarray(batch.column("l_discount"), dtype=np.float64)
+        rev = (np.floor(p * 100.0 + 0.5).astype(np.int64)
+               * (100 - np.floor(d * 100.0 + 0.5).astype(np.int64)))
+        promo = pc.fill_null(
+            pc.equal(batch.column("p_type"), "PROMO"),
+            False).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "_one": pa.array([0], type=pa.int64()),
+            "promo_rev": pa.array([int(rev[promo].sum())],
+                                  type=pa.int64()),
+            "total_rev": pa.array([int(rev.sum())], type=pa.int64()),
+        })
+
+    agg = (joined.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("_one").sum(["promo_rev", "total_rev"]))
+
+    def widen(batch: pa.Table) -> pa.Table:
+        p = int(batch.column("sum(promo_rev)")[0].as_py())
+        t = int(batch.column("sum(total_rev)")[0].as_py())
+        share = ((100.0 * _split_double(p)) / _split_double(t)
+                 if t > 0 else None)
+        return pa.table({
+            "promo_rev_x10k": pa.array([p], type=pa.int64()),
+            "total_rev_x10k": pa.array([t], type=pa.int64()),
+            "promo_share": pa.array([share], type=pa.float64(),
+                                    from_pandas=True),
+        })
+
+    return agg.map_batches(widen, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- Q33 ----
+def q33_late_shipment_census(sf_dir: str, lo: str = "1996-01-01",
+                             hi: str = "1996-07-01",
+                             grace_days: int = 90):
+    """Q33 — TPC-H Q4-shaped order priority checking: per order
+    priority, how many orders placed in the window had AT LEAST ONE
+    lineitem shipping more than ``grace_days`` after the order date —
+    the EXISTS-with-inequality semi-join shape (J8's equality semi
+    join can't express the predicate).
+
+    Scale shape: orders are window-filtered map-side, ONE
+    co-partitioned exchange on orderkey attaches (date, priority) to
+    lineitems; each output block is exactly one key partition, so the
+    per-block distinct-late-orderkey compaction is globally correct
+    and only bounded (priority, count) partials reach the final
+    exchange.  Exact integer day compare, exact counts."""
+    from anomalydetection_ray.stages.join import copartition_attach
+
+    lo_us = np.datetime64(lo, "us").astype("int64")
+    hi_us = np.datetime64(hi, "us").astype("int64")
+    grace_us = int(grace_days) * 86_400_000_000
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def _window(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch.column("o_orderdate").cast(pa.int64()))
+        return batch.filter(pa.array((ts >= lo_us) & (ts < hi_us)))
+
+    orders = orders.map_batches(_window, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    joined = copartition_attach(
+        li, orders, left_on="l_orderkey", right_on="o_orderkey",
+        payload_cols=["o_orderdate", "o_orderpriority"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ok = pc.is_valid(batch.column("o_orderdate")).to_numpy(
+            zero_copy_only=False)
+        b = batch.filter(pa.array(ok))
+        if b.num_rows == 0:
+            return pa.table({
+                "o_orderpriority": pa.array([], type=pa.string()),
+                "n_late_orders": pa.array([], type=pa.int64())})
+        ship = np.asarray(b.column("l_shipdate").cast(pa.int64()))
+        odate = np.asarray(b.column("o_orderdate").cast(pa.int64()))
+        late = ship > odate + grace_us
+        okey = np.asarray(b.column("l_orderkey"), dtype=np.int64)[late]
+        prio = np.asarray(b.column("o_orderpriority"))[late]
+        # batch == one orderkey partition (copartition_attach emits one
+        # block per key partition; batch_size=None keeps blocks whole),
+        # so a within-batch distinct is a global distinct
+        _, first = np.unique(okey, return_index=True)
+        t = pa.table({
+            "o_orderpriority": pa.array(prio[first], type=pa.string()),
+            "one": pa.array(np.ones(first.shape[0], dtype=np.int64)),
+        })
+        g = t.group_by(["o_orderpriority"]).aggregate([("one", "sum")])
+        return pa.table({
+            "o_orderpriority": g.column("o_orderpriority"),
+            "n_late_orders": g.column("one_sum").cast(pa.int64())})
+
+    return (joined.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None, zero_copy_batch=True)
+            .groupby("o_orderpriority").sum("n_late_orders")
+            .map_batches(lambda b: pa.table({
+                "o_orderpriority": b.column("o_orderpriority"),
+                "n_late_orders": b.column("sum(n_late_orders)")}),
+                batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------- Q34 ----
+def q34_large_volume_orders(sf_dir: str, min_qty: int = 150,
+                            k: int = 20):
+    """Q34 — TPC-H Q18-shaped large-volume orders: the top-``k``
+    orders by total quantity among those exceeding ``min_qty`` units,
+    with the ordering customer attached — the HAVING-on-a-grouped-sum
+    + top-k shape.
+
+    Exactness: quantities are integral; sums/compares exact int64.
+
+    Scale shape: per-batch (orderkey, qty) partials collapse before
+    ONE groupby exchange on orderkey; the HAVING filter prunes to the
+    rare whales BEFORE the customer attach (co-partitioned exchange on
+    the tiny survivor set) and the block-pruned top-k."""
+    import pyarrow.compute as pc
+
+    from anomalydetection_ray.stages.join import copartition_attach
+    from anomalydetection_ray.stages.topk import topk
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "qty": pc.cast(batch.column("l_quantity"), pa.int64()),
+        })
+        g = t.group_by(["l_orderkey"]).aggregate([("qty", "sum")])
+        return pa.table({"l_orderkey": g.column("l_orderkey"),
+                         "qty": g.column("qty_sum").cast(pa.int64())})
+
+    per_order = (li.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+                 .groupby("l_orderkey").sum("qty"))
+
+    def having(batch: pa.Table) -> pa.Table:
+        q = np.asarray(batch.column("sum(qty)"), dtype=np.int64)
+        b = batch.filter(pa.array(q > min_qty))
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "total_qty": b.column("sum(qty)").cast(pa.int64())})
+
+    whales = per_order.map_batches(having, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    wide = copartition_attach(
+        whales, orders, left_on="l_orderkey", right_on="o_orderkey",
+        payload_cols=["o_custkey", "o_orderdate"])
+    return topk(wide, k, [("total_qty", "descending"),
+                          ("l_orderkey", "ascending")])
+
+
+# ---------------------------------------------------------------- G49 ----
+def g49_dow_hour_heatmap(sf_dir: str):
+    """G49 — the (event_type, day-of-week residue, hour-of-day)
+    activity heatmap with each cell's share of its type's total — the
+    operational-dashboard grid behind G35's hourly entropy and A95/
+    A96's spectral lines (dow = epoch-day % 7, the repo's residue
+    convention).  Exact counts; share = ONE pinned division per cell
+    over the bounded |types| x 7 x 24 grid."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from anomalydetection_ray.stages.detectors import _split_double
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "dow": pa.array((us // 86_400_000_000) % 7,
+                            type=pa.int64()),
+            "hour": pa.array((us // 3_600_000_000) % 24,
+                             type=pa.int64()),
+        })
+        g = t.group_by(["event_type", "dow", "hour"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "dow": g.column("dow"),
+                         "hour": g.column("hour"),
+                         "n": pc.cast(g.column("count_all"),
+                                      pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["event_type", "dow", "hour"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        n = np.asarray(group.column("n"), dtype=np.int64)
+        tot = int(n.sum())
+        share = np.array([_split_double(int(x)) / _split_double(tot)
+                          for x in n], dtype=np.float64)
+        return pa.table({
+            "event_type": group.column("event_type"),
+            "dow": group.column("dow"),
+            "hour": group.column("hour"),
+            "n": group.column("n"),
+            "type_total": pa.array([tot] * group.num_rows,
+                                   type=pa.int64()),
+            "share": pa.array(share, type=pa.float64()),
+        })
+
+    return counts.groupby("event_type").map_groups(
+        finalize, batch_format="pyarrow")

@@ -3029,3 +3029,88 @@ def test_spectral_line_detects_planted_weekly_cycle(ray_session):
            .set_index("event_type"))
     assert got.loc["weekly"]["power7"] > 100 * max(
         got.loc["flat"]["power7"], 1e-9)
+
+
+# ---------------------------------------------------------------- Q31 ----
+def test_q31_promo_share_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = e.queries()["q31_promo_revenue_share"](SF).to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    pt = pq.read_table(f"{SF}/part.parquet",
+                       columns=["p_partkey", "p_type"]).to_pandas()
+    lo, hi = np.datetime64("1996-03-01"), np.datetime64("1996-04-01")
+    li = li[(li["l_shipdate"] >= lo) & (li["l_shipdate"] < hi)]
+    j = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    rev = (np.floor(j["l_extendedprice"] * 100 + 0.5).astype(np.int64)
+           * (100 - np.floor(j["l_discount"] * 100
+                             + 0.5).astype(np.int64)))
+    promo = int(rev[j["p_type"] == "PROMO"].sum())
+    total = int(rev.sum())
+    assert len(got) == 1
+    assert got["promo_rev_x10k"][0] == promo
+    assert got["total_rev_x10k"][0] == total
+    assert got["promo_share"][0] == (100.0 * float(promo)) / float(total)
+
+
+# ---------------------------------------------------------------- Q33 ----
+def test_q33_late_shipments_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["q33_late_shipment_census"](SF).to_pandas()
+           .set_index("o_orderpriority"))
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey", "l_shipdate"]).to_pandas()
+    od = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1996-07-01")
+    od = od[(od["o_orderdate"] >= lo) & (od["o_orderdate"] < hi)]
+    j = li.merge(od[["o_orderkey", "o_orderdate", "o_orderpriority"]],
+                 left_on="l_orderkey", right_on="o_orderkey")
+    late = j[j["l_shipdate"].astype("int64")
+             > j["o_orderdate"].astype("int64") + 90 * 86_400_000_000]
+    want = (late.drop_duplicates("l_orderkey")
+            .groupby("o_orderpriority").size())
+    assert len(got) == len(want)
+    for prio, n in want.items():
+        assert got.loc[prio]["n_late_orders"] == n
+
+
+# ---------------------------------------------------------------- Q34 ----
+def test_q34_large_volume_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = e.queries()["q34_large_volume_orders"](SF).to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey", "l_quantity"]).to_pandas()
+    od = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    s = (li.assign(q=li["l_quantity"].astype(np.int64))
+         .groupby("l_orderkey")["q"].sum())
+    s = s[s > 150].reset_index().merge(
+        od[["o_orderkey", "o_custkey"]],
+        left_on="l_orderkey", right_on="o_orderkey")
+    s = s.sort_values(["q", "l_orderkey"],
+                      ascending=[False, True]).head(20)
+    assert list(got["l_orderkey"]) == list(s["l_orderkey"])
+    assert list(got["total_qty"]) == list(s["q"])
+    assert list(got["o_custkey"]) == list(s["o_custkey"])
+
+
+# ---------------------------------------------------------------- G49 ----
+def test_g49_heatmap_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = e.queries()["g49_dow_hour_heatmap"](SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    us = ev["ts"].astype("int64")
+    ev["dow"] = (us // 86_400_000_000) % 7
+    ev["hour"] = (us // 3_600_000_000) % 24
+    want = ev.groupby(["event_type", "dow", "hour"]).size()
+    totals = ev.groupby("event_type").size()
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        n = want.loc[(r["event_type"], r["dow"], r["hour"])]
+        assert r["n"] == n
+        assert r["type_total"] == totals.loc[r["event_type"]]
+        assert r["share"] == float(n) / float(totals.loc[r["event_type"]])
+        assert 0.0 < r["share"] <= 1.0
