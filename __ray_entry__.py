@@ -1569,6 +1569,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q34_large_volume_orders": q.q34_large_volume_orders,
         # G49 type x dow x hour heatmap with per-type shares
         "g49_dow_hour_heatmap": q.g49_dow_hour_heatmap,
+        # D28 LSH precision audit (candidates vs exact-cosine confirms)
+        "d28_lsh_precision": dd.d28_lsh_precision,
+        # X12 document-level co-occurrence lift of two words
+        "x12_cooccurrence_lift": vb.x12_cooccurrence_lift,
         # Q28 uniform-mixture importance weights per source
         "q28_source_reweight": q.q28_source_reweight,
         # W56 first-return gap histogram (time to second visit)
@@ -2095,7 +2099,8 @@ def _simhash_pairs_sql(max_hamming: int = 3) -> str:
 
 
 def _emb_lsh_pairs_sql(min_cosine: float = 0.3, n_bands: int = 8,
-                       band_bits: int = 8, dim: int = 64) -> str:
+                       band_bits: int = 8, dim: int = 64,
+                       audit: bool = False) -> str:
     """dedup_embedding_pairs oracle: integer-quantized Rademacher-plane
     signing -> banded candidate join -> exact cosine filter (reproduces
     pipelines/dedup.py embedding_lsh_pairs bit-for-bit).  The quantized
@@ -2128,12 +2133,35 @@ def _emb_lsh_pairs_sql(min_cosine: float = 0.3, n_bands: int = 8,
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM keys a JOIN keys b
         ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
-    SELECT c.vec_a, c.vec_b
+    {_emb_lsh_tail(min_cosine, audit)}
+    """
+
+
+def _emb_lsh_tail(min_cosine: float, audit: bool) -> str:
+    if not audit:
+        return f"""SELECT c.vec_a, c.vec_b
     FROM cand c
     JOIN embeddings ea ON ea.vec_id = c.vec_a
     JOIN embeddings eb ON eb.vec_id = c.vec_b
-    WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= {min_cosine}
-    """
+    WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= {min_cosine}"""
+    # D28 audit tail: candidate + confirmed counts, pinned precision
+    return f""", scored AS (
+      SELECT list_cosine_similarity(ea.embedding, eb.embedding) AS cos
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.vec_a
+      JOIN embeddings eb ON eb.vec_id = c.vec_b),
+    a AS (SELECT CAST(count(*) AS BIGINT) AS cand,
+                 CAST(sum(CASE WHEN cos >= {min_cosine} THEN 1
+                          ELSE 0 END) AS BIGINT) AS conf
+          FROM scored)
+    SELECT cand AS n_candidates, conf AS n_confirmed,
+           CASE WHEN cand > 0 THEN
+               (CAST(conf // 4294967296 AS DOUBLE) * 4294967296.0
+                + CAST(conf % 4294967296 AS DOUBLE))
+               / (CAST(cand // 4294967296 AS DOUBLE) * 4294967296.0
+                  + CAST(cand % 4294967296 AS DOUBLE))
+           END AS lsh_precision
+    FROM a"""
 
 
 def _minhash_cte(min_est: float) -> str:
@@ -5988,6 +6016,38 @@ def oracle_sql() -> dict[str, str]:
                                              "power7"),
         "a96_diurnal_spectrum": _spectral_sql(24, 3_600_000_000,
                                               "power24"),
+        # D28: the LSH pairs machinery with the audit tail
+        "d28_lsh_precision": _emb_lsh_pairs_sql(audit=True),
+        # X12: padded-substring containment == the 4-way kernel; all
+        # counts exact; one pinned division of exact int products
+        "x12_cooccurrence_lift": """
+            WITH f AS (SELECT
+                (position(' batch ' IN ' ' || text || ' ') > 0)
+                    AS h1,
+                (position(' stream ' IN ' ' || text || ' ') > 0)
+                    AS h2
+                FROM documents),
+            a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(CASE WHEN h1 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_w1,
+                         CAST(sum(CASE WHEN h2 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_w2,
+                         CAST(sum(CASE WHEN h1 AND h2 THEN 1 ELSE 0
+                                  END) AS BIGINT) AS n_both
+                  FROM f)
+            SELECT n_docs, n_w1, n_w2, n_both,
+                   CASE WHEN n_w1 > 0 AND n_w2 > 0 THEN
+                       (CAST((n_both * n_docs) // 4294967296 AS DOUBLE)
+                        * 4294967296.0
+                        + CAST((n_both * n_docs) % 4294967296
+                               AS DOUBLE))
+                       / (CAST((n_w1 * n_w2) // 4294967296 AS DOUBLE)
+                          * 4294967296.0
+                          + CAST((n_w1 * n_w2) % 4294967296
+                                 AS DOUBLE))
+                   END AS lift
+            FROM a
+        """,
         # Q31: both revenue sums exact ints; share = two pinned ops
         "q31_promo_revenue_share": """
             WITH j AS (

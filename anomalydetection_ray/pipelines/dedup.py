@@ -2247,3 +2247,52 @@ def d25_trigram_redundancy(sf_dir: str):
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def d28_lsh_precision(sf_dir: str, min_cosine: float = 0.3,
+                      n_bands: int = 8, band_bits: int = 8):
+    """D28 — LSH precision audit: of all banded-LSH candidate pairs,
+    how many survive the exact-cosine verify at ``min_cosine`` — the
+    "is my band/bit budget wasting verify compute?" tuning readout for
+    the dedup_embedding_pairs scale path (low precision -> add bits
+    per band; paired with the pytest recall gate it brackets the
+    operating point).
+
+    Engine shape: ONE run of the embedding_lsh_pairs pipeline with the
+    verify threshold opened to -2 (keeps every candidate + its exact
+    cosine), collapsed map-side to a single row of exact int counts;
+    precision is the one pinned division."""
+    import ray.data  # noqa: F401  (pipeline reuse below owns no session)
+
+    from anomalydetection_ray.stages.detectors import _split_double
+
+    pairs = embedding_lsh_pairs(sf_dir, min_cosine=-2.0,
+                                n_bands=n_bands, band_bits=band_bits)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cos = np.asarray(batch.column("cosine"), dtype=np.float64)
+        return pa.table({
+            "_one": pa.array([0], type=pa.int64()),
+            "n_candidates": pa.array([int(cos.shape[0])],
+                                     type=pa.int64()),
+            "n_confirmed": pa.array([int((cos >= min_cosine).sum())],
+                                    type=pa.int64()),
+        })
+
+    agg = (pairs.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+           .groupby("_one").sum(["n_candidates", "n_confirmed"]))
+
+    def widen(batch: pa.Table) -> pa.Table:
+        cand = int(batch.column("sum(n_candidates)")[0].as_py())
+        conf = int(batch.column("sum(n_confirmed)")[0].as_py())
+        prec = (_split_double(conf) / _split_double(cand)
+                if cand > 0 else None)
+        return pa.table({
+            "n_candidates": pa.array([cand], type=pa.int64()),
+            "n_confirmed": pa.array([conf], type=pa.int64()),
+            "lsh_precision": pa.array([prec], type=pa.float64(),
+                                      from_pandas=True),
+        })
+
+    return agg.map_batches(widen, batch_format="pyarrow")

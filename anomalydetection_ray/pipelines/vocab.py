@@ -1137,3 +1137,69 @@ def x10_near_search(sf_dir: str, w1: str = "batch", w2: str = "stream",
 
     return ds.map_batches(scan, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def x12_cooccurrence_lift(sf_dir: str, w1: str = "batch",
+                          w2: str = "stream"):
+    """X12 — document-level co-occurrence lift of two words:
+    lift = P(both) / (P(w1) * P(w2)) = (n_both * N) / (n_w1 * n_w2) —
+    the search-relevance "are these terms topically bound?" scalar
+    next to V14's adjacent-bigram PMI (V14 sees collocations; this
+    sees same-document association at any distance).
+
+    Word containment is the corpus' ' '-split convention evaluated
+    WITHOUT splitting: contains ' w ' OR startswith 'w ' OR endswith
+    ' w' OR equals 'w' — four vectorized substring kernels, exactly
+    the oracle's padded position(' '||w||' ' IN ' '||text||' ') > 0.
+
+    Exactness: all four counts exact int64; lift numerator/denominator
+    exact int products; ONE pinned split-double division."""
+    import pyarrow.compute as pc
+
+    from anomalydetection_ray.stages.detectors import _split_double
+
+    ds = _read_docs(sf_dir, ["text"])
+
+    def _has(texts, w: str):
+        return pc.or_(
+            pc.or_(pc.match_substring(texts, f" {w} "),
+                   pc.starts_with(texts, f"{w} ")),
+            pc.or_(pc.ends_with(texts, f" {w}"), pc.equal(texts, w)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.column("text")
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        t = pc.fill_null(t, "")
+        h1 = _has(t, w1).to_numpy(zero_copy_only=False)
+        h2 = _has(t, w2).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "_one": pa.array([0], type=pa.int64()),
+            "n_docs": pa.array([batch.num_rows], type=pa.int64()),
+            "n_w1": pa.array([int(h1.sum())], type=pa.int64()),
+            "n_w2": pa.array([int(h2.sum())], type=pa.int64()),
+            "n_both": pa.array([int((h1 & h2).sum())],
+                               type=pa.int64()),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("_one").sum(["n_docs", "n_w1", "n_w2", "n_both"]))
+
+    def widen(batch: pa.Table) -> pa.Table:
+        nd = int(batch.column("sum(n_docs)")[0].as_py())
+        n1 = int(batch.column("sum(n_w1)")[0].as_py())
+        n2 = int(batch.column("sum(n_w2)")[0].as_py())
+        nb = int(batch.column("sum(n_both)")[0].as_py())
+        lift = (_split_double(nb * nd) / _split_double(n1 * n2)
+                if n1 > 0 and n2 > 0 else None)
+        return pa.table({
+            "n_docs": pa.array([nd], type=pa.int64()),
+            "n_w1": pa.array([n1], type=pa.int64()),
+            "n_w2": pa.array([n2], type=pa.int64()),
+            "n_both": pa.array([nb], type=pa.int64()),
+            "lift": pa.array([lift], type=pa.float64(),
+                             from_pandas=True),
+        })
+
+    return agg.map_batches(widen, batch_format="pyarrow")

@@ -3114,3 +3114,37 @@ def test_g49_heatmap_bruteforce(ray_session):
         assert r["type_total"] == totals.loc[r["event_type"]]
         assert r["share"] == float(n) / float(totals.loc[r["event_type"]])
         assert 0.0 < r["share"] <= 1.0
+
+
+# ---------------------------------------------------------------- D28 ----
+def test_d28_lsh_precision_consistent_with_pairs(ray_session):
+    import __ray_entry__ as e
+
+    audit = e.queries()["d28_lsh_precision"](SF).to_pandas()
+    confirmed = e.queries()["dedup_embedding_pairs"](SF).to_pandas()
+    assert audit["n_confirmed"][0] == len(confirmed)
+    assert audit["n_candidates"][0] >= audit["n_confirmed"][0]
+    p = audit["lsh_precision"][0]
+    assert p == float(audit["n_confirmed"][0]) / float(
+        audit["n_candidates"][0])
+    assert 0.0 <= p <= 1.0
+
+
+# ---------------------------------------------------------------- X12 ----
+def test_x12_cooccurrence_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = e.queries()["x12_cooccurrence_lift"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    n1 = n2 = nb = 0
+    for t in docs["text"].fillna(""):
+        w = t.split(" ")
+        h1, h2 = "batch" in w, "stream" in w
+        n1 += h1
+        n2 += h2
+        nb += h1 and h2
+    assert got["n_docs"][0] == len(docs)
+    assert (got["n_w1"][0], got["n_w2"][0], got["n_both"][0]) \
+        == (n1, n2, nb)
+    assert got["lift"][0] == float(nb * len(docs)) / float(n1 * n2)
