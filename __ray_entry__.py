@@ -674,6 +674,14 @@ def _a64_diff_sign(sf_dir: str):
         diff_sign_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _e7_dict_size(sf_dir: str):
+    from anomalydetection_ray.codecs import dict_size_batch
+    from anomalydetection_ray.pipelines.rollup import validated
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        dict_size_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _e6_for_size(sf_dir: str):
     from anomalydetection_ray.codecs import for_size_batch
     from anomalydetection_ray.pipelines.rollup import validated
@@ -1573,6 +1581,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d28_lsh_precision": dd.d28_lsh_precision,
         # X12 document-level co-occurrence lift of two words
         "x12_cooccurrence_lift": vb.x12_cooccurrence_lift,
+        # E7 dictionary codec analytic size surface
+        "e7_dict_size": _e7_dict_size,
+        # C10 MAD-vs-Tukey daily flag agreement per type
+        "c10_detector_agreement": q.c10_detector_agreement,
         # Q28 uniform-mixture importance weights per source
         "q28_source_reweight": q.q28_source_reweight,
         # W56 first-return gap histogram (time to second visit)
@@ -6016,6 +6028,89 @@ def oracle_sql() -> dict[str, str]:
                                              "power7"),
         "a96_diurnal_spectrum": _spectral_sql(24, 3_600_000_000,
                                               "power24"),
+        # E7: DISTINCT count + bin()-string bit_length; all-int size
+        "e7_dict_size": f"""
+            WITH {_SEQ_TOK_CTE},
+            s AS MATERIALIZED (
+                SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                       pos % 1000000 AS i, CAST(v AS BIGINT) AS v FROM tok),
+            a AS (SELECT doc_id, part_id,
+                         CAST(count(*) AS BIGINT) AS n,
+                         CAST(count(DISTINCT v) AS BIGINT) AS k
+                  FROM s GROUP BY doc_id, part_id),
+            b AS (SELECT doc_id, part_id, n, k,
+                         CAST(length(ltrim(bin(CAST(k - 1 AS BIGINT)),
+                                           '0')) AS BIGINT) AS w
+                  FROM a)
+            SELECT doc_id, part_id, n, k AS n_distinct,
+                   8 + 4 * k + (n * w + 7) // 8 AS n_bytes,
+                   CAST(8 + 4 * k + (n * w + 7) // 8 AS DOUBLE)
+                       / CAST(n AS DOUBLE) AS bytes_per_token
+            FROM b
+        """,
+        # C10: A71's integer MAD rule + G47's integer fences on ONE
+        # series; jaccard the only float
+        "c10_detector_agreement": """
+            WITH c AS (SELECT event_type,
+                              CAST(epoch_us(ts) // 86400000000
+                                   AS BIGINT) AS day,
+                              CAST(sum(CAST(floor(value * 100 + 0.5)
+                                            AS BIGINT)) AS BIGINT) AS x
+                       FROM events GROUP BY event_type, day),
+            m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                  FROM c GROUP BY event_type),
+            rx AS (SELECT event_type, x, day,
+                          row_number() OVER (PARTITION BY event_type
+                                             ORDER BY x, day) AS rn
+                   FROM c),
+            med AS (SELECT rx.event_type,
+                           CAST(min(rx.x) AS BIGINT) AS med
+                    FROM rx JOIN m USING (event_type)
+                    WHERE rx.rn = (m.n + 1) // 2
+                    GROUP BY rx.event_type),
+            q AS (SELECT rx.event_type,
+                         CAST(min(CASE WHEN rx.rn = (1 * m.n + 3) // 4
+                                  THEN rx.x END) AS BIGINT) AS q1,
+                         CAST(min(CASE WHEN rx.rn = (3 * m.n + 3) // 4
+                                  THEN rx.x END) AS BIGINT) AS q3
+                  FROM rx JOIN m USING (event_type)
+                  GROUP BY rx.event_type),
+            rd AS (SELECT c.event_type, abs(c.x - med.med) AS dev,
+                          row_number() OVER (PARTITION BY c.event_type
+                                             ORDER BY abs(c.x
+                                                          - med.med),
+                                                      c.day) AS rn
+                   FROM c JOIN med USING (event_type)),
+            mad AS (SELECT rd.event_type,
+                           CAST(min(rd.dev) AS BIGINT) AS mad
+                    FROM rd JOIN m USING (event_type)
+                    WHERE rd.rn = (m.n + 1) // 2
+                    GROUP BY rd.event_type),
+            fl AS (SELECT c.event_type,
+                          (10000 * abs(c.x - med.med)
+                           > 51891 * mad.mad) AS fm,
+                          (4 * c.x < 4 * q.q1 - 6 * (q.q3 - q.q1)
+                           OR 4 * c.x > 4 * q.q3 + 6 * (q.q3 - q.q1))
+                              AS ft
+                   FROM c JOIN med USING (event_type)
+                   JOIN mad USING (event_type)
+                   JOIN q USING (event_type)),
+            a AS (SELECT event_type,
+                         CAST(count(*) AS BIGINT) AS n_days,
+                         CAST(sum(CASE WHEN fm THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_mad,
+                         CAST(sum(CASE WHEN ft THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_tukey,
+                         CAST(sum(CASE WHEN fm AND ft THEN 1 ELSE 0
+                                  END) AS BIGINT) AS n_both
+                  FROM fl GROUP BY event_type)
+            SELECT event_type, n_days, n_mad, n_tukey, n_both,
+                   CASE WHEN n_mad + n_tukey - n_both > 0 THEN
+                       CAST(n_both AS DOUBLE)
+                       / CAST(n_mad + n_tukey - n_both AS DOUBLE)
+                   END AS jaccard
+            FROM a
+        """,
         # D28: the LSH pairs machinery with the audit tail
         "d28_lsh_precision": _emb_lsh_pairs_sql(audit=True),
         # X12: padded-substring containment == the 4-way kernel; all

@@ -768,3 +768,105 @@ def for_size_batch(batch) -> "pa.Table":
         "bytes_per_token": pa.array(bpt, type=pa.float64(),
                                     mask=lens == 0),
     })
+
+
+# --------------------------------------------------- E7: dictionary ----
+def dict_encode(values: np.ndarray) -> bytes:
+    """E7 — dictionary encoding of an int32 stream: a 4-byte LE count
+    header, the SORTED distinct-value dictionary (4 bytes LE each,
+    two's complement), then every element's dictionary index packed
+    ``w = bit_length(k-1)`` bits each (LSB-first, zero-padded to a
+    byte boundary; w = 0 when the stream is constant — indices carry
+    no bytes at all).  The codec the low-cardinality column deserves,
+    completing the columnar-classic set next to E1/E2 Gorilla, E4
+    varint, E5 RLE, E6 FOR."""
+    v = np.asarray(values, dtype=np.int64)
+    n = v.shape[0]
+    out = bytearray(int(n).to_bytes(4, "little"))
+    if n == 0:
+        return bytes(out)
+    d = np.unique(v)
+    k = int(d.shape[0])
+    out += int(k).to_bytes(4, "little")
+    out += (d.astype(np.int64) & 0xFFFFFFFF).astype("<u4").tobytes()
+    w = int(k - 1).bit_length()
+    if w:
+        idx = np.searchsorted(d, v).astype(np.uint64)
+        nbits = n * w
+        bits = np.zeros(nbits, dtype=np.uint8)
+        for b in range(w):
+            bits[b::w] = (idx >> b) & 1
+        pad = (-nbits) % 8
+        if pad:
+            bits = np.concatenate([bits,
+                                   np.zeros(pad, dtype=np.uint8)])
+        out += np.packbits(bits.reshape(-1, 8)[:, ::-1],
+                           axis=1).tobytes()
+    return bytes(out)
+
+
+def dict_decode(data: bytes, n: int) -> np.ndarray:
+    """Inverse of :func:`dict_encode` (``n`` redundant, checked)."""
+    n_hdr = int.from_bytes(data[0:4], "little")
+    assert n_hdr == n
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    k = int.from_bytes(data[4:8], "little")
+    d = np.frombuffer(data[8:8 + 4 * k], dtype="<u4").astype(np.int64)
+    d = np.where(d >= (1 << 31), d - (1 << 32), d)  # two's complement
+    w = int(k - 1).bit_length()
+    if w == 0:
+        return np.full(n, d[0], dtype=np.int64)
+    raw = np.frombuffer(data[8 + 4 * k:], dtype=np.uint8)
+    bits = np.unpackbits(raw)
+    bits = bits.reshape(-1, 8)[:, ::-1].ravel()[:n * w]
+    idx = np.zeros(n, dtype=np.uint64)
+    for b in range(w):
+        idx |= bits[b::w].astype(np.uint64) << b
+    return d[idx.astype(np.int64)]
+
+
+def dict_size_batch(batch) -> "pa.Table":
+    """E7 stats kernel: per validated sequence row, the distinct-value
+    count and EXACT encoded byte size of :func:`dict_encode`
+    (4 + 4 + 4*k + ceil(n*w/8) with w = bit_length(k-1); 4 for the
+    empty row), vectorized: ONE lexsort-free distinct count per row
+    via a sorted flat scan.  Byte parity with the real encoder is
+    pytest-gated; ``bytes_per_token`` the one pinned division."""
+    import pyarrow as pa
+
+    from anomalydetection_ray.stages.rollup import _flat_tokens
+
+    vals, valid, offsets = _flat_tokens(batch)
+    if valid is not None:
+        vals = np.where(valid, vals, 0)
+    v = vals.astype(np.int64)
+    lens = np.diff(offsets)
+    nrows = lens.shape[0]
+    k = np.zeros(nrows, dtype=np.int64)
+    if v.shape[0]:
+        row_of = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+        order = np.lexsort((v, row_of))
+        rv, rr = v[order], row_of[order]
+        new = np.ones(rv.shape[0], dtype=bool)
+        new[1:] = (rr[1:] != rr[:-1]) | (rv[1:] != rv[:-1])
+        np.add.at(k, rr[new], 1)
+    # w = bit_length(k-1), exact via frexp on ints < 2^53
+    w = np.zeros(nrows, dtype=np.int64)
+    pos_ = k > 1
+    w[pos_] = np.frexp((k[pos_] - 1).astype(np.float64))[1]
+    n_bytes = np.where(lens > 0,
+                       8 + 4 * k + (lens * w + 7) // 8,
+                       4)
+    bpt = np.zeros(nrows, dtype=np.float64)
+    np.divide(n_bytes.astype(np.float64), lens.astype(np.float64),
+              out=bpt, where=lens > 0)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "n": pa.array(lens, type=pa.int64()),
+        "n_distinct": pa.array(k, type=pa.int64()),
+        "n_bytes": pa.array(n_bytes, type=pa.int64()),
+        "bytes_per_token": pa.array(bpt, type=pa.float64(),
+                                    mask=lens == 0),
+    })

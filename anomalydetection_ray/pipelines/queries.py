@@ -10320,3 +10320,74 @@ def g49_dow_hour_heatmap(sf_dir: str):
 
     return counts.groupby("event_type").map_groups(
         finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- C10 ----
+def c10_detector_agreement(sf_dir: str):
+    """C10 — detector agreement on the calendar: per event type, the
+    overlap between A71's robust-MAD daily outliers and G47's Tukey
+    fences, both evaluated on the SAME daily cent-total series — the
+    alarm-fatigue diagnostic ("do my two robust screens flag the same
+    days, or double my pager volume?").  Jaccard of the two flag sets.
+
+    Exactness: both flag rules are EXACT integer inequalities (A71's
+    10000*|x-med| > 51891*mad; G47's x4-scaled fences), so n_mad /
+    n_tukey / n_both are bit-stable; jaccard = split(both)/split(union)
+    is the single float op (NULL when neither rule fires).
+
+    Scale shape: A36's bounded (type, day) exchange + per-type
+    finalize over <= grid-days rows."""
+    from anomalydetection_ray.stages.detectors import _split_double
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        v100 = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(us // 86_400_000_000,
+                                      type=pa.int64()),
+                      "v100": pa.array(v100, type=pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [("v100", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "x": g.column("v100_sum").cast(pa.int64())})
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["event_type", "day"]).sum("x"))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        x = np.asarray(group.column("sum(x)"), dtype=np.int64)
+        n = int(x.shape[0])
+        xs = np.sort(x)
+        med = int(xs[(n + 1) // 2 - 1])
+        dev = np.sort(np.abs(x - med))
+        mad = int(dev[(n + 1) // 2 - 1])
+        f_mad = 10000 * np.abs(x - med) > 51891 * mad
+        q1 = int(xs[(1 * n + 3) // 4 - 1])
+        q3 = int(xs[(3 * n + 3) // 4 - 1])
+        iqr6 = 6 * (q3 - q1)
+        f_tuk = (4 * x < 4 * q1 - iqr6) | (4 * x > 4 * q3 + iqr6)
+        n_mad = int(f_mad.sum())
+        n_tuk = int(f_tuk.sum())
+        n_both = int((f_mad & f_tuk).sum())
+        union = n_mad + n_tuk - n_both
+        jac = (_split_double(n_both) / _split_double(union)
+               if union > 0 else None)
+        return pa.table({
+            "event_type": pa.array([et], type=pa.string()),
+            "n_days": pa.array([n], type=pa.int64()),
+            "n_mad": pa.array([n_mad], type=pa.int64()),
+            "n_tukey": pa.array([n_tuk], type=pa.int64()),
+            "n_both": pa.array([n_both], type=pa.int64()),
+            "jaccard": pa.array([jac], type=pa.float64(),
+                                from_pandas=True),
+        })
+
+    return daily.groupby("event_type").map_groups(
+        finalize, batch_format="pyarrow")

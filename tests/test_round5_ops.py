@@ -3148,3 +3148,70 @@ def test_x12_cooccurrence_bruteforce(ray_session):
     assert (got["n_w1"][0], got["n_w2"][0], got["n_both"][0]) \
         == (n1, n2, nb)
     assert got["lift"][0] == float(nb * len(docs)) / float(n1 * n2)
+
+
+# ---------------------------------------------------------------- E7 ----
+def test_dict_codec_roundtrip_and_size_parity():
+    from anomalydetection_ray.codecs import (dict_decode, dict_encode,
+                                             dict_size_batch)
+
+    rng = np.random.default_rng(59)
+    series = []
+    for _ in range(50):
+        card = int(rng.integers(1, 300))
+        series.append(rng.integers(0, card,
+                                   size=rng.integers(1, 400)).tolist())
+    series.append([7] * 30)               # constant: w = 0
+    series.append([0])                    # k = 1, n = 1
+    out = dict_size_batch(_tok_batch(series)).to_pylist()
+    for row, v in zip(out, series):
+        arr = np.asarray(v, dtype=np.int64)
+        enc = dict_encode(arr)
+        assert row["n"] == len(v)
+        assert row["n_distinct"] == len(set(v))
+        assert row["n_bytes"] == len(enc), (row, len(enc))
+        assert np.array_equal(dict_decode(enc, len(v)), arr)
+        assert row["bytes_per_token"] == float(len(enc)) / float(len(v))
+
+
+def test_dict_codec_beats_varint_on_low_cardinality():
+    from anomalydetection_ray.codecs import dict_size_batch, varint_size_batch
+
+    rng = np.random.default_rng(61)
+    # huge values, tiny cardinality: dict should crush varint deltas
+    vals = rng.choice([10_000_019, 49_999_991, 33_333_331], size=2000)
+    t = _tok_batch([vals.tolist()])
+    d = dict_size_batch(t).to_pylist()[0]
+    v = varint_size_batch(t).to_pylist()[0]
+    assert d["n_bytes"] < v["n_bytes"]
+
+
+# ---------------------------------------------------------------- C10 ----
+def test_c10_agreement_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["c10_detector_agreement"](SF).to_pandas()
+           .set_index("event_type"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts", "value"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    ev["c"] = np.floor(ev["value"] * 100 + 0.5).astype(np.int64)
+    for et, grp in ev.groupby("event_type"):
+        x = grp.groupby("day")["c"].sum().to_numpy()
+        n = len(x)
+        xs = np.sort(x)
+        med = int(xs[(n + 1) // 2 - 1])
+        mad = int(np.sort(np.abs(x - med))[(n + 1) // 2 - 1])
+        q1 = int(xs[(n + 3) // 4 - 1])
+        q3 = int(xs[(3 * n + 3) // 4 - 1])
+        fm = 10000 * np.abs(x - med) > 51891 * mad
+        ft = (4 * x < 4 * q1 - 6 * (q3 - q1)) \
+            | (4 * x > 4 * q3 + 6 * (q3 - q1))
+        row = got.loc[et]
+        assert row["n_days"] == n
+        assert row["n_mad"] == int(fm.sum())
+        assert row["n_tukey"] == int(ft.sum())
+        assert row["n_both"] == int((fm & ft).sum())
+        union = int(fm.sum()) + int(ft.sum()) - int((fm & ft).sum())
+        if union:
+            assert row["jaccard"] == float(int((fm & ft).sum())) / float(union)
