@@ -1585,6 +1585,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e7_dict_size": _e7_dict_size,
         # C10 MAD-vs-Tukey daily flag agreement per type
         "c10_detector_agreement": q.c10_detector_agreement,
+        # W59 DAU/WAU stickiness curve (interval-union deltas)
+        "w59_stickiness": wnd.w59_stickiness,
+        # K26 per-label embedding norm scale audit
+        "k26_label_norms": km.k26_label_norms,
         # Q28 uniform-mixture importance weights per source
         "q28_source_reweight": q.q28_source_reweight,
         # W56 first-return gap histogram (time to second visit)
@@ -6028,6 +6032,68 @@ def oracle_sql() -> dict[str, str]:
                                              "power7"),
         "a96_diurnal_spectrum": _spectral_sql(24, 3_600_000_000,
                                               "power24"),
+        # W59: trailing-7-day DISTINCT via BETWEEN join (the engine's
+        # interval-union deltas compute the same counts); grid from
+        # the active-day span; one pinned division
+        "w59_stickiness": """
+            WITH d AS (SELECT DISTINCT user_id,
+                              CAST(epoch_us(ts) // 86400000000
+                                   AS BIGINT) AS day
+                       FROM events),
+            g AS (SELECT CAST(min(day) AS BIGINT) AS lo,
+                         CAST(max(day) AS BIGINT) AS hi
+                  FROM d),
+            grid AS (SELECT CAST(unnest(range(g.lo, g.hi + 1))
+                                 AS BIGINT) AS day
+                     FROM g),
+            dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+                    FROM d GROUP BY day),
+            wau AS (SELECT grid.day,
+                           CAST(count(DISTINCT d.user_id) AS BIGINT)
+                               AS wau
+                    FROM grid JOIN d
+                    ON d.day BETWEEN grid.day - 6 AND grid.day
+                    GROUP BY grid.day)
+            SELECT grid.day, COALESCE(dau.dau, 0) AS dau,
+                   COALESCE(wau.wau, 0) AS wau,
+                   CASE WHEN COALESCE(wau.wau, 0) > 0 THEN
+                       CAST(COALESCE(dau.dau, 0) AS DOUBLE)
+                       / CAST(wau.wau AS DOUBLE)
+                   END AS stickiness
+            FROM grid LEFT JOIN dau USING (day)
+            LEFT JOIN wau USING (day)
+        """,
+        # K26: exact HUGEINT norm sums shipped hi/lo; pinned
+        # split/n -> sqrt -> /2^20 tail
+        "k26_label_norms": """
+            WITH qe AS (SELECT label,
+                               list_transform(
+                                   CAST(embedding AS DOUBLE[]),
+                                   x -> CAST(floor(x * 1048576.0
+                                                   + 0.5) AS BIGINT))
+                                   AS q
+                        FROM embeddings),
+            n2 AS (SELECT label,
+                          CAST(list_reduce(list_transform(q,
+                              v -> CAST(v * v AS HUGEINT)),
+                              (a, b) -> a + b) AS HUGEINT) AS norm2
+                   FROM qe),
+            a AS (SELECT CAST(label AS BIGINT) AS label,
+                         CAST(count(*) AS BIGINT) AS n_vecs,
+                         CAST(min(norm2) AS BIGINT) AS min_norm2_q,
+                         CAST(max(norm2) AS BIGINT) AS max_norm2_q,
+                         CAST(sum(norm2) AS HUGEINT) AS tot
+                  FROM n2 GROUP BY label)
+            SELECT label, n_vecs, min_norm2_q, max_norm2_q,
+                   CAST(tot // 4294967296 AS BIGINT) AS sum_norm2_hi,
+                   CAST(tot % 4294967296 AS BIGINT) AS sum_norm2_lo,
+                   sqrt((CAST(tot // 4294967296 AS DOUBLE)
+                         * 4294967296.0
+                         + CAST(tot % 4294967296 AS DOUBLE))
+                        / CAST(n_vecs AS DOUBLE)) / 1048576.0
+                       AS rms_norm
+            FROM a
+        """,
         # E7: DISTINCT count + bin()-string bit_length; all-int size
         "e7_dict_size": f"""
             WITH {_SEQ_TOK_CTE},

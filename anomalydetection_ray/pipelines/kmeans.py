@@ -1015,3 +1015,83 @@ def k23_centroid_margin(sf_dir: str, k: int = K_DEFAULT,
         "max_cosine": pa.array([best[i][1] for i in cids],
                                type=pa.float64()),
     }))
+
+
+def k26_label_norms(sf_dir: str):
+    """K26 — per-label embedding norm statistics: count, exact min /
+    max squared micro-quantized norm, and the RMS norm in original
+    units — the "are this label's vectors on the same shell?" scale
+    audit next to K5's per-dimension moments (a label whose norms
+    straddle decades will dominate any unnormalized distance).
+
+    Exactness: norm2 = sum(q_p^2) is an exact int64 per vector
+    (q < 2^21, dim 64 -> norm2 < 2^48); per-label totals accumulate as
+    2^32 hi/lo int64 halves (the c3 discipline) and re-assemble as
+    exact Python ints.  Float tail pinned: mean_norm2 = split(total) /
+    n, then rms = sqrt(mean_norm2) / 2^20 — three IEEE ops, replayed
+    verbatim.
+
+    Scale shape: per-block (label, partials) rows — bounded by the
+    label domain — ONE tiny exchange, per-label widen."""
+    import math
+
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    from anomalydetection_ray.stages.detectors import _split_double
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding", "label"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lab = np.asarray(batch.column("label"), dtype=np.int64)
+        _, ef = _emb_f64(batch.append_column(
+            "vec_id", pa.array(np.zeros(batch.num_rows,
+                                        dtype=np.int64))))
+        q = np.floor(ef * ESCALE + 0.5).astype(np.int64)
+        norm2 = (q * q).sum(axis=1)
+        t = pa.table({
+            "label": pa.array(lab, type=pa.int64()),
+            "one": pa.array(np.ones(lab.shape[0], dtype=np.int64)),
+            "hi": pa.array(norm2 >> 32, type=pa.int64()),
+            "lo": pa.array(norm2 & 0xFFFFFFFF, type=pa.int64()),
+            "mn": pa.array(norm2, type=pa.int64()),
+            "mx": pa.array(norm2, type=pa.int64()),
+        })
+        return t.group_by(["label"]).aggregate(
+            [("one", "sum"), ("hi", "sum"), ("lo", "sum"),
+             ("mn", "min"), ("mx", "max")])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("label")
+           .aggregate(Sum("one_sum", alias_name="n"),
+                      Sum("hi_sum", alias_name="hi"),
+                      Sum("lo_sum", alias_name="lo"),
+                      Min("mn_min", alias_name="mn"),
+                      Max("mx_max", alias_name="mx")))
+
+    def widen(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch.column("n"), dtype=np.int64)
+        hi = np.asarray(batch.column("hi"), dtype=np.int64)
+        lo = np.asarray(batch.column("lo"), dtype=np.int64)
+        out_hi = np.zeros(n.shape[0], dtype=np.int64)
+        out_lo = np.zeros(n.shape[0], dtype=np.int64)
+        rms = np.zeros(n.shape[0], dtype=np.float64)
+        for i in range(n.shape[0]):
+            total = (int(hi[i]) << 32) + int(lo[i])
+            out_hi[i] = total >> 32
+            out_lo[i] = total & 0xFFFFFFFF
+            mean_norm2 = _split_double(total) / float(int(n[i]))
+            rms[i] = math.sqrt(mean_norm2) / 1048576.0
+        return pa.table({
+            "label": batch.column("label").cast(pa.int64()),
+            "n_vecs": pa.array(n, type=pa.int64()),
+            "min_norm2_q": batch.column("mn").cast(pa.int64()),
+            "max_norm2_q": batch.column("mx").cast(pa.int64()),
+            "sum_norm2_hi": pa.array(out_hi, type=pa.int64()),
+            "sum_norm2_lo": pa.array(out_lo, type=pa.int64()),
+            "rms_norm": pa.array(rms, type=pa.float64()),
+        })
+
+    return agg.map_batches(widen, batch_format="pyarrow")

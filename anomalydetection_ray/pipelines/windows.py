@@ -3623,3 +3623,110 @@ def w58_retention_cohorts(sf_dir: str, num_partitions: int = 16):
                 "offset_week": b.column("offset_week"),
                 "n_users": b.column("sum(n_users)")}),
                 batch_format="pyarrow"))
+
+
+def _stickiness_kernel(group: pa.Table) -> pa.Table:
+    """Per-partition DAU/WAU partials: distinct (user, day) pairs give
+    (day, dau) counts directly, and each user's trailing-7-day WAU
+    membership is a UNION OF INTERVALS [day, day+6] — emitted as
+    (start, +1) / (end+1, -1) boundary deltas after an in-partition
+    merge of overlapping intervals (vectorized: interval breaks where
+    the user changes or the gap exceeds 6 days).  A global per-day sum
+    + cumsum turns deltas into WAU without ever materializing the
+    (user x day) membership grid."""
+    group = group.drop_columns([PKEY])
+    uid = np.asarray(group.column("user_id"), dtype=np.int64)
+    day = _ts_us(group.column("ts")) // 86_400_000_000
+    order = np.lexsort((day, uid))
+    uid, day = uid[order], day[order]
+    keep = np.concatenate(([True],
+                           (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])))
+    uid, day = uid[keep], day[keep]
+    # DAU partial: users are partition-local, so per-day counts add
+    ud, uc = np.unique(day, return_counts=True)
+    # WAU deltas: merge [day, day+6] runs per user
+    brk = np.concatenate(([True], (uid[1:] != uid[:-1])
+                          | (day[1:] > day[:-1] + 6)))
+    iid = np.cumsum(brk) - 1
+    starts = day[brk]
+    ends = np.zeros(starts.shape[0], dtype=np.int64)
+    np.maximum.at(ends, iid, day)          # last day of each interval
+    d_day = np.concatenate((ud, starts, ends + 7))
+    dau = np.concatenate((uc.astype(np.int64),
+                          np.zeros(2 * starts.shape[0],
+                                   dtype=np.int64)))
+    wdelta = np.concatenate((np.zeros(ud.shape[0], dtype=np.int64),
+                             np.ones(starts.shape[0], dtype=np.int64),
+                             -np.ones(starts.shape[0],
+                                      dtype=np.int64)))
+    return pa.table({
+        "day": pa.array(d_day, type=pa.int64()),
+        "dau": pa.array(dau, type=pa.int64()),
+        "wdelta": pa.array(wdelta, type=pa.int64()),
+    })
+
+
+def w59_stickiness(sf_dir: str, num_partitions: int = 16):
+    """W59 — the DAU/WAU stickiness curve: for every day in the active
+    span, distinct daily actives, distinct trailing-7-day actives, and
+    their ratio (the canonical engagement-quality metric; 1/7 = users
+    show up once a week, 1.0 = every active user is daily).
+
+    The trailing-window DISTINCT is computed WITHOUT a (user x day)
+    grid: each user's WAU membership is a union of [day, day+6]
+    intervals -> boundary deltas -> one bounded per-day sum + a
+    cumsum over the <= span+7 day domain.  Exact integer counts; the
+    ratio is the one pinned division.
+
+    Scale shape: ONE ``_pkey`` exchange (user-partitioned), bounded
+    (day, partials) exchange, single-group cumsum finalize over the
+    bounded day grid."""
+    from anomalydetection_ray.stages.detectors import _split_double
+
+    ev = _read_events(sf_dir, ["ts", "user_id"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    partials = (tagged.groupby(PKEY).map_groups(
+        _stickiness_kernel, batch_format="pyarrow")
+        .groupby("day").sum(["dau", "wdelta"]))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_one", pa.array(np.zeros(batch.num_rows, dtype=np.int64)))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        day = np.asarray(group.column("day"), dtype=np.int64)
+        dau = np.asarray(group.column("sum(dau)"), dtype=np.int64)
+        wd = np.asarray(group.column("sum(wdelta)"), dtype=np.int64)
+        order = np.argsort(day)
+        day, dau, wd = day[order], dau[order], wd[order]
+        active = dau > 0
+        lo, hi = int(day[active].min()), int(day[active].max())
+        # dense delta domain up to hi (deltas past hi don't matter)
+        span = np.arange(lo, hi + 1, dtype=np.int64)
+        dense_w = np.zeros(span.shape[0], dtype=np.int64)
+        dense_d = np.zeros(span.shape[0], dtype=np.int64)
+        inside = (day >= lo) & (day <= hi)
+        dense_w[day[inside] - lo] = wd[inside]
+        # deltas BEFORE lo (none: intervals start at an active day) --
+        # intervals starting before lo are impossible by construction
+        dense_d[day[inside] - lo] = dau[inside]
+        wau = np.cumsum(dense_w)
+        stick = np.full(span.shape[0], np.nan)
+        ok = wau > 0
+        stick[ok] = np.array(
+            [_split_double(int(d)) / _split_double(int(w))
+             for d, w in zip(dense_d[ok], wau[ok])])
+        return pa.table({
+            "day": pa.array(span, type=pa.int64()),
+            "dau": pa.array(dense_d, type=pa.int64()),
+            "wau": pa.array(wau, type=pa.int64()),
+            "stickiness": pa.array(stick, type=pa.float64(),
+                                   mask=~ok),
+        })
+
+    return (partials.map_batches(tag, batch_format="pyarrow")
+            .groupby("_one").map_groups(finalize,
+                                        batch_format="pyarrow"))

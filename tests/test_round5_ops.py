@@ -3215,3 +3215,79 @@ def test_c10_agreement_bruteforce(ray_session):
         union = int(fm.sum()) + int(ft.sum()) - int((fm & ft).sum())
         if union:
             assert row["jaccard"] == float(int((fm & ft).sum())) / float(union)
+
+
+# ---------------------------------------------------------------- W59 ----
+def test_w59_stickiness_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["w59_stickiness"](SF).to_pandas()
+           .set_index("day"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "user_id"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    pairs = ev[["user_id", "day"]].drop_duplicates()
+    lo, hi = int(pairs["day"].min()), int(pairs["day"].max())
+    assert list(got.index) == list(range(lo, hi + 1))
+    for d in range(lo, hi + 1):
+        dau = pairs[pairs["day"] == d]["user_id"].nunique()
+        wau = pairs[(pairs["day"] >= d - 6)
+                    & (pairs["day"] <= d)]["user_id"].nunique()
+        row = got.loc[d]
+        assert row["dau"] == dau
+        assert row["wau"] == wau
+        if wau:
+            assert row["stickiness"] == float(dau) / float(wau)
+
+
+def test_w59_interval_union_handles_gaps(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from anomalydetection_ray.pipelines.windows import w59_stickiness
+
+    # one user active days 0 and 20: WAU must drop to 0-coverage
+    # between the two intervals (days 7..19 wau=0 until day 20)
+    rows = [(1, 0), (1, 20), (2, 0), (2, 1)]
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "ts": pa.array(np.array([d * 86_400_000_000 for _, d in rows],
+                                dtype="datetime64[us]")),
+        "user_id": pa.array([u for u, _ in rows], type=pa.int64()),
+        "event_type": pa.array(["click"] * len(rows)),
+        "value": pa.array([0.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    _pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    got = (w59_stickiness(str(tmp_path)).to_pandas()
+           .set_index("day"))
+    assert got.loc[0]["dau"] == 2 and got.loc[0]["wau"] == 2
+    assert got.loc[6]["dau"] == 0 and got.loc[6]["wau"] == 2
+    assert got.loc[7]["wau"] == 1          # user 2 active day 1
+    assert got.loc[10]["wau"] == 0
+    assert got.loc[20]["dau"] == 1 and got.loc[20]["wau"] == 1
+
+
+# ---------------------------------------------------------------- K26 ----
+def test_k26_label_norms_bruteforce(ray_session):
+    import math
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["k26_label_norms"](SF).to_pandas()
+           .set_index("label"))
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    for lab, grp in emb.groupby("label"):
+        m = np.stack(grp["embedding"].to_numpy()).astype(np.float64)
+        q = np.floor(m * 1048576.0 + 0.5).astype(np.int64)
+        n2 = (q * q).sum(axis=1)
+        row = got.loc[lab]
+        assert row["n_vecs"] == len(grp)
+        assert row["min_norm2_q"] == int(n2.min())
+        assert row["max_norm2_q"] == int(n2.max())
+        tot = int(n2.sum())
+        assert (int(row["sum_norm2_hi"]) << 32) \
+            + int(row["sum_norm2_lo"]) == tot
+        assert row["rms_norm"] == \
+            math.sqrt(float(tot) / float(len(grp))) / 1048576.0
