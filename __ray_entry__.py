@@ -1589,6 +1589,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w59_stickiness": wnd.w59_stickiness,
         # K26 per-label embedding norm scale audit
         "k26_label_norms": km.k26_label_norms,
+        # W60 click-to-purchase latency histogram (log2 buckets)
+        "w60_conversion_latency": q.w60_conversion_latency,
+        # A97 weekly-naive vs daily-naive MASE per type
+        "a97_daily_mase": q.a97_daily_mase,
+        # S25 day-partitioned write + pruned 3-day read audit
+        "s25_day_pruned_read": q.s25_day_pruned_read,
         # Q28 uniform-mixture importance weights per source
         "q28_source_reweight": q.q28_source_reweight,
         # W56 first-return gap histogram (time to second visit)
@@ -6093,6 +6099,92 @@ def oracle_sql() -> dict[str, str]:
                         / CAST(n_vecs AS DOUBLE)) / 1048576.0
                        AS rms_norm
             FROM a
+        """,
+        # W60: first-click / first-subsequent-purchase minima, exact
+        # integer log2 bucket via bin()-string bit_length
+        "w60_conversion_latency": """
+            WITH fc AS (SELECT user_id,
+                               CAST(min(epoch_us(ts)) AS BIGINT) AS c
+                        FROM events WHERE event_type = 'click'
+                        GROUP BY user_id),
+            fp AS (SELECT e.user_id,
+                          CAST(min(epoch_us(e.ts)) AS BIGINT) AS p
+                   FROM events e JOIN fc ON e.user_id = fc.user_id
+                   WHERE e.event_type = 'purchase'
+                     AND epoch_us(e.ts) >= fc.c
+                   GROUP BY e.user_id),
+            lat AS (SELECT (fp.p - fc.c) // 1000000 AS sec
+                    FROM fc JOIN fp USING (user_id)),
+            b AS (SELECT CAST(length(ltrim(bin(CAST(sec + 1
+                                                    AS BIGINT)), '0'))
+                              - 1 AS BIGINT) AS bucket
+                  FROM lat)
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n_users
+            FROM b GROUP BY bucket
+        """,
+        # A97: dense per-type grid via unnest(range); exact abs-diff
+        # sums; three pinned IEEE ops
+        "a97_daily_mase": """
+            WITH c AS (SELECT event_type,
+                              CAST(epoch_us(ts) // 86400000000
+                                   AS BIGINT) AS day,
+                              CAST(sum(CAST(floor(value * 100 + 0.5)
+                                            AS BIGINT)) AS BIGINT) AS x
+                       FROM events GROUP BY event_type, day),
+            g AS (SELECT CAST(min(day) AS BIGINT) AS lo,
+                         CAST(max(day) AS BIGINT) AS hi
+                  FROM c),
+            grid AS (SELECT e.event_type,
+                            CAST(unnest(range(g.lo, g.hi + 1))
+                                 AS BIGINT) AS day
+                     FROM (SELECT DISTINCT event_type FROM c) e, g),
+            d AS (SELECT grid.event_type, grid.day,
+                         COALESCE(c.x, 0) AS x
+                  FROM grid LEFT JOIN c
+                  ON c.event_type = grid.event_type
+                     AND c.day = grid.day),
+            lg AS (SELECT event_type, x,
+                          lag(x, 1) OVER w AS x1,
+                          lag(x, 7) OVER w AS x7
+                   FROM d
+                   WINDOW w AS (PARTITION BY event_type
+                                ORDER BY day)),
+            a AS (SELECT event_type,
+                         CAST(count(*) AS BIGINT) AS n_days,
+                         CAST(sum(CASE WHEN x1 IS NULL THEN 0
+                                  ELSE abs(x - x1) END) AS BIGINT)
+                             AS m1,
+                         CAST(sum(CASE WHEN x7 IS NULL THEN 0
+                                  ELSE abs(x - x7) END) AS BIGINT)
+                             AS m7
+                  FROM lg GROUP BY event_type)
+            SELECT event_type, n_days, m1 AS mae1_num, m7 AS mae7_num,
+                   CASE WHEN n_days > 7 AND m1 > 0 THEN
+                       ((CAST(m7 // 4294967296 AS DOUBLE)
+                         * 4294967296.0
+                         + CAST(m7 % 4294967296 AS DOUBLE))
+                        / CAST(n_days - 7 AS DOUBLE))
+                       / ((CAST(m1 // 4294967296 AS DOUBLE)
+                           * 4294967296.0
+                           + CAST(m1 % 4294967296 AS DOUBLE))
+                          / CAST(n_days - 1 AS DOUBLE))
+                   END AS mase
+            FROM a
+        """,
+        # S25: the pruned read's audit equals the direct 3-day
+        # aggregate (days anchored to the corpus min day)
+        "s25_day_pruned_read": """
+            WITH g AS (SELECT CAST(min(epoch_us(ts) // 86400000000)
+                              AS BIGINT) AS lo
+                       FROM events)
+            SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS cents_sum
+            FROM events, g
+            WHERE epoch_us(ts) // 86400000000
+                  IN (g.lo + 5, g.lo + 10, g.lo + 20)
+            GROUP BY day
         """,
         # E7: DISTINCT count + bin()-string bit_length; all-int size
         "e7_dict_size": f"""

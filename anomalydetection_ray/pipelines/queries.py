@@ -10391,3 +10391,230 @@ def c10_detector_agreement(sf_dir: str):
 
     return daily.groupby("event_type").map_groups(
         finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- W60 ----
+def w60_conversion_latency(sf_dir: str):
+    """W60 — click-to-purchase conversion latency histogram: per
+    converting user, the seconds from their FIRST click to their first
+    purchase AT OR AFTER that click, bucketed by floor(log2(sec + 1))
+    — the funnel-speed distribution behind C9's daily abandonment
+    counts (how fast conversions happen, not just whether).
+
+    Exactness: first-click / first-subsequent-purchase are exact
+    microsecond minima; sec = diff // 1e6 and the log2 bucket is the
+    exact frexp exponent (G42's discipline) — all integer.
+
+    Scale shape: ONE ``_pkey`` exchange (user-partitioned), bounded
+    (bucket, n_users) partials, tiny final sum."""
+    import functools
+
+    from anomalydetection_ray.stages.runs import PKEY, add_partition_key
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    tagged = ds.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=16),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(group: pa.Table) -> pa.Table:
+        group = group.drop_columns([PKEY])
+        uid = np.asarray(group.column("user_id"), dtype=np.int64)
+        ts = np.asarray(group.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        et = np.asarray(group.column("event_type"))
+        is_c = et == "click"
+        is_p = et == "purchase"
+        # vectorized per-user minima via np.minimum.at
+        all_u = np.unique(uid)
+        big = np.iinfo(np.int64).max
+        first_c = np.full(all_u.shape[0], big, dtype=np.int64)
+        np.minimum.at(first_c,
+                      np.searchsorted(all_u, uid[is_c]), ts[is_c])
+        # first purchase >= first_click, per user
+        pu = np.searchsorted(all_u, uid[is_p])
+        pt = ts[is_p]
+        ok = pt >= first_c[pu]
+        first_p = np.full(all_u.shape[0], big, dtype=np.int64)
+        np.minimum.at(first_p, pu[ok], pt[ok])
+        conv = (first_c < big) & (first_p < big)
+        sec = (first_p[conv] - first_c[conv]) // 1_000_000
+        b = np.zeros(sec.shape[0], dtype=np.int64)
+        nz = sec + 1 > 1
+        b[nz] = np.frexp((sec[nz] + 1).astype(np.float64))[1] - 1
+        uq, c = np.unique(b, return_counts=True)
+        return pa.table({
+            "bucket": pa.array(uq, type=pa.int64()),
+            "n_users": pa.array(c.astype(np.int64), type=pa.int64()),
+        })
+
+    return (tagged.groupby(PKEY).map_groups(kernel,
+                                            batch_format="pyarrow")
+            .groupby("bucket").sum("n_users")
+            .map_batches(lambda b: pa.table({
+                "bucket": b.column("bucket"),
+                "n_users": b.column("sum(n_users)")}),
+                batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------- A97 ----
+def a97_daily_mase(sf_dir: str):
+    """A97 — MASE-style seasonal-naive skill per event type on the
+    ZERO-FILLED daily cent-total grid: mean |x_t - x_{t-7}| over mean
+    |x_t - x_{t-1}| — below 1 means the weekly-naive forecast beats
+    the daily-naive one (a weekly rhythm worth modeling), the
+    forecasting-side confirmation of A95/W49.
+
+    Exactness: both absolute-error sums are exact int64 over the dense
+    grid (zero-filled via the per-type dense array, bounded span);
+    mase = (split(m7)/n7) / (split(m1)/n1) — three pinned IEEE ops.
+
+    Scale shape: G31's bounded (type, day) exchange, single-group
+    widen over the bounded grid."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from anomalydetection_ray.stages.detectors import _split_double
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        v100 = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(us // 86_400_000_000,
+                                      type=pa.int64()),
+                      "v100": pa.array(v100, type=pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [("v100", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "x": g.column("v100_sum").cast(pa.int64())})
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["event_type", "day"]).sum("x"))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_one", pa.array(np.zeros(batch.num_rows, dtype=np.int64)))
+
+    def widen(group: pa.Table) -> pa.Table:
+        et = group.column("event_type").to_pylist()
+        day = np.asarray(group.column("day"), dtype=np.int64)
+        x = np.asarray(group.column("sum(x)"), dtype=np.int64)
+        lo, hi = int(day.min()), int(day.max())
+        span = hi - lo + 1
+        types = sorted(set(et))
+        out = {"event_type": [], "n_days": [], "mae1_num": [],
+               "mae7_num": [], "mase": []}
+        for t in types:
+            sel = np.asarray([e == t for e in et], dtype=bool)
+            dense = np.zeros(span, dtype=np.int64)
+            dense[day[sel] - lo] = x[sel]
+            m1 = int(np.abs(np.diff(dense)).sum())
+            m7 = int(np.abs(dense[7:] - dense[:-7]).sum()) \
+                if span > 7 else 0
+            out["event_type"].append(t)
+            out["n_days"].append(span)
+            out["mae1_num"].append(m1)
+            out["mae7_num"].append(m7)
+            if span > 7 and m1 > 0:
+                a = _split_double(m7) / float(span - 7)
+                b = _split_double(m1) / float(span - 1)
+                out["mase"].append(a / b)
+            else:
+                out["mase"].append(None)
+        return pa.table({
+            "event_type": pa.array(out["event_type"],
+                                   type=pa.string()),
+            "n_days": pa.array(out["n_days"], type=pa.int64()),
+            "mae1_num": pa.array(out["mae1_num"], type=pa.int64()),
+            "mae7_num": pa.array(out["mae7_num"], type=pa.int64()),
+            "mase": pa.array(out["mase"], type=pa.float64(),
+                             from_pandas=True),
+        })
+
+    return (daily.map_batches(tag, batch_format="pyarrow")
+            .groupby("_one").map_groups(widen, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------- S25 ----
+def s25_day_pruned_read(sf_dir: str, offsets: tuple = (5, 10, 20)):
+    """S25 — partition-pruned read: events persisted ONCE as
+    day-partitioned parquet (hive ``bucket=<day>`` dirs via the S5
+    layout protocol), then a 3-day query reads ONLY those partitions'
+    files — the predicate-pushdown / prune-at-the-read pattern that
+    makes day-ranged queries O(days touched), not O(corpus).  The
+    audit emits per-day exact count + cent sum from the pruned read.
+
+    Scale shape: the partitioned write is map-side; the pruned read
+    maps 3 partitions' files to 3 independent read units; the audit is
+    a bounded 3-row aggregate.  Idempotent + content-fingerprinted
+    layout (state/layout.py), so repeat queries reuse the bytes."""
+    import os
+
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    from anomalydetection_ray.state.layout import (bucket_files,
+                                                   persist_bucketed)
+
+    src = f"{sf_dir}/events.parquet"
+    # min day via one column-pruned scan (only ts leaves storage, and
+    # only its min is kept)
+    ts = _pq.read_table(src, columns=["ts"]).column("ts")
+    lo = int(np.asarray(ts.cast(pa.int64()), dtype=np.int64).min()
+             // 86_400_000_000)
+    days = [lo + o for o in offsets]
+
+    def build(tmp: str) -> None:
+        def add_day(batch: pa.Table) -> pa.Table:
+            us = np.asarray(batch.column("ts").cast(pa.int64()),
+                            dtype=np.int64)
+            v = np.asarray(batch.column("value"), dtype=np.float64)
+            day = us // 86_400_000_000
+            # day kept as an in-file column too: reads that target
+            # partition FILES directly (not the hive root) still see it
+            return pa.table({
+                "event_id": batch.column("event_id"),
+                "cents": pa.array(
+                    np.floor(v * 100.0 + 0.5).astype(np.int64),
+                    type=pa.int64()),
+                "day": pa.array(day, type=pa.int64()),
+                "bucket": pa.array(day, type=pa.int64()),
+            })
+
+        (ray.data.read_parquet(src,
+                               columns=["event_id", "ts", "value"])
+            .map_batches(add_day, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .write_parquet(tmp, partition_cols=["bucket"]))
+
+    layout = persist_bucketed("daypart", src, "by-day", build)
+    files = [f for d in days for f in bucket_files(layout, d)]
+    back = ray.data.read_parquet(files)  # ONLY the 3 days' bytes
+
+    def audit(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "day": batch.column("day").cast(pa.int64()),
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            "cents": batch.column("cents"),
+        })
+        g = t.group_by(["day"]).aggregate([("one", "sum"),
+                                           ("cents", "sum")])
+        return pa.table({
+            "day": g.column("day"),
+            "n": g.column("one_sum").cast(pa.int64()),
+            "cents_sum": g.column("cents_sum").cast(pa.int64()),
+        })
+
+    return (back.map_batches(audit, batch_format="pyarrow")
+            .groupby("day").sum(["n", "cents_sum"])
+            .map_batches(lambda b: pa.table({
+                "day": b.column("day"),
+                "n": b.column("sum(n)"),
+                "cents_sum": b.column("sum(cents_sum)")}),
+                batch_format="pyarrow"))

@@ -3291,3 +3291,97 @@ def test_k26_label_norms_bruteforce(ray_session):
             + int(row["sum_norm2_lo"]) == tot
         assert row["rms_norm"] == \
             math.sqrt(float(tot) / float(len(grp))) / 1048576.0
+
+
+# ---------------------------------------------------------------- W60 ----
+def test_w60_conversion_latency_bruteforce(ray_session):
+    from collections import Counter
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["w60_conversion_latency"](SF).to_pandas()
+           .set_index("bucket"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type",
+                                "ts"]).to_pandas()
+    ev["us"] = ev["ts"].astype("int64")
+    want = Counter()
+    for uid, grp in ev.groupby("user_id"):
+        clicks = grp[grp["event_type"] == "click"]["us"]
+        if clicks.empty:
+            continue
+        c = int(clicks.min())
+        purch = grp[(grp["event_type"] == "purchase")
+                    & (grp["us"] >= c)]["us"]
+        if purch.empty:
+            continue
+        sec = (int(purch.min()) - c) // 1_000_000
+        want[(sec + 1).bit_length() - 1] += 1
+    assert {b: n for b, n in got["n_users"].items()} == dict(want)
+
+
+# ---------------------------------------------------------------- A97 ----
+def test_a97_daily_mase_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["a97_daily_mase"](SF).to_pandas()
+           .set_index("event_type"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts", "value"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    ev["c"] = np.floor(ev["value"] * 100 + 0.5).astype(np.int64)
+    lo, hi = int(ev["day"].min()), int(ev["day"].max())
+    for et, grp in ev.groupby("event_type"):
+        dense = np.zeros(hi - lo + 1, dtype=np.int64)
+        for d, s in grp.groupby("day")["c"].sum().items():
+            dense[int(d) - lo] = int(s)
+        m1 = int(np.abs(np.diff(dense)).sum())
+        m7 = int(np.abs(dense[7:] - dense[:-7]).sum())
+        row = got.loc[et]
+        assert row["n_days"] == hi - lo + 1
+        assert (row["mae1_num"], row["mae7_num"]) == (m1, m7)
+        a = float(m7) / float(hi - lo + 1 - 7)
+        b = float(m1) / float(hi - lo)
+        assert row["mase"] == a / b
+
+
+def test_a97_mase_detects_weekly_rhythm(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from anomalydetection_ray.pipelines.queries import a97_daily_mase
+
+    # strict 7-periodic series: weekly-naive error is ZERO -> mase 0
+    rows = [("w", d, float(10 + 5 * (d % 7))) for d in range(56)]
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "ts": pa.array(np.array([d * 86_400_000_000
+                                 for _, d, _ in rows],
+                                dtype="datetime64[us]")),
+        "user_id": pa.array([0] * len(rows), type=pa.int64()),
+        "event_type": pa.array([k for k, _, _ in rows]),
+        "value": pa.array([v for _, _, v in rows]),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    _pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    got = a97_daily_mase(str(tmp_path)).to_pandas()
+    assert got["mase"][0] == 0.0
+
+
+# ---------------------------------------------------------------- S25 ----
+def test_s25_day_pruned_read_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["s25_day_pruned_read"](SF).to_pandas()
+           .set_index("day"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "value"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    ev["c"] = np.floor(ev["value"] * 100 + 0.5).astype(np.int64)
+    lo = int(ev["day"].min())
+    assert sorted(got.index) == [lo + 5, lo + 10, lo + 20]
+    for d in got.index:
+        sel = ev[ev["day"] == d]
+        assert got.loc[d]["n"] == len(sel)
+        assert got.loc[d]["cents_sum"] == int(sel["c"].sum())
