@@ -1595,6 +1595,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a97_daily_mase": q.a97_daily_mase,
         # S25 day-partitioned write + pruned 3-day read audit
         "s25_day_pruned_read": q.s25_day_pruned_read,
+        # W61 second-order transition entropy over the pair grid
+        "w61_second_order_entropy": wnd.w61_second_order_entropy,
+        # G51 daily new-vs-returning user split
+        "g51_new_vs_returning": wnd.g51_new_vs_returning,
+        # G52 order-total quartiles per priority (all-integer)
+        "g52_order_total_quartiles": q.g52_order_total_quartiles,
         # Q28 uniform-mixture importance weights per source
         "q28_source_reweight": q.q28_source_reweight,
         # W56 first-return gap histogram (time to second visit)
@@ -6099,6 +6105,80 @@ def oracle_sql() -> dict[str, str]:
                         / CAST(n_vecs AS DOUBLE)) / 1048576.0
                        AS rms_norm
             FROM a
+        """,
+        # W61: W48's trigram counts; per-pair pinned ascending-t3
+        # entropy fold
+        "w61_second_order_entropy": """
+            WITH s AS (SELECT user_id, event_type,
+                              row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+                       FROM events),
+            tri AS (SELECT a.event_type AS t1, b.event_type AS t2,
+                           c.event_type AS t3,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM s a
+                    JOIN s b ON b.user_id = a.user_id
+                            AND b.rn = a.rn + 1
+                    JOIN s c ON c.user_id = a.user_id
+                            AND c.rn = a.rn + 2
+                    GROUP BY t1, t2, t3),
+            l AS (SELECT t1, t2, CAST(sum(n) AS BIGINT) AS tot,
+                         CAST(count(*) AS BIGINT) AS k,
+                         list(CAST(n AS DOUBLE) ORDER BY t3) AS nv
+                  FROM tri GROUP BY t1, t2)
+            SELECT t1, t2, tot AS n_trigrams, k AS n_distinct_next,
+                   -list_reduce(list_prepend(0.0, list_transform(nv,
+                       x -> (x / CAST(tot AS DOUBLE))
+                            * ln(x / CAST(tot AS DOUBLE)))),
+                       (a, b) -> a + b) AS h_next
+            FROM l
+        """,
+        # G51: per-user first day vs active days; one pinned division
+        "g51_new_vs_returning": """
+            WITH d AS (SELECT DISTINCT user_id,
+                              CAST(epoch_us(ts) // 86400000000
+                                   AS BIGINT) AS day
+                       FROM events),
+            f AS (SELECT user_id, CAST(min(day) AS BIGINT) AS fd
+                  FROM d GROUP BY user_id),
+            a AS (SELECT d.day,
+                         CAST(count(*) AS BIGINT) AS n_active,
+                         CAST(sum(CASE WHEN d.day = f.fd THEN 1
+                                  ELSE 0 END) AS BIGINT) AS n_new
+                  FROM d JOIN f USING (user_id) GROUP BY d.day)
+            SELECT day, n_new, n_active - n_new AS n_returning,
+                   n_active,
+                   CAST(n_new AS DOUBLE) / CAST(n_active AS DOUBLE)
+                       AS new_share
+            FROM a
+        """,
+        # G52: additive cent histograms; ALL-integer output
+        "g52_order_total_quartiles": """
+            WITH h AS (SELECT o_orderpriority,
+                              CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT) AS v,
+                              CAST(count(*) AS BIGINT) AS c
+                       FROM orders GROUP BY o_orderpriority, v),
+            w AS (SELECT o_orderpriority, v,
+                         CAST(sum(c) OVER (PARTITION BY
+                                           o_orderpriority
+                                           ORDER BY v) AS BIGINT)
+                             AS cum,
+                         CAST(sum(c) OVER (PARTITION BY
+                                           o_orderpriority)
+                              AS BIGINT) AS n
+                  FROM h)
+            SELECT o_orderpriority, n AS n_orders,
+                   CAST(min(CASE WHEN cum * 4 >= 1 * n THEN v END)
+                        AS BIGINT) AS q1_cents,
+                   CAST(min(CASE WHEN cum * 4 >= 2 * n THEN v END)
+                        AS BIGINT) AS q2_cents,
+                   CAST(min(CASE WHEN cum * 4 >= 3 * n THEN v END)
+                        AS BIGINT) AS q3_cents,
+                   CAST(min(CASE WHEN cum * 4 >= 3 * n THEN v END)
+                        - min(CASE WHEN cum * 4 >= 1 * n THEN v END)
+                        AS BIGINT) AS iqr_cents
+            FROM w GROUP BY o_orderpriority, n
         """,
         # W60: first-click / first-subsequent-purchase minima, exact
         # integer log2 bucket via bin()-string bit_length

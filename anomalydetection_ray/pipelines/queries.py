@@ -10618,3 +10618,62 @@ def s25_day_pruned_read(sf_dir: str, offsets: tuple = (5, 10, 20)):
                 "n": b.column("sum(n)"),
                 "cents_sum": b.column("sum(cents_sum)")}),
                 batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------- G52 ----
+def g52_order_total_quartiles(sf_dir: str):
+    """G52 — order-total quartiles per order priority: the exact lower
+    quartiles of o_totalprice (in cents) for each priority class — the
+    money-distribution readout on the relational side, G46's histogram
+    discipline transplanted from events to orders.
+
+    Exactness: cent histograms additive; quartiles exact order
+    statistics read off the merged cumulative counts; IQR exact int.
+    No float leaves the operator except none at all — ALL columns are
+    integers.
+
+    Scale shape: per-block (priority, cents) count partials, ONE
+    bounded exchange (the cent domain of a priced order book), per-
+    priority read-off."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def hist_batch(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("o_totalprice"), dtype=np.float64)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "cents": pa.array(cents, type=pa.int64()),
+            "one": pa.array(np.ones(cents.shape[0], dtype=np.int64)),
+        })
+        g = t.group_by(["o_orderpriority", "cents"]).aggregate(
+            [("one", "sum")])
+        return pa.table({
+            "o_orderpriority": g.column("o_orderpriority"),
+            "cents": g.column("cents"),
+            "c": g.column("one_sum").cast(pa.int64())})
+
+    counts = (ds.map_batches(hist_batch, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["o_orderpriority", "cents"]).sum("c"))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        prio = group.column("o_orderpriority")[0].as_py()
+        order = np.argsort(np.asarray(group.column("cents"),
+                                      dtype=np.int64))
+        v = np.asarray(group.column("cents"), dtype=np.int64)[order]
+        c = np.asarray(group.column("sum(c)"), dtype=np.int64)[order]
+        cum = np.cumsum(c)
+        total = int(cum[-1])
+        qv = [int(v[int(np.searchsorted(cum, (q4 * total + 3) // 4))])
+              for q4 in (1, 2, 3)]
+        return pa.table({
+            "o_orderpriority": pa.array([prio], type=pa.string()),
+            "n_orders": pa.array([total], type=pa.int64()),
+            "q1_cents": pa.array([qv[0]], type=pa.int64()),
+            "q2_cents": pa.array([qv[1]], type=pa.int64()),
+            "q3_cents": pa.array([qv[2]], type=pa.int64()),
+            "iqr_cents": pa.array([qv[2] - qv[0]], type=pa.int64()),
+        })
+
+    return counts.groupby("o_orderpriority").map_groups(
+        finalize, batch_format="pyarrow")

@@ -3730,3 +3730,120 @@ def w59_stickiness(sf_dir: str, num_partitions: int = 16):
     return (partials.map_batches(tag, batch_format="pyarrow")
             .groupby("_one").map_groups(finalize,
                                         batch_format="pyarrow"))
+
+
+def w61_second_order_entropy(sf_dir: str, num_partitions: int = 16):
+    """W61 — second-order transition entropy: for every event-type
+    PAIR (t1, t2), the entropy of the next-step distribution
+    P(t3 | t1, t2) over the whole corpus — W46 measures per-user
+    first-order predictability; this asks whether TWO steps of context
+    pin the third (low H = strong second-order structure W10's pair
+    matrix cannot see).
+
+    Exactness: W48's trigram counts (exact ints); the entropy is the
+    repo's pinned ascending fold — term p = split(n_c)/split(tot),
+    acc + p*ln(p), 0.0 seed, negated once — replayed by the oracle's
+    list_reduce ORDER BY t3.
+
+    Scale shape: W48's ONE ``_pkey`` exchange + bounded n_types^3
+    partials; the finalize runs over the bounded pair grid."""
+    import math
+
+    from anomalydetection_ray.stages.detectors import _split_double
+
+    ev = _read_events(sf_dir, ["event_id", "ts", "user_id",
+                               "event_type"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    counts = (tagged.groupby(PKEY).map_groups(
+        _trigram_kernel, batch_format="pyarrow")
+        .groupby(["t1", "t2", "t3"]).sum("n"))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        t1 = group.column("t1")[0].as_py()
+        t2 = group.column("t2")[0].as_py()
+        t3 = np.asarray(group.column("t3"))
+        n = np.asarray(group.column("sum(n)"), dtype=np.int64)
+        order = np.argsort(t3)             # ascending t3 fold order
+        n = n[order]
+        tot = int(n.sum())
+        acc = 0.0
+        for c in n:
+            p = _split_double(int(c)) / _split_double(tot)
+            acc = acc + p * math.log(p)
+        return pa.table({
+            "t1": pa.array([t1], type=pa.string()),
+            "t2": pa.array([t2], type=pa.string()),
+            "n_trigrams": pa.array([tot], type=pa.int64()),
+            "n_distinct_next": pa.array([int(n.shape[0])],
+                                        type=pa.int64()),
+            "h_next": pa.array([-acc], type=pa.float64()),
+        })
+
+    return counts.groupby(["t1", "t2"]).map_groups(
+        finalize, batch_format="pyarrow")
+
+
+def _new_returning_kernel(group: pa.Table) -> pa.Table:
+    """Per-partition (day, n_new, n_active) partials over distinct
+    (user, day) activity: a user is NEW on their first-ever active day
+    (users never span partitions, so partials add exactly)."""
+    group = group.drop_columns([PKEY])
+    uid = np.asarray(group.column("user_id"), dtype=np.int64)
+    day = _ts_us(group.column("ts")) // 86_400_000_000
+    order = np.lexsort((day, uid))
+    uid, day = uid[order], day[order]
+    keep = np.concatenate(([True],
+                           (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])))
+    uid, day = uid[keep], day[keep]
+    first = np.concatenate(([True], uid[1:] != uid[:-1]))
+    ad, ac = np.unique(day, return_counts=True)
+    nd, nc = np.unique(day[first], return_counts=True)
+    newc = np.zeros(ad.shape[0], dtype=np.int64)
+    newc[np.searchsorted(ad, nd)] = nc
+    return pa.table({
+        "day": pa.array(ad, type=pa.int64()),
+        "n_new": pa.array(newc, type=pa.int64()),
+        "n_active": pa.array(ac.astype(np.int64), type=pa.int64()),
+    })
+
+
+def g51_new_vs_returning(sf_dir: str, num_partitions: int = 16):
+    """G51 — daily new-vs-returning user split: per day, how many
+    active users were seen for the FIRST time ever vs returning — the
+    growth-accounting decomposition every DAU chart hides (is the
+    line new blood or retention?).  new_share = n_new / n_active is
+    the one pinned division.
+
+    Scale shape: ONE ``_pkey`` exchange, bounded (day, partials)
+    rows, tiny final sum."""
+    from anomalydetection_ray.stages.detectors import _split_double
+
+    ev = _read_events(sf_dir, ["ts", "user_id"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    agg = (tagged.groupby(PKEY).map_groups(
+        _new_returning_kernel, batch_format="pyarrow")
+        .groupby("day").sum(["n_new", "n_active"]))
+
+    def widen(batch: pa.Table) -> pa.Table:
+        new = np.asarray(batch.column("sum(n_new)"), dtype=np.int64)
+        act = np.asarray(batch.column("sum(n_active)"),
+                         dtype=np.int64)
+        share = np.array([_split_double(int(a))
+                          / _split_double(int(b))
+                          for a, b in zip(new, act)],
+                         dtype=np.float64)
+        return pa.table({
+            "day": batch.column("day"),
+            "n_new": pa.array(new, type=pa.int64()),
+            "n_returning": pa.array(act - new, type=pa.int64()),
+            "n_active": pa.array(act, type=pa.int64()),
+            "new_share": pa.array(share, type=pa.float64()),
+        })
+
+    return agg.map_batches(widen, batch_format="pyarrow")

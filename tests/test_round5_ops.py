@@ -3385,3 +3385,83 @@ def test_s25_day_pruned_read_bruteforce(ray_session):
         sel = ev[ev["day"] == d]
         assert got.loc[d]["n"] == len(sel)
         assert got.loc[d]["cents_sum"] == int(sel["c"].sum())
+
+
+# ---------------------------------------------------------------- W61 ----
+def test_w61_second_order_entropy_bruteforce(ray_session):
+    import math
+    from collections import Counter, defaultdict
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["w61_second_order_entropy"](SF).to_pandas()
+           .set_index(["t1", "t2"]))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "ts", "user_id",
+                                "event_type"]).to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    tri = Counter()
+    for _, grp in ev.groupby("user_id"):
+        ets = list(grp["event_type"])
+        for i in range(len(ets) - 2):
+            tri[(ets[i], ets[i + 1], ets[i + 2])] += 1
+    by_pair = defaultdict(dict)
+    for (a, b, c), n in tri.items():
+        by_pair[(a, b)][c] = n
+    assert len(got) == len(by_pair)
+    for (a, b), nexts in by_pair.items():
+        row = got.loc[(a, b)]
+        tot = sum(nexts.values())
+        assert row["n_trigrams"] == tot
+        assert row["n_distinct_next"] == len(nexts)
+        acc = 0.0
+        for c in sorted(nexts):
+            p = float(nexts[c]) / float(tot)
+            acc = acc + p * math.log(p)
+        assert row["h_next"] == -acc
+        assert row["h_next"] >= 0.0
+
+
+# ---------------------------------------------------------------- G51 ----
+def test_g51_new_vs_returning_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["g51_new_vs_returning"](SF).to_pandas()
+           .set_index("day"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "user_id"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    pairs = ev[["user_id", "day"]].drop_duplicates()
+    fd = pairs.groupby("user_id")["day"].min()
+    for d, grp in pairs.groupby("day"):
+        act = len(grp)
+        new = int((fd.loc[grp["user_id"]] == d).sum())
+        row = got.loc[d]
+        assert row["n_active"] == act
+        assert row["n_new"] == new
+        assert row["n_returning"] == act - new
+        assert row["new_share"] == float(new) / float(act)
+    # conservation: total new users across days == distinct users
+    assert got["n_new"].sum() == pairs["user_id"].nunique()
+
+
+# ---------------------------------------------------------------- G52 ----
+def test_g52_order_quartiles_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["g52_order_total_quartiles"](SF).to_pandas()
+           .set_index("o_orderpriority"))
+    od = pq.read_table(f"{SF}/orders.parquet",
+                       columns=["o_orderpriority",
+                                "o_totalprice"]).to_pandas()
+    od["cents"] = np.floor(od["o_totalprice"] * 100
+                           + 0.5).astype(np.int64)
+    for prio, grp in od.groupby("o_orderpriority"):
+        x = np.sort(grp["cents"].to_numpy())
+        n = len(x)
+        q = [int(x[(q4 * n + 3) // 4 - 1]) for q4 in (1, 2, 3)]
+        row = got.loc[prio]
+        assert row["n_orders"] == n
+        assert (row["q1_cents"], row["q2_cents"], row["q3_cents"]) \
+            == tuple(q)
+        assert row["iqr_cents"] == q[2] - q[0]
