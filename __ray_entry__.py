@@ -1601,6 +1601,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g51_new_vs_returning": wnd.g51_new_vs_returning,
         # G52 order-total quartiles per priority (all-integer)
         "g52_order_total_quartiles": q.g52_order_total_quartiles,
+        # W62 global session-length quartiles off W1 (all-integer)
+        "w62_session_length_quartiles":
+            wnd.w62_session_length_quartiles,
+        # G53 longest zero-day drought per type (all-integer)
+        "g53_longest_drought": q.g53_longest_drought,
+        # X13 boolean search census (w1 AND w2 AND NOT w3)
+        "x13_boolean_search": vb.x13_boolean_search,
         # Q28 uniform-mixture importance weights per source
         "q28_source_reweight": q.q28_source_reweight,
         # W56 first-return gap histogram (time to second visit)
@@ -6179,6 +6186,99 @@ def oracle_sql() -> dict[str, str]:
                         - min(CASE WHEN cum * 4 >= 1 * n THEN v END)
                         AS BIGINT) AS iqr_cents
             FROM w GROUP BY o_orderpriority, n
+        """,
+        # W62: the classic lag/sum-over-breaks sessionization (W1's
+        # oracle shape) -> length histogram -> exact order statistics
+        "w62_session_length_quartiles": """
+            WITH b AS (SELECT user_id, ts, event_id,
+                              CASE WHEN lag(ts) OVER w IS NULL
+                                   OR epoch_us(ts)
+                                      - epoch_us(lag(ts) OVER w)
+                                      > 43200000000
+                              THEN 1 ELSE 0 END AS brk
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts, event_id)),
+            sid AS (SELECT user_id,
+                           sum(brk) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING)
+                               AS sid
+                    FROM b),
+            ln AS (SELECT CAST(count(*) AS BIGINT) AS len
+                   FROM sid GROUP BY user_id, sid),
+            h AS (SELECT len, CAST(count(*) AS BIGINT) AS c
+                  FROM ln GROUP BY len),
+            w2 AS (SELECT len,
+                          CAST(sum(c) OVER (ORDER BY len) AS BIGINT)
+                              AS cum,
+                          CAST(sum(c) OVER () AS BIGINT) AS n
+                   FROM h)
+            SELECT min(n) AS n_sessions,
+                   CAST(min(CASE WHEN cum * 4 >= 1 * n THEN len END)
+                        AS BIGINT) AS q1_len,
+                   CAST(min(CASE WHEN cum * 4 >= 2 * n THEN len END)
+                        AS BIGINT) AS q2_len,
+                   CAST(min(CASE WHEN cum * 4 >= 3 * n THEN len END)
+                        AS BIGINT) AS q3_len,
+                   CAST(max(len) AS BIGINT) AS max_len
+            FROM w2
+        """,
+        # G53: dense grid + gaps-and-islands zero runs; all-integer
+        "g53_longest_drought": """
+            WITH c AS (SELECT event_type,
+                              CAST(epoch_us(ts) // 86400000000
+                                   AS BIGINT) AS day
+                       FROM events GROUP BY event_type, day),
+            g AS (SELECT CAST(min(day) AS BIGINT) AS lo,
+                         CAST(max(day) AS BIGINT) AS hi
+                  FROM c),
+            grid AS (SELECT e.event_type,
+                            CAST(unnest(range(g.lo, g.hi + 1))
+                                 AS BIGINT) AS day
+                     FROM (SELECT DISTINCT event_type FROM c) e, g),
+            z AS (SELECT grid.event_type, grid.day
+                  FROM grid LEFT JOIN c USING (event_type, day)
+                  WHERE c.day IS NULL),
+            i AS (SELECT event_type,
+                         day - row_number() OVER (PARTITION BY
+                                                  event_type
+                                                  ORDER BY day)
+                             AS grp
+                  FROM z),
+            r AS (SELECT event_type, CAST(count(*) AS BIGINT) AS run
+                  FROM i GROUP BY event_type, grp),
+            m AS (SELECT event_type,
+                         CAST(max(run) AS BIGINT) AS longest,
+                         CAST(sum(run) AS BIGINT) AS n_zero
+                  FROM r GROUP BY event_type)
+            SELECT t.event_type,
+                   (SELECT hi - lo + 1 FROM g) AS n_days,
+                   COALESCE(m.n_zero, 0) AS n_zero_days,
+                   COALESCE(m.longest, 0) AS longest_drought
+            FROM (SELECT DISTINCT event_type FROM c) t
+            LEFT JOIN m USING (event_type)
+        """,
+        # X13: the X12 padded-containment convention, three clauses
+        "x13_boolean_search": """
+            WITH f AS (SELECT
+                (position(' batch ' IN ' ' || text || ' ') > 0)
+                    AS h1,
+                (position(' stream ' IN ' ' || text || ' ') > 0)
+                    AS h2,
+                (position(' error ' IN ' ' || text || ' ') > 0)
+                    AS h3
+                FROM documents)
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN h1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS df_w1,
+                   CAST(sum(CASE WHEN h2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS df_w2,
+                   CAST(sum(CASE WHEN h3 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS df_w3,
+                   CAST(sum(CASE WHEN h1 AND h2 AND NOT h3 THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_match
+            FROM f
         """,
         # W60: first-click / first-subsequent-purchase minima, exact
         # integer log2 bucket via bin()-string bit_length

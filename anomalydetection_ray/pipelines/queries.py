@@ -10677,3 +10677,74 @@ def g52_order_total_quartiles(sf_dir: str):
 
     return counts.groupby("o_orderpriority").map_groups(
         finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- G53 ----
+def g53_longest_drought(sf_dir: str):
+    """G53 — longest drought per event type: the maximal run of
+    consecutive ZERO-event days (and the total zero-day count) within
+    the global observation span — the availability/outage readout
+    W47's burst runs mirror on the hot side.  ALL-integer.
+
+    Scale shape: G31's bounded (type, day) exchange; the zero-run
+    scan happens on the bounded dense grid in a single-group widen."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(us // 86_400_000_000,
+                                      type=pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "n": pc.cast(g.column("count_all"),
+                                      pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["event_type", "day"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_one", pa.array(np.zeros(batch.num_rows, dtype=np.int64)))
+
+    def widen(group: pa.Table) -> pa.Table:
+        et = group.column("event_type").to_pylist()
+        day = np.asarray(group.column("day"), dtype=np.int64)
+        lo, hi = int(day.min()), int(day.max())
+        span = hi - lo + 1
+        types = sorted(set(et))
+        out_t, out_z, out_l = [], [], []
+        for t in types:
+            sel = np.asarray([e == t for e in et], dtype=bool)
+            present = np.zeros(span, dtype=bool)
+            present[day[sel] - lo] = True
+            zero = ~present
+            n_zero = int(zero.sum())
+            if n_zero:
+                # run lengths via padded diff of run boundaries
+                padded = np.concatenate(([False], zero, [False]))
+                d = np.diff(padded.astype(np.int8))
+                runs = np.flatnonzero(d == -1) - np.flatnonzero(d == 1)
+                longest = int(runs.max())
+            else:
+                longest = 0
+            out_t.append(t)
+            out_z.append(n_zero)
+            out_l.append(longest)
+        return pa.table({
+            "event_type": pa.array(out_t, type=pa.string()),
+            "n_days": pa.array([span] * len(types), type=pa.int64()),
+            "n_zero_days": pa.array(out_z, type=pa.int64()),
+            "longest_drought": pa.array(out_l, type=pa.int64()),
+        })
+
+    return (counts.map_batches(tag, batch_format="pyarrow")
+            .groupby("_one").map_groups(widen, batch_format="pyarrow"))

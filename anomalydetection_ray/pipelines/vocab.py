@@ -1203,3 +1203,57 @@ def x12_cooccurrence_lift(sf_dir: str, w1: str = "batch",
         })
 
     return agg.map_batches(widen, batch_format="pyarrow")
+
+
+def x13_boolean_search(sf_dir: str, w1: str = "batch",
+                       w2: str = "stream", w3: str = "error"):
+    """X13 — boolean document search census: counts for the query
+    ``w1 AND w2 AND NOT w3`` plus the three single-term document
+    frequencies — the three-clause boolean primitive over X12's exact
+    ' '-split containment convention (X3's inverted index serves the
+    same answers positionally; this is the full-scan census form).
+
+    Exactness: all counts exact int64; no floats."""
+    import pyarrow.compute as pc
+
+    ds = _read_docs(sf_dir, ["text"])
+
+    def _has(texts, w: str):
+        return pc.or_(
+            pc.or_(pc.match_substring(texts, f" {w} "),
+                   pc.starts_with(texts, f"{w} ")),
+            pc.or_(pc.ends_with(texts, f" {w}"), pc.equal(texts, w)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.column("text")
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        t = pc.fill_null(t, "")
+        h1 = _has(t, w1).to_numpy(zero_copy_only=False)
+        h2 = _has(t, w2).to_numpy(zero_copy_only=False)
+        h3 = _has(t, w3).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "_one": pa.array([0], type=pa.int64()),
+            "n_docs": pa.array([batch.num_rows], type=pa.int64()),
+            "df_w1": pa.array([int(h1.sum())], type=pa.int64()),
+            "df_w2": pa.array([int(h2.sum())], type=pa.int64()),
+            "df_w3": pa.array([int(h3.sum())], type=pa.int64()),
+            "n_match": pa.array([int((h1 & h2 & ~h3).sum())],
+                                type=pa.int64()),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("_one").sum(["n_docs", "df_w1", "df_w2",
+                                 "df_w3", "n_match"]))
+
+    def widen(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_docs": batch.column("sum(n_docs)").cast(pa.int64()),
+            "df_w1": batch.column("sum(df_w1)").cast(pa.int64()),
+            "df_w2": batch.column("sum(df_w2)").cast(pa.int64()),
+            "df_w3": batch.column("sum(df_w3)").cast(pa.int64()),
+            "n_match": batch.column("sum(n_match)").cast(pa.int64()),
+        })
+
+    return agg.map_batches(widen, batch_format="pyarrow")

@@ -3847,3 +3847,56 @@ def g51_new_vs_returning(sf_dir: str, num_partitions: int = 16):
         })
 
     return agg.map_batches(widen, batch_format="pyarrow")
+
+
+def w62_session_length_quartiles(sf_dir: str):
+    """W62 — global session-length distribution: the exact quartiles
+    (and max) of events-per-session over W1's sessionization — the
+    "how long is a visit?" scalar summary next to W1's per-session
+    rows and G15's what-they-did entropy.
+
+    Exactness: session lengths are exact ints from W1's kernel; the
+    quartiles are exact order statistics read off a bounded
+    (length, count) histogram — no float anywhere.
+
+    Scale shape: W1's ONE ``_pkey`` exchange; session rows collapse
+    map-side to bounded length-histogram partials; single tiny
+    finalize."""
+    sess = w1_sessionize_events(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ln = np.asarray(batch.column("n_events"), dtype=np.int64)
+        uq, c = np.unique(ln, return_counts=True)
+        return pa.table({
+            "len": pa.array(uq, type=pa.int64()),
+            "c": pa.array(c.astype(np.int64), type=pa.int64()),
+        })
+
+    counts = (sess.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+              .groupby("len").sum("c"))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_one", pa.array(np.zeros(batch.num_rows, dtype=np.int64)))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        order = np.argsort(np.asarray(group.column("len"),
+                                      dtype=np.int64))
+        v = np.asarray(group.column("len"), dtype=np.int64)[order]
+        c = np.asarray(group.column("sum(c)"), dtype=np.int64)[order]
+        cum = np.cumsum(c)
+        total = int(cum[-1])
+        qv = [int(v[int(np.searchsorted(cum, (q4 * total + 3) // 4))])
+              for q4 in (1, 2, 3)]
+        return pa.table({
+            "n_sessions": pa.array([total], type=pa.int64()),
+            "q1_len": pa.array([qv[0]], type=pa.int64()),
+            "q2_len": pa.array([qv[1]], type=pa.int64()),
+            "q3_len": pa.array([qv[2]], type=pa.int64()),
+            "max_len": pa.array([int(v[-1])], type=pa.int64()),
+        })
+
+    return (counts.map_batches(tag, batch_format="pyarrow")
+            .groupby("_one").map_groups(finalize,
+                                        batch_format="pyarrow"))

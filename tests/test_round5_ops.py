@@ -3465,3 +3465,100 @@ def test_g52_order_quartiles_bruteforce(ray_session):
         assert (row["q1_cents"], row["q2_cents"], row["q3_cents"]) \
             == tuple(q)
         assert row["iqr_cents"] == q[2] - q[0]
+
+
+# ---------------------------------------------------------------- W62 ----
+def test_w62_session_quartiles_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = e.queries()["w62_session_length_quartiles"](SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "ts", "user_id"]).to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    lens = []
+    for _, grp in ev.groupby("user_id"):
+        us = grp["ts"].astype("int64").to_numpy()
+        brk = np.concatenate(([True], np.diff(us) > 43_200_000_000))
+        for s in np.split(np.arange(len(us)), np.flatnonzero(brk)[1:]):
+            lens.append(len(s))
+    x = np.sort(np.array(lens))
+    n = len(x)
+    q = [int(x[(q4 * n + 3) // 4 - 1]) for q4 in (1, 2, 3)]
+    assert got["n_sessions"][0] == n
+    assert (got["q1_len"][0], got["q2_len"][0], got["q3_len"][0]) \
+        == tuple(q)
+    assert got["max_len"][0] == int(x[-1])
+
+
+# ---------------------------------------------------------------- G53 ----
+def test_g53_drought_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["g53_longest_drought"](SF).to_pandas()
+           .set_index("event_type"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    lo, hi = int(ev["day"].min()), int(ev["day"].max())
+    for et, grp in ev.groupby("event_type"):
+        present = set(grp["day"])
+        longest = cur = nz = 0
+        for d in range(lo, hi + 1):
+            if d in present:
+                cur = 0
+            else:
+                nz += 1
+                cur += 1
+                longest = max(longest, cur)
+        row = got.loc[et]
+        assert row["n_days"] == hi - lo + 1
+        assert row["n_zero_days"] == nz
+        assert row["longest_drought"] == longest
+
+
+def test_g53_drought_planted(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from anomalydetection_ray.pipelines.queries import g53_longest_drought
+
+    # type "gappy": days 0..4 and 15..19 (drought of 10); "full": all
+    rows = ([("gappy", d) for d in list(range(5)) + list(range(15, 20))]
+            + [("full", d) for d in range(20)])
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "ts": pa.array(np.array([d * 86_400_000_000
+                                 for _, d in rows],
+                                dtype="datetime64[us]")),
+        "user_id": pa.array([0] * len(rows), type=pa.int64()),
+        "event_type": pa.array([k for k, _ in rows]),
+        "value": pa.array([0.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    _pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    got = (g53_longest_drought(str(tmp_path)).to_pandas()
+           .set_index("event_type"))
+    assert got.loc["gappy"]["longest_drought"] == 10
+    assert got.loc["gappy"]["n_zero_days"] == 10
+    assert got.loc["full"]["longest_drought"] == 0
+
+
+# ---------------------------------------------------------------- X13 ----
+def test_x13_boolean_search_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = e.queries()["x13_boolean_search"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    n1 = n2 = n3 = nm = 0
+    for t in docs["text"].fillna(""):
+        w = t.split(" ")
+        h1, h2, h3 = "batch" in w, "stream" in w, "error" in w
+        n1 += h1
+        n2 += h2
+        n3 += h3
+        nm += h1 and h2 and not h3
+    assert got["n_docs"][0] == len(docs)
+    assert (got["df_w1"][0], got["df_w2"][0], got["df_w3"][0],
+            got["n_match"][0]) == (n1, n2, n3, nm)
