@@ -1608,6 +1608,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g53_longest_drought": q.g53_longest_drought,
         # X13 boolean search census (w1 AND w2 AND NOT w3)
         "x13_boolean_search": vb.x13_boolean_search,
+        # ANN batch retrieval: 5 queries answered in ONE corpus pass
+        "ann_multi_topk": lambda sf: sim.ann_multi_topk(sf)
+            .select_columns(["query_id", "vec_id", "label"]),
         # Q28 uniform-mixture importance weights per source
         "q28_source_reweight": q.q28_source_reweight,
         # W56 first-return gap histogram (time to second visit)
@@ -7951,6 +7954,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
                    count(*) AS count
             FROM documents GROUP BY source
+        """,
+        # ann_multi: per-query ranked cross join; float column dropped
+        # (ann_topk's discipline — the hash covers the ID ranking)
+        "ann_multi_topk": """
+            SELECT query_id, vec_id, label FROM (
+                SELECT q.vec_id AS query_id, e.vec_id, e.label,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               e.embedding, q.embedding) DESC,
+                               e.vec_id) AS rn
+                FROM embeddings e
+                CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                            WHERE vec_id IN (0, 1, 2, 3, 4)) q
+                WHERE e.vec_id <> q.vec_id) t
+            WHERE rn <= 10
         """,
         "ann_topk": """
             SELECT vec_id, label FROM (

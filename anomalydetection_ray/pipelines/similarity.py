@@ -282,3 +282,65 @@ def k17_ann_recall(sf_dir: str, query_id: int = 0, k: int = 10):
         "recall": pa.array([float(n_common) / float(k)],
                            type=pa.float64()),
     }))
+
+
+def ann_multi_topk(sf_dir: str, query_ids: tuple = (0, 1, 2, 3, 4),
+                   k: int = 10):
+    """Batched exact cosine top-k: ALL query vectors answered in ONE
+    corpus pass — the broadcast-query-matrix pattern (each map task
+    computes one (block x Q) matmul against the tiny normalized query
+    matrix shipped in the closure; per-query partial top-k inside the
+    task; a bounded per-query finalize).  This is the serving shape
+    for batch retrieval: corpus bytes are read once for Q queries,
+    not Q times.  Ties (cosine desc, vec_id asc); self-matches
+    excluded.  Registered output drops the float column (ann_topk's
+    discipline) so the driver hash covers the ID ranking."""
+    qm = np.stack([_query_vec(sf_dir, qid) for qid in query_ids])
+    qids = np.asarray(query_ids, dtype=np.int64)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        labels = np.asarray(batch.column("label"), dtype=np.int32)
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        m = np.asarray(emb.values, dtype=np.float64).reshape(
+            len(ids), -1)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                           1e-30)
+        sims = m @ qm.T                     # (n, Q) — ONE matmul
+        out_q, out_i, out_l, out_s = [], [], [], []
+        for j in range(qids.shape[0]):
+            keep = ids != qids[j]
+            s = sims[keep, j]
+            ii, ll = ids[keep], labels[keep]
+            if ii.shape[0] > k:
+                part = np.argpartition(-s, k)[:k]
+                ii, ll, s = ii[part], ll[part], s[part]
+            out_q.append(np.full(ii.shape[0], qids[j],
+                                 dtype=np.int64))
+            out_i.append(ii)
+            out_l.append(ll)
+            out_s.append(s)
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q),
+                                 type=pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_i),
+                               type=pa.int64()),
+            "label": pa.array(np.concatenate(out_l),
+                              type=pa.int32()),
+            "cosine": pa.array(np.concatenate(out_s),
+                               type=pa.float64()),
+        })
+
+    partials = _emb(sf_dir).map_batches(partial_topk,
+                                        batch_format="pyarrow",
+                                        zero_copy_batch=True)
+
+    def finalize(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("cosine", "descending"),
+                           ("vec_id", "ascending")]).slice(0, k)
+        return g
+
+    return partials.groupby("query_id").map_groups(
+        finalize, batch_format="pyarrow")

@@ -3562,3 +3562,16 @@ def test_x13_boolean_search_bruteforce(ray_session):
     assert got["n_docs"][0] == len(docs)
     assert (got["df_w1"][0], got["df_w2"][0], got["df_w3"][0],
             got["n_match"][0]) == (n1, n2, n3, nm)
+
+
+# ----------------------------------------------------------- ann multi ----
+def test_ann_multi_matches_single_query_results(ray_session):
+    import __ray_entry__ as e
+
+    multi = e.queries()["ann_multi_topk"](SF).to_pandas()
+    single = e.queries()["ann_topk"](SF).to_pandas()
+    q0 = multi[multi["query_id"] == 0]
+    assert list(q0["vec_id"]) == list(single["vec_id"])
+    assert len(multi) == 50 and multi["query_id"].nunique() == 5
+    # a query never retrieves itself
+    assert not ((multi["query_id"] == multi["vec_id"]).any())
