@@ -1611,6 +1611,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ANN batch retrieval: 5 queries answered in ONE corpus pass
         "ann_multi_topk": lambda sf: sim.ann_multi_topk(sf)
             .select_columns(["query_id", "vec_id", "label"]),
+        # S26 referential-integrity orphan audit across the star
+        "s26_integrity_audit": q.s26_integrity_audit,
+        # J23 nearest-in-time (bidirectional) error->purchase gaps
+        "j23_nearest_event_gap": q.j23_nearest_event_gap,
         # Q28 uniform-mixture importance weights per source
         "q28_source_reweight": q.q28_source_reweight,
         # W56 first-return gap histogram (time to second visit)
@@ -6189,6 +6193,48 @@ def oracle_sql() -> dict[str, str]:
                         - min(CASE WHEN cum * 4 >= 1 * n THEN v END)
                         AS BIGINT) AS iqr_cents
             FROM w GROUP BY o_orderpriority, n
+        """,
+        # S26: three NOT-EXISTS orphan counts; all-integer
+        "s26_integrity_audit": """
+            SELECT
+                (SELECT CAST(count(*) AS BIGINT) FROM orders)
+                    AS n_orders,
+                (SELECT CAST(count(*) AS BIGINT) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                    AS orphan_orders,
+                (SELECT CAST(count(*) AS BIGINT) FROM lineitem)
+                    AS n_lineitems,
+                (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                    AS orphan_li_order,
+                (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey))
+                    AS orphan_li_part
+        """,
+        # J23: min |dt| within the window via a banded self join;
+        # exact integer log2 buckets, -1 = unmatched
+        "j23_nearest_event_gap": """
+            WITH er AS (SELECT event_id, user_id,
+                               CAST(epoch_us(ts) AS BIGINT) AS t
+                        FROM events WHERE event_type = 'error'),
+            pu AS (SELECT user_id,
+                          CAST(epoch_us(ts) AS BIGINT) AS t
+                   FROM events WHERE event_type = 'purchase'),
+            m AS (SELECT er.event_id,
+                         CAST(min(abs(pu.t - er.t)) AS BIGINT) AS dt
+                  FROM er JOIN pu ON pu.user_id = er.user_id
+                  AND abs(pu.t - er.t) <= 3600000000
+                  GROUP BY er.event_id),
+            b AS (SELECT CASE WHEN m.dt IS NULL THEN -1
+                         ELSE CAST(length(ltrim(bin(CAST(
+                              m.dt // 1000000 + 1 AS BIGINT)), '0'))
+                              - 1 AS BIGINT) END AS bucket
+                  FROM er LEFT JOIN m USING (event_id))
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n_events
+            FROM b GROUP BY bucket
         """,
         # W62: the classic lag/sum-over-breaks sessionization (W1's
         # oracle shape) -> length histogram -> exact order statistics

@@ -10748,3 +10748,179 @@ def g53_longest_drought(sf_dir: str):
 
     return (counts.map_batches(tag, batch_format="pyarrow")
             .groupby("_one").map_groups(widen, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------- S26 ----
+def s26_integrity_audit(sf_dir: str):
+    """S26 — referential-integrity audit across the relational star:
+    orphaned orders (o_custkey with no customer), orphaned lineitems
+    (l_orderkey with no order; l_partkey with no part) — the
+    data-quality gate a warehouse load runs before trusting joins.
+    One row of exact counts; no floats.
+
+    Scale shape: three co-partitioned attach exchanges (stages/
+    join.py), each collapsing map-side to null-payload counts —
+    orphan detection never materializes the join, only its misses."""
+    import pyarrow.compute as pc
+
+    from anomalydetection_ray.stages.join import copartition_attach
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda b: b.append_column("_c", pa.array(
+            np.ones(b.num_rows, dtype=np.int64))),
+        batch_format="pyarrow")
+    o_tag = copartition_attach(orders, cust, left_on="o_custkey",
+                               right_on="c_custkey",
+                               payload_cols=["_c"])
+
+    def count_nulls(col: str, total_name: str, orphan_name: str):
+        def f(batch: pa.Table) -> pa.Table:
+            miss = int(pc.sum(pc.cast(pc.is_null(batch.column(col)),
+                                      pa.int64())).as_py() or 0)
+            return pa.table({
+                "_one": pa.array([0], type=pa.int64()),
+                total_name: pa.array([batch.num_rows],
+                                     type=pa.int64()),
+                orphan_name: pa.array([miss], type=pa.int64()),
+            })
+        return f
+
+    o_counts = (o_tag.map_batches(
+        count_nulls("_c", "n_orders", "orphan_orders"),
+        batch_format="pyarrow")
+        .groupby("_one").sum(["n_orders", "orphan_orders"]))
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    okeys = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        lambda b: b.append_column("_o", pa.array(
+            np.ones(b.num_rows, dtype=np.int64))),
+        batch_format="pyarrow")
+    li_o = copartition_attach(li, okeys, left_on="l_orderkey",
+                              right_on="o_orderkey",
+                              payload_cols=["_o"])
+    parts = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        lambda b: b.append_column("_p", pa.array(
+            np.ones(b.num_rows, dtype=np.int64))),
+        batch_format="pyarrow")
+    li_op = copartition_attach(li_o, parts, left_on="l_partkey",
+                               right_on="p_partkey",
+                               payload_cols=["_p"])
+
+    def li_counts(batch: pa.Table) -> pa.Table:
+        mo = int(pc.sum(pc.cast(pc.is_null(batch.column("_o")),
+                                pa.int64())).as_py() or 0)
+        mp = int(pc.sum(pc.cast(pc.is_null(batch.column("_p")),
+                                pa.int64())).as_py() or 0)
+        return pa.table({
+            "_one": pa.array([0], type=pa.int64()),
+            "n_lineitems": pa.array([batch.num_rows],
+                                    type=pa.int64()),
+            "orphan_li_order": pa.array([mo], type=pa.int64()),
+            "orphan_li_part": pa.array([mp], type=pa.int64()),
+        })
+
+    l_counts = (li_op.map_batches(li_counts, batch_format="pyarrow")
+                .groupby("_one")
+                .sum(["n_lineitems", "orphan_li_order",
+                      "orphan_li_part"]))
+
+    o_row = o_counts.take_all()[0]   # bounded: ONE row each
+    l_row = l_counts.take_all()[0]
+    import ray.data
+    return ray.data.from_arrow(pa.table({
+        "n_orders": pa.array([o_row["sum(n_orders)"]],
+                             type=pa.int64()),
+        "orphan_orders": pa.array([o_row["sum(orphan_orders)"]],
+                                  type=pa.int64()),
+        "n_lineitems": pa.array([l_row["sum(n_lineitems)"]],
+                                type=pa.int64()),
+        "orphan_li_order": pa.array([l_row["sum(orphan_li_order)"]],
+                                    type=pa.int64()),
+        "orphan_li_part": pa.array([l_row["sum(orphan_li_part)"]],
+                                   type=pa.int64()),
+    }))
+
+
+# ---------------------------------------------------------------- J23 ----
+def j23_nearest_event_gap(sf_dir: str, window_s: int = 3600):
+    """J23 — nearest-in-time join histogram: for every 'error' event,
+    the time distance to the NEAREST same-user 'purchase' in EITHER
+    direction within ``window_s`` seconds — the bidirectional cousin
+    of J4's backward as-of join (root-cause triage asks "was there a
+    purchase NEAR this error?", not only before it).  Unmatched
+    errors bucket at -1; matched distances bucket at
+    floor(log2(sec + 1)).  ALL-integer.
+
+    Scale shape: ONE ``_pkey`` exchange on user; per-partition sorted
+    two-pointer (searchsorted) candidate pick; bounded (bucket, n)
+    partials."""
+    import functools
+
+    from anomalydetection_ray.stages.runs import PKEY, add_partition_key
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    tagged = ds.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=16),
+        batch_format="pyarrow", zero_copy_batch=True)
+    win_us = int(window_s) * 1_000_000
+
+    def kernel(group: pa.Table) -> pa.Table:
+        group = group.drop_columns([PKEY])
+        uid = np.asarray(group.column("user_id"), dtype=np.int64)
+        ts = np.asarray(group.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        et = np.asarray(group.column("event_type"))
+        is_e = et == "error"
+        is_p = et == "purchase"
+        eo = np.lexsort((ts[is_e], uid[is_e]))
+        eu, ets_ = uid[is_e][eo], ts[is_e][eo]
+        po = np.lexsort((ts[is_p], uid[is_p]))
+        pu, pts = uid[is_p][po], ts[is_p][po]
+        n_e = eu.shape[0]
+        empty = pa.table({
+            "bucket": pa.array([], type=pa.int64()),
+            "n_events": pa.array([], type=pa.int64())})
+        if n_e == 0:
+            return empty
+        # J19's composite key: ONE global searchsorted respects user
+        # bounds because the user rank occupies the high bits
+        allu = np.unique(uid)
+        base = int(ts.min())
+        assert int(ts.max()) - base < (1 << 45), \
+            "ts span exceeds composite key"
+        ekey = (np.searchsorted(allu, eu).astype(np.int64) << 45) \
+            | (ets_ - base)
+        pkey = (np.searchsorted(allu, pu).astype(np.int64) << 45) \
+            | (pts - base)
+        j = np.searchsorted(pkey, ekey, side="right")
+        big = np.int64(1) << 62
+        dt_l = np.full(n_e, big, dtype=np.int64)
+        lsel = j > 0
+        lsel[lsel] &= pu[j[lsel] - 1] == eu[lsel]
+        dt_l[lsel] = ets_[lsel] - pts[j[lsel] - 1]
+        dt_r = np.full(n_e, big, dtype=np.int64)
+        rsel = j < pkey.shape[0]
+        rsel[rsel] &= pu[j[rsel]] == eu[rsel]
+        dt_r[rsel] = pts[j[rsel]] - ets_[rsel]
+        best = np.minimum(dt_l, dt_r)
+        matched = best <= win_us
+        buckets = np.full(n_e, -1, dtype=np.int64)
+        sec = best[matched] // 1_000_000
+        buckets[matched] = np.frexp(
+            (sec + 1).astype(np.float64))[1] - 1
+        uq, c = np.unique(buckets, return_counts=True)
+        return pa.table({
+            "bucket": pa.array(uq, type=pa.int64()),
+            "n_events": pa.array(c.astype(np.int64),
+                                 type=pa.int64()),
+        })
+
+    return (tagged.groupby(PKEY).map_groups(kernel,
+                                            batch_format="pyarrow")
+            .groupby("bucket").sum("n_events")
+            .map_batches(lambda b: pa.table({
+                "bucket": b.column("bucket"),
+                "n_events": b.column("sum(n_events)")}),
+                batch_format="pyarrow"))

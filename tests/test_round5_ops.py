@@ -3575,3 +3575,56 @@ def test_ann_multi_matches_single_query_results(ray_session):
     assert len(multi) == 50 and multi["query_id"].nunique() == 5
     # a query never retrieves itself
     assert not ((multi["query_id"] == multi["vec_id"]).any())
+
+
+# ---------------------------------------------------------------- S26 ----
+def test_s26_integrity_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = e.queries()["s26_integrity_audit"](SF).to_pandas()
+    od = pq.read_table(f"{SF}/orders.parquet",
+                       columns=["o_orderkey", "o_custkey"]).to_pandas()
+    cu = set(pq.read_table(f"{SF}/customer.parquet",
+                           columns=["c_custkey"]).to_pandas()["c_custkey"])
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey", "l_partkey"]).to_pandas()
+    pt = set(pq.read_table(f"{SF}/part.parquet",
+                           columns=["p_partkey"]).to_pandas()["p_partkey"])
+    ok = set(od["o_orderkey"])
+    assert got["n_orders"][0] == len(od)
+    assert got["orphan_orders"][0] == int((~od["o_custkey"]
+                                           .isin(cu)).sum())
+    assert got["n_lineitems"][0] == len(li)
+    assert got["orphan_li_order"][0] == int((~li["l_orderkey"]
+                                             .isin(ok)).sum())
+    assert got["orphan_li_part"][0] == int((~li["l_partkey"]
+                                            .isin(pt)).sum())
+
+
+# ---------------------------------------------------------------- J23 ----
+def test_j23_nearest_gap_bruteforce(ray_session):
+    from collections import Counter
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["j23_nearest_event_gap"](SF).to_pandas()
+           .set_index("bucket"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type",
+                                "ts"]).to_pandas()
+    ev["us"] = ev["ts"].astype("int64")
+    want = Counter()
+    purch = {u: np.sort(g["us"].to_numpy())
+             for u, g in ev[ev["event_type"] == "purchase"]
+             .groupby("user_id")}
+    for _, r in ev[ev["event_type"] == "error"].iterrows():
+        p = purch.get(r["user_id"])
+        if p is None or len(p) == 0:
+            want[-1] += 1
+            continue
+        dt = int(np.abs(p - r["us"]).min())
+        if dt > 3_600_000_000:
+            want[-1] += 1
+        else:
+            want[((dt // 1_000_000) + 1).bit_length() - 1] += 1
+    assert {b: n for b, n in got["n_events"].items()} == dict(want)
