@@ -1615,6 +1615,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s26_integrity_audit": q.s26_integrity_audit,
         # J23 nearest-in-time (bidirectional) error->purchase gaps
         "j23_nearest_event_gap": q.j23_nearest_event_gap,
+        # J24 Bloom-filter join-prefilter audit (semi-join pushdown
+        # measured as data)
+        "j24_bloom_prefilter_audit": q.j24_bloom_prefilter_audit,
+        # S27 ANALYZE-style column statistics for events
+        "s27_table_stats": q.s27_table_stats,
         # Q28 uniform-mixture importance weights per source
         "q28_source_reweight": q.q28_source_reweight,
         # W56 first-return gap histogram (time to second visit)
@@ -3034,6 +3039,53 @@ def _spectral_sql(period: int, unit_us: int, power_col: str) -> str:
                    AS r_peak,
                x AS cos_sum, y AS sin_sum, x * x + y * y AS {power_col}
         FROM f
+    """
+
+
+def _bloom_sql() -> str:
+    """J24 oracle: the 3 multiply-add mod-2^64 hashes replayed with
+    _mulmod64 (numpy uint64 wraparound == HUGEINT modular arithmetic),
+    bit = h >> 48; the bit SET is a DISTINCT union; rates pinned."""
+    from anomalydetection_ray.pipelines.queries import _BLOOM_HASHES
+
+    def h(expr: str, a: int, b: int) -> str:
+        return (f"(({_mulmod64(expr, a)} + {b}) % {_M64})"
+                f" // 281474976710656")
+
+    key_o = "CAST(o_orderkey AS HUGEINT)"
+    key_l = "CAST(l.l_orderkey AS HUGEINT)"
+    bit_selects = " UNION ".join(
+        f"SELECT DISTINCT {h(key_o, a, b)} AS b FROM sub"
+        for a, b in _BLOOM_HASHES)
+    pass_pred = " AND ".join(
+        f"({h(key_l, a, b)} IN (SELECT b FROM bits))"
+        for a, b in _BLOOM_HASHES)
+    split = (lambda e: f"(CAST(({e}) // 4294967296 AS DOUBLE)"
+             f" * 4294967296.0 + CAST(({e}) % 4294967296 AS DOUBLE))")
+    return f"""
+        WITH sub AS (SELECT o_orderkey FROM orders
+                     WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                       AND o_orderdate < TIMESTAMP '1996-07-01'),
+        bits AS ({bit_selects}),
+        pr AS (SELECT ({pass_pred}) AS pass,
+                      (l.l_orderkey IN (SELECT o_orderkey FROM sub))
+                          AS matched
+               FROM lineitem l),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS n_li,
+                     CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_pass,
+                     CAST(sum(CASE WHEN matched THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_match
+              FROM pr)
+        SELECT n_li, n_pass, n_match,
+               n_pass - n_match AS n_false_positive,
+               CASE WHEN n_li - n_match > 0 THEN
+                   {split("n_pass - n_match")}
+                   / {split("n_li - n_match")} END AS fp_rate,
+               CASE WHEN n_li > 0 THEN
+                   {split("n_pass")} / {split("n_li")} END
+                   AS pass_rate
+        FROM a
     """
 
 
@@ -6193,6 +6245,41 @@ def oracle_sql() -> dict[str, str]:
                         - min(CASE WHEN cum * 4 >= 1 * n THEN v END)
                         AS BIGINT) AS iqr_cents
             FROM w GROUP BY o_orderpriority, n
+        """,
+        # J24: seeded mod-2^64 Bloom replay + rate divisions
+        "j24_bloom_prefilter_audit": _bloom_sql(),
+        # S27: per-column exact n/null/min/max over events
+        "s27_table_stats": """
+            SELECT 'cents' AS "column",
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_null,
+                   CAST(min(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS min_v,
+                   CAST(max(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS max_v
+            FROM events
+            UNION ALL
+            SELECT 'event_id', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0
+                            END) AS BIGINT),
+                   CAST(min(event_id) AS BIGINT),
+                   CAST(max(event_id) AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'ts_us', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(min(epoch_us(ts)) AS BIGINT),
+                   CAST(max(epoch_us(ts)) AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'user_id', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0
+                            END) AS BIGINT),
+                   CAST(min(user_id) AS BIGINT),
+                   CAST(max(user_id) AS BIGINT)
+            FROM events
         """,
         # S26: three NOT-EXISTS orphan counts; all-integer
         "s26_integrity_audit": """

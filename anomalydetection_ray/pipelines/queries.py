@@ -10924,3 +10924,181 @@ def j23_nearest_event_gap(sf_dir: str, window_s: int = 3600):
                 "bucket": b.column("bucket"),
                 "n_events": b.column("sum(n_events)")}),
                 batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------- J24 ----
+_BLOOM_BITS = 1 << 16
+_BLOOM_HASHES = ((0x9E3779B97F4A7C15, 0x6A09E667F3BCC909),
+                 (0xBF58476D1CE4E5B9, 0x3C6EF372FE94F82B),
+                 (0x94D049BB133111EB, 0xA54FF53A5F1D36F1))
+
+
+def j24_bloom_prefilter_audit(sf_dir: str, lo: str = "1996-01-01",
+                              hi: str = "1996-07-01"):
+    """J24 — Bloom-filter join-prefilter audit: a 2^16-bit Bloom (3
+    seeded multiply-shift hashes) built over the window's order keys,
+    probed by every lineitem — how many rows PASS the filter vs truly
+    JOIN, and the realized false-positive rate.  This is the engine's
+    semi-join pushdown measured as data: a pass rate near the match
+    rate certifies the Bloom would eliminate almost all of the
+    shuffle for the J3/Q29-style joins.
+
+    Exactness: hashes are mod-2^64 multiply+add (numpy uint64
+    wraparound == the oracle's _mulmod64 replay), bit = h >> 48; all
+    counts exact; the two rates are pinned divisions.
+
+    Scale shape: the bit SET is bounded (<= 65536 ints) — built by a
+    distributed distinct over bit positions, collected once, shipped
+    in the probe closure (a real broadcast variable); the true-match
+    count comes from the same bounded key-window logic, exchanged
+    co-partitioned."""
+    import pyarrow.compute as pc
+
+    from anomalydetection_ray.stages.detectors import _split_double
+    from anomalydetection_ray.stages.join import copartition_attach
+
+    lo_us = np.datetime64(lo, "us").astype("int64")
+    hi_us = np.datetime64(hi, "us").astype("int64")
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def _window(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch.column("o_orderdate").cast(pa.int64()))
+        return batch.filter(pa.array((ts >= lo_us) & (ts < hi_us)))
+
+    sub = orders.map_batches(_window, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def _bits(keys: np.ndarray) -> list[np.ndarray]:
+        k = keys.astype(np.uint64)
+        out = []
+        for a, b in _BLOOM_HASHES:
+            h = k * np.uint64(a) + np.uint64(b)   # mod 2^64 wrap
+            out.append((h >> np.uint64(48)).astype(np.int64))
+        return out
+
+    def bit_partial(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch.column("o_orderkey"), dtype=np.int64)
+        allb = np.unique(np.concatenate(_bits(keys))) \
+            if keys.shape[0] else np.empty(0, dtype=np.int64)
+        return pa.table({"bit": pa.array(allb, type=pa.int64())})
+
+    # bounded distinct (<= 65536 rows) -> driver set -> broadcast
+    bit_rows = (sub.map_batches(bit_partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+                .groupby("bit").count().take_all())
+    bitset = np.zeros(_BLOOM_BITS, dtype=bool)
+    bitset[[r["bit"] for r in bit_rows]] = True
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def probe(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch.column("l_orderkey"), dtype=np.int64)
+        b1, b2, b3 = _bits(keys)
+        passed = bitset[b1] & bitset[b2] & bitset[b3]
+        return pa.table({
+            "_one": pa.array([0], type=pa.int64()),
+            "n_li": pa.array([keys.shape[0]], type=pa.int64()),
+            "n_pass": pa.array([int(passed.sum())], type=pa.int64()),
+        })
+
+    pass_agg = (li.map_batches(probe, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby("_one").sum(["n_li", "n_pass"]))
+
+    # exact match count: co-partitioned attach of the window flag
+    sub_tag = sub.map_batches(
+        lambda b: pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "_w": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+        batch_format="pyarrow")
+    li_tag = copartition_attach(li, sub_tag, left_on="l_orderkey",
+                                right_on="o_orderkey",
+                                payload_cols=["_w"])
+    match_agg = (li_tag.map_batches(
+        lambda b: pa.table({
+            "_one": pa.array([0], type=pa.int64()),
+            "n_match": pa.array(
+                [int(pc.sum(pc.cast(pc.is_valid(b.column("_w")),
+                                    pa.int64())).as_py() or 0)],
+                type=pa.int64())}),
+        batch_format="pyarrow")
+        .groupby("_one").sum(["n_match"]))
+
+    p = pass_agg.take_all()[0]
+    m = match_agg.take_all()[0]
+    n_li = int(p["sum(n_li)"])
+    n_pass = int(p["sum(n_pass)"])
+    n_match = int(m["sum(n_match)"])
+    fp = n_pass - n_match
+    neg = n_li - n_match
+    import ray.data
+    return ray.data.from_arrow(pa.table({
+        "n_li": pa.array([n_li], type=pa.int64()),
+        "n_pass": pa.array([n_pass], type=pa.int64()),
+        "n_match": pa.array([n_match], type=pa.int64()),
+        "n_false_positive": pa.array([fp], type=pa.int64()),
+        "fp_rate": pa.array(
+            [_split_double(fp) / _split_double(neg)
+             if neg > 0 else None], type=pa.float64(),
+            from_pandas=True),
+        "pass_rate": pa.array(
+            [_split_double(n_pass) / _split_double(n_li)
+             if n_li > 0 else None], type=pa.float64(),
+            from_pandas=True),
+    }))
+
+
+# ---------------------------------------------------------------- S27 ----
+def s27_table_stats(sf_dir: str):
+    """S27 — ANALYZE-style column statistics for the events table:
+    per numeric column (event_id, user_id, cents = value quantized,
+    ts_us), the exact row count, null count, min and max — the
+    metadata an optimizer's pruning and join-ordering feed on, emitted
+    as data.  ALL-integer.
+
+    Scale shape: per-block 4-row partials, ONE bounded exchange."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "value", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cols = {}
+        cols["event_id"] = np.asarray(
+            batch.column("event_id"), dtype=np.int64)
+        cols["user_id"] = np.asarray(
+            batch.column("user_id"), dtype=np.int64)
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        cols["cents"] = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        cols["ts_us"] = np.asarray(
+            batch.column("ts").cast(pa.int64()), dtype=np.int64)
+        names, n, n_null, mn, mx = [], [], [], [], []
+        for name in ("cents", "event_id", "ts_us", "user_id"):
+            arr = cols[name]
+            nul = int(pc.sum(pc.cast(pc.is_null(
+                batch.column({"cents": "value",
+                              "ts_us": "ts"}.get(name, name))),
+                pa.int64())).as_py() or 0)
+            names.append(name)
+            n.append(batch.num_rows)
+            n_null.append(nul)
+            mn.append(int(arr.min()) if arr.shape[0] else 0)
+            mx.append(int(arr.max()) if arr.shape[0] else 0)
+        return pa.table({
+            "column": pa.array(names, type=pa.string()),
+            "n": pa.array(n, type=pa.int64()),
+            "n_null": pa.array(n_null, type=pa.int64()),
+            "min_v": pa.array(mn, type=pa.int64()),
+            "max_v": pa.array(mx, type=pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("column")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("n_null", alias_name="n_null"),
+                       Min("min_v", alias_name="min_v"),
+                       Max("max_v", alias_name="max_v")))

@@ -3628,3 +3628,62 @@ def test_j23_nearest_gap_bruteforce(ray_session):
         else:
             want[((dt // 1_000_000) + 1).bit_length() - 1] += 1
     assert {b: n for b, n in got["n_events"].items()} == dict(want)
+
+
+# ---------------------------------------------------------------- J24 ----
+def test_j24_bloom_audit_bruteforce(ray_session):
+    import __ray_entry__ as e
+    from anomalydetection_ray.pipelines.queries import (_BLOOM_BITS,
+                                                        _BLOOM_HASHES)
+
+    got = e.queries()["j24_bloom_prefilter_audit"](SF).to_pandas()
+    od = pq.read_table(f"{SF}/orders.parquet",
+                       columns=["o_orderkey", "o_orderdate"]).to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey"]).to_pandas()
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1996-07-01")
+    sub = set(od[(od["o_orderdate"] >= lo)
+                 & (od["o_orderdate"] < hi)]["o_orderkey"])
+    bitset = np.zeros(_BLOOM_BITS, dtype=bool)
+    for key in sub:
+        for a, b in _BLOOM_HASHES:
+            h = (key * a + b) % (1 << 64)
+            bitset[h >> 48] = True
+    n_pass = n_match = 0
+    for key in li["l_orderkey"]:
+        key = int(key)
+        ok = all(bitset[((key * a + b) % (1 << 64)) >> 48]
+                 for a, b in _BLOOM_HASHES)
+        n_pass += ok
+        n_match += key in sub
+    assert got["n_li"][0] == len(li)
+    assert got["n_pass"][0] == n_pass
+    assert got["n_match"][0] == n_match
+    # every true match must pass (no false negatives, ever)
+    assert n_pass >= n_match
+    assert got["n_false_positive"][0] == n_pass - n_match
+    assert got["fp_rate"][0] == float(n_pass - n_match) / float(
+        len(li) - n_match)
+
+
+# ---------------------------------------------------------------- S27 ----
+def test_s27_table_stats_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["s27_table_stats"](SF).to_pandas()
+           .set_index("column"))
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    cents = np.floor(ev["value"] * 100 + 0.5).astype(np.int64)
+    want = {
+        "event_id": (ev["event_id"].min(), ev["event_id"].max()),
+        "user_id": (ev["user_id"].min(), ev["user_id"].max()),
+        "cents": (cents.min(), cents.max()),
+        "ts_us": (ev["ts"].astype("int64").min(),
+                  ev["ts"].astype("int64").max()),
+    }
+    assert set(got.index) == set(want)
+    for col, (mn, mx) in want.items():
+        row = got.loc[col]
+        assert row["n"] == len(ev)
+        assert row["n_null"] == 0
+        assert (row["min_v"], row["max_v"]) == (mn, mx)
