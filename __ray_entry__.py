@@ -1620,6 +1620,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j24_bloom_prefilter_audit": q.j24_bloom_prefilter_audit,
         # S27 ANALYZE-style column statistics for events
         "s27_table_stats": q.s27_table_stats,
+        # W63 weekday-vs-weekend Welch t per type
+        "w63_weekend_effect": q.w63_weekend_effect,
+        # G56 source concentration (Pareto) curve
+        "g56_source_pareto": q.g56_source_pareto,
         # Q28 uniform-mixture importance weights per source
         "q28_source_reweight": q.q28_source_reweight,
         # W56 first-return gap histogram (time to second visit)
@@ -6245,6 +6249,87 @@ def oracle_sql() -> dict[str, str]:
                         - min(CASE WHEN cum * 4 >= 1 * n THEN v END)
                         AS BIGINT) AS iqr_cents
             FROM w GROUP BY o_orderpriority, n
+        """,
+        # W63: zero-fill identities split by day residue class; the
+        # pinned Welch chain (each step one IEEE op)
+        "w63_weekend_effect": """
+            WITH c AS (SELECT event_type,
+                              CAST(epoch_us(ts) // 86400000000
+                                   AS BIGINT) AS day,
+                              CAST(sum(CAST(floor(value * 100 + 0.5)
+                                            AS BIGINT)) AS BIGINT) AS x
+                       FROM events GROUP BY event_type, day),
+            g AS (SELECT CAST(min(day) AS BIGINT) AS lo,
+                         CAST(max(day) AS BIGINT) AS hi
+                  FROM c),
+            grid AS (SELECT CAST(unnest(range(g.lo, g.hi + 1))
+                                 AS BIGINT) AS day
+                     FROM g),
+            nn AS (SELECT
+                       CAST(sum(CASE WHEN day % 7 < 5 THEN 1 ELSE 0
+                                END) AS BIGINT) AS n1,
+                       CAST(sum(CASE WHEN day % 7 >= 5 THEN 1 ELSE 0
+                                END) AS BIGINT) AS n2
+                   FROM grid),
+            a AS (SELECT event_type,
+                         CAST(sum(CASE WHEN day % 7 < 5 THEN x
+                                  ELSE 0 END) AS BIGINT) AS s1,
+                         CAST(sum(CASE WHEN day % 7 < 5
+                                  THEN CAST(x AS HUGEINT) * x
+                                  ELSE 0 END) AS BIGINT) AS q1,
+                         CAST(sum(CASE WHEN day % 7 >= 5 THEN x
+                                  ELSE 0 END) AS BIGINT) AS s2,
+                         CAST(sum(CASE WHEN day % 7 >= 5
+                                  THEN CAST(x AS HUGEINT) * x
+                                  ELSE 0 END) AS BIGINT) AS q2
+                  FROM c GROUP BY event_type),
+            f AS (SELECT a.event_type, nn.n1, nn.n2, a.s1, a.s2,
+                         CAST(a.s1 AS DOUBLE) / CAST(nn.n1 AS DOUBLE)
+                             AS m1,
+                         CAST(a.s2 AS DOUBLE) / CAST(nn.n2 AS DOUBLE)
+                             AS m2,
+                         (CAST((nn.n1 * a.q1 - a.s1 * a.s1)
+                               // 4294967296 AS DOUBLE) * 4294967296.0
+                          + CAST((nn.n1 * a.q1 - a.s1 * a.s1)
+                                 % 4294967296 AS DOUBLE))
+                         / CAST(nn.n1 * (nn.n1 - 1) AS DOUBLE) AS v1,
+                         (CAST((nn.n2 * a.q2 - a.s2 * a.s2)
+                               // 4294967296 AS DOUBLE) * 4294967296.0
+                          + CAST((nn.n2 * a.q2 - a.s2 * a.s2)
+                                 % 4294967296 AS DOUBLE))
+                         / CAST(nn.n2 * (nn.n2 - 1) AS DOUBLE) AS v2
+                  FROM a CROSS JOIN nn)
+            SELECT event_type, n1 AS n_wd, n2 AS n_we,
+                   s1 AS s_wd, s2 AS s_we,
+                   CASE WHEN n1 >= 2 AND n2 >= 2
+                        AND sqrt(v1 / CAST(n1 AS DOUBLE)
+                                 + v2 / CAST(n2 AS DOUBLE)) > 0.0
+                   THEN (m1 - m2)
+                        / sqrt(v1 / CAST(n1 AS DOUBLE)
+                               + v2 / CAST(n2 AS DOUBLE))
+                   END AS t_welch
+            FROM f
+        """,
+        # G56: ranked window cumsum; per-row pinned divisions
+        "g56_source_pareto": """
+            WITH c AS (SELECT source,
+                              CAST(count(*) AS BIGINT) AS n_docs
+                       FROM documents GROUP BY source),
+            r AS (SELECT source, n_docs,
+                         CAST(row_number() OVER (ORDER BY n_docs DESC,
+                                                 source) AS BIGINT)
+                             AS rank,
+                         CAST(sum(n_docs) OVER (ORDER BY n_docs DESC,
+                                                source) AS BIGINT)
+                             AS cum_docs,
+                         CAST(sum(n_docs) OVER () AS BIGINT) AS total
+                  FROM c)
+            SELECT rank, source, n_docs, cum_docs,
+                   CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE)
+                       AS share,
+                   CAST(cum_docs AS DOUBLE) / CAST(total AS DOUBLE)
+                       AS cum_share
+            FROM r
         """,
         # J24: seeded mod-2^64 Bloom replay + rate divisions
         "j24_bloom_prefilter_audit": _bloom_sql(),

@@ -11102,3 +11102,164 @@ def s27_table_stats(sf_dir: str):
                        Sum("n_null", alias_name="n_null"),
                        Min("min_v", alias_name="min_v"),
                        Max("max_v", alias_name="max_v")))
+
+
+# ---------------------------------------------------------------- W63 ----
+def w63_weekend_effect(sf_dir: str):
+    """W63 — weekday-vs-weekend Welch t per event type on the
+    ZERO-FILLED daily cent totals (weekday = epoch-day residue 0-4,
+    weekend = 5-6 — the repo's residue convention): does the money
+    flow differently on the two day classes?  |t| >> 2 = real weekly
+    level shift, the two-sample complement of A95/W49's rhythm
+    detectors.
+
+    Exactness: class day-counts come from the span arithmetic (exact),
+    class sums/squares from present rows (zero-fill identity); the
+    float tail is the pinned chain m_i = split(S_i)/n_i, s2_i =
+    split(n_i*Q_i - S_i^2)/split(n_i*(n_i-1)), t = (m1 - m2) /
+    sqrt(s2_1/n_1 + s2_2/n_2) — each step ONE IEEE op, replayed
+    verbatim.  NULL t when either class has < 2 days or both
+    variances are 0.
+
+    Scale shape: bounded (type, residue-class) moment partials, ONE
+    tiny exchange, single-group widen."""
+    import math
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from anomalydetection_ray.stages.detectors import _split_double
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        v100 = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(us // 86_400_000_000,
+                                      type=pa.int64()),
+                      "v100": pa.array(v100, type=pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [("v100", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "x": g.column("v100_sum").cast(pa.int64())})
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["event_type", "day"]).sum("x"))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_one", pa.array(np.zeros(batch.num_rows, dtype=np.int64)))
+
+    def widen(group: pa.Table) -> pa.Table:
+        et = group.column("event_type").to_pylist()
+        day = np.asarray(group.column("day"), dtype=np.int64)
+        x = np.asarray(group.column("sum(x)"), dtype=np.int64)
+        lo, hi = int(day.min()), int(day.max())
+        grid_r = np.arange(lo, hi + 1, dtype=np.int64) % 7
+        n1 = int((grid_r < 5).sum())       # weekday days in span
+        n2 = int((grid_r >= 5).sum())      # weekend days in span
+        is_we = (day % 7) >= 5
+        types = sorted(set(et))
+        out = {k: [] for k in ("event_type", "n_wd", "n_we", "s_wd",
+                               "s_we", "t_welch")}
+        for t in types:
+            sel = np.asarray([e == t for e in et], dtype=bool)
+            s1 = int(x[sel & ~is_we].sum())
+            q1 = int((x[sel & ~is_we] ** 2).sum())
+            s2 = int(x[sel & is_we].sum())
+            q2 = int((x[sel & is_we] ** 2).sum())
+            out["event_type"].append(t)
+            out["n_wd"].append(n1)
+            out["n_we"].append(n2)
+            out["s_wd"].append(s1)
+            out["s_we"].append(s2)
+            if n1 >= 2 and n2 >= 2:
+                m1 = _split_double(s1) / float(n1)
+                m2 = _split_double(s2) / float(n2)
+                v1 = _split_double(n1 * q1 - s1 * s1) \
+                    / _split_double(n1 * (n1 - 1))
+                v2 = _split_double(n2 * q2 - s2 * s2) \
+                    / _split_double(n2 * (n2 - 1))
+                a = v1 / float(n1)
+                b = v2 / float(n2)
+                den = math.sqrt(a + b)
+                out["t_welch"].append((m1 - m2) / den
+                                      if den > 0.0 else None)
+            else:
+                out["t_welch"].append(None)
+        return pa.table({
+            "event_type": pa.array(out["event_type"],
+                                   type=pa.string()),
+            "n_wd": pa.array(out["n_wd"], type=pa.int64()),
+            "n_we": pa.array(out["n_we"], type=pa.int64()),
+            "s_wd": pa.array(out["s_wd"], type=pa.int64()),
+            "s_we": pa.array(out["s_we"], type=pa.int64()),
+            "t_welch": pa.array(out["t_welch"], type=pa.float64(),
+                                from_pandas=True),
+        })
+
+    return (daily.map_batches(tag, batch_format="pyarrow")
+            .groupby("_one").map_groups(widen, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------- G56 ----
+def g56_source_pareto(sf_dir: str):
+    """G56 — the source concentration (Pareto) curve: sources ranked
+    by document count with each source's share and CUMULATIVE share —
+    the "how few sources make 80% of my corpus?" diversification
+    readout feeding Q24/Q28's re-weighting decisions.
+
+    Exactness: counts and the running total exact ints; share and
+    cum_share are single pinned divisions per row.  Bounded by the
+    source domain throughout."""
+    import pyarrow.compute as pc
+
+    from anomalydetection_ray.stages.detectors import _split_double
+
+    ds = _read(sf_dir, "documents", ["source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({"source": batch.column("source")}).group_by(
+            ["source"]).aggregate([([], "count_all")])
+        return pa.table({"source": g.column("source"),
+                         "n_docs": pc.cast(g.column("count_all"),
+                                           pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("source").sum("n_docs"))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_one", pa.array(np.zeros(batch.num_rows, dtype=np.int64)))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        src = np.asarray(group.column("source"))
+        n = np.asarray(group.column("sum(n_docs)"), dtype=np.int64)
+        order = np.lexsort((src, -n))      # n desc, source asc
+        src, n = src[order], n[order]
+        total = int(n.sum())
+        cum = np.cumsum(n)
+        share = np.array([_split_double(int(c)) / _split_double(total)
+                          for c in n], dtype=np.float64)
+        cshare = np.array([_split_double(int(c))
+                           / _split_double(total) for c in cum],
+                          dtype=np.float64)
+        return pa.table({
+            "rank": pa.array(np.arange(1, src.shape[0] + 1,
+                                       dtype=np.int64)),
+            "source": pa.array(src, type=pa.string()),
+            "n_docs": pa.array(n, type=pa.int64()),
+            "cum_docs": pa.array(cum, type=pa.int64()),
+            "share": pa.array(share, type=pa.float64()),
+            "cum_share": pa.array(cshare, type=pa.float64()),
+        })
+
+    return (counts.map_batches(tag, batch_format="pyarrow")
+            .groupby("_one").map_groups(finalize,
+                                        batch_format="pyarrow"))

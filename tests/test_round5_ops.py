@@ -3687,3 +3687,87 @@ def test_s27_table_stats_bruteforce(ray_session):
         assert row["n"] == len(ev)
         assert row["n_null"] == 0
         assert (row["min_v"], row["max_v"]) == (mn, mx)
+
+
+# ---------------------------------------------------------------- W63 ----
+def test_w63_weekend_effect_bruteforce(ray_session):
+    import math
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["w63_weekend_effect"](SF).to_pandas()
+           .set_index("event_type"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts", "value"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    ev["c"] = np.floor(ev["value"] * 100 + 0.5).astype(np.int64)
+    lo, hi = int(ev["day"].min()), int(ev["day"].max())
+    grid = np.arange(lo, hi + 1)
+    n1 = int(((grid % 7) < 5).sum())
+    n2 = int(((grid % 7) >= 5).sum())
+    for et, grp in ev.groupby("event_type"):
+        daily = grp.groupby("day")["c"].sum()
+        wd = daily[daily.index % 7 < 5]
+        we = daily[daily.index % 7 >= 5]
+        s1, q1 = int(wd.sum()), int((wd ** 2).sum())
+        s2, q2 = int(we.sum()), int((we ** 2).sum())
+        row = got.loc[et]
+        assert (row["n_wd"], row["n_we"]) == (n1, n2)
+        assert (row["s_wd"], row["s_we"]) == (s1, s2)
+        m1, m2 = float(s1) / n1, float(s2) / n2
+        v1 = float(n1 * q1 - s1 * s1) / float(n1 * (n1 - 1))
+        v2 = float(n2 * q2 - s2 * s2) / float(n2 * (n2 - 1))
+        den = math.sqrt(v1 / n1 + v2 / n2)
+        assert row["t_welch"] == (m1 - m2) / den
+
+
+def test_w63_detects_planted_weekend_shift(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from anomalydetection_ray.pipelines.queries import w63_weekend_effect
+
+    # weekend days (residue 5,6) pay 10x: strongly negative t
+    rows = []
+    for d in range(56):
+        v = 1000.0 if d % 7 >= 5 else 100.0
+        rows.append(("pay", d, v + (d % 3)))   # tiny within-class noise
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "ts": pa.array(np.array([d * 86_400_000_000 + 1
+                                 for _, d, _ in rows],
+                                dtype="datetime64[us]")),
+        "user_id": pa.array([0] * len(rows), type=pa.int64()),
+        "event_type": pa.array([k for k, _, _ in rows]),
+        "value": pa.array([v for _, _, v in rows]),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    _pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    got = w63_weekend_effect(str(tmp_path)).to_pandas()
+    assert got["t_welch"][0] < -10
+
+
+# ---------------------------------------------------------------- G56 ----
+def test_g56_pareto_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = e.queries()["g56_source_pareto"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source"]).to_pandas()
+    want = (docs.groupby("source").size()
+            .sort_values(ascending=False).reset_index())
+    want.columns = ["source", "n"]
+    want = want.sort_values(["n", "source"],
+                            ascending=[False, True])
+    total = len(docs)
+    assert list(got["source"]) == list(want["source"])
+    assert list(got["n_docs"]) == list(want["n"])
+    assert list(got["rank"]) == list(range(1, len(want) + 1))
+    cum = 0
+    for _, r in got.iterrows():
+        cum += r["n_docs"]
+        assert r["cum_docs"] == cum
+        assert r["share"] == float(r["n_docs"]) / float(total)
+        assert r["cum_share"] == float(cum) / float(total)
+    assert got["cum_share"].iloc[-1] == 1.0
