@@ -1624,6 +1624,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w63_weekend_effect": q.w63_weekend_effect,
         # G56 source concentration (Pareto) curve
         "g56_source_pareto": q.g56_source_pareto,
+        # W65 user-level day-over-day activity persistence
+        "w65_activity_persistence": wnd.w65_activity_persistence,
+        # X15 prefix (autocomplete) search census
+        "x15_prefix_search": vb.x15_prefix_search,
         # Q28 uniform-mixture importance weights per source
         "q28_source_reweight": q.q28_source_reweight,
         # W56 first-return gap histogram (time to second visit)
@@ -6330,6 +6334,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cum_docs AS DOUBLE) / CAST(total AS DOUBLE)
                        AS cum_share
             FROM r
+        """,
+        # W65: distinct pairs + day+1 self join; one pinned division
+        "w65_activity_persistence": """
+            WITH d AS (SELECT DISTINCT user_id,
+                              CAST(epoch_us(ts) // 86400000000
+                                   AS BIGINT) AS day
+                       FROM events),
+            g AS (SELECT CAST(max(day) AS BIGINT) AS hi FROM d),
+            a AS (SELECT d.user_id, d.day,
+                         (d2.user_id IS NOT NULL) AS f
+                  FROM d CROSS JOIN g
+                  LEFT JOIN d d2 ON d2.user_id = d.user_id
+                                AND d2.day = d.day + 1
+                  WHERE d.day < g.hi),
+            s AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+                         CAST(sum(CASE WHEN f THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_followed
+                  FROM a)
+            SELECT n_candidates, n_followed,
+                   CASE WHEN n_candidates > 0 THEN
+                       CAST(n_followed AS DOUBLE)
+                       / CAST(n_candidates AS DOUBLE)
+                   END AS p_continue
+            FROM s
+        """,
+        # X15: V1's split convention, prefix filter, top-k + census
+        # summary row (word = '', n_distinct carries the census)
+        "x15_prefix_search": """
+            WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+            c AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+                  FROM w
+                  WHERE word <> '' AND starts_with(word, 's')
+                  GROUP BY word),
+            h AS (SELECT word, n, CAST(-1 AS BIGINT) AS n_distinct
+                  FROM c ORDER BY n DESC, word LIMIT 10),
+            t AS (SELECT '' AS word,
+                         CAST(COALESCE(sum(n), 0) AS BIGINT) AS n,
+                         CAST(count(*) AS BIGINT) AS n_distinct
+                  FROM c)
+            SELECT * FROM h UNION ALL SELECT * FROM t
         """,
         # J24: seeded mod-2^64 Bloom replay + rate divisions
         "j24_bloom_prefilter_audit": _bloom_sql(),

@@ -1257,3 +1257,63 @@ def x13_boolean_search(sf_dir: str, w1: str = "batch",
         })
 
     return agg.map_batches(widen, batch_format="pyarrow")
+
+
+def x15_prefix_search(sf_dir: str, prefix: str = "s", k: int = 10):
+    """X15 — prefix (autocomplete) search census: the top-``k`` words
+    starting with ``prefix`` by occurrence count, plus the distinct
+    matching-word count and total matching occurrences — the
+    autocomplete/typeahead primitive next to X4's exact phrase and
+    X10's proximity search.
+
+    Scale shape: V1's per-block partial counts are prefix-FILTERED at
+    the map side (only matching words leave the block), then the
+    standard `_pkey` word aggregate + block-pruned top-k — the
+    exchange carries the prefix's vocabulary slice, never the
+    corpus'.  Exact counts; a summary row (word = '') carries the
+    census totals; no floats."""
+    from anomalydetection_ray.stages.runs import agg_by
+    from anomalydetection_ray.stages.topk import topk
+
+    docs = _read_docs(sf_dir, ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = _count_partial(batch)
+        keep = pc.starts_with(t.column("word"), prefix)
+        return t.filter(keep)
+
+    partials = docs.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    counts = agg_by(partials, ["word"], [("n", "sum", "n")])
+    head = topk(counts, k, [("n", "descending"),
+                            ("word", "ascending")])
+
+    def census(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch.column("n"), dtype=np.int64)
+        return pa.table({
+            "word": pa.array([""], type=pa.string()),
+            "n": pa.array([int(n.sum())], type=pa.int64()),
+            "n_distinct": pa.array([batch.num_rows],
+                                   type=pa.int64()),
+        })
+
+    totals = (counts.map_batches(census, batch_format="pyarrow")
+              .groupby("word").sum(["n", "n_distinct"])
+              .map_batches(lambda b: pa.table({
+                  "word": b.column("word"),
+                  "n": b.column("sum(n)"),
+                  "n_distinct": b.column("sum(n_distinct)")}),
+                  batch_format="pyarrow"))
+
+    def rank_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "word": batch.column("word"),
+            "n": batch.column("n").cast(pa.int64()),
+            "n_distinct": pa.array(
+                np.full(batch.num_rows, -1, dtype=np.int64)),
+        })
+
+    import ray.data  # noqa: F401
+
+    return head.map_batches(rank_rows,
+                            batch_format="pyarrow").union(totals)

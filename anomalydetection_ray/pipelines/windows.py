@@ -3900,3 +3900,82 @@ def w62_session_length_quartiles(sf_dir: str):
     return (counts.map_batches(tag, batch_format="pyarrow")
             .groupby("_one").map_groups(finalize,
                                         batch_format="pyarrow"))
+
+
+def _persistence_kernel(group: pa.Table) -> pa.Table:
+    """Per-partition partials for W65: over distinct (user, day)
+    pairs, how many have day < hi (denominator candidates) and how
+    many of those also have day+1 active for the SAME user.  The
+    global hi is attached per row upstream so partials stay exact."""
+    group = group.drop_columns([PKEY])
+    uid = np.asarray(group.column("user_id"), dtype=np.int64)
+    day = _ts_us(group.column("ts")) // 86_400_000_000
+    hi = int(np.asarray(group.column("_hi"), dtype=np.int64)[0])
+    order = np.lexsort((day, uid))
+    uid, day = uid[order], day[order]
+    keep = np.concatenate(([True],
+                           (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])))
+    uid, day = uid[keep], day[keep]
+    cand = day < hi
+    followed = np.zeros(uid.shape[0], dtype=bool)
+    if uid.shape[0] > 1:
+        followed[:-1] = (uid[1:] == uid[:-1]) & (day[1:] == day[:-1] + 1)
+    return pa.table({
+        "_one": pa.array([0], type=pa.int64()),
+        "n_candidates": pa.array([int(cand.sum())], type=pa.int64()),
+        "n_followed": pa.array([int((cand & followed).sum())],
+                               type=pa.int64()),
+    })
+
+
+def w65_activity_persistence(sf_dir: str, num_partitions: int = 16):
+    """W65 — user-level day-over-day persistence: of all (user, day)
+    active pairs that could have a tomorrow (day < corpus max day),
+    what fraction were followed by the SAME user being active on
+    day+1 — P(active tomorrow | active today), the user-grain
+    stickiness scalar next to W59's population-level DAU/WAU and
+    W44's type-level count ACF.
+
+    Exactness: exact distinct-pair counts (users partition-local);
+    p_continue is the one pinned division.
+
+    Scale shape: the global max day is ONE tiny pre-aggregate
+    attached map-side; then ONE ``_pkey`` exchange and single-row
+    partials."""
+    from anomalydetection_ray.stages.detectors import _split_double
+
+    ev = _read_events(sf_dir, ["ts", "user_id"])
+    hi = ev.map_batches(
+        lambda b: pa.table({"d": pa.array(
+            [int((_ts_us(b.column("ts")) // 86_400_000_000).max())]
+            if b.num_rows else [], type=pa.int64())}),
+        batch_format="pyarrow").max("d")
+
+    def attach_hi(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_hi", pa.array(np.full(batch.num_rows, hi,
+                                    dtype=np.int64)))
+
+    tagged = (ev.map_batches(attach_hi, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True))
+    agg = (tagged.groupby(PKEY).map_groups(
+        _persistence_kernel, batch_format="pyarrow")
+        .groupby("_one").sum(["n_candidates", "n_followed"]))
+
+    def widen(batch: pa.Table) -> pa.Table:
+        cand = int(batch.column("sum(n_candidates)")[0].as_py())
+        fol = int(batch.column("sum(n_followed)")[0].as_py())
+        p = (_split_double(fol) / _split_double(cand)
+             if cand > 0 else None)
+        return pa.table({
+            "n_candidates": pa.array([cand], type=pa.int64()),
+            "n_followed": pa.array([fol], type=pa.int64()),
+            "p_continue": pa.array([p], type=pa.float64(),
+                                   from_pandas=True),
+        })
+
+    return agg.map_batches(widen, batch_format="pyarrow")

@@ -3771,3 +3771,44 @@ def test_g56_pareto_bruteforce(ray_session):
         assert r["share"] == float(r["n_docs"]) / float(total)
         assert r["cum_share"] == float(cum) / float(total)
     assert got["cum_share"].iloc[-1] == 1.0
+
+
+# ---------------------------------------------------------------- W65 ----
+def test_w65_persistence_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = e.queries()["w65_activity_persistence"](SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "user_id"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    pairs = set(map(tuple, ev[["user_id", "day"]]
+                    .drop_duplicates().to_numpy()))
+    hi = max(d for _, d in pairs)
+    cand = [(u, d) for u, d in pairs if d < hi]
+    fol = sum(1 for u, d in cand if (u, d + 1) in pairs)
+    assert got["n_candidates"][0] == len(cand)
+    assert got["n_followed"][0] == fol
+    assert got["p_continue"][0] == float(fol) / float(len(cand))
+
+
+# ---------------------------------------------------------------- X15 ----
+def test_x15_prefix_search_bruteforce(ray_session):
+    from collections import Counter
+
+    import __ray_entry__ as e
+
+    got = e.queries()["x15_prefix_search"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    c = Counter()
+    for t in docs["text"].fillna(""):
+        for w in t.split(" "):
+            if w and w.startswith("s"):
+                c[w] += 1
+    ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    head = got[got["word"] != ""]
+    assert list(head["word"]) == [w for w, _ in ranked]
+    assert list(head["n"]) == [n for _, n in ranked]
+    summary = got[got["word"] == ""]
+    assert summary["n"].iloc[0] == sum(c.values())
+    assert summary["n_distinct"].iloc[0] == len(c)
