@@ -1628,6 +1628,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w65_activity_persistence": wnd.w65_activity_persistence,
         # X15 prefix (autocomplete) search census
         "x15_prefix_search": vb.x15_prefix_search,
+        # G57 event-type audience-overlap (user-set Jaccard) matrix
+        "g57_type_user_jaccard": wnd.g57_type_user_jaccard,
+        # V26 Heaps-law exponent across sources
+        "v26_heaps_exponent": vb.v26_heaps_exponent,
         # Q28 uniform-mixture importance weights per source
         "q28_source_reweight": q.q28_source_reweight,
         # W56 first-return gap histogram (time to second visit)
@@ -6375,6 +6379,76 @@ def oracle_sql() -> dict[str, str]:
                          CAST(count(*) AS BIGINT) AS n_distinct
                   FROM c)
             SELECT * FROM h UNION ALL SELECT * FROM t
+        """,
+        # G57: distinct (user, type) pairs; pair grid + one division
+        "g57_type_user_jaccard": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type
+                        FROM events),
+            s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                  FROM ut GROUP BY event_type),
+            p AS (SELECT a.event_type AS type_a,
+                         b.event_type AS type_b,
+                         CAST(count(*) AS BIGINT) AS n_both
+                  FROM ut a JOIN ut b
+                  ON a.user_id = b.user_id
+                     AND a.event_type < b.event_type
+                  GROUP BY type_a, type_b),
+            g AS (SELECT a.event_type AS type_a,
+                         b.event_type AS type_b
+                  FROM s a JOIN s b ON a.event_type < b.event_type)
+            SELECT g.type_a, g.type_b, sa.n AS n_a, sb.n AS n_b,
+                   COALESCE(p.n_both, 0) AS n_both,
+                   CASE WHEN sa.n + sb.n - COALESCE(p.n_both, 0) > 0
+                   THEN CAST(COALESCE(p.n_both, 0) AS DOUBLE)
+                        / CAST(sa.n + sb.n - COALESCE(p.n_both, 0)
+                               AS DOUBLE)
+                   END AS jaccard
+            FROM g JOIN s sa ON sa.event_type = g.type_a
+            JOIN s sb ON sb.event_type = g.type_b
+            LEFT JOIN p ON p.type_a = g.type_a
+                       AND p.type_b = g.type_b
+        """,
+        # V26: exact per-source (N, V); the OLS as pinned ordered
+        # folds (source-ascending lists, 0.0 seeds)
+        "v26_heaps_exponent": """
+            WITH w AS (SELECT source,
+                              unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+            c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+                         CAST(count(DISTINCT word) AS BIGINT)
+                             AS n_types
+                  FROM w WHERE word <> '' GROUP BY source),
+            l AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                         list(ln(CAST(n_words AS DOUBLE))
+                              ORDER BY source) AS xl,
+                         list(ln(CAST(n_types AS DOUBLE))
+                              ORDER BY source) AS yl
+                  FROM c),
+            m AS (SELECT k, xl, yl,
+                         list_reduce(list_prepend(0.0, xl),
+                                     (a, b) -> a + b)
+                             / CAST(k AS DOUBLE) AS mx,
+                         list_reduce(list_prepend(0.0, yl),
+                                     (a, b) -> a + b)
+                             / CAST(k AS DOUBLE) AS my
+                  FROM l),
+            f AS (SELECT k, mx, my,
+                         list_reduce(list_prepend(0.0,
+                             list_transform(range(1,
+                                 CAST(k + 1 AS INT)),
+                                 p -> (xl[p] - mx) * (xl[p] - mx))),
+                             (a, b) -> a + b) AS sxx,
+                         list_reduce(list_prepend(0.0,
+                             list_transform(range(1,
+                                 CAST(k + 1 AS INT)),
+                                 p -> (xl[p] - mx) * (yl[p] - my))),
+                             (a, b) -> a + b) AS sxy
+                  FROM m)
+            SELECT k AS n_sources,
+                   CASE WHEN sxx > 0.0 THEN sxy / sxx END AS beta,
+                   CASE WHEN sxx > 0.0 THEN
+                       my - (sxy / sxx) * mx END AS log_k
+            FROM f
         """,
         # J24: seeded mod-2^64 Bloom replay + rate divisions
         "j24_bloom_prefilter_audit": _bloom_sql(),

@@ -1317,3 +1317,105 @@ def x15_prefix_search(sf_dir: str, prefix: str = "s", k: int = 10):
 
     return head.map_batches(rank_rows,
                             batch_format="pyarrow").union(totals)
+
+
+def v26_heaps_exponent(sf_dir: str):
+    """V26 — Heaps' law exponent across sources: regress ln(distinct
+    words) on ln(total words) over the per-source (N_s, V_s) points —
+    the corpus-law readout (beta ~ 0.4-0.6 for natural text; beta near
+    1 = unbounded novelty = likely noise/IDs; near 0 = template).
+
+    Exactness: N_s and V_s are exact ints; the OLS runs as PINNED
+    ordered folds (source-ascending, 0.0 seeds): sx/sy sums of libm
+    ln, means by /k, centered product sums, beta = sxy/sxx and
+    log_k = my - beta*mx — every step one IEEE op, replayed by the
+    oracle's list_reduce chain.
+
+    Scale shape: word-count partials per (source, word) collapse
+    map-side; the exchanges are bounded by vocab x sources; the OLS
+    fold runs over <= |sources| points."""
+    import math
+
+    from anomalydetection_ray.stages.detectors import _split_double
+
+    docs = _read_docs(sf_dir, ["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(words)
+        src_of = src.take(pc.list_parent_indices(words))
+        keep = pc.not_equal(flat, "")
+        pairs = pa.table({"source": src_of.filter(keep),
+                          "word": flat.filter(keep)})
+        g = pairs.group_by(["source", "word"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"source": g.column("source"),
+                         "word": g.column("word"),
+                         "n": pc.cast(g.column("count_all"),
+                                      pa.int64())})
+
+    counts = (docs.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+              .groupby(["source", "word"]).sum("n"))
+
+    def per_source(batch: pa.Table) -> pa.Table:
+        t = pa.table({"source": batch.column("source"),
+                      "n": batch.column("sum(n)").cast(pa.int64()),
+                      "one": pa.array(np.ones(batch.num_rows,
+                                              dtype=np.int64))})
+        g = t.group_by(["source"]).aggregate([("n", "sum"),
+                                              ("one", "sum")])
+        return pa.table({"source": g.column("source"),
+                         "n_words": g.column("n_sum").cast(pa.int64()),
+                         "n_types": g.column("one_sum").cast(
+                             pa.int64())})
+
+    sums = (counts.map_batches(per_source, batch_format="pyarrow")
+            .groupby("source").sum(["n_words", "n_types"]))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_one", pa.array(np.zeros(batch.num_rows, dtype=np.int64)))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        src = np.asarray(group.column("source"))
+        nw = np.asarray(group.column("sum(n_words)"), dtype=np.int64)
+        nt = np.asarray(group.column("sum(n_types)"), dtype=np.int64)
+        order = np.argsort(src)
+        nw, nt = nw[order], nt[order]
+        k = int(nw.shape[0])
+        xs = [math.log(_split_double(int(v))) for v in nw]
+        ys = [math.log(_split_double(int(v))) for v in nt]
+        sx = 0.0
+        sy = 0.0
+        for v in xs:
+            sx = sx + v
+        for v in ys:
+            sy = sy + v
+        mx = sx / float(k)
+        my = sy / float(k)
+        sxx = 0.0
+        sxy = 0.0
+        for xv, yv in zip(xs, ys):
+            sxx = sxx + (xv - mx) * (xv - mx)
+        for xv, yv in zip(xs, ys):
+            sxy = sxy + (xv - mx) * (yv - my)
+        beta = sxy / sxx if sxx > 0.0 else None
+        logk = (my - beta * mx) if beta is not None else None
+        return pa.table({
+            "n_sources": pa.array([k], type=pa.int64()),
+            "beta": pa.array([beta], type=pa.float64(),
+                             from_pandas=True),
+            "log_k": pa.array([logk], type=pa.float64(),
+                              from_pandas=True),
+        })
+
+    return (sums.map_batches(tag, batch_format="pyarrow")
+            .groupby("_one").map_groups(finalize,
+                                        batch_format="pyarrow"))

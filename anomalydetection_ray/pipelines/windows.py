@@ -3979,3 +3979,96 @@ def w65_activity_persistence(sf_dir: str, num_partitions: int = 16):
         })
 
     return agg.map_batches(widen, batch_format="pyarrow")
+
+
+def _typemask_kernel(group: pa.Table, type_order: tuple) -> pa.Table:
+    """Per-partition (mask, n_users) partials: each user's set of
+    event types as a bitmask over the FIXED type order — the bounded
+    (2^n_types) sufficient statistic for every pairwise set overlap."""
+    group = group.drop_columns([PKEY])
+    uid = np.asarray(group.column("user_id"), dtype=np.int64)
+    et = np.asarray(group.column("event_type"))
+    bit = np.zeros(uid.shape[0], dtype=np.int64)
+    for i, t in enumerate(type_order):
+        bit[et == t] = 1 << i
+    order = np.argsort(uid, kind="stable")
+    uid, bit = uid[order], bit[order]
+    starts = np.flatnonzero(np.concatenate(([True],
+                                            uid[1:] != uid[:-1])))
+    masks = np.bitwise_or.reduceat(bit, starts)
+    uq, c = np.unique(masks, return_counts=True)
+    return pa.table({
+        "mask": pa.array(uq, type=pa.int64()),
+        "n_users": pa.array(c.astype(np.int64), type=pa.int64()),
+    })
+
+
+def g57_type_user_jaccard(sf_dir: str, num_partitions: int = 16):
+    """G57 — event-type co-activity matrix: for every type pair, the
+    Jaccard overlap of their USER sets (|users doing both| / |users
+    doing either|) — "do people who error also purchase?", the
+    audience-overlap readout W10's transition matrix (sequence-local)
+    cannot give.
+
+    The whole computation reduces to the bounded (<= 2^n_types)
+    mask histogram: per user ONE bitmask of types used, counted; every
+    pair's intersection/union is a mask-table scan.  Exact counts; one
+    pinned division per pair.
+
+    Scale shape: ONE ``_pkey`` exchange; bounded mask partials; the
+    pair read-off runs over <= 32 rows."""
+    import functools as _ft
+
+    from anomalydetection_ray.stages.detectors import _split_double
+
+    ev = _read_events(sf_dir, ["user_id", "event_type"])
+    # fixed, data-independent type order (sorted distinct — tiny agg)
+    types = tuple(sorted(
+        r["event_type"] for r in ev.groupby("event_type").count()
+        .select_columns(["event_type"]).take_all()))
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    masks = (tagged.groupby(PKEY).map_groups(
+        _ft.partial(_typemask_kernel, type_order=types),
+        batch_format="pyarrow")
+        .groupby("mask").sum("n_users"))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_one", pa.array(np.zeros(batch.num_rows, dtype=np.int64)))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        m = np.asarray(group.column("mask"), dtype=np.int64)
+        n = np.asarray(group.column("sum(n_users)"), dtype=np.int64)
+        out = {k: [] for k in ("type_a", "type_b", "n_a", "n_b",
+                               "n_both", "jaccard")}
+        for i in range(len(types)):
+            for j in range(i + 1, len(types)):
+                ba, bb = 1 << i, 1 << j
+                na = int(n[(m & ba) > 0].sum())
+                nb = int(n[(m & bb) > 0].sum())
+                nab = int(n[((m & ba) > 0) & ((m & bb) > 0)].sum())
+                union = na + nb - nab
+                out["type_a"].append(types[i])
+                out["type_b"].append(types[j])
+                out["n_a"].append(na)
+                out["n_b"].append(nb)
+                out["n_both"].append(nab)
+                out["jaccard"].append(
+                    _split_double(nab) / _split_double(union)
+                    if union > 0 else None)
+        return pa.table({
+            "type_a": pa.array(out["type_a"], type=pa.string()),
+            "type_b": pa.array(out["type_b"], type=pa.string()),
+            "n_a": pa.array(out["n_a"], type=pa.int64()),
+            "n_b": pa.array(out["n_b"], type=pa.int64()),
+            "n_both": pa.array(out["n_both"], type=pa.int64()),
+            "jaccard": pa.array(out["jaccard"], type=pa.float64(),
+                                from_pandas=True),
+        })
+
+    return (masks.map_batches(tag, batch_format="pyarrow")
+            .groupby("_one").map_groups(finalize,
+                                        batch_format="pyarrow"))

@@ -3812,3 +3812,63 @@ def test_x15_prefix_search_bruteforce(ray_session):
     summary = got[got["word"] == ""]
     assert summary["n"].iloc[0] == sum(c.values())
     assert summary["n_distinct"].iloc[0] == len(c)
+
+
+# ---------------------------------------------------------------- G57 ----
+def test_g57_type_jaccard_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["g57_type_user_jaccard"](SF).to_pandas()
+           .set_index(["type_a", "type_b"]))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type"]).to_pandas()
+    sets = {t: set(g["user_id"]) for t, g in ev.groupby("event_type")}
+    types = sorted(sets)
+    n_pairs = 0
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            n_pairs += 1
+            row = got.loc[(a, b)]
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            assert row["n_a"] == len(sets[a])
+            assert row["n_b"] == len(sets[b])
+            assert row["n_both"] == inter
+            assert row["jaccard"] == float(inter) / float(union)
+    assert len(got) == n_pairs
+
+
+# ---------------------------------------------------------------- V26 ----
+def test_v26_heaps_bruteforce(ray_session):
+    import math
+
+    import __ray_entry__ as e
+
+    got = e.queries()["v26_heaps_exponent"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    stats = {}
+    for src, grp in docs.groupby("source"):
+        words = [w for t in grp["text"].fillna("")
+                 for w in t.split(" ") if w]
+        stats[src] = (len(words), len(set(words)))
+    srcs = sorted(stats)
+    xs = [math.log(float(stats[s][0])) for s in srcs]
+    ys = [math.log(float(stats[s][1])) for s in srcs]
+    k = len(srcs)
+    sx = sy = 0.0
+    for v in xs:
+        sx = sx + v
+    for v in ys:
+        sy = sy + v
+    mx, my = sx / k, sy / k
+    sxx = sxy = 0.0
+    for xv in xs:
+        sxx = sxx + (xv - mx) * (xv - mx)
+    for xv, yv in zip(xs, ys):
+        sxy = sxy + (xv - mx) * (yv - my)
+    assert got["n_sources"][0] == k
+    assert got["beta"][0] == sxy / sxx
+    assert got["log_k"][0] == my - (sxy / sxx) * mx
+    # natural-ish text: exponent in a sane band
+    assert 0.0 < got["beta"][0] < 1.5
