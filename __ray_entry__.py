@@ -1632,6 +1632,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g57_type_user_jaccard": wnd.g57_type_user_jaccard,
         # V26 Heaps-law exponent across sources
         "v26_heaps_exponent": vb.v26_heaps_exponent,
+        # G58 Benford first-digit screen per type
+        "g58_benford": q.g58_benford,
+        # Q35 distributed NTILE(4) revenue buckets audit
+        "q35_ntile_revenue_buckets": q.q35_ntile_revenue_buckets,
         # Q28 uniform-mixture importance weights per source
         "q28_source_reweight": q.q28_source_reweight,
         # W56 first-return gap histogram (time to second visit)
@@ -6449,6 +6453,64 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN sxx > 0.0 THEN
                        my - (sxy / sxx) * mx END AS log_k
             FROM f
+        """,
+        # G58: decimal-string first digit (never float log10 on the
+        # value); pinned ascending-digit chi2 fold
+        "g58_benford": """
+            WITH v AS (SELECT event_type,
+                              CAST(floor(value * 100 + 0.5)
+                                   AS BIGINT) AS c
+                       FROM events),
+            d AS (SELECT event_type,
+                         CAST(substr(CAST(c AS VARCHAR), 1, 1)
+                              AS BIGINT) AS digit
+                  FROM v WHERE c > 0),
+            c2 AS (SELECT event_type, digit,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM d GROUP BY event_type, digit),
+            g AS (SELECT e.event_type, CAST(t.d AS BIGINT) AS digit
+                  FROM (SELECT DISTINCT event_type FROM c2) e
+                  CROSS JOIN range(1, 10) t(d)),
+            f AS (SELECT g.event_type, g.digit,
+                         COALESCE(c2.n, 0) AS n
+                  FROM g LEFT JOIN c2
+                  ON c2.event_type = g.event_type
+                     AND c2.digit = g.digit),
+            tot AS (SELECT event_type,
+                           CAST(sum(n) AS BIGINT) AS n_total,
+                           list(CAST(n AS DOUBLE) ORDER BY digit)
+                               AS nv
+                    FROM f GROUP BY event_type),
+            chi AS (SELECT event_type, n_total,
+                           list_reduce(list_prepend(0.0,
+                               list_transform(range(1, 10), p ->
+                                   ((nv[p] - CAST(n_total AS DOUBLE)
+                                     * log10(1.0 + 1.0 / p))
+                                    * (nv[p] - CAST(n_total AS DOUBLE)
+                                       * log10(1.0 + 1.0 / p)))
+                                   / (CAST(n_total AS DOUBLE)
+                                      * log10(1.0 + 1.0 / p)))),
+                               (a, b) -> a + b) AS chi2
+                    FROM tot)
+            SELECT f.event_type, f.digit, f.n, chi.n_total,
+                   chi.chi2 AS chi2_benford
+            FROM f JOIN chi USING (event_type)
+        """,
+        # Q35: DuckDB's own NTILE over the pinned (cents, orderkey)
+        # order — the engine's rank arithmetic must agree exactly
+        "q35_ntile_revenue_buckets": """
+            WITH c AS (SELECT o_orderkey, o_orderpriority,
+                              CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT) AS cents
+                       FROM orders),
+            t AS (SELECT o_orderpriority,
+                         CAST(ntile(4) OVER (ORDER BY cents,
+                                             o_orderkey) AS BIGINT)
+                             AS bucket
+                  FROM c)
+            SELECT o_orderpriority, bucket,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM t GROUP BY o_orderpriority, bucket
         """,
         # J24: seeded mod-2^64 Bloom replay + rate divisions
         "j24_bloom_prefilter_audit": _bloom_sql(),

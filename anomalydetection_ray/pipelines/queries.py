@@ -11263,3 +11263,173 @@ def g56_source_pareto(sf_dir: str):
     return (counts.map_batches(tag, batch_format="pyarrow")
             .groupby("_one").map_groups(finalize,
                                         batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------- G58 ----
+def g58_benford(sf_dir: str):
+    """G58 — Benford first-digit screen per event type over positive
+    cent values: observed first-significant-digit counts vs the
+    Benford expectation, with the chi-square distance — the classic
+    fabricated-numbers / synthetic-data smell test.
+
+    Exactness: the first digit comes from the DECIMAL STRING of the
+    exact cent integer (never a float log10, which misbins at powers
+    of ten); counts exact.  chi2 is the repo's pinned ascending-digit
+    fold: e_d = split(n)*p_d, term = (split(n_d)-e_d)^2/e_d with
+    p_d = log10(1+1/d) evaluated via libm on both sides.
+
+    Scale shape: bounded (type, digit) exchange; per-type finalize
+    over 9 rows."""
+    import math
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from anomalydetection_ray.stages.detectors import _split_double
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        pos = cents > 0
+        s = pc.cast(pa.array(cents[pos]), pa.string())
+        d = pc.utf8_slice_codeunits(s, 0, 1)
+        t = pa.table({
+            "event_type": batch.column("event_type").filter(
+                pa.array(pos)),
+            "digit": pc.cast(d, pa.int64()),
+        })
+        g = t.group_by(["event_type", "digit"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "digit": g.column("digit"),
+                         "n": pc.cast(g.column("count_all"),
+                                      pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["event_type", "digit"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        dig = np.asarray(group.column("digit"), dtype=np.int64)
+        n = np.asarray(group.column("n"), dtype=np.int64)
+        full = np.zeros(9, dtype=np.int64)
+        full[dig - 1] = n
+        total = int(full.sum())
+        chi2 = 0.0
+        for d in range(1, 10):
+            p = math.log10(1.0 + 1.0 / float(d))
+            e = _split_double(total) * p
+            diff = _split_double(int(full[d - 1])) - e
+            chi2 = chi2 + (diff * diff) / e
+        return pa.table({
+            "event_type": pa.array([et] * 9, type=pa.string()),
+            "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+            "n": pa.array(full, type=pa.int64()),
+            "n_total": pa.array([total] * 9, type=pa.int64()),
+            "chi2_benford": pa.array([chi2] * 9, type=pa.float64()),
+        })
+
+    return counts.groupby("event_type").map_groups(
+        finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- Q35 ----
+def q35_ntile_revenue_buckets(sf_dir: str):
+    """Q35 — distributed NTILE(4): orders ranked by (total cents,
+    orderkey) are dealt into four near-equal buckets with DuckDB's
+    remainder rule (the first n mod 4 buckets take the extra row), and
+    the result is audited as (priority, bucket) counts — the window-
+    function NTILE primitive expressed shuffle-light.
+
+    HOW: a bounded cent histogram gives every distinct value its
+    exclusive-cumsum GLOBAL RANK BASE (broadcast as a lookup —
+    J1 discipline); one co-partitioned exchange on the cent value
+    orders ties by orderkey so row rank = base + within-value index;
+    the NTILE bucket is then pure integer arithmetic per row.  Exact
+    everywhere; no global sort of the table.
+
+    Scale note: the broadcast is bounded by the distinct-cent domain
+    of an order book (documented assumption shared with G52's
+    histograms)."""
+    import functools
+
+    from anomalydetection_ray.stages.runs import PKEY, add_partition_key
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def cents_batch(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("o_totalprice"), dtype=np.float64)
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "cents": pa.array(np.floor(v * 100.0 + 0.5)
+                              .astype(np.int64), type=pa.int64()),
+        })
+
+    rows = ds.map_batches(cents_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    # bounded histogram -> exclusive cumsum rank base per cent value
+    hist = (rows.map_batches(
+        lambda b: pa.table({"cents": b.column("cents"),
+                            "one": pa.array(np.ones(b.num_rows,
+                                                    dtype=np.int64))})
+        .group_by(["cents"]).aggregate([("one", "sum")]),
+        batch_format="pyarrow")
+        .map_batches(lambda g: pa.table({
+            "cents": g.column("cents"),
+            "c": g.column("one_sum").cast(pa.int64())}),
+            batch_format="pyarrow")
+        .groupby("cents").sum("c").take_all())
+    cv = np.array([r["cents"] for r in hist], dtype=np.int64)
+    cc = np.array([r["sum(c)"] for r in hist], dtype=np.int64)
+    order = np.argsort(cv)
+    cv, cc = cv[order], cc[order]
+    base = np.concatenate(([0], np.cumsum(cc)[:-1]))
+    n_total = int(cc.sum())
+    q, r = divmod(n_total, 4)
+
+    tagged = rows.map_batches(
+        functools.partial(add_partition_key, keys=["cents"],
+                          num_partitions=16),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(group: pa.Table) -> pa.Table:
+        group = group.drop_columns([PKEY]).sort_by(
+            [("cents", "ascending"), ("o_orderkey", "ascending")])
+        c = np.asarray(group.column("cents"), dtype=np.int64)
+        starts = np.flatnonzero(np.concatenate(([True],
+                                                c[1:] != c[:-1])))
+        lens = np.diff(np.append(starts, c.shape[0]))
+        within = np.arange(c.shape[0], dtype=np.int64) \
+            - np.repeat(starts, lens)
+        rank = base[np.searchsorted(cv, c)] + within
+        # DuckDB NTILE remainder rule: first r buckets size q+1
+        cut = r * (q + 1)
+        bucket = np.where(rank < cut, rank // (q + 1),
+                          r + (rank - cut) // q if q else r)
+        t = pa.table({
+            "o_orderpriority": group.column("o_orderpriority"),
+            "bucket": pa.array(bucket + 1, type=pa.int64()),
+            "one": pa.array(np.ones(c.shape[0], dtype=np.int64)),
+        })
+        g = t.group_by(["o_orderpriority", "bucket"]).aggregate(
+            [("one", "sum")])
+        return pa.table({
+            "o_orderpriority": g.column("o_orderpriority"),
+            "bucket": g.column("bucket"),
+            "n": g.column("one_sum").cast(pa.int64())})
+
+    return (tagged.groupby(PKEY).map_groups(kernel,
+                                            batch_format="pyarrow")
+            .groupby(["o_orderpriority", "bucket"]).sum("n")
+            .map_batches(lambda b: pa.table({
+                "o_orderpriority": b.column("o_orderpriority"),
+                "bucket": b.column("bucket"),
+                "n": b.column("sum(n)")}),
+                batch_format="pyarrow"))

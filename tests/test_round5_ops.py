@@ -3872,3 +3872,55 @@ def test_v26_heaps_bruteforce(ray_session):
     assert got["log_k"][0] == my - (sxy / sxx) * mx
     # natural-ish text: exponent in a sane band
     assert 0.0 < got["beta"][0] < 1.5
+
+
+# ---------------------------------------------------------------- G58 ----
+def test_g58_benford_bruteforce(ray_session):
+    import math
+    from collections import Counter
+
+    import __ray_entry__ as e
+
+    got = e.queries()["g58_benford"](SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    ev["c"] = np.floor(ev["value"] * 100 + 0.5).astype(np.int64)
+    for et, grp in ev.groupby("event_type"):
+        c = Counter(int(str(x)[0]) for x in grp["c"] if x > 0)
+        total = sum(c.values())
+        sub = got[got["event_type"] == et].set_index("digit")
+        assert len(sub) == 9
+        chi2 = 0.0
+        for d in range(1, 10):
+            assert sub.loc[d]["n"] == c.get(d, 0)
+            assert sub.loc[d]["n_total"] == total
+            p = math.log10(1.0 + 1.0 / float(d))
+            e_ = float(total) * p
+            diff = float(c.get(d, 0)) - e_
+            chi2 = chi2 + (diff * diff) / e_
+        assert sub["chi2_benford"].iloc[0] == chi2
+
+
+# ---------------------------------------------------------------- Q35 ----
+def test_q35_ntile_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["q35_ntile_revenue_buckets"](SF).to_pandas()
+           .set_index(["o_orderpriority", "bucket"]))
+    od = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    od["cents"] = np.floor(od["o_totalprice"] * 100
+                           + 0.5).astype(np.int64)
+    od = od.sort_values(["cents", "o_orderkey"]).reset_index(drop=True)
+    n = len(od)
+    q, r = divmod(n, 4)
+    ranks = np.arange(n)
+    cut = r * (q + 1)
+    od["bucket"] = np.where(ranks < cut, ranks // (q + 1),
+                            r + (ranks - cut) // q) + 1
+    want = od.groupby(["o_orderpriority", "bucket"]).size()
+    assert len(got) == len(want)
+    for key, v in want.items():
+        assert got.loc[key]["n"] == v
+    # bucket sizes near-equal: the remainder rule
+    sizes = od.groupby("bucket").size()
+    assert sizes.max() - sizes.min() <= 1
