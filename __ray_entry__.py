@@ -1636,6 +1636,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g58_benford": q.g58_benford,
         # Q35 distributed NTILE(4) revenue buckets audit
         "q35_ntile_revenue_buckets": q.q35_ntile_revenue_buckets,
+        # K27 standardized-distance embedding outliers (top-k)
+        "k27_centroid_outliers": km.k27_centroid_outliers,
         # Q28 uniform-mixture importance weights per source
         "q28_source_reweight": q.q28_source_reweight,
         # W56 first-return gap histogram (time to second visit)
@@ -11798,6 +11800,51 @@ def oracle_sql() -> dict[str, str]:
                           * (CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE)))
                        / 1048576.0 AS std
             FROM m
+        """,
+        # K27: K5's pinned mu/sd chain -> sequential ascending-dim
+        # z^2 fold (list_reduce replay); ties (score desc, vec_id)
+        "k27_centroid_outliers": f"""
+            WITH u AS (SELECT CAST(t.i - 1 AS BIGINT) AS dim,
+                              CAST(floor(CAST(embedding[t.i] AS DOUBLE)
+                                         * 1048576 + 0.5) AS BIGINT)
+                                  AS vq
+                       FROM embeddings
+                       CROSS JOIN unnest(range(1, len(embedding) + 1))
+                           AS t(i)),
+            m AS (SELECT dim, count(*) AS n,
+                         CAST(sum(vq) AS BIGINT) AS sum_q,
+                         CAST(sum(vq * vq) AS BIGINT) AS sumsq_q
+                  FROM u GROUP BY dim),
+            st AS (SELECT dim,
+                          (CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE))
+                              / 1048576.0 AS mu,
+                          sqrt(CAST(sumsq_q AS DOUBLE)
+                               / CAST(n AS DOUBLE)
+                               - (CAST(sum_q AS DOUBLE)
+                                  / CAST(n AS DOUBLE))
+                                 * (CAST(sum_q AS DOUBLE)
+                                    / CAST(n AS DOUBLE)))
+                              / 1048576.0 AS sd
+                   FROM m),
+            sv AS (SELECT list(mu ORDER BY dim) AS mus,
+                          list(sd ORDER BY dim) AS sds,
+                          CAST(count(*) AS BIGINT) AS d
+                   FROM st),
+            sc AS (SELECT e.vec_id, e.label,
+                          list_reduce(list_prepend(0.0,
+                              list_transform(range(1,
+                                  CAST(sv.d + 1 AS INT)),
+                                  p -> ((CAST(e.embedding[p]
+                                              AS DOUBLE) - sv.mus[p])
+                                        / sv.sds[p])
+                                       * ((CAST(e.embedding[p]
+                                                AS DOUBLE)
+                                           - sv.mus[p])
+                                          / sv.sds[p]))),
+                              (a, b) -> a + b) AS score
+                   FROM embeddings e CROSS JOIN sv)
+            SELECT vec_id, label, score
+            FROM sc ORDER BY score DESC, vec_id LIMIT 10
         """,
         # J9 interval coalesce: classic gaps-and-islands over intervals
         # (break when lo clears the running max of prior his)

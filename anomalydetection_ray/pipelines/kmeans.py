@@ -1095,3 +1095,53 @@ def k26_label_norms(sf_dir: str):
         })
 
     return agg.map_batches(widen, batch_format="pyarrow")
+
+
+def k27_centroid_outliers(sf_dir: str, k: int = 10):
+    """K27 — standardized-distance outlier vectors: the top-``k``
+    embeddings by Mahalanobis-lite score sum_p ((e_p - mu_p)/sd_p)^2
+    against K5's per-dimension standardization stats — the "which
+    vectors don't belong to this corpus at all?" screen upstream of
+    any clustering (K1 centroids chase these; this names them).
+
+    Exactness: mu/sd are K5's pinned per-dim floats (exact int moments
+    -> the pinned mean/std chain, parity-gated); the score is a
+    SEQUENTIAL ascending-dim fold (acc + z_p^2, 0.0 seed) — the
+    kernel loops dims (vectorized across rows) so the oracle's
+    list_reduce replays it term-for-term.  Ties (score desc, vec_id).
+
+    Scale shape: the 64-row stats table broadcasts in the closure;
+    per-block partial top-k; tiny final sort-limit."""
+    import ray.data  # noqa: F401
+
+    stats = k5_dim_standardize(sf_dir).take_all()   # bounded: dims
+    stats.sort(key=lambda r: r["dim"])
+    mu = np.array([r["mean"] for r in stats], dtype=np.float64)
+    sd = np.array([r["std"] for r in stats], dtype=np.float64)
+
+    from anomalydetection_ray.stages.topk import topk
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids, ef = _emb_f64(batch)
+        labels = np.asarray(batch.column("label"), dtype=np.int32)
+        score = np.zeros(ids.shape[0], dtype=np.float64)
+        for p in range(ef.shape[1] if ef.size else 0):
+            z = (ef[:, p] - mu[p]) / sd[p]
+            score = score + z * z
+        if ids.shape[0] > k:
+            part = np.argpartition(-score, k)[:k]
+            ids, labels, score = ids[part], labels[part], score[part]
+        return pa.table({
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "label": pa.array(labels, type=pa.int32()),
+            "score": pa.array(score, type=pa.float64()),
+        })
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return topk(partials, k, [("score", "descending"),
+                              ("vec_id", "ascending")])

@@ -3924,3 +3924,33 @@ def test_q35_ntile_bruteforce(ray_session):
     # bucket sizes near-equal: the remainder rule
     sizes = od.groupby("bucket").size()
     assert sizes.max() - sizes.min() <= 1
+
+
+# ---------------------------------------------------------------- K27 ----
+def test_k27_outliers_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = e.queries()["k27_centroid_outliers"](SF).to_pandas()
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    q = np.floor(m * 1048576.0 + 0.5).astype(np.int64)
+    n = q.shape[0]
+    mu = (q.sum(axis=0).astype(np.float64) / n) / 1048576.0
+    ex2 = (q.astype(np.float64) ** 2).sum(axis=0) / n
+    # replicate k5's pinned chain per dim with exact int moments
+    mu_l, sd_l = [], []
+    for p in range(q.shape[1]):
+        s = float(int(q[:, p].sum()))
+        ss = float(int((q[:, p].astype(object) ** 2).sum()))
+        me = s / float(n)
+        sd_l.append(np.sqrt(ss / float(n) - me * me) / 1048576.0)
+        mu_l.append(me / 1048576.0)
+    mu = np.array(mu_l)
+    sd = np.array(sd_l)
+    score = np.zeros(n)
+    for p in range(q.shape[1]):
+        z = (m[:, p] - mu[p]) / sd[p]
+        score = score + z * z
+    order = np.lexsort((emb["vec_id"].to_numpy(), -score))[:10]
+    assert list(got["vec_id"]) == list(emb["vec_id"].to_numpy()[order])
+    assert np.allclose(got["score"], score[order], rtol=0, atol=0)
