@@ -1638,6 +1638,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q35_ntile_revenue_buckets": q.q35_ntile_revenue_buckets,
         # K27 standardized-distance embedding outliers (top-k)
         "k27_centroid_outliers": km.k27_centroid_outliers,
+        # A98 KS-style arrival-uniformity screen per type
+        "a98_arrival_uniformity": q.a98_arrival_uniformity,
         # Q28 uniform-mixture importance weights per source
         "q28_source_reweight": q.q28_source_reweight,
         # W56 first-return gap histogram (time to second visit)
@@ -6455,6 +6457,56 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN sxx > 0.0 THEN
                        my - (sxy / sxx) * mx END AS log_k
             FROM f
+        """,
+        # A98: exact integer deviation argmax over the dense grid
+        # (ties -> smallest day); one pinned division
+        "a98_arrival_uniformity": """
+            WITH c AS (SELECT event_type,
+                              CAST(epoch_us(ts) // 86400000000
+                                   AS BIGINT) AS day,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY event_type, day),
+            g AS (SELECT CAST(min(day) AS BIGINT) AS lo,
+                         CAST(max(day) AS BIGINT) AS hi
+                  FROM c),
+            grid AS (SELECT e.event_type,
+                            CAST(unnest(range(g.lo, g.hi + 1))
+                                 AS BIGINT) AS day
+                     FROM (SELECT DISTINCT event_type FROM c) e, g),
+            d AS (SELECT grid.event_type, grid.day,
+                         COALESCE(c.n, 0) AS n
+                  FROM grid LEFT JOIN c
+                  ON c.event_type = grid.event_type
+                     AND c.day = grid.day),
+            w AS (SELECT event_type, day,
+                         CAST(sum(n) OVER (PARTITION BY event_type
+                                           ORDER BY day) AS BIGINT)
+                             AS cum,
+                         CAST(sum(n) OVER (PARTITION BY event_type)
+                              AS BIGINT) AS total,
+                         CAST(row_number() OVER (PARTITION BY
+                                                 event_type
+                                                 ORDER BY day)
+                              AS BIGINT) AS rank,
+                         (SELECT hi - lo + 1 FROM g) AS span
+                  FROM d),
+            dv AS (SELECT event_type, day, total, span,
+                          abs(cum * span - rank * total) AS num,
+                          row_number() OVER (PARTITION BY event_type
+                              ORDER BY abs(cum * span - rank * total)
+                                  DESC, day) AS rn
+                   FROM w)
+            SELECT event_type, total, num AS ks_num, day AS ks_day,
+                   CASE WHEN total > 0 THEN
+                       (CAST(num // 4294967296 AS DOUBLE)
+                        * 4294967296.0
+                        + CAST(num % 4294967296 AS DOUBLE))
+                       / (CAST((total * span) // 4294967296
+                               AS DOUBLE) * 4294967296.0
+                          + CAST((total * span) % 4294967296
+                                 AS DOUBLE))
+                   END AS ks_d
+            FROM dv WHERE rn = 1
         """,
         # G58: decimal-string first digit (never float log10 on the
         # value); pinned ascending-digit chi2 fold

@@ -11433,3 +11433,86 @@ def q35_ntile_revenue_buckets(sf_dir: str):
                 "bucket": b.column("bucket"),
                 "n": b.column("sum(n)")}),
                 batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------- A98 ----
+def a98_arrival_uniformity(sf_dir: str):
+    """A98 — KS-style arrival-uniformity screen per event type on the
+    daily grid: the maximum deviation between the empirical arrival
+    CDF and the uniform CDF over the observation span — D near 0 =
+    steady drip, large D = front/back-loaded or regime-switched
+    arrivals (the distributional cousin of A63's KPSS level test).
+
+    Exactness: the deviation is compared as the EXACT integer
+    |cum_d * span - rank_d * total| over the dense grid (no float
+    enters the argmax; ties -> smallest day); D itself is the single
+    pinned division split(max_num) / split(total * span).
+
+    Scale shape: G31's bounded (type, day) exchange; dense-grid scan
+    in the single-group widen."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from anomalydetection_ray.stages.detectors import _split_double
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(us // 86_400_000_000,
+                                      type=pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "n": pc.cast(g.column("count_all"),
+                                      pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["event_type", "day"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_one", pa.array(np.zeros(batch.num_rows, dtype=np.int64)))
+
+    def widen(group: pa.Table) -> pa.Table:
+        et = group.column("event_type").to_pylist()
+        day = np.asarray(group.column("day"), dtype=np.int64)
+        n = np.asarray(group.column("n"), dtype=np.int64)
+        lo, hi = int(day.min()), int(day.max())
+        span = hi - lo + 1
+        rank = np.arange(1, span + 1, dtype=np.int64)
+        types = sorted(set(et))
+        out = {k: [] for k in ("event_type", "total", "ks_num",
+                               "ks_day", "ks_d")}
+        for t in types:
+            sel = np.asarray([e == t for e in et], dtype=bool)
+            dense = np.zeros(span, dtype=np.int64)
+            dense[day[sel] - lo] = n[sel]
+            total = int(dense.sum())
+            cum = np.cumsum(dense)
+            dev = np.abs(cum * span - rank * total)
+            arg = int(np.argmax(dev))          # first max: smallest day
+            out["event_type"].append(t)
+            out["total"].append(total)
+            out["ks_num"].append(int(dev[arg]))
+            out["ks_day"].append(lo + arg)
+            out["ks_d"].append(
+                _split_double(int(dev[arg]))
+                / _split_double(total * span) if total > 0 else None)
+        return pa.table({
+            "event_type": pa.array(out["event_type"],
+                                   type=pa.string()),
+            "total": pa.array(out["total"], type=pa.int64()),
+            "ks_num": pa.array(out["ks_num"], type=pa.int64()),
+            "ks_day": pa.array(out["ks_day"], type=pa.int64()),
+            "ks_d": pa.array(out["ks_d"], type=pa.float64(),
+                             from_pandas=True),
+        })
+
+    return (counts.map_batches(tag, batch_format="pyarrow")
+            .groupby("_one").map_groups(widen, batch_format="pyarrow"))

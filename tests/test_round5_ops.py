@@ -3954,3 +3954,58 @@ def test_k27_outliers_bruteforce(ray_session):
     order = np.lexsort((emb["vec_id"].to_numpy(), -score))[:10]
     assert list(got["vec_id"]) == list(emb["vec_id"].to_numpy()[order])
     assert np.allclose(got["score"], score[order], rtol=0, atol=0)
+
+
+# ---------------------------------------------------------------- A98 ----
+def test_a98_uniformity_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["a98_arrival_uniformity"](SF).to_pandas()
+           .set_index("event_type"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    lo, hi = int(ev["day"].min()), int(ev["day"].max())
+    span = hi - lo + 1
+    for et, grp in ev.groupby("event_type"):
+        dense = np.zeros(span, dtype=np.int64)
+        for d, c in grp.groupby("day").size().items():
+            dense[int(d) - lo] = int(c)
+        total = int(dense.sum())
+        cum = np.cumsum(dense)
+        rank = np.arange(1, span + 1)
+        dev = np.abs(cum * span - rank * total)
+        arg = int(np.argmax(dev))
+        row = got.loc[et]
+        assert row["total"] == total
+        assert row["ks_num"] == int(dev[arg])
+        assert row["ks_day"] == lo + arg
+        assert row["ks_d"] == float(int(dev[arg])) / float(total * span)
+        assert 0.0 <= row["ks_d"] < 1.0
+
+
+def test_a98_detects_frontloaded_arrivals(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from anomalydetection_ray.pipelines.queries import a98_arrival_uniformity
+
+    # "burst" fires only in the first 10% of the span; "steady" daily
+    rows = [("steady", d) for d in range(100)]
+    rows += [("burst", d) for d in range(10) for _ in range(10)]
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "ts": pa.array(np.array([d * 86_400_000_000 + 1
+                                 for _, d in rows],
+                                dtype="datetime64[us]")),
+        "user_id": pa.array([0] * len(rows), type=pa.int64()),
+        "event_type": pa.array([k for k, _ in rows]),
+        "value": pa.array([0.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    _pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    got = (a98_arrival_uniformity(str(tmp_path)).to_pandas()
+           .set_index("event_type"))
+    assert got.loc["burst"]["ks_d"] > 0.8
+    assert got.loc["steady"]["ks_d"] < 0.05
