@@ -1640,6 +1640,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k27_centroid_outliers": km.k27_centroid_outliers,
         # A98 KS-style arrival-uniformity screen per type
         "a98_arrival_uniformity": q.a98_arrival_uniformity,
+        # M10 unpivot (the inverse of T7's pivot; oracle = direct long)
+        "m10_unpivot": q.m10_unpivot,
+        # W64 same-action streakiness per type (mean run length)
+        "w64_action_runs": wnd.w64_action_runs,
         # Q28 uniform-mixture importance weights per source
         "q28_source_reweight": q.q28_source_reweight,
         # W56 first-return gap histogram (time to second visit)
@@ -6457,6 +6461,33 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN sxx > 0.0 THEN
                        my - (sxy / sxx) * mx END AS log_k
             FROM f
+        """,
+        # M10: the direct long-form count IS the roundtrip statement
+        "m10_unpivot": """
+            SELECT event_type,
+                   CAST((epoch_us(ts) // 86400000000 + 3) % 7
+                        AS BIGINT) AS dow,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type, dow
+        """,
+        # W64: lag run-start flags; one pinned division
+        "w64_action_runs": """
+            WITH s AS (SELECT user_id, event_type,
+                              CASE WHEN lag(event_type) OVER w IS NULL
+                                   OR lag(event_type) OVER w
+                                      <> event_type
+                              THEN 1 ELSE 0 END AS brk
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts, event_id)),
+            a AS (SELECT event_type,
+                         CAST(sum(brk) AS BIGINT) AS n_runs,
+                         CAST(count(*) AS BIGINT) AS n_events
+                  FROM s GROUP BY event_type)
+            SELECT event_type, n_events, n_runs,
+                   CAST(n_events AS DOUBLE) / CAST(n_runs AS DOUBLE)
+                       AS mean_run_len
+            FROM a
         """,
         # A98: exact integer deviation argmax over the dense grid
         # (ties -> smallest day); one pinned division

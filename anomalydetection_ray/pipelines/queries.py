@@ -11516,3 +11516,35 @@ def a98_arrival_uniformity(sf_dir: str):
 
     return (counts.map_batches(tag, batch_format="pyarrow")
             .groupby("_one").map_groups(widen, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------- M10 ----
+def m10_unpivot(sf_dir: str):
+    """M10 — unpivot (wide -> long): T7's pivoted (event_type,
+    dow_0..dow_6) table melted back to (event_type, dow, n) rows,
+    zero cells dropped — the inverse transform completing the
+    pivot/melt pair (the oracle is the DIRECT long-form count, so the
+    round trip is the correctness statement).
+
+    Scale shape: the melt is a map-only 1->7 expansion over T7's
+    bounded output."""
+    wide = t7_pivot_events(sf_dir)
+
+    def melt(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch.column("event_type"))
+        outs_t, outs_d, outs_n = [], [], []
+        for d in range(7):
+            n = np.asarray(batch.column(f"dow_{d}"), dtype=np.int64)
+            keep = n > 0
+            outs_t.append(et[keep])
+            outs_d.append(np.full(int(keep.sum()), d,
+                                  dtype=np.int64))
+            outs_n.append(n[keep])
+        return pa.table({
+            "event_type": pa.array(np.concatenate(outs_t),
+                                   type=pa.string()),
+            "dow": pa.array(np.concatenate(outs_d), type=pa.int64()),
+            "n": pa.array(np.concatenate(outs_n), type=pa.int64()),
+        })
+
+    return wide.map_batches(melt, batch_format="pyarrow")

@@ -4072,3 +4072,80 @@ def g57_type_user_jaccard(sf_dir: str, num_partitions: int = 16):
     return (masks.map_batches(tag, batch_format="pyarrow")
             .groupby("_one").map_groups(finalize,
                                         batch_format="pyarrow"))
+
+
+def _action_run_kernel(group: pa.Table) -> pa.Table:
+    """Per-partition (type, n_runs, n_events) partials over each
+    user's (ts, event_id)-ordered stream: a run is a maximal streak of
+    the SAME event type within one user."""
+    group = group.drop_columns([PKEY]).sort_by(
+        [("user_id", "ascending"), ("ts", "ascending"),
+         ("event_id", "ascending")])
+    n = group.num_rows
+    if n == 0:
+        return pa.table({
+            "event_type": pa.array([], type=pa.string()),
+            "n_runs": pa.array([], type=pa.int64()),
+            "n_events": pa.array([], type=pa.int64())})
+    uid = np.asarray(group.column("user_id"), dtype=np.int64)
+    et = group.column("event_type")
+    if isinstance(et, pa.ChunkedArray):
+        et = et.combine_chunks()
+    ets = np.asarray(et)
+    new_run = np.ones(n, dtype=bool)
+    new_run[1:] = (uid[1:] != uid[:-1]) | (ets[1:] != ets[:-1])
+    t = pa.table({
+        "event_type": et,
+        "run": pa.array(new_run.astype(np.int64)),
+        "one": pa.array(np.ones(n, dtype=np.int64)),
+    })
+    g = t.group_by(["event_type"]).aggregate([("run", "sum"),
+                                              ("one", "sum")])
+    return pa.table({
+        "event_type": g.column("event_type"),
+        "n_runs": g.column("run_sum").cast(pa.int64()),
+        "n_events": g.column("one_sum").cast(pa.int64()),
+    })
+
+
+def w64_action_runs(sf_dir: str, num_partitions: int = 16):
+    """W64 — same-action streakiness per event type: total events,
+    maximal same-type runs within user streams, and the mean run
+    length — "do users repeat this action back-to-back?"
+    (mean_run_len ~ 1 = interleaved; >> 1 = batched/compulsive) —
+    the stream-local persistence readout next to W54's ping-pong
+    alternations.
+
+    Exactness: run counting is exact boundary arithmetic (users never
+    span partitions); mean_run_len = split(n_events)/split(n_runs) is
+    the one pinned division.
+
+    Scale shape: ONE ``_pkey`` exchange; bounded per-type partials."""
+    from anomalydetection_ray.stages.detectors import _split_double
+
+    ev = _read_events(sf_dir, ["event_id", "ts", "user_id",
+                               "event_type"])
+    tagged = ev.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+    agg = (tagged.groupby(PKEY).map_groups(
+        _action_run_kernel, batch_format="pyarrow")
+        .groupby("event_type").sum(["n_runs", "n_events"]))
+
+    def widen(batch: pa.Table) -> pa.Table:
+        runs = np.asarray(batch.column("sum(n_runs)"),
+                          dtype=np.int64)
+        evs = np.asarray(batch.column("sum(n_events)"),
+                         dtype=np.int64)
+        mean = np.array([_split_double(int(e)) / _split_double(int(r))
+                         for e, r in zip(evs, runs)],
+                        dtype=np.float64)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "n_events": pa.array(evs, type=pa.int64()),
+            "n_runs": pa.array(runs, type=pa.int64()),
+            "mean_run_len": pa.array(mean, type=pa.float64()),
+        })
+
+    return agg.map_batches(widen, batch_format="pyarrow")

@@ -4009,3 +4009,49 @@ def test_a98_detects_frontloaded_arrivals(ray_session, tmp_path):
            .set_index("event_type"))
     assert got.loc["burst"]["ks_d"] > 0.8
     assert got.loc["steady"]["ks_d"] < 0.05
+
+
+# ---------------------------------------------------------------- M10 ----
+def test_m10_unpivot_roundtrip(ray_session):
+    import __ray_entry__ as e
+
+    long = e.queries()["m10_unpivot"](SF).to_pandas()
+    wide = e.queries()["t7_pivot_events"](SF).to_pandas()
+    # melted rows scatter back to exactly the pivoted cells
+    back = {}
+    for _, r in long.iterrows():
+        back[(r["event_type"], r["dow"])] = r["n"]
+    for _, r in wide.iterrows():
+        for d in range(7):
+            cell = int(r[f"dow_{d}"])
+            if cell:
+                assert back.pop((r["event_type"], d)) == cell
+    assert not back          # no extra melted rows
+
+
+# ---------------------------------------------------------------- W64 ----
+def test_w64_action_runs_bruteforce(ray_session):
+    from collections import Counter
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["w64_action_runs"](SF).to_pandas()
+           .set_index("event_type"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "ts", "user_id",
+                                "event_type"]).to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    runs, events = Counter(), Counter()
+    for _, grp in ev.groupby("user_id"):
+        prev = None
+        for t in grp["event_type"]:
+            events[t] += 1
+            if t != prev:
+                runs[t] += 1
+            prev = t
+    for t in events:
+        row = got.loc[t]
+        assert row["n_events"] == events[t]
+        assert row["n_runs"] == runs[t]
+        assert row["mean_run_len"] == float(events[t]) / float(runs[t])
+        assert row["mean_run_len"] >= 1.0
