@@ -674,6 +674,15 @@ def _a64_diff_sign(sf_dir: str):
         diff_sign_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _s28_codec_advisor(sf_dir: str):
+    from anomalydetection_ray.codecs import codec_advisor_batch
+    from anomalydetection_ray.pipelines.rollup import validated
+
+    return validated(_docs_sequences(sf_dir)).map_batches(
+        codec_advisor_batch, batch_format="pyarrow",
+        zero_copy_batch=True)
+
+
 def _e7_dict_size(sf_dir: str):
     from anomalydetection_ray.codecs import dict_size_batch
     from anomalydetection_ray.pipelines.rollup import validated
@@ -1644,6 +1653,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m10_unpivot": q.m10_unpivot,
         # W64 same-action streakiness per type (mean run length)
         "w64_action_runs": wnd.w64_action_runs,
+        # S28 per-series codec advisor (argmin of 4 size surfaces)
+        "s28_codec_advisor": _s28_codec_advisor,
         # Q28 uniform-mixture importance weights per source
         "q28_source_reweight": q.q28_source_reweight,
         # W56 first-return gap histogram (time to second visit)
@@ -6461,6 +6472,111 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN sxx > 0.0 THEN
                        my - (sxy / sxx) * mx END AS log_k
             FROM f
+        """,
+        # S28: the four size formulas (E4/E5/E6/E7 oracles verbatim)
+        # joined per series; first-argmin tie order via <= ladder
+        "s28_codec_advisor": f"""
+            WITH {_SEQ_TOK_CTE},
+            s AS MATERIALIZED (
+                SELECT doc_id, CAST(pos // 1000000 AS INTEGER) AS part_id,
+                       pos % 1000000 AS i, CAST(v AS BIGINT) AS v FROM tok),
+            nn AS (SELECT doc_id, part_id,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM s GROUP BY doc_id, part_id),
+            d4 AS (SELECT doc_id, part_id,
+                          v - lag(v) OVER (PARTITION BY doc_id,
+                                           part_id ORDER BY i) AS dd
+                   FROM s),
+            z4 AS (SELECT doc_id, part_id,
+                          CASE WHEN dd >= 0 THEN 2 * dd
+                               ELSE -2 * dd - 1 END AS zz
+                   FROM d4 WHERE dd IS NOT NULL),
+            b4 AS (SELECT doc_id, part_id,
+                          CAST(sum(1
+                               + CASE WHEN zz >= 128 THEN 1 ELSE 0 END
+                               + CASE WHEN zz >= 16384 THEN 1
+                                      ELSE 0 END
+                               + CASE WHEN zz >= 2097152 THEN 1
+                                      ELSE 0 END
+                               + CASE WHEN zz >= 268435456 THEN 1
+                                      ELSE 0 END) AS BIGINT) AS vb
+                   FROM z4 GROUP BY doc_id, part_id),
+            d5 AS (SELECT doc_id, part_id, i, v,
+                          CASE WHEN lag(v) OVER (PARTITION BY doc_id,
+                                                 part_id ORDER BY i)
+                               IS DISTINCT FROM v THEN 1 ELSE 0 END
+                              AS brk
+                   FROM s),
+            g5 AS (SELECT doc_id, part_id, v,
+                          sum(brk) OVER (PARTITION BY doc_id, part_id
+                                         ORDER BY i) AS rid
+                   FROM d5),
+            r5 AS (SELECT doc_id, part_id,
+                          CASE WHEN v >= 0 THEN 2 * v
+                               ELSE -2 * v - 1 END AS zv,
+                          CAST(count(*) - 1 AS BIGINT) AS ul
+                   FROM g5 GROUP BY doc_id, part_id, rid, v),
+            b5 AS (SELECT doc_id, part_id,
+                          CAST(sum(
+                              (1 + CASE WHEN zv >= 128 THEN 1
+                                        ELSE 0 END
+                                 + CASE WHEN zv >= 16384 THEN 1
+                                        ELSE 0 END
+                                 + CASE WHEN zv >= 2097152 THEN 1
+                                        ELSE 0 END
+                                 + CASE WHEN zv >= 268435456 THEN 1
+                                        ELSE 0 END)
+                            + (1 + CASE WHEN ul >= 128 THEN 1
+                                        ELSE 0 END
+                                 + CASE WHEN ul >= 16384 THEN 1
+                                        ELSE 0 END
+                                 + CASE WHEN ul >= 2097152 THEN 1
+                                        ELSE 0 END
+                                 + CASE WHEN ul >= 268435456 THEN 1
+                                        ELSE 0 END)) AS BIGINT) AS rb
+                   FROM r5 GROUP BY doc_id, part_id),
+            blk AS (SELECT doc_id, part_id, i // 128 AS b,
+                           CAST(count(*) AS BIGINT) AS cnt,
+                           CAST(max(v) - min(v) AS BIGINT) AS delta
+                    FROM s GROUP BY doc_id, part_id, b),
+            pw AS (SELECT unnest(range(0, 33)) AS w),
+            wb AS (SELECT blk.doc_id, blk.part_id, blk.cnt,
+                          (SELECT min(w) FROM pw
+                           WHERE blk.delta < (CAST(1 AS BIGINT) << w))
+                              AS w
+                   FROM blk),
+            t6 AS (SELECT doc_id, part_id,
+                          CAST(sum(5 + (cnt * w + 7) // 8) AS BIGINT)
+                              AS fb
+                   FROM wb GROUP BY doc_id, part_id),
+            a7 AS (SELECT doc_id, part_id,
+                          CAST(count(DISTINCT v) AS BIGINT) AS k
+                   FROM s GROUP BY doc_id, part_id),
+            t7 AS (SELECT a7.doc_id, a7.part_id,
+                          8 + 4 * a7.k
+                          + (nn.n * CAST(length(ltrim(bin(
+                                CAST(a7.k - 1 AS BIGINT)), '0'))
+                                AS BIGINT) + 7) // 8 AS db
+                   FROM a7 JOIN nn USING (doc_id, part_id)),
+            sz AS (SELECT nn.doc_id, nn.part_id, nn.n,
+                          CAST(4 + COALESCE(b4.vb, 0) AS BIGINT)
+                              AS e4,
+                          CAST(4 + b5.rb AS BIGINT) AS e5,
+                          t6.fb AS e6, t7.db AS e7
+                   FROM nn LEFT JOIN b4 USING (doc_id, part_id)
+                   JOIN b5 USING (doc_id, part_id)
+                   JOIN t6 USING (doc_id, part_id)
+                   JOIN t7 USING (doc_id, part_id))
+            SELECT doc_id, part_id, n,
+                   e4 AS varint_bytes, e5 AS rle_bytes,
+                   e6 AS for_bytes, e7 AS dict_bytes,
+                   CASE WHEN e4 <= e5 AND e4 <= e6 AND e4 <= e7
+                        THEN 'varint'
+                        WHEN e5 <= e6 AND e5 <= e7 THEN 'rle'
+                        WHEN e6 <= e7 THEN 'for'
+                        ELSE 'dict' END AS best_codec,
+                   least(e4, e5, e6, e7) AS best_bytes
+            FROM sz
         """,
         # M10: the direct long-form count IS the roundtrip statement
         "m10_unpivot": """

@@ -870,3 +870,38 @@ def dict_size_batch(batch) -> "pa.Table":
         "bytes_per_token": pa.array(bpt, type=pa.float64(),
                                     mask=lens == 0),
     })
+
+
+# ------------------------------------------------ S28: codec advisor ----
+def codec_advisor_batch(batch) -> "pa.Table":
+    """S28 — per-series codec selection: run ALL FOUR byte-exact
+    analytic size surfaces (E4 varint-delta, E5 RLE, E6 FOR-bitpack,
+    E7 dictionary) over the same rows and pick the smallest — the
+    storage optimizer's decision emitted as data, with the full size
+    vector kept so the margin is auditable.  Ties break in fixed codec
+    order (varint, rle, for, dict) on both sides.  ALL-integer."""
+    import pyarrow as pa
+
+    e4 = varint_size_batch(batch)
+    e5 = rle_size_batch(batch)
+    e6 = for_size_batch(batch)
+    e7 = dict_size_batch(batch)
+    sizes = np.stack([
+        np.asarray(e4.column("n_bytes"), dtype=np.int64),
+        np.asarray(e5.column("n_bytes"), dtype=np.int64),
+        np.asarray(e6.column("n_bytes"), dtype=np.int64),
+        np.asarray(e7.column("n_bytes"), dtype=np.int64),
+    ])
+    names = np.array(["varint", "rle", "for", "dict"], dtype=object)
+    best = np.argmin(sizes, axis=0)        # first min == fixed order
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "part_id": batch.column("part_id"),
+        "n": e4.column("n"),
+        "varint_bytes": pa.array(sizes[0], type=pa.int64()),
+        "rle_bytes": pa.array(sizes[1], type=pa.int64()),
+        "for_bytes": pa.array(sizes[2], type=pa.int64()),
+        "dict_bytes": pa.array(sizes[3], type=pa.int64()),
+        "best_codec": pa.array(names[best], type=pa.string()),
+        "best_bytes": pa.array(sizes.min(axis=0), type=pa.int64()),
+    })

@@ -4055,3 +4055,38 @@ def test_w64_action_runs_bruteforce(ray_session):
         assert row["n_runs"] == runs[t]
         assert row["mean_run_len"] == float(events[t]) / float(runs[t])
         assert row["mean_run_len"] >= 1.0
+
+
+# ---------------------------------------------------------------- S28 ----
+def test_s28_codec_advisor_consistent(ray_session):
+    import __ray_entry__ as e
+
+    adv = e.queries()["s28_codec_advisor"](SF).to_pandas()
+    cols = {"varint": "varint_bytes", "rle": "rle_bytes",
+            "for": "for_bytes", "dict": "dict_bytes"}
+    order = ["varint", "rle", "for", "dict"]
+    for _, r in adv.iterrows():
+        sizes = [r[cols[c]] for c in order]
+        assert r["best_bytes"] == min(sizes)
+        assert r["best_codec"] == order[int(np.argmin(sizes))]
+    # every codec's advertised size matches its standalone surface
+    e4 = e.queries()["e4_varint_size"](SF).to_pandas() \
+        .set_index(["doc_id", "part_id"])
+    sub = adv.set_index(["doc_id", "part_id"])
+    assert (sub["varint_bytes"] == e4.loc[sub.index]["n_bytes"]).all()
+
+
+def test_s28_advisor_prefers_right_codec():
+    from anomalydetection_ray.codecs import codec_advisor_batch
+
+    rng = np.random.default_rng(67)
+    const = [7] * 300                          # RLE territory
+    lowcard_big = rng.choice(
+        [10_000_019, 49_999_991, 33_333_331], size=300).tolist()
+    ramp = list(range(1000, 1300))             # small deltas: varint/FOR
+    out = codec_advisor_batch(_tok_batch([const, lowcard_big, ramp])
+                              ).to_pylist()
+    assert out[0]["best_codec"] == "rle"
+    assert out[1]["best_codec"] in ("dict", "rle", "for")
+    assert out[1]["dict_bytes"] < out[1]["varint_bytes"]
+    assert out[2]["best_codec"] in ("varint", "for")
