@@ -1655,6 +1655,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w64_action_runs": wnd.w64_action_runs,
         # S28 per-series codec advisor (argmin of 4 size surfaces)
         "s28_codec_advisor": _s28_codec_advisor,
+        # G59 peak-hour stability per type (modal daily argmax)
+        "g59_peak_hour_stability": q.g59_peak_hour_stability,
+        # Q36 largest-remainder (Hamilton) sample apportionment
+        "q36_hamilton_allocation": q.q36_hamilton_allocation,
         # Q28 uniform-mixture importance weights per source
         "q28_source_reweight": q.q28_source_reweight,
         # W56 first-return gap histogram (time to second visit)
@@ -6577,6 +6581,64 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'dict' END AS best_codec,
                    least(e4, e5, e6, e7) AS best_bytes
             FROM sz
+        """,
+        # G59: two-level integer argmax (per-day, then modal); one
+        # pinned division
+        "g59_peak_hour_stability": """
+            WITH c AS (SELECT event_type,
+                              CAST(epoch_us(ts) // 86400000000
+                                   AS BIGINT) AS day,
+                              CAST((epoch_us(ts) // 3600000000) % 24
+                                   AS BIGINT) AS hour,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events
+                       GROUP BY event_type, day, hour),
+            r AS (SELECT event_type, day, hour,
+                         row_number() OVER (PARTITION BY event_type,
+                                            day
+                                            ORDER BY n DESC, hour)
+                             AS rn
+                  FROM c),
+            p AS (SELECT event_type, hour FROM r WHERE rn = 1),
+            m AS (SELECT event_type, hour,
+                         CAST(count(*) AS BIGINT) AS c
+                  FROM p GROUP BY event_type, hour),
+            t AS (SELECT event_type,
+                         CAST(count(*) AS BIGINT) AS n_days
+                  FROM p GROUP BY event_type),
+            b AS (SELECT event_type, hour, c,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY c DESC, hour)
+                             AS rn
+                  FROM m)
+            SELECT t.event_type, t.n_days,
+                   b.hour AS modal_peak_hour,
+                   b.c AS n_days_at_modal,
+                   CAST(b.c AS DOUBLE) / CAST(t.n_days AS DOUBLE)
+                       AS stability
+            FROM t JOIN b USING (event_type) WHERE b.rn = 1
+        """,
+        # Q36: all-integer Hamilton apportionment; ties source asc
+        "q36_hamilton_allocation": """
+            WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                       FROM documents GROUP BY source),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+            a AS (SELECT source, n,
+                         CAST((1000 * n) // t.total AS BIGINT)
+                             AS base,
+                         CAST((1000 * n) % t.total AS BIGINT) AS rem
+                  FROM c, t),
+            k AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS r
+                  FROM a),
+            rk AS (SELECT source,
+                          row_number() OVER (ORDER BY rem DESC,
+                                             source) AS rn
+                   FROM a)
+            SELECT a.source, a.n AS n_docs, a.base AS floor_alloc,
+                   a.rem AS remainder,
+                   CAST(a.base + CASE WHEN rk.rn <= k.r THEN 1
+                                 ELSE 0 END AS BIGINT) AS alloc
+            FROM a JOIN rk USING (source) CROSS JOIN k
         """,
         # M10: the direct long-form count IS the roundtrip statement
         "m10_unpivot": """

@@ -11548,3 +11548,136 @@ def m10_unpivot(sf_dir: str):
         })
 
     return wide.map_batches(melt, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- G59 ----
+def g59_peak_hour_stability(sf_dir: str):
+    """G59 — peak-hour stability per event type: each DAY's busiest
+    hour (ties -> smallest hour), then the modal peak hour across days
+    and the share of days peaking there — W53 names the overall peak
+    hour; this asks whether it HOLDS day over day (share near 1 =
+    cron-like; low = the "peak" is noise).
+
+    Exactness: both argmax levels are exact integer comparisons with
+    smallest-index ties; share = ONE pinned division.
+
+    Scale shape: bounded (type, day, hour) count partials, ONE
+    exchange, per-type finalize over <= days x 24 rows."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from anomalydetection_ray.stages.detectors import _split_double
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "day": pa.array(us // 86_400_000_000, type=pa.int64()),
+            "hour": pa.array((us // 3_600_000_000) % 24,
+                             type=pa.int64()),
+        })
+        g = t.group_by(["event_type", "day", "hour"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "hour": g.column("hour"),
+                         "n": pc.cast(g.column("count_all"),
+                                      pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["event_type", "day", "hour"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        day = np.asarray(group.column("day"), dtype=np.int64)
+        hour = np.asarray(group.column("hour"), dtype=np.int64)
+        n = np.asarray(group.column("n"), dtype=np.int64)
+        # per-day argmax hour, ties -> smallest hour: lexsort by
+        # (day asc, n desc, hour asc) and take day firsts
+        order = np.lexsort((hour, -n, day))
+        day_s, hour_s = day[order], hour[order]
+        first = np.concatenate(([True], day_s[1:] != day_s[:-1]))
+        peaks = hour_s[first]
+        n_days = int(peaks.shape[0])
+        uq, c = np.unique(peaks, return_counts=True)
+        # modal peak hour, ties -> smallest hour (first max)
+        arg = int(np.argmax(c))
+        modal = int(uq[arg])
+        n_modal = int(c[arg])
+        return pa.table({
+            "event_type": pa.array([et], type=pa.string()),
+            "n_days": pa.array([n_days], type=pa.int64()),
+            "modal_peak_hour": pa.array([modal], type=pa.int64()),
+            "n_days_at_modal": pa.array([n_modal], type=pa.int64()),
+            "stability": pa.array(
+                [_split_double(n_modal) / _split_double(n_days)],
+                type=pa.float64()),
+        })
+
+    return counts.groupby("event_type").map_groups(
+        finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- Q36 ----
+def q36_hamilton_allocation(sf_dir: str, sample_size: int = 1000):
+    """Q36 — largest-remainder (Hamilton) sample apportionment across
+    sources: allocate exactly ``sample_size`` draws proportionally to
+    document counts — floor(S*n_s/N) each, then one extra to the
+    sources with the largest remainders (ties -> source name asc) —
+    the integer allocation every stratified sampler actually needs
+    (Q24's real-valued weights rounded correctly, total EXACTLY S).
+
+    Exactness: ENTIRELY integer — remainders compare as
+    (S*n_s) mod N, never a float; the conservation (sum == S) is
+    structural and pytest-gated."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "documents", ["source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({"source": batch.column("source")}).group_by(
+            ["source"]).aggregate([([], "count_all")])
+        return pa.table({"source": g.column("source"),
+                         "n_docs": pc.cast(g.column("count_all"),
+                                           pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("source").sum("n_docs"))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_one", pa.array(np.zeros(batch.num_rows, dtype=np.int64)))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        src = np.asarray(group.column("source"))
+        n = np.asarray(group.column("sum(n_docs)"), dtype=np.int64)
+        order = np.argsort(src)
+        src, n = src[order], n[order]
+        N = int(n.sum())
+        S = int(sample_size)
+        base = (S * n) // N
+        rem = (S * n) % N
+        r = S - int(base.sum())
+        # top-r remainders, ties -> source asc (already source-sorted,
+        # stable sort keeps that order within equal remainders)
+        extra = np.zeros(src.shape[0], dtype=np.int64)
+        if r > 0:
+            pick = np.argsort(-rem, kind="stable")[:r]
+            extra[pick] = 1
+        return pa.table({
+            "source": pa.array(src, type=pa.string()),
+            "n_docs": pa.array(n, type=pa.int64()),
+            "floor_alloc": pa.array(base, type=pa.int64()),
+            "remainder": pa.array(rem, type=pa.int64()),
+            "alloc": pa.array(base + extra, type=pa.int64()),
+        })
+
+    return (counts.map_batches(tag, batch_format="pyarrow")
+            .groupby("_one").map_groups(finalize,
+                                        batch_format="pyarrow"))

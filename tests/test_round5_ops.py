@@ -4090,3 +4090,55 @@ def test_s28_advisor_prefers_right_codec():
     assert out[1]["best_codec"] in ("dict", "rle", "for")
     assert out[1]["dict_bytes"] < out[1]["varint_bytes"]
     assert out[2]["best_codec"] in ("varint", "for")
+
+
+# ---------------------------------------------------------------- G59 ----
+def test_g59_peak_stability_bruteforce(ray_session):
+    from collections import Counter
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["g59_peak_hour_stability"](SF).to_pandas()
+           .set_index("event_type"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    us = ev["ts"].astype("int64")
+    ev["day"] = us // 86_400_000_000
+    ev["hour"] = (us // 3_600_000_000) % 24
+    for et, grp in ev.groupby("event_type"):
+        peaks = []
+        for _, dgrp in grp.groupby("day"):
+            c = dgrp.groupby("hour").size()
+            best = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            peaks.append(best[0])
+        mode = Counter(peaks)
+        modal, n_modal = sorted(mode.items(),
+                                key=lambda kv: (-kv[1], kv[0]))[0]
+        row = got.loc[et]
+        assert row["n_days"] == len(peaks)
+        assert row["modal_peak_hour"] == modal
+        assert row["n_days_at_modal"] == n_modal
+        assert row["stability"] == float(n_modal) / float(len(peaks))
+
+
+# ---------------------------------------------------------------- Q36 ----
+def test_q36_hamilton_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = e.queries()["q36_hamilton_allocation"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source"]).to_pandas()
+    counts = docs.groupby("source").size().sort_index()
+    N, S = int(counts.sum()), 1000
+    base = {s: (S * int(n)) // N for s, n in counts.items()}
+    rem = {s: (S * int(n)) % N for s, n in counts.items()}
+    r = S - sum(base.values())
+    winners = set(sorted(rem, key=lambda s: (-rem[s], s))[:r])
+    g = got.set_index("source")
+    for s, n in counts.items():
+        assert g.loc[s]["n_docs"] == n
+        assert g.loc[s]["floor_alloc"] == base[s]
+        assert g.loc[s]["remainder"] == rem[s]
+        assert g.loc[s]["alloc"] == base[s] + (s in winners)
+    # conservation: the whole point of Hamilton apportionment
+    assert got["alloc"].sum() == S
