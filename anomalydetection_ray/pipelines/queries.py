@@ -10563,10 +10563,14 @@ def s25_day_pruned_read(sf_dir: str, offsets: tuple = (5, 10, 20)):
                                                    persist_bucketed)
 
     src = f"{sf_dir}/events.parquet"
-    # min day via one column-pruned scan (only ts leaves storage, and
-    # only its min is kept)
-    ts = _pq.read_table(src, columns=["ts"]).column("ts")
-    lo = int(np.asarray(ts.cast(pa.int64()), dtype=np.int64).min()
+    # min day from parquet FOOTER row-group statistics — metadata
+    # only, zero data bytes read at any corpus size
+    md = _pq.ParquetFile(src).metadata
+    ts_idx = [md.schema.column(i).name
+              for i in range(md.num_columns)].index("ts")
+    lo_ts = min(md.row_group(g).column(ts_idx).statistics.min
+                for g in range(md.num_row_groups))
+    lo = int(np.datetime64(lo_ts, "us").astype("int64")
              // 86_400_000_000)
     days = [lo + o for o in offsets]
 
