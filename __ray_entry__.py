@@ -1659,6 +1659,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g59_peak_hour_stability": q.g59_peak_hour_stability,
         # Q36 largest-remainder (Hamilton) sample apportionment
         "q36_hamilton_allocation": q.q36_hamilton_allocation,
+        # X16 two-hop duplication reach per doc (wedge expansion)
+        "x16_two_hop_reach": dd.x16_two_hop_reach,
         # Q28 uniform-mixture importance weights per source
         "q28_source_reweight": q.q28_source_reweight,
         # W56 first-return gap histogram (time to second visit)
@@ -7479,6 +7481,21 @@ def oracle_sql() -> dict[str, str]:
                                           AS DOUBLE)))
                              - 3.0 END AS kurtosis
             FROM c
+        """,
+        # X16: symmetric edges; UNION of 1-hop pairs and wedge pairs
+        "x16_two_hop_reach": f"""
+            WITH {_minhash_cte(0.5)},
+            e AS (SELECT CAST(doc_a AS BIGINT) AS u,
+                         CAST(doc_b AS BIGINT) AS v FROM mh_pairs
+                  UNION ALL
+                  SELECT CAST(doc_b AS BIGINT), CAST(doc_a AS BIGINT)
+                  FROM mh_pairs),
+            r AS (SELECT u, v FROM e
+                  UNION
+                  SELECT a.u, b.v FROM e a
+                  JOIN e b ON a.v = b.u WHERE b.v <> a.u)
+            SELECT u AS doc, CAST(count(*) AS BIGINT) AS reach2
+            FROM r GROUP BY u
         """,
         # X9: degrees over the same mh_pairs relation, two group-bys
         "x9_dup_degree_hist": f"""

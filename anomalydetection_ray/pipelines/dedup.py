@@ -2296,3 +2296,89 @@ def d28_lsh_precision(sf_dir: str, min_cosine: float = 0.3,
         })
 
     return agg.map_batches(widen, batch_format="pyarrow")
+
+
+def x16_two_hop_reach(sf_dir: str, min_est: float = 0.5,
+                      num_partitions: int = 16):
+    """X16 — two-hop reach per document over the near-dup graph: the
+    count of DISTINCT documents within <= 2 hops (self excluded) — the
+    "how big is this doc's duplication neighborhood really?" traversal
+    readout between X9's 1-hop degrees and X5's full components (a
+    reach far above the degree means chained/transitive duplication
+    that pairwise dedup would miss).
+
+    Scale shape: symmetric edges route to their MIDDLE node's
+    partition (one hash exchange); each partition emits its middles'
+    (u, w) wedge pairs + the 1-hop pairs; a distinct on (u, w) and a
+    per-u count finish it.  Exact counts; the wedge fanout is bounded
+    by the per-partition degree mass (the X9 histogram is the audit
+    that this stays sparse)."""
+    import functools
+
+    import pyarrow.compute as pc
+
+    from anomalydetection_ray.stages.runs import (PKEY,
+                                                  add_partition_key)
+
+    pairs = minhash_lsh_pairs(sf_dir, min_est=min_est).select_columns(
+        ["doc_a", "doc_b"])
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("doc_a"), dtype=np.int64)
+        b = np.asarray(batch.column("doc_b"), dtype=np.int64)
+        return pa.table({
+            "u": pa.array(np.concatenate([a, b]), type=pa.int64()),
+            "mid": pa.array(np.concatenate([b, a]), type=pa.int64()),
+        })
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    tagged = edges.map_batches(
+        functools.partial(add_partition_key, keys=["mid"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def wedges(group: pa.Table) -> pa.Table:
+        group = group.drop_columns([PKEY])
+        u = np.asarray(group.column("u"), dtype=np.int64)
+        m = np.asarray(group.column("mid"), dtype=np.int64)
+        order = np.argsort(m, kind="stable")
+        u, m = u[order], m[order]
+        starts = np.flatnonzero(np.concatenate(([True],
+                                                m[1:] != m[:-1])))
+        lens = np.diff(np.append(starts, m.shape[0]))
+        outs_u, outs_w = [np.concatenate([u, m])], \
+            [np.concatenate([m, u])]  # 1-hop pairs, both directions
+        for s, ln in zip(starts, lens):   # per-middle wedge expansion
+            nb = u[s:s + ln]
+            if ln > 1:
+                gu = np.repeat(nb, ln)
+                gw = np.tile(nb, ln)
+                keep = gu != gw
+                outs_u.append(gu[keep])
+                outs_w.append(gw[keep])
+        t = pa.table({
+            "u": pa.array(np.concatenate(outs_u), type=pa.int64()),
+            "w": pa.array(np.concatenate(outs_w), type=pa.int64()),
+        })
+        return t.group_by(["u", "w"]).aggregate([])  # local distinct
+
+    cand = tagged.groupby(PKEY).map_groups(wedges,
+                                           batch_format="pyarrow")
+    distinct = cand.groupby(["u", "w"]).count()
+
+    def per_u(batch: pa.Table) -> pa.Table:
+        t = pa.table({"u": batch.column("u"),
+                      "one": pa.array(np.ones(batch.num_rows,
+                                              dtype=np.int64))})
+        g = t.group_by(["u"]).aggregate([("one", "sum")])
+        return pa.table({"doc": g.column("u"),
+                         "reach2": g.column("one_sum").cast(
+                             pa.int64())})
+
+    return (distinct.map_batches(per_u, batch_format="pyarrow")
+            .groupby("doc").sum("reach2")
+            .map_batches(lambda b: pa.table({
+                "doc": b.column("doc"),
+                "reach2": b.column("sum(reach2)")}),
+                batch_format="pyarrow"))

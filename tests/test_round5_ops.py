@@ -4142,3 +4142,29 @@ def test_q36_hamilton_bruteforce(ray_session):
         assert g.loc[s]["alloc"] == base[s] + (s in winners)
     # conservation: the whole point of Hamilton apportionment
     assert got["alloc"].sum() == S
+
+
+# ---------------------------------------------------------------- X16 ----
+def test_x16_two_hop_bruteforce(ray_session):
+    from collections import defaultdict
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["x16_two_hop_reach"](SF).to_pandas()
+           .set_index("doc"))
+    pairs = e.queries()["dedup_minhash_pairs"](SF).to_pandas()
+    adj = defaultdict(set)
+    for _, r in pairs.iterrows():
+        a, b = int(r["doc_a"]), int(r["doc_b"])
+        adj[a].add(b)
+        adj[b].add(a)
+    for v, nb in adj.items():
+        reach = set(nb)
+        for m in nb:
+            reach |= adj[m]
+        reach.discard(v)
+        assert got.loc[v]["reach2"] == len(reach)
+    assert set(got.index) == set(adj)
+    # reach is never below the 1-hop degree
+    for v, nb in adj.items():
+        assert got.loc[v]["reach2"] >= len(nb)
