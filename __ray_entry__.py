@@ -1661,6 +1661,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q36_hamilton_allocation": q.q36_hamilton_allocation,
         # X16 two-hop duplication reach per doc (wedge expansion)
         "x16_two_hop_reach": dd.x16_two_hop_reach,
+        # W66 trailing-baseline burst days per type (all-integer)
+        "w66_trailing_bursts": q.w66_trailing_bursts,
+        # G60 day-of-month (payday/billing-cycle) profile per type
+        "g60_dom_profile": q.g60_dom_profile,
+        # V27 word-length register profile per source
+        "v27_word_length_profile": vb.v27_word_length_profile,
         # Q28 uniform-mixture importance weights per source
         "q28_source_reweight": q.q28_source_reweight,
         # W56 first-return gap histogram (time to second visit)
@@ -6583,6 +6589,96 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'dict' END AS best_codec,
                    least(e4, e5, e6, e7) AS best_bytes
             FROM sz
+        """,
+        # W66: frame sum over the dense grid; exact 7x>2S compare;
+        # gaps-and-islands streaks
+        "w66_trailing_bursts": """
+            WITH c AS (SELECT event_type,
+                              CAST(epoch_us(ts) // 86400000000
+                                   AS BIGINT) AS day,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY event_type, day),
+            g AS (SELECT CAST(min(day) AS BIGINT) AS lo,
+                         CAST(max(day) AS BIGINT) AS hi
+                  FROM c),
+            grid AS (SELECT e.event_type,
+                            CAST(unnest(range(g.lo, g.hi + 1))
+                                 AS BIGINT) AS day
+                     FROM (SELECT DISTINCT event_type FROM c) e, g),
+            d AS (SELECT grid.event_type, grid.day,
+                         COALESCE(c.n, 0) AS x
+                  FROM grid LEFT JOIN c
+                  ON c.event_type = grid.event_type
+                     AND c.day = grid.day),
+            w AS (SELECT event_type, day, x,
+                         CAST(sum(x) OVER (PARTITION BY event_type
+                                           ORDER BY day
+                                           ROWS BETWEEN 7 PRECEDING
+                                           AND 1 PRECEDING)
+                              AS BIGINT) AS prev7,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY day) AS rn
+                  FROM d),
+            b AS (SELECT event_type, day,
+                         (7 * x > 2 * prev7) AS burst
+                  FROM w WHERE rn > 7),
+            i AS (SELECT event_type,
+                         day - row_number() OVER (PARTITION BY
+                                                  event_type
+                                                  ORDER BY day)
+                             AS grp
+                  FROM b WHERE burst),
+            r AS (SELECT event_type, CAST(count(*) AS BIGINT) AS run
+                  FROM i GROUP BY event_type, grp),
+            m AS (SELECT event_type,
+                         CAST(max(run) AS BIGINT) AS longest,
+                         CAST(sum(run) AS BIGINT) AS nb
+                  FROM r GROUP BY event_type)
+            SELECT t.event_type,
+                   CASE WHEN (SELECT hi - lo + 1 FROM g) > 7
+                        THEN (SELECT hi - lo + 1 - 7 FROM g)
+                        ELSE 0 END AS n_eligible_days,
+                   COALESCE(m.nb, 0) AS n_burst_days,
+                   COALESCE(m.longest, 0) AS longest_burst
+            FROM (SELECT DISTINCT event_type FROM c) t
+            LEFT JOIN m USING (event_type)
+        """,
+        # G60: calendar day() both sides; peak via (n desc, dom) rank
+        "g60_dom_profile": """
+            WITH c AS (SELECT event_type,
+                              CAST(day(ts) AS BIGINT) AS dom,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY event_type, dom),
+            t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+                  FROM c GROUP BY event_type),
+            p AS (SELECT event_type, dom AS peak_dom, n AS peak_n,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY n DESC, dom)
+                             AS rn
+                  FROM c)
+            SELECT c.event_type, c.dom, c.n, p.peak_dom,
+                   CAST(p.peak_n AS DOUBLE) / CAST(t.total AS DOUBLE)
+                       AS peak_share
+            FROM c
+            JOIN p ON p.event_type = c.event_type AND p.rn = 1
+            JOIN t ON t.event_type = c.event_type
+        """,
+        # V27: codepoint lengths both sides; two pinned divisions
+        "v27_word_length_profile": """
+            WITH w AS (SELECT source,
+                              unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+            a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+                         CAST(sum(length(word)) AS BIGINT) AS n_chars,
+                         CAST(sum(CASE WHEN length(word) >= 7 THEN 1
+                                  ELSE 0 END) AS BIGINT) AS n_long
+                  FROM w WHERE word <> '' GROUP BY source)
+            SELECT source, n_words, n_chars, n_long,
+                   CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE)
+                       AS mean_word_len,
+                   CAST(n_long AS DOUBLE) / CAST(n_words AS DOUBLE)
+                       AS long_share
+            FROM a
         """,
         # G59: two-level integer argmax (per-day, then modal); one
         # pinned division

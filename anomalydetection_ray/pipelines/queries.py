@@ -11685,3 +11685,152 @@ def q36_hamilton_allocation(sf_dir: str, sample_size: int = 1000):
     return (counts.map_batches(tag, batch_format="pyarrow")
             .groupby("_one").map_groups(finalize,
                                         batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------- W66 ----
+def w66_trailing_bursts(sf_dir: str):
+    """W66 — trailing-window burst days per event type: a day bursts
+    when its count exceeds TWICE the mean of the preceding 7 days on
+    the zero-filled grid — the adaptive-baseline burst detector (W47
+    compares to the GLOBAL mean and misses bursts on top of a rising
+    trend; a trailing baseline does not).  Exact integer compare
+    7*x_d > 2*S_prev7; emits burst-day count and the longest burst
+    streak per type.  ALL-integer.
+
+    Scale shape: G31's bounded (type, day) exchange; trailing sums
+    via one cumsum on the bounded dense grid."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(us // 86_400_000_000,
+                                      type=pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "n": pc.cast(g.column("count_all"),
+                                      pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["event_type", "day"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_one", pa.array(np.zeros(batch.num_rows, dtype=np.int64)))
+
+    def widen(group: pa.Table) -> pa.Table:
+        et = group.column("event_type").to_pylist()
+        day = np.asarray(group.column("day"), dtype=np.int64)
+        n = np.asarray(group.column("n"), dtype=np.int64)
+        lo, hi = int(day.min()), int(day.max())
+        span = hi - lo + 1
+        types = sorted(set(et))
+        out = {k: [] for k in ("event_type", "n_eligible_days",
+                               "n_burst_days", "longest_burst")}
+        for t in types:
+            sel = np.asarray([e == t for e in et], dtype=bool)
+            dense = np.zeros(span, dtype=np.int64)
+            dense[day[sel] - lo] = n[sel]
+            cum = np.concatenate(([0], np.cumsum(dense)))
+            # days with a full 7-day trailing window: d index >= 7
+            if span > 7:
+                x = dense[7:]
+                prev7 = cum[7:-1] - cum[:-8]
+                burst = 7 * x > 2 * prev7
+                nb = int(burst.sum())
+                if nb:
+                    padded = np.concatenate(([False], burst, [False]))
+                    d_ = np.diff(padded.astype(np.int8))
+                    runs = (np.flatnonzero(d_ == -1)
+                            - np.flatnonzero(d_ == 1))
+                    longest = int(runs.max())
+                else:
+                    longest = 0
+                elig = span - 7
+            else:
+                nb, longest, elig = 0, 0, 0
+            out["event_type"].append(t)
+            out["n_eligible_days"].append(elig)
+            out["n_burst_days"].append(nb)
+            out["longest_burst"].append(longest)
+        return pa.table({
+            "event_type": pa.array(out["event_type"],
+                                   type=pa.string()),
+            "n_eligible_days": pa.array(out["n_eligible_days"],
+                                        type=pa.int64()),
+            "n_burst_days": pa.array(out["n_burst_days"],
+                                     type=pa.int64()),
+            "longest_burst": pa.array(out["longest_burst"],
+                                      type=pa.int64()),
+        })
+
+    return (counts.map_batches(tag, batch_format="pyarrow")
+            .groupby("_one").map_groups(widen, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------- G60 ----
+def g60_dom_profile(sf_dir: str):
+    """G60 — day-of-month activity profile per event type: counts per
+    calendar day-of-month (1..31) with each type's peak dom and its
+    share — the payday/billing-cycle screen on the axis G49's
+    dow × hour grid cannot see.  Exact counts (dom from real calendar
+    arithmetic, identical on both sides); one pinned division.
+
+    Scale shape: bounded (type, dom) exchange; per-type finalize over
+    <= 31 rows."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from anomalydetection_ray.stages.detectors import _split_double
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        dom = pc.day(ts)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "dom": pc.cast(dom, pa.int64())})
+        g = t.group_by(["event_type", "dom"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "dom": g.column("dom"),
+                         "n": pc.cast(g.column("count_all"),
+                                      pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["event_type", "dom"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        dom = np.asarray(group.column("dom"), dtype=np.int64)
+        n = np.asarray(group.column("n"), dtype=np.int64)
+        order = np.lexsort((dom, -n))      # n desc, dom asc
+        peak, peak_n = int(dom[order[0]]), int(n[order[0]])
+        total = int(n.sum())
+        o2 = np.argsort(dom)
+        return pa.table({
+            "event_type": pa.array([et] * dom.shape[0],
+                                   type=pa.string()),
+            "dom": pa.array(dom[o2], type=pa.int64()),
+            "n": pa.array(n[o2], type=pa.int64()),
+            "peak_dom": pa.array([peak] * dom.shape[0],
+                                 type=pa.int64()),
+            "peak_share": pa.array(
+                [_split_double(peak_n) / _split_double(total)]
+                * dom.shape[0], type=pa.float64()),
+        })
+
+    return counts.groupby("event_type").map_groups(
+        finalize, batch_format="pyarrow")

@@ -1419,3 +1419,68 @@ def v26_heaps_exponent(sf_dir: str):
     return (sums.map_batches(tag, batch_format="pyarrow")
             .groupby("_one").map_groups(finalize,
                                         batch_format="pyarrow"))
+
+
+def v27_word_length_profile(sf_dir: str, long_len: int = 7):
+    """V27 — word-length profile per source: word count, total
+    characters, long-word (>= ``long_len`` chars) count, mean word
+    length and long-word share — the lexical-register screen (legal/
+    scientific text runs long; chat runs short) next to T23's shape
+    classes.  Counts exact; the two ratios pinned divisions."""
+    from anomalydetection_ray.stages.detectors import _split_double
+
+    docs = _read_docs(sf_dir, ["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(words)
+        src_of = src.take(pc.list_parent_indices(words))
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        src_of = src_of.filter(keep)
+        ln = pc.cast(pc.utf8_length(flat), pa.int64())
+        lnp = np.asarray(ln, dtype=np.int64)
+        t = pa.table({
+            "source": src_of,
+            "one": pa.array(np.ones(lnp.shape[0], dtype=np.int64)),
+            "chars": ln,
+            "long": pa.array((lnp >= long_len).astype(np.int64)),
+        })
+        g = t.group_by(["source"]).aggregate(
+            [("one", "sum"), ("chars", "sum"), ("long", "sum")])
+        return pa.table({
+            "source": g.column("source"),
+            "n_words": g.column("one_sum").cast(pa.int64()),
+            "n_chars": g.column("chars_sum").cast(pa.int64()),
+            "n_long": g.column("long_sum").cast(pa.int64()),
+        })
+
+    agg = (docs.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("source").sum(["n_words", "n_chars", "n_long"]))
+
+    def widen(batch: pa.Table) -> pa.Table:
+        nw = np.asarray(batch.column("sum(n_words)"), dtype=np.int64)
+        nc = np.asarray(batch.column("sum(n_chars)"), dtype=np.int64)
+        nl = np.asarray(batch.column("sum(n_long)"), dtype=np.int64)
+        mean = np.array([_split_double(int(c)) / _split_double(int(w))
+                         for c, w in zip(nc, nw)], dtype=np.float64)
+        share = np.array([_split_double(int(l))
+                          / _split_double(int(w))
+                          for l, w in zip(nl, nw)], dtype=np.float64)
+        return pa.table({
+            "source": batch.column("source"),
+            "n_words": pa.array(nw, type=pa.int64()),
+            "n_chars": pa.array(nc, type=pa.int64()),
+            "n_long": pa.array(nl, type=pa.int64()),
+            "mean_word_len": pa.array(mean, type=pa.float64()),
+            "long_share": pa.array(share, type=pa.float64()),
+        })
+
+    return agg.map_batches(widen, batch_format="pyarrow")

@@ -4168,3 +4168,103 @@ def test_x16_two_hop_bruteforce(ray_session):
     # reach is never below the 1-hop degree
     for v, nb in adj.items():
         assert got.loc[v]["reach2"] >= len(nb)
+
+
+# ---------------------------------------------------------------- W66 ----
+def test_w66_trailing_bursts_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["w66_trailing_bursts"](SF).to_pandas()
+           .set_index("event_type"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    lo, hi = int(ev["day"].min()), int(ev["day"].max())
+    span = hi - lo + 1
+    for et, grp in ev.groupby("event_type"):
+        dense = np.zeros(span, dtype=np.int64)
+        for d, c in grp.groupby("day").size().items():
+            dense[int(d) - lo] = int(c)
+        bursts = []
+        for i in range(7, span):
+            bursts.append(7 * dense[i] > 2 * int(dense[i - 7:i].sum()))
+        bursts = np.array(bursts, dtype=bool)
+        longest = cur = 0
+        for b in bursts:
+            cur = cur + 1 if b else 0
+            longest = max(longest, cur)
+        row = got.loc[et]
+        assert row["n_eligible_days"] == span - 7
+        assert row["n_burst_days"] == int(bursts.sum())
+        assert row["longest_burst"] == longest
+
+
+def test_w66_detects_burst_on_trend(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from anomalydetection_ray.pipelines.queries import w66_trailing_bursts
+
+    # rising trend + one 10x day: trailing baseline flags only the spike
+    rows = []
+    for d in range(40):
+        k = 5 + d // 4                       # slow ramp
+        if d == 30:
+            k *= 10                          # the burst
+        rows += [("ramp", d)] * k
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "ts": pa.array(np.array([d * 86_400_000_000 + 1
+                                 for _, d in rows],
+                                dtype="datetime64[us]")),
+        "user_id": pa.array([0] * len(rows), type=pa.int64()),
+        "event_type": pa.array([k for k, _ in rows]),
+        "value": pa.array([0.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    _pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    got = w66_trailing_bursts(str(tmp_path)).to_pandas()
+    assert got["n_burst_days"][0] == 1
+    assert got["longest_burst"][0] == 1
+
+
+# ---------------------------------------------------------------- G60 ----
+def test_g60_dom_profile_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = e.queries()["g60_dom_profile"](SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    ev["dom"] = ev["ts"].dt.day
+    for et, grp in ev.groupby("event_type"):
+        c = grp.groupby("dom").size()
+        sub = got[got["event_type"] == et].set_index("dom")
+        assert len(sub) == len(c)
+        for d, n in c.items():
+            assert sub.loc[d]["n"] == n
+        peak = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert sub["peak_dom"].iloc[0] == peak[0]
+        assert sub["peak_share"].iloc[0] == \
+            float(peak[1]) / float(len(grp))
+
+
+# ---------------------------------------------------------------- V27 ----
+def test_v27_word_length_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["v27_word_length_profile"](SF).to_pandas()
+           .set_index("source"))
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    for src, grp in docs.groupby("source"):
+        words = [w for t in grp["text"].fillna("")
+                 for w in t.split(" ") if w]
+        nw = len(words)
+        nc = sum(len(w) for w in words)
+        nl = sum(1 for w in words if len(w) >= 7)
+        row = got.loc[src]
+        assert (row["n_words"], row["n_chars"], row["n_long"]) \
+            == (nw, nc, nl)
+        assert row["mean_word_len"] == float(nc) / float(nw)
+        assert row["long_share"] == float(nl) / float(nw)
