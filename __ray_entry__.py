@@ -1667,6 +1667,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g60_dom_profile": q.g60_dom_profile,
         # V27 word-length register profile per source
         "v27_word_length_profile": vb.v27_word_length_profile,
+        # A99 Shewhart XmR control chart per type (daily cents)
+        "a99_xmr_chart": q.a99_xmr_chart,
         # Q28 uniform-mixture importance weights per source
         "q28_source_reweight": q.q28_source_reweight,
         # W56 first-return gap histogram (time to second visit)
@@ -6589,6 +6591,61 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'dict' END AS best_codec,
                    least(e4, e5, e6, e7) AS best_bytes
             FROM sz
+        """,
+        # A99: exact S/MR on the dense grid; pinned xbar/mrbar/limit
+        # chain; flags compare pinned floats (bit-stable counts)
+        "a99_xmr_chart": """
+            WITH c AS (SELECT event_type,
+                              CAST(epoch_us(ts) // 86400000000
+                                   AS BIGINT) AS day,
+                              CAST(sum(CAST(floor(value * 100 + 0.5)
+                                            AS BIGINT)) AS BIGINT) AS x
+                       FROM events GROUP BY event_type, day),
+            g AS (SELECT CAST(min(day) AS BIGINT) AS lo,
+                         CAST(max(day) AS BIGINT) AS hi
+                  FROM c),
+            grid AS (SELECT e.event_type,
+                            CAST(unnest(range(g.lo, g.hi + 1))
+                                 AS BIGINT) AS day
+                     FROM (SELECT DISTINCT event_type FROM c) e, g),
+            d AS (SELECT grid.event_type, grid.day,
+                         COALESCE(c.x, 0) AS x
+                  FROM grid LEFT JOIN c
+                  ON c.event_type = grid.event_type
+                     AND c.day = grid.day),
+            lg AS (SELECT event_type, day, x,
+                          lag(x) OVER (PARTITION BY event_type
+                                       ORDER BY day) AS x1
+                   FROM d),
+            a AS (SELECT event_type,
+                         CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(x) AS BIGINT) AS s,
+                         CAST(sum(CASE WHEN x1 IS NULL THEN 0
+                                  ELSE abs(x - x1) END) AS BIGINT)
+                             AS mr
+                  FROM lg GROUP BY event_type),
+            f AS (SELECT event_type, n, s, mr,
+                         CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                             AS xbar,
+                         CAST(mr AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+                             AS mrbar
+                  FROM a),
+            l AS (SELECT event_type, n, s, mr,
+                         xbar + 2.66 * mrbar AS ucl,
+                         xbar - 2.66 * mrbar AS lcl
+                  FROM f),
+            o AS (SELECT d.event_type,
+                         CAST(sum(CASE WHEN CAST(d.x AS DOUBLE)
+                                            > l.ucl
+                                       OR CAST(d.x AS DOUBLE)
+                                          < l.lcl
+                                  THEN 1 ELSE 0 END) AS BIGINT)
+                             AS n_out
+                  FROM d JOIN l USING (event_type)
+                  GROUP BY d.event_type)
+            SELECT l.event_type, l.n AS n_days, l.s AS sum_cents,
+                   l.mr AS mr_sum, l.ucl, l.lcl, o.n_out
+            FROM l JOIN o USING (event_type)
         """,
         # W66: frame sum over the dense grid; exact 7x>2S compare;
         # gaps-and-islands streaks

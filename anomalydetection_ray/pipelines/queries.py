@@ -11834,3 +11834,94 @@ def g60_dom_profile(sf_dir: str):
 
     return counts.groupby("event_type").map_groups(
         finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- A99 ----
+def a99_xmr_chart(sf_dir: str):
+    """A99 — Shewhart XmR (individuals & moving-range) control chart
+    per event type on the ZERO-FILLED daily cent totals: center =
+    mean, natural process limits = mean ± 2.66 * mean-moving-range
+    (the classic SPC constant d2=1.128 folded in), and the count of
+    days outside the limits — the process-behavior chart every ops
+    team draws first (Shewhart 1931; Wheeler's XmR formulation).
+
+    Exactness: S (sum) and MR (sum |x_t - x_{t-1}|) are exact ints on
+    the bounded dense grid; the float tail is the pinned chain
+    xbar = split(S)/n, mrbar = split(MR)/(n-1), ucl = xbar +
+    2.66*mrbar, lcl = xbar - 2.66*mrbar; the out-of-limit flags
+    compare CAST(x) against those pinned floats, so the counts are
+    bit-stable.
+
+    Scale shape: G31's bounded (type, day) exchange; dense-grid scan
+    in the single-group widen."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from anomalydetection_ray.stages.detectors import _split_double
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        v100 = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(us // 86_400_000_000,
+                                      type=pa.int64()),
+                      "v100": pa.array(v100, type=pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [("v100", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "x": g.column("v100_sum").cast(pa.int64())})
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["event_type", "day"]).sum("x"))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_one", pa.array(np.zeros(batch.num_rows, dtype=np.int64)))
+
+    def widen(group: pa.Table) -> pa.Table:
+        et = group.column("event_type").to_pylist()
+        day = np.asarray(group.column("day"), dtype=np.int64)
+        xs = np.asarray(group.column("sum(x)"), dtype=np.int64)
+        lo, hi = int(day.min()), int(day.max())
+        span = hi - lo + 1
+        types = sorted(set(et))
+        out = {k: [] for k in ("event_type", "n_days", "sum_cents",
+                               "mr_sum", "ucl", "lcl", "n_out")}
+        for t in types:
+            sel = np.asarray([e == t for e in et], dtype=bool)
+            dense = np.zeros(span, dtype=np.int64)
+            dense[day[sel] - lo] = xs[sel]
+            S = int(dense.sum())
+            MR = int(np.abs(np.diff(dense)).sum())
+            xbar = _split_double(S) / float(span)
+            mrbar = _split_double(MR) / float(span - 1)
+            ucl = xbar + 2.66 * mrbar
+            lcl = xbar - 2.66 * mrbar
+            xf = dense.astype(np.float64)   # exact: cents < 2^53
+            n_out = int(((xf > ucl) | (xf < lcl)).sum())
+            out["event_type"].append(t)
+            out["n_days"].append(span)
+            out["sum_cents"].append(S)
+            out["mr_sum"].append(MR)
+            out["ucl"].append(ucl)
+            out["lcl"].append(lcl)
+            out["n_out"].append(n_out)
+        return pa.table({
+            "event_type": pa.array(out["event_type"],
+                                   type=pa.string()),
+            "n_days": pa.array(out["n_days"], type=pa.int64()),
+            "sum_cents": pa.array(out["sum_cents"], type=pa.int64()),
+            "mr_sum": pa.array(out["mr_sum"], type=pa.int64()),
+            "ucl": pa.array(out["ucl"], type=pa.float64()),
+            "lcl": pa.array(out["lcl"], type=pa.float64()),
+            "n_out": pa.array(out["n_out"], type=pa.int64()),
+        })
+
+    return (daily.map_batches(tag, batch_format="pyarrow")
+            .groupby("_one").map_groups(widen, batch_format="pyarrow"))

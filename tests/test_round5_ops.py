@@ -4268,3 +4268,58 @@ def test_v27_word_length_bruteforce(ray_session):
             == (nw, nc, nl)
         assert row["mean_word_len"] == float(nc) / float(nw)
         assert row["long_share"] == float(nl) / float(nw)
+
+
+# ---------------------------------------------------------------- A99 ----
+def test_a99_xmr_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["a99_xmr_chart"](SF).to_pandas()
+           .set_index("event_type"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts", "value"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    ev["c"] = np.floor(ev["value"] * 100 + 0.5).astype(np.int64)
+    lo, hi = int(ev["day"].min()), int(ev["day"].max())
+    span = hi - lo + 1
+    for et, grp in ev.groupby("event_type"):
+        dense = np.zeros(span, dtype=np.int64)
+        for d, s in grp.groupby("day")["c"].sum().items():
+            dense[int(d) - lo] = int(s)
+        S = int(dense.sum())
+        MR = int(np.abs(np.diff(dense)).sum())
+        xbar = float(S) / span
+        mrbar = float(MR) / (span - 1)
+        ucl = xbar + 2.66 * mrbar
+        lcl = xbar - 2.66 * mrbar
+        xf = dense.astype(np.float64)
+        row = got.loc[et]
+        assert row["n_days"] == span
+        assert (row["sum_cents"], row["mr_sum"]) == (S, MR)
+        assert row["ucl"] == ucl and row["lcl"] == lcl
+        assert row["n_out"] == int(((xf > ucl) | (xf < lcl)).sum())
+
+
+def test_a99_xmr_flags_level_shift(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from anomalydetection_ray.pipelines.queries import a99_xmr_chart
+
+    # stable process with one 20x day: exactly that day breaches UCL
+    rows = [("m", d, 100.0 + (d % 3)) for d in range(60)]
+    rows[30] = ("m", 30, 2000.0)
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "ts": pa.array(np.array([d * 86_400_000_000 + 1
+                                 for _, d, _ in rows],
+                                dtype="datetime64[us]")),
+        "user_id": pa.array([0] * len(rows), type=pa.int64()),
+        "event_type": pa.array([k for k, _, _ in rows]),
+        "value": pa.array([v for _, _, v in rows]),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    _pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    got = a99_xmr_chart(str(tmp_path)).to_pandas()
+    assert got["n_out"][0] == 1
