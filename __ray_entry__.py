@@ -1669,6 +1669,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v27_word_length_profile": vb.v27_word_length_profile,
         # A99 Shewhart XmR control chart per type (daily cents)
         "a99_xmr_chart": q.a99_xmr_chart,
+        # W67 cross-type lead-lag discovery (argmax shifted Pearson)
+        "w67_lead_lag": q.w67_lead_lag,
         # Q28 uniform-mixture importance weights per source
         "q28_source_reweight": q.q28_source_reweight,
         # W56 first-return gap histogram (time to second visit)
@@ -6591,6 +6593,74 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'dict' END AS best_codec,
                    least(e4, e5, e6, e7) AS best_bytes
             FROM sz
+        """,
+        # W67: shifted self-join moments per (pair, s); A9's pinned r
+        # with the sign-aware split; argmax (r DESC, s ASC)
+        "w67_lead_lag": """
+            WITH c AS (SELECT event_type,
+                              CAST(epoch_us(ts) // 86400000000
+                                   AS BIGINT) AS day,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY event_type, day),
+            g AS (SELECT CAST(min(day) AS BIGINT) AS lo,
+                         CAST(max(day) AS BIGINT) AS hi
+                  FROM c),
+            grid AS (SELECT e.event_type,
+                            CAST(unnest(range(g.lo, g.hi + 1))
+                                 AS BIGINT) AS day
+                     FROM (SELECT DISTINCT event_type FROM c) e, g),
+            d AS (SELECT grid.event_type, grid.day,
+                         COALESCE(c.n, 0) AS x
+                  FROM grid LEFT JOIN c
+                  ON c.event_type = grid.event_type
+                     AND c.day = grid.day),
+            sh AS (SELECT CAST(unnest(range(-7, 8)) AS BIGINT) AS s),
+            pr AS (SELECT a.event_type AS ta, b.event_type AS tb
+                   FROM (SELECT DISTINCT event_type FROM c) a
+                   JOIN (SELECT DISTINCT event_type FROM c) b
+                   ON a.event_type < b.event_type),
+            m AS (SELECT pr.ta, pr.tb, sh.s,
+                         CAST(count(*) AS BIGINT) AS nv,
+                         CAST(sum(da.x) AS BIGINT) AS s1,
+                         CAST(sum(db.x) AS BIGINT) AS s2,
+                         CAST(sum(da.x * da.x) AS BIGINT) AS q1,
+                         CAST(sum(db.x * db.x) AS BIGINT) AS q2,
+                         CAST(sum(da.x * db.x) AS BIGINT) AS p
+                  FROM pr CROSS JOIN sh
+                  JOIN d da ON da.event_type = pr.ta
+                  JOIN d db ON db.event_type = pr.tb
+                           AND db.day = da.day + sh.s
+                  GROUP BY pr.ta, pr.tb, sh.s),
+            f AS (SELECT ta, tb, s, nv,
+                         nv * p - s1 * s2 AS num,
+                         nv * q1 - s1 * s1 AS d1,
+                         nv * q2 - s2 * s2 AS d2
+                  FROM m WHERE nv >= 2),
+            r AS (SELECT ta, tb, s, nv,
+                         (CASE WHEN num >= 0 THEN
+                              CAST(num // 4294967296 AS DOUBLE)
+                              * 4294967296.0
+                              + CAST(num % 4294967296 AS DOUBLE)
+                          ELSE -(CAST((-num) // 4294967296 AS DOUBLE)
+                                 * 4294967296.0
+                                 + CAST((-num) % 4294967296
+                                        AS DOUBLE)) END)
+                         / (sqrt(CAST(d1 // 4294967296 AS DOUBLE)
+                                 * 4294967296.0
+                                 + CAST(d1 % 4294967296 AS DOUBLE))
+                            * sqrt(CAST(d2 // 4294967296 AS DOUBLE)
+                                   * 4294967296.0
+                                   + CAST(d2 % 4294967296
+                                          AS DOUBLE))) AS r
+                  FROM f WHERE d1 > 0 AND d2 > 0),
+            b AS (SELECT ta, tb, s, nv, r,
+                         row_number() OVER (PARTITION BY ta, tb
+                                            ORDER BY r DESC, s)
+                             AS rn
+                  FROM r)
+            SELECT ta AS type_a, tb AS type_b, s AS best_shift,
+                   nv AS n_overlap, r AS r_best
+            FROM b WHERE rn = 1
         """,
         # A99: exact S/MR on the dense grid; pinned xbar/mrbar/limit
         # chain; flags compare pinned floats (bit-stable counts)

@@ -11925,3 +11925,115 @@ def a99_xmr_chart(sf_dir: str):
 
     return (daily.map_batches(tag, batch_format="pyarrow")
             .groupby("_one").map_groups(widen, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------- W67 ----
+def w67_lead_lag(sf_dir: str, max_shift: int = 7):
+    """W67 — cross-type lead-lag discovery: for every type pair
+    (a < b), the day shift s in [-max_shift, max_shift] maximizing the
+    Pearson correlation between a's zero-filled daily counts x_a(t)
+    and b's shifted counts x_b(t+s) — "errors lead purchases by 2
+    days" as data, the temporal-direction readout W41's lag-0
+    correlation cannot give.  s > 0 means b FOLLOWS a.
+
+    Exactness: per (pair, shift) the moments over the overlap window
+    (n = span - |s|) are exact ints; r is A9's pinned division
+    split(num) / (sqrt(split(d1)) * sqrt(split(d2))); the argmax runs
+    on those pinned floats with ties to the smallest shift —
+    deterministic because both sides compare identical doubles.
+    Degenerate shifts (zero variance on either side) are excluded.
+
+    Scale shape: G31's bounded (type, day) exchange; the pair x shift
+    sweep runs on bounded dense grids in the single-group widen."""
+    import math
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from anomalydetection_ray.stages.detectors import _split_double
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(us // 86_400_000_000,
+                                      type=pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "n": pc.cast(g.column("count_all"),
+                                      pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["event_type", "day"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_one", pa.array(np.zeros(batch.num_rows, dtype=np.int64)))
+
+    def widen(group: pa.Table) -> pa.Table:
+        et = group.column("event_type").to_pylist()
+        day = np.asarray(group.column("day"), dtype=np.int64)
+        n = np.asarray(group.column("n"), dtype=np.int64)
+        lo, hi = int(day.min()), int(day.max())
+        span = hi - lo + 1
+        types = sorted(set(et))
+        dense = {}
+        for t in types:
+            sel = np.asarray([e == t for e in et], dtype=bool)
+            dv = np.zeros(span, dtype=np.int64)
+            dv[day[sel] - lo] = n[sel]
+            dense[t] = dv
+        out = {k: [] for k in ("type_a", "type_b", "best_shift",
+                               "n_overlap", "r_best")}
+        for i, a in enumerate(types):
+            for b in types[i + 1:]:
+                best = None                  # (r, s, n_ov)
+                for s in range(-max_shift, max_shift + 1):
+                    if s >= 0:
+                        xa = dense[a][:span - s]
+                        xb = dense[b][s:]
+                    else:
+                        xa = dense[a][-s:]
+                        xb = dense[b][:span + s]
+                    nv = int(xa.shape[0])
+                    if nv < 2:
+                        continue
+                    s1 = int(xa.sum())
+                    s2 = int(xb.sum())
+                    q1 = int((xa * xa).sum())
+                    q2 = int((xb * xb).sum())
+                    p = int((xa * xb).sum())
+                    num = nv * p - s1 * s2
+                    d1 = nv * q1 - s1 * s1
+                    d2 = nv * q2 - s2 * s2
+                    if d1 <= 0 or d2 <= 0:
+                        continue
+                    r = _split_double(num) / (
+                        math.sqrt(_split_double(d1))
+                        * math.sqrt(_split_double(d2)))
+                    if best is None or r > best[0]:
+                        best = (r, s, nv)
+                if best is None:
+                    continue
+                out["type_a"].append(a)
+                out["type_b"].append(b)
+                out["best_shift"].append(best[1])
+                out["n_overlap"].append(best[2])
+                out["r_best"].append(best[0])
+        return pa.table({
+            "type_a": pa.array(out["type_a"], type=pa.string()),
+            "type_b": pa.array(out["type_b"], type=pa.string()),
+            "best_shift": pa.array(out["best_shift"],
+                                   type=pa.int64()),
+            "n_overlap": pa.array(out["n_overlap"], type=pa.int64()),
+            "r_best": pa.array(out["r_best"], type=pa.float64()),
+        })
+
+    return (counts.map_batches(tag, batch_format="pyarrow")
+            .groupby("_one").map_groups(widen, batch_format="pyarrow"))

@@ -4323,3 +4323,84 @@ def test_a99_xmr_flags_level_shift(ray_session, tmp_path):
     _pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
     got = a99_xmr_chart(str(tmp_path)).to_pandas()
     assert got["n_out"][0] == 1
+
+
+# ---------------------------------------------------------------- W67 ----
+def test_w67_lead_lag_bruteforce(ray_session):
+    import math
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["w67_lead_lag"](SF).to_pandas()
+           .set_index(["type_a", "type_b"]))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    lo, hi = int(ev["day"].min()), int(ev["day"].max())
+    span = hi - lo + 1
+    dense = {}
+    for et, grp in ev.groupby("event_type"):
+        dv = np.zeros(span, dtype=np.int64)
+        for d, c in grp.groupby("day").size().items():
+            dv[int(d) - lo] = int(c)
+        dense[et] = dv
+    types = sorted(dense)
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            best = None
+            for s in range(-7, 8):
+                xa = dense[a][:span - s] if s >= 0 else dense[a][-s:]
+                xb = dense[b][s:] if s >= 0 else dense[b][:span + s]
+                nv = len(xa)
+                s1, s2 = int(xa.sum()), int(xb.sum())
+                q1, q2 = int((xa * xa).sum()), int((xb * xb).sum())
+                p = int((xa * xb).sum())
+                num = nv * p - s1 * s2
+                d1, d2 = nv * q1 - s1 * s1, nv * q2 - s2 * s2
+                if d1 <= 0 or d2 <= 0:
+                    continue
+                r = float(num) / (math.sqrt(float(d1))
+                                  * math.sqrt(float(d2)))
+                if best is None or r > best[0]:
+                    best = (r, s, nv)
+            row = got.loc[(a, b)]
+            assert row["best_shift"] == best[1]
+            assert row["n_overlap"] == best[2]
+            assert row["r_best"] == best[0]
+            assert -1.0 <= row["r_best"] <= 1.0
+
+
+def test_w67_finds_planted_lag(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from anomalydetection_ray.pipelines.queries import w67_lead_lag
+
+    # "follow" replays "lead"'s daily pattern exactly 3 days later
+    rng = np.random.default_rng(71)
+    base = rng.integers(1, 30, size=60)
+    rows = []
+    for d in range(60):
+        rows += [("lead", d)] * int(base[d])
+        if d >= 3:
+            rows += [("follow", d)] * int(base[d - 3])
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "ts": pa.array(np.array([d * 86_400_000_000 + 1
+                                 for _, d in rows],
+                                dtype="datetime64[us]")),
+        "user_id": pa.array([0] * len(rows), type=pa.int64()),
+        "event_type": pa.array([k for k, _ in rows]),
+        "value": pa.array([0.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    _pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    got = w67_lead_lag(str(tmp_path)).to_pandas()
+    row = got[(got["type_a"] == "follow")
+              & (got["type_b"] == "lead")].iloc[0]
+    # pair order is alphabetical ('follow' < 'lead'), so x_a = follow,
+    # x_b = lead and corr(x_f(t), x_l(t+s)) peaks at s = -3 (lead's
+    # pattern sits 3 days EARLIER than follow's copy of it)
+    assert row["best_shift"] == -3
+    assert row["r_best"] > 0.95
