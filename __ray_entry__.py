@@ -1671,6 +1671,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a99_xmr_chart": q.a99_xmr_chart,
         # W67 cross-type lead-lag discovery (argmax shifted Pearson)
         "w67_lead_lag": q.w67_lead_lag,
+        # S29 CDC snapshot diff census (co-partitioned full compare)
+        "s29_snapshot_diff": q.s29_snapshot_diff,
         # Q28 uniform-mixture importance weights per source
         "q28_source_reweight": q.q28_source_reweight,
         # W56 first-return gap histogram (time to second visit)
@@ -6593,6 +6595,23 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'dict' END AS best_codec,
                    least(e4, e5, e6, e7) AS best_bytes
             FROM sz
+        """,
+        # S29: the derivation RULE counts certify the engine's
+        # rule-blind diff machinery; all-integer
+        "s29_snapshot_diff": """
+            WITH a AS (SELECT event_id AS id,
+                              CAST(floor(value * 100 + 0.5)
+                                   AS BIGINT) AS cents
+                       FROM events)
+            SELECT
+                (SELECT CAST(count(*) AS BIGINT) FROM a
+                 WHERE id % 97 <> 0 AND id % 50 <> 0) AS n_same,
+                (SELECT CAST(count(*) AS BIGINT) FROM a
+                 WHERE id % 97 <> 0 AND id % 50 = 0) AS n_updated,
+                (SELECT CAST(count(*) AS BIGINT) FROM a
+                 WHERE id % 97 = 0) AS n_deleted,
+                (SELECT CAST(count(*) AS BIGINT) FROM a
+                 WHERE id % 101 = 0) AS n_inserted
         """,
         # W67: shifted self-join moments per (pair, s); A9's pinned r
         # with the sign-aware split; argmax (r DESC, s ASC)

@@ -12037,3 +12037,94 @@ def w67_lead_lag(sf_dir: str, max_shift: int = 7):
 
     return (counts.map_batches(tag, batch_format="pyarrow")
             .groupby("_one").map_groups(widen, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------- S29 ----
+def s29_snapshot_diff(sf_dir: str):
+    """S29 — CDC snapshot diff: given snapshot A (events) and a
+    deterministically DERIVED snapshot B (every 97th id deleted, every
+    50th surviving id's cents bumped +100, every 101st id re-inserted
+    under id+10^9), classify every id as same / updated / deleted /
+    inserted and emit the change census — the change-data-capture
+    primitive a warehouse sync runs between loads.  The ENGINE does
+    not know the derivation rule: it computes the diff by a
+    co-partitioned full compare of the two id streams (U1's exchange
+    shape), so the oracle's rule-based counts certify the diff
+    machinery itself.  ALL-integer."""
+    import functools
+
+    from anomalydetection_ray.stages.runs import PKEY, add_partition_key
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def snapshots(batch: pa.Table) -> pa.Table:
+        """Emit (id, cents, side) rows for BOTH snapshots."""
+        eid = np.asarray(batch.column("event_id"), dtype=np.int64)
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        # snapshot A: as-is
+        ids_a, c_a = eid, cents
+        # snapshot B: deletes, updates, shifted re-inserts
+        keep = eid % 97 != 0
+        ids_b = eid[keep]
+        c_b = cents[keep] + np.where(ids_b % 50 == 0, 100, 0)
+        ins = eid % 101 == 0
+        ids_i = eid[ins] + 1_000_000_000
+        c_i = cents[ins]
+        return pa.table({
+            "id": pa.array(np.concatenate([ids_a, ids_b, ids_i]),
+                           type=pa.int64()),
+            "cents": pa.array(np.concatenate([c_a, c_b, c_i]),
+                              type=pa.int64()),
+            "side": pa.array(np.concatenate([
+                np.zeros(ids_a.shape[0], dtype=np.int64),
+                np.ones(ids_b.shape[0], dtype=np.int64),
+                np.ones(ids_i.shape[0], dtype=np.int64)]),
+                type=pa.int64()),
+        })
+
+    rows = ds.map_batches(snapshots, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    tagged = rows.map_batches(
+        functools.partial(add_partition_key, keys=["id"],
+                          num_partitions=16),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def diff(group: pa.Table) -> pa.Table:
+        group = group.drop_columns([PKEY])
+        ids = np.asarray(group.column("id"), dtype=np.int64)
+        cents = np.asarray(group.column("cents"), dtype=np.int64)
+        side = np.asarray(group.column("side"), dtype=np.int64)
+        order = np.lexsort((side, ids))
+        ids, cents, side = ids[order], cents[order], side[order]
+        starts = np.flatnonzero(np.concatenate(([True],
+                                                ids[1:] != ids[:-1])))
+        lens = np.diff(np.append(starts, ids.shape[0]))
+        n_same = n_upd = n_del = n_ins = 0
+        both = lens == 2
+        n_same = int((both & (cents[starts]
+                              == cents[np.minimum(starts + 1,
+                                                  ids.shape[0] - 1)])
+                      ).sum())
+        n_upd = int(both.sum()) - n_same
+        only = lens == 1
+        n_del = int((only & (side[starts] == 0)).sum())
+        n_ins = int((only & (side[starts] == 1)).sum())
+        return pa.table({
+            "_one": pa.array([0], type=pa.int64()),
+            "n_same": pa.array([n_same], type=pa.int64()),
+            "n_updated": pa.array([n_upd], type=pa.int64()),
+            "n_deleted": pa.array([n_del], type=pa.int64()),
+            "n_inserted": pa.array([n_ins], type=pa.int64()),
+        })
+
+    return (tagged.groupby(PKEY).map_groups(diff,
+                                            batch_format="pyarrow")
+            .groupby("_one")
+            .sum(["n_same", "n_updated", "n_deleted", "n_inserted"])
+            .map_batches(lambda b: pa.table({
+                "n_same": b.column("sum(n_same)"),
+                "n_updated": b.column("sum(n_updated)"),
+                "n_deleted": b.column("sum(n_deleted)"),
+                "n_inserted": b.column("sum(n_inserted)")}),
+                batch_format="pyarrow"))

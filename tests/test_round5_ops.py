@@ -4404,3 +4404,23 @@ def test_w67_finds_planted_lag(ray_session, tmp_path):
     # pattern sits 3 days EARLIER than follow's copy of it)
     assert row["best_shift"] == -3
     assert row["r_best"] > 0.95
+
+
+# ---------------------------------------------------------------- S29 ----
+def test_s29_snapshot_diff_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = e.queries()["s29_snapshot_diff"](SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id"]).to_pandas()
+    ids = ev["event_id"].to_numpy()
+    n_del = int((ids % 97 == 0).sum())
+    n_upd = int(((ids % 97 != 0) & (ids % 50 == 0)).sum())
+    n_same = int(((ids % 97 != 0) & (ids % 50 != 0)).sum())
+    n_ins = int((ids % 101 == 0).sum())
+    assert got["n_same"][0] == n_same
+    assert got["n_updated"][0] == n_upd
+    assert got["n_deleted"][0] == n_del
+    assert got["n_inserted"][0] == n_ins
+    # the census partitions snapshot A exactly
+    assert n_same + n_upd + n_del == len(ids)
