@@ -1673,6 +1673,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w67_lead_lag": q.w67_lead_lag,
         # S29 CDC snapshot diff census (co-partitioned full compare)
         "s29_snapshot_diff": q.s29_snapshot_diff,
+        # D26 exact set-similarity self-join by prefix filtering
+        # (PPJoin family — sketch-free, certified vs brute force)
+        "d26_prefix_filter_join": dd.d26_prefix_filter_join,
         # Q28 uniform-mixture importance weights per source
         "q28_source_reweight": q.q28_source_reweight,
         # W56 first-return gap histogram (time to second visit)
@@ -6595,6 +6598,32 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'dict' END AS best_codec,
                    least(e4, e5, e6, e7) AS best_bytes
             FROM sz
+        """,
+        # D26: the brute-force all-pairs Jaccard IS the oracle — the
+        # prefix lemma makes the engine's pruned result equal it;
+        # integer 5i >= 4u threshold, pinned division
+        "d26_prefix_filter_join": """
+            WITH w AS (SELECT DISTINCT doc_id, wd
+                       FROM (SELECT doc_id,
+                                    unnest(regexp_extract_all(
+                                        lower(text), '[0-9a-z_]+'))
+                                        AS wd
+                             FROM documents)),
+            s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+                  FROM w GROUP BY doc_id),
+            i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         CAST(count(*) AS BIGINT) AS inter
+                  FROM w a JOIN w b
+                  ON a.wd = b.wd AND a.doc_id < b.doc_id
+                  GROUP BY doc_a, doc_b),
+            j AS (SELECT i.doc_a, i.doc_b, i.inter,
+                         sa.sz + sb.sz - i.inter AS un
+                  FROM i JOIN s sa ON sa.doc_id = i.doc_a
+                  JOIN s sb ON sb.doc_id = i.doc_b)
+            SELECT doc_a, doc_b, inter AS n_inter, un AS n_union,
+                   CAST(inter AS DOUBLE) / CAST(un AS DOUBLE)
+                       AS jaccard
+            FROM j WHERE 5 * inter >= 4 * un
         """,
         # S29: the derivation RULE counts certify the engine's
         # rule-blind diff machinery; all-integer

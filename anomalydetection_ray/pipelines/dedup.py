@@ -2382,3 +2382,166 @@ def x16_two_hop_reach(sf_dir: str, min_est: float = 0.5,
                 "doc": b.column("doc"),
                 "reach2": b.column("sum(reach2)")}),
                 batch_format="pyarrow"))
+
+
+def _word_hash_sets(texts) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted-distinct word-hash flat buffer, row offsets) for a text
+    column under the boundary/lowercase tokenizer (word_hashes) — the
+    1-gram analogue of gram_sets; Jaccard counts over the 64-bit
+    hashes equal counts over the words themselves up to negligible
+    collisions (gram_sets' documented argument)."""
+    from anomalydetection_ray.pipelines.text import _flat_utf8
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = texts.fill_null("")
+    nrows = len(texts)
+    flat, offs = _flat_utf8(pa.table({"t": texts}), "t")
+    hw, doc_of = word_hashes(flat, offs)
+    order = np.lexsort((hw, doc_of))
+    hw, doc_of = hw[order], doc_of[order]
+    keep = np.concatenate(([True], (doc_of[1:] != doc_of[:-1])
+                           | (hw[1:] != hw[:-1])))
+    hw, doc_of = hw[keep], doc_of[keep]
+    roffs = np.zeros(nrows + 1, dtype=np.int64)
+    np.add.at(roffs, doc_of + 1, 1)
+    return hw, np.cumsum(roffs)
+
+
+def d26_prefix_filter_join(sf_dir: str, num_partitions: int = 16):
+    """D26 — EXACT set-similarity self-join by prefix filtering (the
+    PPJoin/All-Pairs family, Chaudhuri et al. 2006 / Xiao et al.
+    2008): every document pair whose distinct-word Jaccard >= 4/5,
+    found WITHOUT sketches and WITHOUT the all-pairs grid.  The prefix
+    lemma does the pruning: under any fixed token order, two sets with
+    J >= tau must share a token within each other's first
+    |d| - ceil(tau*|d|) + 1 tokens — so only prefix-token collisions
+    become candidates, and the exact verify touches nothing else.
+    The registered result therefore EQUALS the brute-force oracle by
+    algebra, which is exactly what the driver certifies.
+
+    Exactness: the threshold is the integer compare 5*inter >=
+    3*union (never a float decision); jaccard is the pinned division.
+    Token order here is hash-ascending; ordering by ascending global
+    frequency is the standard candidate-count optimization and slots
+    into the same exchange when corpus skew demands it.
+
+    Scale shape: prefix emission is map-side; ONE exchange on the
+    prefix token builds candidates; pair dedupe + two co-partitioned
+    text attaches (the LSH families' machinery); per-pair exact
+    verify bounded by candidate volume."""
+    import functools
+
+    from anomalydetection_ray.stages.runs import (PKEY,
+                                                  add_partition_key,
+                                                  keep_first_by)
+
+    docs = _docs(sf_dir)
+
+    def prefixes(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        hw, roffs = _word_hash_sets(batch.column("text"))
+        sz = np.diff(roffs)
+        p = sz - (4 * sz + 4) // 5 + 1      # tau = 4/5 prefix length
+        p = np.maximum(p, 0)
+        out_h, out_d = [], []
+        for i in range(ids.shape[0]):
+            if sz[i] == 0:
+                continue
+            k = int(p[i])
+            out_h.append(hw[roffs[i]:roffs[i] + k])
+            out_d.append(np.full(k, ids[i], dtype=np.int64))
+        if not out_h:
+            return pa.table({
+                "h": pa.array([], type=pa.uint64()),
+                "doc": pa.array([], type=pa.int64())})
+        return pa.table({
+            "h": pa.array(np.concatenate(out_h), type=pa.uint64()),
+            "doc": pa.array(np.concatenate(out_d), type=pa.int64()),
+        })
+
+    pref = docs.map_batches(prefixes, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    tagged = pref.map_batches(
+        functools.partial(add_partition_key, keys=["h"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def pairs_kernel(group: pa.Table) -> pa.Table:
+        group = group.drop_columns([PKEY])
+        h = np.asarray(group.column("h"))
+        d = np.asarray(group.column("doc"), dtype=np.int64)
+        order = np.lexsort((d, h))
+        h, d = h[order], d[order]
+        starts = np.flatnonzero(np.concatenate(([True],
+                                                h[1:] != h[:-1])))
+        lens = np.diff(np.append(starts, h.shape[0]))
+        out_a, out_b = [], []
+        for s, ln in zip(starts, lens):     # per-token pair fanout
+            if ln < 2:
+                continue
+            seg = d[s:s + ln]
+            ga = np.repeat(seg, ln)
+            gb = np.tile(seg, ln)
+            keep = ga < gb
+            out_a.append(ga[keep])
+            out_b.append(gb[keep])
+        if not out_a:
+            return pa.table({
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64())})
+        t = pa.table({
+            "doc_a": pa.array(np.concatenate(out_a),
+                              type=pa.int64()),
+            "doc_b": pa.array(np.concatenate(out_b),
+                              type=pa.int64()),
+        })
+        return t.group_by(["doc_a", "doc_b"]).aggregate([])
+
+    cands = tagged.groupby(PKEY).map_groups(pairs_kernel,
+                                            batch_format="pyarrow")
+    uniq = keep_first_by(cands, keys=["doc_a", "doc_b"])
+    with_a = attach_payload(uniq, docs, "doc_a", "text", "_text_a")
+    with_ab = attach_payload(with_a, docs, "doc_b", "text",
+                             "_text_b")
+
+    def verify(batch: pa.Table) -> pa.Table:
+        from anomalydetection_ray.stages.detectors import _split_double
+
+        P = batch.num_rows
+        empty = pa.table({
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+            "n_inter": pa.array([], type=pa.int64()),
+            "n_union": pa.array([], type=pa.int64()),
+            "jaccard": pa.array([], type=pa.float64())})
+        if P == 0:
+            return empty
+        ha, ra = _word_hash_sets(batch.column("_text_a"))
+        hb, rb = _word_hash_sets(batch.column("_text_b"))
+        inter = np.zeros(P, dtype=np.int64)
+        for i in range(P):                  # per-candidate C-level set op
+            inter[i] = np.intersect1d(ha[ra[i]:ra[i + 1]],
+                                      hb[rb[i]:rb[i + 1]],
+                                      assume_unique=True).size
+        sza = np.diff(ra)
+        szb = np.diff(rb)
+        union = sza + szb - inter
+        keep = 5 * inter >= 4 * union       # tau = 4/5, exact ints
+        kidx = pa.array(np.flatnonzero(keep))
+        jac = np.array([_split_double(int(i_))
+                        / _split_double(int(u_))
+                        for i_, u_ in zip(inter[keep], union[keep])],
+                       dtype=np.float64)
+        return pa.table({
+            "doc_a": batch.column("doc_a").take(kidx).cast(
+                pa.int64()),
+            "doc_b": batch.column("doc_b").take(kidx).cast(
+                pa.int64()),
+            "n_inter": pa.array(inter[keep], type=pa.int64()),
+            "n_union": pa.array(union[keep], type=pa.int64()),
+            "jaccard": pa.array(jac, type=pa.float64()),
+        })
+
+    return with_ab.map_batches(verify, batch_format="pyarrow",
+                               zero_copy_batch=True)

@@ -4424,3 +4424,63 @@ def test_s29_snapshot_diff_bruteforce(ray_session):
     assert got["n_inserted"][0] == n_ins
     # the census partitions snapshot A exactly
     assert n_same + n_upd + n_del == len(ids)
+
+
+# ---------------------------------------------------------------- D26 ----
+def test_d26_prefix_filter_bruteforce(ray_session):
+    import re as _re
+
+    import __ray_entry__ as e
+
+    got = e.queries()["d26_prefix_filter_join"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    sets = {int(r["doc_id"]):
+            set(_re.findall(r"[0-9a-z_]+", str(r["text"]).lower()))
+            for _, r in docs.iterrows()}
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and 5 * inter >= 4 * union:
+                want[(a, b)] = (inter, union)
+    have = {(int(r["doc_a"]), int(r["doc_b"])):
+            (int(r["n_inter"]), int(r["n_union"]))
+            for _, r in got.iterrows()}
+    assert have == want          # the prefix lemma: NOTHING missed
+    for _, r in got.iterrows():
+        assert r["jaccard"] == float(r["n_inter"]) / float(r["n_union"])
+
+
+def test_d26_prunes_disjoint_vocab_groups(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from anomalydetection_ray.pipelines.dedup import d26_prefix_filter_join
+
+    # two vocab-disjoint families: near-identical docs inside each,
+    # zero candidates across them
+    rows = []
+    for i in range(20):
+        rows.append((i, "alpha beta gamma delta epsilon "
+                     + f"tok{i % 2}"))
+    for i in range(20, 40):
+        rows.append((i, "omega psi chi phi upsilon "
+                     + f"sym{i % 2}"))
+    t = pa.table({
+        "doc_id": pa.array([i for i, _ in rows], type=pa.int64()),
+        "text": pa.array([s for _, s in rows]),
+        "lang": pa.array(["en"] * len(rows)),
+        "source": pa.array(["s"] * len(rows)),
+        "n_chars": pa.array([len(s) for _, s in rows],
+                            type=pa.int64()),
+    })
+    _pq.write_table(t, os.path.join(tmp_path, "documents.parquet"))
+    got = d26_prefix_filter_join(str(tmp_path)).to_pandas()
+    # matches stay inside families (ids 0-19 vs 20-39 never pair)
+    assert len(got) > 0
+    assert not (((got["doc_a"] < 20) & (got["doc_b"] >= 20))
+                | ((got["doc_a"] >= 20) & (got["doc_b"] < 20))).any()
