@@ -1676,6 +1676,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # D26 exact set-similarity self-join by prefix filtering
         # (PPJoin family — sketch-free, certified vs brute force)
         "d26_prefix_filter_join": dd.d26_prefix_filter_join,
+        # Q37 grouped top-k WITH TIES (RANK() <= k surface)
+        "q37_topk_with_ties": q.q37_topk_with_ties,
         # Q28 uniform-mixture importance weights per source
         "q28_source_reweight": q.q28_source_reweight,
         # W56 first-return gap histogram (time to second visit)
@@ -6624,6 +6626,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(inter AS DOUBLE) / CAST(un AS DOUBLE)
                        AS jaccard
             FROM j WHERE 5 * inter >= 4 * un
+        """,
+        # Q37: textbook RANK() <= k, ties preserved; all-integer
+        "q37_topk_with_ties": """
+            SELECT event_type, event_id, cents, rnk FROM (
+                SELECT event_type, event_id,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT)
+                           AS cents,
+                       CAST(rank() OVER (PARTITION BY event_type
+                                         ORDER BY floor(value * 100
+                                                        + 0.5) DESC)
+                            AS BIGINT) AS rnk
+                FROM events) t
+            WHERE rnk <= 5
         """,
         # S29: the derivation RULE counts certify the engine's
         # rule-blind diff machinery; all-integer

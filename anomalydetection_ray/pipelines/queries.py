@@ -12128,3 +12128,81 @@ def s29_snapshot_diff(sf_dir: str):
                 "n_deleted": b.column("sum(n_deleted)"),
                 "n_inserted": b.column("sum(n_inserted)")}),
                 batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------- Q37 ----
+def q37_topk_with_ties(sf_dir: str, k: int = 5):
+    """Q37 — grouped top-k WITH TIES (the ANSI ``FETCH FIRST k ROWS
+    WITH TIES`` / ``RANK() <= k`` surface): per event type, every
+    event whose cent value ranks in the top ``k`` INCLUDING ties —
+    Q5's grouped top-k truncates ties arbitrarily; this shape never
+    drops a peer row, which is what audit queries need.
+
+    HOW: the per-type cent histogram (bounded) yields the k-th
+    largest value (threshold) and the strictly-greater counts, so
+    rank = 1 + n_greater is computed per row from a broadcast lookup
+    — no global sort, no per-type row materialization.  ALL-integer.
+
+    Scale note: the broadcast is bounded by the per-type distinct
+    cent domain (G52's documented assumption)."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def cents_hist(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "cents": pa.array(np.floor(v * 100.0 + 0.5)
+                              .astype(np.int64), type=pa.int64()),
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+        })
+        g = t.group_by(["event_type", "cents"]).aggregate(
+            [("one", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "cents": g.column("cents"),
+                         "c": g.column("one_sum").cast(pa.int64())})
+
+    hist = (ds.map_batches(cents_hist, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["event_type", "cents"]).sum("c").take_all())
+    # per type: descending cumsum -> threshold (k-th largest value)
+    # and the strictly-greater count per kept value
+    by_type: dict = {}
+    for r in hist:
+        by_type.setdefault(r["event_type"], []).append(
+            (int(r["cents"]), int(r["sum(c)"])))
+    thr = {}
+    greater = {}
+    for et, vals in by_type.items():
+        vals.sort(reverse=True)
+        cum = 0
+        for cents, c in vals:
+            if cum < k:
+                thr[et] = cents
+                greater[(et, cents)] = cum
+            cum += c
+
+    types_sorted = np.array(sorted(thr), dtype=object)
+    thr_arr = np.array([thr[t] for t in types_sorted],
+                       dtype=np.int64)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch.column("event_type"))
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        ti = np.searchsorted(types_sorted, et)
+        keep = cents >= thr_arr[ti]         # vectorized threshold test
+        kidx = np.flatnonzero(keep)         # survivors: ~k per type
+        rnk = np.array([1 + greater[(et[i], int(cents[i]))]
+                        for i in kidx], dtype=np.int64)
+        sel = pa.array(kidx)
+        return pa.table({
+            "event_type": batch.column("event_type").take(sel),
+            "event_id": batch.column("event_id").take(sel),
+            "cents": pa.array(cents[kidx], type=pa.int64()),
+            "rnk": pa.array(rnk, type=pa.int64()),
+        })
+
+    return ds.map_batches(flag, batch_format="pyarrow",
+                          zero_copy_batch=True)

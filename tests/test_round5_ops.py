@@ -4484,3 +4484,51 @@ def test_d26_prunes_disjoint_vocab_groups(ray_session, tmp_path):
     assert len(got) > 0
     assert not (((got["doc_a"] < 20) & (got["doc_b"] >= 20))
                 | ((got["doc_a"] >= 20) & (got["doc_b"] < 20))).any()
+
+
+# ---------------------------------------------------------------- Q37 ----
+def test_q37_topk_with_ties_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = e.queries()["q37_topk_with_ties"](SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "event_type",
+                                "value"]).to_pandas()
+    ev["cents"] = np.floor(ev["value"] * 100 + 0.5).astype(np.int64)
+    for et, grp in ev.groupby("event_type"):
+        g = grp.copy()
+        g["rnk"] = g["cents"].rank(method="min",
+                                   ascending=False).astype(np.int64)
+        want = g[g["rnk"] <= 5]
+        sub = got[got["event_type"] == et]
+        assert set(sub["event_id"]) == set(want["event_id"])
+        m = want.set_index("event_id")
+        for _, r in sub.iterrows():
+            assert r["cents"] == m.loc[r["event_id"]]["cents"]
+            assert r["rnk"] == m.loc[r["event_id"]]["rnk"]
+
+
+def test_q37_preserves_ties(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from anomalydetection_ray.pipelines.queries import q37_topk_with_ties
+
+    # 5th place is a 4-way tie: WITH TIES must keep all 8 rows
+    vals = [100.0, 90.0, 80.0, 70.0, 60.0, 60.0, 60.0, 60.0, 10.0]
+    t = pa.table({
+        "event_id": pa.array(range(len(vals)), type=pa.int64()),
+        "ts": pa.array(np.array([d * 86_400_000_000
+                                 for d in range(len(vals))],
+                                dtype="datetime64[us]")),
+        "user_id": pa.array([0] * len(vals), type=pa.int64()),
+        "event_type": pa.array(["t"] * len(vals)),
+        "value": pa.array(vals),
+        "props": pa.array(["{}"] * len(vals)),
+    })
+    _pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    got = q37_topk_with_ties(str(tmp_path)).to_pandas()
+    assert len(got) == 8                    # plain top-5 would drop 3
+    assert (got["rnk"] <= 5).all()
+    assert (got[got["cents"] == 6000]["rnk"] == 5).all()
