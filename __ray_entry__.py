@@ -1678,6 +1678,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d26_prefix_filter_join": dd.d26_prefix_filter_join,
         # Q37 grouped top-k WITH TIES (RANK() <= k surface)
         "q37_topk_with_ties": q.q37_topk_with_ties,
+        # W68 weekly growth accounting (new/retained/resurrected/
+        # churned quadrants)
+        "w68_growth_accounting": wnd.w68_growth_accounting,
         # Q28 uniform-mixture importance weights per source
         "q28_source_reweight": q.q28_source_reweight,
         # W56 first-return gap histogram (time to second visit)
@@ -6626,6 +6629,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(inter AS DOUBLE) / CAST(un AS DOUBLE)
                        AS jaccard
             FROM j WHERE 5 * inter >= 4 * un
+        """,
+        # W68: set logic on distinct (user, week); churn = run end + 1
+        "w68_growth_accounting": """
+            WITH d AS (SELECT DISTINCT user_id,
+                              CAST((epoch_us(ts) // 86400000000) // 7
+                                   AS BIGINT) AS wk
+                       FROM events),
+            g AS (SELECT CAST(max(wk) AS BIGINT) AS hiw FROM d),
+            f AS (SELECT user_id, CAST(min(wk) AS BIGINT) AS fw
+                  FROM d GROUP BY user_id),
+            cls AS (SELECT d.user_id, d.wk,
+                           (d.wk = f.fw) AS is_new,
+                           (EXISTS (SELECT 1 FROM d p
+                                    WHERE p.user_id = d.user_id
+                                      AND p.wk = d.wk - 1)) AS prev
+                    FROM d JOIN f USING (user_id)),
+            act AS (SELECT wk AS week,
+                           CAST(sum(CASE WHEN is_new THEN 1 ELSE 0
+                                    END) AS BIGINT) AS n_new,
+                           CAST(sum(CASE WHEN prev THEN 1 ELSE 0
+                                    END) AS BIGINT) AS n_retained,
+                           CAST(sum(CASE WHEN NOT is_new AND NOT prev
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+                               AS n_resurrected,
+                           CAST(count(*) AS BIGINT) AS n_active
+                    FROM cls GROUP BY wk),
+            ch AS (SELECT d.wk + 1 AS week,
+                          CAST(count(*) AS BIGINT) AS n_churned
+                   FROM d CROSS JOIN g
+                   WHERE d.wk + 1 <= g.hiw
+                     AND NOT EXISTS (SELECT 1 FROM d nx
+                                     WHERE nx.user_id = d.user_id
+                                       AND nx.wk = d.wk + 1)
+                   GROUP BY d.wk + 1),
+            weeks AS (SELECT week FROM act
+                      UNION SELECT week FROM ch)
+            SELECT w.week, COALESCE(a.n_new, 0) AS n_new,
+                   COALESCE(a.n_retained, 0) AS n_retained,
+                   COALESCE(a.n_resurrected, 0) AS n_resurrected,
+                   COALESCE(c.n_churned, 0) AS n_churned,
+                   COALESCE(a.n_active, 0) AS n_active
+            FROM weeks w LEFT JOIN act a USING (week)
+            LEFT JOIN ch c USING (week)
         """,
         # Q37: textbook RANK() <= k, ties preserved; all-integer
         "q37_topk_with_ties": """

@@ -4149,3 +4149,115 @@ def w64_action_runs(sf_dir: str, num_partitions: int = 16):
         })
 
     return agg.map_batches(widen, batch_format="pyarrow")
+
+
+def _growth_kernel(group: pa.Table) -> pa.Table:
+    """Per-partition growth-accounting partials over each user's
+    DISTINCT active weeks: new (first-ever week), retained (active
+    previous week too), resurrected (re-appearing after a gap),
+    churned (attributed to the week AFTER each activity run ends,
+    capped at the global max week carried in ``_hiw``)."""
+    group = group.drop_columns([PKEY])
+    uid = np.asarray(group.column("user_id"), dtype=np.int64)
+    wk = (_ts_us(group.column("ts")) // 86_400_000_000) // 7
+    hiw = int(np.asarray(group.column("_hiw"), dtype=np.int64)[0])
+    order = np.lexsort((wk, uid))
+    uid, wk = uid[order], wk[order]
+    keep = np.concatenate(([True],
+                           (uid[1:] != uid[:-1]) | (wk[1:] != wk[:-1])))
+    uid, wk = uid[keep], wk[keep]
+    ufirst = np.concatenate(([True], uid[1:] != uid[:-1]))
+    prev_active = np.zeros(uid.shape[0], dtype=bool)
+    prev_active[1:] = (uid[1:] == uid[:-1]) & (wk[1:] == wk[:-1] + 1)
+    run_start = ufirst | ~prev_active
+    new = ufirst
+    retained = prev_active
+    resurrected = run_start & ~ufirst
+    # churn at run_end + 1: run ends where the NEXT row starts a run
+    run_end = np.concatenate((run_start[1:], [True]))
+    churn_wk = wk[run_end] + 1
+    churn_ok = churn_wk <= hiw
+    weeks = np.concatenate([wk[new], wk[retained], wk[resurrected],
+                            churn_wk[churn_ok]])
+    kinds = np.concatenate([
+        np.full(int(new.sum()), 0, dtype=np.int64),
+        np.full(int(retained.sum()), 1, dtype=np.int64),
+        np.full(int(resurrected.sum()), 2, dtype=np.int64),
+        np.full(int(churn_ok.sum()), 3, dtype=np.int64)])
+    t = pa.table({
+        "week": pa.array(weeks, type=pa.int64()),
+        "kind": pa.array(kinds, type=pa.int64()),
+        "one": pa.array(np.ones(weeks.shape[0], dtype=np.int64)),
+    })
+    g = t.group_by(["week", "kind"]).aggregate([("one", "sum")])
+    return pa.table({
+        "week": g.column("week"),
+        "kind": g.column("kind"),
+        "n": g.column("one_sum").cast(pa.int64()),
+    })
+
+
+def w68_growth_accounting(sf_dir: str, num_partitions: int = 16):
+    """W68 — weekly growth accounting: per active week, the user
+    counts of NEW (first-ever week), RETAINED (also active the
+    previous week), RESURRECTED (back after a gap) and CHURNED (active
+    the previous week, absent this week) — the four-quadrant
+    decomposition every growth model runs on, completing G51's daily
+    new-vs-returning and W59's DAU/WAU.  The identity active = new +
+    retained + resurrected is structural and pytest-gated.
+
+    Exactness: all classifications are exact set logic on each user's
+    distinct week list (users partition-local); counts exact ints.
+
+    Scale shape: the global max week is ONE tiny pre-aggregate
+    attached map-side; ONE ``_pkey`` exchange; bounded (week, kind)
+    partials."""
+    ev = _read_events(sf_dir, ["ts", "user_id"])
+    hiw = ev.map_batches(
+        lambda b: pa.table({"w": pa.array(
+            [int(((_ts_us(b.column("ts")) // 86_400_000_000)
+                  // 7).max())] if b.num_rows else [],
+            type=pa.int64())}),
+        batch_format="pyarrow").max("w")
+
+    def attach(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_hiw", pa.array(np.full(batch.num_rows, hiw,
+                                     dtype=np.int64)))
+
+    tagged = (ev.map_batches(attach, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True))
+    counts = (tagged.groupby(PKEY).map_groups(
+        _growth_kernel, batch_format="pyarrow")
+        .groupby(["week", "kind"]).sum("n"))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_one", pa.array(np.zeros(batch.num_rows, dtype=np.int64)))
+
+    def widen(group: pa.Table) -> pa.Table:
+        wk = np.asarray(group.column("week"), dtype=np.int64)
+        kind = np.asarray(group.column("kind"), dtype=np.int64)
+        n = np.asarray(group.column("sum(n)"), dtype=np.int64)
+        weeks = np.unique(wk)
+        grid = {int(w): [0, 0, 0, 0] for w in weeks}
+        for w, k, c in zip(wk, kind, n):
+            grid[int(w)][int(k)] = int(c)
+        rows = sorted(grid)
+        arr = np.array([grid[w] for w in rows], dtype=np.int64)
+        return pa.table({
+            "week": pa.array(rows, type=pa.int64()),
+            "n_new": pa.array(arr[:, 0], type=pa.int64()),
+            "n_retained": pa.array(arr[:, 1], type=pa.int64()),
+            "n_resurrected": pa.array(arr[:, 2], type=pa.int64()),
+            "n_churned": pa.array(arr[:, 3], type=pa.int64()),
+            "n_active": pa.array(arr[:, 0] + arr[:, 1] + arr[:, 2],
+                                 type=pa.int64()),
+        })
+
+    return (counts.map_batches(tag, batch_format="pyarrow")
+            .groupby("_one").map_groups(widen, batch_format="pyarrow"))

@@ -4532,3 +4532,69 @@ def test_q37_preserves_ties(ray_session, tmp_path):
     assert len(got) == 8                    # plain top-5 would drop 3
     assert (got["rnk"] <= 5).all()
     assert (got[got["cents"] == 6000]["rnk"] == 5).all()
+
+
+# ---------------------------------------------------------------- W68 ----
+def test_w68_growth_accounting_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["w68_growth_accounting"](SF).to_pandas()
+           .set_index("week"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "user_id"]).to_pandas()
+    ev["wk"] = (ev["ts"].astype("int64") // 86_400_000_000) // 7
+    by_user = {u: sorted(set(g["wk"]))
+               for u, g in ev.groupby("user_id")}
+    hiw = max(w for wks in by_user.values() for w in wks)
+    from collections import defaultdict
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for u, wks in by_user.items():
+        ws = set(wks)
+        for w in wks:
+            if w == wks[0]:
+                agg[w][0] += 1
+            elif w - 1 in ws:
+                agg[w][1] += 1
+            else:
+                agg[w][2] += 1
+            if w + 1 not in ws and w + 1 <= hiw:
+                agg[w + 1][3] += 1
+    assert set(got.index) == set(agg)
+    for w, (nn, nr, nz, nc) in agg.items():
+        row = got.loc[w]
+        assert (row["n_new"], row["n_retained"],
+                row["n_resurrected"], row["n_churned"]) \
+            == (nn, nr, nz, nc)
+        # the growth-accounting identity
+        assert row["n_active"] == nn + nr + nz
+
+
+def test_w68_quadrants_on_planted_lifecycle(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from anomalydetection_ray.pipelines.windows import w68_growth_accounting
+
+    # user 1: weeks 0,1 then gone; user 2: weeks 0,2 (resurrects);
+    # user 3: week 2 only (new late)
+    rows = [(1, 0), (1, 1), (2, 0), (2, 2), (3, 2)]
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "ts": pa.array(np.array([w * 7 * 86_400_000_000
+                                 for _, w in rows],
+                                dtype="datetime64[us]")),
+        "user_id": pa.array([u for u, _ in rows], type=pa.int64()),
+        "event_type": pa.array(["click"] * len(rows)),
+        "value": pa.array([0.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    _pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    got = (w68_growth_accounting(str(tmp_path)).to_pandas()
+           .set_index("week"))
+    assert got.loc[0]["n_new"] == 2
+    assert got.loc[1]["n_retained"] == 1       # user 1
+    assert got.loc[1]["n_churned"] == 1        # user 2 skipped week 1
+    assert got.loc[2]["n_resurrected"] == 1    # user 2 back
+    assert got.loc[2]["n_new"] == 1            # user 3
+    assert got.loc[2]["n_churned"] == 1        # user 1 gone
