@@ -1681,6 +1681,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # W68 weekly growth accounting (new/retained/resurrected/
         # churned quadrants)
         "w68_growth_accounting": wnd.w68_growth_accounting,
+        # A100 last-day percentile rank per type ("is today weird?")
+        "a100_today_rank": q.a100_today_rank,
         # Q28 uniform-mixture importance weights per source
         "q28_source_reweight": q.q28_source_reweight,
         # W56 first-return gap histogram (time to second visit)
@@ -6629,6 +6631,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(inter AS DOUBLE) / CAST(un AS DOUBLE)
                        AS jaccard
             FROM j WHERE 5 * inter >= 4 * un
+        """,
+        # A100: dense-grid strict/weak counts vs the final day; one
+        # pinned division
+        "a100_today_rank": """
+            WITH c AS (SELECT event_type,
+                              CAST(epoch_us(ts) // 86400000000
+                                   AS BIGINT) AS day,
+                              CAST(sum(CAST(floor(value * 100 + 0.5)
+                                            AS BIGINT)) AS BIGINT) AS x
+                       FROM events GROUP BY event_type, day),
+            g AS (SELECT CAST(min(day) AS BIGINT) AS lo,
+                         CAST(max(day) AS BIGINT) AS hi
+                  FROM c),
+            grid AS (SELECT e.event_type,
+                            CAST(unnest(range(g.lo, g.hi + 1))
+                                 AS BIGINT) AS day
+                     FROM (SELECT DISTINCT event_type FROM c) e, g),
+            d AS (SELECT grid.event_type, grid.day,
+                         COALESCE(c.x, 0) AS x
+                  FROM grid LEFT JOIN c
+                  ON c.event_type = grid.event_type
+                     AND c.day = grid.day),
+            l AS (SELECT d.event_type, CAST(d.x AS BIGINT) AS last
+                  FROM d, g WHERE d.day = g.hi),
+            a AS (SELECT d.event_type,
+                         CAST(count(*) AS BIGINT) AS n_days,
+                         CAST(sum(CASE WHEN d.x < l.last THEN 1
+                                  ELSE 0 END) AS BIGINT) AS n_less,
+                         CAST(sum(CASE WHEN d.x <= l.last THEN 1
+                                  ELSE 0 END) AS BIGINT) AS n_leq
+                  FROM d JOIN l USING (event_type)
+                  GROUP BY d.event_type)
+            SELECT a.event_type, a.n_days, l.last AS last_cents,
+                   a.n_less, a.n_leq,
+                   CAST(a.n_leq AS DOUBLE) / CAST(a.n_days AS DOUBLE)
+                       AS pct_rank
+            FROM a JOIN l USING (event_type)
         """,
         # W68: set logic on distinct (user, week); churn = run end + 1
         "w68_growth_accounting": """

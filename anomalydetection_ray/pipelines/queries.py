@@ -12206,3 +12206,84 @@ def q37_topk_with_ties(sf_dir: str, k: int = 5):
 
     return ds.map_batches(flag, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+# --------------------------------------------------------------- A100 ----
+def a100_today_rank(sf_dir: str):
+    """A100 — "is today weird?": the percentile rank of the LAST
+    day's cent total within each type's zero-filled daily history —
+    A93's last-value rank transplanted to the calendar, the one-line
+    answer an on-call dashboard leads with (pct near 1 = today is a
+    record, near 0 = a record drought).
+
+    Exactness: strict/weak counts exact ints over the bounded dense
+    grid; pct = ONE pinned division n_leq / n_days.
+
+    Scale shape: G31's bounded (type, day) exchange, single-group
+    widen."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from anomalydetection_ray.stages.detectors import _split_double
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        v100 = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day": pa.array(us // 86_400_000_000,
+                                      type=pa.int64()),
+                      "v100": pa.array(v100, type=pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [("v100", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "x": g.column("v100_sum").cast(pa.int64())})
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["event_type", "day"]).sum("x"))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_one", pa.array(np.zeros(batch.num_rows, dtype=np.int64)))
+
+    def widen(group: pa.Table) -> pa.Table:
+        et = group.column("event_type").to_pylist()
+        day = np.asarray(group.column("day"), dtype=np.int64)
+        xs = np.asarray(group.column("sum(x)"), dtype=np.int64)
+        lo, hi = int(day.min()), int(day.max())
+        span = hi - lo + 1
+        types = sorted(set(et))
+        out = {k: [] for k in ("event_type", "n_days", "last_cents",
+                               "n_less", "n_leq", "pct_rank")}
+        for t in types:
+            sel = np.asarray([e == t for e in et], dtype=bool)
+            dense = np.zeros(span, dtype=np.int64)
+            dense[day[sel] - lo] = xs[sel]
+            last = int(dense[-1])
+            n_less = int((dense < last).sum())
+            n_leq = int((dense <= last).sum())
+            out["event_type"].append(t)
+            out["n_days"].append(span)
+            out["last_cents"].append(last)
+            out["n_less"].append(n_less)
+            out["n_leq"].append(n_leq)
+            out["pct_rank"].append(_split_double(n_leq)
+                                   / _split_double(span))
+        return pa.table({
+            "event_type": pa.array(out["event_type"],
+                                   type=pa.string()),
+            "n_days": pa.array(out["n_days"], type=pa.int64()),
+            "last_cents": pa.array(out["last_cents"],
+                                   type=pa.int64()),
+            "n_less": pa.array(out["n_less"], type=pa.int64()),
+            "n_leq": pa.array(out["n_leq"], type=pa.int64()),
+            "pct_rank": pa.array(out["pct_rank"], type=pa.float64()),
+        })
+
+    return (daily.map_batches(tag, batch_format="pyarrow")
+            .groupby("_one").map_groups(widen, batch_format="pyarrow"))

@@ -4598,3 +4598,30 @@ def test_w68_quadrants_on_planted_lifecycle(ray_session, tmp_path):
     assert got.loc[2]["n_resurrected"] == 1    # user 2 back
     assert got.loc[2]["n_new"] == 1            # user 3
     assert got.loc[2]["n_churned"] == 1        # user 1 gone
+
+
+# --------------------------------------------------------------- A100 ----
+def test_a100_today_rank_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["a100_today_rank"](SF).to_pandas()
+           .set_index("event_type"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts", "value"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    ev["c"] = np.floor(ev["value"] * 100 + 0.5).astype(np.int64)
+    lo, hi = int(ev["day"].min()), int(ev["day"].max())
+    span = hi - lo + 1
+    for et, grp in ev.groupby("event_type"):
+        dense = np.zeros(span, dtype=np.int64)
+        for d, s in grp.groupby("day")["c"].sum().items():
+            dense[int(d) - lo] = int(s)
+        last = int(dense[-1])
+        row = got.loc[et]
+        assert row["n_days"] == span
+        assert row["last_cents"] == last
+        assert row["n_less"] == int((dense < last).sum())
+        assert row["n_leq"] == int((dense <= last).sum())
+        assert row["pct_rank"] == \
+            float(int((dense <= last).sum())) / float(span)
+        assert 0.0 < row["pct_rank"] <= 1.0
