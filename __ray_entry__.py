@@ -1683,6 +1683,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w68_growth_accounting": wnd.w68_growth_accounting,
         # A100 last-day percentile rank per type ("is today weird?")
         "a100_today_rank": q.a100_today_rank,
+        # E8 timestamp delta-of-delta codec surface (Gorilla ts
+        # scheme on per-user event streams)
+        "e8_ts_dod_size": q.e8_ts_dod_size,
         # Q28 uniform-mixture importance weights per source
         "q28_source_reweight": q.q28_source_reweight,
         # W56 first-return gap histogram (time to second visit)
@@ -6631,6 +6634,69 @@ def oracle_sql() -> dict[str, str]:
                    CAST(inter AS DOUBLE) / CAST(un AS DOUBLE)
                        AS jaccard
             FROM j WHERE 5 * inter >= 4 * un
+        """,
+        # E8: lag/lag2 delta-of-delta, zigzag LEB128 width ladder
+        # (HUGEINT compares), 8-byte stream heads; one pinned ratio
+        "e8_ts_dod_size": """
+            WITH s AS (SELECT user_id,
+                              CAST(epoch_us(ts) AS BIGINT) AS t,
+                              row_number() OVER w AS rn,
+                              CAST(lag(epoch_us(ts)) OVER w
+                                   AS BIGINT) AS t1,
+                              CAST(lag(epoch_us(ts), 2) OVER w
+                                   AS BIGINT) AS t2
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts, event_id)),
+            v AS (SELECT CASE WHEN rn = 1 THEN NULL
+                              WHEN rn = 2 THEN t - t1
+                              ELSE (t - t1) - (t1 - t2) END AS val
+                  FROM s),
+            z AS (SELECT CASE WHEN val IS NULL THEN NULL
+                              WHEN val >= 0 THEN
+                                  CAST(2 * val AS HUGEINT)
+                              ELSE CAST(-2 * val - 1 AS HUGEINT)
+                         END AS zz
+                  FROM v),
+            b AS (SELECT CASE WHEN zz IS NULL THEN 8
+                         ELSE 1
+                              + CASE WHEN zz >= 128 THEN 1 ELSE 0 END
+                              + CASE WHEN zz >= 16384 THEN 1
+                                     ELSE 0 END
+                              + CASE WHEN zz >= 2097152 THEN 1
+                                     ELSE 0 END
+                              + CASE WHEN zz >= 268435456 THEN 1
+                                     ELSE 0 END
+                              + CASE WHEN zz >= 34359738368 THEN 1
+                                     ELSE 0 END
+                              + CASE WHEN zz >= 4398046511104 THEN 1
+                                     ELSE 0 END
+                              + CASE WHEN zz >= 562949953421312
+                                     THEN 1 ELSE 0 END
+                              + CASE WHEN zz >= 72057594037927936
+                                     THEN 1 ELSE 0 END
+                              + CASE WHEN zz >=
+                                     9223372036854775808 THEN 1
+                                     ELSE 0 END
+                         END AS bytes
+                  FROM z),
+            a AS (SELECT CAST(count(*) AS BIGINT) AS n_events,
+                         (SELECT CAST(count(DISTINCT user_id)
+                                      AS BIGINT) FROM events)
+                             AS n_users,
+                         CAST(sum(bytes) AS BIGINT) AS n_bytes
+                  FROM b)
+            SELECT n_events, n_users, n_bytes,
+                   CASE WHEN n_bytes > 0 THEN
+                       (CAST((8 * n_events) // 4294967296 AS DOUBLE)
+                        * 4294967296.0
+                        + CAST((8 * n_events) % 4294967296
+                               AS DOUBLE))
+                       / (CAST(n_bytes // 4294967296 AS DOUBLE)
+                          * 4294967296.0
+                          + CAST(n_bytes % 4294967296 AS DOUBLE))
+                   END AS compression_ratio
+            FROM a
         """,
         # A100: dense-grid strict/weak counts vs the final day; one
         # pinned division

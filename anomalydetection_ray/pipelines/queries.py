@@ -12287,3 +12287,98 @@ def a100_today_rank(sf_dir: str):
 
     return (daily.map_batches(tag, batch_format="pyarrow")
             .groupby("_one").map_groups(widen, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------- E8 ----
+def e8_ts_dod_size(sf_dir: str):
+    """E8 — timestamp delta-of-delta codec surface over per-user event
+    streams (the Gorilla timestamp scheme on the events table): each
+    user's (ts, event_id)-ordered stream costs 8 bytes for the first
+    timestamp, LEB128(zigzag(delta)) for the second, and
+    LEB128(zigzag(delta-of-delta)) after that — near-constant arrival
+    cadences compress to ~1 byte/event.  Emits the corpus totals and
+    the compression ratio vs raw 8-byte timestamps.
+
+    Exactness: all byte widths are exact integer threshold counts
+    (E4's widths); ratio = ONE pinned division split(8*n)/split(B).
+
+    Scale shape: ONE ``_pkey`` exchange on user; vectorized per-
+    partition width arithmetic; single-row result."""
+    import functools
+
+    from anomalydetection_ray.stages.detectors import _split_double
+    from anomalydetection_ray.stages.runs import PKEY, add_partition_key
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    tagged = ds.map_batches(
+        functools.partial(add_partition_key, keys=["user_id"],
+                          num_partitions=16),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def widths(u: np.ndarray) -> np.ndarray:
+        return (1 + (u >= (1 << 7)).astype(np.int64)
+                + (u >= (1 << 14)).astype(np.int64)
+                + (u >= (1 << 21)).astype(np.int64)
+                + (u >= (1 << 28)).astype(np.int64)
+                + (u >= (1 << 35)).astype(np.int64)
+                + (u >= (1 << 42)).astype(np.int64)
+                + (u >= (1 << 49)).astype(np.int64)
+                + (u >= (1 << 56)).astype(np.int64)
+                + (u >= np.uint64(1 << 63)).astype(np.int64))
+
+    def kernel(group: pa.Table) -> pa.Table:
+        group = group.drop_columns([PKEY]).sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"),
+             ("event_id", "ascending")])
+        n = group.num_rows
+        if n == 0:
+            return pa.table({
+                "_one": pa.array([], type=pa.int64()),
+                "n_events": pa.array([], type=pa.int64()),
+                "n_users": pa.array([], type=pa.int64()),
+                "n_bytes": pa.array([], type=pa.int64())})
+        uid = np.asarray(group.column("user_id"), dtype=np.int64)
+        ts = np.asarray(group.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        starts = np.flatnonzero(np.concatenate(([True],
+                                                uid[1:] != uid[:-1])))
+        first = np.zeros(n, dtype=bool)
+        first[starts] = True
+        second = np.zeros(n, dtype=bool)
+        s2 = starts + 1
+        s2 = s2[s2 < n]
+        second[s2] = uid[s2] == uid[s2 - 1]
+        d = np.zeros(n, dtype=np.int64)
+        d[1:] = ts[1:] - ts[:-1]
+        dod = np.zeros(n, dtype=np.int64)
+        dod[1:] = d[1:] - d[:-1]
+        val = np.where(second, d, dod)      # first rows overridden below
+        zz = ((val << 1) ^ (val >> 63)).astype(np.uint64)
+        b = widths(zz)
+        b[first] = 8
+        total = int(b.sum())
+        return pa.table({
+            "_one": pa.array([0], type=pa.int64()),
+            "n_events": pa.array([n], type=pa.int64()),
+            "n_users": pa.array([int(starts.shape[0])],
+                                type=pa.int64()),
+            "n_bytes": pa.array([total], type=pa.int64())})
+
+    agg = (tagged.groupby(PKEY).map_groups(kernel,
+                                           batch_format="pyarrow")
+           .groupby("_one").sum(["n_events", "n_users", "n_bytes"]))
+
+    def widen(batch: pa.Table) -> pa.Table:
+        ne = int(batch.column("sum(n_events)")[0].as_py())
+        nu = int(batch.column("sum(n_users)")[0].as_py())
+        nb = int(batch.column("sum(n_bytes)")[0].as_py())
+        ratio = (_split_double(8 * ne) / _split_double(nb)
+                 if nb > 0 else None)
+        return pa.table({
+            "n_events": pa.array([ne], type=pa.int64()),
+            "n_users": pa.array([nu], type=pa.int64()),
+            "n_bytes": pa.array([nb], type=pa.int64()),
+            "compression_ratio": pa.array([ratio], type=pa.float64(),
+                                          from_pandas=True)})
+
+    return agg.map_batches(widen, batch_format="pyarrow")

@@ -4625,3 +4625,38 @@ def test_a100_today_rank_bruteforce(ray_session):
         assert row["pct_rank"] == \
             float(int((dense <= last).sum())) / float(span)
         assert 0.0 < row["pct_rank"] <= 1.0
+
+
+# ---------------------------------------------------------------- E8 ----
+def test_e8_ts_dod_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = e.queries()["e8_ts_dod_size"](SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "user_id", "ts"]).to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+
+    def leb(u: int) -> int:
+        w = 1
+        while u >= (1 << (7 * w)):
+            w += 1
+        return w
+
+    total = 0
+    for _, grp in ev.groupby("user_id"):
+        ts = grp["ts"].astype("int64").to_list()
+        total += 8
+        prev_d = None
+        for i in range(1, len(ts)):
+            d = ts[i] - ts[i - 1]
+            val = d if prev_d is None else d - prev_d
+            zz = 2 * val if val >= 0 else -2 * val - 1
+            total += leb(zz)
+            prev_d = d
+    assert got["n_events"][0] == len(ev)
+    assert got["n_users"][0] == ev["user_id"].nunique()
+    assert got["n_bytes"][0] == total
+    assert got["compression_ratio"][0] == \
+        float(8 * len(ev)) / float(total)
+    # the whole point: beats raw 8-byte timestamps
+    assert got["compression_ratio"][0] > 1.0
