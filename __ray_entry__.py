@@ -1686,6 +1686,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # E8 timestamp delta-of-delta codec surface (Gorilla ts
         # scheme on per-user event streams)
         "e8_ts_dod_size": q.e8_ts_dod_size,
+        # S30 exchange-skew report over the main partition keys
+        "s30_skew_report": q.s30_skew_report,
         # Q28 uniform-mixture importance weights per source
         "q28_source_reweight": q.q28_source_reweight,
         # W56 first-return gap histogram (time to second visit)
@@ -6634,6 +6636,79 @@ def oracle_sql() -> dict[str, str]:
                    CAST(inter AS DOUBLE) / CAST(un AS DOUBLE)
                        AS jaccard
             FROM j WHERE 5 * inter >= 4 * un
+        """,
+        # S30: per-key size histogram + cumsum percentile read-off
+        "s30_skew_report": """
+            (WITH sz AS (SELECT user_id AS k,
+                                CAST(count(*) AS BIGINT) AS c
+                         FROM events GROUP BY k),
+             h AS (SELECT c AS size, CAST(count(*) AS BIGINT) AS n
+                   FROM sz GROUP BY size),
+             w AS (SELECT size,
+                          CAST(sum(n) OVER (ORDER BY size)
+                               AS BIGINT) AS cum,
+                          CAST(sum(n) OVER () AS BIGINT) AS n_keys,
+                          CAST(sum(size * n) OVER () AS BIGINT)
+                              AS n_rows
+                   FROM h)
+             SELECT 'events.user_id' AS key_name,
+                    CAST(min(n_keys) AS BIGINT) AS n_keys,
+                    CAST(min(n_rows) AS BIGINT) AS n_rows,
+                    CAST(max(size) AS BIGINT) AS max_group,
+                    CAST(max(size) AS DOUBLE)
+                        / CAST(min(n_rows) AS DOUBLE) AS max_share,
+                    CAST(min(CASE WHEN cum * 100 >= 50 * n_keys
+                             THEN size END) AS BIGINT) AS p50_group,
+                    CAST(min(CASE WHEN cum * 100 >= 99 * n_keys
+                             THEN size END) AS BIGINT) AS p99_group
+             FROM w)
+            UNION ALL
+            (WITH sz AS (SELECT event_type AS k,
+                                CAST(count(*) AS BIGINT) AS c
+                         FROM events GROUP BY k),
+             h AS (SELECT c AS size, CAST(count(*) AS BIGINT) AS n
+                   FROM sz GROUP BY size),
+             w AS (SELECT size,
+                          CAST(sum(n) OVER (ORDER BY size)
+                               AS BIGINT) AS cum,
+                          CAST(sum(n) OVER () AS BIGINT) AS n_keys,
+                          CAST(sum(size * n) OVER () AS BIGINT)
+                              AS n_rows
+                   FROM h)
+             SELECT 'events.event_type', CAST(min(n_keys) AS BIGINT),
+                    CAST(min(n_rows) AS BIGINT),
+                    CAST(max(size) AS BIGINT),
+                    CAST(max(size) AS DOUBLE)
+                        / CAST(min(n_rows) AS DOUBLE),
+                    CAST(min(CASE WHEN cum * 100 >= 50 * n_keys
+                             THEN size END) AS BIGINT),
+                    CAST(min(CASE WHEN cum * 100 >= 99 * n_keys
+                             THEN size END) AS BIGINT)
+             FROM w)
+            UNION ALL
+            (WITH sz AS (SELECT l_orderkey AS k,
+                                CAST(count(*) AS BIGINT) AS c
+                         FROM lineitem GROUP BY k),
+             h AS (SELECT c AS size, CAST(count(*) AS BIGINT) AS n
+                   FROM sz GROUP BY size),
+             w AS (SELECT size,
+                          CAST(sum(n) OVER (ORDER BY size)
+                               AS BIGINT) AS cum,
+                          CAST(sum(n) OVER () AS BIGINT) AS n_keys,
+                          CAST(sum(size * n) OVER () AS BIGINT)
+                              AS n_rows
+                   FROM h)
+             SELECT 'lineitem.l_orderkey',
+                    CAST(min(n_keys) AS BIGINT),
+                    CAST(min(n_rows) AS BIGINT),
+                    CAST(max(size) AS BIGINT),
+                    CAST(max(size) AS DOUBLE)
+                        / CAST(min(n_rows) AS DOUBLE),
+                    CAST(min(CASE WHEN cum * 100 >= 50 * n_keys
+                             THEN size END) AS BIGINT),
+                    CAST(min(CASE WHEN cum * 100 >= 99 * n_keys
+                             THEN size END) AS BIGINT)
+             FROM w)
         """,
         # E8: lag/lag2 delta-of-delta, zigzag LEB128 width ladder
         # (HUGEINT compares), 8-byte stream heads; one pinned ratio

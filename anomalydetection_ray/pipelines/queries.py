@@ -12382,3 +12382,89 @@ def e8_ts_dod_size(sf_dir: str):
                                           from_pandas=True)})
 
     return agg.map_batches(widen, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- S30 ----
+def _key_skew(ds, col: str, key_name: str):
+    """(key_name, n_keys, n_rows, max_group, max_share, p50_group,
+    p99_group) for one key column — group sizes -> bounded size
+    histogram -> exact order statistics; max_share is the single
+    pinned division."""
+    import pyarrow.compute as pc
+
+    from anomalydetection_ray.stages.detectors import _split_double
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({"k": batch.column(col)}).group_by(
+            ["k"]).aggregate([([], "count_all")])
+        return pa.table({"k": g.column("k"),
+                         "c": pc.cast(g.column("count_all"),
+                                      pa.int64())})
+
+    sizes = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("k").sum("c"))
+
+    def hist(batch: pa.Table) -> pa.Table:
+        t = pa.table({"size": batch.column("sum(c)").cast(pa.int64()),
+                      "one": pa.array(np.ones(batch.num_rows,
+                                              dtype=np.int64))})
+        g = t.group_by(["size"]).aggregate([("one", "sum")])
+        return pa.table({"size": g.column("size"),
+                         "n": g.column("one_sum").cast(pa.int64())})
+
+    counts = (sizes.map_batches(hist, batch_format="pyarrow")
+              .groupby("size").sum("n"))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_one", pa.array(np.zeros(batch.num_rows, dtype=np.int64)))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        order = np.argsort(np.asarray(group.column("size"),
+                                      dtype=np.int64))
+        v = np.asarray(group.column("size"), dtype=np.int64)[order]
+        c = np.asarray(group.column("sum(n)"), dtype=np.int64)[order]
+        cum = np.cumsum(c)
+        n_keys = int(cum[-1])
+        n_rows = int((v * c).sum())
+        p50 = int(v[int(np.searchsorted(cum,
+                                        (50 * n_keys + 99) // 100))])
+        p99 = int(v[int(np.searchsorted(cum,
+                                        (99 * n_keys + 99) // 100))])
+        mx = int(v[-1])
+        return pa.table({
+            "key_name": pa.array([key_name], type=pa.string()),
+            "n_keys": pa.array([n_keys], type=pa.int64()),
+            "n_rows": pa.array([n_rows], type=pa.int64()),
+            "max_group": pa.array([mx], type=pa.int64()),
+            "max_share": pa.array(
+                [_split_double(mx) / _split_double(n_rows)],
+                type=pa.float64()),
+            "p50_group": pa.array([p50], type=pa.int64()),
+            "p99_group": pa.array([p99], type=pa.int64()),
+        })
+
+    return (counts.map_batches(tag, batch_format="pyarrow")
+            .groupby("_one").map_groups(finalize,
+                                        batch_format="pyarrow"))
+
+
+def s30_skew_report(sf_dir: str):
+    """S30 — exchange-skew report: for the engine's three main
+    partition keys (events.user_id, events.event_type,
+    lineitem.l_orderkey), the key cardinality, the hottest key's row
+    share and the p50/p99 group sizes — the introspection that tells a
+    planner which exchanges need salting (G2's salted path) BEFORE a
+    straggler appears.  ALL-integer except the one share division per
+    key.
+
+    Scale shape: per key ONE group-size aggregate then a bounded
+    size-histogram exchange; exact nearest-rank percentiles read off
+    the cumulative counts."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+    a = _key_skew(ev, "user_id", "events.user_id")
+    b = _key_skew(ev, "event_type", "events.event_type")
+    c = _key_skew(li, "l_orderkey", "lineitem.l_orderkey")
+    return a.union(b).union(c)

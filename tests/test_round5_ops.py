@@ -4660,3 +4660,29 @@ def test_e8_ts_dod_bruteforce(ray_session):
         float(8 * len(ev)) / float(total)
     # the whole point: beats raw 8-byte timestamps
     assert got["compression_ratio"][0] > 1.0
+
+
+# ---------------------------------------------------------------- S30 ----
+def test_s30_skew_report_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["s30_skew_report"](SF).to_pandas()
+           .set_index("key_name"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type"]).to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey"]).to_pandas()
+    for name, series in [("events.user_id", ev["user_id"]),
+                         ("events.event_type", ev["event_type"]),
+                         ("lineitem.l_orderkey", li["l_orderkey"])]:
+        sizes = np.sort(series.value_counts().to_numpy())
+        nk, nr = len(sizes), int(sizes.sum())
+        row = got.loc[name]
+        assert row["n_keys"] == nk
+        assert row["n_rows"] == nr
+        assert row["max_group"] == int(sizes[-1])
+        assert row["max_share"] == float(int(sizes[-1])) / float(nr)
+        assert row["p50_group"] == int(sizes[(50 * nk + 99)
+                                             // 100 - 1])
+        assert row["p99_group"] == int(sizes[(99 * nk + 99)
+                                             // 100 - 1])
