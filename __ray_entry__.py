@@ -1688,6 +1688,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e8_ts_dod_size": q.e8_ts_dod_size,
         # S30 exchange-skew report over the main partition keys
         "s30_skew_report": q.s30_skew_report,
+        # Q38 diversity-constrained top-k (at most m per type)
+        "q38_diverse_topk": q.q38_diverse_topk,
         # Q28 uniform-mixture importance weights per source
         "q28_source_reweight": q.q28_source_reweight,
         # W56 first-return gap histogram (time to second visit)
@@ -6636,6 +6638,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(inter AS DOUBLE) / CAST(un AS DOUBLE)
                        AS jaccard
             FROM j WHERE 5 * inter >= 4 * un
+        """,
+        # Q38: per-type row_number cap then global rank; both tie
+        # rules (cents desc, event_id asc)
+        "q38_diverse_topk": """
+            SELECT event_type, event_id, cents FROM (
+                SELECT event_type, event_id, cents,
+                       row_number() OVER (ORDER BY cents DESC,
+                                          event_id) AS grk
+                FROM (SELECT event_type, event_id,
+                             CAST(floor(value * 100 + 0.5)
+                                  AS BIGINT) AS cents,
+                             row_number() OVER (
+                                 PARTITION BY event_type
+                                 ORDER BY floor(value * 100 + 0.5)
+                                     DESC, event_id) AS trk
+                      FROM events) t
+                WHERE trk <= 2) u
+            WHERE grk <= 10
         """,
         # S30: per-key size histogram + cumsum percentile read-off
         "s30_skew_report": """

@@ -12468,3 +12468,56 @@ def s30_skew_report(sf_dir: str):
     b = _key_skew(ev, "event_type", "events.event_type")
     c = _key_skew(li, "l_orderkey", "lineitem.l_orderkey")
     return a.union(b).union(c)
+
+
+# ---------------------------------------------------------------- Q38 ----
+def q38_diverse_topk(sf_dir: str, k: int = 10, per_type: int = 2):
+    """Q38 — diversity-constrained top-k: the global top-``k`` events
+    by cent value with AT MOST ``per_type`` rows per event type — the
+    result-diversification primitive every retrieval surface applies
+    (a plain top-k is one hot type's monoculture).  Ties (cents desc,
+    event_id asc) at both levels.
+
+    Scale shape: the per-type cap is a GROUPED block prune (each
+    map task keeps per_type per type, the per-type reduce keeps
+    per_type survivors), so the global sort-limit sees at most
+    |types| * per_type rows — never the corpus."""
+    import pyarrow.compute as pc
+
+    from anomalydetection_ray.stages.topk import topk
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def prune(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        et = np.asarray(batch.column("event_type"))
+        eid = np.asarray(batch.column("event_id"), dtype=np.int64)
+        order = np.lexsort((eid, -cents, et))
+        et_s = et[order]
+        starts = np.flatnonzero(np.concatenate(([True],
+                                                et_s[1:]
+                                                != et_s[:-1])))
+        lens = np.diff(np.append(starts, et_s.shape[0]))
+        within = np.arange(et_s.shape[0], dtype=np.int64) \
+            - np.repeat(starts, lens)
+        keep = order[within < per_type]
+        sel = pa.array(np.sort(keep))
+        return pa.table({
+            "event_type": batch.column("event_type").take(sel),
+            "event_id": batch.column("event_id").take(sel),
+            "cents": pa.array(cents[np.sort(keep)], type=pa.int64()),
+        })
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def refine(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("cents", "descending"),
+                           ("event_id", "ascending")])
+        return g.slice(0, per_type)
+
+    per_type_top = pruned.groupby("event_type").map_groups(
+        refine, batch_format="pyarrow")
+    return topk(per_type_top, k, [("cents", "descending"),
+                                  ("event_id", "ascending")])

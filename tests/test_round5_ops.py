@@ -4686,3 +4686,29 @@ def test_s30_skew_report_bruteforce(ray_session):
                                              // 100 - 1])
         assert row["p99_group"] == int(sizes[(99 * nk + 99)
                                              // 100 - 1])
+
+
+# ---------------------------------------------------------------- Q38 ----
+def test_q38_diverse_topk_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    got = e.queries()["q38_diverse_topk"](SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "event_type",
+                                "value"]).to_pandas()
+    ev["cents"] = np.floor(ev["value"] * 100 + 0.5).astype(np.int64)
+    ev = ev.sort_values(["cents", "event_id"],
+                        ascending=[False, True])
+    picked, seen = [], {}
+    for _, r in ev.iterrows():
+        if seen.get(r["event_type"], 0) < 2:
+            picked.append(r)
+            seen[r["event_type"]] = seen.get(r["event_type"], 0) + 1
+        if len(picked) == 10:
+            break
+    # the per-type-cap-then-global-rank formulation equals the greedy
+    # scan because caps only ever EXCLUDE lower-ranked rows
+    want_ids = [int(r["event_id"]) for r in picked]
+    assert sorted(got["event_id"]) == sorted(want_ids)
+    assert got["event_type"].value_counts().max() <= 2
+    assert len(got) == 10
